@@ -1,0 +1,124 @@
+"""Join operators (SURVEY §2.3).
+
+Equi-joins are thin wrappers — Catalyst picks broadcast vs sort-merge and
+AQE rewrites skewed joins at runtime.  The custom work (SURVEY §4.2.1) is
+the tolerance / nearest-match family: rounded-key equi-join as the fast
+path, range join + ``row_number`` over distance for true nearest-match.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def merge_frames(
+    frames: Sequence[DataFrame],
+    on: str | Sequence[str],
+    how: str = "inner",
+) -> DataFrame:
+    """n-way equi-join fold.
+
+    Reference: ``Frames.merge`` (gofast/dataops/core.py:569-577, 622-633) —
+    ``pd.merge`` folded left across the list.  Spark-side this is a single
+    logical plan; Catalyst reorders and broadcasts small sides (dimension
+    tables under the autoBroadcast threshold never shuffle the fact table).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    return reduce(lambda a, b: a.join(b, on=keys, how=how), frames)
+
+
+def merge_datasets(
+    *frames: DataFrame,
+    on: str | Sequence[str],
+    how: str = "inner",
+    fill_missing: dict | None = None,
+    drop_duplicates: bool = False,
+) -> DataFrame:
+    """Varargs equi-join with post-pass fill / dedup.
+
+    Reference: ``merge_datasets`` (gofast/utils/data_utils.py:5429).
+    """
+    out = merge_frames(list(frames), on=on, how=how)
+    if fill_missing:
+        out = out.fillna(fill_missing)
+    if drop_duplicates:
+        out = out.dropDuplicates()
+    return out
+
+
+def pair_data(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    *,
+    decimals: int = 7,
+    how: str = "inner",
+) -> DataFrame:
+    """Tolerance equi-join: keys rounded to ``decimals`` before equality.
+
+    Reference: ``pair_data`` (gofast/utils/data_utils.py:3355) pairs frames
+    on coordinates rounded to 7 decimals.  We join on ``round(col, d)``
+    derived keys — still a hash-partitionable equi-join, so it scales like
+    any other join (no cross product).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    lk = [F.round(left[k], decimals).alias(f"__k_{k}") for k in keys]
+    rk = [F.round(right[k], decimals).alias(f"__k_{k}") for k in keys]
+    lt = left.select("*", *lk)
+    rt = right.select("*", *rk)
+    cond = [lt[f"__k_{k}"] == rt[f"__k_{k}"] for k in keys]
+    out = lt.join(rt, on=cond, how=how)
+    return out.drop(*[f"__k_{k}" for k in keys])
+
+
+def nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    *,
+    threshold: float,
+    keep: str = "closest",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Nearest-match join within a distance threshold (1-D).
+
+    Reference: ``dual_merge`` with ``find_closest=True``
+    (gofast/utils/spatial_utils.py:2318-2477) and ``find_closest``
+    (gofast/core/checks.py:1322).
+
+    Strategy (SURVEY §4.2.1): a **band join** — bucket both sides by
+    ``floor(value / threshold)`` and join each left bucket to right buckets
+    {b-1, b, b+1}.  That turns the O(n·m) range predicate into an equi-join
+    on the bucket key (hash-partitionable, AQE-skew-safe), then
+    ``row_number()`` over distance keeps the closest match per left row.
+    ``keep='all'`` returns every within-threshold pair.
+
+    Deterministic: ties broken by ``tiebreak`` column (ascending) when given.
+    """
+    b = F.floor(F.col(left_on) / F.lit(threshold)).alias("__b")
+    lt = left.select("*", b)
+    offsets = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("__off")
+    rt = right.select("*", F.floor(F.col(right_on) / F.lit(threshold)).alias("__rb"), offsets)
+    rt = rt.withColumn("__b", F.col("__rb") + F.col("__off")).drop("__rb", "__off")
+    dist = F.abs(lt[left_on] - rt[right_on])
+    joined = lt.join(rt, on="__b", how="inner").where(dist <= threshold)
+    joined = joined.withColumn("__dist", F.abs(F.col(left_on) - F.col(right_on)))
+    if keep == "all":
+        # each within-threshold pair matches under exactly one bucket offset
+        # (|floor(x/t) - floor(y/t)| <= 1), so no dedup pass is needed
+        return joined.drop("__b", "__dist")
+    order = [F.col("__dist").asc()]
+    if tiebreak:
+        order.append(F.col(tiebreak).asc())
+    w = Window.partitionBy(*[left[c] for c in left.columns]).orderBy(*order)
+    out = (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__b", "__dist", "__rn")
+    )
+    return out

@@ -1,0 +1,89 @@
+"""Sampling / splits (SURVEY §2.6).
+
+Determinism contract (SURVEY §7.3.4): ``df.sample(seed)`` is
+partitioning-dependent, so operators that must be reproducible across
+engines/runs use **arithmetic hash sampling** on a stable key column — the
+same LCG computable in any SQL dialect — mirroring the reference's
+hash-of-id split (``split_train_test_by_id``,
+gofast/core/array_manager.py:2356).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# LCG constants (glibc); applied to a bigint key this gives a deterministic
+# pseudo-random bucket in [0, 100) that DuckDB/any engine reproduces exactly.
+_LCG_A = 1103515245
+_LCG_C = 12345
+_LCG_M = 2147483648  # 2**31
+
+
+def hash_bucket(key: Column, *, buckets: int = 100, seed: int = 0) -> Column:
+    """Deterministic pseudo-random bucket of a bigint key (engine-portable)."""
+    return ((key.cast("bigint") + seed) * _LCG_A + _LCG_C) % _LCG_M % buckets
+
+
+def random_sampling(
+    df: DataFrame,
+    *,
+    fraction: float | None = None,
+    n: int | None = None,
+    seed: int = 42,
+    key: str | None = None,
+    with_replacement: bool = False,
+) -> DataFrame:
+    """Sample a fraction or exact n rows, seeded.
+
+    Reference: ``random_sampling`` (gofast/utils/data_utils.py:3524).
+
+    - With ``key``: deterministic hash sampling (stable across runs,
+      partitionings and engines) — the scale path.
+    - Without ``key``: Spark native ``sample`` (fast, one pass) for
+      fractions; exact-n via ``orderBy(rand(seed)).limit(n)`` which costs a
+      total sort — fine for small n, documented as driver-bound otherwise.
+    """
+    if fraction is None and n is None:
+        raise ValueError("give fraction or n")
+    if key is not None and fraction is not None:
+        pct = int(round(fraction * 100))
+        return df.where(hash_bucket(F.col(key), seed=seed) < pct)
+    if fraction is not None:
+        return df.sample(withReplacement=with_replacement, fraction=fraction, seed=seed)
+    return df.orderBy(F.rand(seed)).limit(int(n))
+
+
+def split_train_test_by_id(
+    df: DataFrame,
+    id_col: str,
+    *,
+    test_ratio: float = 0.2,
+    seed: int = 0,
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic hash-of-id train/test split.
+
+    Reference: ``split_train_test_by_id`` (gofast/core/array_manager.py:2356)
+    — crc32(id) % max < ratio.  Same idea with the portable LCG bucket; a
+    row's assignment never changes when data grows, which is the property
+    the reference's docstring calls out.
+    """
+    cut = int(round(test_ratio * 100))
+    b = hash_bucket(F.col(id_col), seed=seed)
+    return df.where(b >= cut), df.where(b < cut)
+
+
+def stratified_sampling(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    *,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum sampling.
+
+    Reference: ``batch_sampling`` stratified mode
+    (gofast/utils/data_utils.py:5677).  Native ``sampleBy`` — one pass,
+    no shuffle.
+    """
+    return df.sampleBy(strata_col, fractions, seed)

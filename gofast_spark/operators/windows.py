@@ -1,0 +1,173 @@
+"""Window / ordered computations (SURVEY §2.5).
+
+The reference reaches windowed semantics through pandas rolling/shift on
+the row index.  Spark has no row index, so every op here takes explicit
+``order_by`` (and optional ``partition_by``) — the semantic contract change
+called out in SURVEY §4.2.2.  All compile to native window expressions
+(WholeStageCodegen'd, spill-aware); no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+
+def _window(
+    order_by: str | Sequence[str],
+    partition_by: str | Sequence[str] | None = None,
+) -> WindowSpec:
+    order = [order_by] if isinstance(order_by, str) else list(order_by)
+    if partition_by:
+        parts = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+        return Window.partitionBy(*parts).orderBy(*order)
+    return Window.orderBy(*order)
+
+
+def create_lag_features(
+    df: DataFrame,
+    value_col: str,
+    lags: Sequence[int],
+    order_by: str | Sequence[str],
+    *,
+    partition_by: str | Sequence[str] | None = None,
+) -> DataFrame:
+    """Shift ``value_col`` by each lag as new ``{col}_lag_{k}`` columns.
+
+    Reference: ``create_lag_features`` (gofast/utils/ts_utils.py:4088) and
+    ``LagFeatureGenerator`` (gofast/transformers/ts.py:667).
+    """
+    w = _window(order_by, partition_by)
+    out = df
+    for k in lags:
+        out = out.withColumn(f"{value_col}_lag_{k}", F.lag(value_col, k).over(w))
+    return out
+
+
+def moving_average(
+    df: DataFrame,
+    value_col: str,
+    window_size: int,
+    order_by: str | Sequence[str],
+    *,
+    partition_by: str | Sequence[str] | None = None,
+    min_periods: int | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Trailing rolling mean over ``window_size`` rows.
+
+    Reference: ``MovingAverageTransformer`` (gofast/transformers/ts.py:453),
+    ``moving_average`` (gofast/utils/spatial_utils.py:4065).  pandas
+    ``rolling(k)`` yields NULL until ``min_periods`` rows exist; we mirror
+    that with a windowed count guard.
+    """
+    w = _window(order_by, partition_by).rowsBetween(-(window_size - 1), 0)
+    avg = F.avg(value_col).over(w)
+    n = F.count(value_col).over(w)
+    mp = window_size if min_periods is None else min_periods
+    name = out_col or f"{value_col}_ma_{window_size}"
+    return df.withColumn(name, F.when(n >= mp, avg))
+
+
+def differencing(
+    df: DataFrame,
+    value_col: str,
+    order_by: str | Sequence[str],
+    *,
+    periods: int = 1,
+    order: int = 1,
+    partition_by: str | Sequence[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Order-d differencing: ``v - lag(v, periods)`` iterated ``order`` times.
+
+    Reference: ``DifferencingTransformer`` (gofast/transformers/ts.py:543).
+    """
+    w = _window(order_by, partition_by)
+    name = out_col or f"{value_col}_diff"
+    cur = F.col(value_col)
+    for _ in range(order):
+        cur = cur - F.lag(cur, periods).over(w)
+    return df.withColumn(name, cur)
+
+
+def rank_data(
+    df: DataFrame,
+    value_col: str,
+    *,
+    method: str = "min",
+    ascending: bool = True,
+    partition_by: str | Sequence[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Rank values with pandas-compatible methods.
+
+    Reference: ``rank_data`` (gofast/utils/mathext.py:2967) — methods
+    average/min/max/dense/first.  'average' is emulated as
+    ``(rank + reverse-cume-count) / 2`` = mean of min and max rank.
+    """
+    parts = [partition_by] if isinstance(partition_by, str) else list(partition_by or [])
+    col = F.col(value_col)
+    order = col.asc() if ascending else col.desc()
+    w = Window.partitionBy(*parts).orderBy(order)
+    name = out_col or f"{value_col}_rank"
+    if method == "min":
+        expr = F.rank().over(w).cast("double")
+    elif method == "dense":
+        expr = F.dense_rank().over(w).cast("double")
+    elif method == "first":
+        expr = F.row_number().over(w).cast("double")
+    elif method in ("max", "average"):
+        # max rank = min rank + count(ties) - 1; ties counted over a
+        # value-partitioned window
+        tie_w = Window.partitionBy(*parts, col)
+        ties = F.count(F.lit(1)).over(tie_w)
+        min_rank = F.rank().over(w)
+        max_rank = min_rank + ties - 1
+        expr = (
+            max_rank.cast("double")
+            if method == "max"
+            else (min_rank + max_rank) / F.lit(2.0)
+        )
+    else:
+        raise ValueError(f"unsupported method {method!r}")
+    return df.withColumn(name, expr)
+
+
+def fill_forward(
+    df: DataFrame,
+    value_col: str,
+    order_by: str | Sequence[str],
+    *,
+    partition_by: str | Sequence[str] | None = None,
+    direction: str = "ffill",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Order-dependent ffill/bfill of NULLs.
+
+    Reference: ``handle_missing_data`` methods 'ffill'/'bfill'
+    (gofast/dataops/quality.py:728-760).  ffill = last non-null over the
+    preceding frame; bfill = first non-null over the following frame.
+    """
+    order = [order_by] if isinstance(order_by, str) else list(order_by)
+    parts = [partition_by] if isinstance(partition_by, str) else list(partition_by or [])
+    name = out_col or value_col
+    if direction == "ffill":
+        w = (
+            Window.partitionBy(*parts)
+            .orderBy(*[F.col(c).asc() for c in order])
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        expr = F.last(value_col, ignorenulls=True).over(w)
+    elif direction == "bfill":
+        w = (
+            Window.partitionBy(*parts)
+            .orderBy(*[F.col(c).asc() for c in order])
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        expr = F.first(value_col, ignorenulls=True).over(w)
+    else:
+        raise ValueError("direction must be ffill|bfill")
+    return df.withColumn(name, expr)
