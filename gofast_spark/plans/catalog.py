@@ -40,6 +40,16 @@ def query(name: str, oracle: str | None = None):
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a driver table.  The events parquet stores ``ts`` as
+    TIMESTAMP(NANOS), which Spark's parquet reader rejects; read it as
+    long nanos (runtime legacy conf) and convert to a micros timestamp —
+    matching DuckDB's nanos->micros truncation."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
@@ -99,3 +109,647 @@ def flagship_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc())
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Relational core (SURVEY §2.2–2.7)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,
+           CAST(round(sum(l_extendedprice), 2) AS DOUBLE) AS sum_base_price,
+           CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS DOUBLE) AS sum_charge,
+           CAST(round(avg(l_quantity), 4) AS DOUBLE) AS avg_qty,
+           CAST(round(avg(l_extendedprice), 4) AS DOUBLE) AS avg_price,
+           CAST(round(avg(l_discount), 4) AS DOUBLE) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape over smart_group semantics
+    (gofast/dataops/transformation.py:663)."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= F.lit("2001-09-02"))
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(disc), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).cast("double").alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).cast("double").alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).cast("double").alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).cast("double").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "filter_df_quantity",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem WHERE l_quantity >= 45
+    """,
+)
+def filter_df_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gofast_spark.operators import filter_df
+
+    li = _t(spark, sf_dir, "lineitem")
+    return filter_df(li, "l_quantity", ">=", 45.0).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+@query(
+    "group_and_filter_orders",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, CAST(o_orderdate AS DATE) AS o_date,
+           o_totalprice
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_totalprice > 400000
+    ORDER BY o_totalprice DESC, o_orderkey
+    """,
+)
+def group_and_filter_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gofast_spark.operators import group_and_filter
+
+    o = _t(spark, sf_dir, "orders")
+    out = group_and_filter(
+        o,
+        "o_orderpriority",
+        ["1-URGENT", "2-HIGH"],
+        conditions={"o_totalprice": (">", 400000)},
+    )
+    return out.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_orderdate").cast("date").alias("o_date"),
+        "o_totalprice",
+    ).orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+
+
+@query(
+    "filter_by_isin_semi",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    """,
+)
+def filter_by_isin_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gofast_spark.operators import filter_by_isin
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return filter_by_isin(c, "c_custkey", [(o, "o_custkey")]).select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "filter_by_isin_anti",
+    oracle="""
+    SELECT c_custkey, c_acctbal FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+    """,
+)
+def filter_by_isin_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gofast_spark.operators import filter_by_isin
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return filter_by_isin(c, "c_custkey", [(o, "o_custkey")], invert=True).select(
+        "c_custkey", "c_acctbal"
+    )
+
+
+@query(
+    "mask_by_reference_returns",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           CASE WHEN l_returnflag = 'R' THEN 0.0 ELSE l_quantity END AS l_quantity,
+           CASE WHEN l_returnflag = 'R' THEN 0.0 ELSE l_extendedprice END AS l_extendedprice
+    FROM lineitem
+    """,
+)
+def mask_by_reference_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gofast_spark.operators import mask_by_reference
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    return mask_by_reference(
+        li, "l_returnflag", ["R"], fill_value=0.0,
+        mask_columns=["l_quantity", "l_extendedprice"],
+    )
+
+
+@query(
+    "filter_by_period_events",
+    oracle="""
+    SELECT event_id, event_type, value FROM events
+    WHERE (year(ts) = 2024 AND month(ts) = 1 AND day(ts) = 5)
+       OR (year(ts) = 2024 AND month(ts) = 1 AND day(ts) = 15)
+    """,
+)
+def filter_by_period_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gofast_spark.operators import filter_by_period
+
+    e = _t(spark, sf_dir, "events")
+    return filter_by_period(e, "ts", ["2024-01-05", "2024-01-15"]).select(
+        "event_id", "event_type", "value"
+    )
+
+
+@query(
+    "pop_labels_select_features",
+    oracle="""
+    SELECT p_partkey, p_brand, p_size FROM part
+    WHERE p_brand NOT IN ('Brand#11', 'Brand#22') OR p_brand IS NULL
+    """,
+)
+def pop_labels_select_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gofast_spark.operators import pop_labels_in, select_features
+
+    p = _t(spark, sf_dir, "part")
+    out = pop_labels_in(p, "p_brand", ["Brand#11", "Brand#22"])
+    return select_features(out, ["p_partkey", "p_brand", "p_size"])
+
+
+@query(
+    "merge_datasets_orders_customer",
+    oracle="""
+    SELECT o_orderkey, c_custkey, c_mktsegment, o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def merge_datasets_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gofast_spark.operators import merge_datasets
+
+    o = _t(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "c_custkey")
+    c = _t(spark, sf_dir, "customer")
+    out = merge_datasets(o, c, on="c_custkey", how="inner")
+    return out.select("o_orderkey", "c_custkey", "c_mktsegment", "o_totalprice")
+
+
+@query(
+    "pair_data_rounded_acctbal",
+    oracle="""
+    SELECT round(s.s_acctbal, 0) AS acctbal_bucket,
+           count(*) AS n_pairs,
+           CAST(min(s.s_suppkey) AS BIGINT) AS min_suppkey,
+           CAST(min(c.c_custkey) AS BIGINT) AS min_custkey
+    FROM supplier s JOIN customer c ON round(s.s_acctbal, 0) = round(c.c_acctbal, 0)
+    GROUP BY 1
+    """,
+)
+def pair_data_rounded_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance equi-join via rounded keys (pair_data,
+    gofast/utils/data_utils.py:3355)."""
+    from gofast_spark.operators import pair_data
+
+    s = _t(spark, sf_dir, "supplier").withColumnRenamed("s_acctbal", "acctbal")
+    c = _t(spark, sf_dir, "customer").withColumnRenamed("c_acctbal", "acctbal")
+    paired = pair_data(s, c, on="acctbal", decimals=0)
+    return (
+        paired.groupBy(F.round(s["acctbal"], 0).alias("acctbal_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("s_suppkey").alias("min_suppkey"),
+            F.min("c_custkey").alias("min_custkey"),
+        )
+    )
+
+
+@query(
+    "nearest_join_acctbal",
+    oracle="""
+    SELECT s_suppkey, c_custkey,
+           CAST(round(dist, 4) AS DOUBLE) AS dist
+    FROM (
+      SELECT s.s_suppkey, c.c_custkey, abs(s.s_acctbal - c.c_acctbal) AS dist,
+             row_number() OVER (
+               PARTITION BY s.s_suppkey
+               ORDER BY abs(s.s_acctbal - c.c_acctbal), c.c_custkey) AS rn
+      FROM supplier s JOIN customer c ON abs(s.s_acctbal - c.c_acctbal) <= 1.0
+    ) WHERE rn = 1
+    """,
+)
+def nearest_join_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-match join (dual_merge find_closest,
+    gofast/utils/spatial_utils.py:2318) via band-bucketed range join."""
+    from gofast_spark.operators import nearest_join
+
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    out = nearest_join(
+        s, c, "s_acctbal", "c_acctbal", threshold=1.0, tiebreak="c_custkey"
+    )
+    return out.select(
+        "s_suppkey",
+        "c_custkey",
+        F.round(F.abs(F.col("s_acctbal") - F.col("c_acctbal")), 4)
+        .cast("double")
+        .alias("dist"),
+    )
+
+
+@query(
+    "group_and_aggregate_events",
+    oracle="""
+    SELECT event_type,
+           CAST(round(sum(value), 2) AS DOUBLE) AS value_sum,
+           CAST(round(avg(value), 4) AS DOUBLE) AS value_mean,
+           count(value) AS value_count,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS user_id_nunique
+    FROM events GROUP BY event_type
+    """,
+)
+def group_and_aggregate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gofast_spark.operators import group_and_aggregate
+
+    e = _t(spark, sf_dir, "events")
+    out = group_and_aggregate(
+        e, "event_type", {"value": ["sum", "mean", "count"], "user_id": "nunique"}
+    )
+    return out.select(
+        "event_type",
+        F.round("value_sum", 2).cast("double").alias("value_sum"),
+        F.round("value_mean", 4).cast("double").alias("value_mean"),
+        "value_count",
+        "user_id_nunique",
+    )
+
+
+@query(
+    "smart_group_having",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS o_totalprice_sum,
+           count(o_orderkey) AS o_orderkey_count
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    HAVING count(o_orderkey) > 100
+    ORDER BY o_totalprice_sum DESC
+    """,
+)
+def smart_group_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gofast_spark.operators import merge_frames, smart_group
+
+    o = _t(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "c_custkey")
+    c = _t(spark, sf_dir, "customer")
+    j = merge_frames([o, c], on="c_custkey")
+    out = smart_group(
+        j,
+        "c_mktsegment",
+        {"o_totalprice": "sum", "o_orderkey": "count"},
+        having={"o_orderkey_count": (">", 100)},
+        sort_by="o_totalprice_sum",
+        ascending=False,
+    )
+    return out.select(
+        "c_mktsegment",
+        F.round("o_totalprice_sum", 2).cast("double").alias("o_totalprice_sum"),
+        "o_orderkey_count",
+    )
+
+
+@query(
+    "binning_statistic_median",
+    oracle="""
+    SELECT p_brand,
+           CAST(round(quantile_cont(p_retailprice, 0.5), 4) AS DOUBLE) AS p_retailprice_median
+    FROM part GROUP BY p_brand
+    """,
+)
+def binning_statistic_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gofast_spark.operators import binning_statistic
+
+    p = _t(spark, sf_dir, "part")
+    out = binning_statistic(p, "p_brand", "p_retailprice", "median")
+    return out.select(
+        "p_brand",
+        F.round("p_retailprice_median", 4).cast("double").alias("p_retailprice_median"),
+    )
+
+
+@query(
+    "category_count_orders",
+    oracle="""
+    SELECT 'o_orderstatus' AS column, o_orderstatus AS value, count(*) AS count
+    FROM orders GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'o_orderpriority' AS column, o_orderpriority AS value, count(*) AS count
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def category_count_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gofast_spark.operators import category_count
+
+    o = _t(spark, sf_dir, "orders")
+    return category_count(o, ["o_orderstatus", "o_orderpriority"])
+
+
+@query(
+    "check_unique_values_customer",
+    oracle="""
+    SELECT 'c_custkey' AS column, CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_unique,
+           CAST(count(DISTINCT c_custkey) AS DOUBLE) / count(*) AS unique_ratio FROM customer
+    UNION ALL
+    SELECT 'c_mktsegment', CAST(count(DISTINCT c_mktsegment) AS BIGINT),
+           CAST(count(DISTINCT c_mktsegment) AS DOUBLE) / count(*) FROM customer
+    UNION ALL
+    SELECT 'c_nationkey', CAST(count(DISTINCT c_nationkey) AS BIGINT),
+           CAST(count(DISTINCT c_nationkey) AS DOUBLE) / count(*) FROM customer
+    """,
+)
+def check_unique_values_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gofast_spark.operators import check_unique_values
+
+    c = _t(spark, sf_dir, "customer")
+    return check_unique_values(c, ["c_custkey", "c_mktsegment", "c_nationkey"])
+
+
+@query(
+    "cumulative_revenue_by_day",
+    oracle="""
+    SELECT ship_date,
+           CAST(round(sum(day_rev) OVER (ORDER BY ship_date
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+             AS day_rev_cumsum
+    FROM (
+      SELECT CAST(l_shipdate AS DATE) AS ship_date,
+             sum(l_extendedprice * (1 - l_discount)) AS day_rev
+      FROM lineitem GROUP BY 1
+    )
+    """,
+)
+def cumulative_revenue_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gofast_spark.operators import cumulative_ops
+
+    li = _t(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.col("l_shipdate").cast("date").alias("ship_date")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("day_rev")
+    )
+    out = cumulative_ops(daily, "day_rev", order_by="ship_date", op="cumsum")
+    return out.select(
+        "ship_date", F.round("day_rev_cumsum", 2).cast("double").alias("day_rev_cumsum")
+    )
+
+
+@query(
+    "to_wide_orders_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS "F",
+           CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS "O",
+           CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS "P"
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def to_wide_orders_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gofast_spark.operators import to_wide
+
+    o = _t(spark, sf_dir, "orders")
+    out = to_wide(
+        o, "o_orderpriority", "o_orderstatus", "o_orderkey",
+        aggfunc="count", values=["F", "O", "P"],
+    )
+    return out.select(
+        "o_orderpriority",
+        F.coalesce("F", F.lit(0)).alias("F"),
+        F.coalesce("O", F.lit(0)).alias("O"),
+        F.coalesce("P", F.lit(0)).alias("P"),
+    )
+
+
+@query(
+    "to_long_part_melt",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS variable, CAST(p_size AS DOUBLE) AS value FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice', p_retailprice FROM part
+    """,
+)
+def to_long_part_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gofast_spark.operators import to_long
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_size").cast("double").alias("p_size"), "p_retailprice"
+    )
+    return to_long(p, "p_partkey", ["p_size", "p_retailprice"])
+
+
+@query(
+    "concat_frames_union",
+    oracle="""
+    SELECT event_id, event_type, value, NULL AS user_id FROM events WHERE event_type = 'purchase'
+    UNION ALL
+    SELECT event_id, event_type, NULL AS value, user_id FROM events WHERE event_type = 'signup'
+    """,
+)
+def concat_frames_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gofast_spark.operators import concat_frames
+
+    e = _t(spark, sf_dir, "events")
+    a = e.where(F.col("event_type") == "purchase").select("event_id", "event_type", "value")
+    b = e.where(F.col("event_type") == "signup").select("event_id", "event_type", "user_id")
+    return concat_frames([a, b], axis=0)
+
+
+@query(
+    "set_ops_nationkeys",
+    oracle="""
+    SELECT 'intersection' AS op, CAST(n AS INTEGER) AS nationkey FROM (
+      SELECT c_nationkey AS n FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'only_customers', CAST(n AS INTEGER) FROM (
+      SELECT DISTINCT c_nationkey AS n FROM customer
+      EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+    """,
+)
+def set_ops_nationkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gofast_spark.operators import find_intersection, find_unique_elements
+
+    c = _t(spark, sf_dir, "customer").withColumnRenamed("c_nationkey", "nationkey")
+    s = _t(spark, sf_dir, "supplier").withColumnRenamed("s_nationkey", "nationkey")
+    inter = find_intersection(c, s, "nationkey").select(
+        F.lit("intersection").alias("op"), F.col("nationkey")
+    )
+    only = find_unique_elements(c, s, "nationkey").select(
+        F.lit("only_customers").alias("op"), F.col("nationkey")
+    )
+    return inter.unionByName(only)
+
+
+@query(
+    "dedup_exact_distinct",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus, l_shipmode FROM (
+      SELECT l_returnflag, l_linestatus,
+             CASE WHEN l_quantity > 25 THEN 'BULK' ELSE 'SMALL' END AS l_shipmode
+      FROM lineitem)
+    """,
+)
+def dedup_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.when(F.col("l_quantity") > 25, "BULK").otherwise("SMALL").alias("l_shipmode"),
+    )
+    return li.dropDuplicates()
+
+
+@query(
+    "handle_duplicates_mark",
+    oracle="""
+    SELECT o_custkey, o_orderstatus, o_orderpriority, n_dups
+    FROM (
+      SELECT o_custkey, o_orderstatus, o_orderpriority,
+             count(*) OVER (PARTITION BY o_custkey, o_orderstatus, o_orderpriority) AS n_dups
+      FROM orders)
+    WHERE n_dups > 1
+    """,
+)
+def handle_duplicates_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate marking (handle_duplicates, gofast/dataops/quality.py:4677):
+    windowed count over the full key set, keep the duplicated rows."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderstatus", "o_orderpriority")
+    w = Window.partitionBy("o_custkey", "o_orderstatus", "o_orderpriority")
+    return o.withColumn("n_dups", F.count(F.lit(1)).over(w)).where(F.col("n_dups") > 1)
+
+
+@query(
+    "hash_split_test_counts",
+    oracle="""
+    SELECT event_type, count(*) AS n_test
+    FROM events
+    WHERE ((user_id + 0) * 1103515245 + 12345) % 2147483648 % 100 < 20
+    GROUP BY event_type
+    """,
+)
+def hash_split_test_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-of-id split (split_train_test_by_id,
+    gofast/core/array_manager.py:2356) — engine-portable LCG bucket."""
+    from gofast_spark.operators import split_train_test_by_id
+
+    e = _t(spark, sf_dir, "events")
+    _train, test = split_train_test_by_id(e, "user_id", test_ratio=0.2)
+    return test.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_test"))
+
+
+@query(
+    "lag_diff_daily_revenue",
+    oracle="""
+    SELECT ship_date,
+           CAST(round(day_rev - lag(day_rev, 1) OVER (ORDER BY ship_date), 2) AS DOUBLE) AS rev_diff,
+           CAST(round(lag(day_rev, 7) OVER (ORDER BY ship_date), 2) AS DOUBLE) AS rev_lag_7
+    FROM (
+      SELECT CAST(l_shipdate AS DATE) AS ship_date,
+             sum(l_extendedprice) AS day_rev
+      FROM lineitem GROUP BY 1)
+    """,
+)
+def lag_diff_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gofast_spark.operators import create_lag_features, differencing
+
+    li = _t(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.col("l_shipdate").cast("date").alias("ship_date")).agg(
+        F.sum("l_extendedprice").alias("day_rev")
+    )
+    out = create_lag_features(daily, "day_rev", [7], order_by="ship_date")
+    out = differencing(out, "day_rev", order_by="ship_date", out_col="rev_diff")
+    return out.select(
+        "ship_date",
+        F.round("rev_diff", 2).cast("double").alias("rev_diff"),
+        F.round("day_rev_lag_7", 2).cast("double").alias("rev_lag_7"),
+    )
+
+
+@query(
+    "moving_average_revenue",
+    oracle="""
+    SELECT ship_date,
+           CASE WHEN count(day_rev) OVER w >= 7
+                THEN CAST(round(avg(day_rev) OVER w, 4) AS DOUBLE) END AS rev_ma_7
+    FROM (
+      SELECT CAST(l_shipdate AS DATE) AS ship_date, sum(l_extendedprice) AS day_rev
+      FROM lineitem GROUP BY 1)
+    WINDOW w AS (ORDER BY ship_date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def moving_average_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gofast_spark.operators import moving_average
+
+    li = _t(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.col("l_shipdate").cast("date").alias("ship_date")).agg(
+        F.sum("l_extendedprice").alias("day_rev")
+    )
+    out = moving_average(daily, "day_rev", 7, order_by="ship_date", out_col="rev_ma_7")
+    return out.select(
+        "ship_date", F.round("rev_ma_7", 4).cast("double").alias("rev_ma_7")
+    )
+
+
+@query(
+    "rank_suppliers_in_nation",
+    oracle="""
+    SELECT s_suppkey, s_nationkey,
+           CAST(rank() OVER w AS DOUBLE) AS s_acctbal_rank,
+           CAST(dense_rank() OVER w AS DOUBLE) AS s_acctbal_dense
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC)
+    """,
+)
+def rank_suppliers_in_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gofast_spark.operators import rank_data
+
+    s = _t(spark, sf_dir, "supplier")
+    out = rank_data(
+        s, "s_acctbal", method="min", ascending=False, partition_by="s_nationkey"
+    )
+    out = rank_data(
+        out, "s_acctbal", method="dense", ascending=False,
+        partition_by="s_nationkey", out_col="s_acctbal_dense",
+    )
+    return out.select("s_suppkey", "s_nationkey", "s_acctbal_rank", "s_acctbal_dense")
+
+
+@query(
+    "ffill_event_values",
+    oracle="""
+    SELECT event_id,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+    FROM (
+      SELECT event_id, user_id, ts,
+             CASE WHEN value < 50 THEN NULL ELSE value END AS v
+      FROM events)
+    """,
+)
+def ffill_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gofast_spark.operators import fill_forward
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("value") < 50, None).otherwise(F.col("value")).alias("v"),
+    )
+    out = fill_forward(
+        e, "v", order_by=["ts", "event_id"], partition_by="user_id", out_col="v_filled"
+    )
+    return out.select("event_id", "v_filled")
