@@ -1,0 +1,25 @@
+"""Data-quality suite (SURVEY §2.8): missing data, duplicates, outliers,
+skew, scaling, and the composite audit — each a lazy transform, with
+report side-channels computed as aggregations."""
+
+from gofast_spark.quality.missing import drop_nan_in, handle_missing_data, nan_ops
+from gofast_spark.quality.duplicates import handle_duplicates, handle_unique_identifiers
+from gofast_spark.quality.outliers import handle_outliers_in
+from gofast_spark.quality.scaling import minmax_scale, standard_scale, z_scores
+from gofast_spark.quality.skew import handle_skew
+from gofast_spark.quality.audit import audit_data, verify_data_integrity
+
+__all__ = [
+    "handle_missing_data",
+    "nan_ops",
+    "drop_nan_in",
+    "handle_duplicates",
+    "handle_unique_identifiers",
+    "handle_outliers_in",
+    "minmax_scale",
+    "standard_scale",
+    "z_scores",
+    "handle_skew",
+    "audit_data",
+    "verify_data_integrity",
+]

@@ -1,0 +1,90 @@
+"""Composite quality ops with report side-channels (SURVEY §2.8, §3.3).
+
+The reference's ``audit_data`` (gofast/dataops/quality.py:98-325) chains
+outliers -> missing -> dates -> scaling -> categorical eagerly, returning
+``(df, report)``.  Here each stage composes into ONE lazy plan; the report
+is computed from the same aggregation pass that fits the stage statistics
+(SURVEY §7.3.3), so the whole audit is two Spark jobs (fit + optional
+report), not five materializations.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gofast_spark.quality.missing import _is_missing, handle_missing_data
+from gofast_spark.quality.outliers import handle_outliers_in
+from gofast_spark.quality.scaling import minmax_scale
+
+
+def verify_data_integrity(df: DataFrame) -> DataFrame:
+    """Integrity report: missing / distinct / outlier counts per numeric col.
+
+    Reference: ``verify_data_integrity`` (gofast/dataops/inspection.py:28)
+    returns (is_ok, report frame).  One aggregation pass computes null
+    counts and IQR bounds; a second counts out-of-bound rows.  Output:
+    (column, n_missing, missing_ratio, n_distinct, n_outliers).
+    """
+    num = [c for c, t in df.dtypes if t in ("double", "float", "int", "bigint")]
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in num:
+        aggs += [
+            F.sum(_is_missing(df, c).cast("bigint")).alias(f"__m_{c}"),
+            F.countDistinct(F.col(c)).alias(f"__d_{c}"),
+            F.percentile(F.col(c), 0.25).alias(f"__q1_{c}"),
+            F.percentile(F.col(c), 0.75).alias(f"__q3_{c}"),
+        ]
+    row = df.agg(*aggs).first()
+    out_aggs = []
+    for c in num:
+        q1, q3 = row[f"__q1_{c}"], row[f"__q3_{c}"]
+        if q1 is None:
+            out_aggs.append(F.lit(0).cast("bigint").alias(c))
+            continue
+        iqr = q3 - q1
+        lo, hi = q1 - 1.5 * iqr, q3 + 1.5 * iqr
+        out_aggs.append(
+            F.sum(((F.col(c) < lo) | (F.col(c) > hi)).cast("bigint")).alias(c)
+        )
+    outs = df.agg(*out_aggs).first()
+    spark = df.sparkSession
+    rows = [
+        (
+            c,
+            int(row[f"__m_{c}"]),
+            float(row[f"__m_{c}"]) / (row["__n"] or 1),
+            int(row[f"__d_{c}"]),
+            int(outs[c] or 0),
+        )
+        for c in num
+    ]
+    return spark.createDataFrame(
+        rows, "column string, n_missing bigint, missing_ratio double, n_distinct bigint, n_outliers bigint"
+    )
+
+
+def audit_data(
+    df: DataFrame,
+    *,
+    handle_outliers: bool = True,
+    handle_missing: bool = True,
+    handle_scaling: bool = True,
+    columns: Sequence[str] | None = None,
+) -> DataFrame:
+    """Composite cleanup: outlier clip -> missing fill -> minmax scale.
+
+    Reference: ``audit_data`` (gofast/dataops/quality.py:98-325); stage
+    order preserved for parity (SURVEY §7.3.5).
+    """
+    num = columns or [c for c, t in df.dtypes if t in ("double", "float")]
+    out = df
+    if handle_outliers:
+        out = handle_outliers_in(out, num, method="iqr", action="clip")
+    if handle_missing:
+        out = handle_missing_data(out, "fill_mean", columns=num)
+    if handle_scaling:
+        out = minmax_scale(out, num)
+    return out

@@ -1,0 +1,62 @@
+"""Duplicate handling (SURVEY §2.8)."""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def handle_duplicates(
+    df: DataFrame,
+    operation: str = "drop",
+    *,
+    subset: Sequence[str] | None = None,
+) -> DataFrame:
+    """Return / mark / drop duplicate rows.
+
+    Reference: ``handle_duplicates`` (gofast/dataops/quality.py:4677).
+
+    - ``drop``: ``dropDuplicates`` (hash-aggregate; map-side partial dedup
+      before the shuffle, so it scales to the full table).
+    - ``mark``: windowed count over the key columns — adds ``is_duplicate``.
+    - ``return``: only the rows that have at least one duplicate.
+    """
+    keys = list(subset) if subset else list(df.columns)
+    if operation == "drop":
+        return df.dropDuplicates(keys)
+    w = Window.partitionBy(*keys)
+    marked = df.withColumn("__n", F.count(F.lit(1)).over(w))
+    if operation == "mark":
+        return marked.withColumn("is_duplicate", F.col("__n") > 1).drop("__n")
+    if operation == "return":
+        return marked.where(F.col("__n") > 1).drop("__n")
+    raise ValueError(f"unsupported operation {operation!r}")
+
+
+def handle_unique_identifiers(
+    df: DataFrame,
+    *,
+    threshold: float = 0.95,
+    action: str = "drop",
+    approx: bool = True,
+) -> DataFrame:
+    """Drop columns whose uniqueness ratio exceeds ``threshold``.
+
+    Reference: ``handle_unique_identifiers`` (gofast/dataops/management.py:41).
+
+    Scale note: uses HyperLogLog ``approx_count_distinct`` by default — an
+    ID-like column is ID-like whether the ratio is 0.95 or 0.9503; the
+    exact path exists for parity testing.
+    """
+    fn = F.approx_count_distinct if approx else F.countDistinct
+    aggs = [F.count(F.lit(1)).alias("__n")] + [
+        fn(F.col(c)).alias(c) for c in df.columns
+    ]
+    row = df.agg(*aggs).first()
+    n = row["__n"] or 1
+    idlike = [c for c in df.columns if (row[c] or 0) / n > threshold]
+    if action == "drop":
+        return df.drop(*idlike)
+    raise ValueError(f"unsupported action {action!r}")

@@ -1,0 +1,108 @@
+"""Outlier handling (SURVEY §2.8) — two-pass Estimator pattern:
+pass 1 computes bounds (quantiles / mean+std) as one aggregation,
+pass 2 applies clip/remove/replace lazily (SURVEY §4.2.3)."""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _bounds(
+    df: DataFrame,
+    columns: Sequence[str],
+    method: str,
+    factor: float,
+    quantiles: tuple[float, float],
+    exact: bool,
+) -> dict[str, tuple[float, float]]:
+    """One aggregation pass -> {col: (lo, hi)}."""
+    aggs = []
+    qlo, qhi = quantiles
+    for c in columns:
+        if method == "iqr":
+            pf = F.percentile if exact else F.percentile_approx
+            aggs += [
+                pf(F.col(c), 0.25).alias(f"__q1_{c}"),
+                pf(F.col(c), 0.75).alias(f"__q3_{c}"),
+            ]
+        elif method == "zscore":
+            aggs += [F.avg(c).alias(f"__mu_{c}"), F.stddev_samp(c).alias(f"__sd_{c}")]
+        elif method == "winsorize":
+            pf = F.percentile if exact else F.percentile_approx
+            aggs += [
+                pf(F.col(c), qlo).alias(f"__lo_{c}"),
+                pf(F.col(c), qhi).alias(f"__hi_{c}"),
+            ]
+        else:
+            raise ValueError(f"unsupported method {method!r}")
+    row = df.agg(*aggs).first()
+    out = {}
+    for c in columns:
+        if method == "iqr":
+            q1, q3 = row[f"__q1_{c}"], row[f"__q3_{c}"]
+            iqr = q3 - q1
+            out[c] = (q1 - factor * iqr, q3 + factor * iqr)
+        elif method == "zscore":
+            mu, sd = row[f"__mu_{c}"], row[f"__sd_{c}"] or 0.0
+            out[c] = (mu - factor * sd, mu + factor * sd)
+        else:
+            out[c] = (row[f"__lo_{c}"], row[f"__hi_{c}"])
+    return out
+
+
+def handle_outliers_in(
+    df: DataFrame,
+    columns: Sequence[str],
+    *,
+    method: str = "iqr",
+    action: str = "clip",
+    factor: float = 1.5,
+    quantiles: tuple[float, float] = (0.01, 0.99),
+    exact: bool = True,
+) -> DataFrame:
+    """Clip (winsorize) / remove / replace outliers.
+
+    Reference: ``handle_outliers_in`` (gofast/dataops/quality.py:615),
+    ``OutlierHandler`` strategies IQR/z-score/winsorize
+    (gofast/transformers/feature_engineering.py:78,
+    gofast/utils/base_utils.py:566).
+
+    ``exact=True`` uses exact percentiles for oracle parity (the reference
+    uses exact numpy quantiles); flip to approx for the 100 TB path
+    (SURVEY §7.3.7).
+    """
+    bounds = _bounds(df, columns, method, factor, quantiles, exact)
+    out = df
+    if action == "clip":
+        for c, (lo, hi) in bounds.items():
+            col = F.col(c)
+            out = out.withColumn(
+                c,
+                F.when(col < lo, F.lit(lo))
+                .when(col > hi, F.lit(hi))
+                .otherwise(col),
+            )
+        return out
+    if action == "remove":
+        cond = None
+        for c, (lo, hi) in bounds.items():
+            ok = (F.col(c) >= lo) & (F.col(c) <= hi) | F.col(c).isNull()
+            cond = ok if cond is None else (cond & ok)
+        return out.where(cond)
+    if action in ("replace_mean", "replace_median"):
+        fn = (
+            (lambda c: F.avg(c))
+            if action == "replace_mean"
+            else (lambda c: F.percentile(c, 0.5))
+        )
+        stats = df.agg(*[fn(F.col(c)).alias(c) for c in columns]).first()
+        for c, (lo, hi) in bounds.items():
+            col = F.col(c)
+            out = out.withColumn(
+                c, F.when((col < lo) | (col > hi), F.lit(stats[c])).otherwise(col)
+            )
+        return out
+    raise ValueError(f"unsupported action {action!r}")

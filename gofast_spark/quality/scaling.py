@@ -1,0 +1,61 @@
+"""Scaling / standardization (SURVEY §2.9 math/scaling).
+
+Reference: ``rescale_data``/``standard_scaler``/``minmax_scaler``
+(gofast/utils/mathext.py:1443, 4515, 4566), ``scale_data``
+(gofast/dataops/quality.py:502), ``z_scores``
+(gofast/stats/descriptive.py:2356).
+
+All are the two-pass Estimator pattern: one aggregation computes the
+statistics for every column at once, then a single lazy projection applies
+them — no per-column jobs, no Python in the transform.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def minmax_scale(
+    df: DataFrame,
+    columns: Sequence[str],
+    *,
+    feature_range: tuple[float, float] = (0.0, 1.0),
+    suffix: str = "",
+) -> DataFrame:
+    lo, hi = feature_range
+    stats = df.agg(
+        *[F.min(c).alias(f"__mn_{c}") for c in columns],
+        *[F.max(c).alias(f"__mx_{c}") for c in columns],
+    ).first()
+    out = df
+    for c in columns:
+        mn, mx = stats[f"__mn_{c}"], stats[f"__mx_{c}"]
+        span = (mx - mn) or 1.0
+        out = out.withColumn(
+            f"{c}{suffix}", (F.col(c) - mn) / span * (hi - lo) + lo
+        )
+    return out
+
+
+def standard_scale(
+    df: DataFrame, columns: Sequence[str], *, ddof: int = 1, suffix: str = ""
+) -> DataFrame:
+    sd = F.stddev_samp if ddof == 1 else F.stddev_pop
+    stats = df.agg(
+        *[F.avg(c).alias(f"__mu_{c}") for c in columns],
+        *[sd(c).alias(f"__sd_{c}") for c in columns],
+    ).first()
+    out = df
+    for c in columns:
+        mu, s = stats[f"__mu_{c}"], stats[f"__sd_{c}"] or 1.0
+        out = out.withColumn(f"{c}{suffix}", (F.col(c) - mu) / (s if s else 1.0))
+    return out
+
+
+def z_scores(df: DataFrame, columns: Sequence[str], *, suffix: str = "_z") -> DataFrame:
+    """Per-column z-scores as new columns (population std to match the
+    reference's scipy zscore default, gofast/stats/descriptive.py:2356)."""
+    return standard_scale(df, columns, ddof=0, suffix=suffix)

@@ -1,0 +1,153 @@
+"""Descriptive statistics (SURVEY §2.4 descriptive row, §2.10).
+
+Reference: gofast/stats/descriptive.py — mean:1580, median:1436, mode:664,
+var:780, std:923, quartiles:1084, quantile:1232, iqr:1781, get_range:2069,
+hmean:1916, wmedian:517, skew:251, kurtosis:390, gini_coeffs:51,
+z_scores:2356, corr:177, describe:2224.
+
+Everything is a Spark aggregation or window expression; nothing leaves the
+JVM.  Exact percentiles by default for oracle parity; callers pass
+``exact=False`` for the sketch-based scale path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def describe(df: DataFrame, columns: Sequence[str], *, exact: bool = True) -> DataFrame:
+    """count/mean/std/min/q1/median/q3/max per column, one row per column.
+
+    Reference: ``describe`` (gofast/stats/descriptive.py:2224) — pandas
+    ``df.describe()`` semantics.
+    """
+    pf = F.percentile if exact else F.percentile_approx
+    aggs = []
+    for c in columns:
+        col = F.col(c)
+        aggs += [
+            F.count(col).alias(f"__count_{c}"),
+            F.avg(col).alias(f"__mean_{c}"),
+            F.stddev_samp(col).alias(f"__std_{c}"),
+            F.min(col).alias(f"__min_{c}"),
+            pf(col, 0.25).alias(f"__q1_{c}"),
+            pf(col, 0.5).alias(f"__med_{c}"),
+            pf(col, 0.75).alias(f"__q3_{c}"),
+            F.max(col).alias(f"__max_{c}"),
+        ]
+    row = df.agg(*aggs)
+    stacked = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"__count_{c}").cast("bigint").alias("count"),
+            F.col(f"__mean_{c}").cast("double").alias("mean"),
+            F.col(f"__std_{c}").cast("double").alias("std"),
+            F.col(f"__min_{c}").cast("double").alias("min"),
+            F.col(f"__q1_{c}").cast("double").alias("q1"),
+            F.col(f"__med_{c}").cast("double").alias("median"),
+            F.col(f"__q3_{c}").cast("double").alias("q3"),
+            F.col(f"__max_{c}").cast("double").alias("max"),
+        )
+        for c in columns
+    ]
+    return row.select(F.explode(F.array(*stacked)).alias("s")).select("s.*")
+
+
+def quartiles(df: DataFrame, column: str, *, exact: bool = True) -> DataFrame:
+    pf = F.percentile if exact else F.percentile_approx
+    c = F.col(column)
+    return df.agg(
+        pf(c, 0.25).alias("q1"), pf(c, 0.5).alias("q2"), pf(c, 0.75).alias("q3")
+    )
+
+
+def iqr(df: DataFrame, column: str, *, exact: bool = True) -> DataFrame:
+    pf = F.percentile if exact else F.percentile_approx
+    c = F.col(column)
+    return df.agg((pf(c, 0.75) - pf(c, 0.25)).alias("iqr"))
+
+
+def get_range(df: DataFrame, column: str) -> DataFrame:
+    c = F.col(column)
+    return df.agg((F.max(c) - F.min(c)).alias("range"))
+
+
+def hmean(df: DataFrame, column: str) -> DataFrame:
+    """Harmonic mean: n / sum(1/x) (gofast/stats/descriptive.py:1916)."""
+    c = F.col(column)
+    return df.agg((F.count(c) / F.sum(F.lit(1.0) / c)).alias("hmean"))
+
+
+def mode_of(df: DataFrame, column: str) -> DataFrame:
+    """Most frequent value; ties broken by smallest value (deterministic).
+
+    Reference: ``mode`` (gofast/stats/descriptive.py:664).
+    """
+    counts = df.groupBy(column).agg(F.count(F.lit(1)).alias("__n"))
+    w = Window.orderBy(F.col("__n").desc(), F.col(column).asc())
+    return (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(F.col(column).alias("mode"))
+    )
+
+
+def gini_coeff(df: DataFrame, column: str) -> DataFrame:
+    """Gini coefficient via the sorted-rank identity:
+    G = (2 * sum(i * x_i) / (n * sum(x)) - (n + 1) / n), x sorted ascending.
+
+    Reference: ``gini_coeffs`` (gofast/stats/descriptive.py:51).  One sort
+    (window rank) + one aggregation — no driver collect.
+    """
+    c = F.col(column)
+    w = Window.orderBy(c.asc(), F.monotonically_increasing_id())
+    ranked = df.where(c.isNotNull()).withColumn("__i", F.row_number().over(w))
+    return ranked.agg(
+        (
+            F.lit(2.0) * F.sum(F.col("__i") * c) / (F.count(c) * F.sum(c))
+            - (F.count(c) + F.lit(1.0)) / F.count(c)
+        ).alias("gini")
+    )
+
+
+def weighted_median(df: DataFrame, value_col: str, weight_col: str) -> DataFrame:
+    """Weighted median via cumulative-weight window.
+
+    Reference: ``wmedian`` (gofast/stats/descriptive.py:517).  The first
+    value whose running weight reaches half the total weight.
+    """
+    v, wt = F.col(value_col), F.col(weight_col)
+    cum = Window.orderBy(v.asc()).rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    cdf = df.select(
+        v.alias("v"),
+        (F.sum(wt).over(cum) / F.sum(wt).over(tot)).alias("__cw"),
+    )
+    return (
+        cdf.where(F.col("__cw") >= 0.5)
+        .agg(F.min("v").alias("weighted_median"))
+    )
+
+
+def corr_matrix(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """Pairwise Pearson correlations, long form (col_a, col_b, corr).
+
+    Reference: ``analyze_data_corr`` (gofast/dataops/quality.py:1863),
+    ``corr`` (gofast/stats/descriptive.py:177).  All pairs in ONE
+    aggregation pass — n*(n-1)/2 corr aggregates, a single job.
+    """
+    pairs = [(a, b) for i, a in enumerate(columns) for b in columns[i + 1 :]]
+    aggs = [F.corr(a, b).alias(f"{a}__{b}") for a, b in pairs]
+    row = df.agg(*aggs)
+    stacked = [
+        F.struct(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            F.col(f"{a}__{b}").alias("corr"),
+        )
+        for a, b in pairs
+    ]
+    return row.select(F.explode(F.array(*stacked)).alias("s")).select("s.*")
