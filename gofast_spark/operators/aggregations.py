@@ -176,8 +176,9 @@ def cumulative_ops(
     Reference: ``cumulative_ops`` (gofast/stats/utils.py:236) — pandas
     cumsum/cumprod from the row index.  Spark has no row index (SURVEY
     §7.3.1), so ``order_by`` is mandatory and ``partition_by`` bounds the
-    window state per group.  cumprod is exp(sum(log)) with sign handling
-    left to the caller (documented); use ``cumsum`` for the exact path.
+    window state per group.  cumprod is exp(sum(log|v|)) with explicit
+    zero tracking (any zero so far -> 0.0) and sign tracking (parity of
+    negatives so far); use ``cumsum`` for the exact path.
     """
     order = [order_by] if isinstance(order_by, str) else list(order_by)
     w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -192,7 +193,11 @@ def cumulative_ops(
     if op == "cumsum":
         expr = F.sum(v).over(w)
     elif op == "cumprod":
-        expr = F.exp(F.sum(F.log(F.abs(v))).over(w))
+        n_zero = F.sum((v == 0).cast("int")).over(w)
+        n_neg = F.sum((v < 0).cast("int")).over(w)
+        mag = F.exp(F.sum(F.log(F.abs(v))).over(w))
+        sign = F.when(F.pmod(n_neg, F.lit(2)) == 1, F.lit(-1.0)).otherwise(F.lit(1.0))
+        expr = F.when(n_zero > 0, F.lit(0.0)).otherwise(mag * sign)
     elif op == "cummax":
         expr = F.max(v).over(w)
     elif op == "cummin":

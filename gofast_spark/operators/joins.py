@@ -57,22 +57,29 @@ def pair_data(
     *,
     decimals: int = 7,
     how: str = "inner",
+    suffix: str = "_right",
 ) -> DataFrame:
     """Tolerance equi-join: keys rounded to ``decimals`` before equality.
 
     Reference: ``pair_data`` (gofast/utils/data_utils.py:3355) pairs frames
     on coordinates rounded to 7 decimals.  We join on ``round(col, d)``
     derived keys — still a hash-partitionable equi-join, so it scales like
-    any other join (no cross product).
+    any other join (no cross product).  Right-side columns whose names
+    collide with left-side names are suffixed (pandas ``suffixes``
+    behavior) so the output has unique column names.
     """
     keys = [on] if isinstance(on, str) else list(on)
+    overlap = set(left.columns) & set(right.columns)
     lk = [F.round(left[k], decimals).alias(f"__k_{k}") for k in keys]
     rk = [F.round(right[k], decimals).alias(f"__k_{k}") for k in keys]
     lt = left.select("*", *lk)
     rt = right.select("*", *rk)
     cond = [lt[f"__k_{k}"] == rt[f"__k_{k}"] for k in keys]
     out = lt.join(rt, on=cond, how=how)
-    return out.drop(*[f"__k_{k}" for k in keys])
+    out = out.drop(*[f"__k_{k}" for k in keys])
+    for c in overlap:
+        out = out.withColumn(f"{c}{suffix}", rt[c]).drop(rt[c])
+    return out
 
 
 def nearest_join(
@@ -84,6 +91,7 @@ def nearest_join(
     threshold: float,
     keep: str = "closest",
     tiebreak: str | None = None,
+    left_key: str | Sequence[str] | None = None,
 ) -> DataFrame:
     """Nearest-match join within a distance threshold (1-D).
 
@@ -98,27 +106,45 @@ def nearest_join(
     ``row_number()`` over distance keeps the closest match per left row.
     ``keep='all'`` returns every within-threshold pair.
 
+    ``left_key`` names the per-row identity of the left side for the
+    closest-pick window (narrow shuffle key at scale).  Without it a
+    synthetic row id is generated so genuinely duplicate left rows each
+    keep their own match instead of collapsing into one window partition.
+
     Deterministic: ties broken by ``tiebreak`` column (ascending) when given.
     """
+    row_id = None
+    if keep != "all" and left_key is None:
+        row_id = "__left_rid"
+        left = left.withColumn(row_id, F.monotonically_increasing_id())
     b = F.floor(F.col(left_on) / F.lit(threshold)).alias("__b")
     lt = left.select("*", b)
     offsets = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("__off")
     rt = right.select("*", F.floor(F.col(right_on) / F.lit(threshold)).alias("__rb"), offsets)
     rt = rt.withColumn("__b", F.col("__rb") + F.col("__off")).drop("__rb", "__off")
+    # qualified refs on both sides: left_on == right_on must not be ambiguous
     dist = F.abs(lt[left_on] - rt[right_on])
     joined = lt.join(rt, on="__b", how="inner").where(dist <= threshold)
-    joined = joined.withColumn("__dist", F.abs(F.col(left_on) - F.col(right_on)))
+    joined = joined.withColumn("__dist", dist)
     if keep == "all":
         # each within-threshold pair matches under exactly one bucket offset
         # (|floor(x/t) - floor(y/t)| <= 1), so no dedup pass is needed
         return joined.drop("__b", "__dist")
+    if left_key is not None:
+        part_cols = [left_key] if isinstance(left_key, str) else list(left_key)
+        part = [lt[c] for c in part_cols]
+    else:
+        part = [F.col(row_id)]
     order = [F.col("__dist").asc()]
     if tiebreak:
-        order.append(F.col(tiebreak).asc())
-    w = Window.partitionBy(*[left[c] for c in left.columns]).orderBy(*order)
+        tb = rt[tiebreak] if tiebreak in right.columns else F.col(tiebreak)
+        order.append(tb.asc())
+    w = Window.partitionBy(*part).orderBy(*order)
     out = (
         joined.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
         .drop("__b", "__dist", "__rn")
     )
+    if row_id is not None:
+        out = out.drop(row_id)
     return out

@@ -21,8 +21,15 @@ _LCG_M = 2147483648  # 2**31
 
 
 def hash_bucket(key: Column, *, buckets: int = 100, seed: int = 0) -> Column:
-    """Deterministic pseudo-random bucket of a bigint key (engine-portable)."""
-    return ((key.cast("bigint") + seed) * _LCG_A + _LCG_C) % _LCG_M % buckets
+    """Deterministic pseudo-random bucket of a bigint key (engine-portable).
+
+    ``pmod`` forces a non-negative bucket for negative keys (Spark's ``%``
+    keeps the dividend's sign, which would over-sample negative ids into
+    low buckets).  Portability contract: exact cross-engine agreement holds
+    for keys where ``(key + seed) * A + C`` fits in int64 (|key| < ~8.3e9);
+    beyond that Spark wraps while DuckDB errors on overflow.
+    """
+    return F.pmod((key.cast("bigint") + seed) * _LCG_A + _LCG_C, F.lit(_LCG_M)) % buckets
 
 
 def random_sampling(

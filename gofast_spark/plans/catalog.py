@@ -45,7 +45,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     long nanos (runtime legacy conf) and convert to a micros timestamp —
     matching DuckDB's nanos->micros truncation."""
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # engine policy (see session._LOCAL_DEFAULTS); set here too because
+        # the driver may hand us a session built without our defaults —
+        # guarded so we only touch the conf when it isn't already set.
+        key = "spark.sql.legacy.parquet.nanosAsLong"
+        if spark.conf.get(key, "false") != "true":
+            spark.conf.set(key, "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         return df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
@@ -65,7 +70,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     "flagship_revenue_by_region",
     oracle="""
     SELECT r_name AS region,
-           CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue,
            count(*) AS n_items
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -100,7 +105,14 @@ def flagship_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         joined.groupBy(F.col("r_name").alias("region"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(38,6)"
+                    )
+                ),
+                2,
+            )
             .cast("double")
             .alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
@@ -120,10 +132,10 @@ def flagship_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,
-           CAST(round(sum(l_extendedprice), 2) AS DOUBLE) AS sum_base_price,
-           CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS sum_disc_price,
-           CAST(round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS DOUBLE) AS sum_charge,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_qty,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_charge,
            CAST(round(avg(l_quantity), 4) AS DOUBLE) AS avg_qty,
            CAST(round(avg(l_extendedprice), 4) AS DOUBLE) AS avg_price,
            CAST(round(avg(l_discount), 4) AS DOUBLE) AS avg_disc,
@@ -142,10 +154,18 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).cast("double").alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).cast("double").alias("sum_base_price"),
-            F.round(F.sum(disc), 2).cast("double").alias("sum_disc_price"),
-            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).cast("double").alias("sum_charge"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(38,6)")), 2)
+            .cast("double")
+            .alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(38,6)")), 2)
+            .cast("double")
+            .alias("sum_base_price"),
+            F.round(F.sum(disc.cast("decimal(38,6)")), 2)
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.round(F.sum((disc * (1 + F.col("l_tax"))).cast("decimal(38,6)")), 2)
+            .cast("double")
+            .alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).cast("double").alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).cast("double").alias("avg_price"),
             F.round(F.avg("l_discount"), 4).cast("double").alias("avg_disc"),
@@ -353,7 +373,8 @@ def nearest_join_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier")
     c = _t(spark, sf_dir, "customer")
     out = nearest_join(
-        s, c, "s_acctbal", "c_acctbal", threshold=1.0, tiebreak="c_custkey"
+        s, c, "s_acctbal", "c_acctbal",
+        threshold=1.0, tiebreak="c_custkey", left_key="s_suppkey",
     )
     return out.select(
         "s_suppkey",
@@ -489,17 +510,22 @@ def check_unique_values_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS day_rev_cumsum
     FROM (
       SELECT CAST(l_shipdate AS DATE) AS ship_date,
-             sum(l_extendedprice * (1 - l_discount)) AS day_rev
+             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS day_rev
       FROM lineitem GROUP BY 1
     )
     """,
 )
 def cumulative_revenue_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decimal policy: the per-row revenue is cast to DECIMAL(38,6) before
+    both the daily sum and the running window sum, so summation order can
+    never flip a rounded cent (double-precision cumsums at ~1e9 magnitude
+    straddle the round(…, 2) boundary; decimal addition is exact)."""
     from gofast_spark.operators import cumulative_ops
 
     li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")
     daily = li.groupBy(F.col("l_shipdate").cast("date").alias("ship_date")).agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("day_rev")
+        F.sum(rev).alias("day_rev")
     )
     out = cumulative_ops(daily, "day_rev", order_by="ship_date", op="cumsum")
     return out.select(

@@ -106,11 +106,14 @@ def export_data(df: DataFrame, base_path: str, formats: list[str], **options) ->
     Distributed writers only; each format lands at ``{base_path}.{fmt}/``.
     """
     written = []
+    mode = options.pop("mode", "overwrite")
     for fmt in formats:
         target = f"{base_path}.{fmt}"
-        writer = df.write.mode(options.pop("mode", "overwrite"))
+        writer = df.write.mode(mode)
         if fmt == "csv":
             writer = writer.option("header", "true")
+        if options:
+            writer = writer.options(**{k: str(v) for k, v in options.items()})
         getattr(writer, fmt)(target)
         written.append(target)
     return written
