@@ -1,0 +1,35 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact dedup (hash group-by), MinHash + LSH banded near-dup (bucketed
+candidate generation — never an all-pairs cross join), SimHash, and n-gram
+Jaccard verification.  All hashes are engine-portable integer arithmetic
+(see :mod:`gofast_spark.text.hashing`) so the DuckDB oracle verifies them
+deterministically.
+
+Net-new surface per the builder brief; the reference's closest analog is
+``handle_duplicates`` (gofast/dataops/quality.py:4677), exact-only.
+"""
+
+from gofast_spark.dedup.exact import exact_dedup
+from gofast_spark.dedup.minhash import (
+    MINHASH_COEFFS,
+    MINHASH_P,
+    doc_shingles,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    near_dup_pairs,
+    shingle_jaccard,
+)
+from gofast_spark.dedup.simhash import simhash
+
+__all__ = [
+    "exact_dedup",
+    "doc_shingles",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "shingle_jaccard",
+    "near_dup_pairs",
+    "simhash",
+    "MINHASH_P",
+    "MINHASH_COEFFS",
+]

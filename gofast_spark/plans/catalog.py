@@ -779,3 +779,7 @@ def ffill_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, "v", order_by=["ts", "event_id"], partition_by="user_id", out_col="v_filled"
     )
     return out.select("event_id", "v_filled")
+
+
+# LLM-pipeline entries register themselves into QUERIES/ORACLE_SQL on import
+from gofast_spark.plans import catalog_llm  # noqa: E402,F401  (registration)

@@ -1,0 +1,408 @@
+"""LLM-data-pipeline catalog entries over documents.parquet /
+embeddings.parquet: text stats, quality + language-ID, fingerprints, exact
+and MinHash-LSH dedup, SimHash, cosine top-k, LSH-bucketed ANN, and the
+multimodal blob plumbing.
+
+Every oracle below is generated from the SAME Python constants that feed
+the Spark plans (LCG char hash, minhash coefficients, LSH hyperplanes), so
+DuckDB reproduces each signature bit-for-bit — the differential gate
+verifies the algorithms, not just row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gofast_spark.dedup.minhash import MINHASH_COEFFS, MINHASH_P
+from gofast_spark.plans.catalog import _t, query
+from gofast_spark.sim.lsh import hyperplane_weight
+from gofast_spark.text.analysis import EN_STOPWORDS, LANG_STOPWORDS
+from gofast_spark.text.hashing import char_hash_sql
+
+# --- shared DuckDB SQL fragments (mirror text.analysis exactly) -----------
+
+def _norm_sql(c: str) -> str:
+    return (
+        f"trim(regexp_replace(regexp_replace(lower({c}), "
+        f"'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+    )
+
+
+def _sql_list(words) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+_STOP = _sql_list(EN_STOPWORDS)
+
+# shingle CTEs shared by the minhash entries (k=3 token shingles, distinct
+# (doc, hash) pairs — mirrors dedup.minhash.doc_shingles)
+_SHINGLE_CTES = f"""
+    norm AS (SELECT doc_id, {_norm_sql('text')} AS t FROM documents),
+    toks AS (SELECT doc_id, string_split(t, ' ') AS tk FROM norm),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(tk) < 3 THEN [array_to_string(tk, '|')]
+             ELSE list_transform(range(1, len(tk) - 1),
+                  i -> tk[i] || '|' || tk[i+1] || '|' || tk[i+2]) END)) AS s
+      FROM toks),
+    shh AS (SELECT DISTINCT doc_id, {char_hash_sql('s')} AS h FROM sh),
+    sig AS (
+      SELECT doc_id,
+             {", ".join(f"min(({a} * h + {b}) % {MINHASH_P}) AS mh_{j}"
+                        for j, (a, b) in enumerate(MINHASH_COEFFS))}
+      FROM shh GROUP BY doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (SURVEY §2.9 text families; builder-brief text layer)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_stats_documents",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, text, {_norm_sql('text')} AS t FROM documents),
+    toks AS (SELECT doc_id, text, string_split(t, ' ') AS tk FROM norm)
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(tk) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(tk)) AS BIGINT) AS n_unique_tokens,
+           CAST(round(list_sum(list_transform(tk, x -> length(x))) * 1.0 / len(tk), 4) AS DOUBLE) AS avg_token_len,
+           CAST(round(len(list_filter(tk, x -> list_contains({_STOP}, x))) * 1.0 / len(tk), 4) AS DOUBLE) AS stopword_ratio
+    FROM toks
+    """,
+)
+def text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc text statistics (text_analysis, gofast/utils/text.py:838)."""
+    from gofast_spark.text import text_stats
+
+    # fixture already carries an n_chars column; keep only what we recompute
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = text_stats(d, "text")
+    return out.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_unique_tokens").cast("bigint").alias("n_unique_tokens"),
+        F.round("avg_token_len", 4).cast("double").alias("avg_token_len"),
+        F.round("stopword_ratio", 4).cast("double").alias("stopword_ratio"),
+    )
+
+
+@query(
+    "text_quality_language",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_norm_sql('text')} AS t FROM documents),
+    toks AS (SELECT doc_id, string_split(t, ' ') AS tk FROM norm)
+    SELECT doc_id,
+           CAST(round(
+             0.4 * least(len(tk) / 50.0, 1.0)
+           + 0.4 * (len(list_distinct(tk)) * 1.0 / len(tk))
+           + 0.2 * (1 - len(list_filter(tk, x -> list_contains({_STOP}, x))) * 1.0 / len(tk)),
+           4) AS DOUBLE) AS quality,
+           list_sort([
+             {", ".join(
+                 "{'neg': -len(list_filter(tk, x -> list_contains(%s, x))), 'code': '%s'}"
+                 % (_sql_list(words), lang)
+                 for lang, words in sorted(LANG_STOPWORDS.items())
+             )}
+           ])[1].code AS lang_pred
+    FROM toks
+    """,
+)
+def text_quality_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring + heuristic language-ID (builder-brief text layer)."""
+    from gofast_spark.text import language_id, quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    out = language_id(quality_score(d, "text"), "text")
+    return out.select(
+        "doc_id",
+        F.round("quality", 4).cast("double").alias("quality"),
+        "lang_pred",
+    )
+
+
+@query(
+    "doc_fingerprint_tokens",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, text, {_norm_sql('text')} AS t FROM documents)
+    SELECT doc_id,
+           {char_hash_sql('t')} AS fingerprint,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens_bpe
+    FROM norm
+    """,
+)
+def doc_fingerprint_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable document fingerprint + BPE-ish token count."""
+    from gofast_spark.text import doc_fingerprint, normalize_text, token_count_bpeish
+
+    d = _t(spark, sf_dir, "documents").withColumn("__norm", normalize_text("text"))
+    return d.select(
+        "doc_id",
+        doc_fingerprint("__norm").alias("fingerprint"),
+        token_count_bpeish("text").cast("bigint").alias("n_tokens_bpe"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup (builder-brief: exact, MinHash-LSH, SimHash — bucketed, never n²)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact_prefix",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_norm_sql('text')} AS t FROM documents)
+    SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS group_size
+    FROM norm GROUP BY substr(t, 1, 80)
+    """,
+)
+def dedup_exact_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the normalized 80-char prefix (the fixture's planted
+    duplicates share long prefixes).  handle_duplicates 'drop' semantics
+    (gofast/dataops/quality.py:4677) with deterministic keep-first."""
+    from gofast_spark.dedup import exact_dedup
+    from gofast_spark.text import normalize_text
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .withColumn("__prefix", F.substring(normalize_text("text"), 1, 80))
+    )
+    out = exact_dedup(
+        d, "__prefix", keep="first", order_by="doc_id", group_size_col="group_size"
+    )
+    return out.select("doc_id", "group_size")
+
+
+@query(
+    "minhash_signatures_documents",
+    oracle=f"""
+    WITH {_SHINGLE_CTES}
+    SELECT doc_id, {", ".join(f"mh_{j}" for j in range(16))} FROM sig
+    """,
+)
+def minhash_signatures_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-wide MinHash signatures — DuckDB reproduces every value exactly
+    (portable LCG char hash + integer (a*h+b) mod P)."""
+    from gofast_spark.dedup import doc_shingles, minhash_signatures
+
+    d = _t(spark, sf_dir, "documents")
+    sh = doc_shingles(d, "doc_id", "text", k=3)
+    return minhash_signatures(sh, "doc_id", num_hashes=16)
+
+
+@query(
+    "minhash_near_dup_pairs",
+    oracle=f"""
+    WITH {_SHINGLE_CTES},
+    bands AS (
+      {" UNION ALL ".join(
+          f"SELECT doc_id, {b} AS band_idx, mh_{2*b} * 2147483648 + mh_{2*b+1} AS band_key FROM sig"
+          for b in range(8)
+      )}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_inter
+      FROM cand c
+      JOIN shh x ON x.doc_id = c.id_a
+      JOIN shh y ON y.doc_id = c.id_b AND y.h = x.h
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           CAST(round(i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter), 4) AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.8
+    """,
+)
+def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs, exact-Jaccard verified at 0.8.
+    Candidate generation is a bucketed band-key equi-join — no crossJoin."""
+    from gofast_spark.dedup import near_dup_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    out = near_dup_pairs(d, "doc_id", "text", threshold=0.8)
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 4).cast("double").alias("jaccard")
+    )
+
+
+@query(
+    "simhash_documents",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_norm_sql('text')} AS t FROM documents),
+    tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM norm),
+    h AS (SELECT doc_id, {char_hash_sql('w')} AS th FROM tok),
+    votes AS (
+      SELECT doc_id,
+             {", ".join(f"sum(2 * ((th >> {k}) & 1) - 1) AS v_{k}" for k in range(16))}
+      FROM h GROUP BY doc_id)
+    SELECT doc_id,
+           CAST({" + ".join(f"(CASE WHEN v_{k} >= 0 THEN {2**k} ELSE 0 END)" for k in range(16))} AS BIGINT) AS simhash
+    FROM votes
+    """,
+)
+def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash signatures (Charikar), integer-exact across engines."""
+    from gofast_spark.dedup import simhash
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash(d, "doc_id", "text", bits=16)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings (builder-brief: brute-force + LSH path)
+# ---------------------------------------------------------------------------
+
+_DOT64 = (
+    "list_sum(list_transform(range(1, 65), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+_NORM64 = "sqrt(list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+
+@query(
+    "embedding_norm_by_label",
+    oracle=f"""
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(round(avg({_NORM64.format(v='embedding')}), 4) AS DOUBLE) AS avg_norm
+    FROM embeddings GROUP BY label
+    """,
+)
+def embedding_norm_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-column handling smoke: L2 norms aggregated per label."""
+    from gofast_spark.sim import l2_norm
+
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        e.withColumn("__norm", l2_norm(F.col("embedding")))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("__norm"), 4).cast("double").alias("avg_norm"),
+        )
+    )
+
+
+@query(
+    "embedding_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    pairs AS (
+      SELECT q.query_id, e.vec_id,
+             {_DOT64.format(a='q.qv', b='e.embedding')}
+             / ({_NORM64.format(v='q.qv')} * {_NORM64.format(v='e.embedding')}) AS cos_sim
+      FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+    SELECT query_id, vec_id,
+           CAST(round(cos_sim, 4) AS DOUBLE) AS cos_sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY round(cos_sim, 6) DESC, vec_id) AS INTEGER) AS rank
+    FROM pairs QUALIFY rank <= 10
+    """,
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 5 probe vectors — the ANN baseline.
+    Plan: broadcast the probes, single corpus scan, per-query rank window."""
+    from gofast_spark.sim import cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    out = cosine_topk(e, q, "vec_id", "embedding", k=10)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("cos_sim", 4).cast("double").alias("cos_sim"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def _bucket_sql(vec: str, bits: int = 4) -> str:
+    """DuckDB bucket id under the same integer hyperplanes as sim.lsh."""
+    parts = []
+    for j in range(bits):
+        ws = "[" + ", ".join(str(hyperplane_weight(j, i)) for i in range(64)) + "]"
+        dot = (
+            f"list_sum(list_transform(range(1, 65), "
+            f"i -> CAST({vec}[i] AS DOUBLE) * ({ws})[i]))"
+        )
+        parts.append(f"(CASE WHEN {dot} >= 0 THEN {2**j} ELSE 0 END)")
+    return "(" + " + ".join(parts) + ")"
+
+
+@query(
+    "embedding_lsh_topk",
+    oracle=f"""
+    WITH c AS (SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM c WHERE vec_id < 5),
+    pairs AS (
+      SELECT q.query_id, c.vec_id, c.bucket,
+             {_DOT64.format(a='q.qv', b='c.embedding')}
+             / ({_NORM64.format(v='q.qv')} * {_NORM64.format(v='c.embedding')}) AS cos_sim
+      FROM c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.query_id)
+    SELECT query_id, vec_id, CAST(bucket AS INTEGER) AS bucket,
+           CAST(round(cos_sim, 4) AS DOUBLE) AS cos_sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY round(cos_sim, 6) DESC, vec_id) AS INTEGER) AS rank
+    FROM pairs QUALIFY rank <= 5
+    """,
+)
+def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-5 — the scale path: equi-join on bucket id
+    instead of scanning the whole corpus per query."""
+    from gofast_spark.sim import lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    out = lsh_topk(e, q, "vec_id", "embedding", dim=64, bits=4, k=5)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.col("bucket").cast("int").alias("bucket"),
+        F.round("cos_sim", 4).cast("double").alias("cos_sim"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal blob plumbing (builder-brief; decode stubbed, plumbing real)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_blob_features",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, text,
+             CASE WHEN length(text) = 0 THEN 0
+                  ELSE list_sum(list_transform(range(1, least(length(text), 64) + 1),
+                       i -> unicode(substr(text, i, 1)))) END AS s
+      FROM documents)
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN length(text) = 0 THEN 0 ELSE unicode(substr(text, 1, 1)) END AS INTEGER) AS head_byte,
+           CAST(64 + s % 256 AS INTEGER) AS width,
+           CAST(64 + (s * 31) % 256 AS INTEGER) AS height
+    FROM b
+    """,
+)
+def multimodal_blob_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column feature extraction through the Arrow mapInPandas
+    plumbing (deterministic fake decode — ASCII payloads make it
+    SQL-verifiable, so even the stub is oracle-checked)."""
+    from gofast_spark.multimodal import blob_features
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return blob_features(d, "doc_id", "payload")

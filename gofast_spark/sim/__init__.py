@@ -1,0 +1,16 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Brute-force cosine top-k as the correctness baseline (broadcast the small
+query set against the corpus — a broadcast nested-loop join, linear in
+corpus size), and a random-hyperplane LSH bucketed variant as the scale
+path (equi-join on bucket id, so candidate generation is bucketed rather
+than all-pairs).
+
+Net-new surface per the builder brief; vector math uses built-in
+higher-order functions (``zip_with``/``aggregate``) — JVM-side, no UDFs.
+"""
+
+from gofast_spark.sim.cosine import cosine_sim, cosine_topk, l2_norm
+from gofast_spark.sim.lsh import hyperplane_bucket, lsh_topk
+
+__all__ = ["cosine_sim", "cosine_topk", "l2_norm", "hyperplane_bucket", "lsh_topk"]

@@ -1,0 +1,41 @@
+"""Text analysis operators over string columns (SURVEY §2.9 text families +
+the LLM-data-pipeline text layer: normalization, tokenization, quality
+scoring, language-ID heuristic, document fingerprinting).
+
+Reference semantics: gofast/utils/text.py:53-740 (clean/normalize/tokenize),
+gofast/dataops/transformation.py:31 (summarize_text_columns) — re-expressed
+as native ``pyspark.sql.functions`` column expressions (JVM-side, codegen'd;
+no Python UDFs in the hot path).
+"""
+
+from gofast_spark.text.analysis import (
+    language_id,
+    normalize_text,
+    quality_score,
+    text_stats,
+    token_count_bpeish,
+    tokenize_text,
+)
+from gofast_spark.text.hashing import (
+    LCG_A,
+    LCG_C,
+    LCG_M,
+    char_hash,
+    char_hash_sql,
+    doc_fingerprint,
+)
+
+__all__ = [
+    "normalize_text",
+    "tokenize_text",
+    "token_count_bpeish",
+    "text_stats",
+    "quality_score",
+    "language_id",
+    "char_hash",
+    "char_hash_sql",
+    "doc_fingerprint",
+    "LCG_A",
+    "LCG_C",
+    "LCG_M",
+]

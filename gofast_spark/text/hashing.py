@@ -1,0 +1,61 @@
+"""Engine-portable string hashing.
+
+The LLM-pipeline dedup operators (MinHash, SimHash, fingerprints) need a
+string -> int64 hash that DuckDB reproduces bit-for-bit so the driver's
+differential oracle can verify them (same trick as
+``operators/sampling.hash_bucket``).  Spark's ``hash()``/``xxhash64`` are
+not portable, so we use an LCG-weighted character sum:
+
+    H(s) = sum_i  codepoint(s[i]) * ((i * A + C) mod M)   (mod M)
+
+with glibc LCG constants and M = 2**31.  Position-dependent weights make it
+order-sensitive (unlike a plain character sum); it is *not* a cryptographic
+hash — collision odds are fine for shingle/dedup bucketing, which always
+verifies candidates with an exact comparison afterwards.
+
+Reference parity: the fingerprint role of ``gofast/utils/text.py``'s
+text-identity helpers; the reference has no distributed dedup so this layer
+is net-new surface (builder brief).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+LCG_A = 1103515245
+LCG_C = 12345
+LCG_M = 2**31
+
+
+def char_hash(col_sql: str) -> Column:
+    """Portable hash of a string column as a Spark Column.
+
+    ``col_sql`` is a SQL expression (usually a column name).  Evaluates
+    entirely in the JVM via higher-order functions — one pass over the
+    string, no Python.
+    """
+    e = (
+        f"CASE WHEN length({col_sql}) = 0 OR {col_sql} IS NULL THEN 0 ELSE "
+        f"pmod(aggregate(transform(sequence(1, length({col_sql})), "
+        f"i -> ascii(substring({col_sql}, i, 1)) * pmod(i * {LCG_A}L + {LCG_C}L, {LCG_M}L)), "
+        f"0L, (acc, x) -> acc + x), {LCG_M}L) END"
+    )
+    return F.expr(e)
+
+
+def char_hash_sql(col_sql: str) -> str:
+    """The same hash as DuckDB SQL text (for oracle queries)."""
+    return (
+        f"CASE WHEN length({col_sql}) = 0 OR {col_sql} IS NULL THEN 0 ELSE "
+        f"CAST(list_sum(list_transform(range(1, length({col_sql}) + 1), "
+        f"i -> unicode(substr({col_sql}, i, 1)) * ((i * {LCG_A} + {LCG_C}) % {LCG_M}))) "
+        f"% {LCG_M} AS BIGINT) END"
+    )
+
+
+def doc_fingerprint(col_sql: str) -> Column:
+    """Document fingerprint = portable hash of the (already normalized)
+    text.  Use with :func:`gofast_spark.text.normalize_text` first so
+    whitespace/case noise doesn't change the fingerprint."""
+    return char_hash(col_sql)

@@ -1,0 +1,114 @@
+"""Semantic tests for the LLM-pipeline layer: the MinHash-LSH dedup finds
+the fixture's planted near-duplicates, SimHash agrees on them, similarity
+search returns sane neighbors, and the multimodal plumbing round-trips."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def documents(spark, sf_small):
+    import os
+
+    return spark.read.parquet(os.path.join(sf_small, "documents.parquet"))
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_small):
+    import os
+
+    return spark.read.parquet(os.path.join(sf_small, "embeddings.parquet"))
+
+
+def test_near_dup_pairs_finds_planted_duplicates(spark, documents):
+    from gofast_spark.dedup import near_dup_pairs
+
+    pairs = near_dup_pairs(documents, "doc_id", "text", threshold=0.8).collect()
+    assert len(pairs) > 0  # the fixture plants near-duplicate docs
+    assert all(r["jaccard"] >= 0.8 for r in pairs)
+    assert all(r["id_a"] < r["id_b"] for r in pairs)
+
+
+def test_simhash_close_on_near_dups(spark, documents):
+    from gofast_spark.dedup import near_dup_pairs, simhash
+
+    sig = simhash(documents, "doc_id", "text", bits=16)
+    pairs = near_dup_pairs(documents, "doc_id", "text", threshold=0.9)
+    joined = (
+        pairs.join(sig.selectExpr("doc_id AS id_a", "simhash AS sh_a"), "id_a")
+        .join(sig.selectExpr("doc_id AS id_b", "simhash AS sh_b"), "id_b")
+        .select(
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming")
+        )
+        .collect()
+    )
+    assert joined and all(r["hamming"] <= 4 for r in joined)
+
+
+def test_exact_dedup_keeps_one_per_group(spark):
+    from gofast_spark.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y")], ["id", "k"]
+    )
+    out = exact_dedup(df, "k", keep="first", order_by="id", group_size_col="n")
+    rows = {r["k"]: (r["id"], r["n"]) for r in out.collect()}
+    assert rows == {"x": (1, 2), "y": (3, 1)}
+
+
+def test_cosine_topk_self_similarity_and_order(spark, embeddings):
+    from gofast_spark.sim import cosine_topk
+
+    q = embeddings.where(F.col("vec_id") == 0)
+    out = cosine_topk(embeddings, q, "vec_id", "embedding", k=5).collect()
+    assert len(out) == 5
+    sims = [r["cos_sim"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert sims == sorted(sims, reverse=True)
+    assert all(-1.0001 <= s <= 1.0001 for s in sims)
+
+
+def test_lsh_topk_subset_of_bucket(spark, embeddings):
+    from gofast_spark.sim import hyperplane_bucket, lsh_topk
+
+    q = embeddings.where(F.col("vec_id") < 3)
+    out = lsh_topk(embeddings, q, "vec_id", "embedding", dim=64, bits=4, k=5)
+    got = out.collect()
+    assert got
+    # every neighbor must share the query's bucket by construction
+    buckets = embeddings.select(
+        "vec_id", hyperplane_bucket(F.col("embedding"), dim=64, bits=4).alias("b")
+    )
+    bmap = {r["vec_id"]: r["b"] for r in buckets.collect()}
+    for r in got:
+        assert bmap[r["vec_id"]] == bmap[r["query_id"]] == r["bucket"]
+
+
+def test_blob_features_plumbing(spark):
+    from gofast_spark.multimodal import attach_blob_meta, blob_features, decode_image
+
+    df = spark.createDataFrame([(1, bytearray(b"abc")), (2, bytearray(b""))], ["id", "payload"])
+    meta = attach_blob_meta(df, "payload", media_type="image", codec="png")
+    m = {r["id"]: r["payload_meta"] for r in meta.collect()}
+    assert m[1]["n_bytes"] == 3 and m[1]["media_type"] == "image"
+    feats = {r["id"]: r for r in blob_features(df, "id", "payload").collect()}
+    assert feats[1]["n_bytes"] == 3
+    assert feats[1]["head_byte"] == ord("a")
+    assert feats[2]["n_bytes"] == 0
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+
+
+def test_language_id_and_quality_bounds(spark):
+    from gofast_spark.text import language_id, quality_score
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox and the lazy dog"),
+         (2, "der hund und die katze ist ein tier")],
+        ["id", "text"],
+    )
+    out = {r["id"]: r for r in language_id(quality_score(df, "text"), "text").collect()}
+    assert out[1]["lang_pred"] == "en"
+    assert out[2]["lang_pred"] == "de"
+    assert 0.0 <= out[1]["quality"] <= 1.0
