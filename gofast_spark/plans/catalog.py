@@ -781,5 +781,6 @@ def ffill_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "v_filled")
 
 
-# LLM-pipeline entries register themselves into QUERIES/ORACLE_SQL on import
+# extension catalogs register themselves into QUERIES/ORACLE_SQL on import
+from gofast_spark.plans import catalog_functions  # noqa: E402,F401  (registration)
 from gofast_spark.plans import catalog_llm  # noqa: E402,F401  (registration)
