@@ -784,3 +784,4 @@ def ffill_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 # extension catalogs register themselves into QUERIES/ORACLE_SQL on import
 from gofast_spark.plans import catalog_functions  # noqa: E402,F401  (registration)
 from gofast_spark.plans import catalog_llm  # noqa: E402,F401  (registration)
+from gofast_spark.plans import catalog_quality  # noqa: E402,F401  (registration)

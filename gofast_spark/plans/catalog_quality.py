@@ -1,0 +1,323 @@
+"""Catalog entries for the quality / stats modules (SURVEY §2.8, §2.10
+descriptive) — the round-1 modules that shipped without oracle coverage,
+now each hash-matched against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gofast_spark.plans.catalog import _t, query
+from gofast_spark.quality.skew import BOXCOX_GRID
+
+# events.value has no natural NULLs; every missing-data entry nullifies the
+# same slice (value < 30) on both sides so the ops have something to do.
+_NULLIFY = "CASE WHEN value < 30 THEN NULL ELSE value END"
+
+
+def _events_nulled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.when(F.col("value") < 30, None).otherwise(F.col("value")).alias("v"),
+    )
+
+
+@query(
+    "missing_profile_events",
+    oracle=f"""
+    WITH t AS (SELECT {_NULLIFY} AS v, user_id FROM events)
+    SELECT 'v' AS column,
+           CAST(count(*) FILTER (v IS NULL) AS BIGINT) AS n_missing,
+           CAST(count(*) FILTER (v IS NULL) AS DOUBLE) / count(*) AS missing_ratio
+    FROM t
+    UNION ALL
+    SELECT 'user_id',
+           CAST(count(*) FILTER (user_id IS NULL) AS BIGINT),
+           CAST(count(*) FILTER (user_id IS NULL) AS DOUBLE) / count(*)
+    FROM t
+    """,
+)
+def missing_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-data profile (Missing.isnull, gofast/dataops/core.py:911;
+    check_missing_data, gofast/dataops/quality.py:1127)."""
+    from gofast_spark.quality import missing_profile
+
+    return missing_profile(_events_nulled(spark, sf_dir), ["v", "user_id"])
+
+
+@query(
+    "fill_mean_events",
+    oracle=f"""
+    WITH t AS (SELECT event_id, {_NULLIFY} AS v FROM events),
+    m AS (SELECT avg(v) AS mu FROM t)
+    SELECT event_id, CAST(round(coalesce(v, mu), 4) AS DOUBLE) AS v
+    FROM t, m
+    """,
+)
+def fill_mean_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean imputation (handle_missing_data fill_mean,
+    gofast/dataops/quality.py:728)."""
+    from gofast_spark.quality import handle_missing_data
+
+    out = handle_missing_data(
+        _events_nulled(spark, sf_dir), "fill_mean", columns=["v"]
+    )
+    return out.select("event_id", F.round("v", 4).cast("double").alias("v"))
+
+
+@query(
+    "drop_missing_rows_events",
+    oracle=f"""
+    WITH t AS (SELECT event_id, {_NULLIFY} AS v FROM events)
+    SELECT event_id, v FROM t WHERE v IS NOT NULL
+    """,
+)
+def drop_missing_rows_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row dropping (handle_missing_data drop_rows / drop_nan_in,
+    gofast/core/array_manager.py:3311)."""
+    from gofast_spark.quality import handle_missing_data
+
+    out = handle_missing_data(
+        _events_nulled(spark, sf_dir), "drop_rows", columns=["v"]
+    )
+    return out.select("event_id", "v")
+
+
+@query(
+    "outliers_iqr_clip_acctbal",
+    oracle="""
+    WITH s AS (
+      SELECT quantile_cont(c_acctbal, 0.25) AS q1,
+             quantile_cont(c_acctbal, 0.75) AS q3
+      FROM customer)
+    SELECT c_custkey,
+           CAST(round(
+             CASE WHEN c_acctbal < q1 - 1.5 * (q3 - q1) THEN q1 - 1.5 * (q3 - q1)
+                  WHEN c_acctbal > q3 + 1.5 * (q3 - q1) THEN q3 + 1.5 * (q3 - q1)
+                  ELSE c_acctbal END, 4) AS DOUBLE) AS c_acctbal
+    FROM customer, s
+    """,
+)
+def outliers_iqr_clip_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IQR clipping (handle_outliers_in, gofast/dataops/quality.py:615)."""
+    from gofast_spark.quality import handle_outliers_in
+
+    c = _t(spark, sf_dir, "customer")
+    out = handle_outliers_in(c, ["c_acctbal"], method="iqr", action="clip")
+    return out.select(
+        "c_custkey", F.round("c_acctbal", 4).cast("double").alias("c_acctbal")
+    )
+
+
+@query(
+    "handle_duplicates_drop_orders",
+    oracle="""
+    SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+    """,
+)
+def handle_duplicates_drop_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate dropping (handle_duplicates 'drop',
+    gofast/dataops/quality.py:4677)."""
+    from gofast_spark.quality import handle_duplicates
+
+    o = _t(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority")
+    return handle_duplicates(o, "drop")
+
+
+@query(
+    "describe_lineitem",
+    oracle="""
+    SELECT 'l_quantity' AS column, count(l_quantity) AS count,
+           CAST(round(avg(l_quantity), 4) AS DOUBLE) AS mean,
+           CAST(round(stddev_samp(l_quantity), 4) AS DOUBLE) AS std,
+           CAST(min(l_quantity) AS DOUBLE) AS min,
+           CAST(quantile_cont(l_quantity, 0.25) AS DOUBLE) AS q1,
+           CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE) AS median,
+           CAST(quantile_cont(l_quantity, 0.75) AS DOUBLE) AS q3,
+           CAST(max(l_quantity) AS DOUBLE) AS max
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', count(l_discount),
+           CAST(round(avg(l_discount), 4) AS DOUBLE),
+           CAST(round(stddev_samp(l_discount), 4) AS DOUBLE),
+           CAST(min(l_discount) AS DOUBLE),
+           CAST(quantile_cont(l_discount, 0.25) AS DOUBLE),
+           CAST(quantile_cont(l_discount, 0.5) AS DOUBLE),
+           CAST(quantile_cont(l_discount, 0.75) AS DOUBLE),
+           CAST(max(l_discount) AS DOUBLE)
+    FROM lineitem
+    """,
+)
+def describe_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """describe() profile (gofast/stats/descriptive.py:2224)."""
+    from gofast_spark.stats import describe
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = describe(li, ["l_quantity", "l_discount"])
+    return out.select(
+        "column",
+        "count",
+        F.round("mean", 4).cast("double").alias("mean"),
+        F.round("std", 4).cast("double").alias("std"),
+        "min",
+        "q1",
+        "median",
+        "q3",
+        "max",
+    )
+
+
+@query(
+    "corr_matrix_lineitem",
+    oracle="""
+    SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+           CAST(round(corr(l_quantity, l_extendedprice), 6) AS DOUBLE) AS corr
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity', 'l_discount',
+           CAST(round(corr(l_quantity, l_discount), 6) AS DOUBLE) FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', 'l_discount',
+           CAST(round(corr(l_extendedprice, l_discount), 6) AS DOUBLE) FROM lineitem
+    """,
+)
+def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations in one pass (analyze_data_corr,
+    gofast/dataops/quality.py:1863)."""
+    from gofast_spark.stats import corr_matrix
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = corr_matrix(li, ["l_quantity", "l_extendedprice", "l_discount"])
+    return out.select(
+        "col_a", "col_b", F.round("corr", 6).cast("double").alias("corr")
+    )
+
+
+@query(
+    "scale_acctbal_customer",
+    oracle="""
+    WITH s AS (
+      SELECT min(c_acctbal) AS mn, max(c_acctbal) AS mx,
+             avg(c_acctbal) AS mu, stddev_pop(c_acctbal) AS sd
+      FROM customer)
+    SELECT c_custkey,
+           CAST(round((c_acctbal - mn) / (mx - mn), 6) AS DOUBLE) AS acct_minmax,
+           CAST(round((c_acctbal - mu) / sd, 6) AS DOUBLE) AS acct_z
+    FROM customer, s
+    """,
+)
+def scale_acctbal_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-max + z-score scaling (scale_data, gofast/dataops/quality.py:502;
+    z_scores, gofast/stats/descriptive.py:2356)."""
+    from gofast_spark.quality import minmax_scale, z_scores
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    out = minmax_scale(c, ["c_acctbal"], suffix="_mm")
+    out = z_scores(out, ["c_acctbal"], suffix="_z")
+    return out.select(
+        "c_custkey",
+        F.round("c_acctbal_mm", 6).cast("double").alias("acct_minmax"),
+        F.round("c_acctbal_z", 6).cast("double").alias("acct_z"),
+    )
+
+
+@query(
+    "skewness_profile_lineitem",
+    oracle="""
+    WITH s AS (SELECT avg(l_quantity) AS mq, avg(l_extendedprice) AS mp FROM lineitem)
+    SELECT 'l_quantity' AS column,
+           CAST(round((sum(pow(l_quantity - mq, 3)) / count(*))
+                / pow(sum(pow(l_quantity - mq, 2)) / count(*), 1.5), 6) AS DOUBLE) AS skewness
+    FROM lineitem, s GROUP BY mq
+    UNION ALL
+    SELECT 'l_extendedprice',
+           CAST(round((sum(pow(l_extendedprice - mp, 3)) / count(*))
+                / pow(sum(pow(l_extendedprice - mp, 2)) / count(*), 1.5), 6) AS DOUBLE)
+    FROM lineitem, s GROUP BY mp
+    """,
+)
+def skewness_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness per column (handle_skew's diagnostic,
+    gofast/dataops/quality.py:4372; Spark's ``skewness`` is the population
+    g1 = m3 / m2^1.5 — the oracle computes the same moments explicitly)."""
+    from gofast_spark.quality import skewness_profile
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = skewness_profile(li, ["l_quantity", "l_extendedprice"])
+    return out.select(
+        "column", F.round("skewness", 6).cast("double").alias("skewness")
+    )
+
+
+@query(
+    "boxcox_quantity",
+    oracle=f"""
+    WITH g AS (SELECT unnest([{", ".join(str(x) for x in BOXCOX_GRID)}]) AS lam),
+    ll AS (
+      SELECT lam,
+             -count(*) / 2.0 * ln(var_pop(
+               CASE WHEN lam = 0 THEN ln(l_quantity)
+                    ELSE (pow(l_quantity, lam) - 1) / lam END))
+             + (lam - 1) * sum(ln(l_quantity)) AS loglik
+      FROM lineitem, g GROUP BY lam),
+    best AS (SELECT lam FROM ll ORDER BY loglik DESC, lam ASC LIMIT 1)
+    SELECT l_orderkey, l_linenumber, CAST(best.lam AS DOUBLE) AS lam,
+           CAST(round(CASE WHEN best.lam = 0 THEN ln(l_quantity)
+                ELSE (pow(l_quantity, best.lam) - 1) / best.lam END, 6) AS DOUBLE) AS l_quantity_bc
+    FROM lineitem, best
+    """,
+)
+def boxcox_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Box-Cox with real grid-MLE lambda (boxcox_transformation,
+    gofast/dataops/preprocessing.py:2545) — one aggregate fits all 21
+    candidate lambdas, DuckDB replays the same profile likelihood."""
+    from gofast_spark.quality.skew import _bc, boxcox_lambda
+
+    li = _t(spark, sf_dir, "lineitem")
+    lam = boxcox_lambda(li, "l_quantity")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.lit(float(lam)).alias("lam"),
+        F.round(_bc(F.col("l_quantity"), lam), 6)
+        .cast("double")
+        .alias("l_quantity_bc"),
+    )
+
+
+@query(
+    "verify_integrity_customer",
+    oracle="""
+    WITH s AS (
+      SELECT count(*) AS n,
+             quantile_cont(c_acctbal, 0.25) AS q1, quantile_cont(c_acctbal, 0.75) AS q3,
+             count(DISTINCT c_acctbal) AS d_acct, count(*) FILTER (c_acctbal IS NULL) AS m_acct,
+             count(DISTINCT c_nationkey) AS d_nat, count(*) FILTER (c_nationkey IS NULL) AS m_nat
+      FROM customer)
+    SELECT 'c_acctbal' AS column, CAST(m_acct AS BIGINT) AS n_missing,
+           CAST(m_acct AS DOUBLE) / n AS missing_ratio,
+           CAST(d_acct AS BIGINT) AS n_distinct,
+           (SELECT CAST(count(*) AS BIGINT) FROM customer, s
+            WHERE c_acctbal < q1 - 1.5 * (q3 - q1) OR c_acctbal > q3 + 1.5 * (q3 - q1)) AS n_outliers
+    FROM s
+    UNION ALL
+    SELECT 'c_nationkey', CAST(m_nat AS BIGINT), CAST(m_nat AS DOUBLE) / n,
+           CAST(d_nat AS BIGINT),
+           (SELECT CAST(count(*) AS BIGINT) FROM customer,
+             (SELECT quantile_cont(c_nationkey, 0.25) AS nq1,
+                     quantile_cont(c_nationkey, 0.75) AS nq3 FROM customer)
+            WHERE c_nationkey < nq1 - 1.5 * (nq3 - nq1) OR c_nationkey > nq3 + 1.5 * (nq3 - nq1))
+    FROM s
+    """,
+)
+def verify_integrity_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integrity report (verify_data_integrity,
+    gofast/dataops/inspection.py:28) over customer's numeric columns."""
+    from gofast_spark.quality import verify_data_integrity
+
+    c = _t(spark, sf_dir, "customer").select("c_acctbal", "c_nationkey")
+    return verify_data_integrity(c)

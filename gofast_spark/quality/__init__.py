@@ -2,11 +2,11 @@
 skew, scaling, and the composite audit — each a lazy transform, with
 report side-channels computed as aggregations."""
 
-from gofast_spark.quality.missing import drop_nan_in, handle_missing_data, nan_ops
+from gofast_spark.quality.missing import drop_nan_in, handle_missing_data, missing_profile, nan_ops
 from gofast_spark.quality.duplicates import handle_duplicates, handle_unique_identifiers
 from gofast_spark.quality.outliers import handle_outliers_in
 from gofast_spark.quality.scaling import minmax_scale, standard_scale, z_scores
-from gofast_spark.quality.skew import handle_skew
+from gofast_spark.quality.skew import boxcox_lambda, boxcox_transformation, handle_skew, skewness_profile
 from gofast_spark.quality.audit import audit_data, verify_data_integrity
 
 __all__ = [
