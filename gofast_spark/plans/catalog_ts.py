@@ -1,0 +1,188 @@
+"""Catalog entries for the time-series pack (SURVEY §2.11) over the
+events table — daily-aggregated series features, ACF, trend, splits,
+frequency inference, each hash-matched against DuckDB.
+
+The daily series rounds its sum to 4 decimals on BOTH sides before any
+windowing, so every downstream feature starts from bit-identical inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gofast_spark.plans.catalog import _t, query
+
+_DAILY_SQL = """
+    SELECT CAST(ts AS DATE) AS d,
+           CAST(round(sum(value), 4) AS DOUBLE) AS v,
+           CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INTEGER) AS t
+    FROM events GROUP BY 1, 3
+"""
+
+
+def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.col("ts").cast("date").alias("d"),
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01")).alias("t"),
+    ).agg(F.round(F.sum("value"), 4).cast("double").alias("v"))
+
+
+@query(
+    "ts_engineering_daily_events",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL})
+    SELECT d,
+           lag(v, 1) OVER w AS v_lag_1,
+           lag(v, 7) OVER w AS v_lag_7,
+           CAST(round(avg(v) OVER (w ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS DOUBLE) AS v_rollmean_7,
+           CAST(round(v - lag(v, 1) OVER w, 4) AS DOUBLE) AS v_diff,
+           CAST(round(sin(2 * pi() * t / 365.0), 6) AS DOUBLE) AS fourier_sin_1,
+           CAST(round(cos(2 * pi() * t / 365.0), 6) AS DOUBLE) AS fourier_cos_1
+    FROM daily WINDOW w AS (ORDER BY d)
+    """,
+)
+def ts_engineering_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass lag/rolling/diff/Fourier bundle (ts_engineering,
+    gofast/utils/ts_utils.py:2482)."""
+    from gofast_spark.ts import ts_engineering
+
+    out = ts_engineering(
+        _daily(spark, sf_dir),
+        "v",
+        "d",
+        lags=(1, 7),
+        roll_windows=(7,),
+        diff=True,
+        fourier_k=1,
+        fourier_period=365.0,
+        time_index_col="t",
+    )
+    return out.select(
+        "d",
+        "v_lag_1",
+        "v_lag_7",
+        F.round("v_rollmean_7", 4).cast("double").alias("v_rollmean_7"),
+        F.round("v_diff", 4).cast("double").alias("v_diff"),
+        F.round("fourier_sin_1", 6).cast("double").alias("fourier_sin_1"),
+        F.round("fourier_cos_1", 6).cast("double").alias("fourier_cos_1"),
+    )
+
+
+@query(
+    "acf_daily_events",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL}),
+    l AS (
+      SELECT v,
+             lag(v, 1) OVER (ORDER BY d) AS l1,
+             lag(v, 2) OVER (ORDER BY d) AS l2,
+             lag(v, 7) OVER (ORDER BY d) AS l7
+      FROM daily)
+    SELECT CAST(round(corr(v, l1), 6) AS DOUBLE) AS acf_1,
+           CAST(round(corr(v, l2), 6) AS DOUBLE) AS acf_2,
+           CAST(round(corr(v, l7), 6) AS DOUBLE) AS acf_7
+    FROM l
+    """,
+)
+def acf_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACF at lags 1/2/7 as corr-with-lag aggregates (ts_corr_analysis,
+    gofast/utils/ts_utils.py:2913)."""
+    from gofast_spark.ts import acf
+
+    out = acf(_daily(spark, sf_dir), "v", "d", lags=(1, 2, 7))
+    return out.select(
+        F.round("acf_1", 6).cast("double").alias("acf_1"),
+        F.round("acf_2", 6).cast("double").alias("acf_2"),
+        F.round("acf_7", 6).cast("double").alias("acf_7"),
+    )
+
+
+@query(
+    "trend_daily_events",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL})
+    SELECT CAST(round(covar_samp(t, v) / var_samp(t), 6) AS DOUBLE) AS slope,
+           CAST(round(avg(v) - (covar_samp(t, v) / var_samp(t)) * avg(t), 4) AS DOUBLE) AS intercept,
+           CAST(round(pow(corr(t, v), 2), 6) AS DOUBLE) AS r2,
+           count(v) AS n
+    FROM daily
+    """,
+)
+def trend_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global OLS trend in one aggregate (trend_analysis,
+    gofast/utils/ts_utils.py:720)."""
+    from gofast_spark.ts import trend_analysis
+
+    out = trend_analysis(_daily(spark, sf_dir), "v", "t")
+    return out.select(
+        F.round("slope", 6).cast("double").alias("slope"),
+        F.round("intercept", 4).cast("double").alias("intercept"),
+        F.round("r2", 6).cast("double").alias("r2"),
+        "n",
+    )
+
+
+@query(
+    "ts_split_counts_events",
+    oracle="""
+    WITH m AS (
+      SELECT event_type, cume_dist() OVER (ORDER BY ts, event_id) AS cd
+      FROM events)
+    SELECT event_type,
+           CAST(count(*) FILTER (cd <= 0.8) AS BIGINT) AS n_train,
+           CAST(count(*) FILTER (cd > 0.8) AS BIGINT) AS n_test
+    FROM m GROUP BY event_type
+    """,
+)
+def ts_split_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact fractional time split via cume_dist (ts_split,
+    gofast/utils/ts_utils.py:3577); the cutoff/approx modes are the
+    scale paths."""
+    from gofast_spark.ts import ts_split
+
+    e = _t(spark, sf_dir, "events")
+    train, test = ts_split(e, "ts", test_frac=0.2, tiebreak="event_id")
+    tr = train.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_train"))
+    te = test.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_test"))
+    return tr.join(te, "event_type", "outer").fillna(0, ["n_train", "n_test"])
+
+
+@query(
+    "infer_frequency_events",
+    oracle="""
+    WITH s AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS sec, ts FROM events),
+    g AS (SELECT sec - lag(sec) OVER (ORDER BY ts) AS gap FROM s)
+    SELECT gap AS freq_seconds, CAST(count(*) AS BIGINT) AS n_gaps
+    FROM g WHERE gap IS NOT NULL
+    GROUP BY gap ORDER BY n_gaps DESC, gap ASC LIMIT 1
+    """,
+)
+def infer_frequency_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant inter-event gap (smart_ts_detector / get_time_steps,
+    gofast/core/array_manager.py:881, gofast/utils/mathext.py:1631)."""
+    from gofast_spark.ts import infer_frequency
+
+    return infer_frequency(_t(spark, sf_dir, "events"), "ts")
+
+
+@query(
+    "ts_outlier_z_daily_events",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL})
+    SELECT d,
+           CAST(round((v - avg(v) OVER w) / stddev_samp(v) OVER w, 4) AS DOUBLE) AS rolling_z
+    FROM daily
+    WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def ts_outlier_z_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score outlier signal (ts_outlier_detector,
+    gofast/utils/ts_utils.py:3843)."""
+    from gofast_spark.ts import ts_outlier_detector
+
+    out = ts_outlier_detector(_daily(spark, sf_dir), "v", "d", window=7)
+    return out.select(
+        "d", F.round("rolling_z", 4).cast("double").alias("rolling_z")
+    )

@@ -1,0 +1,30 @@
+"""Time-series operators (SURVEY §2.11) over an explicit timestamp column.
+
+Spark has no row index, so every op takes ``order_by``/``partition_by``
+contracts (SURVEY §4.2.2).  Lags/rolling/Fourier/differencing are window
+and column expressions (JVM-side); trend/ACF reduce to covariance/corr
+aggregates; only true per-series model fits (STL, ADF) would need
+``applyInPandas`` and are explicitly out of this module.
+"""
+
+from gofast_spark.ts.engineering import (
+    acf,
+    detrend,
+    trend_analysis,
+    ts_engineering,
+    transform_stationarity,
+)
+from gofast_spark.ts.validator import infer_frequency, ts_validator
+from gofast_spark.ts.split import ts_outlier_detector, ts_split
+
+__all__ = [
+    "ts_validator",
+    "infer_frequency",
+    "ts_engineering",
+    "transform_stationarity",
+    "trend_analysis",
+    "detrend",
+    "acf",
+    "ts_split",
+    "ts_outlier_detector",
+]

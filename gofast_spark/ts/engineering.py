@@ -1,0 +1,174 @@
+"""Time-series feature engineering, stationarity transforms, trend, ACF.
+
+Reference: ``ts_engineering`` (gofast/utils/ts_utils.py:2482),
+``transform_stationarity`` (:3262), ``trend_analysis`` (:720),
+``ts_corr_analysis`` ACF (:2913), ``FourierFeaturesTransformer``
+(gofast/transformers/ts.py:29).
+
+Scale shape: lags/rolling are windows over ``partition_by`` (bounded state
+per series); trend and ACF collapse to covariance/correlation aggregates —
+single map-side-combined jobs, no sorts of the raw data beyond the
+per-series window sort.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _w(order_by, partition_by):
+    order = [order_by] if isinstance(order_by, str) else list(order_by)
+    parts = (
+        []
+        if partition_by is None
+        else ([partition_by] if isinstance(partition_by, str) else list(partition_by))
+    )
+    return Window.partitionBy(*parts).orderBy(*[F.col(c) for c in order])
+
+
+def ts_engineering(
+    df: DataFrame,
+    value_col: str,
+    order_by: str,
+    *,
+    partition_by: str | None = None,
+    lags: Sequence[int] = (1, 7),
+    roll_windows: Sequence[int] = (7,),
+    diff: bool = True,
+    fourier_k: int = 0,
+    fourier_period: float = 365.0,
+    time_index_col: str | None = None,
+) -> DataFrame:
+    """Lags + rolling mean/std + diff + Fourier terms in one pass
+    (gofast/utils/ts_utils.py:2482).
+
+    Everything lands in a single projection over one window family (same
+    partitioning/ordering), so Catalyst evaluates it in one Window node.
+    Fourier terms need ``time_index_col`` (a numeric position, e.g. day
+    number): ``sin/cos(2*pi*k*t/period)``.
+    """
+    w = _w(order_by, partition_by)
+    out = df
+    v = F.col(value_col)
+    for k in lags:
+        out = out.withColumn(f"{value_col}_lag_{k}", F.lag(v, k).over(w))
+    for n in roll_windows:
+        rw = w.rowsBetween(-(n - 1), 0)
+        out = out.withColumn(f"{value_col}_rollmean_{n}", F.avg(v).over(rw))
+        out = out.withColumn(f"{value_col}_rollstd_{n}", F.stddev_samp(v).over(rw))
+    if diff:
+        out = out.withColumn(f"{value_col}_diff", v - F.lag(v, 1).over(w))
+    if fourier_k:
+        if time_index_col is None:
+            raise ValueError("fourier terms need time_index_col")
+        t = F.col(time_index_col)
+        for k in range(1, fourier_k + 1):
+            ang = 2.0 * math.pi * k * t / F.lit(float(fourier_period))
+            out = out.withColumn(f"fourier_sin_{k}", F.sin(ang))
+            out = out.withColumn(f"fourier_cos_{k}", F.cos(ang))
+    return out
+
+
+def transform_stationarity(
+    df: DataFrame,
+    value_col: str,
+    order_by: str,
+    *,
+    method: str = "diff",
+    periods: int = 1,
+    partition_by: str | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Differencing / log / linear detrend (gofast/utils/ts_utils.py:3262)."""
+    oc = out_col or f"{value_col}_stat"
+    v = F.col(value_col)
+    if method == "diff":
+        w = _w(order_by, partition_by)
+        return df.withColumn(oc, v - F.lag(v, periods).over(w))
+    if method == "log":
+        return df.withColumn(oc, F.log(v))
+    if method == "detrend":
+        return detrend(
+            df, value_col, order_by, partition_by=partition_by, out_col=oc
+        )
+    raise ValueError(f"unsupported method {method!r}")
+
+
+def trend_analysis(
+    df: DataFrame,
+    value_col: str,
+    time_index_col: str,
+) -> DataFrame:
+    """Global OLS trend: slope/intercept/r2 in ONE aggregation
+    (gofast/utils/ts_utils.py:720's linear part — ADF/KPSS are per-series
+    scipy fits, out of scope here).
+
+    slope = cov(t, v) / var(t); intercept = mean(v) - slope * mean(t);
+    r2 = corr(t, v)^2 — covariance/corr are map-side-combinable aggregates,
+    so this costs one reduce regardless of data size.
+    """
+    t, v = F.col(time_index_col), F.col(value_col)
+    slope = F.covar_samp(t, v) / F.var_samp(t)
+    return df.agg(
+        slope.alias("slope"),
+        (F.avg(v) - slope * F.avg(t)).alias("intercept"),
+        F.pow(F.corr(t, v), 2).alias("r2"),
+        F.count(v).alias("n"),
+    )
+
+
+def detrend(
+    df: DataFrame,
+    value_col: str,
+    order_by: str,
+    *,
+    partition_by: str | None = None,
+    time_index_col: str | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Remove the OLS linear trend: v - (intercept + slope * t).
+
+    Two-pass Estimator: the slope/intercept aggregate is one reduced row
+    (driver literals), the subtraction is a lazy projection.  Without an
+    explicit ``time_index_col`` the row position within the ordering is
+    used (window row_number — per-series with ``partition_by``).
+    """
+    oc = out_col or f"{value_col}_detrended"
+    out = df
+    tcol = time_index_col
+    if tcol is None:
+        tcol = "__t_idx"
+        out = out.withColumn(
+            tcol, F.row_number().over(_w(order_by, partition_by)).cast("double")
+        )
+    fit = trend_analysis(out, value_col, tcol).first()
+    slope, intercept = fit["slope"], fit["intercept"]
+    out = out.withColumn(
+        oc, F.col(value_col) - (F.lit(intercept) + F.lit(slope) * F.col(tcol))
+    )
+    return out.drop("__t_idx") if time_index_col is None else out
+
+
+def acf(
+    df: DataFrame,
+    value_col: str,
+    order_by: str,
+    *,
+    lags: Sequence[int] = (1, 2, 3),
+    partition_by: str | None = None,
+) -> DataFrame:
+    """Autocorrelation at each lag k: corr(v, lag(v, k))
+    (gofast/utils/ts_utils.py:2913's ACF; PACF needs a per-series solve —
+    out of scope).  One window projection + one aggregate row."""
+    w = _w(order_by, partition_by)
+    out = df.select(
+        F.col(value_col).alias("__v"),
+        *[F.lag(value_col, k).over(w).alias(f"__l_{k}") for k in lags],
+    )
+    return out.agg(
+        *[F.corr("__v", f"__l_{k}").alias(f"acf_{k}") for k in lags]
+    )
