@@ -34,17 +34,55 @@ _AGG_FNS: dict[str, Callable[[str], Column]] = {
 }
 
 
-def _build_aggs(agg_spec: dict[str, str | Sequence[str]]) -> list[Column]:
+def _callable_agg(fn: Callable, col: str) -> Column:
+    """Wrap an arbitrary Python callable (pandas Series -> scalar) as a
+    GROUPED_AGG pandas UDF — the reference's escape hatch for callable
+    ``agg_func`` specs (gofast/utils/data_utils.py:1416-1424).
+
+    Slow path by design: Arrow ships each group's column to Python in one
+    batch (not per-row).  Prefer the string specs (JVM aggregates) in the
+    hot path; this exists so every reference pipeline still runs.
+    """
+    import pandas as pd
+
+    # the (pd.Series) -> float signature makes pandas_udf infer GROUPED_AGG;
+    # set real annotation objects (PEP 563 stringifies inline hints here)
+    def _agg(v):
+        return float(fn(v))
+
+    _agg.__annotations__ = {"v": pd.Series, "return": float}
+
+    udf = F.pandas_udf(_agg, "double")
+    name = getattr(fn, "__name__", "fn")
+    name = name if name != "<lambda>" else "lambda"
+    return udf(F.col(col)).alias(f"{col}_{name}")
+
+
+def _build_aggs(agg_spec: dict[str, str | Callable | Sequence]) -> list[Column]:
     """dict(col -> func or [funcs]) -> aliased agg columns (pandas-style
-    ``col_func`` names, mirroring group_and_aggregate's output columns)."""
+    ``col_func`` names, mirroring group_and_aggregate's output columns).
+    Funcs are string names (JVM fast path) or Python callables
+    (GROUPED_AGG pandas UDF fallback, §2.13)."""
     aggs: list[Column] = []
     for col, fns in agg_spec.items():
-        fns = [fns] if isinstance(fns, str) else list(fns)
+        fns = [fns] if isinstance(fns, str) or callable(fns) else list(fns)
         for fn in fns:
-            if fn not in _AGG_FNS:
+            if callable(fn):
+                aggs.append(_callable_agg(fn, col))
+            elif fn in _AGG_FNS:
+                aggs.append(_AGG_FNS[fn](col).alias(f"{col}_{fn}"))
+            else:
                 raise ValueError(f"unsupported agg {fn!r}")
-            aggs.append(_AGG_FNS[fn](col).alias(f"{col}_{fn}"))
     return aggs
+
+
+def grouped_apply(df: DataFrame, by, fn: Callable, schema: str) -> DataFrame:
+    """``applyInPandas`` bridge: run a pandas function per group
+    (sklearn-transformer / scipy-per-series escape hatch, SURVEY §2.13,
+    §4.2.5).  ``schema`` declares the output so Catalyst can prune around
+    the UDF; size-bound your groups — each must fit one worker's memory."""
+    keys = [by] if isinstance(by, str) else list(by)
+    return df.groupBy(*keys).applyInPandas(fn, schema=schema)
 
 
 def group_and_aggregate(

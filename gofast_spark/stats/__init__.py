@@ -11,8 +11,20 @@ from gofast_spark.stats.descriptive import (
     quartiles,
     weighted_median,
 )
+from gofast_spark.stats.inferential import (
+    anova_test,
+    chi2_test,
+    ks_test_2samp,
+    t_test_independent,
+    t_test_p_value,
+)
 
 __all__ = [
+    "t_test_independent",
+    "t_test_p_value",
+    "anova_test",
+    "chi2_test",
+    "ks_test_2samp",
     "describe",
     "quartiles",
     "iqr",

@@ -1,0 +1,196 @@
+"""Inferential statistics as sufficient-statistic aggregations.
+
+Reference: gofast/stats/inferential.py — ``t_test_independent``:388,
+``anova_test``:1605, ``chi2_test``:1496, ``kolmogorov_smirnov_test``:1173.
+There each wraps scipy on an in-memory array; here the *statistic* is
+computed distributed from aggregates (counts/means/vars/cumulative ranks)
+and only the p-value lookup — a scalar transform of the statistic — runs
+on the driver via scipy (import-guarded; statistics work without it).
+
+Scale shape: t/ANOVA/chi2 are single groupBy aggregates (map-side
+combined).  KS needs the pooled order statistics: one global sort of the
+*distinct values with per-group counts* — at 100 TB, pre-bin values
+(quantile sketch) before calling; documented on the function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _scipy_sf(kind: str, stat: float, *params) -> float | None:
+    """p-value via scipy on the driver; None when scipy is unavailable."""
+    try:
+        from scipy import stats as ss
+    except ImportError:
+        return None
+    if kind == "t":
+        return float(2.0 * ss.t.sf(abs(stat), params[0]))
+    if kind == "f":
+        return float(ss.f.sf(stat, params[0], params[1]))
+    if kind == "chi2":
+        return float(ss.chi2.sf(stat, params[0]))
+    if kind == "ks":
+        n1, n2 = params
+        en = n1 * n2 / (n1 + n2)
+        return float(ss.kstwo.sf(stat, round(en)))
+    return None
+
+
+def t_test_independent(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    *,
+    equal_var: bool = True,
+) -> DataFrame:
+    """Two-sample t statistic (pooled by default, matching scipy's
+    ``ttest_ind``; Welch with ``equal_var=False``).
+
+    One aggregate computes (n, mean, var) per group; the t formula is a
+    projection over that single reduced row.  Output: one row
+    (t_stat, dof, n_a, n_b).  Reference: gofast/stats/inferential.py:388.
+    """
+    v, g = F.col(value_col), F.col(group_col)
+    agg = df.where(g.isin([group_a, group_b])).groupBy(g.alias("__g")).agg(
+        F.count(v).alias("n"), F.avg(v).alias("mu"), F.var_samp(v).alias("s2")
+    )
+    a = agg.where(F.col("__g") == group_a).select(
+        F.col("n").alias("n_a"), F.col("mu").alias("mu_a"), F.col("s2").alias("s2_a")
+    )
+    b = agg.where(F.col("__g") == group_b).select(
+        F.col("n").alias("n_b"), F.col("mu").alias("mu_b"), F.col("s2").alias("s2_b")
+    )
+    row = a.crossJoin(b)  # two 1-row frames
+    if equal_var:
+        sp2 = (
+            ((F.col("n_a") - 1) * F.col("s2_a") + (F.col("n_b") - 1) * F.col("s2_b"))
+            / (F.col("n_a") + F.col("n_b") - 2)
+        )
+        t = (F.col("mu_a") - F.col("mu_b")) / F.sqrt(
+            sp2 * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+        )
+        dof = F.col("n_a") + F.col("n_b") - 2
+    else:
+        se2_a = F.col("s2_a") / F.col("n_a")
+        se2_b = F.col("s2_b") / F.col("n_b")
+        t = (F.col("mu_a") - F.col("mu_b")) / F.sqrt(se2_a + se2_b)
+        dof = F.pow(se2_a + se2_b, 2) / (
+            F.pow(se2_a, 2) / (F.col("n_a") - 1) + F.pow(se2_b, 2) / (F.col("n_b") - 1)
+        )
+    return row.select(
+        t.alias("t_stat"),
+        dof.cast("double").alias("dof"),
+        F.col("n_a"),
+        F.col("n_b"),
+    )
+
+
+def t_test_p_value(result_row) -> float | None:
+    """Driver-side p-value for a :func:`t_test_independent` result row."""
+    return _scipy_sf("t", result_row["t_stat"], result_row["dof"])
+
+
+def anova_test(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
+    """One-way ANOVA F statistic (gofast/stats/inferential.py:1605).
+
+    Per-group (n, mean, var) + grand mean -> between/within mean squares.
+    Two tiny aggregates; no data sort.  Output: (f_stat, dof_between,
+    dof_within, n_groups).
+    """
+    v, g = F.col(value_col), F.col(group_col)
+    per = df.groupBy(g.alias("__g")).agg(
+        F.count(v).alias("n"), F.avg(v).alias("mu"), F.var_samp(v).alias("s2")
+    )
+    stats = per.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("N"),
+        (F.sum(F.col("n") * F.col("mu")) / F.sum("n")).alias("grand"),
+        F.sum(F.col("n") * F.col("mu") * F.col("mu")).alias("sum_nmu2"),
+        F.sum((F.col("n") - 1) * F.col("s2")).alias("ssw"),
+    )
+    ssb = F.col("sum_nmu2") - F.col("N") * F.col("grand") * F.col("grand")
+    dof_b = F.col("k") - 1
+    dof_w = F.col("N") - F.col("k")
+    f = (ssb / dof_b) / (F.col("ssw") / dof_w)
+    return stats.select(
+        f.alias("f_stat"),
+        dof_b.cast("bigint").alias("dof_between"),
+        dof_w.cast("bigint").alias("dof_within"),
+        F.col("k").cast("bigint").alias("n_groups"),
+    )
+
+
+def chi2_test(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Chi-square independence statistic over a contingency of two
+    categoricals (gofast/stats/inferential.py:1496).
+
+    obs = groupBy(a, b) counts; expected = row_total * col_total / N via
+    two broadcast-joined marginal aggregates.  Output: (chi2, dof).
+    """
+    a, b = F.col(col_a), F.col(col_b)
+    obs = df.groupBy(a.alias("__a"), b.alias("__b")).agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    row_m = obs.groupBy("__a").agg(F.sum("o").alias("ra"))
+    col_m = obs.groupBy("__b").agg(F.sum("o").alias("cb"))
+    n = obs.agg(F.sum("o").alias("N"))
+    joined = (
+        obs.join(F.broadcast(row_m), "__a")
+        .join(F.broadcast(col_m), "__b")
+        .crossJoin(F.broadcast(n))
+    )
+    e = F.col("ra") * F.col("cb") / F.col("N")
+    per_cell = joined.select(
+        (F.pow(F.col("o") - e, 2) / e).alias("cell"), "__a", "__b"
+    )
+    dims = per_cell.agg(
+        F.sum("cell").alias("chi2"),
+        (
+            (F.countDistinct("__a") - 1) * (F.countDistinct("__b") - 1)
+        ).cast("bigint").alias("dof"),
+    )
+    return dims
+
+
+def ks_test_2samp(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D statistic
+    (gofast/stats/inferential.py:1173).
+
+    D = max over observed values of |ECDF_a(x) - ECDF_b(x)|, computed with
+    cumulative per-group counts over the value ordering (SURVEY §2.10's
+    "sorted cumulative window").  The sort runs over *distinct values with
+    per-group counts* — dedupe first keeps the sorted set small; for
+    100 TB, pre-bin with a quantile sketch.  Output: (ks_stat, n_a, n_b).
+    """
+    v, g = F.col(value_col), F.col(group_col)
+    sub = df.where(g.isin([group_a, group_b])).select(
+        v.alias("x"),
+        F.when(g == group_a, 1).otherwise(0).alias("ia"),
+        F.when(g == group_b, 1).otherwise(0).alias("ib"),
+    )
+    per_val = sub.groupBy("x").agg(
+        F.sum("ia").alias("ca"), F.sum("ib").alias("cb")
+    )
+    w = Window.orderBy(F.col("x")).rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    cdf = per_val.select(
+        (F.sum("ca").over(w) / F.sum("ca").over(tot)).alias("fa"),
+        (F.sum("cb").over(w) / F.sum("cb").over(tot)).alias("fb"),
+        F.sum("ca").over(tot).alias("n_a"),
+        F.sum("cb").over(tot).alias("n_b"),
+    )
+    return cdf.agg(
+        F.max(F.abs(F.col("fa") - F.col("fb"))).alias("ks_stat"),
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+    )
