@@ -27,6 +27,12 @@ HEADLINE = [
     "rank_suppliers_in_nation",
     "hash_split_test_counts",
     "moving_average_revenue",
+    # round 2: LLM-pipeline + ts + stats headline ops
+    "minhash_near_dup_pairs",
+    "embedding_cosine_topk",
+    "text_quality_language",
+    "ts_engineering_daily_events",
+    "anova_events",
 ]
 
 
@@ -40,8 +46,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     names = [n for n in HEADLINE if n in QUERIES]
-    # warm the JVM + parquet footers with the cheapest query once
-    QUERIES[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # One untimed warm pass compiles whole-stage codegen and JIT-warms the
+    # generated classes (first execution of a complex plan pays ~10-20s of
+    # compilation that is irrelevant at cluster scale); the timed pass
+    # then measures steady-state execution.  cold_sec reports the warm
+    # pass total for transparency.
+    t0 = time.perf_counter()
+    for name in names:
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    cold_total = round(time.perf_counter() - t0, 3)
 
     timings: dict[str, float] = {}
     for name in names:
@@ -61,6 +74,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "cold_sec": cold_total,
                 "sf": sf_val,
             }
         )

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from gofast_spark.text.analysis import normalize_text
-from gofast_spark.text.hashing import char_hash
+from gofast_spark.text.hashing import md5_hash64
 
 # Mersenne prime 2^31-1; (a*h+b) mod P with h < 2^31 keeps every
 # intermediate < 2^62 — safe in int64 on both Spark and DuckDB.
@@ -67,20 +67,43 @@ def doc_shingles(
     fewer than ``k`` tokens contributes its whole token string as one
     shingle.  Output has one row per distinct shingle per doc.
     """
+    # the shingle projection is compute-heavy; a small source file (one
+    # parquet part) would otherwise pin it to one core — spread it before
+    # exploding
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    from pyspark.sql import Window
+
+    # Build k-grams with window lead() over exploded tokens instead of a
+    # transform/slice lambda: higher-order functions run interpreted in
+    # Spark (~100x slower per element), while posexplode + lead are
+    # whole-stage-codegen'd / native window ops.  concat_ws skips the NULL
+    # leads past the end; the filter keeps full k-grams plus the single
+    # whole-text shingle for docs shorter than k tokens.
     toks = F.split(normalize_text(text_col), " ")
-    shingles = F.when(
-        F.size(toks) < k, F.array(F.concat_ws("|", toks))
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - k),
-            lambda i: F.concat_ws("|", F.slice(toks, i + 1, k)),
-        )
+    tok = df.select(
+        F.col(id_col),
+        F.size(toks).alias("__sz"),
+        F.posexplode(toks).alias("__pos", "__tok"),
     )
-    exploded = df.select(
-        F.col(id_col), F.explode(F.array_distinct(shingles)).alias("__shingle")
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    parts = [F.col("__tok")] + [F.lead("__tok", j).over(w) for j in range(1, k)]
+    sh = tok.select(
+        id_col,
+        "__sz",
+        "__pos",
+        F.concat_ws("|", *parts).alias("__shingle"),
+    ).where(
+        (F.col("__pos") + k <= F.col("__sz"))
+        | ((F.col("__pos") == 0) & (F.col("__sz") < k))
     )
-    return exploded.select(
-        id_col, char_hash("__shingle").alias(hash_col)
+    # md5-based portable hash folded into [0, 2^31) so the minhash
+    # (a*h+b) products stay within int64 on both engines
+    h31 = F.pmod(md5_hash64(F.col("__shingle")), F.lit(2**31))
+    return sh.select(
+        id_col, h31.alias(hash_col)
     ).dropDuplicates([id_col, hash_col])
 
 
@@ -197,9 +220,12 @@ def near_dup_pairs(
     rows_per_band: int = 2,
 ) -> DataFrame:
     """End-to-end near-duplicate pairs: shingle -> minhash -> LSH bands ->
-    exact-Jaccard verify >= threshold.  Callers doing repeated passes should
-    ``.persist()`` the shingle stage (it feeds both signing and verify)."""
-    sh = doc_shingles(df, id_col, text_col, k=k)
+    exact-Jaccard verify >= threshold.
+
+    The shingle stage feeds signing, both verify legs, and the size
+    aggregate — it is persisted so the expensive hash projection runs
+    once instead of four times."""
+    sh = doc_shingles(df, id_col, text_col, k=k).persist()
     sig = minhash_signatures(sh, id_col, num_hashes=num_hashes)
     cand = lsh_candidate_pairs(
         sig, id_col, num_hashes=num_hashes, rows_per_band=rows_per_band

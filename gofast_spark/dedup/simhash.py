@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from gofast_spark.text.analysis import tokenize_text
-from gofast_spark.text.hashing import char_hash
+from gofast_spark.text.hashing import md5_hash64
 
 
 def simhash(
@@ -33,10 +33,14 @@ def simhash(
     formulation.  Tie (vote sum == 0) resolves to bit=1 on both engines
     (``>= 0``).
     """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
     toks = df.select(
         F.col(id_col), F.explode(tokenize_text(text_col)).alias("__tok")
     )
-    hashed = toks.select(id_col, char_hash("__tok").alias("__h"))
+    hashed = toks.select(id_col, md5_hash64(F.col("__tok")).alias("__h"))
     votes = hashed.groupBy(id_col).agg(
         *[
             F.sum(

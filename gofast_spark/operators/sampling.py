@@ -48,8 +48,11 @@ def random_sampling(
     - With ``key``: deterministic hash sampling (stable across runs,
       partitionings and engines) — the scale path.
     - Without ``key``: Spark native ``sample`` (fast, one pass) for
-      fractions; exact-n via ``orderBy(rand(seed)).limit(n)`` which costs a
-      total sort — fine for small n, documented as driver-bound otherwise.
+      fractions; exact-n via **two-phase threshold sampling** — tag rows
+      with ``rand(seed)``, find the ~(n/N) quantile of the tag with a
+      one-pass sketch, filter to the ~n surviving rows, and only sort
+      that small survivor set.  The global sort of the raw table that
+      ``orderBy(rand).limit(n)`` would cost never happens.
     """
     if fraction is None and n is None:
         raise ValueError("give fraction or n")
@@ -58,7 +61,19 @@ def random_sampling(
         return df.where(hash_bucket(F.col(key), seed=seed) < pct)
     if fraction is not None:
         return df.sample(withReplacement=with_replacement, fraction=fraction, seed=seed)
-    return df.orderBy(F.rand(seed)).limit(int(n))
+    n = int(n)
+    tagged = df.withColumn("__r", F.rand(seed))
+    total = tagged.count()
+    if total <= n:
+        return tagged.drop("__r")
+    # 20% slack over the exact quantile absorbs sketch error; the final
+    # exact top-n sort touches only ~1.2*n rows
+    frac = min(1.0, (n / total) * 1.2)
+    thresh = tagged.agg(
+        F.percentile_approx(F.col("__r"), frac, 10000).alias("t")
+    ).first()["t"]
+    survivors = tagged.where(F.col("__r") <= thresh)
+    return survivors.orderBy(F.col("__r").asc()).limit(n).drop("__r")
 
 
 def split_train_test_by_id(

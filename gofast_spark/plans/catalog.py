@@ -787,4 +787,5 @@ from gofast_spark.plans import catalog_llm  # noqa: E402,F401  (registration)
 from gofast_spark.plans import catalog_quality  # noqa: E402,F401  (registration)
 from gofast_spark.plans import catalog_sql  # noqa: E402,F401  (registration)
 from gofast_spark.plans import catalog_stats  # noqa: E402,F401  (registration)
+from gofast_spark.plans import catalog_streaming  # noqa: E402,F401  (registration)
 from gofast_spark.plans import catalog_ts  # noqa: E402,F401  (registration)

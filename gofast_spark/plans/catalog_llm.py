@@ -18,9 +18,20 @@ from gofast_spark.dedup.minhash import MINHASH_COEFFS, MINHASH_P
 from gofast_spark.plans.catalog import _t, query
 from gofast_spark.sim.lsh import hyperplane_weight
 from gofast_spark.text.analysis import EN_STOPWORDS, LANG_STOPWORDS
-from gofast_spark.text.hashing import char_hash_sql
+from gofast_spark.text.hashing import char_hash_sql, md5_hash64_sql
 
 # --- shared DuckDB SQL fragments (mirror text.analysis exactly) -----------
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents table spread across the cluster: the text entries run
+    token-array higher-order functions (interpreted, compute-heavy), and a
+    single small parquet part would pin them to one core."""
+    d = _t(spark, sf_dir, "documents")
+    target = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < target:
+        d = d.repartition(target)
+    return d
+
 
 def _norm_sql(c: str) -> str:
     return (
@@ -46,7 +57,7 @@ _SHINGLE_CTES = f"""
              ELSE list_transform(range(1, len(tk) - 1),
                   i -> tk[i] || '|' || tk[i+1] || '|' || tk[i+2]) END)) AS s
       FROM toks),
-    shh AS (SELECT DISTINCT doc_id, {char_hash_sql('s')} AS h FROM sh),
+    shh AS (SELECT DISTINCT doc_id, {md5_hash64_sql('s')} % 2147483648 AS h FROM sh),
     sig AS (
       SELECT doc_id,
              {", ".join(f"min(({a} * h + {b}) % {MINHASH_P}) AS mh_{j}"
@@ -79,7 +90,7 @@ def text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gofast_spark.text import text_stats
 
     # fixture already carries an n_chars column; keep only what we recompute
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _docs(spark, sf_dir).select("doc_id", "text")
     out = text_stats(d, "text")
     return out.select(
         "doc_id",
@@ -116,7 +127,7 @@ def text_quality_language(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring + heuristic language-ID (builder-brief text layer)."""
     from gofast_spark.text import language_id, quality_score
 
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     out = language_id(quality_score(d, "text"), "text")
     return out.select(
         "doc_id",
@@ -139,7 +150,7 @@ def doc_fingerprint_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable document fingerprint + BPE-ish token count."""
     from gofast_spark.text import doc_fingerprint, normalize_text, token_count_bpeish
 
-    d = _t(spark, sf_dir, "documents").withColumn("__norm", normalize_text("text"))
+    d = _docs(spark, sf_dir).withColumn("__norm", normalize_text("text"))
     return d.select(
         "doc_id",
         doc_fingerprint("__norm").alias("fingerprint"),
@@ -242,7 +253,7 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH norm AS (SELECT doc_id, {_norm_sql('text')} AS t FROM documents),
     tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM norm),
-    h AS (SELECT doc_id, {char_hash_sql('w')} AS th FROM tok),
+    h AS (SELECT doc_id, {md5_hash64_sql('w')} AS th FROM tok),
     votes AS (
       SELECT doc_id,
              {", ".join(f"sum(2 * ((th >> {k}) & 1) - 1) AS v_{k}" for k in range(16))}

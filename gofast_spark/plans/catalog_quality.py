@@ -320,4 +320,46 @@ def verify_integrity_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gofast_spark.quality import verify_data_integrity
 
     c = _t(spark, sf_dir, "customer").select("c_acctbal", "c_nationkey")
-    return verify_data_integrity(c)
+    return verify_data_integrity(c, exact=True)
+
+
+@query(
+    "gini_acctbal",
+    oracle="""
+    WITH r AS (
+      SELECT c_acctbal AS x, row_number() OVER (ORDER BY c_acctbal) AS i
+      FROM customer WHERE c_acctbal IS NOT NULL)
+    SELECT CAST(round(2.0 * sum(i * x) / (count(*) * sum(x))
+                - (count(*) + 1.0) / count(*), 6) AS DOUBLE) AS gini
+    FROM r
+    """,
+)
+def gini_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient via the distinct-value rank identity (gini_coeffs,
+    gofast/stats/descriptive.py:51) — the oracle uses the naive raw-rank
+    formula, proving the reduced formulation is exactly equivalent."""
+    from gofast_spark.stats import gini_coeff
+
+    c = _t(spark, sf_dir, "customer")
+    out = gini_coeff(c, "c_acctbal")
+    return out.select(F.round("gini", 6).cast("double").alias("gini"))
+
+
+@query(
+    "weighted_median_quantity",
+    oracle="""
+    WITH pv AS (SELECT l_quantity AS v, sum(l_extendedprice) AS w FROM lineitem GROUP BY 1),
+    c AS (
+      SELECT v, sum(w) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               / sum(w) OVER () AS cw
+      FROM pv)
+    SELECT min(v) AS weighted_median FROM c WHERE cw >= 0.5
+    """,
+)
+def weighted_median_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median over per-value weight sums (wmedian,
+    gofast/stats/descriptive.py:517)."""
+    from gofast_spark.stats import weighted_median
+
+    li = _t(spark, sf_dir, "lineitem")
+    return weighted_median(li, "l_quantity", "l_extendedprice")

@@ -20,22 +20,29 @@ from gofast_spark.quality.outliers import handle_outliers_in
 from gofast_spark.quality.scaling import minmax_scale
 
 
-def verify_data_integrity(df: DataFrame) -> DataFrame:
+def verify_data_integrity(df: DataFrame, *, exact: bool = False) -> DataFrame:
     """Integrity report: missing / distinct / outlier counts per numeric col.
 
     Reference: ``verify_data_integrity`` (gofast/dataops/inspection.py:28)
     returns (is_ok, report frame).  One aggregation pass computes null
     counts and IQR bounds; a second counts out-of-bound rows.  Output:
     (column, n_missing, missing_ratio, n_distinct, n_outliers).
+
+    Scale default: HyperLogLog distinct counts and sketch quantiles
+    (``exact=False``) — a profile report doesn't need exact cardinality,
+    and the exact N-column count-distinct expands the scan N-fold.
+    ``exact=True`` is the oracle-parity path.
     """
     num = [c for c, t in df.dtypes if t in ("double", "float", "int", "bigint")]
+    cd = F.countDistinct if exact else F.approx_count_distinct
+    pf = F.percentile if exact else F.percentile_approx
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in num:
         aggs += [
             F.sum(_is_missing(df, c).cast("bigint")).alias(f"__m_{c}"),
-            F.countDistinct(F.col(c)).alias(f"__d_{c}"),
-            F.percentile(F.col(c), 0.25).alias(f"__q1_{c}"),
-            F.percentile(F.col(c), 0.75).alias(f"__q3_{c}"),
+            cd(F.col(c)).alias(f"__d_{c}"),
+            pf(F.col(c), 0.25).alias(f"__q1_{c}"),
+            pf(F.col(c), 0.75).alias(f"__q3_{c}"),
         ]
     row = df.agg(*aggs).first()
     out_aggs = []

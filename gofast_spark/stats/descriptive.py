@@ -95,36 +95,76 @@ def mode_of(df: DataFrame, column: str) -> DataFrame:
     )
 
 
-def gini_coeff(df: DataFrame, column: str) -> DataFrame:
-    """Gini coefficient via the sorted-rank identity:
-    G = (2 * sum(i * x_i) / (n * sum(x)) - (n + 1) / n), x sorted ascending.
+def gini_coeff(
+    df: DataFrame, column: str, *, approx_buckets: int | None = None
+) -> DataFrame:
+    """Gini coefficient, scale-safe.
 
-    Reference: ``gini_coeffs`` (gofast/stats/descriptive.py:51).  One sort
-    (window rank) + one aggregation — no driver collect.
+    Reference: ``gini_coeffs`` (gofast/stats/descriptive.py:51) sorts the
+    raw array.  A raw-table global sort is a single-partition window at
+    100 TB, so instead the data is first reduced to **distinct values with
+    counts and sums** (one hash aggregation), and the sorted-rank identity
+    is evaluated on that reduced set: for a distinct value v with count c
+    and m values before it, the ranks m+1..m+c contribute
+    ``v * (c*m + c*(c+1)/2)`` to ``sum(i * x_i)``.  The remaining ordered
+    window runs over distinct values only.
+
+    ``approx_buckets=B`` first quantizes values into B equal-width buckets
+    (bucket mean substitutes for the value) — bounds the distinct set for
+    pathological all-unique columns at a documented approximation.
     """
     c = F.col(column)
-    w = Window.orderBy(c.asc(), F.monotonically_increasing_id())
-    ranked = df.where(c.isNotNull()).withColumn("__i", F.row_number().over(w))
-    return ranked.agg(
-        (
-            F.lit(2.0) * F.sum(F.col("__i") * c) / (F.count(c) * F.sum(c))
-            - (F.count(c) + F.lit(1.0)) / F.count(c)
-        ).alias("gini")
+    src = df.where(c.isNotNull()).select(c.alias("v"))
+    if approx_buckets:
+        lo, hi = src.agg(F.min("v"), F.max("v")).first()
+        width = ((hi - lo) or 1.0) / approx_buckets
+        b = F.least(
+            F.floor((F.col("v") - F.lit(lo)) / F.lit(width)),
+            F.lit(approx_buckets - 1),
+        )
+        src = src.groupBy(b.alias("__b")).agg(
+            F.avg("v").alias("v"), F.count(F.lit(1)).alias("c"), F.sum("v").alias("s")
+        )
+    else:
+        src = src.groupBy("v").agg(
+            F.count(F.lit(1)).alias("c"), F.sum("v").alias("s")
+        )
+    w = (
+        Window.orderBy(F.col("v").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = src.select(
+        "v",
+        "c",
+        "s",
+        F.coalesce(F.sum("c").over(w), F.lit(0)).alias("__m"),
+    )
+    num = F.sum(
+        F.col("v") * (F.col("c") * F.col("__m") + F.col("c") * (F.col("c") + 1) / 2.0)
+    )
+    n = F.sum("c")
+    tot = F.sum(F.col("v") * F.col("c"))
+    return cum.agg(
+        (F.lit(2.0) * num / (n * tot) - (n + F.lit(1.0)) / n).alias("gini")
     )
 
 
 def weighted_median(df: DataFrame, value_col: str, weight_col: str) -> DataFrame:
-    """Weighted median via cumulative-weight window.
+    """Weighted median, scale-safe: weights are first summed per distinct
+    value (hash aggregation), then the cumulative-weight window runs over
+    the distinct values only — never a raw-table global sort.
 
     Reference: ``wmedian`` (gofast/stats/descriptive.py:517).  The first
     value whose running weight reaches half the total weight.
     """
     v, wt = F.col(value_col), F.col(weight_col)
-    cum = Window.orderBy(v.asc()).rowsBetween(Window.unboundedPreceding, 0)
+    per_val = df.where(v.isNotNull()).groupBy(v.alias("v")).agg(
+        F.sum(wt).alias("__w")
+    )
+    cum = Window.orderBy(F.col("v").asc()).rowsBetween(Window.unboundedPreceding, 0)
     tot = Window.partitionBy()
-    cdf = df.select(
-        v.alias("v"),
-        (F.sum(wt).over(cum) / F.sum(wt).over(tot)).alias("__cw"),
+    cdf = per_val.select(
+        "v", (F.sum("__w").over(cum) / F.sum("__w").over(tot)).alias("__cw")
     )
     return (
         cdf.where(F.col("__cw") >= 0.5)

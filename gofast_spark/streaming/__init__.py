@@ -1,0 +1,19 @@
+"""Structured Streaming surface (SURVEY §2.12 — net-new vs the reference,
+which has no streaming engine; its only stream-adjacent code is a Kafka
+task trigger, gofast/mlops/automation.py:1461)."""
+
+from gofast_spark.streaming.ops import (
+    read_event_stream,
+    run_available_now,
+    sessionized_aggregate,
+    stream_dedup,
+    windowed_aggregate,
+)
+
+__all__ = [
+    "read_event_stream",
+    "windowed_aggregate",
+    "sessionized_aggregate",
+    "stream_dedup",
+    "run_available_now",
+]

@@ -1,0 +1,133 @@
+"""Streaming operators over the events schema.
+
+Structured Streaming shares Catalyst with batch, so these return the same
+lazy DataFrames the batch operators do — watermarks bound state, windows
+aggregate event-time, ``availableNow`` drains a source as a sequence of
+micro-batches and terminates (the deterministic replay mode the tests and
+the correctness catalog use; a live job just swaps the trigger).
+"""
+
+from __future__ import annotations
+
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# events.parquet schema with ts as raw nanos (the engine-wide
+# nanosAsLong policy; see session._LOCAL_DEFAULTS)
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, *, glob: str | None = None
+) -> DataFrame:
+    """File-source stream of the events table (schema mandatory for
+    streaming reads; nanos ts converted to a proper timestamp inline)."""
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.parquet(path)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_aggregate(
+    sdf: DataFrame,
+    ts_col: str,
+    window: str,
+    *,
+    slide: str | None = None,
+    watermark: str | None = None,
+    group_cols: Sequence[str] = (),
+    aggs: dict[str, str] | None = None,
+) -> DataFrame:
+    """Tumbling/sliding event-time window aggregation.
+
+    ``watermark`` (e.g. ``'1 hour'``) bounds state for late data; without
+    it only ``complete`` output mode is valid.  ``aggs`` maps column ->
+    sum/avg/min/max/count (aliased ``col_fn``).
+    """
+    out = sdf
+    if watermark:
+        out = out.withWatermark(ts_col, watermark)
+    win = (
+        F.window(F.col(ts_col), window, slide)
+        if slide
+        else F.window(F.col(ts_col), window)
+    )
+    spec = aggs or {"*": "count"}
+    agg_cols = []
+    for c, fn in spec.items():
+        if fn == "count":
+            agg_cols.append(F.count(F.lit(1)).alias("n" if c == "*" else f"{c}_count"))
+        else:
+            agg_cols.append(getattr(F, fn)(F.col(c)).alias(f"{c}_{fn}"))
+    return out.groupBy(win.alias("w"), *[F.col(c) for c in group_cols]).agg(*agg_cols)
+
+
+def sessionized_aggregate(
+    sdf: DataFrame,
+    ts_col: str,
+    gap: str,
+    *,
+    watermark: str = "1 hour",
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Session windows (gap-based) per group — counts and span per session."""
+    out = sdf.withWatermark(ts_col, watermark)
+    return out.groupBy(
+        F.session_window(F.col(ts_col), gap).alias("w"),
+        *[F.col(c) for c in group_cols],
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def stream_dedup(
+    sdf: DataFrame,
+    keys: Sequence[str],
+    *,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming dedup with bounded state
+    (``dropDuplicatesWithinWatermark``): duplicates arriving within the
+    watermark horizon are suppressed; state older than the horizon is
+    evicted — the streaming analog of ``handle_duplicates('drop')``."""
+    return sdf.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
+def run_available_now(
+    sdf: DataFrame, *, mode: str = "complete", name: str | None = None
+) -> DataFrame:
+    """Drain the stream with the ``availableNow`` trigger into a memory
+    sink and return the materialized result as a batch DataFrame —
+    deterministic micro-batch replay for tests and the correctness gate."""
+    qname = name or f"q_{uuid.uuid4().hex[:12]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return sdf.sparkSession.table(qname)

@@ -23,6 +23,8 @@ from gofast_spark.text.hashing import (
     char_hash,
     char_hash_sql,
     doc_fingerprint,
+    md5_hash64,
+    md5_hash64_sql,
 )
 
 __all__ = [
@@ -34,6 +36,8 @@ __all__ = [
     "language_id",
     "char_hash",
     "char_hash_sql",
+    "md5_hash64",
+    "md5_hash64_sql",
     "doc_fingerprint",
     "LCG_A",
     "LCG_C",
