@@ -148,3 +148,144 @@ def nearest_join(
     if row_id is not None:
         out = out.drop(row_id)
     return out
+
+
+def nearest_join_2d(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: tuple[str, str],
+    right_on: tuple[str, str],
+    *,
+    threshold: float,
+    keep: str = "closest",
+    tiebreak: str | None = None,
+    left_key: str | Sequence[str] | None = None,
+) -> DataFrame:
+    """Nearest-match join in two dimensions (euclidean distance within
+    ``threshold``).
+
+    Reference: ``dual_merge`` with ``find_closest=True`` over
+    (longitude, latitude) (gofast/utils/spatial_utils.py:2318-2477).
+
+    Strategy: 2-D band join — both sides bucket to a grid of cell size
+    ``threshold``; each right row replicates into its 3x3 cell
+    neighborhood, the join is an equi-join on the cell id, and the true
+    euclidean predicate filters inside the cell match.  Replication factor
+    is a constant 9, so the cost stays linear and hash-partitionable —
+    never a cross product.
+    """
+    lx, ly = left_on
+    rx, ry = right_on
+    row_id = None
+    if keep != "all" and left_key is None:
+        row_id = "__left_rid"
+        left = left.withColumn(row_id, F.monotonically_increasing_id())
+    lt = left.select(
+        "*",
+        F.floor(F.col(lx) / F.lit(threshold)).alias("__bx"),
+        F.floor(F.col(ly) / F.lit(threshold)).alias("__by"),
+    )
+    offs = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ]
+        )
+    ).alias("__o")
+    rt = right.select(
+        "*",
+        F.floor(F.col(rx) / F.lit(threshold)).alias("__rbx"),
+        F.floor(F.col(ry) / F.lit(threshold)).alias("__rby"),
+        offs,
+    )
+    rt = (
+        rt.withColumn("__bx", F.col("__rbx") + F.col("__o.dx"))
+        .withColumn("__by", F.col("__rby") + F.col("__o.dy"))
+        .drop("__rbx", "__rby", "__o")
+    )
+    dist = F.sqrt(
+        F.pow(lt[lx] - rt[rx], 2) + F.pow(lt[ly] - rt[ry], 2)
+    )
+    joined = (
+        lt.join(rt, on=["__bx", "__by"], how="inner")
+        .where(dist <= threshold)
+        .withColumn("__dist", dist)
+    )
+    if keep == "all":
+        return joined.drop("__bx", "__by", "__dist")
+    if left_key is not None:
+        part_cols = [left_key] if isinstance(left_key, str) else list(left_key)
+        part = [lt[c] for c in part_cols]
+    else:
+        part = [F.col(row_id)]
+    order = [F.col("__dist").asc()]
+    if tiebreak:
+        tb = rt[tiebreak] if tiebreak in right.columns else F.col(tiebreak)
+        order.append(tb.asc())
+    w = Window.partitionBy(*part).orderBy(*order)
+    out = (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__bx", "__by", "__dist", "__rn")
+    )
+    if row_id is not None:
+        out = out.drop(row_id)
+    return out
+
+
+def dual_merge(
+    df1: DataFrame,
+    df2: DataFrame,
+    feature_cols: tuple[str, str] = ("longitude", "latitude"),
+    *,
+    find_closest: bool = False,
+    threshold: float = 0.01,
+    how: str = "inner",
+    decimals: int = 7,
+    left_key: str | Sequence[str] | None = None,
+) -> DataFrame:
+    """Reference-signature facade (dual_merge,
+    gofast/utils/spatial_utils.py:2318): exact mode joins on coordinates
+    rounded to ``decimals`` (pair_data fast path); ``find_closest`` mode
+    runs the 2-D band nearest join within ``threshold``."""
+    if not find_closest:
+        return pair_data(df1, df2, on=list(feature_cols), decimals=decimals, how=how)
+    return nearest_join_2d(
+        df1,
+        df2,
+        (feature_cols[0], feature_cols[1]),
+        (feature_cols[0], feature_cols[1]),
+        threshold=threshold,
+        left_key=left_key,
+    )
+
+
+def truncate_data(
+    df: DataFrame,
+    base: DataFrame,
+    coord_cols: Sequence[str],
+    *,
+    base_cols: Sequence[str] | None = None,
+    decimals: int = 7,
+    invert: bool = False,
+) -> DataFrame:
+    """Restrict ``df`` to rows whose (rounded) coordinates appear in
+    ``base`` — a left-semi join on derived rounded keys (left-anti with
+    ``invert``).
+
+    Reference: ``truncate_data`` (gofast/utils/data_utils.py:2623).
+    """
+    bcols = list(base_cols or coord_cols)
+    lt = df.select("*", *[
+        F.round(F.col(c), decimals).alias(f"__k_{i}") for i, c in enumerate(coord_cols)
+    ])
+    rt = base.select(*[
+        F.round(F.col(c), decimals).alias(f"__k_{i}") for i, c in enumerate(bcols)
+    ]).dropDuplicates()
+    cond = [lt[f"__k_{i}"] == rt[f"__k_{i}"] for i in range(len(coord_cols))]
+    how = "left_anti" if invert else "left_semi"
+    return lt.join(rt, on=cond, how=how).drop(
+        *[f"__k_{i}" for i in range(len(coord_cols))]
+    )

@@ -171,3 +171,137 @@ def fill_forward(
     else:
         raise ValueError("direction must be ffill|bfill")
     return df.withColumn(name, expr)
+
+
+def interpolate_data(
+    df: DataFrame,
+    value_col: str,
+    order_by: str | Sequence[str],
+    *,
+    partition_by: str | Sequence[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Linear interpolation of NULL runs along an explicit ordering.
+
+    Reference: ``interpolate_data`` (gofast/utils/base_utils.py:5628) —
+    pandas ``interpolate(method='linear')`` semantics: interior NULLs get
+    the linear blend of the surrounding non-NULLs (by row position),
+    trailing NULLs carry the last value forward, leading NULLs stay NULL.
+
+    All window expressions (prev/next non-null value and position via
+    ignore-nulls last/first over the two directional frames).
+    """
+    name = out_col or f"{value_col}_interp"
+    v = F.col(value_col)
+    base = _window(order_by, partition_by)
+    back = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fwd = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    t = F.row_number().over(base)
+    marked = df.withColumn("__t", t)
+    vt = F.when(v.isNotNull(), F.col("__t"))
+    prev_v = F.last(v, ignorenulls=True).over(back)
+    prev_t = F.last(vt, ignorenulls=True).over(back)
+    next_v = F.first(v, ignorenulls=True).over(fwd)
+    next_t = F.first(vt, ignorenulls=True).over(fwd)
+    interp = prev_v + (next_v - prev_v) * (F.col("__t") - prev_t) / (next_t - prev_t)
+    filled = (
+        F.when(v.isNotNull(), v)
+        .when(prev_v.isNull(), F.lit(None))      # leading gap
+        .when(next_v.isNull(), prev_v)           # trailing gap -> ffill
+        .otherwise(interp)
+    )
+    return marked.withColumn(name, filled).drop("__t")
+
+
+def adaptive_moving_average(
+    df: DataFrame,
+    value_col: str,
+    order_by: str | Sequence[str],
+    *,
+    window_size_factor: float = 0.1,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Symmetric boxcar mean whose half-width scales with the series
+    length: ``ws = int(factor * n)``, frame ``[i-ws, i+ws]`` clipped at the
+    edges.
+
+    Reference: ``adaptive_moving_average``
+    (gofast/utils/spatial_utils.py:5043) — identical loop semantics.
+    Two-pass: one count fixes ``ws`` (driver literal), then a single
+    window average.  Intended for reduced series (the count pins a global
+    frame width); partition-varying widths would need per-group counts.
+    """
+    name = out_col or f"{value_col}_ama"
+    n = df.count()
+    ws = int(window_size_factor * n)
+    w = _window(order_by).rowsBetween(-ws, ws)
+    return df.withColumn(name, F.avg(value_col).over(w))
+
+
+def rolling_slope(
+    df: DataFrame,
+    value_col: str,
+    time_index_col: str,
+    order_by: str | Sequence[str],
+    *,
+    window_size: int = 14,
+    partition_by: str | Sequence[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Rolling OLS slope of value vs a numeric time index over the
+    trailing ``window_size`` rows:
+    ``slope = (n*Σtv - Σt*Σv) / (n*Σt² - (Σt)²)``.
+
+    Reference: ``TrendFeatureExtractor`` (gofast/transformers/ts.py:141)
+    order-1 fit, windowed.  Four windowed sums — one Window node, no
+    Python.  NULL where the window is degenerate (single row).
+    """
+    name = out_col or f"{value_col}_slope_{window_size}"
+    w = _window(order_by, partition_by).rowsBetween(-(window_size - 1), 0)
+    t, v = F.col(time_index_col), F.col(value_col)
+    n = F.count(v).over(w)
+    st = F.sum(t).over(w)
+    sv = F.sum(v).over(w)
+    stv = F.sum(t * v).over(w)
+    stt = F.sum(t * t).over(w)
+    den = n * stt - st * st
+    return df.withColumn(
+        name, F.when(den != 0, (n * stv - st * sv) / den)
+    )
+
+
+def smooth1d(
+    df: DataFrame,
+    value_col: str,
+    order_by: str | Sequence[str],
+    *,
+    half_width: int = 3,
+    kernel: str = "boxcar",
+    partition_by: str | Sequence[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Symmetric kernel smoothing over ``±half_width`` rows.
+
+    Reference: ``smooth1d`` (gofast/utils/base_utils.py:5221).  boxcar is
+    a plain symmetric window mean; triangle weights ``k+1-|j|`` are an
+    explicit lag/lead weighted sum renormalized by the weights actually
+    present at the edges.  All JVM window/offset expressions.
+    """
+    name = out_col or f"{value_col}_smooth"
+    k = half_width
+    if kernel == "boxcar":
+        w = _window(order_by, partition_by).rowsBetween(-k, k)
+        return df.withColumn(name, F.avg(value_col).over(w))
+    if kernel != "triangle":
+        raise ValueError(f"unsupported kernel {kernel!r}")
+    w = _window(order_by, partition_by)
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for j in range(-k, k + 1):
+        wt = float(k + 1 - abs(j))
+        vj = F.col(value_col) if j == 0 else (
+            F.lag(value_col, -j).over(w) if j < 0 else F.lead(value_col, j).over(w)
+        )
+        num = num + F.coalesce(vj, F.lit(0.0)) * wt
+        den = den + F.when(vj.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+    return df.withColumn(name, num / den)

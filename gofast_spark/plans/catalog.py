@@ -785,7 +785,9 @@ def ffill_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 from gofast_spark.plans import catalog_functions  # noqa: E402,F401  (registration)
 from gofast_spark.plans import catalog_llm  # noqa: E402,F401  (registration)
 from gofast_spark.plans import catalog_quality  # noqa: E402,F401  (registration)
+from gofast_spark.plans import catalog_spatial  # noqa: E402,F401  (registration)
 from gofast_spark.plans import catalog_sql  # noqa: E402,F401  (registration)
 from gofast_spark.plans import catalog_stats  # noqa: E402,F401  (registration)
 from gofast_spark.plans import catalog_streaming  # noqa: E402,F401  (registration)
 from gofast_spark.plans import catalog_ts  # noqa: E402,F401  (registration)
+from gofast_spark.plans import catalog_windows  # noqa: E402,F401  (registration)

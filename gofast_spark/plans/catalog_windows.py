@@ -1,0 +1,162 @@
+"""Catalog entries for the §2.5 gap operators: linear interpolation,
+adaptive moving average, rolling trend slope, kernel smoothing — all over
+the daily events series (rounded on both sides before windowing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gofast_spark.plans.catalog import _t, query
+
+_DAILY = """
+    daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(round(sum(value), 4) AS DOUBLE) AS v
+      FROM events GROUP BY 1)
+"""
+
+
+def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.round(F.sum("value"), 4).cast("double").alias("v")
+    )
+
+
+@query(
+    "interpolate_daily_gaps",
+    oracle=f"""
+    WITH {_DAILY},
+    g AS (
+      SELECT d, CASE WHEN (row_number() OVER (ORDER BY d)) % 5 = 2
+                     THEN NULL ELSE v END AS v
+      FROM daily),
+    m AS (SELECT d, v, row_number() OVER (ORDER BY d) AS t FROM g),
+    x AS (
+      SELECT d, v, t,
+        last_value(v IGNORE NULLS) OVER wb AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER wb AS pt,
+        first_value(v IGNORE NULLS) OVER wf AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER wf AS nt
+      FROM m
+      WINDOW wb AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (ORDER BY d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT d,
+           CAST(round(CASE WHEN v IS NOT NULL THEN v
+                           WHEN pv IS NULL THEN NULL
+                           WHEN nv IS NULL THEN pv
+                           ELSE pv + (nv - pv) * (t - pt) * 1.0 / (nt - pt) END,
+                4) AS DOUBLE) AS v_interp
+    FROM x
+    """,
+)
+def interpolate_daily_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of synthesized gaps (interpolate_data,
+    gofast/utils/base_utils.py:5628)."""
+    from gofast_spark.operators import interpolate_data
+
+    daily = _daily(spark, sf_dir)
+    w = Window.orderBy("d")
+    gapped = daily.select(
+        "d",
+        F.when(F.row_number().over(w) % 5 == 2, None).otherwise(F.col("v")).alias("v"),
+    )
+    out = interpolate_data(gapped, "v", "d")
+    return out.select(
+        "d", F.round("v_interp", 4).cast("double").alias("v_interp")
+    )
+
+
+@query(
+    "adaptive_ma_daily",
+    oracle=f"""
+    WITH {_DAILY},
+    idx AS (SELECT d, v, row_number() OVER (ORDER BY d) AS rn FROM daily),
+    n AS (SELECT CAST(count(*) * 0.1 AS INTEGER) AS ws FROM daily)
+    SELECT a.d, CAST(round(avg(b.v), 4) AS DOUBLE) AS v_ama
+    FROM idx a JOIN idx b ON abs(a.rn - b.rn) <= (SELECT ws FROM n)
+    GROUP BY a.d
+    """,
+)
+def adaptive_ma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-adaptive symmetric mean (adaptive_moving_average,
+    gofast/utils/spatial_utils.py:5043) — Spark runs one window over the
+    ±ws frame; the oracle replays it as a banded self-join."""
+    from gofast_spark.operators import adaptive_moving_average
+
+    out = adaptive_moving_average(
+        _daily(spark, sf_dir), "v", "d", window_size_factor=0.1, out_col="v_ama"
+    )
+    return out.select("d", F.round("v_ama", 4).cast("double").alias("v_ama"))
+
+
+@query(
+    "rolling_slope_daily",
+    oracle=f"""
+    WITH {_DAILY},
+    m AS (
+      SELECT d, v,
+             CAST(date_diff('day', DATE '2024-01-01', d) AS DOUBLE) AS t
+      FROM daily),
+    s AS (
+      SELECT d,
+             count(v) OVER w AS n, sum(t) OVER w AS st, sum(v) OVER w AS sv,
+             sum(t * v) OVER w AS stv, sum(t * t) OVER w AS stt
+      FROM m
+      WINDOW w AS (ORDER BY d ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+    SELECT d,
+           CAST(round(CASE WHEN n * stt - st * st = 0 THEN NULL
+                ELSE (n * stv - st * sv) / (n * stt - st * st) END, 6) AS DOUBLE)
+             AS v_slope_14
+    FROM s
+    """,
+)
+def rolling_slope_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-day rolling OLS slope (TrendFeatureExtractor,
+    gofast/transformers/ts.py:141) from four windowed sums."""
+    from gofast_spark.operators import rolling_slope
+
+    daily = _daily(spark, sf_dir).withColumn(
+        "t", F.datediff(F.col("d"), F.lit("2024-01-01")).cast("double")
+    )
+    out = rolling_slope(daily, "v", "t", "d", window_size=14)
+    return out.select(
+        "d", F.round("v_slope_14", 6).cast("double").alias("v_slope_14")
+    )
+
+
+@query(
+    "smooth1d_triangle_daily",
+    oracle=f"""
+    WITH {_DAILY},
+    l AS (
+      SELECT d, v,
+             lag(v, 2) OVER w AS m2, lag(v, 1) OVER w AS m1,
+             lead(v, 1) OVER w AS p1, lead(v, 2) OVER w AS p2
+      FROM daily WINDOW w AS (ORDER BY d))
+    SELECT d,
+           CAST(round(
+             (coalesce(m2, 0) * 1 + coalesce(m1, 0) * 2 + v * 3
+              + coalesce(p1, 0) * 2 + coalesce(p2, 0) * 1)
+             / ((CASE WHEN m2 IS NULL THEN 0 ELSE 1 END)
+                + (CASE WHEN m1 IS NULL THEN 0 ELSE 2 END) + 3
+                + (CASE WHEN p1 IS NULL THEN 0 ELSE 2 END)
+                + (CASE WHEN p2 IS NULL THEN 0 ELSE 1 END)), 4) AS DOUBLE)
+             AS v_smooth
+    FROM l
+    """,
+)
+def smooth1d_triangle_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle-kernel smoothing, edge-renormalized (smooth1d,
+    gofast/utils/base_utils.py:5221)."""
+    from gofast_spark.operators import smooth1d
+
+    out = smooth1d(
+        _daily(spark, sf_dir), "v", "d", half_width=2, kernel="triangle",
+        out_col="v_smooth",
+    )
+    return out.select(
+        "d", F.round("v_smooth", 4).cast("double").alias("v_smooth")
+    )
