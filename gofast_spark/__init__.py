@@ -23,8 +23,16 @@ Sub-packages mirror SURVEY.md §2:
 - :mod:`gofast_spark.sql`        — DBAnalysis SQL facade (gofast/query.py parity)
 """
 
+from gofast_spark.core import Data, Frames, MergeableFrames, MergeableSeries
 from gofast_spark.session import get_session
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
-__all__ = ["get_session", "__version__"]
+__all__ = [
+    "get_session",
+    "Data",
+    "Frames",
+    "MergeableFrames",
+    "MergeableSeries",
+    "__version__",
+]

@@ -215,6 +215,33 @@ def one_hot_orderstatus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "data_facade_pipeline",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(dense_rank() OVER (ORDER BY o_orderpriority) - 1 AS INTEGER)
+             AS o_orderpriority_id,
+           o_totalprice AS price
+    FROM orders WHERE o_totalprice > 400000
+    """,
+)
+def data_facade_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deferred-op chain through the Data facade (SURVEY §3.2; reference
+    Data queue, gofast/dataops/core.py:31-171): filter -> encode ->
+    rename, composed into one Catalyst plan."""
+    from gofast_spark import Data
+
+    o = _t(spark, sf_dir, "orders")
+    out = (
+        Data(o)
+        .filter(F.col("o_totalprice") > 400000)
+        .encode("o_orderpriority")
+        .rename({"o_totalprice": "price"})
+        .execute()
+    )
+    return out.select("o_orderkey", "o_orderpriority", "o_orderpriority_id", "price")
+
+
+@query(
     "anonymize_customer_names",
     oracle="""
     SELECT c_custkey,

@@ -324,6 +324,101 @@ def verify_integrity_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "replace_data_region",
+    oracle="""
+    SELECT r_regionkey, r_name, copy_id
+    FROM region CROSS JOIN (SELECT unnest([0, 1, 2]) AS copy_id)
+    """,
+)
+def replace_data_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row replication via a broadcast range spine (replace_data,
+    gofast/utils/data_utils.py:4642)."""
+    from gofast_spark.quality import replace_data
+
+    r = _t(spark, sf_dir, "region")
+    out = replace_data(r, 3)
+    return out.select("r_regionkey", "r_name", "copy_id")
+
+
+@query(
+    "drop_correlated_lineitem",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+    FROM lineitem
+    """,
+)
+def drop_correlated_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """drop_correlated_features (gofast/dataops/quality.py:4054): a
+    planted perfectly-correlated column (2*l_quantity) must be dropped,
+    the independent columns kept — the oracle is the surviving schema."""
+    from gofast_spark.quality import drop_correlated_features
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        (F.col("l_quantity") * 2).alias("qty_x2"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    return drop_correlated_features(
+        li,
+        ["l_quantity", "qty_x2", "l_extendedprice", "l_discount"],
+        threshold=0.9,
+    )
+
+
+@query(
+    "nan_to_na_events",
+    oracle="""
+    SELECT event_id, CASE WHEN value < 30 THEN NULL ELSE value END AS v
+    FROM events
+    """,
+)
+def nan_to_na_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NaN -> NULL normalization (nan_to_na,
+    gofast/utils/data_utils.py:3086): Spark plants real float NaNs, the
+    operator converts them to SQL NULL, matching the oracle's NULLs."""
+    from gofast_spark.quality import nan_to_na
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("value") < 30, F.lit(float("nan")))
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    return nan_to_na(e, ["v"])
+
+
+@query(
+    "inspect_data_customer",
+    oracle="""
+    SELECT 'c_custkey' AS column, 'bigint' AS dtype,
+           CAST(count(*) FILTER (c_custkey IS NULL) AS BIGINT) AS n_missing,
+           CAST(count(*) FILTER (c_custkey IS NULL) AS DOUBLE) / count(*) AS missing_ratio,
+           CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_distinct,
+           CAST(min(c_custkey) AS VARCHAR) AS min_value,
+           CAST(max(c_custkey) AS VARCHAR) AS max_value
+    FROM customer
+    UNION ALL
+    SELECT 'c_mktsegment', 'string',
+           CAST(count(*) FILTER (c_mktsegment IS NULL) AS BIGINT),
+           CAST(count(*) FILTER (c_mktsegment IS NULL) AS DOUBLE) / count(*),
+           CAST(count(DISTINCT c_mktsegment) AS BIGINT),
+           min(c_mktsegment), max(c_mktsegment)
+    FROM customer
+    """,
+)
+def inspect_data_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-profile inspection in one aggregation pass (inspect_data,
+    gofast/dataops/inspection.py:257)."""
+    from gofast_spark.quality import inspect_data
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return inspect_data(c)
+
+
+@query(
     "gini_acctbal",
     oracle="""
     WITH r AS (

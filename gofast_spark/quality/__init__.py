@@ -8,6 +8,15 @@ from gofast_spark.quality.outliers import handle_outliers_in
 from gofast_spark.quality.scaling import minmax_scale, standard_scale, z_scores
 from gofast_spark.quality.skew import boxcox_lambda, boxcox_transformation, handle_skew, skewness_profile
 from gofast_spark.quality.audit import audit_data, verify_data_integrity
+from gofast_spark.quality.augment import (
+    add_noises_to,
+    augment_data,
+    cleaner,
+    drop_correlated_features,
+    inspect_data,
+    nan_to_na,
+    replace_data,
+)
 
 __all__ = [
     "handle_missing_data",
@@ -22,4 +31,15 @@ __all__ = [
     "handle_skew",
     "audit_data",
     "verify_data_integrity",
+    "missing_profile",
+    "skewness_profile",
+    "boxcox_lambda",
+    "boxcox_transformation",
+    "replace_data",
+    "augment_data",
+    "add_noises_to",
+    "nan_to_na",
+    "cleaner",
+    "drop_correlated_features",
+    "inspect_data",
 ]
