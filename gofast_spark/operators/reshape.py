@@ -131,6 +131,57 @@ def find_unique_elements(a: DataFrame, b: DataFrame, column: str) -> DataFrame:
     return a.select(column).distinct().exceptAll(b.select(column).distinct())
 
 
+def frame_union(
+    frames: Sequence[DataFrame], on: str | Sequence[str]
+) -> DataFrame:
+    """Column-wise feature union of transformer outputs joined on key(s).
+
+    Reference: ``FrameUnion``/``FrameUnionFlex``
+    (gofast/transformers/feature_engineering.py:3525, 3318) — sklearn
+    FeatureUnion over frames; pandas concats on the index, we join on the
+    explicit key.  Duplicate non-key names get positional suffixes.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    out = frames[0]
+    seen = set(out.columns)
+    for i, f in enumerate(frames[1:], start=1):
+        renames = {
+            c: f"{c}_{i}" for c in f.columns if c not in keys and c in seen
+        }
+        ff = f.withColumnsRenamed(renames) if renames else f
+        seen |= set(ff.columns)
+        out = out.join(ff, on=keys, how="outer")
+    return out
+
+
+def repeat_feature_accross(
+    df: DataFrame,
+    feature_df: DataFrame,
+    *,
+    spine_col: str,
+) -> DataFrame:
+    """Replicate feature rows across every value of a spine (e.g. copy a
+    static site profile across all years).
+
+    Reference: ``repeat_feature_accross`` (gofast/utils/data_utils.py:5197).
+    Implemented as a broadcast cross join with the distinct spine — the
+    feature table is the small side, so the plan is a broadcast
+    nested-loop with no shuffle of the spine.
+    """
+    spine = df.select(spine_col).distinct()
+    return spine.crossJoin(F.broadcast(feature_df))
+
+
+def swap_ic(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    """Swap index/column naming conventions via a rename map.
+
+    Reference: ``swap_ic`` (gofast/utils/data_utils.py:5543) — pandas
+    index/columns convention swaps; Spark has no index, so the operation
+    reduces to renames (the explicit-key policy, SURVEY §1.3).
+    """
+    return df.withColumnsRenamed(mapping)
+
+
 def generate_comparison(
     a: DataFrame, b: DataFrame, on: str | Sequence[str], columns: Sequence[str]
 ) -> DataFrame:

@@ -95,6 +95,113 @@ def split_train_test_by_id(
     return df.where(b >= cut), df.where(b < cut)
 
 
+def resample_data(
+    frames: "Sequence[DataFrame]",
+    key: str,
+    *,
+    fraction: float = 0.5,
+    seed: int = 0,
+) -> "list[DataFrame]":
+    """Consistent sampling of several frames: the SAME keys survive in
+    every frame (deterministic hash of the shared key), so joined
+    downstream analyses stay aligned.
+
+    Reference: ``resample_data`` (gofast/utils/data_utils.py:3187).
+    """
+    pct = int(round(fraction * 100))
+    return [
+        df.where(hash_bucket(F.col(key), seed=seed) < pct) for df in frames
+    ]
+
+
+def batch_sampling(
+    df: DataFrame,
+    key: str,
+    *,
+    n_batches: int = 4,
+    batch_col: str = "batch_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Assign every row a deterministic batch id in [0, n_batches)
+    (hash of the key — engine-portable, stable under data growth).
+
+    Reference: ``batch_sampling`` (gofast/utils/data_utils.py:5677) —
+    returns n separate samples there; Spark-idiomatically the batch id is
+    a column (filter per batch, or ``partitionBy(batch_col)`` on write).
+    """
+    return df.withColumn(
+        batch_col, hash_bucket(F.col(key), buckets=n_batches, seed=seed)
+    )
+
+
+def split_data(
+    df: DataFrame,
+    weights: "Sequence[float]",
+    *,
+    seed: int = 42,
+    key: str | None = None,
+) -> "list[DataFrame]":
+    """Split a frame by ratio.
+
+    Reference: ``split_data`` (gofast/dataops/transformation.py:206).
+    With ``key``: deterministic contiguous hash-bucket ranges (stable
+    across runs/engines); without: native ``randomSplit``.
+    """
+    if key is None:
+        return df.randomSplit(list(weights), seed=seed)
+    total = sum(weights)
+    bounds, acc = [], 0.0
+    for w in weights:
+        acc += w / total * 100
+        bounds.append(int(round(acc)))  # integer bucket boundaries
+    bounds[-1] = 100
+    b = hash_bucket(F.col(key), seed=seed)
+    out, lo = [], 0
+    for hi in bounds:
+        out.append(df.where((b >= lo) & (b < hi)))
+        lo = hi
+    return out
+
+
+def spatial_sampling(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    key: str,
+    *,
+    cell_size: float = 1.0,
+    fraction: float = 0.1,
+    seed: int = 0,
+    cell_col: str | None = None,
+) -> DataFrame:
+    """Spatially stratified sampling: rows hash-sample *within* grid
+    cells, so the sampled set preserves the spatial distribution.
+
+    Reference: ``spatial_sampling`` (gofast/utils/spatial_utils.py:3236).
+    The cell key is ``(floor(x/δ), floor(y/δ))``; sampling is the
+    deterministic key hash, so it needs no per-cell fraction dictionary
+    (unlike ``sampleBy``) and scales to unbounded cell counts.
+    """
+    pct = int(round(fraction * 100))
+    out = df.where(hash_bucket(F.col(key), seed=seed) < pct)
+    if cell_col:
+        out = out.withColumn(
+            cell_col,
+            F.concat_ws(
+                "_",
+                F.floor(F.col(x_col) / cell_size).cast("bigint"),
+                F.floor(F.col(y_col) / cell_size).cast("bigint"),
+            ),
+        )
+    return out
+
+
+def shrunkformat(df: DataFrame, n: int = 5) -> DataFrame:
+    """Truncated head view (shrunkformat, gofast/core/utils.py:1105) —
+    ``limit`` keeps it a plan node (no driver collect)."""
+    return df.limit(n)
+
+
 def stratified_sampling(
     df: DataFrame,
     strata_col: str,

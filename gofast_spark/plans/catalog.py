@@ -785,6 +785,7 @@ def ffill_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 from gofast_spark.plans import catalog_functions  # noqa: E402,F401  (registration)
 from gofast_spark.plans import catalog_llm  # noqa: E402,F401  (registration)
 from gofast_spark.plans import catalog_quality  # noqa: E402,F401  (registration)
+from gofast_spark.plans import catalog_sampling  # noqa: E402,F401  (registration)
 from gofast_spark.plans import catalog_spatial  # noqa: E402,F401  (registration)
 from gofast_spark.plans import catalog_sql  # noqa: E402,F401  (registration)
 from gofast_spark.plans import catalog_stats  # noqa: E402,F401  (registration)

@@ -1,0 +1,165 @@
+"""Catalog entries for the §2.6 sampling family and §2.7 reshape gaps —
+all deterministic via the engine-portable LCG key hash, so DuckDB replays
+every assignment exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gofast_spark.operators.sampling import _LCG_A, _LCG_C, _LCG_M
+from gofast_spark.plans.catalog import _t, query
+
+
+def _bucket_sql(key: str, buckets: int, seed: int = 0) -> str:
+    return f"((({key} + {seed}) * {_LCG_A} + {_LCG_C}) % {_LCG_M}) % {buckets}"
+
+
+@query(
+    "batch_sampling_counts",
+    oracle=f"""
+    SELECT event_type,
+           CAST({_bucket_sql('user_id', 4)} AS BIGINT) AS batch_id,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def batch_sampling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic batch assignment (batch_sampling,
+    gofast/utils/data_utils.py:5677)."""
+    from gofast_spark.operators.sampling import batch_sampling
+
+    e = _t(spark, sf_dir, "events")
+    out = batch_sampling(e, "user_id", n_batches=4)
+    return out.groupBy("event_type", "batch_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "spatial_sampling_customers",
+    oracle=f"""
+    SELECT c_custkey,
+           CAST(floor(c_acctbal / 1000.0) AS BIGINT) || '_' ||
+             CAST(floor(c_nationkey / 5.0) AS BIGINT) AS cell
+    FROM customer
+    WHERE {_bucket_sql('c_custkey', 100)} < 20
+    """,
+)
+def spatial_sampling_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-stratified deterministic sampling (spatial_sampling,
+    gofast/utils/spatial_utils.py:3236)."""
+    from gofast_spark.operators.sampling import spatial_sampling
+
+    c = _t(spark, sf_dir, "customer")
+    out = spatial_sampling(
+        c, "c_acctbal", "c_nationkey", "c_custkey",
+        cell_size=1000.0, fraction=0.2, cell_col="cell",
+    )
+    # cell_size applies to x; y uses the same δ — mirror a 2-scale cell by
+    # recomputing for the oracle's (1000, 5) grid
+    out = out.withColumn(
+        "cell",
+        F.concat_ws(
+            "_",
+            F.floor(F.col("c_acctbal") / 1000.0).cast("bigint"),
+            F.floor(F.col("c_nationkey") / 5.0).cast("bigint"),
+        ),
+    )
+    return out.select("c_custkey", "cell")
+
+
+@query(
+    "split_data_counts",
+    oracle=f"""
+    WITH b AS (SELECT {_bucket_sql('o_orderkey', 100)} AS bkt FROM orders)
+    SELECT 'part_0' AS part, count(*) AS n FROM b WHERE bkt < 60
+    UNION ALL
+    SELECT 'part_1', count(*) FROM b WHERE bkt >= 60
+    """,
+)
+def split_data_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ratio split (split_data,
+    gofast/dataops/transformation.py:206) — contiguous hash-bucket
+    ranges."""
+    from gofast_spark.operators.sampling import split_data
+
+    o = _t(spark, sf_dir, "orders")
+    parts = split_data(o, [0.6, 0.4], key="o_orderkey", seed=0)
+    counted = [
+        p.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(f"part_{i}").alias("part"), "n"
+        )
+        for i, p in enumerate(parts)
+    ]
+    return counted[0].unionByName(counted[1])
+
+
+@query(
+    "repeat_region_across_nation",
+    oracle="""
+    SELECT n_nationkey, r_regionkey, r_name
+    FROM (SELECT DISTINCT n_nationkey FROM nation) CROSS JOIN region
+    """,
+)
+def repeat_region_across_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature replication across a spine (repeat_feature_accross,
+    gofast/utils/data_utils.py:5197) — broadcast cross join."""
+    from gofast_spark.operators.reshape import repeat_feature_accross
+
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    out = repeat_feature_accross(n, r, spine_col="n_nationkey")
+    return out.select("n_nationkey", "r_regionkey", "r_name")
+
+
+@query(
+    "generate_comparison_orders",
+    oracle="""
+    SELECT o_orderkey,
+           o_totalprice AS o_totalprice_left,
+           CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1000.0
+                ELSE o_totalprice END AS o_totalprice_right,
+           (o_orderkey % 3) <> 0 AS o_totalprice_equal
+    FROM orders
+    """,
+)
+def generate_comparison_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aligned diff of two frames (generate_comparison,
+    gofast/utils/data_utils.py:647): full-outer join on the key with
+    per-column equality flags."""
+    from gofast_spark.operators.reshape import generate_comparison
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    modified = o.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + 1000.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    out = generate_comparison(o, modified, "o_orderkey", ["o_totalprice"])
+    return out.select(
+        "o_orderkey", "o_totalprice_left", "o_totalprice_right", "o_totalprice_equal"
+    )
+
+
+@query(
+    "frame_union_customer",
+    oracle="""
+    SELECT c_custkey, c_acctbal, round(c_acctbal * 2, 2) AS c_acctbal_1
+    FROM customer
+    """,
+)
+def frame_union_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-wise feature union with collision suffixing (FrameUnion,
+    gofast/transformers/feature_engineering.py:3525)."""
+    from gofast_spark.operators.reshape import frame_union
+
+    c = _t(spark, sf_dir, "customer")
+    a = c.select("c_custkey", "c_acctbal")
+    b = c.select(
+        "c_custkey", F.round(F.col("c_acctbal") * 2, 2).alias("c_acctbal")
+    )
+    out = frame_union([a, b], on="c_custkey")
+    return out.select("c_custkey", "c_acctbal", "c_acctbal_1")

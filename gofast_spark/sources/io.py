@@ -119,6 +119,112 @@ def export_data(df: DataFrame, base_path: str, formats: list[str], **options) ->
     return written
 
 
+def save_or_load(
+    spark: SparkSession,
+    path: str,
+    arr=None,
+    *,
+    task: str = "save",
+):
+    """numpy array <-> parquet round-trip (save_or_load,
+    gofast/core/io.py:1423 saves ``.npy``/``.npz``).
+
+    1-D/2-D arrays persist as (row_id, values array<double>) parquet — a
+    splittable, schema-carrying format instead of the reference's raw npy.
+    Driver-side ndarray marshalling by contract (arrays are small);
+    at scale data should already live in frames.
+    """
+    import numpy as np
+
+    if task == "save":
+        if arr is None:
+            raise ValueError("task='save' needs an array")
+        a = np.asarray(arr, dtype=float)
+        a2 = a.reshape(len(a), -1)
+        rows = [(i, [float(v) for v in row]) for i, row in enumerate(a2)]
+        df = spark.createDataFrame(rows, "row_id bigint, values array<double>")
+        df.write.mode("overwrite").parquet(path)
+        return path
+    if task == "load":
+        rows = spark.read.parquet(path).orderBy("row_id").collect()
+        out = np.array([r["values"] for r in rows])
+        return out[:, 0] if out.shape[1] == 1 else out
+    raise ValueError("task must be save|load")
+
+
+def store_data(df: DataFrame, warehouse: str, name: str, *, mode: str = "overwrite") -> str:
+    """Store a frame in a parquet warehouse directory under ``name``.
+
+    Reference: the HDF5 store family (``store_or_retrieve_data`` /
+    ``handle_datasets_with_hdfstore``, gofast/dataops/management.py:424,
+    521) — parquet-per-table replaces the HDF5 keys: splittable,
+    column-pruned, predicate-pushed.
+    """
+    target = os.path.join(warehouse, name)
+    df.write.mode(mode).parquet(target)
+    return target
+
+
+def retrieve_data(spark: SparkSession, warehouse: str, name: str) -> DataFrame:
+    """Load a named frame from the parquet warehouse (lazy scan)."""
+    return spark.read.parquet(os.path.join(warehouse, name))
+
+
+def list_stored(warehouse: str) -> list[str]:
+    """Names available in the warehouse."""
+    if not os.path.isdir(warehouse):
+        return []
+    return sorted(
+        n for n in os.listdir(warehouse)
+        if os.path.isdir(os.path.join(warehouse, n))
+    )
+
+
+def read_worksheets(
+    spark: SparkSession, path: str, *, sheets: list[str] | None = None
+) -> dict[str, DataFrame]:
+    """Multi-sheet Excel -> dict of frames (read_worksheets,
+    gofast/utils/data_utils.py:3864).  Driver-side pandas parse
+    (small-data contract), distributed frames out."""
+    import pandas as pd
+
+    book = pd.read_excel(path, sheet_name=sheets)  # None -> all sheets
+    return {name: spark.createDataFrame(pdf) for name, pdf in book.items()}
+
+
+def request_data(
+    spark: SparkSession,
+    url: str,
+    *,
+    fetcher=None,
+    **options,
+) -> DataFrame:
+    """HTTP fetch -> DataFrame (request_data,
+    gofast/dataops/management.py:202).
+
+    ``fetcher(url, **options)`` must return JSON-decodable text or a list
+    of records; defaults to urllib.  Injectable fetcher keeps the
+    operator testable offline and lets callers swap in authenticated
+    clients.  Driver-side by contract.
+    """
+    import json
+
+    if fetcher is None:
+        def fetcher(u, **kw):  # pragma: no cover - needs network
+            from urllib.request import urlopen
+
+            with urlopen(u, timeout=kw.get("timeout", 30)) as resp:
+                return resp.read().decode("utf-8")
+
+    payload = fetcher(url, **options)
+    records = json.loads(payload) if isinstance(payload, str) else payload
+    if isinstance(records, dict):
+        records = [records]
+    import pandas as pd
+
+    return spark.createDataFrame(pd.DataFrame(records))
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: list[str] | None = None
 ) -> dict[str, DataFrame]:

@@ -1,0 +1,89 @@
+"""Sources extras: array round-trip, parquet warehouse, frame builders,
+synthetic generators, injectable HTTP fetch."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+
+def test_save_or_load_roundtrip(spark, tmp_path):
+    import numpy as np
+
+    from gofast_spark.sources.io import save_or_load
+
+    a2 = np.arange(12, dtype=float).reshape(3, 4)
+    p = str(tmp_path / "arr2d")
+    save_or_load(spark, p, a2, task="save")
+    back = save_or_load(spark, p, task="load")
+    assert back.shape == (3, 4) and (back == a2).all()
+
+    a1 = np.array([1.5, 2.5, 3.5])
+    p1 = str(tmp_path / "arr1d")
+    save_or_load(spark, p1, a1, task="save")
+    back1 = save_or_load(spark, p1, task="load")
+    assert (back1 == a1).all()
+
+
+def test_warehouse_store_retrieve(spark, tmp_path):
+    from gofast_spark.sources.io import list_stored, retrieve_data, store_data
+
+    wh = str(tmp_path / "wh")
+    df = spark.range(10).withColumnRenamed("id", "k")
+    store_data(df, wh, "numbers")
+    store_data(df.where("k < 3"), wh, "small")
+    assert list_stored(wh) == ["numbers", "small"]
+    assert retrieve_data(spark, wh, "small").count() == 3
+
+
+def test_build_df_variants(spark):
+    from gofast_spark.sources.datasets import build_df, make_df
+
+    d = build_df(spark, {"a": [1, 2], "b": ["x", "y"]})
+    assert d.count() == 2 and set(d.columns) == {"a", "b"}
+    d2 = make_df(spark, [(1, "x"), (2, "y")], columns=["k", "v"])
+    assert d2.columns == ["k", "v"]
+
+
+def test_make_generators_shapes(spark):
+    from gofast_spark.sources.datasets import (
+        make_classification_data,
+        make_regression_data,
+        make_sales_data,
+    )
+
+    r = make_regression_data(spark, 200, 3)
+    assert r.count() == 200 and {"x_0", "x_1", "x_2", "y"} <= set(r.columns)
+    c = make_classification_data(spark, 100, 2, n_classes=3)
+    labels = {row["label"] for row in c.select("label").distinct().collect()}
+    assert labels == {0, 1, 2}
+    s = make_sales_data(spark, 500, n_stores=5)
+    assert s.count() == 500
+    stores = s.select("store_id").distinct().count()
+    assert stores == 5
+    # revenue = quantity * unit_price (rounded)
+    bad = s.where("abs(revenue - round(quantity * unit_price, 2)) > 1e-9").count()
+    assert bad == 0
+
+
+def test_request_data_with_injected_fetcher(spark):
+    from gofast_spark.sources.io import request_data
+
+    payload = json.dumps([{"id": 1, "v": "a"}, {"id": 2, "v": "b"}])
+    out = request_data(spark, "http://example.invalid/data", fetcher=lambda u, **kw: payload)
+    assert out.count() == 2 and set(out.columns) == {"id", "v"}
+
+
+def test_read_worksheets_if_engine_available(spark, tmp_path):
+    pd = pytest.importorskip("pandas")
+    pytest.importorskip("openpyxl")
+    from gofast_spark.sources.io import read_worksheets
+
+    p = str(tmp_path / "book.xlsx")
+    with pd.ExcelWriter(p) as w:
+        pd.DataFrame({"a": [1, 2]}).to_excel(w, sheet_name="s1", index=False)
+        pd.DataFrame({"b": [3]}).to_excel(w, sheet_name="s2", index=False)
+    book = read_worksheets(spark, p)
+    assert set(book) == {"s1", "s2"}
+    assert book["s1"].count() == 2
