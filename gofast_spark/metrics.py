@@ -1,0 +1,175 @@
+"""Evaluation metrics as Spark aggregations (SURVEY §2.14).
+
+Reference: gofast/metrics.py (~35 metrics; e.g. ``mean_absolute_percentage_
+error``:1840, ``median_absolute_error``:2058, ``adjusted_r2_score``:1743,
+``mean_poisson_deviance``:2262, ``root_mean_squared_error``:4326,
+``balanced_accuracy``:1277, ``hamming_loss``:2862, ``precision_at_k``:3488,
+``ndcg_at_k``:3605, ``gini_score``:2727).  Every one reduces to SQL
+aggregate expressions — map-side combined, single reduce, no sklearn and
+no driver arrays.  Ranking metrics use a per-query rank window.
+
+Each function returns a one-row DataFrame (or one row per group with
+``by``) so metrics compose into the same lazy plans as everything else.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _grouped(df: DataFrame, by: str | Sequence[str] | None):
+    if by is None:
+        return df.groupBy()
+    keys = [by] if isinstance(by, str) else list(by)
+    return df.groupBy(*keys)
+
+
+def regression_report(
+    df: DataFrame,
+    y_col: str,
+    pred_col: str,
+    *,
+    by: str | Sequence[str] | None = None,
+    n_features: int | None = None,
+) -> DataFrame:
+    """mae / rmse / mape / median_ae / r2 (+ adjusted r2 with
+    ``n_features``) in ONE aggregation.
+
+    Reference formulas: gofast/metrics.py:1840 (MAPE over nonzero y),
+    :2058 (median AE, exact percentile), :1743 (adjusted R2),
+    :4326 (RMSE).
+    """
+    y, p = F.col(y_col), F.col(pred_col)
+    err = y - p
+    sse = F.sum(err * err)
+    sst = F.sum(y * y) - F.count(y) * F.pow(F.avg(y), 2)
+    r2 = 1 - sse / sst
+    aggs = [
+        F.avg(F.abs(err)).alias("mae"),
+        F.sqrt(F.avg(err * err)).alias("rmse"),
+        F.avg(F.when(y != 0, F.abs(err / y))).alias("mape"),
+        F.percentile(F.abs(err), 0.5).alias("median_ae"),
+        r2.alias("r2"),
+        F.count(y).alias("n"),
+    ]
+    if n_features is not None:
+        n = F.count(y)
+        aggs.append(
+            (1 - (1 - r2) * (n - 1) / (n - n_features - 1)).alias("adj_r2")
+        )
+    return _grouped(df, by).agg(*aggs)
+
+
+def mean_poisson_deviance(
+    df: DataFrame, y_col: str, pred_col: str, *, by: str | Sequence[str] | None = None
+) -> DataFrame:
+    """2/n * sum(y*ln(y/pred) - (y - pred)), y*ln(y/pred)=0 at y=0
+    (gofast/metrics.py:2262).  Requires pred > 0."""
+    y, p = F.col(y_col), F.col(pred_col)
+    term = F.when(y > 0, y * F.log(y / p)).otherwise(F.lit(0.0)) - (y - p)
+    return _grouped(df, by).agg((2.0 * F.avg(term)).alias("poisson_deviance"))
+
+
+def classification_report(
+    df: DataFrame,
+    y_col: str,
+    pred_col: str,
+    *,
+    positive=1,
+    by: str | Sequence[str] | None = None,
+) -> DataFrame:
+    """accuracy / precision / recall / f1 / hamming loss for a binary
+    label in ONE aggregation (gofast/metrics.py:1277, 2862)."""
+    y, p = F.col(y_col), F.col(pred_col)
+    tp = F.sum(((y == positive) & (p == positive)).cast("long"))
+    fp = F.sum(((y != positive) & (p == positive)).cast("long"))
+    fn = F.sum(((y == positive) & (p != positive)).cast("long"))
+    acc = F.avg((y == p).cast("double"))
+    precision = tp / (tp + fp)
+    recall = tp / (tp + fn)
+    return _grouped(df, by).agg(
+        acc.alias("accuracy"),
+        precision.alias("precision"),
+        recall.alias("recall"),
+        (2 * precision * recall / (precision + recall)).alias("f1"),
+        (1 - acc).alias("hamming_loss"),
+        F.count(y).alias("n"),
+    )
+
+
+def precision_at_k(
+    df: DataFrame,
+    query_col: str,
+    score_col: str,
+    label_col: str,
+    k: int,
+    *,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Mean fraction of relevant items in each query's top-k by score
+    (gofast/metrics.py:3488).  One rank window per query + one aggregate.
+    Ties break by ``tiebreak`` ascending for determinism."""
+    order = [F.col(score_col).desc()]
+    if tiebreak:
+        order.append(F.col(tiebreak).asc())
+    w = Window.partitionBy(query_col).orderBy(*order)
+    ranked = df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") <= k)
+    per_q = ranked.groupBy(query_col).agg(
+        (F.sum(F.col(label_col).cast("double")) / k).alias("__p")
+    )
+    return per_q.agg(F.avg("__p").alias(f"precision_at_{k}"))
+
+
+def ndcg_at_k(
+    df: DataFrame,
+    query_col: str,
+    score_col: str,
+    label_col: str,
+    k: int,
+    *,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Mean NDCG@k (gofast/metrics.py:3605): DCG over the score ranking
+    normalized by the ideal DCG over the label ranking — two rank windows
+    per query, one aggregate."""
+    rel = F.col(label_col).cast("double")
+    order = [F.col(score_col).desc()]
+    ideal_order = [rel.desc()]
+    if tiebreak:
+        order.append(F.col(tiebreak).asc())
+        ideal_order.append(F.col(tiebreak).asc())
+    w = Window.partitionBy(query_col).orderBy(*order)
+    wi = Window.partitionBy(query_col).orderBy(*ideal_order)
+    gain = lambda rank: F.when(  # noqa: E731
+        rank <= k, (F.pow(2.0, rel) - 1) / F.log2(rank + 1)
+    ).otherwise(F.lit(0.0))
+    ranked = df.withColumn("__dcg", gain(F.row_number().over(w))).withColumn(
+        "__idcg", gain(F.row_number().over(wi))
+    )
+    per_q = ranked.groupBy(query_col).agg(
+        (F.sum("__dcg") / F.sum("__idcg")).alias("__ndcg")
+    )
+    return per_q.agg(F.avg("__ndcg").alias(f"ndcg_at_{k}"))
+
+
+def gini_score(
+    df: DataFrame, y_col: str, score_col: str, *, tiebreak: str | None = None
+) -> DataFrame:
+    """Normalized Gini of a ranking score against binary outcomes
+    (gofast/metrics.py:2727): 2*AUC - 1, with AUC from the rank-sum
+    (Mann-Whitney) identity — one rank window over the score, one
+    aggregate."""
+    order = [F.col(score_col).asc()]
+    if tiebreak:
+        order.append(F.col(tiebreak).asc())
+    w = Window.orderBy(*order)
+    ranked = df.withColumn("__r", F.row_number().over(w))
+    y = F.col(y_col).cast("double")
+    n_pos = F.sum(y)
+    n_neg = F.count(y) - n_pos
+    rank_sum_pos = F.sum(F.when(y == 1, F.col("__r")))
+    auc = (rank_sum_pos - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
+    return ranked.agg((2 * auc - 1).alias("gini_score"))

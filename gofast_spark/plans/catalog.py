@@ -782,13 +782,16 @@ def ffill_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # extension catalogs register themselves into QUERIES/ORACLE_SQL on import
+from gofast_spark.plans import catalog_checks  # noqa: E402,F401  (registration)
 from gofast_spark.plans import catalog_functions  # noqa: E402,F401  (registration)
 from gofast_spark.plans import catalog_llm  # noqa: E402,F401  (registration)
+from gofast_spark.plans import catalog_metrics  # noqa: E402,F401  (registration)
 from gofast_spark.plans import catalog_quality  # noqa: E402,F401  (registration)
 from gofast_spark.plans import catalog_sampling  # noqa: E402,F401  (registration)
 from gofast_spark.plans import catalog_spatial  # noqa: E402,F401  (registration)
 from gofast_spark.plans import catalog_sql  # noqa: E402,F401  (registration)
 from gofast_spark.plans import catalog_stats  # noqa: E402,F401  (registration)
 from gofast_spark.plans import catalog_streaming  # noqa: E402,F401  (registration)
+from gofast_spark.plans import catalog_survival  # noqa: E402,F401  (registration)
 from gofast_spark.plans import catalog_ts  # noqa: E402,F401  (registration)
 from gofast_spark.plans import catalog_windows  # noqa: E402,F401  (registration)

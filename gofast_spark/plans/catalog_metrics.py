@@ -1,0 +1,189 @@
+"""Catalog entries for the metrics-as-aggregations family (SURVEY §2.14,
+reference gofast/metrics.py).  Predictions are deterministic functions of
+fixture columns so both engines score identical (y, pred) pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gofast_spark.plans.catalog import _t, query
+
+
+@query(
+    "regression_metrics_orders",
+    oracle="""
+    WITH t AS (
+      SELECT o_totalprice AS y,
+             o_totalprice * 0.9 + (o_orderkey % 1000) AS p
+      FROM orders)
+    SELECT CAST(round(avg(abs(y - p)), 4) AS DOUBLE) AS mae,
+           CAST(round(sqrt(avg((y - p) * (y - p))), 4) AS DOUBLE) AS rmse,
+           CAST(round(avg(CASE WHEN y <> 0 THEN abs((y - p) / y) END), 6) AS DOUBLE) AS mape,
+           CAST(round(quantile_cont(abs(y - p), 0.5), 4) AS DOUBLE) AS median_ae,
+           CAST(round(1 - sum((y-p)*(y-p)) / (sum(y*y) - count(y) * avg(y) * avg(y)), 6) AS DOUBLE) AS r2,
+           count(y) AS n
+    FROM t
+    """,
+)
+def regression_metrics_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass regression report (gofast/metrics.py:1840, 2058, 4326)."""
+    from gofast_spark.metrics import regression_report
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("y"),
+        (F.col("o_totalprice") * 0.9 + F.col("o_orderkey") % 1000).alias("p"),
+    )
+    out = regression_report(o, "y", "p")
+    return out.select(
+        F.round("mae", 4).cast("double").alias("mae"),
+        F.round("rmse", 4).cast("double").alias("rmse"),
+        F.round("mape", 6).cast("double").alias("mape"),
+        F.round("median_ae", 4).cast("double").alias("median_ae"),
+        F.round("r2", 6).cast("double").alias("r2"),
+        "n",
+    )
+
+
+@query(
+    "classification_metrics_orders",
+    oracle="""
+    WITH t AS (
+      SELECT CAST(o_totalprice > 300000 AS INTEGER) AS y,
+             CAST((o_orderkey % 3) <> 0 AS INTEGER) AS p
+      FROM orders),
+    c AS (
+      SELECT count(*) FILTER (y = 1 AND p = 1) AS tp,
+             count(*) FILTER (y = 0 AND p = 1) AS fp,
+             count(*) FILTER (y = 1 AND p = 0) AS fn,
+             avg(CAST(y = p AS DOUBLE)) AS acc,
+             count(*) AS n
+      FROM t)
+    SELECT CAST(round(acc, 6) AS DOUBLE) AS accuracy,
+           CAST(round(tp * 1.0 / (tp + fp), 6) AS DOUBLE) AS precision,
+           CAST(round(tp * 1.0 / (tp + fn), 6) AS DOUBLE) AS recall,
+           CAST(round(2.0 * (tp * 1.0 / (tp + fp)) * (tp * 1.0 / (tp + fn))
+                / ((tp * 1.0 / (tp + fp)) + (tp * 1.0 / (tp + fn))), 6) AS DOUBLE) AS f1,
+           CAST(round(1 - acc, 6) AS DOUBLE) AS hamming_loss,
+           CAST(n AS BIGINT) AS n
+    FROM c
+    """,
+)
+def classification_metrics_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary classification report (gofast/metrics.py:1277, 2862)."""
+    from gofast_spark.metrics import classification_report
+
+    o = _t(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice") > 300000).cast("int").alias("y"),
+        ((F.col("o_orderkey") % 3) != 0).cast("int").alias("p"),
+    )
+    out = classification_report(o, "y", "p")
+    return out.select(
+        F.round("accuracy", 6).cast("double").alias("accuracy"),
+        F.round("precision", 6).cast("double").alias("precision"),
+        F.round("recall", 6).cast("double").alias("recall"),
+        F.round("f1", 6).cast("double").alias("f1"),
+        F.round("hamming_loss", 6).cast("double").alias("hamming_loss"),
+        "n",
+    )
+
+
+@query(
+    "ranking_metrics_events",
+    oracle="""
+    WITH t AS (
+      SELECT event_type AS q, event_id, value AS score,
+             CAST(user_id % 2 AS INTEGER) AS rel
+      FROM events),
+    r AS (
+      SELECT q, rel,
+             row_number() OVER (PARTITION BY q ORDER BY score DESC, event_id) AS rn,
+             row_number() OVER (PARTITION BY q ORDER BY rel DESC, event_id) AS irn
+      FROM t),
+    per AS (
+      SELECT q,
+             sum(CASE WHEN rn <= 5 THEN rel ELSE 0 END) / 5.0 AS p5,
+             sum(CASE WHEN rn <= 5 THEN (pow(2.0, rel) - 1) / log2(rn + 1) ELSE 0 END)
+               / sum(CASE WHEN irn <= 5 THEN (pow(2.0, rel) - 1) / log2(irn + 1) ELSE 0 END)
+               AS ndcg5
+      FROM r GROUP BY q)
+    SELECT CAST(round(avg(p5), 6) AS DOUBLE) AS precision_at_5,
+           CAST(round(avg(ndcg5), 6) AS DOUBLE) AS ndcg_at_5
+    FROM per
+    """,
+)
+def ranking_metrics_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """precision@k + NDCG@k over per-query rank windows
+    (gofast/metrics.py:3488, 3605)."""
+    from gofast_spark.metrics import ndcg_at_k, precision_at_k
+
+    e = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("q"),
+        "event_id",
+        F.col("value").alias("score"),
+        (F.col("user_id") % 2).cast("int").alias("rel"),
+    )
+    p5 = precision_at_k(e, "q", "score", "rel", 5, tiebreak="event_id")
+    n5 = ndcg_at_k(e, "q", "score", "rel", 5, tiebreak="event_id")
+    return p5.crossJoin(n5).select(
+        F.round("precision_at_5", 6).cast("double").alias("precision_at_5"),
+        F.round("ndcg_at_5", 6).cast("double").alias("ndcg_at_5"),
+    )
+
+
+@query(
+    "gini_score_orders",
+    oracle="""
+    WITH r AS (
+      SELECT CAST(o_totalprice > 300000 AS INTEGER) AS y,
+             row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn
+      FROM orders),
+    s AS (
+      SELECT sum(CASE WHEN y = 1 THEN rn END) AS rs,
+             sum(y) AS np, count(*) - sum(y) AS nn
+      FROM r)
+    SELECT CAST(round(2.0 * ((rs - np * (np + 1) / 2.0) / (np * nn)) - 1, 6) AS DOUBLE)
+             AS gini_score
+    FROM s
+    """,
+)
+def gini_score_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized Gini (2*AUC-1) via the Mann-Whitney rank-sum identity
+    (gofast/metrics.py:2727)."""
+    from gofast_spark.metrics import gini_score
+
+    o = _t(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice") > 300000).cast("int").alias("y"),
+        "o_totalprice",
+        "o_orderkey",
+    )
+    out = gini_score(o, "y", "o_totalprice", tiebreak="o_orderkey")
+    return out.select(
+        F.round("gini_score", 6).cast("double").alias("gini_score")
+    )
+
+
+@query(
+    "poisson_deviance_lineitem",
+    oracle="""
+    WITH t AS (
+      SELECT l_quantity AS y, (l_partkey % 50) + 1.0 AS p FROM lineitem)
+    SELECT CAST(round(2.0 * avg(
+             CASE WHEN y > 0 THEN y * ln(y / p) ELSE 0 END - (y - p)), 6) AS DOUBLE)
+             AS poisson_deviance
+    FROM t
+    """,
+)
+def poisson_deviance_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean Poisson deviance (gofast/metrics.py:2262)."""
+    from gofast_spark.metrics import mean_poisson_deviance
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("y"),
+        ((F.col("l_partkey") % 50) + 1.0).alias("p"),
+    )
+    out = mean_poisson_deviance(li, "y", "p")
+    return out.select(
+        F.round("poisson_deviance", 6).cast("double").alias("poisson_deviance")
+    )

@@ -1,0 +1,147 @@
+"""Catalog entries: Kaplan-Meier survival, Spearman, Kruskal-Wallis,
+thresholded correlation pairs (SURVEY §2.10 remainder).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gofast_spark.plans.catalog import _t, query
+
+# synthetic survival data over events: duration = whole-unit value,
+# event observed unless user_id % 4 == 0 (25% censoring)
+_SURV = """
+    surv AS (
+      SELECT CAST(floor(value) AS BIGINT) AS duration,
+             CAST(user_id % 4 <> 0 AS INTEGER) AS ev
+      FROM events WHERE value IS NOT NULL)
+"""
+
+
+@query(
+    "kaplan_meier_events",
+    oracle=f"""
+    WITH {_SURV},
+    per_t AS (
+      SELECT duration, count(*) AS n_total, sum(ev) AS n_events
+      FROM surv GROUP BY duration),
+    c AS (
+      SELECT duration, n_events,
+             sum(n_total) OVER () -
+               coalesce(sum(n_total) OVER (ORDER BY duration
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+      FROM per_t),
+    k AS (
+      SELECT duration, n_events, n_risk,
+             exp(sum(ln(1.0 - n_events * 1.0 / n_risk)) OVER (
+               ORDER BY duration ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+               AS survival
+      FROM c)
+    SELECT duration, CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(round(survival, 6) AS DOUBLE) AS survival
+    FROM k WHERE n_events > 0
+    """,
+)
+def kaplan_meier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-limit estimator as cumulative log-sum windows
+    (kaplan_meier_analysis, gofast/stats/survival_reliability.py:24)."""
+    from gofast_spark.stats.survival import kaplan_meier
+
+    e = _t(spark, sf_dir, "events").where(F.col("value").isNotNull()).select(
+        F.floor(F.col("value")).cast("bigint").alias("dur"),
+        (F.col("user_id") % 4 != 0).cast("int").alias("ev"),
+    )
+    out = kaplan_meier(e, "dur", "ev")
+    return out.select(
+        F.col("duration"),
+        "n_risk",
+        "n_events",
+        F.round("survival", 6).cast("double").alias("survival"),
+    )
+
+
+@query(
+    "spearman_lineitem",
+    oracle="""
+    WITH r AS (
+      SELECT rank() OVER (ORDER BY l_quantity)
+               + (count(*) OVER (PARTITION BY l_quantity) - 1) / 2.0 AS ra,
+             rank() OVER (ORDER BY l_extendedprice)
+               + (count(*) OVER (PARTITION BY l_extendedprice) - 1) / 2.0 AS rb
+      FROM lineitem)
+    SELECT CAST(round(corr(ra, rb), 6) AS DOUBLE) AS spearman FROM r
+    """,
+)
+def spearman_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rho as Pearson-of-midranks (optimized_spearmanr,
+    gofast/utils/mathext.py:3063)."""
+    from gofast_spark.stats.relationships import spearman_corr
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = spearman_corr(li, "l_quantity", "l_extendedprice")
+    return out.select(F.round("spearman", 6).cast("double").alias("spearman"))
+
+
+@query(
+    "kruskal_wallis_events",
+    oracle="""
+    WITH r AS (
+      SELECT event_type AS g,
+             rank() OVER (ORDER BY value)
+               + (count(*) OVER (PARTITION BY value) - 1) / 2.0 AS rk
+      FROM events),
+    per_g AS (SELECT g, sum(rk) AS rsum, count(*) AS n FROM r GROUP BY g),
+    s AS (
+      SELECT sum(rsum * rsum / n) AS s, sum(n) AS N, count(*) AS k FROM per_g)
+    SELECT CAST(round(12.0 / (N * (N + 1)) * s - 3.0 * (N + 1), 6) AS DOUBLE) AS h_stat,
+           CAST(k - 1 AS BIGINT) AS dof,
+           CAST(N AS BIGINT) AS n
+    FROM s
+    """,
+)
+def kruskal_wallis_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H from per-group rank sums
+    (gofast/stats/inferential.py:1039)."""
+    from gofast_spark.stats.relationships import kruskal_wallis
+
+    e = _t(spark, sf_dir, "events")
+    out = kruskal_wallis(e, "value", "event_type")
+    return out.select(
+        F.round("h_stat", 6).cast("double").alias("h_stat"), "dof", "n"
+    )
+
+
+@query(
+    "correlation_ops_strong",
+    oracle="""
+    WITH t AS (
+      SELECT l_quantity,
+             l_quantity * 2 + (l_partkey % 7) AS qty_noisy,
+             l_discount, l_tax
+      FROM lineitem),
+    c AS (SELECT corr(l_quantity, qty_noisy) AS c1 FROM t)
+    SELECT 'l_quantity' AS col_a, 'qty_noisy' AS col_b,
+           CAST(round(c1, 6) AS DOUBLE) AS corr
+    FROM c WHERE abs(c1) >= 0.5
+    """,
+)
+def correlation_ops_strong(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thresholded correlated-pair extraction (correlation_ops,
+    gofast/dataops/quality.py:3845): of the planted strongly-correlated
+    pair and two independent columns, only the planted pair survives."""
+    from gofast_spark.stats.relationships import correlation_ops
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_quantity",
+        (F.col("l_quantity") * 2 + F.col("l_partkey") % 7).alias("qty_noisy"),
+        "l_discount",
+        "l_tax",
+    )
+    out = correlation_ops(
+        li, ["l_quantity", "qty_noisy", "l_discount", "l_tax"], threshold=0.5
+    )
+    return out.select(
+        "col_a", "col_b", F.round("corr", 6).cast("double").alias("corr")
+    )

@@ -11,6 +11,12 @@ from gofast_spark.stats.descriptive import (
     quartiles,
     weighted_median,
 )
+from gofast_spark.stats.relationships import (
+    correlation_ops,
+    kruskal_wallis,
+    spearman_corr,
+)
+from gofast_spark.stats.survival import kaplan_meier
 from gofast_spark.stats.inferential import (
     anova_test,
     chi2_test,
@@ -20,6 +26,10 @@ from gofast_spark.stats.inferential import (
 )
 
 __all__ = [
+    "kaplan_meier",
+    "spearman_corr",
+    "kruskal_wallis",
+    "correlation_ops",
     "t_test_independent",
     "t_test_p_value",
     "anova_test",

@@ -1,0 +1,60 @@
+"""Survival analysis (SURVEY §2.10).
+
+Reference: ``kaplan_meier_analysis``
+(gofast/stats/survival_reliability.py:24) — lifelines fit on a driver
+array.  Here the product-limit estimator is the SQL identity
+``S(t) = exp(sum over s<=t of ln(1 - d_s/n_s))`` over the sorted distinct
+event times: one groupBy(duration) + two cumulative windows over the
+(small) distinct-time table — the raw data is touched once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    *,
+    keep_censor_times: bool = False,
+) -> DataFrame:
+    """Kaplan-Meier survival curve.
+
+    Output per distinct duration: (duration, n_risk, n_events, survival).
+    ``event_col`` is 1 for an observed event, 0 for censoring.  By default
+    only event times appear (the standard KM table); censor-only times are
+    kept with ``keep_censor_times``.
+    """
+    d, e = F.col(duration_col), F.col(event_col)
+    per_t = df.groupBy(d.alias("duration")).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(e.cast("long")).alias("n_events"),
+    )
+    w_prev = (
+        Window.orderBy(F.col("duration"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = Window.orderBy(F.col("duration")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.partitionBy()
+    curve = per_t.select(
+        "duration",
+        "n_events",
+        (
+            F.sum("n_total").over(tot)
+            - F.coalesce(F.sum("n_total").over(w_prev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    surv = F.exp(
+        F.sum(
+            F.log(1.0 - F.col("n_events") / F.col("n_risk"))
+        ).over(w_cum)
+    )
+    out = curve.withColumn("survival", surv)
+    if not keep_censor_times:
+        out = out.where(F.col("n_events") > 0)
+    return out.select("duration", "n_risk", "n_events", "survival")
