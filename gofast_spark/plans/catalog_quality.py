@@ -419,6 +419,46 @@ def inspect_data_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "quality_control_orders",
+    oracle="""
+    SELECT 'o_orderkey' AS column, 'not_null' AS rule,
+           CAST(count(*) FILTER (o_orderkey IS NULL) AS BIGINT) AS n_violations,
+           count(*) FILTER (o_orderkey IS NULL) = 0 AS ok
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', 'min',
+           CAST(count(*) FILTER (o_totalprice < 1000) AS BIGINT),
+           count(*) FILTER (o_totalprice < 1000) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', 'max',
+           CAST(count(*) FILTER (o_totalprice > 400000) AS BIGINT),
+           count(*) FILTER (o_totalprice > 400000) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', 'allowed',
+           CAST(count(*) FILTER (o_orderstatus NOT IN ('F', 'O')) AS BIGINT),
+           count(*) FILTER (o_orderstatus NOT IN ('F', 'O')) = 0
+    FROM orders
+    """,
+)
+def quality_control_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based QC report in one aggregation pass (quality_control,
+    gofast/dataops/quality.py:4813)."""
+    from gofast_spark.quality import quality_control
+
+    o = _t(spark, sf_dir, "orders")
+    return quality_control(
+        o,
+        {
+            "o_orderkey": {"not_null": True},
+            "o_totalprice": {"min": 1000, "max": 400000},
+            "o_orderstatus": {"allowed": ["F", "O"]},
+        },
+    )
+
+
+@query(
     "gini_acctbal",
     oracle="""
     WITH r AS (

@@ -8,6 +8,7 @@ from gofast_spark.quality.outliers import handle_outliers_in
 from gofast_spark.quality.scaling import minmax_scale, standard_scale, z_scores
 from gofast_spark.quality.skew import boxcox_lambda, boxcox_transformation, handle_skew, skewness_profile
 from gofast_spark.quality.audit import audit_data, verify_data_integrity
+from gofast_spark.quality.control import data_assistant, quality_control
 from gofast_spark.quality.augment import (
     add_noises_to,
     augment_data,
@@ -42,4 +43,6 @@ __all__ = [
     "cleaner",
     "drop_correlated_features",
     "inspect_data",
+    "quality_control",
+    "data_assistant",
 ]

@@ -15,6 +15,7 @@ from gofast_spark.ts.engineering import (
     transform_stationarity,
 )
 from gofast_spark.ts.validator import infer_frequency, ts_validator
+from gofast_spark.ts.decompose import adf_test, savgol_smooth, stl_decompose
 from gofast_spark.ts.split import ts_outlier_detector, ts_split
 
 __all__ = [
@@ -27,4 +28,7 @@ __all__ = [
     "acf",
     "ts_split",
     "ts_outlier_detector",
+    "savgol_smooth",
+    "stl_decompose",
+    "adf_test",
 ]

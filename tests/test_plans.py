@@ -1,0 +1,80 @@
+"""Physical-plan shape assertions (the 100 TB contract, enforced in CI):
+
+- dimension joins BROADCAST (no fact-table shuffle for small dims);
+- filters PUSH DOWN to the parquet scan;
+- scans PRUNE to the projected columns;
+- aggregations run map-side partial before the shuffle;
+- the nearest-join band strategy contains NO cartesian product;
+- LSH dedup candidate generation is an equi-join (hash-partitionable).
+
+These catch plan regressions the row-level oracle cannot see — a future
+edit that silently turns a broadcast into a shuffle join still passes the
+correctness gate, but fails here.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from gofast_spark.plans.catalog import QUERIES
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_flagship_broadcasts_dimensions(spark, sf_small):
+    plan = _plan(QUERIES["flagship_revenue_by_region"](spark, sf_small))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_small):
+    plan = _plan(QUERIES["filter_df_quantity"](spark, sf_small))
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(l_quantity" in plan
+
+
+def test_column_pruning_in_scan(spark, sf_small):
+    plan = _plan(QUERIES["filter_df_quantity"](spark, sf_small))
+    # ReadSchema must NOT include unprojected wide columns
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read and "l_shipdate" not in read[0]
+
+
+def test_q1_partial_aggregation(spark, sf_small):
+    plan = _plan(QUERIES["q1_pricing_summary"](spark, sf_small))
+    # partial_ functions before the exchange = map-side combine
+    assert "partial_" in plan
+
+
+def test_nearest_join_no_cartesian(spark, sf_small):
+    plan = _plan(QUERIES["nearest_join_acctbal"](spark, sf_small))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_nearest_join_2d_no_cartesian(spark, sf_small):
+    plan = _plan(QUERIES["nearest_join_2d_acctbal"](spark, sf_small))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_candidates_equi_join(spark, sf_small):
+    from gofast_spark.dedup import doc_shingles, lsh_candidate_pairs, minhash_signatures
+    from gofast_spark.plans.catalog import _t
+
+    d = _t(spark, sf_small, "documents")
+    sig = minhash_signatures(doc_shingles(d, "doc_id", "text"), "doc_id")
+    plan = _plan(lsh_candidate_pairs(sig, "doc_id"))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_whole_stage_codegen_on_hot_path(spark, sf_small):
+    # AQE finalizes the plan only after execution; codegen stages then
+    # print as "*(n) Operator"
+    df = QUERIES["flagship_revenue_by_region"](spark, sf_small)
+    df.collect()
+    plan = _plan(df)
+    assert "*(1)" in plan or "WholeStageCodegen" in plan
