@@ -158,6 +158,53 @@ def doc_fingerprint_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "encode_decode_text_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           base64(encode(text)) AS b64,
+           substr(text, 1, 20) AS head
+    FROM documents
+    """,
+)
+def encode_decode_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """base64 encode + decode round-trip (encode_text/decode_text,
+    gofast/utils/text.py:1560, 1651); the decoded head must equal the
+    original, proving the round trip, and the base64 itself matches
+    DuckDB byte-for-byte."""
+    from gofast_spark.text.columns import decode_text, encode_text
+
+    d = _t(spark, sf_dir, "documents")
+    out = d.select(
+        "doc_id",
+        encode_text("text").alias("b64"),
+    )
+    return out.select(
+        "doc_id",
+        "b64",
+        F.substring(decode_text("b64"), 1, 20).alias("head"),
+    )
+
+
+@query(
+    "summarize_text_head",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_norm_sql('text')} AS t FROM documents)
+    SELECT doc_id,
+           array_to_string(string_split(t, ' ')[1:12], ' ') AS text_summary
+    FROM norm
+    """,
+)
+def summarize_text_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-bias extractive summary (summarize_text_columns,
+    gofast/dataops/transformation.py:31 — deterministic approximation)."""
+    from gofast_spark.text.columns import summarize_text_columns
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    out = summarize_text_columns(d, ["text"], max_tokens=12)
+    return out.select("doc_id", "text_summary")
+
+
 # ---------------------------------------------------------------------------
 # Dedup (builder-brief: exact, MinHash-LSH, SimHash — bucketed, never n²)
 # ---------------------------------------------------------------------------

@@ -16,6 +16,13 @@ from gofast_spark.text.analysis import (
     token_count_bpeish,
     tokenize_text,
 )
+from gofast_spark.text.columns import (
+    decode_text,
+    encode_text,
+    summarize_text_columns,
+    tokenize_text_columns,
+    vectorize_text_columns,
+)
 from gofast_spark.text.hashing import (
     LCG_A,
     LCG_C,
@@ -39,6 +46,11 @@ __all__ = [
     "md5_hash64",
     "md5_hash64_sql",
     "doc_fingerprint",
+    "encode_text",
+    "decode_text",
+    "tokenize_text_columns",
+    "vectorize_text_columns",
+    "summarize_text_columns",
     "LCG_A",
     "LCG_C",
     "LCG_M",

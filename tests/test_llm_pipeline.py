@@ -122,3 +122,11 @@ def test_language_id_and_quality_bounds(spark):
     assert out[1]["lang_pred"] == "en"
     assert out[2]["lang_pred"] == "de"
     assert 0.0 <= out[1]["quality"] <= 1.0
+
+
+def test_vectorize_text_columns(spark, documents):
+    from gofast_spark.text import vectorize_text_columns
+
+    models, out = vectorize_text_columns(documents.limit(50), "text")
+    vec = out.select("tfidf").first()["tfidf"]
+    assert vec.size > 0 and vec.numNonzeros() > 0
