@@ -95,6 +95,67 @@ def label_encode(
     return df.join(F.broadcast(vals), on=column, how="left")
 
 
+def map_values(
+    df: DataFrame,
+    column: str,
+    mapping: dict,
+    *,
+    default=None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Dictionary remap of a column (map_values,
+    gofast/utils/base_utils.py:78) — a literal ``create_map`` lookup
+    evaluated inline (codegen'd), with an optional default for unmapped
+    values."""
+    oc = out_col or column
+    pairs = []
+    for k, v in mapping.items():
+        pairs += [F.lit(k), F.lit(v)]
+    m = F.create_map(*pairs)
+    looked = m.getItem(F.col(column))
+    if default is not None:
+        looked = F.coalesce(looked, F.lit(default))
+    return df.withColumn(oc, looked)
+
+
+def binarize(
+    df: DataFrame, column: str, threshold: float, *, out_col: str | None = None
+) -> DataFrame:
+    """0/1 threshold indicator (Target.binarize,
+    gofast/dataops/preprocessing.py:265)."""
+    oc = out_col or f"{column}_bin"
+    return df.withColumn(oc, (F.col(column) > threshold).cast("int"))
+
+
+def handle_categorical_features(
+    df: DataFrame,
+    *,
+    max_unique: int = 10,
+    exclude: Sequence[str] = (),
+) -> DataFrame:
+    """Cast low-cardinality numeric columns to string categories
+    (handle_categorical_features, gofast/dataops/quality.py:325).
+
+    One approx-distinct aggregate decides which columns flip (HyperLogLog
+    — exactness is irrelevant at a 10-ish threshold); the cast itself is
+    a lazy projection.
+    """
+    num = [
+        c for c, t in df.dtypes
+        if t in ("int", "bigint", "smallint") and c not in exclude
+    ]
+    if not num:
+        return df
+    row = df.agg(
+        *[F.approx_count_distinct(F.col(c)).alias(c) for c in num]
+    ).first()
+    flip = [c for c in num if (row[c] or 0) <= max_unique]
+    out = df
+    for c in flip:
+        out = out.withColumn(c, F.col(c).cast("string"))
+    return out
+
+
 def one_hot_encode(
     df: DataFrame,
     column: str,

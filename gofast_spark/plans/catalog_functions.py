@@ -242,6 +242,52 @@ def data_facade_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "map_values_binarize_orders",
+    oracle="""
+    SELECT o_orderkey,
+           CASE o_orderstatus WHEN 'F' THEN 'finished' WHEN 'O' THEN 'open'
+                ELSE 'other' END AS status_label,
+           CAST(o_totalprice > 250000 AS INTEGER) AS big_order
+    FROM orders
+    """,
+)
+def map_values_binarize_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary remap + threshold binarize (map_values,
+    gofast/utils/base_utils.py:78; Target.binarize,
+    gofast/dataops/preprocessing.py:265)."""
+    from gofast_spark.functions.encoding import binarize, map_values
+
+    o = _t(spark, sf_dir, "orders")
+    out = map_values(
+        o, "o_orderstatus", {"F": "finished", "O": "open"},
+        default="other", out_col="status_label",
+    )
+    out = binarize(out, "o_totalprice", 250000, out_col="big_order")
+    return out.select("o_orderkey", "status_label", "big_order")
+
+
+@query(
+    "categorical_cast_nation",
+    oracle="""
+    SELECT n_nationkey, CAST(n_regionkey AS VARCHAR) AS n_regionkey
+    FROM nation
+    """,
+)
+def categorical_cast_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Low-cardinality numeric -> categorical cast
+    (handle_categorical_features, gofast/dataops/quality.py:325):
+    n_regionkey (5 distinct) flips to string, n_nationkey (25 distinct,
+    above the threshold) stays numeric."""
+    from gofast_spark.functions.encoding import handle_categorical_features
+
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    out = handle_categorical_features(n, max_unique=10)
+    assert dict(out.dtypes)["n_regionkey"] == "string"
+    assert dict(out.dtypes)["n_nationkey"] == "int"  # 25 distinct: unchanged
+    return out
+
+
+@query(
     "anonymize_customer_names",
     oracle="""
     SELECT c_custkey,

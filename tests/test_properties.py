@@ -1,0 +1,122 @@
+"""Property-based tests (hypothesis) — randomized invariants the example
+tests can't cover (SURVEY §5.1 notes the reference has none; these are
+net-new rigor)."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+floats = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+)
+
+
+@given(keys=st.lists(st.integers(min_value=-10**9, max_value=10**9), min_size=1, max_size=50))
+@settings(**SETTINGS)
+def test_hash_bucket_always_in_range(spark, keys):
+    from pyspark.sql import functions as F
+
+    from gofast_spark.operators.sampling import hash_bucket
+
+    df = spark.createDataFrame([(k,) for k in keys], "k bigint")
+    out = df.select(hash_bucket(F.col("k"), buckets=7).alias("b")).collect()
+    assert all(0 <= r["b"] < 7 for r in out)
+
+
+@given(
+    left=st.lists(floats, min_size=1, max_size=12),
+    right=st.lists(floats, min_size=1, max_size=12),
+)
+@settings(**SETTINGS)
+def test_nearest_join_matches_bruteforce(spark, left, right):
+    from gofast_spark.operators import nearest_join
+
+    ldf = spark.createDataFrame([(i, v) for i, v in enumerate(left)], ["lid", "x"])
+    rdf = spark.createDataFrame([(i, v) for i, v in enumerate(right)], ["rid", "y"])
+    got = {
+        r["lid"]: r["rid"]
+        for r in nearest_join(
+            ldf, rdf, "x", "y", threshold=10.0, tiebreak="rid", left_key="lid"
+        ).collect()
+    }
+    # brute-force expectation
+    for i, x in enumerate(left):
+        cands = [
+            (abs(x - y), j) for j, y in enumerate(right) if abs(x - y) <= 10.0
+        ]
+        if not cands:
+            assert i not in got
+        else:
+            assert got[i] == min(cands)[1]
+
+
+@given(vals=st.lists(floats, min_size=2, max_size=30, unique=True))
+@settings(**SETTINGS)
+def test_minmax_scale_bounds(spark, vals):
+    from gofast_spark.quality import minmax_scale
+
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    out = [r["v"] for r in minmax_scale(df, ["v"]).collect()]
+    assert all(-1e-9 <= x <= 1 + 1e-9 for x in out)
+    assert math.isclose(min(out), 0.0, abs_tol=1e-9)
+    assert math.isclose(max(out), 1.0, abs_tol=1e-9)
+
+
+@given(
+    vals=st.lists(
+        st.one_of(floats, st.none()), min_size=3, max_size=20
+    )
+)
+@settings(**SETTINGS)
+def test_interpolate_matches_pandas(spark, vals):
+    import pandas as pd
+
+    from gofast_spark.operators import interpolate_data
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i bigint, v double"
+    )
+    got = {
+        r["i"]: r["v_interp"]
+        for r in interpolate_data(df, "v", "i").collect()
+    }
+    want = pd.Series(vals, dtype=float).interpolate(method="linear")
+    for i in range(len(vals)):
+        w = want.iloc[i]
+        g = got[i]
+        if pd.isna(w):
+            assert g is None
+        else:
+            assert g is not None and math.isclose(g, w, rel_tol=1e-9, abs_tol=1e-9)
+
+
+@given(vals=st.lists(floats.filter(lambda x: abs(x) > 1e-6), min_size=1, max_size=15))
+@settings(**SETTINGS)
+def test_cumprod_matches_python(spark, vals):
+    from gofast_spark.operators import cumulative_ops
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i bigint, v double"
+    )
+    got = [
+        r["v_cumprod"]
+        for r in cumulative_ops(df, "v", order_by="i", op="cumprod")
+        .orderBy("i")
+        .collect()
+    ]
+    acc = 1.0
+    for g, v in zip(got, vals):
+        acc *= v
+        if acc == 0 or g == 0:
+            assert math.isclose(g, acc, abs_tol=1e-12)
+        else:
+            assert math.isclose(g, acc, rel_tol=1e-6)
