@@ -42,6 +42,9 @@ _PANDAS_READERS = {
     ".feather": "read_feather",
     ".html": "read_html",
     ".xml": "read_xml",
+    ".sas7bdat": "read_sas",   # pandas-native SAS reader
+    ".sav": "read_spss",       # needs pyreadstat (gated at call time)
+    ".fwf": "read_fwf",
 }
 
 
