@@ -129,6 +129,176 @@ def chi2_events_type_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "levene_events",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY 1),
+    z AS (
+      SELECT e.event_type AS g, abs(e.value - c.med) AS z
+      FROM events e JOIN c ON e.event_type = c.event_type),
+    per AS (SELECT g, count(z) AS n, avg(z) AS mu, var_samp(z) AS s2 FROM z GROUP BY g),
+    s AS (
+      SELECT count(*) AS k, sum(n) AS N, sum(n * mu) / sum(n) AS grand,
+             sum(n * mu * mu) AS sum_nmu2, sum((n - 1) * s2) AS ssw
+      FROM per)
+    SELECT CAST(round(((sum_nmu2 - N * grand * grand) / (k - 1)) / (ssw / (N - k)), 6) AS DOUBLE) AS w_stat,
+           CAST(k - 1 AS BIGINT) AS dof_between,
+           CAST(N - k AS BIGINT) AS dof_within
+    FROM s
+    """,
+)
+def levene_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe homogeneity of variance (levene_test,
+    gofast/stats/inferential.py:793)."""
+    from gofast_spark.stats.inferential import levene_test
+
+    e = _t(spark, sf_dir, "events")
+    out = levene_test(e, "value", "event_type")
+    return out.select(
+        F.round("w_stat", 6).cast("double").alias("w_stat"),
+        "dof_between",
+        "dof_within",
+    )
+
+
+@query(
+    "mcnemar_orders",
+    oracle="""
+    WITH t AS (
+      SELECT CAST(o_totalprice > 250000 AS INTEGER) AS a,
+             CAST((o_orderkey % 2) = 0 AS INTEGER) AS b
+      FROM orders),
+    c AS (
+      SELECT count(*) FILTER (a = 1 AND b = 0) AS nb,
+             count(*) FILTER (a = 0 AND b = 1) AS nc
+      FROM t)
+    SELECT CAST(round(pow(nb - nc, 2) * 1.0 / (nb + nc), 6) AS DOUBLE) AS mcnemar_stat,
+           CAST(nb AS BIGINT) AS n_10, CAST(nc AS BIGINT) AS n_01
+    FROM c
+    """,
+)
+def mcnemar_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar discordant-pair statistic (gofast/stats/inferential.py:911)."""
+    from gofast_spark.stats.inferential import mcnemar_test
+
+    o = _t(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice") > 250000).cast("int").alias("a"),
+        ((F.col("o_orderkey") % 2) == 0).cast("int").alias("b"),
+    )
+    out = mcnemar_test(o, "a", "b")
+    return out.select(
+        F.round("mcnemar_stat", 6).cast("double").alias("mcnemar_stat"),
+        "n_10",
+        "n_01",
+    )
+
+
+@query(
+    "cronbach_lineitem",
+    oracle="""
+    WITH t AS (
+      SELECT l_quantity AS i1,
+             l_quantity + l_discount * 10 AS i2,
+             l_quantity + l_tax * 10 AS i3
+      FROM lineitem)
+    SELECT CAST(round(3.0 / 2.0 * (1 - (var_samp(i1) + var_samp(i2) + var_samp(i3))
+                / var_samp(i1 + i2 + i3)), 6) AS DOUBLE) AS alpha,
+           3 AS k_items
+    FROM t
+    """,
+)
+def cronbach_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha over three correlated synthetic items
+    (gofast/stats/inferential.py:1391)."""
+    from gofast_spark.stats.inferential import cronbach_alpha
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("i1"),
+        (F.col("l_quantity") + F.col("l_discount") * 10).alias("i2"),
+        (F.col("l_quantity") + F.col("l_tax") * 10).alias("i3"),
+    )
+    out = cronbach_alpha(li, ["i1", "i2", "i3"])
+    return out.select(
+        F.round("alpha", 6).cast("double").alias("alpha"),
+        F.col("k_items").cast("int").alias("k_items"),
+    )
+
+
+@query(
+    "wilcoxon_orders",
+    oracle="""
+    WITH d AS (
+      SELECT o_totalprice - (o_totalprice * 0.98 + (o_orderkey % 5000)) AS d
+      FROM orders),
+    nz AS (SELECT d FROM d WHERE d <> 0),
+    r AS (
+      SELECT d, rank() OVER (ORDER BY abs(d))
+               + (count(*) OVER (PARTITION BY abs(d)) - 1) / 2.0 AS rk
+      FROM nz)
+    SELECT CAST(round(sum(CASE WHEN d > 0 THEN rk END), 4) AS DOUBLE) AS w_plus,
+           CAST(round(sum(CASE WHEN d < 0 THEN rk END), 4) AS DOUBLE) AS w_minus,
+           count(*) AS n_nonzero
+    FROM r
+    """,
+)
+def wilcoxon_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank sums over paired predictions
+    (gofast/stats/inferential.py:200)."""
+    from gofast_spark.stats.inferential import wilcoxon_signed_rank
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("a"),
+        (F.col("o_totalprice") * 0.98 + F.col("o_orderkey") % 5000).alias("b"),
+    )
+    out = wilcoxon_signed_rank(o, "a", "b")
+    return out.select(
+        F.round("w_plus", 4).cast("double").alias("w_plus"),
+        F.round("w_minus", 4).cast("double").alias("w_minus"),
+        "n_nonzero",
+    )
+
+
+@query(
+    "friedman_events",
+    oracle="""
+    WITH cell AS (
+      SELECT user_id % 20 AS blk, event_type AS trt,
+             CAST(round(avg(value), 4) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2),
+    r AS (
+      SELECT blk, trt,
+             rank() OVER (PARTITION BY blk ORDER BY v)
+               + (count(*) OVER (PARTITION BY blk, v) - 1) / 2.0 AS rk
+      FROM cell),
+    per_t AS (SELECT trt, sum(rk) AS rsum FROM r GROUP BY trt),
+    dims AS (SELECT count(DISTINCT blk) AS n, count(DISTINCT trt) AS k FROM cell)
+    SELECT CAST(round(12.0 / (n * k * (k + 1)) * (SELECT sum(rsum * rsum) FROM per_t)
+                - 3.0 * n * (k + 1), 6) AS DOUBLE) AS friedman_chi2,
+           CAST(k - 1 AS BIGINT) AS dof,
+           CAST(n AS BIGINT) AS n_blocks
+    FROM dims
+    """,
+)
+def friedman_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman blocked-rank chi-square (gofast/stats/inferential.py:1272)
+    over a user-bucket x event-type design (cell value = mean, rounded on
+    both sides before ranking)."""
+    from gofast_spark.stats.inferential import friedman_test
+
+    e = _t(spark, sf_dir, "events")
+    cells = e.groupBy(
+        (F.col("user_id") % 20).alias("blk"), F.col("event_type").alias("trt")
+    ).agg(F.round(F.avg("value"), 4).cast("double").alias("v"))
+    out = friedman_test(cells, "blk", "trt", "v")
+    return out.select(
+        F.round("friedman_chi2", 6).cast("double").alias("friedman_chi2"),
+        "dof",
+        "n_blocks",
+    )
+
+
+@query(
     "ks_test_purchase_view",
     oracle="""
     WITH sub AS (

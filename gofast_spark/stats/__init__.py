@@ -20,9 +20,14 @@ from gofast_spark.stats.survival import kaplan_meier
 from gofast_spark.stats.inferential import (
     anova_test,
     chi2_test,
+    cronbach_alpha,
+    friedman_test,
     ks_test_2samp,
+    levene_test,
+    mcnemar_test,
     t_test_independent,
     t_test_p_value,
+    wilcoxon_signed_rank,
 )
 
 __all__ = [
@@ -35,6 +40,11 @@ __all__ = [
     "anova_test",
     "chi2_test",
     "ks_test_2samp",
+    "levene_test",
+    "mcnemar_test",
+    "cronbach_alpha",
+    "friedman_test",
+    "wilcoxon_signed_rank",
     "describe",
     "quartiles",
     "iqr",

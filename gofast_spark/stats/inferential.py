@@ -156,6 +156,115 @@ def chi2_test(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     return dims
 
 
+def levene_test(
+    df: DataFrame, value_col: str, group_col: str, *, center: str = "median"
+) -> DataFrame:
+    """Levene / Brown-Forsythe homogeneity-of-variance statistic
+    (gofast/stats/inferential.py:793): one-way ANOVA F computed on the
+    absolute deviations from each group's center (median by default —
+    the robust Brown-Forsythe variant; mean for classic Levene).
+
+    Two aggregates: per-group centers, then the ANOVA pass over |x - c|.
+    Output: (w_stat, dof_between, dof_within).
+    """
+    v, g = F.col(value_col), F.col(group_col)
+    center_fn = (
+        F.percentile(v, 0.5) if center == "median" else F.avg(v)
+    )
+    centers = df.groupBy(g.alias("__g")).agg(center_fn.alias("__c"))
+    z = (
+        df.join(F.broadcast(centers), g == F.col("__g"))
+        .select(F.col("__g"), F.abs(v - F.col("__c")).alias("__z"))
+    )
+    out = anova_test(z, "__z", "__g")
+    return out.select(
+        F.col("f_stat").alias("w_stat"), "dof_between", "dof_within"
+    )
+
+
+def mcnemar_test(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """McNemar paired-binary statistic (gofast/stats/inferential.py:911):
+    ``(b - c)^2 / (b + c)`` over the discordant cells — one aggregate."""
+    a, b = F.col(a_col), F.col(b_col)
+    nb = F.sum(((a == 1) & (b == 0)).cast("long"))
+    nc = F.sum(((a == 0) & (b == 1)).cast("long"))
+    return df.agg(
+        (F.pow(nb - nc, 2) / (nb + nc)).alias("mcnemar_stat"),
+        nb.alias("n_10"),
+        nc.alias("n_01"),
+    )
+
+
+def cronbach_alpha(df: DataFrame, item_cols: "list[str]") -> DataFrame:
+    """Cronbach's alpha internal-consistency coefficient
+    (gofast/stats/inferential.py:1391):
+    ``alpha = k/(k-1) * (1 - sum(var_i) / var(total))`` — item variances
+    and the row-total variance in ONE aggregate."""
+    k = len(item_cols)
+    total = None
+    for c in item_cols:
+        total = F.col(c) if total is None else total + F.col(c)
+    aggs = [F.var_samp(c).alias(f"__v_{i}") for i, c in enumerate(item_cols)]
+    aggs.append(F.var_samp(total).alias("__vt"))
+    row = df.agg(*aggs)
+    item_var_sum = None
+    for i in range(k):
+        v = F.col(f"__v_{i}")
+        item_var_sum = v if item_var_sum is None else item_var_sum + v
+    return row.select(
+        (k / (k - 1.0) * (1 - item_var_sum / F.col("__vt"))).alias("alpha"),
+        F.lit(k).alias("k_items"),
+    )
+
+
+def friedman_test(
+    df: DataFrame, block_col: str, treatment_col: str, value_col: str
+) -> DataFrame:
+    """Friedman chi-square over blocked rankings
+    (gofast/stats/inferential.py:1272):
+    ``chi2 = 12/(n*k*(k+1)) * sum(R_j^2) - 3*n*(k+1)`` with ranks
+    assigned WITHIN each block — the rank window partitions by block, so
+    state is bounded per block and the op scales with block count."""
+    w = Window.partitionBy(block_col).orderBy(F.col(value_col).asc())
+    ties = Window.partitionBy(block_col, value_col)
+    rk = F.rank().over(w) + (F.count(F.lit(1)).over(ties) - 1) / 2.0
+    ranked = df.select(
+        F.col(block_col).alias("__b"),
+        F.col(treatment_col).alias("__t"),
+        rk.alias("__r"),
+    )
+    per_t = ranked.groupBy("__t").agg(F.sum("__r").alias("rsum"))
+    n_blocks = df.select(block_col).distinct().count()
+    k = per_t.count()
+    stats = per_t.agg(F.sum(F.col("rsum") * F.col("rsum")).alias("s"))
+    chi2 = (
+        12.0 / (n_blocks * k * (k + 1)) * F.col("s") - 3.0 * n_blocks * (k + 1)
+    )
+    return stats.select(
+        chi2.alias("friedman_chi2"),
+        F.lit(k - 1).cast("bigint").alias("dof"),
+        F.lit(n_blocks).cast("bigint").alias("n_blocks"),
+    )
+
+
+def wilcoxon_signed_rank(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Wilcoxon signed-rank W (gofast/stats/inferential.py:200): rank the
+    nonzero |a - b| (average ranks), W = sum of ranks where d > 0.
+    One rank window over the nonzero differences."""
+    d = F.col(a_col) - F.col(b_col)
+    nz = df.select(d.alias("__d")).where(F.col("__d") != 0)
+    absd = F.abs(F.col("__d"))
+    w = Window.orderBy(absd.asc())
+    ties = Window.partitionBy(absd)
+    rk = F.rank().over(w) + (F.count(F.lit(1)).over(ties) - 1) / 2.0
+    ranked = nz.select(F.col("__d"), rk.alias("__r"))
+    return ranked.agg(
+        F.sum(F.when(F.col("__d") > 0, F.col("__r"))).alias("w_plus"),
+        F.sum(F.when(F.col("__d") < 0, F.col("__r"))).alias("w_minus"),
+        F.count(F.lit(1)).alias("n_nonzero"),
+    )
+
+
 def ks_test_2samp(
     df: DataFrame,
     value_col: str,
