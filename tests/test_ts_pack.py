@@ -54,3 +54,45 @@ def test_infer_frequency_mode(spark):
     df = ts_validator(spark.createDataFrame([(r,) for r in rows], ["dt"]), "dt")
     out = infer_frequency(df, "dt").first()
     assert out["freq_seconds"] == 60 and out["n_gaps"] == 2
+
+
+def test_smart_ts_detector(spark):
+    from gofast_spark.ts import smart_ts_detector
+
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "abc", 1.0)], ["when", "junk", "v"]
+    )
+    assert smart_ts_detector(df) == "when"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        smart_ts_detector(spark.createDataFrame([(1.0,)], ["v"]))
+
+
+def test_ccf_lag_alignment(spark):
+    from gofast_spark.ts import ccf
+
+    # v perfectly tracks u shifted by one step -> ccf_1 == 1
+    rows = [(i, float(i % 7), float((i - 1) % 7)) for i in range(50)]
+    df = spark.createDataFrame(rows, ["t", "u", "v"])
+    out = ccf(df, "v", "u", "t", lags=(0, 1)).first()
+    assert abs(out["ccf_1"] - 1.0) < 1e-9
+    assert out["ccf_0"] < 0.99
+
+
+def test_scrape_and_load_dataset(spark):
+    import pytest as _pytest
+
+    from gofast_spark.sources.io import load_dataset, scrape_web_data
+
+    df = load_dataset(spark, "sales", n_rows=100)
+    assert df.count() == 100
+    with _pytest.raises(KeyError):
+        load_dataset(spark, "nope")
+
+    html = "<table><tr><th>a</th></tr><tr><td>1</td></tr></table>"
+    try:
+        out = scrape_web_data(spark, "http://x.invalid", fetcher=lambda u, **k: html)
+    except ImportError:
+        _pytest.skip("no HTML parser installed; gate verified")
+    assert out.count() == 1
