@@ -260,6 +260,41 @@ def wilcoxon_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "normal_cdf_acctbal",
+    oracle="""
+    WITH s AS (SELECT avg(c_acctbal) AS mu, stddev_pop(c_acctbal) AS sd FROM customer),
+    z AS (SELECT c_custkey, (c_acctbal - mu) / (sd * sqrt(2.0)) AS zz FROM customer, s),
+    e AS (
+      SELECT c_custkey, zz, 1.0 / (1.0 + 0.3275911 * abs(zz)) AS t FROM z),
+    c AS (
+      SELECT c_custkey, zz,
+             1.0 - (t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+               + t * (-1.453152027 + t * 1.061405429))))) * exp(-abs(zz) * abs(zz)) AS erf_abs
+      FROM e)
+    SELECT c_custkey,
+           CAST(round(CASE WHEN zz >= 0 THEN 0.5 * (1.0 + erf_abs)
+                           ELSE 1.0 - 0.5 * (1.0 + erf_abs) END, 6) AS DOUBLE) AS p
+    FROM c
+    """,
+)
+def normal_cdf_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normal CDF of standardized account balances (normal_cdf,
+    gofast/stats/probs.py:303) — the Abramowitz-Stegun erf polynomial
+    replayed coefficient-for-coefficient in DuckDB."""
+    from gofast_spark.stats.probs import normal_cdf
+
+    c = _t(spark, sf_dir, "customer")
+    mu, sd = c.agg(F.avg("c_acctbal"), F.stddev_pop("c_acctbal")).first()
+    out = c.select(
+        "c_custkey",
+        F.round(
+            normal_cdf(F.col("c_acctbal"), mu=float(mu), sigma=float(sd)), 6
+        ).cast("double").alias("p"),
+    )
+    return out
+
+
+@query(
     "friedman_events",
     oracle="""
     WITH cell AS (

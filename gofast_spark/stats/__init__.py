@@ -17,6 +17,18 @@ from gofast_spark.stats.relationships import (
     spearman_corr,
 )
 from gofast_spark.stats.survival import kaplan_meier
+from gofast_spark.stats.probs import (
+    binomial_pmf,
+    normal_cdf,
+    normal_pdf,
+    poisson_logpmf,
+    uniform_sampling,
+)
+from gofast_spark.stats.comparisons import (
+    compute_model_ranks,
+    friedman_test_models,
+    nemenyi_cd,
+)
 from gofast_spark.stats.inferential import (
     anova_test,
     chi2_test,
@@ -32,6 +44,14 @@ from gofast_spark.stats.inferential import (
 
 __all__ = [
     "kaplan_meier",
+    "normal_pdf",
+    "normal_cdf",
+    "binomial_pmf",
+    "poisson_logpmf",
+    "uniform_sampling",
+    "compute_model_ranks",
+    "friedman_test_models",
+    "nemenyi_cd",
     "spearman_corr",
     "kruskal_wallis",
     "correlation_ops",
