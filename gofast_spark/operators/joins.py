@@ -262,6 +262,53 @@ def dual_merge(
     )
 
 
+def interpolate_grid(
+    points: DataFrame,
+    grid: DataFrame,
+    *,
+    point_xy: tuple[str, str],
+    grid_xy: tuple[str, str],
+    value_col: str,
+    radius: float,
+    power: float = 2.0,
+    out_col: str = "value_idw",
+) -> DataFrame:
+    """Inverse-distance-weighted interpolation of scattered point values
+    onto grid locations.
+
+    Reference: ``interpolate_grid`` (gofast/core/utils.py:1393) — scipy
+    griddata on in-memory arrays.  Here neighbor gathering reuses the 2-D
+    band join (``keep='all'`` within ``radius`` — bucketed, linear), and
+    the IDW estimate is a weighted-average aggregate per grid cell:
+    ``sum(v / d^p) / sum(1 / d^p)``, with an exact-match short-circuit
+    for d = 0.  Grid cells with no in-radius neighbor are dropped (no
+    extrapolation).
+    """
+    gx, gy = grid_xy
+    px, py = point_xy
+    pairs = nearest_join_2d(
+        grid, points, (gx, gy), (px, py), threshold=radius, keep="all"
+    )
+    d = F.sqrt(F.pow(F.col(gx) - F.col(px), 2) + F.pow(F.col(gy) - F.col(py), 2))
+    w = 1.0 / F.pow(d, power)
+    v = F.col(value_col)
+    return (
+        pairs.groupBy(gx, gy)
+        .agg(
+            F.max((d == 0).cast("int")).alias("__exact"),
+            F.first(F.when(d == 0, v), ignorenulls=True).alias("__vexact"),
+            (F.sum(F.when(d > 0, v * w)) / F.sum(F.when(d > 0, w))).alias("__vidw"),
+        )
+        .select(
+            gx,
+            gy,
+            F.when(F.col("__exact") == 1, F.col("__vexact"))
+            .otherwise(F.col("__vidw"))
+            .alias(out_col),
+        )
+    )
+
+
 def truncate_data(
     df: DataFrame,
     base: DataFrame,

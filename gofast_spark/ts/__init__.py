@@ -10,6 +10,7 @@ aggregates; only true per-series model fits (STL, ADF) would need
 from gofast_spark.ts.engineering import (
     acf,
     ccf,
+    pacf,
     detrend,
     trend_analysis,
     ts_engineering,
@@ -28,6 +29,7 @@ __all__ = [
     "detrend",
     "acf",
     "ccf",
+    "pacf",
     "smart_ts_detector",
     "ts_split",
     "ts_outlier_detector",

@@ -194,3 +194,41 @@ def acf(
     return out.agg(
         *[F.corr("__v", f"__l_{k}").alias(f"acf_{k}") for k in lags]
     )
+
+
+def pacf(
+    df: DataFrame,
+    value_col: str,
+    order_by: str,
+    *,
+    max_lag: int = 5,
+) -> "list[float]":
+    """Partial autocorrelations via Durbin-Levinson on the distributed
+    ACF (ts_corr_analysis PACF half, gofast/utils/ts_utils.py:2913).
+
+    The ACF row is the only distributed computation (corr-with-lag
+    aggregates); the Durbin-Levinson recursion runs on the driver over
+    ``max_lag`` scalars.  Returns ``[pacf_1 .. pacf_max_lag]``.
+    """
+    row = acf(df, value_col, order_by, lags=tuple(range(1, max_lag + 1))).first()
+    rho = [1.0] + [row[f"acf_{k}"] for k in range(1, max_lag + 1)]
+    return durbin_levinson(rho)
+
+
+def durbin_levinson(rho: "list[float]") -> "list[float]":
+    """PACF from an autocorrelation sequence ``rho`` (rho[0] == 1) via the
+    Durbin-Levinson recursion; returns [phi_11, phi_22, ...]."""
+    max_lag = len(rho) - 1
+    phi = [[0.0] * (max_lag + 1) for _ in range(max_lag + 1)]
+    out = []
+    for k in range(1, max_lag + 1):
+        if k == 1:
+            phi[1][1] = rho[1]
+        else:
+            num = rho[k] - sum(phi[k - 1][j] * rho[k - j] for j in range(1, k))
+            den = 1.0 - sum(phi[k - 1][j] * rho[j] for j in range(1, k))
+            phi[k][k] = num / den
+            for j in range(1, k):
+                phi[k][j] = phi[k - 1][j] - phi[k][k] * phi[k - 1][k - j]
+        out.append(phi[k][k])
+    return out

@@ -96,3 +96,46 @@ def test_scrape_and_load_dataset(spark):
     except ImportError:
         _pytest.skip("no HTML parser installed; gate verified")
     assert out.count() == 1
+
+
+def test_pacf_durbin_levinson_and_smoke(spark):
+    from gofast_spark.ts import pacf
+    from gofast_spark.ts.engineering import durbin_levinson
+
+    # closed form: AR(1) ACF rho_k = phi^k -> PACF = [phi, 0, 0, ...]
+    phi = 0.8
+    rho = [phi**k for k in range(5)]
+    p = durbin_levinson(rho)
+    assert abs(p[0] - phi) < 1e-12
+    assert all(abs(x) < 1e-10 for x in p[1:])
+
+    # end-to-end: distributed ACF feeds the recursion, values bounded
+    vals, v = [], 0.0
+    for i in range(200):
+        eps = ((i * 2654435761 + 12345) % 1000) / 1000.0 - 0.5
+        v = 0.8 * v + eps
+        vals.append((i, v))
+    df = spark.createDataFrame(vals, ["t", "v"])
+    out = pacf(df, "v", "t", max_lag=4)
+    assert len(out) == 4 and all(-1.0 <= x <= 1.0 for x in out)
+    assert out[0] > 0.3  # positive lag-1 partial for an AR(1)-like series
+
+
+def test_interpolate_grid_idw(spark):
+    from gofast_spark.operators import interpolate_grid
+
+    pts = spark.createDataFrame(
+        [(0.0, 0.0, 10.0), (2.0, 0.0, 20.0), (50.0, 50.0, 999.0)],
+        ["px", "py", "val"],
+    )
+    grid = spark.createDataFrame(
+        [(1.0, 0.0), (0.0, 0.0), (40.0, 40.0)], ["gx", "gy"]
+    )
+    out = interpolate_grid(
+        pts, grid, point_xy=("px", "py"), grid_xy=("gx", "gy"),
+        value_col="val", radius=3.0,
+    )
+    got = {(r["gx"], r["gy"]): r["value_idw"] for r in out.collect()}
+    assert abs(got[(1.0, 0.0)] - 15.0) < 1e-9   # midpoint: equal weights
+    assert got[(0.0, 0.0)] == 10.0              # exact-match short-circuit
+    assert (40.0, 40.0) not in got              # no neighbor in radius
