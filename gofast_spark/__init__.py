@@ -19,8 +19,13 @@ Sub-packages mirror SURVEY.md §2:
 - :mod:`gofast_spark.text`       — text analysis / LLM-pipeline ops
 - :mod:`gofast_spark.dedup`      — exact + near-duplicate detection
 - :mod:`gofast_spark.sim`        — embedding similarity search
+- :mod:`gofast_spark.sim`        — embedding similarity search
+- :mod:`gofast_spark.multimodal` — binary media columns + Arrow feature UDFs
 - :mod:`gofast_spark.streaming`  — Structured Streaming surface (§2.12)
 - :mod:`gofast_spark.sql`        — DBAnalysis SQL facade (gofast/query.py parity)
+- :mod:`gofast_spark.ml`         — MLlib pipeline mirrors (§2.14)
+- :mod:`gofast_spark.metrics`    — evaluation metrics as aggregations (§2.14)
+- :mod:`gofast_spark.core`       — fluent Data/Frames deferred-op facades (§3.2)
 """
 
 from gofast_spark.core import Data, Frames, MergeableFrames, MergeableSeries

@@ -252,9 +252,11 @@ def scrape_web_data(
             with urlopen(u, timeout=kw.get("timeout", 30)) as resp:
                 return resp.read().decode("utf-8")
 
+    from io import StringIO
+
     html = fetcher(url, **options)
     try:
-        tables = pd.read_html(html)
+        tables = pd.read_html(StringIO(html))
     except ImportError as e:  # pragma: no cover - env-dependent
         raise ImportError(
             "pandas.read_html needs an HTML parser (lxml or beautifulsoup4)"
