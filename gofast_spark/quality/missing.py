@@ -87,13 +87,20 @@ def handle_missing_data(
         return df.drop(*drop)
     if method == "fill_value":
         return df.fillna(fill_value, subset=list(cols))
-    if method in ("fill_mean", "fill_median"):
-        fn = (
-            (lambda c: F.avg(c))
-            if method == "fill_mean"
-            else (lambda c: F.percentile(c, 0.5))
-        )
-        stats = df.agg(*[fn(F.col(c)).alias(c) for c in cols]).first()
+    if method in ("fill_mean", "fill_median", "fill_mode"):
+        if method == "fill_mode":
+            # mode per column (ties -> smallest value, deterministic);
+            # F.mode is a single aggregate — one pass for all columns
+            stats = df.agg(
+                *[F.mode(F.col(c), False).alias(c) for c in cols]
+            ).first()
+        else:
+            fn = (
+                (lambda c: F.avg(c))
+                if method == "fill_mean"
+                else (lambda c: F.percentile(c, 0.5))
+            )
+            stats = df.agg(*[fn(F.col(c)).alias(c) for c in cols]).first()
         out = df
         for c in cols:
             if stats[c] is not None:

@@ -228,6 +228,32 @@ def request_data(
     return spark.createDataFrame(pd.DataFrame(records))
 
 
+def fetch_remote_data(
+    url: str,
+    dest: str,
+    *,
+    opener=None,
+    timeout: int = 60,
+) -> str:
+    """Download a raw remote file to a local/dbfs path
+    (fetch_remote_data / get_remote_data,
+    gofast/dataops/management.py:714, 310).  ``opener(url)`` must return
+    bytes (injectable for auth/testing); defaults to urllib.  Driver-side
+    by contract — at scale, land data via the distributed readers."""
+    if opener is None:
+        def opener(u):  # pragma: no cover - needs network
+            from urllib.request import urlopen
+
+            with urlopen(u, timeout=timeout) as resp:
+                return resp.read()
+
+    payload = opener(url)
+    os.makedirs(os.path.dirname(dest) or ".", exist_ok=True)
+    with open(dest, "wb") as f:
+        f.write(payload)
+    return dest
+
+
 def scrape_web_data(
     spark: SparkSession,
     url: str,

@@ -16,7 +16,7 @@ from gofast_spark.ts.engineering import (
     ts_engineering,
     transform_stationarity,
 )
-from gofast_spark.ts.validator import infer_frequency, smart_ts_detector, ts_validator
+from gofast_spark.ts.validator import infer_frequency, smart_ts_detector, time_step_grid, ts_validator
 from gofast_spark.ts.decompose import adf_test, savgol_smooth, stl_decompose
 from gofast_spark.ts.split import ts_outlier_detector, ts_split
 
@@ -31,6 +31,7 @@ __all__ = [
     "ccf",
     "pacf",
     "smart_ts_detector",
+    "time_step_grid",
     "ts_split",
     "ts_outlier_detector",
     "savgol_smooth",

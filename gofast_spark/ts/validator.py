@@ -66,6 +66,26 @@ def smart_ts_detector(df: DataFrame, *, sample_rows: int = 100) -> str:
     raise ValueError("no datetime-like column detected")
 
 
+def time_step_grid(
+    spark,
+    start: str,
+    end: str,
+    *,
+    step_seconds: int,
+    col: str = "ts",
+) -> DataFrame:
+    """Regular timestamp spine from ``start`` to ``end`` inclusive
+    (get_time_steps' grid-building half, gofast/utils/mathext.py:1631).
+    ``spark.range`` based — a billion-step grid never touches the
+    driver; join it against sparse data to materialize gaps."""
+    s = F.unix_timestamp(F.lit(start))
+    e = F.unix_timestamp(F.lit(end))
+    n = spark.range(1).select(((e - s) / step_seconds).cast("long").alias("n")).first()["n"]
+    return spark.range(n + 1).select(
+        F.timestamp_seconds(s + F.col("id") * step_seconds).alias(col)
+    )
+
+
 def infer_frequency(
     df: DataFrame, dt_col: str, *, partition_by: str | None = None
 ) -> DataFrame:

@@ -87,3 +87,35 @@ def test_read_worksheets_if_engine_available(spark, tmp_path):
     book = read_worksheets(spark, p)
     assert set(book) == {"s1", "s2"}
     assert book["s1"].count() == 2
+
+
+def test_fetch_remote_data_injected(spark, tmp_path):
+    from gofast_spark.sources.io import fetch_remote_data
+
+    dest = str(tmp_path / "dl" / "payload.bin")
+    out = fetch_remote_data(
+        "http://x.invalid/file", dest, opener=lambda u: b"\x01\x02\x03"
+    )
+    with open(out, "rb") as f:
+        assert f.read() == b"\x01\x02\x03"
+
+
+def test_fill_mode_and_time_grid(spark):
+    from pyspark.sql import functions as F
+
+    from gofast_spark.quality import handle_missing_data
+    from gofast_spark.ts import time_step_grid
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 5.0), (3, 7.0), (4, None)], ["id", "v"]
+    )
+    out = handle_missing_data(df, "fill_mode", columns=["v"])
+    got = {r["id"]: r["v"] for r in out.collect()}
+    assert got[4] == 5.0  # mode fills the gap
+
+    grid = time_step_grid(
+        spark, "2024-01-01 00:00:00", "2024-01-01 01:00:00", step_seconds=900
+    )
+    assert grid.count() == 5  # 0,15,30,45,60 min
+    first = grid.agg(F.min("ts"), F.max("ts")).first()
+    assert str(first[0]).startswith("2024-01-01 00:00")
