@@ -58,6 +58,32 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _units6(c):
+    """Exact-money fast path: round a double to integer micro-units (1e-6)
+    with pure codegen'd double arithmetic, then carry the value as a
+    compact decimal(18,0) so Spark's sum buffer (decimal(28,0)) is exact
+    to ~1e28 — far above a 100-TB revenue total (~5e21 micro-units).
+
+    This replaces the r2 double->decimal(38,6) per-row cast, whose
+    BigDecimal allocation per row made q1 2x slower; trunc(x*1e6 + 0.5)
+    is engine-portable because both Spark and DuckDB evaluate the same
+    IEEE-754 double product (positive money domain -> HALF_UP)."""
+    return (c * F.lit(1e6) + F.lit(0.5)).cast("bigint").cast("decimal(18,0)")
+
+
+def _money2(s):
+    """HALF_UP-round a micro-unit sum to 2 decimals as double: integer
+    floor-division (a tie is impossible in integer space), then an exact
+    /100 — bit-identical in DuckDB (see _MONEY2_SQL)."""
+    return F.floor((s + F.lit(5000)) / F.lit(10000)).cast("double") / F.lit(100.0)
+
+
+# DuckDB replicas of the two helpers (sum(BIGINT) is HUGEINT there; `//`
+# is integer floor-division)
+_U6_SQL = "CAST(trunc(({x}) * 1000000 + 0.5) AS BIGINT)"
+_MONEY2_SQL = "CAST(CAST((({s}) + 5000) // 10000 AS DOUBLE) / 100 AS DOUBLE)"
+
+
 # ---------------------------------------------------------------------------
 # Flagship: revenue by region for shipped lineitems (SURVEY §7.1.1)
 # Semantics of Frames.merge (gofast/dataops/core.py:622) + filter_df
@@ -68,9 +94,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 @query(
     "flagship_revenue_by_region",
-    oracle="""
+    oracle=f"""
     SELECT r_name AS region,
-           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue,
+           {_MONEY2_SQL.format(s=f"sum({_U6_SQL.format(x='l_extendedprice * (1 - l_discount)')})")} AS revenue,
            count(*) AS n_items
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -105,19 +131,13 @@ def flagship_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         joined.groupBy(F.col("r_name").alias("region"))
         .agg(
-            F.round(
-                F.sum(
-                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                        "decimal(38,6)"
-                    )
-                ),
-                2,
-            )
-            .cast("double")
-            .alias("revenue"),
+            F.sum(
+                _units6(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("__rev_u"),
             F.count(F.lit(1)).alias("n_items"),
         )
         .where(F.col("n_items") > 10)
+        .select("region", _money2(F.col("__rev_u")).alias("revenue"), "n_items")
         .orderBy(F.col("revenue").desc())
     )
     return out
@@ -130,46 +150,66 @@ def flagship_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q1_pricing_summary",
-    oracle="""
+    oracle=f"""
+    WITH g AS (
+      SELECT l_returnflag, l_linestatus,
+             sum({_U6_SQL.format(x='l_quantity')}) AS s_qty,
+             sum({_U6_SQL.format(x='l_extendedprice')}) AS s_base,
+             sum({_U6_SQL.format(x='l_extendedprice * (1 - l_discount)')}) AS s_disc,
+             sum({_U6_SQL.format(x='l_extendedprice * (1 - l_discount) * (1 + l_tax)')}) AS s_chg,
+             CAST(round(avg(l_quantity), 4) AS DOUBLE) AS avg_qty,
+             CAST(round(avg(l_extendedprice), 4) AS DOUBLE) AS avg_price,
+             CAST(round(avg(l_discount), 4) AS DOUBLE) AS avg_disc,
+             count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+      GROUP BY l_returnflag, l_linestatus
+    )
     SELECT l_returnflag, l_linestatus,
-           CAST(round(sum(CAST(l_quantity AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_qty,
-           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_base_price,
-           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_disc_price,
-           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_charge,
-           CAST(round(avg(l_quantity), 4) AS DOUBLE) AS avg_qty,
-           CAST(round(avg(l_extendedprice), 4) AS DOUBLE) AS avg_price,
-           CAST(round(avg(l_discount), 4) AS DOUBLE) AS avg_disc,
-           count(*) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
-    GROUP BY l_returnflag, l_linestatus
+           {_MONEY2_SQL.format(s='s_qty')} AS sum_qty,
+           {_MONEY2_SQL.format(s='s_base')} AS sum_base_price,
+           {_MONEY2_SQL.format(s='s_disc')} AS sum_disc_price,
+           {_MONEY2_SQL.format(s='s_chg')} AS sum_charge,
+           avg_qty, avg_price, avg_disc, count_order
+    FROM g
     ORDER BY l_returnflag, l_linestatus
     """,
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape over smart_group semantics
-    (gofast/dataops/transformation.py:663)."""
+    (gofast/dataops/transformation.py:663).
+
+    Exact-money policy: per-row values become integer micro-units via
+    _units6 (pure codegen'd double arithmetic, no per-row BigDecimal),
+    summed as compact decimal(18,0) — the r2 double->decimal(38,6) cast
+    allocated a BigDecimal per row and cost 2x wall time.  The sum buffer
+    is decimal(28,0), exact to ~1e28, comfortably above a 100-TB lineitem
+    revenue total (~5e21 micro-units)."""
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= F.lit("2001-09-02"))
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum(F.col("l_quantity").cast("decimal(38,6)")), 2)
-            .cast("double")
-            .alias("sum_qty"),
-            F.round(F.sum(F.col("l_extendedprice").cast("decimal(38,6)")), 2)
-            .cast("double")
-            .alias("sum_base_price"),
-            F.round(F.sum(disc.cast("decimal(38,6)")), 2)
-            .cast("double")
-            .alias("sum_disc_price"),
-            F.round(F.sum((disc * (1 + F.col("l_tax"))).cast("decimal(38,6)")), 2)
-            .cast("double")
-            .alias("sum_charge"),
+            F.sum(_units6(F.col("l_quantity"))).alias("__s_qty"),
+            F.sum(_units6(F.col("l_extendedprice"))).alias("__s_base"),
+            F.sum(_units6(disc)).alias("__s_disc"),
+            F.sum(_units6(disc * (1 + F.col("l_tax")))).alias("__s_chg"),
             F.round(F.avg("l_quantity"), 4).cast("double").alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).cast("double").alias("avg_price"),
             F.round(F.avg("l_discount"), 4).cast("double").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            _money2(F.col("__s_qty")).alias("sum_qty"),
+            _money2(F.col("__s_base")).alias("sum_base_price"),
+            _money2(F.col("__s_disc")).alias("sum_disc_price"),
+            _money2(F.col("__s_chg")).alias("sum_charge"),
+            "avg_qty",
+            "avg_price",
+            "avg_disc",
+            "count_order",
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -503,33 +543,34 @@ def check_unique_values_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "cumulative_revenue_by_day",
-    oracle="""
+    oracle=f"""
     SELECT ship_date,
-           CAST(round(sum(day_rev) OVER (ORDER BY ship_date
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+           {_MONEY2_SQL.format(s="sum(day_rev_u) OVER (ORDER BY ship_date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")}
              AS day_rev_cumsum
     FROM (
       SELECT CAST(l_shipdate AS DATE) AS ship_date,
-             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS day_rev
+             sum({_U6_SQL.format(x='l_extendedprice * (1 - l_discount)')}) AS day_rev_u
       FROM lineitem GROUP BY 1
     )
     """,
 )
 def cumulative_revenue_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decimal policy: the per-row revenue is cast to DECIMAL(38,6) before
-    both the daily sum and the running window sum, so summation order can
-    never flip a rounded cent (double-precision cumsums at ~1e9 magnitude
-    straddle the round(…, 2) boundary; decimal addition is exact)."""
+    """Exact-cumsum policy: per-row revenue becomes integer micro-units
+    (_units6) before both the daily sum and the running window sum, so
+    summation order can never flip a rounded cent (the r1 failure mode:
+    double cumsums at ~1e9 magnitude straddle the round(…, 2) boundary).
+    Integer/decimal addition is exact and ~2x cheaper than the r2
+    per-row double->decimal(38,6) cast."""
     from gofast_spark.operators import cumulative_ops
 
     li = _t(spark, sf_dir, "lineitem")
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")
+    rev_u = _units6(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     daily = li.groupBy(F.col("l_shipdate").cast("date").alias("ship_date")).agg(
-        F.sum(rev).alias("day_rev")
+        F.sum(rev_u).alias("day_rev_u")
     )
-    out = cumulative_ops(daily, "day_rev", order_by="ship_date", op="cumsum")
+    out = cumulative_ops(daily, "day_rev_u", order_by="ship_date", op="cumsum")
     return out.select(
-        "ship_date", F.round("day_rev_cumsum", 2).cast("double").alias("day_rev_cumsum")
+        "ship_date", _money2(F.col("day_rev_u_cumsum")).alias("day_rev_cumsum")
     )
 
 

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gofast_spark.plans.catalog import _t, query
+from gofast_spark.plans.catalog import _MONEY2_SQL, _U6_SQL, _t, query
 
 
 @query(
@@ -140,9 +140,9 @@ def soft_bin_stat_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "rollup_revenue_orders",
-    oracle="""
+    oracle=f"""
     SELECT o_orderstatus, o_orderpriority,
-           CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,6))), 2) AS DOUBLE)
+           {_MONEY2_SQL.format(s=f"sum({_U6_SQL.format(x='o_totalprice')})")}
              AS o_totalprice_sum,
            count(*) AS n
     FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
@@ -150,11 +150,13 @@ def soft_bin_stat_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def rollup_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP subtotals — Spark-native grouping-sets surface the reference
-    lacks (SURVEY §2.4 'not present')."""
+    lacks (SURVEY §2.4 'not present').  Micro-unit exact-money policy
+    (see catalog._units6)."""
     from gofast_spark.operators.checks import cube_aggregate
+    from gofast_spark.plans.catalog import _money2, _units6
 
     o = _t(spark, sf_dir, "orders").withColumn(
-        "__p", F.col("o_totalprice").cast("decimal(38,6)")
+        "__p", _units6(F.col("o_totalprice"))
     )
     out = cube_aggregate(
         o,
@@ -165,6 +167,6 @@ def rollup_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "o_orderstatus",
         "o_orderpriority",
-        F.round("__p_sum", 2).cast("double").alias("o_totalprice_sum"),
+        _money2(F.col("__p_sum")).alias("o_totalprice_sum"),
         F.col("o_orderkey_count").alias("n"),
     )

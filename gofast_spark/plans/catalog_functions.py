@@ -104,22 +104,27 @@ def date_features_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cyclical_month_orders",
     oracle="""
     SELECT o_orderkey,
-           CAST(round(sin(2 * pi() * month(o_orderdate) / 12.0), 6) AS DOUBLE) AS m_sin,
-           CAST(round(cos(2 * pi() * month(o_orderdate) / 12.0), 6) AS DOUBLE) AS m_cos
+           CAST(round(sin(2 * pi() * month(o_orderdate) / 12.0), 6) + 0.0 AS DOUBLE) AS m_sin,
+           CAST(round(cos(2 * pi() * month(o_orderdate) / 12.0), 6) + 0.0 AS DOUBLE) AS m_cos
     FROM orders
     """,
 )
 def cyclical_month_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cyclical sin/cos encoding (DateTimeCyclicalEncoder,
-    gofast/transformers/ts.py:887)."""
+    gofast/transformers/ts.py:887).
+
+    `+ 0.0` after the round on BOTH engines: DuckDB's round keeps the sign
+    bit of tiny negatives (round(sin(2*pi), 6) = -0.0) while Spark's
+    BigDecimal round emits +0.0; IEEE `-0.0 + 0.0 = +0.0` canonicalizes
+    both sides so the value hashes agree."""
     from gofast_spark.functions import cyclical_encode
 
     o = _t(spark, sf_dir, "orders").withColumn("m", F.month("o_orderdate"))
     out = cyclical_encode(o, "m", 12)
     return out.select(
         "o_orderkey",
-        F.round("m_sin", 6).cast("double").alias("m_sin"),
-        F.round("m_cos", 6).cast("double").alias("m_cos"),
+        (F.round("m_sin", 6) + F.lit(0.0)).cast("double").alias("m_sin"),
+        (F.round("m_cos", 6) + F.lit(0.0)).cast("double").alias("m_cos"),
     )
 
 

@@ -25,6 +25,16 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 EN_STOPWORDS = LANG_STOPWORDS["en"]
 
 
+def _stopword_hits(norm: Column, words: tuple[str, ...]) -> Column:
+    """Count stopword occurrences in already-normalized text with a single
+    codegen'd ``regexp_count`` instead of an interpreted ``F.filter`` lambda
+    over the token array (HOF lambdas run interpreted, ~100x slower per
+    element — see dedup/minhash.py shingle notes).  Word boundaries are
+    exact here because normalized text is strictly ``[a-z0-9 ]``."""
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.regexp_count(norm, F.lit(pat))
+
+
 def normalize_text(col: Column | str) -> Column:
     """lower-case, strip non-alphanumerics to spaces, collapse whitespace.
 
@@ -63,14 +73,14 @@ def text_stats(df: DataFrame, text_col: str, *, out_prefix: str = "") -> DataFra
     bundle eagerly per string; here it is five column expressions appended
     in one projection (no shuffle, no UDF).
     """
-    toks = tokenize_text(text_col)
+    norm = normalize_text(text_col)
+    toks = F.split(norm, " ")
     p = out_prefix
     n_tok = F.size(toks)
-    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
-    total_len = F.aggregate(
-        toks, F.lit(0), lambda acc, t: acc + F.length(t)
-    )
+    n_stop = _stopword_hits(norm, EN_STOPWORDS)
+    # tokens are joined by single spaces after normalization, so the summed
+    # token length is pure arithmetic — no interpreted F.aggregate lambda
+    total_len = F.length(norm) - (n_tok - F.lit(1))
     return df.select(
         "*",
         F.length(F.col(text_col)).alias(f"{p}n_chars"),
@@ -92,11 +102,11 @@ def quality_score(df: DataFrame, text_col: str, *, out_col: str = "quality") -> 
     Net-new LLM-pipeline surface (builder brief); weights documented, not
     learned.  Computed from one projection over the token array.
     """
-    toks = tokenize_text(text_col)
+    norm = normalize_text(text_col)
+    toks = F.split(norm, " ")
     n_tok = F.size(toks)
     uniq = F.size(F.array_distinct(toks)) / n_tok
-    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
-    stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))) / n_tok
+    stop = _stopword_hits(norm, EN_STOPWORDS) / n_tok
     score = (
         0.4 * F.least(n_tok / F.lit(50.0), F.lit(1.0)) + 0.4 * uniq + 0.2 * (1 - stop)
     )
@@ -108,19 +118,16 @@ def language_id(df: DataFrame, text_col: str, *, out_col: str = "lang_pred") -> 
     a deterministic tiebreak (language code ascending).
 
     The reference has no lang-id; this is the n-gram-heuristic operator the
-    builder brief asks for.  One projection; the per-language score is a
-    filtered-size over the token array (JVM-side).
+    builder brief asks for.  One projection; the per-language score is one
+    codegen'd ``regexp_count`` over the normalized string (JVM-side).
     """
-    toks = tokenize_text(text_col)
+    norm = normalize_text(text_col)
     scores = []
     for lang, words in sorted(LANG_STOPWORDS.items()):
-        arr = F.array(*[F.lit(w) for w in words])
         scores.append(
             F.struct(
                 # negated hits: ascending struct sort = hits desc, code asc
-                (-F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))).alias(
-                    "neg"
-                ),
+                (-_stopword_hits(norm, words)).alias("neg"),
                 F.lit(lang).alias("code"),
             )
         )

@@ -40,6 +40,11 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        # Preserve the IEEE sign bit on zero: the driver's hash distinguishes
+        # -0.0 from +0.0 (r2 cyclical_month_orders failure) — the local gate
+        # must be at least as strict so local green predicts driver green.
+        if v == 0.0 and math.copysign(1.0, v) < 0:
+            return "-0"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return f"{v:.6g}"
