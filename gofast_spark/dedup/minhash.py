@@ -218,17 +218,38 @@ def near_dup_pairs(
     k: int = 3,
     num_hashes: int = 16,
     rows_per_band: int = 2,
+    eager: bool = True,
 ) -> DataFrame:
     """End-to-end near-duplicate pairs: shingle -> minhash -> LSH bands ->
     exact-Jaccard verify >= threshold.
 
     The shingle stage feeds signing, both verify legs, and the size
     aggregate — it is persisted so the expensive hash projection runs
-    once instead of four times."""
+    once instead of four times.  With ``eager`` (default) the verified
+    pair list — small by construction relative to the shingle frame — is
+    materialized while the shingles are cached and the shingle frame is
+    **unpersisted before returning**, so repeated calls in a long session
+    cannot accumulate executor storage (ADVICE r2).  ``eager=False``
+    keeps the whole pipeline lazy and skips the persist entirely (the
+    shingle projection then recomputes once per downstream leg)."""
+    if not eager:
+        sh = doc_shingles(df, id_col, text_col, k=k)
+        sig = minhash_signatures(sh, id_col, num_hashes=num_hashes)
+        cand = lsh_candidate_pairs(
+            sig, id_col, num_hashes=num_hashes, rows_per_band=rows_per_band
+        )
+        return shingle_jaccard(sh, cand, id_col).where(
+            F.col("jaccard") >= threshold
+        )
     sh = doc_shingles(df, id_col, text_col, k=k).persist()
-    sig = minhash_signatures(sh, id_col, num_hashes=num_hashes)
-    cand = lsh_candidate_pairs(
-        sig, id_col, num_hashes=num_hashes, rows_per_band=rows_per_band
-    )
-    jac = shingle_jaccard(sh, cand, id_col)
-    return jac.where(F.col("jaccard") >= threshold)
+    try:
+        sig = minhash_signatures(sh, id_col, num_hashes=num_hashes)
+        cand = lsh_candidate_pairs(
+            sig, id_col, num_hashes=num_hashes, rows_per_band=rows_per_band
+        )
+        jac = shingle_jaccard(sh, cand, id_col)
+        out = jac.where(F.col("jaccard") >= threshold).persist()
+        out.count()  # materialize the small result while shingles are hot
+        return out
+    finally:
+        sh.unpersist()

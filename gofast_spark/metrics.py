@@ -160,13 +160,15 @@ def gini_score(
 ) -> DataFrame:
     """Normalized Gini of a ranking score against binary outcomes
     (gofast/metrics.py:2727): 2*AUC - 1, with AUC from the rank-sum
-    (Mann-Whitney) identity — one rank window over the score, one
-    aggregate."""
-    order = [F.col(score_col).asc()]
-    if tiebreak:
-        order.append(F.col(tiebreak).asc())
-    w = Window.orderBy(*order)
-    ranked = df.withColumn("__r", F.row_number().over(w))
+    (Mann-Whitney) identity over **midranks** — tied scores get the
+    average rank of the tie group (rank() + (tie_count - 1)/2, as
+    sklearn's roc_auc_score does), so AUC is unbiased on heavily tied
+    score columns.  ``tiebreak`` is kept for signature compatibility
+    but no longer affects the result (midranks are order-free)."""
+    w = Window.orderBy(F.col(score_col).asc())
+    tie = Window.partitionBy(score_col)
+    avg_rank = F.rank().over(w) + (F.count(F.lit(1)).over(tie) - 1) / 2.0
+    ranked = df.withColumn("__r", avg_rank)
     y = F.col(y_col).cast("double")
     n_pos = F.sum(y)
     n_neg = F.count(y) - n_pos

@@ -92,6 +92,7 @@ def nearest_join(
     keep: str = "closest",
     tiebreak: str | None = None,
     left_key: str | Sequence[str] | None = None,
+    suffix: str = "_right",
 ) -> DataFrame:
     """Nearest-match join within a distance threshold (1-D).
 
@@ -112,7 +113,11 @@ def nearest_join(
     keep their own match instead of collapsing into one window partition.
 
     Deterministic: ties broken by ``tiebreak`` column (ascending) when given.
+    Right-side columns whose names collide with left-side names are
+    suffixed (pandas ``suffixes`` behavior, as in pair_data) so the output
+    has unique column names.
     """
+    overlap = set(left.columns) & set(right.columns)
     row_id = None
     if keep != "all" and left_key is None:
         row_id = "__left_rid"
@@ -126,10 +131,16 @@ def nearest_join(
     dist = F.abs(lt[left_on] - rt[right_on])
     joined = lt.join(rt, on="__b", how="inner").where(dist <= threshold)
     joined = joined.withColumn("__dist", dist)
+
+    def _suffix_overlap(res: DataFrame) -> DataFrame:
+        for c in sorted(overlap):
+            res = res.withColumn(f"{c}{suffix}", rt[c]).drop(rt[c])
+        return res
+
     if keep == "all":
         # each within-threshold pair matches under exactly one bucket offset
         # (|floor(x/t) - floor(y/t)| <= 1), so no dedup pass is needed
-        return joined.drop("__b", "__dist")
+        return _suffix_overlap(joined.drop("__b", "__dist"))
     if left_key is not None:
         part_cols = [left_key] if isinstance(left_key, str) else list(left_key)
         part = [lt[c] for c in part_cols]
@@ -147,7 +158,7 @@ def nearest_join(
     )
     if row_id is not None:
         out = out.drop(row_id)
-    return out
+    return _suffix_overlap(out)
 
 
 def nearest_join_2d(
@@ -160,6 +171,7 @@ def nearest_join_2d(
     keep: str = "closest",
     tiebreak: str | None = None,
     left_key: str | Sequence[str] | None = None,
+    suffix: str = "_right",
 ) -> DataFrame:
     """Nearest-match join in two dimensions (euclidean distance within
     ``threshold``).
@@ -172,10 +184,12 @@ def nearest_join_2d(
     neighborhood, the join is an equi-join on the cell id, and the true
     euclidean predicate filters inside the cell match.  Replication factor
     is a constant 9, so the cost stays linear and hash-partitionable —
-    never a cross product.
+    never a cross product.  Colliding right-side column names are suffixed
+    (pandas ``suffixes`` behavior, as in pair_data).
     """
     lx, ly = left_on
     rx, ry = right_on
+    overlap = set(left.columns) & set(right.columns)
     row_id = None
     if keep != "all" and left_key is None:
         row_id = "__left_rid"
@@ -213,8 +227,14 @@ def nearest_join_2d(
         .where(dist <= threshold)
         .withColumn("__dist", dist)
     )
+
+    def _suffix_overlap(res: DataFrame) -> DataFrame:
+        for c in sorted(overlap):
+            res = res.withColumn(f"{c}{suffix}", rt[c]).drop(rt[c])
+        return res
+
     if keep == "all":
-        return joined.drop("__bx", "__by", "__dist")
+        return _suffix_overlap(joined.drop("__bx", "__by", "__dist"))
     if left_key is not None:
         part_cols = [left_key] if isinstance(left_key, str) else list(left_key)
         part = [lt[c] for c in part_cols]
@@ -232,7 +252,7 @@ def nearest_join_2d(
     )
     if row_id is not None:
         out = out.drop(row_id)
-    return out
+    return _suffix_overlap(out)
 
 
 def dual_merge(

@@ -137,7 +137,8 @@ def ranking_metrics_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH r AS (
       SELECT CAST(o_totalprice > 300000 AS INTEGER) AS y,
-             row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn
+             rank() OVER (ORDER BY o_totalprice)
+               + (count(*) OVER (PARTITION BY o_totalprice) - 1) / 2.0 AS rn
       FROM orders),
     s AS (
       SELECT sum(CASE WHEN y = 1 THEN rn END) AS rs,
@@ -150,7 +151,7 @@ def ranking_metrics_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def gini_score_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalized Gini (2*AUC-1) via the Mann-Whitney rank-sum identity
-    (gofast/metrics.py:2727)."""
+    over midranks (gofast/metrics.py:2727; ADVICE r2 tie fix)."""
     from gofast_spark.metrics import gini_score
 
     o = _t(spark, sf_dir, "orders").select(

@@ -33,8 +33,10 @@ def replace_data(
     spine = df.sparkSession.range(n).select(F.col("id").alias(copy_col))
     out = df.crossJoin(F.broadcast(spine))
     if noise_std:
-        for c in noise_cols or []:
-            out = out.withColumn(c, F.col(c) + F.randn(seed) * noise_std)
+        # seed+i: each column gets an independent noise draw (a shared seed
+        # would give every column the identical perturbation per row)
+        for i, c in enumerate(noise_cols or []):
+            out = out.withColumn(c, F.col(c) + F.randn(seed + i) * noise_std)
     return out
 
 
@@ -51,8 +53,9 @@ def augment_data(
     plus ``fraction`` resampled rows with gaussian jitter."""
     extra = df.sample(withReplacement=True, fraction=fraction, seed=seed)
     cols = noise_cols or [c for c, t in df.dtypes if t in ("double", "float")]
-    for c in cols:
-        extra = extra.withColumn(c, F.col(c) + F.randn(seed) * noise_std)
+    # seed+i as in add_noises_to: independent per-column draws
+    for i, c in enumerate(cols):
+        extra = extra.withColumn(c, F.col(c) + F.randn(seed + i) * noise_std)
     return df.unionByName(extra)
 
 

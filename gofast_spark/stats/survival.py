@@ -49,10 +49,20 @@ def kaplan_meier(
             - F.coalesce(F.sum("n_total").over(w_prev), F.lit(0))
         ).alias("n_risk"),
     )
-    surv = F.exp(
-        F.sum(
-            F.log(1.0 - F.col("n_events") / F.col("n_risk"))
-        ).over(w_cum)
+    # d == n at some time means all remaining subjects fail there: the KM
+    # factor is exactly 0 and survival must stay 0 from that time onward.
+    # The log-sum identity silently loses this (F.log(0) -> NULL in Spark,
+    # and sum() skips NULLs), so track the absorbing state with a
+    # cumulative flag and special-case it.
+    absorbed = (
+        F.max((F.col("n_events") == F.col("n_risk")).cast("int")).over(w_cum) == 1
+    )
+    surv = F.when(absorbed, F.lit(0.0)).otherwise(
+        F.exp(
+            F.sum(
+                F.log(1.0 - F.col("n_events") / F.col("n_risk"))
+            ).over(w_cum)
+        )
     )
     out = curve.withColumn("survival", surv)
     if not keep_censor_times:

@@ -45,7 +45,11 @@ def savgol_smooth(
         from scipy.signal import savgol_filter
 
         pdf = pdf.sort_values(order_col)
-        wl = min(window_length, len(pdf) // 2 * 2 + 1)
+        # clamp to the largest odd value <= len: len//2*2+1 rounds UP to
+        # len+1 for even-length groups, which scipy rejects in 'interp' mode
+        n = len(pdf)
+        wl = min(window_length, n if n % 2 else n - 1)
+        wl = max(wl, 3)
         smoothed = (
             savgol_filter(pdf[value_col].to_numpy(), wl, min(polyorder, wl - 1))
             if len(pdf) >= 3
