@@ -836,3 +836,124 @@ from gofast_spark.plans import catalog_streaming  # noqa: E402,F401  (registrati
 from gofast_spark.plans import catalog_survival  # noqa: E402,F401  (registration)
 from gofast_spark.plans import catalog_ts  # noqa: E402,F401  (registration)
 from gofast_spark.plans import catalog_windows  # noqa: E402,F401  (registration)
+
+# ---------------------------------------------------------------------------
+# Driver-window rotation.
+#
+# The correctness driver oracle-checks roughly the first 50 catalog entries
+# per round; round 2 verified exactly insertion positions 0-49.  Rotate the
+# catalog so the driver's window covers (a) every entry whose output changed
+# since the last verified round and (b) a breadth-first slice of the
+# never-driver-verified tail across all sections (LLM dedup/similarity,
+# metrics, quality, stats, time-series, streaming, SQL facade).  Entries
+# beyond the window keep unverified-before-verified order so the next
+# rotation picks them up first.
+# ---------------------------------------------------------------------------
+
+_DRIVER_WINDOW = [
+    # changed since round-2 verification -> must re-verify
+    "flagship_revenue_by_region",
+    "q1_pricing_summary",
+    "cumulative_revenue_by_day",
+    "rollup_revenue_orders",
+    "cyclical_month_orders",
+    "text_stats_documents",
+    "text_quality_language",
+    "doc_fingerprint_tokens",
+    "nearest_join_acctbal",
+    # new this round
+    "merge_frames_on_index_customer",
+    "sessionized_aggregate_events",
+    "stream_dedup_events",
+    # LLM pipeline (never driver-verified)
+    "encode_decode_text_roundtrip",
+    "summarize_text_head",
+    "dedup_exact_prefix",
+    "minhash_signatures_documents",
+    "minhash_near_dup_pairs",
+    "simhash_documents",
+    "embedding_norm_by_label",
+    "embedding_cosine_topk",
+    "embedding_lsh_topk",
+    "multimodal_blob_features",
+    # metrics
+    "regression_metrics_orders",
+    "classification_metrics_orders",
+    "ranking_metrics_events",
+    "gini_score_orders",
+    "poisson_deviance_lineitem",
+    # quality
+    "missing_profile_events",
+    "fill_mean_events",
+    "outliers_iqr_clip_acctbal",
+    "describe_lineitem",
+    "boxcox_quantity",
+    "inspect_data_customer",
+    "gini_acctbal",
+    "weighted_median_quantity",
+    # statistics
+    "t_test_click_error",
+    "anova_events",
+    "chi2_events_type_bucket",
+    "levene_events",
+    "ks_test_purchase_view",
+    "kaplan_meier_events",
+    "spearman_lineitem",
+    "kruskal_wallis_events",
+    # time-series
+    "ts_engineering_daily_events",
+    "acf_daily_events",
+    "infer_frequency_events",
+    "interpolate_daily_gaps",
+    # streaming + SQL facade
+    "streaming_window_counts",
+    "sql_facade_aggregate",
+    "sql_facade_window",
+]
+
+# entries the round-2 driver hash-verified green (CORRECTNESS_r02.json) whose
+# implementation has NOT changed since — safe to park behind the window.
+_R2_VERIFIED = {
+    "flagship_revenue_by_region", "q1_pricing_summary", "filter_df_quantity",
+    "group_and_filter_orders", "filter_by_isin_semi", "filter_by_isin_anti",
+    "mask_by_reference_returns", "filter_by_period_events",
+    "pop_labels_select_features", "merge_datasets_orders_customer",
+    "pair_data_rounded_acctbal", "nearest_join_acctbal",
+    "group_and_aggregate_events", "smart_group_having",
+    "binning_statistic_median", "category_count_orders",
+    "check_unique_values_customer", "cumulative_revenue_by_day",
+    "to_wide_orders_pivot", "to_long_part_melt", "concat_frames_union",
+    "set_ops_nationkeys", "dedup_exact_distinct", "handle_duplicates_mark",
+    "hash_split_test_counts", "lag_diff_daily_revenue",
+    "moving_average_revenue", "rank_suppliers_in_nation",
+    "ffill_event_values", "filter_position_customers",
+    "data_extractor_orders", "confidence_ratio_events", "coverage_orders",
+    "soft_bin_stat_orders", "rollup_revenue_orders",
+    "string_case_part_names", "levenshtein_part_types",
+    "date_features_orders", "cyclical_month_orders", "to_categories_acctbal",
+    "freq_encode_mktsegment", "label_encode_priority", "one_hot_orderstatus",
+    "data_facade_pipeline", "map_values_binarize_orders",
+    "categorical_cast_nation", "anonymize_customer_names",
+    "text_stats_documents", "text_quality_language", "doc_fingerprint_tokens",
+}
+
+
+def _rotate_catalog() -> None:
+    window = [n for n in _DRIVER_WINDOW if n in QUERIES]
+    in_window = set(window)
+    tail_unverified = [
+        n for n in QUERIES if n not in in_window and n not in _R2_VERIFIED
+    ]
+    tail_verified = [
+        n for n in QUERIES if n not in in_window and n in _R2_VERIFIED
+    ]
+    order = window + tail_unverified + tail_verified
+    q = {n: QUERIES[n] for n in order}
+    o = {n: ORACLE_SQL[n] for n in order if n in ORACLE_SQL}
+    QUERIES.clear()
+    QUERIES.update(q)
+    ORACLE_SQL.clear()
+    ORACLE_SQL.update(o)
+
+
+_rotate_catalog()
