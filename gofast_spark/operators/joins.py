@@ -50,6 +50,55 @@ def merge_datasets(
     return out
 
 
+def merge_frames_on_index(
+    *frames: DataFrame,
+    index_col: str,
+    join_type: str = "outer",
+    axis: int = 1,
+    suffix: str = "_{i}",
+) -> DataFrame:
+    """Column-align multiple frames on an explicit row-key column.
+
+    Reference: ``merge_frames_on_index`` (gofast/dataops/quality.py:1060)
+    sets ``index_col`` as the pandas index on every frame and concatenates
+    along ``axis`` (1 = column-wise outer join on the index).  Spark has no
+    row index, so the engine-wide policy (SURVEY §3.2) is explicit keys:
+    the same column plays the index role and the concat becomes a fold of
+    equi-joins on it — hash-partitionable, so Catalyst broadcasts small
+    sides and AQE handles skew exactly as for any other join.
+
+    ``axis=0`` is the row-wise concat (union by name, missing columns
+    NULL-filled), matching ``pd.concat(axis=0)`` of indexed frames.
+
+    Columns (other than the key) appearing in several frames get a
+    positional suffix (``suffix.format(i=k)`` for the k-th frame, 0-based)
+    so the output names are unique — the pandas overlap behavior.
+    """
+    if not frames:
+        raise ValueError("merge_frames_on_index needs at least one frame")
+    for df in frames:
+        if index_col not in df.columns:
+            raise KeyError(f"index_col {index_col!r} missing from a frame")
+    if axis == 0:
+        return reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
+        )
+    how = {"outer": "full_outer"}.get(join_type, join_type)
+    seen: dict[str, int] = {}
+    renamed = []
+    for i, df in enumerate(frames):
+        mapping = {}
+        for c in df.columns:
+            if c == index_col:
+                continue
+            if c in seen:
+                mapping[c] = f"{c}{suffix.format(i=i)}"
+            else:
+                seen[c] = i
+        renamed.append(df.withColumnsRenamed(mapping) if mapping else df)
+    return reduce(lambda a, b: a.join(b, on=index_col, how=how), renamed)
+
+
 def pair_data(
     left: DataFrame,
     right: DataFrame,

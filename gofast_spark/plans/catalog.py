@@ -822,6 +822,45 @@ def ffill_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "v_filled")
 
 
+@query(
+    "merge_frames_on_index_customer",
+    oracle="""
+    SELECT COALESCE(a.c_custkey, b.c_custkey) AS c_custkey,
+           a.acctbal, a.segment, b.n_orders, b.spend
+    FROM (
+      SELECT c_custkey, c_acctbal AS acctbal, c_mktsegment AS segment
+      FROM customer WHERE c_acctbal > 5000
+    ) a
+    FULL OUTER JOIN (
+      SELECT o_custkey AS c_custkey,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS spend
+      FROM orders GROUP BY 1
+    ) b ON a.c_custkey = b.c_custkey
+    """,
+)
+def merge_frames_on_index_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """merge_frames_on_index: column-align two customer-keyed frames by the
+    explicit row key (full-outer, the pandas concat-axis=1 default)."""
+    from gofast_spark.operators import merge_frames_on_index
+
+    cust = _t(spark, sf_dir, "customer")
+    left = cust.filter(F.col("c_acctbal") > 5000).select(
+        "c_custkey",
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    right = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).cast("double").alias("spend"),
+        )
+    )
+    return merge_frames_on_index(left, right, index_col="c_custkey")
+
+
 # extension catalogs register themselves into QUERIES/ORACLE_SQL on import
 from gofast_spark.plans import catalog_checks  # noqa: E402,F401  (registration)
 from gofast_spark.plans import catalog_functions  # noqa: E402,F401  (registration)

@@ -50,3 +50,83 @@ def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round("value_sum", 4).cast("double").alias("value_sum"),
     )
+
+
+@query(
+    "sessionized_aggregate_events",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, make_timestamp(epoch_us(ts)) AS ts FROM events
+    ), g AS (
+      SELECT event_type, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY event_type ORDER BY ts)
+    ), s AS (
+      SELECT event_type, ts,
+             sum(new_s) OVER (PARTITION BY event_type ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    )
+    SELECT event_type,
+           CAST(epoch_us(min(ts)) AS BIGINT) AS s_start,
+           CAST(epoch_us(max(ts) + INTERVAL 30 MINUTE) AS BIGINT) AS s_end,
+           CAST(count(*) AS BIGINT) AS n
+    FROM s GROUP BY event_type, sid
+    """,
+)
+def sessionized_aggregate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (30 min per event_type) through Structured
+    Streaming's ``session_window``, drained with availableNow.  The batch
+    oracle rebuilds the sessions with the lag/cumsum idiom: a new session
+    starts when the gap to the previous event is >= the window gap (Spark
+    merges half-open ``[ts, ts+gap)`` intervals that overlap).  Session
+    bounds are compared as unix micros — exact on both engines."""
+    from gofast_spark.streaming import read_event_stream, run_available_now
+
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    if spark.conf.get(key, "false") != "true":
+        spark.conf.set(key, "true")
+    stream = read_event_stream(spark, sf_dir, glob="events.parquet")
+    agg = stream.groupBy(
+        F.session_window(F.col("ts"), "30 minutes").alias("w"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    out = run_available_now(agg, mode="complete")
+    return out.select(
+        "event_type",
+        F.unix_micros(F.col("w.start")).alias("s_start"),
+        F.unix_micros(F.col("w.end")).alias("s_end"),
+        "n",
+    )
+
+
+@query(
+    "stream_dedup_events",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with bounded state: ``dropDuplicatesWithinWatermark``
+    on (user_id, event_type) with a horizon wider than the replayed data
+    span, so the drained stream equals the batch DISTINCT — the
+    exactly-once suppression check for the stateful dedup operator."""
+    from gofast_spark.streaming import (
+        read_event_stream,
+        run_available_now,
+        stream_dedup,
+    )
+
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    if spark.conf.get(key, "false") != "true":
+        spark.conf.set(key, "true")
+    stream = read_event_stream(spark, sf_dir, glob="events.parquet")
+    deduped = stream_dedup(
+        stream, ["user_id", "event_type"], ts_col="ts", watermark="45 days"
+    )
+    out = run_available_now(
+        deduped.select("user_id", "event_type"), mode="append"
+    )
+    return out
