@@ -364,3 +364,37 @@ def ks_test_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.round("ks_stat", 6).cast("double").alias("ks_stat"), "n_a", "n_b"
     )
+
+
+@query("bootstrap_mean_acctbal")
+def bootstrap_mean_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap distribution of mean(c_acctbal), 50 replicates
+    (bootstrap, gofast/stats/inferential.py:1713).  No SQL oracle — the
+    resampling draws are engine-specific; the driver records the weaker
+    rows-only check (one row per replicate, deterministic seeding)."""
+    from gofast_spark.stats import bootstrap
+
+    c = _t(spark, sf_dir, "customer")
+    out = bootstrap(c, "c_acctbal", n=50, statistic="mean", seed=17)
+    return out.select("replicate", F.round("stat", 2).alias("stat"))
+
+
+@query("dca_segment_status_orders")
+def dca_segment_status_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detrended correspondence analysis of the market-segment x
+    order-status abundance table (dca_analysis,
+    gofast/stats/survival_reliability.py:112).  Eigen-decomposition is not
+    SQL-expressible — rows-only check (one row per segment)."""
+    from gofast_spark.stats import dca_analysis
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+    out = dca_analysis(
+        joined, "c_mktsegment", "o_orderstatus", segments=4
+    )
+    return out.select(
+        "c_mktsegment",
+        F.round("axis1", 6).alias("axis1"),
+        F.round("axis2", 6).alias("axis2"),
+    )

@@ -186,3 +186,51 @@ def ts_outlier_z_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "d", F.round("rolling_z", 4).cast("double").alias("rolling_z")
     )
+
+
+@query(
+    "kpss_daily_events",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL}),
+    st AS (SELECT avg(v) AS mu, count(*) AS n FROM daily),
+    e AS (SELECT d, v - mu AS e, n FROM daily, st),
+    s AS (
+      SELECT d, e, n,
+             sum(e) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS S,
+             lag(e, 1) OVER (ORDER BY d) AS e1,
+             lag(e, 2) OVER (ORDER BY d) AS e2,
+             lag(e, 3) OVER (ORDER BY d) AS e3,
+             lag(e, 4) OVER (ORDER BY d) AS e4,
+             lag(e, 5) OVER (ORDER BY d) AS e5
+      FROM e
+    )
+    SELECT 'daily' AS series,
+           CAST(round(
+             (sum(S * S) / (max(n) * max(n))) /
+             ((sum(e * e)
+               + 2 * ((1 - 1/6.0) * sum(e * e1)
+                    + (1 - 2/6.0) * sum(e * e2)
+                    + (1 - 3/6.0) * sum(e * e3)
+                    + (1 - 4/6.0) * sum(e * e4)
+                    + (1 - 5/6.0) * sum(e * e5))) / max(n)),
+             6) AS DOUBLE) AS kpss_stat,
+           CAST(5 AS BIGINT) AS lags,
+           CAST(max(n) AS BIGINT) AS n
+    FROM s
+    """,
+)
+def kpss_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPSS level-stationarity statistic on the daily revenue series
+    (trend_analysis strategy='kpss', gofast/utils/ts_utils.py:720).  The
+    oracle rebuilds the statistic from its definition: Bartlett-weighted
+    long-run variance over 5 lags, partial-sum quadratic over n^2."""
+    from gofast_spark.ts import kpss_test
+
+    daily = _daily(spark, sf_dir).withColumn("series", F.lit("daily"))
+    out = kpss_test(daily, "series", "d", "v", regression="c", nlags=5)
+    return out.select(
+        "series",
+        F.round("kpss_stat", 6).cast("double").alias("kpss_stat"),
+        "lags",
+        "n",
+    )

@@ -44,6 +44,40 @@ def hyperplane_bucket(vec: Column, *, dim: int, bits: int = 4) -> Column:
     return bucket
 
 
+def _probe_buckets(vec: Column, *, dim: int, bits: int, probes: int) -> Column:
+    """Array of bucket ids to probe for a query vector: its own bucket plus
+    ``probes`` neighbors at Hamming distance 1, flipping the bits whose
+    hyperplane dot product is smallest in magnitude (the least-confident
+    signs — standard multi-probe LSH).  Query-side-only column arithmetic:
+    the corpus is still bucketed once, so the candidate join stays an
+    equi-join; multi-probe just explodes each query into ``probes+1`` rows.
+    """
+    dots = []
+    for j in range(bits):
+        d = F.lit(0.0)
+        for i in range(dim):
+            d = d + vec[i].cast("double") * F.lit(float(hyperplane_weight(j, i)))
+        dots.append(d)
+    bucket = F.lit(0)
+    for j in range(bits):
+        bucket = bucket + F.when(dots[j] >= 0, F.lit(2**j)).otherwise(F.lit(0))
+    # hyperplane indices ordered by |dot| ascending (least-confident first)
+    order = F.array_sort(
+        F.array(
+            *[
+                F.struct(F.abs(dots[j]).alias("a"), F.lit(j).alias("j"))
+                for j in range(bits)
+            ]
+        )
+    )
+    powers = F.array(*[F.lit(1 << j) for j in range(bits)])
+    flips = [
+        bucket.bitwiseXOR(F.element_at(powers, order[p]["j"] + 1))
+        for p in range(min(probes, bits))
+    ]
+    return F.array(bucket, *flips)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -53,6 +87,7 @@ def lsh_topk(
     dim: int,
     bits: int = 4,
     k: int = 5,
+    probes: int = 0,
     query_id_col: str | None = None,
     exclude_self: bool = True,
 ) -> DataFrame:
@@ -62,18 +97,29 @@ def lsh_topk(
     count 2^bits caps the fan-out).  At cluster scale, repartition the
     corpus by bucket once and reuse across query batches.  Recall is
     tunable via ``bits`` (fewer bits -> bigger buckets -> higher recall,
-    more compute); multi-probe (flipping low-confidence bits) is the
-    standard extension.
+    more compute) and ``probes`` (extra Hamming-1 buckets probed per
+    query, flipping the least-confident hyperplane signs).
 
     Output: (query_id, id, bucket, cos_sim, rank).
     """
     qid = query_id_col or id_col
     c = corpus.withColumn("bucket", hyperplane_bucket(F.col(vec_col), dim=dim, bits=bits))
-    q = queries.select(
-        F.col(qid).alias("query_id"),
-        F.col(vec_col).alias("__qv"),
-        hyperplane_bucket(F.col(vec_col), dim=dim, bits=bits).alias("bucket"),
-    )
+    if probes > 0:
+        q = queries.select(
+            F.col(qid).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            F.explode(
+                F.array_distinct(
+                    _probe_buckets(F.col(vec_col), dim=dim, bits=bits, probes=probes)
+                )
+            ).alias("bucket"),
+        )
+    else:
+        q = queries.select(
+            F.col(qid).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            hyperplane_bucket(F.col(vec_col), dim=dim, bits=bits).alias("bucket"),
+        )
     pairs = c.join(F.broadcast(q), on="bucket")
     if exclude_self:
         pairs = pairs.where(F.col(id_col) != F.col("query_id"))

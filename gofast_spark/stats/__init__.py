@@ -29,6 +29,8 @@ from gofast_spark.stats.comparisons import (
     friedman_test_models,
     nemenyi_cd,
 )
+from gofast_spark.stats.ordination import dca_analysis
+from gofast_spark.stats.resampling import bootstrap, bootstrap_ci
 from gofast_spark.stats.inferential import (
     anova_test,
     chi2_test,
@@ -44,6 +46,9 @@ from gofast_spark.stats.inferential import (
 
 __all__ = [
     "kaplan_meier",
+    "bootstrap",
+    "bootstrap_ci",
+    "dca_analysis",
     "normal_pdf",
     "normal_cdf",
     "binomial_pmf",

@@ -1,0 +1,164 @@
+"""Correspondence analysis + detrending (DCA).
+
+Reference: ``dca_analysis`` (gofast/stats/survival_reliability.py:112)
+delegates to skbio's detrended correspondence analysis and returns the
+first two axis scores per site.  Re-expressed distributed:
+
+1. contingency cells ``(site, species, n)`` — one groupBy;
+2. masses: row (site) masses by groupBy, column (species) masses collected
+   to the driver (species count is bounded by contract — it is the column
+   dimension of the ordination);
+3. standardized residuals ``s_ij = (p_ij - r_i c_j) / sqrt(r_i c_j)``
+   computed cell-wise (joins: site masses by key, species masses
+   broadcast);
+4. the species x species Gram ``G = S'S`` via a self-join on site and one
+   groupBy — never materializes a site x site object (sites are the
+   unbounded dimension);
+5. eigh(G) on the driver (J x J, tiny), then site scores by one more
+   broadcast join + groupBy: ``f_ia = sum_j s_ij v_ja / sqrt(lam_a)``;
+6. Hill-style detrending: axis 1 split into quantile segments (boundaries
+   from a quantile sketch, so no global sort), the within-segment mean of
+   axis 2 subtracted with a per-segment window.
+
+This is classical CA with segment detrending; skbio additionally rescales
+segment variances (nonlinear rescaling), which is intentionally omitted —
+the axis ORDER and the arch removal, which is what the reference's
+returned scores are used for, are preserved.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dca_analysis(
+    df: DataFrame,
+    site_col: str,
+    species_col: str,
+    *,
+    value_col: str | None = None,
+    segments: int = 26,
+    detrend: bool = True,
+) -> DataFrame:
+    """Per-site ordination scores: (site, axis1, axis2[, axis2_raw]).
+
+    ``value_col`` is the abundance; None counts occurrences.  ``segments``
+    is Hill's detrending segment count (26 in the classic algorithm).
+    """
+    val = (
+        F.sum(F.col(value_col).cast("double"))
+        if value_col
+        else F.count(F.lit(1)).cast("double")
+    )
+    cells = df.groupBy(
+        F.col(site_col).alias("site"), F.col(species_col).alias("species")
+    ).agg(val.alias("n"))
+    persisted = [cells.persist()]
+    try:
+        total = cells.agg(F.sum("n")).collect()[0][0]
+        col_mass = {
+            r["species"]: r["m"] / total
+            for r in cells.groupBy("species").agg(F.sum("n").alias("m")).collect()
+        }
+        row_mass = cells.groupBy("site").agg((F.sum("n") / total).alias("r_i"))
+        spark = df.sparkSession
+        cmdf = spark.createDataFrame(
+            [(k, v) for k, v in col_mass.items()], ["species", "c_j"]
+        )
+        # densify: a zero-abundance cell still has a nonzero standardized
+        # residual (-sqrt(r_i c_j)), so build the full site x species grid
+        # (|sites| x J rows — J is the bounded ordination dimension)
+        grid = row_mass.crossJoin(F.broadcast(cmdf))
+        s = (
+            grid.join(cells, on=["site", "species"], how="left")
+            .select(
+                "site",
+                "species",
+                (
+                    (
+                        F.coalesce(F.col("n"), F.lit(0.0)) / F.lit(float(total))
+                        - F.col("r_i") * F.col("c_j")
+                    )
+                    / F.sqrt(F.col("r_i") * F.col("c_j"))
+                ).alias("s"),
+            )
+        )
+        persisted.append(s.persist())
+        # species x species Gram via self-join on site (cells per site are
+        # bounded by the species count)
+        s2 = s.select(
+            F.col("site"),
+            F.col("species").alias("species_b"),
+            F.col("s").alias("s_b"),
+        )
+        gram = (
+            s.join(s2, on="site")
+            .groupBy("species", "species_b")
+            .agg(F.sum(F.col("s") * F.col("s_b")).alias("g"))
+            .collect()
+        )
+        import numpy as np
+
+        species = sorted(col_mass)
+        idx = {sp: i for i, sp in enumerate(species)}
+        J = len(species)
+        G = np.zeros((J, J))
+        for r in gram:
+            G[idx[r["species"]], idx[r["species_b"]]] = r["g"]
+        lam, V = np.linalg.eigh(G)
+        order = np.argsort(lam)[::-1]
+        lam, V = lam[order], V[:, order]
+        # sign convention: largest-|loading| component positive per axis
+        proj = []
+        for a in range(2):
+            v = V[:, a]
+            if v[int(np.abs(v).argmax())] < 0:
+                v = -v
+            scale = 1.0 / np.sqrt(lam[a]) if lam[a] > 1e-12 else 0.0
+            proj.append({species[j]: float(v[j] * scale) for j in range(J)})
+        pdf = spark.createDataFrame(
+            [(sp, proj[0][sp], proj[1][sp]) for sp in species],
+            ["species", "v1", "v2"],
+        )
+        scores = (
+            s.join(F.broadcast(pdf), on="species")
+            .groupBy("site")
+            .agg(
+                F.sum(F.col("s") * F.col("v1")).alias("axis1"),
+                F.sum(F.col("s") * F.col("v2")).alias("axis2"),
+            )
+        )
+        if not detrend:
+            out = scores.select(
+                F.col("site").alias(site_col), "axis1", "axis2"
+            )
+            out = out.localCheckpoint(eager=True)
+            return out
+        # quantile-sketch segment boundaries (no global-sort window: the
+        # score frame is one row per site, which can still be huge)
+        persisted.append(scores.persist())
+        probs = [i / segments for i in range(1, segments)]
+        bounds = scores.approxQuantile("axis1", probs, 0.001)
+        seg = F.lit(1)
+        for b in bounds:
+            seg = seg + F.when(F.col("axis1") > F.lit(b), 1).otherwise(0)
+        seg_mean_w = Window.partitionBy("seg")
+        out = (
+            scores.withColumn("seg", seg)
+            .withColumn(
+                "axis2_dt", F.col("axis2") - F.avg("axis2").over(seg_mean_w)
+            )
+            .select(
+                F.col("site").alias(site_col),
+                "axis1",
+                F.col("axis2_dt").alias("axis2"),
+                F.col("axis2").alias("axis2_raw"),
+            )
+        )
+        # materialize before unpersisting the lineage inputs
+        out = out.localCheckpoint(eager=True)
+        return out
+    finally:
+        for frame in persisted:
+            frame.unpersist()

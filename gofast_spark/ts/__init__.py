@@ -17,7 +17,7 @@ from gofast_spark.ts.engineering import (
     transform_stationarity,
 )
 from gofast_spark.ts.validator import infer_frequency, smart_ts_detector, time_step_grid, ts_validator
-from gofast_spark.ts.decompose import adf_test, savgol_smooth, stl_decompose
+from gofast_spark.ts.decompose import adf_test, kpss_test, savgol_smooth, stl_decompose
 from gofast_spark.ts.split import ts_outlier_detector, ts_split
 
 __all__ = [
@@ -37,4 +37,5 @@ __all__ = [
     "savgol_smooth",
     "stl_decompose",
     "adf_test",
+    "kpss_test",
 ]
