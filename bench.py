@@ -33,6 +33,10 @@ HEADLINE = [
     "text_quality_language",
     "ts_engineering_daily_events",
     "anova_events",
+    # round 3: quality / ts-interpolation / streaming perf coverage
+    "outliers_iqr_clip_acctbal",
+    "interpolate_daily_gaps",
+    "streaming_window_counts",
 ]
 
 
