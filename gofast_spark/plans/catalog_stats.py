@@ -398,3 +398,106 @@ def dca_segment_status_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("axis1", 6).alias("axis1"),
         F.round("axis2", 6).alias("axis2"),
     )
+
+
+@query(
+    "t_test_paired_lineitem",
+    oracle="""
+    WITH d AS (
+      SELECT l_extendedprice * (1 - l_discount) - l_extendedprice * 0.95 AS dd
+      FROM lineitem)
+    SELECT CAST(round(avg(dd) / (stddev_samp(dd) / sqrt(count(*))), 6) AS DOUBLE) AS t_stat,
+           CAST(count(*) - 1 AS BIGINT) AS dof,
+           CAST(count(*) AS BIGINT) AS n
+    FROM d
+    """,
+)
+def t_test_paired_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired t: discounted price vs a flat-5%% benchmark per line item
+    (statistical_tests ttest_paired, gofast/stats/inferential.py:1835)."""
+    from gofast_spark.stats.inferential import t_test_paired
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("a"),
+        (F.col("l_extendedprice") * 0.95).alias("b"),
+    )
+    out = t_test_paired(li, "a", "b")
+    return out.select(
+        F.round("t_stat", 6).cast("double").alias("t_stat"), "dof", "n"
+    )
+
+
+@query(
+    "cochran_q_orders",
+    oracle="""
+    WITH b AS (
+      SELECT CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS i1,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS i2,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS i3
+      FROM orders),
+    ag AS (
+      SELECT CAST(sum(i1) AS DOUBLE) AS g1, CAST(sum(i2) AS DOUBLE) AS g2,
+             CAST(sum(i3) AS DOUBLE) AS g3,
+             CAST(sum((i1 + i2 + i3) * (i1 + i2 + i3)) AS DOUBLE) AS l2,
+             CAST(sum(i1 + i2 + i3) AS DOUBLE) AS t
+      FROM b)
+    SELECT CAST(round(3 * 2.0 * (pow(g1 - t/3, 2) + pow(g2 - t/3, 2) + pow(g3 - t/3, 2))
+                      / (3 * t - l2), 6) AS DOUBLE) AS cochran_q,
+           CAST(2 AS BIGINT) AS dof
+    FROM ag
+    """,
+)
+def cochran_q_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q across three related binary outcomes per order
+    (statistical_tests cochran_q, gofast/stats/inferential.py:1835)."""
+    from gofast_spark.stats.inferential import cochran_q_test
+
+    o = _t(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice") > 150000).cast("int").alias("i1"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("i2"),
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("int").alias("i3"),
+    )
+    out = cochran_q_test(o, ["i1", "i2", "i3"])
+    return out.select(
+        F.round("cochran_q", 6).cast("double").alias("cochran_q"), "dof"
+    )
+
+
+@query(
+    "rm_anova_events",
+    oracle="""
+    WITH cells AS (
+      SELECT user_id % 10 AS s, event_type AS c,
+             CAST(round(avg(value), 4) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2),
+    g AS (SELECT avg(v) AS gm FROM cells),
+    ssc AS (
+      SELECT sum(ns * pow(cm - gm, 2)) AS ss FROM (
+        SELECT c, avg(v) AS cm, count(*) AS ns FROM cells GROUP BY c), g),
+    sss AS (
+      SELECT sum(k * pow(sm - gm, 2)) AS ss FROM (
+        SELECT s, avg(v) AS sm, count(*) AS k FROM cells GROUP BY s), g),
+    sst AS (SELECT sum(pow(v - gm, 2)) AS ss FROM cells, g)
+    SELECT CAST(round(((SELECT ss FROM ssc) / 4)
+                 / (((SELECT ss FROM sst) - (SELECT ss FROM ssc) - (SELECT ss FROM sss))
+                    / 36), 6) AS DOUBLE) AS f_stat,
+           CAST(4 AS BIGINT) AS dof_condition,
+           CAST(36 AS BIGINT) AS dof_error
+    """,
+)
+def rm_anova_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-measures ANOVA over a user-bucket x event-type design
+    (statistical_tests rm_anova, gofast/stats/inferential.py:1835); cell
+    values rounded identically on both engines before the decomposition."""
+    from gofast_spark.stats.inferential import rm_anova_test
+
+    e = _t(spark, sf_dir, "events")
+    cells = e.groupBy(
+        (F.col("user_id") % 10).alias("s"), F.col("event_type").alias("c")
+    ).agg(F.round(F.avg("value"), 4).cast("double").alias("v"))
+    out = rm_anova_test(cells, "s", "c", "v")
+    return out.select(
+        F.round("f_stat", 6).cast("double").alias("f_stat"),
+        "dof_condition",
+        "dof_error",
+    )

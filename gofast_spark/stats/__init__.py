@@ -33,6 +33,10 @@ from gofast_spark.stats.ordination import dca_analysis
 from gofast_spark.stats.resampling import bootstrap, bootstrap_ci
 from gofast_spark.stats.inferential import (
     anova_test,
+    cochran_q_test,
+    rm_anova_test,
+    statistical_tests,
+    t_test_paired,
     chi2_test,
     cronbach_alpha,
     friedman_test,
@@ -62,6 +66,10 @@ __all__ = [
     "correlation_ops",
     "t_test_independent",
     "t_test_p_value",
+    "t_test_paired",
+    "cochran_q_test",
+    "rm_anova_test",
+    "statistical_tests",
     "anova_test",
     "chi2_test",
     "ks_test_2samp",

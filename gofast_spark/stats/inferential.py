@@ -303,3 +303,141 @@ def ks_test_2samp(
         F.max("n_a").alias("n_a"),
         F.max("n_b").alias("n_b"),
     )
+
+
+def t_test_paired(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Paired t statistic (statistical_tests test_type='ttest_paired',
+    gofast/stats/inferential.py:1835): a one-sample t on the differences —
+    one aggregate pass."""
+    d = (F.col(a_col) - F.col(b_col)).alias("__d")
+    agg = df.select(d).agg(
+        F.avg("__d").alias("mean_diff"),
+        F.stddev_samp("__d").alias("sd_diff"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    t = F.col("mean_diff") / (F.col("sd_diff") / F.sqrt(F.col("n")))
+    return agg.select(
+        t.alias("t_stat"),
+        "mean_diff",
+        "sd_diff",
+        (F.col("n") - 1).cast("bigint").alias("dof"),
+        "n",
+    )
+
+
+def cochran_q_test(df: DataFrame, item_cols: "list[str]") -> DataFrame:
+    """Cochran's Q over k related binary outcomes (statistical_tests
+    test_type='cochran_q', gofast/stats/inferential.py:1835):
+
+        Q = k(k-1) * sum_j (G_j - T/k)^2 / (k*T - sum_i L_i^2)
+
+    with ``G_j`` the column totals, ``L_i`` the row totals, ``T`` the
+    grand total — all from ONE aggregate (k column sums + the row-total
+    square sum)."""
+    k = len(item_cols)
+    L = None
+    for c in item_cols:
+        L = F.col(c) if L is None else L + F.col(c)
+    aggs = [F.sum(c).cast("double").alias(f"__g_{i}") for i, c in enumerate(item_cols)]
+    aggs.append(F.sum(L * L).cast("double").alias("__l2"))
+    aggs.append(F.sum(L).cast("double").alias("__t"))
+    row = df.agg(*aggs)
+    gbar = F.col("__t") / k
+    num = None
+    for i in range(k):
+        term = F.pow(F.col(f"__g_{i}") - gbar, 2)
+        num = term if num is None else num + term
+    q = k * (k - 1.0) * num / (k * F.col("__t") - F.col("__l2"))
+    return row.select(
+        q.alias("cochran_q"),
+        F.lit(k - 1).cast("bigint").alias("dof"),
+    )
+
+
+def rm_anova_test(
+    df: DataFrame, subject_col: str, condition_col: str, value_col: str
+) -> DataFrame:
+    """One-way repeated-measures ANOVA (statistical_tests
+    test_type='rm_anova', gofast/stats/inferential.py:1835): the sums of
+    squares decompose into grand/subject/condition means — three groupBy
+    aggregates, each map-side combinable; no per-subject state beyond its
+    mean."""
+    v = F.col(value_col).cast("double")
+    base = df.select(
+        F.col(subject_col).alias("__s"),
+        F.col(condition_col).alias("__c"),
+        v.alias("__v"),
+    )
+    g = base.agg(
+        F.avg("__v").alias("gm"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    grand_mean, n_total = g["gm"], g["n"]
+    subj = base.groupBy("__s").agg(F.avg("__v").alias("sm"), F.count(F.lit(1)).alias("k"))
+    cond = base.groupBy("__c").agg(F.avg("__v").alias("cm"), F.count(F.lit(1)).alias("ns"))
+    n_subj = subj.count()
+    k = cond.count()
+    ss_cond = cond.agg(
+        F.sum(F.col("ns") * F.pow(F.col("cm") - grand_mean, 2)).alias("s")
+    ).collect()[0]["s"]
+    ss_subj = subj.agg(
+        F.sum(F.col("k") * F.pow(F.col("sm") - grand_mean, 2)).alias("s")
+    ).collect()[0]["s"]
+    ss_total = base.agg(
+        F.sum(F.pow(F.col("__v") - grand_mean, 2)).alias("s")
+    ).collect()[0]["s"]
+    ss_err = ss_total - ss_cond - ss_subj
+    df_cond = k - 1
+    df_err = (n_subj - 1) * (k - 1)
+    f_stat = (
+        (ss_cond / df_cond) / (ss_err / df_err)
+        if df_err > 0 and ss_err > 0
+        else None
+    )
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                float(f_stat) if f_stat is not None else None,
+                float(ss_cond),
+                float(ss_subj),
+                float(ss_err),
+                int(df_cond),
+                int(df_err),
+            )
+        ],
+        "f_stat double, ss_condition double, ss_subject double, "
+        "ss_error double, dof_condition bigint, dof_error bigint",
+    )
+
+
+def statistical_tests(
+    df: DataFrame,
+    *cols: str,
+    test_type: str = "mcnemar",
+    **kwargs,
+) -> DataFrame:
+    """Umbrella dispatcher (statistical_tests,
+    gofast/stats/inferential.py:1835): routes ``test_type`` to the
+    distributed implementation.  ``cols`` are the column names the chosen
+    test expects (see each test's signature)."""
+    from gofast_spark.stats.relationships import kruskal_wallis
+
+    table = {
+        "mcnemar": lambda: mcnemar_test(df, *cols),
+        "cochran_q": lambda: cochran_q_test(df, list(cols)),
+        "kruskal_wallis": lambda: kruskal_wallis(df, *cols),
+        "wilcoxon": lambda: wilcoxon_signed_rank(df, *cols),
+        "ttest_paired": lambda: t_test_paired(df, *cols),
+        "ttest_indep": lambda: t_test_independent(df, *cols, **kwargs),
+        "rm_anova": lambda: rm_anova_test(df, *cols),
+        "anova": lambda: anova_test(df, *cols),
+        "chi2": lambda: chi2_test(df, *cols),
+        "levene": lambda: levene_test(df, *cols),
+        "friedman": lambda: friedman_test(df, *cols),
+        "ks": lambda: ks_test_2samp(df, *cols, **kwargs),
+    }
+    if test_type not in table:
+        raise ValueError(
+            f"unknown test_type {test_type!r}; one of {sorted(table)}"
+        )
+    return table[test_type]()
