@@ -1,9 +1,23 @@
-"""MLlib pipeline mirrors (SURVEY §2.14)."""
+"""MLlib pipeline mirrors + dimensionality reduction (SURVEY §2.14)."""
 
 from gofast_spark.ml.pipeline import (
     fit_kmeans,
     fit_pca,
     make_feature_pipeline,
 )
+from gofast_spark.ml.dimensionality import (
+    classical_mds,
+    kernel_pca,
+    lle_embedding,
+    spectral_embedding,
+)
 
-__all__ = ["make_feature_pipeline", "fit_pca", "fit_kmeans"]
+__all__ = [
+    "make_feature_pipeline",
+    "fit_pca",
+    "fit_kmeans",
+    "kernel_pca",
+    "classical_mds",
+    "spectral_embedding",
+    "lle_embedding",
+]

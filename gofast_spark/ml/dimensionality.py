@@ -1,0 +1,260 @@
+"""Nonlinear dimensionality reduction: kernel PCA, classical MDS, spectral
+embedding, LLE.
+
+Reference: ``kPCA``/``LLE`` (gofast/analysis/dimensionality.py:443,552),
+``mds_similarity`` (gofast/stats/relationships.py:430),
+``perform_spectral_clustering`` (gofast/stats/relationships.py:530) — all
+sklearn wrappers over in-memory arrays.
+
+Scale design (SURVEY §4.2.5): these methods are quadratic in the row
+count, so the distributed re-expression is **landmark + Nyström**:
+
+1. sample ``m`` landmark rows to the driver (m bounded, default 256 —
+   the same contract as the reference's in-memory arrays);
+2. eigendecompose the m x m landmark kernel with numpy on the driver;
+3. project EVERY row distributively: ``mapInPandas`` computes the row's
+   kernel against the broadcast landmark matrix and multiplies by the
+   (m x k) projection — one pass, no shuffle, arbitrarily many rows.
+
+kPCA and classical MDS (Torgerson: MDS on Euclidean distances == PCA on
+the centered Gram) get the full Nyström treatment.  Spectral embedding
+and LLE have no standard out-of-sample extension, so they run on the
+landmark sample only and return the sample embedding (documented —
+matching the reference's in-memory contract, not silently collecting the
+full frame).  No sklearn/scipy: kernels and eigh are numpy.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _landmarks(df: DataFrame, cols: Sequence[str], m: int, seed: int):
+    """Sample ~m rows to a (m x d) numpy matrix (bounded by contract)."""
+    import numpy as np
+
+    n = df.count()
+    frac = min(1.0, (m * 1.3) / max(n, 1))
+    rows = (
+        df.select(*cols)
+        .na.drop()
+        .sample(fraction=frac, seed=seed)
+        .limit(m)
+        .collect()
+    )
+    return np.array([[float(r[c]) for c in cols] for r in rows])
+
+
+def _rbf(a, b, gamma: float):
+    """RBF kernel matrix between row sets ``a`` (n x d) and ``b`` (m x d)."""
+    import numpy as np
+
+    sq = (
+        (a * a).sum(axis=1)[:, None]
+        + (b * b).sum(axis=1)[None, :]
+        - 2.0 * a @ b.T
+    )
+    return np.exp(-gamma * np.maximum(sq, 0.0))
+
+
+def kernel_pca(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    *,
+    k: int = 2,
+    gamma: float | None = None,
+    landmarks: int = 256,
+    seed: int = 42,
+    out_prefix: str = "kpca",
+) -> DataFrame:
+    """Nyström kernel PCA: landmark eigh on the driver, full-frame
+    projection via mapInPandas (kPCA,
+    gofast/analysis/dimensionality.py:443)."""
+    import numpy as np
+
+    cols = list(feature_cols)
+    L = _landmarks(df, cols, landmarks, seed)
+    m, d = L.shape
+    g = gamma if gamma is not None else 1.0 / d
+    K = _rbf(L, L, g)
+    # center the landmark kernel (standard kPCA centering)
+    one = np.full((m, m), 1.0 / m)
+    Kc = K - one @ K - K @ one + one @ K @ one
+    lam, V = np.linalg.eigh(Kc)
+    order = np.argsort(lam)[::-1][:k]
+    lam, V = lam[order], V[:, order]
+    lam = np.maximum(lam, 1e-12)
+    proj = V / np.sqrt(lam)  # (m x k): alpha / sqrt(lambda)
+    k_row_mean = K.mean(axis=0)  # for out-of-sample centering
+    k_mean = K.mean()
+    schema = ", ".join(
+        [f"{c} double" for c in cols] + [f"{out_prefix}_{i} double" for i in range(k)]
+    )
+
+    def project(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            X = pdf[cols].to_numpy(dtype=float)
+            Kx = _rbf(X, L, g)
+            Kxc = (
+                Kx
+                - Kx.mean(axis=1, keepdims=True)
+                - k_row_mean[None, :]
+                + k_mean
+            )
+            Z = Kxc @ proj
+            out = pd.DataFrame({c: pdf[c] for c in cols})
+            for i in range(k):
+                out[f"{out_prefix}_{i}"] = Z[:, i]
+            yield out
+
+    return df.select(*[F.col(c).cast("double").alias(c) for c in cols]).na.drop().mapInPandas(
+        project, schema=schema
+    )
+
+
+def classical_mds(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    *,
+    k: int = 2,
+    landmarks: int = 256,
+    seed: int = 42,
+    out_prefix: str = "mds",
+) -> DataFrame:
+    """Landmark classical MDS / Torgerson scaling with Nyström extension
+    (mds_similarity, gofast/stats/relationships.py:430): double-centered
+    squared Euclidean distances to the landmarks, projected onto the
+    landmark eigenbasis."""
+    import numpy as np
+
+    cols = list(feature_cols)
+    L = _landmarks(df, cols, landmarks, seed)
+    m = L.shape[0]
+    D2 = (
+        (L * L).sum(axis=1)[:, None]
+        + (L * L).sum(axis=1)[None, :]
+        - 2.0 * L @ L.T
+    )
+    D2 = np.maximum(D2, 0.0)
+    J = np.eye(m) - np.full((m, m), 1.0 / m)
+    B = -0.5 * J @ D2 @ J
+    lam, V = np.linalg.eigh(B)
+    order = np.argsort(lam)[::-1][:k]
+    lam, V = np.maximum(lam[order], 1e-12), V[:, order]
+    proj = V / np.sqrt(lam)  # Nystrom: x -> -0.5 * (d2 - row_mean) @ proj
+    d2_row_mean = D2.mean(axis=0)
+    schema = ", ".join(
+        [f"{c} double" for c in cols] + [f"{out_prefix}_{i} double" for i in range(k)]
+    )
+
+    def project(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            X = pdf[cols].to_numpy(dtype=float)
+            d2 = (
+                (X * X).sum(axis=1)[:, None]
+                + (L * L).sum(axis=1)[None, :]
+                - 2.0 * X @ L.T
+            )
+            d2 = np.maximum(d2, 0.0)
+            Z = -0.5 * (d2 - d2_row_mean[None, :] - d2.mean(axis=1, keepdims=True) + D2.mean()) @ proj
+            out = pd.DataFrame({c: pdf[c] for c in cols})
+            for i in range(k):
+                out[f"{out_prefix}_{i}"] = Z[:, i]
+            yield out
+
+    return df.select(*[F.col(c).cast("double").alias(c) for c in cols]).na.drop().mapInPandas(
+        project, schema=schema
+    )
+
+
+def spectral_embedding(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    *,
+    k: int = 2,
+    gamma: float | None = None,
+    sample: int = 512,
+    seed: int = 42,
+) -> DataFrame:
+    """Sample-bounded spectral embedding (perform_spectral_clustering,
+    gofast/stats/relationships.py:530): normalized-Laplacian
+    eigenvectors of the RBF affinity over a driver-side sample (no
+    out-of-sample extension exists for the raw Laplacian basis — the
+    returned frame holds the SAMPLE rows' coordinates)."""
+    import numpy as np
+
+    cols = list(feature_cols)
+    X = _landmarks(df, cols, sample, seed)
+    g = gamma if gamma is not None else 1.0 / X.shape[1]
+    W = _rbf(X, X, g)
+    np.fill_diagonal(W, 0.0)
+    dvec = W.sum(axis=1)
+    dinv = 1.0 / np.sqrt(np.maximum(dvec, 1e-12))
+    Lsym = np.eye(len(X)) - (dinv[:, None] * W) * dinv[None, :]
+    lam, V = np.linalg.eigh(Lsym)
+    # skip the trivial constant eigenvector (lambda ~ 0)
+    emb = V[:, 1 : k + 1]
+    spark = df.sparkSession
+    data = [
+        tuple(float(x) for x in row) + tuple(float(z) for z in emb[i])
+        for i, row in enumerate(X)
+    ]
+    schema = ", ".join(
+        [f"{c} double" for c in cols] + [f"spec_{i} double" for i in range(k)]
+    )
+    return spark.createDataFrame(data, schema)
+
+
+def lle_embedding(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    *,
+    k: int = 2,
+    n_neighbors: int = 10,
+    sample: int = 512,
+    reg: float = 1e-3,
+    seed: int = 42,
+) -> DataFrame:
+    """Sample-bounded locally-linear embedding (LLE,
+    gofast/analysis/dimensionality.py:552): reconstruction weights from
+    the local Gram solve, embedding from the bottom eigenvectors of
+    (I-W)'(I-W).  Numpy kernel over a driver-side sample."""
+    import numpy as np
+
+    cols = list(feature_cols)
+    X = _landmarks(df, cols, sample, seed)
+    n = len(X)
+    nn = min(n_neighbors, n - 1)
+    d2 = (
+        (X * X).sum(axis=1)[:, None]
+        + (X * X).sum(axis=1)[None, :]
+        - 2.0 * X @ X.T
+    )
+    np.fill_diagonal(d2, np.inf)
+    W = np.zeros((n, n))
+    for i in range(n):
+        idx = np.argpartition(d2[i], nn)[:nn]
+        Z = X[idx] - X[i]
+        G = Z @ Z.T
+        G += np.eye(nn) * reg * np.trace(G) if np.trace(G) > 0 else np.eye(nn) * reg
+        w = np.linalg.solve(G, np.ones(nn))
+        W[i, idx] = w / w.sum()
+    M = (np.eye(n) - W).T @ (np.eye(n) - W)
+    lam, V = np.linalg.eigh(M)
+    emb = V[:, 1 : k + 1]  # drop the constant bottom eigenvector
+    spark = df.sparkSession
+    data = [
+        tuple(float(x) for x in row) + tuple(float(z) for z in emb[i])
+        for i, row in enumerate(X)
+    ]
+    schema = ", ".join(
+        [f"{c} double" for c in cols] + [f"lle_{i} double" for i in range(k)]
+    )
+    return spark.createDataFrame(data, schema)

@@ -29,6 +29,7 @@ from gofast_spark.stats.comparisons import (
     friedman_test_models,
     nemenyi_cd,
 )
+from gofast_spark.stats.mixed import mixed_effects_model
 from gofast_spark.stats.ordination import dca_analysis
 from gofast_spark.stats.resampling import bootstrap, bootstrap_ci
 from gofast_spark.stats.inferential import (
@@ -53,6 +54,7 @@ __all__ = [
     "bootstrap",
     "bootstrap_ci",
     "dca_analysis",
+    "mixed_effects_model",
     "normal_pdf",
     "normal_cdf",
     "binomial_pmf",

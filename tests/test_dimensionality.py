@@ -1,0 +1,75 @@
+"""Nonlinear dimensionality pack: kPCA / MDS / spectral / LLE
+(landmark + Nystrom design; sample-bounded for the Laplacian methods)."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def blobs(spark):
+    """Two well-separated Gaussian blobs in 3-D."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    a = rng.normal(0.0, 0.5, (150, 3))
+    b = rng.normal(6.0, 0.5, (150, 3))
+    rows = [(int(i < 150), *map(float, v)) for i, v in enumerate([*a, *b])]
+    return spark.createDataFrame(rows, ["blob", "x", "y", "z"]).cache()
+
+
+def _separation(pdf, col, label="blob"):
+    """|mean_a - mean_b| / pooled sd of an embedding column."""
+    g = pdf.groupby(label)[col].agg(["mean", "std"])
+    return abs(g["mean"].iloc[0] - g["mean"].iloc[1]) / g["std"].mean()
+
+
+def test_kernel_pca_separates_blobs(spark, blobs):
+    from gofast_spark.ml import kernel_pca
+
+    out = kernel_pca(
+        blobs.select("x", "y", "z", "blob"), ["x", "y", "z"],
+        k=2, landmarks=120, seed=1,
+    )
+    # mapInPandas keeps all rows and adds kpca_0/1
+    assert out.count() == 300
+    joined = out.join(blobs, on=["x", "y", "z"]).toPandas()
+    assert _separation(joined, "kpca_0") > 3.0
+
+
+def test_classical_mds_preserves_structure(spark, blobs):
+    from gofast_spark.ml import classical_mds
+
+    out = classical_mds(
+        blobs.select("x", "y", "z"), ["x", "y", "z"], k=2, landmarks=120, seed=1
+    )
+    assert out.count() == 300
+    joined = out.join(blobs, on=["x", "y", "z"]).toPandas()
+    assert _separation(joined, "mds_0") > 3.0
+
+
+def test_spectral_embedding_sample(spark, blobs):
+    from gofast_spark.ml import spectral_embedding
+
+    out = spectral_embedding(
+        blobs.select("x", "y", "z"), ["x", "y", "z"], k=2, sample=200, seed=2
+    ).toPandas()
+    assert {"spec_0", "spec_1"} <= set(out.columns)
+    assert len(out) <= 200
+    joined = out.merge(blobs.toPandas(), on=["x", "y", "z"])
+    assert _separation(joined, "spec_0") > 3.0
+
+
+def test_lle_embedding_sample(spark, blobs):
+    from gofast_spark.ml import lle_embedding
+
+    out = lle_embedding(
+        blobs.select("x", "y", "z"), ["x", "y", "z"],
+        k=2, n_neighbors=8, sample=200, seed=3,
+    ).toPandas()
+    assert {"lle_0", "lle_1"} <= set(out.columns)
+    joined = out.merge(blobs.toPandas(), on=["x", "y", "z"])
+    # LLE separates the disconnected blobs on some returned axis
+    assert max(
+        _separation(joined, "lle_0"), _separation(joined, "lle_1")
+    ) > 3.0

@@ -119,3 +119,26 @@ def test_fill_mode_and_time_grid(spark):
     assert grid.count() == 5  # 0,15,30,45,60 min
     first = grid.agg(F.min("ts"), F.max("ts")).first()
     assert str(first[0]).startswith("2024-01-01 00:00")
+
+
+def test_read_fwf(spark, tmp_path):
+    from gofast_spark.sources.io import read_data
+
+    p = tmp_path / "table.fwf"
+    p.write_text("id  name   val\n1   alpha  10\n2   beta   20\n")
+    df = read_data(spark, str(p))
+    assert df.count() == 2
+    assert [c.lower() for c in df.columns] == ["id", "name", "val"]
+
+
+def test_read_sas_gated(spark, tmp_path):
+    """A malformed .sas7bdat must surface pandas' reader error, proving
+    the dispatch reaches read_sas (no real SAS fixture in-container)."""
+    import pytest
+
+    from gofast_spark.sources.io import read_data
+
+    p = tmp_path / "x.sas7bdat"
+    p.write_bytes(b"not a real sas file")
+    with pytest.raises(Exception):
+        read_data(spark, str(p))
