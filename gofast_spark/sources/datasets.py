@@ -327,3 +327,300 @@ def make_water_demand(
         .withColumn("domestic_demand", domestic)
         .withColumn("total_demand", F.round(agri + indus + domestic, 2))
     )
+
+
+def _gen(spark: SparkSession, n: int, id_name: str, spec: dict, seed: int) -> DataFrame:
+    """Spec-driven distributed generator: each spec entry is
+    ('uniform', lo, hi, round) | ('normal', mu, sd, round) |
+    ('int', lo, hi) | ('choice', [..]) | ('expr', column_fn) — evaluated
+    as seeded column expressions over spark.range (never on the driver)."""
+    df = spark.range(n).withColumnRenamed("id", id_name)
+    i = 0
+    for name, s in spec.items():
+        kind = s[0]
+        if kind == "uniform":
+            col = F.round(F.rand(seed + i) * (s[2] - s[1]) + s[1], s[3])
+        elif kind == "normal":
+            col = F.round(F.randn(seed + i) * s[2] + s[1], s[3])
+        elif kind == "int":
+            col = (F.rand(seed + i) * (s[2] - s[1]) + s[1]).cast("int")
+        elif kind == "choice":
+            col = _pick(F.col(id_name) + i, s[1])
+        elif kind == "expr":
+            col = s[1](F.col(id_name))
+        else:  # pragma: no cover
+            raise ValueError(f"unknown spec kind {kind!r}")
+        df = df.withColumn(name, col)
+        i += 1
+    return df
+
+
+def make_social_media_comments(
+    spark: SparkSession, samples: int = 1000, *, seed: int = 42
+) -> DataFrame:
+    """Comment stream (make_social_media_comments,
+    gofast/datasets/make.py:1205): username/comment/timestamp/likes."""
+    words = ["great", "nice", "wow", "bad", "love", "meh", "cool", "why"]
+    return _gen(
+        spark, samples, "comment_id",
+        {
+            "username": (
+                "expr",
+                lambda c: F.concat(F.lit("user_"), F.pmod(c * 37, F.lit(120))),
+            ),
+            "comment": ("choice", [f"{a} {b}" for a in words for b in ("post", "pic")]),
+            "timestamp": (
+                "expr",
+                lambda c: F.to_timestamp(
+                    F.date_add(F.lit("2024-01-01"), F.pmod(c, F.lit(120)).cast("int"))
+                ),
+            ),
+            "likes": ("int", 0, 500),
+        },
+        seed,
+    )
+
+
+def make_african_demo(
+    spark: SparkSession, *, n_countries: int = 5, n_years: int = 10, seed: int = 42
+) -> DataFrame:
+    """Demographics panel (make_african_demo,
+    gofast/datasets/make.py:1346): country x year population/vital-rate
+    table."""
+    countries = ["Nigeria", "Ethiopia", "Egypt", "DR Congo", "Tanzania",
+                 "South Africa", "Kenya", "Uganda", "Algeria", "Sudan"][:n_countries]
+    n = len(countries) * n_years
+    df = spark.range(n)
+    ci = F.pmod(F.col("id"), F.lit(len(countries)))
+    country = F.lit(countries[0])
+    for i, c in enumerate(countries[1:], start=1):
+        country = F.when(ci == i, F.lit(c)).otherwise(country)
+    return (
+        df.withColumn("country", country)
+        .withColumn("year", (2010 + (F.col("id") / len(countries)).cast("int")))
+        .withColumn("population", (F.rand(seed) * 1.9e8 + 1e7).cast("long"))
+        .withColumn("birth_rate", F.round(F.rand(seed + 1) * 30 + 15, 2))
+        .withColumn("death_rate", F.round(F.rand(seed + 2) * 10 + 5, 2))
+        .withColumn("urbanization_rate", F.round(F.rand(seed + 3) * 60 + 20, 2))
+        .withColumn("gdp_per_capita", F.round(F.rand(seed + 4) * 9500 + 500, 2))
+        .drop("id")
+    )
+
+
+def make_agronomy_feedback(
+    spark: SparkSession, samples: int = 1000, *, seed: int = 42
+) -> DataFrame:
+    """Farm-year agronomy panel (make_agronomy_feedback,
+    gofast/datasets/make.py:1529)."""
+    return _gen(
+        spark, samples, "row_id",
+        {
+            "farm_id": ("expr", lambda c: F.pmod(c * 13, F.lit(100))),
+            "year": ("int", 2015, 2025),
+            "crop": ("choice", ["maize", "wheat", "rice", "soy", "cassava"]),
+            "soil_ph": ("uniform", 4.5, 8.5, 2),
+            "temperature": ("uniform", 12.0, 35.0, 1),
+            "rainfall": ("uniform", 200.0, 1800.0, 1),
+            "pesticide_type": ("choice", ["none", "organic", "synthetic"]),
+            "pesticide_amount": ("uniform", 0.0, 12.0, 2),
+            "crop_yield": ("uniform", 800.0, 9000.0, 1),
+        },
+        seed,
+    )
+
+
+def make_mining_ops(
+    spark: SparkSession, samples: int = 1000, *, seed: int = 42
+) -> DataFrame:
+    """Mining operations table (make_mining_ops,
+    gofast/datasets/make.py:1720)."""
+    return _gen(
+        spark, samples, "op_id",
+        {
+            "easting": ("uniform", 300000.0, 900000.0, 2),
+            "northing": ("uniform", 4000000.0, 9000000.0, 2),
+            "depth": ("uniform", 5.0, 1200.0, 2),
+            "ore_type": ("choice", ["gold", "copper", "iron", "bauxite"]),
+            "ore_concentration": ("uniform", 0.5, 15.0, 3),
+            "drill_diameter": ("uniform", 75.0, 350.0, 1),
+            "blast_hole_depth": ("uniform", 3.0, 25.0, 2),
+            "explosive_type": ("choice", ["ANFO", "emulsion", "dynamite"]),
+            "explosive_amount": ("uniform", 50.0, 2000.0, 1),
+            "equipment_type": ("choice", ["excavator", "loader", "hauler", "drill_rig"]),
+            "equipment_age": ("int", 0, 20),
+            "daily_production": ("uniform", 1000.0, 50000.0, 1),
+        },
+        seed,
+    )
+
+
+def make_sounding(
+    spark: SparkSession, samples: int = 800, *, n_layers: int = 5, seed: int = 42
+) -> DataFrame:
+    """Vertical electrical sounding layers (make_sounding,
+    gofast/datasets/make.py:1951)."""
+    return _gen(
+        spark, samples, "row_id",
+        {
+            "survey_point_id": ("expr", lambda c: (c / n_layers).cast("int")),
+            "layer_depth": (
+                "expr",
+                lambda c: F.round((F.pmod(c, F.lit(n_layers)) + 1) * (F.rand(seed + 90) * 10 + 5), 2),
+            ),
+            "resistivity": ("uniform", 10.0, 1500.0, 2),
+            "seismic_velocity": ("uniform", 300.0, 6000.0, 1),
+        },
+        seed,
+    )
+
+
+def make_well_logging(
+    spark: SparkSession, samples: int = 1000, *, depth_step: float = 0.5, seed: int = 42
+) -> DataFrame:
+    """Borehole log curve set (make_well_logging,
+    gofast/datasets/make.py:2371)."""
+    return _gen(
+        spark, samples, "sample_id",
+        {
+            "depth": ("expr", lambda c: F.round(c * depth_step, 2)),
+            "gamma_ray": ("uniform", 20.0, 250.0, 2),
+            "resistivity": ("uniform", 0.2, 2000.0, 3),
+            "neutron_porosity": ("uniform", 0.05, 0.45, 4),
+            "density": ("uniform", 1.95, 2.95, 3),
+        },
+        seed,
+    )
+
+
+def make_ert(
+    spark: SparkSession, samples: int = 1000, *, seed: int = 42
+) -> DataFrame:
+    """Electrical-resistivity-tomography acquisition table (make_ert,
+    gofast/datasets/make.py:2525)."""
+    return _gen(
+        spark, samples, "measure_id",
+        {
+            "electrode_position": ("expr", lambda c: F.round(c * 5.0, 1)),
+            "cable_length": ("choice", ["100m", "200m", "400m"]),
+            "resistivity": ("uniform", 5.0, 2500.0, 2),
+            "battery_voltage": ("uniform", 11.0, 13.0, 2),
+            "equipment_type": ("choice", ["SAS4000", "SyscalPro", "ABEM"]),
+        },
+        seed,
+    )
+
+
+def make_tem(
+    spark: SparkSession, samples: int = 1000, *, seed: int = 42
+) -> DataFrame:
+    """Transient-EM soundings (make_tem, gofast/datasets/make.py:2686)."""
+    return _gen(
+        spark, samples, "sounding_id",
+        {
+            "latitude": ("uniform", -35.0, 37.0, 6),
+            "longitude": ("uniform", -17.0, 51.0, 6),
+            "time": ("expr", lambda c: F.round(F.pow(10.0, F.rand(seed + 77) * 4 - 6), 8)),
+            "tem_measurement": ("uniform", 0.001, 800.0, 4),
+            "equipment_type": ("choice", ["WalkTEM", "terraTEM", "FastSnap"]),
+        },
+        seed,
+    )
+
+
+def make_erp(
+    spark: SparkSession, samples: int = 1000, *, step: float = 10.0, seed: int = 42
+) -> DataFrame:
+    """Electrical-resistivity profiling line (make_erp,
+    gofast/datasets/make.py:2858)."""
+    return _gen(
+        spark, samples, "station_id",
+        {
+            "easting": ("uniform", 300000.0, 900000.0, 2),
+            "northing": ("uniform", 4000000.0, 9000000.0, 2),
+            "longitude": ("uniform", -17.0, 51.0, 6),
+            "latitude": ("uniform", -35.0, 37.0, 6),
+            "position": ("expr", lambda c: F.round(c * step, 1)),
+            "step": ("expr", lambda c: F.lit(step)),
+            "resistivity": ("uniform", 5.0, 2500.0, 2),
+        },
+        seed,
+    )
+
+
+def make_elogging(
+    spark: SparkSession, samples: int = 1000, *, seed: int = 42
+) -> DataFrame:
+    """Equipment log stream (make_elogging, gofast/datasets/make.py:3038)."""
+    return _gen(
+        spark, samples, "log_id",
+        {
+            "timestamp": (
+                "expr",
+                lambda c: F.timestamp_seconds(
+                    F.unix_timestamp(F.lit("2024-01-01 00:00:00")) + c * 37
+                ),
+            ),
+            "log_level": ("choice", ["INFO", "WARNING", "ERROR", "DEBUG"]),
+            "message": ("choice", [
+                "pump started", "pressure drop detected", "valve closed",
+                "sensor calibrated", "temperature threshold exceeded",
+            ]),
+        },
+        seed,
+    )
+
+
+def make_cc_factors(
+    spark: SparkSession, samples: int = 1000, *, seed: int = 42
+) -> DataFrame:
+    """Climate-change factor matrix (make_cc_factors,
+    gofast/datasets/make.py:3525): the reference's scaled factor columns
+    (a representative half of the 22)."""
+    cols = [
+        "ghg", "def_land", "fossil_fuels", "indust_proc", "agri_livestock",
+        "transport", "energy_prod", "urban_infra", "waste_mgmt",
+        "aerosols", "ocean_acid",
+    ]
+    spec = {c: ("uniform", 0.0, 1.0, 4) for c in cols}
+    return _gen(spark, samples, "obs_id", spec, seed)
+
+
+def make_system_dynamics(
+    spark: SparkSession, samples: int = 1000, *, seed: int = 42
+) -> DataFrame:
+    """Control-system response table (make_system_dynamics,
+    gofast/datasets/make.py:315): input signal and first-order response
+    columns."""
+    df = spark.range(samples).withColumnRenamed("id", "t")
+    inp = F.sin(F.col("t") * 0.05) + F.randn(seed) * 0.05
+    lin = inp * 0.8 + 0.1
+    return (
+        df.withColumn("time", F.round(F.col("t") * 0.1, 2))
+        .withColumn("input_signal", F.round(inp, 4))
+        .withColumn("linear_output", F.round(lin, 4))
+        .withColumn("response_output", F.round(lin + F.randn(seed + 1) * 0.02, 4))
+        .withColumn("error_signal", F.round(inp - lin, 4))
+        .withColumn("power_consumption", F.round(F.abs(lin) * 10 + F.rand(seed + 2), 3))
+        .withColumn(
+            "stability_metric", F.round(1.0 / (1.0 + F.abs(inp - lin)), 4)
+        )
+    )
+
+
+def make_drill_ops(
+    spark: SparkSession, samples: int = 1000, *, seed: int = 42
+) -> DataFrame:
+    """Hydro-drilling targets (make_drill_ops,
+    gofast/datasets/make.py:3886)."""
+    return _gen(
+        spark, samples, "site_id",
+        {
+            "region": ("choice", ["north", "south", "east", "west"]),
+            "deep_mine_targets": ("int", 0, 12),
+            "regular_targets": ("int", 0, 30),
+            "water_quality_parameters": ("uniform", 0.0, 14.0, 2),
+            "fracture_density_and_orientation": ("uniform", 0.0, 1.0, 4),
+            "recommended": ("expr", lambda c: (F.rand(seed + 50) > 0.5).cast("int")),
+        },
+        seed,
+    )

@@ -295,17 +295,30 @@ def load_dataset(spark: SparkSession, name: str, **kwargs) -> DataFrame:
     gofast/datasets/load.py:38-1791).  The reference ships packaged CSVs;
     here every dataset is a seeded distributed generator, so ``load_*``
     semantics (same name -> same data) hold at any requested size."""
-    from gofast_spark.sources.datasets import (
-        make_classification_data,
-        make_regression_data,
-        make_sales_data,
-    )
+    from gofast_spark.sources import datasets as _ds
 
     registry = {
-        "regression": make_regression_data,
-        "classification": make_classification_data,
-        "sales": make_sales_data,
-        "retail": make_sales_data,
+        "regression": _ds.make_regression_data,
+        "classification": _ds.make_classification_data,
+        "sales": _ds.make_sales_data,
+        "retail": _ds.make_retail_store,
+        "market": _ds.make_financial_market_trends,
+        "medical_diagnosis": _ds.make_medical_diagnosis,
+        "gadget_sales": _ds.make_gadget_sales,
+        "water_demand": _ds.make_water_demand,
+        "social_media": _ds.make_social_media_comments,
+        "african_demo": _ds.make_african_demo,
+        "agronomy": _ds.make_agronomy_feedback,
+        "mining_ops": _ds.make_mining_ops,
+        "sounding": _ds.make_sounding,
+        "well_logging": _ds.make_well_logging,
+        "ert": _ds.make_ert,
+        "tem": _ds.make_tem,
+        "erp": _ds.make_erp,
+        "elogging": _ds.make_elogging,
+        "cc_factors": _ds.make_cc_factors,
+        "system_dynamics": _ds.make_system_dynamics,
+        "drill_ops": _ds.make_drill_ops,
     }
     if name not in registry:
         raise KeyError(f"unknown dataset {name!r}; available: {sorted(registry)}")

@@ -90,3 +90,30 @@ def test_generators_deterministic(spark):
     a = make_medical_diagnosis(spark, 100, seed=9).collect()
     b = make_medical_diagnosis(spark, 100, seed=9).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_full_generator_registry(spark):
+    """Every make_* family member generates, is deterministic in schema,
+    and the load_dataset registry resolves all names."""
+    from gofast_spark.sources import load_dataset
+
+    names = [
+        "regression", "classification", "sales", "retail", "market",
+        "medical_diagnosis", "gadget_sales", "water_demand", "social_media",
+        "african_demo", "agronomy", "mining_ops", "sounding", "well_logging",
+        "ert", "tem", "erp", "elogging", "cc_factors", "system_dynamics",
+        "drill_ops",
+    ]
+    for name in names:
+        df = load_dataset(spark, name)
+        assert df.count() > 0, name
+        assert len(df.columns) >= 3, name
+
+
+def test_registry_unknown_raises(spark):
+    import pytest
+
+    from gofast_spark.sources import load_dataset
+
+    with pytest.raises(KeyError):
+        load_dataset(spark, "no_such_dataset")
