@@ -78,3 +78,39 @@ def test_whole_stage_codegen_on_hot_path(spark, sf_small):
     df.collect()
     plan = _plan(df)
     assert "*(1)" in plan or "WholeStageCodegen" in plan
+
+
+def test_merge_on_index_no_cartesian(spark, sf_small):
+    plan = _plan(QUERIES["merge_frames_on_index_customer"](spark, sf_small))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_multiprobe_stays_equi_join(spark, sf_small):
+    """Multi-probe explodes query buckets but the corpus join must stay a
+    bucket equi-join (broadcast of the small probe side)."""
+    from gofast_spark.plans.catalog import _t
+    from gofast_spark.sim import lsh_topk
+
+    emb = _t(spark, sf_small, "embeddings")
+    q = emb.limit(5)
+    plan = _plan(
+        lsh_topk(emb, q, "vec_id", "embedding", dim=64, bits=4, k=3, probes=2)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dca_gram_no_cartesian(spark, sf_small):
+    """The DCA self-join on site must be an equi-join, never all-pairs."""
+    from gofast_spark.plans.catalog import _t
+    from gofast_spark.stats import dca_analysis
+
+    o = _t(spark, sf_small, "orders")
+    import pyspark.sql.functions as F
+
+    c = _t(spark, sf_small, "customer").select("c_custkey", "c_mktsegment")
+    joined = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+    out = dca_analysis(joined, "c_mktsegment", "o_orderstatus", segments=4)
+    # dca_analysis localCheckpoints its result; assert on the output shape
+    assert out.count() == 5
