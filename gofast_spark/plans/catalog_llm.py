@@ -464,3 +464,37 @@ def multimodal_blob_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
     return blob_features(d, "doc_id", "payload")
+
+
+@query(
+    "embedding_near_dup_pairs",
+    oracle=f"""
+    WITH c AS (SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket,
+             {_DOT64.format(a='a.embedding', b='b.embedding')}
+             / ({_NORM64.format(v='a.embedding')} * {_NORM64.format(v='b.embedding')}) AS cos_sim
+      FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    SELECT id_a, id_b, CAST(bucket AS INTEGER) AS bucket,
+           CAST(round(cos_sim, 4) AS DOUBLE) AS cos_sim
+    FROM pairs WHERE round(cos_sim, 6) >= 0.3
+    """,
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via LSH bucket blocking — the
+    fourth member of the near-dup family (exact / MinHash-Jaccard /
+    SimHash / cosine).  Candidates come from the bucket self-join, never
+    all-pairs; the 0.3 threshold matches the synthetic embeddings'
+    near-isotropic cosine range."""
+    from gofast_spark.sim import cosine_near_dup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = cosine_near_dup_pairs(
+        e, "vec_id", "embedding", dim=64, threshold=0.3, bits=4
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        F.col("bucket").cast("int").alias("bucket"),
+        F.round("cos_sim", 4).cast("double").alias("cos_sim"),
+    )

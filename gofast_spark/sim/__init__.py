@@ -11,6 +11,13 @@ higher-order functions (``zip_with``/``aggregate``) — JVM-side, no UDFs.
 """
 
 from gofast_spark.sim.cosine import cosine_sim, cosine_topk, l2_norm
-from gofast_spark.sim.lsh import hyperplane_bucket, lsh_topk
+from gofast_spark.sim.lsh import cosine_near_dup_pairs, hyperplane_bucket, lsh_topk
 
-__all__ = ["cosine_sim", "cosine_topk", "l2_norm", "hyperplane_bucket", "lsh_topk"]
+__all__ = [
+    "cosine_sim",
+    "cosine_topk",
+    "l2_norm",
+    "hyperplane_bucket",
+    "lsh_topk",
+    "cosine_near_dup_pairs",
+]

@@ -132,3 +132,45 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", id_col, "bucket", "cos_sim", "rank")
     )
+
+
+def cosine_near_dup_pairs(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    dim: int,
+    threshold: float = 0.9,
+    bits: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs with LSH bucket blocking —
+    the embedding analog of ``dedup.near_dup_pairs`` (shingle Jaccard),
+    completing the near-dup family: exact / MinHash / SimHash / cosine.
+
+    Candidate generation is the bucket self-join (equi-join on the
+    hyperplane bucket id, ``id_a < id_b`` to halve the pairs); the exact
+    cosine then filters candidates.  Never all-pairs: pair count is
+    bounded by the largest bucket, and raising ``bits`` shrinks buckets.
+    Recall trades off identically to :func:`lsh_topk` (a true near-dup
+    pair split across buckets is missed; near-identical vectors agree on
+    every hyperplane sign with probability ``1 - theta/pi`` per bit).
+
+    Output: (id_a, id_b, bucket, cos_sim).
+    """
+    b = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        hyperplane_bucket(F.col(vec_col), dim=dim, bits=bits).alias("bucket"),
+    )
+    left = b.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "bucket"
+    )
+    right = b.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "bucket"
+    )
+    pairs = left.join(right, on="bucket").where(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cos_sim", cosine_sim(F.col("__va"), F.col("__vb")))
+        .where(F.round(F.col("cos_sim"), 6) >= threshold)
+        .select("id_a", "id_b", "bucket", "cos_sim")
+    )
