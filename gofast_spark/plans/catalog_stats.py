@@ -501,3 +501,46 @@ def rm_anova_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dof_condition",
         "dof_error",
     )
+
+
+@query("kernel_pca_embeddings")
+def kernel_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nystrom kernel-PCA scores over the first four embedding dimensions
+    (kPCA, gofast/analysis/dimensionality.py:443).  Eigen-decomposition is
+    not SQL-expressible — rows-only check; deterministic landmark seed."""
+    from gofast_spark.ml import kernel_pca
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        *[
+            F.element_at(F.col("embedding"), i + 1).cast("double").alias(f"e{i}")
+            for i in range(4)
+        ],
+    )
+    out = kernel_pca(
+        e.select("e0", "e1", "e2", "e3"),
+        ["e0", "e1", "e2", "e3"],
+        k=2,
+        landmarks=128,
+        seed=7,
+    )
+    return out.select(
+        F.round("e0", 6).alias("e0"),
+        F.round("kpca_0", 4).alias("kpca_0"),
+        F.round("kpca_1", 4).alias("kpca_1"),
+    )
+
+
+@query("mixed_effects_lineitem")
+def mixed_effects_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-intercept mixed model: extended price on quantity with a
+    return-flag random intercept (mixed_effects_model,
+    gofast/stats/inferential.py:661).  IGLS fixed point is not
+    SQL-expressible — rows-only check (deterministic closed-form path)."""
+    from gofast_spark.stats import mixed_effects_model
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = mixed_effects_model(
+        li, "l_extendedprice", ["l_quantity"], "l_returnflag"
+    )
+    return out.select("term", F.round("value", 4).alias("value"))
