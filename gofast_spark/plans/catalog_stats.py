@@ -544,3 +544,95 @@ def mixed_effects_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, "l_extendedprice", ["l_quantity"], "l_returnflag"
     )
     return out.select("term", F.round("value", 4).alias("value"))
+
+
+@query(
+    "jarque_bera_lineitem",
+    oracle="""
+    WITH m AS (
+      SELECT count(*) AS n, avg(l_quantity) AS m1,
+             avg(l_quantity * l_quantity) AS m2,
+             avg(l_quantity * l_quantity * l_quantity) AS m3,
+             avg(l_quantity * l_quantity * l_quantity * l_quantity) AS m4
+      FROM lineitem),
+    c AS (
+      SELECT n,
+             m2 - m1 * m1 AS c2,
+             m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1 AS c3,
+             m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1 * m1 * m1 * m1 AS c4
+      FROM m)
+    SELECT CAST(round(n / 6.0 * (pow(c3 / pow(c2, 1.5), 2)
+                 + pow(c4 / (c2 * c2) - 3, 2) / 4.0), 4) AS DOUBLE) AS jb_stat,
+           CAST(round(c3 / pow(c2, 1.5), 6) AS DOUBLE) AS skewness,
+           CAST(round(c4 / (c2 * c2), 6) AS DOUBLE) AS kurtosis,
+           CAST(n AS BIGINT) AS n
+    FROM c
+    """,
+)
+def jarque_bera_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality of l_quantity from one moment aggregate
+    (NormalityTests, gofast/stats/evaluation.py:904 — the moment-based
+    equivalent of its order-statistic tests)."""
+    from gofast_spark.stats import jarque_bera
+
+    out = jarque_bera(_t(spark, sf_dir, "lineitem"), "l_quantity")
+    return out.select(
+        F.round("jb_stat", 4).cast("double").alias("jb_stat"),
+        F.round("skewness", 6).cast("double").alias("skewness"),
+        F.round("kurtosis", 6).cast("double").alias("kurtosis"),
+        "n",
+    )
+
+
+@query(
+    "chi2_gof_orderstatus",
+    oracle="""
+    WITH o AS (SELECT o_orderstatus AS c, count(*) * 1.0 AS obs FROM orders GROUP BY 1),
+    t AS (SELECT sum(obs) AS total, count(*) AS k FROM o)
+    SELECT CAST(round(sum(pow(obs - total / k, 2) / (total / k)), 4) AS DOUBLE) AS chi2_stat,
+           CAST(max(k) - 1 AS BIGINT) AS dof,
+           CAST(sum(obs) AS BIGINT) AS n
+    FROM o, t
+    """,
+)
+def chi2_gof_orderstatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square goodness-of-fit of order status against uniformity
+    (GoodnessOfFit, gofast/stats/evaluation.py:339)."""
+    from gofast_spark.stats import chi2_gof
+
+    out = chi2_gof(_t(spark, sf_dir, "orders"), "o_orderstatus")
+    return out.select(
+        F.round("chi2_stat", 4).cast("double").alias("chi2_stat"), "dof", "n"
+    )
+
+
+@query(
+    "durbin_watson_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(round(sum(value), 4) AS DOUBLE) AS v
+      FROM events GROUP BY 1),
+    m AS (SELECT avg(v) AS mu FROM daily),
+    e AS (SELECT d, v - mu AS r FROM daily, m),
+    l AS (SELECT r, lag(r) OVER (ORDER BY d) AS rp FROM e)
+    SELECT CAST(round(sum(pow(r - rp, 2)) / sum(r * r), 6) AS DOUBLE) AS dw_stat,
+           CAST(count(*) AS BIGINT) AS n
+    FROM l
+    """,
+)
+def durbin_watson_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson over demeaned daily revenue residuals
+    (ResidualAnalysis, gofast/stats/evaluation.py:1318)."""
+    from gofast_spark.stats import durbin_watson
+
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.round(F.sum("value"), 4).cast("double").alias("v")
+    )
+    mu = daily.agg(F.avg("v")).collect()[0][0]
+    resid = daily.select("d", (F.col("v") - float(mu)).alias("r"))
+    out = durbin_watson(resid, "r", "d")
+    return out.select(
+        F.round("dw_stat", 6).cast("double").alias("dw_stat"), "n"
+    )

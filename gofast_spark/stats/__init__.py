@@ -29,6 +29,13 @@ from gofast_spark.stats.comparisons import (
     friedman_test_models,
     nemenyi_cd,
 )
+from gofast_spark.stats.evaluation import (
+    aic_bic,
+    chi2_gof,
+    durbin_watson,
+    jarque_bera,
+    residual_analysis,
+)
 from gofast_spark.stats.mixed import mixed_effects_model
 from gofast_spark.stats.ordination import dca_analysis
 from gofast_spark.stats.resampling import bootstrap, bootstrap_ci
@@ -55,6 +62,11 @@ __all__ = [
     "bootstrap_ci",
     "dca_analysis",
     "mixed_effects_model",
+    "jarque_bera",
+    "chi2_gof",
+    "aic_bic",
+    "durbin_watson",
+    "residual_analysis",
     "normal_pdf",
     "normal_cdf",
     "binomial_pmf",

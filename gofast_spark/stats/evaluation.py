@@ -1,0 +1,164 @@
+"""Model-evaluation statistics: normality, goodness-of-fit, information
+criteria, residual diagnostics.
+
+Reference: the evaluation classes (gofast/stats/evaluation.py:339
+``GoodnessOfFit``, :904 ``NormalityTests``, :1028 ``InformationCriteria``,
+:1318 ``ResidualAnalysis``) wrap scipy on in-memory arrays.  The reference
+tests Shapiro-Wilk / Anderson-Darling; both need full order statistics,
+which don't reduce.  The distributed re-expressions here are the
+moment-based equivalents every large-scale system uses:
+
+- ``jarque_bera``: skewness/kurtosis normality test — ONE aggregate pass
+  (n, mean and central moments 2-4 via raw-moment identities).
+- ``chi2_gof``: categorical goodness-of-fit against expected shares —
+  one groupBy.
+- ``aic_bic``: Gaussian-likelihood information criteria from the residual
+  sum of squares — one aggregate.
+- ``durbin_watson``: lag-1 residual autocorrelation statistic — a lag
+  window over the ordered residuals (partition by series for many
+  series; the reduced-series contract otherwise).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def jarque_bera(df: DataFrame, value_col: str) -> DataFrame:
+    """Jarque-Bera normality statistic: JB = n/6 * (S^2 + (K-3)^2/4),
+    skewness S and kurtosis K from raw moments in a single aggregate.
+    Output: (jb_stat, skewness, kurtosis, n)."""
+    x = F.col(value_col).cast("double")
+    agg = df.agg(
+        F.count(x).alias("n"),
+        F.avg(x).alias("m1"),
+        F.avg(x * x).alias("m2"),
+        F.avg(x * x * x).alias("m3"),
+        F.avg(x * x * x * x).alias("m4"),
+    )
+    mu = F.col("m1")
+    c2 = F.col("m2") - mu * mu
+    c3 = F.col("m3") - 3 * mu * F.col("m2") + 2 * mu * mu * mu
+    c4 = (
+        F.col("m4")
+        - 4 * mu * F.col("m3")
+        + 6 * mu * mu * F.col("m2")
+        - 3 * mu * mu * mu * mu
+    )
+    skew = c3 / F.pow(c2, 1.5)
+    kurt = c4 / (c2 * c2)
+    jb = F.col("n") / 6.0 * (skew * skew + F.pow(kurt - 3.0, 2) / 4.0)
+    return agg.select(
+        jb.alias("jb_stat"),
+        skew.alias("skewness"),
+        kurt.alias("kurtosis"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+
+
+def chi2_gof(
+    df: DataFrame,
+    cat_col: str,
+    expected_shares: dict | None = None,
+) -> DataFrame:
+    """Chi-square goodness-of-fit of a categorical column against expected
+    shares (GoodnessOfFit, gofast/stats/evaluation.py:339).  ``None``
+    tests uniformity.  Output: (chi2_stat, dof, n)."""
+    counts = df.groupBy(F.col(cat_col).alias("__c")).agg(
+        F.count(F.lit(1)).cast("double").alias("obs")
+    )
+    if expected_shares is not None:
+        spark = df.sparkSession
+        exp = spark.createDataFrame(
+            [(k, float(v)) for k, v in expected_shares.items()],
+            ["__c", "share"],
+        )
+        counts = counts.join(F.broadcast(exp), on="__c", how="inner")
+        total = counts.agg(F.sum("obs")).collect()[0][0]
+        counts = counts.withColumn("exp", F.col("share") * float(total))
+    else:
+        k = counts.count()
+        total = counts.agg(F.sum("obs")).collect()[0][0]
+        counts = counts.withColumn("exp", F.lit(float(total) / k))
+    out = counts.agg(
+        F.sum(F.pow(F.col("obs") - F.col("exp"), 2) / F.col("exp")).alias(
+            "chi2_stat"
+        ),
+        (F.count(F.lit(1)) - 1).cast("bigint").alias("dof"),
+        F.sum("obs").cast("bigint").alias("n"),
+    )
+    return out
+
+
+def aic_bic(
+    df: DataFrame, y_col: str, yhat_col: str, *, n_params: int
+) -> DataFrame:
+    """Gaussian AIC/BIC from the residual sum of squares
+    (InformationCriteria, gofast/stats/evaluation.py:1028):
+    AIC = n ln(RSS/n) + 2k, BIC = n ln(RSS/n) + k ln(n)."""
+    r = F.col(y_col).cast("double") - F.col(yhat_col).cast("double")
+    agg = df.agg(
+        F.sum(r * r).alias("rss"), F.count(F.lit(1)).cast("double").alias("n")
+    )
+    ll_core = F.col("n") * F.log(F.col("rss") / F.col("n"))
+    return agg.select(
+        (ll_core + 2.0 * n_params).alias("aic"),
+        (ll_core + n_params * F.log(F.col("n"))).alias("bic"),
+        F.col("rss").alias("rss"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+
+
+def durbin_watson(
+    df: DataFrame,
+    resid_col: str,
+    order_col: str,
+    *,
+    partition_by: str | None = None,
+) -> DataFrame:
+    """Durbin-Watson lag-1 autocorrelation statistic over ordered
+    residuals (ResidualAnalysis, gofast/stats/evaluation.py:1318):
+    DW = sum((e_t - e_{t-1})^2) / sum(e_t^2).  Partition by series for
+    many independent series; unpartitioned use is the reduced-series
+    contract (the input is an already-aggregated series, not raw rows)."""
+    e = F.col(resid_col).cast("double")
+    w = (
+        Window.partitionBy(partition_by).orderBy(order_col)
+        if partition_by
+        else Window.orderBy(order_col)
+    )
+    lagged = df.select(
+        *( [F.col(partition_by)] if partition_by else [] ),
+        e.alias("__e"),
+        F.lag(e).over(w).alias("__ep"),
+    )
+    keys = [partition_by] if partition_by else []
+    agg = lagged.groupBy(*keys).agg(
+        F.sum(F.pow(F.col("__e") - F.col("__ep"), 2)).alias("num"),
+        F.sum(F.col("__e") * F.col("__e")).alias("den"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    return agg.select(
+        *keys, (F.col("num") / F.col("den")).alias("dw_stat"), "n"
+    )
+
+
+def residual_analysis(
+    df: DataFrame, y_col: str, yhat_col: str, order_col: str
+) -> DataFrame:
+    """Residual diagnostic bundle: mean/sd, Jarque-Bera, Durbin-Watson —
+    the ResidualAnalysis composite as three reductions."""
+    r = (F.col(y_col).cast("double") - F.col(yhat_col).cast("double")).alias(
+        "__r"
+    )
+    base = df.select(r, F.col(order_col).alias("__o"))
+    mom = base.agg(
+        F.avg("__r").alias("resid_mean"),
+        F.stddev_samp("__r").alias("resid_sd"),
+    )
+    jb = jarque_bera(base, "__r").select("jb_stat", "skewness", "kurtosis")
+    dw = durbin_watson(base, "__r", "__o").select("dw_stat", "n")
+    return mom.crossJoin(jb).crossJoin(dw)
