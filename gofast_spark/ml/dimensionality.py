@@ -33,19 +33,44 @@ from pyspark.sql import functions as F
 
 
 def _landmarks(df: DataFrame, cols: Sequence[str], m: int, seed: int):
-    """Sample ~m rows to a (m x d) numpy matrix (bounded by contract)."""
+    """Sample ~m rows to a (m x d) numpy matrix (bounded by contract).
+
+    One pass, no ``count()`` pre-scan: ``orderBy(xxhash64(seed, cols))
+    .limit(m)`` compiles to TakeOrderedAndProject — each partition keeps
+    its top-m by the seeded hash and the driver merges, which is a
+    deterministic uniform-ish pick over the whole frame without a
+    shuffle or a second job."""
     import numpy as np
 
-    n = df.count()
-    frac = min(1.0, (m * 1.3) / max(n, 1))
     rows = (
         df.select(*cols)
         .na.drop()
-        .sample(fraction=frac, seed=seed)
+        .orderBy(F.xxhash64(F.lit(seed), *[F.col(c) for c in cols]))
         .limit(m)
         .collect()
     )
     return np.array([[float(r[c]) for c in cols] for r in rows])
+
+
+def _projection_io(df: DataFrame, cols: Sequence[str], out_prefix: str, k: int):
+    """Prepare the mapInPandas input and output schema for a Nystrom
+    projection: feature columns cast to double, rows with null features
+    dropped, and every OTHER input column passed through untouched — so
+    callers keep their id/label columns instead of re-joining embeddings
+    on floating-point feature values."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    others = [f for f in df.schema.fields if f.name not in cols]
+    src = df.na.drop(subset=list(cols)).select(
+        *[F.col(f.name) for f in others],
+        *[F.col(c).cast("double").alias(c) for c in cols],
+    )
+    schema = StructType(
+        [StructField(f.name, f.dataType, True) for f in others]
+        + [StructField(c, DoubleType(), True) for c in cols]
+        + [StructField(f"{out_prefix}_{i}", DoubleType(), True) for i in range(k)]
+    )
+    return src, schema
 
 
 def _rbf(a, b, gamma: float):
@@ -90,13 +115,9 @@ def kernel_pca(
     proj = V / np.sqrt(lam)  # (m x k): alpha / sqrt(lambda)
     k_row_mean = K.mean(axis=0)  # for out-of-sample centering
     k_mean = K.mean()
-    schema = ", ".join(
-        [f"{c} double" for c in cols] + [f"{out_prefix}_{i} double" for i in range(k)]
-    )
+    src, schema = _projection_io(df, cols, out_prefix, k)
 
     def project(batches: Iterator) -> Iterator:
-        import pandas as pd
-
         for pdf in batches:
             X = pdf[cols].to_numpy(dtype=float)
             Kx = _rbf(X, L, g)
@@ -107,14 +128,12 @@ def kernel_pca(
                 + k_mean
             )
             Z = Kxc @ proj
-            out = pd.DataFrame({c: pdf[c] for c in cols})
+            out = pdf.copy()
             for i in range(k):
                 out[f"{out_prefix}_{i}"] = Z[:, i]
             yield out
 
-    return df.select(*[F.col(c).cast("double").alias(c) for c in cols]).na.drop().mapInPandas(
-        project, schema=schema
-    )
+    return src.mapInPandas(project, schema=schema)
 
 
 def classical_mds(
@@ -148,13 +167,9 @@ def classical_mds(
     lam, V = np.maximum(lam[order], 1e-12), V[:, order]
     proj = V / np.sqrt(lam)  # Nystrom: x -> -0.5 * (d2 - row_mean) @ proj
     d2_row_mean = D2.mean(axis=0)
-    schema = ", ".join(
-        [f"{c} double" for c in cols] + [f"{out_prefix}_{i} double" for i in range(k)]
-    )
+    src, schema = _projection_io(df, cols, out_prefix, k)
 
     def project(batches: Iterator) -> Iterator:
-        import pandas as pd
-
         for pdf in batches:
             X = pdf[cols].to_numpy(dtype=float)
             d2 = (
@@ -164,14 +179,12 @@ def classical_mds(
             )
             d2 = np.maximum(d2, 0.0)
             Z = -0.5 * (d2 - d2_row_mean[None, :] - d2.mean(axis=1, keepdims=True) + D2.mean()) @ proj
-            out = pd.DataFrame({c: pdf[c] for c in cols})
+            out = pdf.copy()
             for i in range(k):
                 out[f"{out_prefix}_{i}"] = Z[:, i]
             yield out
 
-    return df.select(*[F.col(c).cast("double").alias(c) for c in cols]).na.drop().mapInPandas(
-        project, schema=schema
-    )
+    return src.mapInPandas(project, schema=schema)
 
 
 def spectral_embedding(

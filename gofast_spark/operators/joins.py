@@ -15,6 +15,25 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _suffix_right_overlap(
+    res: DataFrame, rt: DataFrame, overlap: set[str], suffix: str
+) -> DataFrame:
+    """Rename right-side columns whose names collide with left-side names
+    (pandas ``suffixes`` behavior).  The target name is escalated
+    (``x_right`` -> ``x_right_right``) when the left frame already carries
+    a column of that name, so no genuine left column is silently
+    overwritten by ``withColumn``.
+    """
+    taken = set(res.columns)
+    for c in sorted(overlap):
+        new = f"{c}{suffix}"
+        while new in taken:
+            new = f"{new}{suffix}"
+        res = res.withColumn(new, rt[c]).drop(rt[c])
+        taken.add(new)
+    return res
+
+
 def merge_frames(
     frames: Sequence[DataFrame],
     on: str | Sequence[str],
@@ -67,8 +86,11 @@ def merge_frames_on_index(
     equi-joins on it — hash-partitionable, so Catalyst broadcasts small
     sides and AQE handles skew exactly as for any other join.
 
-    ``axis=0`` is the row-wise concat (union by name, missing columns
-    NULL-filled), matching ``pd.concat(axis=0)`` of indexed frames.
+    ``axis=0`` is the row-wise concat, matching ``pd.concat(axis=0)`` of
+    indexed frames: ``join_type='outer'`` unions by name with missing
+    columns NULL-filled; ``join_type='inner'`` keeps only the columns
+    common to every frame (first frame's column order), as
+    ``pd.concat(join='inner')`` does.
 
     Columns (other than the key) appearing in several frames get a
     positional suffix (``suffix.format(i=k)`` for the k-th frame, 0-based)
@@ -80,6 +102,16 @@ def merge_frames_on_index(
         if index_col not in df.columns:
             raise KeyError(f"index_col {index_col!r} missing from a frame")
     if axis == 0:
+        if join_type == "inner":
+            common = [
+                c
+                for c in frames[0].columns
+                if all(c in f.columns for f in frames[1:])
+            ]
+            return reduce(
+                lambda a, b: a.unionByName(b),
+                [f.select(*common) for f in frames],
+            )
         return reduce(
             lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
         )
@@ -126,9 +158,7 @@ def pair_data(
     cond = [lt[f"__k_{k}"] == rt[f"__k_{k}"] for k in keys]
     out = lt.join(rt, on=cond, how=how)
     out = out.drop(*[f"__k_{k}" for k in keys])
-    for c in overlap:
-        out = out.withColumn(f"{c}{suffix}", rt[c]).drop(rt[c])
-    return out
+    return _suffix_right_overlap(out, rt, overlap, suffix)
 
 
 def nearest_join(
@@ -182,9 +212,7 @@ def nearest_join(
     joined = joined.withColumn("__dist", dist)
 
     def _suffix_overlap(res: DataFrame) -> DataFrame:
-        for c in sorted(overlap):
-            res = res.withColumn(f"{c}{suffix}", rt[c]).drop(rt[c])
-        return res
+        return _suffix_right_overlap(res, rt, overlap, suffix)
 
     if keep == "all":
         # each within-threshold pair matches under exactly one bucket offset
@@ -278,9 +306,7 @@ def nearest_join_2d(
     )
 
     def _suffix_overlap(res: DataFrame) -> DataFrame:
-        for c in sorted(overlap):
-            res = res.withColumn(f"{c}{suffix}", rt[c]).drop(rt[c])
-        return res
+        return _suffix_right_overlap(res, rt, overlap, suffix)
 
     if keep == "all":
         return _suffix_overlap(joined.drop("__bx", "__by", "__dist"))

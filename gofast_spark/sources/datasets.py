@@ -133,7 +133,7 @@ def make_data(
             spark, n_samples, n_features, n_classes=n_classes, seed=seed
         )
     return make_regression_data(
-        spark, n_samples, n_features, noise=noise or 0.1, seed=seed
+        spark, n_samples, n_features, noise=noise, seed=seed
     )
 
 

@@ -66,23 +66,51 @@ def chi2_gof(
 ) -> DataFrame:
     """Chi-square goodness-of-fit of a categorical column against expected
     shares (GoodnessOfFit, gofast/stats/evaluation.py:339).  ``None``
-    tests uniformity.  Output: (chi2_stat, dof, n)."""
+    tests uniformity.  Output: (chi2_stat, dof, n).
+
+    Single pass: the one groupBy reduces the input to <= |categories|
+    rows, and the total / category count come from a global window over
+    that tiny frame (bounded by category cardinality, so the single
+    partition is fine) — no extra count/collect actions rescanning the
+    input.  With ``expected_shares`` the join is FULL outer: expected
+    categories that never occur contribute their (0 - exp)^2/exp term
+    (scipy.chisquare semantics), and an observed category absent from
+    ``expected_shares`` raises instead of silently renormalizing."""
     counts = df.groupBy(F.col(cat_col).alias("__c")).agg(
         F.count(F.lit(1)).cast("double").alias("obs")
     )
+    w = Window.partitionBy(F.lit(1))
     if expected_shares is not None:
         spark = df.sparkSession
         exp = spark.createDataFrame(
             [(k, float(v)) for k, v in expected_shares.items()],
             ["__c", "share"],
         )
-        counts = counts.join(F.broadcast(exp), on="__c", how="inner")
-        total = counts.agg(F.sum("obs")).collect()[0][0]
-        counts = counts.withColumn("exp", F.col("share") * float(total))
+        counts = counts.join(F.broadcast(exp), on="__c", how="full_outer").select(
+            "__c",
+            F.coalesce(F.col("obs"), F.lit(0.0)).alias("obs"),
+            F.when(
+                F.col("share").isNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "chi2_gof: observed category missing from "
+                            "expected_shares: "
+                        ),
+                        F.col("__c").cast("string"),
+                    )
+                ),
+            )
+            .otherwise(F.col("share"))
+            .alias("share"),
+        )
+        counts = counts.withColumn(
+            "exp", F.col("share") * F.sum("obs").over(w)
+        )
     else:
-        k = counts.count()
-        total = counts.agg(F.sum("obs")).collect()[0][0]
-        counts = counts.withColumn("exp", F.lit(float(total) / k))
+        counts = counts.withColumn(
+            "exp", F.sum("obs").over(w) / F.count(F.lit(1)).over(w)
+        )
     out = counts.agg(
         F.sum(F.pow(F.col("obs") - F.col("exp"), 2) / F.col("exp")).alias(
             "chi2_stat"

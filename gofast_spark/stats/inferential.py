@@ -367,24 +367,34 @@ def rm_anova_test(
         F.col(subject_col).alias("__s"),
         F.col(condition_col).alias("__c"),
         v.alias("__v"),
-    )
-    g = base.agg(
-        F.avg("__v").alias("gm"), F.count(F.lit(1)).alias("n")
-    ).collect()[0]
-    grand_mean, n_total = g["gm"], g["n"]
-    subj = base.groupBy("__s").agg(F.avg("__v").alias("sm"), F.count(F.lit(1)).alias("k"))
-    cond = base.groupBy("__c").agg(F.avg("__v").alias("cm"), F.count(F.lit(1)).alias("ns"))
-    n_subj = subj.count()
-    k = cond.count()
-    ss_cond = cond.agg(
-        F.sum(F.col("ns") * F.pow(F.col("cm") - grand_mean, 2)).alias("s")
-    ).collect()[0]["s"]
-    ss_subj = subj.agg(
-        F.sum(F.col("k") * F.pow(F.col("sm") - grand_mean, 2)).alias("s")
-    ).collect()[0]["s"]
-    ss_total = base.agg(
-        F.sum(F.pow(F.col("__v") - grand_mean, 2)).alias("s")
-    ).collect()[0]["s"]
+    ).persist()
+    try:
+        g = base.agg(
+            F.avg("__v").alias("gm"),
+            F.sum(F.col("__v") * F.col("__v")).alias("v2"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        grand_mean, n_total = g["gm"], g["n"]
+        # ss_total from raw moments: sum(v^2) - n*gm^2 — no third scan
+        ss_total = g["v2"] - n_total * grand_mean * grand_mean
+        subj = base.groupBy("__s").agg(
+            F.avg("__v").alias("sm"), F.count(F.lit(1)).alias("k")
+        )
+        cond = base.groupBy("__c").agg(
+            F.avg("__v").alias("cm"), F.count(F.lit(1)).alias("ns")
+        )
+        srow = subj.agg(
+            F.sum(F.col("k") * F.pow(F.col("sm") - grand_mean, 2)).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        ss_subj, n_subj = srow["s"], srow["n"]
+        crow = cond.agg(
+            F.sum(F.col("ns") * F.pow(F.col("cm") - grand_mean, 2)).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        ss_cond, k = crow["s"], crow["n"]
+    finally:
+        base.unpersist()
     ss_err = ss_total - ss_cond - ss_subj
     df_cond = k - 1
     df_err = (n_subj - 1) * (k - 1)

@@ -94,8 +94,10 @@ def test_gini_score_midranks_on_ties(spark):
 
 def test_near_dup_pairs_releases_shingle_cache(spark):
     """ADVICE r2: near_dup_pairs persisted the shingle frame and never
-    unpersisted it; eager mode must leave only the (small) result frame
-    in the storage registry."""
+    unpersisted it; eager mode must leave at most the (small) result's
+    localCheckpoint RDD in the registry — that one holds no CacheManager
+    entry and is freed by the ContextCleaner once the returned frame is
+    garbage-collected, so there is no caller-side unpersist obligation."""
     from gofast_spark.dedup.minhash import near_dup_pairs
 
     sc = spark.sparkContext
@@ -107,8 +109,7 @@ def test_near_dup_pairs_releases_shingle_cache(spark):
         ["doc_id", "text"],
     )
     out = near_dup_pairs(df, "doc_id", "text", threshold=0.2)
-    out.collect()
+    assert out.count() >= 1  # usable after the shingle cache is gone
     after = set(sc._jsc.getPersistentRDDs().keySet().toArray())
-    # at most the materialized result survives; the shingle frame must not
+    # the shingle frame must be gone; at most the checkpointed result stays
     assert len(after - before) <= 1
-    out.unpersist()

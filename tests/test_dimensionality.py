@@ -31,9 +31,10 @@ def test_kernel_pca_separates_blobs(spark, blobs):
         blobs.select("x", "y", "z", "blob"), ["x", "y", "z"],
         k=2, landmarks=120, seed=1,
     )
-    # mapInPandas keeps all rows and adds kpca_0/1
+    # mapInPandas keeps all rows, passes `blob` through, adds kpca_0/1
     assert out.count() == 300
-    joined = out.join(blobs, on=["x", "y", "z"]).toPandas()
+    joined = out.toPandas()
+    assert set(joined.columns) == {"blob", "x", "y", "z", "kpca_0", "kpca_1"}
     assert _separation(joined, "kpca_0") > 3.0
 
 
@@ -41,10 +42,11 @@ def test_classical_mds_preserves_structure(spark, blobs):
     from gofast_spark.ml import classical_mds
 
     out = classical_mds(
-        blobs.select("x", "y", "z"), ["x", "y", "z"], k=2, landmarks=120, seed=1
+        blobs.select("x", "y", "z", "blob"), ["x", "y", "z"], k=2,
+        landmarks=120, seed=1,
     )
     assert out.count() == 300
-    joined = out.join(blobs, on=["x", "y", "z"]).toPandas()
+    joined = out.toPandas()
     assert _separation(joined, "mds_0") > 3.0
 
 
