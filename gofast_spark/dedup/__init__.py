@@ -20,10 +20,12 @@ from gofast_spark.dedup.minhash import (
     near_dup_pairs,
     shingle_jaccard,
 )
+from gofast_spark.dedup.ngram import ngram_jaccard_pairs
 from gofast_spark.dedup.simhash import simhash
 
 __all__ = [
     "exact_dedup",
+    "ngram_jaccard_pairs",
     "doc_shingles",
     "minhash_signatures",
     "lsh_candidate_pairs",

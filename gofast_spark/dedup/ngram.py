@@ -1,0 +1,73 @@
+"""Exact n-gram Jaccard near-duplicate detection.
+
+Complements MinHash-LSH (``dedup.minhash``): same shingle universe, but
+candidates come from a *rare-shingle block join* instead of probabilistic
+band keys, and the Jaccard is computed exactly for every candidate — so
+(with ``max_df=None``) the result is the EXACT set of pairs with
+``jaccard >= threshold``, not an LSH approximation.
+
+Scale design: the only quadratic-risk step is the self-equi-join on the
+shingle hash, whose cost is ``sum_h df(h)^2`` over shingle document
+frequencies.  ``max_df`` caps that: shingles occurring in more than
+``max_df`` documents (boilerplate) are excluded from *candidate
+generation only* — the exact Jaccard verify still uses every shingle.
+With the cap, a pair is found iff it shares at least one sub-``max_df``
+shingle; at realistic thresholds (>= 0.7) near-duplicates virtually
+always share many rare shingles, and the join cost is bounded by
+``max_df * |shingles|``.  This is the standard frequency-blocking used by
+prefix-filter set-similarity joins (PPJoin family).
+
+Reference: net-new per the builder brief (the reference's
+``handle_duplicates``, gofast/dataops/quality.py:4677, is exact-only on
+whole rows).  Published algorithm: set-similarity join with frequency
+blocking (Xiao et al., PPJoin, WWW'08 — public literature).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gofast_spark.dedup.minhash import doc_shingles, shingle_jaccard
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """All document pairs with exact token-``k``-gram Jaccard >= threshold.
+
+    Output columns: ``(id_a, id_b, jaccard)`` with ``id_a < id_b``.
+
+    ``max_df=None`` is fully exact (every co-occurring shingle generates a
+    candidate).  A finite ``max_df`` blocks candidate generation to
+    shingles appearing in <= ``max_df`` docs — the 100-TB path; see the
+    module docstring for the (weak) completeness caveat it introduces.
+    """
+    sh = doc_shingles(df, id_col, text_col, k=k)
+    if max_df is not None:
+        rare_hashes = (
+            sh.groupBy("sh_hash")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") <= max_df)
+            .select("sh_hash")
+        )
+        block = sh.join(rare_hashes, on="sh_hash", how="inner")
+    else:
+        block = sh
+    a = block.select(F.col(id_col).alias("id_a"), F.col("sh_hash").alias("__h"))
+    b = block.select(F.col(id_col).alias("id_b"), F.col("sh_hash").alias("__h"))
+    cand = (
+        a.join(b, on="__h", how="inner")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return shingle_jaccard(sh, cand, id_col).where(
+        F.col("jaccard") >= threshold
+    )

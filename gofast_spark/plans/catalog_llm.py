@@ -296,6 +296,45 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {_SHINGLE_CTES},
+    rare AS (SELECT h FROM shh GROUP BY h HAVING count(*) <= 64),
+    rsh AS (SELECT s.doc_id, s.h FROM shh s JOIN rare r ON s.h = r.h),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM rsh a JOIN rsh b ON a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_inter
+      FROM cand c
+      JOIN shh x ON x.doc_id = c.id_a
+      JOIN shh y ON y.doc_id = c.id_b AND y.h = x.h
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           CAST(round(i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter), 4) AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.8
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs at 0.8 with rare-shingle
+    blocking (max_df=64): deterministic, non-probabilistic counterpart to
+    minhash_near_dup_pairs over the same shingle universe."""
+    from gofast_spark.dedup import ngram_jaccard_pairs as pairs
+
+    d = _t(spark, sf_dir, "documents")
+    out = pairs(d, "doc_id", "text", k=3, threshold=0.8, max_df=64)
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 4).cast("double").alias("jaccard")
+    )
+
+
+@query(
     "simhash_documents",
     oracle=f"""
     WITH norm AS (SELECT doc_id, {_norm_sql('text')} AS t FROM documents),

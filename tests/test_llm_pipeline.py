@@ -130,3 +130,62 @@ def test_vectorize_text_columns(spark, documents):
     models, out = vectorize_text_columns(documents.limit(50), "text")
     vec = out.select("tfidf").first()["tfidf"]
     assert vec.size > 0 and vec.numNonzeros() > 0
+
+
+def test_ngram_jaccard_exact_vs_bruteforce(spark, documents):
+    """ngram_jaccard_pairs with max_df=None must equal the brute-force
+    all-pairs Jaccard; the minhash-LSH pair set is a subset of it."""
+    from pyspark.sql import functions as F
+
+    from gofast_spark.dedup import (
+        doc_shingles,
+        near_dup_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = documents.limit(60)
+    got = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 6)
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    # brute force: full cross of shingle sets
+    sh = doc_shingles(docs, "doc_id", "text", k=3).collect()
+    sets: dict = {}
+    for r in sh:
+        sets.setdefault(r["doc_id"], set()).add(r["sh_hash"])
+    ids = sorted(sets)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+            if j >= 0.5:
+                want[(a, b)] = round(j, 6)
+    assert got == want
+    # LSH at the same threshold finds a subset of the exact pairs
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in near_dup_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert lsh <= set(want)
+
+
+def test_ngram_jaccard_max_df_blocks_boilerplate(spark):
+    """A shingle shared by every doc must not generate candidates when
+    max_df excludes it, while rare-shingle pairs survive."""
+    from gofast_spark.dedup import ngram_jaccard_pairs
+
+    boiler = "terms of service apply to this document"
+    rows = [(i, f"{boiler} unique{i} filler{i} pad{i}") for i in range(10)]
+    # two genuinely similar docs sharing rare shingles
+    rows += [(100, "alpha beta gamma delta epsilon zeta"),
+             (101, "alpha beta gamma delta epsilon eta")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = ngram_jaccard_pairs(
+        df, "doc_id", "text", threshold=0.3, max_df=5
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert (100, 101) in pairs
+    # the boilerplate-only docs share only >max_df shingles -> blocked
+    assert all(p == (100, 101) for p in pairs)
