@@ -471,6 +471,29 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("embedding_ivf_topk")
+def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN top-5: spherical-kmeans cells trained on a seeded
+    sample, candidates from an equi-join on the nprobe nearest cell ids,
+    exact cosine re-rank inside.  Lloyd iteration is not SQL-expressible
+    — rows-only check (deterministic seed; recall guarded vs brute force
+    in tests/test_ann_recall.py)."""
+    from gofast_spark.sim import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    out = ivf_topk(
+        e, q, "vec_id", "embedding", nlist=8, nprobe=2, k=5, seed=3
+    )
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.col("cell").cast("int").alias("cell"),
+        F.round("cos_sim", 4).cast("double").alias("cos_sim"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal blob plumbing (builder-brief; decode stubbed, plumbing real)
 # ---------------------------------------------------------------------------

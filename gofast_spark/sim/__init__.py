@@ -11,6 +11,7 @@ higher-order functions (``zip_with``/``aggregate``) — JVM-side, no UDFs.
 """
 
 from gofast_spark.sim.cosine import cosine_sim, cosine_topk, l2_norm
+from gofast_spark.sim.ivf import assign_cells, ivf_topk, train_centroids
 from gofast_spark.sim.lsh import cosine_near_dup_pairs, hyperplane_bucket, lsh_topk
 
 __all__ = [
@@ -20,4 +21,7 @@ __all__ = [
     "hyperplane_bucket",
     "lsh_topk",
     "cosine_near_dup_pairs",
+    "train_centroids",
+    "assign_cells",
+    "ivf_topk",
 ]

@@ -93,3 +93,39 @@ def test_multiprobe_pairs_stay_unique(spark, corpus, queries):
     )
     n = out.count()
     assert out.select("query_id", "vec_id").distinct().count() == n
+
+
+def test_ivf_recall_grows_with_nprobe(spark, corpus, queries, truth):
+    from gofast_spark.sim import ivf_topk, train_centroids
+
+    C = train_centroids(corpus, "embedding", nlist=8, seed=3)
+    recalls = {}
+    for nprobe in (1, 2, 4, 8):
+        approx = ivf_topk(
+            corpus, queries, "vec_id", "embedding",
+            centroids=C, nprobe=nprobe, k=K,
+        )
+        recalls[nprobe] = _recall(approx, truth)
+    # more probed cells -> candidate pool grows monotonically
+    assert recalls[1] <= recalls[2] <= recalls[4] <= recalls[8]
+    # probing every cell IS brute force: recall must be exact
+    assert recalls[8] == 1.0, recalls
+    assert recalls[2] >= 0.2, recalls
+
+
+def test_ivf_cells_partition_corpus(spark, corpus):
+    from gofast_spark.sim import assign_cells, train_centroids
+
+    C = train_centroids(corpus, "embedding", nlist=8, seed=3)
+    cells = assign_cells(corpus, "embedding", C)
+    n = corpus.count()
+    assert cells.count() == n  # every vector lands in exactly one cell
+    per = {
+        r["cell"]: r["n"]
+        for r in cells.groupBy("cell")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert sum(per.values()) == n
+    assert len(per) >= 4  # k-means actually spreads the data
