@@ -6,6 +6,7 @@ from gofast_spark.streaming.ops import (
     read_event_stream,
     run_available_now,
     sessionized_aggregate,
+    stateful_running_totals,
     stream_dedup,
     windowed_aggregate,
 )
@@ -15,5 +16,6 @@ __all__ = [
     "windowed_aggregate",
     "sessionized_aggregate",
     "stream_dedup",
+    "stateful_running_totals",
     "run_available_now",
 ]

@@ -131,3 +131,71 @@ def run_available_now(
     q.awaitTermination()
     q.stop()
     return sdf.sparkSession.table(qname)
+
+
+def stateful_running_totals(
+    sdf: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-key
+    running (count, sum, max) maintained across micro-batches, one
+    updated row emitted per key per batch.
+
+    This is the escape hatch for stateful semantics the built-in window /
+    dedup operators can't express (running totals, CUSUM-style monitors,
+    per-entity counters).  State is a single fixed-width row per key —
+    bounded by key cardinality, partitioned by the grouping key, so it
+    scales horizontally like any keyed stream.  Exactly-once parity with
+    the batch aggregate is asserted in tests/test_streaming.py: after an
+    ``availableNow`` drain over multi-file input, the last emitted row
+    per key equals ``groupBy(key).agg(count, sum, max)``.
+
+    Reference: streaming analog of the descriptive aggregate family
+    (gofast/stats/descriptive.py) — net-new surface per the builder
+    brief ("applyInPandasWithState for custom stateful operators").
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField(key_col, StringType()),
+            StructField("n", LongType()),
+            StructField("total", DoubleType()),
+            StructField("vmax", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("total", DoubleType()),
+            StructField("vmax", DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: "GroupState"):
+        import pandas as pd
+
+        if state.exists:
+            n, total, vmax = state.get
+        else:
+            n, total, vmax = 0, 0.0, None
+        for pdf in pdfs:
+            vals = pdf[value_col].dropna()
+            n += int(len(pdf))
+            if len(vals):
+                total += float(vals.sum())
+                m = float(vals.max())
+                vmax = m if vmax is None else max(vmax, m)
+        state.update((n, total, vmax))
+        yield pd.DataFrame(
+            {key_col: [str(key[0])], "n": [n], "total": [total], "vmax": [vmax]}
+        )
+
+    return sdf.groupBy(F.col(key_col).cast("string").alias(key_col)).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

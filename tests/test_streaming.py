@@ -49,3 +49,64 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     deduped = stream_dedup(sdf, ["event_id"], watermark="1 hour")
     out = run_available_now(deduped, mode="append")
     assert sorted(r["event_id"] for r in out.collect()) == [1, 2]
+
+
+def test_stateful_running_totals_equals_batch(spark, tmp_path):
+    """applyInPandasWithState running totals: after draining a multi-file
+    stream (maxFilesPerTrigger=1 forces several micro-batches so state
+    genuinely carries across batches), the last emitted row per key must
+    equal the batch groupBy aggregate — exactly-once parity."""
+    import pandas as pd
+
+    from gofast_spark.streaming import run_available_now
+    from gofast_spark.streaming.ops import (
+        EVENTS_RAW_SCHEMA,
+        stateful_running_totals,
+    )
+
+    base = 1_700_000_000_000_000_000
+    cols = [f.name for f in EVENTS_RAW_SCHEMA.fields]
+    batch1 = [(i, base + i * 10**9, i % 3, "click", float(i), "") for i in range(30)]
+    batch2 = [(100 + i, base + (100 + i) * 10**9, i % 3, "view", float(i) * 2, "") for i in range(20)]
+    src = str(tmp_path / "stateful_src")
+    spark.createDataFrame(pd.DataFrame(batch1, columns=cols), EVENTS_RAW_SCHEMA).write.parquet(src)
+    spark.createDataFrame(pd.DataFrame(batch2, columns=cols), EVENTS_RAW_SCHEMA).write.mode("append").parquet(src)
+
+    sdf = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = run_available_now(
+        stateful_running_totals(sdf, "user_id", "value"), mode="update"
+    )
+    # update mode appends one row per key per micro-batch; the row with
+    # the max n per key is the final state
+    final = {}
+    for r in out.collect():
+        cur = final.get(r["user_id"])
+        if cur is None or r["n"] > cur["n"]:
+            final[r["user_id"]] = r
+
+    batch = (
+        spark.read.parquet(src)
+        .groupBy(F.col("user_id").cast("string").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("total"),
+            F.max("value").alias("vmax"),
+        )
+        .collect()
+    )
+    want = {r["user_id"]: r for r in batch}
+    assert set(final) == set(want)
+    for k in want:
+        assert final[k]["n"] == want[k]["n"]
+        assert final[k]["total"] == pytest.approx(want[k]["total"])
+        assert final[k]["vmax"] == pytest.approx(want[k]["vmax"])
+    # state really crossed micro-batches: some key must have been emitted
+    # at least twice with growing n
+    per_key_rows = {}
+    for r in out.collect():
+        per_key_rows.setdefault(r["user_id"], []).append(r["n"])
+    assert any(len(v) > 1 for v in per_key_rows.values())
