@@ -2,9 +2,9 @@
 skew, scaling, and the composite audit — each a lazy transform, with
 report side-channels computed as aggregations."""
 
-from gofast_spark.quality.missing import drop_nan_in, handle_missing_data, missing_profile, nan_ops
-from gofast_spark.quality.duplicates import handle_duplicates, handle_unique_identifiers
-from gofast_spark.quality.outliers import handle_outliers_in
+from gofast_spark.quality.missing import drop_nan_in, handle_missing_data, handle_nans, missing_profile, nan_ops
+from gofast_spark.quality.duplicates import handle_duplicates, handle_unique_identifiers, has_duplicates
+from gofast_spark.quality.outliers import OutlierHandler, handle_outliers_in
 from gofast_spark.quality.scaling import minmax_scale, standard_scale, z_scores
 from gofast_spark.quality.skew import boxcox_lambda, boxcox_transformation, handle_skew, skewness_profile
 from gofast_spark.quality.audit import audit_data, verify_data_integrity
@@ -21,11 +21,14 @@ from gofast_spark.quality.augment import (
 
 __all__ = [
     "handle_missing_data",
+    "handle_nans",
     "nan_ops",
     "drop_nan_in",
     "handle_duplicates",
+    "has_duplicates",
     "handle_unique_identifiers",
     "handle_outliers_in",
+    "OutlierHandler",
     "minmax_scale",
     "standard_scale",
     "z_scores",

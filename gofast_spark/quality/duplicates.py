@@ -40,6 +40,7 @@ def handle_unique_identifiers(
     *,
     threshold: float = 0.95,
     action: str = "drop",
+    transform_func=None,
     approx: bool = True,
 ) -> DataFrame:
     """Drop columns whose uniqueness ratio exceeds ``threshold``.
@@ -59,4 +60,59 @@ def handle_unique_identifiers(
     idlike = [c for c in df.columns if (row[c] or 0) / n > threshold]
     if action == "drop":
         return df.drop(*idlike)
+    if action == "transform":
+        # the reference applies a caller-supplied python function to each
+        # ID-like column; a plain Python UDF would be the row-at-a-time
+        # slow path, so accept either a Column-expression builder
+        # (preferred — stays in codegen) or fall back to a pandas_udf
+        # wrapping the scalar callable (Arrow-batched)
+        if transform_func is None:
+            raise ValueError("action='transform' needs transform_func")
+        from pyspark.sql import Column
+
+        out = df
+        for c in idlike:
+            try:
+                probe = transform_func(F.col(c))
+            except Exception:  # scalar-only callable (e.g. str slicing)
+                probe = None
+            if isinstance(probe, Column):
+                out = out.withColumn(c, probe)
+            else:  # scalar python callable -> Arrow-batched fallback
+                from pyspark.sql.functions import pandas_udf
+
+                dt = df.schema[c].dataType.simpleString()
+
+                def _mk(fn):
+                    def apply_series(s):
+                        return s.map(fn)
+
+                    return apply_series
+
+                out = out.withColumn(
+                    c, pandas_udf(_mk(transform_func), dt)(F.col(c))
+                )
+        return out
     raise ValueError(f"unsupported action {action!r}")
+
+
+def has_duplicates(
+    df: DataFrame, *, subset: Sequence[str] | None = None
+) -> bool:
+    """True if any key combination occurs more than once.
+
+    Reference: the duplicate-existence probe of ``handle_duplicates``
+    (gofast/dataops/quality.py:4677).  One hash-aggregate with an
+    early-exit ``limit(1)`` — the scan stops at the first duplicate group
+    found instead of counting them all (vs the naive
+    ``count() != dropDuplicates().count()`` double scan).
+    """
+    keys = list(subset) if subset else list(df.columns)
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > 1)
+        .limit(1)
+        .count()
+        > 0
+    )

@@ -159,3 +159,14 @@ def drop_nan_in(df: DataFrame, columns: Sequence[str]) -> DataFrame:
         m = _is_missing(df, c)
         cond = m if cond is None else (cond | m)
     return df.where(~cond)
+
+
+def handle_nans(
+    df: DataFrame,
+    method: str = "drop_rows",
+    **kwargs,
+) -> DataFrame:
+    """Alias of :func:`handle_missing_data` under the reference's other
+    public name (``handle_nans``, gofast/utils/base_utils.py — same
+    method vocabulary, NaN and NULL treated uniformly)."""
+    return handle_missing_data(df, method, **kwargs)

@@ -106,3 +106,68 @@ def handle_outliers_in(
             )
         return out
     raise ValueError(f"unsupported action {action!r}")
+
+
+class OutlierHandler:
+    """Estimator-pattern outlier handler: ``fit`` learns the per-column
+    bounds on one frame, ``transform`` applies them to another — the
+    train/test split semantics the functional :func:`handle_outliers_in`
+    cannot express (its bounds always come from the frame it modifies).
+
+    Reference: ``OutlierHandler``
+    (gofast/transformers/feature_engineering.py:78) — sklearn
+    BaseEstimator/TransformerMixin over in-memory arrays; here ``fit`` is
+    one aggregation pass and ``transform`` is a pure projection (no
+    action), so a fitted handler can be applied to any number of frames
+    without rescanning the training data.
+    """
+
+    def __init__(
+        self,
+        columns: Sequence[str],
+        *,
+        method: str = "iqr",
+        action: str = "clip",
+        factor: float = 1.5,
+        quantiles: tuple[float, float] = (0.01, 0.99),
+        exact: bool = True,
+    ):
+        self.columns = list(columns)
+        self.method = method
+        self.action = action
+        self.factor = factor
+        self.quantiles = quantiles
+        self.exact = exact
+        self.bounds_: dict[str, tuple[float, float]] | None = None
+
+    def fit(self, df: DataFrame) -> "OutlierHandler":
+        self.bounds_ = _bounds(
+            df, self.columns, self.method, self.factor, self.quantiles,
+            self.exact,
+        )
+        return self
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        if self.bounds_ is None:
+            raise RuntimeError("OutlierHandler.transform before fit")
+        out = df
+        if self.action == "clip":
+            for c, (lo, hi) in self.bounds_.items():
+                col = F.col(c)
+                out = out.withColumn(
+                    c,
+                    F.when(col < lo, F.lit(lo))
+                    .when(col > hi, F.lit(hi))
+                    .otherwise(col),
+                )
+            return out
+        if self.action == "remove":
+            cond = None
+            for c, (lo, hi) in self.bounds_.items():
+                ok = (F.col(c) >= lo) & (F.col(c) <= hi) | F.col(c).isNull()
+                cond = ok if cond is None else (cond & ok)
+            return out.where(cond)
+        raise ValueError(f"unsupported action {self.action!r}")
+
+    def fit_transform(self, df: DataFrame) -> DataFrame:
+        return self.fit(df).transform(df)

@@ -36,3 +36,48 @@ def test_cleaner_keep_drop_and_names(spark):
     assert kept.columns == ["a_col", "b"]
     dropped = cleaner(df, columns=["c"], mode="drop", sanitize_names=False)
     assert dropped.columns == ["A Col", "b"]
+
+
+def test_has_duplicates_and_alias(spark):
+    from gofast_spark.quality import handle_nans, has_duplicates
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, "b"), (3, None)], ["k", "v"]
+    )
+    assert has_duplicates(df)
+    assert not has_duplicates(df.dropDuplicates())
+    assert has_duplicates(df, subset=["k"])
+    # alias routes to handle_missing_data
+    out = handle_nans(df, "drop_rows", columns=["v"]).collect()
+    assert len(out) == 3
+
+
+def test_outlier_handler_fit_transform_split(spark):
+    """Bounds learned on train must apply unchanged to test."""
+    from gofast_spark.quality import OutlierHandler
+
+    train = spark.createDataFrame(
+        [(float(i),) for i in range(1, 101)], ["x"]
+    )
+    test = spark.createDataFrame([(0.5,), (50.0), (1000.0,)][::2], ["x"])
+    h = OutlierHandler(["x"], method="iqr", factor=1.5).fit(train)
+    lo, hi = h.bounds_["x"]
+    # q1=25.75, q3=75.25, iqr=49.5 -> bounds (-48.5, 149.5) with exact percentile
+    assert lo < 1 and hi > 100
+    got = sorted(r["x"] for r in h.transform(test).collect())
+    assert got[-1] == hi  # 1000 clipped to the TRAIN upper bound
+
+
+def test_handle_unique_identifiers_transform_func(spark):
+    from gofast_spark.quality import handle_unique_identifiers
+
+    df = spark.createDataFrame(
+        [(i, "x") for i in range(50)], ["uid", "const"]
+    )
+    out = handle_unique_identifiers(
+        df, threshold=0.9, action="transform",
+        transform_func=lambda c: c % 10, approx=False,
+    )
+    vals = {r["uid"] for r in out.collect()}
+    assert vals == set(range(10))  # uid folded, const untouched
+    assert out.columns == ["uid", "const"]
