@@ -130,3 +130,53 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         deduped.select("user_id", "event_type"), mode="append"
     )
     return out
+
+
+@query(
+    "stateful_totals_events",
+    oracle="""
+    SELECT CAST(user_id AS VARCHAR) AS user_id,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(value), 4) AS DOUBLE) AS total,
+           CAST(round(max(value), 4) AS DOUBLE) AS vmax
+    FROM events GROUP BY 1
+    """,
+)
+def stateful_totals_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState running totals)
+    drained with availableNow: the LAST emitted row per key — the final
+    state — must equal the batch per-user aggregate DuckDB computes.
+    This is the exactly-once check for arbitrary-state operators, beyond
+    what the built-in windowed aggregates cover."""
+    from gofast_spark.streaming import run_available_now
+    from gofast_spark.streaming.ops import (
+        EVENTS_RAW_SCHEMA,
+        stateful_running_totals,
+    )
+
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    if spark.conf.get(key, "false") != "true":
+        spark.conf.set(key, "true")
+    stream = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    out = run_available_now(
+        stateful_running_totals(stream, "user_id", "value"), mode="update"
+    )
+    # update mode emits one row per key per micro-batch; keep the final
+    # state (max n per key — n is monotone in batches)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc())
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "n",
+            F.round("total", 4).cast("double").alias("total"),
+            F.round("vmax", 4).cast("double").alias("vmax"),
+        )
+    )
