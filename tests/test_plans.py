@@ -114,3 +114,32 @@ def test_dca_gram_no_cartesian(spark, sf_small):
     out = dca_analysis(joined, "c_mktsegment", "o_orderstatus", segments=4)
     # dca_analysis localCheckpoints its result; assert on the output shape
     assert out.count() == 5
+
+
+def test_ngram_jaccard_no_cartesian(spark, sf_small):
+    """Candidate generation must be the rare-shingle equi-join, and the
+    verify legs equi-joins on doc id — never an all-pairs product."""
+    from gofast_spark.plans.catalog import _t
+    from gofast_spark.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_small, "documents")
+    plan = _plan(
+        ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.8, max_df=64)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_topk_cell_equi_join(spark, sf_small):
+    """IVF candidates must come from an equi-join on the cell id (the
+    broadcast side is the small probe set, not a nested-loop scan)."""
+    from gofast_spark.plans.catalog import _t
+    from gofast_spark.sim import ivf_topk
+
+    e = _t(spark, sf_small, "embeddings")
+    q = e.where("vec_id < 3")
+    plan = _plan(
+        ivf_topk(e, q, "vec_id", "embedding", nlist=4, nprobe=2, k=3, seed=3)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
