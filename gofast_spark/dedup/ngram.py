@@ -39,6 +39,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.8,
     max_df: int | None = None,
+    eager: bool = True,
 ) -> DataFrame:
     """All document pairs with exact token-``k``-gram Jaccard >= threshold.
 
@@ -48,8 +49,29 @@ def ngram_jaccard_pairs(
     candidate).  A finite ``max_df`` blocks candidate generation to
     shingles appearing in <= ``max_df`` docs — the 100-TB path; see the
     module docstring for the (weak) completeness caveat it introduces.
+
+    The shingle frame feeds the frequency filter, both block-join legs,
+    both verify legs, and the size aggregate; ``eager`` (default)
+    persists it for the run, materializes the small pair list as a
+    ``localCheckpoint`` and unpersists before returning (same storage
+    contract as ``near_dup_pairs``).
     """
     sh = doc_shingles(df, id_col, text_col, k=k)
+    if eager:
+        sh = sh.persist()
+    try:
+        out = _pairs_from_shingles(sh, id_col, threshold, max_df)
+        if eager:
+            return out.localCheckpoint(eager=True)
+        return out
+    finally:
+        if eager:
+            sh.unpersist()
+
+
+def _pairs_from_shingles(
+    sh: DataFrame, id_col: str, threshold: float, max_df: int | None
+) -> DataFrame:
     if max_df is not None:
         rare_hashes = (
             sh.groupBy("sh_hash")

@@ -170,3 +170,36 @@ def rollup_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         _money2(F.col("__p_sum")).alias("o_totalprice_sum"),
         F.col("o_orderkey_count").alias("n"),
     )
+
+
+@query(
+    "salted_agg_events_type",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(value), 4) AS DOUBLE) AS value_sum,
+           CAST(round(avg(value), 6) AS DOUBLE) AS value_avg
+    FROM events GROUP BY event_type
+    """,
+)
+def salted_agg_events_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation on the (low-cardinality, hence
+    skew-prone) event_type key: (key, salt) partials then per-key
+    combine.  The oracle is the plain GROUP BY — the rewrite must be
+    value-identical, proving the skew path is safe to substitute at
+    scale."""
+    from gofast_spark.operators import salted_group_agg
+
+    e = _t(spark, sf_dir, "events")
+    out = salted_group_agg(
+        e,
+        "event_type",
+        [("*", "count"), ("value", "sum"), ("value", "avg")],
+        salt=8,
+    )
+    return out.select(
+        "event_type",
+        F.col("n"),
+        F.round("value_sum", 4).cast("double").alias("value_sum"),
+        F.round("value_avg", 6).cast("double").alias("value_avg"),
+    )
