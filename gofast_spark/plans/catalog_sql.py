@@ -63,3 +63,38 @@ def sql_facade_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_facade_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DBAnalysis.windowFunctions (gofast/query.py:639)."""
     return _facade(spark, sf_dir, ["orders"]).windowFunctions(_WINDOW_SQL)
+
+
+@query(
+    "sql_facade_dml",
+    oracle="""
+    WITH after_insert AS (
+      SELECT r_regionkey, r_name FROM region
+      UNION ALL SELECT 99, 'ATLANTIS'
+    ), after_update AS (
+      SELECT r_regionkey,
+             CASE WHEN r_regionkey = 0 THEN 'AFRICA_X' ELSE r_name END AS r_name
+      FROM after_insert
+    )
+    SELECT r_regionkey, r_name FROM after_update WHERE r_regionkey <> 2
+    """,
+)
+def sql_facade_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBAnalysis.manipulate/commit (gofast/query.py:488,538): INSERT,
+    UPDATE and DELETE compiled to view rewrites, staged as one
+    transaction; the oracle replays the same statements as pure SQL set
+    operations on DuckDB — final states must hash-match."""
+    from gofast_spark.sql import DBAnalysis
+
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    db = DBAnalysis(spark).fit(r, "dml_region")
+    db.manipulate(
+        "INSERT INTO dml_region VALUES (99, 'ATLANTIS')", auto_commit=False
+    )
+    db.manipulate(
+        "UPDATE dml_region SET r_name = 'AFRICA_X' WHERE r_regionkey = 0",
+        auto_commit=False,
+    )
+    db.manipulate("DELETE FROM dml_region WHERE r_regionkey = 2", auto_commit=False)
+    db.commit()
+    return db.query("SELECT r_regionkey, r_name FROM dml_region")
