@@ -175,3 +175,110 @@ def gini_score(
     rank_sum_pos = F.sum(F.when(y == 1, F.col("__r")))
     auc = (rank_sum_pos - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
     return ranked.agg((2 * auc - 1).alias("gini_score"))
+
+
+def quantile_loss(
+    df: DataFrame,
+    y_col: str,
+    yhat_col: str,
+    *,
+    q: float = 0.5,
+    by: str | Sequence[str] | None = None,
+) -> DataFrame:
+    """Pinball loss at quantile ``q`` (quantile_loss,
+    gofast/metrics.py:321): mean(max(q*e, (q-1)*e)), e = y - yhat."""
+    e = F.col(y_col).cast("double") - F.col(yhat_col).cast("double")
+    loss = F.greatest(q * e, (q - 1.0) * e)
+    return _grouped(df, by).agg(F.avg(loss).alias("quantile_loss"))
+
+
+def balanced_accuracy(
+    df: DataFrame,
+    y_col: str,
+    yhat_col: str,
+) -> DataFrame:
+    """Macro-averaged per-class recall (balanced_accuracy,
+    gofast/metrics.py:1277): one groupBy on the true label (bounded by
+    class cardinality), then the unweighted mean of recalls."""
+    per_class = df.groupBy(F.col(y_col).alias("__cls")).agg(
+        F.avg(
+            (F.col(yhat_col) == F.col(y_col)).cast("double")
+        ).alias("__recall")
+    )
+    return per_class.agg(F.avg("__recall").alias("balanced_accuracy"))
+
+
+def dice_similarity_score(
+    df: DataFrame,
+    y_col: str,
+    yhat_col: str,
+    *,
+    positive=1,
+    by: str | Sequence[str] | None = None,
+) -> DataFrame:
+    """Dice coefficient 2TP / (2TP + FP + FN) for binary labels
+    (dice_similarity_score, gofast/metrics.py:2614) — one aggregate."""
+    yt = (F.col(y_col) == F.lit(positive)).cast("int")
+    yp = (F.col(yhat_col) == F.lit(positive)).cast("int")
+    tp = F.sum(yt * yp)
+    fp = F.sum((1 - yt) * yp)
+    fn = F.sum(yt * (1 - yp))
+    return _grouped(df, by).agg(
+        (2.0 * tp / (2.0 * tp + fp + fn)).alias("dice")
+    )
+
+
+def twa_score(
+    df: DataFrame,
+    y_col: str,
+    yhat_col: str,
+    order_col: str,
+    *,
+    alpha: float = 0.9,
+    by: str | Sequence[str] | None = None,
+) -> DataFrame:
+    """Time-weighted accuracy (twa_score, gofast/metrics.py:97):
+    weights alpha^(T-t) decay into the past, so the most recent
+    prediction weighs 1.  Computed as alpha^(rank-1) over a
+    most-recent-first rank window — partition by ``by`` for many series;
+    the unpartitioned form is the reduced-series contract (an evaluation
+    frame, not raw 100-TB rows)."""
+    keys = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+    hit = (F.col(y_col) == F.col(yhat_col)).cast("double")
+    weight = F.pow(F.lit(alpha), F.row_number().over(w) - 1)
+    weighted = df.select(*keys, hit.alias("__hit"), weight.alias("__w"))
+    return _grouped(weighted, by or None).agg(
+        (F.sum(F.col("__hit") * F.col("__w")) / F.sum("__w")).alias("twa")
+    )
+
+
+def information_value(
+    df: DataFrame,
+    bucket_col: str,
+    label_col: str,
+    *,
+    positive=1,
+    smooth: float = 0.5,
+) -> DataFrame:
+    """Information value of a bucketed feature vs a binary label
+    (information_value, gofast/metrics.py:1417):
+    IV = sum_b (p_good_b - p_bad_b) * ln(p_good_b / p_bad_b), with
+    Laplace smoothing so empty cells stay finite.  One groupBy on the
+    bucket plus a global window over the (tiny) bucket frame."""
+    is_pos = (F.col(label_col) == F.lit(positive)).cast("double")
+    per = df.groupBy(F.col(bucket_col).alias("__b")).agg(
+        F.sum(is_pos).alias("__good"),
+        F.sum(1.0 - is_pos).alias("__bad"),
+    )
+    w = Window.partitionBy(F.lit(1))
+    per = per.select(
+        "__b",
+        ((F.col("__good") + smooth) / F.sum(F.col("__good") + smooth).over(w)).alias("__pg"),
+        ((F.col("__bad") + smooth) / F.sum(F.col("__bad") + smooth).over(w)).alias("__pb"),
+    )
+    return per.agg(
+        F.sum(
+            (F.col("__pg") - F.col("__pb")) * F.log(F.col("__pg") / F.col("__pb"))
+        ).alias("information_value")
+    )

@@ -188,3 +188,97 @@ def poisson_deviance_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.round("poisson_deviance", 6).cast("double").alias("poisson_deviance")
     )
+
+
+@query(
+    "quantile_loss_orders",
+    oracle="""
+    WITH p AS (
+      SELECT o_totalprice AS y,
+             o_totalprice * 0.9 + (o_orderkey % 1000) AS yhat
+      FROM orders
+    )
+    SELECT CAST(round(avg(greatest(0.8 * (y - yhat), -0.2 * (y - yhat))), 4)
+           AS DOUBLE) AS quantile_loss
+    FROM p
+    """,
+)
+def quantile_loss_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball loss at q=0.8 (quantile_loss, gofast/metrics.py:321)."""
+    from gofast_spark.metrics import quantile_loss
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("y"),
+        (F.col("o_totalprice") * 0.9 + F.col("o_orderkey") % 1000).alias("yhat"),
+    )
+    out = quantile_loss(o, "y", "yhat", q=0.8)
+    return out.select(
+        F.round("quantile_loss", 4).cast("double").alias("quantile_loss")
+    )
+
+
+@query(
+    "balanced_accuracy_priority",
+    oracle="""
+    WITH p AS (
+      SELECT o_orderpriority AS y,
+             CASE WHEN o_orderkey % 3 = 0 THEN o_orderpriority
+                  ELSE '3-MEDIUM' END AS yhat
+      FROM orders
+    ), per AS (
+      SELECT y, avg(CASE WHEN y = yhat THEN 1.0 ELSE 0.0 END) AS r
+      FROM p GROUP BY y
+    )
+    SELECT CAST(round(avg(r), 6) AS DOUBLE) AS balanced_accuracy FROM per
+    """,
+)
+def balanced_accuracy_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Macro recall over the 5 priority classes (balanced_accuracy,
+    gofast/metrics.py:1277)."""
+    from gofast_spark.metrics import balanced_accuracy
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("y"),
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("o_orderpriority")
+        ).otherwise(F.lit("3-MEDIUM")).alias("yhat"),
+    )
+    out = balanced_accuracy(o, "y", "yhat")
+    return out.select(
+        F.round("balanced_accuracy", 6).cast("double").alias("balanced_accuracy")
+    )
+
+
+@query(
+    "information_value_segment",
+    oracle="""
+    WITH lab AS (
+      SELECT c_mktsegment AS b,
+             CASE WHEN c_acctbal > 0 THEN 1.0 ELSE 0.0 END AS pos
+      FROM customer
+    ), per AS (
+      SELECT b, sum(pos) AS good, sum(1.0 - pos) AS bad FROM lab GROUP BY b
+    ), shares AS (
+      SELECT b,
+             (good + 0.5) / sum(good + 0.5) OVER () AS pg,
+             (bad + 0.5) / sum(bad + 0.5) OVER () AS pb
+      FROM per
+    )
+    SELECT CAST(round(sum((pg - pb) * ln(pg / pb)), 6) AS DOUBLE)
+           AS information_value
+    FROM shares
+    """,
+)
+def information_value_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IV of market segment vs positive-balance label (information_value,
+    gofast/metrics.py:1417), Laplace-smoothed."""
+    from gofast_spark.metrics import information_value
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        (F.col("c_acctbal") > 0).cast("int").alias("pos"),
+    )
+    out = information_value(c, "c_mktsegment", "pos", positive=1)
+    return out.select(
+        F.round("information_value", 6).cast("double").alias("information_value")
+    )

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -68,3 +69,27 @@ def test_model_comparison_suite(spark):
     assert fr["statistic"] > 6.0  # perfectly consistent ranking -> max chi2
     cd = nemenyi_cd(3, 4)
     assert 1.0 < cd < 3.0
+
+
+def test_twa_score_weights_recent_more(spark):
+    from gofast_spark.metrics import twa_score
+
+    # 4 steps: oldest 2 correct, newest 2 wrong
+    rows = [(1, 1, 1), (2, 1, 1), (3, 1, 0), (4, 1, 0)]
+    df = spark.createDataFrame(rows, ["t", "y", "yhat"])
+    twa = twa_score(df, "y", "yhat", "t", alpha=0.5).collect()[0]["twa"]
+    # weights (newest first): 1, .5, .25, .125 -> hits on .25+.125
+    assert twa == pytest.approx(0.375 / 1.875)
+    # alpha -> 1 approaches plain accuracy
+    twa1 = twa_score(df, "y", "yhat", "t", alpha=0.999999).collect()[0]["twa"]
+    assert twa1 == pytest.approx(0.5, abs=1e-4)
+
+
+def test_dice_similarity_binary(spark):
+    from gofast_spark.metrics import dice_similarity_score
+
+    rows = [(1, 1), (1, 1), (1, 0), (0, 1), (0, 0)]
+    df = spark.createDataFrame(rows, ["y", "yhat"])
+    # TP=2, FN=1, FP=1 -> dice = 4/(4+1+1)
+    d = dice_similarity_score(df, "y", "yhat").collect()[0]["dice"]
+    assert d == pytest.approx(4 / 6)
