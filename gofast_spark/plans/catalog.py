@@ -879,114 +879,145 @@ from gofast_spark.plans import catalog_windows  # noqa: E402,F401  (registration
 # ---------------------------------------------------------------------------
 # Driver-window rotation.
 #
-# The correctness driver oracle-checks roughly the first 50 catalog entries
-# per round; round 2 verified exactly insertion positions 0-49.  Rotate the
-# catalog so the driver's window covers (a) every entry whose output changed
-# since the last verified round and (b) a breadth-first slice of the
-# never-driver-verified tail across all sections (LLM dedup/similarity,
-# metrics, quality, stats, time-series, streaming, SQL facade).  Entries
-# beyond the window keep unverified-before-verified order so the next
-# rotation picks them up first.
+# The correctness driver oracle-checks exactly the first 50 catalog entries
+# per round (verified: r02 and r03 each checked insertion positions 0-49).
+# Round 4 window: the 50 highest-value entries among the 53 that have NEVER
+# been driver-verified (everything added in round 3 plus the r2 tail that
+# missed both prior windows).  Three rows-only entries
+# (bootstrap/dca/kernel-pca — no oracle SQL, so the driver check is weakest)
+# spill to the head of the tail for round 5.  Entries whose implementation
+# changed this round come next, then the cumulatively driver-green rest —
+# all 144 remain continuously re-verified by the local DuckDB sweep
+# (tests/test_oracle_catalog.py).
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    # changed since round-2 verification -> must re-verify
-    "flagship_revenue_by_region",
-    "q1_pricing_summary",
-    "cumulative_revenue_by_day",
-    "rollup_revenue_orders",
-    "cyclical_month_orders",
-    "text_stats_documents",
-    "text_quality_language",
-    "doc_fingerprint_tokens",
-    "nearest_join_acctbal",
-    # new this round
-    "merge_frames_on_index_customer",
-    "sessionized_aggregate_events",
-    "stream_dedup_events",
-    # LLM pipeline (never driver-verified)
-    "encode_decode_text_roundtrip",
-    "summarize_text_head",
-    "dedup_exact_prefix",
-    "minhash_signatures_documents",
-    "minhash_near_dup_pairs",
-    "simhash_documents",
-    "embedding_norm_by_label",
-    "embedding_cosine_topk",
-    "embedding_lsh_topk",
-    "multimodal_blob_features",
-    # metrics
-    "regression_metrics_orders",
-    "classification_metrics_orders",
-    "ranking_metrics_events",
-    "gini_score_orders",
-    "poisson_deviance_lineitem",
-    # quality
-    "missing_profile_events",
-    "fill_mean_events",
-    "outliers_iqr_clip_acctbal",
-    "describe_lineitem",
-    "boxcox_quantity",
-    "inspect_data_customer",
-    "gini_acctbal",
-    "weighted_median_quantity",
-    # statistics
-    "t_test_click_error",
-    "anova_events",
-    "chi2_events_type_bucket",
-    "levene_events",
-    "ks_test_purchase_view",
-    "kaplan_meier_events",
-    "spearman_lineitem",
-    "kruskal_wallis_events",
-    # time-series
-    "ts_engineering_daily_events",
-    "acf_daily_events",
-    "infer_frequency_events",
-    "interpolate_daily_gaps",
-    # streaming + SQL facade
-    "streaming_window_counts",
-    "sql_facade_aggregate",
-    "sql_facade_window",
+    # LLM-layer scale claims first (VERDICT r3 ask #9)
+    "ngram_jaccard_pairs",
+    "embedding_ivf_topk",
+    "embedding_near_dup_pairs",
+    "salted_agg_events_type",
+    # metrics tail
+    "quantile_loss_orders",
+    "balanced_accuracy_priority",
+    "information_value_segment",
+    # quality tail
+    "drop_missing_rows_events",
+    "handle_duplicates_drop_orders",
+    "corr_matrix_lineitem",
+    "scale_acctbal_customer",
+    "skewness_profile_lineitem",
+    "verify_integrity_customer",
+    "replace_data_region",
+    "drop_correlated_lineitem",
+    "nan_to_na_events",
+    "quality_control_orders",
+    # sampling / reshape / joins / spatial
+    "batch_sampling_counts",
+    "spatial_sampling_customers",
+    "split_data_counts",
+    "repeat_region_across_nation",
+    "generate_comparison_orders",
+    "frame_union_customer",
+    "nearest_join_2d_acctbal",
+    "truncate_customers_by_supplier",
+    "haversine_bearing_nations",
+    # SQL facade + UDF surface
+    "sql_facade_join",
+    "sql_facade_dml",
+    "callable_agg_range_events",
+    # statistics tail
+    "mcnemar_orders",
+    "cronbach_lineitem",
+    "wilcoxon_orders",
+    "normal_cdf_acctbal",
+    "friedman_events",
+    "t_test_paired_lineitem",
+    "cochran_q_orders",
+    "rm_anova_events",
+    "mixed_effects_lineitem",
+    "jarque_bera_lineitem",
+    "chi2_gof_orderstatus",
+    "durbin_watson_daily",
+    # streaming stateful
+    "stateful_totals_events",
+    # time-series tail
+    "correlation_ops_strong",
+    "trend_daily_events",
+    "ts_split_counts_events",
+    "ts_outlier_z_daily_events",
+    "kpss_daily_events",
+    "adaptive_ma_daily",
+    "rolling_slope_daily",
+    "smooth1d_triangle_daily",
 ]
 
-# entries the round-2 driver hash-verified green (CORRECTNESS_r02.json) whose
-# implementation has NOT changed since — safe to park behind the window.
-_R2_VERIFIED = {
-    "flagship_revenue_by_region", "q1_pricing_summary", "filter_df_quantity",
-    "group_and_filter_orders", "filter_by_isin_semi", "filter_by_isin_anti",
-    "mask_by_reference_returns", "filter_by_period_events",
-    "pop_labels_select_features", "merge_datasets_orders_customer",
-    "pair_data_rounded_acctbal", "nearest_join_acctbal",
-    "group_and_aggregate_events", "smart_group_having",
-    "binning_statistic_median", "category_count_orders",
-    "check_unique_values_customer", "cumulative_revenue_by_day",
-    "to_wide_orders_pivot", "to_long_part_melt", "concat_frames_union",
-    "set_ops_nationkeys", "dedup_exact_distinct", "handle_duplicates_mark",
-    "hash_split_test_counts", "lag_diff_daily_revenue",
-    "moving_average_revenue", "rank_suppliers_in_nation",
-    "ffill_event_values", "filter_position_customers",
-    "data_extractor_orders", "confidence_ratio_events", "coverage_orders",
-    "soft_bin_stat_orders", "rollup_revenue_orders",
-    "string_case_part_names", "levenshtein_part_types",
-    "date_features_orders", "cyclical_month_orders", "to_categories_acctbal",
-    "freq_encode_mktsegment", "label_encode_priority", "one_hot_orderstatus",
-    "data_facade_pipeline", "map_values_binarize_orders",
-    "categorical_cast_nation", "anonymize_customer_names",
-    "text_stats_documents", "text_quality_language", "doc_fingerprint_tokens",
+# Cumulative union of driver-green entries (CORRECTNESS_r01+r02+r03, all
+# hash_match=true) — safe to park behind the window.
+_DRIVER_VERIFIED = {
+    "acf_daily_events", "anonymize_customer_names", "anova_events",
+    "binning_statistic_median", "boxcox_quantity", "categorical_cast_nation",
+    "category_count_orders", "check_unique_values_customer",
+    "chi2_events_type_bucket", "classification_metrics_orders",
+    "concat_frames_union", "confidence_ratio_events", "coverage_orders",
+    "cumulative_revenue_by_day", "cyclical_month_orders",
+    "data_extractor_orders", "data_facade_pipeline", "date_features_orders",
+    "dedup_exact_distinct", "dedup_exact_prefix", "describe_lineitem",
+    "doc_fingerprint_tokens", "embedding_cosine_topk", "embedding_lsh_topk",
+    "embedding_norm_by_label", "encode_decode_text_roundtrip",
+    "ffill_event_values", "fill_mean_events", "filter_by_isin_anti",
+    "filter_by_isin_semi", "filter_by_period_events", "filter_df_quantity",
+    "filter_position_customers", "flagship_revenue_by_region",
+    "freq_encode_mktsegment", "gini_acctbal", "gini_score_orders",
+    "group_and_aggregate_events", "group_and_filter_orders",
+    "handle_duplicates_mark", "hash_split_test_counts",
+    "infer_frequency_events", "inspect_data_customer",
+    "interpolate_daily_gaps", "kaplan_meier_events", "kruskal_wallis_events",
+    "ks_test_purchase_view", "label_encode_priority",
+    "lag_diff_daily_revenue", "levene_events", "levenshtein_part_types",
+    "map_values_binarize_orders", "mask_by_reference_returns",
+    "merge_datasets_orders_customer", "merge_frames_on_index_customer",
+    "minhash_near_dup_pairs", "minhash_signatures_documents",
+    "missing_profile_events", "moving_average_revenue",
+    "multimodal_blob_features", "nearest_join_acctbal", "one_hot_orderstatus",
+    "outliers_iqr_clip_acctbal", "pair_data_rounded_acctbal",
+    "poisson_deviance_lineitem", "pop_labels_select_features",
+    "q1_pricing_summary", "rank_suppliers_in_nation",
+    "ranking_metrics_events", "regression_metrics_orders",
+    "rollup_revenue_orders", "sessionized_aggregate_events",
+    "set_ops_nationkeys", "simhash_documents", "smart_group_having",
+    "soft_bin_stat_orders", "spearman_lineitem", "sql_facade_aggregate",
+    "sql_facade_window", "stream_dedup_events", "streaming_window_counts",
+    "string_case_part_names", "summarize_text_head", "t_test_click_error",
+    "text_quality_language", "text_stats_documents", "to_categories_acctbal",
+    "to_long_part_melt", "to_wide_orders_pivot", "ts_engineering_daily_events",
+    "weighted_median_quantity",
 }
+
+# Driver-green in a prior round but rewritten this round (rank-window
+# elimination, minhash plan trim) — hash-identical by design and re-verified
+# by the local sweep, but ordered ahead of the untouched verified tail so the
+# next rotation re-drivers them first.
+_CHANGED_THIS_ROUND = [
+    "gini_score_orders",
+    "spearman_lineitem",
+    "kruskal_wallis_events",
+    "minhash_signatures_documents",
+    "minhash_near_dup_pairs",
+]
 
 
 def _rotate_catalog() -> None:
     window = [n for n in _DRIVER_WINDOW if n in QUERIES]
-    in_window = set(window)
+    placed = set(window)
     tail_unverified = [
-        n for n in QUERIES if n not in in_window and n not in _R2_VERIFIED
+        n for n in QUERIES if n not in placed and n not in _DRIVER_VERIFIED
     ]
-    tail_verified = [
-        n for n in QUERIES if n not in in_window and n in _R2_VERIFIED
-    ]
-    order = window + tail_unverified + tail_verified
+    placed.update(tail_unverified)
+    tail_changed = [n for n in _CHANGED_THIS_ROUND if n not in placed]
+    placed.update(tail_changed)
+    tail_verified = [n for n in QUERIES if n not in placed]
+    order = window + tail_unverified + tail_changed + tail_verified
     q = {n: QUERIES[n] for n in order}
     o = {n: ORACLE_SQL[n] for n in order if n in ORACLE_SQL}
     QUERIES.clear()
