@@ -22,6 +22,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
@@ -40,21 +41,40 @@ def query(name: str, oracle: str | None = None):
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load a driver table.  The events parquet stores ``ts`` as
-    TIMESTAMP(NANOS), which Spark's parquet reader rejects; read it as
-    long nanos (runtime legacy conf) and convert to a micros timestamp —
-    matching DuckDB's nanos->micros truncation."""
+    """Load a driver table.  The events parquet's ``ts`` physical encoding
+    has varied across testdata generations — TIMESTAMP(NANOS) (which
+    Spark's reader only accepts as long nanos via the legacy conf),
+    timestamp[us] with isAdjustedToUTC=0 (read as TIMESTAMP_NTZ), or a
+    plain UTC-adjusted timestamp.  Branch on the dtype Spark actually
+    produced so a testdata regeneration degrades gracefully instead of
+    crashing every events-based entry (this function is shared by every
+    catalog_* module)."""
     if name == "events":
         # engine policy (see session._LOCAL_DEFAULTS); set here too because
         # the driver may hand us a session built without our defaults —
         # guarded so we only touch the conf when it isn't already set.
+        # Harmless for non-nanos encodings (it only affects NANOS columns).
         key = "spark.sql.legacy.parquet.nanosAsLong"
         if spark.conf.get(key, "false") != "true":
             spark.conf.set(key, "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, T.LongType):
+            # nanos-as-long: truncate to micros (DuckDB does the same).
+            return df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        if isinstance(dt, T.TimestampNTZType):
+            # NTZ->TZ cast reinterprets in the session TZ; pin it to UTC
+            # (engine policy, session._LOCAL_DEFAULTS) so the result
+            # matches DuckDB's naive reading even on a foreign session.
+            # (no get() default: Spark 4 validates the default string as a
+            # timezone; the key always resolves — JVM TZ when unset)
+            tz_key = "spark.sql.session.timeZone"
+            if spark.conf.get(tz_key) not in ("UTC", "Etc/UTC"):
+                spark.conf.set(tz_key, "UTC")
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -20,6 +20,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
 # events.parquet schema with ts as raw nanos (the engine-wide
@@ -40,12 +41,39 @@ def read_event_stream(
     spark: SparkSession, path: str, *, glob: str | None = None
 ) -> DataFrame:
     """File-source stream of the events table (schema mandatory for
-    streaming reads; nanos ts converted to a proper timestamp inline)."""
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    streaming reads).
+
+    The physical ``ts`` encoding has varied across testdata generations
+    (TIMESTAMP(NANOS) read as long nanos via the legacy conf, timestamp[us]
+    isAdjustedToUTC=0 read as TIMESTAMP_NTZ, plain UTC timestamp), so probe
+    the batch reader's resolved schema first — a driver-side footer-only
+    metadata read — and declare the matching stream schema, converting to a
+    proper TimestampType inline whichever way the files are encoded."""
+    probe = spark.read
+    if glob:
+        probe = probe.option("pathGlobFilter", glob)
+    ts_type = probe.parquet(path).schema["ts"].dataType
+
+    fields = [
+        StructField("event_id", LongType()),
+        StructField("ts", ts_type),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+    reader = spark.readStream.schema(StructType(fields))
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     df = reader.parquet(path)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, TimestampNTZType):
+        tz_key = "spark.sql.session.timeZone"
+        if spark.conf.get(tz_key) not in ("UTC", "Etc/UTC"):
+            spark.conf.set(tz_key, "UTC")
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def windowed_aggregate(
