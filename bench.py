@@ -52,19 +52,28 @@ def main() -> None:
     names = [n for n in HEADLINE if n in QUERIES]
     # One untimed warm pass compiles whole-stage codegen and JIT-warms the
     # generated classes (first execution of a complex plan pays ~10-20s of
-    # compilation that is irrelevant at cluster scale); the timed pass
-    # then measures steady-state execution.  cold_sec reports the warm
-    # pass total for transparency.
+    # compilation that is irrelevant at cluster scale); then REPS timed
+    # passes per query with min + spread reported — single-shot numbers
+    # swing severalfold on the shuffle-heavy queries (shuffle-file/GC
+    # noise), so min-of-3 is the stable round-over-round signal.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     t0 = time.perf_counter()
     for name in names:
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
     cold_total = round(time.perf_counter() - t0, 3)
 
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in names:
-        t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            runs.append(round(time.perf_counter() - t0, 3))
+        timings[name] = min(runs)
+        spread[name] = runs
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
@@ -78,6 +87,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "runs": spread,
+                "reps": reps,
                 "cold_sec": cold_total,
                 "sf": sf_val,
             }

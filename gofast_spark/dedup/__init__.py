@@ -14,9 +14,11 @@ from gofast_spark.dedup.exact import exact_dedup
 from gofast_spark.dedup.minhash import (
     MINHASH_COEFFS,
     MINHASH_P,
+    doc_shingle_sets,
     doc_shingles,
     lsh_candidate_pairs,
     minhash_signatures,
+    minhash_signatures_from_sets,
     near_dup_pairs,
     shingle_jaccard,
 )
@@ -27,7 +29,9 @@ __all__ = [
     "exact_dedup",
     "ngram_jaccard_pairs",
     "doc_shingles",
+    "doc_shingle_sets",
     "minhash_signatures",
+    "minhash_signatures_from_sets",
     "lsh_candidate_pairs",
     "shingle_jaccard",
     "near_dup_pairs",

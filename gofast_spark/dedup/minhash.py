@@ -53,38 +53,39 @@ def _make_coeffs(k: int) -> list[tuple[int, int]]:
 MINHASH_COEFFS: list[tuple[int, int]] = _make_coeffs(16)
 
 
-def doc_shingles(
+def doc_shingle_sets(
     df: DataFrame,
     id_col: str,
     text_col: str,
     *,
     k: int = 3,
-    hash_col: str = "sh_hash",
+    arr_col: str = "sh_set",
 ) -> DataFrame:
-    """(id, shingle_hash) exploded, distinct per doc.
+    """(id, array<int64> of distinct shingle hashes) — one row per doc.
 
     Shingles are ``|``-joined runs of ``k`` normalized tokens; a doc with
     fewer than ``k`` tokens contributes its whole token string as one
-    shingle.  Output has one row per distinct shingle per doc.
+    shingle.  Every shingle of a doc lives in the doc's own row, so the
+    distinct-per-doc step is ``array_distinct`` — a per-row expression,
+    NOT a corpus-wide ``dropDuplicates`` shuffle.  This is the property
+    that keeps the whole MinHash pipeline shuffle-free until the band
+    join: signatures (array_min over a transform) and set sizes (size)
+    are projections of this frame.
     """
     # the shingle projection is compute-heavy; a small source file (one
     # parquet part) would otherwise pin it to one core — spread it before
-    # exploding
+    # the projection
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         df = df.repartition(target)
 
     # Build k-grams per row from the token array (transform over a
-    # sequence of start offsets, slice + array_join per offset) and
-    # explode once.  The lambda runs interpreted, but it is strictly
-    # per-row — NO shuffle — which beats the alternative
-    # posexplode + lead() window by ~10x wall-clock locally and by a
-    # full corpus-wide token shuffle at cluster scale (the window must
-    # hash-partition and sort every token by (doc, pos); this pipeline
-    # stays embarrassingly parallel until the per-doc distinct).  A doc
-    # with fewer than k tokens contributes its whole token string as one
-    # shingle.
+    # sequence of start offsets, slice + array_join per offset).  The
+    # lambda runs interpreted, but it is strictly per-row — NO shuffle —
+    # which beats the alternative posexplode + lead() window (the window
+    # must hash-partition and sort every token by (doc, pos); this stays
+    # embarrassingly parallel).
     toks = F.split(normalize_text(text_col), " ")
     base = df.select(
         F.col(id_col), toks.alias("__t"), F.size(toks).alias("__sz")
@@ -97,13 +98,34 @@ def doc_shingles(
             f"i -> array_join(slice(__t, i + 1, {k}), '|'))"
         )
     )
-    sh = base.select(F.col(id_col), F.explode(sh_arr).alias("__shingle"))
     # md5-based portable hash folded into [0, 2^31) so the minhash
     # (a*h+b) products stay within int64 on both engines
-    h31 = F.pmod(md5_hash64(F.col("__shingle")), F.lit(2**31))
-    return sh.select(
-        id_col, h31.alias(hash_col)
-    ).dropDuplicates([id_col, hash_col])
+    hashed = F.transform(
+        sh_arr, lambda s: F.pmod(md5_hash64(s), F.lit(2**31))
+    )
+    return base.select(
+        F.col(id_col), F.array_distinct(hashed).alias(arr_col)
+    )
+
+
+def doc_shingles(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    hash_col: str = "sh_hash",
+) -> DataFrame:
+    """(id, shingle_hash) exploded, distinct per doc.
+
+    Explode of :func:`doc_shingle_sets` — the distinct happened per-row
+    in the array, so no corpus-wide shuffle is needed here either.
+    Output has one row per distinct shingle per doc.
+    """
+    sets_df = doc_shingle_sets(df, id_col, text_col, k=k)
+    return sets_df.select(
+        F.col(id_col), F.explode("sh_set").alias(hash_col)
+    )
 
 
 def minhash_signatures(
@@ -112,19 +134,60 @@ def minhash_signatures(
     *,
     hash_col: str = "sh_hash",
     num_hashes: int = 16,
+    include_size: bool = False,
 ) -> DataFrame:
     """One row per doc with columns ``mh_0..mh_{K-1}``.
 
     Single groupBy with K min() aggregates — partial aggregation happens
     map-side, so the shuffle carries one K-wide row per doc per partition.
-    """
+
+    ``include_size`` folds the per-doc distinct-shingle count (``n_sh``)
+    into the same groupBy as a 17th aggregate, so the Jaccard verify
+    stage reads sizes from this (tiny) frame instead of making a second
+    aggregation pass over the full shingle frame."""
     coeffs = MINHASH_COEFFS[:num_hashes]
     h = F.col(hash_col)
     aggs = [
         F.min(F.pmod(F.lit(a) * h + F.lit(b), F.lit(MINHASH_P))).alias(f"mh_{j}")
         for j, (a, b) in enumerate(coeffs)
     ]
+    if include_size:
+        # shingle_df is already distinct per (doc, hash), so a plain
+        # count is the distinct-shingle set size
+        aggs.append(F.count(F.lit(1)).alias("n_sh"))
     return shingle_df.groupBy(id_col).agg(*aggs)
+
+
+def minhash_signatures_from_sets(
+    sets_df: DataFrame,
+    id_col: str,
+    *,
+    arr_col: str = "sh_set",
+    num_hashes: int = 16,
+    include_size: bool = False,
+) -> DataFrame:
+    """Signatures as a pure projection of the per-doc shingle-set frame:
+    ``mh_j = array_min(transform(set, h -> (a_j*h+b_j) mod P))``.
+
+    No groupBy at all — each doc's signature is computed inside its own
+    row, so the only shuffle left in the whole MinHash pipeline is the
+    LSH band self-join."""
+    coeffs = MINHASH_COEFFS[:num_hashes]
+    arr = F.col(arr_col)
+
+    def _perm(a: int, b: int):
+        # closure factory: PySpark derives the HOF arity from the
+        # lambda's parameter count, so defaults can't be used to bind
+        return lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MINHASH_P))
+
+    cols = [F.col(id_col)]
+    for j, (a, b) in enumerate(coeffs):
+        cols.append(
+            F.array_min(F.transform(arr, _perm(a, b))).alias(f"mh_{j}")
+        )
+    if include_size:
+        cols.append(F.size(arr).alias("n_sh"))
+    return sets_df.select(*cols)
 
 
 def lsh_candidate_pairs(
@@ -174,26 +237,63 @@ def shingle_jaccard(
     id_col: str,
     *,
     hash_col: str = "sh_hash",
+    sizes_df: DataFrame | None = None,
+    broadcast_pairs: bool = False,
 ) -> DataFrame:
     """Exact Jaccard over shingle-hash sets for the given (id_a, id_b)
     pairs: |A ∩ B| via an equi-join on the shingle hash, |A ∪ B| from the
-    per-doc set sizes.  Cost scales with candidate count, not corpus²."""
-    sizes = shingle_df.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    per-doc set sizes.  Cost scales with candidate count, not corpus².
+
+    ``sizes_df`` (optional, columns [id_col, n_sh]) supplies per-doc set
+    sizes computed elsewhere (e.g. folded into the signature groupBy) so
+    no second aggregation pass over the shingle frame is needed.
+
+    ``broadcast_pairs`` hints that the candidate-pair frame is small
+    (LSH output is bounded by Σ bucket² — tiny relative to the corpus):
+    the pair frame and its distinct doc-id set are broadcast, the
+    shingle legs are semi-filtered to candidate docs map-side, and the
+    intersection joins never shuffle the full shingle frame."""
+    if sizes_df is None:
+        sizes_df = shingle_df.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("n_sh")
+        )
+    pairs = F.broadcast(pairs_df) if broadcast_pairs else pairs_df
+    legs_src = shingle_df
+    if broadcast_pairs:
+        cand_ids = (
+            pairs_df.select(F.col("id_a").alias("__cid"))
+            .union(pairs_df.select(F.col("id_b").alias("__cid")))
+            .distinct()
+        )
+        legs_src = shingle_df.join(
+            F.broadcast(cand_ids),
+            F.col(id_col) == F.col("__cid"),
+            "left_semi",
+        )
+        # sizes_df is one row per corpus doc — unbounded at scale; shrink
+        # it to candidate docs map-side before it is broadcast below
+        sizes_df = sizes_df.join(
+            F.broadcast(cand_ids),
+            F.col(id_col) == F.col("__cid"),
+            "left_semi",
+        )
     # unique internal names on each self-join leg avoid ambiguous refs
-    xa = shingle_df.select(
+    xa = legs_src.select(
         F.col(id_col).alias("__xa_id"), F.col(hash_col).alias("__ha")
     )
-    xb = shingle_df.select(
+    xb = legs_src.select(
         F.col(id_col).alias("__xb_id"), F.col(hash_col).alias("__hb")
     )
     inter = (
-        pairs_df.join(xa, F.col("id_a") == F.col("__xa_id"))
+        pairs.join(xa, F.col("id_a") == F.col("__xa_id"))
         .join(xb, (F.col("id_b") == F.col("__xb_id")) & (F.col("__ha") == F.col("__hb")))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    na = sizes.select(F.col(id_col).alias("__na_id"), F.col("n_sh").alias("n_a"))
-    nb = sizes.select(F.col(id_col).alias("__nb_id"), F.col("n_sh").alias("n_b"))
+    na = sizes_df.select(F.col(id_col).alias("__na_id"), F.col("n_sh").alias("n_a"))
+    nb = sizes_df.select(F.col(id_col).alias("__nb_id"), F.col("n_sh").alias("n_b"))
+    if broadcast_pairs:
+        na, nb = F.broadcast(na), F.broadcast(nb)
     return (
         inter.join(na, F.col("id_a") == F.col("__na_id"))
         .join(nb, F.col("id_b") == F.col("__nb_id"))
@@ -222,38 +322,77 @@ def near_dup_pairs(
     """End-to-end near-duplicate pairs: shingle -> minhash -> LSH bands ->
     exact-Jaccard verify >= threshold.
 
-    The shingle stage feeds signing, both verify legs, and the size
-    aggregate — it is persisted so the expensive hash projection runs
-    once instead of four times.  With ``eager`` (default) the verified
-    pair list — small by construction relative to the shingle frame — is
-    materialized via ``localCheckpoint`` while the shingles are cached
-    and the shingle frame is **unpersisted before returning**, so
-    repeated calls in a long session cannot accumulate executor storage
-    (ADVICE r2): a checkpoint holds no CacheManager entry, and its
-    blocks are freed by the ContextCleaner once the returned frame is
+    Plan shape (the whole point): the per-doc shingle-set frame keeps
+    each doc's distinct shingles inside the doc's own row, so signatures
+    and set sizes are per-row projections and the ONLY shuffle in the
+    pipeline is the LSH band self-join (cost Σ bucket², never n²).  The
+    verify stage never shuffles the corpus either: candidate pairs are
+    broadcast, the set frame is broadcast-semi-filtered to candidate
+    docs, and Jaccard is ``array_intersect`` per pair row — no groupBy.
+
+    With ``eager`` (default) the tiny signature and candidate frames are
+    materialized via ``localCheckpoint`` while the set frame is cached,
+    and the set frame is **unpersisted before returning**, so repeated
+    calls in a long session cannot accumulate executor storage (ADVICE
+    r2): a checkpoint holds no CacheManager entry, and its blocks are
+    freed by the ContextCleaner once the returned frame is
     garbage-collected — no caller-side ``unpersist`` obligation.
-    ``eager=False``
-    keeps the whole pipeline lazy and skips the persist entirely (the
-    shingle projection then recomputes once per downstream leg)."""
+    ``eager=False`` keeps the whole pipeline lazy and skips persist /
+    checkpoint entirely (the set projection then recomputes once per
+    downstream leg)."""
+
+    def _verify(sets_df: DataFrame, cand: DataFrame, bcast: bool) -> DataFrame:
+        cand_ids = (
+            cand.select(F.col("id_a").alias("__cid"))
+            .union(cand.select(F.col("id_b").alias("__cid")))
+            .distinct()
+        )
+        if bcast:
+            cand_ids = F.broadcast(cand_ids)
+        sub = sets_df.join(
+            cand_ids, F.col(id_col) == F.col("__cid"), "left_semi"
+        )
+        xa = sub.select(
+            F.col(id_col).alias("__a_id"), F.col("sh_set").alias("__a_set")
+        )
+        xb = sub.select(
+            F.col(id_col).alias("__b_id"), F.col("sh_set").alias("__b_set")
+        )
+        if bcast:
+            xa, xb = F.broadcast(xa), F.broadcast(xb)
+        inter = F.size(F.array_intersect(F.col("__a_set"), F.col("__b_set")))
+        union = (
+            F.size(F.col("__a_set")) + F.size(F.col("__b_set")) - inter
+        )
+        return (
+            cand.join(xa, F.col("id_a") == F.col("__a_id"))
+            .join(xb, F.col("id_b") == F.col("__b_id"))
+            .select(
+                "id_a", "id_b", (inter / union).alias("jaccard")
+            )
+            .where(F.col("jaccard") >= threshold)
+        )
+
     if not eager:
-        sh = doc_shingles(df, id_col, text_col, k=k)
-        sig = minhash_signatures(sh, id_col, num_hashes=num_hashes)
+        sets_df = doc_shingle_sets(df, id_col, text_col, k=k)
+        sig = minhash_signatures_from_sets(
+            sets_df, id_col, num_hashes=num_hashes
+        )
         cand = lsh_candidate_pairs(
             sig, id_col, num_hashes=num_hashes, rows_per_band=rows_per_band
         )
-        return shingle_jaccard(sh, cand, id_col).where(
-            F.col("jaccard") >= threshold
-        )
-    sh = doc_shingles(df, id_col, text_col, k=k).persist()
+        return _verify(sets_df, cand, bcast=False)
+    sets_df = doc_shingle_sets(df, id_col, text_col, k=k).persist()
     try:
-        sig = minhash_signatures(sh, id_col, num_hashes=num_hashes)
+        # candidates are bounded by Σ bucket² — checkpoint them eagerly
+        # (materializing the persisted set frame in the same job) so the
+        # verify stage can broadcast a computed frame
+        sig = minhash_signatures_from_sets(
+            sets_df, id_col, num_hashes=num_hashes
+        )
         cand = lsh_candidate_pairs(
             sig, id_col, num_hashes=num_hashes, rows_per_band=rows_per_band
-        )
-        jac = shingle_jaccard(sh, cand, id_col)
-        # materialize the small result while shingles are hot
-        return jac.where(F.col("jaccard") >= threshold).localCheckpoint(
-            eager=True
-        )
+        ).localCheckpoint(eager=True)
+        return _verify(sets_df, cand, bcast=True).localCheckpoint(eager=True)
     finally:
-        sh.unpersist()
+        sets_df.unpersist()
