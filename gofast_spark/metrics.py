@@ -164,15 +164,26 @@ def gini_score(
     average rank of the tie group (rank() + (tie_count - 1)/2, as
     sklearn's roc_auc_score does), so AUC is unbiased on heavily tied
     score columns.  ``tiebreak`` is kept for signature compatibility
-    but no longer affects the result (midranks are order-free)."""
-    w = Window.orderBy(F.col(score_col).asc())
-    tie = Window.partitionBy(score_col)
-    avg_rank = F.rank().over(w) + (F.count(F.lit(1)).over(tie) - 1) / 2.0
-    ranked = df.withColumn("__r", avg_rank)
+    but no longer affects the result (midranks are order-free).
+
+    Scale shape: rows are first aggregated per distinct score value
+    (map-side partial combine), and the rank cumulative runs over the
+    distinct-value frame — never a full-table single-reducer sort (the
+    ks_test_2samp pattern).  All tied rows share one midrank, so the
+    positive rank-sum is ``sum(pos_v * midrank_v)`` exactly."""
     y = F.col(y_col).cast("double")
-    n_pos = F.sum(y)
-    n_neg = F.count(y) - n_pos
-    rank_sum_pos = F.sum(F.when(y == 1, F.col("__r")))
+    per_val = df.groupBy(F.col(score_col).alias("__v")).agg(
+        F.count(F.lit(1)).cast("double").alias("__c"),
+        F.sum(y).alias("__sy"),
+        F.count(y).cast("double").alias("__cy"),
+        F.count(F.when(y == 1, 1)).cast("double").alias("__p1"),
+    )
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+    mr = F.coalesce(F.sum("__c").over(w), F.lit(0.0)) + (F.col("__c") + 1) / 2.0
+    ranked = per_val.select("__sy", "__cy", "__p1", mr.alias("__mr"))
+    n_pos = F.sum("__sy")
+    n_neg = F.sum("__cy") - n_pos
+    rank_sum_pos = F.sum(F.col("__p1") * F.col("__mr"))
     auc = (rank_sum_pos - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
     return ranked.agg((2 * auc - 1).alias("gini_score"))
 

@@ -250,18 +250,25 @@ def friedman_test(
 def wilcoxon_signed_rank(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
     """Wilcoxon signed-rank W (gofast/stats/inferential.py:200): rank the
     nonzero |a - b| (average ranks), W = sum of ranks where d > 0.
-    One rank window over the nonzero differences."""
+
+    Scale shape: aggregate to distinct |d| values with positive/negative
+    counts first, run the cumulative midrank over that small frame, and
+    form the rank sums as ``sum(count * midrank)`` — the ks_test_2samp
+    pattern, no full-table rank window."""
     d = F.col(a_col) - F.col(b_col)
     nz = df.select(d.alias("__d")).where(F.col("__d") != 0)
-    absd = F.abs(F.col("__d"))
-    w = Window.orderBy(absd.asc())
-    ties = Window.partitionBy(absd)
-    rk = F.rank().over(w) + (F.count(F.lit(1)).over(ties) - 1) / 2.0
-    ranked = nz.select(F.col("__d"), rk.alias("__r"))
+    per_val = nz.groupBy(F.abs(F.col("__d")).alias("__ad")).agg(
+        F.count(F.lit(1)).cast("double").alias("__c"),
+        F.count(F.when(F.col("__d") > 0, 1)).cast("double").alias("__cp"),
+        F.count(F.when(F.col("__d") < 0, 1)).cast("double").alias("__cn"),
+    )
+    w = Window.orderBy("__ad").rowsBetween(Window.unboundedPreceding, -1)
+    mr = F.coalesce(F.sum("__c").over(w), F.lit(0.0)) + (F.col("__c") + 1) / 2.0
+    ranked = per_val.select("__c", "__cp", "__cn", mr.alias("__mr"))
     return ranked.agg(
-        F.sum(F.when(F.col("__d") > 0, F.col("__r"))).alias("w_plus"),
-        F.sum(F.when(F.col("__d") < 0, F.col("__r"))).alias("w_minus"),
-        F.count(F.lit(1)).alias("n_nonzero"),
+        F.sum(F.col("__cp") * F.col("__mr")).alias("w_plus"),
+        F.sum(F.col("__cn") * F.col("__mr")).alias("w_minus"),
+        F.sum("__c").cast("bigint").alias("n_nonzero"),
     )
 
 

@@ -6,10 +6,11 @@ Reference: ``correlation`` (gofast/stats/relationships.py:32),
 ``kruskal_wallis_test`` (gofast/stats/inferential.py:1039),
 ``correlation_ops`` (gofast/dataops/quality.py:3845).
 
-Rank assignment uses average ranks (scipy convention) built from
-``rank() + (ties-1)/2`` windows.  Scale note: ranking is a global sort of
-the *ranked column* — pre-bin (quantile sketch) for 100 TB inputs, or
-rank within partitions when the statistic is per-group.
+Rank assignment uses average ranks (scipy convention) built as
+distinct-value cumulative midranks (the ks_test_2samp pattern): rows are
+aggregated per distinct value first (map-side partial combine), the
+cumulative count runs over the small distinct-value frame, and midranks
+join back on the value — never a full-table single-reducer rank sort.
 """
 
 from __future__ import annotations
@@ -20,19 +21,35 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _avg_rank(col: Column) -> Column:
-    """Average (midrank) of a value: min rank + (ties - 1)/2."""
-    w = Window.orderBy(col.asc())
-    ties = Window.partitionBy(col)
-    return F.rank().over(w) + (F.count(F.lit(1)).over(ties) - 1) / 2.0
+def _midrank_map(df: DataFrame, col: Column) -> DataFrame:
+    """(``__v``, ``__mr``): every distinct value of ``col`` with its
+    average (mid)rank over the whole frame — for a value with ``c`` ties
+    preceded by ``B`` smaller items, ranks span B+1..B+c, so the midrank
+    is ``B + (c+1)/2``.  The cumulative-sum window runs over the
+    *distinct-value* frame, keeping the sorted set small at scale."""
+    per_val = df.groupBy(col.alias("__v")).agg(
+        F.count(F.lit(1)).cast("double").alias("__c")
+    )
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+    before = F.coalesce(F.sum("__c").over(w), F.lit(0.0))
+    return per_val.select(
+        "__v", (before + (F.col("__c") + 1) / 2.0).alias("__mr")
+    )
 
 
 def spearman_corr(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     """Spearman rho = Pearson correlation of average ranks
-    (optimized_spearmanr, gofast/utils/mathext.py:3063)."""
-    ranked = df.select(
-        _avg_rank(F.col(col_a)).alias("__ra"),
-        _avg_rank(F.col(col_b)).alias("__rb"),
+    (optimized_spearmanr, gofast/utils/mathext.py:3063).  Midrank maps
+    (distinct-value frames) join back to the rows on the value — two
+    hash joins on high-cardinality keys, no global rank sort."""
+    ma = _midrank_map(df, F.col(col_a)).withColumnsRenamed(
+        {"__v": "__va", "__mr": "__ra"}
+    )
+    mb = _midrank_map(df, F.col(col_b)).withColumnsRenamed(
+        {"__v": "__vb", "__mr": "__rb"}
+    )
+    ranked = df.join(ma, F.col(col_a).eqNullSafe(F.col("__va"))).join(
+        mb, F.col(col_b).eqNullSafe(F.col("__vb"))
     )
     return ranked.agg(F.corr("__ra", "__rb").alias("spearman"))
 
@@ -41,12 +58,22 @@ def kruskal_wallis(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
     """Kruskal-Wallis H (no tie correction; document when data is heavily
     tied) from per-group rank sums:
     ``H = 12/(N(N+1)) * sum(R_g^2 / n_g) - 3(N+1)``
-    (gofast/stats/inferential.py:1039)."""
-    ranked = df.select(
-        F.col(group_col).alias("__g"), _avg_rank(F.col(value_col)).alias("__r")
-    )
-    per_g = ranked.groupBy("__g").agg(
-        F.sum("__r").alias("rsum"), F.count(F.lit(1)).alias("n")
+    (gofast/stats/inferential.py:1039).
+
+    Scale shape: rows aggregate to (value, group) counts first, the
+    midrank map joins on the value, and rank sums are
+    ``sum(midrank * count)`` — no per-row rank window."""
+    pairs = df.groupBy(
+        F.col(value_col).alias("__pv"), F.col(group_col).alias("__g")
+    ).agg(F.count(F.lit(1)).cast("double").alias("__cnt"))
+    mr = _midrank_map(df, F.col(value_col))
+    per_g = (
+        pairs.join(mr, F.col("__pv").eqNullSafe(F.col("__v")))
+        .groupBy("__g")
+        .agg(
+            F.sum(F.col("__mr") * F.col("__cnt")).alias("rsum"),
+            F.sum("__cnt").cast("bigint").alias("n"),
+        )
     )
     stats = per_g.agg(
         F.sum(F.col("rsum") * F.col("rsum") / F.col("n")).alias("s"),

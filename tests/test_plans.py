@@ -143,3 +143,59 @@ def test_ivf_topk_cell_equi_join(spark, sf_small):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _windows_see_only_aggregated_input(plan: str) -> bool:
+    """True if every unpartitioned (SinglePartition-exchanged) Window in
+    the plan reads from an aggregated child — i.e. the global sort runs
+    over a distinct-value frame, never over raw table rows.  Tree
+    children print after their parent, so it suffices that a keyed
+    HashAggregate appears below each Window."""
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Window [" not in ln:
+            continue
+        below = "\n".join(lines[i:])
+        if "HashAggregate(keys=[" not in below.replace(
+            "HashAggregate(keys=[]", ""
+        ):
+            return False
+    return True
+
+
+def test_rank_stats_never_sort_raw_rows(spark, sf_small):
+    """The midrank-based statistics must follow the distinct-value
+    cumulative pattern (ks_test_2samp): rows aggregate per value BEFORE
+    the single-partition rank window, so the global sort is bounded by
+    distinct-value count at any scale."""
+    import pyspark.sql.functions as F
+
+    from gofast_spark.metrics import gini_score
+    from gofast_spark.plans.catalog import _t
+    from gofast_spark.stats.inferential import wilcoxon_signed_rank
+    from gofast_spark.stats.relationships import kruskal_wallis, spearman_corr
+
+    o = _t(spark, sf_small, "orders")
+    cases = [
+        gini_score(
+            o.select(
+                (F.col("o_orderkey") % 2).alias("y"),
+                F.col("o_totalprice").alias("s"),
+            ),
+            "y",
+            "s",
+        ),
+        spearman_corr(o, "o_totalprice", "o_custkey"),
+        kruskal_wallis(o, "o_totalprice", "o_orderstatus"),
+        wilcoxon_signed_rank(
+            o.select(
+                F.col("o_totalprice").alias("a"),
+                (F.col("o_totalprice") * 0.9).alias("b"),
+            ),
+            "a",
+            "b",
+        ),
+    ]
+    for df in cases:
+        plan = _plan(df)
+        assert _windows_see_only_aggregated_input(plan), plan
