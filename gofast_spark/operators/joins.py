@@ -116,17 +116,26 @@ def merge_frames_on_index(
             lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
         )
     how = {"outer": "full_outer"}.get(join_type, join_type)
-    seen: dict[str, int] = {}
+    used: set[str] = set()
     renamed = []
     for i, df in enumerate(frames):
         mapping = {}
         for c in df.columns:
             if c == index_col:
                 continue
-            if c in seen:
-                mapping[c] = f"{c}{suffix.format(i=i)}"
-            else:
-                seen[c] = i
+            if c not in used:
+                used.add(c)
+                continue
+            # escalate until unique: the positional suffix alone can
+            # collide with a column that already exists in some frame
+            # (e.g. frame 2 carries both "x" and "x_1")
+            new = f"{c}{suffix.format(i=i)}"
+            bump = 2
+            while new in used:
+                new = f"{c}{suffix.format(i=i)}_{bump}"
+                bump += 1
+            mapping[c] = new
+            used.add(new)
         renamed.append(df.withColumnsRenamed(mapping) if mapping else df)
     return reduce(lambda a, b: a.join(b, on=index_col, how=how), renamed)
 

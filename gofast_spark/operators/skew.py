@@ -32,7 +32,12 @@ from pyspark.sql import functions as F
 
 # (stage-1 partial expression, stage-2 combiner) per supported aggregate
 _COMBINERS = {
-    "count": (lambda c: F.count(F.lit(1)), F.sum),
+    # count('*') counts rows; count(col) must skip NULLs exactly like the
+    # unsalted groupBy(...).agg(count(col)) plan would
+    "count": (
+        lambda c: F.count(F.lit(1)) if c == "*" else F.count(F.col(c)),
+        F.sum,
+    ),
     "sum": (lambda c: F.sum(c), F.sum),
     "min": (lambda c: F.min(c), F.min),
     "max": (lambda c: F.max(c), F.max),
@@ -100,7 +105,20 @@ def salted_join(
 
     Result equals ``big.join(small, on, how)`` for one-row-per-key small
     sides (the dimension-join shape); replication factor is ``salt``.
+
+    Only ``how`` variants that preserve semantics under small-side
+    replication are accepted: inner / left / left_semi / left_anti.  A
+    right or full join would emit every unmatched small row once per
+    replica (``salt`` duplicates), so those raise instead of silently
+    returning wrong results — use AQE skew-join for those shapes.
     """
+    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti", "semi", "anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join cannot preserve {how!r} semantics: unmatched "
+            f"small-side rows would be duplicated once per salt replica; "
+            f"use an unsalted join with AQE skew handling instead"
+        )
     key_list = [on] if isinstance(on, str) else list(on)
     b = big.withColumn("__salt", (F.rand(seed) * salt).cast("int"))
     s = small.withColumn(

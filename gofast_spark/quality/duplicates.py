@@ -41,6 +41,7 @@ def handle_unique_identifiers(
     threshold: float = 0.95,
     action: str = "drop",
     transform_func=None,
+    transform_is_expr: bool | None = None,
     approx: bool = True,
 ) -> DataFrame:
     """Drop columns whose uniqueness ratio exceeds ``threshold``.
@@ -65,17 +66,34 @@ def handle_unique_identifiers(
         # ID-like column; a plain Python UDF would be the row-at-a-time
         # slow path, so accept either a Column-expression builder
         # (preferred — stays in codegen) or fall back to a pandas_udf
-        # wrapping the scalar callable (Arrow-batched)
+        # wrapping the scalar callable (Arrow-batched).
+        #
+        # ``transform_is_expr`` disambiguates explicitly: True = Column
+        # builder, False = scalar callable.  The default (None) probes by
+        # calling with a Column — ambiguous for callables that happen to
+        # accept a Column (e.g. ``lambda x: x + 1`` builds a Column
+        # expression even if the caller meant python-scalar semantics);
+        # pass the flag when the two interpretations differ.
         if transform_func is None:
             raise ValueError("action='transform' needs transform_func")
         from pyspark.sql import Column
 
         out = df
         for c in idlike:
-            try:
+            if transform_is_expr is True:
                 probe = transform_func(F.col(c))
-            except Exception:  # scalar-only callable (e.g. str slicing)
+                if not isinstance(probe, Column):
+                    raise TypeError(
+                        "transform_is_expr=True but transform_func did "
+                        "not return a Column"
+                    )
+            elif transform_is_expr is False:
                 probe = None
+            else:
+                try:
+                    probe = transform_func(F.col(c))
+                except Exception:  # scalar-only callable (e.g. str slicing)
+                    probe = None
             if isinstance(probe, Column):
                 out = out.withColumn(c, probe)
             else:  # scalar python callable -> Arrow-batched fallback

@@ -141,9 +141,43 @@ class DBAnalysis:
         re.IGNORECASE | re.DOTALL,
     )
     _UPDATE_RE = re.compile(
-        r"^\s*UPDATE\s+(\w+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?$",
+        # the SET/WHERE split is NOT done here: a regex would match a
+        # " WHERE " inside a string literal (SET note = 'a WHERE b');
+        # _split_on_where scans quote-aware instead
+        r"^\s*UPDATE\s+(\w+)\s+SET\s+(.+)$",
         re.IGNORECASE | re.DOTALL,
     )
+
+    @staticmethod
+    def _split_on_where(s: str) -> "tuple[str, str | None]":
+        """Split at the first top-level ``WHERE`` keyword — outside
+        single/double quotes and parentheses — returning
+        ``(head, condition-or-None)``."""
+        depth, quote, i, n = 0, None, 0, len(s)
+        low = s.lower()
+        while i < n:
+            ch = s[i]
+            if quote:
+                if ch == quote:
+                    quote = None
+                i += 1
+                continue
+            if ch in ("'", '"'):
+                quote = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif (
+                depth == 0
+                and low.startswith("where", i)
+                and i > 0
+                and s[i - 1].isspace()
+                and (i + 5 >= n or not (s[i + 5].isalnum() or s[i + 5] == "_"))
+            ):
+                return s[:i].rstrip(), s[i + 5 :].strip()
+            i += 1
+        return s, None
 
     @staticmethod
     def _split_top_level(s: str) -> list[str]:
@@ -218,7 +252,8 @@ class DBAnalysis:
             )
         m = self._UPDATE_RE.match(query.rstrip().rstrip(";"))
         if m:
-            t, sets, cond = m.group(1), m.group(2), m.group(3)
+            t, rest = m.group(1), m.group(2)
+            sets, cond = self._split_on_where(rest)
             assignments = {}
             for part in self._split_top_level(sets):
                 col, expr = part.split("=", 1)
