@@ -471,13 +471,82 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("embedding_ivf_topk")
+_IVF_HASH = (
+    "(CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    " % 2147483648)"
+)
+_IVF_COS = (
+    f"{_DOT64.format(a='{a}', b='{b}')}"
+    f" / ({_NORM64.format(v='{a}')} * {_NORM64.format(v='{b}')})"
+)
+
+
+@query(
+    "embedding_ivf_topk",
+    oracle=f"""
+    WITH lm AS (
+      SELECT vec_id AS lid, embedding AS lv,
+             CAST(row_number() OVER (ORDER BY {_IVF_HASH}, vec_id) AS INTEGER) - 1 AS cell
+      FROM embeddings
+      QUALIFY row_number() OVER (ORDER BY {_IVF_HASH}, vec_id) <= 8),
+    ac AS (
+      SELECT e.vec_id, e.embedding, l.cell,
+             {_IVF_COS.format(a='e.embedding', b='l.lv')} AS cs
+      FROM embeddings e, lm l),
+    cells AS (
+      SELECT vec_id, embedding, cell FROM ac
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+              ORDER BY round(cs, 6) DESC, cell) = 1),
+    qp AS (
+      SELECT q.vec_id AS query_id, q.embedding AS qv, l.cell,
+             {_IVF_COS.format(a='q.embedding', b='l.lv')} AS cs
+      FROM embeddings q, lm l WHERE q.vec_id < 5
+      QUALIFY row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY round(cs, 6) DESC, l.cell) <= 2),
+    pairs AS (
+      SELECT qp.query_id, c.vec_id, c.cell,
+             {_IVF_COS.format(a='qp.qv', b='c.embedding')} AS cos_sim
+      FROM cells c JOIN qp ON c.cell = qp.cell AND c.vec_id <> qp.query_id)
+    SELECT query_id, vec_id, CAST(cell AS INTEGER) AS cell,
+           CAST(round(cos_sim, 4) AS DOUBLE) AS cos_sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY round(cos_sim, 6) DESC, vec_id) AS INTEGER) AS rank
+    FROM pairs QUALIFY rank <= 5
+    """,
+)
 def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark-IVF ANN top-5, the fully differential-testable IVF path:
+    cells anchored at the 8 corpus vectors with the smallest portable id
+    hash (zero Lloyd iterations), candidates from an equi-join on the 2
+    probed cell ids, exact cosine re-rank inside — every step relational,
+    so the DuckDB oracle rebuilds cells, probes, and ranks bit-for-bit.
+    The spherical-kmeans variant (better-centered cells, same plan
+    shape) is registered as embedding_ivf_kmeans_topk (rows-only) and
+    recall-guarded in tests/test_ann_recall.py."""
+    from gofast_spark.sim import ivf_topk_portable
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    out = ivf_topk_portable(
+        e, q, "vec_id", "embedding", nlist=8, nprobe=2, k=5
+    )
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.col("cell").cast("int").alias("cell"),
+        F.round("cos_sim", 4).cast("double").alias("cos_sim"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+@query("embedding_ivf_kmeans_topk")
+def embedding_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat ANN top-5: spherical-kmeans cells trained on a seeded
     sample, candidates from an equi-join on the nprobe nearest cell ids,
     exact cosine re-rank inside.  Lloyd iteration is not SQL-expressible
     — rows-only check (deterministic seed; recall guarded vs brute force
-    in tests/test_ann_recall.py)."""
+    in tests/test_ann_recall.py; the landmark variant above carries the
+    full differential oracle for the shared plan shape)."""
     from gofast_spark.sim import ivf_topk
 
     e = _t(spark, sf_dir, "embeddings")

@@ -366,16 +366,42 @@ def ks_test_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("bootstrap_mean_acctbal")
+def _bootstrap_oracle() -> str:
+    from gofast_spark.stats.resampling import poisson1_weight_sql
+
+    u = (
+        "(CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '_' || "
+        "CAST(r.replicate AS VARCHAR) || '_17'), 1, 15)) AS BIGINT) "
+        "% 2147483648) / 2147483648.0"
+    )
+    w = poisson1_weight_sql("uu")
+    return f"""
+    WITH r AS (SELECT CAST(range AS BIGINT) AS replicate FROM range(50)),
+    u AS (
+      SELECT r.replicate, c_acctbal AS x, {u} AS uu
+      FROM customer, r
+      WHERE c_acctbal IS NOT NULL),
+    w AS (SELECT replicate, x, {w} AS w FROM u)
+    SELECT replicate,
+           CAST(round(sum(w * x) / sum(w), 2) AS DOUBLE) AS stat
+    FROM w GROUP BY replicate
+    """
+
+
+@query("bootstrap_mean_acctbal", oracle=_bootstrap_oracle())
 def bootstrap_mean_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap distribution of mean(c_acctbal), 50 replicates
-    (bootstrap, gofast/stats/inferential.py:1713).  No SQL oracle — the
-    resampling draws are engine-specific; the driver records the weaker
-    rows-only check (one row per replicate, deterministic seeding)."""
+    (bootstrap, gofast/stats/inferential.py:1713), in PORTABLE draw mode:
+    each weight is an inverse-CDF Poisson(1) from the md5 hash of
+    (c_custkey, replicate, seed), so DuckDB reproduces the full resample
+    distribution bit-for-bit and the differential oracle verifies the
+    whole bootstrap, not just its shape."""
     from gofast_spark.stats import bootstrap
 
     c = _t(spark, sf_dir, "customer")
-    out = bootstrap(c, "c_acctbal", n=50, statistic="mean", seed=17)
+    out = bootstrap(
+        c, "c_acctbal", n=50, statistic="mean", seed=17, key_col="c_custkey"
+    )
     return out.select("replicate", F.round("stat", 2).alias("stat"))
 
 
@@ -531,12 +557,107 @@ def kernel_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("mixed_effects_lineitem")
+def _mixed_effects_oracle() -> str:
+    """Unrolled IGLS chain in plain SQL, mirroring
+    stats.mixed.mixed_effects_model exactly: per-group sufficient stats,
+    OLS via Cramer (d=2), ANOVA method-of-moments components, Woodbury
+    GLS per iteration, 20 iterations max with the same 1e-6 relative
+    convergence freeze.  Each iteration is a CTE reading the previous
+    state plus two lateral aggregates over the 3-row group frame."""
+    comps = """
+      SELECT greatest(
+               (sum(srr) - sum(sr * sr / n))
+               / greatest(t.N - t.G, 1.0), 1e-12) AS s2,
+             greatest(((sum(sr * sr / n) - sum(sr) * sum(sr) / t.N)
+               / greatest(t.G - 1.0, 1.0)
+               - greatest((sum(srr) - sum(sr * sr / n))
+                          / greatest(t.N - t.G, 1.0), 1e-12))
+               / greatest((t.N - sum(n * n) / t.N)
+                          / greatest(t.G - 1.0, 1.0), 1.0), 0.0) AS s2u
+      FROM (SELECT n,
+                   sy - {b0} * n - {b1} * sx AS sr,
+                   yy - 2 * ({b0} * sy + {b1} * xy)
+                      + ({b0} * {b0} * n + 2 * {b0} * {b1} * sx
+                         + {b1} * {b1} * xx) AS srr
+            FROM grp)
+    """
+    its = []
+    for k in range(1, 21):
+        p = f"it{k-1}"
+        its.append(f"""
+    it{k} AS (
+      SELECT CASE WHEN p.done THEN p.i ELSE p.i + 1 END AS i,
+             CASE WHEN p.done THEN p.b0 ELSE gl.nb0 END AS b0,
+             CASE WHEN p.done THEN p.b1 ELSE gl.nb1 END AS b1,
+             CASE WHEN p.done THEN p.s2 ELSE cp.s2 END AS s2,
+             CASE WHEN p.done THEN p.s2u ELSE cp.s2u END AS s2u,
+             CASE WHEN p.done THEN p.lam ELSE cp.s2u / cp.s2 END AS lam,
+             p.done OR abs(cp.s2u / cp.s2 - p.lam)
+                       <= 1e-6 * greatest(p.lam, 1.0) AS done
+      FROM {p} p CROSS JOIN tot t
+      CROSS JOIN LATERAL (
+        SELECT (b0v * a11 - a01 * b1v) / (a00 * a11 - a01 * a01) AS nb0,
+               (a00 * b1v - a01 * b0v) / (a00 * a11 - a01 * a01) AS nb1
+        FROM (SELECT sum(n - p.lam / (1 + n * p.lam) * n * n) AS a00,
+                     sum(sx - p.lam / (1 + n * p.lam) * n * sx) AS a01,
+                     sum(xx - p.lam / (1 + n * p.lam) * sx * sx) AS a11,
+                     sum(sy - p.lam / (1 + n * p.lam) * n * sy) AS b0v,
+                     sum(xy - p.lam / (1 + n * p.lam) * sx * sy) AS b1v
+              FROM grp)) gl
+      CROSS JOIN LATERAL (
+        {comps.format(b0='gl.nb0', b1='gl.nb1')}) cp)""")
+    return f"""
+    WITH grp AS (
+      SELECT l_returnflag AS g,
+             CAST(count(*) AS DOUBLE) AS n,
+             sum(CAST(l_quantity AS DOUBLE)) AS sx,
+             sum(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)) AS xx,
+             sum(CAST(l_extendedprice AS DOUBLE)) AS sy,
+             sum(CAST(l_quantity AS DOUBLE) * CAST(l_extendedprice AS DOUBLE)) AS xy,
+             sum(CAST(l_extendedprice AS DOUBLE) * CAST(l_extendedprice AS DOUBLE)) AS yy
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        AND l_returnflag IS NOT NULL
+      GROUP BY l_returnflag),
+    tot AS (
+      SELECT sum(n) AS N, CAST(count(*) AS DOUBLE) AS G,
+             sum(n) AS a00t, sum(sx) AS a01t, sum(xx) AS a11t,
+             sum(sy) AS b0t, sum(xy) AS b1t
+      FROM grp),
+    it0 AS (
+      SELECT 0 AS i, gl.nb0 AS b0, gl.nb1 AS b1,
+             cp.s2 AS s2, cp.s2u AS s2u, cp.s2u / cp.s2 AS lam,
+             false AS done
+      FROM tot t
+      CROSS JOIN LATERAL (
+        SELECT (t.b0t * t.a11t - t.a01t * t.b1t)
+               / (t.a00t * t.a11t - t.a01t * t.a01t) AS nb0,
+               (t.a00t * t.b1t - t.a01t * t.b0t)
+               / (t.a00t * t.a11t - t.a01t * t.a01t) AS nb1) gl
+      CROSS JOIN LATERAL (
+        {comps.format(b0='gl.nb0', b1='gl.nb1')}) cp),
+    {','.join(its)},
+    fin AS (SELECT f.*, t.N, t.G FROM it20 f CROSS JOIN tot t)
+    SELECT term, CAST(round(value, 4) AS DOUBLE) AS value FROM (
+      SELECT 'intercept' AS term, b0 AS value FROM fin
+      UNION ALL SELECT 'l_quantity', b1 FROM fin
+      UNION ALL SELECT 'sigma2', s2 FROM fin
+      UNION ALL SELECT 'sigma2_u', s2u FROM fin
+      UNION ALL SELECT 'lambda', lam FROM fin
+      UNION ALL SELECT 'n_groups', G FROM fin
+      UNION ALL SELECT 'n_obs', N FROM fin)
+    """
+
+
+@query("mixed_effects_lineitem", oracle=_mixed_effects_oracle())
 def mixed_effects_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-intercept mixed model: extended price on quantity with a
     return-flag random intercept (mixed_effects_model,
-    gofast/stats/inferential.py:661).  IGLS fixed point is not
-    SQL-expressible — rows-only check (deterministic closed-form path)."""
+    gofast/stats/inferential.py:661).  The IGLS fixed point IS
+    SQL-expressible for d=2: the oracle unrolls 20 Woodbury-GLS /
+    method-of-moments iterations over the per-group sufficient
+    statistics with the same convergence freeze, so the driver
+    hash-verifies the whole fit."""
     from gofast_spark.stats import mixed_effects_model
 
     li = _t(spark, sf_dir, "lineitem")

@@ -11,7 +11,12 @@ higher-order functions (``zip_with``/``aggregate``) — JVM-side, no UDFs.
 """
 
 from gofast_spark.sim.cosine import cosine_sim, cosine_topk, l2_norm
-from gofast_spark.sim.ivf import assign_cells, ivf_topk, train_centroids
+from gofast_spark.sim.ivf import (
+    assign_cells,
+    ivf_topk,
+    ivf_topk_portable,
+    train_centroids,
+)
 from gofast_spark.sim.lsh import cosine_near_dup_pairs, hyperplane_bucket, lsh_topk
 
 __all__ = [
@@ -24,4 +29,5 @@ __all__ = [
     "train_centroids",
     "assign_cells",
     "ivf_topk",
+    "ivf_topk_portable",
 ]

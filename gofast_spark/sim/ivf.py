@@ -167,3 +167,85 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", id_col, "cell", "cos_sim", "rank")
     )
+
+
+def ivf_topk_portable(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    nlist: int = 8,
+    nprobe: int = 2,
+    k: int = 5,
+    query_id_col: str | None = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Landmark-IVF top-k: cells anchored at the ``nlist`` corpus vectors
+    with the smallest portable hash of their id, ZERO Lloyd iterations —
+    every step is a relational expression (portable hash ordering, cosine
+    folds, rank windows) that plain SQL reproduces bit-for-bit, so the
+    differential oracle can verify the whole ANN path end to end.
+
+    This is the differential-testable twin of :func:`ivf_topk`: the plan
+    shape is identical (cell equi-join, candidate-only exact re-rank,
+    never a cross product against the corpus — the landmark frame is
+    ``nlist`` rows, broadcast), k-means just picks better-centered cells.
+    Determinism: cell assignment and probe order sort by cosine rounded
+    to 6 decimals with the cell index as tie-break; final rank ties break
+    by corpus id.
+    """
+    from gofast_spark.text.hashing import md5_hash64
+
+    qid = query_id_col or id_col
+    h = F.pmod(md5_hash64(F.col(id_col).cast("string")), F.lit(2**31))
+    lm_w = Window.orderBy("__h", "__lid")
+    landmarks = (
+        corpus.select(
+            F.col(id_col).alias("__lid"),
+            F.col(vec_col).alias("__lv"),
+            h.alias("__h"),
+        )
+        .orderBy("__h", "__lid")
+        .limit(nlist)
+        .withColumn("cell", (F.row_number().over(lm_w) - 1).cast("int"))
+        .drop("__h")
+    )
+
+    def _assign(df: DataFrame, vcol: str, keep, *, top: int) -> DataFrame:
+        cs = cosine_sim(F.col(vcol), F.col("__lv"))
+        w = Window.partitionBy(*keep).orderBy(
+            F.round(cs, 6).desc(), F.col("cell").asc()
+        )
+        return (
+            df.crossJoin(F.broadcast(landmarks))
+            .withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") <= top)
+            .drop("__lid", "__lv", "__r")
+        )
+
+    cells = _assign(corpus, vec_col, [id_col], top=1)
+    probes = _assign(
+        queries.select(
+            F.col(qid).alias("query_id"), F.col(vec_col).alias("__qv")
+        ),
+        "__qv",
+        ["query_id"],
+        top=nprobe,
+    )
+    pairs = cells.join(
+        F.broadcast(probes.select("query_id", "__qv", "cell")), on="cell"
+    )
+    if exclude_self:
+        pairs = pairs.where(F.col(id_col) != F.col("query_id"))
+    pairs = pairs.withColumn(
+        "cos_sim", cosine_sim(F.col("__qv"), F.col(vec_col))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cos_sim"), 6).desc(), F.col(id_col).asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "cell", "cos_sim", "rank")
+    )

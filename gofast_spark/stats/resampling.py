@@ -20,6 +20,48 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Cumulative Poisson(1) CDF, k = 0..11: e^-1 * sum_{i<=k} 1/i!.
+# These exact literals are baked into BOTH the Spark plan and the DuckDB
+# oracle SQL (poisson1_weight_sql) so the inverse-CDF draw is
+# bit-identical across engines.
+POIS1_CDF = [
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238463, 0.9963401531726563, 0.9994058151824183,
+    0.999916758850712, 0.9999897508033253, 0.999998874797402,
+    0.9999998885745216, 0.9999999899522336, 0.9999999991683892,
+]
+
+
+def _portable_uniform(key_col: str, seed: int):
+    """U[0,1) from the md5-based portable hash of (key, replicate, seed) —
+    identical in Spark and DuckDB (see text.hashing.md5_hash64)."""
+    from gofast_spark.text.hashing import md5_hash64
+
+    s = F.concat(
+        F.col(key_col).cast("string"),
+        F.lit("_"),
+        F.col("replicate").cast("string"),
+        F.lit(f"_{seed}"),
+    )
+    return F.pmod(md5_hash64(s), F.lit(2**31)) / F.lit(float(2**31))
+
+
+def _poisson1_weight(u):
+    """Inverse-CDF Poisson(1) draw from a uniform column."""
+    w = F.lit(len(POIS1_CDF))
+    for k in range(len(POIS1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(POIS1_CDF[k]), F.lit(k)).otherwise(w)
+    return w
+
+
+def poisson1_weight_sql(u_sql: str) -> str:
+    """The same inverse-CDF draw as DuckDB SQL text (for oracle queries)."""
+    cases = " ".join(
+        f"WHEN {u_sql} < {POIS1_CDF[k]!r} THEN {k}"
+        for k in range(len(POIS1_CDF))
+    )
+    return f"CASE {cases} ELSE {len(POIS1_CDF)} END"
+
 
 def bootstrap(
     df: DataFrame,
@@ -28,17 +70,57 @@ def bootstrap(
     n: int = 200,
     statistic: str = "mean",
     seed: int = 42,
+    key_col: str | None = None,
 ) -> DataFrame:
     """Poisson-bootstrap distribution of ``statistic`` over ``value_col``.
 
     Returns a small DataFrame (replicate bigint, stat double) with one row
     per bootstrap replicate.  ``statistic``: 'mean', 'sum', or 'std'
-    (population std of the weighted resample).  Deterministic for a fixed
-    input partitioning: partition ``p`` seeds numpy with ``seed * 100003 +
-    p``.
+    (population std of the weighted resample).
+
+    Two draw modes:
+
+    - ``key_col=None`` (default): numpy Poisson(1) weights per partition,
+      seeded ``seed * 100003 + partition`` — fast, but deterministic only
+      for a fixed input partitioning.
+    - ``key_col='id'``: **portable** draws — each row's weight in each
+      replicate is an inverse-CDF Poisson(1) from the md5 hash of
+      (key, replicate, seed).  Partitioning-independent AND reproducible
+      in plain SQL, so the differential oracle can verify the whole
+      bootstrap distribution, not just its shape.  The plan explodes
+      ``n`` replicates per row but partially aggregates per replicate
+      map-side, so the shuffle still carries only
+      ``n x partitions`` rows.
     """
     if statistic not in ("mean", "sum", "std"):
         raise ValueError(f"unsupported statistic {statistic!r}")
+    if key_col is not None:
+        rows = (
+            df.select(
+                F.col(key_col).alias("__k"),
+                F.col(value_col).cast("double").alias("x"),
+            )
+            .na.drop(subset=["x"])
+            .select(
+                "__k",
+                "x",
+                F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias(
+                    "replicate"
+                ),
+            )
+        )
+        u = _portable_uniform("__k", seed)
+        weighted = rows.select(
+            F.col("replicate").cast("bigint").alias("replicate"),
+            _poisson1_weight(u).cast("double").alias("w"),
+            "x",
+        )
+        agg = weighted.groupBy("replicate").agg(
+            F.sum("w").alias("w"),
+            F.sum(F.col("w") * F.col("x")).alias("wx"),
+            F.sum(F.col("w") * F.col("x") * F.col("x")).alias("wx2"),
+        )
+        return _bootstrap_stat(agg, statistic)
     src = df.select(F.col(value_col).cast("double").alias("x")).na.drop()
 
     def partials(batches: Iterator) -> Iterator:
@@ -77,6 +159,10 @@ def bootstrap(
         F.sum("wx").alias("wx"),
         F.sum("wx2").alias("wx2"),
     )
+    return _bootstrap_stat(agg, statistic)
+
+
+def _bootstrap_stat(agg: DataFrame, statistic: str) -> DataFrame:
     if statistic == "sum":
         stat = F.col("wx")
     elif statistic == "mean":

@@ -1,0 +1,70 @@
+"""Driver-window bookkeeping invariants.
+
+_DRIVER_VERIFIED must equal the union of hash_match=true entries across
+the committed CORRECTNESS_r0*.json files — deriving it in a test makes
+hand-maintenance drift fail loudly (an entry wrongly listed as verified
+would otherwise be parked outside the driver window indefinitely)."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _derived_green_union() -> set[str]:
+    union: set[str] = set()
+    for f in glob.glob(os.path.join(REPO, "CORRECTNESS_r0*.json")):
+        d = json.load(open(f))
+        union.update(k for k, v in d.items() if v.get("hash_match") is True)
+    return union
+
+
+def test_driver_verified_matches_correctness_files():
+    from gofast_spark.plans.catalog import _DRIVER_VERIFIED
+
+    derived = _derived_green_union()
+    assert derived, "no CORRECTNESS_r0*.json files found"
+    assert _DRIVER_VERIFIED == derived, (
+        f"stale _DRIVER_VERIFIED: missing={sorted(derived - _DRIVER_VERIFIED)} "
+        f"extra={sorted(_DRIVER_VERIFIED - derived)}"
+    )
+
+
+def test_window_is_oracle_backed_and_parked_entries_last():
+    from gofast_spark.plans.catalog import (
+        _NO_ORACLE_PARKED,
+        ORACLE_SQL,
+        QUERIES,
+    )
+
+    names = list(QUERIES)
+    window = names[:50]
+    missing = [n for n in window if n not in ORACLE_SQL]
+    assert not missing, f"rows-only entries inside the driver window: {missing}"
+    # parked rows-only entries sit at the very end of the ordering
+    assert names[-len(_NO_ORACLE_PARKED):] == [
+        n for n in _NO_ORACLE_PARKED if n in QUERIES
+    ]
+
+
+def test_never_green_entries_lead_the_window():
+    """Every oracle-backed entry that has never been driver-green must sit
+    inside the 50-entry window (nothing verifiable is left stranded)."""
+    from gofast_spark.plans.catalog import (
+        _NO_ORACLE_PARKED,
+        ORACLE_SQL,
+        QUERIES,
+    )
+
+    derived = _derived_green_union()
+    names = list(QUERIES)
+    never = [
+        n
+        for n in names
+        if n not in derived and n in ORACLE_SQL and n not in _NO_ORACLE_PARKED
+    ]
+    outside = [n for n in never if n not in names[:50]]
+    assert not outside, f"never-verified oracle entries outside window: {outside}"
