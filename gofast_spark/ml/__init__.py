@@ -5,6 +5,7 @@ from gofast_spark.ml.pipeline import (
     fit_pca,
     make_feature_pipeline,
 )
+from gofast_spark.ml.optim import gradient_descent, linkage_matrix
 from gofast_spark.ml.dimensionality import (
     classical_mds,
     kernel_pca,
@@ -20,4 +21,6 @@ __all__ = [
     "classical_mds",
     "spectral_embedding",
     "lle_embedding",
+    "gradient_descent",
+    "linkage_matrix",
 ]

@@ -939,6 +939,7 @@ _DRIVER_WINDOW = [
     "adaptive_ma_daily",
     "rolling_slope_daily",
     "smooth1d_triangle_daily",
+    "gradient_descent_lineitem",
     "gini_score_orders",
     "spearman_lineitem",
     "kruskal_wallis_events",
@@ -970,7 +971,6 @@ _DRIVER_WINDOW = [
     "filter_position_customers",
     "freq_encode_mktsegment",
     "group_and_aggregate_events",
-    "group_and_filter_orders",
 ]
 
 # Cumulative union of driver-green entries (hash_match=true in any
@@ -1035,10 +1035,13 @@ _DRIVER_VERIFIED = {
 
 # Entries with no SQL-expressible oracle (rows-only driver check) — kept
 # out of the driver window entirely; see the header comment.
+# linkage_matrix_nation: the agglomerative argmin-merge loop is genuinely
+# iterative (unit-tested against hand-computed merges in test_optim.py).
 _NO_ORACLE_PARKED = [
     "embedding_ivf_kmeans_topk",
     "dca_segment_status_orders",
     "kernel_pca_embeddings",
+    "linkage_matrix_nation",
 ]
 
 

@@ -757,3 +757,71 @@ def durbin_watson_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.round("dw_stat", 6).cast("double").alias("dw_stat"), "n"
     )
+
+
+@query(
+    "gradient_descent_lineitem",
+    oracle="""
+    WITH RECURSIVE m AS (
+      SELECT CAST(count(*) AS DOUBLE) AS a00,
+             sum(CAST(l_quantity AS DOUBLE)) AS a01,
+             sum(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)) AS a11,
+             sum(CAST(l_extendedprice AS DOUBLE)) AS b0,
+             sum(CAST(l_quantity AS DOUBLE) * CAST(l_extendedprice AS DOUBLE)) AS b1,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+    it AS (
+      SELECT 0 AS i, CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1
+      UNION ALL
+      SELECT i + 1,
+             w0 - 0.0001 * (a00 * w0 + a01 * w1 - b0) / n,
+             w1 - 0.0001 * (a01 * w0 + a11 * w1 - b1) / n
+      FROM it, m WHERE it.i < 50)
+    SELECT CAST(round(w0, 4) AS DOUBLE) AS w0,
+           CAST(round(w1, 4) AS DOUBLE) AS w1,
+           CAST(n AS BIGINT) AS n
+    FROM it, m ORDER BY i DESC LIMIT 1
+    """,
+)
+def gradient_descent_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-batch GD fit of extended price on quantity, 50 epochs at
+    alpha=1e-4 (gradient_descent, gofast/utils/mathext.py:5008).  The
+    update touches only the moment matrices, so the oracle replays the
+    identical epoch recurrence in a recursive CTE over one aggregate —
+    the driver hash-verifies every epoch's arithmetic."""
+    from gofast_spark.ml import gradient_descent
+
+    li = _t(spark, sf_dir, "lineitem")
+    w, _hist = gradient_descent(
+        li, "l_quantity", "l_extendedprice", alpha=1e-4, n_epochs=50
+    )
+    n = li.where(
+        F.col("l_quantity").isNotNull() & F.col("l_extendedprice").isNotNull()
+    ).count()
+    return spark.createDataFrame(
+        [(round(w[0], 4), round(w[1], 4), n)], "w0 double, w1 double, n bigint"
+    )
+
+
+@query("linkage_matrix_nation")
+def linkage_matrix_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete-linkage agglomerative merges over the 25 nation points
+    (linkage_matrix, gofast/utils/mathext.py:5222).  The argmin-merge
+    loop is genuinely iterative (no SQL-expressible closed form) —
+    rows-only check, deterministic by the smaller-id tie-break; exact
+    merge semantics are unit-tested against hand-computed examples in
+    tests/test_optim.py."""
+    from gofast_spark.ml import linkage_matrix
+
+    n = _t(spark, sf_dir, "nation")
+    merges = linkage_matrix(
+        n, ["n_regionkey", "n_nationkey"], method="complete"
+    )
+    rows = [
+        (i, int(a), int(b), round(dist, 6), int(size))
+        for i, (a, b, dist, size) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "step int, a int, b int, dist double, size int"
+    )
