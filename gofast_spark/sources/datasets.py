@@ -624,3 +624,239 @@ def make_drill_ops(
         },
         seed,
     )
+
+
+# ---------------------------------------------------------------------------
+# Named ``load_*`` datasets (gofast/datasets/load.py:38-1791).  The
+# reference ships packaged survey CSVs; shipping that data is out of
+# scope here (and copying it would defeat the no-copy contract), so each
+# loader is a schema-faithful seeded generator: same name -> same data,
+# same column names/dtypes as the reference's frame, any requested size.
+# ---------------------------------------------------------------------------
+
+
+def load_iris(spark: SparkSession, samples: int = 150, *, seed: int = 42) -> DataFrame:
+    """Iris-shaped frame (load_iris, gofast/datasets/load.py:1143):
+    4 measurements + integer target 0/1/2."""
+    return _gen(
+        spark, samples, "sample_id",
+        {
+            "sepal_length": ("uniform", 4.3, 7.9, 2),
+            "sepal_width": ("uniform", 2.0, 4.4, 2),
+            "petal_length": ("uniform", 1.0, 6.9, 2),
+            "petal_width": ("uniform", 0.1, 2.5, 2),
+            "target": ("expr", lambda c: F.pmod(c, F.lit(3)).cast("int")),
+        },
+        seed,
+    )
+
+
+def load_statlog(spark: SparkSession, samples: int = 270, *, seed: int = 42) -> DataFrame:
+    """Statlog heart-disease schema (load_statlog,
+    gofast/datasets/load.py:341)."""
+    return _gen(
+        spark, samples, "patient_id",
+        {
+            "age": ("int", 29, 78),
+            "sex": ("int", 0, 2),
+            "chest_pain": ("int", 1, 5),
+            "trestbps": ("int", 94, 201),
+            "chol": ("int", 126, 565),
+            "fbs": ("int", 0, 2),
+            "restecg": ("int", 0, 3),
+            "thalach": ("int", 71, 203),
+            "exang": ("int", 0, 2),
+            "oldpeak": ("uniform", 0.0, 6.2, 1),
+            "slope": ("int", 1, 4),
+            "ca": ("int", 0, 4),
+            "thal": ("choice", [3, 6, 7]),
+            "presence": ("int", 0, 2),
+        },
+        seed,
+    )
+
+
+def load_dyspnea(spark: SparkSession, samples: int = 1000, *, seed: int = 42) -> DataFrame:
+    """Dyspnea triage schema (load_dyspnea, gofast/datasets/load.py:448)."""
+    return _gen(
+        spark, samples, "record_id",
+        {
+            "age": ("int", 18, 95),
+            "respiratory_rate": ("int", 10, 45),
+            "spo2": ("int", 70, 100),
+            "heart_rate": ("int", 45, 160),
+            "systolic_bp": ("int", 80, 200),
+            "diagnosis": ("choice", ["asthma", "copd", "pneumonia", "cardiac", "other"]),
+            "respiratory_distress": ("int", 0, 2),
+            "dyspnea": ("choice", ["mild", "moderate", "severe"]),
+        },
+        seed,
+    )
+
+
+def load_hydro_metrics(spark: SparkSession, samples: int = 1000, *, seed: int = 42) -> DataFrame:
+    """Daily hydrology metrics (load_hydro_metrics,
+    gofast/datasets/load.py:209)."""
+    return _gen(
+        spark, samples, "obs_id",
+        {
+            "date": (
+                "expr",
+                lambda c: F.date_add(F.lit("2015-01-01"), F.pmod(c, F.lit(3650)).cast("int")),
+            ),
+            "rainfall": ("uniform", 0.0, 120.0, 1),
+            "temperature": ("uniform", 5.0, 40.0, 1),
+            "evapotranspiration": ("uniform", 0.0, 12.0, 2),
+            "humidity": ("uniform", 20.0, 100.0, 1),
+            "flow": ("uniform", 0.0, 500.0, 2),
+        },
+        seed,
+    )
+
+
+def load_toc(spark: SparkSession, samples: int = 1000, *, seed: int = 42) -> DataFrame:
+    """Total-organic-carbon well logs (load_toc,
+    gofast/datasets/load.py:38)."""
+    return _gen(
+        spark, samples, "depth_id",
+        {
+            "cal": ("uniform", 6.0, 16.0, 3),
+            "cnl": ("uniform", 5.0, 45.0, 3),
+            "den": ("uniform", 1.9, 2.9, 3),
+            "gr": ("uniform", 20.0, 220.0, 2),
+            "rt10": ("uniform", 0.5, 200.0, 3),
+            "rt20": ("uniform", 0.5, 200.0, 3),
+            "rt30": ("uniform", 0.5, 200.0, 3),
+            "rt60": ("uniform", 0.5, 200.0, 3),
+            "rt90": ("uniform", 0.5, 200.0, 3),
+            "toc": ("uniform", 0.0, 12.0, 3),
+        },
+        seed,
+    )
+
+
+def load_bagoue(spark: SparkSession, samples: int = 431, *, seed: int = 42) -> DataFrame:
+    """Bagoue groundwater-flow survey schema (load_bagoue,
+    gofast/datasets/load.py:1014)."""
+    return _gen(
+        spark, samples, "site_id",
+        {
+            "power": ("uniform", 10.0, 150.0, 2),
+            "magnitude": ("uniform", 0.5, 6.0, 2),
+            "sfi": ("uniform", 0.0, 2.0, 3),
+            "ohmS": ("uniform", 100.0, 3000.0, 1),
+            "lwi": ("uniform", 0.0, 50.0, 2),
+            "geol": ("choice", ["granites", "volcano-sedimentary", "schists", "gneiss"]),
+            "shape": ("choice", ["V", "W", "U", "H", "M", "C", "K"]),
+            "type": ("choice", ["CP", "NC", "CB2P"]),
+            "flow": ("int", 0, 4),
+        },
+        seed,
+    )
+
+
+def load_hlogs(spark: SparkSession, samples: int = 1000, *, seed: int = 42) -> DataFrame:
+    """Borehole hydro-log schema (load_hlogs, gofast/datasets/load.py:604)."""
+    return _gen(
+        spark, samples, "depth_id",
+        {
+            "depth_top": ("expr", lambda c: F.round(c * 1.5, 1)),
+            "depth_bottom": ("expr", lambda c: F.round(c * 1.5 + 1.5, 1)),
+            "strata_name": ("choice", ["siltstone", "mudstone", "sandstone", "coal", "gravel"]),
+            "rock_name": ("choice", ["fine", "medium", "coarse"]),
+            "gamma_gamma": ("uniform", 800.0, 3000.0, 1),
+            "natural_gamma": ("uniform", 5.0, 150.0, 1),
+            "resistivity": ("uniform", 5.0, 500.0, 2),
+            "sp": ("uniform", -120.0, 120.0, 2),
+            "short_distance_gamma": ("uniform", 500.0, 2500.0, 1),
+            "well_diameter": ("uniform", 90.0, 250.0, 1),
+            "aquifer_group": ("choice", ["I", "II", "III"]),
+            "k": ("uniform", 0.0, 12.0, 4),
+        },
+        seed,
+    )
+
+
+def load_nansha(spark: SparkSession, samples: int = 1000, *, seed: int = 42) -> DataFrame:
+    """Nansha land-subsidence / engineering schema (load_nansha,
+    gofast/datasets/load.py:796)."""
+    return _gen(
+        spark, samples, "borehole_id",
+        {
+            "easting": ("uniform", 2522000.0, 2544000.0, 1),
+            "northing": ("uniform", 19740000.0, 19780000.0, 1),
+            "ground_height_distance": ("uniform", 0.0, 12.0, 2),
+            "static_water_level": ("uniform", 0.2, 8.0, 2),
+            "drawdown": ("uniform", 0.5, 30.0, 2),
+            "filter_pipe_diameter": ("uniform", 0.1, 0.6, 3),
+            "water_inflow": ("uniform", 0.5, 40.0, 2),
+            "land_subsidence": ("uniform", 0.0, 80.0, 2),
+            "geology": ("choice", ["silt", "silty clay", "fine sand", "medium sand", "mucky soil"]),
+        },
+        seed,
+    )
+
+
+def load_mxs(spark: SparkSession, samples: int = 1000, *, seed: int = 42) -> DataFrame:
+    """Mixture-study aquifer schema (load_mxs, gofast/datasets/load.py:1253)."""
+    return _gen(
+        spark, samples, "sample_id",
+        {
+            "strata": ("choice", ["I", "II", "III", "IV"]),
+            "resistivity": ("uniform", 5.0, 800.0, 2),
+            "gamma": ("uniform", 10.0, 200.0, 2),
+            "sp": ("uniform", -100.0, 100.0, 2),
+            "k": ("uniform", 0.0, 10.0, 4),
+            "kp": ("int", 1, 4),
+        },
+        seed,
+    )
+
+
+def load_forensic(spark: SparkSession, samples: int = 1000, *, seed: int = 42) -> DataFrame:
+    """Forensic-DNA survey schema (load_forensic,
+    gofast/datasets/load.py:1629)."""
+    return _gen(
+        spark, samples, "respondent_id",
+        {
+            "date": (
+                "expr",
+                lambda c: F.date_add(F.lit("2022-01-01"), F.pmod(c, F.lit(365)).cast("int")),
+            ),
+            "gender": ("choice", ["male", "female"]),
+            "age_group": ("choice", ["18-24", "25-34", "35-44", "45-54", "55+"]),
+            "education": ("choice", ["primary", "secondary", "tertiary"]),
+            "dna_knowledge": ("int", 0, 6),
+            "dna_use_terrorism_fight": ("choice", ["yes", "no", "maybe"]),
+            "support_national_db": ("choice", ["yes", "no", "undecided"]),
+        },
+        seed,
+    )
+
+
+def load_jrs_bet(spark: SparkSession, samples: int = 1000, *, seed: int = 42) -> DataFrame:
+    """Lottery-draw history schema (load_jrs_bet,
+    gofast/datasets/load.py:1791)."""
+    return _gen(
+        spark, samples, "draw_id",
+        {
+            "date": (
+                "expr",
+                lambda c: F.date_add(F.lit("2010-01-03"), (c * 3).cast("int")),
+            ),
+            "location": ("choice", ["abidjan", "bouake", "daloa", "korhogo"]),
+            "winning_numbers": (
+                "expr",
+                lambda c: F.concat_ws(
+                    "-",
+                    F.pmod(c * 7 + 3, F.lit(90)) + 1,
+                    F.pmod(c * 13 + 11, F.lit(90)) + 1,
+                    F.pmod(c * 29 + 17, F.lit(90)) + 1,
+                    F.pmod(c * 31 + 23, F.lit(90)) + 1,
+                    F.pmod(c * 37 + 41, F.lit(90)) + 1,
+                ),
+            ),
+            "target": ("int", 0, 2),
+        },
+        seed,
+    )

@@ -45,6 +45,10 @@ _PANDAS_READERS = {
     ".sas7bdat": "read_sas",   # pandas-native SAS reader
     ".sav": "read_spss",       # needs pyreadstat (gated at call time)
     ".fwf": "read_fwf",
+    ".dta": "read_stata",
+    ".stata": "read_stata",
+    ".hdf": "read_hdf",        # needs pytables (gated at call time)
+    ".h5": "read_hdf",
 }
 
 
@@ -103,21 +107,66 @@ def read_data(
     return sanitize_columns(df) if sanitize else df
 
 
-def export_data(df: DataFrame, base_path: str, formats: list[str], **options) -> list[str]:
-    """Write one frame to several formats (gofast/core/io.py:1137).
+# pandas-only sinks (reference writer matrix, gofast/api/property.py:
+# 2827-2845): written via a bounded toPandas on the driver — these are
+# report/interchange formats, not warehouse formats, so the "small by
+# the time you export it" contract applies.  Values are pandas writer
+# method names; hdf/excel need optional libs (pytables/openpyxl) and
+# raise ImportError with a clear message when absent.
+_PANDAS_WRITERS = {
+    "feather": "to_feather",
+    "stata": "to_stata",
+    "dta": "to_stata",
+    "hdf": "to_hdf",
+    "h5": "to_hdf",
+    "excel": "to_excel",
+    "xlsx": "to_excel",
+    "tex": "to_latex",
+    "pickle": "to_pickle",
+}
+_SPARK_WRITERS = {"csv", "json", "parquet", "orc", "text"}
 
-    Distributed writers only; each format lands at ``{base_path}.{fmt}/``.
+
+def export_data(df: DataFrame, base_path: str, formats: list[str], **options) -> list[str]:
+    """Write one frame to several formats (gofast/core/io.py:1137;
+    writer matrix gofast/api/property.py:2827-2845).
+
+    Spark-native formats (csv/json/parquet/orc/text) use distributed
+    writers at ``{base_path}.{fmt}/``; pandas-only interchange formats
+    (feather/stata/hdf/excel/tex/pickle) fall back to a driver-side
+    pandas write at ``{base_path}.{fmt}`` — bounded by contract.
     """
     written = []
     mode = options.pop("mode", "overwrite")
+    pandas_fmts = [f for f in formats if f in _PANDAS_WRITERS]
+    pdf = df.toPandas() if pandas_fmts else None
     for fmt in formats:
         target = f"{base_path}.{fmt}"
-        writer = df.write.mode(mode)
-        if fmt == "csv":
-            writer = writer.option("header", "true")
-        if options:
-            writer = writer.options(**{k: str(v) for k, v in options.items()})
-        getattr(writer, fmt)(target)
+        if fmt in _PANDAS_WRITERS:
+            method = _PANDAS_WRITERS[fmt]
+            fn = getattr(pdf, method)
+            if method == "to_hdf":
+                fn(target, key=options.get("key", "data"))
+            elif method == "to_stata":
+                fn(target, write_index=False)
+            elif method == "to_latex":
+                with open(target, "w") as fh:
+                    fh.write(pdf.to_latex(index=False))
+            elif method == "to_excel":
+                fn(target, index=False)
+            else:
+                fn(target)
+        elif fmt in _SPARK_WRITERS:
+            writer = df.write.mode(mode)
+            if fmt == "csv":
+                writer = writer.option("header", "true")
+            if options:
+                writer = writer.options(
+                    **{k: str(v) for k, v in options.items()}
+                )
+            getattr(writer, fmt)(target)
+        else:
+            raise ValueError(f"unsupported export format {fmt!r}")
         written.append(target)
     return written
 
@@ -319,6 +368,19 @@ def load_dataset(spark: SparkSession, name: str, **kwargs) -> DataFrame:
         "cc_factors": _ds.make_cc_factors,
         "system_dynamics": _ds.make_system_dynamics,
         "drill_ops": _ds.make_drill_ops,
+        # named load_* datasets (gofast/datasets/load.py:38-1791) —
+        # schema-faithful seeded generators, see sources.datasets
+        "iris": _ds.load_iris,
+        "statlog": _ds.load_statlog,
+        "dyspnea": _ds.load_dyspnea,
+        "hydro_metrics": _ds.load_hydro_metrics,
+        "toc": _ds.load_toc,
+        "bagoue": _ds.load_bagoue,
+        "hlogs": _ds.load_hlogs,
+        "nansha": _ds.load_nansha,
+        "mxs": _ds.load_mxs,
+        "forensic": _ds.load_forensic,
+        "jrs_bet": _ds.load_jrs_bet,
     }
     if name not in registry:
         raise KeyError(f"unknown dataset {name!r}; available: {sorted(registry)}")

@@ -117,3 +117,31 @@ def test_registry_unknown_raises(spark):
 
     with pytest.raises(KeyError):
         load_dataset(spark, "no_such_dataset")
+
+
+def test_named_load_datasets(spark):
+    """The load_* registry tail (gofast/datasets/load.py:38-1791):
+    deterministic, schema-stable, distributed generators."""
+    from gofast_spark.sources.io import load_dataset
+
+    cases = {
+        "iris": ({"sepal_length", "petal_width", "target"}, 150),
+        "statlog": ({"age", "chol", "thal", "presence"}, 270),
+        "dyspnea": ({"respiratory_rate", "dyspnea"}, 1000),
+        "hydro_metrics": ({"date", "rainfall", "flow"}, 1000),
+        "toc": ({"cal", "rt90", "toc"}, 1000),
+        "bagoue": ({"power", "geol", "flow"}, 431),
+        "hlogs": ({"strata_name", "resistivity", "k"}, 1000),
+        "nansha": ({"drawdown", "land_subsidence"}, 1000),
+        "mxs": ({"strata", "k", "kp"}, 1000),
+        "forensic": ({"dna_use_terrorism_fight"}, 1000),
+        "jrs_bet": ({"winning_numbers", "location"}, 1000),
+    }
+    for name, (cols, n) in cases.items():
+        df = load_dataset(spark, name)
+        assert cols <= set(df.columns), name
+        assert df.count() == n, name
+        # determinism: same name + seed -> same first row
+        a = df.orderBy(df.columns[0]).first()
+        b = load_dataset(spark, name).orderBy(df.columns[0]).first()
+        assert a == b, name

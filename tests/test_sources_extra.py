@@ -142,3 +142,43 @@ def test_read_sas_gated(spark, tmp_path):
     p.write_bytes(b"not a real sas file")
     with pytest.raises(Exception):
         read_data(spark, str(p))
+
+
+def test_export_pandas_formats_roundtrip(spark, tmp_path):
+    """feather / stata / tex driver-side sinks (reference writer matrix
+    gofast/api/property.py:2827-2845) round-trip through read_data."""
+    from gofast_spark.sources.io import export_data, read_data
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], ["id", "name", "v"]
+    )
+    base = str(tmp_path / "out")
+    written = export_data(df, base, ["feather", "stata", "tex"])
+    assert [w.rsplit(".", 1)[1] for w in written] == ["feather", "stata", "tex"]
+
+    back_f = read_data(spark, base + ".feather")
+    assert sorted(r["id"] for r in back_f.collect()) == [1, 2]
+    back_s = read_data(spark, base + ".stata")
+    assert sorted(r["name"] for r in back_s.collect()) == ["a", "b"]
+    tex = open(base + ".tex").read()
+    assert "tabular" in tex and "2.5" in tex
+
+
+def test_export_unknown_format_raises(spark, tmp_path):
+    import pytest
+
+    from gofast_spark.sources.io import export_data
+
+    df = spark.createDataFrame([(1,)], ["x"])
+    with pytest.raises(ValueError, match="unsupported export format"):
+        export_data(df, str(tmp_path / "o"), ["gbq"])
+
+
+def test_export_spark_and_pandas_mix(spark, tmp_path):
+    from gofast_spark.sources.io import export_data, read_data
+
+    df = spark.createDataFrame([(1, 2.0), (2, 4.0)], ["k", "v"])
+    base = str(tmp_path / "mix")
+    export_data(df, base, ["parquet", "feather"])
+    assert read_data(spark, base + ".parquet").count() == 2
+    assert read_data(spark, base + ".feather").count() == 2
