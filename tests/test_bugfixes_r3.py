@@ -111,5 +111,8 @@ def test_near_dup_pairs_releases_shingle_cache(spark):
     out = near_dup_pairs(df, "doc_id", "text", threshold=0.2)
     assert out.count() >= 1  # usable after the shingle cache is gone
     after = set(sc._jsc.getPersistentRDDs().keySet().toArray())
-    # the shingle frame must be gone; at most the checkpointed result stays
-    assert len(after - before) <= 1
+    # the shingle-set frame's persist must be gone; at most the two
+    # localCheckpoint RDDs stay (candidates + result — neither holds a
+    # CacheManager entry; the ContextCleaner frees them on GC, so there
+    # is still no caller-side unpersist obligation)
+    assert len(after - before) <= 2
