@@ -886,6 +886,7 @@ from gofast_spark.plans import catalog_checks  # noqa: E402,F401  (registration)
 from gofast_spark.plans import catalog_functions  # noqa: E402,F401  (registration)
 from gofast_spark.plans import catalog_llm  # noqa: E402,F401  (registration)
 from gofast_spark.plans import catalog_metrics  # noqa: E402,F401  (registration)
+from gofast_spark.plans import catalog_misc  # noqa: E402,F401  (registration)
 from gofast_spark.plans import catalog_quality  # noqa: E402,F401  (registration)
 from gofast_spark.plans import catalog_sampling  # noqa: E402,F401  (registration)
 from gofast_spark.plans import catalog_spatial  # noqa: E402,F401  (registration)
@@ -940,6 +941,13 @@ _DRIVER_WINDOW = [
     "rolling_slope_daily",
     "smooth1d_triangle_daily",
     "gradient_descent_lineitem",
+    "read_data_nation",
+    "build_df_inline",
+    "column_selector_regex",
+    "sanitize_frame_cols_customer",
+    "swap_ic_orders",
+    "frames_add_nation",
+    "bool_algebra_customers",
     "gini_score_orders",
     "spearman_lineitem",
     "kruskal_wallis_events",
@@ -964,13 +972,6 @@ _DRIVER_WINDOW = [
     "date_features_orders",
     "dedup_exact_distinct",
     "ffill_event_values",
-    "filter_by_isin_anti",
-    "filter_by_isin_semi",
-    "filter_by_period_events",
-    "filter_df_quantity",
-    "filter_position_customers",
-    "freq_encode_mktsegment",
-    "group_and_aggregate_events",
 ]
 
 # Cumulative union of driver-green entries (hash_match=true in any
