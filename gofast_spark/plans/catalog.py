@@ -948,6 +948,14 @@ _DRIVER_WINDOW = [
     "swap_ic_orders",
     "frames_add_nation",
     "bool_algebra_customers",
+    "quartiles_iqr_quantity",
+    "descriptive_extras_quantity",
+    "standard_scale_acctbal",
+    "nan_ops_fill_customer",
+    "truncate_tokens_part",
+    "stationarity_diff_log_daily",
+    "resample_consistent_counts",
+    "audit_data_customer",
     "gini_score_orders",
     "spearman_lineitem",
     "kruskal_wallis_events",
@@ -964,14 +972,6 @@ _DRIVER_WINDOW = [
     "categorical_cast_nation",
     "category_count_orders",
     "check_unique_values_customer",
-    "concat_frames_union",
-    "confidence_ratio_events",
-    "coverage_orders",
-    "data_extractor_orders",
-    "data_facade_pipeline",
-    "date_features_orders",
-    "dedup_exact_distinct",
-    "ffill_event_values",
 ]
 
 # Cumulative union of driver-green entries (hash_match=true in any

@@ -143,3 +143,246 @@ def bool_algebra_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = MergeableSeries(F.col("c_nationkey") < 20)
     pred = (a & b) | ~d
     return c.where(pred.execute()).select("c_custkey")
+
+
+# DuckDB replica of text.analysis.normalize_text (exact recipe)
+_NORM_TXT = (
+    "trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9 ]', ' ', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+
+
+@query(
+    "quartiles_iqr_quantity",
+    oracle="""
+    SELECT CAST(round(quantile_cont(l_quantity, 0.25), 4) AS DOUBLE) AS q1,
+           CAST(round(quantile_cont(l_quantity, 0.5), 4) AS DOUBLE) AS q2,
+           CAST(round(quantile_cont(l_quantity, 0.75), 4) AS DOUBLE) AS q3,
+           CAST(round(quantile_cont(l_quantity, 0.75)
+                      - quantile_cont(l_quantity, 0.25), 4) AS DOUBLE) AS iqr
+    FROM lineitem
+    """,
+)
+def quartiles_iqr_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quartiles + IQR (quartiles/iqr,
+    gofast/stats/descriptive.py:1100, 1244) — continuous percentiles,
+    type-7 interpolation on both engines."""
+    from gofast_spark.stats.descriptive import iqr, quartiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    q = quartiles(li, "l_quantity")
+    i = iqr(li, "l_quantity")
+    return q.crossJoin(i).select(
+        F.round("q1", 4).cast("double").alias("q1"),
+        F.round("q2", 4).cast("double").alias("q2"),
+        F.round("q3", 4).cast("double").alias("q3"),
+        F.round("iqr", 4).cast("double").alias("iqr"),
+    )
+
+
+@query(
+    "descriptive_extras_quantity",
+    oracle="""
+    WITH h AS (
+      SELECT count(l_quantity) / sum(1.0 / l_quantity) AS hmean,
+             max(l_quantity) - min(l_quantity) AS range FROM lineitem),
+    m AS (
+      SELECT l_quantity AS mode FROM lineitem
+      GROUP BY l_quantity ORDER BY count(*) DESC, l_quantity ASC LIMIT 1)
+    SELECT CAST(round(h.hmean, 4) AS DOUBLE) AS hmean,
+           CAST(round(h.range, 4) AS DOUBLE) AS range,
+           CAST(round(m.mode, 4) AS DOUBLE) AS mode
+    FROM h, m
+    """,
+)
+def descriptive_extras_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic mean, range, deterministic mode (hmean/get_range/mode,
+    gofast/stats/descriptive.py:1916, 1714, 664) in one row."""
+    from gofast_spark.stats.descriptive import get_range, hmean, mode_of
+
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        hmean(li, "l_quantity")
+        .crossJoin(get_range(li, "l_quantity"))
+        .crossJoin(mode_of(li, "l_quantity"))
+        .select(
+            F.round("hmean", 4).cast("double").alias("hmean"),
+            F.round("range", 4).cast("double").alias("range"),
+            F.round("mode", 4).cast("double").alias("mode"),
+        )
+    )
+
+
+@query(
+    "standard_scale_acctbal",
+    oracle="""
+    WITH s AS (
+      SELECT avg(c_acctbal) AS mu, stddev_samp(c_acctbal) AS sd FROM customer)
+    SELECT c_custkey,
+           CAST(round((c_acctbal - mu) / sd, 4) AS DOUBLE) AS z
+    FROM customer, s
+    """,
+)
+def standard_scale_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-std standardization (standard_scale,
+    quality/scaling.py; reference scaler matrix
+    gofast/dataops/quality.py:2790)."""
+    from gofast_spark.quality.scaling import standard_scale
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    out = standard_scale(c, ["c_acctbal"], ddof=1, suffix="_z")
+    return out.select(
+        "c_custkey", F.round("c_acctbal_z", 4).cast("double").alias("z")
+    )
+
+
+@query(
+    "nan_ops_fill_customer",
+    oracle="""
+    SELECT c_custkey,
+           CAST(round(CASE WHEN c_acctbal < 0 THEN 0 ELSE c_acctbal END, 2)
+                AS DOUBLE) AS bal
+    FROM customer
+    """,
+)
+def nan_ops_fill_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nan_ops fill mode (gofast/utils/data_utils.py:1621): negative
+    balances nulled then constant-filled with 0."""
+    from gofast_spark.quality.missing import nan_ops
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, None)
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal"),
+    )
+    out = nan_ops(c, "fill", columns=["bal"], fill_value=0)
+    return out.select(
+        "c_custkey", F.round("bal", 2).cast("double").alias("bal")
+    )
+
+
+@query(
+    "truncate_tokens_part",
+    oracle=f"""
+    WITH t AS (SELECT p_partkey, p_name, {_NORM_TXT.format(c='p_name')} AS nm
+               FROM part)
+    SELECT p_partkey,
+           CASE WHEN length(p_name) > 12
+                THEN substr(p_name, 1, 12) || '...' ELSE p_name END AS head,
+           CAST(CASE WHEN nm = '' THEN 0
+                ELSE length(nm) - length(replace(nm, ' ', '')) + 1 END
+                AS INTEGER) AS n_tokens
+    FROM t
+    """,
+)
+def truncate_tokens_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """truncate_text + whitespace tokenize (gofast/utils/text.py:1368,
+    740) over part names."""
+    from gofast_spark.functions.strings import truncate_text
+    from gofast_spark.text.analysis import tokenize_text
+
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        truncate_text(F.col("p_name"), 12).alias("head"),
+        F.size(tokenize_text(F.col("p_name"))).cast("int").alias("n_tokens"),
+    )
+
+
+@query(
+    "stationarity_diff_log_daily",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS d, round(sum(value), 4) AS v
+      FROM events GROUP BY 1)
+    SELECT d,
+           CAST(round(v - lag(v) OVER (ORDER BY d), 4) AS DOUBLE) AS diff,
+           CAST(round(ln(v), 6) AS DOUBLE) AS logv
+    FROM d
+    """,
+)
+def stationarity_diff_log_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationarity transforms — differencing and log
+    (transform_stationarity, gofast/utils/ts_utils.py:3262) over daily
+    revenue."""
+    from gofast_spark.ts.engineering import transform_stationarity
+
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.round(F.sum("value"), 4).cast("double").alias("v")
+    )
+    out = transform_stationarity(
+        daily, "v", "d", method="diff", out_col="diff"
+    )
+    out = transform_stationarity(out, "v", "d", method="log", out_col="logv")
+    return out.select(
+        "d",
+        F.round("diff", 4).cast("double").alias("diff"),
+        F.round("logv", 6).cast("double").alias("logv"),
+    )
+
+
+@query(
+    "resample_consistent_counts",
+    oracle="""
+    WITH surv_c AS (
+      SELECT c_custkey FROM customer
+      WHERE ((c_custkey + 0) * 1103515245 + 12345) % 2147483648 % 100 < 50),
+    surv_o AS (
+      SELECT o_orderkey FROM orders
+      WHERE ((o_custkey + 0) * 1103515245 + 12345) % 2147483648 % 100 < 50)
+    SELECT 'customer' AS frame, CAST(count(*) AS BIGINT) AS n FROM surv_c
+    UNION ALL
+    SELECT 'orders', CAST(count(*) AS BIGINT) FROM surv_o
+    """,
+)
+def resample_consistent_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent multi-frame sampling (resample_data,
+    gofast/utils/data_utils.py:3187): the same hashed keys survive in
+    every frame, keeping downstream joins aligned."""
+    from gofast_spark.operators.sampling import resample_data
+
+    c = _t(spark, sf_dir, "customer").withColumn("k", F.col("c_custkey"))
+    o = _t(spark, sf_dir, "orders").withColumn("k", F.col("o_custkey"))
+    sc_, so_ = resample_data([c, o], "k", fraction=0.5, seed=0)
+    a = sc_.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("customer").alias("frame"), "n"
+    )
+    b = so_.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("orders").alias("frame"), "n"
+    )
+    return a.unionByName(b)
+
+
+@query(
+    "audit_data_customer",
+    oracle="""
+    WITH q AS (
+      SELECT quantile_cont(c_acctbal, 0.25) AS q1,
+             quantile_cont(c_acctbal, 0.75) AS q3
+      FROM customer),
+    clipped AS (
+      SELECT c_custkey,
+             CASE WHEN c_acctbal < q1 - 1.5 * (q3 - q1) THEN q1 - 1.5 * (q3 - q1)
+                  WHEN c_acctbal > q3 + 1.5 * (q3 - q1) THEN q3 + 1.5 * (q3 - q1)
+                  ELSE c_acctbal END AS v
+      FROM customer, q),
+    mm AS (SELECT min(v) AS mn, max(v) AS mx FROM clipped)
+    SELECT c_custkey,
+           CAST(round((v - mn) / (mx - mn), 6) AS DOUBLE) AS scaled
+    FROM clipped, mm
+    """,
+)
+def audit_data_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite audit pipeline — IQR clip, mean-fill (no-op on complete
+    data), minmax scale (audit_data, gofast/dataops/quality.py:98)."""
+    from gofast_spark.quality.audit import audit_data
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_acctbal").cast("double").alias("v")
+    )
+    out = audit_data(c, columns=["v"])
+    return out.select(
+        "c_custkey", F.round("v", 6).cast("double").alias("scaled")
+    )
