@@ -956,6 +956,7 @@ _DRIVER_WINDOW = [
     "stationarity_diff_log_daily",
     "resample_consistent_counts",
     "audit_data_customer",
+    "euclidean_distance_nations",
     "gini_score_orders",
     "spearman_lineitem",
     "kruskal_wallis_events",
@@ -971,7 +972,6 @@ _DRIVER_WINDOW = [
     "binning_statistic_median",
     "categorical_cast_nation",
     "category_count_orders",
-    "check_unique_values_customer",
 ]
 
 # Cumulative union of driver-green entries (hash_match=true in any

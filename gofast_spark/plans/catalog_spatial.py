@@ -118,3 +118,44 @@ def haversine_bearing_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
             bearing_deg(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")), 3
         ).cast("double").alias("bearing"),
     )
+
+
+@query(
+    "euclidean_distance_nations",
+    oracle="""
+    WITH pts AS (
+      SELECT n_nationkey AS k,
+             CAST(n_nationkey * 3 AS DOUBLE) AS x,
+             CAST(n_nationkey * 7 AS DOUBLE) AS y
+      FROM nation)
+    SELECT a.k AS k1, b.k AS k2,
+           CAST(round(sqrt(pow(b.x - a.x, 2) + pow(b.y - a.y, 2)), 4)
+                AS DOUBLE) AS dist
+    FROM pts a JOIN pts b ON b.k = a.k + 1
+    """,
+)
+def euclidean_distance_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planar distance scalar (get_distance is_latlon=False,
+    gofast/utils/spatial_utils.py:4790) over consecutive synthetic
+    nation points."""
+    from gofast_spark.functions.spatial import euclidean_distance
+
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("k"),
+        (F.col("n_nationkey") * 3).cast("double").alias("x"),
+        (F.col("n_nationkey") * 7).cast("double").alias("y"),
+    )
+    b = n.select(
+        F.col("k").alias("k2"), F.col("x").alias("x2"), F.col("y").alias("y2")
+    )
+    j = n.join(b, F.col("k2") == F.col("k") + 1)
+    return j.select(
+        F.col("k").alias("k1"),
+        "k2",
+        F.round(
+            euclidean_distance(
+                F.col("x"), F.col("y"), F.col("x2"), F.col("y2")
+            ),
+            4,
+        ).cast("double").alias("dist"),
+    )

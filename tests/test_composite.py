@@ -76,3 +76,36 @@ def test_assess_outlier_impact(spark):
     rows = {r["variant"]: r for r in report.collect()}
     assert rows["without_outliers"]["rmse"] < rows["with_outliers"]["rmse"]
     assert rows["without_outliers"]["n"] < rows["with_outliers"]["n"]
+
+
+def test_features_in_split(spark):
+    from gofast_spark.operators.checks import features_in
+
+    df = spark.createDataFrame([(1, "a", 2.0)], ["i", "s", "d"])
+    num, cat = features_in(df)
+    assert set(num) == {"i", "d"} and cat == ["s"]
+    assert features_in(df, include="numeric") == (num, [])
+    assert features_in(df, include="categorical") == ([], cat)
+
+
+def test_is_in_if_policies(spark):
+    import pytest
+
+    from gofast_spark.operators.checks import is_in_if
+
+    df = spark.createDataFrame([(1, 2)], ["a", "b"])
+    assert is_in_if(df, "a")
+    assert is_in_if(["x", "y"], ["x"])
+    with pytest.raises(ValueError, match="not found"):
+        is_in_if(df, "zz")
+    assert is_in_if(df, ["a", "zz"], error="ignore", return_diff=True) == ["zz"]
+
+
+def test_compare_frames_multiset(spark):
+    from gofast_spark.operators.reshape import compare_frames
+
+    a = spark.createDataFrame([(1,), (2,), (2,)], ["x"])
+    b = spark.createDataFrame([(2,), (1,), (2,)], ["x"])
+    c = spark.createDataFrame([(1,), (2,)], ["x"])
+    assert compare_frames(a, b)      # order-insensitive multiset equality
+    assert not compare_frames(a, c)  # multiplicity matters
