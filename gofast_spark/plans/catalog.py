@@ -957,6 +957,9 @@ _DRIVER_WINDOW = [
     "resample_consistent_counts",
     "audit_data_customer",
     "euclidean_distance_nations",
+    "has_duplicates_orders",
+    "cleaner_customer",
+    "outlier_handler_zscore_transfer",
     "gini_score_orders",
     "spearman_lineitem",
     "kruskal_wallis_events",
@@ -969,9 +972,6 @@ _DRIVER_WINDOW = [
     "stream_dedup_events",
     "streaming_window_counts",
     "anonymize_customer_names",
-    "binning_statistic_median",
-    "categorical_cast_nation",
-    "category_count_orders",
 ]
 
 # Cumulative union of driver-green entries (hash_match=true in any

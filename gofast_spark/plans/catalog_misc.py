@@ -386,3 +386,80 @@ def audit_data_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "c_custkey", F.round("v", 6).cast("double").alias("scaled")
     )
+
+
+@query(
+    "has_duplicates_orders",
+    oracle="""
+    SELECT CAST(EXISTS (
+             SELECT 1 FROM orders
+             GROUP BY o_custkey, o_orderstatus HAVING count(*) > 1
+           ) AS BOOLEAN) AS dup_custstatus,
+           CAST(EXISTS (
+             SELECT 1 FROM orders
+             GROUP BY o_orderkey HAVING count(*) > 1
+           ) AS BOOLEAN) AS dup_orderkey
+    """,
+)
+def has_duplicates_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Early-exit duplicate probe (has_duplicates,
+    gofast/utils/data_utils.py:2425): true for a repeating key subset,
+    false for the primary key."""
+    from gofast_spark.quality.duplicates import has_duplicates
+
+    o = _t(spark, sf_dir, "orders")
+    a = has_duplicates(o, subset=["o_custkey", "o_orderstatus"])
+    b = has_duplicates(o, subset=["o_orderkey"])
+    return spark.createDataFrame(
+        [(a, b)], "dup_custstatus boolean, dup_orderkey boolean"
+    )
+
+
+@query(
+    "cleaner_customer",
+    oracle="""
+    SELECT c_custkey AS cust_key, c_mktsegment AS segment FROM customer
+    """,
+)
+def cleaner_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column keep + name sanitation in one call (cleaner,
+    gofast/utils/data_utils.py:4293)."""
+    from gofast_spark.quality.augment import cleaner
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("Cust Key"),
+        F.col("c_mktsegment").alias("Segment!"),
+        "c_acctbal",
+    )
+    return cleaner(c, columns=["Cust Key", "Segment!"], mode="keep")
+
+
+@query(
+    "outlier_handler_zscore_transfer",
+    oracle="""
+    WITH train AS (SELECT c_acctbal FROM customer WHERE c_nationkey < 13),
+    s AS (SELECT avg(c_acctbal) AS mu, stddev_samp(c_acctbal) AS sd FROM train)
+    SELECT c_custkey,
+           CAST(round(
+             CASE WHEN c_acctbal < mu - 1.5 * sd THEN mu - 1.5 * sd
+                  WHEN c_acctbal > mu + 1.5 * sd THEN mu + 1.5 * sd
+                  ELSE c_acctbal END, 4) AS DOUBLE) AS clipped
+    FROM customer, s
+    """,
+)
+def outlier_handler_zscore_transfer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-pattern outlier handling (OutlierHandler,
+    gofast/transformers/feature_engineering.py:78): z-score bounds FIT on
+    the nationkey<13 subset, TRANSFORM applied to the full table — the
+    train/test semantics the one-shot functional form cannot express."""
+    from gofast_spark.quality.outliers import OutlierHandler
+
+    c = _t(spark, sf_dir, "customer")
+    h = OutlierHandler(
+        ["c_acctbal"], method="zscore", action="clip", factor=1.5
+    ).fit(c.where(F.col("c_nationkey") < 13))
+    out = h.transform(c)
+    return out.select(
+        "c_custkey",
+        F.round("c_acctbal", 4).cast("double").alias("clipped"),
+    )
