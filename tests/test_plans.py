@@ -199,3 +199,19 @@ def test_rank_stats_never_sort_raw_rows(spark, sf_small):
     for df in cases:
         plan = _plan(df)
         assert _windows_see_only_aggregated_input(plan), plan
+
+
+def test_ivf_portable_no_cartesian_against_corpus(spark, sf_small):
+    """The landmark-IVF twin must keep the corpus out of any nested-loop:
+    only the nlist-row landmark frame is broadcast-cross-joined; the
+    corpus side joins candidates on the cell id."""
+    from gofast_spark.plans.catalog import _t
+    from gofast_spark.sim import ivf_topk_portable
+
+    e = _t(spark, sf_small, "embeddings")
+    q = e.where("vec_id < 3")
+    df = ivf_topk_portable(e, q, "vec_id", "embedding", nlist=4, nprobe=2, k=3)
+    plan = _plan(df)
+    # the candidate join on `cell` must be a real equi-join
+    assert "CartesianProduct" not in plan
+    assert df.count() > 0
