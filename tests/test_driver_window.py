@@ -23,14 +23,17 @@ def _derived_green_union() -> set[str]:
 
 
 def test_driver_verified_matches_correctness_files():
+    """Every name in _DRIVER_VERIFIED must be backed by a hash_match=true
+    row in some committed CORRECTNESS file (no false 'verified' claims,
+    which would park an unverified entry outside the window forever).
+    The derived union MAY be larger — the driver writes a new round's
+    results before the constant is refolded; fold them in next edit."""
     from gofast_spark.plans.catalog import _DRIVER_VERIFIED
 
     derived = _derived_green_union()
     assert derived, "no CORRECTNESS_r0*.json files found"
-    assert _DRIVER_VERIFIED == derived, (
-        f"stale _DRIVER_VERIFIED: missing={sorted(derived - _DRIVER_VERIFIED)} "
-        f"extra={sorted(_DRIVER_VERIFIED - derived)}"
-    )
+    unbacked = _DRIVER_VERIFIED - derived
+    assert not unbacked, f"_DRIVER_VERIFIED claims never-green: {sorted(unbacked)}"
 
 
 def test_window_is_oracle_backed_and_parked_entries_last():
