@@ -11,7 +11,16 @@ from gofast_spark.multimodal.blobs import (
     BLOB_META_SCHEMA,
     attach_blob_meta,
     blob_features,
+    resize_image_blobs,
+    sample_video_frames,
     decode_image,
 )
 
-__all__ = ["BLOB_META_SCHEMA", "attach_blob_meta", "blob_features", "decode_image"]
+__all__ = [
+    "BLOB_META_SCHEMA",
+    "attach_blob_meta",
+    "blob_features",
+    "decode_image",
+    "resize_image_blobs",
+    "sample_video_frames",
+]

@@ -21,6 +21,7 @@ from typing import TYPE_CHECKING
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     IntegerType,
     LongType,
     StringType,
@@ -118,3 +119,107 @@ def blob_features(
             )
 
     return df.select(*cols).mapInPandas(extract, schema=schema)
+
+
+def resize_image_blobs(
+    df: DataFrame,
+    id_col: str,
+    blob_col: str,
+    *,
+    target: tuple[int, int] = (224, 224),
+    out_col: str = "resized",
+) -> DataFrame:
+    """Batch image resize through ``mapInPandas`` — binary in, binary out
+    plus the realized (width, height).
+
+    The resample kernel is STUBBED (no image library in this container):
+    the fake 'resize' emits a deterministic payload derived from the
+    source bytes and target dims, so the pipeline — Arrow batch shape,
+    binary-in/binary-out schema, metadata propagation — is real and
+    tested; swap the inner function for PIL/torchvision in production.
+    Output schema: (id, resized binary, width int, height int).
+    """
+    schema = StructType(
+        [
+            df.schema[id_col],
+            StructField("resized", BinaryType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+        ]
+    )
+    tw, th = int(target[0]), int(target[1])
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = pdf[blob_col]
+            out = []
+            for p in payloads:
+                p = p if p is not None else b""
+                # STUB resample: head bytes + dims tag, deterministic
+                out.append(bytes(p[:16]) + bytes([tw % 256, th % 256]))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "resized": out,
+                    "width": [tw] * len(out),
+                    "height": [th] * len(out),
+                }
+            )
+
+    res = df.select(id_col, blob_col).mapInPandas(run, schema=schema)
+    return res.withColumnRenamed("resized", out_col)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    id_col: str,
+    blob_col: str,
+    *,
+    n_frames: int = 4,
+) -> DataFrame:
+    """Uniform frame sampling from video blobs via ``mapInPandas`` — one
+    output row per (video, frame), the exploded shape a training
+    pipeline feeds to per-frame feature extractors.
+
+    The frame decoder is STUBBED (no ffmpeg here): a deterministic fake
+    derives a per-frame payload and timestamp from the source bytes and
+    frame index, so the real parts — the 1-to-N row fan-out inside the
+    Arrow batch, the declared schema, the deterministic frame indexing —
+    are tested.  Output: (id, frame_idx int, ts_ms long, frame binary).
+    """
+    schema = StructType(
+        [
+            df.schema[id_col],
+            StructField("frame_idx", IntegerType()),
+            StructField("ts_ms", LongType()),
+            StructField("frame", BinaryType()),
+        ]
+    )
+    k = int(n_frames)
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, tss, frames = [], [], [], []
+            for rid, p in zip(pdf[id_col], pdf[blob_col]):
+                p = p if p is not None else b""
+                # STUB: fake duration from payload size, uniform timestamps
+                dur_ms = 1000 + (len(p) * 37) % 60000
+                for j in range(k):
+                    ids.append(rid)
+                    idxs.append(j)
+                    tss.append(dur_ms * j // max(k - 1, 1))
+                    frames.append(bytes(p[j : j + 8]) + bytes([j]))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "frame_idx": idxs,
+                    "ts_ms": tss,
+                    "frame": frames,
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(run, schema=schema)

@@ -189,3 +189,46 @@ def test_ngram_jaccard_max_df_blocks_boilerplate(spark):
     assert (100, 101) in pairs
     # the boilerplate-only docs share only >max_df shingles -> blocked
     assert all(p == (100, 101) for p in pairs)
+
+
+def test_resize_image_blobs_plumbing(spark):
+    """Binary-in/binary-out resize plumbing: schema, Arrow batch shape,
+    deterministic stub payloads (real decode swaps in in production)."""
+    from gofast_spark.multimodal import resize_image_blobs
+
+    df = spark.createDataFrame(
+        [(1, b"someimagebytes" * 4), (2, b""), (3, None)],
+        "doc_id bigint, payload binary",
+    )
+    out = resize_image_blobs(df, "doc_id", "payload", target=(128, 96))
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 3
+    assert all(r["width"] == 128 and r["height"] == 96 for r in rows.values())
+    assert isinstance(rows[1]["resized"], (bytes, bytearray))
+    # deterministic: same input -> same payload
+    again = {r["doc_id"]: r["resized"] for r in
+             resize_image_blobs(df, "doc_id", "payload", target=(128, 96)).collect()}
+    assert again[1] == rows[1]["resized"]
+
+
+def test_sample_video_frames_fanout(spark):
+    """Frame sampling fans out 1->n_frames rows per video with ordered
+    timestamps and per-frame payloads."""
+    from gofast_spark.multimodal import sample_video_frames
+
+    df = spark.createDataFrame(
+        [(10, b"fakevideopayload" * 8), (20, b"x")],
+        "vid bigint, payload binary",
+    )
+    out = sample_video_frames(df, "vid", "payload", n_frames=4)
+    rows = out.collect()
+    assert len(rows) == 8
+    per_vid = {}
+    for r in rows:
+        per_vid.setdefault(r["vid"], []).append(r)
+    for vid, fr in per_vid.items():
+        fr.sort(key=lambda r: r["frame_idx"])
+        assert [r["frame_idx"] for r in fr] == [0, 1, 2, 3]
+        ts = [r["ts_ms"] for r in fr]
+        assert ts == sorted(ts) and ts[0] == 0
+        assert all(isinstance(r["frame"], (bytes, bytearray)) for r in fr)
