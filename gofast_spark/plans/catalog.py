@@ -960,6 +960,7 @@ _DRIVER_WINDOW = [
     "has_duplicates_orders",
     "cleaner_customer",
     "outlier_handler_zscore_transfer",
+    "stream_static_enrich_counts",
     "gini_score_orders",
     "spearman_lineitem",
     "kruskal_wallis_events",
@@ -971,7 +972,6 @@ _DRIVER_WINDOW = [
     "sessionized_aggregate_events",
     "stream_dedup_events",
     "streaming_window_counts",
-    "anonymize_customer_names",
 ]
 
 # Cumulative union of driver-green entries (hash_match=true in any

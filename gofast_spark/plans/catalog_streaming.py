@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gofast_spark.plans.catalog import query
+from gofast_spark.plans.catalog import _t, query
 
 
 @query(
@@ -179,4 +179,48 @@ def stateful_totals_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("total", 4).cast("double").alias("total"),
             F.round("vmax", 4).cast("double").alias("vmax"),
         )
+    )
+
+
+@query(
+    "stream_static_enrich_counts",
+    oracle="""
+    WITH dim AS (SELECT DISTINCT c_custkey % 50 AS user_id, c_mktsegment
+                 FROM customer WHERE c_custkey < 50)
+    SELECT d.c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(e.value), 4) AS DOUBLE) AS total
+    FROM events e JOIN dim d ON e.user_id = d.user_id
+    GROUP BY d.c_mktsegment
+    """,
+)
+def stream_static_enrich_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension join (stream_static_enrich): the event
+    stream broadcast-joins a static customer-segment dimension per
+    micro-batch, then aggregates per segment.  The drained availableNow
+    result equals the batch join — the correctness contract for the
+    stateless enrich operator."""
+    from gofast_spark.streaming import (
+        read_event_stream,
+        run_available_now,
+        stream_static_enrich,
+    )
+
+    dim = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") < 50)
+        .select(
+            (F.col("c_custkey") % 50).alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .distinct()
+    )
+    stream = read_event_stream(spark, sf_dir, glob="events.parquet")
+    enriched = stream_static_enrich(stream, dim, on="user_id")
+    agg = enriched.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("__t")
+    )
+    out = run_available_now(agg, mode="complete")
+    return out.select(
+        "segment", "n", F.round("__t", 4).cast("double").alias("total")
     )

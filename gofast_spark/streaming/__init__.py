@@ -4,6 +4,7 @@ task trigger, gofast/mlops/automation.py:1461)."""
 
 from gofast_spark.streaming.ops import (
     read_event_stream,
+    stream_static_enrich,
     run_available_now,
     sessionized_aggregate,
     stateful_running_totals,
@@ -13,6 +14,7 @@ from gofast_spark.streaming.ops import (
 
 __all__ = [
     "read_event_stream",
+    "stream_static_enrich",
     "windowed_aggregate",
     "sessionized_aggregate",
     "stream_dedup",

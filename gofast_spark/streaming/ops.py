@@ -227,3 +227,26 @@ def stateful_running_totals(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_static_enrich(
+    sdf: DataFrame,
+    static_df: DataFrame,
+    on,
+    *,
+    how: str = "inner",
+    broadcast_static: bool = True,
+) -> DataFrame:
+    """Stream-static join: enrich a stream with a slowly-changing
+    dimension frame.
+
+    The static side is re-read per micro-batch by Structured Streaming
+    (so a refreshed dimension table is picked up automatically); with
+    ``broadcast_static`` the dimension ships to executors instead of
+    shuffling the stream — the streaming analog of the engine's
+    broadcast-dimension policy.  Stateless: no watermark needed, any
+    output mode.  Only stream-side outer joins are allowed by Spark for
+    stream-static shapes (the static side has no watermark to close on).
+    """
+    s = F.broadcast(static_df) if broadcast_static else static_df
+    return sdf.join(s, on=on, how=how)
