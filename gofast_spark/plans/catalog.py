@@ -961,6 +961,7 @@ _DRIVER_WINDOW = [
     "cleaner_customer",
     "outlier_handler_zscore_transfer",
     "stream_static_enrich_counts",
+    "seasonal_decompose_daily",
     "gini_score_orders",
     "spearman_lineitem",
     "kruskal_wallis_events",
@@ -971,7 +972,6 @@ _DRIVER_WINDOW = [
     "merge_frames_on_index_customer",
     "sessionized_aggregate_events",
     "stream_dedup_events",
-    "streaming_window_counts",
 ]
 
 # Cumulative union of driver-green entries (hash_match=true in any

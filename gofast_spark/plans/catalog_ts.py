@@ -234,3 +234,43 @@ def kpss_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lags",
         "n",
     )
+
+
+@query(
+    "seasonal_decompose_daily",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS d, round(sum(value), 4) AS v
+      FROM events GROUP BY 1),
+    tr AS (
+      SELECT d, v,
+             CASE WHEN count(*) OVER w = 7 THEN avg(v) OVER w END AS trend,
+             datediff('day', DATE '1970-01-01', d) % 7 AS phase
+      FROM d WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    pm AS (SELECT phase, avg(v - trend) AS pmean FROM tr GROUP BY phase),
+    gm AS (SELECT avg(pmean) AS g FROM pm)
+    SELECT tr.d,
+           CAST(round(tr.trend, 4) AS DOUBLE) AS trend,
+           CAST(round(pm.pmean - gm.g, 4) AS DOUBLE) AS seasonal,
+           CAST(round(tr.v - tr.trend - (pm.pmean - gm.g), 4) AS DOUBLE) AS resid
+    FROM tr JOIN pm ON tr.phase = pm.phase, gm
+    """,
+)
+def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of daily revenue, period 7 —
+    trend (centered MA), seasonal (re-centered phase means), residual —
+    all native window/groupBy stages (ts.decompose.seasonal_decompose;
+    reference decompose_ts, gofast/utils/ts_utils.py:2263)."""
+    from gofast_spark.ts import seasonal_decompose
+
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.round(F.sum("value"), 4).cast("double").alias("v")
+    )
+    out = seasonal_decompose(daily, "v", "d", period=7)
+    return out.select(
+        "d",
+        F.round("trend", 4).cast("double").alias("trend"),
+        F.round("seasonal", 4).cast("double").alias("seasonal"),
+        F.round("resid", 4).cast("double").alias("resid"),
+    )

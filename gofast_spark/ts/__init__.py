@@ -17,7 +17,13 @@ from gofast_spark.ts.engineering import (
     transform_stationarity,
 )
 from gofast_spark.ts.validator import infer_frequency, smart_ts_detector, time_step_grid, ts_validator
-from gofast_spark.ts.decompose import adf_test, kpss_test, savgol_smooth, stl_decompose
+from gofast_spark.ts.decompose import (
+    adf_test,
+    kpss_test,
+    savgol_smooth,
+    seasonal_decompose,
+    stl_decompose,
+)
 from gofast_spark.ts.split import ts_outlier_detector, ts_split
 
 __all__ = [
@@ -35,6 +41,7 @@ __all__ = [
     "ts_split",
     "ts_outlier_detector",
     "savgol_smooth",
+    "seasonal_decompose",
     "stl_decompose",
     "adf_test",
     "kpss_test",

@@ -26,6 +26,35 @@ def _require(module: str):
         ) from e
 
 
+def _savgol_1d(x, window_length: int, polyorder: int):
+    """Savitzky-Golay filter, scipy-equivalent 'interp' mode, in pure
+    numpy: the projection matrix H = A (A'A)^-1 A' of the local
+    polynomial basis maps each window to its fitted values; interior
+    points take the center row, edge points the corresponding rows over
+    the first/last window (exactly scipy's polynomial edge fit)."""
+    import numpy as np
+
+    n = len(x)
+    wl = min(window_length, n if n % 2 else n - 1)
+    wl = max(wl, 3)
+    if n < 3:
+        return np.asarray(x, dtype=float)
+    poly = min(polyorder, wl - 1)
+    h = wl // 2
+    offs = np.arange(-h, h + 1, dtype=float)
+    A = np.vander(offs, poly + 1, increasing=True)
+    H = A @ np.linalg.pinv(A)
+    out = np.empty(n, dtype=float)
+    # interior: convolution with the center projection row
+    center = H[h]
+    for i in range(h, n - h):
+        out[i] = center @ x[i - h : i + h + 1]
+    # edges: fitted values of the first/last full window
+    out[:h] = H[:h] @ x[:wl]
+    out[n - h :] = H[h + 1 :] @ x[n - wl :]
+    return out
+
+
 def savgol_smooth(
     df: DataFrame,
     series_col: str,
@@ -36,24 +65,23 @@ def savgol_smooth(
     polyorder: int = 2,
 ) -> DataFrame:
     """Savitzky-Golay filter per series (savgol_filter,
-    gofast/utils/spatial_utils.py:3937) via applyInPandas."""
-    _require("scipy.signal")
+    gofast/utils/spatial_utils.py:3937) via applyInPandas.
+
+    The kernel is pure numpy (:func:`_savgol_1d`, scipy-equivalent
+    'interp' mode) so the operator runs in scipy-free environments;
+    when scipy is installed the results match ``scipy.signal.
+    savgol_filter`` to float tolerance (asserted in tests when
+    available)."""
+    import numpy as np  # noqa: F401  (worker-side dependency)
+
     schema = f"{series_col} string, {order_col} string, {value_col}_sg double"
 
     def fit(pdf):
         import pandas as pd
-        from scipy.signal import savgol_filter
 
         pdf = pdf.sort_values(order_col)
-        # clamp to the largest odd value <= len: len//2*2+1 rounds UP to
-        # len+1 for even-length groups, which scipy rejects in 'interp' mode
-        n = len(pdf)
-        wl = min(window_length, n if n % 2 else n - 1)
-        wl = max(wl, 3)
-        smoothed = (
-            savgol_filter(pdf[value_col].to_numpy(), wl, min(polyorder, wl - 1))
-            if len(pdf) >= 3
-            else pdf[value_col].to_numpy()
+        smoothed = _savgol_1d(
+            pdf[value_col].to_numpy(dtype=float), window_length, polyorder
         )
         return pd.DataFrame(
             {
@@ -204,3 +232,67 @@ def adf_test(
         )
 
     return df.groupBy(series_col).applyInPandas(fit, schema=schema)
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    value_col: str,
+    date_col: str,
+    *,
+    period: int = 7,
+    partition_by: str | None = None,
+) -> DataFrame:
+    """Classical additive decomposition — trend / seasonal / residual —
+    entirely with native window + groupBy operators (the distributed
+    counterpart of statsmodels ``seasonal_decompose``; :func:`stl_decompose`
+    offloads the LOESS-based STL variant per series).
+
+    - trend: centered moving average over ``period`` rows (odd period;
+      NULL where the window is incomplete, like the classical method);
+    - seasonal: per-phase mean of the detrended series (phase = days
+      since epoch mod period), re-centered to sum to zero;
+    - resid: value - trend - seasonal.
+
+    Every stage is a window or aggregation over the (tiny relative to
+    the raw table) series frame — no driver collect, no Python kernel —
+    and the whole construction is SQL-expressible, so the catalog entry
+    carries a full differential oracle.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if period % 2 == 0:
+        raise ValueError("period must be odd for the centered-MA trend")
+    h = period // 2
+    parts = [partition_by] if partition_by else []
+    w = (
+        Window.partitionBy(*parts)
+        .orderBy(date_col)
+        .rowsBetween(-h, h)
+    )
+    v = F.col(value_col).cast("double")
+    base = df.withColumn(
+        "__trend",
+        F.when(F.count(F.lit(1)).over(w) == period, F.avg(v).over(w)),
+    ).withColumn(
+        "__phase",
+        F.pmod(F.datediff(F.col(date_col), F.lit("1970-01-01")), F.lit(period)),
+    )
+    detr = base.withColumn("__d", v - F.col("__trend"))
+    phase_means = detr.groupBy(*parts, "__phase").agg(
+        F.avg("__d").alias("__pm")
+    )
+    grand = phase_means.groupBy(*parts).agg(F.avg("__pm").alias("__gm"))
+    joined = (
+        detr.join(F.broadcast(phase_means), on=[*parts, "__phase"])
+        .join(F.broadcast(grand), on=parts if parts else None, how="cross" if not parts else "inner")
+    )
+    seasonal = F.col("__pm") - F.col("__gm")
+    return joined.select(
+        *parts,
+        F.col(date_col),
+        v.alias(value_col),
+        F.col("__trend").alias("trend"),
+        seasonal.alias("seasonal"),
+        (v - F.col("__trend") - seasonal).alias("resid"),
+    )

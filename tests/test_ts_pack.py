@@ -139,3 +139,61 @@ def test_interpolate_grid_idw(spark):
     assert abs(got[(1.0, 0.0)] - 15.0) < 1e-9   # midpoint: equal weights
     assert got[(0.0, 0.0)] == 10.0              # exact-match short-circuit
     assert (40.0, 40.0) not in got              # no neighbor in radius
+
+
+def test_savgol_numpy_kernel_reference_values(spark):
+    """Scipy-free SG kernel: a quadratic is reproduced EXACTLY by a
+    degree-2 SG filter (polynomial reproduction property), and the
+    classic 5-point quadratic interior weights [-3,12,17,12,-3]/35 hold."""
+    import numpy as np
+
+    from gofast_spark.ts.decompose import _savgol_1d
+
+    t = np.arange(20, dtype=float)
+    quad = 2.0 + 0.5 * t - 0.3 * t * t
+    out = _savgol_1d(quad, 5, 2)
+    assert np.allclose(out, quad, atol=1e-9)
+
+    x = np.array([1.0, 4.0, 9.0, 2.0, 7.0, 3.0, 8.0])
+    out = _savgol_1d(x, 5, 2)
+    w = np.array([-3.0, 12.0, 17.0, 12.0, -3.0]) / 35.0
+    for i in range(2, 5):
+        assert out[i] == pytest.approx(w @ x[i - 2 : i + 3], abs=1e-12)
+
+
+def test_savgol_smooth_spark_plumbing(spark):
+    from gofast_spark.ts import savgol_smooth
+
+    rows = [("s1", f"{i:02d}", float(i * i)) for i in range(12)]
+    df = spark.createDataFrame(rows, ["series", "t", "v"])
+    out = savgol_smooth(df, "series", "t", "v", window_length=5, polyorder=2)
+    got = {r["t"]: r["v_sg"] for r in out.collect()}
+    assert len(got) == 12
+    # degree-2 SG reproduces the quadratic exactly, edges included
+    for i in range(12):
+        assert got[f"{i:02d}"] == pytest.approx(float(i * i), abs=1e-8)
+
+
+def test_seasonal_decompose_reconstruction(spark):
+    """trend + seasonal + resid == value wherever trend is defined, and
+    the seasonal component sums to ~0 over the phases."""
+    import datetime
+
+    from gofast_spark.ts import seasonal_decompose
+
+    base = datetime.date(2024, 1, 1)
+    rows = [
+        (base + datetime.timedelta(days=i), 100.0 + i + 10.0 * (i % 7))
+        for i in range(35)
+    ]
+    df = spark.createDataFrame(rows, ["d", "v"])
+    out = seasonal_decompose(df, "v", "d", period=7).collect()
+    assert len(out) == 35
+    seas = {}
+    for r in out:
+        if r["trend"] is not None:
+            assert r["v"] == pytest.approx(
+                r["trend"] + r["seasonal"] + r["resid"], abs=1e-9
+            )
+        seas[r["d"].toordinal() % 7] = r["seasonal"]
+    assert sum(seas.values()) == pytest.approx(0.0, abs=1e-9)
