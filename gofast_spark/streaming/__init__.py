@@ -5,6 +5,7 @@ task trigger, gofast/mlops/automation.py:1461)."""
 from gofast_spark.streaming.ops import (
     read_event_stream,
     stream_static_enrich,
+    write_stream_to_warehouse,
     run_available_now,
     sessionized_aggregate,
     stateful_running_totals,
@@ -15,6 +16,7 @@ from gofast_spark.streaming.ops import (
 __all__ = [
     "read_event_stream",
     "stream_static_enrich",
+    "write_stream_to_warehouse",
     "windowed_aggregate",
     "sessionized_aggregate",
     "stream_dedup",

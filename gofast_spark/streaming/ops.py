@@ -250,3 +250,50 @@ def stream_static_enrich(
     """
     s = F.broadcast(static_df) if broadcast_static else static_df
     return sdf.join(s, on=on, how=how)
+
+
+def write_stream_to_warehouse(
+    sdf: DataFrame,
+    path: str,
+    *,
+    checkpoint: str,
+    mode: str = "append",
+    available_now: bool = True,
+) -> None:
+    """``foreachBatch`` parquet-warehouse sink with exactly-once
+    semantics.
+
+    Each micro-batch lands as an idempotent overwrite of its own
+    ``__batch_id`` partition directory: a replayed batch (restart after
+    a sink failure, before the checkpoint commit) rewrites the same
+    partition instead of duplicating rows — the standard foreachBatch
+    idempotence recipe for sinks without transactional append.  The
+    checkpoint directory carries the source offsets, so the pipeline
+    resumes where it stopped.
+
+    ``available_now`` drains the current source content and terminates
+    (deterministic for tests/backfills); a live job passes False and
+    keeps the query handle running.
+    """
+    from pyspark.sql import functions as F
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("__batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id")
+            .parquet(path)
+        )
+
+    writer = (
+        sdf.writeStream.foreachBatch(sink)
+        .outputMode(mode)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        q.stop()
+    else:
+        writer.start()

@@ -110,3 +110,33 @@ def test_stateful_running_totals_equals_batch(spark, tmp_path):
     for r in out.collect():
         per_key_rows.setdefault(r["user_id"], []).append(r["n"])
     assert any(len(v) > 1 for v in per_key_rows.values())
+
+
+def test_write_stream_to_warehouse_exactly_once(spark, tmp_path, sf_small):
+    """foreachBatch parquet sink: drained availableNow output equals the
+    batch read, and re-draining with the same checkpoint writes nothing
+    new (offsets committed -> exactly-once)."""
+    from gofast_spark.streaming import read_event_stream, write_stream_to_warehouse
+
+    out = str(tmp_path / "warehouse")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_event_stream(spark, sf_small, glob="events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    write_stream_to_warehouse(stream, out, checkpoint=ckpt)
+
+    batch = (
+        spark.read.parquet(f"{sf_small}/events.parquet")
+        .select("event_id")
+        .count()
+    )
+    sunk = spark.read.parquet(out)
+    assert sunk.count() == batch
+    assert "__batch_id" in sunk.columns
+
+    # replay with the same checkpoint: no new batches, count unchanged
+    stream2 = read_event_stream(spark, sf_small, glob="events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    write_stream_to_warehouse(stream2, out, checkpoint=ckpt)
+    assert spark.read.parquet(out).count() == batch
