@@ -318,9 +318,17 @@ def near_dup_pairs(
     num_hashes: int = 16,
     rows_per_band: int = 2,
     eager: bool = True,
+    merge_fragments: bool = False,
 ) -> DataFrame:
     """End-to-end near-duplicate pairs: shingle -> minhash -> LSH bands ->
     exact-Jaccard verify >= threshold.
+
+    Input contract: ONE ROW PER DOCUMENT — the shuffle-free plan keeps
+    each doc's shingle set inside its own row, so a doc id spanning
+    several rows (a document split across page/chunk rows) would get one
+    signature per fragment and fragment-level pairs.  Pass
+    ``merge_fragments=True`` for such inputs: the fragment sets union
+    per id through one groupBy (the only extra shuffle) before signing.
 
     Plan shape (the whole point): the per-doc shingle-set frame keeps
     each doc's distinct shingles inside the doc's own row, so signatures
@@ -373,8 +381,18 @@ def near_dup_pairs(
             .where(F.col("jaccard") >= threshold)
         )
 
+    def _sets(src: DataFrame) -> DataFrame:
+        sd = doc_shingle_sets(src, id_col, text_col, k=k)
+        if merge_fragments:
+            sd = sd.groupBy(id_col).agg(
+                F.array_distinct(F.flatten(F.collect_list("sh_set"))).alias(
+                    "sh_set"
+                )
+            )
+        return sd
+
     if not eager:
-        sets_df = doc_shingle_sets(df, id_col, text_col, k=k)
+        sets_df = _sets(df)
         sig = minhash_signatures_from_sets(
             sets_df, id_col, num_hashes=num_hashes
         )
@@ -382,7 +400,7 @@ def near_dup_pairs(
             sig, id_col, num_hashes=num_hashes, rows_per_band=rows_per_band
         )
         return _verify(sets_df, cand, bcast=False)
-    sets_df = doc_shingle_sets(df, id_col, text_col, k=k).persist()
+    sets_df = _sets(df).persist()
     try:
         # candidates are bounded by Σ bucket² — checkpoint them eagerly
         # (materializing the persisted set frame in the same job) so the

@@ -12,7 +12,7 @@ from __future__ import annotations
 import math
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -61,3 +61,26 @@ def cyclical_encode(
     return df.withColumns(
         {f"{p}_sin": F.sin(angle), f"{p}_cos": F.cos(angle)}
     )
+
+
+def ntz_to_utc_timestamp(col: Column | str) -> Column:
+    """Reinterpret a TIMESTAMP_NTZ wall time as UTC, yielding a regular
+    TIMESTAMP — independent of ``spark.sql.session.timeZone``.
+
+    A plain ``cast('timestamp')`` interprets the wall time in the
+    SESSION timezone (and mutating the session conf to compensate leaks
+    a side effect into every later timestamp operation), so the epoch is
+    assembled arithmetically instead: days since epoch from the NTZ date
+    plus TZ-free wall-clock field extractions (``date_part('SECOND')``
+    carries the fractional part as a decimal, so microsecond precision
+    survives).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    micros = (
+        F.unix_date(c.cast("date")).cast("long") * F.lit(86400000000)
+        + F.hour(c).cast("long") * F.lit(3600000000)
+        + F.minute(c).cast("long") * F.lit(60000000)
+        + (F.date_part(F.lit("SECOND"), c).cast("decimal(18,6)") * 1000000)
+        .cast("long")
+    )
+    return F.timestamp_micros(micros)

@@ -72,6 +72,11 @@ def gradient_descent(
     aggs.append(F.sum(s * s).alias("ss"))
     row = src.agg(*aggs).collect()[0]
 
+    if row["n"] is None or float(row["n"]) == 0.0 or row["a_0_0"] is None:
+        raise ValueError(
+            "gradient_descent: no rows left after dropping nulls in "
+            f"{z_col!r}/{s_col!r}"
+        )
     A = [[0.0] * d for _ in range(d)]
     b = [0.0] * d
     for i in range(d):
@@ -137,15 +142,23 @@ def linkage_matrix(
     active = {i: (i, 1) for i in range(m)}  # slot -> (cluster id, size)
     out = []
     for step in range(m - 1):
-        slots = sorted(active)
-        sub = D[np.ix_(slots, slots)]
-        k = int(np.argmin(sub))
-        i_s, j_s = slots[k // len(slots)], slots[k % len(slots)]
-        if i_s > j_s:
-            i_s, j_s = j_s, i_s
+        # argmin over the matrix in place — dead slots already hold +inf,
+        # so no O(m^2) submatrix copy per merge.  Among exact-distance
+        # ties, pick the lexicographically smallest (cluster_a, cluster_b)
+        # id pair, the documented deterministic tie-break.
+        flat = int(np.argmin(D))
+        i0, j0 = np.unravel_index(flat, D.shape)
+        dist = float(D[i0, j0])
+        best = None
+        for ti, tj in zip(*np.nonzero(D == dist)):
+            if ti >= tj:
+                continue
+            pair = tuple(sorted((active[int(ti)][0], active[int(tj)][0])))
+            if best is None or pair < best[0]:
+                best = (pair, int(ti), int(tj))
+        _, i_s, j_s = best
         ci, ni = active[i_s]
         cj, nj = active[j_s]
-        dist = float(D[i_s, j_s])
         a, b_ = sorted((ci, cj))
         out.append((a, b_, dist, ni + nj))
         # Lance-Williams update into slot i_s

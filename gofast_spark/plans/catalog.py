@@ -65,15 +65,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
         if isinstance(dt, T.TimestampNTZType):
-            # NTZ->TZ cast reinterprets in the session TZ; pin it to UTC
-            # (engine policy, session._LOCAL_DEFAULTS) so the result
-            # matches DuckDB's naive reading even on a foreign session.
-            # (no get() default: Spark 4 validates the default string as a
-            # timezone; the key always resolves — JVM TZ when unset)
-            tz_key = "spark.sql.session.timeZone"
-            if spark.conf.get(tz_key) not in ("UTC", "Etc/UTC"):
-                spark.conf.set(tz_key, "UTC")
-            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+            # reinterpret the NTZ wall time as UTC WITHOUT touching the
+            # session timezone (a cast would read the session TZ, and
+            # mutating the conf to compensate would leak a side effect
+            # into every later timestamp operation in the session)
+            from gofast_spark.functions.dates import ntz_to_utc_timestamp
+
+            return df.withColumn("ts", ntz_to_utc_timestamp(F.col("ts")))
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 

@@ -158,7 +158,13 @@ class DBAnalysis:
         while i < n:
             ch = s[i]
             if quote:
+                if ch == "\\":
+                    i += 2  # backslash-escaped char inside the literal
+                    continue
                 if ch == quote:
+                    if i + 1 < n and s[i + 1] == quote:
+                        i += 2  # doubled quote ('' / "") stays inside
+                        continue
                     quote = None
                 i += 1
                 continue

@@ -49,10 +49,20 @@ def read_event_stream(
     the batch reader's resolved schema first — a driver-side footer-only
     metadata read — and declare the matching stream schema, converting to a
     proper TimestampType inline whichever way the files are encoded."""
+    from pyspark.errors import AnalysisException
+
     probe = spark.read
     if glob:
         probe = probe.option("pathGlobFilter", glob)
-    ts_type = probe.parquet(path).schema["ts"].dataType
+    try:
+        ts_type = probe.parquet(path).schema["ts"].dataType
+    except AnalysisException:
+        # initially-empty source directory (the normal start state for a
+        # live file stream): no footer to probe, so declare the current
+        # generator convention (timestamp[us] NTZ) and let the NTZ branch
+        # below normalize; files arriving later must match this schema,
+        # as with any declared streaming schema
+        ts_type = TimestampNTZType()
 
     fields = [
         StructField("event_id", LongType()),
@@ -69,10 +79,10 @@ def read_event_stream(
     if isinstance(ts_type, LongType):
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     if isinstance(ts_type, TimestampNTZType):
-        tz_key = "spark.sql.session.timeZone"
-        if spark.conf.get(tz_key) not in ("UTC", "Etc/UTC"):
-            spark.conf.set(tz_key, "UTC")
-        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        # session-TZ-independent reinterpretation (no conf side effect)
+        from gofast_spark.functions.dates import ntz_to_utc_timestamp
+
+        return df.withColumn("ts", ntz_to_utc_timestamp(F.col("ts")))
     return df
 
 
@@ -259,7 +269,7 @@ def write_stream_to_warehouse(
     checkpoint: str,
     mode: str = "append",
     available_now: bool = True,
-) -> None:
+):
     """``foreachBatch`` parquet-warehouse sink with exactly-once
     semantics.
 
@@ -271,9 +281,10 @@ def write_stream_to_warehouse(
     checkpoint directory carries the source offsets, so the pipeline
     resumes where it stopped.
 
-    ``available_now`` drains the current source content and terminates
-    (deterministic for tests/backfills); a live job passes False and
-    keeps the query handle running.
+    ``available_now`` drains the current source content and terminates,
+    returning None (deterministic for tests/backfills); a live job
+    passes False and receives the running ``StreamingQuery`` handle to
+    await/monitor/stop.
     """
     from pyspark.sql import functions as F
 
@@ -295,5 +306,5 @@ def write_stream_to_warehouse(
         q = writer.trigger(availableNow=True).start()
         q.awaitTermination()
         q.stop()
-    else:
-        writer.start()
+        return None
+    return writer.start()
