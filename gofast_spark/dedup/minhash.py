@@ -60,8 +60,17 @@ def doc_shingle_sets(
     *,
     k: int = 3,
     arr_col: str = "sh_set",
+    merge_fragments: bool = False,
 ) -> DataFrame:
     """(id, array<int64> of distinct shingle hashes) — one row per doc.
+
+    Input contract: ONE ROW PER ``id_col`` VALUE.  The shuffle-free plan
+    computes each doc's shingle set inside the doc's own row, so an id
+    spanning several rows (a document split across page/chunk rows)
+    yields one output row PER FRAGMENT — downstream signatures and
+    Jaccard would then be fragment-level (ADVICE r5).  Pass
+    ``merge_fragments=True`` for such inputs: fragment sets union per id
+    through one groupBy (the only extra shuffle).
 
     Shingles are ``|``-joined runs of ``k`` normalized tokens; a doc with
     fewer than ``k`` tokens contributes its whole token string as one
@@ -103,9 +112,14 @@ def doc_shingle_sets(
     hashed = F.transform(
         sh_arr, lambda s: F.pmod(md5_hash64(s), F.lit(2**31))
     )
-    return base.select(
+    out = base.select(
         F.col(id_col), F.array_distinct(hashed).alias(arr_col)
     )
+    if merge_fragments:
+        out = out.groupBy(id_col).agg(
+            F.array_distinct(F.flatten(F.collect_list(arr_col))).alias(arr_col)
+        )
+    return out
 
 
 def doc_shingles(
@@ -120,7 +134,10 @@ def doc_shingles(
 
     Explode of :func:`doc_shingle_sets` — the distinct happened per-row
     in the array, so no corpus-wide shuffle is needed here either.
-    Output has one row per distinct shingle per doc.
+    Output has one row per distinct shingle per doc, PROVIDED the input
+    honors the one-row-per-doc contract (see :func:`doc_shingle_sets`;
+    multi-row ids need its ``merge_fragments=True`` first — fragments
+    sharing a shingle would otherwise emit duplicate (id, hash) rows).
     """
     sets_df = doc_shingle_sets(df, id_col, text_col, k=k)
     return sets_df.select(
@@ -171,7 +188,10 @@ def minhash_signatures_from_sets(
 
     No groupBy at all — each doc's signature is computed inside its own
     row, so the only shuffle left in the whole MinHash pipeline is the
-    LSH band self-join."""
+    LSH band self-join.  One-row-per-doc contract applies (see
+    :func:`doc_shingle_sets`): a multi-fragment id yields one signature
+    per fragment, and ``include_size`` counts per-fragment set sizes —
+    merge fragments upstream when ids can repeat."""
     coeffs = MINHASH_COEFFS[:num_hashes]
     arr = F.col(arr_col)
 
@@ -319,6 +339,7 @@ def near_dup_pairs(
     rows_per_band: int = 2,
     eager: bool = True,
     merge_fragments: bool = False,
+    broadcast_candidate_limit: int = 50_000,
 ) -> DataFrame:
     """End-to-end near-duplicate pairs: shingle -> minhash -> LSH bands ->
     exact-Jaccard verify >= threshold.
@@ -347,15 +368,29 @@ def near_dup_pairs(
     garbage-collected — no caller-side ``unpersist`` obligation.
     ``eager=False`` keeps the whole pipeline lazy and skips persist /
     checkpoint entirely (the set projection then recomputes once per
-    downstream leg)."""
+    downstream leg).
 
-    def _verify(sets_df: DataFrame, cand: DataFrame, bcast: bool) -> DataFrame:
+    Broadcasting the candidate-doc SET frames (full shingle arrays) into
+    the verify joins is only safe while the candidate population is
+    genuinely small: on a duplicate-heavy corpus candidates approach the
+    corpus and the build side would blow past executor memory (ADVICE
+    r5).  The eager path therefore counts the checkpointed pair frame
+    (a metadata-cheap action) and only broadcasts the set legs when
+    pairs <= ``broadcast_candidate_limit``; above it the set joins
+    shuffle while the tiny id/pair frames stay broadcast."""
+
+    def _verify(
+        sets_df: DataFrame,
+        cand: DataFrame,
+        bcast_ids: bool,
+        bcast_sets: bool,
+    ) -> DataFrame:
         cand_ids = (
             cand.select(F.col("id_a").alias("__cid"))
             .union(cand.select(F.col("id_b").alias("__cid")))
             .distinct()
         )
-        if bcast:
+        if bcast_ids:
             cand_ids = F.broadcast(cand_ids)
         sub = sets_df.join(
             cand_ids, F.col(id_col) == F.col("__cid"), "left_semi"
@@ -366,7 +401,7 @@ def near_dup_pairs(
         xb = sub.select(
             F.col(id_col).alias("__b_id"), F.col("sh_set").alias("__b_set")
         )
-        if bcast:
+        if bcast_sets:
             xa, xb = F.broadcast(xa), F.broadcast(xb)
         inter = F.size(F.array_intersect(F.col("__a_set"), F.col("__b_set")))
         union = (
@@ -399,7 +434,7 @@ def near_dup_pairs(
         cand = lsh_candidate_pairs(
             sig, id_col, num_hashes=num_hashes, rows_per_band=rows_per_band
         )
-        return _verify(sets_df, cand, bcast=False)
+        return _verify(sets_df, cand, bcast_ids=False, bcast_sets=False)
     sets_df = _sets(df).persist()
     try:
         # candidates are bounded by Σ bucket² — checkpoint them eagerly
@@ -411,6 +446,11 @@ def near_dup_pairs(
         cand = lsh_candidate_pairs(
             sig, id_col, num_hashes=num_hashes, rows_per_band=rows_per_band
         ).localCheckpoint(eager=True)
-        return _verify(sets_df, cand, bcast=True).localCheckpoint(eager=True)
+        # counting a checkpointed frame is metadata-cheap; gates whether
+        # the full set arrays may ride the broadcast build side
+        bcast_sets = cand.count() <= broadcast_candidate_limit
+        return _verify(
+            sets_df, cand, bcast_ids=True, bcast_sets=bcast_sets
+        ).localCheckpoint(eager=True)
     finally:
         sets_df.unpersist()

@@ -42,37 +42,17 @@ def query(name: str, oracle: str | None = None):
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a driver table.  The events parquet's ``ts`` physical encoding
-    has varied across testdata generations — TIMESTAMP(NANOS) (which
-    Spark's reader only accepts as long nanos via the legacy conf),
-    timestamp[us] with isAdjustedToUTC=0 (read as TIMESTAMP_NTZ), or a
-    plain UTC-adjusted timestamp.  Branch on the dtype Spark actually
-    produced so a testdata regeneration degrades gracefully instead of
-    crashing every events-based entry (this function is shared by every
-    catalog_* module)."""
+    has varied across testdata generations; sources.events owns the
+    tolerant read + normalize policy (shared with the streaming reader so
+    batch and stream cannot drift apart)."""
     if name == "events":
-        # engine policy (see session._LOCAL_DEFAULTS); set here too because
-        # the driver may hand us a session built without our defaults —
-        # guarded so we only touch the conf when it isn't already set.
-        # Harmless for non-nanos encodings (it only affects NANOS columns).
-        key = "spark.sql.legacy.parquet.nanosAsLong"
-        if spark.conf.get(key, "false") != "true":
-            spark.conf.set(key, "true")
-        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        dt = df.schema["ts"].dataType
-        if isinstance(dt, T.LongType):
-            # nanos-as-long: truncate to micros (DuckDB does the same).
-            return df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
-            )
-        if isinstance(dt, T.TimestampNTZType):
-            # reinterpret the NTZ wall time as UTC WITHOUT touching the
-            # session timezone (a cast would read the session TZ, and
-            # mutating the conf to compensate would leak a side effect
-            # into every later timestamp operation in the session)
-            from gofast_spark.functions.dates import ntz_to_utc_timestamp
+        from gofast_spark.sources.events import (
+            normalize_event_ts,
+            read_events_batch,
+        )
 
-            return df.withColumn("ts", ntz_to_utc_timestamp(F.col("ts")))
-        return df
+        df = read_events_batch(spark, os.path.join(sf_dir, "events.parquet"))
+        return normalize_event_ts(df)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -751,8 +751,12 @@ def durbin_watson_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
         F.round(F.sum("value"), 4).cast("double").alias("v")
     )
-    mu = daily.agg(F.avg("v")).collect()[0][0]
-    resid = daily.select("d", (F.col("v") - float(mu)).alias("r"))
+    # 1-row mean rides a broadcast cross join — no eager driver collect
+    # inside a query builder (VERDICT r5 #6; idiom of stats/inferential)
+    mu = daily.agg(F.avg("v").alias("__mu"))
+    resid = daily.crossJoin(F.broadcast(mu)).select(
+        "d", (F.col("v") - F.col("__mu")).alias("r")
+    )
     out = durbin_watson(resid, "r", "d")
     return out.select(
         F.round("dw_stat", 6).cast("double").alias("dw_stat"), "n"

@@ -31,10 +31,6 @@ def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         windowed_aggregate,
     )
 
-    # engine nanos policy must be set before the streaming read, same as _t
-    key = "spark.sql.legacy.parquet.nanosAsLong"
-    if spark.conf.get(key, "false") != "true":
-        spark.conf.set(key, "true")
     stream = read_event_stream(spark, sf_dir, glob="events.parquet")
     agg = windowed_aggregate(
         stream,
@@ -85,9 +81,6 @@ def sessionized_aggregate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds are compared as unix micros — exact on both engines."""
     from gofast_spark.streaming import read_event_stream, run_available_now
 
-    key = "spark.sql.legacy.parquet.nanosAsLong"
-    if spark.conf.get(key, "false") != "true":
-        spark.conf.set(key, "true")
     stream = read_event_stream(spark, sf_dir, glob="events.parquet")
     agg = stream.groupBy(
         F.session_window(F.col("ts"), "30 minutes").alias("w"),
@@ -119,9 +112,6 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_dedup,
     )
 
-    key = "spark.sql.legacy.parquet.nanosAsLong"
-    if spark.conf.get(key, "false") != "true":
-        spark.conf.set(key, "true")
     stream = read_event_stream(spark, sf_dir, glob="events.parquet")
     deduped = stream_dedup(
         stream, ["user_id", "event_type"], ts_col="ts", watermark="45 days"
@@ -148,20 +138,12 @@ def stateful_totals_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     state — must equal the batch per-user aggregate DuckDB computes.
     This is the exactly-once check for arbitrary-state operators, beyond
     what the built-in windowed aggregates cover."""
-    from gofast_spark.streaming import run_available_now
-    from gofast_spark.streaming.ops import (
-        EVENTS_RAW_SCHEMA,
-        stateful_running_totals,
-    )
+    from gofast_spark.streaming import read_event_stream, run_available_now
+    from gofast_spark.streaming.ops import stateful_running_totals
 
-    key = "spark.sql.legacy.parquet.nanosAsLong"
-    if spark.conf.get(key, "false") != "true":
-        spark.conf.set(key, "true")
-    stream = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    # the probing reader handles every ts encoding; ts is pruned from the
+    # plan anyway (the stateful op only reads user_id/value)
+    stream = read_event_stream(spark, sf_dir, glob="events.parquet")
     out = run_available_now(
         stateful_running_totals(stream, "user_id", "value"), mode="update"
     )

@@ -28,9 +28,8 @@ _LOCAL_DEFAULTS = {
     "spark.driver.memory": "8g",
     "spark.ui.enabled": "false",
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
-    # engine-wide policy: parquet TIMESTAMP(NANOS) reads as long nanos
-    # (Spark's reader rejects it otherwise); loaders convert to micros.
-    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # NOTE: no legacy nanosAsLong default — sources.events sets it lazily
+    # iff a TIMESTAMP(NANOS) parquet footer is actually encountered.
 }
 
 

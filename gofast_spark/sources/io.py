@@ -127,19 +127,39 @@ _PANDAS_WRITERS = {
 _SPARK_WRITERS = {"csv", "json", "parquet", "orc", "text"}
 
 
-def export_data(df: DataFrame, base_path: str, formats: list[str], **options) -> list[str]:
+def export_data(
+    df: DataFrame,
+    base_path: str,
+    formats: list[str],
+    *,
+    max_rows: int | None = 1_000_000,
+    **options,
+) -> list[str]:
     """Write one frame to several formats (gofast/core/io.py:1137;
     writer matrix gofast/api/property.py:2827-2845).
 
     Spark-native formats (csv/json/parquet/orc/text) use distributed
     writers at ``{base_path}.{fmt}/``; pandas-only interchange formats
     (feather/stata/hdf/excel/tex/pickle) fall back to a driver-side
-    pandas write at ``{base_path}.{fmt}`` — bounded by contract.
+    pandas write at ``{base_path}.{fmt}``.  The pandas path is guarded:
+    ``max_rows`` (default 1M) is enforced with a bounded ``limit(n+1)``
+    count before ``toPandas`` so a mistakenly-huge frame raises instead
+    of OOMing the driver (ADVICE r5); pass ``max_rows=None`` to opt out.
     """
     written = []
     mode = options.pop("mode", "overwrite")
     pandas_fmts = [f for f in formats if f in _PANDAS_WRITERS]
-    pdf = df.toPandas() if pandas_fmts else None
+    pdf = None
+    if pandas_fmts:
+        if max_rows is not None:
+            # bounded probe: scans at most max_rows+1 rows, never the frame
+            if df.limit(max_rows + 1).count() > max_rows:
+                raise ValueError(
+                    f"export_data: frame exceeds max_rows={max_rows} for "
+                    f"driver-side formats {pandas_fmts}; filter/aggregate "
+                    "first or raise max_rows explicitly"
+                )
+        pdf = df.toPandas()
     for fmt in formats:
         target = f"{base_path}.{fmt}"
         if fmt in _PANDAS_WRITERS:

@@ -23,8 +23,8 @@ from pyspark.sql.types import (
     TimestampNTZType,
 )
 
-# events.parquet schema with ts as raw nanos (the engine-wide
-# nanosAsLong policy; see session._LOCAL_DEFAULTS)
+# events.parquet schema with ts as raw nanos (the TIMESTAMP(NANOS)
+# testdata generation; sources.events sets the legacy conf lazily)
 EVENTS_RAW_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -44,19 +44,30 @@ def read_event_stream(
     streaming reads).
 
     The physical ``ts`` encoding has varied across testdata generations
-    (TIMESTAMP(NANOS) read as long nanos via the legacy conf, timestamp[us]
-    isAdjustedToUTC=0 read as TIMESTAMP_NTZ, plain UTC timestamp), so probe
-    the batch reader's resolved schema first — a driver-side footer-only
-    metadata read — and declare the matching stream schema, converting to a
-    proper TimestampType inline whichever way the files are encoded."""
+    (TIMESTAMP(NANOS) read as long nanos via the lazily-set legacy conf,
+    timestamp[us] isAdjustedToUTC=0 read as TIMESTAMP_NTZ, plain UTC
+    timestamp), so probe the batch reader's resolved schema first — a
+    driver-side footer-only metadata read through
+    :func:`gofast_spark.sources.events.read_events_batch`, which
+    self-heals the NANOS case — and declare the matching stream schema,
+    converting to a proper TimestampType inline whichever way the files
+    are encoded.  Only a genuinely empty/missing source falls back to the
+    current generator convention; other probe errors propagate (ADVICE
+    r5: a swallowed nanos error used to mis-declare NTZ)."""
     from pyspark.errors import AnalysisException
 
-    probe = spark.read
-    if glob:
-        probe = probe.option("pathGlobFilter", glob)
+    from gofast_spark.sources.events import read_events_batch
+
     try:
-        ts_type = probe.parquet(path).schema["ts"].dataType
-    except AnalysisException:
+        ts_type = read_events_batch(spark, path, glob=glob).schema["ts"].dataType
+    except AnalysisException as e:
+        msg = str(e)
+        if not (
+            "PATH_NOT_FOUND" in msg
+            or "UNABLE_TO_INFER_SCHEMA" in msg
+            or "Unable to infer schema" in msg
+        ):
+            raise
         # initially-empty source directory (the normal start state for a
         # live file stream): no footer to probe, so declare the current
         # generator convention (timestamp[us] NTZ) and let the NTZ branch
@@ -76,14 +87,9 @@ def read_event_stream(
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     df = reader.parquet(path)
-    if isinstance(ts_type, LongType):
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    if isinstance(ts_type, TimestampNTZType):
-        # session-TZ-independent reinterpretation (no conf side effect)
-        from gofast_spark.functions.dates import ntz_to_utc_timestamp
+    from gofast_spark.sources.events import normalize_event_ts
 
-        return df.withColumn("ts", ntz_to_utc_timestamp(F.col("ts")))
-    return df
+    return normalize_event_ts(df)
 
 
 def windowed_aggregate(

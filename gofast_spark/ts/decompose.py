@@ -34,6 +34,10 @@ def _savgol_1d(x, window_length: int, polyorder: int):
     the first/last window (exactly scipy's polynomial edge fit)."""
     import numpy as np
 
+    if window_length % 2 == 0:
+        # scipy contract: an even window has no center row, and the edge
+        # slices would silently span wl+1 points (ADVICE r5)
+        raise ValueError("window_length must be odd")
     n = len(x)
     wl = min(window_length, n if n % 2 else n - 1)
     wl = max(wl, 3)
@@ -73,6 +77,10 @@ def savgol_smooth(
     savgol_filter`` to float tolerance (asserted in tests when
     available)."""
     import numpy as np  # noqa: F401  (worker-side dependency)
+
+    if window_length % 2 == 0:
+        # fail at plan time, not inside the Arrow batch on an executor
+        raise ValueError("window_length must be odd")
 
     schema = f"{series_col} string, {order_col} string, {value_col}_sg double"
 
