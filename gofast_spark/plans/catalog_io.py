@@ -1,0 +1,483 @@
+"""§2.1 sources/sinks catalog entries: writer-matrix round-trips,
+export/save/warehouse surface, and the seeded dataset registry — the
+implemented-but-never-driver-verified rows VERDICT r5 ranked as the bulk
+of the remaining coverage gap.
+
+Round-trip entries WRITE through the engine's sinks into a scratch dir
+(`/tmp/gofast_spark_io`, overwritten per run so /tmp stays bounded), then
+RE-READ through the engine's readers; the oracle runs on the original
+table, so a hash match proves write+read fidelity end to end.
+
+Dataset entries verify the generators' portable arithmetic (pmod key
+derivations, date spines, expr columns) against DuckDB `range()` replays;
+seeded `F.rand` columns — Spark-internal RNG, unreproducible in DuckDB by
+design — are covered by bounds-invariant entries instead.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gofast_spark.plans.catalog import (
+    _MONEY2_SQL,
+    _U6_SQL,
+    _money2,
+    _t,
+    _units6,
+    query,
+)
+
+_TMP = "/tmp/gofast_spark_io"
+
+
+def _scratch(name: str) -> str:
+    d = os.path.join(_TMP, name)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+# ---------------------------------------------------------------------------
+# Writer-matrix round-trips (export_data / PandasDataHandlers.writers,
+# gofast/core/io.py:1137, gofast/api/property.py:2827-2845)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "write_roundtrip_csv_nation",
+    oracle="""
+    SELECT CAST(n_nationkey AS INT) AS n_nationkey, n_name,
+           CAST(n_regionkey AS INT) AS n_regionkey
+    FROM nation
+    """,
+)
+def write_roundtrip_csv_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed csv write + read_data re-read; hash equality with the
+    source parquet proves the csv writer/reader pair is lossless for
+    int/string columns (export_data csv leg, gofast/core/io.py:1137)."""
+    from gofast_spark.sources import export_data, read_data
+
+    base = os.path.join(_scratch("csv_nation"), "nation")
+    export_data(_t(spark, sf_dir, "nation"), base, ["csv"])
+    df = read_data(spark, base + ".csv")
+    return df.select(
+        F.col("n_nationkey").cast("int").alias("n_nationkey"),
+        "n_name",
+        F.col("n_regionkey").cast("int").alias("n_regionkey"),
+    )
+
+
+@query(
+    "write_roundtrip_json_orders",
+    oracle=f"""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           {_MONEY2_SQL.format(s=f"sum({_U6_SQL.format(x='o_totalprice')})")} AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def write_roundtrip_json_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """json writer + reader round-trip on orders; doubles survive the
+    text round-trip bit-exactly (shortest-repr guarantee), verified by
+    the micro-unit money sum matching the source-table oracle."""
+    from gofast_spark.sources import export_data, read_data
+
+    base = os.path.join(_scratch("json_orders"), "orders")
+    src = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    export_data(src, base, ["json"])
+    df = read_data(spark, base + ".json")
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        _money2(F.sum(_units6(F.col("o_totalprice")))).alias("total"),
+    )
+
+
+@query(
+    "write_roundtrip_parquet_lineitem",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def write_roundtrip_parquet_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parquet writer round-trip on the fact table (store_data-style
+    warehouse write), aggregated after re-read."""
+    from gofast_spark.sources import export_data, read_data
+
+    base = os.path.join(_scratch("parquet_lineitem"), "lineitem")
+    src = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    export_data(src, base, ["parquet"])
+    df = read_data(spark, base + ".parquet")
+    return df.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("qty"),
+    )
+
+
+@query(
+    "write_roundtrip_orc_customer",
+    oracle=f"""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           {_MONEY2_SQL.format(s=f"sum({_U6_SQL.format(x='c_acctbal')})")} AS bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def write_roundtrip_orc_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orc writer + reader round-trip (the columnar alternative the
+    writer matrix exposes), aggregated after re-read."""
+    from gofast_spark.sources import export_data, read_data
+
+    base = os.path.join(_scratch("orc_customer"), "customer")
+    export_data(_t(spark, sf_dir, "customer"), base, ["orc"])
+    df = read_data(spark, base + ".orc")
+    return df.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        _money2(F.sum(_units6(F.col("c_acctbal")))).alias("bal"),
+    )
+
+
+@query(
+    "write_roundtrip_text_region",
+    oracle="""
+    SELECT CAST(r_regionkey AS INT) AS r_regionkey, r_name FROM region
+    """,
+)
+def write_roundtrip_text_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text sink (one string column) + re-read + parse: the
+    lowest-common-denominator leg of the writer matrix."""
+    from gofast_spark.sources import export_data, read_data
+
+    base = os.path.join(_scratch("text_region"), "region")
+    src = _t(spark, sf_dir, "region").select(
+        F.format_string("%d|%s", "r_regionkey", "r_name").alias("value")
+    )
+    export_data(src, base, ["text"])
+    df = read_data(spark, base + ".text", fmt="text")
+    parts = F.split(F.col("value"), r"\|")
+    return df.select(
+        parts.getItem(0).cast("int").alias("r_regionkey"),
+        parts.getItem(1).alias("r_name"),
+    )
+
+
+@query(
+    "export_feather_customer",
+    oracle=f"""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           {_MONEY2_SQL.format(s=f"sum({_U6_SQL.format(x='c_acctbal')})")} AS bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def export_feather_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-format export_data (distributed parquet + driver-side
+    feather interchange) with the feather leg re-read through the pandas
+    fallback reader — the bounded driver-side writer path, guarded by
+    export_data's max_rows check."""
+    from gofast_spark.sources import export_data, read_data
+
+    base = os.path.join(_scratch("feather_customer"), "customer")
+    export_data(_t(spark, sf_dir, "customer"), base, ["parquet", "feather"])
+    df = read_data(spark, base + ".feather")
+    return df.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        _money2(F.sum(_units6(F.col("c_acctbal")))).alias("bal"),
+    )
+
+
+@query(
+    "read_data_pickle_nation",
+    oracle="""
+    SELECT CAST(n_nationkey AS INT) AS n_nationkey, n_name,
+           CAST(n_regionkey AS INT) AS n_regionkey
+    FROM nation
+    """,
+)
+def read_data_pickle_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """export_data pickle leg + read_data's pandas-fallback reader
+    (.pkl, PandasDataHandlers.parsers matrix,
+    gofast/api/property.py:2781) — full-row fidelity on a small dim."""
+    from gofast_spark.sources import export_data, read_data
+
+    base = os.path.join(_scratch("pickle_nation"), "nation")
+    export_data(_t(spark, sf_dir, "nation"), base, ["pickle"])
+    df = read_data(spark, base + ".pickle", fmt=None)
+    return df.select(
+        F.col("n_nationkey").cast("int").alias("n_nationkey"),
+        "n_name",
+        F.col("n_regionkey").cast("int").alias("n_regionkey"),
+    )
+
+
+@query(
+    "read_data_tsv_part_types",
+    oracle="""
+    SELECT p_type, CAST(count(*) AS BIGINT) AS n
+    FROM part GROUP BY p_type
+    """,
+)
+def read_data_tsv_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tsv dialect of the extension-dispatch reader (tab separator is
+    injected by extension, gofast/core/io.py:826)."""
+    from gofast_spark.sources import read_data
+
+    base = os.path.join(_scratch("tsv_part"), "part.tsv")
+    src = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    src.write.mode("overwrite").option("header", "true").option(
+        "sep", "\t"
+    ).csv(base)
+    df = read_data(spark, base)
+    return df.groupBy("p_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "sanitize_messy_csv_nation",
+    oracle="""
+    SELECT CAST(n_nationkey AS INT) AS n_nationkey, n_name,
+           CAST(n_regionkey AS INT) AS n_regionkey
+    FROM nation
+    """,
+)
+def sanitize_messy_csv_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """read_data(sanitize=True) on a csv with messy headers — the
+    column-name cleanup path of _read_data (gofast/core/io.py:726-780):
+    'N NationKey ' -> n_nationkey etc."""
+    from gofast_spark.sources import read_data
+
+    base = os.path.join(_scratch("messy_nation"), "nation.csv")
+    messy = _t(spark, sf_dir, "nation").toDF(
+        "N NationKey ", "N Name!", "n regionkey"
+    )
+    messy.write.mode("overwrite").option("header", "true").csv(base)
+    df = read_data(spark, base, sanitize=True)
+    return df.select(
+        F.col("n_nationkey").cast("int").alias("n_nationkey"),
+        "n_name",
+        F.col("n_regionkey").cast("int").alias("n_regionkey"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# save_or_load + parquet warehouse (HDF5 store family,
+# gofast/core/io.py:1423, gofast/dataops/management.py:424,521)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "save_or_load_roundtrip_range",
+    oracle="""
+    SELECT CAST(i AS BIGINT) AS row_id,
+           CAST(i AS DOUBLE) AS v0,
+           CAST(2 * i AS DOUBLE) + 0.5 AS v1
+    FROM range(24) t(i)
+    """,
+)
+def save_or_load_roundtrip_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ndarray -> parquet -> ndarray round-trip (save_or_load,
+    gofast/core/io.py:1423), re-framed for the hash compare."""
+    import numpy as np
+
+    from gofast_spark.sources import save_or_load
+
+    path = os.path.join(_scratch("save_or_load"), "arr.parquet")
+    arr = np.array([[float(i), 2.0 * i + 0.5] for i in range(24)])
+    save_or_load(spark, path, arr, task="save")
+    back = save_or_load(spark, path, task="load")
+    rows = [(i, float(r[0]), float(r[1])) for i, r in enumerate(back)]
+    return spark.createDataFrame(rows, "row_id bigint, v0 double, v1 double")
+
+
+@query(
+    "warehouse_store_retrieve_supplier",
+    oracle=f"""
+    SELECT CAST(s_nationkey AS INT) AS s_nationkey,
+           CAST(count(*) AS BIGINT) AS n,
+           {_MONEY2_SQL.format(s=f"sum({_U6_SQL.format(x='s_acctbal')})")} AS bal
+    FROM supplier GROUP BY s_nationkey
+    """,
+)
+def warehouse_store_retrieve_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """store_data -> list_stored -> retrieve_data through the parquet
+    warehouse (the HDF5-store replacement, splittable + predicate-pushed;
+    gofast/dataops/management.py:424,521)."""
+    from gofast_spark.sources import list_stored, retrieve_data, store_data
+
+    wh = _scratch("warehouse")
+    store_data(_t(spark, sf_dir, "supplier"), wh, "supplier")
+    if "supplier" not in list_stored(wh):
+        raise RuntimeError("warehouse listing lost the stored table")
+    df = retrieve_data(spark, wh, "supplier")
+    return df.groupBy(F.col("s_nationkey").cast("int").alias("s_nationkey")).agg(
+        F.count(F.lit(1)).alias("n"),
+        _money2(F.sum(_units6(F.col("s_acctbal")))).alias("bal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seeded dataset registry (make_*/load_* families,
+# gofast/datasets/make.py:70-3886, load.py:38-1791)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "make_sales_portable_agg",
+    oracle="""
+    SELECT CAST(i * 7919 % 20 AS BIGINT) AS store_id,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(i * 31 % 9 + 1) AS BIGINT) AS qty,
+           min(DATE '2024-01-01' + CAST(i % 365 AS INT)) AS d_min,
+           max(DATE '2024-01-01' + CAST(i % 365 AS INT)) AS d_max
+    FROM range(10000) t(i) GROUP BY 1
+    """,
+)
+def make_sales_portable_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """make_sales_data's key/date/quantity derivations are pure pmod
+    arithmetic over the row id — DuckDB replays them exactly from
+    range(), proving the distributed generator's deterministic columns
+    (make_sales flavor, gofast/datasets/make.py)."""
+    from gofast_spark.sources.datasets import make_sales_data
+
+    df = make_sales_data(spark, 10_000)
+    return df.groupBy("store_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("quantity").cast("bigint")).alias("qty"),
+        F.min("sale_date").alias("d_min"),
+        F.max("sale_date").alias("d_max"),
+    )
+
+
+@query(
+    "make_classification_label_counts",
+    oracle="""
+    SELECT CAST(i % 4 AS INT) AS label, CAST(count(*) AS BIGINT) AS n
+    FROM range(1000) t(i) GROUP BY 1
+    """,
+)
+def make_classification_label_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """make_classification_data's label derivation (pmod over the row
+    id) replayed in DuckDB; the class-shifted feature draws are
+    bounds-checked in dataset_bounds_invariant instead."""
+    from gofast_spark.sources.datasets import make_classification_data
+
+    df = make_classification_data(spark, 1000, n_classes=4)
+    return df.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "load_iris_target_counts",
+    oracle="""
+    SELECT CAST(i % 3 AS INT) AS target, CAST(count(*) AS BIGINT) AS n
+    FROM range(150) t(i) GROUP BY 1
+    """,
+)
+def load_iris_target_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """load_iris (gofast/datasets/load.py:1143 shape): the expr-spec
+    target column is portable arithmetic; measurement bounds are covered
+    by dataset_bounds_invariant."""
+    from gofast_spark.sources.datasets import load_iris
+
+    return load_iris(spark).groupBy("target").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "dataset_bounds_invariant",
+    oracle="""
+    SELECT CAST(1 AS INT) AS iris_ok, CAST(1 AS INT) AS statlog_ok,
+           CAST(150 AS BIGINT) AS iris_n, CAST(270 AS BIGINT) AS statlog_n
+    """,
+)
+def dataset_bounds_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkable-invariant oracle for the seeded RNG columns DuckDB
+    cannot replay (Spark-internal XORShift): every uniform/int spec
+    column must stay inside its declared bounds and the row counts must
+    match the registry defaults.  A generator regression (seed handling,
+    spec drift) flips the flag and fails the hash."""
+    from gofast_spark.sources.datasets import load_iris, load_statlog
+
+    iris = load_iris(spark).agg(
+        (
+            (F.min("sepal_length") >= 4.3) & (F.max("sepal_length") <= 7.9)
+            & (F.min("sepal_width") >= 2.0) & (F.max("sepal_width") <= 4.4)
+            & (F.min("petal_length") >= 1.0) & (F.max("petal_length") <= 6.9)
+            & (F.min("petal_width") >= 0.1) & (F.max("petal_width") <= 2.5)
+        ).cast("int").alias("iris_ok"),
+        F.count(F.lit(1)).alias("iris_n"),
+    )
+    statlog = load_statlog(spark).agg(
+        (
+            F.min("age").between(29, 77) & F.max("age").between(29, 77)
+            & F.min("chol").between(126, 564) & F.max("chol").between(126, 564)
+            & F.min("oldpeak").between(0.0, 6.2) & F.max("oldpeak").between(0.0, 6.2)
+            & (F.min("thal").isin(3, 6, 7)) & (F.max("thal").isin(3, 6, 7))
+        ).cast("int").alias("statlog_ok"),
+        F.count(F.lit(1)).alias("statlog_n"),
+    )
+    return iris.crossJoin(F.broadcast(statlog)).select(
+        "iris_ok", "statlog_ok", "iris_n", "statlog_n"
+    )
+
+
+@query(
+    "dataset_registry_counts",
+    # expected literals generated once from the seeded defaults (stable
+    # by construction; a default-size or schema-width change fails the
+    # hash — which is the point)
+    oracle="""
+    SELECT name, CAST(n_rows AS BIGINT) AS n_rows, CAST(n_cols AS INT) AS n_cols
+    FROM (VALUES ('african_demo', 50, 7),
+           ('agronomy', 1000, 10),
+           ('bagoue', 431, 10),
+           ('cc_factors', 1000, 12),
+           ('classification', 1000, 7),
+           ('drill_ops', 1000, 7),
+           ('dyspnea', 1000, 9),
+           ('elogging', 1000, 4),
+           ('erp', 1000, 8),
+           ('ert', 1000, 6),
+           ('forensic', 1000, 8),
+           ('gadget_sales', 1500, 7),
+           ('hlogs', 1000, 13),
+           ('hydro_metrics', 1000, 7),
+           ('iris', 150, 6),
+           ('jrs_bet', 1000, 5),
+           ('market', 1000, 10),
+           ('medical_diagnosis', 1000, 16),
+           ('mining_ops', 1000, 13),
+           ('mxs', 1000, 7),
+           ('nansha', 1000, 10),
+           ('regression', 1000, 7),
+           ('retail', 1000, 7),
+           ('sales', 10000, 7),
+           ('social_media', 1000, 5),
+           ('sounding', 800, 5),
+           ('statlog', 270, 15),
+           ('system_dynamics', 1000, 8),
+           ('tem', 1000, 6),
+           ('toc', 1000, 11),
+           ('water_demand', 700, 9),
+           ('well_logging', 1000, 6)) AS t(name, n_rows, n_cols)
+    """,
+)
+def dataset_registry_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every registry generator builds, with its default row count and
+    schema width — the breadth check over the whole make_*/load_*
+    surface (gofast/datasets/make.py:70, load.py:38).  Count jobs are
+    tiny (seeded spark.range generators)."""
+    from gofast_spark.sources.io import dataset_registry
+
+    rows = []
+    for name, fn in sorted(dataset_registry().items()):
+        d = fn(spark)
+        rows.append((name, d.count(), len(d.columns)))
+    return spark.createDataFrame(rows, "name string, n_rows bigint, n_cols int")

@@ -39,6 +39,7 @@ _PANDAS_READERS = {
     ".xlsx": "read_excel",
     ".xls": "read_excel",
     ".pkl": "read_pickle",
+    ".pickle": "read_pickle",
     ".feather": "read_feather",
     ".html": "read_html",
     ".xml": "read_xml",
@@ -359,14 +360,13 @@ def scrape_web_data(
     return spark.createDataFrame(tables[table_index])
 
 
-def load_dataset(spark: SparkSession, name: str, **kwargs) -> DataFrame:
-    """Named dataset loader registry (the ``load_*`` family,
-    gofast/datasets/load.py:38-1791).  The reference ships packaged CSVs;
-    here every dataset is a seeded distributed generator, so ``load_*``
-    semantics (same name -> same data) hold at any requested size."""
+def dataset_registry() -> dict:
+    """Name -> generator mapping for every packaged dataset (the
+    reference's ``make_*``/``load_*`` surface, gofast/datasets/make.py:70,
+    load.py:38)."""
     from gofast_spark.sources import datasets as _ds
 
-    registry = {
+    return {
         "regression": _ds.make_regression_data,
         "classification": _ds.make_classification_data,
         "sales": _ds.make_sales_data,
@@ -402,6 +402,14 @@ def load_dataset(spark: SparkSession, name: str, **kwargs) -> DataFrame:
         "forensic": _ds.load_forensic,
         "jrs_bet": _ds.load_jrs_bet,
     }
+
+
+def load_dataset(spark: SparkSession, name: str, **kwargs) -> DataFrame:
+    """Named dataset loader registry (the ``load_*`` family,
+    gofast/datasets/load.py:38-1791).  The reference ships packaged CSVs;
+    here every dataset is a seeded distributed generator, so ``load_*``
+    semantics (same name -> same data) hold at any requested size."""
+    registry = dataset_registry()
     if name not in registry:
         raise KeyError(f"unknown dataset {name!r}; available: {sorted(registry)}")
     return registry[name](spark, **kwargs)
