@@ -629,3 +629,75 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").cast("int").alias("bucket"),
         F.round("cos_sim", 4).cast("double").alias("cos_sim"),
     )
+
+
+@query(
+    "multimodal_resize_blobs",
+    oracle="""
+    SELECT doc_id,
+           CAST(least(length(text), 16) + 2 AS BIGINT) AS r_len,
+           CAST(224 AS INT) AS width,
+           CAST(224 AS INT) AS height,
+           CAST(1 AS INT) AS content_ok
+    FROM documents
+    """,
+)
+def multimodal_resize_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing (multimodal.resize_image_blobs): binary-in/
+    binary-out mapInPandas with the deterministic stub kernel (head bytes
+    + dims tag).  ASCII payloads make even the stub differentially
+    checkable: the resized payload's length, dims, and byte-level prefix
+    (must equal the source text's first 16 bytes) are verified per row —
+    content_ok flips to 0 on any corruption and fails the hash."""
+    from gofast_spark.multimodal import resize_image_blobs
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.col("text").cast("binary").alias("payload")
+    )
+    out = resize_image_blobs(d, "doc_id", "payload", target=(224, 224))
+    src = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("__sid"), F.col("text").alias("__text")
+    )
+    joined = out.join(src, F.col("doc_id") == F.col("__sid"))
+    prefix = F.expr("CAST(substring(resized, 1, length(resized) - 2) AS STRING)")
+    return joined.select(
+        "doc_id",
+        F.length("resized").cast("bigint").alias("r_len"),
+        "width",
+        "height",
+        (prefix == F.substring("__text", 1, 16)).cast("int").alias("content_ok"),
+    )
+
+
+@query(
+    "video_frame_sample_agg",
+    oracle="""
+    WITH v AS (
+      SELECT doc_id, length(text) AS len,
+             1000 + (length(text) * 37) % 60000 AS dur
+      FROM documents)
+    SELECT CAST(j AS INT) AS frame_idx,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(dur * j // 3) AS BIGINT) AS ts_sum,
+           CAST(sum(least(greatest(len - j, 0), 8) + 1) AS BIGINT) AS f_bytes
+    FROM v, range(4) t(j)
+    GROUP BY 1
+    """,
+)
+def video_frame_sample_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (multimodal.sample_video_frames):
+    the 1-to-N row fan-out inside Arrow batches, deterministic stub
+    timestamps (fake duration from payload size, uniform spacing) and
+    per-frame payload sizes — all replayed relationally in DuckDB from
+    the documents table x range(n_frames)."""
+    from gofast_spark.multimodal import sample_video_frames
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    frames = sample_video_frames(d, "doc_id", "payload", n_frames=4)
+    return frames.groupBy("frame_idx").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ts_ms").alias("ts_sum"),
+        F.sum(F.length("frame").cast("bigint")).alias("f_bytes"),
+    )

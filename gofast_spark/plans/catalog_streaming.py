@@ -206,3 +206,42 @@ def stream_static_enrich_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "segment", "n", F.round("__t", 4).cast("double").alias("total")
     )
+
+
+@query(
+    "warehouse_sink_roundtrip_events",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(value), 4) AS DOUBLE) AS total
+    FROM events GROUP BY event_type
+    """,
+)
+def warehouse_sink_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once foreachBatch parquet warehouse sink
+    (streaming.write_stream_to_warehouse): drain the events stream with
+    availableNow into per-__batch_id partition overwrites, re-read the
+    landed parquet, and hash-match the batch aggregate — the sink's
+    idempotent-overwrite recipe proven differentially, not just claimed.
+    Scratch dirs are recreated per run so a stale checkpoint can never
+    mask a replay."""
+    import shutil
+
+    from gofast_spark.streaming import (
+        read_event_stream,
+        write_stream_to_warehouse,
+    )
+
+    root = "/tmp/gofast_spark_io/wh_sink"
+    shutil.rmtree(root, ignore_errors=True)
+    stream = read_event_stream(spark, sf_dir, glob="events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    write_stream_to_warehouse(
+        stream, root + "/data", checkpoint=root + "/ckpt"
+    )
+    back = spark.read.parquet(root + "/data").drop("__batch_id")
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).cast("double").alias("total"),
+    )

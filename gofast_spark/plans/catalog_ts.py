@@ -274,3 +274,57 @@ def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("seasonal", 4).cast("double").alias("seasonal"),
         F.round("resid", 4).cast("double").alias("resid"),
     )
+
+
+@query(
+    "savgol_interior_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d,
+             CAST(round(sum(value), 4) AS DOUBLE) AS v
+      FROM events GROUP BY 1),
+    o AS (SELECT d, v,
+            row_number() OVER (ORDER BY d) AS rn,
+            count(*) OVER () AS n,
+            lag(v, 3) OVER (ORDER BY d) AS m3,
+            lag(v, 2) OVER (ORDER BY d) AS m2,
+            lag(v, 1) OVER (ORDER BY d) AS m1,
+            lead(v, 1) OVER (ORDER BY d) AS p1,
+            lead(v, 2) OVER (ORDER BY d) AS p2,
+            lead(v, 3) OVER (ORDER BY d) AS p3
+          FROM daily)
+    SELECT d,
+           CAST(round((-2*m3 + 3*m2 + 6*m1 + 7*v + 6*p1 + 3*p2 - 2*p3) / 21,
+                      4) AS DOUBLE) AS sg
+    FROM o WHERE rn >= 4 AND rn <= n - 3
+    """,
+)
+def savgol_interior_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Savitzky-Golay smoothing (window 7, poly 2) of daily revenue via
+    the scipy-free applyInPandas kernel (ts.decompose.savgol_smooth;
+    reference savgol_filter, gofast/utils/spatial_utils.py:3937).
+
+    Interior points only: for wl=7/poly=2 the center projection row is
+    exactly (-2,3,6,7,6,3,-2)/21 (classic SG coefficients), so DuckDB
+    replays it as a lag/lead weighted sum; the polynomial edge fits are
+    covered by unit tests (tests/test_ts_pack.py).  The driver-side
+    windows below run on the already-aggregated daily frame — bounded by
+    the calendar, not the data."""
+    from pyspark.sql import Window
+
+    from gofast_spark.ts import savgol_smooth
+
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(F.col("ts").cast("date").cast("string").alias("d"))
+        .agg(F.round(F.sum("value"), 4).cast("double").alias("v"))
+        .withColumn("g", F.lit("all"))
+    )
+    sg = savgol_smooth(daily, "g", "d", "v", window_length=7, polyorder=2)
+    w = Window.orderBy("d")
+    out = (
+        sg.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy()))
+        .where((F.col("rn") >= 4) & (F.col("rn") <= F.col("n") - 3))
+    )
+    return out.select("d", F.round("v_sg", 4).cast("double").alias("sg"))
