@@ -701,3 +701,88 @@ def video_frame_sample_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ts_ms").alias("ts_sum"),
         F.sum(F.length("frame").cast("bigint")).alias("f_bytes"),
     )
+
+
+@query(
+    "ivf_kmeans_fullprobe_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    pairs AS (
+      SELECT q.query_id, e.vec_id,
+             {_DOT64.format(a='q.qv', b='e.embedding')}
+             / ({_NORM64.format(v='q.qv')} * {_NORM64.format(v='e.embedding')}) AS cos_sim
+      FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+    SELECT query_id, vec_id,
+           CAST(round(cos_sim, 4) AS DOUBLE) AS cos_sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY round(cos_sim, 6) DESC, vec_id) AS INTEGER) AS rank
+    FROM pairs QUALIFY rank <= 5
+    """,
+)
+def ivf_kmeans_fullprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full differential oracle for the kmeans-IVF path (VERDICT r5 #4,
+    for the parked embedding_ivf_kmeans_topk): with nprobe == nlist every
+    cell is probed, so IVF candidate generation + exact re-rank MUST
+    reproduce brute-force top-k exactly, whatever the Lloyd iterations
+    produced — cell assignment washes out while the trained-centroid
+    machinery (seeded sample, Lloyd, assign, probe, re-rank) still runs
+    end to end."""
+    from gofast_spark.sim import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    out = ivf_topk(
+        e, q, "vec_id", "embedding", nlist=8, nprobe=8, k=5, seed=3
+    )
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("cos_sim", 4).cast("double").alias("cos_sim"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+@query(
+    "ivf_kmeans_recall_floor",
+    oracle="""
+    SELECT CAST(5 AS BIGINT) AS n_queries, CAST(1 AS INT) AS recall_ok
+    """,
+)
+def ivf_kmeans_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invariant entry for the PRUNED kmeans-IVF path (nprobe=2 of 8):
+    recall vs the exact top-5 must clear the floor (0.4 — observed 0.44
+    on the near-isotropic synthetic embeddings, deterministic for the
+    fixed seed).  Complements ivf_kmeans_fullprobe_topk, which proves
+    exactness when nothing is pruned."""
+    from pyspark.sql import Window
+
+    from gofast_spark.sim import ivf_topk
+    from gofast_spark.sim.cosine import cosine_sim
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    ivf = ivf_topk(
+        e, q, "vec_id", "embedding", nlist=8, nprobe=2, k=5, seed=3
+    ).select("query_id", "vec_id")
+    qq = q.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv")
+    )
+    pairs = (
+        e.crossJoin(F.broadcast(qq))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cs", cosine_sim(F.col("__qv"), F.col("embedding")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("cs", 6).desc(), F.col("vec_id")
+    )
+    exact = (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select("query_id", "vec_id")
+    )
+    hits = ivf.join(exact, on=["query_id", "vec_id"]).count()
+    n_q = exact.select("query_id").distinct().count()
+    recall = hits / float(n_q * 5)
+    return spark.createDataFrame(
+        [(n_q, int(recall >= 0.4))], "n_queries bigint, recall_ok int"
+    )

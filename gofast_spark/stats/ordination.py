@@ -32,6 +32,51 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def ca_residuals(
+    df: DataFrame,
+    site_col: str,
+    species_col: str,
+    *,
+    value_col: str | None = None,
+) -> DataFrame:
+    """(site, species, s) standardized correspondence-analysis residual
+    frame — the distributed core of :func:`dca_analysis`, exposed so the
+    heavy relational stages (contingency table, masses, densified
+    residual grid) can be verified differentially while the
+    eigendecomposition stays a driver-side J x J step (VERDICT r5 #4).
+
+    Fully relational: the grand total and masses ride broadcast joins,
+    no driver collect anywhere.
+    """
+    val = (
+        F.sum(F.col(value_col).cast("double"))
+        if value_col
+        else F.count(F.lit(1)).cast("double")
+    )
+    cells = df.groupBy(
+        F.col(site_col).alias("site"), F.col(species_col).alias("species")
+    ).agg(val.alias("n"))
+    tot = cells.agg(F.sum("n").alias("__t"))
+    cm = cells.groupBy("species").agg(F.sum("n").alias("__m"))
+    rm = cells.groupBy("site").agg(F.sum("n").alias("__r"))
+    # densify: a zero-abundance cell still has residual -sqrt(r_i c_j)
+    grid = (
+        rm.crossJoin(F.broadcast(cm))
+        .crossJoin(F.broadcast(tot))
+        .join(cells, on=["site", "species"], how="left")
+    )
+    r_i = F.col("__r") / F.col("__t")
+    c_j = F.col("__m") / F.col("__t")
+    return grid.select(
+        "site",
+        "species",
+        (
+            (F.coalesce(F.col("n"), F.lit(0.0)) / F.col("__t") - r_i * c_j)
+            / F.sqrt(r_i * c_j)
+        ).alias("s"),
+    )
+
+
 def dca_analysis(
     df: DataFrame,
     site_col: str,
