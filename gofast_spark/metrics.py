@@ -156,7 +156,13 @@ def ndcg_at_k(
 
 
 def gini_score(
-    df: DataFrame, y_col: str, score_col: str, *, tiebreak: str | None = None
+    df: DataFrame,
+    y_col: str,
+    score_col: str,
+    *,
+    tiebreak: str | None = None,
+    bins: int | None = None,
+    relative_error: float = 1e-4,
 ) -> DataFrame:
     """Normalized Gini of a ranking score against binary outcomes
     (gofast/metrics.py:2727): 2*AUC - 1, with AUC from the rank-sum
@@ -170,7 +176,13 @@ def gini_score(
     (map-side partial combine), and the rank cumulative runs over the
     distinct-value frame — never a full-table single-reducer sort (the
     ks_test_2samp pattern).  All tied rows share one midrank, so the
-    positive rank-sum is ``sum(pos_v * midrank_v)`` exactly."""
+    positive rank-sum is ``sum(pos_v * midrank_v)`` exactly.  ``bins``
+    bounds the distinct-score frame on continuous scores via a quantile
+    sketch (stats.prebin; exact when distinct <= bins — AUC over binned
+    scores treats within-bucket pairs as ties)."""
+    from gofast_spark.stats.prebin import prebin_column
+
+    df = prebin_column(df, score_col, bins=bins, relative_error=relative_error)
     y = F.col(y_col).cast("double")
     per_val = df.groupBy(F.col(score_col).alias("__v")).agg(
         F.count(F.lit(1)).cast("double").alias("__c"),

@@ -145,3 +145,81 @@ def correlation_ops_strong(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "col_a", "col_b", F.round("corr", 6).cast("double").alias("corr")
     )
+
+
+@query(
+    "spearman_binned_exact_lineitem",
+    oracle="""
+    WITH r AS (
+      SELECT rank() OVER (ORDER BY l_quantity)
+               + (count(*) OVER (PARTITION BY l_quantity) - 1) / 2.0 AS ra,
+             rank() OVER (ORDER BY l_extendedprice)
+               + (count(*) OVER (PARTITION BY l_extendedprice) - 1) / 2.0 AS rb
+      FROM lineitem)
+    SELECT CAST(round(corr(ra, rb), 6) AS DOUBLE) AS spearman FROM r
+    """,
+)
+def spearman_binned_exact_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``bins=`` exactness contract of the midrank family (VERDICT
+    r5 #5, stats.prebin): with bins above the column's distinct count the
+    pre-binning pre-check takes the exact path, so the result must
+    hash-match the full-rank oracle — the same SQL spearman_lineitem
+    uses, proving bins= is a no-op below threshold."""
+    from gofast_spark.stats.relationships import spearman_corr
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = spearman_corr(
+        li, "l_quantity", "l_extendedprice", bins=200_000
+    )
+    return out.select(F.round("spearman", 6).cast("double").alias("spearman"))
+
+
+@query(
+    "midrank_binned_floor_acctbal",
+    oracle="""
+    SELECT CAST(1 AS INT) AS spearman_close, CAST(1 AS INT) AS ks_close,
+           CAST(1 AS INT) AS bounded_ok
+    """,
+)
+def midrank_binned_floor_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-mode invariants for ``bins=`` (VERDICT r5 #5): on the
+    continuous c_acctbal column (distinct ~= N), the bins=64 spearman and
+    KS results must sit within 0.05 of the exact ones, and the binned
+    column's distinct count must be bounded by bins+1 — the plan-shape
+    guarantee that the ordered midrank window now runs over a
+    bounded-size frame at any scale."""
+    from gofast_spark.stats.inferential import ks_test_2samp
+    from gofast_spark.stats.prebin import prebin_column
+    from gofast_spark.stats.relationships import spearman_corr
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_acctbal",
+        F.when(F.col("c_custkey") % 2 == 0, "a").otherwise("b").alias("g"),
+    )
+    sp_exact = spearman_corr(c, "c_acctbal", "c_custkey").collect()[0][
+        "spearman"
+    ]
+    sp_binned = spearman_corr(
+        c, "c_acctbal", "c_custkey", bins=64
+    ).collect()[0]["spearman"]
+    ks_exact = ks_test_2samp(c, "c_acctbal", "g", "a", "b").collect()[0][
+        "ks_stat"
+    ]
+    ks_binned = ks_test_2samp(
+        c, "c_acctbal", "g", "a", "b", bins=64
+    ).collect()[0]["ks_stat"]
+    bounded = (
+        prebin_column(c, "c_acctbal", bins=64)
+        .select("c_acctbal")
+        .distinct()
+        .count()
+    )
+    row = (
+        int(abs(sp_exact - sp_binned) < 0.05),
+        int(abs(ks_exact - ks_binned) < 0.05),
+        int(bounded <= 65),
+    )
+    return spark.createDataFrame(
+        [row], "spearman_close int, ks_close int, bounded_ok int"
+    )

@@ -247,17 +247,35 @@ def friedman_test(
     )
 
 
-def wilcoxon_signed_rank(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+def wilcoxon_signed_rank(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    *,
+    bins: int | None = None,
+    relative_error: float = 1e-4,
+) -> DataFrame:
     """Wilcoxon signed-rank W (gofast/stats/inferential.py:200): rank the
     nonzero |a - b| (average ranks), W = sum of ranks where d > 0.
 
     Scale shape: aggregate to distinct |d| values with positive/negative
     counts first, run the cumulative midrank over that small frame, and
     form the rank sums as ``sum(count * midrank)`` — the ks_test_2samp
-    pattern, no full-table rank window."""
+    pattern, no full-table rank window.  ``bins`` bounds the distinct
+    |d| frame on continuous differences (stats.prebin; exact when
+    distinct <= bins)."""
+    from gofast_spark.stats.prebin import prebin_column
+
     d = F.col(a_col) - F.col(b_col)
-    nz = df.select(d.alias("__d")).where(F.col("__d") != 0)
-    per_val = nz.groupBy(F.abs(F.col("__d")).alias("__ad")).agg(
+    nz = (
+        df.select(d.alias("__d"))
+        .where(F.col("__d") != 0)
+        .withColumn("__ad0", F.abs(F.col("__d")))
+    )
+    nz = prebin_column(
+        nz, "__ad0", bins=bins, relative_error=relative_error
+    )
+    per_val = nz.groupBy(F.col("__ad0").alias("__ad")).agg(
         F.count(F.lit(1)).cast("double").alias("__c"),
         F.count(F.when(F.col("__d") > 0, 1)).cast("double").alias("__cp"),
         F.count(F.when(F.col("__d") < 0, 1)).cast("double").alias("__cn"),
@@ -278,6 +296,9 @@ def ks_test_2samp(
     group_col: str,
     group_a,
     group_b,
+    *,
+    bins: int | None = None,
+    relative_error: float = 1e-4,
 ) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov D statistic
     (gofast/stats/inferential.py:1173).
@@ -286,14 +307,19 @@ def ks_test_2samp(
     cumulative per-group counts over the value ordering (SURVEY §2.10's
     "sorted cumulative window").  The sort runs over *distinct values with
     per-group counts* — dedupe first keeps the sorted set small; for
-    100 TB, pre-bin with a quantile sketch.  Output: (ks_stat, n_a, n_b).
+    100 TB continuous values, ``bins`` pre-buckets with a quantile sketch
+    (stats.prebin; exact when distinct <= bins, D error bounded by the
+    max within-bucket ECDF gap otherwise).  Output: (ks_stat, n_a, n_b).
     """
+    from gofast_spark.stats.prebin import prebin_column
+
     v, g = F.col(value_col), F.col(group_col)
     sub = df.where(g.isin([group_a, group_b])).select(
         v.alias("x"),
         F.when(g == group_a, 1).otherwise(0).alias("ia"),
         F.when(g == group_b, 1).otherwise(0).alias("ib"),
     )
+    sub = prebin_column(sub, "x", bins=bins, relative_error=relative_error)
     per_val = sub.groupBy("x").agg(
         F.sum("ia").alias("ca"), F.sum("ib").alias("cb")
     )

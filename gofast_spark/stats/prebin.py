@@ -1,0 +1,90 @@
+"""Quantile-sketch pre-binning for the midrank family (VERDICT r5 #5).
+
+The distinct-value cumulative-midrank pattern (relationships._midrank_map,
+metrics.gini_score, inferential.ks_test_2samp / wilcoxon_signed_rank,
+survival.kaplan_meier) compresses ties before the ordered window, so the
+single-task sort runs over the DISTINCT values.  On categorical/discrete
+keys that frame is tiny; on a continuous double column distinct ~= N and
+the window degenerates to an O(N) one-task sort at scale.
+
+``prebin_column`` bounds that frame: an ``approxQuantile`` sketch (one
+pass, Greenwald-Khanna, driver gets only the cutpoints) yields <= bins
+bucket boundaries, and each value is replaced by its bucket ordinal — an
+order-preserving, tie-compressing surrogate, which is all rank statistics
+need.  Exactness contract:
+
+- values whose distinct count <= ``bins`` are returned UNCHANGED (the
+  pre-check costs one approx_count_distinct aggregate), so discrete data
+  pays nothing and results stay exact;
+- above that, rank statistics computed on the binned column are
+  approximations whose resolution is 1/bins of the distribution (the
+  within-bucket order is erased; each bucket holds ~N/bins rows).
+
+Nulls pass through unchanged (the midrank maps join ``eqNullSafe``); NaN
+maps to its own bucket above every finite value, matching double
+ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def prebin_column(
+    df: DataFrame,
+    col: str,
+    *,
+    bins: int | None,
+    relative_error: float = 1e-4,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Replace ``col`` by a bounded-cardinality, order-preserving bucket
+    ordinal (double) when its distinct count exceeds ``bins``.
+
+    ``bins=None`` is the exact path: the frame is returned untouched.
+    Eager by design when ``bins`` is set (two bounded driver actions:
+    the distinct pre-check and the quantile sketch) — call it at plan
+    build time, not inside another transformation.
+    """
+    if bins is None:
+        return df
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    target = out_col or col
+    n_distinct = df.agg(
+        F.approx_count_distinct(col, rsd=0.02).alias("d")
+    ).collect()[0]["d"]
+    # 1.05 head-room: approx_count_distinct's rsd means a true count just
+    # below bins could read slightly above it — prefer the exact path on
+    # the boundary
+    if n_distinct <= bins * 1.05:
+        if out_col and out_col != col:
+            return df.withColumn(out_col, F.col(col).cast("double"))
+        return df
+    probs = [i / bins for i in range(1, bins)]
+    cuts = df.approxQuantile(col, probs, relative_error)
+    inner = sorted({float(c) for c in cuts})
+    if not inner:
+        return df
+    # Bucketizer = JVM binary search per row (no Python, no giant
+    # when-chain); +-inf endpoints make it total, handleInvalid='keep'
+    # routes null/NaN to the extra bucket which we re-map below
+    from pyspark.ml.feature import Bucketizer
+
+    tmp_in, tmp_out = "__pb_in", "__pb_out"
+    splits = [float("-inf"), *inner, float("inf")]
+    staged = df.withColumn(tmp_in, F.col(col).cast("double"))
+    b = Bucketizer(
+        splits=splits,
+        inputCol=tmp_in,
+        outputCol=tmp_out,
+        handleInvalid="keep",
+    )
+    out = b.transform(staged)
+    binned = (
+        F.when(F.col(tmp_in).isNull(), F.lit(None).cast("double"))
+        .when(F.isnan(F.col(tmp_in)), F.lit(float("nan")))
+        .otherwise(F.col(tmp_out))
+    )
+    return out.withColumn(target, binned).drop(tmp_in, tmp_out)

@@ -37,11 +37,28 @@ def _midrank_map(df: DataFrame, col: Column) -> DataFrame:
     )
 
 
-def spearman_corr(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+def spearman_corr(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    *,
+    bins: int | None = None,
+    relative_error: float = 1e-4,
+) -> DataFrame:
     """Spearman rho = Pearson correlation of average ranks
     (optimized_spearmanr, gofast/utils/mathext.py:3063).  Midrank maps
     (distinct-value frames) join back to the rows on the value — two
-    hash joins on high-cardinality keys, no global rank sort."""
+    hash joins on high-cardinality keys, no global rank sort.
+
+    ``bins`` bounds the distinct-value frames on continuous columns via
+    a quantile sketch (stats.prebin): exact whenever a column's distinct
+    count <= bins (discrete data pays nothing), approximate at 1/bins
+    distribution resolution above it — the 100-TB path for continuous
+    doubles where distinct ~= N."""
+    from gofast_spark.stats.prebin import prebin_column
+
+    df = prebin_column(df, col_a, bins=bins, relative_error=relative_error)
+    df = prebin_column(df, col_b, bins=bins, relative_error=relative_error)
     ma = _midrank_map(df, F.col(col_a)).withColumnsRenamed(
         {"__v": "__va", "__mr": "__ra"}
     )
@@ -54,7 +71,14 @@ def spearman_corr(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     return ranked.agg(F.corr("__ra", "__rb").alias("spearman"))
 
 
-def kruskal_wallis(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
+def kruskal_wallis(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    *,
+    bins: int | None = None,
+    relative_error: float = 1e-4,
+) -> DataFrame:
     """Kruskal-Wallis H (no tie correction; document when data is heavily
     tied) from per-group rank sums:
     ``H = 12/(N(N+1)) * sum(R_g^2 / n_g) - 3(N+1)``
@@ -62,7 +86,12 @@ def kruskal_wallis(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
 
     Scale shape: rows aggregate to (value, group) counts first, the
     midrank map joins on the value, and rank sums are
-    ``sum(midrank * count)`` — no per-row rank window."""
+    ``sum(midrank * count)`` — no per-row rank window.  ``bins`` bounds
+    the distinct-value frame on continuous values (stats.prebin; exact
+    when distinct <= bins)."""
+    from gofast_spark.stats.prebin import prebin_column
+
+    df = prebin_column(df, value_col, bins=bins, relative_error=relative_error)
     pairs = df.groupBy(
         F.col(value_col).alias("__pv"), F.col(group_col).alias("__g")
     ).agg(F.count(F.lit(1)).cast("double").alias("__cnt"))

@@ -20,14 +20,23 @@ def kaplan_meier(
     event_col: str,
     *,
     keep_censor_times: bool = False,
+    bins: int | None = None,
+    relative_error: float = 1e-4,
 ) -> DataFrame:
     """Kaplan-Meier survival curve.
 
     Output per distinct duration: (duration, n_risk, n_events, survival).
     ``event_col`` is 1 for an observed event, 0 for censoring.  By default
     only event times appear (the standard KM table); censor-only times are
-    kept with ``keep_censor_times``.
-    """
+    kept with ``keep_censor_times``.  ``bins`` bounds the distinct-time
+    table for continuous durations via a quantile sketch (stats.prebin;
+    exact when distinct <= bins — the binned curve reports bucket
+    ordinals as durations)."""
+    from gofast_spark.stats.prebin import prebin_column
+
+    df = prebin_column(
+        df, duration_col, bins=bins, relative_error=relative_error
+    )
     d, e = F.col(duration_col), F.col(event_col)
     per_t = df.groupBy(d.alias("duration")).agg(
         F.count(F.lit(1)).alias("n_total"),
