@@ -481,3 +481,127 @@ def dataset_registry_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         d = fn(spark)
         rows.append((name, d.count(), len(d.columns)))
     return spark.createDataFrame(rows, "name string, n_rows bigint, n_cols int")
+
+
+# ---------------------------------------------------------------------------
+# Remaining never-driver-verified §2.2/§2.7/§2.8 surface + misc sources
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "features_in_lineitem",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('l_orderkey', 'numeric'), ('l_partkey', 'numeric'),
+      ('l_suppkey', 'numeric'), ('l_linenumber', 'numeric'),
+      ('l_quantity', 'numeric'), ('l_extendedprice', 'numeric'),
+      ('l_discount', 'numeric'), ('l_tax', 'numeric'),
+      ('l_returnflag', 'categorical'), ('l_linestatus', 'categorical'),
+      ('l_shipdate', 'categorical')) AS t(col_name, kind)
+    """,
+)
+def features_in_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-introspection split into numeric/categorical feature lists
+    (features_in, gofast/core/checks.py:2548), pinned against the
+    lineitem schema."""
+    from gofast_spark.operators import features_in
+
+    num, cat = features_in(_t(spark, sf_dir, "lineitem"))
+    rows = [(c, "numeric") for c in num] + [(c, "categorical") for c in cat]
+    return spark.createDataFrame(rows, "col_name string, kind string")
+
+
+@query(
+    "is_in_if_orders_columns",
+    oracle="""
+    SELECT 'o_missing_col' AS missing, CAST(1 AS INT) AS present_ok
+    """,
+)
+def is_in_if_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Membership check with error policy (is_in_if,
+    gofast/core/checks.py:1557): present probe passes, absent probe is
+    returned as the diff under error='ignore'."""
+    from gofast_spark.operators import is_in_if
+
+    o = _t(spark, sf_dir, "orders")
+    present_ok = is_in_if(o, ["o_orderkey", "o_orderstatus"])
+    diff = is_in_if(
+        o, ["o_orderkey", "o_missing_col"], error="ignore", return_diff=True
+    )
+    return spark.createDataFrame(
+        [(diff[0], int(present_ok))], "missing string, present_ok int"
+    )
+
+
+@query(
+    "frames_compare_nation",
+    oracle="""
+    SELECT CAST(1 AS INT) AS same_ok, CAST(0 AS INT) AS diff_ok
+    """,
+)
+def frames_compare_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset frame equality (Frames.compare,
+    gofast/dataops/core.py:588): a frame equals itself and differs from
+    a perturbed copy."""
+    from gofast_spark.operators import compare_frames
+
+    n = _t(spark, sf_dir, "nation")
+    perturbed = n.withColumn(
+        "n_regionkey", F.col("n_regionkey") + F.lit(1)
+    )
+    return spark.createDataFrame(
+        [(int(compare_frames(n, n)), int(compare_frames(n, perturbed)))],
+        "same_ok int, diff_ok int",
+    )
+
+
+@query(
+    "request_data_mock_records",
+    oracle="""
+    SELECT id, name, CAST(score AS DOUBLE) AS score
+    FROM (VALUES (1, 'alpha', 10.5), (2, 'beta', 20.25),
+                 (3, 'gamma', 30.0)) AS t(id, name, score)
+    """,
+)
+def request_data_mock_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP-fetch operator driven through its injectable fetcher
+    (request_data, gofast/dataops/management.py:202) — the JSON decode +
+    frame construction path, network-free."""
+    from gofast_spark.sources import request_data
+
+    payload = (
+        '[{"id": 1, "name": "alpha", "score": 10.5},'
+        ' {"id": 2, "name": "beta", "score": 20.25},'
+        ' {"id": 3, "name": "gamma", "score": 30.0}]'
+    )
+    df = request_data(
+        spark, "https://example.invalid/api", fetcher=lambda u, **kw: payload
+    )
+    return df.select("id", "name", "score")
+
+
+@query(
+    "partitioned_write_orders",
+    oracle=f"""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           {_MONEY2_SQL.format(s=f"sum({_U6_SQL.format(x='o_totalprice')})")} AS total
+    FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderstatus
+    """,
+)
+def partitioned_write_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned parquet write + partition-pruned re-read:
+    the warehouse layout store_data would use for a partitioned table;
+    the filter on the partition column must prune directories (plan
+    asserted in tests/test_plans.py) and the pruned aggregate must equal
+    the source-table oracle."""
+    root = os.path.join(_scratch("part_orders"), "orders_by_status")
+    src = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    src.write.mode("overwrite").partitionBy("o_orderstatus").parquet(root)
+    back = spark.read.parquet(root).where(F.col("o_orderstatus") == "F")
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        _money2(F.sum(_units6(F.col("o_totalprice")))).alias("total"),
+    )

@@ -498,3 +498,124 @@ def weighted_median_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     return weighted_median(li, "l_quantity", "l_extendedprice")
+
+
+@query(
+    "assess_outlier_impact_customer",
+    oracle="""
+    WITH b AS (
+      SELECT quantile_cont(c_custkey, 0.25) AS k1, quantile_cont(c_custkey, 0.75) AS k3,
+             quantile_cont(c_acctbal, 0.25) AS a1, quantile_cont(c_acctbal, 0.75) AS a3
+      FROM customer),
+    w AS (
+      SELECT 'with_outliers' AS variant, CAST(c_custkey AS DOUBLE) AS x, c_acctbal AS y
+      FROM customer
+      UNION ALL
+      SELECT 'without_outliers', CAST(c_custkey AS DOUBLE), c_acctbal
+      FROM customer, b
+      WHERE c_custkey >= k1 - 1.5 * (k3 - k1) AND c_custkey <= k3 + 1.5 * (k3 - k1)
+        AND c_acctbal >= a1 - 1.5 * (a3 - a1) AND c_acctbal <= a3 + 1.5 * (a3 - a1))
+    SELECT variant,
+           CAST(round(sqrt((1 - pow(corr(x, y), 2)) * var_pop(y)), 4) AS DOUBLE) AS rmse,
+           CAST(round(pow(corr(x, y), 2), 4) AS DOUBLE) AS r2,
+           CAST(count(*) AS BIGINT) AS n
+    FROM w GROUP BY variant
+    """,
+)
+def assess_outlier_impact_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-metric delta with vs without IQR outliers
+    (assess_outlier_impact, gofast/dataops/quality.py:887).  The MLlib
+    OLS fit on one feature has the closed form DuckDB replays: rmse =
+    sqrt((1-r^2) * var_pop(y)), r2 = corr^2 — so even the modeling leg
+    is differentially checked, not just the outlier filter."""
+    from gofast_spark.operators import assess_outlier_impact
+
+    c = _t(spark, sf_dir, "customer")
+    out = assess_outlier_impact(c, ["c_custkey"], "c_acctbal")
+    return out.select(
+        "variant",
+        F.round("rmse", 4).cast("double").alias("rmse"),
+        F.round("r2", 4).cast("double").alias("r2"),
+        "n",
+    )
+
+
+@query(
+    "augment_noise_invariants_customer",
+    oracle="""
+    SELECT CAST(1 AS INT) AS grew_ok, CAST(1 AS INT) AS bounded_ok,
+           CAST(1 AS INT) AS keys_subset_ok, CAST(1 AS INT) AS noise_bounded_ok
+    """,
+)
+def augment_noise_invariants_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invariant oracle for the seeded augmentation family (augment_data
+    gofast/dataops/preprocessing.py:3083, add_noises_to
+    gofast/core/handlers.py:1531): Spark's sample/randn draws are not
+    SQL-replayable, but the contracts are checkable — the augmented
+    frame grows but stays under the Chernoff-safe 2x bound for
+    fraction=0.5, resampled keys are a subset of the originals, and
+    uniform noise of scale s never moves a value by more than s."""
+    from gofast_spark.quality import add_noises_to, augment_data
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    n = c.count()
+    aug = augment_data(c, fraction=0.5, noise_std=0.01, seed=42)
+    n_aug = aug.count()
+    keys_extra = (
+        aug.select("c_custkey")
+        .distinct()
+        .join(c.select("c_custkey"), on="c_custkey", how="left_anti")
+        .count()
+    )
+    scale = 0.5
+    noised = add_noises_to(c, ["c_acctbal"], noise="uniform", scale=scale, seed=7)
+    delta = (
+        noised.select(F.col("c_custkey").alias("k"), F.col("c_acctbal").alias("v"))
+        .join(c.select("c_custkey", F.col("c_acctbal").alias("v0")),
+              F.col("k") == F.col("c_custkey"))
+        .agg(F.max(F.abs(F.col("v") - F.col("v0"))).alias("mx"))
+        .collect()[0]["mx"]
+    )
+    row = (
+        int(n_aug >= n),
+        int(n_aug <= 2 * n),
+        int(keys_extra == 0),
+        int(delta <= scale + 1e-9),
+    )
+    return spark.createDataFrame(
+        [row],
+        "grew_ok int, bounded_ok int, keys_subset_ok int, noise_bounded_ok int",
+    )
+
+
+@query(
+    "data_assistant_profile",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('k', 'id_like'), ('c1', 'constant'), ('m', 'high_missingness'),
+      ('sk', 'id_like'), ('sk', 'skewed')) AS t(col_name, issue)
+    """,
+)
+def data_assistant_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic per-column advisor (data_assistant,
+    gofast/dataops/quality.py:1258) pinned on a constructed frame whose
+    issue margins are far from every threshold (unique key, constant,
+    50% missing, eighth-power skew) — deterministic under the HLL
+    distinct sketch, independent of testdata regeneration."""
+    from gofast_spark.quality import data_assistant
+
+    df = (
+        spark.range(1000)
+        .withColumn("k", F.col("id").cast("double"))
+        .withColumn("c1", F.lit(7))
+        .withColumn(
+            "m", F.when(F.col("id") % 2 == 0, F.col("id").cast("double"))
+        )
+        .withColumn("sk", F.pow(F.col("id").cast("double") / 1000.0, 8.0))
+    )
+    out = data_assistant(df)
+    return out.where(F.col("column") != "id").select(
+        F.col("column").alias("col_name"), "issue"
+    )

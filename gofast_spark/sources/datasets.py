@@ -860,3 +860,25 @@ def load_jrs_bet(spark: SparkSession, samples: int = 1000, *, seed: int = 42) ->
         },
         seed,
     )
+
+
+def fetch_data(spark: SparkSession, tag: str, **kwargs) -> DataFrame:
+    """Tag-dispatch dataset fetcher (fetch_data,
+    gofast/datasets/_data_loader.py:63) — the 12th member of the load
+    family: a free-form tag ('bagoue', 'iris prepared', 'load_mxs'...)
+    resolves to its registry generator; extra words in the tag (the
+    reference's processing-stage suffixes) are ignored, unknown tags
+    raise KeyError listing what exists."""
+    from gofast_spark.sources.io import dataset_registry
+
+    registry = dataset_registry()
+    norm = tag.strip().lower().replace("load_", "").replace("make_", "")
+    for word in norm.replace("-", " ").replace("_", " ").split() + [norm]:
+        if word in registry:
+            return registry[word](spark, **kwargs)
+        joined = norm.replace(" ", "_")
+        if joined in registry:
+            return registry[joined](spark, **kwargs)
+    raise KeyError(
+        f"unknown dataset tag {tag!r}; available: {sorted(registry)}"
+    )
