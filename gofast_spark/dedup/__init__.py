@@ -22,6 +22,12 @@ from gofast_spark.dedup.minhash import (
     near_dup_pairs,
     shingle_jaccard,
 )
+from gofast_spark.dedup.cluster import (
+    connected_components,
+    dedup_near_duplicates,
+    keep_canonical,
+    near_dup_clusters,
+)
 from gofast_spark.dedup.ngram import ngram_jaccard_pairs
 from gofast_spark.dedup.simhash import simhash
 
@@ -36,6 +42,10 @@ __all__ = [
     "shingle_jaccard",
     "near_dup_pairs",
     "simhash",
+    "connected_components",
+    "near_dup_clusters",
+    "keep_canonical",
+    "dedup_near_duplicates",
     "MINHASH_P",
     "MINHASH_COEFFS",
 ]

@@ -1,0 +1,190 @@
+"""Duplicate-cluster assignment and canonical-document selection.
+
+Near-dup *pairs* (MinHash/SimHash/n-gram) are only half of a dedup
+pipeline: a training-data build needs each document assigned to a
+duplicate *cluster* and exactly one canonical survivor kept per cluster.
+Pair relations are not transitive closures — A~B and B~C without A~C is
+common at any Jaccard threshold — so cluster assignment is connected
+components over the pair graph.
+
+This module implements hash-min label propagation as an iterative
+DataFrame computation: every vertex starts labelled with its own id and
+repeatedly takes the minimum label over itself and its neighbours until
+a fixpoint.  The result is exact and deterministic — the min-reachable
+id per component — independent of execution order.
+
+Scale notes (the reason this shape was chosen):
+
+- Each iteration is one shuffle (edges ⋈ labels on dst, then a
+  min-groupBy on src).  Iteration count is bounded by the graph
+  diameter, and near-dup graphs are overwhelmingly star/clique shaped
+  (diameter 1-2), so 3-4 iterations typically reach the fixpoint.  For
+  adversarially long chain graphs, hash-min is O(diameter) — the
+  large-star/small-star algorithm (Kiveris et al., "Connected
+  Components in MapReduce and Beyond", SoCC 2014) converges in
+  O(log² n) rounds and would be the upgrade path; it is not needed for
+  dedup workloads.
+- Lineage is truncated every iteration via ``localCheckpoint`` —
+  without it the plan doubles per round and Catalyst analysis time
+  explodes by iteration ~10 (same driver-loop discipline as
+  ``gofast_spark.ml.optim.gradient_descent``).
+- Convergence is detected with a count of label changes per round — one
+  extra action on a frame that is already materialized, no extra
+  shuffle (the old/new frames share the propagated partitioning).
+
+Reference analog: none — the reference (earthai-tech/gofast) has only
+exact ``handle_duplicates`` (gofast/dataops/quality.py:4677); clustered
+near-dedup is net-new surface per the builder brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    *,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Exact connected components of an undirected pair graph.
+
+    Parameters
+    ----------
+    pairs : DataFrame with two id columns (any orderable type); each row
+        is an undirected edge.  Self-loops and duplicate edges are fine.
+    max_iter : safety bound on propagation rounds; the loop exits early
+        at the fixpoint.  50 covers a diameter-50 chain — far beyond any
+        realistic near-dup graph (see module docstring for the
+        large-star/small-star upgrade path if that assumption breaks).
+
+    Returns
+    -------
+    DataFrame ``(id, cluster_id)`` — one row per distinct vertex,
+    ``cluster_id`` = minimum id reachable from the vertex.  Vertices
+    that only appear in ``pairs`` are included; documents with no
+    near-dup edge are implicitly singleton clusters and are NOT emitted
+    (join back against the corpus with ``coalesce(cluster_id, id)`` —
+    :func:`keep_canonical` does exactly that).
+    """
+    a = F.col(id_a).alias("src")
+    b = F.col(id_b).alias("dst")
+    # symmetric edge list; distinct keeps Σ degree² honest on multi-edges
+    edges = (
+        pairs.select(a, b)
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("lab", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # neighbour labels: for each edge (src,dst), the current label of dst
+        nbr = (
+            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .select(F.col("src").alias("id"), "lab")
+        )
+        new_labels = (
+            labels.union(nbr)
+            .groupBy("id")
+            .agg(F.min("lab").alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.lab") != F.col("o.lab"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("lab").alias("cluster_id"))
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.8,
+    k: int = 3,
+    num_hashes: int = 16,
+    rows_per_band: int = 2,
+    max_iter: int = 50,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs -> connected components: one row per
+    document that participates in at least one near-dup pair, labelled
+    with its duplicate-cluster id (min doc id in the cluster)."""
+    from gofast_spark.dedup.minhash import near_dup_pairs
+
+    pairs = near_dup_pairs(
+        df,
+        id_col,
+        text_col,
+        threshold=threshold,
+        k=k,
+        num_hashes=num_hashes,
+        rows_per_band=rows_per_band,
+    )
+    return connected_components(pairs, "id_a", "id_b", max_iter=max_iter)
+
+
+def keep_canonical(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str,
+    *,
+    cluster_id_col: str = "cluster_id",
+) -> DataFrame:
+    """Keep one canonical row per duplicate cluster (the min-id member)
+    plus every unclustered row.
+
+    ``clusters`` is the :func:`connected_components` output — tiny
+    relative to the corpus (only docs with at least one near-dup edge),
+    so it is broadcast and the corpus never shuffles: a doc survives iff
+    it has no cluster row (singleton) or its id IS the cluster min."""
+    cl = F.broadcast(
+        clusters.select(
+            F.col("id").alias("__cc_id"),
+            F.col(cluster_id_col).alias("__cc_lab"),
+        )
+    )
+    return (
+        df.join(cl, df[id_col] == F.col("__cc_id"), "left")
+        .where(F.col("__cc_lab").isNull() | (df[id_col] == F.col("__cc_lab")))
+        .drop("__cc_id", "__cc_lab")
+    )
+
+
+def dedup_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.8,
+    k: int = 3,
+    num_hashes: int = 16,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """End-to-end near-duplicate removal: pairs -> clusters -> keep the
+    min-id document per cluster.  The corpus-side plan is one broadcast
+    left join + filter; all heavy lifting happens on the (small) pair
+    graph."""
+    clusters = near_dup_clusters(
+        df,
+        id_col,
+        text_col,
+        threshold=threshold,
+        k=k,
+        num_hashes=num_hashes,
+        rows_per_band=rows_per_band,
+    )
+    return keep_canonical(df, clusters, id_col)

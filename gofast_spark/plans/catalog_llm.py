@@ -786,3 +786,87 @@ def ivf_kmeans_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(n_q, int(recall >= 0.4))], "n_queries bigint, recall_ok int"
     )
+
+
+# --- duplicate-cluster assignment (connected components) ------------------
+
+_PAIR_CTES = f"""
+    {_SHINGLE_CTES},
+    bands AS (
+      {" UNION ALL ".join(
+          f"SELECT doc_id, {b} AS band_idx, mh_{2*b} * 2147483648 + mh_{2*b+1} AS band_key FROM sig"
+          for b in range(8)
+      )}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_inter
+      FROM cand c
+      JOIN shh x ON x.doc_id = c.id_a
+      JOIN shh y ON y.doc_id = c.id_b AND y.h = x.h
+      GROUP BY c.id_a, c.id_b
+    ),
+    pairs AS (
+      SELECT i.id_a, i.id_b
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.id_a
+      JOIN sizes sb ON sb.doc_id = i.id_b
+      WHERE i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.8
+    ),
+    cedges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    comp(id, lab) AS (
+      SELECT DISTINCT src, src FROM cedges
+      UNION
+      SELECT e.dst, c.lab FROM comp c JOIN cedges e ON e.src = c.id
+    )"""
+
+
+@query(
+    "near_dup_clusters_documents",
+    oracle=f"""
+    WITH RECURSIVE {_PAIR_CTES}
+    SELECT id, min(lab) AS cluster_id FROM comp GROUP BY id
+    """,
+)
+def near_dup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: MinHash-LSH pairs at 0.8 fed through
+    exact hash-min connected components (dedup/cluster.py).  The oracle
+    recomputes the same pair graph relationally and takes its transitive
+    closure with a recursive CTE — min reachable doc id per vertex —
+    verifying the iterative Spark propagation end-to-end."""
+    from gofast_spark.dedup import near_dup_clusters
+
+    d = _docs(spark, sf_dir)
+    return near_dup_clusters(d, "doc_id", "text", threshold=0.8)
+
+
+@query(
+    "near_dup_canonical_survivors",
+    oracle=f"""
+    WITH RECURSIVE {_PAIR_CTES},
+    clusters AS (SELECT id, min(lab) AS cluster_id FROM comp GROUP BY id)
+    SELECT d.doc_id
+    FROM documents d
+    LEFT JOIN clusters c ON c.id = d.doc_id
+    WHERE c.id IS NULL OR d.doc_id = c.cluster_id
+    """,
+)
+def near_dup_canonical_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dedup of the documents corpus: keep the min-id
+    member of each duplicate cluster plus every unclustered doc.  The
+    corpus side is one broadcast left join + filter — the heavy work
+    stays on the (tiny) pair graph."""
+    from gofast_spark.dedup import dedup_near_duplicates
+
+    d = _docs(spark, sf_dir)
+    return dedup_near_duplicates(d, "doc_id", "text", threshold=0.8).select(
+        "doc_id"
+    )

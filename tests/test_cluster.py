@@ -1,0 +1,64 @@
+"""Connected-components duplicate clustering (dedup/cluster.py)."""
+
+from __future__ import annotations
+
+from gofast_spark.dedup import (
+    connected_components,
+    dedup_near_duplicates,
+    keep_canonical,
+)
+
+
+def _cc(spark, edges):
+    pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    out = connected_components(pairs)
+    return {r["id"]: r["cluster_id"] for r in out.collect()}
+
+
+def test_chain_collapses_to_min(spark):
+    # diameter-3 chain: hash-min needs several rounds, must still be exact
+    got = _cc(spark, [(1, 2), (2, 3), (3, 4)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_two_components(spark):
+    got = _cc(spark, [(10, 11), (11, 12), (20, 21)])
+    assert got == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_duplicate_and_reversed_edges(spark):
+    got = _cc(spark, [(5, 6), (6, 5), (5, 6), (6, 7)])
+    assert got == {5: 5, 6: 5, 7: 5}
+
+
+def test_self_loop_is_singleton(spark):
+    got = _cc(spark, [(3, 3), (1, 2)])
+    assert got == {1: 1, 2: 1, 3: 3}
+
+
+def test_keep_canonical_keeps_min_and_singletons(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], "doc_id bigint, text string"
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (4, 4), (5, 4)], "id bigint, cluster_id bigint"
+    )
+    kept = sorted(
+        r["doc_id"] for r in keep_canonical(docs, clusters, "doc_id").collect()
+    )
+    # 0, 3 unclustered; 1 is min of {1,2}; 4 is min of {4,5}
+    assert kept == [0, 1, 3, 4]
+
+
+def test_dedup_near_duplicates_exact_copies(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    other = "completely different content with no overlapping shingles here"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, base), (4, other)],
+        "doc_id bigint, text string",
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_near_duplicates(docs, "doc_id", "text").collect()
+    )
+    assert kept == [1, 4]
