@@ -949,11 +949,11 @@ _DRIVER_WINDOW = [
     "ks_test_purchase_view",
     "kaplan_meier_events",
     "durbin_watson_daily",
+    "repetition_signals_documents",
+    "pii_redact_contacts",
     "stream_static_enrich_counts",
-    "streaming_window_counts",
     "stream_dedup_events",
     "sessionized_aggregate_events",
-    "stateful_totals_events",
 ]
 
 # Cumulative union of driver-green entries (hash_match=true in any

@@ -472,7 +472,7 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IVF_HASH = (
-    "(CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    "(CAST(('0x' || substr(md5(CAST(vec_id AS STRING)), 1, 15)) AS BIGINT)"
     " % 2147483648)"
 )
 _IVF_COS = (
@@ -871,3 +871,123 @@ def near_dup_canonical_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_near_duplicates(d, "doc_id", "text", threshold=0.8).select(
         "doc_id"
     )
+
+
+# --- repetition quality signals + PII redaction ---------------------------
+
+
+@query(
+    "repetition_signals_documents",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_norm_sql('text')} AS t FROM documents),
+    toks AS (SELECT doc_id, t, string_split(t, ' ') AS tk FROM norm),
+    grams AS (
+      SELECT doc_id, t, tk,
+        list_transform(range(1, len(tk)), i -> tk[i] || '|' || tk[i+1]) AS g2,
+        list_transform(range(1, len(tk) - 1),
+                       i -> tk[i] || '|' || tk[i+1] || '|' || tk[i+2]) AS g3
+      FROM toks),
+    g2x AS (
+      SELECT doc_id, g, count(*) AS c FROM (
+        SELECT doc_id, unnest(g2) AS g FROM grams) GROUP BY doc_id, g),
+    top2 AS (SELECT doc_id, max(c * length(g)) AS best FROM g2x GROUP BY doc_id)
+    SELECT g.doc_id,
+      CAST(round((len(tk) - len(list_distinct(tk))) * 1.0 / len(tk), 6)
+           AS DOUBLE) AS dup_word_frac,
+      CAST(round(CASE WHEN len(g2) = 0 THEN 0.0
+           ELSE (len(g2) - len(list_distinct(g2))) * 1.0 / len(g2) END, 6)
+           AS DOUBLE) AS dup_2gram_frac,
+      CAST(round(CASE WHEN len(g3) = 0 THEN 0.0
+           ELSE (len(g3) - len(list_distinct(g3))) * 1.0 / len(g3) END, 6)
+           AS DOUBLE) AS dup_3gram_frac,
+      CAST(round(CASE WHEN coalesce(t2.best, 0) = 0 OR length(t) = 0 THEN 0.0
+           ELSE t2.best * 1.0 / length(t) END, 6)
+           AS DOUBLE) AS top_2gram_char_frac
+    FROM grams g LEFT JOIN top2 t2 ON t2.doc_id = g.doc_id
+    """,
+)
+def repetition_signals_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (dup unigram/2-gram/3-gram
+    fractions + top-2-gram char fraction), computed row-locally with no
+    shuffle (text/repetition.py).  The oracle rebuilds the same n-grams
+    relationally (unnest + groupBy) — two independent plans, one answer."""
+    from gofast_spark.text import repetition_signals
+
+    d = _docs(spark, sf_dir)
+    out = repetition_signals(d, "text")
+    return out.select(
+        "doc_id",
+        F.round("dup_word_frac", 6).alias("dup_word_frac"),
+        F.round("dup_2gram_frac", 6).alias("dup_2gram_frac"),
+        F.round("dup_3gram_frac", 6).alias("dup_3gram_frac"),
+        F.round("top_2gram_char_frac", 6).alias("top_2gram_char_frac"),
+    )
+
+
+def _pii_input_sql() -> str:
+    """Deterministic PII-bearing text built from customer columns — the
+    documents corpus contains no PII-shaped strings, so the entry
+    synthesizes identical inputs on both engines and diffs the
+    redactions."""
+    return (
+        "'user ' || c_name || ' mail ' || lower(replace(c_name, ' ', '.')) "
+        "|| '@example.com ip 10.' || CAST(c_custkey % 256 AS STRING) "
+        "|| '.' || CAST(c_nationkey % 256 AS STRING) || '.1 id ' "
+        "|| lpad(CAST(c_custkey % 1000 AS STRING), 3, '0') || '-' "
+        "|| lpad(CAST(c_custkey % 100 AS STRING), 2, '0') || '-' "
+        "|| lpad(CAST(c_custkey % 10000 AS STRING), 4, '0')"
+    )
+
+
+@query(
+    "pii_redact_contacts",
+    oracle=None,  # filled below — needs pii_oracle_sql at import time
+)
+def pii_redact_contacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: synthesize a contact string per customer (email +
+    IP + SSN-shaped id), scrub it with the portable regex chain
+    (text/pii.py), and return the redacted text plus staged per-class
+    counts.  DuckDB applies the same patterns through RE2 — the entry
+    proves the patterns are engine-portable and the staging order
+    deterministic."""
+    from gofast_spark.text import pii_profile, redact_pii_col
+
+    c = _t(spark, sf_dir, "customer")
+    base = c.select(
+        "c_custkey",
+        F.expr(_pii_input_sql()).alias("contact"),
+    )
+    prof = pii_profile(base, "contact")
+    return prof.select(
+        "c_custkey",
+        redact_pii_col("contact").alias("redacted"),
+        F.col("n_email").alias("n_email"),
+        F.col("n_ssn").alias("n_ssn"),
+        F.col("n_ipv4").alias("n_ipv4"),
+        F.col("n_phone").alias("n_phone"),
+    )
+
+
+def _register_pii_oracle() -> None:
+    from gofast_spark.plans.catalog import ORACLE_SQL
+    from gofast_spark.text.pii import PII_PATTERNS, pii_oracle_sql
+
+    inp = _pii_input_sql()
+    # staged counts: count each class on the text with earlier classes
+    # already redacted (mirrors text.pii.pii_profile)
+    stages, cur = [], inp
+    for name, pat, rep in PII_PATTERNS:
+        sql_pat = pat.replace("'", "''")
+        stages.append(
+            f"len(regexp_extract_all({cur}, '{sql_pat}')) AS n_{name}"
+        )
+        cur = f"regexp_replace({cur}, '{sql_pat}', '{rep}', 'g')"
+    ORACLE_SQL["pii_redact_contacts"] = f"""
+    SELECT c_custkey,
+           {pii_oracle_sql(inp)} AS redacted,
+           {", ".join(stages)}
+    FROM customer
+    """
+
+
+_register_pii_oracle()

@@ -23,6 +23,13 @@ from gofast_spark.text.columns import (
     tokenize_text_columns,
     vectorize_text_columns,
 )
+from gofast_spark.text.pii import (
+    PII_PATTERNS,
+    pii_profile,
+    redact_pii,
+    redact_pii_col,
+)
+from gofast_spark.text.repetition import repetition_signals
 from gofast_spark.text.hashing import (
     LCG_A,
     LCG_C,
@@ -41,6 +48,11 @@ __all__ = [
     "text_stats",
     "quality_score",
     "language_id",
+    "repetition_signals",
+    "redact_pii",
+    "redact_pii_col",
+    "pii_profile",
+    "PII_PATTERNS",
     "char_hash",
     "char_hash_sql",
     "md5_hash64",

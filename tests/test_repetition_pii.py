@@ -1,0 +1,67 @@
+"""Repetition signals (text/repetition.py) and PII redaction (text/pii.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from gofast_spark.text import pii_profile, redact_pii, repetition_signals
+
+
+def _one(spark, text):
+    df = spark.createDataFrame([(1, text)], "id bigint, text string")
+    return repetition_signals(df, "text").collect()[0]
+
+
+def test_no_repetition(spark):
+    r = _one(spark, "one two three four five")
+    assert r["dup_word_frac"] == 0.0
+    assert r["dup_2gram_frac"] == 0.0
+    assert r["dup_3gram_frac"] == 0.0
+    # all 2-grams occur once -> max count*len is the longest gram,
+    # "three|four" (len 10), over len(norm)=23
+    assert r["top_2gram_char_frac"] == pytest.approx(10 / 23)
+
+
+def test_fully_repeated(spark):
+    # "ab ab ab ab": 4 words 1 distinct -> 3/4; 3 bigrams 1 distinct -> 2/3
+    r = _one(spark, "ab ab ab ab")
+    assert r["dup_word_frac"] == pytest.approx(3 / 4)
+    assert r["dup_2gram_frac"] == pytest.approx(2 / 3)
+    assert r["dup_3gram_frac"] == pytest.approx(1 / 2)
+    # top 2-gram "ab|ab" x3, len 5, norm len 11 -> 15/11 > 1 (overlap, documented)
+    assert r["top_2gram_char_frac"] == pytest.approx(15 / 11)
+
+
+def test_short_doc_no_crash(spark):
+    r = _one(spark, "single")
+    assert r["dup_2gram_frac"] == 0.0
+    assert r["dup_3gram_frac"] == 0.0
+    assert r["top_2gram_char_frac"] == 0.0
+
+
+def test_redact_all_classes(spark):
+    txt = (
+        "mail bob.smith+x@ex-ample.co.uk ip 192.168.0.1 "
+        "ssn 123-45-6789 call 25-989-741-2988 done"
+    )
+    df = spark.createDataFrame([(1, txt)], "id bigint, text string")
+    got = redact_pii(df, "text").collect()[0]["text"]
+    assert got == "mail <EMAIL> ip <IP> ssn <ID> call <PHONE> done"
+
+
+def test_email_digits_not_counted_as_phone(spark):
+    # staged counts: the email is consumed first, its digits never reach
+    # the phone pattern
+    txt = "a 123-456-789-1234@mail.com b"
+    df = spark.createDataFrame([(1, txt)], "id bigint, text string")
+    r = pii_profile(df, "text").collect()[0]
+    assert r["n_email"] == 1
+    assert r["n_phone"] == 0
+    got = redact_pii(df, "text").collect()[0]["text"]
+    assert got == "a <EMAIL> b"
+
+
+def test_plain_text_untouched(spark):
+    txt = "nothing sensitive here just words and the number 42"
+    df = spark.createDataFrame([(1, txt)], "id bigint, text string")
+    assert redact_pii(df, "text").collect()[0]["text"] == txt
