@@ -143,20 +143,27 @@ def keep_canonical(
     id_col: str,
     *,
     cluster_id_col: str = "cluster_id",
+    broadcast_limit: int | None = 5_000_000,
 ) -> DataFrame:
     """Keep one canonical row per duplicate cluster (the min-id member)
     plus every unclustered row.
 
-    ``clusters`` is the :func:`connected_components` output — tiny
-    relative to the corpus (only docs with at least one near-dup edge),
-    so it is broadcast and the corpus never shuffles: a doc survives iff
-    it has no cluster row (singleton) or its id IS the cluster min."""
-    cl = F.broadcast(
-        clusters.select(
-            F.col("id").alias("__cc_id"),
-            F.col(cluster_id_col).alias("__cc_lab"),
-        )
+    ``clusters`` is the :func:`connected_components` output — usually
+    tiny relative to the corpus (only docs with at least one near-dup
+    edge), so it is broadcast and the corpus never shuffles: a doc
+    survives iff it has no cluster row (singleton) or its id IS the
+    cluster min.  On a duplicate-HEAVY corpus the clustered population
+    approaches the corpus and an unconditional broadcast would blow the
+    build side (the minhash verify stage had exactly this failure mode),
+    so the broadcast is gated on a row-count check — cheap here because
+    the connected-components output is already checkpoint-materialized.
+    Pass ``broadcast_limit=None`` to force the broadcast."""
+    cl = clusters.select(
+        F.col("id").alias("__cc_id"),
+        F.col(cluster_id_col).alias("__cc_lab"),
     )
+    if broadcast_limit is None or clusters.count() <= broadcast_limit:
+        cl = F.broadcast(cl)
     return (
         df.join(cl, df[id_col] == F.col("__cc_id"), "left")
         .where(F.col("__cc_lab").isNull() | (df[id_col] == F.col("__cc_lab")))

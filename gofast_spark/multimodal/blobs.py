@@ -57,17 +57,34 @@ def attach_blob_meta(
     )
 
 
-def decode_image(payload: bytes) -> tuple[int, int]:
-    """Decode an image payload to (width, height).
+def _pil():
+    """Import Pillow if present, else None — the optional real-decode
+    backend.  Kept in one place so every gate below agrees."""
+    try:
+        from PIL import Image  # noqa: PLC0415
 
-    STUB: real decoding needs an image library that is not available in
-    this environment.  Raises so callers can't silently depend on it;
-    ``blob_features`` uses a deterministic fake instead.
+        return Image
+    except ImportError:
+        return None
+
+
+def decode_image(payload: bytes, *, backend: str = "pil") -> tuple[int, int]:
+    """Decode an image payload to (width, height) with Pillow.
+
+    Raises ``NotImplementedError`` when Pillow is absent (this container
+    ships no image library) so callers can't silently depend on it;
+    ``blob_features`` defaults to the deterministic stub instead.
     """
-    raise NotImplementedError(
-        "image decoding requires an image library (e.g. Pillow); "
-        "not available in this environment"
-    )
+    Image = _pil()
+    if Image is None:
+        raise NotImplementedError(
+            "image decoding requires an image library (e.g. Pillow); "
+            "not available in this environment"
+        )
+    import io
+
+    with Image.open(io.BytesIO(payload)) as im:
+        return (im.width, im.height)
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int]:
@@ -77,19 +94,43 @@ def _fake_decode(payload: bytes) -> tuple[int, int]:
     return (64 + s % 256, 64 + (s * 31) % 256)
 
 
+def _resolve_decoder(decoder: str):
+    """Map a decoder request to the per-payload (width, height) function.
+
+    ``"stub"`` (default) — deterministic fake, environment-independent
+    (the oracle entries hash its output, so it must never silently
+    change with the installed libraries).  ``"pil"`` — require Pillow,
+    raise if absent.  ``"auto"`` — Pillow when importable, stub
+    otherwise (the production setting; documented fallback).
+    """
+    if decoder == "stub":
+        return _fake_decode
+    if decoder in ("pil", "auto"):
+        if _pil() is not None:
+            return lambda p: decode_image(p, backend="pil")
+        if decoder == "pil":
+            raise NotImplementedError(
+                "decoder='pil' requires Pillow, which is not installed"
+            )
+        return _fake_decode
+    raise ValueError(f"unknown decoder {decoder!r} (stub|pil|auto)")
+
+
 def blob_features(
     df: DataFrame,
     id_col: str,
     blob_col: str,
     *,
     batch_hint: int | None = None,
+    decoder: str = "stub",
 ) -> DataFrame:
     """Per-blob features via Arrow-batched ``mapInPandas``.
 
     Output schema: (id, n_bytes, head_byte, width, height) — declared
-    up front, so downstream column pruning works.  width/height come from
-    the stubbed decode (:func:`_fake_decode`); swap in a real codec by
-    overriding :func:`decode_image`.
+    up front, so downstream column pruning works.  width/height come
+    from the decoder selected by ``decoder`` (see
+    :func:`_resolve_decoder`; the default stub keeps outputs
+    deterministic in library-free environments).
     """
     schema = StructType(
         [
@@ -101,13 +142,14 @@ def blob_features(
         ]
     )
     cols = [id_col, blob_col]
+    decode = _resolve_decoder(decoder)
 
     def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
         for pdf in batches:
             payloads = pdf[blob_col]
-            dims = [_fake_decode(p if p is not None else b"") for p in payloads]
+            dims = [decode(p if p is not None else b"") for p in payloads]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
@@ -128,15 +170,18 @@ def resize_image_blobs(
     *,
     target: tuple[int, int] = (224, 224),
     out_col: str = "resized",
+    resizer: str = "stub",
 ) -> DataFrame:
     """Batch image resize through ``mapInPandas`` — binary in, binary out
     plus the realized (width, height).
 
-    The resample kernel is STUBBED (no image library in this container):
-    the fake 'resize' emits a deterministic payload derived from the
-    source bytes and target dims, so the pipeline — Arrow batch shape,
-    binary-in/binary-out schema, metadata propagation — is real and
-    tested; swap the inner function for PIL/torchvision in production.
+    ``resizer`` selects the kernel: ``"stub"`` (default) emits a
+    deterministic payload derived from the source bytes and target dims
+    — environment-independent, what the oracle entries hash; ``"pil"``
+    decodes, bilinear-resizes, and re-encodes PNG via Pillow (raises if
+    Pillow is absent); ``"auto"`` uses Pillow when importable, stub
+    otherwise.  Either way the pipeline shape — Arrow batch iteration,
+    binary-in/binary-out declared schema — is identical.
     Output schema: (id, resized binary, width int, height int).
     """
     schema = StructType(
@@ -148,6 +193,25 @@ def resize_image_blobs(
         ]
     )
     tw, th = int(target[0]), int(target[1])
+    use_pil = False
+    if resizer in ("pil", "auto"):
+        if _pil() is not None:
+            use_pil = True
+        elif resizer == "pil":
+            raise NotImplementedError(
+                "resizer='pil' requires Pillow, which is not installed"
+            )
+    elif resizer != "stub":
+        raise ValueError(f"unknown resizer {resizer!r} (stub|pil|auto)")
+
+    def _pil_resize(p: bytes) -> bytes:
+        import io
+
+        Image = _pil()
+        with Image.open(io.BytesIO(p)) as im:
+            buf = io.BytesIO()
+            im.resize((tw, th)).save(buf, format="PNG")
+            return buf.getvalue()
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -157,8 +221,11 @@ def resize_image_blobs(
             out = []
             for p in payloads:
                 p = p if p is not None else b""
-                # STUB resample: head bytes + dims tag, deterministic
-                out.append(bytes(p[:16]) + bytes([tw % 256, th % 256]))
+                if use_pil:
+                    out.append(_pil_resize(p))
+                else:
+                    # STUB resample: head bytes + dims tag, deterministic
+                    out.append(bytes(p[:16]) + bytes([tw % 256, th % 256]))
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
