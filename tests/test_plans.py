@@ -215,3 +215,39 @@ def test_ivf_portable_no_cartesian_against_corpus(spark, sf_small):
     # the candidate join on `cell` must be a real equi-join
     assert "CartesianProduct" not in plan
     assert df.count() > 0
+
+
+def test_repetition_signals_shuffle_free(spark, sf_small):
+    """The Gopher repetition bundle must stay a single row-local
+    projection — zero exchanges beyond (at most) the initial spread
+    repartition, and no aggregate operators."""
+    from gofast_spark.text import repetition_signals
+
+    d = spark.read.parquet(f"{sf_small}/documents.parquet")
+    plan = _plan(repetition_signals(d, "text"))
+    assert "Exchange" not in plan
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan
+
+
+def test_pii_redaction_pure_projection(spark, sf_small):
+    from gofast_spark.text import pii_profile, redact_pii
+
+    d = spark.read.parquet(f"{sf_small}/documents.parquet")
+    for out in (redact_pii(d, "text"), pii_profile(d, "text")):
+        plan = _plan(out)
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan  # JVM regex, not a Python UDF
+
+
+def test_connected_components_no_cartesian(spark):
+    """Each hash-min propagation round is an equi-join + min-groupBy —
+    never a cartesian/nested-loop join, at any iteration count."""
+    from gofast_spark.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    out = connected_components(pairs)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
