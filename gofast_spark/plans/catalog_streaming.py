@@ -245,3 +245,51 @@ def warehouse_sink_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFra
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 4).cast("double").alias("total"),
     )
+
+
+@query(
+    "stream_interval_join_events",
+    oracle="""
+    SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id,
+           CAST(date_diff('second', v.ts, c.ts) AS BIGINT) AS delay_sec
+    FROM events v JOIN events c
+      ON v.user_id = c.user_id
+     AND v.event_type = 'view' AND c.event_type = 'click'
+     AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 12 HOUR
+    """,
+)
+def stream_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream attribution join: every click within 12 hours of a
+    same-user view, both sides live event streams.  The watermark +
+    closed time-range predicate is what keeps join state bounded on an
+    unbounded stream (streaming/ops.py:stream_stream_interval_join);
+    availableNow replay must reproduce the batch join bit-for-bit."""
+    from gofast_spark.streaming import (
+        read_event_stream,
+        run_available_now,
+        stream_stream_interval_join,
+    )
+
+    views = read_event_stream(spark, sf_dir, glob="events.parquet").where(
+        F.col("event_type") == "view"
+    )
+    clicks = read_event_stream(spark, sf_dir, glob="events.parquet").where(
+        F.col("event_type") == "click"
+    )
+    joined = stream_stream_interval_join(
+        views,
+        clicks,
+        "user_id",
+        watermark="1 day",
+        lower_bound="0 seconds",
+        upper_bound="12 hours",
+    )
+    out = run_available_now(joined, mode="append")
+    return out.select(
+        F.col("event_id_l").alias("view_id"),
+        F.col("event_id_r").alias("click_id"),
+        "user_id",
+        (
+            F.unix_timestamp("ts_r") - F.unix_timestamp("ts_l")
+        ).alias("delay_sec"),
+    )

@@ -5,6 +5,7 @@ task trigger, gofast/mlops/automation.py:1461)."""
 from gofast_spark.streaming.ops import (
     read_event_stream,
     stream_static_enrich,
+    stream_stream_interval_join,
     write_stream_to_warehouse,
     run_available_now,
     sessionized_aggregate,
@@ -16,6 +17,7 @@ from gofast_spark.streaming.ops import (
 __all__ = [
     "read_event_stream",
     "stream_static_enrich",
+    "stream_stream_interval_join",
     "write_stream_to_warehouse",
     "windowed_aggregate",
     "sessionized_aggregate",

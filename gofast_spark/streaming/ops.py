@@ -268,6 +268,60 @@ def stream_static_enrich(
     return sdf.join(s, on=on, how=how)
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    *,
+    ts_col: str = "ts",
+    watermark: str = "1 day",
+    lower_bound: str = "0 seconds",
+    upper_bound: str = "12 hours",
+    suffixes: tuple[str, str] = ("_l", "_r"),
+) -> DataFrame:
+    """Watermarked stream-stream inner join with a time-range condition.
+
+    Matches right-side rows whose event time falls in
+    ``[left.ts + lower_bound, left.ts + upper_bound]`` for the same
+    ``key`` — the attribution-join shape (view -> click within N hours).
+
+    Scale contract: BOTH sides carry a watermark and the join predicate
+    is equality-on-key plus a closed time range, which is exactly what
+    Structured Streaming needs to bound join state — rows older than
+    ``watermark + upper_bound`` are evicted instead of accumulating
+    forever.  Without the range condition Spark would keep every row of
+    both streams in state indefinitely; this function makes the bounded
+    shape the only expressible one.  The shuffle is hash-partitioned on
+    ``key`` for both sides (stream-stream joins co-partition by the
+    equality columns).
+
+    All non-key columns are suffixed so the two sides never collide.
+    Inner joins emit in ``append`` mode as soon as both rows arrive.
+    """
+    lsuf, rsuf = suffixes
+    lw = left.withWatermark(ts_col, watermark)
+    rw = right.withWatermark(ts_col, watermark)
+    for c in left.columns:
+        if c != key:
+            lw = lw.withColumnRenamed(c, f"{c}{lsuf}")
+    for c in right.columns:
+        if c != key:
+            rw = rw.withColumnRenamed(c, f"{c}{rsuf}")
+    rw = rw.withColumnRenamed(key, f"__{key}{rsuf}")
+    cond = (
+        (F.col(key) == F.col(f"__{key}{rsuf}"))
+        & (
+            F.col(f"{ts_col}{rsuf}")
+            >= F.col(f"{ts_col}{lsuf}") + F.expr(f"INTERVAL {lower_bound}")
+        )
+        & (
+            F.col(f"{ts_col}{rsuf}")
+            <= F.col(f"{ts_col}{lsuf}") + F.expr(f"INTERVAL {upper_bound}")
+        )
+    )
+    return lw.join(rw, cond, "inner").drop(f"__{key}{rsuf}")
+
+
 def write_stream_to_warehouse(
     sdf: DataFrame,
     path: str,
