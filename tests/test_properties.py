@@ -120,3 +120,42 @@ def test_cumprod_matches_python(spark, vals):
             assert math.isclose(g, acc, abs_tol=1e-12)
         else:
             assert math.isclose(g, acc, rel_tol=1e-6)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),
+            st.integers(min_value=0, max_value=20),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**SETTINGS)
+def test_connected_components_matches_union_find(spark, edges):
+    """Hash-min propagation must agree with a driver-side union-find on
+    arbitrary small graphs (chains, cliques, self-loops, multi-edges)."""
+    from gofast_spark.dedup import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {v: find(v) for v in parent}
+
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(df).collect()
+    }
+    assert got == expected
