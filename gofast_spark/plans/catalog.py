@@ -940,7 +940,7 @@ _DRIVER_WINDOW = [
     "midrank_binned_floor_acctbal",
     "savgol_interior_daily",
     "minhash_near_dup_pairs",
-    "minhash_signatures_documents",
+    "pq_adc_topk_embeddings",
     "near_dup_clusters_documents",
     "near_dup_canonical_survivors",
     "gini_acctbal",

@@ -991,3 +991,71 @@ def _register_pii_oracle() -> None:
 
 
 _register_pii_oracle()
+
+
+# --- product-quantization ANN ---------------------------------------------
+
+def _pq_oracle() -> str:
+    from gofast_spark.sim.pq import sq_dist_terms
+
+    code_aggs = ", ".join(
+        f"(min(struct_pack(d := round("
+        f"{sq_dist_terms('e.embedding', 'cb.cv', m * 16, 16, indexer='duckdb')}"
+        f", 6), c := cb.cell))).c AS code_{m}"
+        for m in range(4)
+    )
+    lut_cols = ", ".join(
+        f"round({sq_dist_terms('q.embedding', 'cb.cv', m * 16, 16, indexer='duckdb')}, 6) AS pd_{m}"
+        for m in range(4)
+    )
+    return f"""
+    WITH cb AS (
+      SELECT CAST(row_number() OVER (ORDER BY {_IVF_HASH}, vec_id) AS INTEGER) - 1 AS cell,
+             embedding AS cv
+      FROM embeddings
+      QUALIFY row_number() OVER (ORDER BY {_IVF_HASH}, vec_id) <= 8),
+    codes AS (
+      SELECT e.vec_id, {code_aggs}
+      FROM embeddings e, cb GROUP BY e.vec_id),
+    lut AS (
+      SELECT q.vec_id AS query_id, cb.cell, {lut_cols}
+      FROM embeddings q, cb WHERE q.vec_id < 5),
+    scored AS (
+      SELECT l0.query_id, c.vec_id,
+             l0.pd_0 + l1.pd_1 + l2.pd_2 + l3.pd_3 AS adc_dist
+      FROM codes c
+      JOIN lut l0 ON l0.cell = c.code_0
+      JOIN lut l1 ON l1.query_id = l0.query_id AND l1.cell = c.code_1
+      JOIN lut l2 ON l2.query_id = l0.query_id AND l2.cell = c.code_2
+      JOIN lut l3 ON l3.query_id = l0.query_id AND l3.cell = c.code_3
+      WHERE c.vec_id <> l0.query_id)
+    SELECT query_id, vec_id,
+           CAST(round(adc_dist, 4) AS DOUBLE) AS adc_dist,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY round(adc_dist, 6), vec_id) AS INTEGER) AS rank
+    FROM scored QUALIFY rank <= 5
+    """
+
+
+@query("pq_adc_topk_embeddings", oracle=_pq_oracle())
+def pq_adc_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-5 (Jegou et al. 2011): landmark
+    codebooks (8 lowest-hash corpus vectors, zero training iterations),
+    4x16-dim subspace codes in one groupBy of struct-argmins, broadcast
+    per-query lookup tables, fixed-order ADC sums — every arithmetic
+    step emitted as the same expression text on both engines, so the
+    oracle verifies codes, LUTs, and ranks bit-for-bit (sim/pq.py)."""
+    from gofast_spark.sim import pq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    out = pq_topk(
+        e, q, "vec_id", "embedding",
+        n_subspaces=4, n_centroids=8, dim=64, k=5,
+    )
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("adc_dist", 4).cast("double").alias("adc_dist"),
+        F.col("rank").cast("int").alias("rank"),
+    )

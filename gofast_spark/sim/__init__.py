@@ -17,6 +17,7 @@ from gofast_spark.sim.ivf import (
     ivf_topk_portable,
     train_centroids,
 )
+from gofast_spark.sim.pq import pq_codebook, pq_encode, pq_topk
 from gofast_spark.sim.lsh import cosine_near_dup_pairs, hyperplane_bucket, lsh_topk
 
 __all__ = [
@@ -28,6 +29,9 @@ __all__ = [
     "cosine_near_dup_pairs",
     "train_centroids",
     "assign_cells",
+    "pq_codebook",
+    "pq_encode",
+    "pq_topk",
     "ivf_topk",
     "ivf_topk_portable",
 ]

@@ -129,3 +129,37 @@ def test_ivf_cells_partition_corpus(spark, corpus):
     }
     assert sum(per.values()) == n
     assert len(per) >= 4  # k-means actually spreads the data
+
+
+def test_pq_adc_correlates_with_exact_l2(spark, sf_small):
+    """ADC with 4x16 landmark codebooks is a coarse quantizer: on this
+    near-isotropic synthetic corpus distances concentrate, so top-5
+    overlap with the exact top-5 is legitimately near zero — the
+    meaningful invariant is that ADC distances correlate positively
+    with exact squared L2 over the whole corpus (observed ~0.39 for
+    query 0; an unrelated scoring would sit near 0)."""
+    from pyspark.sql import functions as F
+
+    from gofast_spark.sim import pq_topk
+
+    e = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    q = e.where(F.col("vec_id") == 0)
+    qq = q.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv")
+    )
+    sq = F.expr(
+        "aggregate(zip_with(embedding, __qv, (a, b) -> "
+        "(CAST(a AS DOUBLE) - CAST(b AS DOUBLE)) * "
+        "(CAST(a AS DOUBLE) - CAST(b AS DOUBLE))), 0D, (acc, x) -> acc + x)"
+    )
+    exact = (
+        e.crossJoin(F.broadcast(qq))
+        .where(F.col("vec_id") != 0)
+        .withColumn("d2", sq)
+        .select("vec_id", "d2")
+    )
+    adc = pq_topk(e, q, "vec_id", "embedding", k=10**9).select(
+        "vec_id", "adc_dist"
+    )
+    corr = exact.join(adc, "vec_id").stat.corr("d2", "adc_dist")
+    assert corr >= 0.25
