@@ -945,7 +945,7 @@ _DRIVER_WINDOW = [
     "near_dup_canonical_survivors",
     "gini_acctbal",
     "spearman_lineitem",
-    "wilcoxon_orders",
+    "corpus_filter_documents",
     "ks_test_purchase_view",
     "kaplan_meier_events",
     "durbin_watson_daily",

@@ -1059,3 +1059,54 @@ def pq_adc_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("adc_dist", 4).cast("double").alias("adc_dist"),
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+@query(
+    "corpus_filter_documents",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_norm_sql('text')} AS t FROM documents),
+    toks AS (SELECT doc_id, t, string_split(t, ' ') AS tk FROM norm),
+    grams AS (
+      SELECT doc_id, t, tk,
+        list_transform(range(1, len(tk)), i -> tk[i] || '|' || tk[i+1]) AS g2,
+        list_transform(range(1, len(tk) - 1),
+                       i -> tk[i] || '|' || tk[i+1] || '|' || tk[i+2]) AS g3
+      FROM toks),
+    g2x AS (
+      SELECT doc_id, g, count(*) AS c FROM (
+        SELECT doc_id, unnest(g2) AS g FROM grams) GROUP BY doc_id, g),
+    top2 AS (SELECT doc_id, max(c * length(g)) AS best FROM g2x GROUP BY doc_id),
+    sig AS (
+      SELECT g.doc_id,
+        len(tk) AS n_tok,
+        CASE WHEN len(g3) = 0 THEN 0.0
+             ELSE (len(g3) - len(list_distinct(g3))) * 1.0 / len(g3) END AS d3,
+        CASE WHEN coalesce(t2.best, 0) = 0 OR length(t) = 0 THEN 0.0
+             ELSE t2.best * 1.0 / length(t) END AS top2,
+        len(list_filter(tk, x -> list_contains({_STOP}, x))) * 1.0
+          / len(tk) AS stop_ratio,
+        len(list_distinct(tk)) * 1.0 / len(tk) AS uniq_ratio
+      FROM grams g LEFT JOIN top2 t2 ON t2.doc_id = g.doc_id)
+    SELECT doc_id,
+      (n_tok >= 5 AND n_tok <= 100000 AND d3 <= 0.5 AND top2 <= 0.6
+       AND stop_ratio >= 0.05 AND uniq_ratio >= 0.2) AS keep,
+      CASE WHEN NOT n_tok >= 5 THEN 'min_tokens'
+           WHEN NOT n_tok <= 100000 THEN 'max_tokens'
+           WHEN NOT d3 <= 0.5 THEN 'max_dup_3gram_frac'
+           WHEN NOT top2 <= 0.6 THEN 'max_top_2gram_char_frac'
+           WHEN NOT stop_ratio >= 0.05 THEN 'min_stopword_ratio'
+           WHEN NOT uniq_ratio >= 0.2 THEN 'min_unique_ratio'
+           ELSE NULL END AS reason
+    FROM sig
+    """,
+)
+def corpus_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style composite keep/drop pass with first-failure
+    attribution (text/corpus_filter.py) — one shuffle-free projection
+    composing token bounds, repetition caps, stopword/diversity floors.
+    The oracle recomputes every signal relationally and replays the same
+    rule order."""
+    from gofast_spark.text import corpus_filter
+
+    d = _docs(spark, sf_dir)
+    return corpus_filter(d, "text").select("doc_id", "keep", "reason")

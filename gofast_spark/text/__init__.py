@@ -23,6 +23,7 @@ from gofast_spark.text.columns import (
     tokenize_text_columns,
     vectorize_text_columns,
 )
+from gofast_spark.text.corpus_filter import DEFAULT_RULES, corpus_filter
 from gofast_spark.text.pii import (
     PII_PATTERNS,
     pii_profile,
@@ -49,6 +50,8 @@ __all__ = [
     "quality_score",
     "language_id",
     "repetition_signals",
+    "corpus_filter",
+    "DEFAULT_RULES",
     "redact_pii",
     "redact_pii_col",
     "pii_profile",

@@ -1,0 +1,123 @@
+"""Composite corpus filter: the C4-style keep/drop pass over documents.
+
+Large-scale corpus builds (C4 — Raffel et al. 2020 §2.2; Gopher — Rae
+et al. 2021 §A1.1) apply a fixed battery of cheap heuristics before any
+model-based filtering: length bounds, repetition caps, stopword-density
+and lexical-diversity floors, language selection.  This module composes
+the engine's existing row-local signals (text/analysis.py,
+text/repetition.py) into one pass that tags every document with its
+keep decision and the FIRST failed rule — auditable filtering, not a
+silent drop.
+
+Everything evaluates inside a single shuffle-free projection; the
+filter thresholds are plain data, so the whole pass is expressible in
+SQL and differentially verified.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gofast_spark.text.analysis import (
+    EN_STOPWORDS,
+    _stopword_hits,
+    normalize_text,
+)
+from gofast_spark.text.repetition import repetition_signals
+
+# (rule name, default threshold) — applied in this order; the reason
+# column reports the FIRST failure so downstream audits see a stable
+# attribution even when several rules fire.
+DEFAULT_RULES = {
+    "min_tokens": 5,
+    "max_tokens": 100_000,
+    "max_dup_3gram_frac": 0.5,
+    "max_top_2gram_char_frac": 0.6,
+    "min_stopword_ratio": 0.05,
+    "min_unique_ratio": 0.2,
+    "lang": None,  # e.g. "en" — needs language_id upstream when set
+}
+
+
+def corpus_filter(
+    df: DataFrame,
+    text_col: str,
+    *,
+    rules: dict | None = None,
+    keep_col: str = "keep",
+    reason_col: str = "reason",
+) -> DataFrame:
+    """Tag every row with ``keep`` (boolean) and ``reason`` (name of the
+    first failed rule, NULL when kept).  Pure projection — the signals
+    are computed row-locally and the verdict is a CASE chain; filter
+    with ``.where(F.col('keep'))`` to materialize the kept corpus.
+
+    ``rules`` overrides :data:`DEFAULT_RULES` per key; a key set to
+    ``None`` disables that rule.
+    """
+    cfg = dict(DEFAULT_RULES)
+    if rules:
+        cfg.update(rules)
+
+    norm = normalize_text(text_col)
+    toks = F.split(norm, " ")
+    n_tok = F.size(toks)
+    uniq_ratio = F.size(F.array_distinct(toks)) / n_tok.cast("double")
+    stop_ratio = _stopword_hits(norm, EN_STOPWORDS) / n_tok.cast("double")
+
+    out = repetition_signals(df, text_col, out_prefix="__cf_")
+    out = (
+        out.withColumn("__cf_n_tokens", n_tok)
+        .withColumn("__cf_uniq", uniq_ratio)
+        .withColumn("__cf_stop", stop_ratio)
+    )
+
+    checks: list[tuple[str, Column]] = []
+    if cfg["min_tokens"] is not None:
+        checks.append(
+            ("min_tokens", F.col("__cf_n_tokens") >= cfg["min_tokens"])
+        )
+    if cfg["max_tokens"] is not None:
+        checks.append(
+            ("max_tokens", F.col("__cf_n_tokens") <= cfg["max_tokens"])
+        )
+    if cfg["max_dup_3gram_frac"] is not None:
+        checks.append(
+            (
+                "max_dup_3gram_frac",
+                F.col("__cf_dup_3gram_frac") <= cfg["max_dup_3gram_frac"],
+            )
+        )
+    if cfg["max_top_2gram_char_frac"] is not None:
+        checks.append(
+            (
+                "max_top_2gram_char_frac",
+                F.col("__cf_top_2gram_char_frac")
+                <= cfg["max_top_2gram_char_frac"],
+            )
+        )
+    if cfg["min_stopword_ratio"] is not None:
+        checks.append(
+            ("min_stopword_ratio", F.col("__cf_stop") >= cfg["min_stopword_ratio"])
+        )
+    if cfg["min_unique_ratio"] is not None:
+        checks.append(
+            ("min_unique_ratio", F.col("__cf_uniq") >= cfg["min_unique_ratio"])
+        )
+    if cfg["lang"] is not None:
+        from gofast_spark.text.analysis import language_id
+
+        out = language_id(out, text_col, out_col="__cf_lang")
+        checks.append(("lang", F.col("__cf_lang") == cfg["lang"]))
+
+    reason = F.lit(None).cast("string")
+    for name, ok in reversed(checks):
+        reason = F.when(~ok, F.lit(name)).otherwise(reason)
+    keep = F.lit(True)
+    for _, ok in checks:
+        keep = keep & ok
+
+    out = out.withColumn(keep_col, keep).withColumn(reason_col, reason)
+    drop = [c for c in out.columns if c.startswith("__cf_")]
+    return out.drop(*drop)

@@ -65,3 +65,46 @@ def test_plain_text_untouched(spark):
     txt = "nothing sensitive here just words and the number 42"
     df = spark.createDataFrame([(1, txt)], "id bigint, text string")
     assert redact_pii(df, "text").collect()[0]["text"] == txt
+
+
+def _cf(spark, text, **rules):
+    from gofast_spark.text import corpus_filter
+
+    df = spark.createDataFrame([(1, text)], "id bigint, text string")
+    return corpus_filter(df, "text", rules=rules or None).collect()[0]
+
+
+def test_corpus_filter_short_doc(spark):
+    r = _cf(spark, "too short")
+    assert not r["keep"] and r["reason"] == "min_tokens"
+
+
+def test_corpus_filter_repetitive_doc(spark):
+    r = _cf(spark, "the spam " * 40)
+    assert not r["keep"] and r["reason"] == "max_dup_3gram_frac"
+
+
+def test_corpus_filter_no_stopwords(spark):
+    r = _cf(spark, "alpha beta gamma delta epsilon zeta eta theta iota")
+    assert not r["keep"] and r["reason"] == "min_stopword_ratio"
+
+
+def test_corpus_filter_good_doc_keeps(spark):
+    r = _cf(
+        spark,
+        "the quick brown fox jumps over a lazy dog while the sun "
+        "sets behind these quiet hills and every bird sings its song",
+    )
+    assert r["keep"] and r["reason"] is None
+
+
+def test_corpus_filter_rule_override_and_disable(spark):
+    txt = "alpha beta gamma delta epsilon zeta eta theta iota"
+    r = _cf(spark, txt, min_stopword_ratio=None, min_tokens=3)
+    assert r["keep"]
+
+
+def test_corpus_filter_first_failure_wins(spark):
+    # fails min_tokens AND min_stopword_ratio; attribution = first rule
+    r = _cf(spark, "zz qq")
+    assert r["reason"] == "min_tokens"
