@@ -951,9 +951,9 @@ _DRIVER_WINDOW = [
     "durbin_watson_daily",
     "repetition_signals_documents",
     "pii_redact_contacts",
+    "token_shards_documents",
     "stream_interval_join_events",
     "stream_static_enrich_counts",
-    "stream_dedup_events",
 ]
 
 # Cumulative union of driver-green entries (hash_match=true in any

@@ -1110,3 +1110,48 @@ def corpus_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir)
     return corpus_filter(d, "text").select("doc_id", "keep", "reason")
+
+
+@query(
+    "token_shards_documents",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_norm_sql('text')} AS t FROM documents),
+    tok AS (SELECT doc_id, CAST(len(string_split(t, ' ')) AS BIGINT) AS n_tokens
+            FROM norm),
+    c AS (SELECT doc_id, n_tokens,
+                 sum(n_tokens) OVER (ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) AS cum
+          FROM tok)
+    SELECT doc_id, n_tokens, CAST(cum AS BIGINT) AS cum_tokens,
+           CAST(floor((cum - n_tokens) / 2000.0) AS INT) AS shard
+    FROM c
+    """,
+)
+def token_shards_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sharding via the two-phase distributed prefix sum
+    (operators/prefix.py): running token totals in doc_id order WITHOUT
+    a single-reducer global window — range repartition, partition-local
+    scans, broadcast offsets.  The oracle computes the same running sum
+    with an ordinary (single-node) window, proving the parallel scan
+    exact."""
+    from gofast_spark.operators import token_budget_shards
+    from gofast_spark.text.analysis import normalize_text
+
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "doc_id",
+        F.size(F.split(normalize_text("text"), " ")).cast("bigint").alias(
+            "n_tokens"
+        ),
+    )
+    from gofast_spark.operators import distributed_cumsum
+
+    out = distributed_cumsum(tok, "doc_id", "n_tokens", out_col="cum_tokens")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+        F.floor((F.col("cum_tokens") - F.col("n_tokens")) / F.lit(2000.0))
+        .cast("int")
+        .alias("shard"),
+    )

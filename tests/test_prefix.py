@@ -1,0 +1,60 @@
+"""Distributed prefix sum + token-budget sharding (operators/prefix.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gofast_spark.operators import distributed_cumsum, token_budget_shards
+
+
+def test_cumsum_matches_sequential(spark):
+    rows = [(i, (i * 7) % 11 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "k bigint, v bigint")
+    got = {
+        r["k"]: r["cumsum"]
+        for r in distributed_cumsum(df, "k", "v").collect()
+    }
+    run = 0
+    for k, v in rows:
+        run += v
+        assert got[k] == run
+
+
+def test_cumsum_invariant_to_partition_count(spark):
+    rows = [(i, i % 5 + 1) for i in range(123)]
+    df = spark.createDataFrame(rows, "k bigint, v bigint")
+    a = sorted(
+        map(tuple, distributed_cumsum(df, "k", "v", num_partitions=2).collect())
+    )
+    b = sorted(
+        map(tuple, distributed_cumsum(df, "k", "v", num_partitions=13).collect())
+    )
+    assert a == b
+
+
+def test_token_shards_boundary_starts_new_shard(spark):
+    # budget 10: docs of 6,6,6 tokens -> cum 6,12,18; exclusive starts
+    # 0,6,12 -> shards 0,0,1
+    df = spark.createDataFrame(
+        [(1, 6), (2, 6), (3, 6)], "doc bigint, n bigint"
+    )
+    got = {
+        r["doc"]: r["shard"]
+        for r in token_budget_shards(df, "doc", "n", budget=10).collect()
+    }
+    assert got == {1: 0, 2: 0, 3: 1}
+
+
+def test_cumsum_plan_uses_range_partitioning(spark):
+    """The scan must sort via the parallel range partitioner, never a
+    single-partition global sort of the data."""
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), F.lit(1).alias("v")
+    )
+    plan = (
+        distributed_cumsum(df, "k", "v")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning" in plan
