@@ -26,7 +26,13 @@ def _midrank_map(df: DataFrame, col: Column) -> DataFrame:
     average (mid)rank over the whole frame — for a value with ``c`` ties
     preceded by ``B`` smaller items, ranks span B+1..B+c, so the midrank
     is ``B + (c+1)/2``.  The cumulative-sum window runs over the
-    *distinct-value* frame, keeping the sorted set small at scale."""
+    *distinct-value* frame, keeping the sorted set small at scale;
+    continuous keys are bounded by the callers' ``bins=`` quantile-sketch
+    pre-binning (stats.prebin).  If an UNBINNED continuous-key path were
+    ever needed at extreme scale, swap this window for the two-phase
+    parallel scan in :func:`gofast_spark.operators.prefix.
+    distributed_cumsum` — the counts are integer-valued doubles, so the
+    regrouped additions stay bit-exact."""
     per_val = df.groupBy(col.alias("__v")).agg(
         F.count(F.lit(1)).cast("double").alias("__c")
     )
