@@ -947,7 +947,7 @@ _DRIVER_WINDOW = [
     "spearman_lineitem",
     "corpus_filter_documents",
     "ks_test_purchase_view",
-    "kaplan_meier_events",
+    "asof_join_click_view",
     "durbin_watson_daily",
     "repetition_signals_documents",
     "pii_redact_contacts",

@@ -293,3 +293,41 @@ def stream_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_timestamp("ts_r") - F.unix_timestamp("ts_l")
         ).alias("delay_sec"),
     )
+
+
+@query(
+    "asof_join_click_view",
+    oracle="""
+    WITH v AS (SELECT user_id, ts, max(event_id) AS view_id
+               FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+    c AS (SELECT user_id, ts, event_id AS click_id
+          FROM events WHERE event_type = 'click')
+    SELECT c.click_id, c.user_id, v.view_id,
+           CAST(date_diff('second', v.ts, c.ts) AS BIGINT) AS gap_sec
+    FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts
+    """,
+)
+def asof_join_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): every click attached to the most
+    recent same-user view at or before it, via the union-scan pattern
+    (one key-partitioned shuffle, no range fan-out).  DuckDB's native
+    ASOF JOIN is the oracle — two entirely different physical strategies
+    must produce identical matches."""
+    from gofast_spark.operators import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    views = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    out = asof_join(clicks, views, "user_id", "ts")
+    return out.select(
+        "click_id",
+        "user_id",
+        F.col("view_id_r").alias("view_id"),
+        (F.unix_timestamp("ts") - F.unix_timestamp("ts_r")).alias("gap_sec"),
+    )
