@@ -943,7 +943,7 @@ _DRIVER_WINDOW = [
     "pq_adc_topk_embeddings",
     "near_dup_clusters_documents",
     "near_dup_canonical_survivors",
-    "gini_acctbal",
+    "range_join_acctbal_brackets",
     "spearman_lineitem",
     "corpus_filter_documents",
     "ks_test_purchase_view",

@@ -463,3 +463,40 @@ def outlier_handler_zscore_transfer(spark: SparkSession, sf_dir: str) -> DataFra
         "c_custkey",
         F.round("c_acctbal", 4).cast("double").alias("clipped"),
     )
+
+
+@query(
+    "range_join_acctbal_brackets",
+    oracle="""
+    WITH iv AS (
+      SELECT n_nationkey AS bracket_id,
+             -1000.0 + n_nationkey * 440.0 AS lo,
+             -300.0 + n_nationkey * 440.0 AS hi
+      FROM nation)
+    SELECT iv.bracket_id,
+           count(*) AS n_customers,
+           CAST(round(sum(c.c_acctbal), 2) AS DOUBLE) AS acctbal_sum
+    FROM customer c JOIN iv
+      ON c.c_acctbal >= iv.lo AND c.c_acctbal <= iv.hi
+    GROUP BY iv.bracket_id
+    """,
+)
+def range_join_acctbal_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join (operators/range_join.py): customers matched
+    into overlapping acctbal brackets derived from the nation table,
+    aggregated per bracket.  The oracle runs the plain inequality join —
+    the bucketed equi-join plan must find exactly the same containments."""
+    from gofast_spark.operators import range_join
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    n = _t(spark, sf_dir, "nation")
+    iv = n.select(
+        F.col("n_nationkey").alias("bracket_id"),
+        (F.lit(-1000.0) + F.col("n_nationkey") * 440.0).alias("lo"),
+        (F.lit(-300.0) + F.col("n_nationkey") * 440.0).alias("hi"),
+    )
+    pairs = range_join(c, iv, "c_acctbal", "lo", "hi", bucket_width=700.0)
+    return pairs.groupBy("bracket_id").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).cast("double").alias("acctbal_sum"),
+    )
