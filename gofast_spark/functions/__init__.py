@@ -14,6 +14,11 @@ from gofast_spark.functions.encoding import (
     one_hot_encode,
     to_categories,
 )
+from gofast_spark.functions.sketches import (
+    distinct_rollup,
+    distinct_sketch,
+    sketch_rollup_estimate,
+)
 from gofast_spark.functions.strings import (
     anonymize_text,
     capitalize_first,
@@ -40,4 +45,7 @@ __all__ = [
     "freq_encode",
     "label_encode",
     "one_hot_encode",
+    "distinct_sketch",
+    "sketch_rollup_estimate",
+    "distinct_rollup",
 ]

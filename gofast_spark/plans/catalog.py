@@ -944,7 +944,7 @@ _DRIVER_WINDOW = [
     "near_dup_clusters_documents",
     "near_dup_canonical_survivors",
     "range_join_acctbal_brackets",
-    "spearman_lineitem",
+    "hll_weekly_distinct_users",
     "corpus_filter_documents",
     "ks_test_purchase_view",
     "asof_join_click_view",

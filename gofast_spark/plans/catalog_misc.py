@@ -500,3 +500,46 @@ def range_join_acctbal_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.round(F.sum("c_acctbal"), 2).cast("double").alias("acctbal_sum"),
     )
+
+
+@query(
+    "hll_weekly_distinct_users",
+    oracle="""
+    WITH exact AS (
+      SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+             count(DISTINCT user_id) AS n_exact
+      FROM events GROUP BY 1)
+    SELECT week, n_exact, CAST(1 AS INT) AS est_ok FROM exact
+    """,
+)
+def hll_weekly_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch invariant entry (functions/sketches.py): daily
+    HLL sketches of user_id union into weekly estimates WITHOUT raw
+    re-aggregation; each estimate must land within 5% of the exact
+    weekly distinct count (HLL rsd at lgConfigK=12 is ~1.6%).  The
+    oracle carries the exact counts; est_ok encodes the tolerance
+    verdict, so a drifting sketch implementation goes red."""
+    from gofast_spark.functions import distinct_rollup
+
+    e = _t(spark, sf_dir, "events")
+    daily = e.select(
+        F.date_trunc("week", "ts").cast("date").alias("week"),
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        "user_id",
+    )
+    est = distinct_rollup(
+        daily, ["week", "day"], ["week"], "user_id", out_col="est"
+    )
+    exact = daily.groupBy("week").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return exact.join(est, "week").select(
+        "week",
+        "n_exact",
+        (
+            F.abs(F.col("est") - F.col("n_exact"))
+            <= 0.05 * F.col("n_exact")
+        )
+        .cast("int")
+        .alias("est_ok"),
+    )

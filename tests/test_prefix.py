@@ -58,3 +58,21 @@ def test_cumsum_plan_uses_range_partitioning(spark):
         .toString()
     )
     assert "rangepartitioning" in plan
+
+
+def test_hll_rollup_within_tolerance(spark):
+    """Daily sketches unioned to a global estimate must track the exact
+    distinct count (functions/sketches.py)."""
+    from pyspark.sql import functions as F
+
+    from gofast_spark.functions import distinct_rollup
+
+    df = spark.range(20_000).select(
+        (F.col("id") % 7).alias("day"),
+        F.lit(0).alias("all"),
+        (F.col("id") % 3001).alias("user"),
+    )
+    est = distinct_rollup(df, ["day"], ["all"], "user").collect()[0][
+        "distinct_est"
+    ]
+    assert abs(est - 3001) <= 0.05 * 3001
