@@ -946,7 +946,7 @@ _DRIVER_WINDOW = [
     "range_join_acctbal_brackets",
     "hll_weekly_distinct_users",
     "corpus_filter_documents",
-    "ks_test_purchase_view",
+    "json_props_extract_events",
     "asof_join_click_view",
     "durbin_watson_daily",
     "repetition_signals_documents",

@@ -543,3 +543,35 @@ def hll_weekly_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("est_ok"),
     )
+
+
+@query(
+    "json_props_extract_events",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_sum,
+           CAST(round(avg(CAST(props->>'k' AS BIGINT)), 4) AS DOUBLE) AS k_avg,
+           CAST(count(CASE WHEN CAST(props->>'k' AS BIGINT) >= 50
+                           THEN 1 END) AS BIGINT) AS n_high
+    FROM events GROUP BY event_type
+    """,
+)
+def json_props_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column path: the events ``props`` JSON string is
+    parsed with a DECLARED schema (``from_json`` — typed, codegen'd,
+    null-safe on malformed rows; never a Python JSON loop) and the
+    extracted field aggregates by event type.  DuckDB extracts the same
+    path with its JSON operators."""
+    e = _t(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k BIGINT")["k"]
+    return (
+        e.withColumn("__k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__k").alias("k_sum"),
+            F.round(F.avg("__k"), 4).cast("double").alias("k_avg"),
+            F.count(F.when(F.col("__k") >= 50, 1)).alias("n_high"),
+        )
+    )
