@@ -37,6 +37,12 @@ HEADLINE = [
     "outliers_iqr_clip_acctbal",
     "interpolate_daily_gaps",
     "streaming_window_counts",
+    # round 6: as-of join, end-to-end near-dedup (pairs -> connected
+    # components -> canonical), PQ-ADC ANN, composite corpus filter
+    "asof_join_click_view",
+    "near_dup_canonical_survivors",
+    "pq_adc_topk_embeddings",
+    "corpus_filter_documents",
 ]
 
 
