@@ -85,6 +85,7 @@ def connected_components(
         .withColumn("lab", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iter):
         # neighbour labels: for each edge (src,dst), the current label of dst
         nbr = (
@@ -105,7 +106,18 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # returning partially-propagated labels would be SILENTLY wrong
+        # (multiple "canonical" survivors per true cluster); the exactness
+        # contract above requires the fixpoint
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter="
+            f"{max_iter} rounds — the pair graph has diameter > max_iter "
+            "(raise max_iter, or switch to large-star/small-star for "
+            "chain-shaped graphs; see module docstring)"
+        )
     return labels.select(F.col("id"), F.col("lab").alias("cluster_id"))
 
 
@@ -143,7 +155,7 @@ def keep_canonical(
     id_col: str,
     *,
     cluster_id_col: str = "cluster_id",
-    broadcast_limit: int | None = 5_000_000,
+    broadcast_limit: int | None = 500_000,
 ) -> DataFrame:
     """Keep one canonical row per duplicate cluster (the min-id member)
     plus every unclustered row.
@@ -157,7 +169,9 @@ def keep_canonical(
     build side (the minhash verify stage had exactly this failure mode),
     so the broadcast is gated on a row-count check — cheap here because
     the connected-components output is already checkpoint-materialized.
-    Pass ``broadcast_limit=None`` to force the broadcast."""
+    The default bound (500k rows, ~tens of MB serialized) is a BYTES
+    proxy chosen to stay far from executor broadcast limits; pass
+    ``broadcast_limit=None`` to force the broadcast."""
     cl = clusters.select(
         F.col("id").alias("__cc_id"),
         F.col(cluster_id_col).alias("__cc_lab"),

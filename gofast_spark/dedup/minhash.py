@@ -447,10 +447,14 @@ def near_dup_pairs(
             sig, id_col, num_hashes=num_hashes, rows_per_band=rows_per_band
         ).localCheckpoint(eager=True)
         # counting a checkpointed frame is metadata-cheap; gates whether
-        # the full set arrays may ride the broadcast build side
-        bcast_sets = cand.count() <= broadcast_candidate_limit
+        # the full set arrays may ride the broadcast build side — and the
+        # candidate-ID frame too: its rows are bounded by 2x pairs, so on
+        # a duplicate-heavy corpus it approaches corpus cardinality and
+        # must not be broadcast unconditionally either (ADVICE r5, same
+        # failure mode as the set frames)
+        small = cand.count() <= broadcast_candidate_limit
         return _verify(
-            sets_df, cand, bcast_ids=True, bcast_sets=bcast_sets
+            sets_df, cand, bcast_ids=small, bcast_sets=small
         ).localCheckpoint(eager=True)
     finally:
         sets_df.unpersist()

@@ -60,19 +60,25 @@ def asof_join(
     payload = [c for c in right.columns if c not in keys]
     l_cols = [c for c in left.columns if c not in keys and c != ts_col]
 
+    # the whole right row rides as ONE struct so last(ignorenulls) picks
+    # an entire row atomically — per-column carries would mix values from
+    # different right rows whenever a payload column contains NULLs
+    # (merge_asof attaches the row, NULL fields and all)
+    r_struct = F.struct(*[F.col(c).alias(c) for c in payload])
+    r_type = right.select(r_struct.alias("__r")).schema["__r"].dataType
     lu = left.select(
         *keys,
         F.col(ts_col).alias("__ts"),
         F.lit(1).alias("__side"),
         *[F.col(c) for c in l_cols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in payload],
+        F.lit(None).cast(r_type).alias("__r"),
     )
     ru = right.select(
         *keys,
         F.col(ts_col).alias("__ts"),
         F.lit(0).alias("__side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_cols],
-        *[F.col(c).alias(f"__r_{c}") for c in payload],
+        r_struct.alias("__r"),
     )
     u = lu.unionByName(ru)
 
@@ -86,14 +92,10 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = u.select(
-        "*",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
-            for c in payload
-        ],
+        "*", F.last("__r", ignorenulls=True).over(w).alias("__m")
     ).where(F.col("__side") == 1)
 
-    mts = F.col(f"__m_{ts_col}")
+    mts = F.col("__m")[ts_col]
     if tolerance is not None:
         iv = F.expr(f"INTERVAL {tolerance}")
         ok = (
@@ -107,6 +109,6 @@ def asof_join(
     out_cols = [*[F.col(k) for k in keys], F.col("__ts").alias(ts_col)]
     out_cols += [F.col(c) for c in l_cols]
     out_cols += [
-        F.when(ok, F.col(f"__m_{c}")).alias(f"{c}{suffix}") for c in payload
+        F.when(ok, F.col("__m")[c]).alias(f"{c}{suffix}") for c in payload
     ]
     return carried.select(*out_cols)

@@ -75,6 +75,7 @@ def token_budget_shards(
     *,
     budget: int,
     shard_col: str = "shard",
+    cumsum_col: str | None = None,
 ) -> DataFrame:
     """Assign each document to a training shard by cumulative token
     budget: shard k holds the documents whose running token count
@@ -85,16 +86,17 @@ def token_budget_shards(
     boundary starts the next shard (greedy first-fit packing has a
     sequential dependence that does not distribute; boundary-start
     binning is the standard scalable compromise and overshoots each
-    shard by at most one document)."""
+    shard by at most one document).  ``cumsum_col`` additionally keeps
+    the inclusive running token total in the output."""
     tcol = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
     tmp = df.withColumn("__tok", tcol)
     out = distributed_cumsum(tmp, order_col, "__tok", out_col="__cum")
-    return (
-        out.withColumn(
-            shard_col,
-            F.floor((F.col("__cum") - F.col("__tok")) / F.lit(budget)).cast(
-                "int"
-            ),
-        )
-        .drop("__tok", "__cum")
+    out = out.withColumn(
+        shard_col,
+        F.floor((F.col("__cum") - F.col("__tok")) / F.lit(budget)).cast(
+            "int"
+        ),
     )
+    if cumsum_col:
+        out = out.withColumn(cumsum_col, F.col("__cum"))
+    return out.drop("__tok", "__cum")

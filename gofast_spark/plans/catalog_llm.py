@@ -1144,14 +1144,12 @@ def token_shards_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens"
         ),
     )
-    from gofast_spark.operators import distributed_cumsum
-
-    out = distributed_cumsum(tok, "doc_id", "n_tokens", out_col="cum_tokens")
+    out = token_budget_shards(
+        tok, "doc_id", "n_tokens", budget=2000, cumsum_col="cum_tokens"
+    )
     return out.select(
         "doc_id",
         "n_tokens",
         F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
-        F.floor((F.col("cum_tokens") - F.col("n_tokens")) / F.lit(2000.0))
-        .cast("int")
-        .alias("shard"),
+        F.col("shard").cast("int").alias("shard"),
     )

@@ -872,13 +872,24 @@ def fetch_data(spark: SparkSession, tag: str, **kwargs) -> DataFrame:
     from gofast_spark.sources.io import dataset_registry
 
     registry = dataset_registry()
-    norm = tag.strip().lower().replace("load_", "").replace("make_", "")
-    for word in norm.replace("-", " ").replace("_", " ").split() + [norm]:
+    norm = tag.strip().lower()
+    for p in ("load_", "make_"):
+        if norm.startswith(p):
+            norm = norm[len(p):]
+    words = norm.replace("-", " ").replace("_", " ").split()
+    # longest joined prefix wins: 'cc factors preprocessed' tries
+    # cc_factors_preprocessed, cc_factors, cc — so multi-word dataset
+    # names resolve even with stage suffixes appended, and 'market
+    # sales' deterministically prefers the longest known name
+    for i in range(len(words), 0, -1):
+        cand = "_".join(words[:i])
+        if cand in registry:
+            return registry[cand](spark, **kwargs)
+    # legacy fallback: a known name anywhere in the tag
+    # ('preprocessed bagoue')
+    for word in words:
         if word in registry:
             return registry[word](spark, **kwargs)
-        joined = norm.replace(" ", "_")
-        if joined in registry:
-            return registry[joined](spark, **kwargs)
     raise KeyError(
         f"unknown dataset tag {tag!r}; available: {sorted(registry)}"
     )

@@ -63,3 +63,18 @@ def test_right_ts_carried_with_suffix(spark):
         if r["lval"] == "b"
     ][0]
     assert row["ts_r"] == _t(18) and row["rval_r"] == 300
+
+
+def test_null_payload_fields_carried_atomically(spark):
+    """A right row with NULL payload fields must be attached AS A ROW —
+    per-column carries would resurrect older non-null values."""
+    left = spark.createDataFrame(
+        [(1, _t(25), "x")], "k bigint, ts timestamp, lval string"
+    )
+    right = spark.createDataFrame(
+        [(1, _t(10), 100), (1, _t(20), None)],
+        "k bigint, ts timestamp, rval bigint",
+    )
+    row = asof_join(left, right, "k", "ts").collect()[0]
+    assert row["ts_r"] == _t(20)
+    assert row["rval_r"] is None

@@ -182,3 +182,18 @@ def test_export_spark_and_pandas_mix(spark, tmp_path):
     export_data(df, base, ["parquet", "feather"])
     assert read_data(spark, base + ".parquet").count() == 2
     assert read_data(spark, base + ".feather").count() == 2
+
+
+def test_fetch_data_tag_resolution(spark):
+    """Multi-word names with stage suffixes resolve by longest joined
+    prefix; load_/make_ prefixes strip only at the start; unknown tags
+    raise KeyError listing the registry."""
+    import pytest
+
+    from gofast_spark.sources.datasets import fetch_data
+
+    assert fetch_data(spark, "cc factors preprocessed").count() > 0
+    assert fetch_data(spark, "CC-Factors").count() > 0
+    assert fetch_data(spark, "load_iris prepared").count() == 150
+    with pytest.raises(KeyError, match="available"):
+        fetch_data(spark, "no such dataset anywhere")
