@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # (stage-1 partial expression, stage-2 combiner) per supported aggregate
@@ -126,3 +126,41 @@ def salted_join(
         F.explode(F.array(*[F.lit(i) for i in range(salt)])),
     )
     return b.join(s, on=[*key_list, "__salt"], how=how).drop("__salt")
+
+
+def skew_report(
+    df: DataFrame,
+    key_cols: str | Sequence[str],
+    *,
+    top_k: int = 20,
+) -> DataFrame:
+    """Diagnose key skew BEFORE choosing a mitigation: one row per
+    heavy-hitter key with its row count, share of the table, and the
+    ratio to a perfectly uniform key (the quantity that decides whether
+    salting / AQE skew-split is worth it).
+
+    One aggregation pass: groupBy(key) count (map-side partial), then
+    the global totals ride a broadcast single-row cross join — no
+    driver collect, no second scan of the raw table.  ``top_k`` keys by
+    count are returned; feed the worst offenders' ratios into
+    :func:`salted_group_agg`'s ``salt`` parameter (a key at ratio R
+    wants roughly R-way salting to flatten its reducer).
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    totals = counts.agg(
+        F.sum("n_rows").alias("__total"),
+        F.count(F.lit(1)).alias("__n_keys"),
+    )
+    w = Window.orderBy(F.col("n_rows").desc(), *[F.col(k) for k in keys])
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .withColumn("share", F.col("n_rows") / F.col("__total"))
+        .withColumn(
+            "uniform_ratio",
+            F.col("n_rows") / (F.col("__total") / F.col("__n_keys")),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .drop("__total", "__n_keys")
+    )

@@ -76,3 +76,21 @@ def test_hll_rollup_within_tolerance(spark):
         "distinct_est"
     ]
     assert abs(est - 3001) <= 0.05 * 3001
+
+
+def test_skew_report_ranks_heavy_hitters(spark):
+    from pyspark.sql import functions as F
+
+    from gofast_spark.operators import skew_report
+
+    # key 0: 900 rows; keys 1..9: 100/9 each-ish -> key 0 dominates
+    df = spark.range(1000).select(
+        F.when(F.col("id") < 900, 0).otherwise(F.col("id") % 9 + 1).alias("k")
+    )
+    rep = skew_report(df, "k", top_k=3).collect()
+    assert rep[0]["k"] == 0 and rep[0]["rank"] == 1
+    assert rep[0]["n_rows"] == 900
+    assert abs(rep[0]["share"] - 0.9) < 1e-9
+    # 10 distinct keys, uniform would be 100 rows -> ratio 9.0
+    assert abs(rep[0]["uniform_ratio"] - 9.0) < 1e-9
+    assert len(rep) == 3
