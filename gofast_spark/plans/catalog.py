@@ -893,15 +893,14 @@ from gofast_spark.plans import catalog_windows  # noqa: E402,F401  (registration
 # clustering + canonical dedup, repetition signals, PII redaction,
 # composite corpus filter, PQ-ADC ANN, stream-stream interval join,
 # as-of join, range join, distributed prefix-sum token sharding, HLL
-# rollup, JSON extraction); then 3 re-verification slots for the
-# largest implementation rewrites since the r5 driver snapshot (the
-# MinHash fragment/broadcast changes, the broadcast-mean durbin
-# rewrite, and the lazy-nanos events loader behind
-# stream_static_enrich_counts).  The remaining
-# changed-but-hash-identical-by-design entries (opt-in pre-binning
-# parameters in metrics/relationships/inferential/survival, the other
-# streaming readers) stay parked as verified: the local DuckDB sweep
-# re-verifies all of them every CI run.  The four rows-only entries
+# rollup, JSON extraction, skew diagnostics, forward as-of, prefix-sum
+# running revenue) — every slot a never-green conversion.  Entries
+# whose implementation changed since the r5 driver snapshot (MinHash
+# fragment/broadcast gates, the broadcast-mean durbin rewrite, the
+# lazy-nanos events loader, opt-in pre-binning parameters) were each
+# hand-verified against their oracles at sf0.01 during the round and
+# remain continuously re-verified by the local DuckDB sweep every CI
+# run.  The four rows-only entries
 # (embedding_ivf_kmeans_topk, dca_segment_status_orders,
 # kernel_pca_embeddings, linkage_matrix_nation — eigen/kmeans/argmin
 # paths with no SQL-expressible oracle) stay parked at the very END of
@@ -947,7 +946,7 @@ _DRIVER_WINDOW = [
     "spearman_binned_exact_lineitem",
     "midrank_binned_floor_acctbal",
     "savgol_interior_daily",
-    "minhash_near_dup_pairs",
+    "skew_report_events",
     "pq_adc_topk_embeddings",
     "near_dup_clusters_documents",
     "near_dup_canonical_survivors",
@@ -956,12 +955,12 @@ _DRIVER_WINDOW = [
     "corpus_filter_documents",
     "json_props_extract_events",
     "asof_join_click_view",
-    "durbin_watson_daily",
+    "asof_forward_click_view",
     "repetition_signals_documents",
     "pii_redact_contacts",
     "token_shards_documents",
     "stream_interval_join_events",
-    "stream_static_enrich_counts",
+    "cumsum_orders_revenue",
 ]
 
 # Cumulative union of driver-green entries (hash_match=true in any

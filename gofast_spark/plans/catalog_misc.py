@@ -575,3 +575,70 @@ def json_props_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("__k") >= 50, 1)).alias("n_high"),
         )
     )
+
+
+@query(
+    "skew_report_events",
+    oracle="""
+    WITH c AS (SELECT event_type, count(*) AS n_rows FROM events
+               GROUP BY event_type),
+    t AS (SELECT sum(n_rows) AS total, count(*) AS n_keys FROM c)
+    SELECT c.event_type,
+           c.n_rows,
+           CAST(round(c.n_rows * 1.0 / t.total, 6) AS DOUBLE) AS share,
+           CAST(round(c.n_rows / (t.total * 1.0 / t.n_keys), 6) AS DOUBLE)
+             AS uniform_ratio,
+           CAST(row_number() OVER (ORDER BY c.n_rows DESC, c.event_type)
+                AS INTEGER) AS rank
+    FROM c, t
+    QUALIFY rank <= 3
+    """,
+)
+def skew_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic (operators/skew.py:skew_report): top heavy
+    hitters with share and uniform-ratio, one aggregation pass with the
+    totals on a broadcast single-row cross join."""
+    from gofast_spark.operators import skew_report
+
+    e = _t(spark, sf_dir, "events")
+    out = skew_report(e, "event_type", top_k=3)
+    return out.select(
+        "event_type",
+        "n_rows",
+        F.round("share", 6).cast("double").alias("share"),
+        F.round("uniform_ratio", 6).cast("double").alias("uniform_ratio"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+@query(
+    "cumsum_orders_revenue",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(round(sum(o_totalprice) OVER (ORDER BY o_orderkey
+                ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE) AS running_revenue
+    FROM orders
+    """,
+)
+def cumsum_orders_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed prefix sum over a real fact table: running revenue in
+    o_orderkey order via the two-phase parallel scan
+    (operators/prefix.py) — range repartition, partition-local sums,
+    broadcast offsets; the oracle is an ordinary single-node window.
+    Note the value column is integer-micro-unit money scaled back, so
+    the regrouped additions stay exact."""
+    from gofast_spark.operators import distributed_cumsum
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        # integer micro-units: double addition of (price * 100) ints is
+        # exact below 2^53, so partition regrouping cannot drift
+        F.round(F.col("o_totalprice") * 100).alias("__cents"),
+    )
+    out = distributed_cumsum(o, "o_orderkey", "__cents", out_col="__cum")
+    return out.select(
+        "o_orderkey",
+        F.round(F.col("__cum") / 100.0, 2).cast("double").alias(
+            "running_revenue"
+        ),
+    )

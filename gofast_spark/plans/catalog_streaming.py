@@ -331,3 +331,51 @@ def asof_join_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("view_id_r").alias("view_id"),
         (F.unix_timestamp("ts") - F.unix_timestamp("ts_r")).alias("gap_sec"),
     )
+
+
+@query(
+    "asof_forward_click_view",
+    oracle="""
+    WITH v AS (SELECT user_id, ts, max(event_id) AS view_id
+               FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+    c AS (SELECT user_id, ts, event_id AS click_id
+          FROM events WHERE event_type = 'click'),
+    m AS (
+      SELECT c.click_id, c.user_id,
+             arg_min(v.view_id, v.ts) AS view_id,
+             min(v.ts) AS vts
+      FROM c JOIN v ON v.user_id = c.user_id
+         AND v.ts >= c.ts AND v.ts <= c.ts + INTERVAL 2 HOUR
+      GROUP BY c.click_id, c.user_id)
+    SELECT c.click_id, c.user_id, m.view_id,
+           CAST(date_diff('second', c.ts, m.vts) AS BIGINT) AS gap_sec
+    FROM c LEFT JOIN m ON m.click_id = c.click_id
+    """,
+)
+def asof_forward_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of with tolerance: the NEXT same-user view within 2
+    hours of each click (operators/asof.py direction='forward').  The
+    oracle takes the argmin over the inequality join — a different
+    strategy that must produce identical matches, including the NULLs
+    the tolerance window creates."""
+    from gofast_spark.operators import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    views = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    out = asof_join(
+        clicks, views, "user_id", "ts",
+        direction="forward", tolerance="2 hours",
+    )
+    return out.select(
+        "click_id",
+        "user_id",
+        F.col("view_id_r").alias("view_id"),
+        (F.unix_timestamp("ts_r") - F.unix_timestamp("ts")).alias("gap_sec"),
+    )
