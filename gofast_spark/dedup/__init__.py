@@ -24,6 +24,7 @@ from gofast_spark.dedup.minhash import (
 )
 from gofast_spark.dedup.cluster import (
     connected_components,
+    connected_components_two_phase,
     dedup_near_duplicates,
     keep_canonical,
     near_dup_clusters,
@@ -43,6 +44,7 @@ __all__ = [
     "near_dup_pairs",
     "simhash",
     "connected_components",
+    "connected_components_two_phase",
     "near_dup_clusters",
     "keep_canonical",
     "dedup_near_duplicates",

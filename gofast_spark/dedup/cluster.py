@@ -121,6 +121,115 @@ def connected_components(
     return labels.select(F.col("id"), F.col("lab").alias("cluster_id"))
 
 
+def _symmetric_edges(pairs: DataFrame, id_a: str, id_b: str) -> DataFrame:
+    a = F.col(id_a).alias("u")
+    b = F.col(id_b).alias("v")
+    return (
+        pairs.select(a, b)
+        .union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star round: every node links its LARGER neighbours to the
+    minimum of its neighbourhood (including itself).  The neighbourhood
+    view must be SYMMETRIC (the paper's map stage emits both
+    directions), so the round symmetrizes first — consuming the
+    directed small-star output as-is would empty the edge set."""
+    sym = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+    )
+    mins = sym.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("m")
+    )
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star round: orient every edge larger -> smaller, then each
+    node links ALL its smaller neighbours (and itself) to the minimum."""
+    o = (
+        e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    mins = o.groupBy("u").agg(F.min("v").alias("m"))
+    linked = (
+        o.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(o.join(mins, "u").select("u", F.col("m").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    return linked
+
+
+def connected_components_two_phase(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    *,
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC 2014) — O(log^2 n) rounds on ANY graph shape, so
+    adversarially long chains that would cost :func:`connected_components`
+    one round per diameter hop converge here in a handful.
+
+    Same output contract as :func:`connected_components`: one
+    ``(id, cluster_id)`` row per vertex appearing in ``pairs``, with
+    ``cluster_id`` the component minimum.  Each round is two join +
+    min-groupBy stages over the (shrinking) edge set; convergence is an
+    exact edge-set fixpoint check (count + one-sided subtract on
+    checkpointed frames)."""
+    # vertex universe from the RAW pairs (a vertex with only a self-loop
+    # must still surface as a singleton, matching connected_components)
+    verts = (
+        pairs.select(F.col(id_a).alias("id"))
+        .union(pairs.select(F.col(id_b).alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = _symmetric_edges(pairs, id_a, id_b).localCheckpoint(eager=True)
+    converged = False
+    for _ in range(max_iter):
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        same = (
+            e2.count() == e.count()
+            and e2.subtract(e).count() == 0
+        )
+        e = e2
+        if same:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"two-phase connected components did not reach an edge-set "
+            f"fixpoint within max_iter={max_iter} rounds"
+        )
+    # fixpoint edges form stars: (node, component-min); roots appear only
+    # on the right side — add their self-labels via the vertex frame
+    labels = e.select(F.col("u").alias("id"), F.col("v").alias("lab"))
+    roots = verts.join(
+        labels.select("id"), "id", "left_anti"
+    ).withColumn("lab", F.col("id"))
+    return labels.union(roots).select(
+        "id", F.col("lab").alias("cluster_id")
+    )
+
+
 def near_dup_clusters(
     df: DataFrame,
     id_col: str,

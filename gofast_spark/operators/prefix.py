@@ -26,13 +26,15 @@ N-token shards" step of an LLM data build.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
 def distributed_cumsum(
     df: DataFrame,
-    order_col: str,
+    order_col: str | Sequence[str],
     value_col: str,
     *,
     out_col: str = "cumsum",
@@ -40,14 +42,17 @@ def distributed_cumsum(
 ) -> DataFrame:
     """Inclusive running sum of ``value_col`` in ``order_col`` order,
     computed with the two-phase parallel scan above — no single-reducer
-    global window anywhere in the plan."""
+    global window anywhere in the plan.  ``order_col`` may be a list for
+    composite ordering keys (e.g. ``["l_orderkey", "l_linenumber"]``);
+    the COMBINATION must be globally unique."""
+    order = [order_col] if isinstance(order_col, str) else list(order_col)
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    part = df.repartitionByRange(n, F.col(order_col)).withColumn(
+    part = df.repartitionByRange(n, *[F.col(c) for c in order]).withColumn(
         "__pid", F.spark_partition_id()
     )
     w_local = (
         Window.partitionBy("__pid")
-        .orderBy(order_col)
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = part.withColumn("__local", F.sum(value_col).over(w_local))

@@ -62,3 +62,37 @@ def test_dedup_near_duplicates_exact_copies(spark):
         for r in dedup_near_duplicates(docs, "doc_id", "text").collect()
     )
     assert kept == [1, 4]
+
+
+def _cc2(spark, edges):
+    from gofast_spark.dedup import connected_components_two_phase
+
+    pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    out = connected_components_two_phase(pairs)
+    return {r["id"]: r["cluster_id"] for r in out.collect()}
+
+
+def test_two_phase_matches_hashmin_shapes(spark):
+    for edges in (
+        [(1, 2), (2, 3), (3, 4)],
+        [(10, 11), (11, 12), (20, 21)],
+        [(5, 6), (6, 5), (5, 6), (6, 7)],
+        [(3, 3), (1, 2)],
+    ):
+        assert _cc2(spark, edges) == _cc(spark, edges)
+
+
+def test_two_phase_long_chain_converges_fast(spark):
+    """Diameter-120 chain: hash-min would need 120 rounds (its default
+    max_iter=50 raises); large-star/small-star reaches the fixpoint in
+    O(log^2 n) rounds well inside max_iter=30."""
+    import pytest
+
+    from gofast_spark.dedup import connected_components
+
+    edges = [(i, i + 1) for i in range(120)]
+    got = _cc2(spark, edges)
+    assert got == {i: 0 for i in range(121)}
+    pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=10)

@@ -94,3 +94,17 @@ def test_skew_report_ranks_heavy_hitters(spark):
     # 10 distinct keys, uniform would be 100 rows -> ratio 9.0
     assert abs(rep[0]["uniform_ratio"] - 9.0) < 1e-9
     assert len(rep) == 3
+
+
+def test_cumsum_composite_order_key(spark):
+    from pyspark.sql import functions as F
+
+    from gofast_spark.operators import distributed_cumsum
+
+    rows = [(i // 10, i % 10, 1) for i in range(100)]
+    df = spark.createDataFrame(rows, "a bigint, b bigint, v bigint")
+    out = distributed_cumsum(
+        df, ["a", "b"], "v", num_partitions=7
+    ).orderBy("a", "b")
+    got = [r["cumsum"] for r in out.collect()]
+    assert got == list(range(1, 101))
