@@ -1,0 +1,107 @@
+"""Batch sessionization (gaps-and-islands) and small-file compaction.
+
+``sessionize`` is the batch twin of the streaming session window
+(streaming/ops.sessionized_aggregate): assign a session id to every
+event — a new session starts wherever the gap to the previous same-key
+event exceeds the timeout.  The classic gaps-and-islands rewrite: a
+``lag`` flags session starts, a running sum of flags numbers them.
+Both windows partition BY KEY, so the work distributes across keys; a
+single key's history still sorts in one partition (per-key history is
+the irreducible unit of sessionization).
+
+``compact_files`` addresses the small-files problem: a long-running
+pipeline that appends micro-batches leaves thousands of KB-sized
+parquet files whose per-file open/footer overhead dominates scans.
+Rewrite the dataset into ~target-sized files with one job.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    key_cols: str | Sequence[str],
+    ts_col: str,
+    *,
+    gap: str = "30 minutes",
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Append ``session_col``: consecutive same-key events closer than
+    ``gap`` share a session; ids number sessions per key from 1 in time
+    order (deterministic given unique (key, ts) pairs)."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(ts_col)
+    prev = F.lag(ts_col).over(w)
+    new_session = F.when(
+        prev.isNull()
+        | (F.col(ts_col) > prev + F.expr(f"INTERVAL {gap}")),
+        1,
+    ).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn("__new", new_session).withColumn(
+        session_col, F.sum("__new").over(wsum)
+    ).drop("__new")
+
+
+def session_stats(
+    df: DataFrame,
+    key_cols: str | Sequence[str],
+    ts_col: str,
+    *,
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Per-session summary: (key..., session_id, n_events, start, end,
+    duration_sec) — sessionize + one aggregation."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    s = sessionize(df, keys, ts_col, gap=gap)
+    return s.groupBy(*keys, "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("start"),
+        F.max(ts_col).alias("end"),
+        (
+            F.unix_timestamp(F.max(ts_col))
+            - F.unix_timestamp(F.min(ts_col))
+        ).alias("duration_sec"),
+    )
+
+
+def compact_files(
+    spark,
+    path: str,
+    *,
+    target_file_mb: int = 128,
+    format: str = "parquet",
+) -> int:
+    """Rewrite a parquet dataset into ~``target_file_mb`` files (by
+    current on-disk size) and return the file count written.  Uses a
+    temp sibling directory + atomic-ish rename so a crash mid-rewrite
+    leaves either the old or the new layout, never a mix."""
+    import math
+    import os
+    import shutil
+
+    size = 0
+    for root, _, files in os.walk(path):
+        size += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if not f.startswith((".", "_"))
+        )
+    n = max(1, math.ceil(size / (target_file_mb * 1024 * 1024)))
+    tmp = path.rstrip("/") + "__compacting"
+    (
+        spark.read.format(format)
+        .load(path)
+        .repartition(n)
+        .write.format(format)
+        .mode("overwrite")
+        .save(tmp)
+    )
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n
