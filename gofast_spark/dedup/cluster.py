@@ -165,10 +165,10 @@ def _small_star(e: DataFrame) -> DataFrame:
         .distinct()
     )
     mins = o.groupBy("u").agg(F.min("v").alias("m"))
+    j = o.join(mins, "u")
     linked = (
-        o.join(mins, "u")
-        .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .union(o.join(mins, "u").select("u", F.col("m").alias("v")))
+        j.select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(j.select("u", F.col("m").alias("v")))
         .where(F.col("u") != F.col("v"))
         .distinct()
     )

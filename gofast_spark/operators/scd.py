@@ -84,8 +84,14 @@ def scd2_merge(
     open_rows = history.where(F.col(current_flag))
 
     # a missed left join yields struct(NULL,...) — not a NULL struct — so
-    # "changed" needs an explicit has-update marker, not a coalesce
-    has_update = F.col(f"u.{eff_col}").isNotNull()
+    # "changed" needs an explicit has-update marker, not a coalesce.
+    # The effective-time guard makes STALE re-delivery a no-op: replaying
+    # an older batch after a newer one must not close the current row at
+    # a time before it opened (valid_to < valid_from would silently hide
+    # the newest version from every as-of query).
+    has_update = F.col(f"u.{eff_col}").isNotNull() & (
+        F.col(f"u.{eff_col}") > F.col(f"h.{valid_from}")
+    )
     changed = has_update & ~F.struct(
         *[F.col(f"h.{c}") for c in tracked]
     ).eqNullSafe(F.struct(*[F.col(f"u.{c}") for c in tracked]))
@@ -105,28 +111,36 @@ def scd2_merge(
         )
         .select(*hist_cols)
     )
+    # untracked attribute columns (present in the history but neither key
+    # nor tracked) carry through from the closing row; inserts get NULLs
+    meta = {valid_from, valid_to, current_flag}
+    untracked = [
+        c for c in hist_cols if c not in keys and c not in tracked and c not in meta
+    ]
     # new open versions for changed keys
     new_versions = (
         j.where(changed)
         .select(
             *[F.col(f"u.{k}") for k in keys],
             *[F.col(f"u.{c}") for c in tracked],
+            *[F.col(f"h.{c}") for c in untracked],
             F.col(f"u.{eff_col}").alias(valid_from),
         )
     )
     # brand-new keys (no open row at all)
-    inserts = (
-        up.alias("u")
-        .join(
-            open_rows.alias("h"),
-            on=[F.col(f"h.{k}") == F.col(f"u.{k}") for k in keys],
-            how="left_anti",
-        )
-        .select(
-            *[F.col(k) for k in keys],
-            *[F.col(c) for c in tracked],
-            F.col(eff_col).alias(valid_from),
-        )
+    inserts = up.alias("u").join(
+        open_rows.alias("h"),
+        on=[F.col(f"h.{k}") == F.col(f"u.{k}") for k in keys],
+        how="left_anti",
+    )
+    inserts = inserts.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c) for c in tracked],
+        *[
+            F.lit(None).cast(history.schema[c].dataType).alias(c)
+            for c in untracked
+        ],
+        F.col(eff_col).alias(valid_from),
     )
     opened = (
         new_versions.unionByName(inserts)
@@ -147,7 +161,7 @@ def scd2_as_of(
     """Point-in-time view: the version of each key valid at ``as_of``
     (a literal or Column) — ``valid_from <= as_of < valid_to`` with an
     open ``valid_to`` treated as infinity."""
-    ts = F.lit(as_of) if not hasattr(as_of, "_jc") else as_of
+    ts = F.lit(as_of)  # lit passes Column inputs through unchanged
     return history.where(
         (F.col(valid_from) <= ts)
         & (F.col(valid_to).isNull() | (F.col(valid_to) > ts))

@@ -31,9 +31,10 @@ def sessionize(
     gap: str = "30 minutes",
     session_col: str = "session_id",
 ) -> DataFrame:
-    """Append ``session_col``: consecutive same-key events closer than
-    ``gap`` share a session; ids number sessions per key from 1 in time
-    order (deterministic given unique (key, ts) pairs)."""
+    """Append ``session_col``: consecutive same-key events within
+    ``gap`` (INCLUSIVE — a gap exactly equal to the timeout continues
+    the session) share a session; ids number sessions per key from 1 in
+    time order (deterministic given unique (key, ts) pairs)."""
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     w = Window.partitionBy(*keys).orderBy(ts_col)
     prev = F.lag(ts_col).over(w)
@@ -78,13 +79,24 @@ def compact_files(
     format: str = "parquet",
 ) -> int:
     """Rewrite a parquet dataset into ~``target_file_mb`` files (by
-    current on-disk size) and return the file count written.  Uses a
-    temp sibling directory + atomic-ish rename so a crash mid-rewrite
-    leaves either the old or the new layout, never a mix."""
+    current on-disk size) and return the file count written.
+
+    LOCAL FILESYSTEM ONLY (sizing walks the directory and the final
+    swap uses renames): a remote URI (s3://, hdfs://) would size to 0,
+    funnel everything through one task, and fail the swap — rejected up
+    front instead.  Swap order is crash-safe: the old layout is renamed
+    aside FIRST, then the new layout renamed in, then the old deleted —
+    a kill at any point leaves a complete dataset at either ``path`` or
+    ``path + '__old'`` (never nothing, never a mix)."""
     import math
     import os
     import shutil
 
+    if "://" in path:
+        raise ValueError(
+            "compact_files operates on local paths only (sizing and the "
+            f"rename swap are local filesystem operations): {path!r}"
+        )
     size = 0
     for root, _, files in os.walk(path):
         size += sum(
@@ -93,7 +105,8 @@ def compact_files(
             if not f.startswith((".", "_"))
         )
     n = max(1, math.ceil(size / (target_file_mb * 1024 * 1024)))
-    tmp = path.rstrip("/") + "__compacting"
+    base = path.rstrip("/")
+    tmp, old = base + "__compacting", base + "__old"
     (
         spark.read.format(format)
         .load(path)
@@ -102,6 +115,7 @@ def compact_files(
         .mode("overwrite")
         .save(tmp)
     )
-    shutil.rmtree(path)
-    os.rename(tmp, path)
+    os.rename(base, old)
+    os.rename(tmp, base)
+    shutil.rmtree(old)
     return n

@@ -152,15 +152,22 @@ def skew_report(
         F.sum("n_rows").alias("__total"),
         F.count(F.lit(1)).alias("__n_keys"),
     )
+    # top-k selection via orderBy+limit compiles to TakeOrderedAndProject
+    # (distributed partial top-k, merged on the driver) — a global
+    # row_number window here would pull EVERY distinct key through one
+    # reducer, the exact pathology this report diagnoses.  The rank
+    # window then runs over the top_k survivors only (bounded frame).
+    top = counts.orderBy(
+        F.col("n_rows").desc(), *[F.col(k) for k in keys]
+    ).limit(top_k)
     w = Window.orderBy(F.col("n_rows").desc(), *[F.col(k) for k in keys])
     return (
-        counts.crossJoin(F.broadcast(totals))
+        top.crossJoin(F.broadcast(totals))
         .withColumn("share", F.col("n_rows") / F.col("__total"))
         .withColumn(
             "uniform_ratio",
             F.col("n_rows") / (F.col("__total") / F.col("__n_keys")),
         )
         .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= top_k)
         .drop("__total", "__n_keys")
     )

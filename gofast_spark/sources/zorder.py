@@ -20,7 +20,6 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import Window
 
 
 def interleave_bits(cols: Sequence[Column | str], *, bits: int = 16) -> Column:
@@ -42,16 +41,47 @@ def interleave_bits(cols: Sequence[Column | str], *, bits: int = 16) -> Column:
 
 
 def rank_normalize(
-    df: DataFrame, cols: Sequence[str], *, bits: int = 16
+    df: DataFrame,
+    cols: Sequence[str],
+    *,
+    bits: int = 16,
+    relative_error: float | None = None,
 ) -> DataFrame:
-    """Map each column to ``[0, 2^bits)`` by rank (ntile buckets) —
-    appended as ``__zn_<col>``.  Rank space equalizes skew; the ntile
-    windows partition over nothing, so reserve this for the write-time
-    layout job (bounded by the sort the z-write needs anyway)."""
+    """Map each column to ``[0, 2^bits)`` by rank — appended as
+    ``__zn_<col>``.  Rank space equalizes skew (raw min/max scaling
+    would waste most of the grid on outliers).
+
+    Distributed: bucket boundaries come from a one-pass Greenwald-Khanna
+    quantile sketch (``approxQuantile`` — only the cutpoints reach the
+    driver) and each row maps through a ``Bucketizer`` binary search —
+    never a no-partition ``ntile`` window, which would funnel the whole
+    table through one task per column (the exact pathology
+    operators/prefix.py exists to avoid).  Skew-collapsed (duplicate)
+    cutpoints merge, yielding coarser but still order-preserving
+    buckets."""
+    from pyspark.ml.feature import Bucketizer
+
+    n_buckets = 1 << bits
+    rel = relative_error if relative_error is not None else max(
+        1e-6, 0.25 / n_buckets
+    )
     out = df
     for c in cols:
-        w = Window.orderBy(F.col(c))
-        out = out.withColumn(f"__zn_{c}", F.ntile(1 << bits).over(w) - 1)
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        cuts = sorted(
+            {float(x) for x in df.approxQuantile(c, probs, rel)}
+        )
+        splits = [float("-inf"), *cuts, float("inf")]
+        tmp_in = f"__zin_{c}"
+        staged = out.withColumn(tmp_in, F.col(c).cast("double"))
+        b = Bucketizer(
+            splits=splits, inputCol=tmp_in, outputCol=f"__zd_{c}"
+        )
+        out = (
+            b.transform(staged)
+            .withColumn(f"__zn_{c}", F.col(f"__zd_{c}").cast("long"))
+            .drop(tmp_in, f"__zd_{c}")
+        )
     return out
 
 

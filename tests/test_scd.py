@@ -81,3 +81,32 @@ def test_second_merge_round_trips(spark):
     )
     assert k1 == [("NY", _d(5)), ("SEA", None), ("SF", _d(9))]
     assert len([r for r in rows if r["k"] == 2]) == 1
+
+
+def test_stale_redelivery_is_noop(spark):
+    """Replaying an older batch after a newer one must not corrupt the
+    open row (valid_to earlier than valid_from would hide the newest
+    version from every as-of query)."""
+    hist = _merge(spark, _hist(spark), [(1, "SF", _d(5))])
+    hist2 = _merge(spark, hist, [(1, "SEA", _d(9))])
+    replayed = _merge(spark, hist2, [(1, "SF", _d(5))])
+    assert sorted(map(tuple, replayed.collect())) == sorted(
+        map(tuple, hist2.collect())
+    )
+
+
+def test_untracked_columns_carry_through(spark):
+    snap = spark.createDataFrame(
+        [(1, "NY", "10001", _d(1))],
+        "k bigint, city string, zip string, eff timestamp",
+    )
+    hist = scd2_init(snap, "eff")
+    up = spark.createDataFrame(
+        [(1, "SF", _d(5)), (2, "LA", _d(5))],
+        "k bigint, city string, eff timestamp",
+    )
+    out = scd2_merge(hist, up, "k", ["city"], "eff").collect()
+    opened = [r for r in out if r["k"] == 1 and r["is_current"]][0]
+    assert opened["city"] == "SF" and opened["zip"] == "10001"
+    inserted = [r for r in out if r["k"] == 2][0]
+    assert inserted["zip"] is None
