@@ -30,6 +30,7 @@ from gofast_spark.dedup.cluster import (
     near_dup_clusters,
 )
 from gofast_spark.dedup.ngram import ngram_jaccard_pairs
+from gofast_spark.dedup.semantic import assign_semantic_cells, semantic_dedup
 from gofast_spark.dedup.simhash import simhash
 
 __all__ = [
@@ -43,6 +44,8 @@ __all__ = [
     "shingle_jaccard",
     "near_dup_pairs",
     "simhash",
+    "assign_semantic_cells",
+    "semantic_dedup",
     "connected_components",
     "connected_components_two_phase",
     "near_dup_clusters",

@@ -1153,3 +1153,53 @@ def token_shards_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
         F.col("shard").cast("int").alias("shard"),
     )
+
+
+@query(
+    "semantic_dedup_embeddings",
+    oracle=f"""
+    WITH lm AS (
+      SELECT vec_id AS lid, embedding AS lv,
+             CAST(row_number() OVER (ORDER BY {_IVF_HASH}, vec_id) AS INTEGER) - 1 AS cell
+      FROM embeddings
+      QUALIFY row_number() OVER (ORDER BY {_IVF_HASH}, vec_id) <= 8),
+    ac AS (
+      SELECT e.vec_id, e.embedding, l.cell,
+             {_IVF_COS.format(a='e.embedding', b='l.lv')} AS cs
+      FROM embeddings e, lm l),
+    cells AS (
+      SELECT vec_id, embedding, cell, round(cs, 6) AS cent_sim FROM ac
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+              ORDER BY round(cs, 6) DESC, cell) = 1),
+    dup AS (
+      SELECT DISTINCT a.vec_id
+      FROM cells a JOIN cells b
+        ON a.cell = b.cell AND a.vec_id <> b.vec_id
+      WHERE {_IVF_COS.format(a='a.embedding', b='b.embedding')} >= 0.3
+        AND (b.cent_sim < a.cent_sim
+             OR (b.cent_sim = a.cent_sim AND b.vec_id < a.vec_id)))
+    SELECT c.vec_id, CAST(c.cell AS INTEGER) AS cell,
+           CAST(round(c.cent_sim, 4) AS DOUBLE) AS cent_sim,
+           CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS INTEGER) AS is_dup
+    FROM cells c LEFT JOIN dup d ON c.vec_id = d.vec_id
+    """,
+)
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup labels (dedup/semantic.py, Abbas et al.
+    2023): landmark cells (8 lowest-hash corpus vectors, zero Lloyd
+    iterations — fully relational), within-cell cosine pairs from a cell
+    equi-join (never all-pairs), keep-farthest-from-centroid dominance
+    prune.  The oracle replays cells, pairs, and the dominance rule in
+    plain SQL, verifying the whole semantic-dedup path bit-for-bit."""
+    from gofast_spark.dedup import semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = semantic_dedup(
+        e, "vec_id", "embedding", threshold=0.3, nlist=8, keep="farthest"
+    )
+    return out.select(
+        "vec_id",
+        F.col("cell").cast("int").alias("cell"),
+        F.round(F.round("cent_sim", 6), 4).cast("double").alias("cent_sim"),
+        F.col("is_dup").cast("int").alias("is_dup"),
+    )
