@@ -1203,3 +1203,51 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.round("cent_sim", 6), 4).cast("double").alias("cent_sim"),
         F.col("is_dup").cast("int").alias("is_dup"),
     )
+
+
+@query(
+    "contamination_check_documents",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_norm_sql('text')} AS t FROM documents),
+    toks AS (SELECT doc_id, string_split(t, ' ') AS tk FROM norm),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(tk) < 3 THEN [array_to_string(tk, '|')]
+             ELSE list_transform(range(1, len(tk) - 1),
+                  i -> tk[i] || '|' || tk[i+1] || '|' || tk[i+2]) END)) AS s
+      FROM toks),
+    shh AS (SELECT DISTINCT doc_id, {md5_hash64_sql('s')} % 2147483648 AS h FROM sh),
+    ev AS (SELECT DISTINCT h FROM shh WHERE doc_id % 50 = 0),
+    corpus AS (SELECT doc_id, h FROM shh WHERE doc_id % 50 <> 0),
+    tot AS (SELECT doc_id, count(*) AS n_grams FROM corpus GROUP BY doc_id),
+    hit AS (SELECT c.doc_id, count(*) AS n_hit
+            FROM corpus c JOIN ev ON c.h = ev.h GROUP BY c.doc_id)
+    SELECT t.doc_id, CAST(t.n_grams AS BIGINT) AS n_grams,
+           CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+           round(coalesce(h.n_hit, 0) / t.n_grams, 6) AS contamination_frac,
+           CAST(CASE WHEN coalesce(h.n_hit, 0) > 0 THEN 1 ELSE 0 END
+                AS INTEGER) AS is_contaminated
+    FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+    """,
+)
+def contamination_check_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (text/contamination.py, GPT-3 appendix-C
+    n-gram rule): every 50th doc plays the held-out eval benchmark; the
+    remaining corpus docs are flagged when they share any normalized
+    3-gram with it.  Plan: row-local distinct shingles on both sides, the
+    tiny distinct eval-gram frame broadcast into one hash join.  The
+    oracle rebuilds grams, the eval slice, and the hit aggregation
+    relationally."""
+    from gofast_spark.text.contamination import contamination_check
+
+    d = _docs(spark, sf_dir)
+    ev = d.where(F.col("doc_id") % 50 == 0)
+    corpus = d.where(F.col("doc_id") % 50 != 0)
+    out = contamination_check(corpus, ev, "doc_id", "text", k=3)
+    return out.select(
+        "doc_id",
+        "n_grams",
+        "n_hit",
+        F.col("contamination_frac").cast("double").alias("contamination_frac"),
+        "is_contaminated",
+    )
