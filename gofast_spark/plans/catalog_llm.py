@@ -1251,3 +1251,49 @@ def contamination_check_documents(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("contamination_frac").cast("double").alias("contamination_frac"),
         "is_contaminated",
     )
+
+
+@query(
+    "pack_sequences_documents",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_norm_sql('text')} AS t FROM documents),
+    tok AS (SELECT doc_id, CAST(len(string_split(t, ' ')) AS BIGINT) AS n_tokens
+            FROM norm),
+    c AS (SELECT doc_id, n_tokens,
+                 sum(n_tokens) OVER (ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) AS cum
+          FROM tok),
+    d AS (SELECT doc_id, n_tokens, cum - n_tokens AS strt FROM c
+          WHERE n_tokens > 0),
+    s AS (SELECT doc_id, strt, n_tokens,
+                 unnest(range(CAST(floor(strt / 512.0) AS BIGINT),
+                              CAST(floor((strt + n_tokens - 1) / 512.0) AS BIGINT) + 1))
+                 AS seq_id
+          FROM d)
+    SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id,
+           CAST(greatest(strt, seq_id * 512) - seq_id * 512 AS BIGINT)
+             AS span_begin,
+           CAST(least(strt + n_tokens, (seq_id + 1) * 512)
+                - greatest(strt, seq_id * 512) AS BIGINT) AS span_tokens
+    FROM s
+    """,
+)
+def pack_sequences_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (operators/packing.py): the
+    corpus token stream in doc_id order cut into 512-token training
+    sequences, one row per (doc, sequence) span with in-sequence
+    offsets.  Offsets come from the two-phase distributed prefix sum —
+    no single-reducer window; the oracle recomputes the same layout with
+    an ordinary window cumsum, proving the parallel scan and the span
+    arithmetic exact."""
+    from gofast_spark.operators import pack_sequences
+    from gofast_spark.text.analysis import normalize_text
+
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "doc_id",
+        F.size(F.split(normalize_text("text"), " ")).cast("bigint").alias(
+            "n_tokens"
+        ),
+    )
+    return pack_sequences(tok, "doc_id", "n_tokens", seq_len=512)
