@@ -1297,3 +1297,44 @@ def pack_sequences_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return pack_sequences(tok, "doc_id", "n_tokens", seq_len=512)
+
+
+def _mixture_oracle() -> str:
+    from gofast_spark.operators import uniform_hash_sql
+
+    u = uniform_hash_sql("d.doc_id", seed=42)
+    return f"""
+    WITH r(lang, rate) AS (VALUES
+        ('en', 0.5), ('de', 2.0), ('es', 1.25), ('fr', 1.0)),
+    j AS (
+      SELECT d.doc_id, d.lang, coalesce(r.rate, 0.75) AS rate, {u} AS u
+      FROM documents d LEFT JOIN r ON d.lang = r.lang),
+    n AS (
+      SELECT doc_id, lang,
+             CAST(floor(rate) + CASE WHEN u < rate - floor(rate)
+                  THEN 1 ELSE 0 END AS BIGINT) AS n
+      FROM j)
+    SELECT doc_id, lang, CAST(unnest(range(n)) AS INTEGER) AS epoch
+    FROM n WHERE n > 0
+    """
+
+
+@query("mixture_sample_documents", oracle=_mixture_oracle())
+def mixture_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture sampling (operators/mixture.py, GPT-3-style
+    weighted source mixing): per-language rates (en down-sampled 0.5x,
+    de repeated 2.0x across epochs, es 1.25x, fr kept, default 0.75x),
+    decided row-independently by an engine-portable md5 uniform — the
+    oracle replays join, u, copy count, and epoch fan-out exactly."""
+    from gofast_spark.operators import mixture_sample
+
+    d = _t(spark, sf_dir, "documents")
+    out = mixture_sample(
+        d.select("doc_id", "lang"),
+        "lang",
+        {"en": 0.5, "de": 2.0, "es": 1.25, "fr": 1.0},
+        "doc_id",
+        seed=42,
+        default_rate=0.75,
+    )
+    return out.select("doc_id", "lang", F.col("epoch").cast("int"))
