@@ -1338,3 +1338,52 @@ def mixture_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         default_rate=0.75,
     )
     return out.select("doc_id", "lang", F.col("epoch").cast("int"))
+
+
+_CLF_W = {
+    "spark": 12.0, "query": 9.0, "fast": 6.0, "vector": 5.0,
+    "slow": -10.0, "the": -4.0, "a": -3.0, "table": -2.0,
+}
+_CLF_BIAS = -0.25
+
+
+@query(
+    "quality_classifier_documents",
+    oracle=f"""
+    WITH w(token, weight) AS (VALUES
+        {", ".join(f"('{t}', {v})" for t, v in _CLF_W.items())}),
+    norm AS (SELECT doc_id, {_norm_sql('text')} AS t FROM documents),
+    base AS (SELECT doc_id, CAST(len(string_split(t, ' ')) AS BIGINT)
+                    AS n_tokens FROM norm),
+    tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS token FROM norm),
+    cnt AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+    dotv AS (SELECT c.doc_id, sum(c.c * w.weight) AS dot_raw
+             FROM cnt c JOIN w ON c.token = w.token GROUP BY 1),
+    s AS (SELECT b.doc_id, b.n_tokens,
+                 CASE WHEN b.n_tokens > 0
+                      THEN coalesce(d.dot_raw, 0) / b.n_tokens
+                      ELSE 0.0 END AS dot
+          FROM base b LEFT JOIN dotv d ON b.doc_id = d.doc_id)
+    SELECT doc_id, n_tokens, round(dot, 6) AS dot,
+           round(1.0 / (1.0 + exp(-(dot + {_CLF_BIAS}))), 4) AS score
+    FROM s
+    """,
+)
+def quality_classifier_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier scoring (text/classifier.py, fastText /
+    CCNet deploy path): a broadcast vocabulary->weight table joined
+    against exploded token counts, one per-doc sum, codegen'd sigmoid —
+    no UDFs.  The oracle replays tokenization, the sparse dot product,
+    and the sigmoid relationally."""
+    from gofast_spark.text import linear_text_scores
+
+    d = _docs(spark, sf_dir)
+    out = linear_text_scores(
+        d, "doc_id", "text", _CLF_W, bias=_CLF_BIAS, normalize="tf"
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("dot", 6).cast("double").alias("dot"),
+        F.round("score", 4).cast("double").alias("score"),
+    )

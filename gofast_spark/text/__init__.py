@@ -23,6 +23,11 @@ from gofast_spark.text.columns import (
     tokenize_text_columns,
     vectorize_text_columns,
 )
+from gofast_spark.text.classifier import (
+    linear_text_scores,
+    quality_classifier_filter,
+)
+from gofast_spark.text.contamination import contamination_check, decontaminate
 from gofast_spark.text.corpus_filter import DEFAULT_RULES, corpus_filter
 from gofast_spark.text.pii import (
     PII_PATTERNS,
@@ -65,6 +70,10 @@ __all__ = [
     "decode_text",
     "tokenize_text_columns",
     "vectorize_text_columns",
+    "linear_text_scores",
+    "quality_classifier_filter",
+    "contamination_check",
+    "decontaminate",
     "summarize_text_columns",
     "LCG_A",
     "LCG_C",

@@ -32,8 +32,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from gofast_spark.dedup.minhash import doc_shingles
-
 
 def contamination_check(
     corpus: DataFrame,
@@ -60,6 +58,10 @@ def contamination_check(
     ``eval_text_col`` defaults to ``text_col``.  The eval frame needs no
     id column — only its distinct gram hashes are used.
     """
+    # deferred: dedup.minhash imports text.hashing, so a module-level
+    # import here would make text <-> dedup circular
+    from gofast_spark.dedup.minhash import doc_shingles
+
     ecol = eval_text_col or text_col
     ev = eval_df.select(F.col(ecol).alias("__etext")).withColumn(
         "__eid", F.monotonically_increasing_id()
