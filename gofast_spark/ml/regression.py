@@ -1,0 +1,171 @@
+"""Closed-form distributed linear regression (normal equations).
+
+OLS / ridge for tall-skinny data — the shape of virtually every tabular
+regression at warehouse scale (billions of rows, a handful of features).
+The entire fit is ONE distributed aggregation: the normal-equation
+moments
+
+    X'X  ((p+1) x (p+1) with intercept),  X'y,  y'y,  n
+
+are sums of column products, computed map-side-partial in a single pass
+over the data.  The driver then solves a (p+1)-dimensional linear system
+— microseconds, independent of row count.  R^2 / SSE come from the SAME
+moments (SSE = y'y - 2 w'X'y + w'(X'X)w), so fit + goodness-of-fit is
+exactly one Spark job and one tiny collect.
+
+This is the textbook scalable design (normal equations over moment
+aggregates — the same structure MLlib's ``LinearRegression`` "normal"
+solver uses); it beats iterative solvers whenever p is small enough that
+X'X fits on the driver, which is p up to a few thousand.
+
+Solvers: ``'numpy'`` (LAPACK ``solve`` — any p) or ``'cramer'`` (the
+explicit determinant formula for p <= 2 with intercept, every operation
+a fixed IEEE-double expression tree, so a SQL oracle replays the solve
+step for step — the differential-testing twin, same role as the
+landmark-IVF variant next to the k-means one).
+
+Reference parity: the reference fits linear models through sklearn-style
+estimators (gofast/estimators/, e.g. benchmark.py stacking regressors)
+and ``gradient_descent`` (gofast/utils/mathext.py:5008, already ported
+in ml/optim.py); this module is the exact closed-form counterpart.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _det3(m) -> float:
+    """Determinant of a 3x3 (list-of-lists) in a FIXED expression order —
+    mirrored verbatim by the SQL oracle (see catalog)."""
+    return (
+        m[0][0] * (m[1][1] * m[2][2] - m[1][2] * m[2][1])
+        - m[0][1] * (m[1][0] * m[2][2] - m[1][2] * m[2][0])
+        + m[0][2] * (m[1][0] * m[2][1] - m[1][1] * m[2][0])
+    )
+
+
+def _det2(m) -> float:
+    return m[0][0] * m[1][1] - m[0][1] * m[1][0]
+
+
+def _cramer_solve(A, b):
+    """Solve A w = b (dim 2 or 3) by Cramer's rule in plain python
+    floats — IEEE doubles, same arithmetic a SQL engine performs."""
+    d = len(b)
+    det = _det3(A) if d == 3 else _det2(A)
+    if det == 0.0:
+        raise ValueError("singular normal equations (collinear features?)")
+    out = []
+    for j in range(d):
+        Aj = [[b[i] if k == j else A[i][k] for k in range(d)] for i in range(d)]
+        out.append((_det3(Aj) if d == 3 else _det2(Aj)) / det)
+    return out
+
+
+def fit_linear_regression(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str,
+    *,
+    ridge: float = 0.0,
+    intercept: bool = True,
+    solver: str = "numpy",
+) -> dict:
+    """Fit ``label ~ features`` by normal equations in one aggregation.
+
+    Returns ``{"coef": [w_intercept?, w_f1, ...], "n": int, "r2": float,
+    "sse": float, "sst": float}`` — coefficient order is intercept first
+    (when requested) then ``feature_cols`` order.  ``ridge`` adds
+    ``lambda`` to the diagonal of X'X for the FEATURE terms only (the
+    intercept is never penalized — the standard convention).  Rows with
+    any null feature/label are excluded.
+
+    ``solver='cramer'`` (p <= 2 with intercept, or p <= 2/3 without)
+    uses the fixed-order determinant formulas above for SQL-replayable
+    arithmetic; ``'numpy'`` handles any p via LAPACK.
+    """
+    feats = list(feature_cols)
+    cond = F.col(label_col).isNotNull()
+    for c in feats:
+        cond = cond & F.col(c).isNotNull()
+    d = df.where(cond)
+    # design columns: optional constant 1 then the features, all double
+    design: list[Column] = []
+    if intercept:
+        design.append(F.lit(1.0))
+    design.extend(F.col(c).cast("double") for c in feats)
+    y = F.col(label_col).cast("double")
+    p = len(design)
+    aggs = []
+    for i in range(p):
+        for j in range(i, p):
+            aggs.append(F.sum(design[i] * design[j]).alias(f"a_{i}_{j}"))
+    for i in range(p):
+        aggs.append(F.sum(design[i] * y).alias(f"b_{i}"))
+    aggs.append(F.sum(y * y).alias("yy"))
+    aggs.append(F.count(F.lit(1)).alias("n"))
+    row = d.agg(*aggs).first()
+    n = row["n"]
+    if n == 0:
+        raise ValueError("no complete rows to fit on")
+    A = [[0.0] * p for _ in range(p)]
+    for i in range(p):
+        for j in range(i, p):
+            A[i][j] = A[j][i] = float(row[f"a_{i}_{j}"])
+    if ridge:
+        for i in range(1 if intercept else 0, p):
+            A[i][i] += float(ridge)
+    b = [float(row[f"b_{i}"]) for i in range(p)]
+    if solver == "cramer":
+        if p not in (2, 3):
+            raise ValueError("cramer solver supports 2 or 3 unknowns")
+        w = _cramer_solve(A, b)
+    elif solver == "numpy":
+        import numpy as np
+
+        w = [float(v) for v in np.linalg.solve(np.array(A), np.array(b))]
+    else:
+        raise ValueError(f"unknown solver {solver!r}")
+    yy = float(row["yy"])
+    sy = b[0] if intercept else None
+    sse = yy - 2.0 * sum(wi * bi for wi, bi in zip(w, b)) + sum(
+        w[i] * A[i][j] * w[j] for i in range(p) for j in range(p)
+    )
+    if intercept:
+        sst = yy - sy * sy / n
+    else:
+        sst = yy
+    r2 = 1.0 - sse / sst if sst > 0 else float("nan")
+    return {"coef": w, "n": int(n), "r2": r2, "sse": sse, "sst": sst}
+
+
+def predict_linear(
+    df: DataFrame,
+    model: dict | Sequence[float],
+    feature_cols: Sequence[str],
+    *,
+    intercept: bool = True,
+    out_col: str = "prediction",
+) -> DataFrame:
+    """Append ``out_col`` = the linear model's prediction — pure column
+    arithmetic, codegen'd, no driver involvement at scoring time."""
+    coef = list(model["coef"]) if isinstance(model, dict) else list(model)
+    feats = list(feature_cols)
+    expected = len(feats) + (1 if intercept else 0)
+    if len(coef) != expected:
+        raise ValueError(
+            f"model has {len(coef)} coefficients, expected {expected}"
+        )
+    k = 0
+    if intercept:
+        expr = F.lit(float(coef[0]))
+        k = 1
+    else:
+        expr = F.lit(0.0)
+    for i, c in enumerate(feats):
+        expr = expr + F.lit(float(coef[k + i])) * F.col(c).cast("double")
+    return df.withColumn(out_col, expr)

@@ -972,3 +972,80 @@ def kpca_landmark_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("var_order_ok"),
         F.count(F.lit(1)).alias("n_landmarks"),
     )
+
+
+def _det3_sql(m) -> str:
+    """3x3 determinant with the SAME fixed expression order as
+    ml.regression._det3, so both engines walk one expression tree."""
+    return (
+        f"({m[0][0]}) * (({m[1][1]}) * ({m[2][2]}) - ({m[1][2]}) * ({m[2][1]}))"
+        f" - ({m[0][1]}) * (({m[1][0]}) * ({m[2][2]}) - ({m[1][2]}) * ({m[2][0]}))"
+        f" + ({m[0][2]}) * (({m[1][0]}) * ({m[2][1]}) - ({m[1][1]}) * ({m[2][0]}))"
+    )
+
+
+def _ols_oracle() -> str:
+    A = [["a00", "a01", "a02"], ["a01", "a11", "a12"], ["a02", "a12", "a22"]]
+    b = ["b0", "b1", "b2"]
+    det = _det3_sql(A)
+    ws = []
+    for j in range(3):
+        Aj = [[b[i] if k == j else A[i][k] for k in range(3)] for i in range(3)]
+        ws.append(f"({_det3_sql(Aj)}) / ({det})")
+    return f"""
+    WITH m AS (
+      SELECT CAST(count(*) AS DOUBLE) AS a00,
+             sum(CAST(l_quantity AS DOUBLE)) AS a01,
+             sum(CAST(l_discount AS DOUBLE)) AS a02,
+             sum(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)) AS a11,
+             sum(CAST(l_quantity AS DOUBLE) * CAST(l_discount AS DOUBLE)) AS a12,
+             sum(CAST(l_discount AS DOUBLE) * CAST(l_discount AS DOUBLE)) AS a22,
+             sum(CAST(l_extendedprice AS DOUBLE)) AS b0,
+             sum(CAST(l_quantity AS DOUBLE) * CAST(l_extendedprice AS DOUBLE)) AS b1,
+             sum(CAST(l_discount AS DOUBLE) * CAST(l_extendedprice AS DOUBLE)) AS b2,
+             sum(CAST(l_extendedprice AS DOUBLE) * CAST(l_extendedprice AS DOUBLE)) AS yy,
+             count(*) AS n
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+        AND l_extendedprice IS NOT NULL),
+    w AS (SELECT {ws[0]} AS w0, {ws[1]} AS w1, {ws[2]} AS w2, * FROM m),
+    s AS (
+      SELECT *,
+             yy - 2 * (w0 * b0 + w1 * b1 + w2 * b2)
+                + (w0 * (a00 * w0 + a01 * w1 + a02 * w2)
+                   + w1 * (a01 * w0 + a11 * w1 + a12 * w2)
+                   + w2 * (a02 * w0 + a12 * w1 + a22 * w2)) AS sse,
+             yy - b0 * b0 / a00 AS sst
+      FROM w)
+    SELECT CAST(round(w0, 4) AS DOUBLE) AS w0,
+           CAST(round(w1, 4) AS DOUBLE) AS w1,
+           CAST(round(w2, 4) AS DOUBLE) AS w2,
+           CAST(round(1.0 - sse / sst, 6) AS DOUBLE) AS r2,
+           CAST(n AS BIGINT) AS n
+    FROM s
+    """
+
+
+@query("ols_normal_eq_lineitem", oracle=_ols_oracle())
+def ols_normal_eq_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS of extended price on (quantity, discount) by
+    normal equations (ml/regression.py): ONE distributed moment
+    aggregation, Cramer 3x3 solve in fixed-order IEEE arithmetic, R^2
+    from the same moments — fit plus goodness-of-fit in a single Spark
+    job.  The oracle recomputes the moments and replays the identical
+    determinant expression tree."""
+    from gofast_spark.ml import fit_linear_regression
+
+    li = _t(spark, sf_dir, "lineitem")
+    m = fit_linear_regression(
+        li, ["l_quantity", "l_discount"], "l_extendedprice",
+        solver="cramer",
+    )
+    w = m["coef"]
+    return spark.createDataFrame(
+        [(
+            round(w[0], 4), round(w[1], 4), round(w[2], 4),
+            round(m["r2"], 6), m["n"],
+        )],
+        "w0 double, w1 double, w2 double, r2 double, n bigint",
+    )

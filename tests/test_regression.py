@@ -1,0 +1,95 @@
+"""Closed-form OLS/ridge (ml/regression.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gofast_spark.ml import fit_linear_regression, predict_linear
+
+
+def _frame(spark):
+    # exact plane y = 2 + 3*x1 - 0.5*x2, no noise
+    rows = [
+        (float(x1), float(x2), 2.0 + 3.0 * x1 - 0.5 * x2)
+        for x1 in range(1, 9)
+        for x2 in range(0, 5)
+    ]
+    return spark.createDataFrame(rows, "x1 double, x2 double, y double")
+
+
+def test_exact_recovery_numpy(spark):
+    m = fit_linear_regression(_frame(spark), ["x1", "x2"], "y")
+    w = m["coef"]
+    assert w[0] == pytest.approx(2.0, abs=1e-8)
+    assert w[1] == pytest.approx(3.0, abs=1e-8)
+    assert w[2] == pytest.approx(-0.5, abs=1e-8)
+    assert m["r2"] == pytest.approx(1.0, abs=1e-9)
+    assert m["n"] == 40
+
+
+def test_cramer_matches_numpy(spark):
+    d = _frame(spark).withColumn(
+        "y", F.col("y") + (F.col("x1") * 7919).cast("int") % 3  # add noise
+    )
+    a = fit_linear_regression(d, ["x1", "x2"], "y", solver="numpy")
+    b = fit_linear_regression(d, ["x1", "x2"], "y", solver="cramer")
+    for wa, wb in zip(a["coef"], b["coef"]):
+        assert wa == pytest.approx(wb, rel=1e-9)
+    assert a["r2"] == pytest.approx(b["r2"], rel=1e-9)
+
+
+def test_ridge_shrinks_toward_zero(spark):
+    d = _frame(spark)
+    ols = fit_linear_regression(d, ["x1"], "y")
+    rid = fit_linear_regression(d, ["x1"], "y", ridge=1000.0)
+    assert abs(rid["coef"][1]) < abs(ols["coef"][1])
+    # intercept is unpenalized but re-balances; slope strictly shrinks
+
+
+def test_no_intercept(spark):
+    rows = [(float(x), 4.0 * x) for x in range(1, 20)]
+    d = spark.createDataFrame(rows, "x double, y double")
+    m = fit_linear_regression(d, ["x"], "y", intercept=False)
+    assert len(m["coef"]) == 1
+    assert m["coef"][0] == pytest.approx(4.0, abs=1e-9)
+
+
+def test_nulls_excluded(spark):
+    d = _frame(spark).union(
+        spark.createDataFrame([(None, 1.0, 5.0)], "x1 double, x2 double, y double")
+    )
+    m = fit_linear_regression(d, ["x1", "x2"], "y")
+    assert m["n"] == 40
+
+
+def test_predict_linear(spark):
+    d = _frame(spark)
+    m = fit_linear_regression(d, ["x1", "x2"], "y")
+    pred = predict_linear(d, m, ["x1", "x2"])
+    mx = pred.agg(F.max(F.abs(F.col("prediction") - F.col("y")))).first()[0]
+    assert mx < 1e-8
+
+
+def test_errors(spark):
+    d = _frame(spark)
+    with pytest.raises(ValueError):
+        fit_linear_regression(d, ["x1", "x2"], "y", solver="qr")
+    with pytest.raises(ValueError):
+        fit_linear_regression(d.where("y > 1e9"), ["x1"], "y")
+    # collinear features -> singular system under cramer
+    dd = d.withColumn("x3", F.col("x1") * 2)
+    with pytest.raises(ValueError):
+        fit_linear_regression(dd, ["x1", "x3"], "y", solver="cramer")
+    with pytest.raises(ValueError):
+        predict_linear(d, [1.0, 2.0], ["x1", "x2"])
+
+
+def test_single_aggregation_plan(spark):
+    """The fit is one job over one aggregate — verify the moment frame
+    aggregates in a single pass (no join, no window)."""
+    d = _frame(spark)
+    # reproduce the internal agg shape and check its plan
+    aggs = [F.sum(F.col("x1") * F.col("x1")).alias("a")]
+    plan = d.agg(*aggs)._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan
