@@ -43,6 +43,13 @@ HEADLINE = [
     "near_dup_canonical_survivors",
     "pq_adc_topk_embeddings",
     "corpus_filter_documents",
+    # round 7: semantic dedup, decontamination, sequence packing,
+    # classifier scoring, closed-form OLS
+    "semantic_dedup_embeddings",
+    "contamination_check_documents",
+    "pack_sequences_documents",
+    "quality_classifier_documents",
+    "ols_normal_eq_lineitem",
 ]
 
 

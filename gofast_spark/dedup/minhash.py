@@ -140,9 +140,16 @@ def doc_shingles(
     sharing a shingle would otherwise emit duplicate (id, hash) rows).
     """
     sets_df = doc_shingle_sets(df, id_col, text_col, k=k)
+    # explode_outer, NOT explode: plain explode makes Catalyst infer a
+    # `size(sh_set) > 0 AND isnotnull(sh_set)` filter and push it below
+    # the spread repartition onto the (often single-partition) file scan,
+    # re-evaluating the whole shingle expression single-threaded — a 20x
+    # slowdown at sf0.1.  explode_outer infers no filter; the isNotNull
+    # on the GENERATED column cannot be pushed below the Generate, and
+    # shingle sets are non-empty by construction so the semantics match.
     return sets_df.select(
-        F.col(id_col), F.explode("sh_set").alias(hash_col)
-    )
+        F.col(id_col), F.explode_outer("sh_set").alias(hash_col)
+    ).where(F.col(hash_col).isNotNull())
 
 
 def minhash_signatures(

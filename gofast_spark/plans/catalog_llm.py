@@ -1162,7 +1162,7 @@ def token_shards_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id AS lid, embedding AS lv,
              CAST(row_number() OVER (ORDER BY {_IVF_HASH}, vec_id) AS INTEGER) - 1 AS cell
       FROM embeddings
-      QUALIFY row_number() OVER (ORDER BY {_IVF_HASH}, vec_id) <= 8),
+      QUALIFY row_number() OVER (ORDER BY {_IVF_HASH}, vec_id) <= 16),
     ac AS (
       SELECT e.vec_id, e.embedding, l.cell,
              {_IVF_COS.format(a='e.embedding', b='l.lv')} AS cs
@@ -1171,11 +1171,20 @@ def token_shards_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, embedding, cell, round(cs, 6) AS cent_sim FROM ac
       QUALIFY row_number() OVER (PARTITION BY vec_id
               ORDER BY round(cs, 6) DESC, cell) = 1),
+    cl AS (
+      SELECT vec_id, cell, cent_sim, embedding,
+             {_NORM64.format(v='embedding')} AS l2
+      FROM cells),
+    cn AS (
+      SELECT vec_id, cell, cent_sim,
+             list_transform(embedding, x -> CAST(x AS DOUBLE) / l2) AS nv
+      FROM cl),
     dup AS (
       SELECT DISTINCT a.vec_id
-      FROM cells a JOIN cells b
+      FROM cn a JOIN cn b
         ON a.cell = b.cell AND a.vec_id <> b.vec_id
-      WHERE {_IVF_COS.format(a='a.embedding', b='b.embedding')} >= 0.3
+      WHERE list_sum(list_transform(range(1, 65),
+                     i -> (a.nv)[i] * (b.nv)[i])) >= 0.3
         AND (b.cent_sim < a.cent_sim
              OR (b.cent_sim = a.cent_sim AND b.vec_id < a.vec_id)))
     SELECT c.vec_id, CAST(c.cell AS INTEGER) AS cell,
@@ -1186,16 +1195,17 @@ def token_shards_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic dedup labels (dedup/semantic.py, Abbas et al.
-    2023): landmark cells (8 lowest-hash corpus vectors, zero Lloyd
+    2023): landmark cells (16 lowest-hash corpus vectors, zero Lloyd
     iterations — fully relational), within-cell cosine pairs from a cell
-    equi-join (never all-pairs), keep-farthest-from-centroid dominance
-    prune.  The oracle replays cells, pairs, and the dominance rule in
-    plain SQL, verifying the whole semantic-dedup path bit-for-bit."""
+    equi-join (never all-pairs, cost sum(cell^2)), keep-farthest-from-
+    centroid dominance prune over PRE-NORMALIZED vectors (one dot fold
+    per pair).  The oracle replays cells, normalization, pairs, and the
+    dominance rule in plain SQL, verifying the path bit-for-bit."""
     from gofast_spark.dedup import semantic_dedup
 
     e = _t(spark, sf_dir, "embeddings")
     out = semantic_dedup(
-        e, "vec_id", "embedding", threshold=0.3, nlist=8, keep="farthest"
+        e, "vec_id", "embedding", threshold=0.3, nlist=16, keep="farthest"
     )
     return out.select(
         "vec_id",

@@ -57,11 +57,21 @@ def linear_text_scores(
         )
     else:
         w = weights.select("token", F.col("weight").cast("double"))
-    toks = df.select(
-        F.col(id_col),
-        F.size(F.split(normalize_text(text_col), " ")).alias("__n_tok"),
-        F.explode(F.split(normalize_text(text_col), " ")).alias("token"),
+    # materialize the token array in its OWN projection before the
+    # explode: putting `size(split(normalize(...)))` next to
+    # `explode(split(normalize(...)))` in one select makes Spark
+    # re-evaluate the normalize+split chain once per EXPLODED row
+    # (token-count x regex work, a ~20x slowdown at sf0.1); with the
+    # array as a named column referenced twice, it is computed once per
+    # input row
+    arr = df.select(
+        F.col(id_col), F.split(normalize_text(text_col), " ").alias("__tk")
     )
+    toks = arr.select(
+        F.col(id_col),
+        F.size("__tk").alias("__n_tok"),
+        F.explode_outer("__tk").alias("token"),
+    ).where(F.col("token").isNotNull())
     counts = toks.groupBy(id_col, "__n_tok", "token").agg(
         F.count(F.lit(1)).alias("__cnt")
     )
