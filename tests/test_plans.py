@@ -251,3 +251,34 @@ def test_connected_components_no_cartesian(spark):
     plan = _plan(out)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_doc_shingles_no_inferred_filter_recompute(spark, sf_small):
+    """Regression (r7): a plain explode makes Catalyst infer a
+    size(...)>0 filter that gets pushed below the spread repartition onto
+    the file scan, re-evaluating the whole shingle expression on the
+    scan's (single) partition.  doc_shingles must plan with NO Filter
+    node containing the shingle transform, and the normalize regex chain
+    must appear only in the two materializing projections."""
+    import re
+
+    from gofast_spark.dedup.minhash import doc_shingles
+
+    d = spark.read.parquet(f"{sf_small}/documents.parquet").repartition(4)
+    plan = _plan(doc_shingles(d, "doc_id", "text", k=3))
+    assert re.search(r"Filter[^\n]*array_distinct", plan) is None, plan
+    assert plan.count("regexp_replace") <= 4, plan
+
+
+def test_classifier_explodes_materialized_array(spark, sf_small):
+    """Regression (r7): size(split(norm)) next to explode(split(norm))
+    in one projection re-evaluates the regex chain once per EXPLODED
+    row.  The classifier must explode a materialized array column."""
+    import re
+
+    from gofast_spark.text import linear_text_scores
+
+    d = spark.read.parquet(f"{sf_small}/documents.parquet").repartition(4)
+    plan = _plan(linear_text_scores(d, "doc_id", "text", {"a": 1.0}))
+    assert "explode(split(" not in plan, plan
+    assert re.search(r"Filter[^\n]*regexp_replace", plan) is None, plan
