@@ -6,7 +6,11 @@ from gofast_spark.ml.pipeline import (
     make_feature_pipeline,
 )
 from gofast_spark.ml.optim import gradient_descent, linkage_matrix
-from gofast_spark.ml.regression import fit_linear_regression, predict_linear
+from gofast_spark.ml.regression import (
+    fit_linear_regression,
+    fit_logistic_regression,
+    predict_linear,
+)
 from gofast_spark.ml.dimensionality import (
     classical_mds,
     kernel_pca,
@@ -24,6 +28,7 @@ __all__ = [
     "lle_embedding",
     "gradient_descent",
     "fit_linear_regression",
+    "fit_logistic_regression",
     "predict_linear",
     "linkage_matrix",
 ]

@@ -1049,3 +1049,66 @@ def ols_normal_eq_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         )],
         "w0 double, w1 double, w2 double, r2 double, n bigint",
     )
+
+
+def _logit_oracle(n_iter: int = 3) -> str:
+    """Layered Newton replay: each iteration is a CTE aggregating the
+    sigmoid-weighted moments at the previous layer's weights, then the
+    SAME fixed-order Cramer 2x2 update as ml.regression._cramer_solve."""
+    layers = ["w0 AS (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1)"]
+    prev = "w0"
+    for k in range(1, n_iter + 1):
+        p = f"(1.0 / (1.0 + exp(-({prev}.w0 * 1.0 + {prev}.w1 * d.x))))"
+        layers.append(f"""a{k} AS (
+      SELECT sum({p} * (1.0 - {p}) * 1.0 * 1.0) AS h00,
+             sum({p} * (1.0 - {p}) * 1.0 * d.x) AS h01,
+             sum({p} * (1.0 - {p}) * d.x * d.x) AS h11,
+             sum((d.y - {p}) * 1.0) AS g0,
+             sum((d.y - {p}) * d.x) AS g1,
+             count(*) AS n
+      FROM d, {prev})""")
+        layers.append(f"""w{k} AS (
+      SELECT {prev}.w0 + (g0 * h11 - h01 * g1) / (h00 * h11 - h01 * h01) AS w0,
+             {prev}.w1 + (h00 * g1 - g0 * h01) / (h00 * h11 - h01 * h01) AS w1,
+             a{k}.n AS n
+      FROM a{k}, {prev})""")
+        prev = f"w{k}"
+    cte = ",\n    ".join(layers)
+    return f"""
+    WITH d AS (
+      SELECT CAST(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS DOUBLE) AS y,
+             CAST(o_totalprice AS DOUBLE) / 100000.0 AS x
+      FROM orders
+      WHERE o_orderstatus IS NOT NULL AND o_totalprice IS NOT NULL),
+    {cte}
+    SELECT CAST(round(w0, 5) AS DOUBLE) AS w0,
+           CAST(round(w1, 5) AS DOUBLE) AS w1,
+           CAST(n AS BIGINT) AS n
+    FROM {prev}
+    """
+
+
+@query("logistic_newton_orders", oracle=_logit_oracle(3))
+def logistic_newton_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression of order finality on total price by Newton /
+    IRLS (ml/regression.py): 3 iterations, each ONE distributed
+    sigmoid-weighted moment aggregation + a fixed-order Cramer 2x2
+    update on the driver.  The oracle unrolls all three Newton layers as
+    CTEs, re-aggregating the table at each layer's weights — the driver
+    hash-verifies the entire optimization trajectory."""
+    from gofast_spark.ml import fit_logistic_regression
+
+    o = _t(spark, sf_dir, "orders")
+    d = o.select(
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+        .cast("double").alias("y"),
+        (F.col("o_totalprice").cast("double") / 100000.0).alias("x"),
+    ).where(
+        F.col("o_orderstatus").isNotNull() & F.col("o_totalprice").isNotNull()
+    )
+    m = fit_logistic_regression(d, ["x"], "y", n_iter=3, solver="cramer")
+    w = m["coef"]
+    return spark.createDataFrame(
+        [(round(w[0], 5), round(w[1], 5), m["n"])],
+        "w0 double, w1 double, n bigint",
+    )

@@ -93,3 +93,56 @@ def test_single_aggregation_plan(spark):
     aggs = [F.sum(F.col("x1") * F.col("x1")).alias("a")]
     plan = d.agg(*aggs)._jdf.queryExecution().executedPlan().toString()
     assert "HashAggregate" in plan
+
+
+def test_logistic_separates(spark):
+    from gofast_spark.ml import fit_logistic_regression
+
+    # y = 1 when x > 0 with logistic noise-free margin: strong positive slope
+    rows = [(float(x) / 10.0, 1.0 if x > 0 else 0.0)
+            for x in range(-50, 51) if x != 0]
+    d = spark.createDataFrame(rows, "x double, y double")
+    m = fit_logistic_regression(d, ["x"], "y", n_iter=8)
+    assert m["coef"][1] > 2.0          # steep positive slope
+    assert abs(m["coef"][0]) < 1.0     # near-symmetric intercept
+    assert m["n"] == 100
+    assert m["log_likelihood"] > -25.0
+
+
+def test_logistic_balanced_probability(spark):
+    from gofast_spark.ml import fit_logistic_regression
+
+    # constant feature, 30% positives, intercept-only signal:
+    # sigmoid(w0) should converge to the base rate
+    import math
+
+    # x = +/-1 exactly balanced within each class -> slope 0
+    rows = [(1.0 if i % 2 == 0 else -1.0, 1.0 if i < 30 else 0.0)
+            for i in range(100)]
+    d = spark.createDataFrame(rows, "x double, y double")
+    m = fit_logistic_regression(d, ["x"], "y", n_iter=6, solver="cramer")
+    base = 1.0 / (1.0 + math.exp(-m["coef"][0]))
+    assert base == pytest.approx(0.3, abs=1e-6)
+    assert m["coef"][1] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_logistic_cramer_matches_numpy(spark):
+    from gofast_spark.ml import fit_logistic_regression
+
+    rows = [(float(x) / 7.0, 1.0 if (x * 2654435761) % 97 < 40 + x else 0.0)
+            for x in range(-40, 41)]
+    d = spark.createDataFrame(rows, "x double, y double")
+    a = fit_logistic_regression(d, ["x"], "y", n_iter=4, solver="numpy")
+    b = fit_logistic_regression(d, ["x"], "y", n_iter=4, solver="cramer")
+    for wa, wb in zip(a["coef"], b["coef"]):
+        assert wa == pytest.approx(wb, rel=1e-9)
+
+
+def test_logistic_errors(spark):
+    from gofast_spark.ml import fit_logistic_regression
+
+    d = spark.createDataFrame([(1.0, 2.0, 1.0)], "x double, z double, y double")
+    with pytest.raises(ValueError):
+        fit_logistic_regression(d, ["x", "z", "x"], "y", solver="cramer")
+    with pytest.raises(ValueError):
+        fit_logistic_regression(d, ["x"], "y", solver="sgd")
