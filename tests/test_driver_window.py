@@ -54,8 +54,9 @@ def test_window_is_oracle_backed_and_parked_entries_last():
 
 
 def test_never_green_entries_lead_the_window():
-    """Every oracle-backed entry that has never been driver-green must sit
-    inside the 50-entry window (nothing verifiable is left stranded)."""
+    """No window slot is wasted on an already-verified entry, and any
+    never-green oracle entries that overflow the 50-slot window queue
+    contiguously right after it (first in line for the next rotation)."""
     from gofast_spark.plans.catalog import (
         _NO_ORACLE_PARKED,
         ORACLE_SQL,
@@ -64,10 +65,17 @@ def test_never_green_entries_lead_the_window():
 
     derived = _derived_green_union()
     names = list(QUERIES)
+    window = names[:50]
+    wasted = [n for n in window if n in derived]
+    assert not wasted, f"window slots spent on already-green entries: {wasted}"
     never = [
         n
         for n in names
         if n not in derived and n in ORACLE_SQL and n not in _NO_ORACLE_PARKED
     ]
-    outside = [n for n in never if n not in names[:50]]
-    assert not outside, f"never-verified oracle entries outside window: {outside}"
+    overflow = [n for n in never if n not in window]
+    # overflow entries must occupy positions 50..50+len(overflow) so the
+    # driver's next rotation picks them up first
+    assert names[50 : 50 + len(overflow)] == overflow, (
+        f"stranded never-green entries not queued after window: {overflow}"
+    )
