@@ -867,6 +867,7 @@ from gofast_spark.plans import catalog_llm  # noqa: E402,F401  (registration)
 from gofast_spark.plans import catalog_metrics  # noqa: E402,F401  (registration)
 from gofast_spark.plans import catalog_misc  # noqa: E402,F401  (registration)
 from gofast_spark.plans import catalog_quality  # noqa: E402,F401  (registration)
+from gofast_spark.plans import catalog_retrieval  # noqa: E402,F401  (registration)
 from gofast_spark.plans import catalog_sampling  # noqa: E402,F401  (registration)
 from gofast_spark.plans import catalog_spatial  # noqa: E402,F401  (registration)
 from gofast_spark.plans import catalog_sql  # noqa: E402,F401  (registration)

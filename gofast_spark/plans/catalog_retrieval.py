@@ -1,0 +1,197 @@
+"""Retrieval / LM-scoring / substring-dedup / chunking catalog entries.
+
+Round-6 additions to the LLM-data-pipeline layer: BM25 keyword top-k,
+per-doc tf-idf keywords, bigram-LM self-perplexity scoring, duplicated
+verbatim-span detection (the substring-level dedup of Lee et al. 2022),
+and sliding-window chunking.  Every oracle rebuilds the identical
+pipeline relationally in DuckDB — token recipes, hash constants,
+smoothing formulas, and rounding all mirror the Spark side exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gofast_spark.plans.catalog import query
+from gofast_spark.plans.catalog_llm import _docs, _norm_sql
+from gofast_spark.text.hashing import md5_hash64_sql
+
+# shared DuckDB token CTE (identical normalize recipe)
+_TOKS = f"""
+    norm AS (SELECT doc_id, {_norm_sql('text')} AS t FROM documents),
+    toks AS (SELECT doc_id, string_split(t, ' ') AS tk FROM norm)
+"""
+
+_BM25_TERMS = ("spark", "vector", "stream", "window")
+
+
+@query(
+    "bm25_topk_documents",
+    oracle=f"""
+    WITH {_TOKS},
+    post AS (
+      SELECT doc_id, u.term, count(*) AS tf, any_value(dl) AS dl
+      FROM (SELECT doc_id, len(tk) AS dl, unnest(tk) AS term FROM toks) u
+      WHERE u.term <> '' GROUP BY doc_id, u.term),
+    stats AS (
+      SELECT count(*) AS n_docs, avg(dl) AS avgdl
+      FROM (SELECT doc_id, any_value(dl) AS dl FROM post GROUP BY doc_id)),
+    hits AS (SELECT * FROM post WHERE term IN {tuple(sorted(_BM25_TERMS))!r}),
+    dfreq AS (SELECT term, count(*) AS df_t FROM hits GROUP BY term)
+    SELECT doc_id,
+           CAST(round(sum(
+             ln(1 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+             * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           ), 6) AS DOUBLE) AS score
+    FROM hits JOIN dfreq USING (term) CROSS JOIN stats
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+    """,
+)
+def bm25_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 for a fixed keyword query (net-new retrieval
+    surface per the builder brief; text/bm25.py)."""
+    from gofast_spark.text.bm25 import bm25_topk
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return bm25_topk(d, list(_BM25_TERMS), k=20)
+
+
+@query(
+    "tfidf_keywords_documents",
+    oracle=f"""
+    WITH {_TOKS},
+    post AS (
+      SELECT doc_id, u.term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(tk) AS term FROM toks) u
+      WHERE u.term <> '' GROUP BY doc_id, u.term),
+    dfreq AS (SELECT term, count(*) AS df_t FROM post GROUP BY term),
+    stats AS (SELECT count(DISTINCT doc_id) AS n_docs FROM post),
+    scored AS (
+      SELECT doc_id, term,
+             CAST(round(tf * ln(n_docs / (1.0 + df_t)), 6) AS DOUBLE) AS tfidf
+      FROM post JOIN dfreq USING (term) CROSS JOIN stats),
+    ranked AS (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rank
+      FROM scored)
+    SELECT doc_id, term, tfidf, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def tfidf_keywords_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by smoothed tf-idf."""
+    from gofast_spark.text.bm25 import tfidf_topk_terms
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return tfidf_topk_terms(d, terms_per_doc=3)
+
+
+@query(
+    "bigram_lm_score_documents",
+    oracle=f"""
+    WITH {_TOKS},
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(tk) + 1),
+               i -> CASE WHEN i = 1 THEN '<s>' ELSE tk[i - 1] END)) AS ctx,
+             unnest(tk) AS nxt
+      FROM toks WHERE len(tk) > 0),
+    counts AS (SELECT ctx, nxt, count(*) AS c_bigram FROM bg GROUP BY ctx, nxt),
+    ctx_tbl AS (SELECT ctx, sum(c_bigram) AS c_ctx FROM counts GROUP BY ctx),
+    voc AS (SELECT count(DISTINCT nxt) AS vocab FROM counts)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(round(avg(-ln(
+             (coalesce(c_bigram, 0) + 0.1)
+             / (coalesce(c_ctx, 0) + 0.1 * vocab)
+           )), 4) AS DOUBLE) AS avg_nll
+    FROM bg
+    LEFT JOIN counts USING (ctx, nxt)
+    LEFT JOIN ctx_tbl USING (ctx)
+    CROSS JOIN voc
+    GROUP BY doc_id
+    """,
+)
+def bigram_lm_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-perplexity quality scoring under a corpus-trained add-0.1
+    bigram LM (CCNet-style filter signal; text/lm.py)."""
+    from gofast_spark.text.lm import score_documents
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return score_documents(d, alpha=0.1)
+
+
+@query(
+    "duplicated_spans_documents",
+    oracle=f"""
+    WITH {_TOKS},
+    pos AS (
+      SELECT doc_id, u.i - 1 AS pos,
+             {md5_hash64_sql("array_to_string(tk[u.i:u.i+7], '|')")} AS h
+      FROM toks, LATERAL (SELECT unnest(range(1, len(tk) - 6)) AS i) u
+      WHERE len(tk) >= 8),
+    dup AS (SELECT h FROM pos GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+    hits AS (SELECT doc_id, pos FROM pos SEMI JOIN dup USING (h)),
+    flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER w IS NULL
+                    OR pos - lag(pos) OVER w > 8 THEN 1 ELSE 0 END AS new_span
+      FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    numbered AS (
+      SELECT doc_id, pos,
+             sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+      FROM flagged)
+    SELECT doc_id,
+           CAST(min(pos) AS INT) AS span_start,
+           CAST(max(pos) + 8 AS INT) AS span_end_excl,
+           CAST(max(pos) + 8 - min(pos) AS INT) AS n_tokens
+    FROM numbered GROUP BY doc_id, span_id
+    """,
+)
+def duplicated_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal verbatim passages (>= 8 tokens) shared by >= 2 docs
+    (substring-level dedup, Lee et al. ACL 2022; dedup/spans.py)."""
+    from gofast_spark.dedup.spans import duplicated_spans
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    out = duplicated_spans(d, k=8)
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("int").alias("span_start"),
+        F.col("span_end_excl").cast("int").alias("span_end_excl"),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+    )
+
+
+@query(
+    "chunk_documents_windows",
+    oracle=f"""
+    WITH {_TOKS},
+    sized AS (SELECT doc_id, tk, len(tk) AS n_tok FROM toks WHERE len(tk) > 0)
+    SELECT doc_id,
+           CAST(s.st // 24 AS INT) AS chunk_idx,
+           CAST(s.st AS INT) AS tok_start,
+           array_to_string(tk[s.st + 1:s.st + 32], ' ') AS chunk_text,
+           CAST(len(tk[s.st + 1:s.st + 32]) AS INT) AS n_tokens
+    FROM sized, LATERAL (SELECT unnest(range(0, n_tok, 24)) AS st) s
+    """,
+)
+def chunk_documents_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-token sliding windows with 8-token overlap (stride 24) —
+    shuffle-free RAG/context chunking (text/chunking.py)."""
+    from gofast_spark.text.chunking import chunk_documents
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    out = chunk_documents(d, chunk_tokens=32, overlap=8)
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("tok_start").cast("int").alias("tok_start"),
+        "chunk_text",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+    )
