@@ -1,0 +1,97 @@
+"""Distributed PageRank over an edge DataFrame.
+
+Link-graph centrality is a standard corpus-curation signal (the
+original Common Crawl quality prior; harmonic/PageRank centrality in
+CCNet-descended pipelines).  This is the classic synchronous power
+iteration expressed as DataFrame joins:
+
+    r_{t+1}(v) = (1 - d) / N  +  d * sum_{u -> v} r_t(u) / outdeg(u)
+
+Scale shape: each iteration is edges ⋈ ranks on the source key (both
+sides hash-partitioned on the same key, so successive iterations reuse
+the exchange) followed by ONE groupBy on the destination.  Ranks are a
+node-sized frame (<< edges); AQE broadcasts it when small.  Lineage is
+truncated with ``localCheckpoint`` every few rounds so 50-iteration
+runs don't build a quadratic plan (same discipline as
+dedup/cluster.py's hash-min loop).
+
+Dangling nodes: callers pass a symmetric edge set (``undirected=True``
+in :func:`edges_from_pairs`) or accept mass leakage — the standard
+simplification when ranks are used as a relative quality ordering.
+The fixed-iteration form (no convergence test) keeps the computation
+deterministic and lets the differential oracle unroll the exact same
+chain in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def edges_from_pairs(
+    df: DataFrame, src: str, dst: str, *, undirected: bool = True
+) -> DataFrame:
+    """Distinct edge list (src, dst) from any pair-bearing frame;
+    ``undirected`` mirrors every edge so no node dangles."""
+    e = df.select(
+        F.col(src).cast("long").alias("src"),
+        F.col(dst).cast("long").alias("dst"),
+    ).where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    if undirected:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    return e.distinct()
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    iterations: int = 5,
+    damping: float = 0.85,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """(node, rank) after ``iterations`` synchronous updates from the
+    uniform start.  Deterministic for a fixed edge set."""
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_frame = nodes.agg(F.count("*").alias("n"))
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # rank and degree co-partitioned on the node key once, reused per round
+    ranks = (
+        nodes.crossJoin(F.broadcast(n_frame))
+        .select("node", (F.lit(1.0) / F.col("n")).alias("rank"))
+        .repartition("node")
+    )
+    base = nodes.crossJoin(F.broadcast(n_frame)).select(
+        "node", ((1.0 - damping) / F.col("n")).alias("base")
+    )
+    for it in range(iterations):
+        contrib = (
+            edges.join(
+                ranks.withColumnRenamed("node", "src"), "src"
+            )
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("outdeg")).alias("c"),
+            )
+        )
+        incoming = contrib.groupBy("node").agg(F.sum("c").alias("inc"))
+        ranks = (
+            base.join(incoming, "node", "left")
+            .select(
+                "node",
+                (
+                    F.col("base")
+                    + damping * F.coalesce(F.col("inc"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        if (it + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

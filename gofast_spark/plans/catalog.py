@@ -862,6 +862,7 @@ def merge_frames_on_index_customer(spark: SparkSession, sf_dir: str) -> DataFram
 # extension catalogs register themselves into QUERIES/ORACLE_SQL on import
 from gofast_spark.plans import catalog_checks  # noqa: E402,F401  (registration)
 from gofast_spark.plans import catalog_functions  # noqa: E402,F401  (registration)
+from gofast_spark.plans import catalog_graph  # noqa: E402,F401  (registration)
 from gofast_spark.plans import catalog_io  # noqa: E402,F401  (registration)
 from gofast_spark.plans import catalog_llm  # noqa: E402,F401  (registration)
 from gofast_spark.plans import catalog_metrics  # noqa: E402,F401  (registration)
