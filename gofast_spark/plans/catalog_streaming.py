@@ -379,3 +379,31 @@ def asof_forward_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("view_id_r").alias("view_id"),
         (F.unix_timestamp("ts_r") - F.unix_timestamp("ts")).alias("gap_sec"),
     )
+
+
+@query(
+    "stream_token_counts_documents",
+    oracle=f"""
+    WITH norm AS (
+      SELECT trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t
+      FROM documents),
+    tok AS (SELECT unnest(string_split(t, ' ')) AS term FROM norm)
+    SELECT term, count(*) AS n
+    FROM tok WHERE term <> '' GROUP BY term
+    """,
+)
+def stream_token_counts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming vocabulary maintenance: term frequencies accumulated
+    through Structured Streaming micro-batches (complete-mode state is
+    one counter per term) must equal the batch token counts exactly —
+    the exactly-once check for the text-ingest path."""
+    from gofast_spark.streaming import (
+        read_document_stream,
+        run_available_now,
+        streaming_token_counts,
+    )
+
+    stream = read_document_stream(spark, sf_dir, glob="documents.parquet")
+    counts = streaming_token_counts(stream)
+    return run_available_now(counts, mode="complete")

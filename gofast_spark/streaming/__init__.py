@@ -7,6 +7,8 @@ from gofast_spark.streaming.ops import (
     stream_static_enrich,
     stream_stream_interval_join,
     write_stream_to_warehouse,
+    read_document_stream,
+    streaming_token_counts,
     run_available_now,
     sessionized_aggregate,
     stateful_running_totals,
@@ -16,6 +18,8 @@ from gofast_spark.streaming.ops import (
 
 __all__ = [
     "read_event_stream",
+    "read_document_stream",
+    "streaming_token_counts",
     "stream_static_enrich",
     "stream_stream_interval_join",
     "write_stream_to_warehouse",

@@ -245,6 +245,45 @@ def stateful_running_totals(
     )
 
 
+def read_document_stream(
+    spark: SparkSession, path: str, *, glob: str | None = None
+) -> DataFrame:
+    """File-source stream of the documents table (streaming corpus
+    ingestion).  Unlike events there is only one physical encoding, so
+    the schema is declared directly."""
+    fields = [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+    reader = spark.readStream.schema(StructType(fields))
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.parquet(path)
+
+
+def streaming_token_counts(
+    sdf: DataFrame, *, text_col: str = "text"
+) -> DataFrame:
+    """Incrementally maintained corpus term frequencies: the streaming
+    analog of the BM25 postings build (text/bm25.py), for corpora that
+    arrive as a feed rather than a snapshot.
+
+    Tokens are exploded per micro-batch (stateless, scan-shaped work)
+    and the groupBy keeps ONE running counter per term — state is
+    vocab-sized, not corpus-sized, so a 100-TB ingest holds the same
+    few-million-row state as a 1-GB one.  Complete/update output modes
+    both work; drain with availableNow for deterministic replay."""
+    from gofast_spark.text.analysis import normalize_text
+
+    toks = sdf.select(
+        F.explode(F.split(normalize_text(text_col), " ")).alias("term")
+    ).where(F.col("term") != "")
+    return toks.groupBy("term").agg(F.count("*").alias("n"))
+
+
 def stream_static_enrich(
     sdf: DataFrame,
     static_df: DataFrame,

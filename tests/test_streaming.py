@@ -140,3 +140,30 @@ def test_write_stream_to_warehouse_exactly_once(spark, tmp_path, sf_small):
     )
     write_stream_to_warehouse(stream2, out, checkpoint=ckpt)
     assert spark.read.parquet(out).count() == batch
+
+
+def test_streaming_token_counts_match_batch(spark, sf_small):
+    from gofast_spark.plans.catalog import _t
+    from gofast_spark.streaming import (
+        read_document_stream,
+        run_available_now,
+        streaming_token_counts,
+    )
+    from gofast_spark.text.analysis import normalize_text
+    from pyspark.sql import functions as F
+
+    stream = read_document_stream(spark, sf_small, glob="documents.parquet")
+    got = {
+        (r.term, r.n)
+        for r in run_available_now(
+            streaming_token_counts(stream), mode="complete"
+        ).collect()
+    }
+    batch = (
+        _t(spark, sf_small, "documents")
+        .select(F.explode(F.split(normalize_text("text"), " ")).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+    assert got == {(r.term, r.n) for r in batch.collect()}
