@@ -195,3 +195,61 @@ def chunk_documents_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk_text",
         F.col("n_tokens").cast("int").alias("n_tokens"),
     )
+
+
+@query(
+    "strip_spans_documents",
+    oracle=f"""
+    WITH {_TOKS},
+    pos AS (
+      SELECT doc_id, u.i - 1 AS pos,
+             {md5_hash64_sql("array_to_string(tk[u.i:u.i+7], '|')")} AS h
+      FROM toks, LATERAL (SELECT unnest(range(1, len(tk) - 6)) AS i) u
+      WHERE len(tk) >= 8),
+    dup AS (SELECT h FROM pos GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+    hits AS (SELECT doc_id, pos FROM pos SEMI JOIN dup USING (h)),
+    flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER w IS NULL
+                    OR pos - lag(pos) OVER w > 8 THEN 1 ELSE 0 END AS new_span
+      FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    numbered AS (
+      SELECT doc_id, pos,
+             sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+      FROM flagged),
+    spans AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
+      FROM numbered GROUP BY doc_id, span_id),
+    toktbl AS (
+      SELECT doc_id, u.i - 1 AS tpos, tk[u.i] AS tok
+      FROM toks, LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i) u),
+    kept AS (
+      SELECT t.doc_id, t.tpos, t.tok
+      FROM toktbl t ANTI JOIN spans sp
+        ON sp.doc_id = t.doc_id AND t.tpos >= sp.s AND t.tpos < sp.e)
+    SELECT doc_id,
+           coalesce(string_agg(tok, ' ' ORDER BY tpos), '') AS clean_text,
+           CAST(count(tok) AS INT) AS n_tokens_kept
+    FROM (SELECT doc_id FROM toks) d
+    LEFT JOIN kept USING (doc_id)
+    GROUP BY doc_id
+    """,
+)
+def strip_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end substring dedup remediation: documents rewritten with
+    every cross-doc duplicated passage removed (dedup/spans.py
+    strip_duplicated_spans; the Lee et al. 2022 cleanup applied, not
+    just reported).  The oracle rebuilds the kept-token set with an
+    anti-join against the span table and re-serializes with an ordered
+    string_agg — a different physical strategy that must agree
+    verbatim."""
+    from gofast_spark.dedup.spans import strip_duplicated_spans
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    out = strip_duplicated_spans(d, k=8)
+    return out.select(
+        "doc_id",
+        "clean_text",
+        F.col("n_tokens_kept").cast("int").alias("n_tokens_kept"),
+    )
