@@ -50,6 +50,12 @@ HEADLINE = [
     "pack_sequences_documents",
     "quality_classifier_documents",
     "ols_normal_eq_lineitem",
+    # round 6b: retrieval, substring dedup, graph centrality, streaming
+    # vocabulary maintenance
+    "bm25_topk_documents",
+    "duplicated_spans_documents",
+    "pagerank_customer_supplier",
+    "stream_token_counts_documents",
 ]
 
 

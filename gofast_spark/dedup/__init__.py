@@ -32,6 +32,11 @@ from gofast_spark.dedup.cluster import (
 from gofast_spark.dedup.ngram import ngram_jaccard_pairs
 from gofast_spark.dedup.semantic import assign_semantic_cells, semantic_dedup
 from gofast_spark.dedup.simhash import simhash
+from gofast_spark.dedup.spans import (
+    duplicated_spans,
+    gram_positions,
+    strip_duplicated_spans,
+)
 
 __all__ = [
     "exact_dedup",
@@ -44,6 +49,9 @@ __all__ = [
     "shingle_jaccard",
     "near_dup_pairs",
     "simhash",
+    "duplicated_spans",
+    "gram_positions",
+    "strip_duplicated_spans",
     "assign_semantic_cells",
     "semantic_dedup",
     "connected_components",

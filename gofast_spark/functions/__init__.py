@@ -19,6 +19,12 @@ from gofast_spark.functions.sketches import (
     distinct_sketch,
     sketch_rollup_estimate,
 )
+from gofast_spark.functions.cms import (
+    cms_build,
+    cms_estimate,
+    cms_heavy_hitters,
+    cms_merge,
+)
 from gofast_spark.functions.strings import (
     anonymize_text,
     capitalize_first,
@@ -47,5 +53,9 @@ __all__ = [
     "one_hot_encode",
     "distinct_sketch",
     "sketch_rollup_estimate",
+    "cms_build",
+    "cms_merge",
+    "cms_estimate",
+    "cms_heavy_hitters",
     "distinct_rollup",
 ]

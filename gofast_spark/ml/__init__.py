@@ -5,6 +5,7 @@ from gofast_spark.ml.pipeline import (
     fit_pca,
     make_feature_pipeline,
 )
+from gofast_spark.ml.graph import edges_from_pairs, pagerank
 from gofast_spark.ml.optim import gradient_descent, linkage_matrix
 from gofast_spark.ml.regression import (
     fit_linear_regression,
@@ -31,4 +32,6 @@ __all__ = [
     "fit_logistic_regression",
     "predict_linear",
     "linkage_matrix",
+    "edges_from_pairs",
+    "pagerank",
 ]

@@ -9,6 +9,7 @@ from gofast_spark.operators.composite import (
     speed_rowwise_process,
 )
 from gofast_spark.operators.asof import asof_join
+from gofast_spark.operators.bloom import bloom_build, bloom_might_contain, bloom_semi_join
 from gofast_spark.operators.range_join import range_join
 from gofast_spark.operators.scd import scd2_as_of, scd2_init, scd2_merge
 from gofast_spark.operators.sessionize import compact_files, session_stats, sessionize
@@ -154,6 +155,9 @@ __all__ = [
     "uniform_hash_sql",
     "sequence_fill_stats",
     "asof_join",
+    "bloom_build",
+    "bloom_might_contain",
+    "bloom_semi_join",
     "range_join",
     "skew_report",
     "scd2_init",

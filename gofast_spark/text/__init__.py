@@ -36,6 +36,14 @@ from gofast_spark.text.pii import (
     redact_pii_col,
 )
 from gofast_spark.text.repetition import repetition_signals
+from gofast_spark.text.bm25 import (
+    bm25_topk,
+    build_postings,
+    corpus_stats,
+    tfidf_topk_terms,
+)
+from gofast_spark.text.lm import score_documents, train_bigram_lm
+from gofast_spark.text.chunking import chunk_documents
 from gofast_spark.text.hashing import (
     LCG_A,
     LCG_C,
@@ -56,6 +64,13 @@ __all__ = [
     "language_id",
     "repetition_signals",
     "corpus_filter",
+    "bm25_topk",
+    "build_postings",
+    "corpus_stats",
+    "tfidf_topk_terms",
+    "train_bigram_lm",
+    "score_documents",
+    "chunk_documents",
     "DEFAULT_RULES",
     "redact_pii",
     "redact_pii_col",
