@@ -87,14 +87,28 @@ def bm25_topk(
     amortize the index across many queries (the intended pattern at
     scale — index once, query many).
     """
-    if postings is None:
-        postings = build_postings(df, id_col, text_col)
     terms = sorted({t for t in query_terms if t})
     if not terms:
         raise ValueError("query_terms must contain at least one term")
 
+    if postings is None:
+        postings = build_postings(df, id_col, text_col)
+        # corpus stats from the pre-explode doc frame: one narrow scan
+        # instead of re-running the explode + (doc, term) groupBy that
+        # corpus_stats(postings) would trigger as a second plan branch.
+        # Token-less docs are excluded to match the postings-derived
+        # stats exactly (they contribute no postings row).
+        norm = normalize_text(text_col)
+        toks = df.select(F.size(F.split(norm, " ")).alias("dl")).where(
+            norm != ""
+        )
+        stats = toks.agg(
+            F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+        )
+    else:
+        stats = corpus_stats(postings, id_col)
+
     hits = postings.where(F.col("term").isin(terms))
-    stats = corpus_stats(postings, id_col)
     # df_t over the filtered postings: rows <= len(terms), broadcast back
     dfreq = hits.groupBy("term").agg(F.count("*").alias("df_t"))
     scored = (

@@ -125,3 +125,15 @@ def test_cms_heavy_hitters_superset(spark):
     df = spark.createDataFrame(rows, ["k"])
     hh = {r.k for r in cms_heavy_hitters(df, "k", min_share=0.5).collect()}
     assert "big" in hh
+
+
+def test_pagerank_broadcast_path_matches_smj(spark):
+    pairs = spark.createDataFrame(
+        [(i, (i * 3) % 11) for i in range(30)], ["a", "b"]
+    )
+    e = edges_from_pairs(pairs, "a", "b")
+    r1 = {r.node: round(r.rank, 10)
+          for r in pagerank(e, iterations=4).collect()}
+    r2 = {r.node: round(r.rank, 10)
+          for r in pagerank(e, iterations=4, broadcast_ranks=True).collect()}
+    assert r1 == r2
