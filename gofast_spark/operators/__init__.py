@@ -10,6 +10,7 @@ from gofast_spark.operators.composite import (
 )
 from gofast_spark.operators.asof import asof_join
 from gofast_spark.operators.bloom import bloom_build, bloom_might_contain, bloom_semi_join
+from gofast_spark.operators.merge_upsert import merge_upsert, source_col, target_col
 from gofast_spark.operators.range_join import range_join
 from gofast_spark.operators.scd import scd2_as_of, scd2_init, scd2_merge
 from gofast_spark.operators.sessionize import compact_files, session_stats, sessionize
@@ -158,6 +159,9 @@ __all__ = [
     "bloom_build",
     "bloom_might_contain",
     "bloom_semi_join",
+    "merge_upsert",
+    "source_col",
+    "target_col",
     "range_join",
     "skew_report",
     "scd2_init",

@@ -182,3 +182,53 @@ def cms_heavy_hitters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("est").cast("bigint").alias("est"),
         F.col("n_total").cast("bigint").alias("n_total"),
     )
+
+
+@query(
+    "merge_upsert_customer",
+    oracle="""
+    WITH src AS (
+      SELECT o_custkey AS c_custkey,
+             CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS c_acctbal
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+      GROUP BY o_custkey),
+    tgt AS (SELECT c_custkey, c_name, c_acctbal FROM customer)
+    SELECT coalesce(t.c_custkey, s.c_custkey) AS c_custkey,
+           CASE WHEN s.c_custkey IS NOT NULL THEN 'UPDATED'
+                ELSE t.c_name END AS c_name,
+           CAST(CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal
+                ELSE t.c_acctbal END AS DOUBLE) AS c_acctbal
+    FROM tgt t FULL OUTER JOIN src s ON s.c_custkey = t.c_custkey
+    """,
+)
+def merge_upsert_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-INTO semantics (operators/merge_upsert.py): apply an
+    urgent-order spend batch to the customer table — matched keys take
+    the batch row wholesale (UPDATE replaces the row, the standard
+    MERGE contract), unmatched batch keys insert.  The oracle is an
+    independent FULL OUTER JOIN resolution that must agree
+    row-for-row."""
+    from gofast_spark.operators.merge_upsert import merge_upsert
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    src = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2)
+            .cast("double")
+            .alias("c_acctbal")
+        )
+        .withColumn("c_name", F.lit("UPDATED"))
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+    return merge_upsert(
+        cust,
+        src,
+        "c_custkey",
+        update_condition=None,
+        check_unique_source=False,
+    )
