@@ -1205,7 +1205,13 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     out = semantic_dedup(
-        e, "vec_id", "embedding", threshold=0.3, nlist=16, keep="farthest"
+        e,
+        "vec_id",
+        "embedding",
+        threshold=0.3,
+        nlist=16,
+        keep="farthest",
+        dim=64,  # unrolled codegen dot products (bit-equal to the fold)
     )
     return out.select(
         "vec_id",
