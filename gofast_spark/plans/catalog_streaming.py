@@ -407,3 +407,59 @@ def stream_token_counts_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     stream = read_document_stream(spark, sf_dir, glob="documents.parquet")
     counts = streaming_token_counts(stream)
     return run_available_now(counts, mode="complete")
+
+
+@query(
+    "stream_cdc_merge_customer",
+    oracle="""
+    WITH latest AS (
+      SELECT o_custkey AS c_custkey,
+             arg_max(o_totalprice, o_orderkey) AS new_bal
+      FROM orders GROUP BY o_custkey)
+    SELECT c.c_custkey,
+           CAST(round(coalesce(l.new_bal, c.c_acctbal), 2) AS DOUBLE)
+             AS c_acctbal
+    FROM customer c LEFT JOIN latest l USING (c_custkey)
+    UNION ALL
+    SELECT l.c_custkey, CAST(round(l.new_bal, 2) AS DOUBLE)
+    FROM latest l ANTI JOIN customer c USING (c_custkey)
+    """,
+)
+def stream_cdc_merge_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-apply sink (streaming.stream_merge_upsert): bootstrap a
+    customer current-state table, stream the orders file as a change
+    feed (latest order per customer wins via dedup_order_col), upsert
+    through merge_upsert per micro-batch with an atomic staging swap,
+    re-read the final table.  The oracle resolves the same CDC batch
+    with arg_max + left join — two strategies, one state."""
+    import shutil
+
+    from gofast_spark.streaming import stream_merge_upsert
+
+    root = "/tmp/gofast_spark_io/cdc_merge"
+    shutil.rmtree(root, ignore_errors=True)
+    table, ckpt = root + "/table", root + "/ckpt"
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    cust.write.mode("overwrite").parquet(table)
+
+    changes = (
+        spark.readStream.schema(
+            "o_orderkey long, o_custkey long, o_totalprice double"
+        )
+        .option("pathGlobFilter", "orders.parquet")
+        .parquet(sf_dir)
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("o_totalprice").alias("c_acctbal"),
+            F.col("o_orderkey").alias("ver"),
+        )
+    )
+    stream_merge_upsert(
+        changes, table, "c_custkey", checkpoint=ckpt, dedup_order_col="ver"
+    )
+    back = spark.read.parquet(table)
+    return back.select(
+        "c_custkey",
+        F.round("c_acctbal", 2).cast("double").alias("c_acctbal"),
+    )

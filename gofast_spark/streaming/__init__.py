@@ -8,6 +8,7 @@ from gofast_spark.streaming.ops import (
     stream_stream_interval_join,
     write_stream_to_warehouse,
     read_document_stream,
+    stream_merge_upsert,
     streaming_token_counts,
     run_available_now,
     sessionized_aggregate,
@@ -23,6 +24,7 @@ __all__ = [
     "stream_static_enrich",
     "stream_stream_interval_join",
     "write_stream_to_warehouse",
+    "stream_merge_upsert",
     "windowed_aggregate",
     "sessionized_aggregate",
     "stream_dedup",

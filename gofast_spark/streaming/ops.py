@@ -407,3 +407,83 @@ def write_stream_to_warehouse(
         q.stop()
         return None
     return writer.start()
+
+
+def stream_merge_upsert(
+    sdf: DataFrame,
+    table_path: str,
+    key_cols: list[str] | str,
+    *,
+    checkpoint: str,
+    dedup_order_col: str | None = None,
+    available_now: bool = True,
+):
+    """CDC-apply sink: upsert each micro-batch into a parquet
+    current-state table with MERGE semantics
+    (:func:`gofast_spark.operators.merge_upsert.merge_upsert`).
+
+    Per batch: read the current table (empty -> batch bootstraps it),
+    pre-dedup the batch to its latest row per key (``dedup_order_col``
+    descending — a CDC feed can carry several versions of one key per
+    batch; without it duplicate keys raise), merge, and atomically
+    replace the table via write-to-staging + directory swap.  A
+    replayed batch re-derives the same state (the merge is idempotent),
+    so the sink is exactly-once to the reader.
+
+    Scale note: a plain-parquet current-state table rewrites on every
+    batch — the honest cost of upserts without a transactional table
+    format; the merge itself is one key join, so swapping in a format
+    with file-level pruning (the ``sources.bucketed`` tables, or any
+    lakehouse format) changes the write, not the plan.  Keep batches
+    coarse (minutes, availableNow backfills) for this sink.
+    """
+    import os
+    import shutil
+
+    from gofast_spark.operators.merge_upsert import merge_upsert
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    spark = sdf.sparkSession
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        batch = batch_df
+        if dedup_order_col is not None:
+            w = Window.partitionBy(*keys).orderBy(
+                F.col(dedup_order_col).desc()
+            )
+            batch = (
+                batch.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        if os.path.isdir(table_path):
+            current = spark.read.parquet(table_path)
+            merged = merge_upsert(
+                current,
+                batch.select(*current.columns),
+                keys,
+                check_unique_source=dedup_order_col is None,
+            )
+        else:
+            merged = batch
+        staging = f"{table_path}__staging_{batch_id}"
+        merged.write.mode("overwrite").parquet(staging)
+        old = f"{table_path}__old_{batch_id}"
+        if os.path.isdir(table_path):
+            os.replace(table_path, old)
+        os.replace(staging, table_path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    writer = (
+        sdf.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        q.stop()
+        return None
+    return writer.start()
