@@ -415,7 +415,7 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 5)
-    out = cosine_topk(e, q, "vec_id", "embedding", k=10, dim=64)
+    out = cosine_topk(e, q, "vec_id", "embedding", k=10)
     return out.select(
         "query_id",
         "vec_id",
@@ -528,7 +528,7 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 5)
     out = ivf_topk_portable(
-        e, q, "vec_id", "embedding", nlist=8, nprobe=2, k=5, dim=64
+        e, q, "vec_id", "embedding", nlist=8, nprobe=2, k=5
     )
     return out.select(
         "query_id",
@@ -552,7 +552,7 @@ def embedding_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 5)
     out = ivf_topk(
-        e, q, "vec_id", "embedding", nlist=8, nprobe=2, k=5, seed=3, dim=64
+        e, q, "vec_id", "embedding", nlist=8, nprobe=2, k=5, seed=3
     )
     return out.select(
         "query_id",
@@ -732,7 +732,7 @@ def ivf_kmeans_fullprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 5)
     out = ivf_topk(
-        e, q, "vec_id", "embedding", nlist=8, nprobe=8, k=5, seed=3, dim=64
+        e, q, "vec_id", "embedding", nlist=8, nprobe=8, k=5, seed=3
     )
     return out.select(
         "query_id",
@@ -763,7 +763,7 @@ def ivf_kmeans_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 5)
     ivf = ivf_topk(
-        e, q, "vec_id", "embedding", nlist=8, nprobe=2, k=5, seed=3, dim=64
+        e, q, "vec_id", "embedding", nlist=8, nprobe=2, k=5, seed=3
     ).select("query_id", "vec_id")
     qq = q.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv")

@@ -67,7 +67,6 @@ def cosine_topk(
     k: int = 10,
     query_id_col: str | None = None,
     exclude_self: bool = True,
-    dim: int | None = None,
 ) -> DataFrame:
     """Top-k nearest corpus vectors per query vector, by cosine.
 
@@ -90,7 +89,7 @@ def cosine_topk(
     if exclude_self:
         pairs = pairs.where(F.col(id_col) != F.col("query_id"))
     pairs = pairs.withColumn(
-        "cos_sim", cosine_sim(F.col("__qv"), F.col(vec_col), dim)
+        "cos_sim", cosine_sim(F.col("__qv"), F.col(vec_col))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.round(F.col("cos_sim"), 6).desc(), F.col(id_col).asc()

@@ -131,7 +131,6 @@ def ivf_topk(
     query_id_col: str | None = None,
     exclude_self: bool = True,
     seed: int = 42,
-    dim: int | None = None,
 ) -> DataFrame:
     """IVF-Flat top-k: probe ``nprobe`` cells per query, exact cosine
     re-rank inside.  ``centroids=None`` trains them from the corpus
@@ -158,7 +157,7 @@ def ivf_topk(
     if exclude_self:
         pairs = pairs.where(F.col(id_col) != F.col("query_id"))
     pairs = pairs.withColumn(
-        "cos_sim", cosine_sim(F.col("__qv"), F.col(vec_col), dim)
+        "cos_sim", cosine_sim(F.col("__qv"), F.col(vec_col))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.round(F.col("cos_sim"), 6).desc(), F.col(id_col).asc()
@@ -181,7 +180,6 @@ def ivf_topk_portable(
     k: int = 5,
     query_id_col: str | None = None,
     exclude_self: bool = True,
-    dim: int | None = None,
 ) -> DataFrame:
     """Landmark-IVF top-k: cells anchored at the ``nlist`` corpus vectors
     with the smallest portable hash of their id, ZERO Lloyd iterations —
@@ -215,7 +213,7 @@ def ivf_topk_portable(
     )
 
     def _assign(df: DataFrame, vcol: str, keep, *, top: int) -> DataFrame:
-        cs = cosine_sim(F.col(vcol), F.col("__lv"), dim)
+        cs = cosine_sim(F.col(vcol), F.col("__lv"))
         w = Window.partitionBy(*keep).orderBy(
             F.round(cs, 6).desc(), F.col("cell").asc()
         )
@@ -241,7 +239,7 @@ def ivf_topk_portable(
     if exclude_self:
         pairs = pairs.where(F.col(id_col) != F.col("query_id"))
     pairs = pairs.withColumn(
-        "cos_sim", cosine_sim(F.col("__qv"), F.col(vec_col), dim)
+        "cos_sim", cosine_sim(F.col("__qv"), F.col(vec_col))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.round(F.col("cos_sim"), 6).desc(), F.col(id_col).asc()

@@ -123,7 +123,7 @@ def lsh_topk(
     pairs = c.join(F.broadcast(q), on="bucket")
     if exclude_self:
         pairs = pairs.where(F.col(id_col) != F.col("query_id"))
-    pairs = pairs.withColumn("cos_sim", cosine_sim(F.col("__qv"), F.col(vec_col), dim))
+    pairs = pairs.withColumn("cos_sim", cosine_sim(F.col("__qv"), F.col(vec_col)))
     w = Window.partitionBy("query_id").orderBy(
         F.round(F.col("cos_sim"), 6).desc(), F.col(id_col).asc()
     )
@@ -170,7 +170,7 @@ def cosine_near_dup_pairs(
     )
     pairs = left.join(right, on="bucket").where(F.col("id_a") < F.col("id_b"))
     return (
-        pairs.withColumn("cos_sim", cosine_sim(F.col("__va"), F.col("__vb"), dim))
+        pairs.withColumn("cos_sim", cosine_sim(F.col("__va"), F.col("__vb")))
         .where(F.round(F.col("cos_sim"), 6) >= threshold)
         .select("id_a", "id_b", "bucket", "cos_sim")
     )
