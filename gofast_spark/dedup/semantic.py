@@ -84,7 +84,6 @@ def assign_semantic_cells(
     *,
     nlist: int = 8,
     centroids=None,
-    dim: int | None = None,
 ) -> DataFrame:
     """Corpus rows + (cell, cent_sim): nearest cell by cosine against the
     broadcast centroid frame (landmark cells unless ``centroids`` given).
@@ -97,7 +96,7 @@ def assign_semantic_cells(
         cells = _landmark_cells(df, id_col, vec_col, nlist=nlist)
     else:
         cells = _centroid_cells(df.sparkSession, centroids)
-    cs = cosine_sim(F.col(vec_col), F.col("__lv"), dim)
+    cs = cosine_sim(F.col(vec_col), F.col("__lv"))
     w = Window.partitionBy(id_col).orderBy(
         F.round(cs, 6).desc(), F.col("cell").asc()
     )
@@ -119,7 +118,6 @@ def semantic_dedup(
     nlist: int = 8,
     centroids=None,
     keep: str = "farthest",
-    dim: int | None = None,
 ) -> DataFrame:
     """SemDeDup labels: input rows + (cell, cent_sim, is_dup).
 
@@ -144,7 +142,7 @@ def semantic_dedup(
     if keep not in ("farthest", "lowest_id"):
         raise ValueError(f"keep must be 'farthest' or 'lowest_id', got {keep!r}")
     cells = assign_semantic_cells(
-        df, id_col, vec_col, nlist=nlist, centroids=centroids, dim=dim
+        df, id_col, vec_col, nlist=nlist, centroids=centroids
     )
     # Pre-normalize each vector ONCE (two separate projections so the
     # norm fold is never inlined into the per-element lambda), making the
@@ -155,7 +153,7 @@ def semantic_dedup(
     # each vector is normalized exactly once however many pairs touch it.
     from gofast_spark.sim.cosine import l2_norm
 
-    cells = cells.withColumn("__l2", l2_norm(F.col(vec_col), dim))
+    cells = cells.withColumn("__l2", l2_norm(F.col(vec_col)))
     cells = cells.withColumn(
         "__nv",
         F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("__l2")),
@@ -192,7 +190,7 @@ def semantic_dedup(
             # so the 64-element dot fold runs for only the ~half of cell
             # pairs where b actually outranks a
             outranks
-            & (_dot(F.col("__a_v"), F.col("__b_v"), dim) >= F.lit(threshold))
+            & (_dot(F.col("__a_v"), F.col("__b_v")) >= F.lit(threshold))
         )
         .select(F.col("__a_id").alias("__dup_id"))
         .distinct()

@@ -1205,13 +1205,7 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     out = semantic_dedup(
-        e,
-        "vec_id",
-        "embedding",
-        threshold=0.3,
-        nlist=16,
-        keep="farthest",
-        dim=64,  # unrolled codegen dot products (bit-equal to the fold)
+        e, "vec_id", "embedding", threshold=0.3, nlist=16, keep="farthest"
     )
     return out.select(
         "vec_id",

@@ -12,23 +12,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
-    """Dot product.  With ``dim`` given, the fold is UNROLLED into an
-    explicit left-associated sum of ``dim`` products: higher-order
-    function lambdas are CodegenFallback (interpreted per element),
-    so on pair-heavy plans the unrolled form runs ~an order of
-    magnitude faster while performing the IDENTICAL IEEE-754 addition
-    sequence (same init, same order) — results are bit-for-bit equal
-    to the fold.  ``dim`` must equal the actual array length
-    (element_at past the end yields NULL, poisoning the sum — a loud
-    failure, not a wrong answer)."""
-    if dim is not None:
-        expr: Column = F.lit(0.0)
-        for i in range(1, dim + 1):
-            expr = expr + F.element_at(a, i).cast("double") * F.element_at(
-                b, i
-            ).cast("double")
-        return expr
+def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -36,14 +20,8 @@ def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
     )
 
 
-def l2_norm(vec: Column, dim: int | None = None) -> Column:
-    """Euclidean norm of an array column (``dim``: see :func:`_dot`)."""
-    if dim is not None:
-        expr: Column = F.lit(0.0)
-        for i in range(1, dim + 1):
-            x = F.element_at(vec, i).cast("double")
-            expr = expr + x * x
-        return F.sqrt(expr)
+def l2_norm(vec: Column) -> Column:
+    """Euclidean norm of an array column."""
     return F.sqrt(
         F.aggregate(
             vec,
@@ -53,9 +31,9 @@ def l2_norm(vec: Column, dim: int | None = None) -> Column:
     )
 
 
-def cosine_sim(a: Column, b: Column, dim: int | None = None) -> Column:
-    """Cosine similarity of two array columns (``dim``: see :func:`_dot`)."""
-    return _dot(a, b, dim) / (l2_norm(a, dim) * l2_norm(b, dim))
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array columns."""
+    return _dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
 def cosine_topk(

@@ -97,28 +97,3 @@ def test_plan_no_corpus_cartesian(spark, sf_small):
     # within-cell pair stage must be a real equi-join on the cell id
     assert "CartesianProduct" not in plan
     assert df.count() > 0
-
-
-def test_unrolled_dot_bit_equal_to_fold(spark):
-    """dim-unrolled cosine/dot must match the aggregate fold exactly
-    (same IEEE addition order) on awkward float values."""
-    import random
-
-    from pyspark.sql import functions as F
-
-    from gofast_spark.sim.cosine import _dot, cosine_sim, l2_norm
-
-    rng = random.Random(7)
-    rows = [
-        ([rng.uniform(-1, 1) for _ in range(16)],
-         [rng.uniform(-1, 1) for _ in range(16)])
-        for _ in range(50)
-    ]
-    df = spark.createDataFrame(rows, "a array<double>, b array<double>")
-    out = df.select(
-        (_dot(F.col("a"), F.col("b")) == _dot(F.col("a"), F.col("b"), 16)).alias("d"),
-        (l2_norm(F.col("a")) == l2_norm(F.col("a"), 16)).alias("n"),
-        (cosine_sim(F.col("a"), F.col("b"))
-         == cosine_sim(F.col("a"), F.col("b"), 16)).alias("c"),
-    ).collect()
-    assert all(r.d and r.n and r.c for r in out)
