@@ -105,3 +105,27 @@ def audit_report(df: DataFrame) -> str:
     if warn:
         body += "\n" + "\n".join(f"WARNING: {w}" for w in warn)
     return body
+
+
+def suggest_shuffle_partitions(
+    df: DataFrame, *, target_mb: int = 128, sample_rows: int = 1000
+) -> int:
+    """Estimate a shuffle-partition count so each post-shuffle
+    partition lands near ``target_mb`` of in-memory data: rows are
+    counted exactly, per-row width from a bounded head sample
+    (driver-side, capped at ``sample_rows``).  Round the answer into
+    ``df.repartition(n)`` / ``spark.sql.shuffle.partitions`` before a
+    wide stage; at 100 TB the default 200-partition conf is the single
+    most common mis-sizing."""
+    n_rows = df.count()
+    if n_rows == 0:
+        return 1
+    sample = df.limit(min(sample_rows, n_rows)).collect()
+    import sys as _sys
+
+    row_bytes = max(
+        1,
+        sum(_sys.getsizeof(v) for r in sample for v in r) // len(sample),
+    )
+    total_mb = n_rows * row_bytes / (1024 * 1024)
+    return max(1, round(total_mb / target_mb))

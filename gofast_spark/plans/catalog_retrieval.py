@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from gofast_spark.plans.catalog import query
 from gofast_spark.plans.catalog_llm import _docs, _norm_sql
-from gofast_spark.text.hashing import md5_hash64_sql
+from gofast_spark.text.hashing import char_hash_sql, md5_hash64_sql
 
 # shared DuckDB token CTE (identical normalize recipe)
 _TOKS = f"""
@@ -252,4 +252,34 @@ def strip_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "clean_text",
         F.col("n_tokens_kept").cast("int").alias("n_tokens_kept"),
+    )
+
+
+@query(
+    "hashed_tf_documents",
+    oracle=f"""
+    WITH {_TOKS},
+    tok AS (
+      SELECT doc_id, unnest(tk) AS t FROM toks),
+    cells AS (
+      SELECT doc_id, CAST({char_hash_sql('t')} % 64 AS BIGINT) AS cell
+      FROM tok WHERE t <> '')
+    SELECT doc_id, cell, CAST(count(*) AS BIGINT) AS tf
+    FROM cells GROUP BY doc_id, cell
+    """,
+)
+def hashed_tf_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (Weinberger et al. 2009; text/features.py):
+    stateless 64-cell hashed term-frequency vectors in sparse form —
+    no vocabulary fit, identical on any corpus subset, every cell
+    hash-verified (dense assembly + L2 path unit-tested against this
+    sparse form and fed into cosine_topk in tests)."""
+    from gofast_spark.text.features import hashed_tf_sparse
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    out = hashed_tf_sparse(d, dim=64)
+    return out.select(
+        "doc_id",
+        F.col("cell").cast("bigint").alias("cell"),
+        F.col("tf").cast("bigint").alias("tf"),
     )

@@ -44,6 +44,7 @@ from gofast_spark.text.bm25 import (
 )
 from gofast_spark.text.lm import score_documents, train_bigram_lm
 from gofast_spark.text.chunking import chunk_documents
+from gofast_spark.text.features import hashed_tf_sparse, hashed_tf_vector
 from gofast_spark.text.hashing import (
     LCG_A,
     LCG_C,
@@ -71,6 +72,8 @@ __all__ = [
     "train_bigram_lm",
     "score_documents",
     "chunk_documents",
+    "hashed_tf_sparse",
+    "hashed_tf_vector",
     "DEFAULT_RULES",
     "redact_pii",
     "redact_pii_col",

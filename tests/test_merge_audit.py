@@ -111,3 +111,19 @@ def test_audit_sees_pushed_filters_and_columns(spark, sf_small):
     a = audit_plan(df)
     assert a["scans_with_pushed_filters"] == 1
     assert set(a["read_columns"]) <= {"l_orderkey", "l_quantity"}
+
+
+def test_suggest_shuffle_partitions_scales_with_size(spark):
+    from gofast_spark.plans.audit import suggest_shuffle_partitions
+
+    small = spark.range(100)
+    big = spark.range(100).withColumn("pad", F.lit("x" * 2000))
+    a = suggest_shuffle_partitions(small, target_mb=1)
+    b = suggest_shuffle_partitions(big, target_mb=1)
+    assert a >= 1 and b >= a
+
+
+def test_suggest_shuffle_partitions_empty(spark):
+    from gofast_spark.plans.audit import suggest_shuffle_partitions
+
+    assert suggest_shuffle_partitions(spark.range(0), target_mb=64) == 1

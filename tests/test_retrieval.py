@@ -101,3 +101,54 @@ def test_lm_unseen_context_floor(spark):
     # (z, q): unknown ctx -> p = 0.5/(0.5*2) = 1/2
     exp = (math.log(4.0) + math.log(2.0)) / 2
     assert row.avg_nll == pytest.approx(round(exp, 4))
+
+
+def test_hashed_tf_sparse_counts(spark):
+    from gofast_spark.text.features import hashed_tf_sparse
+
+    df = spark.createDataFrame(
+        [(1, "spark spark join"), (2, "")], ["doc_id", "text"]
+    )
+    rows = hashed_tf_sparse(df, dim=16).collect()
+    got = {(r.doc_id, r.cell): r.tf for r in rows}
+    assert sum(v for (d, _), v in got.items() if d == 1) == 3
+    assert not any(d == 2 for d, _ in got)  # token-less doc absent
+
+
+def test_hashed_tf_vector_matches_sparse_and_normalizes(spark):
+    import math
+
+    from gofast_spark.text.features import hashed_tf_sparse, hashed_tf_vector
+
+    df = spark.createDataFrame(
+        [(1, "a b c a"), (2, "z z z")], ["doc_id", "text"]
+    )
+    sparse = {
+        (r.doc_id, r.cell): r.tf
+        for r in hashed_tf_sparse(df, dim=8).collect()
+    }
+    for r in hashed_tf_vector(df, dim=8, normalize=False).collect():
+        for i, x in enumerate(r.vec):
+            assert x == sparse.get((r.doc_id, i), 0)
+    for r in hashed_tf_vector(df, dim=8, normalize=True).collect():
+        assert math.isclose(sum(x * x for x in r.vec), 1.0, rel_tol=1e-9)
+
+
+def test_hashed_vectors_feed_similarity_layer(spark):
+    from pyspark.sql import functions as F
+
+    from gofast_spark.sim import cosine_topk
+    from gofast_spark.text.features import hashed_tf_vector
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark join filter"),
+            (2, "spark join filter group"),
+            (3, "totally different words here"),
+        ],
+        ["doc_id", "text"],
+    )
+    vecs = hashed_tf_vector(df, dim=32)
+    q = vecs.where(F.col("doc_id") == 1)
+    top = cosine_topk(vecs, q, "doc_id", "vec", k=1).collect()[0]
+    assert top.doc_id == 2  # the lexical near-copy, not the unrelated doc
