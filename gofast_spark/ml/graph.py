@@ -74,45 +74,45 @@ def pagerank(
     )
     n_frame = nodes.agg(F.count("*").alias("n"))
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    # rank and degree co-partitioned on the node key once, reused per round
+    # (node, base, outdeg, rank): base and outdeg are loop constants
+    # carried INSIDE the rank frame, so an iteration is exactly one join
+    # with the edges and one join back — no per-round deg/base joins.
+    # every node has outdeg >= 1 here (it appears in edges as src or dst,
+    # and deg counts the symmetric edge set)
     ranks = (
         nodes.crossJoin(F.broadcast(n_frame))
-        .select("node", (F.lit(1.0) / F.col("n")).alias("rank"))
+        .join(deg, nodes["node"] == deg["src"], "left")
+        .select(
+            "node",
+            ((1.0 - damping) / F.col("n")).alias("base"),
+            F.coalesce(F.col("outdeg"), F.lit(1)).alias("outdeg"),
+            (F.lit(1.0) / F.col("n")).alias("rank"),
+        )
         .repartition("node")
     )
-    base = nodes.crossJoin(F.broadcast(n_frame)).select(
-        "node", ((1.0 - damping) / F.col("n")).alias("base")
-    )
     for it in range(iterations):
+        rd = ranks.select(
+            F.col("node").alias("src"),
+            (F.col("rank") / F.col("outdeg")).alias("c"),
+        )
         if broadcast_ranks:
-            # fold rank/outdeg into one node-sized frame and broadcast it:
-            # the edge table is probed in place, never exchanged
-            rd = (
-                ranks.withColumnRenamed("node", "src")
-                .join(deg, "src")
-                .select(
-                    "src", (F.col("rank") / F.col("outdeg")).alias("c")
-                )
-            )
+            # broadcast the node-sized (rank/outdeg) frame: the edge
+            # table is probed in place, never exchanged
             contrib = edges.join(F.broadcast(rd), "src").select(
                 F.col("dst").alias("node"), "c"
             )
         else:
-            contrib = (
-                edges.join(
-                    ranks.withColumnRenamed("node", "src"), "src"
-                )
-                .join(deg, "src")
-                .select(
-                    F.col("dst").alias("node"),
-                    (F.col("rank") / F.col("outdeg")).alias("c"),
-                )
+            contrib = edges.join(rd, "src").select(
+                F.col("dst").alias("node"), "c"
             )
         incoming = contrib.groupBy("node").agg(F.sum("c").alias("inc"))
         ranks = (
-            base.join(incoming, "node", "left")
+            ranks.drop("rank")
+            .join(incoming, "node", "left")
             .select(
                 "node",
+                "base",
+                "outdeg",
                 (
                     F.col("base")
                     + damping * F.coalesce(F.col("inc"), F.lit(0.0))
@@ -121,4 +121,4 @@ def pagerank(
         )
         if (it + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
-    return ranks
+    return ranks.select("node", "rank")
