@@ -283,3 +283,106 @@ def hashed_tf_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cell").cast("bigint").alias("cell"),
         F.col("tf").cast("bigint").alias("tf"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (Xie et al. NeurIPS 2023; text/dsir.py)
+# ---------------------------------------------------------------------------
+
+# shared weight pipeline: hashed 64-bucket token counts, add-1-smoothed
+# target (lang='en') vs raw bucket distributions, per-doc importance
+# weight as an EXACT integer micro-unit sum
+_DSIR_W_CTES = """
+    tok AS (
+      SELECT doc_id, unnest(tk) AS t FROM toks),
+    cells AS (
+      SELECT doc_id, CAST({h} % 64 AS BIGINT) AS cell
+      FROM tok WHERE t <> ''),
+    rawtf AS (
+      SELECT doc_id, cell, count(*) AS tf FROM cells GROUP BY doc_id, cell),
+    tgtc AS (
+      SELECT cell, count(*) AS c FROM cells JOIN documents USING (doc_id)
+      WHERE lang = 'en' GROUP BY cell),
+    rawc AS (
+      SELECT cell, CAST(sum(tf) AS BIGINT) AS c FROM rawtf GROUP BY cell),
+    tot AS (
+      SELECT (SELECT sum(c) FROM rawc) AS rt, (SELECT sum(c) FROM tgtc) AS tt),
+    llr AS (
+      SELECT d.cell,
+             CAST(round((ln((coalesce(t.c, 0) + 1.0) / (tt + 64.0))
+                       - ln((coalesce(r.c, 0) + 1.0) / (rt + 64.0)))
+                  * 1000000) AS BIGINT) AS lm
+      FROM (SELECT unnest(range(0, 64)) AS cell) d
+      LEFT JOIN tgtc t ON d.cell = t.cell
+      LEFT JOIN rawc r ON d.cell = r.cell
+      CROSS JOIN tot),
+    w AS (
+      SELECT doc_id, CAST(sum(tf * lm) AS BIGINT) AS logw_micro
+      FROM rawtf JOIN llr ON rawtf.cell = llr.cell
+      GROUP BY doc_id)
+""".format(h=char_hash_sql('t'))
+
+
+@query(
+    "dsir_weights_documents",
+    oracle=f"""
+    WITH {_TOKS},
+    {_DSIR_W_CTES}
+    SELECT doc_id, logw_micro FROM w
+    """,
+)
+def dsir_weights_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights (Xie et al. 2023; text/dsir.py):
+    hashed-bucket distribution match of every doc against the lang='en'
+    slice as the target corpus.  The per-bucket log-ratio is quantized
+    to integer micro-units, so the per-doc weight is an exact integer
+    aggregate — bit-identical across engines regardless of float
+    summation order.  Bucket distributions are dim-sized broadcasts;
+    the weight pass is one groupBy over sparse (doc, cell) rows."""
+    from gofast_spark.text.dsir import dsir_logweights
+
+    d = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    raw = d.select("doc_id", "text")
+    target = d.filter(F.col("lang") == "en").select("doc_id", "text")
+    return dsir_logweights(raw, target, dim=64, alpha=1.0, llr_micro=True)
+
+
+@query(
+    "dsir_resample_documents",
+    oracle=f"""
+    WITH {_TOKS},
+    {_DSIR_W_CTES},
+    keyed AS (
+      SELECT doc_id, logw_micro,
+             logw_micro + CAST(round(
+               (-ln(-ln({{u}} + 2.3283064365386963e-10))) * 1000000)
+               AS BIGINT) AS key_micro
+      FROM w)
+    SELECT doc_id, logw_micro, key_micro FROM keyed
+    ORDER BY key_micro DESC, doc_id LIMIT 25
+    """.format(u="__U__"),
+)
+def dsir_resample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR Gumbel top-k selection: 25 docs sampled without replacement
+    with probability tilted toward the target distribution, noise from
+    the engine-portable per-doc uniform hash (seed 7) so the selection
+    is deterministic and fully oracle-checkable.  Plans as
+    TakeOrderedAndProject over the weight aggregate."""
+    from gofast_spark.text.dsir import dsir_resample
+
+    d = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    raw = d.select("doc_id", "text")
+    target = d.filter(F.col("lang") == "en").select("doc_id", "text")
+    return dsir_resample(
+        raw, target, k=25, seed=7, dim=64, alpha=1.0, llr_micro=True
+    )
+
+
+# splice the portable uniform expression into the resample oracle (kept
+# out of the f-string above: uniform_hash_sql itself contains braces)
+from gofast_spark.operators.mixture import uniform_hash_sql as _uh_sql  # noqa: E402
+from gofast_spark.plans.catalog import ORACLE_SQL as _OSQL  # noqa: E402
+
+_OSQL["dsir_resample_documents"] = _OSQL["dsir_resample_documents"].replace(
+    "__U__", "(" + _uh_sql("doc_id", seed=7) + ")"
+)

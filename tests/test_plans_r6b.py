@@ -75,3 +75,16 @@ def test_cms_estimate_broadcasts_sketch(spark, sf_small):
     cand = ev.select("event_type").distinct()
     plan = _plan(cms_estimate(sk, cand, "event_type"))
     assert "BroadcastHashJoin" in plan
+
+
+def test_dsir_plan_shapes(spark, sf_small):
+    # resample ends in a per-partition top-k; the dim-sized ratio frame
+    # broadcasts; no cartesian anywhere (the 1-row total crossJoins are
+    # the deliberate broadcast idiom)
+    plan = _plan(QUERIES["dsir_resample_documents"](spark, sf_small))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    for ln in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in ln:
+            assert "Cross" in ln
