@@ -29,6 +29,11 @@ from gofast_spark.dedup.cluster import (
     keep_canonical,
     near_dup_clusters,
 )
+from gofast_spark.dedup.incremental import (
+    dedup_against,
+    near_dup_pairs_between,
+)
+from gofast_spark.dedup.minhash import lsh_band_keys
 from gofast_spark.dedup.ngram import ngram_jaccard_pairs
 from gofast_spark.dedup.semantic import assign_semantic_cells, semantic_dedup
 from gofast_spark.dedup.simhash import simhash
@@ -46,6 +51,9 @@ __all__ = [
     "minhash_signatures",
     "minhash_signatures_from_sets",
     "lsh_candidate_pairs",
+    "lsh_band_keys",
+    "near_dup_pairs_between",
+    "dedup_against",
     "shingle_jaccard",
     "near_dup_pairs",
     "simhash",

@@ -217,6 +217,28 @@ def minhash_signatures_from_sets(
     return sets_df.select(*cols)
 
 
+def lsh_band_keys(
+    sig_df: DataFrame,
+    id_col: str,
+    *,
+    num_hashes: int = 16,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """(id, band_idx, band_key) — each signature exploded into its LSH
+    band keys.  Band key packs ``r`` consecutive minhashes into one
+    int64 (``mh_{rb} * 2^31 + mh_{rb+1}`` for r=2)."""
+    n_bands = num_hashes // rows_per_band
+    bands = []
+    for b in range(n_bands):
+        key = F.lit(0).cast("bigint")
+        for r in range(rows_per_band):
+            key = key * F.lit(2**31) + F.col(f"mh_{b * rows_per_band + r}")
+        bands.append(F.struct(F.lit(b).alias("band_idx"), key.alias("band_key")))
+    return sig_df.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("bk")
+    ).select(id_col, "bk.band_idx", "bk.band_key")
+
+
 def lsh_candidate_pairs(
     sig_df: DataFrame,
     id_col: str,
@@ -226,20 +248,12 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Distinct (id_a, id_b) candidate pairs sharing >= 1 LSH band key.
 
-    Band key packs ``r`` consecutive minhashes into one int64
-    (``mh_{rb} * 2^31 + mh_{rb+1}`` for r=2).  The self-join is an
-    equi-join on (band_idx, band_key): bucketed candidate generation.
+    The self-join is an equi-join on (band_idx, band_key): bucketed
+    candidate generation (see :func:`lsh_band_keys`).
     """
-    n_bands = num_hashes // rows_per_band
-    bands = []
-    for b in range(n_bands):
-        key = F.lit(0).cast("bigint")
-        for r in range(rows_per_band):
-            key = key * F.lit(2**31) + F.col(f"mh_{b * rows_per_band + r}")
-        bands.append(F.struct(F.lit(b).alias("band_idx"), key.alias("band_key")))
-    exploded = sig_df.select(
-        F.col(id_col), F.explode(F.array(*bands)).alias("bk")
-    ).select(id_col, "bk.band_idx", "bk.band_key")
+    exploded = lsh_band_keys(
+        sig_df, id_col, num_hashes=num_hashes, rows_per_band=rows_per_band
+    )
     a = exploded.alias("a")
     b_ = exploded.alias("b")
     return (

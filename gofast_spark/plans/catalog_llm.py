@@ -1397,3 +1397,91 @@ def quality_classifier_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("dot", 6).cast("double").alias("dot"),
         F.round("score", 4).cast("double").alias("score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental (cross-corpus) dedup: a new batch against a reference
+# corpus (dedup/incremental.py) — candidate generation is a band-key
+# equi-join of the two corpora, never a self-join of the union
+# ---------------------------------------------------------------------------
+
+# the new batch = doc_id % 4 == 0; reference corpus = the rest
+_XBANDS = f"""
+    bands AS (
+      {" UNION ALL ".join(
+          f"SELECT doc_id, {b} AS band_idx, mh_{2*b} * 2147483648 + mh_{2*b+1} AS band_key FROM sig"
+          for b in range(8)
+      )}
+    ),
+    bn AS (SELECT doc_id AS new_id, band_idx, band_key FROM bands
+           WHERE doc_id % 4 = 0),
+    br AS (SELECT doc_id AS ref_id, band_idx, band_key FROM bands
+           WHERE doc_id % 4 <> 0),
+    cand AS (SELECT DISTINCT new_id, ref_id
+             FROM bn JOIN br USING (band_idx, band_key)),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY doc_id),
+    inter AS (
+      SELECT c.new_id, c.ref_id, count(*) AS n_inter
+      FROM cand c
+      JOIN shh x ON x.doc_id = c.new_id
+      JOIN shh y ON y.doc_id = c.ref_id AND y.h = x.h
+      GROUP BY c.new_id, c.ref_id),
+    matched AS (
+      SELECT i.new_id, i.ref_id,
+             i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter) AS j
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.new_id
+      JOIN sizes sb ON sb.doc_id = i.ref_id
+      WHERE i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.8)
+"""
+
+
+@query(
+    "incremental_dedup_pairs",
+    oracle=f"""
+    WITH {_SHINGLE_CTES},
+    {_XBANDS}
+    SELECT new_id, ref_id, CAST(round(j, 4) AS DOUBLE) AS jaccard
+    FROM matched
+    """,
+)
+def incremental_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus near-dup pairs: a new batch (doc_id % 4 == 0)
+    LSH-matched against the reference corpus (the rest) without ever
+    self-joining the reference — the append-time dedup step of a
+    growing training corpus (dedup/incremental.py)."""
+    from gofast_spark.dedup.incremental import near_dup_pairs_between
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    new = d.where(F.col("doc_id") % 4 == 0)
+    ref = d.where(F.col("doc_id") % 4 != 0)
+    out = near_dup_pairs_between(new, ref, "doc_id", "text", threshold=0.8)
+    return out.select(
+        "new_id",
+        "ref_id",
+        F.round("jaccard", 4).cast("double").alias("jaccard"),
+    )
+
+
+@query(
+    "incremental_dedup_survivors",
+    oracle=f"""
+    WITH {_SHINGLE_CTES},
+    {_XBANDS}
+    SELECT doc_id FROM documents
+    WHERE doc_id % 4 = 0
+      AND doc_id NOT IN (SELECT new_id FROM matched)
+    """,
+)
+def incremental_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The new-batch rows safe to append: everything not near-dup
+    matched against the reference corpus (one anti-join on the matched
+    id set)."""
+    from gofast_spark.dedup.incremental import dedup_against
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    new = d.where(F.col("doc_id") % 4 == 0)
+    ref = d.where(F.col("doc_id") % 4 != 0)
+    return dedup_against(new, ref, "doc_id", "text", threshold=0.8).select(
+        "doc_id"
+    )
