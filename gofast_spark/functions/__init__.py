@@ -17,7 +17,10 @@ from gofast_spark.functions.encoding import (
 from gofast_spark.functions.sketches import (
     distinct_rollup,
     distinct_sketch,
+    histogram_quantile,
+    histogram_rollup,
     sketch_rollup_estimate,
+    value_histogram,
 )
 from gofast_spark.functions.cms import (
     cms_build,
@@ -53,6 +56,9 @@ __all__ = [
     "one_hot_encode",
     "distinct_sketch",
     "sketch_rollup_estimate",
+    "value_histogram",
+    "histogram_rollup",
+    "histogram_quantile",
     "cms_build",
     "cms_merge",
     "cms_estimate",

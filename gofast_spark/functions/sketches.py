@@ -1,16 +1,22 @@
-"""Mergeable distinct-count sketches (Apache DataSketches HLL via the
-built-in ``hll_sketch_agg`` family).
+"""Mergeable sketches: distinct counts (Apache DataSketches HLL via the
+built-in ``hll_sketch_agg`` family) and fixed-grid value histograms for
+re-aggregatable quantile estimation.
 
-The 100-TB story: exact ``count(distinct x)`` re-shuffles raw values for
-every grouping you ever want; an HLL sketch is a few KB per group,
-partial-aggregatable (map-side combine), and REAGGREGATABLE — daily
-sketches union into weekly/monthly estimates without touching raw data
-again.  That second property is what ``approx_count_distinct`` alone
-does not give you: it returns a number, not a mergeable state.
+The 100-TB story: exact ``count(distinct x)`` / exact percentiles
+re-shuffle raw values for every grouping you ever want; a sketch is a
+few KB per group, partial-aggregatable (map-side combine), and
+REAGGREGATABLE — daily sketches union into weekly/monthly estimates
+without touching raw data again.  That second property is what
+``approx_count_distinct`` / ``percentile_approx`` alone do not give
+you: they return a number, not a mergeable state.
 
-All functions stay JVM-side (Tungsten DataSketches implementation);
+HLL functions stay JVM-side (Tungsten DataSketches implementation);
 accuracy is the standard HLL bound (~1.6% rsd at the default
-lgConfigK=12).
+lgConfigK=12).  The histogram sketch is a (group, bin, cnt) frame over
+a fixed equi-width grid — unlike the KLL/t-digest family its merge is
+a plain integer re-sum (deterministic, oracle-checkable bit-for-bit)
+and its quantile error is bounded by one bin width of the declared
+[lo, hi) range.
 """
 
 from __future__ import annotations
@@ -67,3 +73,93 @@ def distinct_rollup(
     grain = list(dict.fromkeys([*coarse_cols, *fine_cols]))
     sk = distinct_sketch(df, grain, value_col, lg_config_k=lg_config_k)
     return sketch_rollup_estimate(sk, coarse_cols, out_col=out_col)
+
+
+# ---------------------------------------------------------------------------
+# Fixed-grid histogram sketches: mergeable quantiles
+# ---------------------------------------------------------------------------
+
+
+def value_histogram(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    *,
+    lo: float,
+    hi: float,
+    bins: int = 64,
+) -> DataFrame:
+    """(group..., bin, cnt): equi-width histogram of ``value_col`` over
+    the declared ``[lo, hi)`` range — the persistable, mergeable
+    aggregation state for quantile estimation.  Values outside the
+    range clamp into the edge bins (estimates there degrade to the
+    range edge — declare a range that covers the data).  NULLs drop.
+    One groupBy; bin assignment is pure codegen arithmetic."""
+    width = (hi - lo) / bins
+    b = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width))
+    b = F.greatest(F.lit(0), F.least(F.lit(bins - 1), b)).cast("int")
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_rollup(
+    hist: DataFrame, rollup_cols: Sequence[str]
+) -> DataFrame:
+    """Merge pre-built histogram sketches up to a coarser grouping —
+    a plain integer re-sum per (rollup, bin): cost proportional to the
+    number of sketch rows, not raw rows, and exactly equal to the
+    histogram built from raw data directly."""
+    return hist.groupBy(*rollup_cols, "bin").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def histogram_quantile(
+    hist: DataFrame,
+    group_cols: Sequence[str],
+    qs: Sequence[float],
+    *,
+    lo: float,
+    hi: float,
+    bins: int = 64,
+) -> DataFrame:
+    """(group..., q, est): per-group quantile estimates from a
+    histogram sketch — the upper edge of the first bin whose cumulative
+    count reaches ``q * total``, so ``est`` over-estimates the true
+    quantile by at most one bin width (exact statement: the true
+    quantile lies in ``(est - width, est]`` whenever the data fits
+    [lo, hi)).
+
+    The cumulative pass is a window ordered by bin WITHIN each group —
+    at most ``bins`` rows per group, so no single-reducer sort ever
+    appears regardless of data volume."""
+    width = (hi - lo) / bins
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        *group_cols,
+        "bin",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy(*group_cols)).alias("total"),
+    )
+    q_arr = F.array(*[F.lit(float(q)) for q in qs])
+    return (
+        cum.select(*group_cols, "bin", "cum", "total",
+                   F.explode(q_arr).alias("q"))
+        .where(F.col("cum") >= F.col("q") * F.col("total"))
+        .groupBy(*group_cols, "q")
+        .agg(F.min("bin").alias("__b"))
+        .select(
+            *group_cols,
+            "q",
+            (F.lit(lo) + (F.col("__b") + 1) * F.lit(width)).alias("est"),
+        )
+    )

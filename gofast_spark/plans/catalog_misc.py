@@ -642,3 +642,86 @@ def cumsum_orders_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "running_revenue"
         ),
     )
+
+
+@query(
+    "hist_sketch_rollup_events",
+    oracle="""
+    SELECT event_type,
+           CAST(greatest(0, least(63, floor(value / 8.0))) AS INT) AS bin,
+           count(*) AS cnt
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type, bin
+    """,
+)
+def hist_sketch_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-grid histogram (functions/sketches.py): DAILY
+    (day, event_type) sketches re-summed up to event_type must equal
+    the histogram built from raw data directly — the merge-exactness
+    property that lets 100-TB percentile dashboards aggregate sketch
+    rows instead of raw rows.  The oracle computes the direct
+    histogram; the Spark side answers through the daily->rollup path,
+    so the equality is verified differentially.  Bin width 8 over
+    [0, 512) is a power of two: every float step is exact."""
+    from gofast_spark.functions.sketches import (
+        histogram_rollup,
+        value_histogram,
+    )
+
+    e = _t(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        "event_type",
+        "value",
+    )
+    daily = value_histogram(
+        e, ["day", "event_type"], "value", lo=0.0, hi=512.0, bins=64
+    )
+    return histogram_rollup(daily, ["event_type"])
+
+
+@query(
+    "hist_quantile_events",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CAST(greatest(0, least(63, floor(value / 8.0))) AS INT) AS bin,
+             count(*) AS cnt
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, bin),
+    c AS (
+      SELECT event_type, bin,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             sum(cnt) OVER (PARTITION BY event_type) AS total
+      FROM b),
+    qv AS (SELECT unnest([0.5, 0.9]) AS q)
+    SELECT event_type, q,
+           CAST((min(bin) + 1) * 8.0 AS DOUBLE) AS est
+    FROM c CROSS JOIN qv
+    WHERE cum >= q * total
+    GROUP BY event_type, q
+    """,
+)
+def hist_quantile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimates (p50/p90 per event_type) answered from the
+    merged histogram sketch: upper edge of the first bin reaching the
+    target cumulative mass, error bounded by one 8-unit bin.  The
+    cumulative window runs over at most 64 rows per group — never a
+    single-reducer data sort."""
+    from gofast_spark.functions.sketches import (
+        histogram_quantile,
+        histogram_rollup,
+        value_histogram,
+    )
+
+    e = _t(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        "event_type",
+        "value",
+    )
+    daily = value_histogram(
+        e, ["day", "event_type"], "value", lo=0.0, hi=512.0, bins=64
+    )
+    merged = histogram_rollup(daily, ["event_type"])
+    return histogram_quantile(
+        merged, ["event_type"], [0.5, 0.9], lo=0.0, hi=512.0, bins=64
+    )
