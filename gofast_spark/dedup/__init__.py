@@ -27,6 +27,7 @@ from gofast_spark.dedup.cluster import (
     connected_components_two_phase,
     dedup_near_duplicates,
     keep_canonical,
+    leakage_safe_split,
     near_dup_clusters,
 )
 from gofast_spark.dedup.incremental import (
@@ -67,6 +68,7 @@ __all__ = [
     "near_dup_clusters",
     "keep_canonical",
     "dedup_near_duplicates",
+    "leakage_safe_split",
     "MINHASH_P",
     "MINHASH_COEFFS",
 ]

@@ -318,3 +318,56 @@ def dedup_near_duplicates(
         rows_per_band=rows_per_band,
     )
     return keep_canonical(df, clusters, id_col)
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    test_ratio: float = 0.2,
+    seed: int = 0,
+    threshold: float = 0.8,
+    k: int = 3,
+    num_hashes: int = 16,
+    rows_per_band: int = 2,
+    broadcast_limit: int | None = 500_000,
+) -> tuple[DataFrame, DataFrame]:
+    """Train/test split that can NEVER put two near-duplicate documents
+    on opposite sides: the split key is the near-dup cluster id (the
+    doc's own id for unclustered docs), hashed with the same portable
+    LCG bucket as ``split_train_test_by_id``.
+
+    A plain hash-of-id split leaks — a test doc whose near-copy sits in
+    train inflates eval scores (the same failure benchmark
+    decontamination guards against, but *within* the corpus).  Keying
+    the hash on the cluster label moves whole duplicate clusters
+    together, so the leak count is structurally zero.
+
+    Plan: cluster labels join into the corpus by id (broadcast-gated —
+    the label frame covers only docs with at least one near-dup edge);
+    the split itself is a codegen filter.  Returns (train, test)."""
+    from gofast_spark.operators.sampling import hash_bucket
+
+    clusters = near_dup_clusters(
+        df,
+        id_col,
+        text_col,
+        threshold=threshold,
+        k=k,
+        num_hashes=num_hashes,
+        rows_per_band=rows_per_band,
+    )
+    cl = clusters.select(
+        F.col("id").alias("__cc_id"), F.col("cluster_id").alias("__cc_lab")
+    )
+    if broadcast_limit is None or clusters.count() <= broadcast_limit:
+        cl = F.broadcast(cl)
+    keyed = df.join(cl, df[id_col] == F.col("__cc_id"), "left").withColumn(
+        "__gkey", F.coalesce(F.col("__cc_lab"), F.col(id_col))
+    )
+    cut = int(round(test_ratio * 100))
+    b = hash_bucket(F.col("__gkey"), seed=seed)
+    train = keyed.where(b >= cut).drop("__cc_id", "__cc_lab", "__gkey")
+    test = keyed.where(b < cut).drop("__cc_id", "__cc_lab", "__gkey")
+    return train, test

@@ -1485,3 +1485,36 @@ def incremental_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_against(new, ref, "doc_id", "text", threshold=0.8).select(
         "doc_id"
     )
+
+
+@query(
+    "leakage_safe_split_counts",
+    oracle=f"""
+    WITH RECURSIVE {_PAIR_CTES},
+    clusters AS (SELECT id, min(lab) AS cluster_id FROM comp GROUP BY id),
+    keyed AS (
+      SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS gkey
+      FROM documents d LEFT JOIN clusters c ON c.id = d.doc_id)
+    SELECT CASE WHEN ((gkey + 0) * 1103515245 + 12345)
+                     % 2147483648 % 100 < 20
+                THEN 'test' ELSE 'train' END AS split,
+           count(*) AS n_docs
+    FROM keyed GROUP BY split
+    """,
+)
+def leakage_safe_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-leakage-free train/test split (dedup/cluster.py
+    leakage_safe_split): the split hash keys on the duplicate-CLUSTER
+    id, so a test doc can never have a near-copy in train.  The oracle
+    rebuilds pairs -> transitive closure -> cluster-keyed LCG split
+    relationally; group purity (no cluster spanning splits) is
+    unit-tested structurally."""
+    from gofast_spark.dedup.cluster import leakage_safe_split
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    train, test = leakage_safe_split(
+        d, "doc_id", "text", test_ratio=0.2, seed=0, threshold=0.8
+    )
+    return train.select(F.lit("train").alias("split")).union(
+        test.select(F.lit("test").alias("split"))
+    ).groupBy("split").agg(F.count(F.lit(1)).alias("n_docs"))

@@ -89,3 +89,38 @@ def test_cross_corpus_plan_is_equi_join_only(frames):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_leakage_safe_split_group_purity(spark):
+    """No near-dup cluster may span the train/test boundary, and the
+    union of the two sides must be exactly the corpus."""
+    from gofast_spark.dedup.cluster import (
+        leakage_safe_split,
+        near_dup_clusters,
+    )
+
+    docs = [
+        (i, f"totally unique document number {i} with its own words {i * 7}")
+        for i in range(20)
+    ]
+    # a 3-doc near-dup cluster and a 2-doc one
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs += [(100, base), (101, base + " ok"), (102, base + " yes")]
+    docs += [(200, "spark shuffles wide data"), (201, "spark shuffles wide data")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    train, test = leakage_safe_split(
+        df, "doc_id", "text", test_ratio=0.5, seed=3, threshold=0.5
+    )
+    tr = {r["doc_id"] for r in train.collect()}
+    te = {r["doc_id"] for r in test.collect()}
+    assert tr | te == {d for d, _ in docs}
+    assert not (tr & te)
+    clusters = near_dup_clusters(df, "doc_id", "text", threshold=0.5)
+    by_cluster: dict[int, set[int]] = {}
+    for r in clusters.collect():
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["id"])
+    assert any(len(v) >= 2 for v in by_cluster.values())
+    for members in by_cluster.values():
+        sides = {("train" if m in tr else "test") for m in members}
+        assert len(sides) == 1, members
