@@ -119,6 +119,11 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        if (it + 1) % checkpoint_every == 0:
+        # broadcast mode: every round's broadcast materialization is a
+        # SEPARATE job that replays the rank lineage from the last
+        # truncation point — so truncate the (node-sized, cheap) frame
+        # every round.  Sort-merge mode has one job total; there the
+        # periodic cadence is enough.
+        if broadcast_ranks or (it + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", "rank")
