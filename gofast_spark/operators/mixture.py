@@ -135,3 +135,41 @@ def mixture_rates(
         .withColumn("rate", F.col("target_weight") / F.col("available"))
         .select(domain_col, "available", "target_weight", "rate")
     )
+
+
+def temperature_mixture_rates(
+    df: DataFrame,
+    domain_col: str,
+    weight_col: str | Column,
+    *,
+    temperature: float,
+    budget: float,
+) -> DataFrame:
+    """Per-domain rates for TEMPERATURE-scaled multinomial sampling —
+    the standard multilingual/multi-source rebalancing recipe
+    (exponent-smoothed sampling, Conneau & Lample 2019): domain d's
+    target share is ``available_d^T / sum_s available_s^T``, so T=1
+    keeps natural proportions, T->0 approaches uniform over domains,
+    and small sources are up-weighted in between.
+
+    Fully distributed: per-domain availability is one aggregate, the
+    normalizer is a 1-row broadcast — no dict collect, so the domain
+    set may be unbounded.  Output (domain, available, target_weight,
+    rate) — feed straight into :func:`mixture_sample`; rates above 1
+    mean the domain repeats over epochs."""
+    if temperature < 0:
+        raise ValueError("temperature must be >= 0")
+    wcol = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    avail = df.groupBy(domain_col).agg(F.sum(wcol).alias("available"))
+    powed = avail.withColumn(
+        "__p", F.pow(F.col("available"), F.lit(float(temperature)))
+    )
+    norm = powed.agg(F.sum("__p").alias("__z"))
+    return (
+        powed.crossJoin(F.broadcast(norm))
+        .withColumn(
+            "target_weight", F.col("__p") / F.col("__z") * F.lit(float(budget))
+        )
+        .withColumn("rate", F.col("target_weight") / F.col("available"))
+        .select(domain_col, "available", "target_weight", "rate")
+    )

@@ -1518,3 +1518,44 @@ def leakage_safe_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train.select(F.lit("train").alias("split")).union(
         test.select(F.lit("test").alias("split"))
     ).groupBy("split").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@query(
+    "char_entropy_documents",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_norm_sql('text')} AS t FROM documents),
+    ch AS (
+      SELECT doc_id, CAST(length(t) AS INT) AS n,
+             list_transform(range(1, length(t) + 1),
+                            i -> substr(t, i, 1)) AS chars
+      FROM norm),
+    cnts AS (
+      SELECT doc_id, n,
+             list_transform(list_distinct(chars),
+                            c -> len(list_filter(chars, x -> x = c))) AS ks
+      FROM ch)
+    SELECT doc_id, n AS n_chars,
+           CAST(round(CASE WHEN n = 0 THEN 0.0 ELSE
+             (ln(n) - (list_sum(list_transform(ks,
+                 k -> CAST(round(k * ln(k) * 1000000) AS BIGINT))) / 1e6) / n)
+             / 0.6931471805599453 END, 6) AS DOUBLE) AS entropy
+    FROM cnts
+    """,
+)
+def char_entropy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality signal (text/entropy.py): bits/char of
+    the normalized character distribution, flagging low-entropy
+    boilerplate.  Row-local count arrays over the <= 37-symbol
+    normalized alphabet — a pure projection, vs the explode +
+    per-(doc, char) groupBy alternative whose shuffle carries one row
+    per character occurrence.  Inner entropy terms are micro-quantized
+    integers, so the fold is order-independent across engines."""
+    from gofast_spark.text.entropy import char_entropy_frame
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    out = char_entropy_frame(d, "text", id_cols=["doc_id"])
+    return out.select(
+        "doc_id",
+        "n_chars",
+        F.round("entropy", 6).cast("double").alias("entropy"),
+    )

@@ -163,3 +163,36 @@ def frame_union_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = frame_union([a, b], on="c_custkey")
     return out.select("c_custkey", "c_acctbal", "c_acctbal_1")
+
+
+@query(
+    "temperature_mixture_documents",
+    oracle="""
+    WITH avail AS (
+      SELECT source, count(*) AS available FROM documents GROUP BY source),
+    nrm AS (SELECT sum(pow(available, 0.7)) AS z FROM avail)
+    SELECT source, CAST(available AS BIGINT) AS available,
+           CAST(round(pow(available, 0.7) / z * 1000.0, 6) AS DOUBLE)
+             AS target_weight,
+           CAST(round(pow(available, 0.7) / z * 1000.0 / available, 6)
+             AS DOUBLE) AS rate
+    FROM avail CROSS JOIN nrm
+    """,
+)
+def temperature_mixture_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture rates (operators/mixture.py,
+    exponent-smoothed multi-source sampling, T=0.7, budget 1000 rows):
+    per-source availability aggregate + 1-row normalizer broadcast —
+    no domain dict ever collected, so the source set may be unbounded."""
+    from gofast_spark.operators.mixture import temperature_mixture_rates
+
+    d = _t(spark, sf_dir, "documents")
+    out = temperature_mixture_rates(
+        d, "source", F.lit(1), temperature=0.7, budget=1000.0
+    )
+    return out.select(
+        "source",
+        F.col("available").cast("bigint").alias("available"),
+        F.round("target_weight", 6).cast("double").alias("target_weight"),
+        F.round("rate", 6).cast("double").alias("rate"),
+    )

@@ -35,6 +35,8 @@ from gofast_spark.text.pii import (
     redact_pii,
     redact_pii_col,
 )
+from gofast_spark.text.dsir import dsir_logweights, dsir_resample
+from gofast_spark.text.entropy import char_entropy_frame
 from gofast_spark.text.repetition import repetition_signals
 from gofast_spark.text.bm25 import (
     bm25_topk,
@@ -64,6 +66,9 @@ __all__ = [
     "quality_score",
     "language_id",
     "repetition_signals",
+    "char_entropy_frame",
+    "dsir_logweights",
+    "dsir_resample",
     "corpus_filter",
     "bm25_topk",
     "build_postings",

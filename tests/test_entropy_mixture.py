@@ -1,0 +1,102 @@
+"""char_entropy_frame + temperature_mixture_rates semantics, and a
+dynamic-partition-pruning plan check for partitioned fact tables."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_char_entropy_known_values(spark):
+    from gofast_spark.text.entropy import char_entropy_frame
+
+    df = spark.createDataFrame(
+        [
+            (1, "aaaa"),          # one symbol -> 0 bits
+            (2, "abab"),          # two equiprobable symbols -> 1 bit
+            (3, ""),              # empty -> 0 by contract
+            (4, "abcd"),          # four equiprobable -> 2 bits
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["n_chars"], r["entropy"])
+        for r in char_entropy_frame(df, "text", id_cols=["doc_id"]).collect()
+    }
+    assert got[1] == (4, pytest.approx(0.0, abs=1e-6))
+    assert got[2] == (4, pytest.approx(1.0, abs=1e-6))
+    assert got[3][0] == 0 and got[3][1] == 0.0
+    assert got[4] == (4, pytest.approx(2.0, abs=1e-6))
+
+
+def test_char_entropy_matches_python(spark):
+    from gofast_spark.text.entropy import char_entropy_frame
+
+    texts = ["the quick brown fox", "aaa bbb aaa bbb", "x"]
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["entropy"]
+        for r in char_entropy_frame(df, "text", id_cols=["doc_id"]).collect()
+    }
+    for i, t in enumerate(texts):
+        counts: dict[str, int] = {}
+        for c in t:
+            counts[c] = counts.get(c, 0) + 1
+        n = len(t)
+        want = -sum((k / n) * math.log2(k / n) for k in counts.values())
+        assert got[i] == pytest.approx(want, abs=1e-4), t
+
+
+def test_temperature_rates_limits(spark):
+    from gofast_spark.operators.mixture import temperature_mixture_rates
+
+    df = spark.createDataFrame(
+        [("big", i) for i in range(90)] + [("small", i) for i in range(10)],
+        ["src", "i"],
+    )
+    # T=1: natural proportions -> every rate identical (budget/total)
+    r1 = {
+        r["src"]: r["rate"]
+        for r in temperature_mixture_rates(
+            df, "src", F.lit(1), temperature=1.0, budget=50.0
+        ).collect()
+    }
+    assert r1["big"] == pytest.approx(r1["small"], rel=1e-12)
+    assert r1["big"] == pytest.approx(0.5, rel=1e-12)
+    # T=0: uniform over domains -> small source upweighted 9x vs big
+    r0 = {
+        r["src"]: r["rate"]
+        for r in temperature_mixture_rates(
+            df, "src", F.lit(1), temperature=0.0, budget=50.0
+        ).collect()
+    }
+    assert r0["small"] / r0["big"] == pytest.approx(9.0, rel=1e-9)
+    # target weights always sum to the budget
+    tw = temperature_mixture_rates(
+        df, "src", F.lit(1), temperature=0.7, budget=50.0
+    ).agg(F.sum("target_weight")).collect()[0][0]
+    assert tw == pytest.approx(50.0, rel=1e-9)
+
+
+def test_partitioned_write_enables_dynamic_pruning(spark, tmp_path):
+    """Joining a partition-column-filtered dim against a partitioned
+    fact must plan a dynamicpruning subquery on the fact scan — the
+    mechanism that keeps a 100-TB partitioned table from full-scanning
+    when the filter arrives through a join."""
+    fact = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 10).cast("string").alias("part"),
+        (F.col("id") * 2).alias("v"),
+    )
+    path = str(tmp_path / "fact_parted")
+    fact.write.partitionBy("part").mode("overwrite").parquet(path)
+    f = spark.read.parquet(path)
+    dim = spark.range(0, 10).select(
+        F.col("id").cast("string").alias("part"),
+        (F.col("id") % 2 == 0).alias("keep"),
+    )
+    joined = f.join(dim.where("keep"), "part")
+    optimized = joined._jdf.queryExecution().optimizedPlan().toString()
+    assert "dynamicpruning" in optimized.lower()
