@@ -1559,3 +1559,104 @@ def char_entropy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.round("entropy", 6).cast("double").alias("entropy"),
     )
+
+
+# --- masked-LM / span-corruption training-pair generation -----------------
+
+# the DuckDB mirror of text/masking._pos_uniform_sql (seed spliced in)
+def _duck_u(seed: int, pos_expr: str) -> str:
+    return (
+        f"((CAST('0x' || substr(md5('{seed}|' || CAST(doc_id AS VARCHAR)"
+        f" || '|' || CAST({pos_expr} AS VARCHAR)), 1, 15) AS BIGINT))"
+        f" % 2147483648) / CAST(2147483648 AS DOUBLE)"
+    )
+
+
+@query(
+    "mlm_mask_documents",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_norm_sql('text')} AS t FROM documents),
+    tk AS (SELECT doc_id, string_split(t, ' ') AS tk FROM norm),
+    fl AS (
+      SELECT doc_id, tk,
+             list_transform(range(1, len(tk) + 1),
+                            i -> {_duck_u(42, 'i - 1')} < 0.15) AS fl
+      FROM tk)
+    SELECT doc_id, masked_text, coalesce(targets_raw, '') AS targets,
+           n_tokens, n_masked
+    FROM (
+    SELECT doc_id,
+           array_to_string(list_transform(range(1, len(tk) + 1),
+             i -> CASE WHEN fl[i] THEN '[MASK]' ELSE tk[i] END), ' ')
+             AS masked_text,
+           array_to_string(list_filter(list_transform(range(1, len(tk) + 1),
+             i -> CASE WHEN fl[i]
+                  THEN CAST(i - 1 AS VARCHAR) || ':' || tk[i] END),
+             x -> x IS NOT NULL), ' ') AS targets_raw,
+           CAST(len(tk) AS INT) AS n_tokens,
+           CAST(len(list_filter(fl, x -> x)) AS INT) AS n_masked
+    FROM fl)
+    """,
+)
+def mlm_mask_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BERT-style masked-LM pair generation (text/masking.py): each
+    token masks at 15% via the portable per-(id, position) uniform, so
+    the corruption is reproducible across engines and repartitions.
+    Pure projection — no shuffle, no UDF; every masked position and
+    target token is hash-verified."""
+    from gofast_spark.text.masking import mlm_token_mask
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return mlm_token_mask(d, mask_rate=0.15, seed=42)
+
+
+@query(
+    "span_corruption_documents",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_norm_sql('text')} AS t FROM documents),
+    tok AS (
+      SELECT doc_id, i - 1 AS pos, tk[i] AS tok
+      FROM (SELECT doc_id, string_split(t, ' ') AS tk FROM norm),
+           unnest(range(1, len(tk) + 1)) AS u(i)),
+    fl AS (
+      SELECT doc_id, pos, tok, {_duck_u(42, 'pos')} < 0.15 AS f
+      FROM tok),
+    nw0 AS (
+      SELECT doc_id, pos, tok, f,
+             f AND NOT coalesce(
+               lag(f) OVER (PARTITION BY doc_id ORDER BY pos), false) AS nw
+      FROM fl),
+    sp AS (
+      SELECT doc_id, pos, tok, f, nw,
+             sum(CASE WHEN nw THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS span
+      FROM nw0),
+    inp AS (
+      SELECT doc_id,
+             string_agg(CASE WHEN nw
+                        THEN '<extra_id_' || CAST(span AS VARCHAR) || '>'
+                        ELSE tok END, ' ' ORDER BY pos) AS inputs
+      FROM sp WHERE NOT f OR nw GROUP BY doc_id),
+    tgt AS (
+      SELECT doc_id,
+             string_agg(CASE WHEN nw
+                        THEN '<extra_id_' || CAST(span AS VARCHAR)
+                             || '> ' || tok
+                        ELSE tok END, ' ' ORDER BY pos) AS targets,
+             CAST(max(span) + 1 AS INT) AS n_spans
+      FROM sp WHERE f GROUP BY doc_id)
+    SELECT i.doc_id, i.inputs,
+           coalesce(t.targets, '') AS targets,
+           coalesce(t.n_spans, 0) AS n_spans
+    FROM inp i LEFT JOIN tgt t ON t.doc_id = i.doc_id
+    """,
+)
+def span_corruption_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption (text/masking.py): adjacent masked
+    tokens merge into numbered sentinel spans; inputs/targets rebuilt
+    with per-doc ordered aggregation.  Every window partitions by doc
+    id — parallel at any corpus size."""
+    from gofast_spark.text.masking import span_corruption
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return span_corruption(d, mask_rate=0.15, seed=42)

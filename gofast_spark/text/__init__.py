@@ -37,6 +37,7 @@ from gofast_spark.text.pii import (
 )
 from gofast_spark.text.dsir import dsir_logweights, dsir_resample
 from gofast_spark.text.entropy import char_entropy_frame
+from gofast_spark.text.masking import mlm_token_mask, span_corruption
 from gofast_spark.text.repetition import repetition_signals
 from gofast_spark.text.bm25 import (
     bm25_topk,
@@ -67,6 +68,8 @@ __all__ = [
     "language_id",
     "repetition_signals",
     "char_entropy_frame",
+    "mlm_token_mask",
+    "span_corruption",
     "dsir_logweights",
     "dsir_resample",
     "corpus_filter",
