@@ -1660,3 +1660,81 @@ def span_corruption_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir).select("doc_id", "text")
     return span_corruption(d, mask_rate=0.15, seed=42)
+
+
+# --- BPE merge learning ----------------------------------------------------
+
+def _bpe_oracle(n_merges: int) -> str:
+    """Unrolled BPE rounds in DuckDB: pair counts -> lexicographic-tied
+    argmax -> greedy merge fold per round, the same state-machine as
+    text/bpe.py's aggregate fold (acc string-encoded as 'out/prev';
+    '/' is outside the normalized alphabet)."""
+    dec = (
+        "CASE WHEN split_part(acc, '/', 2) = '' THEN split_part(acc, '/', 1) "
+        "WHEN split_part(acc, '/', 1) = '' THEN split_part(acc, '/', 2) "
+        "ELSE split_part(acc, '/', 1) || ' ' || split_part(acc, '/', 2) END"
+    )
+    parts = [
+        f"norm AS (SELECT {_norm_sql('text')} AS t FROM documents)",
+        "wf AS (SELECT word, count(*) AS freq FROM ("
+        "SELECT unnest(string_split(t, ' ')) AS word FROM norm) "
+        "WHERE word <> '' GROUP BY word)",
+        "v0 AS (SELECT word, freq, "
+        "trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym FROM wf)",
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(
+            f"p{r} AS (SELECT pair, sum(freq) AS cnt FROM ("
+            f"SELECT freq, unnest(CASE WHEN len(string_split(sym, ' ')) < 2 "
+            f"THEN CAST([] AS VARCHAR[]) "
+            f"ELSE list_transform(range(1, len(string_split(sym, ' '))), "
+            f"i -> string_split(sym, ' ')[i] || ' ' || "
+            f"string_split(sym, ' ')[i + 1]) END) AS pair "
+            f"FROM v{r - 1}) GROUP BY pair)"
+        )
+        parts.append(
+            f"b{r} AS (SELECT pair, cnt FROM p{r} "
+            f"ORDER BY cnt DESC, pair LIMIT 1)"
+        )
+        lam = (
+            "(acc, x) -> CASE "
+            "WHEN split_part(acc, '/', 2) = '' "
+            "THEN split_part(acc, '/', 1) || '/' || x "
+            "WHEN split_part(acc, '/', 2) = split_part(b.pair, ' ', 1) "
+            "AND x = split_part(b.pair, ' ', 2) "
+            "THEN split_part(acc, '/', 1) || '/' || "
+            "(split_part(acc, '/', 2) || x) "
+            "ELSE (CASE WHEN split_part(acc, '/', 1) = '' "
+            "THEN split_part(acc, '/', 2) "
+            "ELSE split_part(acc, '/', 1) || ' ' || "
+            "split_part(acc, '/', 2) END) || '/' || x END"
+        )
+        parts.append(
+            f"a{r} AS (SELECT v.word, v.freq, "
+            f"list_reduce(['/'] || string_split(v.sym, ' '), {lam}) AS acc "
+            f"FROM v{r - 1} v CROSS JOIN b{r} b)"
+        )
+        parts.append(
+            f"v{r} AS (SELECT word, freq, {dec} AS sym FROM a{r})"
+        )
+    sel = " UNION ALL ".join(
+        f"SELECT CAST({r} AS INT) AS rank, pair, CAST(cnt AS BIGINT) AS freq "
+        f"FROM b{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + sel
+
+
+@query("bpe_merges_documents", oracle=_bpe_oracle(4))
+def bpe_merges_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary induction (Sennrich et al. 2016;
+    text/bpe.py): 4 merge rounds over the corpus word-frequency table.
+    Each round is one pair-count aggregate plus a 1-row argmax that
+    stays INSIDE the plan (crossJoin-broadcast into a row-local greedy
+    merge fold — no driver collect).  The oracle unrolls the identical
+    4 rounds, replaying the merge fold via list_reduce with
+    string-encoded state."""
+    from gofast_spark.text.bpe import bpe_learn_merges
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return bpe_learn_merges(d, "text", num_merges=4)

@@ -35,6 +35,7 @@ from gofast_spark.text.pii import (
     redact_pii,
     redact_pii_col,
 )
+from gofast_spark.text.bpe import bpe_learn_merges, bpe_segment, word_freq_table
 from gofast_spark.text.dsir import dsir_logweights, dsir_resample
 from gofast_spark.text.entropy import char_entropy_frame
 from gofast_spark.text.masking import mlm_token_mask, span_corruption
@@ -71,6 +72,9 @@ __all__ = [
     "mlm_token_mask",
     "span_corruption",
     "dsir_logweights",
+    "bpe_learn_merges",
+    "bpe_segment",
+    "word_freq_table",
     "dsir_resample",
     "corpus_filter",
     "bm25_topk",
