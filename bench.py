@@ -56,6 +56,12 @@ HEADLINE = [
     "duplicated_spans_documents",
     "pagerank_customer_supplier",
     "stream_token_counts_documents",
+    # round 6c: BPE training, DSIR selection, cross-corpus dedup,
+    # span-corruption pair generation
+    "bpe_merges_documents",
+    "dsir_resample_documents",
+    "incremental_dedup_pairs",
+    "span_corruption_documents",
 ]
 
 
