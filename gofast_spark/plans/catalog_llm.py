@@ -1738,3 +1738,105 @@ def bpe_merges_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir).select("doc_id", "text")
     return bpe_learn_merges(d, "text", num_merges=4)
+
+
+# --- end-to-end corpus build: filter -> dedup -> pack ---------------------
+
+# the corpus-filter keep set with f-prefixed CTE names (the shared
+# _SHINGLE/_PAIR CTEs own the bare norm/toks/sig names)
+_FILTER_KEEP_CTES = f"""
+    fnorm AS (SELECT doc_id, {_norm_sql('text')} AS t FROM documents),
+    ftoks AS (SELECT doc_id, t, string_split(t, ' ') AS tk FROM fnorm),
+    fgrams AS (
+      SELECT doc_id, t, tk,
+        list_transform(range(1, len(tk)), i -> tk[i] || '|' || tk[i+1]) AS g2,
+        list_transform(range(1, len(tk) - 1),
+                       i -> tk[i] || '|' || tk[i+1] || '|' || tk[i+2]) AS g3
+      FROM ftoks),
+    fg2x AS (
+      SELECT doc_id, g, count(*) AS c FROM (
+        SELECT doc_id, unnest(g2) AS g FROM fgrams) GROUP BY doc_id, g),
+    ftop2 AS (SELECT doc_id, max(c * length(g)) AS best
+              FROM fg2x GROUP BY doc_id),
+    fsigs AS (
+      SELECT g.doc_id,
+        len(tk) AS n_tok,
+        CASE WHEN len(g3) = 0 THEN 0.0
+             ELSE (len(g3) - len(list_distinct(g3))) * 1.0 / len(g3) END AS d3,
+        CASE WHEN coalesce(t2.best, 0) = 0 OR length(t) = 0 THEN 0.0
+             ELSE t2.best * 1.0 / length(t) END AS top2,
+        len(list_filter(tk, x -> list_contains({_STOP}, x))) * 1.0
+          / len(tk) AS stop_ratio,
+        len(list_distinct(tk)) * 1.0 / len(tk) AS uniq_ratio
+      FROM fgrams g LEFT JOIN ftop2 t2 ON t2.doc_id = g.doc_id),
+    fkeep AS (
+      SELECT doc_id FROM fsigs
+      WHERE n_tok >= 5 AND n_tok <= 100000 AND d3 <= 0.5 AND top2 <= 0.6
+        AND stop_ratio >= 0.05 AND uniq_ratio >= 0.2),
+    kept_docs AS (
+      SELECT d.doc_id, d.text FROM documents d JOIN fkeep USING (doc_id))
+"""
+
+
+@query(
+    "corpus_build_pipeline",
+    oracle=f"""
+    WITH RECURSIVE {_FILTER_KEEP_CTES},
+    {_PAIR_CTES.replace("FROM documents", "FROM kept_docs")},
+    clusters AS (SELECT id, min(lab) AS cluster_id FROM comp GROUP BY id),
+    surv AS (
+      SELECT k.doc_id FROM kept_docs k
+      LEFT JOIN clusters c ON c.id = k.doc_id
+      WHERE c.id IS NULL OR k.doc_id = c.cluster_id),
+    ptok AS (
+      SELECT n2.doc_id, CAST(len(string_split(n2.t, ' ')) AS BIGINT)
+               AS n_tokens
+      FROM norm n2 JOIN surv s ON s.doc_id = n2.doc_id),
+    pc AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+               AS cum
+      FROM ptok),
+    pd AS (SELECT doc_id, n_tokens, cum - n_tokens AS strt FROM pc
+           WHERE n_tokens > 0),
+    ps AS (
+      SELECT doc_id, strt, n_tokens,
+             unnest(range(CAST(floor(strt / 512.0) AS BIGINT),
+                          CAST(floor((strt + n_tokens - 1) / 512.0)
+                               AS BIGINT) + 1)) AS seq_id
+      FROM pd)
+    SELECT CAST(seq_id AS BIGINT) AS seq_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(least(strt + n_tokens, (seq_id + 1) * 512)
+                    - greatest(strt, seq_id * 512)) AS BIGINT) AS n_tokens
+    FROM ps GROUP BY seq_id
+    """,
+)
+def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-corpus build, one lazy plan: C4/Gopher
+    composite quality filter -> MinHash-LSH near-dedup with hash-min
+    connected components (keep the canonical member per cluster) ->
+    concat-and-chunk packing into 512-token sequences, summarized per
+    sequence.  Exactly the chain a real 100-TB pretraining-data build
+    runs, every stage already individually oracle-verified — this entry
+    verifies their COMPOSITION (filtered corpus feeds the pair graph,
+    survivors feed the prefix-sum packing)."""
+    from gofast_spark.dedup import dedup_near_duplicates
+    from gofast_spark.operators import pack_sequences
+    from gofast_spark.text import corpus_filter
+    from gofast_spark.text.analysis import normalize_text
+
+    d = _docs(spark, sf_dir)
+    kept = corpus_filter(d, "text").where("keep").select("doc_id", "text")
+    surv = dedup_near_duplicates(kept, "doc_id", "text", threshold=0.8)
+    tok = surv.select(
+        "doc_id",
+        F.size(F.split(normalize_text("text"), " "))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    spans = pack_sequences(tok, "doc_id", "n_tokens", seq_len=512)
+    return spans.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("span_tokens").alias("n_tokens"),
+    )
