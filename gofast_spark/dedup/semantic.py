@@ -118,6 +118,7 @@ def semantic_dedup(
     nlist: int = 8,
     centroids=None,
     keep: str = "farthest",
+    eager: bool = True,
 ) -> DataFrame:
     """SemDeDup labels: input rows + (cell, cent_sim, is_dup).
 
@@ -158,6 +159,12 @@ def semantic_dedup(
         "__nv",
         F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("__l2")),
     )
+    if eager:
+        # the assigned+normalized frame feeds THREE consumers (both pair
+        # legs and the final label join-back); without truncation each
+        # re-runs the landmark sort, the broadcast assignment window,
+        # and the normalization — 3x the pipeline's per-row cost
+        cells = cells.localCheckpoint(eager=True)
     a = cells.select(
         F.col(id_col).alias("__a_id"),
         F.col("__nv").alias("__a_v"),
