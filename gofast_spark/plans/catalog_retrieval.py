@@ -343,8 +343,10 @@ def dsir_weights_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir).select("doc_id", "text", "lang")
     raw = d.select("doc_id", "text")
-    target = d.filter(F.col("lang") == "en").select("doc_id", "text")
-    return dsir_logweights(raw, target, dim=64, alpha=1.0, llr_micro=True)
+    tgt_ids = d.filter(F.col("lang") == "en").select("doc_id")
+    return dsir_logweights(
+        raw, target_ids=tgt_ids, dim=64, alpha=1.0, llr_micro=True
+    )
 
 
 @query(
@@ -372,9 +374,10 @@ def dsir_resample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir).select("doc_id", "text", "lang")
     raw = d.select("doc_id", "text")
-    target = d.filter(F.col("lang") == "en").select("doc_id", "text")
+    tgt_ids = d.filter(F.col("lang") == "en").select("doc_id")
     return dsir_resample(
-        raw, target, k=25, seed=7, dim=64, alpha=1.0, llr_micro=True
+        raw, target_ids=tgt_ids, k=25, seed=7, dim=64, alpha=1.0,
+        llr_micro=True
     )
 
 

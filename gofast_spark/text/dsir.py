@@ -93,25 +93,48 @@ def bucket_log_ratio(
 
 def dsir_logweights(
     raw: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None = None,
     *,
+    target_ids: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     dim: int = 256,
     alpha: float = 1.0,
     llr_micro: bool = False,
+    eager: bool = True,
 ) -> DataFrame:
     """(id, logw) importance log-weights for every raw doc with >= 1
     token (token-less docs have no features, hence no weight — absent,
     matching the sparse featurizer's contract).
 
+    Target corpus: pass ``target`` (an independent frame, featurized
+    separately) OR ``target_ids`` (a 1-column id frame naming the
+    target SUBSET of ``raw`` — the common case; the corpus is then
+    tokenized/hashed ONCE and the target counts come from a semi-join
+    on the already-computed features).
+
+    The raw feature frame feeds the raw distribution, possibly the
+    target distribution, and the weight aggregate; ``eager`` (default)
+    checkpoint-materializes it so the tokenize+hash pass runs once.
+
     With ``llr_micro`` the output column is ``logw_micro`` (bigint,
     micro-units): an exact integer aggregate, engine-reproducible
     bit-for-bit."""
+    if (target is None) == (target_ids is None):
+        raise ValueError("pass exactly one of target / target_ids")
     raw_tf = hashed_tf_sparse(raw, id_col=id_col, text_col=text_col, dim=dim)
-    tgt_tf = hashed_tf_sparse(
-        target, id_col=id_col, text_col=text_col, dim=dim
-    )
+    if eager:
+        raw_tf = raw_tf.localCheckpoint(eager=True)
+    if target_ids is not None:
+        tgt_tf = raw_tf.join(
+            target_ids.select(F.col(id_col).alias("__tid")),
+            F.col(id_col) == F.col("__tid"),
+            "left_semi",
+        )
+    else:
+        tgt_tf = hashed_tf_sparse(
+            target, id_col=id_col, text_col=text_col, dim=dim
+        )
     ratio = bucket_log_ratio(
         raw_tf, tgt_tf, dim=dim, alpha=alpha, llr_micro=llr_micro
     )
@@ -134,8 +157,9 @@ def gumbel_noise(id_col: str | Column, *, seed: int = 42) -> Column:
 
 def dsir_resample(
     raw: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None = None,
     *,
+    target_ids: DataFrame | None = None,
     k: int,
     seed: int = 42,
     id_col: str = "doc_id",
@@ -143,6 +167,7 @@ def dsir_resample(
     dim: int = 256,
     alpha: float = 1.0,
     llr_micro: bool = False,
+    eager: bool = True,
 ) -> DataFrame:
     """Weighted sample WITHOUT replacement of ``k`` raw docs, biased
     toward the target distribution: top-k of ``logw + Gumbel``.
@@ -153,11 +178,13 @@ def dsir_resample(
     w = dsir_logweights(
         raw,
         target,
+        target_ids=target_ids,
         id_col=id_col,
         text_col=text_col,
         dim=dim,
         alpha=alpha,
         llr_micro=llr_micro,
+        eager=eager,
     )
     g = gumbel_noise(id_col, seed=seed)
     if llr_micro:
