@@ -1840,3 +1840,49 @@ def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("span_tokens").alias("n_tokens"),
     )
+
+
+@query(
+    "bpe_segment_documents",
+    oracle=_bpe_oracle(4).replace(
+        # keep the learning CTE chain, swap the final merge listing for
+        # per-doc segmentation: after 4 merges the vocab state v4 IS the
+        # word -> segmentation map, so each doc joins its tokens to it
+        "SELECT CAST(1 AS INT) AS rank",
+        """, dtok AS (
+      SELECT doc_id, i AS pos, tk[i] AS word
+      FROM (SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS tk
+            FROM documents),
+           unnest(range(1, len(tk) + 1)) AS u(i)
+      WHERE tk[i] <> '')
+    SELECT d.doc_id,
+           coalesce(string_agg(v.sym, ' | ' ORDER BY d.pos), '')
+             AS segmented
+    FROM (SELECT DISTINCT doc_id FROM documents) dd
+    JOIN dtok d ON d.doc_id = dd.doc_id
+    JOIN v4 v ON v.word = d.word
+    GROUP BY d.doc_id
+    -- original merge listing disabled:
+    -- SELECT CAST(1 AS INT) AS rank""",
+        1,
+    ),
+)
+def bpe_segment_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE inference: learn 4 merges (bounded 4-row collect — the same
+    driver-loop budget as gradient descent's epochs), then replay them
+    row-locally over every document (text/bpe.py bpe_segment — chained
+    greedy folds, no shuffle).  The oracle segments through a DIFFERENT
+    strategy: it joins doc tokens against the learned word->symbols
+    vocab state, so the fold chain and the vocab replay must agree on
+    every document."""
+    from gofast_spark.text.bpe import bpe_learn_merges, bpe_segment
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    merges = [
+        r["pair"]
+        for r in bpe_learn_merges(d, "text", num_merges=4)
+        .orderBy("rank")
+        .collect()
+    ]
+    out = bpe_segment(d, "text", merges)
+    return out.select("doc_id", "segmented").where(F.col("segmented") != "")
