@@ -389,3 +389,44 @@ from gofast_spark.plans.catalog import ORACLE_SQL as _OSQL  # noqa: E402
 _OSQL["dsir_resample_documents"] = _OSQL["dsir_resample_documents"].replace(
     "__U__", "(" + _uh_sql("doc_id", seed=7) + ")"
 )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random-sign projection (sim/projection.py)
+# ---------------------------------------------------------------------------
+
+from gofast_spark.sim.projection import jl_matrix_sql_values  # noqa: E402
+
+
+@query(
+    "jl_project_embeddings",
+    oracle=f"""
+    WITH m(j, i, s) AS (VALUES {jl_matrix_sql_values(64, 16, seed=3)}),
+    cells AS (
+      SELECT e.vec_id, m.j,
+             sum(CAST(e.embedding[m.i + 1] AS DOUBLE) * m.s) AS dot
+      FROM embeddings e CROSS JOIN m
+      GROUP BY e.vec_id, m.j)
+    SELECT vec_id, CAST(j AS INT) AS j,
+           CAST(round(dot * 0.25, 6) AS DOUBLE) AS val
+    FROM cells
+    """,
+)
+def jl_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss 64->16 sign projection (Achlioptas 2003;
+    sim/projection.py): the seeded sign matrix is a plan-time literal,
+    so the pass is a pure row-local fold — no per-row hashing, no
+    shuffle, no broadcast state — and the oracle recomputes every
+    projected cell from the identical VALUES matrix."""
+    from gofast_spark.plans.catalog import _t
+    from gofast_spark.sim.projection import jl_project
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    out = jl_project(e, "embedding", in_dim=64, out_dim=16, seed=3)
+    return out.select(
+        "vec_id", F.posexplode("jl_vec").alias("j", "val")
+    ).select(
+        "vec_id",
+        F.col("j").cast("int").alias("j"),
+        F.round((F.col("val")), 6).cast("double").alias("val"),
+    )

@@ -11,6 +11,7 @@ higher-order functions (``zip_with``/``aggregate``) — JVM-side, no UDFs.
 """
 
 from gofast_spark.sim.cosine import cosine_sim, cosine_topk, l2_norm
+from gofast_spark.sim.projection import jl_project, jl_sign_matrix
 from gofast_spark.sim.ivf import (
     assign_cells,
     ivf_topk,
@@ -21,6 +22,8 @@ from gofast_spark.sim.pq import pq_codebook, pq_encode, pq_topk
 from gofast_spark.sim.lsh import cosine_near_dup_pairs, hyperplane_bucket, lsh_topk
 
 __all__ = [
+    "jl_project",
+    "jl_sign_matrix",
     "cosine_sim",
     "cosine_topk",
     "l2_norm",
