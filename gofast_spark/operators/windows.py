@@ -305,3 +305,31 @@ def smooth1d(
         num = num + F.coalesce(vj, F.lit(0.0)) * wt
         den = den + F.when(vj.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
     return df.withColumn(name, num / den)
+
+
+def drop_consecutive_duplicates(
+    df: DataFrame,
+    key_cols: "Sequence[str]",
+    order_col: str,
+    value_cols: "Sequence[str]",
+) -> DataFrame:
+    """Collapse runs of identical consecutive states per key: keep a row
+    iff any of ``value_cols`` differs from the key's previous row in
+    ``order_col`` order (the first row per key always survives).
+
+    The CDC / slowly-changing-state compaction primitive — a sensor
+    emitting the same reading every second compacts to its change
+    points, shrinking downstream state by the run length.  One
+    key-partitioned window (parallel in the number of keys); NULL-safe
+    comparison via ``eqNullSafe`` so NULL -> NULL repeats also collapse.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(order_col)
+    same = F.lit(True)
+    for c in value_cols:
+        same = same & F.col(c).eqNullSafe(F.lag(c).over(w))
+    first = F.row_number().over(w) == 1
+    return (
+        df.withColumn("__keep", first | ~same)
+        .where(F.col("__keep"))
+        .drop("__keep")
+    )

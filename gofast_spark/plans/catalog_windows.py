@@ -160,3 +160,31 @@ def smooth1d_triangle_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "d", F.round("v_smooth", 4).cast("double").alias("v_smooth")
     )
+
+
+@query(
+    "drop_consecutive_dups_events",
+    oracle="""
+    WITH o AS (
+      SELECT event_id, user_id, event_type,
+             lag(event_type) OVER w AS prev,
+             row_number() OVER w AS rn
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+    SELECT event_id, user_id, event_type FROM o
+    WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+    """,
+)
+def drop_consecutive_dups_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-duplicate compaction (operators/windows.py
+    drop_consecutive_duplicates): each user's event stream keeps only
+    its event_type CHANGE POINTS — the CDC/slowly-changing-state
+    primitive that shrinks repeated-state streams by the run length.
+    One key-partitioned window; null-safe comparison."""
+    from gofast_spark.operators.windows import drop_consecutive_duplicates
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    return drop_consecutive_duplicates(
+        e, ["user_id"], "event_id", ["event_type"]
+    )

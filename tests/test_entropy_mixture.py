@@ -100,3 +100,22 @@ def test_partitioned_write_enables_dynamic_pruning(spark, tmp_path):
     joined = f.join(dim.where("keep"), "part")
     optimized = joined._jdf.queryExecution().optimizedPlan().toString()
     assert "dynamicpruning" in optimized.lower()
+
+
+def test_drop_consecutive_duplicates(spark):
+    from gofast_spark.operators.windows import drop_consecutive_duplicates
+
+    rows = [
+        ("u1", 1, "a"), ("u1", 2, "a"), ("u1", 3, "b"), ("u1", 4, "b"),
+        ("u1", 5, "a"), ("u2", 1, None), ("u2", 2, None), ("u2", 3, "x"),
+    ]
+    df = spark.createDataFrame(rows, ["k", "o", "v"])
+    kept = sorted(
+        (r["k"], r["o"])
+        for r in drop_consecutive_duplicates(
+            df, ["k"], "o", ["v"]
+        ).collect()
+    )
+    # change points only; first row per key always survives (even NULL),
+    # NULL->NULL runs collapse
+    assert kept == [("u1", 1), ("u1", 3), ("u1", 5), ("u2", 1), ("u2", 3)]
