@@ -430,3 +430,69 @@ def jl_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("j").cast("int").alias("j"),
         F.round((F.col("val")), 6).cast("double").alias("val"),
     )
+
+
+@query(
+    "jl_shortlist_topk_embeddings",
+    oracle=f"""
+    WITH m(j, i, s) AS (VALUES {jl_matrix_sql_values(64, 16, seed=3)}),
+    p AS (
+      SELECT e.vec_id, m.j,
+             sum(CAST(e.embedding[m.i + 1] AS DOUBLE)
+                 / sqrt(list_sum(list_transform(e.embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                 * m.s) * 0.25 AS v
+      FROM embeddings e CROSS JOIN m
+      GROUP BY e.vec_id, m.j),
+    d AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             sum((q.v - c.v) * (q.v - c.v)) AS d2
+      FROM p q JOIN p c ON q.j = c.j
+      WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+      GROUP BY q.vec_id, c.vec_id),
+    sh AS (
+      SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY round(d2, 6), vec_id) AS r1
+      FROM d),
+    cand AS (SELECT query_id, vec_id FROM sh WHERE r1 <= 20),
+    scored AS (
+      SELECT cand.query_id, cand.vec_id,
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(a.embedding[i] AS DOUBLE)
+                    * CAST(b.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(a.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(b.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cs
+      FROM cand
+      JOIN embeddings a ON a.vec_id = cand.query_id
+      JOIN embeddings b ON b.vec_id = cand.vec_id)
+    SELECT query_id, vec_id,
+           CAST(round(cs, 4) AS DOUBLE) AS cos_sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY round(cs, 6) DESC, vec_id) AS INTEGER) AS rank
+    FROM scored QUALIFY rank <= 5
+    """,
+)
+def jl_shortlist_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN through the JL projection: 16-dim L2 shortlist
+    (4x fewer flops than the 64-dim brute pass), exact cosine re-rank
+    of the 20 survivors — full-dim vectors ride the shortlist rows, so
+    re-ranking needs no second corpus join.  The oracle replays both
+    stages from the identical VALUES matrix."""
+    from gofast_spark.plans.catalog import _t
+    from gofast_spark.sim.projection import jl_shortlist_topk
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = e.where(F.col("vec_id") < 5)
+    out = jl_shortlist_topk(
+        e, q, "vec_id", "embedding",
+        in_dim=64, out_dim=16, shortlist=20, k=5, seed=3,
+    )
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("cos_sim", 4).cast("double").alias("cos_sim"),
+        F.col("rank").cast("int").alias("rank"),
+    )

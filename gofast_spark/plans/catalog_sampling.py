@@ -196,3 +196,46 @@ def temperature_mixture_documents(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round("target_weight", 6).cast("double").alias("target_weight"),
         F.round("rate", 6).cast("double").alias("rate"),
     )
+
+
+def _temp_sample_oracle() -> str:
+    from gofast_spark.operators.mixture import uniform_hash_sql
+
+    u = uniform_hash_sql("d.doc_id", seed=42)
+    return f"""
+    WITH avail AS (
+      SELECT source, count(*) AS available FROM documents GROUP BY source),
+    nrm AS (SELECT sum(pow(available, 0.7)) AS z FROM avail),
+    r AS (
+      SELECT source, pow(available, 0.7) / z * 1000.0 / available AS rate
+      FROM avail CROSS JOIN nrm),
+    j AS (
+      SELECT d.doc_id, d.source, r.rate, {u} AS u
+      FROM documents d JOIN r USING (source)),
+    c AS (
+      SELECT source,
+             CAST(floor(rate) + CASE WHEN u < rate - floor(rate)
+                  THEN 1 ELSE 0 END AS BIGINT) AS n
+      FROM j)
+    SELECT source, CAST(sum(n) AS BIGINT) AS n_rows
+    FROM c WHERE n > 0 GROUP BY source
+    """
+
+
+@query("temperature_sampled_counts", oracle=_temp_sample_oracle())
+def temperature_sampled_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END temperature rebalancing: the T=0.7 rates frame feeds
+    mixture_sample directly (rates never leave the plan — no dict
+    collect) and the sampled corpus is counted per source.  Verifies
+    the rate computation AND the replication arithmetic composed."""
+    from gofast_spark.operators.mixture import (
+        mixture_sample,
+        temperature_mixture_rates,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    rates = temperature_mixture_rates(
+        d, "source", F.lit(1), temperature=0.7, budget=1000.0
+    )
+    out = mixture_sample(d, "source", rates, "doc_id", seed=42)
+    return out.groupBy("source").agg(F.count(F.lit(1)).alias("n_rows"))

@@ -11,7 +11,7 @@ higher-order functions (``zip_with``/``aggregate``) — JVM-side, no UDFs.
 """
 
 from gofast_spark.sim.cosine import cosine_sim, cosine_topk, l2_norm
-from gofast_spark.sim.projection import jl_project, jl_sign_matrix
+from gofast_spark.sim.projection import jl_project, jl_shortlist_topk, jl_sign_matrix
 from gofast_spark.sim.ivf import (
     assign_cells,
     ivf_topk,
@@ -23,6 +23,7 @@ from gofast_spark.sim.lsh import cosine_near_dup_pairs, hyperplane_bucket, lsh_t
 
 __all__ = [
     "jl_project",
+    "jl_shortlist_topk",
     "jl_sign_matrix",
     "cosine_sim",
     "cosine_topk",

@@ -79,3 +79,44 @@ def test_projection_plan_is_shuffle_free(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_shortlist_recall_on_planted_neighbors(spark):
+    """On data with REAL structure (planted near-copies), the JL
+    shortlist recovers the true cosine top-k; on isotropic random
+    vectors neighbor gaps are below JL distortion by design, so that
+    is not the right recall testbed."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from gofast_spark.sim import cosine_topk
+    from gofast_spark.sim.projection import jl_shortlist_topk
+
+    rng = random.Random(3)
+    rows = []
+    for qi in range(5):
+        base = [rng.gauss(0, 1) for _ in range(64)]
+        rows.append((qi, base))
+        for c in range(5):  # 5 near-copies per query
+            rows.append(
+                (100 + qi * 10 + c,
+                 [x + rng.gauss(0, 0.15) for x in base])
+            )
+    rows += [(1000 + i, [rng.gauss(0, 1) for _ in range(64)])
+             for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.where(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk(df, q, "vec_id", "embedding", k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in jl_shortlist_topk(
+            df, q, "vec_id", "embedding",
+            in_dim=64, out_dim=16, shortlist=20, k=5, seed=3,
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, recall
