@@ -73,6 +73,7 @@ def duplicated_spans(
     text_col: str = "text",
     k: int = 8,
     min_docs: int = 2,
+    eager: bool = False,
 ) -> DataFrame:
     """Maximal duplicated passages per document.
 
@@ -82,8 +83,35 @@ def duplicated_spans(
     documents.  Overlapping/adjacent duplicated grams merge: positions
     p and p' belong to one span when p' - p <= k (their grams share
     tokens or touch).
+
+    The gram-position frame feeds BOTH the cross-doc frequency
+    aggregate and the hit semi-join, but both consumers exchange on the
+    same key ``h``, so Catalyst's ReuseExchange runs the explode ONCE
+    already — measured: ``eager=True`` (persist + checkpoint, the
+    discipline that wins when consumers need *different* partitionings,
+    e.g. semantic.py) is ~15% SLOWER here.  The flag exists for plans
+    where a caller breaks the shared-exchange shape.
     """
     pos = gram_positions(df, id_col=id_col, text_col=text_col, k=k)
+    if eager:
+        pos = pos.persist()
+    try:
+        return _spans_from_positions(
+            pos, id_col, k=k, min_docs=min_docs, eager=eager
+        )
+    finally:
+        if eager:
+            pos.unpersist()
+
+
+def _spans_from_positions(
+    pos: DataFrame,
+    id_col: str,
+    *,
+    k: int,
+    min_docs: int,
+    eager: bool,
+) -> DataFrame:
     dup = (
         pos.groupBy("h")
         .agg(F.countDistinct(id_col).alias("nd"))
@@ -109,7 +137,7 @@ def duplicated_spans(
             w.rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
-    return (
+    out = (
         flagged.groupBy(id_col, "span_id")
         .agg(
             F.min("pos").alias("span_start"),
@@ -120,6 +148,11 @@ def duplicated_spans(
         )
         .select(id_col, "span_start", "span_end_excl", "n_tokens")
     )
+    if eager:
+        # materialize while `pos` is still persisted (caller unpersists
+        # on return); spans are bounded by n_tok / k — small
+        out = out.localCheckpoint(eager=True)
+    return out
 
 
 def strip_duplicated_spans(
