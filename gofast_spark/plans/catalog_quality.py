@@ -619,3 +619,32 @@ def data_assistant_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.where(F.col("column") != "id").select(
         F.col("column").alias("col_name"), "issue"
     )
+
+
+@query(
+    "robust_scale_acctbal",
+    oracle="""
+    WITH s AS (
+      SELECT quantile_cont(c_acctbal, 0.5) AS md,
+             quantile_cont(c_acctbal, 0.75)
+               - quantile_cont(c_acctbal, 0.25) AS iq
+      FROM customer)
+    SELECT c_custkey,
+           CAST(round((c_acctbal - md) / (CASE WHEN iq = 0 THEN 1 ELSE iq END), 6)
+             AS DOUBLE) AS acctbal_robust
+    FROM customer CROSS JOIN s
+    """,
+)
+def robust_scale_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/IQR robust scaling (quality/scaling.py robust_scale,
+    sklearn RobustScaler semantics): exact percentile aggregates in one
+    pass, lazy projection — outlier-insensitive normalization verified
+    against DuckDB's quantile_cont (both linear-interpolation exact)."""
+    from gofast_spark.quality.scaling import robust_scale
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    out = robust_scale(c, ["c_acctbal"], suffix="_robust")
+    return out.select(
+        "c_custkey",
+        F.round("c_acctbal_robust", 6).cast("double").alias("acctbal_robust"),
+    )

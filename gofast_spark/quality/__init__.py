@@ -5,7 +5,12 @@ report side-channels computed as aggregations."""
 from gofast_spark.quality.missing import drop_nan_in, handle_missing_data, handle_nans, missing_profile, nan_ops
 from gofast_spark.quality.duplicates import handle_duplicates, handle_unique_identifiers, has_duplicates
 from gofast_spark.quality.outliers import OutlierHandler, handle_outliers_in
-from gofast_spark.quality.scaling import minmax_scale, standard_scale, z_scores
+from gofast_spark.quality.scaling import (
+    minmax_scale,
+    robust_scale,
+    standard_scale,
+    z_scores,
+)
 from gofast_spark.quality.skew import boxcox_lambda, boxcox_transformation, handle_skew, skewness_profile
 from gofast_spark.quality.audit import audit_data, verify_data_integrity
 from gofast_spark.quality.control import data_assistant, quality_control
@@ -30,6 +35,7 @@ __all__ = [
     "handle_outliers_in",
     "OutlierHandler",
     "minmax_scale",
+    "robust_scale",
     "standard_scale",
     "z_scores",
     "handle_skew",

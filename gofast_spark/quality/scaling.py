@@ -59,3 +59,37 @@ def z_scores(df: DataFrame, columns: Sequence[str], *, suffix: str = "_z") -> Da
     """Per-column z-scores as new columns (population std to match the
     reference's scipy zscore default, gofast/stats/descriptive.py:2356)."""
     return standard_scale(df, columns, ddof=0, suffix=suffix)
+
+
+def robust_scale(
+    df: DataFrame,
+    columns: Sequence[str],
+    *,
+    suffix: str = "",
+    with_centering: bool = True,
+) -> DataFrame:
+    """Median/IQR scaling (sklearn RobustScaler semantics): outliers
+    dominate mean/std but barely move the quartiles, so robust scaling
+    is the right normalization before outlier-sensitive downstream ops.
+
+    Same two-pass Estimator shape as the siblings: ONE aggregation
+    computes exact median + IQR for every column (Spark's ``percentile``
+    aggregate — exact, no raw-table sort), then a lazy projection
+    applies them.  Zero IQR (constant column) divides by 1.
+    """
+    aggs = []
+    for c in columns:
+        col = F.col(c)
+        aggs.append(F.percentile(col, 0.5).alias(f"__md_{c}"))
+        aggs.append(
+            (F.percentile(col, 0.75) - F.percentile(col, 0.25)).alias(
+                f"__iq_{c}"
+            )
+        )
+    stats = df.agg(*aggs).first()
+    out = df
+    for c in columns:
+        md = stats[f"__md_{c}"] if with_centering else 0.0
+        iq = stats[f"__iq_{c}"] or 1.0
+        out = out.withColumn(f"{c}{suffix}", (F.col(c) - md) / iq)
+    return out

@@ -119,3 +119,21 @@ def test_drop_consecutive_duplicates(spark):
     # change points only; first row per key always survives (even NULL),
     # NULL->NULL runs collapse
     assert kept == [("u1", 1), ("u1", 3), ("u1", 5), ("u2", 1), ("u2", 3)]
+
+
+def test_robust_scale_semantics(spark):
+    from gofast_spark.quality.scaling import robust_scale
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([1, 2, 3, 4, 100])],
+        ["i", "v"],
+    )
+    out = {r["i"]: r["v_s"] for r in robust_scale(df, ["v"], suffix="_s").collect()}
+    # median 3, q1 2, q3 4 -> iqr 2; the outlier barely moves the stats
+    assert out[2] == 0.0
+    assert out[0] == -1.0 and out[3] == 0.5
+    assert out[4] == 48.5
+    # constant column: iqr 0 -> divide by 1, center at median
+    cdf = spark.createDataFrame([(1, 5.0), (2, 5.0)], ["i", "v"])
+    vals = {r["i"]: r["v_s"] for r in robust_scale(cdf, ["v"], suffix="_s").collect()}
+    assert vals == {1: 0.0, 2: 0.0}
