@@ -14,6 +14,7 @@ from gofast_spark.operators.merge_upsert import merge_upsert, source_col, target
 from gofast_spark.operators.range_join import range_join
 from gofast_spark.operators.scd import scd2_as_of, scd2_init, scd2_merge
 from gofast_spark.operators.sessionize import compact_files, session_stats, sessionize
+from gofast_spark.operators.linkage import blocked_levenshtein_pairs
 from gofast_spark.operators.mixture import (
     mixture_rates,
     mixture_sample,
@@ -153,6 +154,7 @@ __all__ = [
     "distributed_cumsum",
     "token_budget_shards",
     "pack_sequences",
+    "blocked_levenshtein_pairs",
     "mixture_rates",
     "temperature_mixture_rates",
     "mixture_sample",

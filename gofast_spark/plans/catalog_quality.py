@@ -648,3 +648,39 @@ def robust_scale_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         F.round("c_acctbal_robust", 6).cast("double").alias("acctbal_robust"),
     )
+
+
+@query(
+    "record_linkage_parts",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey,
+             trim(regexp_replace(regexp_replace(lower(p_name),
+                  '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS nm
+      FROM part),
+    pb AS (
+      SELECT p_partkey, nm,
+             split_part(nm, ' ', 1) || '|' || split_part(nm, ' ', 2) AS blk
+      FROM p),
+    pairs AS (
+      SELECT levenshtein(a.nm, b.nm) AS dist
+      FROM pb a JOIN pb b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+      WHERE levenshtein(a.nm, b.nm) <= 3)
+    SELECT CAST(dist AS INT) AS dist, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs GROUP BY dist
+    """,
+)
+def record_linkage_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked record linkage (operators/linkage.py): two-token
+    blocking bounds candidates to within-block equi-join pairs, then
+    JVM-side Levenshtein scores each — the distributed Fellegi-Sunter
+    candidate stage.  Output: matched-pair counts per edit distance."""
+    from gofast_spark.operators.linkage import blocked_levenshtein_pairs
+
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    pairs = blocked_levenshtein_pairs(
+        p, "p_partkey", "p_name", block_tokens=2, max_dist=3
+    )
+    return pairs.groupBy(F.col("dist").cast("int").alias("dist")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )

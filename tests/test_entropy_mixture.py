@@ -137,3 +137,32 @@ def test_robust_scale_semantics(spark):
     cdf = spark.createDataFrame([(1, 5.0), (2, 5.0)], ["i", "v"])
     vals = {r["i"]: r["v_s"] for r in robust_scale(cdf, ["v"], suffix="_s").collect()}
     assert vals == {1: 0.0, 2: 0.0}
+
+
+def test_blocked_levenshtein_pairs(spark):
+    from gofast_spark.operators.linkage import blocked_levenshtein_pairs
+
+    rows = [
+        (1, "John Smith"), (2, "Jon Smith"), (3, "John Smyth"),
+        (4, "Jane Doe"), (5, "Jane Doe"), (6, "Completely Other"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    # block on the FIRST token only so john/jon land in different
+    # blocks (blocking recall is the caller's tradeoff — assert it)
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in blocked_levenshtein_pairs(
+            df, "id", "name", block_tokens=1, max_dist=2
+        ).collect()
+    }
+    assert got[(1, 3)] == 1          # john smith ~ john smyth
+    assert got[(4, 5)] == 0          # exact dup
+    assert (1, 2) not in got         # different block: blocking miss
+    assert all(a < b for a, b in got)
+    plan = (
+        blocked_levenshtein_pairs(df, "id", "name", block_tokens=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
