@@ -9,6 +9,7 @@ from gofast_spark.ml.graph import edges_from_pairs, pagerank
 from gofast_spark.ml.optim import gradient_descent, linkage_matrix
 from gofast_spark.ml.regression import (
     fit_linear_regression,
+    fit_linear_regression_grouped,
     fit_logistic_regression,
     predict_linear,
 )
@@ -29,6 +30,7 @@ __all__ = [
     "lle_embedding",
     "gradient_descent",
     "fit_linear_regression",
+    "fit_linear_regression_grouped",
     "fit_logistic_regression",
     "predict_linear",
     "linkage_matrix",

@@ -256,3 +256,95 @@ def fit_logistic_regression(
         F.sum(y * z - F.log(F.lit(1.0) + F.exp(z))).alias("ll")
     ).first()["ll"]
     return {"coef": w, "n": int(n), "log_likelihood": float(ll)}
+
+
+def fit_linear_regression_grouped(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str,
+    group_cols: Sequence[str],
+    *,
+    intercept: bool = True,
+) -> DataFrame:
+    """ONE MODEL PER GROUP, fully in-plan: the per-group normal-equation
+    moments come out of a single groupBy, and the coefficients are
+    solved by fixed-order Cramer expressions ON COLUMNS — no collect,
+    no driver loop, a million segment models cost one aggregation.
+    (The global :func:`fit_linear_regression` solves on the driver
+    because there is exactly one system; per-group systems must stay
+    distributed.)
+
+    Supports 2 or 3 unknowns (intercept + 1-2 features — the Cramer
+    limit shared with ``solver='cramer'``).  Returns one row per group:
+    (group..., w_0..w_{p-1}, n, r2) with the same coefficient order and
+    sse/sst conventions as the global fitter.  Groups with singular
+    normal equations (constant feature) yield NULL coefficients rather
+    than failing the whole job.
+    """
+    feats = list(feature_cols)
+    design: list[Column] = []
+    if intercept:
+        design.append(F.lit(1.0))
+    design.extend(F.col(c).cast("double") for c in feats)
+    p = len(design)
+    if p not in (2, 3):
+        raise ValueError("grouped fitter supports 2 or 3 unknowns")
+    y = F.col(label_col).cast("double")
+    cond = F.col(label_col).isNotNull()
+    for c in feats:
+        cond = cond & F.col(c).isNotNull()
+    aggs = []
+    for i in range(p):
+        for j in range(i, p):
+            aggs.append(F.sum(design[i] * design[j]).alias(f"a_{i}_{j}"))
+    for i in range(p):
+        aggs.append(F.sum(design[i] * y).alias(f"b_{i}"))
+    aggs.append(F.sum(y * y).alias("yy"))
+    aggs.append(F.count(F.lit(1)).alias("n"))
+    g = df.where(cond).groupBy(*group_cols).agg(*aggs)
+
+    def a(i: int, j: int) -> Column:
+        return F.col(f"a_{min(i, j)}_{max(i, j)}")
+
+    def det3(c) -> Column:
+        # same fixed expression order as _det3 so the oracle mirrors it
+        return (
+            c(0, 0) * (c(1, 1) * c(2, 2) - c(1, 2) * c(2, 1))
+            - c(0, 1) * (c(1, 0) * c(2, 2) - c(1, 2) * c(2, 0))
+            + c(0, 2) * (c(1, 0) * c(2, 1) - c(1, 1) * c(2, 0))
+        )
+
+    bcols = [F.col(f"b_{i}") for i in range(p)]
+    if p == 2:
+        det = a(0, 0) * a(1, 1) - a(0, 1) * a(1, 0)
+        ws = [
+            (bcols[0] * a(1, 1) - a(0, 1) * bcols[1]) / det,
+            (a(0, 0) * bcols[1] - bcols[0] * a(1, 0)) / det,
+        ]
+    else:
+        def cell(i: int, j: int, col_idx: int) -> Column:
+            return bcols[i] if j == col_idx else a(i, j)
+
+        det = det3(lambda i, j: a(i, j))
+        ws = [
+            det3(lambda i, j, k=k: cell(i, j, k)) / det for k in range(p)
+        ]
+    det_ok = det != 0.0
+    ws = [F.when(det_ok, w) for w in ws]
+    sse = F.col("yy")
+    for i in range(p):
+        sse = sse - 2.0 * ws[i] * bcols[i]
+    for i in range(p):
+        for j in range(p):
+            sse = sse + ws[i] * a(i, j) * ws[j]
+    if intercept:
+        sst = F.col("yy") - bcols[0] * bcols[0] / F.col("n")
+    else:
+        sst = F.col("yy")
+    r2 = F.when(sst > 0, 1.0 - sse / sst)
+    return g.select(
+        *group_cols,
+        *[w.alias(f"w_{i}") for i, w in enumerate(ws)],
+        "n",
+        r2.alias("r2"),
+    )

@@ -1112,3 +1112,74 @@ def logistic_newton_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(round(w[0], 5), round(w[1], 5), m["n"])],
         "w0 double, w1 double, n bigint",
     )
+
+
+def _grouped_ols_oracle() -> str:
+    A = [["a00", "a01", "a02"], ["a01", "a11", "a12"], ["a02", "a12", "a22"]]
+    b = ["b0", "b1", "b2"]
+    det = _det3_sql(A)
+    ws = []
+    for j in range(3):
+        Aj = [[b[i] if k == j else A[i][k] for k in range(3)] for i in range(3)]
+        ws.append(f"({_det3_sql(Aj)}) / ({det})")
+    return f"""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS DOUBLE) AS a00,
+             sum(CAST(l_quantity AS DOUBLE)) AS a01,
+             sum(CAST(l_discount AS DOUBLE)) AS a02,
+             sum(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)) AS a11,
+             sum(CAST(l_quantity AS DOUBLE) * CAST(l_discount AS DOUBLE)) AS a12,
+             sum(CAST(l_discount AS DOUBLE) * CAST(l_discount AS DOUBLE)) AS a22,
+             sum(CAST(l_extendedprice AS DOUBLE)) AS b0,
+             sum(CAST(l_quantity AS DOUBLE) * CAST(l_extendedprice AS DOUBLE)) AS b1,
+             sum(CAST(l_discount AS DOUBLE) * CAST(l_extendedprice AS DOUBLE)) AS b2,
+             sum(CAST(l_extendedprice AS DOUBLE) * CAST(l_extendedprice AS DOUBLE)) AS yy,
+             count(*) AS n
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+        AND l_extendedprice IS NOT NULL
+      GROUP BY l_returnflag),
+    w AS (SELECT {ws[0]} AS w0, {ws[1]} AS w1, {ws[2]} AS w2, * FROM m),
+    s AS (
+      SELECT *,
+             yy - 2 * (w0 * b0 + w1 * b1 + w2 * b2)
+                + (w0 * (a00 * w0 + a01 * w1 + a02 * w2)
+                   + w1 * (a01 * w0 + a11 * w1 + a12 * w2)
+                   + w2 * (a02 * w0 + a12 * w1 + a22 * w2)) AS sse,
+             yy - b0 * b0 / a00 AS sst
+      FROM w)
+    SELECT l_returnflag,
+           CAST(round(w0, 4) AS DOUBLE) AS w0,
+           CAST(round(w1, 4) AS DOUBLE) AS w1,
+           CAST(round(w2, 4) AS DOUBLE) AS w2,
+           CAST(round(1.0 - sse / sst, 6) AS DOUBLE) AS r2,
+           CAST(n AS BIGINT) AS n
+    FROM s
+    """
+
+
+@query("grouped_ols_lineitem", oracle=_grouped_ols_oracle())
+def grouped_ols_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-per-segment training, fully in-plan (ml/regression.py
+    fit_linear_regression_grouped): per-returnflag OLS of extended
+    price on (quantity, discount) — the normal-equation moments come
+    out of ONE groupBy and the Cramer solve runs as column expressions,
+    so a million segment models cost one aggregation and nothing is
+    ever collected.  Same fixed-order determinant tree as the global
+    fitter's oracle."""
+    from gofast_spark.ml.regression import fit_linear_regression_grouped
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = fit_linear_regression_grouped(
+        li, ["l_quantity", "l_discount"], "l_extendedprice",
+        ["l_returnflag"],
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("w_0", 4).cast("double").alias("w0"),
+        F.round("w_1", 4).cast("double").alias("w1"),
+        F.round("w_2", 4).cast("double").alias("w2"),
+        F.round("r2", 6).cast("double").alias("r2"),
+        F.col("n").cast("bigint").alias("n"),
+    )

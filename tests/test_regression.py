@@ -146,3 +146,56 @@ def test_logistic_errors(spark):
         fit_logistic_regression(d, ["x", "z", "x"], "y", solver="cramer")
     with pytest.raises(ValueError):
         fit_logistic_regression(d, ["x"], "y", solver="sgd")
+
+
+def test_grouped_ols_matches_per_group_global_fit(spark):
+    """Each group's in-plan Cramer solve must equal the driver-side
+    fit on that group's rows alone."""
+    import random
+
+    from gofast_spark.ml.regression import (
+        fit_linear_regression,
+        fit_linear_regression_grouped,
+    )
+
+    rng = random.Random(4)
+    rows = []
+    for g, (a, b, c) in (("g1", (2.0, 3.0, -1.0)), ("g2", (-1.0, 0.5, 4.0))):
+        for _ in range(60):
+            x1, x2 = rng.uniform(0, 10), rng.uniform(0, 5)
+            rows.append(
+                (g, x1, x2, a + b * x1 + c * x2 + rng.gauss(0, 0.1))
+            )
+    df = spark.createDataFrame(rows, ["g", "x1", "x2", "y"])
+    grouped = {
+        r["g"]: r
+        for r in fit_linear_regression_grouped(
+            df, ["x1", "x2"], "y", ["g"]
+        ).collect()
+    }
+    for g in ("g1", "g2"):
+        solo = fit_linear_regression(
+            df.where(df.g == g), ["x1", "x2"], "y", solver="cramer"
+        )
+        got = grouped[g]
+        for i in range(3):
+            assert got[f"w_{i}"] == pytest.approx(solo["coef"][i], rel=1e-9)
+        assert got["r2"] == pytest.approx(solo["r2"], rel=1e-9)
+        assert got["n"] == solo["n"]
+
+
+def test_grouped_ols_singular_group_yields_nulls(spark):
+    from gofast_spark.ml.regression import fit_linear_regression_grouped
+
+    # constant feature -> singular normal equations for that group only
+    rows = [("bad", 1.0, 2.0), ("bad", 1.0, 3.0), ("bad", 1.0, 4.0)]
+    rows += [("ok", float(i), 2.0 * i + 1 + 0.01 * (i % 2)) for i in range(5)]
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    out = {
+        r["g"]: r
+        for r in fit_linear_regression_grouped(
+            df, ["x"], "y", ["g"]
+        ).collect()
+    }
+    assert out["bad"]["w_0"] is None and out["bad"]["w_1"] is None
+    assert out["ok"]["w_1"] is not None
