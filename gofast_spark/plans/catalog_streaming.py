@@ -463,3 +463,46 @@ def stream_cdc_merge_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         F.round("c_acctbal", 2).cast("double").alias("c_acctbal"),
     )
+
+
+def _stream_filter_oracle() -> str:
+    from gofast_spark.plans.catalog_llm import _FILTER_KEEP_CTES
+
+    return f"""
+    WITH {_FILTER_KEEP_CTES},
+    lab AS (
+      SELECT doc_id,
+        (n_tok >= 5 AND n_tok <= 100000 AND d3 <= 0.5 AND top2 <= 0.6
+         AND stop_ratio >= 0.05 AND uniq_ratio >= 0.2) AS keep,
+        CASE WHEN NOT n_tok >= 5 THEN 'min_tokens'
+             WHEN NOT n_tok <= 100000 THEN 'max_tokens'
+             WHEN NOT d3 <= 0.5 THEN 'max_dup_3gram_frac'
+             WHEN NOT top2 <= 0.6 THEN 'max_top_2gram_char_frac'
+             WHEN NOT stop_ratio >= 0.05 THEN 'min_stopword_ratio'
+             WHEN NOT uniq_ratio >= 0.2 THEN 'min_unique_ratio'
+             ELSE NULL END AS reason
+      FROM fsigs)
+    SELECT keep, reason, CAST(count(*) AS BIGINT) AS n
+    FROM lab GROUP BY keep, reason
+    """
+
+
+@query("stream_corpus_filter_counts", oracle=_stream_filter_oracle())
+def stream_corpus_filter_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4/Gopher corpus filter applied IN A STREAM: the quality
+    battery is a stateless projection, so the batch operator runs on
+    the streaming frame unchanged (one code path for backfill and
+    live ingest); complete-mode keep/reason counts drained with
+    availableNow must equal the batch verdicts exactly."""
+    from gofast_spark.streaming import (
+        read_document_stream,
+        run_available_now,
+    )
+    from gofast_spark.text import corpus_filter
+
+    stream = read_document_stream(spark, sf_dir, glob="documents.parquet")
+    labeled = corpus_filter(stream, "text")
+    counts = labeled.groupBy("keep", "reason").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return run_available_now(counts, mode="complete")
