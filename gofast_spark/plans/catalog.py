@@ -910,6 +910,17 @@ from gofast_spark.plans import catalog_windows  # noqa: E402,F401  (registration
 # the window that verifies its relational core.  All oracle-backed
 # entries remain continuously re-verified by the local DuckDB sweep
 # (tests/test_oracle_catalog.py).
+# r7 ROTATION NOTE: 42 oracle-backed never-green entries sit queued
+# contiguously right behind this 50-slot window (the _rotate_catalog
+# tail_unverified block) — the late-round-6 batches: DSIR weights +
+# resample, incremental cross-corpus dedup (pairs + survivors),
+# histogram sketch rollup + quantiles, leakage-safe split, temperature
+# mixture rates + end-to-end sampling, char entropy, MLM masking, span
+# corruption, BPE learn + segment, the corpus-build pipeline, JL
+# projection + shortlist ANN, robust scaling, record linkage,
+# consecutive-dup compaction, grouped OLS, streaming corpus filter,
+# and the earlier r6b/r6c retrieval/graph/sketch additions.  Next
+# round: fold r6 greens into _DRIVER_VERIFIED and promote these.
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
