@@ -684,3 +684,35 @@ def record_linkage_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy(F.col("dist").cast("int").alias("dist")).agg(
         F.count(F.lit(1)).alias("n_pairs")
     )
+
+
+@query(
+    "robust_scale_grouped_events",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             quantile_cont(value, 0.5) AS md,
+             quantile_cont(value, 0.75) - quantile_cont(value, 0.25) AS iq
+      FROM events GROUP BY event_type)
+    SELECT e.event_id,
+           CAST(round((e.value - s.md)
+                / (CASE WHEN s.iq = 0 THEN 1 ELSE s.iq END), 6) AS DOUBLE)
+             AS value_robust
+    FROM events e JOIN s USING (event_type)
+    """,
+)
+def robust_scale_grouped_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment robust scaling (quality/scaling.py
+    robust_scale_grouped): every event value normalized against ITS
+    event type's median/IQR — one grouped percentile aggregate plus a
+    broadcast stats join; the group list never reaches the driver."""
+    from gofast_spark.quality.scaling import robust_scale_grouped
+
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = robust_scale_grouped(
+        e, ["value"], ["event_type"], suffix="_robust"
+    )
+    return out.select(
+        "event_id",
+        F.round("value_robust", 6).cast("double").alias("value_robust"),
+    )

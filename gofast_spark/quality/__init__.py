@@ -8,6 +8,7 @@ from gofast_spark.quality.outliers import OutlierHandler, handle_outliers_in
 from gofast_spark.quality.scaling import (
     minmax_scale,
     robust_scale,
+    robust_scale_grouped,
     standard_scale,
     z_scores,
 )
@@ -36,6 +37,7 @@ __all__ = [
     "OutlierHandler",
     "minmax_scale",
     "robust_scale",
+    "robust_scale_grouped",
     "standard_scale",
     "z_scores",
     "handle_skew",

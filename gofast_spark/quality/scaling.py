@@ -93,3 +93,38 @@ def robust_scale(
         iq = stats[f"__iq_{c}"] or 1.0
         out = out.withColumn(f"{c}{suffix}", (F.col(c) - md) / iq)
     return out
+
+
+def robust_scale_grouped(
+    df: DataFrame,
+    columns: Sequence[str],
+    group_cols: Sequence[str],
+    *,
+    suffix: str = "",
+) -> DataFrame:
+    """Per-GROUP median/IQR scaling: one groupBy computes exact
+    percentile stats for every (group, column), then a broadcast-sized
+    stats join applies them — normalize each segment against its own
+    distribution (per-tenant/per-sensor calibration) without ever
+    collecting the group list.  Zero IQR divides by 1."""
+    aggs = []
+    for c in columns:
+        col = F.col(c)
+        aggs.append(F.percentile(col, 0.5).alias(f"__md_{c}"))
+        aggs.append(
+            (F.percentile(col, 0.75) - F.percentile(col, 0.25)).alias(
+                f"__iq_{c}"
+            )
+        )
+    stats = df.groupBy(*group_cols).agg(*aggs)
+    out = df.join(F.broadcast(stats), list(group_cols))
+    for c in columns:
+        iq = F.col(f"__iq_{c}")
+        out = out.withColumn(
+            f"{c}{suffix}",
+            (F.col(c) - F.col(f"__md_{c}"))
+            / F.when(iq == 0, F.lit(1.0)).otherwise(iq),
+        )
+    return out.drop(
+        *[f"__md_{c}" for c in columns], *[f"__iq_{c}" for c in columns]
+    )

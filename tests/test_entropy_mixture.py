@@ -166,3 +166,18 @@ def test_blocked_levenshtein_pairs(spark):
         .toString()
     )
     assert "CartesianProduct" not in plan
+
+
+def test_robust_scale_grouped_per_segment(spark):
+    from gofast_spark.quality.scaling import robust_scale_grouped
+
+    rows = [("a", float(v)) for v in (1, 2, 3, 4, 5)]
+    rows += [("b", float(v)) for v in (10, 20, 30, 40, 50)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = robust_scale_grouped(df, ["v"], ["g"], suffix="_s").collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["g"], []).append(r["v_s"])
+    # both segments normalize to the same shape despite 10x scale
+    assert sorted(by["a"]) == sorted(by["b"])
+    assert sorted(by["a"]) == [-1.0, -0.5, 0.0, 0.5, 1.0]
