@@ -1886,3 +1886,56 @@ def bpe_segment_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     out = bpe_segment(d, "text", merges)
     return out.select("doc_id", "segmented").where(F.col("segmented") != "")
+
+
+@query(
+    "chunked_mlm_pairs_documents",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_norm_sql('text')} AS t FROM documents),
+    tk AS (SELECT doc_id, string_split(t, ' ') AS tk FROM norm),
+    ch AS (
+      SELECT doc_id, u.c AS chunk_idx,
+             doc_id * 1000 + u.c AS cid,
+             list_slice(tk, 32 * u.c + 1,
+                        least(32 * u.c + 32, len(tk))) AS ctk
+      FROM tk, unnest(range(0, CAST(floor((len(tk) - 1) / 32) AS BIGINT)
+                               + 1)) AS u(c)),
+    fl AS (
+      SELECT doc_id, chunk_idx, ctk,
+             list_transform(range(1, len(ctk) + 1),
+               i -> ((CAST('0x' || substr(md5('42|' || CAST(cid AS VARCHAR)
+                     || '|' || CAST(i - 1 AS VARCHAR)), 1, 15) AS BIGINT))
+                     % 2147483648) / CAST(2147483648 AS DOUBLE) < 0.15)
+               AS fl
+      FROM ch)
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           array_to_string(list_transform(range(1, len(ctk) + 1),
+             i -> CASE WHEN fl[i] THEN '[MASK]' ELSE ctk[i] END), ' ')
+             AS masked_text,
+           CAST(len(list_filter(fl, x -> x)) AS INT) AS n_masked
+    FROM fl
+    """,
+)
+def chunked_mlm_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real pretraining layout, composed: documents window into
+    32-token chunks (text/chunking.py) and each chunk masks
+    independently (text/masking.py) under a composite chunk id — the
+    chunk fan-out and the per-position coin flips verified together.
+    Both stages are row-local projections; the only wide op is the
+    chunk posexplode."""
+    from gofast_spark.text.chunking import chunk_documents
+    from gofast_spark.text.masking import mlm_token_mask
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    ch = chunk_documents(
+        d, chunk_tokens=32, overlap=0
+    ).withColumn("cid", F.col("doc_id") * 1000 + F.col("chunk_idx"))
+    out = mlm_token_mask(
+        ch, id_col="cid", text_col="chunk_text", mask_rate=0.15, seed=42
+    )
+    return out.select(
+        F.floor(F.col("cid") / 1000).cast("bigint").alias("doc_id"),
+        F.pmod(F.col("cid"), F.lit(1000)).cast("int").alias("chunk_idx"),
+        "masked_text",
+        F.col("n_masked").cast("int").alias("n_masked"),
+    )
