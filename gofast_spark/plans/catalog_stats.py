@@ -1183,3 +1183,52 @@ def grouped_ols_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("r2", 6).cast("double").alias("r2"),
         F.col("n").cast("bigint").alias("n"),
     )
+
+
+@query(
+    "mann_whitney_events",
+    oracle="""
+    WITH src AS (
+      SELECT CAST(value AS DOUBLE) AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ia
+      FROM events WHERE event_type IN ('purchase', 'view')),
+    pv AS (
+      SELECT v, CAST(count(*) AS DOUBLE) AS c, CAST(sum(ia) AS DOUBLE) AS ca
+      FROM src GROUP BY v),
+    r AS (
+      SELECT c, ca,
+             coalesce(sum(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (c + 1) / 2.0 AS mr
+      FROM pv),
+    a AS (
+      SELECT sum(ca * mr) AS ra, sum(ca) AS na, sum(c) AS n,
+             sum(c * c * c - c) AS ties
+      FROM r)
+    SELECT CAST(round(ra - na * (na + 1) / 2.0, 4) AS DOUBLE) AS u_a,
+           CAST(round(na * (n - na) - (ra - na * (na + 1) / 2.0), 4)
+             AS DOUBLE) AS u_b,
+           CAST(round(((ra - na * (na + 1) / 2.0) - na * (n - na) / 2.0)
+             / sqrt(na * (n - na) / 12.0
+                    * ((n + 1) - ties / (n * (n - 1)))), 6) AS DOUBLE) AS z,
+           CAST(na AS BIGINT) AS n_a,
+           CAST(n - na AS BIGINT) AS n_b
+    FROM a
+    """,
+)
+def mann_whitney_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test, purchase vs view event values
+    (stats/inferential.py mann_whitney_u): distinct-value midrank
+    frame, rank sums as count*midrank aggregates, tie-corrected normal
+    z — never a full-table rank window."""
+    from gofast_spark.stats.inferential import mann_whitney_u
+
+    e = _t(spark, sf_dir, "events")
+    out = mann_whitney_u(e, "value", "event_type", "purchase", "view")
+    return out.select(
+        F.round("u_a", 4).cast("double").alias("u_a"),
+        F.round("u_b", 4).cast("double").alias("u_b"),
+        F.round("z", 6).cast("double").alias("z"),
+        "n_a",
+        "n_b",
+    )

@@ -43,6 +43,7 @@ from gofast_spark.stats.inferential import (
     anova_test,
     cochran_q_test,
     rm_anova_test,
+    mann_whitney_u,
     statistical_tests,
     t_test_paired,
     chi2_test,
@@ -84,6 +85,7 @@ __all__ = [
     "t_test_paired",
     "cochran_q_test",
     "rm_anova_test",
+    "mann_whitney_u",
     "statistical_tests",
     "anova_test",
     "chi2_test",

@@ -484,3 +484,69 @@ def statistical_tests(
             f"unknown test_type {test_type!r}; one of {sorted(table)}"
         )
     return table[test_type]()
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    *,
+    bins: int | None = None,
+    relative_error: float = 1e-4,
+) -> DataFrame:
+    """Mann-Whitney U (independent two-sample rank-sum test) with the
+    normal approximation and tie correction.
+
+    Scale shape (the ks_test_2samp / wilcoxon pattern): aggregate to
+    DISTINCT values with per-group counts, run the cumulative midrank
+    over that small frame, and form rank sums as ``sum(count *
+    midrank)`` — never a full-table rank window.  ``bins`` pre-buckets
+    continuous values (stats.prebin; exact when distinct <= bins).
+
+    Returns one row: (u_a, u_b, z, n_a, n_b) where ``z`` is the
+    tie-corrected normal statistic of ``u_a`` (reference parity:
+    the rank-sum member of gofast/stats/inferential.py's test family).
+    """
+    from gofast_spark.stats.prebin import prebin_column
+
+    src = df.where(F.col(group_col).isin(group_a, group_b)).select(
+        F.col(value_col).cast("double").alias("__v"),
+        (F.col(group_col) == group_a).cast("int").alias("__ia"),
+    )
+    src = prebin_column(src, "__v", bins=bins, relative_error=relative_error)
+    per_val = src.groupBy("__v").agg(
+        F.count(F.lit(1)).cast("double").alias("__c"),
+        F.sum("__ia").cast("double").alias("__ca"),
+    )
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+    mr = F.coalesce(F.sum("__c").over(w), F.lit(0.0)) + (F.col("__c") + 1) / 2.0
+    ranked = per_val.select("__c", "__ca", mr.alias("__mr"))
+    agg = ranked.agg(
+        F.sum(F.col("__ca") * F.col("__mr")).alias("__ra"),
+        F.sum("__ca").alias("__na"),
+        F.sum("__c").alias("__n"),
+        F.sum(F.col("__c") * F.col("__c") * F.col("__c") - F.col("__c")).alias(
+            "__ties"
+        ),
+    )
+    na = F.col("__na")
+    nb = F.col("__n") - na
+    ua = F.col("__ra") - na * (na + 1) / 2.0
+    ub = na * nb - ua
+    n = F.col("__n")
+    var = (
+        na
+        * nb
+        / 12.0
+        * ((n + 1) - F.col("__ties") / (n * (n - 1)))
+    )
+    z = (ua - na * nb / 2.0) / F.sqrt(var)
+    return agg.select(
+        ua.alias("u_a"),
+        ub.alias("u_b"),
+        z.alias("z"),
+        na.cast("bigint").alias("n_a"),
+        nb.cast("bigint").alias("n_b"),
+    )

@@ -181,3 +181,23 @@ def test_robust_scale_grouped_per_segment(spark):
     # both segments normalize to the same shape despite 10x scale
     assert sorted(by["a"]) == sorted(by["b"])
     assert sorted(by["a"]) == [-1.0, -0.5, 0.0, 0.5, 1.0]
+
+
+def test_mann_whitney_small_example(spark):
+    """Hand-computed example with ties: a=[1,2,2,5], b=[2,3,4]."""
+    import math
+
+    from gofast_spark.stats.inferential import mann_whitney_u
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 5.0),
+            ("b", 2.0), ("b", 3.0), ("b", 4.0)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    r = mann_whitney_u(df, "v", "g", "a", "b").collect()[0]
+    # ranks: 1->1; the three 2s -> midrank 3; 3->5; 4->6; 5->7
+    # R_a = 1 + 3 + 3 + 7 = 14; U_a = 14 - 4*5/2 = 4; U_b = 4*3 - 4 = 8
+    assert r["u_a"] == 4.0 and r["u_b"] == 8.0
+    assert r["n_a"] == 4 and r["n_b"] == 3
+    # tie term: one group of 3 -> 3^3-3 = 24; var = 12/12*(8 - 24/42)
+    var = 4 * 3 / 12.0 * (8 - 24 / (7 * 6))
+    want_z = (4 - 6) / math.sqrt(var)
+    assert r["z"] == pytest.approx(want_z, rel=1e-12)

@@ -81,3 +81,4 @@ def test_chi2_matches_scipy(spark, events):
     ref = scipy_stats.chi2_contingency(tab, correction=False)
     assert abs(row["chi2"] - ref.statistic) < 1e-6
     assert row["dof"] == ref.dof
+
