@@ -1232,3 +1232,48 @@ def mann_whitney_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_a",
         "n_b",
     )
+
+
+@query(
+    "cohens_d_events",
+    oracle="""
+    WITH a AS (
+      SELECT sum(CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0 END) AS na,
+             sum(CASE WHEN event_type = 'view' THEN 1.0 ELSE 0 END) AS nb,
+             sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DOUBLE)
+                      ELSE 0 END) AS sa,
+             sum(CASE WHEN event_type = 'view' THEN CAST(value AS DOUBLE)
+                      ELSE 0 END) AS sb,
+             sum(CASE WHEN event_type = 'purchase'
+                      THEN CAST(value AS DOUBLE) * CAST(value AS DOUBLE)
+                      ELSE 0 END) AS qa,
+             sum(CASE WHEN event_type = 'view'
+                      THEN CAST(value AS DOUBLE) * CAST(value AS DOUBLE)
+                      ELSE 0 END) AS qb
+      FROM events WHERE event_type IN ('purchase', 'view'))
+    SELECT CAST(round((sa / na - sb / nb)
+             / sqrt(((qa - sa * sa / na) + (qb - sb * sb / nb))
+                    / (na + nb - 2)), 6) AS DOUBLE) AS d,
+           CAST(round(sa / na, 6) AS DOUBLE) AS mean_a,
+           CAST(round(sb / nb, 6) AS DOUBLE) AS mean_b,
+           CAST(na AS BIGINT) AS n_a,
+           CAST(nb AS BIGINT) AS n_b
+    FROM a
+    """,
+)
+def cohens_d_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d effect size, purchase vs view values
+    (stats/inferential.py cohens_d): one sufficient-statistic
+    aggregate — the magnitude companion to the t/U significance
+    tests."""
+    from gofast_spark.stats.inferential import cohens_d
+
+    e = _t(spark, sf_dir, "events")
+    out = cohens_d(e, "value", "event_type", "purchase", "view")
+    return out.select(
+        F.round("d", 6).cast("double").alias("d"),
+        F.round("mean_a", 6).cast("double").alias("mean_a"),
+        F.round("mean_b", 6).cast("double").alias("mean_b"),
+        "n_a",
+        "n_b",
+    )

@@ -43,6 +43,7 @@ from gofast_spark.stats.inferential import (
     anova_test,
     cochran_q_test,
     rm_anova_test,
+    cohens_d,
     mann_whitney_u,
     statistical_tests,
     t_test_paired,
@@ -85,6 +86,7 @@ __all__ = [
     "t_test_paired",
     "cochran_q_test",
     "rm_anova_test",
+    "cohens_d",
     "mann_whitney_u",
     "statistical_tests",
     "anova_test",

@@ -550,3 +550,40 @@ def mann_whitney_u(
         na.cast("bigint").alias("n_a"),
         nb.cast("bigint").alias("n_b"),
     )
+
+
+def cohens_d(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Cohen's d effect size for two independent groups: mean
+    difference over the pooled (n-1-weighted) standard deviation — the
+    magnitude companion to the t/U tests, from the same single pass of
+    sufficient statistics (one aggregate, no second scan)."""
+    v = F.col(value_col).cast("double")
+    ia = (F.col(group_col) == group_a).cast("int")
+    ib = (F.col(group_col) == group_b).cast("int")
+    agg = df.where(F.col(group_col).isin(group_a, group_b)).agg(
+        F.sum(ia).cast("double").alias("na"),
+        F.sum(ib).cast("double").alias("nb"),
+        F.sum(ia * v).alias("sa"),
+        F.sum(ib * v).alias("sb"),
+        F.sum(ia * v * v).alias("qa"),
+        F.sum(ib * v * v).alias("qb"),
+    )
+    ma = F.col("sa") / F.col("na")
+    mb = F.col("sb") / F.col("nb")
+    ssa = F.col("qa") - F.col("sa") * F.col("sa") / F.col("na")
+    ssb = F.col("qb") - F.col("sb") * F.col("sb") / F.col("nb")
+    pooled = F.sqrt((ssa + ssb) / (F.col("na") + F.col("nb") - 2))
+    return agg.select(
+        ((ma - mb) / pooled).alias("d"),
+        ma.alias("mean_a"),
+        mb.alias("mean_b"),
+        pooled.alias("pooled_sd"),
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+    )

@@ -201,3 +201,18 @@ def test_mann_whitney_small_example(spark):
     var = 4 * 3 / 12.0 * (8 - 24 / (7 * 6))
     want_z = (4 - 6) / math.sqrt(var)
     assert r["z"] == pytest.approx(want_z, rel=1e-12)
+
+
+def test_cohens_d_known_value(spark):
+    from gofast_spark.stats.inferential import cohens_d
+
+    rows = [("a", v) for v in (2.0, 4.0, 6.0)] + [
+        ("b", v) for v in (1.0, 2.0, 3.0)
+    ]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    r = cohens_d(df, "v", "g", "a", "b").collect()[0]
+    # means 4 and 2; ss_a = 8, ss_b = 2 -> pooled sd = sqrt(10/4)
+    import math
+    assert r["mean_a"] == 4.0 and r["mean_b"] == 2.0
+    assert r["pooled_sd"] == pytest.approx(math.sqrt(2.5), rel=1e-12)
+    assert r["d"] == pytest.approx(2.0 / math.sqrt(2.5), rel=1e-12)
