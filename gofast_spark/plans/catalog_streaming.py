@@ -506,3 +506,33 @@ def stream_corpus_filter_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n")
     )
     return run_available_now(counts, mode="complete")
+
+
+@query(
+    "stream_hist_sketch_events",
+    oracle="""
+    SELECT event_type,
+           CAST(greatest(0, least(63, floor(value / 8.0))) AS INT) AS bin,
+           count(*) AS cnt
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type, bin
+    """,
+)
+def stream_hist_sketch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable histogram sketch MAINTAINED IN A STREAM
+    (functions/sketches.py value_histogram over the events stream,
+    complete mode): live percentile dashboards keep one counter per
+    (group, bin) as state, and the availableNow drain must equal the
+    batch histogram exactly — bin arithmetic is identical because the
+    operator is shared verbatim between the two modes."""
+    from gofast_spark.functions.sketches import value_histogram
+    from gofast_spark.streaming import (
+        read_event_stream,
+        run_available_now,
+    )
+
+    stream = read_event_stream(spark, sf_dir, glob="events.parquet")
+    hist = value_histogram(
+        stream, ["event_type"], "value", lo=0.0, hi=512.0, bins=64
+    )
+    return run_available_now(hist, mode="complete")
