@@ -173,6 +173,42 @@ def rollup_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cube_revenue_orders",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           {_MONEY2_SQL.format(s=f"sum({_U6_SQL.format(x='o_totalprice')})")}
+             AS o_totalprice_sum,
+           count(*) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority) — all 4 grouping sets in one pass
+    (partial aggregation expands grouping ids map-side, one shuffle).
+    Companion to rollup_revenue_orders; SURVEY §2.4 promised grouping
+    sets as Spark-native new surface.  Micro-unit exact-money policy
+    (see catalog._units6)."""
+    from gofast_spark.operators.checks import cube_aggregate
+    from gofast_spark.plans.catalog import _money2, _units6
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "__p", _units6(F.col("o_totalprice"))
+    )
+    out = cube_aggregate(
+        o,
+        ["o_orderstatus", "o_orderpriority"],
+        {"__p": "sum", "o_orderkey": "count"},
+        mode="cube",
+    )
+    return out.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        _money2(F.col("__p_sum")).alias("o_totalprice_sum"),
+        F.col("o_orderkey_count").alias("n"),
+    )
+
+
+@query(
     "salted_agg_events_type",
     oracle="""
     SELECT event_type,

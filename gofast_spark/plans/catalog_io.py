@@ -581,6 +581,70 @@ def request_data_mock_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fetch_remote_file_csv",
+    oracle="""
+    SELECT CAST(id AS INTEGER) AS id, city, CAST(pop AS BIGINT) AS pop
+    FROM (VALUES (1, 'accra', 2557000), (2, 'lagos', 14862000),
+                 (3, 'nairobi', 4397000)) AS t(id, city, pop)
+    ORDER BY id
+    """,
+)
+def fetch_remote_file_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remote-file landing driven through the injectable opener
+    (fetch_remote_data / get_remote_data, gofast/dataops/management.py:714,
+    310), network-free: opener returns the raw bytes, the operator lands
+    them at dest, and Spark's distributed csv reader takes over — the
+    land-then-scan pattern a cluster ingest would use."""
+    from gofast_spark.sources import fetch_remote_data
+
+    body = b"id,city,pop\n1,accra,2557000\n2,lagos,14862000\n3,nairobi,4397000\n"
+    dest = os.path.join(_scratch("fetch_remote"), "cities.csv")
+    landed = fetch_remote_data(
+        "https://example.invalid/cities.csv", dest, opener=lambda u: body
+    )
+    df = spark.read.csv(landed, header=True, inferSchema=True)
+    return df.select(
+        F.col("id").cast("int"),
+        "city",
+        F.col("pop").cast("bigint"),
+    ).orderBy("id")
+
+
+@query(
+    "scrape_web_table_inline",
+    oracle="""
+    SELECT rank, name, CAST(score AS DOUBLE) AS score
+    FROM (VALUES (1, 'ada', 9.5), (2, 'grace', 8.75), (3, 'edsger', 8.5))
+      AS t(rank, name, score)
+    ORDER BY rank
+    """,
+)
+def scrape_web_table_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML-table scrape through the injected fetcher over an inline
+    literal (scrape_web_data, gofast/dataops/management.py:849) — fully
+    hermetic: exercises the stdlib html.parser fallback (no lxml/bs4 in
+    this environment) plus numeric coercion and frame distribution."""
+    from gofast_spark.sources import scrape_web_data
+
+    html = (
+        "<html><body><h1>Leaderboard</h1><table>"
+        "<tr><th>rank</th><th>name</th><th>score</th></tr>"
+        "<tr><td>1</td><td>ada</td><td>9.5</td></tr>"
+        "<tr><td>2</td><td>grace</td><td>8.75</td></tr>"
+        "<tr><td>3</td><td>edsger</td><td>8.5</td></tr>"
+        "</table></body></html>"
+    )
+    df = scrape_web_data(
+        spark, "https://example.invalid/board", fetcher=lambda u, **kw: html
+    )
+    return df.select(
+        F.col("rank").cast("int"),
+        "name",
+        F.col("score").cast("double"),
+    ).orderBy("rank")
+
+
+@query(
     "partitioned_write_orders",
     oracle=f"""
     SELECT o_orderstatus,

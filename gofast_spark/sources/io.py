@@ -353,11 +353,66 @@ def scrape_web_data(
     html = fetcher(url, **options)
     try:
         tables = pd.read_html(StringIO(html))
-    except ImportError as e:  # pragma: no cover - env-dependent
-        raise ImportError(
-            "pandas.read_html needs an HTML parser (lxml or beautifulsoup4)"
-        ) from e
+    except ImportError:
+        # lxml/bs4 absent: stdlib fallback keeps the operator usable in
+        # hermetic environments (well-formed <table> markup only).
+        def _coerce(s):
+            try:
+                return pd.to_numeric(s)
+            except (ValueError, TypeError):
+                return s
+
+        tables = [
+            pd.DataFrame(rows[1:], columns=rows[0]).apply(_coerce)
+            for rows in _parse_html_tables(html)
+            if len(rows) >= 2
+        ]
     return spark.createDataFrame(tables[table_index])
+
+
+def _parse_html_tables(html: str) -> list[list[list[str]]]:
+    """Minimal ``<table>`` extractor on stdlib ``html.parser`` — the
+    dependency-free fallback behind :func:`scrape_web_data` (reference
+    requires lxml; ref gofast/dataops/management.py:849).  Returns one
+    list of rows (lists of cell strings, ``th``/``td`` alike) per table;
+    nested tables are flattened into the innermost open table."""
+    from html.parser import HTMLParser
+
+    class _TableParser(HTMLParser):
+        def __init__(self):
+            super().__init__()
+            self.tables: list[list[list[str]]] = []
+            self._stack: list[list[list[str]]] = []
+            self._row: list[str] | None = None
+            self._cell: list[str] | None = None
+
+        def handle_starttag(self, tag, attrs):
+            if tag == "table":
+                self._stack.append([])
+            elif tag == "tr" and self._stack:
+                self._row = []
+            elif tag in ("td", "th") and self._row is not None:
+                self._cell = []
+
+        def handle_endtag(self, tag):
+            if tag in ("td", "th") and self._cell is not None:
+                self._row.append("".join(self._cell).strip())
+                self._cell = None
+            elif tag == "tr" and self._row is not None:
+                if self._stack and self._row:
+                    self._stack[-1].append(self._row)
+                self._row = None
+            elif tag == "table" and self._stack:
+                self.tables.append(self._stack.pop())
+
+        def handle_data(self, data):
+            if self._cell is not None:
+                self._cell.append(data)
+
+    p = _TableParser()
+    p.feed(html)
+    p.close()
+    return p.tables
 
 
 def dataset_registry() -> dict:

@@ -197,3 +197,37 @@ def test_fetch_data_tag_resolution(spark):
     assert fetch_data(spark, "load_iris prepared").count() == 150
     with pytest.raises(KeyError, match="available"):
         fetch_data(spark, "no such dataset anywhere")
+
+
+def test_parse_html_tables_stdlib():
+    from gofast_spark.sources.io import _parse_html_tables
+
+    html = (
+        "<div><table id='a'>"
+        "<tr><th>x</th><th>y</th></tr>"
+        "<tr><td> 1 </td><td>alpha</td></tr>"
+        "<tr><td>2</td><td>beta &amp; co</td></tr>"
+        "</table>stray text<table>"
+        "<tr><td>only</td></tr>"
+        "</table></div>"
+    )
+    tables = _parse_html_tables(html)
+    assert len(tables) == 2
+    assert tables[0] == [["x", "y"], ["1", "alpha"], ["2", "beta & co"]]
+    assert tables[1] == [["only"]]
+    # malformed: unclosed cell/row still yields captured rows
+    assert _parse_html_tables("<table><tr><td>a</td></tr>") == []
+    assert _parse_html_tables("no tables here") == []
+
+
+def test_scrape_web_data_stdlib_fallback(spark):
+    from gofast_spark.sources import scrape_web_data
+
+    html = (
+        "<table><tr><th>k</th><th>v</th></tr>"
+        "<tr><td>a</td><td>1</td></tr>"
+        "<tr><td>b</td><td>2</td></tr></table>"
+    )
+    df = scrape_web_data(spark, "http://x.invalid", fetcher=lambda u, **k: html)
+    rows = {r["k"]: r["v"] for r in df.collect()}
+    assert rows == {"a": 1, "b": 2}
