@@ -29,8 +29,6 @@ Scale shape:
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -55,17 +53,6 @@ def _bit_pos(key: Column, j: int, n_bits: int) -> Column:
     a, c = _BLOOM_SEEDS[j]
     h = F.pmod(key.cast("long") * F.lit(a) + F.lit(c), F.lit(_BLOOM_P))
     return F.pmod(h, F.lit(n_bits))
-
-
-def _bit_pos_spark_sql(key_sql: str, j: int, n_bits: int) -> str:
-    """The same bit position as Spark SQL text (for expressions that
-    need the shift amount as a nested expression — ``F.shiftleft`` only
-    accepts a Python int)."""
-    a, c = _BLOOM_SEEDS[j]
-    return (
-        f"pmod(pmod(CAST({key_sql} AS BIGINT) * {a}L + {c}L, "
-        f"{_BLOOM_P}L), {n_bits}L)"
-    )
 
 
 def bit_pos_sql(key_sql: str, j: int, n_bits: int) -> str:
@@ -113,22 +100,35 @@ def bloom_build(
     return out
 
 
+# 2^i as int64 words; index 63 is the sign bit (same bit pattern as
+# shiftleft(1L, 63), which Python's 1<<63 would overflow)
+_POW2 = [1 << i for i in range(63)] + [-(1 << 63)]
+
+
 def bloom_might_contain(
     key_col: str, bitmap: list[int], *, k: int = 3
 ) -> Column:
-    """Codegen'd membership predicate: all k bits set in the literal
-    bitmap array (shipped with the plan, no join)."""
+    """Codegen'd membership predicate: all k bits set in the bitmap.
+
+    The bitmap is bound ONCE as a single array *Literal* node (and each
+    bit position computed once), not spliced into SQL text per hash —
+    splicing embedded the word list k times and the position expression
+    twice per check, so the classic 1M-key/1% filter (~150k words)
+    produced a tens-of-MB expression tree that blew Catalyst/codegen
+    limits.  As one constant the same bitmap is ~1.2 MB shipped with
+    the plan; still no join, no shuffle, no UDF."""
     n_bits = len(bitmap) * 64
-    arr_sql = "array(" + ", ".join(f"{w}L" for w in bitmap) + ")"
-    checks = []
-    for j in range(k):
-        pos = _bit_pos_spark_sql(key_col, j, n_bits)
-        check = (
-            f"(element_at({arr_sql}, CAST(({pos}) / 64 AS INT) + 1) & "
-            f"shiftleft(CAST(1 AS BIGINT), CAST(({pos}) % 64 AS INT))) != 0"
-        )
-        checks.append(F.expr(check))
-    return reduce(lambda a, b: a & b, checks)
+    arr = F.lit(bitmap)
+    pw = F.lit(_POW2)
+    key = F.col(key_col)
+    positions = F.array(*[_bit_pos(key, j, n_bits) for j in range(k)])
+
+    def _bit_set(p: Column) -> Column:
+        word = F.element_at(arr, (p / F.lit(64)).cast("int") + F.lit(1))
+        mask = F.element_at(pw, F.pmod(p, F.lit(64)).cast("int") + F.lit(1))
+        return word.bitwiseAND(mask) != F.lit(0)
+
+    return F.forall(positions, _bit_set)
 
 
 def bloom_semi_join(

@@ -95,7 +95,11 @@ def merge_upsert(
         F.col("__in_s"), F.lit(False)
     )
     if delete_condition is not None:
-        j = j.where(~(matched & delete_condition))
+        # MERGE deletes only when the condition is TRUE; a NULL condition
+        # (e.g. `source_col("v") > 50` with NULL v) must KEEP the row, so
+        # coalesce to FALSE before negating — `~(TRUE & NULL)` is NULL and
+        # would silently drop it from the filter otherwise.
+        j = j.where(~(matched & F.coalesce(delete_condition, F.lit(False))))
     take_source = (
         matched if update_condition is None else (matched & update_condition)
     ) | (~F.coalesce(F.col("__in_t"), F.lit(False)))

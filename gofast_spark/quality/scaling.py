@@ -101,12 +101,19 @@ def robust_scale_grouped(
     group_cols: Sequence[str],
     *,
     suffix: str = "",
+    broadcast_limit: int | None = 500_000,
 ) -> DataFrame:
     """Per-GROUP median/IQR scaling: one groupBy computes exact
-    percentile stats for every (group, column), then a broadcast-sized
-    stats join applies them — normalize each segment against its own
-    distribution (per-tenant/per-sensor calibration) without ever
-    collecting the group list.  Zero IQR divides by 1."""
+    percentile stats for every (group, column), then a stats join
+    applies them — normalize each segment against its own distribution
+    (per-tenant/per-sensor calibration).  Zero IQR divides by 1.
+
+    The stats join is broadcast only while the group count stays under
+    ``broadcast_limit`` (one cheap count over the already-computed
+    aggregate); above it — e.g. per-user calibration with 100M users —
+    the hint would force a driver collect+broadcast OOM, so the join
+    falls back to a shuffle and AQE picks the strategy.
+    ``broadcast_limit=None`` forces the hint unconditionally."""
     aggs = []
     for c in columns:
         col = F.col(c)
@@ -117,7 +124,9 @@ def robust_scale_grouped(
             )
         )
     stats = df.groupBy(*group_cols).agg(*aggs)
-    out = df.join(F.broadcast(stats), list(group_cols))
+    if broadcast_limit is None or stats.count() <= broadcast_limit:
+        stats = F.broadcast(stats)
+    out = df.join(stats, list(group_cols))
     for c in columns:
         iq = F.col(f"__iq_{c}")
         out = out.withColumn(

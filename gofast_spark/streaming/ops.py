@@ -436,7 +436,22 @@ def stream_merge_upsert(
     with file-level pruning (the ``sources.bucketed`` tables, or any
     lakehouse format) changes the write, not the plan.  Keep batches
     coarse (minutes, availableNow backfills) for this sink.
+
+    Durability contract: the swap is two ``os.replace`` directory moves
+    (table -> __old_, staging -> table), NOT one atomic operation — a
+    concurrent reader in that instant can see the table missing, and a
+    crash inside the window leaves the state at a ``__old_``/staging
+    path.  Single-writer is assumed (enforced by the streaming
+    checkpoint); readers needing isolation should read through a
+    manifest/lakehouse layer.  Every sink invocation first runs crash
+    recovery: a missing table is restored from the newest fully-written
+    staging dir (``_SUCCESS`` present) or, failing that, the newest
+    ``__old_`` snapshot, so a replayed batch always starts from a
+    complete state.  Table schema is fixed by the first batch (all
+    stream columns, ``dedup_order_col`` included) and identical in the
+    bootstrap and merge branches.
     """
+    import glob as _glob
     import os
     import shutil
 
@@ -445,9 +460,29 @@ def stream_merge_upsert(
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     spark = sdf.sparkSession
 
+    def _recover() -> None:
+        """Restore a complete table after a crash mid-swap; clear debris."""
+        if not os.path.isdir(table_path):
+            stagings = sorted(_glob.glob(f"{table_path}__staging_*"))
+            complete = [
+                s for s in stagings
+                if os.path.exists(os.path.join(s, "_SUCCESS"))
+            ]
+            olds = sorted(_glob.glob(f"{table_path}__old_*"))
+            if complete:
+                # staging finished writing: it is the newer state
+                os.replace(complete[-1], table_path)
+            elif olds:
+                os.replace(olds[-1], table_path)
+        for leftover in _glob.glob(f"{table_path}__staging_*") + _glob.glob(
+            f"{table_path}__old_*"
+        ):
+            shutil.rmtree(leftover, ignore_errors=True)
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window
 
+        _recover()
         batch = batch_df
         if dedup_order_col is not None:
             w = Window.partitionBy(*keys).orderBy(

@@ -143,10 +143,26 @@ def bpe_segment(
         "__syms",
         F.expr("transform(__w, w -> trim(regexp_replace(w, '(.)', '$1 ')))"),
     ).drop("__w")
+    import re as _re
+
+    # Splice merge symbols via collision-proof placeholders: a learned
+    # symbol may itself contain the substring 'pa'/'pb' (e.g. 'pb' from
+    # 'cupboard'), so naive identifier replacement would corrupt the
+    # just-inserted literal.  \b-bounded placeholders never appear in
+    # the template or any normalized symbol; embedded quotes are
+    # SQL-escaped.
+    seg_tmpl = _re.sub(
+        r"\bpb\b",
+        "__PB__",
+        _re.sub(r"\bpa\b", "__PA__", _MERGE_FOLD),
+    ).replace("split(sym, ' ')", "split(s, ' ')")
+
+    def _lit(v: str) -> str:
+        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
     for m in merges:
         pa, pb = m.split(" ")
-        fold = _MERGE_FOLD.replace("pa", f"'{pa}'").replace("pb", f"'{pb}'")
-        fold = fold.replace("split(sym, ' ')", "split(s, ' ')")
+        fold = seg_tmpl.replace("__PA__", _lit(pa)).replace("__PB__", _lit(pb))
         out = out.withColumn(
             "__syms", F.expr(f"transform(__syms, s -> {fold})")
         )
