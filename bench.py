@@ -105,20 +105,28 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "runs": spread,
-                "reps": reps,
-                "cold_sec": cold_total,
-                "sf": sf_val,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "reps": reps,
+        "cold_sec": cold_total,
+        "sf": sf_val,
+    }
+    # Full detail (incl. per-rep spreads) to an artifact the driver/judge
+    # can read even when stdout capture truncates; stdout carries ONE
+    # compact final line with nothing after it (r6 driver parse failure:
+    # stage noise + a very long line pushed the JSON head out of the
+    # tail-capture window).
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_result.json"),
+        "w",
+    ) as f:
+        json.dump({**result, "runs": spread}, f, indent=1)
+    spark.stop()
+    sys.stdout.flush()
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

@@ -27,6 +27,9 @@ _LOCAL_DEFAULTS = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.driver.memory": "8g",
     "spark.ui.enabled": "false",
+    # keep stage-progress bars off stdout so harness JSON lines stay
+    # machine-parseable (r6 driver bench-parse failure)
+    "spark.ui.showConsoleProgress": "false",
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     # NOTE: no legacy nanosAsLong default — sources.events sets it lazily
     # iff a TIMESTAMP(NANOS) parquet footer is actually encountered.
