@@ -161,7 +161,7 @@ def gini_score(
     score_col: str,
     *,
     tiebreak: str | None = None,
-    bins: int | None = None,
+    bins: int | str | None = "auto",
     relative_error: float = 1e-4,
 ) -> DataFrame:
     """Normalized Gini of a ranking score against binary outcomes

@@ -252,7 +252,7 @@ def wilcoxon_signed_rank(
     a_col: str,
     b_col: str,
     *,
-    bins: int | None = None,
+    bins: int | str | None = "auto",
     relative_error: float = 1e-4,
 ) -> DataFrame:
     """Wilcoxon signed-rank W (gofast/stats/inferential.py:200): rank the
@@ -297,7 +297,7 @@ def ks_test_2samp(
     group_a,
     group_b,
     *,
-    bins: int | None = None,
+    bins: int | str | None = "auto",
     relative_error: float = 1e-4,
 ) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov D statistic
@@ -493,7 +493,7 @@ def mann_whitney_u(
     group_a: str,
     group_b: str,
     *,
-    bins: int | None = None,
+    bins: int | str | None = "auto",
     relative_error: float = 1e-4,
 ) -> DataFrame:
     """Mann-Whitney U (independent two-sample rank-sum test) with the

@@ -30,25 +30,44 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# 'auto' mode: engage binning only when the approximate distinct count
+# exceeds _AUTO_THRESHOLD, at _AUTO_BINS buckets.  The threshold sits at
+# 10x the bin count: below it binning buys <10x sorted-frame compression
+# while still introducing approximation, so the exact path wins; above
+# it the one-task distinct-value sort is the 100-TB scale hazard the
+# binning exists to remove.
+_AUTO_BINS = 10_000
+_AUTO_THRESHOLD = 100_000
+
 
 def prebin_column(
     df: DataFrame,
     col: str,
     *,
-    bins: int | None,
+    bins: int | str | None,
     relative_error: float = 1e-4,
     out_col: str | None = None,
 ) -> DataFrame:
     """Replace ``col`` by a bounded-cardinality, order-preserving bucket
     ordinal (double) when its distinct count exceeds ``bins``.
 
-    ``bins=None`` is the exact path: the frame is returned untouched.
+    ``bins=None`` is the explicit exact path: the frame is returned
+    untouched.  ``bins='auto'`` (the midrank family's DEFAULT) binds the
+    scale hazard without opting in: one approx_count_distinct aggregate
+    decides, and binning engages at ``_AUTO_BINS`` buckets only when the
+    column's distinct count exceeds ``_AUTO_THRESHOLD`` — discrete and
+    moderately-cardinal data pays one cheap aggregate and stays exact.
     Eager by design when ``bins`` is set (two bounded driver actions:
     the distinct pre-check and the quantile sketch) — call it at plan
     build time, not inside another transformation.
     """
     if bins is None:
         return df
+    auto = bins == "auto"
+    if auto:
+        bins = _AUTO_BINS
+    elif isinstance(bins, str):
+        raise ValueError(f"bins must be an int, None, or 'auto': {bins!r}")
     if bins < 2:
         raise ValueError("bins must be >= 2")
     target = out_col or col
@@ -58,7 +77,10 @@ def prebin_column(
     # 1.05 head-room: approx_count_distinct's rsd means a true count just
     # below bins could read slightly above it — prefer the exact path on
     # the boundary
-    if n_distinct <= bins * 1.05:
+    exact = (
+        n_distinct <= _AUTO_THRESHOLD if auto else n_distinct <= bins * 1.05
+    )
+    if exact:
         if out_col and out_col != col:
             return df.withColumn(out_col, F.col(col).cast("double"))
         return df

@@ -48,7 +48,7 @@ def spearman_corr(
     col_a: str,
     col_b: str,
     *,
-    bins: int | None = None,
+    bins: int | str | None = "auto",
     relative_error: float = 1e-4,
 ) -> DataFrame:
     """Spearman rho = Pearson correlation of average ranks
@@ -82,7 +82,7 @@ def kruskal_wallis(
     value_col: str,
     group_col: str,
     *,
-    bins: int | None = None,
+    bins: int | str | None = "auto",
     relative_error: float = 1e-4,
 ) -> DataFrame:
     """Kruskal-Wallis H (no tie correction; document when data is heavily

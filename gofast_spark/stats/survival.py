@@ -20,7 +20,7 @@ def kaplan_meier(
     event_col: str,
     *,
     keep_censor_times: bool = False,
-    bins: int | None = None,
+    bins: int | str | None = "auto",
     relative_error: float = 1e-4,
 ) -> DataFrame:
     """Kaplan-Meier survival curve.

@@ -90,3 +90,41 @@ def test_bins_lt_two_raises(spark):
     df = _cont(spark, n=100)
     with pytest.raises(ValueError):
         prebin_column(df, "x", bins=1)
+
+
+def test_auto_exact_below_threshold(spark):
+    from gofast_spark.stats.prebin import prebin_column
+
+    df = _cont(spark, n=2000)
+    out = prebin_column(df, "x", bins="auto")
+    assert out.select("x").distinct().count() == df.select("x").distinct().count()
+
+
+def test_auto_engages_above_threshold(spark):
+    from gofast_spark.stats.prebin import _AUTO_BINS, prebin_column
+
+    df = spark.range(150_000).select(
+        (F.col("id") * 0.001 + (F.col("id") % 7) * 1e-7).alias("x")
+    )
+    out = prebin_column(df, "x", bins="auto")
+    card = out.select("x").distinct().count()
+    assert card <= _AUTO_BINS * 1.05, card
+
+
+def test_auto_default_flows_through_midrank_family(spark):
+    """The default bins='auto' must keep moderate-cardinality stats exact
+    (distinct << threshold): default result == explicit bins=None."""
+    from gofast_spark.stats import spearman_corr
+
+    df = _cont(spark, n=3000)
+    d = spearman_corr(df, "x", "y").collect()[0]["spearman"]
+    e = spearman_corr(df, "x", "y", bins=None).collect()[0]["spearman"]
+    assert d == e
+
+
+def test_bins_bad_string_raises(spark):
+    from gofast_spark.stats.prebin import prebin_column
+
+    df = _cont(spark, n=100)
+    with pytest.raises(ValueError):
+        prebin_column(df, "x", bins="always")
