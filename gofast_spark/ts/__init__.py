@@ -11,6 +11,7 @@ from gofast_spark.ts.engineering import (
     acf,
     ccf,
     pacf,
+    pacf_frame,
     detrend,
     trend_analysis,
     ts_engineering,
@@ -36,6 +37,7 @@ __all__ = [
     "acf",
     "ccf",
     "pacf",
+    "pacf_frame",
     "smart_ts_detector",
     "time_step_grid",
     "ts_split",

@@ -196,6 +196,62 @@ def acf(
     )
 
 
+def pacf_frame(
+    df: DataFrame,
+    value_col: str,
+    order_by: str,
+    *,
+    max_lag: int = 5,
+    partition_by: str | None = None,
+) -> DataFrame:
+    """Partial autocorrelations ``pacf_1..pacf_max_lag`` as ONE lazy
+    plan: the distributed ACF aggregate (corr-with-lag, one row) feeds
+    an unrolled Durbin-Levinson recursion expressed as chained
+    projections over that row — lag-sized state, no driver collect, so
+    PACF composes into larger plans like any other aggregate
+    (ts_corr_analysis PACF half, gofast/utils/ts_utils.py:2913; the
+    same unroll-the-iteration pattern as the gradient-descent entry).
+
+    Two projections per level keep every phi a *named* column, so the
+    expression tree stays O(max_lag^2) instead of copying subtrees
+    exponentially."""
+    out = acf(
+        df,
+        value_col,
+        order_by,
+        lags=tuple(range(1, max_lag + 1)),
+        partition_by=partition_by,
+    )
+
+    def rho(i: int):
+        return F.lit(1.0) if i == 0 else F.col(f"acf_{i}")
+
+    out = out.select("*", F.col("acf_1").alias("__phi_1_1"))
+    for k in range(2, max_lag + 1):
+        prev = {j: F.col(f"__phi_{k-1}_{j}") for j in range(1, k)}
+        num = rho(k) - sum(
+            (prev[j] * rho(k - j) for j in range(1, k)), F.lit(0.0)
+        )
+        den = F.lit(1.0) - sum(
+            (prev[j] * rho(j) for j in range(1, k)), F.lit(0.0)
+        )
+        out = out.select("*", (num / den).alias(f"__phi_{k}_{k}"))
+        a = F.col(f"__phi_{k}_{k}")
+        out = out.select(
+            "*",
+            *[
+                (prev[j] - a * prev[k - j]).alias(f"__phi_{k}_{j}")
+                for j in range(1, k)
+            ],
+        )
+    return out.select(
+        *[
+            F.col(f"__phi_{k}_{k}").alias(f"pacf_{k}")
+            for k in range(1, max_lag + 1)
+        ]
+    )
+
+
 def pacf(
     df: DataFrame,
     value_col: str,
@@ -206,13 +262,11 @@ def pacf(
     """Partial autocorrelations via Durbin-Levinson on the distributed
     ACF (ts_corr_analysis PACF half, gofast/utils/ts_utils.py:2913).
 
-    The ACF row is the only distributed computation (corr-with-lag
-    aggregates); the Durbin-Levinson recursion runs on the driver over
-    ``max_lag`` scalars.  Returns ``[pacf_1 .. pacf_max_lag]``.
+    Convenience driver-side form of :func:`pacf_frame` — collects the
+    one PACF row and returns ``[pacf_1 .. pacf_max_lag]``.
     """
-    row = acf(df, value_col, order_by, lags=tuple(range(1, max_lag + 1))).first()
-    rho = [1.0] + [row[f"acf_{k}"] for k in range(1, max_lag + 1)]
-    return durbin_levinson(rho)
+    row = pacf_frame(df, value_col, order_by, max_lag=max_lag).first()
+    return [row[f"pacf_{k}"] for k in range(1, max_lag + 1)]
 
 
 def durbin_levinson(rho: "list[float]") -> "list[float]":

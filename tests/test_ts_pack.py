@@ -197,3 +197,24 @@ def test_seasonal_decompose_reconstruction(spark):
             )
         seas[r["d"].toordinal() % 7] = r["seasonal"]
     assert sum(seas.values()) == pytest.approx(0.0, abs=1e-9)
+
+
+def test_pacf_frame_matches_driver_recursion(spark):
+    """In-plan unrolled Durbin-Levinson == driver-side recursion on the
+    collected ACF, to 1e-12 (same arithmetic, different execution)."""
+    from gofast_spark.ts import acf, pacf_frame
+    from gofast_spark.ts.engineering import durbin_levinson
+
+    vals, v = [], 0.0
+    for i in range(300):
+        eps = ((i * 48271 + 11) % 997) / 997.0 - 0.5
+        v = 0.6 * v - 0.25 * (vals[-1][1] if vals else 0.0) + eps
+        vals.append((i, v))
+    df = spark.createDataFrame(vals, ["t", "v"])
+
+    K = 5
+    row = acf(df, "v", "t", lags=tuple(range(1, K + 1))).first()
+    expected = durbin_levinson([1.0] + [row[f"acf_{k}"] for k in range(1, K + 1)])
+    got = pacf_frame(df, "v", "t", max_lag=K).first()
+    for k in range(1, K + 1):
+        assert abs(got[f"pacf_{k}"] - expected[k - 1]) < 1e-12, k
