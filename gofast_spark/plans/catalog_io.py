@@ -669,3 +669,70 @@ def partitioned_write_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         _money2(F.sum(_units6(F.col("o_totalprice")))).alias("total"),
     )
+
+
+@query(
+    "read_worksheets_xlsx",
+    oracle="""
+    SELECT sheet, k, CAST(v AS DOUBLE) AS v
+    FROM (VALUES ('inventory', 'bolt', 12.0), ('inventory', 'nut', 40.5),
+                 ('prices', 'bolt', 0.25), ('prices', 'nut', 0.1))
+      AS t(sheet, k, v)
+    ORDER BY sheet, k
+    """,
+)
+def read_worksheets_xlsx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sheet xlsx written and read back entirely through the stdlib
+    SpreadsheetML path (read_worksheets, gofast/utils/data_utils.py:3864;
+    no openpyxl/xlrd in this environment) — sheet order, shared/inline
+    strings, numeric coercion."""
+    from gofast_spark.sources.io import read_worksheets
+    from gofast_spark.sources.xlsx import write_xlsx_stdlib
+
+    path = os.path.join(_scratch("xlsx"), "book.xlsx")
+    write_xlsx_stdlib(
+        path,
+        {
+            "inventory": [["k", "v"], ["bolt", 12.0], ["nut", 40.5]],
+            "prices": [["k", "v"], ["bolt", 0.25], ["nut", 0.1]],
+        },
+    )
+    frames = read_worksheets(spark, path)
+    out = None
+    for name, df in frames.items():
+        tagged = df.select(F.lit(name).alias("sheet"), "k", F.col("v").cast("double"))
+        out = tagged if out is None else out.unionByName(tagged)
+    return out.orderBy("sheet", "k")
+
+
+@query(
+    "array2hdf5_roundtrip",
+    oracle="""
+    SELECT CAST(i // 4 AS BIGINT) AS row_id,
+           CAST(round(sum(sin(i)), 6) AS DOUBLE) AS row_sum
+    FROM range(24) r(i) GROUP BY 1 ORDER BY 1
+    """,
+)
+def array2hdf5_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D ndarray -> parquet(row_id, array<double>) -> per-row sums:
+    the array2hdf5 analog (gofast/utils/base_utils.py:3637) on a
+    splittable columnar store instead of HDF5.  The deterministic
+    sin-grid array is reproducible in SQL, so the round-trip is
+    hash-checked end to end."""
+    import math
+
+    from gofast_spark.sources import save_or_load
+
+    arr = [[math.sin(r * 4 + c) for c in range(4)] for r in range(6)]
+    path = os.path.join(_scratch("arr2d"), "grid.parquet")
+    save_or_load(spark, path, arr, task="save")
+    back = spark.read.parquet(path)
+    return (
+        back.select(
+            "row_id",
+            F.round(
+                F.aggregate("values", F.lit(0.0), lambda a, x: a + x), 6
+            ).cast("double").alias("row_sum"),
+        )
+        .orderBy("row_id")
+    )

@@ -258,10 +258,33 @@ def read_worksheets(
 ) -> dict[str, DataFrame]:
     """Multi-sheet Excel -> dict of frames (read_worksheets,
     gofast/utils/data_utils.py:3864).  Driver-side pandas parse
-    (small-data contract), distributed frames out."""
+    (small-data contract), distributed frames out.  Without an Excel
+    engine (openpyxl/xlrd) falls back to the stdlib SpreadsheetML
+    reader in :mod:`gofast_spark.sources.xlsx` — first row is the
+    header, numeric columns coerce."""
     import pandas as pd
 
-    book = pd.read_excel(path, sheet_name=sheets)  # None -> all sheets
+    try:
+        book = pd.read_excel(path, sheet_name=sheets)  # None -> all sheets
+        if not isinstance(book, dict):
+            book = {(sheets[0] if sheets else "Sheet1"): book}
+    except ImportError:
+        from gofast_spark.sources.xlsx import read_xlsx_stdlib
+
+        def _coerce(s):
+            try:
+                return pd.to_numeric(s)
+            except (ValueError, TypeError):
+                return s
+
+        book = {}
+        for name, rows in read_xlsx_stdlib(path).items():
+            if sheets is not None and name not in sheets:
+                continue
+            if len(rows) < 1:
+                continue
+            header = [str(h) for h in rows[0]]
+            book[name] = pd.DataFrame(rows[1:], columns=header).apply(_coerce)
     return {name: spark.createDataFrame(pdf) for name, pdf in book.items()}
 
 

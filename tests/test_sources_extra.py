@@ -231,3 +231,59 @@ def test_scrape_web_data_stdlib_fallback(spark):
     df = scrape_web_data(spark, "http://x.invalid", fetcher=lambda u, **k: html)
     rows = {r["k"]: r["v"] for r in df.collect()}
     assert rows == {"a": 1, "b": 2}
+
+
+def test_xlsx_stdlib_roundtrip(spark, tmp_path):
+    from gofast_spark.sources.io import read_worksheets
+    from gofast_spark.sources.xlsx import read_xlsx_stdlib, write_xlsx_stdlib
+
+    path = str(tmp_path / "book.xlsx")
+    write_xlsx_stdlib(
+        path,
+        {
+            "s1": [["a", "b"], [1, "x<&>y"], [2.5, None]],
+            "s2": [["only"], ["v"]],
+        },
+    )
+    raw = read_xlsx_stdlib(path)
+    assert list(raw) == ["s1", "s2"]
+    assert raw["s1"][0] == ["a", "b"]
+    assert raw["s1"][1] == [1.0, "x<&>y"]
+    assert raw["s1"][2] == [2.5, None]
+
+    frames = read_worksheets(spark, path, sheets=["s1"])
+    assert list(frames) == ["s1"]
+    rows = sorted(map(tuple, frames["s1"].collect()))
+    assert rows == [(1.0, "x<&>y"), (2.5, None)]
+
+
+def test_xlsx_stdlib_shared_strings(tmp_path):
+    """Reader handles sharedStrings (what real Excel exports emit), even
+    though our minimal writer uses inline strings."""
+    import zipfile
+
+    from gofast_spark.sources.xlsx import read_xlsx_stdlib
+
+    path = str(tmp_path / "shared.xlsx")
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr(
+            "[Content_Types].xml",
+            '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>',
+        )
+        z.writestr(
+            "xl/workbook.xml",
+            f'<workbook {ns}><sheets><sheet name="data" sheetId="1"/></sheets></workbook>',
+        )
+        z.writestr(
+            "xl/sharedStrings.xml",
+            f'<sst {ns}><si><t>hello</t></si><si><t>wor</t><t>ld</t></si></sst>',
+        )
+        z.writestr(
+            "xl/worksheets/sheet1.xml",
+            f'<worksheet {ns}><sheetData>'
+            '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="C1" t="s"><v>1</v></c></row>'
+            "</sheetData></worksheet>",
+        )
+    raw = read_xlsx_stdlib(path)
+    assert raw["data"] == [["hello", None, "world"]]
