@@ -87,24 +87,35 @@ def connected_components(
     )
     converged = False
     for _ in range(max_iter):
-        # neighbour labels: for each edge (src,dst), the current label of dst
-        nbr = (
-            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
-            .select(F.col("src").alias("id"), "lab")
+        # min neighbour label per vertex: for each edge (src,dst), the
+        # current label of dst, min-combined map-side
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("dst"), F.col("lab").alias("nlab")
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("nlab").alias("nlab"))
         )
+        # fold the change flag into the update itself: `changed` then
+        # reads as ONE cheap aggregate over the just-materialized frame
+        # instead of an extra labels-vs-labels join + count per round
+        # (min-propagation is monotone, so "changed" == "strictly
+        # decreased").  least() skips NULLs, covering vertices with no
+        # labelled neighbour this round.
         new_labels = (
-            labels.union(nbr)
-            .groupBy("id")
-            .agg(F.min("lab").alias("lab"))
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("lab"), F.col("nlab")).alias("lab"),
+                (F.col("nlab") < F.col("lab")).cast("long").alias("__chg"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.lab") != F.col("o.lab"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.agg(F.sum("__chg")).collect()[0][0] or 0
+        labels = new_labels.drop("__chg")
         if changed == 0:
             converged = True
             break
