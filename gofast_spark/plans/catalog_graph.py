@@ -232,3 +232,110 @@ def merge_upsert_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         update_condition=None,
         check_unique_source=False,
     )
+
+
+@query(
+    "scd2_history_customer",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, DATE '2024-01-01' AS valid_from,
+           CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
+    FROM customer WHERE c_mktsegment <> 'BUILDING'
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, DATE '2024-01-01', DATE '2024-06-01',
+           FALSE
+    FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION ALL
+    SELECT c_custkey, 'MOVED', DATE '2024-06-01', CAST(NULL AS DATE), TRUE
+    FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def scd2_history_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension history (operators/scd.py): bootstrap from the
+    customer snapshot, apply a segment-change batch (BUILDING -> MOVED,
+    effective 2024-06-01), then RE-APPLY the identical batch — the
+    second merge must be a structural no-op (idempotent re-delivery),
+    which the oracle verifies by construction: changed keys close at
+    the effective date and reopen, unchanged keys keep their single
+    open row.  Everything is key joins + unions; no history window."""
+    from gofast_spark.operators.scd import scd2_init, scd2_merge
+
+    snap = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("2024-01-01").cast("date").alias("eff"),
+    )
+    hist = scd2_init(snap, "eff")
+    upd = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_mktsegment") == "BUILDING", "MOVED")
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+        F.lit("2024-06-01").cast("date").alias("eff"),
+    )
+    merged = scd2_merge(hist, upd, "c_custkey", ["c_mktsegment"], "eff")
+    replayed = scd2_merge(merged, upd, "c_custkey", ["c_mktsegment"], "eff")
+    return replayed.select(
+        "c_custkey", "c_mktsegment", "valid_from", "valid_to", "is_current"
+    )
+
+
+def _morton_sql(x: str, y: str, bits: int = 8) -> str:
+    """DuckDB replay of sources.zorder.interleave_bits for two columns:
+    bit j of col0 lands at 2j, of col1 at 2j+1."""
+    terms = []
+    for j in range(bits):
+        terms.append(f"((({x} >> {j}) & 1) << {2 * j})")
+        terms.append(f"((({y} >> {j}) & 1) << {2 * j + 1})")
+    return " + ".join(terms)
+
+
+@query(
+    "zorder_write_morton_orders",
+    oracle=f"""
+    WITH m AS (
+      SELECT CAST({_morton_sql("(o_custkey % 256)", "(o_orderkey % 256)")}
+             AS BIGINT) AS z
+      FROM orders)
+    SELECT CAST(z >> 8 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(z) AS BIGINT) AS z_sum
+    FROM m GROUP BY 1
+    """,
+)
+def zorder_write_morton_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered write + re-read + Morton checksum
+    (sources/zorder.py): orders is written clustered on the Morton
+    interleave of (custkey, totalprice) rank space, re-read, and the
+    deterministic modular-key interleave is aggregated per bucket — the
+    oracle replays the bit arithmetic from the SOURCE table, so a hash
+    match proves both write/read fidelity and the interleave itself.
+    (File-level min/max locality is asserted in tests/test_zorder.py —
+    layout is not SQL-observable.)"""
+    import os as _os
+
+    from gofast_spark.plans.catalog_io import _scratch
+    from gofast_spark.sources.zorder import interleave_bits, write_zordered
+
+    src = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = _os.path.join(_scratch("zorder"), "orders")
+    write_zordered(
+        src, path, ["o_custkey", "o_totalprice"], bits=8, num_files=4
+    )
+    back = spark.read.parquet(path)
+    z = interleave_bits(
+        [
+            F.pmod(F.col("o_custkey"), F.lit(256)),
+            F.pmod(F.col("o_orderkey"), F.lit(256)),
+        ],
+        bits=8,
+    )
+    return (
+        back.withColumn("z", z)
+        .groupBy(F.shiftright(F.col("z"), 8).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("z").alias("z_sum"),
+        )
+    )
