@@ -26,7 +26,7 @@ Published algorithm: Broder's MinHash / LSH banding (MMDS ch. 3).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gofast_spark.text.analysis import normalize_text
@@ -479,3 +479,38 @@ def near_dup_pairs(
         ).localCheckpoint(eager=True)
     finally:
         sets_df.unpersist()
+
+
+def lsh_collision_curve(
+    spark: SparkSession,
+    *,
+    num_hashes: int = 16,
+    rows_per_band: int = 2,
+    steps: int = 19,
+) -> DataFrame:
+    """The planner's view of a banding scheme BEFORE a 100-TB run: for
+    each Jaccard similarity ``s`` on a ``steps``-point grid, the
+    probability an LSH candidate pair forms,
+    ``P(s) = 1 - (1 - s^r)^b`` with ``b = num_hashes / rows_per_band``
+    bands of ``r`` rows (Broder 1997; the S-curve analysis in Leskovec
+    et al., Mining of Massive Datasets ch. 3), plus the scheme's
+    threshold estimate ``(1/b)^(1/r)`` where the curve is steepest.
+
+    Choosing (b, r) off this frame replaces re-running the whole dedup
+    pipeline per setting — the difference between one arithmetic-only
+    job and several corpus-scale ones."""
+    b = num_hashes // rows_per_band
+    if b * rows_per_band != num_hashes:
+        raise ValueError("rows_per_band must divide num_hashes")
+    r = rows_per_band
+    s = (F.col("id") + 1) / F.lit(float(steps + 1))
+    return spark.range(steps).select(
+        F.round(s, 6).alias("s"),
+        F.round(
+            F.lit(1.0) - F.pow(F.lit(1.0) - F.pow(s, F.lit(r)), F.lit(b)),
+            6,
+        ).alias("p_candidate"),
+        F.round(F.pow(F.lit(1.0 / b), F.lit(1.0 / r)), 6).alias(
+            "threshold_est"
+        ),
+    )

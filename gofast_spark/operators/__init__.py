@@ -22,7 +22,11 @@ from gofast_spark.operators.mixture import (
     uniform_hash,
     uniform_hash_sql,
 )
-from gofast_spark.operators.packing import pack_sequences, sequence_fill_stats
+from gofast_spark.operators.packing import (
+    pack_sequences,
+    sequence_fill_stats,
+    shuffled_token_shards,
+)
 from gofast_spark.operators.prefix import (
     distributed_cumsum,
     token_budget_shards,
@@ -161,6 +165,7 @@ __all__ = [
     "uniform_hash",
     "uniform_hash_sql",
     "sequence_fill_stats",
+    "shuffled_token_shards",
     "asof_join",
     "bloom_build",
     "bloom_might_contain",

@@ -122,3 +122,42 @@ def sequence_fill_stats(spans: DataFrame) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("span_tokens").cast("bigint").alias("n_tokens"),
     )
+
+
+def shuffled_token_shards(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str | Column,
+    *,
+    budget: int,
+    shard_col: str = "shard",
+    cumsum_col: str | None = None,
+) -> DataFrame:
+    """Token-budget shards over a DETERMINISTIC global shuffle of the
+    corpus: documents are ordered by an engine-portable md5 key of
+    their id (plus the id as tiebreak) before budget binning, so shards
+    mix sources/time instead of preserving ingest order — the standard
+    pre-training requirement that each shard be an unbiased sample of
+    the corpus.  Same run -> same shards on any cluster size (the key
+    is a pure function of the id, never of partitioning).
+
+    Scale shape: the md5 key is one codegen projection; ordering +
+    running totals ride the two-phase distributed prefix scan of
+    :func:`token_budget_shards` — range-repartition on the key,
+    partition-local window, broadcast offsets; no single-reducer sort.
+    """
+    from gofast_spark.operators.prefix import token_budget_shards
+    from gofast_spark.text.hashing import md5_hash64
+
+    keyed = df.withColumn(
+        "__shuf", md5_hash64(F.col(id_col).cast("string"))
+    )
+    out = token_budget_shards(
+        keyed,
+        ["__shuf", id_col],
+        tokens_col,
+        budget=budget,
+        shard_col=shard_col,
+        cumsum_col=cumsum_col,
+    )
+    return out.drop("__shuf")

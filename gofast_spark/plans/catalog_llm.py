@@ -1939,3 +1939,67 @@ def chunked_mlm_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "masked_text",
         F.col("n_masked").cast("int").alias("n_masked"),
     )
+
+
+@query(
+    "lsh_plan_curve",
+    oracle="""
+    SELECT CAST(round((i + 1) / 20.0, 6) AS DOUBLE) AS s,
+           CAST(round(1.0 - pow(1.0 - pow((i + 1) / 20.0, 2), 8), 6)
+             AS DOUBLE) AS p_candidate,
+           CAST(round(pow(1.0 / 8, 1.0 / 2), 6) AS DOUBLE) AS threshold_est
+    FROM range(19) r(i)
+    """,
+)
+def lsh_plan_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding-scheme planner (dedup/minhash.py lsh_collision_curve):
+    the 1-(1-s^r)^b candidate-probability curve and threshold estimate
+    for the default 16-hash / 2-rows-per-band scheme — the arithmetic a
+    user runs to pick (b, r) before committing a corpus-scale dedup
+    (Broder 1997; MMDS ch. 3)."""
+    from gofast_spark.dedup.minhash import lsh_collision_curve
+
+    return lsh_collision_curve(
+        spark, num_hashes=16, rows_per_band=2, steps=19
+    )
+
+
+@query(
+    "shuffled_token_shards_documents",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_norm_sql('text')} AS t FROM documents),
+    tok AS (SELECT doc_id,
+                   CAST(len(string_split(t, ' ')) AS BIGINT) AS n_tokens,
+                   {md5_hash64_sql("CAST(doc_id AS VARCHAR)")} AS shuf
+            FROM norm),
+    c AS (SELECT doc_id, n_tokens,
+                 sum(n_tokens) OVER (ORDER BY shuf, doc_id
+                     ROWS UNBOUNDED PRECEDING) AS cum
+          FROM tok)
+    SELECT doc_id, n_tokens,
+           CAST(floor((cum - n_tokens) / 1500.0) AS INT) AS shard
+    FROM c
+    """,
+)
+def shuffled_token_shards_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministically SHUFFLED token-budget shards
+    (operators/packing.py shuffled_token_shards): the corpus is
+    globally reordered by a portable md5 key of the doc id before
+    budget binning, so every shard mixes the corpus instead of
+    preserving ingest order — the pre-training contract.  The running
+    sum rides the two-phase distributed prefix scan; the oracle replays
+    it with an ordinary window over the same md5 ordering."""
+    from gofast_spark.operators import shuffled_token_shards
+    from gofast_spark.text.analysis import normalize_text
+
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "doc_id",
+        F.size(F.split(normalize_text("text"), " ")).cast("bigint").alias(
+            "n_tokens"
+        ),
+    )
+    out = shuffled_token_shards(tok, "doc_id", "n_tokens", budget=1500)
+    return out.select(
+        "doc_id", "n_tokens", F.col("shard").cast("int").alias("shard")
+    )

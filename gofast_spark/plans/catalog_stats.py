@@ -1323,3 +1323,78 @@ def spearman_auto_binned_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(round(exact, 6), int(abs(auto - exact) < 1e-3))],
         "exact_rho double, auto_within_tol int",
     )
+
+
+def _ridge_oracle(lam: float) -> str:
+    """The _ols_oracle determinant replay with ``lam`` added to the
+    FEATURE diagonal of X'X (intercept unpenalized) — exactly what
+    fit_linear_regression(ridge=lam) does before the Cramer solve, sse
+    included (Hoerl & Kennard 1970)."""
+    A = [
+        ["a00", "a01", "a02"],
+        ["a01", f"(a11 + {lam})", "a12"],
+        ["a02", "a12", f"(a22 + {lam})"],
+    ]
+    b = ["b0", "b1", "b2"]
+    det = _det3_sql(A)
+    ws = []
+    for j in range(3):
+        Aj = [[b[i] if k == j else A[i][k] for k in range(3)] for i in range(3)]
+        ws.append(f"({_det3_sql(Aj)}) / ({det})")
+    q = (
+        f"w0 * ({A[0][0]} * w0 + {A[0][1]} * w1 + {A[0][2]} * w2)"
+        f" + w1 * ({A[1][0]} * w0 + {A[1][1]} * w1 + {A[1][2]} * w2)"
+        f" + w2 * ({A[2][0]} * w0 + {A[2][1]} * w1 + {A[2][2]} * w2)"
+    )
+    return f"""
+    WITH m AS (
+      SELECT CAST(count(*) AS DOUBLE) AS a00,
+             sum(CAST(l_quantity AS DOUBLE)) AS a01,
+             sum(CAST(l_discount AS DOUBLE)) AS a02,
+             sum(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)) AS a11,
+             sum(CAST(l_quantity AS DOUBLE) * CAST(l_discount AS DOUBLE)) AS a12,
+             sum(CAST(l_discount AS DOUBLE) * CAST(l_discount AS DOUBLE)) AS a22,
+             sum(CAST(l_extendedprice AS DOUBLE)) AS b0,
+             sum(CAST(l_quantity AS DOUBLE) * CAST(l_extendedprice AS DOUBLE)) AS b1,
+             sum(CAST(l_discount AS DOUBLE) * CAST(l_extendedprice AS DOUBLE)) AS b2,
+             sum(CAST(l_extendedprice AS DOUBLE) * CAST(l_extendedprice AS DOUBLE)) AS yy,
+             count(*) AS n
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+        AND l_extendedprice IS NOT NULL),
+    w AS (SELECT {ws[0]} AS w0, {ws[1]} AS w1, {ws[2]} AS w2, * FROM m),
+    s AS (
+      SELECT *, yy - 2 * (w0 * b0 + w1 * b1 + w2 * b2) + ({q}) AS sse,
+             yy - b0 * b0 / a00 AS sst
+      FROM w)
+    SELECT CAST(round(w0, 4) AS DOUBLE) AS w0,
+           CAST(round(w1, 4) AS DOUBLE) AS w1,
+           CAST(round(w2, 4) AS DOUBLE) AS w2,
+           CAST(round(1.0 - sse / sst, 6) AS DOUBLE) AS r2,
+           CAST(n AS BIGINT) AS n
+    FROM s
+    """
+
+
+@query("ridge_normal_eq_lineitem", oracle=_ridge_oracle(0.5))
+def ridge_normal_eq_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ridge regression (lambda=0.5) by the same one-aggregation normal
+    equations as ols_normal_eq_lineitem — lambda lands on the feature
+    diagonal only, the intercept stays unpenalized (Hoerl & Kennard
+    1970).  At 100 TB this is still ONE moment aggregate regardless of
+    row count; only the p x p solve is driver-side."""
+    from gofast_spark.ml import fit_linear_regression
+
+    li = _t(spark, sf_dir, "lineitem")
+    m = fit_linear_regression(
+        li, ["l_quantity", "l_discount"], "l_extendedprice",
+        ridge=0.5, solver="cramer",
+    )
+    w = m["coef"]
+    return spark.createDataFrame(
+        [(
+            round(w[0], 4), round(w[1], 4), round(w[2], 4),
+            round(m["r2"], 6), m["n"],
+        )],
+        "w0 double, w1 double, w2 double, r2 double, n bigint",
+    )

@@ -80,3 +80,22 @@ def test_no_global_single_reducer_window(spark):
     # the only unpartitioned window runs over the n-partition offsets
     # frame; the corpus-side window partitions by __pid
     assert "partitionBy=[__pid]" in plan.replace(" ", "") or "__pid" in plan
+
+
+def test_shuffled_token_shards_deterministic_and_mixing(spark):
+    from gofast_spark.operators import shuffled_token_shards
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7 + 1).alias("tok")
+    )
+    a = shuffled_token_shards(df, "doc_id", "tok", budget=50)
+    b = shuffled_token_shards(df.repartition(13), "doc_id", "tok", budget=50)
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb, "shards must be partitioning-invariant"
+    # the shuffle must break ingest order: shard 0 is not just ids 0..k
+    shard0 = {r["doc_id"] for r in a.where(F.col("shard") == 0).collect()}
+    assert shard0 != set(range(len(shard0)))
+    # budget respected up to one-doc overshoot
+    per = a.groupBy("shard").agg(F.sum("tok").alias("t")).collect()
+    assert all(r["t"] <= 50 + 7 for r in per)
