@@ -2003,3 +2003,42 @@ def shuffled_token_shards_documents(spark: SparkSession, sf_dir: str) -> DataFra
     return out.select(
         "doc_id", "n_tokens", F.col("shard").cast("int").alias("shard")
     )
+
+
+@query(
+    "bigram_pmi_documents",
+    oracle=f"""
+    WITH norm AS (SELECT {_norm_sql('text')} AS t FROM documents),
+    tk AS (SELECT string_split(t, ' ') AS tk FROM norm WHERE len(t) > 0),
+    tot AS (SELECT sum(len(tk)) AS n_tokens, sum(len(tk) - 1) AS m_pairs
+            FROM tk),
+    pairs AS (
+      SELECT tk[i] AS w1, tk[i + 1] AS w2, count(*) AS n_pair
+      FROM tk, unnest(range(1, len(tk))) AS u(i)
+      GROUP BY 1, 2),
+    uni AS (
+      SELECT tk[i] AS w, count(*) AS n_w
+      FROM tk, unnest(range(1, len(tk) + 1)) AS u(i)
+      GROUP BY 1)
+    SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair,
+           CAST(round(ln((CAST(n_pair AS DOUBLE) * n_tokens * n_tokens)
+                         / (CAST(m_pairs AS DOUBLE) * u1.n_w * u2.n_w)), 6)
+             AS DOUBLE) AS pmi
+    FROM pairs
+    JOIN uni u1 ON u1.w = pairs.w1
+    JOIN uni u2 ON u2.w = pairs.w2
+    CROSS JOIN tot
+    WHERE n_pair >= 5
+    ORDER BY pmi DESC, n_pair DESC, w1, w2
+    LIMIT 50
+    """,
+)
+def bigram_pmi_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-50 adjacent token pairs by PMI
+    (text/cooccur.py; Church & Hanks 1990, the word2vec phrase-pass
+    score).  Vocab-sized count tables, one corpus aggregate for both
+    totals, broadcast-gated unigram joins, TakeOrderedAndProject on the
+    rounded score."""
+    from gofast_spark.text.cooccur import bigram_pmi
+
+    return bigram_pmi(_docs(spark, sf_dir), "text", min_count=5, top_k=50)

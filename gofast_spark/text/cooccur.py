@@ -1,0 +1,100 @@
+"""Pointwise-mutual-information phrase mining over adjacent token pairs.
+
+PMI(x, y) = ln( p(x,y) / (p(x) p(y)) ) with p(x,y) from adjacent-bigram
+counts and p(x) from unigram counts (Church & Hanks 1990; the same score
+word2vec's phrase pass thresholds on, Mikolov et al. 2013).  High-PMI
+adjacent pairs are collocations ("new york", "machine learning") — the
+standard pre-tokenization phrase-detection signal for training corpora.
+
+Scale shape: bigrams and unigrams are each ONE explode + groupBy (the
+count tables are vocab-sized, not corpus-sized); the two totals ride a
+1-row broadcast; the unigram probabilities join back into the pair
+table twice, broadcast-gated on vocabulary size.  Top-k is
+TakeOrderedAndProject on the ROUNDED score so tie order is engine-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gofast_spark.text.analysis import normalize_text
+
+
+def bigram_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_count: int = 5,
+    top_k: int = 50,
+    broadcast_limit: int | None = 500_000,
+) -> DataFrame:
+    """Top-``top_k`` adjacent pairs by PMI: ``(w1, w2, n_pair, pmi)``.
+
+    ``min_count`` drops rare pairs (PMI is noise-dominated at tiny
+    counts — the Church & Hanks caveat); ``broadcast_limit`` gates the
+    unigram-table broadcast exactly like the other dedup/scaling
+    operators (above it the joins shuffle and AQE decides)."""
+    toks = df.select(
+        F.split(normalize_text(text_col), " ").alias("tk")
+    ).where(F.size("tk") > 0)
+
+    pairs = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("tk"), 1, F.size("tk") - 1).alias("w1"),
+                F.slice(F.col("tk"), 2, F.size("tk") - 1).alias("w2"),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    pair_counts = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("n_pair")
+    )
+
+    uni = (
+        toks.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    if broadcast_limit is None or uni.count() <= broadcast_limit:
+        uni = F.broadcast(uni)
+
+    # both totals in ONE corpus aggregate (sum of sizes == sum of the
+    # count tables, without recomputing either explode)
+    totals = toks.agg(
+        F.sum(F.size("tk")).alias("n_tokens"),
+        F.sum(F.size("tk") - 1).alias("m_pairs"),
+    )
+
+    scored = (
+        pair_counts.where(F.col("n_pair") >= min_count)
+        .join(uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n2")), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            # double from the FIRST multiply (left-assoc promotion) —
+            # pure-int64 products overflow at corpus scale, and the
+            # oracle replays the identical promotion order
+            F.round(
+                F.log(
+                    (
+                        F.col("n_pair").cast("double")
+                        * F.col("n_tokens")
+                        * F.col("n_tokens")
+                    )
+                    / (
+                        F.col("m_pairs").cast("double")
+                        * F.col("n1")
+                        * F.col("n2")
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("n_pair").desc(), "w1", "w2"
+    ).limit(top_k)
