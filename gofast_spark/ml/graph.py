@@ -122,8 +122,11 @@ def pagerank(
         # broadcast mode: every round's broadcast materialization is a
         # SEPARATE job that replays the rank lineage from the last
         # truncation point — so truncate the (node-sized, cheap) frame
-        # every round.  Sort-merge mode has one job total; there the
-        # periodic cadence is enough.
-        if broadcast_ranks or (it + 1) % checkpoint_every == 0:
+        # every round EXCEPT the last (nothing re-broadcasts after it;
+        # the final consumer executes the last round's two joins once
+        # either way, so the extra job is pure overhead).  Sort-merge
+        # mode has one job total; there the periodic cadence is enough.
+        last = it + 1 == iterations
+        if (broadcast_ranks and not last) or (it + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", "rank")
