@@ -2042,3 +2042,87 @@ def bigram_pmi_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gofast_spark.text.cooccur import bigram_pmi
 
     return bigram_pmi(_docs(spark, sf_dir), "text", min_count=5, top_k=50)
+
+
+_URL_TRK = "(utm_[a-z]+|fbclid|gclid)=[^&#]*"
+
+
+@query(
+    "url_dedup_documents",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id,
+             CASE doc_id % 3
+               WHEN 0 THEN 'HTTPS://WWW.Site' || (doc_id % 20) ||
+                 '.com/Page' || (doc_id % 50) || '?utm_source=x&id=' ||
+                 (doc_id % 7)
+               WHEN 1 THEN 'http://site' || (doc_id % 20) || '.com/Page' ||
+                 (doc_id % 50) || '?id=' || (doc_id % 7) ||
+                 '&utm_campaign=y#frag'
+               ELSE 'https://site' || (doc_id % 20) || '.com/page' ||
+                 (doc_id % 50) || '/'
+             END AS url
+      FROM documents),
+    norm AS (
+      SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          lower(trim(url)),
+          '^https?://', '', 'g'),
+          '^www\\.', '', 'g'),
+          '#.*$', '', 'g'),
+          '&{_URL_TRK}', '', 'g'),
+          '\\?{_URL_TRK}&', '?', 'g'),
+          '\\?{_URL_TRK}$', '', 'g'),
+          '[?&]+$', '', 'g'),
+          '/$', '', 'g') AS u
+      FROM raw)
+    SELECT u AS url, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS canonical_doc
+    FROM norm GROUP BY u HAVING count(*) > 1
+    """,
+)
+def url_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-key dedup, the C4/CCNet first pass (text/columns.py
+    normalize_url): deterministic messy URLs (scheme/case/www/tracking
+    params/fragments/trailing slashes all varying) collapse to one
+    canonical key; groups >1 report their min-id survivor.  Pure
+    codegen regex chain + one groupBy — the oracle replays the chain
+    with DuckDB regexp_replace('g')."""
+    from gofast_spark.text.columns import normalize_url
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    url = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("HTTPS://WWW.Site"), (F.col("doc_id") % 20),
+                F.lit(".com/Page"), (F.col("doc_id") % 50),
+                F.lit("?utm_source=x&id="), (F.col("doc_id") % 7),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("http://site"), (F.col("doc_id") % 20),
+                F.lit(".com/Page"), (F.col("doc_id") % 50),
+                F.lit("?id="), (F.col("doc_id") % 7),
+                F.lit("&utm_campaign=y#frag"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://site"), (F.col("doc_id") % 20),
+                F.lit(".com/page"), (F.col("doc_id") % 50), F.lit("/"),
+            )
+        )
+    )
+    normed = d.select("doc_id", normalize_url(url).alias("url"))
+    return (
+        normed.groupBy("url")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+        .where(F.col("n_docs") > 1)
+    )

@@ -96,3 +96,29 @@ def summarize_text_columns(
             F.concat_ws(" ", F.slice(toks, 1, max_tokens)),
         )
     return out
+
+
+def normalize_url(col: Column | str) -> Column:
+    """Canonical URL key for source-level dedup (the C4/CCNet corpus
+    pipelines dedup documents by normalized URL before any content
+    hashing): lowercase, scheme stripped, ``www.`` stripped, fragment
+    dropped, tracking parameters (``utm_*``/``fbclid``/``gclid``)
+    removed, empty query and trailing slash trimmed.
+
+    Pure codegen regex chain (RE2-portable patterns, same contract as
+    text/pii.py) — zero shuffle; dedup is then one groupBy/dropDuplicates
+    on the key."""
+    c = F.col(col) if isinstance(col, str) else col
+    u = F.lower(F.trim(c))
+    u = F.regexp_replace(u, r"^https?://", "")
+    u = F.regexp_replace(u, r"^www\.", "")
+    u = F.regexp_replace(u, r"#.*$", "")                  # fragment
+    # tracking params, wherever they sit: strip &-prefixed occurrences,
+    # then a leading ?param followed by more params, then a lone ?param
+    trk = r"(utm_[a-z]+|fbclid|gclid)=[^&#]*"
+    u = F.regexp_replace(u, f"&{trk}", "")
+    u = F.regexp_replace(u, rf"\?{trk}&", "?")
+    u = F.regexp_replace(u, rf"\?{trk}$", "")
+    u = F.regexp_replace(u, r"[?&]+$", "")                # empty query tail
+    u = F.regexp_replace(u, r"/$", "")                    # trailing slash
+    return u

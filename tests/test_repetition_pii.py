@@ -108,3 +108,23 @@ def test_corpus_filter_first_failure_wins(spark):
     # fails min_tokens AND min_stopword_ratio; attribution = first rule
     r = _cf(spark, "zz qq")
     assert r["reason"] == "min_tokens"
+
+
+def test_normalize_url_cases(spark):
+    from pyspark.sql import functions as F
+
+    from gofast_spark.text.columns import normalize_url
+
+    cases = [
+        ("HTTPS://WWW.Example.com/A/", "example.com/a"),
+        ("http://example.com/a?utm_source=x", "example.com/a"),
+        ("example.com/a?id=1&utm_campaign=y&b=2", "example.com/a?id=1&b=2"),
+        ("example.com/a?utm_a=1&id=3", "example.com/a?id=3"),
+        ("example.com/a?utm_a=1&utm_b=2", "example.com/a"),
+        ("example.com/a#section", "example.com/a"),
+        ("example.com/a?fbclid=abc#x", "example.com/a"),
+        ("example.com", "example.com"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["u"])
+    got = [r["n"] for r in df.select(normalize_url("u").alias("n")).collect()]
+    assert got == [e for _, e in cases]
