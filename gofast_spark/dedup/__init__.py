@@ -26,6 +26,7 @@ from gofast_spark.dedup.cluster import (
     connected_components,
     connected_components_two_phase,
     dedup_near_duplicates,
+    keep_best,
     keep_canonical,
     leakage_safe_split,
     near_dup_clusters,
@@ -66,6 +67,7 @@ __all__ = [
     "connected_components",
     "connected_components_two_phase",
     "near_dup_clusters",
+    "keep_best",
     "keep_canonical",
     "dedup_near_duplicates",
     "leakage_safe_split",

@@ -382,3 +382,52 @@ def leakage_safe_split(
     train = keyed.where(b >= cut).drop("__cc_id", "__cc_lab", "__gkey")
     test = keyed.where(b < cut).drop("__cc_id", "__cc_lab", "__gkey")
     return train, test
+
+
+def keep_best(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str,
+    score_col: str,
+    *,
+    cluster_id_col: str = "cluster_id",
+    broadcast_limit: int | None = 500_000,
+) -> DataFrame:
+    """Keep the highest-``score_col`` member of each duplicate cluster
+    (ties -> min id) plus every unclustered row — the quality-weighted
+    variant of :func:`keep_canonical` (keep the longest / best-scored
+    near-duplicate instead of an arbitrary min-id survivor, the usual
+    corpus-curation choice).
+
+    Winner selection runs on the CLUSTERED population only (cluster
+    frame joined to the corpus scores): one max-score aggregate then a
+    min-id aggregate among the maximizers — deterministic for any
+    orderable id type, no window.  The corpus-side plan stays one
+    (gated-broadcast) left join + filter, same as keep_canonical."""
+    cl = clusters.select(
+        F.col("id").alias("__cc_id"),
+        F.col(cluster_id_col).alias("__cc_lab"),
+    )
+    scored = cl.join(
+        df.select(
+            F.col(id_col).alias("__cc_id"), F.col(score_col).alias("__sc")
+        ),
+        "__cc_id",
+    )
+    mx = scored.groupBy("__cc_lab").agg(F.max("__sc").alias("__mx"))
+    winners = (
+        scored.join(mx, "__cc_lab")
+        .where(F.col("__sc") == F.col("__mx"))
+        .groupBy("__cc_lab")
+        .agg(F.min("__cc_id").alias("__win"))
+    )
+    small = broadcast_limit is None or clusters.count() <= broadcast_limit
+    if small:
+        cl = F.broadcast(cl)
+        winners = F.broadcast(winners)
+    return (
+        df.join(cl, df[id_col] == F.col("__cc_id"), "left")
+        .join(winners, "__cc_lab", "left")
+        .where(F.col("__cc_lab").isNull() | (df[id_col] == F.col("__win")))
+        .drop("__cc_id", "__cc_lab", "__win")
+    )

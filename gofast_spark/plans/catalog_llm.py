@@ -2126,3 +2126,39 @@ def url_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_docs") > 1)
     )
+
+
+@query(
+    "near_dup_best_survivors",
+    oracle=f"""
+    WITH RECURSIVE {_PAIR_CTES},
+    clusters AS (SELECT id, min(lab) AS cluster_id FROM comp GROUP BY id),
+    scored AS (
+      SELECT c.cluster_id, c.id, d.n_chars
+      FROM clusters c JOIN documents d ON d.doc_id = c.id),
+    win AS (
+      SELECT cluster_id, id FROM (
+        SELECT cluster_id, id,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY n_chars DESC, id) AS rn
+        FROM scored) WHERE rn = 1)
+    SELECT d.doc_id
+    FROM documents d
+    LEFT JOIN clusters c ON c.id = d.doc_id
+    LEFT JOIN win w ON w.cluster_id = c.cluster_id
+    WHERE c.id IS NULL OR d.doc_id = w.id
+    """,
+)
+def near_dup_best_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted near-dedup (dedup/cluster.py keep_best): each
+    duplicate cluster keeps its LONGEST member (n_chars score, min-id
+    tiebreak) instead of the arbitrary min-id — the usual corpus
+    curation rule.  Winner selection is two vocab-sized aggregates over
+    the clustered population; the corpus side stays one gated-broadcast
+    left join + filter.  Oracle: the recursive-CTE transitive closure
+    plus a rank window replay."""
+    from gofast_spark.dedup import keep_best, near_dup_clusters
+
+    d = _docs(spark, sf_dir)
+    clusters = near_dup_clusters(d, "doc_id", "text", threshold=0.8)
+    return keep_best(d, clusters, "doc_id", "n_chars").select("doc_id")

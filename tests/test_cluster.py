@@ -96,3 +96,27 @@ def test_two_phase_long_chain_converges_fast(spark):
     pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, max_iter=10)
+
+
+def test_keep_best_prefers_high_score_min_id_tiebreak(spark):
+    from pyspark.sql import Row
+
+    from gofast_spark.dedup import keep_best
+
+    df = spark.createDataFrame(
+        [
+            Row(id=1, s=5, txt="a"),
+            Row(id=2, s=9, txt="b"),   # cluster A winner (max score)
+            Row(id=3, s=9, txt="c"),   # tie on score -> id 2 wins
+            Row(id=10, s=1, txt="d"),  # unclustered -> survives
+            Row(id=20, s=0, txt="e"),  # cluster B
+            Row(id=21, s=4, txt="f"),  # cluster B winner
+        ]
+    )
+    clusters = spark.createDataFrame(
+        [Row(id=1, cluster_id=1), Row(id=2, cluster_id=1),
+         Row(id=3, cluster_id=1), Row(id=20, cluster_id=20),
+         Row(id=21, cluster_id=20)]
+    )
+    out = {r["id"] for r in keep_best(df, clusters, "id", "s").collect()}
+    assert out == {2, 10, 21}
