@@ -716,3 +716,44 @@ def robust_scale_grouped_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round("value_robust", 6).cast("double").alias("value_robust"),
     )
+
+
+@query(
+    "benford_profile_acctbal",
+    oracle="""
+    WITH v AS (
+      SELECT abs(c_acctbal) AS a FROM customer
+      WHERE c_acctbal IS NOT NULL AND abs(c_acctbal) > 0),
+    d AS (
+      SELECT CAST(floor(a / pow(10, floor(log10(a)))) AS INT) AS digit
+      FROM v),
+    obs AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+    tot AS (SELECT sum(n) AS total FROM obs)
+    SELECT digit, CAST(n AS BIGINT) AS n,
+           CAST(round(n * 1.0 / total, 6) AS DOUBLE) AS observed,
+           CAST(round(log10(1.0 + 1.0 / digit), 6) AS DOUBLE) AS expected,
+           CAST(round(pow(n - total * log10(1.0 + 1.0 / digit), 2)
+                      / (total * log10(1.0 + 1.0 / digit)), 4) AS DOUBLE)
+             AS chi2_term
+    FROM obs, tot
+    """,
+)
+def benford_profile_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of account balances
+    (quality/audit.py benford_profile; Benford 1938 / Nigrini's
+    auditing use).  The engine extracts the digit from the canonical
+    string form (no per-row log); the oracle extracts it NUMERICALLY
+    via floor(a / 10^floor(log10 a)) — two independent definitions of
+    'first significant digit' agreeing bit-for-bit, then one 9-group
+    aggregate."""
+    from gofast_spark.quality import benford_profile
+
+    c = _t(spark, sf_dir, "customer")
+    out = benford_profile(c, "c_acctbal")
+    return out.select(
+        "digit",
+        "n",
+        F.round("observed", 6).cast("double").alias("observed"),
+        F.round("expected", 6).cast("double").alias("expected"),
+        F.round("chi2_term", 4).cast("double").alias("chi2_term"),
+    )

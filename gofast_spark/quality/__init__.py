@@ -13,7 +13,7 @@ from gofast_spark.quality.scaling import (
     z_scores,
 )
 from gofast_spark.quality.skew import boxcox_lambda, boxcox_transformation, handle_skew, skewness_profile
-from gofast_spark.quality.audit import audit_data, verify_data_integrity
+from gofast_spark.quality.audit import audit_data, benford_profile, verify_data_integrity
 from gofast_spark.quality.control import data_assistant, quality_control
 from gofast_spark.quality.augment import (
     add_noises_to,
@@ -42,6 +42,7 @@ __all__ = [
     "z_scores",
     "handle_skew",
     "audit_data",
+    "benford_profile",
     "verify_data_integrity",
     "missing_profile",
     "skewness_profile",

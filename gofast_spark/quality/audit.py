@@ -95,3 +95,47 @@ def audit_data(
     if handle_scaling:
         out = minmax_scale(out, num)
     return out
+
+
+def benford_profile(df: DataFrame, col: str) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    classic fabricated-data / unit-mixing audit for financial columns
+    (Benford 1938; Nigrini's auditing methodology).  Returns one row per
+    digit 1-9: observed count, observed fraction, the Benford expectation
+    ``log10(1 + 1/d)``, and the squared standardized residual whose sum
+    is the chi-square statistic against the Benford null.
+
+    Scale shape: first digit = one string expression on ``abs(value)``
+    (no log/pow per row), then a 9-group aggregate; the expectation and
+    residuals are constants joined onto the 9-row result — the corpus is
+    scanned once regardless of size."""
+    v = F.abs(F.col(col))
+    # first significant digit = first nonzero digit of the canonical
+    # string form (scientific notation included: the mantissa leads);
+    # valid for any finite nonzero numeric, no per-row log/pow
+    digit = F.regexp_extract(v.cast("string"), "([1-9])", 1)
+    obs = (
+        df.where(v.isNotNull() & (v > 0))
+        .select(digit.cast("int").alias("digit"))
+        .where(F.col("digit").isNotNull())
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = obs.agg(F.sum("n").alias("total"))
+    out = obs.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        (F.col("n") / F.col("total")).alias("observed"),
+        F.log10(1.0 + 1.0 / F.col("digit")).alias("expected"),
+        "total",
+    )
+    return out.select(
+        "digit",
+        "n",
+        "observed",
+        "expected",
+        (
+            F.pow(F.col("n") - F.col("total") * F.col("expected"), 2)
+            / (F.col("total") * F.col("expected"))
+        ).alias("chi2_term"),
+    )

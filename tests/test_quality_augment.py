@@ -81,3 +81,32 @@ def test_handle_unique_identifiers_transform_func(spark):
     vals = {r["uid"] for r in out.collect()}
     assert vals == set(range(10))  # uid folded, const untouched
     assert out.columns == ["uid", "const"]
+
+
+def test_benford_profile_digits_and_chi2(spark):
+    from pyspark.sql import functions as F
+
+    from gofast_spark.quality import benford_profile
+
+    # exact Benford sample: counts proportional to log10(1 + 1/d)
+    import math
+
+    rows = []
+    for d in range(1, 10):
+        n = round(1000 * math.log10(1 + 1 / d))
+        rows += [(float(f"{d}23.45"),)] * n
+    rows += [(None,), (0.0,), (-0.0,)]  # excluded
+    df = spark.createDataFrame(rows, ["v"])
+    out = {r["digit"]: r for r in benford_profile(df, "v").collect()}
+    assert set(out) == set(range(1, 10))
+    total = sum(r["n"] for r in out.values())
+    assert total == sum(
+        round(1000 * math.log10(1 + 1 / d)) for d in range(1, 10)
+    )
+    # near-perfect Benford -> tiny chi2
+    chi2 = sum(r["chi2_term"] for r in out.values())
+    assert chi2 < 1.0, chi2
+    # scientific-notation magnitudes still classify by mantissa digit
+    tiny = spark.createDataFrame([(3e-9,), (7e12,)], ["v"])
+    got = sorted(r["digit"] for r in benford_profile(tiny, "v").collect())
+    assert got == [3, 7]
