@@ -2162,3 +2162,48 @@ def near_dup_best_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     clusters = near_dup_clusters(d, "doc_id", "text", threshold=0.8)
     return keep_best(d, clusters, "doc_id", "n_chars").select("doc_id")
+
+
+@query(
+    "corpus_report_documents",
+    oracle=f"""
+    WITH norm AS (
+      SELECT source, lang, {_norm_sql('text')} AS t FROM documents),
+    toks AS (
+      SELECT source, lang, string_split(t, ' ') AS tk FROM norm),
+    rowstats AS (
+      SELECT source, lang,
+             len(tk) AS n_tokens,
+             CAST(trunc((len(list_distinct(tk)) * 1.0 / len(tk))
+                        * 1000000.0 + 0.5) AS BIGINT) AS uniq_u6,
+             CAST(trunc((len(list_filter(tk, x -> list_contains({_STOP}, x)))
+                         * 1.0 / len(tk)) * 1000000.0 + 0.5) AS BIGINT)
+               AS stop_u6
+      FROM toks)
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS tok_sum,
+           CAST(sum(n_tokens) / CAST(count(*) AS DOUBLE) AS DOUBLE)
+             AS mean_tokens,
+           CAST(sum(uniq_u6) / (count(*) * 1000000.0) AS DOUBLE)
+             AS mean_unique_ratio,
+           CAST(sum(stop_u6) / (count(*) * 1000000.0) AS DOUBLE)
+             AS mean_stopword_ratio
+    FROM rowstats GROUP BY source, lang
+    """,
+)
+def corpus_report_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) dataset-card aggregates (text/analysis.py
+    corpus_report): one row-local stats projection + one groupBy; ratio
+    means ride integer micro-units so 1000-executor regrouping is
+    bit-exact."""
+    from gofast_spark.text.analysis import corpus_report
+
+    d = _docs(spark, sf_dir)
+    out = corpus_report(d, "text")
+    return out.select(
+        "source", "lang", "n_docs", "tok_sum",
+        F.col("mean_tokens").cast("double").alias("mean_tokens"),
+        F.col("mean_unique_ratio").cast("double").alias("mean_unique_ratio"),
+        F.col("mean_stopword_ratio").cast("double").alias("mean_stopword_ratio"),
+    )

@@ -133,3 +133,45 @@ def language_id(df: DataFrame, text_col: str, *, out_col: str = "lang_pred") -> 
         )
     best = F.sort_array(F.array(*scores))[0]["code"]
     return df.withColumn(out_col, best)
+
+
+def corpus_report(
+    df: DataFrame,
+    text_col: str,
+    group_cols: "Sequence[str]" = ("source", "lang"),
+) -> DataFrame:
+    """The per-(source, language) "dataset card" frame every corpus
+    build publishes: document counts, token totals, mean document
+    length, mean lexical diversity (unique-token ratio), mean stopword
+    ratio.  One row-local :func:`text_stats` projection feeding ONE
+    groupBy — corpus scanned once, result is group-cardinality sized.
+
+    Ratio means are quantized to integer micro-units per row before
+    summation (the engine's exact-money policy), so the aggregate is
+    bit-identical under any partition regrouping — a double sum across
+    1000 executors would not be."""
+    s = text_stats(df, text_col)
+
+    def u6(c):
+        # trunc(x*1e6 + 0.5): engine-portable HALF_UP on the binary
+        # double (F.round would round the shortest DECIMAL repr — off by
+        # one micro-unit on values like ...5.499999999996; same recipe
+        # as plans.catalog._units6)
+        return (c * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+    # no final round(): the means are exact-integer divisions, so both
+    # engines produce the bit-identical double — a round() at a .5 tie
+    # (e.g. sum_u6/n landing on ...55e-7) splits between Spark's
+    # decimal-repr rounding and DuckDB's binary rounding
+    return s.groupBy(*list(group_cols)).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("tok_sum"),
+        (F.sum("n_tokens") / F.count(F.lit(1))).alias("mean_tokens"),
+        (
+            F.sum(u6(F.col("n_unique_tokens") / F.col("n_tokens")))
+            / (F.count(F.lit(1)) * F.lit(1_000_000.0))
+        ).alias("mean_unique_ratio"),
+        (
+            F.sum(u6(F.col("stopword_ratio")))
+            / (F.count(F.lit(1)) * F.lit(1_000_000.0))
+        ).alias("mean_stopword_ratio"),
+    )
