@@ -216,3 +216,49 @@ def stratified_sampling(
     no shuffle.
     """
     return df.sampleBy(strata_col, fractions, seed)
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    *,
+    k: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: the top-k
+    rows by the exponential-key order of Efraimidis & Spirakis (2006),
+    ``key = ln(u) / w`` with a portable per-id uniform ``u`` — a row's
+    inclusion probability is proportional to its weight, and the whole
+    draw is one TakeOrderedAndProject (no shuffle beyond top-k, no
+    state, reproducible across engines and partitionings).
+
+    This is the same machinery as DSIR's Gumbel top-k resampling
+    (text/dsir.py) exposed as a general operator: any importance- or
+    quality-weighted subset selection (eval-set carving, curriculum
+    head sampling) is this one call.  Zero/negative/null weights are
+    excluded (they cannot be drawn)."""
+    from pyspark.sql import functions as F
+
+    u_m = 2_147_483_648
+    key = F.concat(
+        F.lit(f"{seed}|"), F.col(id_col).cast("string")
+    )
+    u = (
+        F.pmod(
+            F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint"),
+            F.lit(u_m),
+        )
+        / F.lit(float(u_m))
+    )
+    w = F.col(weight_col).cast("double")
+    # ln(u)/w in (-inf, 0): maximizing it == the E-S key u^(1/w);
+    # guard u=0 by the +1 shift into (0, 1]
+    es_key = F.log((u * F.lit(u_m) + 1.0) / F.lit(float(u_m + 1))) / w
+    return (
+        df.where(w.isNotNull() & (w > 0))
+        .withColumn("__es", es_key)
+        .orderBy(F.col("__es").desc(), F.col(id_col))
+        .limit(k)
+        .drop("__es")
+    )

@@ -239,3 +239,34 @@ def temperature_sampled_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = mixture_sample(d, "source", rates, "doc_id", seed=42)
     return out.groupBy("source").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+@query(
+    "weighted_sample_customers",
+    oracle="""
+    WITH w AS (
+      SELECT c_custkey, c_acctbal,
+             ((CAST('0x' || substr(md5('7|' || CAST(c_custkey AS VARCHAR)),
+                                   1, 15) AS BIGINT) % 2147483648)
+              / CAST(2147483648 AS DOUBLE)) AS u
+      FROM customer WHERE c_acctbal IS NOT NULL AND c_acctbal > 0),
+    keyed AS (
+      SELECT c_custkey, c_acctbal,
+             ln((u * 2147483648 + 1.0) / CAST(2147483649 AS DOUBLE))
+               / CAST(c_acctbal AS DOUBLE) AS es
+      FROM w)
+    SELECT c_custkey, c_acctbal
+    FROM keyed ORDER BY es DESC, c_custkey LIMIT 20
+    """,
+)
+def weighted_sample_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis 2006,
+    operators/sampling.py weighted_sample): 20 customers drawn with
+    probability proportional to positive account balance, via the
+    exponential-key top-k over a portable md5 uniform — one
+    TakeOrderedAndProject, reproducible on any partitioning.  The
+    oracle replays key construction and ordering verbatim."""
+    from gofast_spark.operators.sampling import weighted_sample
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    return weighted_sample(c, "c_custkey", "c_acctbal", k=20, seed=7)

@@ -197,3 +197,32 @@ def test_two_phase_cc_matches_union_find(spark, edges):
         for r in connected_components_two_phase(df).collect()
     }
     assert got == expected
+
+
+def test_weighted_sample_proportionality_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from gofast_spark.operators.sampling import weighted_sample
+
+    # two weight classes, 10x apart: heavy ids should dominate the draw
+    df = spark.range(2000).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, 10.0).otherwise(1.0).alias("w"),
+    )
+    out = weighted_sample(df, "id", "w", k=200, seed=3)
+    rows = out.collect()
+    assert len(rows) == 200
+    heavy = sum(1 for r in rows if r["id"] % 2 == 0)
+    # E[heavy] ~ 183 for 10:1 weights; allow wide slack
+    assert heavy > 140, heavy
+    # deterministic under repartitioning
+    again = weighted_sample(df.repartition(17), "id", "w", k=200, seed=3)
+    assert sorted(r["id"] for r in rows) == sorted(
+        r["id"] for r in again.collect()
+    )
+    # zero/negative/null weights never drawn
+    bad = spark.createDataFrame(
+        [(1, 0.0), (2, -5.0), (3, None), (4, 2.0)], "id long, w double"
+    )
+    got = {r["id"] for r in weighted_sample(bad, "id", "w", k=10).collect()}
+    assert got == {4}
