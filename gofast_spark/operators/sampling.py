@@ -262,3 +262,44 @@ def weighted_sample(
         .limit(k)
         .drop("__es")
     )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    group_cols,
+    *,
+    k: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Stratified :func:`weighted_sample`: an independent
+    Efraimidis-Spirakis draw of ``k`` rows inside EVERY group (balanced
+    per-source/per-language subsets — the corpus-curation staple).  One
+    rank window partitioned by the group keys; state per group is the
+    top-k heap, never the group's rows."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    u_m = 2_147_483_648
+    key = F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string"))
+    u = (
+        F.pmod(
+            F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint"),
+            F.lit(u_m),
+        )
+        / F.lit(float(u_m))
+    )
+    w = F.col(weight_col).cast("double")
+    es_key = F.log((u * F.lit(u_m) + 1.0) / F.lit(float(u_m + 1))) / w
+    win = Window.partitionBy(*groups).orderBy(
+        F.col("__es").desc(), F.col(id_col)
+    )
+    return (
+        df.where(w.isNotNull() & (w > 0))
+        .withColumn("__es", es_key)
+        .withColumn("__rn", F.row_number().over(win))
+        .where(F.col("__rn") <= k)
+        .drop("__es", "__rn")
+    )

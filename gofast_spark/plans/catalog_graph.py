@@ -339,3 +339,56 @@ def zorder_write_morton_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("z").alias("z_sum"),
         )
     )
+
+
+@query(
+    "table_diff_customer",
+    oracle="""
+    WITH old AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+    new AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 10 = 0 THEN 'MOVED'
+                  ELSE c_mktsegment END AS c_mktsegment,
+             c_acctbal
+      FROM customer WHERE c_custkey % 7 <> 0
+      UNION ALL
+      SELECT c_custkey + 1000000, 'NEW', CAST(0.0 AS DOUBLE)
+      FROM customer WHERE c_custkey % 13 = 0)
+    SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+           CASE WHEN n.c_custkey IS NULL THEN 'delete'
+                WHEN o.c_custkey IS NULL THEN 'insert'
+                ELSE 'update' END AS change,
+           o.c_mktsegment AS c_mktsegment_old,
+           n.c_mktsegment AS c_mktsegment_new,
+           o.c_acctbal AS c_acctbal_old,
+           n.c_acctbal AS c_acctbal_new
+    FROM old o FULL OUTER JOIN new n ON n.c_custkey = o.c_custkey
+    WHERE n.c_custkey IS NULL OR o.c_custkey IS NULL
+       OR o.c_mktsegment <> n.c_mktsegment
+    """,
+)
+def table_diff_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed snapshot diff (operators/diff.py table_diff): CDC
+    extraction between two customer snapshots — deletes (key%7==0),
+    segment updates (key%10==0), synthetic inserts — as ONE full outer
+    join + codegen classification; the oracle is an independent CASE
+    resolution of the same join."""
+    from gofast_spark.operators.diff import table_diff
+
+    old = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    upd = old.where(F.col("c_custkey") % 7 != 0).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 10 == 0, "MOVED")
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+        "c_acctbal",
+    )
+    ins = old.where(F.col("c_custkey") % 13 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.lit("NEW").alias("c_mktsegment"),
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    new = upd.unionByName(ins)
+    return table_diff(old, new, "c_custkey")

@@ -270,3 +270,38 @@ def weighted_sample_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
     return weighted_sample(c, "c_custkey", "c_acctbal", k=20, seed=7)
+
+
+@query(
+    "weighted_sample_per_segment",
+    oracle="""
+    WITH w AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             ((CAST('0x' || substr(md5('7|' || CAST(c_custkey AS VARCHAR)),
+                                   1, 15) AS BIGINT) % 2147483648)
+              / CAST(2147483648 AS DOUBLE)) AS u
+      FROM customer WHERE c_acctbal IS NOT NULL AND c_acctbal > 0),
+    keyed AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             row_number() OVER (PARTITION BY c_mktsegment ORDER BY
+               ln((u * 2147483648 + 1.0) / CAST(2147483649 AS DOUBLE))
+                 / CAST(c_acctbal AS DOUBLE) DESC, c_custkey) AS rn
+      FROM w)
+    SELECT c_custkey, c_mktsegment, c_acctbal
+    FROM keyed WHERE rn <= 5
+    """,
+)
+def weighted_sample_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified weighted sampling (operators/sampling.py
+    weighted_sample_per_group): an independent Efraimidis-Spirakis draw
+    of 5 customers per market segment, balance-weighted — balanced
+    per-stratum subsets with one rank window, replayed verbatim by the
+    oracle."""
+    from gofast_spark.operators.sampling import weighted_sample_per_group
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    return weighted_sample_per_group(
+        c, "c_custkey", "c_acctbal", "c_mktsegment", k=5, seed=7
+    )

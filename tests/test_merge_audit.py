@@ -127,3 +127,29 @@ def test_suggest_shuffle_partitions_empty(spark):
     from gofast_spark.plans.audit import suggest_shuffle_partitions
 
     assert suggest_shuffle_partitions(spark.range(0), target_mb=64) == 1
+
+
+def test_table_diff_change_classification(spark):
+    from pyspark.sql import Row
+
+    from gofast_spark.operators.diff import table_diff
+
+    old = spark.createDataFrame(
+        [Row(k=1, v="a", x=1), Row(k=2, v="b", x=2), Row(k=3, v=None, x=3)]
+    )
+    new = spark.createDataFrame(
+        [Row(k=1, v="a", x=1),        # unchanged -> not emitted
+         Row(k=2, v="B", x=2),        # update
+         Row(k=4, v="d", x=4)],       # insert; k=3 deleted
+    )
+    out = {r["k"]: r for r in table_diff(old, new, "k").collect()}
+    assert set(out) == {2, 3, 4}
+    assert out[2]["change"] == "update" and out[2]["v_new"] == "B"
+    assert out[3]["change"] == "delete" and out[3]["v_new"] is None
+    assert out[4]["change"] == "insert" and out[4]["v_old"] is None
+    # null-safe compare: NULL -> NULL is unchanged
+    new2 = spark.createDataFrame([Row(k=3, v=None, x=3)])
+    only3 = table_diff(
+        old.where("k = 3"), new2, "k"
+    ).collect()
+    assert only3 == []
