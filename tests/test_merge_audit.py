@@ -148,7 +148,9 @@ def test_table_diff_change_classification(spark):
     assert out[3]["change"] == "delete" and out[3]["v_new"] is None
     assert out[4]["change"] == "insert" and out[4]["v_old"] is None
     # null-safe compare: NULL -> NULL is unchanged
-    new2 = spark.createDataFrame([Row(k=3, v=None, x=3)])
+    new2 = spark.createDataFrame(
+        [(3, None, 3)], "k bigint, v string, x bigint"
+    )
     only3 = table_diff(
         old.where("k = 3"), new2, "k"
     ).collect()
