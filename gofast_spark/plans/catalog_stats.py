@@ -1398,3 +1398,51 @@ def ridge_normal_eq_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         )],
         "w0 double, w1 double, w2 double, r2 double, n bigint",
     )
+
+
+@query(
+    "categorical_association_orders",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderpriority AS a, o_orderstatus AS b FROM orders
+      WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL),
+    joint AS (SELECT a, b, count(*) AS n_ab FROM base GROUP BY a, b),
+    ma AS (SELECT a, sum(n_ab) AS n_a FROM joint GROUP BY a),
+    mb AS (SELECT b, sum(n_ab) AS n_b FROM joint GROUP BY b),
+    tot AS (SELECT sum(n_ab) AS n, count(DISTINCT a) AS r,
+                   count(DISTINCT b) AS c FROM joint),
+    terms AS (
+      SELECT n_ab, n_a, n_b, n, r, c,
+             (CAST(n_a AS DOUBLE) * n_b) / n AS e
+      FROM joint JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tot)
+    SELECT CAST(round(sum(pow(n_ab - e, 2) / e), 6) AS DOUBLE) AS chi2,
+           CAST(round(sum((n_ab / CAST(n AS DOUBLE))
+                * ln((CAST(n_ab AS DOUBLE) * n)
+                     / (CAST(n_a AS DOUBLE) * n_b))), 6) AS DOUBLE)
+             AS mutual_info,
+           CAST(round(sqrt(sum(pow(n_ab - e, 2) / e)
+                / (CAST(any_value(n) AS DOUBLE)
+                   * (least(any_value(r), any_value(c)) - 1))), 6)
+             AS DOUBLE) AS cramers_v,
+           CAST(any_value(n) AS BIGINT) AS n,
+           CAST(any_value(r) AS INT) AS r,
+           CAST(any_value(c) AS INT) AS c
+    FROM terms
+    """,
+)
+def categorical_association_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square + Cramer's V + mutual information between order
+    priority and status in one pass (stats/relationships.py
+    categorical_association; Cramer 1946, Cover & Thomas ch. 2) — the
+    contingency table is category-pair sized, the corpus is scanned
+    once."""
+    from gofast_spark.stats.relationships import categorical_association
+
+    o = _t(spark, sf_dir, "orders")
+    out = categorical_association(o, "o_orderpriority", "o_orderstatus")
+    return out.select(
+        F.round("chi2", 6).cast("double").alias("chi2"),
+        F.round("mutual_info", 6).cast("double").alias("mutual_info"),
+        F.round("cramers_v", 6).cast("double").alias("cramers_v"),
+        "n", "r", "c",
+    )

@@ -145,3 +145,56 @@ def correlation_ops(
     if op == "weak":
         return m.where(a < threshold)
     raise ValueError(f"unsupported op {op!r}")
+
+
+def categorical_association(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Association measures between two categorical columns in one pass:
+    Pearson chi-square, Cramer's V (chi2 normalized to [0,1] by
+    ``n * (min(r,c)-1)``, Cramer 1946), and mutual information in nats
+    (the feature-selection score; Cover & Thomas ch. 2).
+
+    Scale shape: the contingency table is ONE groupBy (category-pair
+    sized, never row-sized); marginals are two aggregates OF that
+    table; expected counts and the three statistics are a broadcast
+    join + one final sum over the pair table.  Null categories are
+    excluded (pairwise deletion)."""
+    a, b = F.col(col_a), F.col(col_b)
+    base = df.where(a.isNotNull() & b.isNotNull())
+    joint = base.groupBy(
+        a.alias("__a"), b.alias("__b")
+    ).agg(F.count(F.lit(1)).alias("n_ab"))
+    ma = joint.groupBy("__a").agg(F.sum("n_ab").alias("n_a"))
+    mb = joint.groupBy("__b").agg(F.sum("n_ab").alias("n_b"))
+    tot = joint.agg(
+        F.sum("n_ab").alias("n"),
+        F.count_distinct("__a").alias("r"),
+        F.count_distinct("__b").alias("c"),
+    )
+    e = (F.col("n_a").cast("double") * F.col("n_b")) / F.col("n")
+    t = (
+        joint.join(F.broadcast(ma), "__a")
+        .join(F.broadcast(mb), "__b")
+        .crossJoin(F.broadcast(tot))
+    )
+    return t.agg(
+        F.sum(F.pow(F.col("n_ab") - e, 2) / e).alias("chi2"),
+        F.sum(
+            (F.col("n_ab") / F.col("n").cast("double"))
+            * F.log(
+                (F.col("n_ab").cast("double") * F.col("n"))
+                / (F.col("n_a").cast("double") * F.col("n_b"))
+            )
+        ).alias("mutual_info"),
+        F.sqrt(
+            F.sum(F.pow(F.col("n_ab") - e, 2) / e)
+            / (
+                F.first("n").cast("double")
+                * (F.least(F.first("r"), F.first("c")) - 1)
+            )
+        ).alias("cramers_v"),
+        F.first("n").alias("n"),
+        F.first("r").cast("int").alias("r"),
+        F.first("c").cast("int").alias("c"),
+    )

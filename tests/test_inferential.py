@@ -82,3 +82,4 @@ def test_chi2_matches_scipy(spark, events):
     assert abs(row["chi2"] - ref.statistic) < 1e-6
     assert row["dof"] == ref.dof
 
+

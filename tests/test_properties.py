@@ -226,3 +226,26 @@ def test_weighted_sample_proportionality_and_determinism(spark):
     )
     got = {r["id"] for r in weighted_sample(bad, "id", "w", k=10).collect()}
     assert got == {4}
+
+
+def test_categorical_association_reference_values(spark):
+    """2x2 table with known chi2/V/MI: [[30, 10], [10, 30]]."""
+    import math
+
+    from gofast_spark.stats.relationships import categorical_association
+
+    rows = (
+        [("x", "p")] * 30 + [("x", "q")] * 10
+        + [("y", "p")] * 10 + [("y", "q")] * 30
+    )
+    df = spark.createDataFrame(rows, ["a", "b"])
+    r = categorical_association(df, "a", "b").collect()[0]
+    # chi2 = n*(ad-bc)^2 / (r1*r2*c1*c2) = 80*(900-100)^2/40^4 = 20
+    assert abs(r["chi2"] - 20.0) < 1e-9
+    assert abs(r["cramers_v"] - math.sqrt(20.0 / 80)) < 1e-9
+    mi = sum(
+        (nab / 80) * math.log((nab * 80) / (40 * 40))
+        for nab in (30, 10, 10, 30)
+    )
+    assert abs(r["mutual_info"] - mi) < 1e-9
+    assert (r["n"], r["r"], r["c"]) == (80, 2, 2)
