@@ -62,6 +62,14 @@ HEADLINE = [
     "dsir_resample_documents",
     "incremental_dedup_pairs",
     "span_corruption_documents",
+    # round 7: in-plan PACF, SCD2 history, URL dedup, dataset-card
+    # aggregates, PMI collocations, quality-weighted dedup survivors
+    "pacf_daily_events",
+    "scd2_history_customer",
+    "url_dedup_documents",
+    "corpus_report_documents",
+    "bigram_pmi_documents",
+    "near_dup_best_survivors",
 ]
 
 
