@@ -130,3 +130,55 @@ def pagerank(
         if (broadcast_ranks and not last) or (it + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", "rank")
+
+
+def label_propagation(
+    edges: DataFrame,
+    *,
+    iterations: int = 3,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan,
+    Albert & Kumara 2007), made fully deterministic: every node starts
+    labelled with its own id and each round adopts the most frequent
+    label among its neighbours, ties broken by the SMALLEST label —
+    ``(max count, min label)`` — so the result is a pure function of
+    the edge set, independent of execution order (the original
+    algorithm's random tie-breaks are the known reproducibility
+    problem; the deterministic variant is standard practice for
+    auditable pipelines).
+
+    Per round: one edges ⋈ labels join, one (node, label) count
+    aggregate, one per-node argmax via ``max_by(label,
+    struct(cnt, -label))`` — no window, no collect; the label frame is
+    node-sized and checkpoint-truncated per round (the pagerank loop
+    discipline).  Fixed iteration count keeps it oracle-unrollable;
+    LPA converges in very few rounds on community-structured graphs.
+    Returns ``(node, label)``."""
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lab", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for it in range(iterations):
+        nbr = edges.join(
+            labels.select(
+                F.col("node").alias("dst"), F.col("lab").alias("nlab")
+            ),
+            "dst",
+        ).select(F.col("src").alias("node"), F.col("nlab"))
+        counts = nbr.groupBy("node", "nlab").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        new_labels = counts.groupBy("node").agg(
+            F.max_by(
+                "nlab", F.struct(F.col("cnt"), (-F.col("nlab")).alias("neg"))
+            ).alias("lab")
+        )
+        last = it + 1 == iterations
+        labels = (
+            new_labels if last
+            else new_labels.localCheckpoint(eager=True)
+        )
+    return labels.select("node", F.col("lab").alias("label"))

@@ -392,3 +392,63 @@ def table_diff_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     new = upd.unionByName(ins)
     return table_diff(old, new, "c_custkey")
+
+
+_LPA_ITER = 3
+
+
+def _lpa_oracle() -> str:
+    """Unrolled deterministic synchronous LPA: per round, neighbour-label
+    counts then argmax with the (max count, min label) tie-break as a
+    rank window — the exact semantics of ml.graph.label_propagation."""
+    ctes = [
+        f"""pairs AS (
+      SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS src,
+             CAST(l.l_suppkey + {_SUPP_OFFSET} AS BIGINT) AS dst
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    edges AS (
+      SELECT src, dst FROM pairs
+      UNION
+      SELECT dst AS src, src AS dst FROM pairs),
+    l0 AS (SELECT DISTINCT src AS node, src AS lab FROM edges)"""
+    ]
+    for t in range(1, _LPA_ITER + 1):
+        ctes.append(
+            f"""c{t} AS (
+      SELECT e.src AS node, p.lab AS nlab, count(*) AS cnt
+      FROM edges e JOIN l{t - 1} p ON p.node = e.dst
+      GROUP BY e.src, p.lab),
+    l{t} AS (
+      SELECT node, nlab AS lab FROM (
+        SELECT node, nlab,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY cnt DESC, nlab) AS rn
+        FROM c{t}) WHERE rn = 1)"""
+        )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT node, lab AS label FROM l{_LPA_ITER}
+    """
+
+
+@query("label_propagation_communities", oracle=_lpa_oracle())
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label-propagation communities over the
+    customer-supplier trading graph (ml/graph.py label_propagation;
+    Raghavan et al. 2007) — per round one edge join, one (node, label)
+    count, one max_by argmax with the (max count, min label)
+    tie-break; the oracle unrolls the identical chain with a rank
+    window."""
+    from gofast_spark.ml.graph import edges_from_pairs, label_propagation
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = orders.join(
+        li, orders["o_orderkey"] == li["l_orderkey"]
+    ).select(
+        F.col("o_custkey").alias("cust"),
+        (F.col("l_suppkey") + _SUPP_OFFSET).alias("supp"),
+    )
+    e = edges_from_pairs(pairs, "cust", "supp", undirected=True)
+    return label_propagation(e, iterations=_LPA_ITER)

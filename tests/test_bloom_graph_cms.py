@@ -137,3 +137,29 @@ def test_pagerank_broadcast_path_matches_smj(spark):
     r2 = {r.node: round(r.rank, 10)
           for r in pagerank(e, iterations=4, broadcast_ranks=True).collect()}
     assert r1 == r2
+
+
+def test_label_propagation_two_cliques(spark):
+    from pyspark.sql import functions as F
+
+    from gofast_spark.ml.graph import edges_from_pairs, label_propagation
+
+    # two 4-cliques joined by one bridge edge: LPA should give each
+    # clique one community; deterministic labels = min clique member
+    pairs = [(a, b) for a in range(4) for b in range(4) if a < b]
+    pairs += [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    pairs += [(3, 10)]
+    df = spark.createDataFrame(pairs, ["u", "v"])
+    e = edges_from_pairs(df, "u", "v", undirected=True)
+    out = {r["node"]: r["label"] for r in label_propagation(e, iterations=3).collect()}
+    assert len(out) == 8
+    assert len({out[n] for n in range(4)}) == 1
+    assert len({out[n] for n in range(10, 14)}) == 1
+    # determinism under repartitioning
+    out2 = {
+        r["node"]: r["label"]
+        for r in label_propagation(
+            e.repartition(7), iterations=3
+        ).collect()
+    }
+    assert out == out2
