@@ -182,3 +182,60 @@ def label_propagation(
             else new_labels.localCheckpoint(eager=True)
         )
     return labels.select("node", F.col("lab").alias("label"))
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation counts over an undirected graph.
+
+    The ordered-wedge strategy (Suri & Vassilvitskii, "Counting
+    Triangles and the Curse of the Last Reducer", WWW 2011): edges are
+    canonicalized to ``u < v``, wedges enumerate as one self-join on
+    the middle vertex with ``u < v < w``, and a second join against the
+    canonical edge set closes them.  Every triangle is produced exactly
+    once; work is Σ wedge-count, never all-pairs.  Returns
+    ``(node, triangles)`` for every vertex of the (symmetrized) input —
+    zero for triangle-free nodes; ``agg(sum/3)`` of the column is 3x
+    the global triangle count (each triangle credits its 3 corners)."""
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # wedges u < v < w centered at v, closed by the (u, w) edge
+    tri = (
+        canon.alias("a")
+        .join(
+            canon.alias("b"),
+            (F.col("a.v") == F.col("b.u")),
+        )
+        .select(
+            F.col("a.u").alias("u"), F.col("a.v").alias("v"),
+            F.col("b.v").alias("w"),
+        )
+        .join(
+            canon.select(
+                F.col("u").alias("cu"), F.col("v").alias("cw")
+            ),
+            (F.col("u") == F.col("cu")) & (F.col("w") == F.col("cw")),
+        )
+        .select("u", "v", "w")
+    )
+    corners = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("v").alias("node")))
+        .unionAll(tri.select(F.col("w").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    nodes = (
+        canon.select(F.col("u").alias("node"))
+        .unionByName(canon.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    return nodes.join(corners, "node", "left").select(
+        "node", F.coalesce("triangles", F.lit(0)).alias("triangles")
+    )

@@ -452,3 +452,45 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     e = edges_from_pairs(pairs, "cust", "supp", undirected=True)
     return label_propagation(e, iterations=_LPA_ITER)
+
+
+@query(
+    "triangle_count_modgraph",
+    oracle="""
+    WITH raw AS (
+      SELECT DISTINCT CAST(c_custkey % 60 AS BIGINT) AS src,
+             CAST((c_custkey * 7 + 3) % 60 AS BIGINT) AS dst
+      FROM customer),
+    canon AS (
+      SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      FROM raw WHERE src <> dst),
+    tri AS (
+      SELECT a.u, a.v, b.v AS w
+      FROM canon a JOIN canon b ON b.u = a.v
+      JOIN canon c ON c.u = a.u AND c.v = b.v),
+    corners AS (
+      SELECT node, count(*) AS triangles FROM (
+        SELECT u AS node FROM tri
+        UNION ALL SELECT v FROM tri
+        UNION ALL SELECT w FROM tri) GROUP BY node),
+    nodes AS (
+      SELECT u AS node FROM canon UNION SELECT v FROM canon)
+    SELECT n.node, CAST(coalesce(c.triangles, 0) AS BIGINT) AS triangles
+    FROM nodes n LEFT JOIN corners c ON c.node = n.node
+    """,
+)
+def triangle_count_modgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts via the ordered-wedge strategy (Suri &
+    Vassilvitskii WWW 2011; ml/graph.py triangle_count) over a
+    deterministic modular graph on customer keys — wedges u<v<w from
+    one self-join on the middle vertex, closed by the canonical edge
+    set; work is wedge-count-sized, never all-pairs.  The oracle
+    replays the identical canonical joins."""
+    from gofast_spark.ml.graph import triangle_count
+
+    c = _t(spark, sf_dir, "customer")
+    edges = c.select(
+        (F.col("c_custkey") % 60).cast("long").alias("src"),
+        ((F.col("c_custkey") * 7 + 3) % 60).cast("long").alias("dst"),
+    ).distinct()
+    return triangle_count(edges)

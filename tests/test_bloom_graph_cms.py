@@ -163,3 +163,19 @@ def test_label_propagation_two_cliques(spark):
         ).collect()
     }
     assert out == out2
+
+
+def test_triangle_count_known_graph(spark):
+    from gofast_spark.ml.graph import triangle_count
+
+    # K4 on {0,1,2,3} (4 triangles, each node in 3) plus a pendant node 9
+    pairs = [(a, b) for a in range(4) for b in range(4) if a < b] + [(3, 9)]
+    e = spark.createDataFrame(pairs, ["src", "dst"])
+    out = {r["node"]: r["triangles"] for r in triangle_count(e).collect()}
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3, 9: 0}
+    # symmetric/duplicate input edges do not double-count
+    e2 = e.unionAll(
+        e.selectExpr("dst as src", "src as dst")
+    ).unionAll(e)
+    out2 = {r["node"]: r["triangles"] for r in triangle_count(e2).collect()}
+    assert out2 == out
