@@ -2207,3 +2207,40 @@ def corpus_report_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mean_unique_ratio").cast("double").alias("mean_unique_ratio"),
         F.col("mean_stopword_ratio").cast("double").alias("mean_stopword_ratio"),
     )
+
+
+@query(
+    "source_overlap_documents",
+    oracle=f"""
+    WITH norm AS (SELECT source AS g, {_norm_sql('text')} AS t FROM documents),
+    tk AS (SELECT g, string_split(t, ' ') AS tk FROM norm),
+    grams AS (
+      SELECT DISTINCT g,
+             tk[i] || '|' || tk[i + 1] || '|' || tk[i + 2] AS gram
+      FROM tk, unnest(range(1, len(tk) - 1)) AS u(i)
+      WHERE len(tk) >= 3),
+    sizes AS (SELECT g, count(*) AS sz FROM grams GROUP BY g),
+    inter AS (
+      SELECT x.g AS a, y.g AS b, count(*) AS n_inter
+      FROM grams x JOIN grams y ON y.gram = x.gram AND x.g < y.g
+      GROUP BY x.g, y.g)
+    SELECT a, b, CAST(n_inter AS BIGINT) AS n_inter,
+           CAST(sa.sz AS BIGINT) AS sz_a, CAST(sb.sz AS BIGINT) AS sz_b,
+           CAST(n_inter / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) AS DOUBLE)
+             AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.g = inter.a
+    JOIN sizes sb ON sb.g = inter.b
+    """,
+)
+def source_overlap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source 3-gram Jaccard overlap matrix
+    (text/contamination.py source_overlap): the contamination audit
+    between corpus partitions before mixing — per-group distinct gram
+    sets, intersections from one gram equi-join (work proportional to
+    shared grams), broadcast set sizes.  Raw exact-integer division,
+    no rounding (bit-identical doubles)."""
+    from gofast_spark.text.contamination import source_overlap
+
+    d = _docs(spark, sf_dir)
+    return source_overlap(d, "source", "text", n=3)

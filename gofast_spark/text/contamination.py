@@ -117,3 +117,69 @@ def decontaminate(
     return corpus.join(
         flagged.select(id_col), id_col, "left_anti"
     )
+
+
+def source_overlap(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+) -> DataFrame:
+    """Pairwise n-gram Jaccard overlap between corpus partitions
+    (sources, dumps, snapshots): the cross-source contamination matrix
+    a corpus audit reports before mixing datasets.
+
+    Scale shape: each group's DISTINCT n-gram set is one
+    explode+distinct (group-vocabulary sized); intersections come from
+    one self-equi-join on the gram (work proportional to shared-gram
+    count, never |A| x |B|); set sizes join back broadcast.  Emits each
+    unordered pair once (a < b)."""
+    from gofast_spark.text.analysis import normalize_text
+
+    t = df.select(
+        F.col(group_col).alias("g"),
+        F.split(normalize_text(text_col), " ").alias("tk"),
+    )
+    # sequence(0, sz-n) DESCENDS for sz < n — guard short docs explicitly
+    gram = F.when(
+        F.size("tk") >= n,
+        F.expr(
+            f"transform(sequence(0, size(tk) - {n}), "
+            f"i -> concat_ws('|', slice(tk, i + 1, {n})))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = t.select("g", F.explode(gram).alias("gram")).distinct()
+    sizes = grams.groupBy("g").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        grams.alias("x")
+        .join(grams.alias("y"), "gram")
+        .where(F.col("x.g") < F.col("y.g"))
+        .groupBy(
+            F.col("x.g").alias("a"), F.col("y.g").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("g").alias("a"), F.col("sz").alias("sz_a"))),
+            "a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("g").alias("b"), F.col("sz").alias("sz_b"))),
+            "b",
+        )
+        .select(
+            "a",
+            "b",
+            "n_inter",
+            "sz_a",
+            "sz_b",
+            (
+                F.col("n_inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+    )

@@ -75,3 +75,23 @@ def test_eval_grams_broadcast(spark):
     plan = _plan(contamination_check(corpus, ev, "doc_id", "text", k=3))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_source_overlap_known_jaccard(spark):
+    from gofast_spark.text.contamination import source_overlap
+
+    # source A and B share exactly one 3-gram ('x y z'); C is disjoint
+    df = spark.createDataFrame(
+        [
+            ("A", "x y z p q"),        # grams: xyz, yzp, zpq
+            ("B", "x y z r"),          # grams: xyz, yzr
+            ("C", "m n o"),            # gram:  mno
+            ("C", "mm"),               # too short -> no grams
+        ],
+        ["source", "text"],
+    )
+    rows = {(r["a"], r["b"]): r for r in source_overlap(df, "source", "text").collect()}
+    assert set(rows) == {("A", "B")}
+    r = rows[("A", "B")]
+    assert (r["n_inter"], r["sz_a"], r["sz_b"]) == (1, 3, 2)
+    assert abs(r["jaccard"] - 0.25) < 1e-12
