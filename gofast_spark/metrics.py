@@ -305,3 +305,35 @@ def information_value(
             (F.col("__pg") - F.col("__pb")) * F.log(F.col("__pg") / F.col("__pb"))
         ).alias("information_value")
     )
+
+
+def calibration_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    *,
+    bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram frame: scores bucketed into ``bins`` equal
+    -width bins over [0, 1], each with its mean predicted score, the
+    observed positive rate, and count (DeGroot & Fienberg 1983; the
+    standard probability-calibration eval).  A well-calibrated model
+    has mean_score ~ pos_rate per bin.  One projection + one
+    ``bins``-group aggregate; means come from exact integer/micro-unit
+    sums so the result is partition-regrouping exact."""
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    b = F.least(
+        F.floor(s * F.lit(bins)).cast("int"), F.lit(bins - 1)
+    )
+    u6 = (s * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+    base = df.where(s.isNotNull() & y.isNotNull()).select(
+        b.alias("bin"), u6.alias("s_u6"), y.cast("bigint").alias("pos")
+    )
+    return base.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("s_u6") / (F.count(F.lit(1)) * F.lit(1e6))).alias(
+            "mean_score"
+        ),
+        (F.sum("pos") / F.count(F.lit(1)).cast("double")).alias("pos_rate"),
+    )

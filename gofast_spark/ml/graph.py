@@ -239,3 +239,39 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     return nodes.join(corners, "node", "left").select(
         "node", F.coalesce("triangles", F.lit(0)).alias("triangles")
     )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of endpoint degrees over the undirected edge list —
+    positive when high-degree nodes attach to each other (social
+    graphs), negative for hub-and-spoke (web/biological).  One degree
+    aggregate, two broadcast-eligible joins onto the symmetric edge
+    list, one corr; the per-edge frame is never widened beyond the two
+    degrees."""
+    sym = (
+        edges.select("src", "dst")
+        .unionByName(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    j = (
+        sym.join(deg.select(F.col("src"), F.col("deg").alias("deg_src")), "src")
+        .join(
+            deg.select(
+                F.col("src").alias("dst"), F.col("deg").alias("deg_dst")
+            ),
+            "dst",
+        )
+    )
+    return j.agg(
+        F.corr(
+            F.col("deg_src").cast("double"), F.col("deg_dst").cast("double")
+        ).alias("assortativity"),
+        (F.count(F.lit(1)) / 2).cast("bigint").alias("n_edges"),
+    )

@@ -494,3 +494,41 @@ def triangle_count_modgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("c_custkey") * 7 + 3) % 60).cast("long").alias("dst"),
     ).distinct()
     return triangle_count(edges)
+
+
+@query(
+    "degree_assortativity_modgraph",
+    oracle="""
+    WITH raw AS (
+      SELECT DISTINCT CAST(c_custkey % 60 AS BIGINT) AS src,
+             CAST((c_custkey * 7 + 3) % 60 AS BIGINT) AS dst
+      FROM customer),
+    sym AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM raw UNION ALL
+        SELECT dst, src FROM raw) WHERE src <> dst),
+    deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src)
+    SELECT CAST(round(corr(CAST(ds.deg AS DOUBLE), CAST(dd.deg AS DOUBLE)), 6)
+             AS DOUBLE) AS assortativity,
+           CAST(count(*) / 2 AS BIGINT) AS n_edges
+    FROM sym
+    JOIN deg ds ON ds.src = sym.src
+    JOIN deg dd ON dd.src = sym.dst
+    """,
+)
+def degree_assortativity_modgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002, ml/graph.py) over the same
+    deterministic modular graph as the triangle entry — endpoint-degree
+    correlation from one degree aggregate + two joins."""
+    from gofast_spark.ml.graph import degree_assortativity
+
+    c = _t(spark, sf_dir, "customer")
+    edges = c.select(
+        (F.col("c_custkey") % 60).cast("long").alias("src"),
+        ((F.col("c_custkey") * 7 + 3) % 60).cast("long").alias("dst"),
+    ).distinct()
+    out = degree_assortativity(edges)
+    return out.select(
+        F.round("assortativity", 6).cast("double").alias("assortativity"),
+        "n_edges",
+    )

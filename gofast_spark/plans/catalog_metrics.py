@@ -282,3 +282,35 @@ def information_value_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.round("information_value", 6).cast("double").alias("information_value")
     )
+
+
+@query(
+    "calibration_curve_orders",
+    oracle="""
+    WITH scored AS (
+      SELECT (CAST(o_custkey % 97 AS DOUBLE) / 97) AS s,
+             CAST(o_orderstatus = 'F' AS INT) AS y
+      FROM orders),
+    b AS (
+      SELECT least(CAST(floor(s * 10) AS INT), 9) AS bin,
+             CAST(trunc(s * 1000000 + 0.5) AS BIGINT) AS s_u6, y
+      FROM scored)
+    SELECT bin, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(s_u6) / (count(*) * 1000000.0) AS DOUBLE) AS mean_score,
+           CAST(sum(y) / CAST(count(*) AS DOUBLE) AS DOUBLE) AS pos_rate
+    FROM b GROUP BY bin
+    """,
+)
+def calibration_curve_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram (metrics.calibration_curve; DeGroot &
+    Fienberg 1983) for a deterministic synthetic score against the
+    finished-order label: decile bins, micro-unit-exact mean scores,
+    raw integer-division rates — one projection + one 10-group
+    aggregate."""
+    from gofast_spark.metrics import calibration_curve
+
+    o = _t(spark, sf_dir, "orders").select(
+        ((F.col("o_custkey") % 97).cast("double") / 97).alias("score"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("label"),
+    )
+    return calibration_curve(o, "score", "label", bins=10)

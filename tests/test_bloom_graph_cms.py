@@ -179,3 +179,13 @@ def test_triangle_count_known_graph(spark):
     ).unionAll(e)
     out2 = {r["node"]: r["triangles"] for r in triangle_count(e2).collect()}
     assert out2 == out
+
+
+def test_degree_assortativity_star_is_negative(spark):
+    from gofast_spark.ml.graph import degree_assortativity
+
+    # star K1,5: hub degree 5, leaves degree 1 -> perfectly disassortative
+    e = spark.createDataFrame([(0, i) for i in range(1, 6)], ["src", "dst"])
+    r = degree_assortativity(e).collect()[0]
+    assert r["n_edges"] == 5
+    assert r["assortativity"] < -0.99

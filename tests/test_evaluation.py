@@ -86,3 +86,24 @@ def test_residual_analysis_bundle(spark):
     assert abs(out["resid_mean"]) < 0.2
     assert out["resid_sd"] == pytest.approx(1.0, abs=0.2)
     assert 1.5 < out["dw_stat"] < 2.5  # iid noise -> DW ~ 2
+
+
+def test_calibration_curve_perfectly_calibrated(spark):
+    from pyspark.sql import functions as F
+
+    from gofast_spark.metrics import calibration_curve
+
+    # deterministic scores, labels drawn to match score per bucket
+    # exactly: score s in {0.05,...,0.95}, 20 rows each, pos count = s*20
+    rows = []
+    for i in range(10):
+        s = i / 10 + 0.05
+        pos = round(s * 20)
+        rows += [(s, 1)] * pos + [(s, 0)] * (20 - pos)
+    df = spark.createDataFrame(rows, ["score", "label"])
+    out = {r["bin"]: r for r in calibration_curve(df, "score", "label").collect()}
+    assert set(out) == set(range(10))
+    for b, r in out.items():
+        assert r["n"] == 20
+        assert abs(r["mean_score"] - (b / 10 + 0.05)) < 1e-6
+        assert abs(r["pos_rate"] - round((b / 10 + 0.05) * 20) / 20) < 1e-12
