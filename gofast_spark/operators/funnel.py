@@ -1,0 +1,83 @@
+"""Ordered funnel analysis over an event stream.
+
+The product-analytics staple: how many users perform step 1, then step
+2 AFTER their first step-1 event, then step 3 after that, ...; each
+step's user count and conversion rates.  Sequential semantics (a later
+step only counts if it happens at-or-after the user's first qualifying
+time for the previous step — ties allowed, matching the common
+window-funnel definition).
+
+Scale shape: step k is ONE equi-join of the step-k event slice against
+the user-sized step-(k-1) frontier frame, then a per-user min — k-1
+user-keyed joins total for a k-step funnel, every intermediate frame
+user-sized, no window over the raw stream; the only driver-side
+values are the k scalar step counts.  At 100 TB the
+event slices prune by the type predicate at the scan and the frontier
+frames broadcast when the cohort is small.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: Sequence[str],
+) -> DataFrame:
+    """Per-step funnel counts: ``(step_idx, step, n_users,
+    conv_from_prev, conv_from_first)``.
+
+    ``steps`` is the ordered list of event types; a user reaches step k
+    iff they have a step-k event at-or-after their first step-(k-1)
+    reach time.  Reach time for step k = the earliest such event."""
+    steps = list(steps)
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least two steps")
+    ev = df.select(
+        F.col(user_col).alias("__u"),
+        F.col(ts_col).alias("__ts"),
+        F.col(type_col).alias("__ty"),
+    ).where(F.col(ts_col).isNotNull())
+
+    frontier = (
+        ev.where(F.col("__ty") == steps[0])
+        .groupBy("__u")
+        .agg(F.min("__ts").alias("__t"))
+    )
+    counts = [frontier.count()]
+    for step in steps[1:]:
+        nxt = (
+            ev.where(F.col("__ty") == step)
+            .join(frontier, "__u")
+            .where(F.col("__ts") >= F.col("__t"))
+            .groupBy("__u")
+            .agg(F.min("__ts").alias("__t"))
+        )
+        frontier = nxt
+        counts.append(frontier.count())
+
+    spark = df.sparkSession
+    rows = []
+    for i, (step, n) in enumerate(zip(steps, counts)):
+        prev = counts[i - 1] if i else n
+        first = counts[0]
+        rows.append(
+            (
+                i + 1,
+                step,
+                n,
+                float(n) / prev if prev else 0.0,
+                float(n) / first if first else 0.0,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "step_idx int, step string, n_users bigint, "
+        "conv_from_prev double, conv_from_first double",
+    )

@@ -188,3 +188,44 @@ def drop_consecutive_dups_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drop_consecutive_duplicates(
         e, ["user_id"], "event_id", ["event_type"]
     )
+
+
+@query(
+    "funnel_events_vcp",
+    oracle="""
+    WITH f1 AS (
+      SELECT user_id AS u, min(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    f2 AS (
+      SELECT e.user_id AS u, min(e.ts) AS t
+      FROM events e JOIN f1 ON f1.u = e.user_id
+      WHERE e.event_type = 'click' AND e.ts >= f1.t
+      GROUP BY e.user_id),
+    f3 AS (
+      SELECT e.user_id AS u, min(e.ts) AS t
+      FROM events e JOIN f2 ON f2.u = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= f2.t
+      GROUP BY e.user_id),
+    c AS (SELECT (SELECT count(*) FROM f1) AS n1,
+                 (SELECT count(*) FROM f2) AS n2,
+                 (SELECT count(*) FROM f3) AS n3)
+    SELECT 1 AS step_idx, 'view' AS step, CAST(n1 AS BIGINT) AS n_users,
+           CAST(n1 AS DOUBLE) / n1 AS conv_from_prev,
+           CAST(n1 AS DOUBLE) / n1 AS conv_from_first FROM c
+    UNION ALL
+    SELECT 2, 'click', CAST(n2 AS BIGINT),
+           CAST(n2 AS DOUBLE) / n1, CAST(n2 AS DOUBLE) / n1 FROM c
+    UNION ALL
+    SELECT 3, 'purchase', CAST(n3 AS BIGINT),
+           CAST(n3 AS DOUBLE) / n2, CAST(n3 AS DOUBLE) / n1 FROM c
+    """,
+)
+def funnel_events_vcp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click -> purchase ordered funnel (operators/funnel.py):
+    each step is one user-keyed join of the type-pruned event slice
+    against the previous frontier, per-user min reach times, sequential
+    at-or-after semantics — the oracle replays the identical chain."""
+    from gofast_spark.operators.funnel import funnel
+
+    e = _t(spark, sf_dir, "events")
+    return funnel(e, "user_id", "ts", "event_type", ["view", "click", "purchase"])

@@ -64,3 +64,35 @@ def test_compact_files(spark, tmp_path):
     assert n == 1
     assert len(glob.glob(os.path.join(path, "*.parquet"))) == 1
     assert spark.read.parquet(path).count() == 10_000
+
+
+def test_funnel_sequential_semantics(spark):
+    from datetime import datetime
+
+    from gofast_spark.operators.funnel import funnel
+
+    T = datetime
+    rows = [
+        # u1 completes in order
+        (1, T(2024, 1, 1, 10), "view"),
+        (1, T(2024, 1, 1, 11), "click"),
+        (1, T(2024, 1, 1, 12), "purchase"),
+        # u2 clicks BEFORE viewing -> click doesn't count until after view
+        (2, T(2024, 1, 1, 9), "click"),
+        (2, T(2024, 1, 1, 10), "view"),
+        (2, T(2024, 1, 1, 12), "purchase"),  # purchase without valid click
+        # u3 views only
+        (3, T(2024, 1, 1, 8), "view"),
+        # u4 same-timestamp tie: view and click at the same instant count
+        (4, T(2024, 1, 1, 7), "view"),
+        (4, T(2024, 1, 1, 7), "click"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    out = {r["step"]: r for r in funnel(
+        df, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    ).collect()}
+    assert out["view"]["n_users"] == 4
+    assert out["click"]["n_users"] == 2       # u1 and u4
+    assert out["purchase"]["n_users"] == 1    # only u1
+    assert abs(out["click"]["conv_from_prev"] - 0.5) < 1e-12
+    assert abs(out["purchase"]["conv_from_first"] - 0.25) < 1e-12
