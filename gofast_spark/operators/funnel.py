@@ -81,3 +81,68 @@ def funnel(
         "step_idx int, step string, n_users bigint, "
         "conv_from_prev double, conv_from_first double",
     )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    *,
+    cohort_type: str | None = None,
+    type_col: str | None = None,
+    period_days: int = 7,
+    max_periods: int = 8,
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by their first-activity
+    period (``cohort``), and for each later period offset the count and
+    share still active — the standard growth-analytics triangle.
+
+    ``cohort_type`` (with ``type_col``) restricts what DEFINES the
+    cohort entry event (e.g. 'signup'); activity in later periods
+    counts any event.  Periods are fixed ``period_days`` windows from
+    the user's own entry time (unix-day arithmetic, engine-portable),
+    capped at ``max_periods`` offsets.
+
+    Scale shape: entry times are one groupBy; the activity stream joins
+    that user-sized frame once; the matrix is one (cohort, offset)
+    groupBy of distinct users.  No window over the raw stream."""
+    ev = df.select(
+        F.col(user_col).alias("__u"),
+        F.unix_timestamp(F.col(ts_col)).alias("__s"),
+        *([F.col(type_col).alias("__ty")] if type_col else []),
+    ).where(F.col(ts_col).isNotNull())
+    entries = ev
+    if cohort_type is not None:
+        if type_col is None:
+            raise ValueError("cohort_type needs type_col")
+        entries = ev.where(F.col("__ty") == cohort_type)
+    first = entries.groupBy("__u").agg(F.min("__s").alias("__t0"))
+    day = 86_400
+    cohort = (F.col("__t0") / F.lit(day * period_days)).cast("bigint")
+    offset = (
+        (F.col("__s") - F.col("__t0")) / F.lit(day * period_days)
+    ).cast("bigint")
+    active = (
+        ev.join(first, "__u")
+        .where(F.col("__s") >= F.col("__t0"))
+        .select("__u", cohort.alias("cohort"), offset.alias("offset"))
+        .where(F.col("offset") < max_periods)
+        .distinct()
+    )
+    sizes = first.groupBy(cohort.alias("cohort")).agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        active.groupBy("cohort", "offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort",
+            "offset",
+            "n_active",
+            "cohort_size",
+            (F.col("n_active") / F.col("cohort_size").cast("double")).alias(
+                "retention"
+            ),
+        )
+    )

@@ -229,3 +229,43 @@ def funnel_events_vcp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "events")
     return funnel(e, "user_id", "ts", "event_type", ["view", "click", "purchase"])
+
+
+@query(
+    "retention_cohorts_events",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id AS u, epoch(ts) AS s, event_type AS ty FROM events
+      WHERE ts IS NOT NULL),
+    first AS (
+      SELECT u, min(s) AS t0 FROM ev WHERE ty = 'signup' GROUP BY u),
+    active AS (
+      SELECT DISTINCT ev.u,
+             CAST(floor(t0 / 604800.0) AS BIGINT) AS cohort,
+             CAST(floor((s - t0) / 604800.0) AS BIGINT) AS "offset"
+      FROM ev JOIN first ON first.u = ev.u
+      WHERE s >= t0 AND floor((s - t0) / 604800.0) < 8),
+    sizes AS (
+      SELECT CAST(floor(t0 / 604800.0) AS BIGINT) AS cohort,
+             count(*) AS cohort_size
+      FROM first GROUP BY 1)
+    SELECT a.cohort, a."offset", CAST(count(*) AS BIGINT) AS n_active,
+           CAST(any_value(cohort_size) AS BIGINT) AS cohort_size,
+           CAST(count(*) / CAST(any_value(cohort_size) AS DOUBLE) AS DOUBLE)
+             AS retention
+    FROM active a JOIN sizes sz ON sz.cohort = a.cohort
+    GROUP BY a.cohort, a."offset"
+    """,
+)
+def retention_cohorts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly signup-cohort retention triangle (operators/funnel.py
+    retention_cohorts): entry times from one groupBy over the signup
+    slice, one user-keyed join of the full stream, one (cohort, offset)
+    distinct-count — unix-day arithmetic replayed verbatim in SQL."""
+    from gofast_spark.operators.funnel import retention_cohorts
+
+    e = _t(spark, sf_dir, "events")
+    return retention_cohorts(
+        e, "user_id", "ts", cohort_type="signup", type_col="event_type",
+        period_days=7, max_periods=8,
+    )

@@ -96,3 +96,32 @@ def test_funnel_sequential_semantics(spark):
     assert out["purchase"]["n_users"] == 1    # only u1
     assert abs(out["click"]["conv_from_prev"] - 0.5) < 1e-12
     assert abs(out["purchase"]["conv_from_first"] - 0.25) < 1e-12
+
+
+def test_retention_cohorts_shape(spark):
+    from datetime import datetime
+
+    from gofast_spark.operators.funnel import retention_cohorts
+
+    T = datetime
+    rows = [
+        (1, T(2024, 1, 1), "signup"), (1, T(2024, 1, 3), "click"),
+        (1, T(2024, 1, 10), "click"),      # week 1 activity
+        (2, T(2024, 1, 2), "signup"),      # same cohort, no return
+        (3, T(2024, 1, 20), "signup"),     # later cohort
+        (3, T(2024, 2, 20), "click"),      # offset 4
+        (9, T(2024, 1, 1), "click"),       # never signed up -> excluded
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    out = retention_cohorts(
+        df, "user_id", "ts", cohort_type="signup", type_col="event_type"
+    ).collect()
+    m = {(r["cohort"], r["offset"]): r for r in out}
+    cohorts = {r["cohort"] for r in out}
+    assert len(cohorts) == 2
+    c0 = min(cohorts)
+    assert m[(c0, 0)]["n_active"] == 2 and m[(c0, 0)]["cohort_size"] == 2
+    assert m[(c0, 1)]["n_active"] == 1
+    assert abs(m[(c0, 1)]["retention"] - 0.5) < 1e-12
+    # user 9 (no signup) contributes nowhere
+    assert all(r["n_active"] <= r["cohort_size"] for r in out)
