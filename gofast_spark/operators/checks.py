@@ -173,11 +173,29 @@ def cube_aggregate(
     agg_spec: dict[str, str],
     *,
     mode: str = "cube",
+    sets: Sequence[Sequence[str]] | None = None,
 ) -> DataFrame:
-    """CUBE / ROLLUP aggregations — free Spark surface the reference lacks
-    (SURVEY §2.4 'not present': grouping sets); exposed because every
-    pandas pivot-table user eventually wants subtotals."""
+    """CUBE / ROLLUP / arbitrary GROUPING SETS aggregations — free Spark
+    surface the reference lacks (SURVEY §2.4 'not present': grouping
+    sets); exposed because every pandas pivot-table user eventually
+    wants subtotals.  ``mode='sets'`` takes the explicit set list in
+    ``sets`` (e.g. ``[["a"], ["b"], []]``) — all sets expand map-side
+    into one shuffle, same as cube/rollup."""
+    from pyspark.sql import functions as F
+
     from gofast_spark.operators.aggregations import _build_aggs
 
-    g = df.cube(*dims) if mode == "cube" else df.rollup(*dims)
+    if mode == "sets":
+        if sets is None:
+            raise ValueError("mode='sets' needs the sets list")
+        g = df.groupingSets(
+            [[F.col(c) for c in s] for s in sets],
+            *[F.col(c) for c in dims],
+        )
+    elif mode == "cube":
+        g = df.cube(*dims)
+    elif mode == "rollup":
+        g = df.rollup(*dims)
+    else:
+        raise ValueError(f"unknown mode {mode!r} (cube|rollup|sets)")
     return g.agg(*_build_aggs(agg_spec))

@@ -239,3 +239,40 @@ def salted_agg_events_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value_sum", 4).cast("double").alias("value_sum"),
         F.round("value_avg", 6).cast("double").alias("value_avg"),
     )
+
+
+@query(
+    "grouping_sets_orders",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           {_MONEY2_SQL.format(s=f"sum({_U6_SQL.format(x='o_totalprice')})")}
+             AS o_totalprice_sum,
+           count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS — per-status totals, per-priority totals,
+    and the grand total in ONE scan/shuffle (cube_aggregate
+    mode='sets'), completing the §2.4 grouping-sets family beside
+    cube/rollup."""
+    from gofast_spark.operators.checks import cube_aggregate
+    from gofast_spark.plans.catalog import _money2, _units6
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "__p", _units6(F.col("o_totalprice"))
+    )
+    out = cube_aggregate(
+        o,
+        ["o_orderstatus", "o_orderpriority"],
+        {"__p": "sum", "o_orderkey": "count"},
+        mode="sets",
+        sets=[["o_orderstatus"], ["o_orderpriority"], []],
+    )
+    return out.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        _money2(F.col("__p_sum")).alias("o_totalprice_sum"),
+        F.col("o_orderkey_count").alias("n"),
+    )
