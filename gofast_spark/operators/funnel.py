@@ -146,3 +146,67 @@ def retention_cohorts(
             ),
         )
     )
+
+
+def rfm_segments(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    amount_col: str,
+    *,
+    ref_date=None,
+    quantiles: Sequence[float] = (0.2, 0.4, 0.6, 0.8),
+) -> DataFrame:
+    """RFM segmentation (Hughes 1994, the retention-marketing
+    standard): per user, Recency (days since last activity relative to
+    ``ref_date``, default the corpus max date), Frequency (activity
+    count), Monetary (amount sum), each scored 1-5 against the exact
+    corpus quantile cuts — plus the concatenated ``rfm`` code.
+
+    Scale shape: one user groupBy builds the (user-sized) RFM frame;
+    the quantile cuts are one aggregate OF that frame (broadcast as a
+    1-row cross join); scoring is codegen comparisons.  Higher score =
+    better (recency scores invert: recent -> 5)."""
+    ev = df.where(F.col(ts_col).isNotNull())
+    ref = (
+        F.lit(ref_date).cast("timestamp")
+        if ref_date is not None
+        else ev.agg(F.max(ts_col)).collect()[0][0]
+    )
+    base = ev.groupBy(F.col(user_col).alias("user")).agg(
+        F.datediff(F.lit(ref).cast("date"), F.max(F.col(ts_col)).cast("date"))
+        .cast("double")
+        .alias("recency"),
+        F.count(F.lit(1)).cast("double").alias("frequency"),
+        F.sum(F.col(amount_col)).cast("double").alias("monetary"),
+    )
+    qs = list(quantiles)
+    cuts = base.agg(
+        *[
+            F.percentile(F.col(m), F.lit(q)).alias(f"__{m[0]}_{i}")
+            for m in ("recency", "frequency", "monetary")
+            for i, q in enumerate(qs)
+        ]
+    )
+
+    def score(col: str, invert: bool):
+        s = F.lit(1)
+        for i in range(len(qs)):
+            s = s + (F.col(col) > F.col(f"__{col[0]}_{i}")).cast("int")
+        return (F.lit(len(qs) + 2) - s) if invert else s
+
+    out = base.crossJoin(F.broadcast(cuts)).select(
+        "user",
+        "recency",
+        "frequency",
+        "monetary",
+        score("recency", invert=True).alias("r_score"),
+        score("frequency", invert=False).alias("f_score"),
+        score("monetary", invert=False).alias("m_score"),
+    )
+    return out.withColumn(
+        "rfm",
+        F.concat_ws(
+            "", F.col("r_score"), F.col("f_score"), F.col("m_score")
+        ),
+    )

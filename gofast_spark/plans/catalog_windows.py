@@ -269,3 +269,53 @@ def retention_cohorts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, "user_id", "ts", cohort_type="signup", type_col="event_type",
         period_days=7, max_periods=8,
     )
+
+
+@query(
+    "rfm_segments_events",
+    oracle="""
+    WITH base AS (
+      SELECT user_id AS user,
+             CAST(date_diff('day', CAST(max(ts) AS DATE), DATE '2024-12-31')
+               AS DOUBLE) AS recency,
+             CAST(count(*) AS DOUBLE) AS frequency,
+             CAST(sum(value) AS DOUBLE) AS monetary
+      FROM events WHERE ts IS NOT NULL GROUP BY user_id),
+    cuts AS (
+      SELECT quantile_cont(recency, [0.2, 0.4, 0.6, 0.8]) AS rq,
+             quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS fq,
+             quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS mq
+      FROM base),
+    scored AS (
+      SELECT user, recency, frequency, monetary,
+             1 + CAST(recency > rq[1] AS INT) + CAST(recency > rq[2] AS INT)
+               + CAST(recency > rq[3] AS INT) + CAST(recency > rq[4] AS INT)
+               AS r_raw,
+             1 + CAST(frequency > fq[1] AS INT) + CAST(frequency > fq[2] AS INT)
+               + CAST(frequency > fq[3] AS INT) + CAST(frequency > fq[4] AS INT)
+               AS f_score,
+             1 + CAST(monetary > mq[1] AS INT) + CAST(monetary > mq[2] AS INT)
+               + CAST(monetary > mq[3] AS INT) + CAST(monetary > mq[4] AS INT)
+               AS m_score
+      FROM base CROSS JOIN cuts)
+    SELECT user, recency, frequency, monetary,
+           CAST(6 - r_raw AS INT) AS r_score,
+           CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score,
+           CAST(6 - r_raw AS VARCHAR) || CAST(f_score AS VARCHAR)
+             || CAST(m_score AS VARCHAR) AS rfm
+    FROM scored
+    """,
+)
+def rfm_segments_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation of event users (operators/funnel.py
+    rfm_segments; Hughes 1994): one user groupBy, exact quintile cuts
+    as one aggregate of the user-sized frame, codegen scoring; fixed
+    reference date keeps it deterministic; oracle replays cuts +
+    comparisons with quantile_cont."""
+    from gofast_spark.operators.funnel import rfm_segments
+
+    e = _t(spark, sf_dir, "events")
+    return rfm_segments(
+        e, "user_id", "ts", "value", ref_date="2024-12-31"
+    )

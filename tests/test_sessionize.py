@@ -125,3 +125,27 @@ def test_retention_cohorts_shape(spark):
     assert abs(m[(c0, 1)]["retention"] - 0.5) < 1e-12
     # user 9 (no signup) contributes nowhere
     assert all(r["n_active"] <= r["cohort_size"] for r in out)
+
+
+def test_rfm_segments_scores(spark):
+    from datetime import datetime
+
+    from gofast_spark.operators.funnel import rfm_segments
+
+    T = datetime
+    # 5 users with strictly increasing frequency/monetary and
+    # decreasing recency -> user 5 should be the 555 segment
+    rows = []
+    for u in range(1, 6):
+        for k in range(u):
+            rows.append((u, T(2024, 1, u * 2), float(10 * u)))
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    out = {r["user"]: r for r in rfm_segments(
+        df, "user_id", "ts", "value", ref_date="2024-02-01"
+    ).collect()}
+    assert out[5]["rfm"] == "555"
+    assert out[1]["rfm"] == "111"
+    for u in range(1, 6):
+        r = out[u]
+        assert 1 <= r["r_score"] <= 5
+        assert r["frequency"] == float(u)
