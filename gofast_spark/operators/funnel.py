@@ -210,3 +210,62 @@ def rfm_segments(
             "", F.col("r_score"), F.col("f_score"), F.col("m_score")
         ),
     )
+
+
+def funnel_latencies(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: Sequence[str],
+) -> DataFrame:
+    """Per-transition funnel latencies: for each consecutive step pair,
+    the count of converting users plus mean and exact median seconds
+    between their reach times (same sequential semantics as
+    :func:`funnel`).  The product question after "how many convert" is
+    always "how fast".
+
+    Scale shape: identical frontier chain to ``funnel`` (k-1 user-keyed
+    joins); latency aggregation is one pass per transition over a
+    user-sized frame — the exact median uses ``percentile`` on that
+    frame, not the event stream."""
+    steps = list(steps)
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least two steps")
+    ev = df.select(
+        F.col(user_col).alias("__u"),
+        F.unix_timestamp(F.col(ts_col)).alias("__s"),
+        F.col(type_col).alias("__ty"),
+    ).where(F.col(ts_col).isNotNull())
+
+    frontier = (
+        ev.where(F.col("__ty") == steps[0])
+        .groupBy("__u")
+        .agg(F.min("__s").alias("__t"))
+    )
+    spark = df.sparkSession
+    out = None
+    for i, step in enumerate(steps[1:], start=1):
+        nxt = (
+            ev.where(F.col("__ty") == step)
+            .join(frontier.select("__u", F.col("__t").alias("__prev")), "__u")
+            .where(F.col("__s") >= F.col("__prev"))
+            .groupBy("__u", "__prev")
+            .agg(F.min("__s").alias("__t"))
+        )
+        lat = nxt.agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.avg(F.col("__t") - F.col("__prev")).alias("avg_latency_sec"),
+            F.percentile(
+                (F.col("__t") - F.col("__prev")).cast("double"), F.lit(0.5)
+            ).alias("median_latency_sec"),
+        ).select(
+            F.lit(i).alias("step_idx"),
+            F.lit(f"{steps[i - 1]}->{step}").alias("transition"),
+            "n_users",
+            "avg_latency_sec",
+            "median_latency_sec",
+        )
+        out = lat if out is None else out.unionByName(lat)
+        frontier = nxt.select("__u", "__t")
+    return out

@@ -2244,3 +2244,37 @@ def source_overlap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir)
     return source_overlap(d, "source", "text", n=3)
+
+
+@query(
+    "langid_confusion_documents",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, lang, {_norm_sql('text')} AS t FROM documents),
+    toks AS (SELECT doc_id, lang, string_split(t, ' ') AS tk FROM norm),
+    pred AS (
+      SELECT lang,
+             list_sort([
+               {", ".join(
+                   "{'neg': -len(list_filter(tk, x -> list_contains(%s, x))), 'code': '%s'}"
+                   % (_sql_list(words), lang)
+                   for lang, words in sorted(LANG_STOPWORDS.items())
+               )}
+             ])[1].code AS lang_pred
+      FROM toks)
+    SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+    FROM pred GROUP BY lang, lang_pred
+    """,
+)
+def langid_confusion_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: the heuristic stopword-argmax
+    predictor (text/analysis.py language_id) evaluated against the
+    fixture's ground-truth lang column — per (truth, predicted) counts
+    in one projection + one groupBy.  The eval harness every classifier
+    needs, expressed relationally."""
+    from gofast_spark.text import language_id
+
+    d = _docs(spark, sf_dir)
+    out = language_id(d, "text")
+    return out.groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n")
+    )

@@ -319,3 +319,44 @@ def rfm_segments_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rfm_segments(
         e, "user_id", "ts", "value", ref_date="2024-12-31"
     )
+
+
+@query(
+    "funnel_latencies_events",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id AS u, epoch(ts) AS s, event_type AS ty FROM events
+      WHERE ts IS NOT NULL),
+    f1 AS (SELECT u, min(s) AS t FROM ev WHERE ty = 'view' GROUP BY u),
+    f2 AS (
+      SELECT ev.u, f1.t AS prev, min(ev.s) AS t
+      FROM ev JOIN f1 ON f1.u = ev.u
+      WHERE ev.ty = 'click' AND ev.s >= f1.t GROUP BY ev.u, f1.t),
+    f3 AS (
+      SELECT ev.u, f2.t AS prev, min(ev.s) AS t
+      FROM ev JOIN f2 ON f2.u = ev.u
+      WHERE ev.ty = 'purchase' AND ev.s >= f2.t GROUP BY ev.u, f2.t)
+    SELECT 1 AS step_idx, 'view->click' AS transition,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(avg(t - prev) AS DOUBLE) AS avg_latency_sec,
+           CAST(quantile_cont(CAST(t - prev AS DOUBLE), 0.5) AS DOUBLE)
+             AS median_latency_sec
+    FROM f2
+    UNION ALL
+    SELECT 2, 'click->purchase', CAST(count(*) AS BIGINT),
+           CAST(avg(t - prev) AS DOUBLE),
+           CAST(quantile_cont(CAST(t - prev AS DOUBLE), 0.5) AS DOUBLE)
+    FROM f3
+    """,
+)
+def funnel_latencies_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-transition funnel latencies (operators/funnel.py
+    funnel_latencies): the same frontier chain as funnel_events_vcp
+    with mean + exact-median seconds between reach times, aggregated
+    over user-sized frames only."""
+    from gofast_spark.operators.funnel import funnel_latencies
+
+    e = _t(spark, sf_dir, "events")
+    return funnel_latencies(
+        e, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    )

@@ -149,3 +149,29 @@ def test_rfm_segments_scores(spark):
         r = out[u]
         assert 1 <= r["r_score"] <= 5
         assert r["frequency"] == float(u)
+
+
+def test_funnel_latencies_values(spark):
+    from datetime import datetime
+
+    from gofast_spark.operators.funnel import funnel_latencies
+
+    T = datetime
+    rows = [
+        (1, T(2024, 1, 1, 10, 0), "view"),
+        (1, T(2024, 1, 1, 10, 10), "click"),      # 600 s
+        (2, T(2024, 1, 1, 9, 0), "view"),
+        (2, T(2024, 1, 1, 9, 30), "click"),       # 1800 s
+        (2, T(2024, 1, 1, 10, 0), "purchase"),    # 1800 s after click
+        (3, T(2024, 1, 1, 8, 0), "click"),        # click before view: no view
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    out = {r["transition"]: r for r in funnel_latencies(
+        df, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    ).collect()}
+    vc = out["view->click"]
+    assert vc["n_users"] == 2
+    assert abs(vc["avg_latency_sec"] - 1200.0) < 1e-9
+    assert abs(vc["median_latency_sec"] - 1200.0) < 1e-9
+    cp = out["click->purchase"]
+    assert cp["n_users"] == 1 and abs(cp["avg_latency_sec"] - 1800.0) < 1e-9
