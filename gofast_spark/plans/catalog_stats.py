@@ -1446,3 +1446,49 @@ def categorical_association_orders(spark: SparkSession, sf_dir: str) -> DataFram
         F.round("cramers_v", 6).cast("double").alias("cramers_v"),
         "n", "r", "c",
     )
+
+
+@query(
+    "approx_quantile_floor_lineitem",
+    oracle="""
+    SELECT CAST(round(quantile_cont(l_extendedprice, 0.5), 4) AS DOUBLE)
+             AS p50,
+           CAST(round(quantile_cont(l_extendedprice, 0.9), 4) AS DOUBLE)
+             AS p90,
+           CAST(round(quantile_cont(l_extendedprice, 0.99), 4) AS DOUBLE)
+             AS p99,
+           1 AS sketch_within_tol
+    FROM lineitem WHERE l_extendedprice IS NOT NULL
+    """,
+)
+def approx_quantile_floor_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna sketch floor check: the engine's bounded-memory
+    quantile path (approxQuantile at rel-err 1e-3 — what prebin/zorder
+    lean on at 100 TB) must land within rank tolerance of the EXACT
+    percentiles, which are themselves hash-matched against DuckDB's
+    quantile_cont.  Differential on the exact values, floor on the
+    sketch."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_extendedprice").isNotNull()
+    )
+    exact = li.agg(
+        *[
+            F.percentile("l_extendedprice", F.lit(q)).alias(f"p{int(q*100)}")
+            for q in (0.5, 0.9, 0.99)
+        ]
+    ).collect()[0]
+    approx = li.approxQuantile("l_extendedprice", [0.5, 0.9, 0.99], 1e-3)
+    # rank-tolerance check: sketch value's true rank within eps*n of
+    # the target rank — approximated via value-relative slack vs the
+    # neighborhood spread; simple robust proxy: within 1% of exact value
+    ok = all(
+        abs(a - exact[f"p{int(q*100)}"]) <= 0.01 * abs(exact[f"p{int(q*100)}"])
+        for a, q in zip(approx, (0.5, 0.9, 0.99))
+    )
+    return spark.createDataFrame(
+        [(
+            round(exact["p50"], 4), round(exact["p90"], 4),
+            round(exact["p99"], 4), int(ok),
+        )],
+        "p50 double, p90 double, p99 double, sketch_within_tol int",
+    )
