@@ -66,14 +66,30 @@ def test_never_green_entries_lead_the_window():
     derived = _derived_green_union()
     names = list(QUERIES)
     window = names[:50]
-    wasted = [n for n in window if n in derived]
-    assert not wasted, f"window slots spent on already-green entries: {wasted}"
     never = [
         n
         for n in names
         if n not in derived and n in ORACLE_SQL and n not in _NO_ORACLE_PARKED
     ]
     overflow = [n for n in never if n not in window]
+    # A green entry in the window is a WASTED slot only when it displaces
+    # a never-green entry (overflow non-empty).  When never-green entries
+    # are fewer than 50, green fillers in the remaining slots are
+    # unavoidable (the driver always checks positions 0-49) and harmless
+    # re-verification.
+    wasted = [n for n in window if n in derived]
+    if overflow:
+        assert not wasted, (
+            f"window slots spent on already-green entries while never-green "
+            f"entries are stranded: wasted={wasted} stranded={overflow}"
+        )
+    # never-green entries must lead the window: no green filler may sit
+    # before a never-green entry
+    first_green = next((i for i, n in enumerate(window) if n in derived), 50)
+    late_never = [n for n in window[first_green:] if n not in derived]
+    assert not late_never, (
+        f"never-green entries sit behind green fillers in the window: {late_never}"
+    )
     # overflow entries must occupy positions 50..50+len(overflow) so the
     # driver's next rotation picks them up first
     assert names[50 : 50 + len(overflow)] == overflow, (
