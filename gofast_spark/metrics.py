@@ -320,14 +320,19 @@ def calibration_curve(
     standard probability-calibration eval).  A well-calibrated model
     has mean_score ~ pos_rate per bin.  One projection + one
     ``bins``-group aggregate; means come from exact integer/micro-unit
-    sums so the result is partition-regrouping exact."""
+    sums so the result is partition-regrouping exact.  Scores outside
+    the documented [0, 1] domain are EXCLUDED (a score below 0 would
+    otherwise produce a negative bin id, and the +0.5 micro-unit
+    rounding is wrong for negatives)."""
     s = F.col(score_col).cast("double")
     y = F.col(label_col).cast("double")
     b = F.least(
         F.floor(s * F.lit(bins)).cast("int"), F.lit(bins - 1)
     )
     u6 = (s * F.lit(1e6) + F.lit(0.5)).cast("bigint")
-    base = df.where(s.isNotNull() & y.isNotNull()).select(
+    base = df.where(
+        s.isNotNull() & y.isNotNull() & (s >= 0.0) & (s <= 1.0)
+    ).select(
         b.alias("bin"), u6.alias("s_u6"), y.cast("bigint").alias("pos")
     )
     return base.groupBy("bin").agg(

@@ -136,6 +136,7 @@ def label_propagation(
     edges: DataFrame,
     *,
     iterations: int = 3,
+    symmetrize: bool = False,
 ) -> DataFrame:
     """Synchronous label-propagation community detection (Raghavan,
     Albert & Kumara 2007), made fully deterministic: every node starts
@@ -153,7 +154,26 @@ def label_propagation(
     node-sized and checkpoint-truncated per round (the pagerank loop
     discipline).  Fixed iteration count keeps it oracle-unrollable;
     LPA converges in very few rounds on community-structured graphs.
-    Returns ``(node, label)``."""
+    Returns ``(node, label)``.
+
+    Input contract: ``edges(src, dst)`` must be SYMMETRIZED (both
+    directions present — labels are seeded from ``src`` and flow
+    dst -> src, so a dst-only node of a directed edge list is silently
+    dropped) with NUMERIC node ids (the ``-label`` tie-break negation
+    fails analysis on strings).  Pass ``symmetrize=True`` to
+    symmetrize a directed edge list internally (one union +
+    distinct, the ``degree_assortativity`` recipe)."""
+    num = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+    kinds = {f.dataType.simpleString() for f in edges.schema.fields
+             if f.name in ("src", "dst")}
+    if not kinds <= num:
+        raise TypeError(
+            f"label_propagation needs numeric src/dst node ids, got {kinds}"
+        )
+    if symmetrize:
+        edges = edges.select("src", "dst").union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).where(F.col("src") != F.col("dst")).distinct()
     edges = edges.localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("node"))

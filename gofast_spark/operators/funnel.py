@@ -22,6 +22,33 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from gofast_spark.stats.prebin import _AUTO_THRESHOLD
+
+# percentile_approx accuracy in sketch mode: error <= 1/accuracy of the
+# distribution — 1e-4 relative rank resolution for a bounded-memory
+# sketch, the same floor test_prebin certifies for approxQuantile
+_SKETCH_ACCURACY = 10_000
+
+
+def _percentile_expr(col, q, mode: str, n_rows: int | None):
+    """Exact ``percentile`` or bounded-memory ``percentile_approx``.
+
+    ``mode='exact'`` is the oracle escape hatch; ``'sketch'`` always
+    sketches; ``'auto'`` (the DEFAULT) sketches only when the frame has
+    more than ``_AUTO_THRESHOLD`` rows (``n_rows``, known from the
+    already-materialized frame) — below it exact costs nothing and
+    matches the oracle bit-for-bit, above it an exact global percentile
+    with no groupBy buffers every value into one final merge: the
+    single-fat-reducer hazard this switch exists to remove."""
+    if mode not in ("auto", "exact", "sketch"):
+        raise ValueError(f"percentile mode must be auto|exact|sketch: {mode!r}")
+    sketch = mode == "sketch" or (
+        mode == "auto" and n_rows is not None and n_rows > _AUTO_THRESHOLD
+    )
+    if sketch:
+        return F.percentile_approx(col, q, F.lit(_SKETCH_ACCURACY))
+    return F.percentile(col, q)
+
 
 def funnel(
     df: DataFrame,
@@ -45,21 +72,27 @@ def funnel(
         F.col(type_col).alias("__ty"),
     ).where(F.col(ts_col).isNotNull())
 
+    # localCheckpoint(eager) each frontier before counting: step k's
+    # count action otherwise replays the whole join chain from the raw
+    # event stream (k(k+1)/2 scans for a k-step funnel) — the same
+    # lineage-truncation discipline as the pagerank / connected
+    # -components loops.  Each checkpointed frame is user-sized.
     frontier = (
         ev.where(F.col("__ty") == steps[0])
         .groupBy("__u")
         .agg(F.min("__ts").alias("__t"))
+        .localCheckpoint(eager=True)
     )
     counts = [frontier.count()]
     for step in steps[1:]:
-        nxt = (
+        frontier = (
             ev.where(F.col("__ty") == step)
             .join(frontier, "__u")
             .where(F.col("__ts") >= F.col("__t"))
             .groupBy("__u")
             .agg(F.min("__ts").alias("__t"))
+            .localCheckpoint(eager=True)
         )
-        frontier = nxt
         counts.append(frontier.count())
 
     spark = df.sparkSession
@@ -156,34 +189,55 @@ def rfm_segments(
     *,
     ref_date=None,
     quantiles: Sequence[float] = (0.2, 0.4, 0.6, 0.8),
+    quantile_mode: str = "auto",
 ) -> DataFrame:
     """RFM segmentation (Hughes 1994, the retention-marketing
     standard): per user, Recency (days since last activity relative to
     ``ref_date``, default the corpus max date), Frequency (activity
-    count), Monetary (amount sum), each scored 1-5 against the exact
-    corpus quantile cuts — plus the concatenated ``rfm`` code.
+    count), Monetary (amount sum), each scored 1-5 against the corpus
+    quantile cuts — plus the concatenated ``rfm`` code.
 
-    Scale shape: one user groupBy builds the (user-sized) RFM frame;
-    the quantile cuts are one aggregate OF that frame (broadcast as a
-    1-row cross join); scoring is codegen comparisons.  Higher score =
-    better (recency scores invert: recent -> 5)."""
+    Scale shape: one user groupBy builds the (user-sized) RFM frame,
+    localCheckpoint'd so the cut aggregate and the scored output share
+    one materialization instead of scanning the event stream twice;
+    the default ``ref_date`` rides the same plan as a 1-row broadcast
+    cross join (no eager collect).  ``quantile_mode='auto'`` (default)
+    computes the cuts with a bounded-memory ``percentile_approx``
+    sketch once the user frame exceeds ``stats.prebin._AUTO_THRESHOLD``
+    rows — an exact global percentile buffers every value into one
+    final merge, the single-fat-reducer hazard at 100-TB user counts —
+    and stays bit-exact below it; ``'exact'``/``'sketch'`` force either
+    path (exact is the oracle escape).  Scoring is codegen
+    comparisons.  Higher score = better (recency scores invert:
+    recent -> 5)."""
     ev = df.where(F.col(ts_col).isNotNull())
-    ref = (
-        F.lit(ref_date).cast("timestamp")
-        if ref_date is not None
-        else ev.agg(F.max(ts_col)).collect()[0][0]
-    )
     base = ev.groupBy(F.col(user_col).alias("user")).agg(
-        F.datediff(F.lit(ref).cast("date"), F.max(F.col(ts_col)).cast("date"))
-        .cast("double")
-        .alias("recency"),
+        F.max(F.col(ts_col)).cast("date").alias("__last"),
         F.count(F.lit(1)).cast("double").alias("frequency"),
         F.sum(F.col(amount_col)).cast("double").alias("monetary"),
     )
+    if ref_date is not None:
+        base = base.withColumn("__ref", F.lit(ref_date).cast("date"))
+    else:
+        # 1-row corpus-max frame, broadcast — the lazy idiom used for
+        # every other scalar normalizer in the repo
+        ref_row = ev.agg(F.max(ts_col).cast("date").alias("__ref"))
+        base = base.crossJoin(F.broadcast(ref_row))
+    base = base.select(
+        "user",
+        F.datediff(F.col("__ref"), F.col("__last"))
+        .cast("double")
+        .alias("recency"),
+        "frequency",
+        "monetary",
+    ).localCheckpoint(eager=True)
+    n_users = base.count() if quantile_mode == "auto" else None
     qs = list(quantiles)
     cuts = base.agg(
         *[
-            F.percentile(F.col(m), F.lit(q)).alias(f"__{m[0]}_{i}")
+            _percentile_expr(F.col(m), F.lit(q), quantile_mode, n_users)
+            .cast("double")
+            .alias(f"__{m[0]}_{i}")
             for m in ("recency", "frequency", "monetary")
             for i, q in enumerate(qs)
         ]
@@ -218,17 +272,24 @@ def funnel_latencies(
     ts_col: str,
     type_col: str,
     steps: Sequence[str],
+    *,
+    median_mode: str = "auto",
 ) -> DataFrame:
     """Per-transition funnel latencies: for each consecutive step pair,
-    the count of converting users plus mean and exact median seconds
+    the count of converting users plus mean and median seconds
     between their reach times (same sequential semantics as
     :func:`funnel`).  The product question after "how many convert" is
     always "how fast".
 
     Scale shape: identical frontier chain to ``funnel`` (k-1 user-keyed
-    joins); latency aggregation is one pass per transition over a
-    user-sized frame — the exact median uses ``percentile`` on that
-    frame, not the event stream."""
+    joins, each frontier localCheckpoint'd so later transitions don't
+    replay the chain from the raw stream); latency aggregation is one
+    pass per transition over a user-sized frame.  ``median_mode='auto'``
+    (default) switches the median to a bounded-memory
+    ``percentile_approx`` sketch once a transition frame exceeds
+    ``stats.prebin._AUTO_THRESHOLD`` converting users (an exact global
+    percentile buffers all values into one final merge) and stays exact
+    below it; ``'exact'`` / ``'sketch'`` force either path."""
     steps = list(steps)
     if len(steps) < 2:
         raise ValueError("funnel needs at least two steps")
@@ -242,8 +303,8 @@ def funnel_latencies(
         ev.where(F.col("__ty") == steps[0])
         .groupBy("__u")
         .agg(F.min("__s").alias("__t"))
+        .localCheckpoint(eager=True)
     )
-    spark = df.sparkSession
     out = None
     for i, step in enumerate(steps[1:], start=1):
         nxt = (
@@ -252,13 +313,20 @@ def funnel_latencies(
             .where(F.col("__s") >= F.col("__prev"))
             .groupBy("__u", "__prev")
             .agg(F.min("__s").alias("__t"))
+            .localCheckpoint(eager=True)
         )
+        # the frame is already materialized, so the mode decision's
+        # count is a cheap scan of checkpointed partitions
+        n_conv = nxt.count() if median_mode == "auto" else None
         lat = nxt.agg(
             F.count(F.lit(1)).alias("n_users"),
             F.avg(F.col("__t") - F.col("__prev")).alias("avg_latency_sec"),
-            F.percentile(
-                (F.col("__t") - F.col("__prev")).cast("double"), F.lit(0.5)
-            ).alias("median_latency_sec"),
+            _percentile_expr(
+                (F.col("__t") - F.col("__prev")).cast("double"),
+                F.lit(0.5),
+                median_mode,
+                n_conv,
+            ).cast("double").alias("median_latency_sec"),
         ).select(
             F.lit(i).alias("step_idx"),
             F.lit(f"{steps[i - 1]}->{step}").alias("transition"),

@@ -460,20 +460,34 @@ def stream_merge_upsert(
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     spark = sdf.sparkSession
 
+    def _newest(paths: list[str], prefix: str) -> str:
+        """Newest snapshot by NUMERIC batch-id suffix (lexicographic
+        sort would rank staging_9 > staging_10); non-numeric debris
+        falls back to mtime and never outranks a numeric batch id."""
+        def key(p: str):
+            suf = p[len(prefix):]
+            if suf.isdigit():
+                return (1, int(suf), 0.0)
+            return (0, 0, os.path.getmtime(p))
+
+        return max(paths, key=key)
+
     def _recover() -> None:
         """Restore a complete table after a crash mid-swap; clear debris."""
         if not os.path.isdir(table_path):
-            stagings = sorted(_glob.glob(f"{table_path}__staging_*"))
+            stagings = _glob.glob(f"{table_path}__staging_*")
             complete = [
                 s for s in stagings
                 if os.path.exists(os.path.join(s, "_SUCCESS"))
             ]
-            olds = sorted(_glob.glob(f"{table_path}__old_*"))
+            olds = _glob.glob(f"{table_path}__old_*")
             if complete:
                 # staging finished writing: it is the newer state
-                os.replace(complete[-1], table_path)
+                os.replace(
+                    _newest(complete, f"{table_path}__staging_"), table_path
+                )
             elif olds:
-                os.replace(olds[-1], table_path)
+                os.replace(_newest(olds, f"{table_path}__old_"), table_path)
         for leftover in _glob.glob(f"{table_path}__staging_*") + _glob.glob(
             f"{table_path}__old_*"
         ):

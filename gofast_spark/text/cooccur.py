@@ -35,9 +35,14 @@ def bigram_pmi(
     counts — the Church & Hanks caveat); ``broadcast_limit`` gates the
     unigram-table broadcast exactly like the other dedup/scaling
     operators (above it the joins shuffle and AQE decides)."""
-    toks = df.select(
-        F.split(normalize_text(text_col), " ").alias("tk")
-    ).where(F.size("tk") > 0)
+    # filter on the NORMALIZED string, not size(tk): split('') returns
+    # [''] (size 1), so a size guard never fires and an empty/whitespace
+    # -only document would contribute a '' unigram and inflate n_tokens
+    # (diverging from the oracle's WHERE len(t) > 0)
+    norm = normalize_text(text_col)
+    toks = df.where(F.length(norm) > 0).select(
+        F.split(norm, " ").alias("tk")
+    )
 
     pairs = toks.select(
         F.explode(
