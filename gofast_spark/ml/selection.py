@@ -1,0 +1,205 @@
+"""Model-selection surface: deterministic k-fold assignment, one-pass
+cross-validated OLS/ridge, and a one-pass regularization sweep.
+
+Mirrors the reference's model-search utilities (``gofast/models/
+optimize.py`` — CV search loops over sklearn estimators;
+``gofast/models/validation.py`` fold handling) re-expressed for a
+distributed engine:
+
+- Folds are assigned by the repo's engine-portable LCG hash of a stable
+  id (``operators.split_train_test_by_id`` recipe) — reproducible
+  across engines, partitionings, and rounds: the property a
+  leakage-audited training pipeline actually needs (sklearn's
+  positional ``KFold`` is meaningless when row order is a shuffle
+  artifact).
+- The entire k-fold CV of a normal-equation linear model costs ONE
+  distributed pass: a single groupBy(fold) aggregate yields each fold's
+  Gram moments (X'X, X'y, y'y, n); fold f's TRAIN moments are the
+  totals minus fold f's (moment additivity), the per-fold solve is a
+  k x p^2 driver-side Cramer computation, and the held-out error needs
+  no second scan because SSE_f = y'y_f - 2 w'X'y_f + w'X'X_f w is a
+  function of the held-out fold's own moments.
+- A ridge lambda sweep reuses the SAME per-fold moments for every
+  lambda — hyperparameter search over closed-form models is one data
+  scan total, not one per candidate, which is THE difference between a
+  feasible and an infeasible search at 100 TB.
+
+All driver-side arithmetic is fixed-order IEEE double (the
+``ml.regression._cramer_solve`` discipline) so a SQL oracle can replay
+it bit-for-bit up to presentation rounding.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gofast_spark.ml.regression import _cramer_solve
+
+# the portable LCG used by split_train_test_by_id / hash_split oracles
+_LCG_A = 1103515245
+_LCG_C = 12345
+_LCG_M = 2_147_483_648
+
+
+def kfold_assign(
+    df: DataFrame,
+    id_col: str,
+    k: int,
+    *,
+    seed: int = 0,
+    out_col: str = "fold",
+) -> DataFrame:
+    """Append a deterministic fold id in ``[0, k)`` from an LCG hash of
+    ``id_col`` — pure projection (codegen, no shuffle), stable under
+    repartitioning, identical in any engine that has 64-bit integer
+    arithmetic.  All rows sharing an id land in one fold, so id-level
+    leakage across folds is structurally impossible."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    h = (
+        (F.col(id_col).cast("bigint") + F.lit(seed)) * F.lit(_LCG_A)
+        + F.lit(_LCG_C)
+    ) % F.lit(_LCG_M) % F.lit(k)
+    return df.withColumn(out_col, h.cast("int"))
+
+
+def _fold_moments(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str,
+    id_col: str,
+    k: int,
+    seed: int,
+):
+    """One groupBy(fold) pass -> per-fold Gram moments as driver rows.
+
+    Returns ``(p, rows)`` where rows[f] holds a_{i}_{j} (upper
+    triangle), b_i, yy, n for fold f; p includes the intercept column.
+    Bounded driver data: k rows of p^2 doubles."""
+    feats = list(feature_cols)
+    cond = F.col(label_col).isNotNull()
+    for c in feats:
+        cond = cond & F.col(c).isNotNull()
+    d = kfold_assign(df.where(cond), id_col, k, seed=seed)
+    design = [F.lit(1.0)] + [F.col(c).cast("double") for c in feats]
+    y = F.col(label_col).cast("double")
+    p = len(design)
+    aggs = []
+    for i in range(p):
+        for j in range(i, p):
+            aggs.append(F.sum(design[i] * design[j]).alias(f"a_{i}_{j}"))
+    for i in range(p):
+        aggs.append(F.sum(design[i] * y).alias(f"b_{i}"))
+    aggs.append(F.sum(y * y).alias("yy"))
+    aggs.append(F.count(F.lit(1)).alias("n"))
+    rows = {r["fold"]: r for r in d.groupBy("fold").agg(*aggs).collect()}
+    return p, rows
+
+
+def _solve_and_score(p: int, rows: dict, fold: int, ridge: float):
+    """Train on all folds except ``fold`` (moment subtraction), score on
+    the held-out fold's own moments.  Returns (w, n_test, sse_test)."""
+    A = [[0.0] * p for _ in range(p)]
+    b = [0.0] * p
+    # sorted fold order: deterministic float accumulation (collect()
+    # row order is not)
+    for f in sorted(rows):
+        r = rows[f]
+        if f == fold:
+            continue
+        for i in range(p):
+            for j in range(i, p):
+                A[i][j] += float(r[f"a_{i}_{j}"])
+            b[i] += float(r[f"b_{i}"])
+    for i in range(p):
+        for j in range(i):
+            A[i][j] = A[j][i]
+    if ridge:
+        for i in range(1, p):  # never penalize the intercept
+            A[i][i] += float(ridge)
+    w = _cramer_solve(A, b)
+    t = rows[fold]
+    At = [[0.0] * p for _ in range(p)]
+    for i in range(p):
+        for j in range(i, p):
+            At[i][j] = At[j][i] = float(t[f"a_{i}_{j}"])
+    bt = [float(t[f"b_{i}"]) for i in range(p)]
+    sse = (
+        float(t["yy"])
+        - 2.0 * sum(w[i] * bt[i] for i in range(p))
+        + sum(w[i] * At[i][j] * w[j] for i in range(p) for j in range(p))
+    )
+    return w, int(t["n"]), sse
+
+
+def cross_val_linear(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str,
+    *,
+    id_col: str,
+    k: int = 4,
+    seed: int = 0,
+    ridge: float = 0.0,
+) -> DataFrame:
+    """k-fold cross-validated normal-equation OLS/ridge in ONE
+    distributed pass (see module docstring).  Returns one row per fold:
+    ``(fold, n_test, rmse, w0..wp)`` with fixed-order Cramer arithmetic
+    (p = 2 features + intercept supported, the SQL-replayable regime).
+    """
+    feats = list(feature_cols)
+    if len(feats) != 2:
+        raise ValueError("cross_val_linear supports exactly 2 features "
+                         "(3x3 Cramer, the SQL-replayable regime)")
+    p, rows = _fold_moments(df, feats, label_col, id_col, k, seed)
+    missing = [f for f in range(k) if f not in rows]
+    if missing:
+        raise ValueError(f"empty folds {missing}: id space too small for k={k}")
+    out = []
+    for f in range(k):
+        w, n_test, sse = _solve_and_score(p, rows, f, ridge)
+        rmse = (sse / n_test) ** 0.5 if n_test else float("nan")
+        out.append((f, n_test, rmse, w[0], w[1], w[2]))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        out, "fold int, n_test bigint, rmse double, "
+             "w0 double, w1 double, w2 double",
+    )
+
+
+def ridge_cv_sweep(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str,
+    *,
+    id_col: str,
+    lambdas: Sequence[float],
+    k: int = 4,
+    seed: int = 0,
+) -> DataFrame:
+    """Cross-validated regularization sweep sharing ONE set of fold
+    moments across every lambda: total cost is a single data scan
+    regardless of ``len(lambdas)``.  Returns ``(lam, mean_rmse)`` per
+    candidate — order by ``mean_rmse`` to pick the winner."""
+    feats = list(feature_cols)
+    if len(feats) != 2:
+        raise ValueError("ridge_cv_sweep supports exactly 2 features")
+    lams = [float(x) for x in lambdas]
+    if not lams:
+        raise ValueError("lambdas must be non-empty")
+    p, rows = _fold_moments(df, feats, label_col, id_col, k, seed)
+    missing = [f for f in range(k) if f not in rows]
+    if missing:
+        raise ValueError(f"empty folds {missing}: id space too small for k={k}")
+    out = []
+    for lam in lams:
+        tot = 0.0
+        for f in range(k):
+            _w, n_test, sse = _solve_and_score(p, rows, f, lam)
+            tot += (sse / n_test) ** 0.5
+        out.append((lam, tot / k))
+    spark = df.sparkSession
+    return spark.createDataFrame(out, "lam double, mean_rmse double")

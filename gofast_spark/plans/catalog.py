@@ -867,6 +867,7 @@ from gofast_spark.plans import catalog_io  # noqa: E402,F401  (registration)
 from gofast_spark.plans import catalog_llm  # noqa: E402,F401  (registration)
 from gofast_spark.plans import catalog_metrics  # noqa: E402,F401  (registration)
 from gofast_spark.plans import catalog_misc  # noqa: E402,F401  (registration)
+from gofast_spark.plans import catalog_ml  # noqa: E402,F401  (registration)
 from gofast_spark.plans import catalog_quality  # noqa: E402,F401  (registration)
 from gofast_spark.plans import catalog_retrieval  # noqa: E402,F401  (registration)
 from gofast_spark.plans import catalog_sampling  # noqa: E402,F401  (registration)

@@ -1,0 +1,201 @@
+"""Catalog entries: model-selection surface (ml/selection.py) —
+deterministic k-fold assignment, one-pass cross-validated OLS, and the
+one-pass ridge lambda sweep.
+
+Mirrors the reference's model-search layer (``gofast/models/optimize.py``
+CV search, ``gofast/models/validation.py`` fold handling) in its
+distributed form: folds from the engine-portable LCG id hash, all fold
+Gram moments from ONE groupBy pass, per-fold train moments by
+subtraction, fixed-order Cramer solves.  Each oracle replays the full
+chain relationally in DuckDB — fold hash, per-fold moments, moment
+subtraction, the identical determinant expression tree — so the
+differential gate certifies the arithmetic, not just shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gofast_spark.plans.catalog import _t, query
+from gofast_spark.plans.catalog_stats import _det3_sql
+
+_CV_K = 4
+_CV_SEED = 0
+
+# shared projection + fold hash over lineitem (the LCG constants of
+# operators.split_train_test_by_id / ml.selection.kfold_assign)
+_CV_D_CTE = f"""d AS (
+      SELECT CAST(l_quantity AS DOUBLE) AS x1,
+             CAST(l_discount AS DOUBLE) AS x2,
+             CAST(l_extendedprice AS DOUBLE) AS y,
+             CAST(((l_orderkey + {_CV_SEED}) * 1103515245 + 12345)
+                  % 2147483648 % {_CV_K} AS INT) AS fold
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+        AND l_extendedprice IS NOT NULL)"""
+
+_CV_MOMENT_CTES = f"""{_CV_D_CTE},
+    m AS (
+      SELECT fold,
+             sum(1.0) AS a00, sum(x1) AS a01, sum(x2) AS a02,
+             sum(x1 * x1) AS a11, sum(x1 * x2) AS a12,
+             sum(x2 * x2) AS a22,
+             sum(y) AS b0, sum(x1 * y) AS b1, sum(x2 * y) AS b2,
+             sum(y * y) AS yy, count(*) AS n
+      FROM d GROUP BY fold),
+    t AS (
+      SELECT sum(a00) AS a00, sum(a01) AS a01, sum(a02) AS a02,
+             sum(a11) AS a11, sum(a12) AS a12, sum(a22) AS a22,
+             sum(b0) AS b0, sum(b1) AS b1, sum(b2) AS b2
+      FROM m),
+    tr AS (
+      SELECT m.fold,
+             t.a00 - m.a00 AS a00, t.a01 - m.a01 AS a01,
+             t.a02 - m.a02 AS a02, t.a11 - m.a11 AS a11,
+             t.a12 - m.a12 AS a12, t.a22 - m.a22 AS a22,
+             t.b0 - m.b0 AS b0, t.b1 - m.b1 AS b1, t.b2 - m.b2 AS b2
+      FROM m, t)"""
+
+
+def _cramer_w_sql(lam: str = "0.0") -> list[str]:
+    """The three Cramer-solve expressions over tr's train moments with
+    ridge ``lam`` on the feature diagonal (a11, a22; never a00) — the
+    same fixed expression order as ml.regression._det3/_cramer_solve."""
+    A = [
+        ["a00", "a01", "a02"],
+        ["a01", f"a11 + {lam}", "a12"],
+        ["a02", "a12", f"a22 + {lam}"],
+    ]
+    b = ["b0", "b1", "b2"]
+    det = _det3_sql(A)
+    ws = []
+    for j in range(3):
+        Aj = [[b[i] if c == j else A[i][c] for c in range(3)] for i in range(3)]
+        ws.append(f"({_det3_sql(Aj)}) / ({det})")
+    return ws
+
+
+def _sse_sql() -> str:
+    """Held-out SSE from the held-out fold's OWN moments (no second
+    data pass): yy - 2 w'b + w'Aw in the fixed accumulation order of
+    ml.selection._solve_and_score."""
+    return """m.yy - 2 * (w.w0 * m.b0 + w.w1 * m.b1 + w.w2 * m.b2)
+                + (w.w0 * (m.a00 * w.w0 + m.a01 * w.w1 + m.a02 * w.w2)
+                   + w.w1 * (m.a01 * w.w0 + m.a11 * w.w1 + m.a12 * w.w2)
+                   + w.w2 * (m.a02 * w.w0 + m.a12 * w.w1 + m.a22 * w.w2))"""
+
+
+@query(
+    "cv_fold_assignment_counts",
+    oracle=f"""
+    SELECT CAST(((user_id + 7) * 1103515245 + 12345)
+                % 2147483648 % 5 AS INT) AS fold,
+           count(*) AS n,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY fold
+    """,
+)
+def cv_fold_assignment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold assignment (ml/selection.py kfold_assign;
+    ref gofast/models/validation.py fold handling): the engine-portable
+    LCG id hash makes folds a pure projection — stable under
+    repartitioning and engine swaps, with all rows of one id in one
+    fold (structural leakage safety).  Counts per fold prove the
+    assignment, per-fold distinct users prove id-level coherence."""
+    from gofast_spark.ml.selection import kfold_assign
+
+    e = _t(spark, sf_dir, "events")
+    return kfold_assign(e, "user_id", 5, seed=7).groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def _cv_ols_oracle() -> str:
+    w0, w1, w2 = _cramer_w_sql("0.0")
+    return f"""
+    WITH {_CV_MOMENT_CTES},
+    w AS (
+      SELECT fold, {w0} AS w0, {w1} AS w1, {w2} AS w2 FROM tr),
+    s AS (
+      SELECT m.fold, m.n,
+             {_sse_sql()} AS sse,
+             w.w0, w.w1, w.w2
+      FROM w JOIN m ON m.fold = w.fold)
+    SELECT fold, CAST(n AS BIGINT) AS n_test,
+           CAST(round(sqrt(sse / n), 4) AS DOUBLE) AS rmse,
+           CAST(round(w0, 4) AS DOUBLE) AS w0,
+           CAST(round(w1, 4) AS DOUBLE) AS w1,
+           CAST(round(w2, 4) AS DOUBLE) AS w2
+    FROM s
+    """
+
+
+@query("cv_ols_rmse_lineitem", oracle=_cv_ols_oracle())
+def cv_ols_rmse_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-fold cross-validated OLS in ONE distributed pass
+    (ml/selection.py cross_val_linear; ref gofast/models/optimize.py
+    search loops): a single groupBy(fold) Gram aggregate, train moments
+    by subtraction, fixed-order Cramer solves, held-out RMSE from the
+    held-out fold's own moments — no per-fold refit scans.  The oracle
+    replays fold hash, moment algebra, and the identical determinant
+    tree."""
+    from gofast_spark.ml.selection import cross_val_linear
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = cross_val_linear(
+        li, ["l_quantity", "l_discount"], "l_extendedprice",
+        id_col="l_orderkey", k=_CV_K, seed=_CV_SEED,
+    )
+    return out.select(
+        "fold", "n_test",
+        F.round("rmse", 4).cast("double").alias("rmse"),
+        F.round("w0", 4).cast("double").alias("w0"),
+        F.round("w1", 4).cast("double").alias("w1"),
+        F.round("w2", 4).cast("double").alias("w2"),
+    )
+
+
+_SWEEP_LAMBDAS = (0.0, 1000.0, 1000000.0)
+
+
+def _ridge_sweep_oracle() -> str:
+    w0, w1, w2 = _cramer_w_sql("ls.lam")
+    vals = ", ".join(f"({x!r})" for x in _SWEEP_LAMBDAS)
+    return f"""
+    WITH {_CV_MOMENT_CTES},
+    ls AS (SELECT CAST(lam AS DOUBLE) AS lam
+           FROM (VALUES {vals}) AS v(lam)),
+    w AS (
+      SELECT ls.lam, tr.fold, {w0} AS w0, {w1} AS w1, {w2} AS w2
+      FROM tr, ls),
+    s AS (
+      SELECT w.lam, m.fold, sqrt(({_sse_sql()}) / m.n) AS fold_rmse
+      FROM w JOIN m ON m.fold = w.fold)
+    SELECT lam,
+           CAST(round(sum(fold_rmse) / {_CV_K}, 4) AS DOUBLE) AS mean_rmse
+    FROM s GROUP BY lam
+    """
+
+
+@query("ridge_cv_sweep_lineitem", oracle=_ridge_sweep_oracle())
+def ridge_cv_sweep_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-validated ridge lambda sweep sharing ONE set of fold
+    moments across all candidates (ml/selection.py ridge_cv_sweep; ref
+    gofast/models/optimize.py hyperparameter search): the whole sweep
+    costs a single data scan regardless of candidate count — the
+    closed-form-model property that makes wide searches feasible at
+    100 TB.  The oracle replays every (lambda, fold) solve."""
+    from gofast_spark.ml.selection import ridge_cv_sweep
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = ridge_cv_sweep(
+        li, ["l_quantity", "l_discount"], "l_extendedprice",
+        id_col="l_orderkey", lambdas=_SWEEP_LAMBDAS, k=_CV_K,
+        seed=_CV_SEED,
+    )
+    return out.select(
+        "lam", F.round("mean_rmse", 4).cast("double").alias("mean_rmse")
+    )
