@@ -337,3 +337,73 @@ def funnel_latencies(
         out = lat if out is None else out.unionByName(lat)
         frontier = nxt.select("__u", "__t")
     return out
+
+
+def first_touch_mins(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: Sequence[str],
+) -> DataFrame:
+    """Per-user FIRST-TOUCH reach times: one row per user with
+    ``t0..t{k-1}`` = min event time of each step type (null if the user
+    never performed it).
+
+    This is the streaming-maintainable funnel state: per-(user, step)
+    min is a monotone, idempotent, order-insensitive aggregate, so it
+    is exact under micro-batching, replays, and arbitrarily late data
+    with NO watermark — the state a live funnel dashboard actually
+    keeps.  Works identically on a batch or streaming frame (single
+    stateful aggregation).  State is user-sized."""
+    steps = list(steps)
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least two steps")
+    ev = df.where(F.col(ts_col).isNotNull())
+    ty = F.col(type_col)
+    return ev.groupBy(F.col(user_col).alias("user")).agg(
+        *[
+            F.min(F.when(ty == s, F.col(ts_col))).alias(f"t{i}")
+            for i, s in enumerate(steps)
+        ]
+    )
+
+
+def first_touch_counts(
+    mins: DataFrame,
+    steps: Sequence[str],
+) -> DataFrame:
+    """First-touch funnel counts from a :func:`first_touch_mins` frame:
+    step k counts users whose first-touch times are present AND
+    non-decreasing through step k (``t0 <= t1 <= ... <= tk``).
+
+    FIRST-TOUCH vs the SEQUENTIAL semantics of :func:`funnel`: here
+    only each step's earliest event is considered, so a user who
+    clicked before their first view and again after counts in the
+    sequential funnel but not in this one.  Both are standard product
+    definitions; first-touch is the one that admits exact incremental
+    streaming state.  One aggregate over the user-sized frame."""
+    steps = list(steps)
+    k = len(steps)
+    conds = []
+    c = F.col("t0").isNotNull()
+    conds.append(c)
+    for i in range(1, k):
+        c = (
+            c
+            & F.col(f"t{i}").isNotNull()
+            & (F.col(f"t{i}") >= F.col(f"t{i - 1}"))
+        )
+        conds.append(c)
+    agg = mins.agg(
+        *[F.count(F.when(cond, 1)).alias(f"n{i}") for i, cond in
+          enumerate(conds)]
+    )
+    stack = ", ".join(f"{i + 1}, '{s}', n{i}" for i, s in enumerate(steps))
+    return agg.selectExpr(
+        f"stack({k}, {stack}) AS (step_idx, step, n_users)"
+    ).select(
+        F.col("step_idx").cast("int").alias("step_idx"),
+        "step",
+        F.col("n_users").cast("bigint").alias("n_users"),
+    )

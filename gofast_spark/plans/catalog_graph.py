@@ -532,3 +532,100 @@ def degree_assortativity_modgraph(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round("assortativity", 6).cast("double").alias("assortativity"),
         "n_edges",
     )
+
+
+def _community_density_oracle() -> str:
+    """Composed oracle: the modular-graph LPA unroll (same semantics as
+    _lpa_oracle, over the symmetrized c%60 graph) feeding the triangle
+    corner counts — certifying that the two graph operators CHAIN."""
+    ctes = [
+        """raw AS (
+      SELECT DISTINCT CAST(c_custkey % 60 AS BIGINT) AS src,
+             CAST((c_custkey * 7 + 3) % 60 AS BIGINT) AS dst
+      FROM customer),
+    edges AS (
+      SELECT src, dst FROM raw WHERE src <> dst
+      UNION
+      SELECT dst AS src, src AS dst FROM raw WHERE src <> dst),
+    l0 AS (SELECT DISTINCT src AS node, src AS lab FROM edges)"""
+    ]
+    for t in range(1, _LPA_ITER + 1):
+        ctes.append(
+            f"""c{t} AS (
+      SELECT e.src AS node, p.lab AS nlab, count(*) AS cnt
+      FROM edges e JOIN l{t - 1} p ON p.node = e.dst
+      GROUP BY e.src, p.lab),
+    l{t} AS (
+      SELECT node, nlab AS lab FROM (
+        SELECT node, nlab,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY cnt DESC, nlab) AS rn
+        FROM c{t}) WHERE rn = 1)"""
+        )
+    ctes.append(
+        """canon AS (
+      SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      FROM raw WHERE src <> dst),
+    tri AS (
+      SELECT a.u, a.v, b.v AS w
+      FROM canon a JOIN canon b ON b.u = a.v
+      JOIN canon c ON c.u = a.u AND c.v = b.v),
+    corners AS (
+      SELECT node, count(*) AS triangles FROM (
+        SELECT u AS node FROM tri
+        UNION ALL SELECT v FROM tri
+        UNION ALL SELECT w FROM tri) GROUP BY node)"""
+    )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT l.lab AS community,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(coalesce(c.triangles, 0)) AS BIGINT)
+             AS corner_triangles,
+           CAST(sum(coalesce(c.triangles, 0))
+                / CAST(count(*) AS DOUBLE) AS DOUBLE)
+             AS triangles_per_node
+    FROM l{_LPA_ITER} l LEFT JOIN corners c ON c.node = l.node
+    GROUP BY l.lab
+    """
+
+
+@query("community_triangle_density", oracle=_community_density_oracle())
+def community_triangle_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition entry: LPA communities -> per-community triangle
+    density, chaining label_propagation (symmetrize=True) and
+    triangle_count over the SAME modular graph in one lazy plan (the
+    graph analogue of corpus_build_pipeline) — per community the node
+    count, summed corner-triangle participations, and triangles per
+    node.  Proves the graph operators compose without driver
+    round-trips beyond their own checkpoint discipline."""
+    from gofast_spark.ml.graph import label_propagation, triangle_count
+
+    c = _t(spark, sf_dir, "customer")
+    edges = c.select(
+        (F.col("c_custkey") % 60).cast("long").alias("src"),
+        ((F.col("c_custkey") * 7 + 3) % 60).cast("long").alias("dst"),
+    ).distinct()
+    labels = label_propagation(
+        edges, iterations=_LPA_ITER, symmetrize=True
+    ).select(F.col("node").alias("lnode"), F.col("label").alias("community"))
+    tri = triangle_count(edges).select(
+        F.col("node").alias("tnode"), "triangles"
+    )
+    return (
+        labels.join(tri, labels["lnode"] == tri["tnode"], "left")
+        .select(
+            "community",
+            F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"),
+        )
+        .groupBy("community")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("triangles").cast("bigint").alias("corner_triangles"),
+            (
+                F.sum("triangles")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("triangles_per_node"),
+        )
+    )

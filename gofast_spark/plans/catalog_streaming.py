@@ -536,3 +536,54 @@ def stream_hist_sketch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, ["event_type"], "value", lo=0.0, hi=512.0, bins=64
     )
     return run_available_now(hist, mode="complete")
+
+
+@query(
+    "stream_funnel_counts",
+    oracle="""
+    WITH mins AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t0,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t1,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t2
+      FROM events WHERE ts IS NOT NULL GROUP BY user_id)
+    SELECT CAST(1 AS INT) AS step_idx, 'view' AS step,
+           count(CASE WHEN t0 IS NOT NULL THEN 1 END) AS n_users
+    FROM mins
+    UNION ALL
+    SELECT CAST(2 AS INT), 'click',
+           count(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL
+                       AND t1 >= t0 THEN 1 END)
+    FROM mins
+    UNION ALL
+    SELECT CAST(3 AS INT), 'purchase',
+           count(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL
+                       AND t1 >= t0 AND t2 IS NOT NULL
+                       AND t2 >= t1 THEN 1 END)
+    FROM mins
+    """,
+)
+def stream_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch funnel MAINTAINED IN A STREAM (operators/funnel.py
+    first_touch_mins + first_touch_counts): the streaming state is the
+    per-user min reach time per step — monotone, idempotent, and exact
+    under micro-batching and late data with no watermark — and the
+    drained state folds to step counts in one batch aggregate.  The
+    oracle computes the identical first-touch definition from the batch
+    table (availableNow-equals-batch).  At production scale the drain
+    targets a table sink (stream_merge_upsert) instead of memory; the
+    state shape and plan are the same."""
+    from gofast_spark.operators.funnel import (
+        first_touch_counts,
+        first_touch_mins,
+    )
+    from gofast_spark.streaming import (
+        read_event_stream,
+        run_available_now,
+    )
+
+    steps = ["view", "click", "purchase"]
+    stream = read_event_stream(spark, sf_dir, glob="events.parquet")
+    mins = first_touch_mins(stream, "user_id", "ts", "event_type", steps)
+    state = run_available_now(mins, mode="complete")
+    return first_touch_counts(state, steps)
