@@ -203,3 +203,71 @@ def ridge_cv_sweep(
         out.append((lam, tot / k))
     spark = df.sparkSession
     return spark.createDataFrame(out, "lam double, mean_rmse double")
+
+
+def learning_curve_linear(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str,
+    *,
+    id_col: str,
+    n_steps: int = 4,
+    seed: int = 0,
+    ridge: float = 0.0,
+) -> DataFrame:
+    """Learning curve (holdout RMSE vs training-set size) for a
+    normal-equation linear model in ONE distributed pass.
+
+    Ids hash into ``n_steps + 1`` LCG buckets; the last bucket is a
+    FIXED holdout, and training set j (j = 1..n_steps) is the union of
+    buckets ``0..j-1`` — so train moments are cumulative sums of the
+    per-bucket Gram moments from the single groupBy pass, and every
+    point of the curve scores against the same holdout moments.  The
+    sklearn ``learning_curve`` question (is more data still buying
+    accuracy?) answered without one refit scan per point — the
+    difference between a feasible and an infeasible diagnostic at
+    100 TB.  Returns ``(step, n_train, n_test, rmse)``."""
+    feats = list(feature_cols)
+    if len(feats) != 2:
+        raise ValueError("learning_curve_linear supports exactly 2 features")
+    if n_steps < 2:
+        raise ValueError("n_steps must be >= 2")
+    k = n_steps + 1
+    p, rows = _fold_moments(df, feats, label_col, id_col, k, seed)
+    missing = [f for f in range(k) if f not in rows]
+    if missing:
+        raise ValueError(f"empty buckets {missing}: id space too small")
+    hold = rows[k - 1]
+    Ah = [[0.0] * p for _ in range(p)]
+    for i in range(p):
+        for j in range(i, p):
+            Ah[i][j] = Ah[j][i] = float(hold[f"a_{i}_{j}"])
+    bh = [float(hold[f"b_{i}"]) for i in range(p)]
+    n_test = int(hold["n"])
+    A = [[0.0] * p for _ in range(p)]
+    b = [0.0] * p
+    out = []
+    n_train = 0
+    for j in range(n_steps):
+        r = rows[j]
+        for i in range(p):
+            for c in range(i, p):
+                A[i][c] += float(r[f"a_{i}_{c}"])
+            b[i] += float(r[f"b_{i}"])
+        n_train += int(r["n"])
+        At = [[A[i][c] if c >= i else A[c][i] for c in range(p)]
+              for i in range(p)]
+        if ridge:
+            for i in range(1, p):
+                At[i][i] += float(ridge)
+        w = _cramer_solve(At, b)
+        sse = (
+            float(hold["yy"])
+            - 2.0 * sum(w[i] * bh[i] for i in range(p))
+            + sum(w[i] * Ah[i][c] * w[c] for i in range(p) for c in range(p))
+        )
+        out.append((j + 1, n_train, n_test, (sse / n_test) ** 0.5))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        out, "step int, n_train bigint, n_test bigint, rmse double"
+    )

@@ -199,3 +199,69 @@ def ridge_cv_sweep_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "lam", F.round("mean_rmse", 4).cast("double").alias("mean_rmse")
     )
+
+
+_LC_STEPS = 4  # buckets 0..3 cumulate into training sets; bucket 4 = holdout
+
+
+def _learning_curve_oracle() -> str:
+    w0, w1, w2 = _cramer_w_sql("0.0")
+    return f"""
+    WITH {_CV_D_CTE.replace(f"% {_CV_K} AS", f"% {_LC_STEPS + 1} AS")},
+    m AS (
+      SELECT fold,
+             sum(1.0) AS a00, sum(x1) AS a01, sum(x2) AS a02,
+             sum(x1 * x1) AS a11, sum(x1 * x2) AS a12,
+             sum(x2 * x2) AS a22,
+             sum(y) AS b0, sum(x1 * y) AS b1, sum(x2 * y) AS b2,
+             sum(y * y) AS yy, count(*) AS n
+      FROM d GROUP BY fold),
+    h AS (SELECT * FROM m WHERE fold = {_LC_STEPS}),
+    tr AS (
+      SELECT fold,
+             sum(a00) OVER (ORDER BY fold) AS a00,
+             sum(a01) OVER (ORDER BY fold) AS a01,
+             sum(a02) OVER (ORDER BY fold) AS a02,
+             sum(a11) OVER (ORDER BY fold) AS a11,
+             sum(a12) OVER (ORDER BY fold) AS a12,
+             sum(a22) OVER (ORDER BY fold) AS a22,
+             sum(b0) OVER (ORDER BY fold) AS b0,
+             sum(b1) OVER (ORDER BY fold) AS b1,
+             sum(b2) OVER (ORDER BY fold) AS b2,
+             sum(n) OVER (ORDER BY fold) AS n_train
+      FROM m WHERE fold < {_LC_STEPS}),
+    w AS (
+      SELECT fold, n_train, {w0} AS w0, {w1} AS w1, {w2} AS w2 FROM tr)
+    SELECT CAST(w.fold + 1 AS INT) AS step,
+           CAST(w.n_train AS BIGINT) AS n_train,
+           CAST(h.n AS BIGINT) AS n_test,
+           CAST(round(sqrt((h.yy
+             - 2 * (w.w0 * h.b0 + w.w1 * h.b1 + w.w2 * h.b2)
+             + (w.w0 * (h.a00 * w.w0 + h.a01 * w.w1 + h.a02 * w.w2)
+                + w.w1 * (h.a01 * w.w0 + h.a11 * w.w1 + h.a12 * w.w2)
+                + w.w2 * (h.a02 * w.w0 + h.a12 * w.w1 + h.a22 * w.w2)))
+             / h.n), 4) AS DOUBLE) AS rmse
+    FROM w, h
+    """
+
+
+@query("learning_curve_lineitem", oracle=_learning_curve_oracle())
+def learning_curve_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass learning curve (ml/selection.py learning_curve_linear;
+    the sklearn learning_curve diagnostic, ref gofast/models/ evaluation
+    utilities): per-bucket Gram moments from ONE groupBy, cumulative
+    moment sums as growing training sets, every curve point scored
+    against the same holdout bucket's moments — no per-point refit
+    scans.  The oracle replays the cumulative-window moment algebra and
+    the identical Cramer tree."""
+    from gofast_spark.ml.selection import learning_curve_linear
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = learning_curve_linear(
+        li, ["l_quantity", "l_discount"], "l_extendedprice",
+        id_col="l_orderkey", n_steps=_LC_STEPS, seed=_CV_SEED,
+    )
+    return out.select(
+        "step", "n_train", "n_test",
+        F.round("rmse", 4).cast("double").alias("rmse"),
+    )

@@ -109,3 +109,26 @@ def test_cv_raises_on_empty_fold(spark):
     )
     with pytest.raises(ValueError, match="empty folds"):
         cross_val_linear(df, ["x1", "x2"], "y", id_col="id", k=4)
+
+
+def test_learning_curve_matches_numpy_refits(spark):
+    from gofast_spark.ml.selection import learning_curve_linear
+
+    rows, df = _synth(spark)
+    n_steps = 3
+    k = n_steps + 1
+    got = {r["step"]: r for r in
+           learning_curve_linear(df, ["x1", "x2"], "y", id_col="id",
+                                 n_steps=n_steps).collect()}
+    test = [(a, b, c) for i, a, b, c in rows if _py_fold(i, k) == k - 1]
+    Xt = np.array([[1.0, a, b] for a, b, _ in test])
+    yt = np.array([c for _, _, c in test])
+    for j in range(1, n_steps + 1):
+        train = [(a, b, c) for i, a, b, c in rows if _py_fold(i, k) < j]
+        X = np.array([[1.0, a, b] for a, b, _ in train])
+        yv = np.array([c for _, _, c in train])
+        w = np.linalg.solve(X.T @ X, X.T @ yv)
+        rmse = float(np.sqrt(np.mean((yt - Xt @ w) ** 2)))
+        assert got[j]["n_train"] == len(train)
+        assert got[j]["n_test"] == len(test)
+        assert got[j]["rmse"] == pytest.approx(rmse, rel=1e-8)
