@@ -736,3 +736,64 @@ def array2hdf5_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("row_id")
     )
+
+
+@query(
+    "compact_small_files_orders",
+    oracle="""
+    SELECT CAST(64 AS INT) AS files_before, CAST(4 AS INT) AS files_after,
+           count(*) AS n_rows,
+           CAST(sum(CAST(trunc(o_totalprice * 100 + 0.5) AS BIGINT))
+             AS BIGINT) AS price_c
+    FROM orders
+    """,
+)
+def compact_small_files_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (operators/maintenance.py compact_files; no
+    gofast analog — the daily lakehouse hygiene job): a 64-way
+    fragmented copy of orders is rewritten to 4 balanced files by one
+    round-robin repartition; the stats frame plus a cent-exact price
+    checksum of the COMPACTED table proves the rewrite lost nothing.
+    At 100 TB this runs per partition-directory so the shuffle stays
+    bounded."""
+    from gofast_spark.operators.maintenance import compact_files
+
+    frag = os.path.join(_scratch("compact"), "frag")
+    out = os.path.join(_scratch("compact"), "out")
+    _t(spark, sf_dir, "orders").repartition(64).write.mode(
+        "overwrite"
+    ).parquet(frag)
+    stats = compact_files(spark, frag, out, target_files=4)
+    check = spark.read.parquet(out).agg(
+        F.sum(
+            F.expr("CAST(o_totalprice * 100 + 0.5 AS BIGINT)")
+        ).alias("price_c")
+    )
+    return stats.crossJoin(F.broadcast(check))
+
+
+@query(
+    "key_skew_report_orders",
+    oracle="""
+    WITH counts AS (
+      SELECT o_custkey AS key, count(*) AS cnt FROM orders
+      WHERE o_custkey IS NOT NULL GROUP BY o_custkey),
+    t AS (SELECT sum(cnt) AS total, count(*) AS nkeys FROM counts)
+    SELECT key, CAST(cnt AS BIGINT) AS cnt,
+           CAST(floor(cnt * 1000000 / total) AS BIGINT) AS share_ppm,
+           CAST(cnt / (total / CAST(nkeys AS DOUBLE)) AS DOUBLE)
+             AS skew_factor
+    FROM counts, t
+    ORDER BY cnt DESC, key LIMIT 10
+    """,
+)
+def key_skew_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg key hot-spot diagnosis (operators/maintenance.py
+    key_skew_report; no gofast analog — the pre-flight check before any
+    100-TB shuffle): top-10 heaviest customer keys with micro-unit
+    share and skew factor from one groupBy + a 1-row broadcast of the
+    count-table totals + TakeOrderedAndProject, deterministic
+    (cnt DESC, key) tie-break."""
+    from gofast_spark.operators.maintenance import key_skew_report
+
+    return key_skew_report(_t(spark, sf_dir, "orders"), "o_custkey", top_k=10)

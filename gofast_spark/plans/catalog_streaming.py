@@ -587,3 +587,89 @@ def stream_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     mins = first_touch_mins(stream, "user_id", "ts", "event_type", steps)
     state = run_available_now(mins, mode="complete")
     return first_touch_counts(state, steps)
+
+
+@query(
+    "stream_retention_cohorts",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id AS u, epoch(ts) AS s, event_type AS ty FROM events
+      WHERE ts IS NOT NULL),
+    first AS (
+      SELECT u, min(s) AS t0 FROM ev WHERE ty = 'signup' GROUP BY u),
+    active AS (
+      SELECT DISTINCT ev.u,
+             CAST(floor(t0 / 604800.0) AS BIGINT) AS cohort,
+             CAST(floor((s - t0) / 604800.0) AS BIGINT) AS "offset"
+      FROM ev JOIN first ON first.u = ev.u
+      WHERE s >= t0 AND floor((s - t0) / 604800.0) < 8),
+    sizes AS (
+      SELECT CAST(floor(t0 / 604800.0) AS BIGINT) AS cohort,
+             count(*) AS cohort_size
+      FROM first GROUP BY 1)
+    SELECT a.cohort, a."offset", CAST(count(*) AS BIGINT) AS n_active,
+           CAST(any_value(cohort_size) AS BIGINT) AS cohort_size,
+           CAST(count(*) / CAST(any_value(cohort_size) AS DOUBLE) AS DOUBLE)
+             AS retention
+    FROM active a JOIN sizes sz ON sz.cohort = a.cohort
+    GROUP BY a.cohort, a."offset"
+    """,
+)
+def stream_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention MAINTAINED IN A STREAM, two-phase (the
+    backfill-then-live shape of a real growth pipeline): phase 1 drains
+    the per-user min signup time (a monotone stateful aggregate — the
+    cohort-entry state); phase 2 re-streams the events against that
+    static entry frame (stream-static join, stateless), projects the
+    (user, cohort, offset) activity cell, and streaming-dedups it —
+    dropDuplicates IS the live retention state, exactly-once per cell,
+    late-data-safe because cells only appear, never change.  The
+    drained cells fold to the retention triangle in one batch
+    aggregate; the oracle is the batch definition (availableNow-equals
+    -batch, same SQL as retention_cohorts_events)."""
+    from gofast_spark.streaming import read_event_stream, run_available_now
+
+    period = 604_800  # 7-day cohorts, matching the batch entry
+    max_periods = 8
+
+    s1 = read_event_stream(spark, sf_dir, glob="events.parquet")
+    entries = (
+        s1.where(F.col("ts").isNotNull() & (F.col("event_type") == "signup"))
+        .groupBy(F.col("user_id").alias("u"))
+        .agg(F.min(F.unix_timestamp("ts")).alias("t0"))
+    )
+    first = run_available_now(entries, mode="complete")
+
+    s2 = read_event_stream(spark, sf_dir, glob="events.parquet")
+    ev = s2.where(F.col("ts").isNotNull()).select(
+        F.col("user_id").alias("u"),
+        F.unix_timestamp("ts").alias("s"),
+    )
+    cells = (
+        ev.join(first, "u")
+        .where(F.col("s") >= F.col("t0"))
+        .select(
+            "u",
+            (F.col("t0") / F.lit(period)).cast("bigint").alias("cohort"),
+            ((F.col("s") - F.col("t0")) / F.lit(period))
+            .cast("bigint")
+            .alias("offset"),
+        )
+        .where(F.col("offset") < max_periods)
+        .dropDuplicates(["u", "cohort", "offset"])
+    )
+    active = run_available_now(cells, mode="append")
+
+    sizes = first.groupBy(
+        (F.col("t0") / F.lit(period)).cast("bigint").alias("cohort")
+    ).agg(F.count(F.lit(1)).alias("cohort_size"))
+    return (
+        active.groupBy("cohort", "offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort", "offset", "n_active", "cohort_size",
+            (F.col("n_active") / F.col("cohort_size").cast("double"))
+            .alias("retention"),
+        )
+    )
