@@ -163,3 +163,41 @@ def histogram_quantile(
             (F.lit(lo) + (F.col("__b") + 1) * F.lit(width)).alias("est"),
         )
     )
+
+
+def distinct_intersection_estimate(
+    df,
+    key_col: str,
+    cond_a,
+    cond_b,
+    *,
+    lgk: int = 12,
+):
+    """Estimate |A ∩ B| for two cohorts of one key WITHOUT shuffling the
+    raw keys twice: HLL sketch-algebra inclusion-exclusion,
+    ``|A∩B| ≈ est(A) + est(B) - est(A ∪ B)``, where the union estimate
+    comes from merging the two sketches (``hll_union_agg``) — the set
+    operation HLL supports natively.  One pass builds both cohort
+    sketches and their union; error compounds to a few percent of the
+    LARGER cohort (the standard caveat: inclusion-exclusion degrades
+    for small intersections of large sets).
+
+    Returns 1 row: ``(est_a, est_b, est_union, est_intersection)``.
+    The audience-overlap question (viewed AND purchased; saw campaign
+    AND converted) answered from kilobyte sketches."""
+    key = F.col(key_col)
+    sk_a = F.hll_sketch_agg(F.when(cond_a, key), F.lit(lgk))
+    sk_b = F.hll_sketch_agg(F.when(cond_b, key), F.lit(lgk))
+    one = df.agg(sk_a.alias("ska"), sk_b.alias("skb"))
+    return one.select(
+        F.hll_sketch_estimate("ska").alias("est_a"),
+        F.hll_sketch_estimate("skb").alias("est_b"),
+        F.hll_sketch_estimate(
+            F.hll_union("ska", "skb")
+        ).alias("est_union"),
+        (
+            F.hll_sketch_estimate("ska")
+            + F.hll_sketch_estimate("skb")
+            - F.hll_sketch_estimate(F.hll_union("ska", "skb"))
+        ).alias("est_intersection"),
+    )

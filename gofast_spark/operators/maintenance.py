@@ -99,3 +99,32 @@ def key_skew_report(
         .orderBy(F.col("cnt").desc(), F.col("key"))
         .limit(top_k)
     )
+
+
+def table_checksum(
+    df: DataFrame,
+    col_exprs: list,
+) -> DataFrame:
+    """Order-independent content checksum of a table: 1 row of
+    ``(n_rows, checksum)`` where checksum = bit-XOR of a portable
+    64-bit md5 hash of each row's canonical string (columns joined by
+    the unit separator, chr(31), so column boundaries can't alias).
+
+    The replica-validation primitive: two sides of a copy/migration
+    compare one 8-byte result instead of moving data.  XOR aggregation
+    is commutative/associative (partition- and order-independent) and
+    cannot overflow, unlike a sum of hashes (which silently wraps in a
+    64-bit engine but widens to 128-bit in others — an engine-parity
+    trap).  Callers pass canonical expressions per column (stable
+    casts: ints/strings as-is, money as integer cents) because raw
+    float formatting differs between engines."""
+    from gofast_spark.text.hashing import md5_hash64
+
+    sep = chr(31)
+    canon = F.concat_ws(
+        sep, *[F.coalesce(c.cast("string"), F.lit(chr(0))) for c in col_exprs]
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor(md5_hash64(canon)).alias("checksum"),
+    )

@@ -797,3 +797,37 @@ def key_skew_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gofast_spark.operators.maintenance import key_skew_report
 
     return key_skew_report(_t(spark, sf_dir, "orders"), "o_custkey", top_k=10)
+
+
+@query(
+    "table_checksum_customer",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           bit_xor(CAST(('0x' || substr(md5(
+             CAST(c_custkey AS VARCHAR) || chr(31) || c_name || chr(31)
+             || c_mktsegment || chr(31)
+             || CAST(CAST(trunc(c_acctbal * 100 + 0.5) AS BIGINT) AS VARCHAR)
+           ), 1, 15)) AS BIGINT)) AS checksum
+    FROM customer
+    """,
+)
+def table_checksum_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table checksum (operators/maintenance.py
+    table_checksum; the replica-validation primitive after any
+    copy/migration — no gofast analog): bit-XOR of the portable md5
+    row hash over canonical column strings, partition- and
+    row-order-independent by construction, overflow-free.  The oracle
+    recomputes the identical digest in DuckDB — a hash match proves
+    cross-engine content-equality checking works end to end."""
+    from gofast_spark.operators.maintenance import table_checksum
+
+    c = _t(spark, sf_dir, "customer")
+    return table_checksum(
+        c,
+        [
+            F.col("c_custkey"),
+            F.col("c_name"),
+            F.col("c_mktsegment"),
+            F.expr("CAST(c_acctbal * 100 + 0.5 AS BIGINT)"),
+        ],
+    )

@@ -725,3 +725,74 @@ def hist_quantile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_quantile(
         merged, ["event_type"], [0.5, 0.9], lo=0.0, hi=512.0, bins=64
     )
+
+
+@query(
+    "hll_intersection_floor_events",
+    oracle="""
+    WITH a AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'view'),
+    b AS (SELECT DISTINCT user_id FROM events
+          WHERE event_type = 'purchase'),
+    u AS (SELECT user_id FROM a UNION SELECT user_id FROM b),
+    i AS (SELECT user_id FROM a INTERSECT SELECT user_id FROM b)
+    SELECT (SELECT count(*) FROM a) AS exact_a,
+           (SELECT count(*) FROM b) AS exact_b,
+           (SELECT count(*) FROM u) AS exact_union,
+           (SELECT count(*) FROM i) AS exact_both,
+           CAST(1 AS INT) AS within_tol
+    """,
+)
+def hll_intersection_floor_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch-algebra audience overlap (functions/sketches.py
+    distinct_intersection_estimate): |view ∩ purchase| by
+    inclusion-exclusion over mergeable sketches — one pass, kilobyte
+    state, vs the exact path's two distinct-shuffles plus an
+    intersect.  Floor-check oracle (the ivf_kmeans_recall_floor
+    pattern): exact cohort sizes hash-checked, and the sketch estimate
+    must land within 5% of the union (+10 absolute) of the exact
+    intersection — an accuracy regression flips the flag and fails the
+    hash."""
+    from gofast_spark.functions.sketches import (
+        distinct_intersection_estimate,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    est = distinct_intersection_estimate(
+        e, "user_id",
+        F.col("event_type") == "view",
+        F.col("event_type") == "purchase",
+    )
+    exact = e.agg(
+        F.countDistinct(
+            F.when(F.col("event_type") == "view", F.col("user_id"))
+        ).alias("exact_a"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("exact_b"),
+        F.countDistinct(
+            F.when(
+                F.col("event_type").isin("view", "purchase"),
+                F.col("user_id"),
+            )
+        ).alias("exact_union"),
+    )
+    both = (
+        e.where(F.col("event_type") == "view")
+        .select("user_id")
+        .intersect(
+            e.where(F.col("event_type") == "purchase").select("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("exact_both"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(both))
+        .crossJoin(F.broadcast(est))
+        .select(
+            "exact_a", "exact_b", "exact_union", "exact_both",
+            (
+                F.abs(F.col("est_intersection") - F.col("exact_both"))
+                <= F.col("exact_union") * 0.05 + 10
+            ).cast("int").alias("within_tol"),
+        )
+    )
