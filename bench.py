@@ -70,6 +70,14 @@ HEADLINE = [
     "corpus_report_documents",
     "bigram_pmi_documents",
     "near_dup_best_survivors",
+    # round 8: one-pass model selection (CV + lambda sweep), graph
+    # composition, streaming funnel/retention, lakehouse maintenance
+    "cv_ols_rmse_lineitem",
+    "ridge_cv_sweep_lineitem",
+    "community_triangle_density",
+    "stream_funnel_counts",
+    "key_skew_report_orders",
+    "table_checksum_customer",
 ]
 
 

@@ -166,3 +166,39 @@ def scd2_as_of(
         (F.col(valid_from) <= ts)
         & (F.col(valid_to).isNull() | (F.col(valid_to) > ts))
     )
+
+
+def scd2_point_in_time(
+    fact: DataFrame,
+    history: DataFrame,
+    on: Sequence[tuple[str, str]] | tuple[str, str],
+    ts_col: str,
+    *,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time enrichment: join each fact row to the dimension
+    VERSION that was valid at the fact's event time — the whole reason
+    an SCD2 history exists.  ``on`` is (fact_key, history_key) pairs;
+    a fact row matches the history row with
+    ``valid_from <= ts < valid_to`` (open rows: ``valid_to`` null).
+
+    Plan shape: an EQUI-join on the dimension key with the validity
+    window as a residual filter — Catalyst plans the hash/sort-merge
+    join on the key (never a cartesian), and because SCD2 intervals for
+    one key are disjoint by construction each fact row matches at most
+    one version (no fan-out).  At 100 TB this is one shuffle on the
+    dimension key, broadcast when the dimension is small."""
+    pairs = [on] if isinstance(on[0], str) else [tuple(p) for p in on]
+    cond = None
+    for fk, hk in pairs:
+        c = fact[fk] == history[hk]
+        cond = c if cond is None else (cond & c)
+    ts = fact[ts_col]
+    cond = (
+        cond
+        & (ts >= history[valid_from])
+        & (history[valid_to].isNull() | (ts < history[valid_to]))
+    )
+    return fact.join(history, cond, how)

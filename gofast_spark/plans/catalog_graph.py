@@ -629,3 +629,69 @@ def community_triangle_density(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("triangles_per_node"),
         )
     )
+
+
+@query(
+    "scd2_pit_join_orders",
+    oracle="""
+    WITH hist AS (
+      SELECT c_custkey, c_mktsegment, DATE '1995-01-01' AS valid_from,
+             CAST(NULL AS DATE) AS valid_to
+      FROM customer WHERE c_mktsegment <> 'BUILDING'
+      UNION ALL
+      SELECT c_custkey, c_mktsegment, DATE '1995-01-01', DATE '1998-01-01'
+      FROM customer WHERE c_mktsegment = 'BUILDING'
+      UNION ALL
+      SELECT c_custkey, 'MOVED', DATE '1998-01-01', CAST(NULL AS DATE)
+      FROM customer WHERE c_mktsegment = 'BUILDING')
+    SELECT h.c_mktsegment AS segment_at_order,
+           count(*) AS n_orders,
+           CAST(sum(CAST(trunc(o.o_totalprice * 100 + 0.5) AS BIGINT))
+             AS BIGINT) AS revenue_c
+    FROM orders o JOIN hist h
+      ON h.c_custkey = o.o_custkey
+     AND CAST(o.o_orderdate AS DATE) >= h.valid_from
+     AND (h.valid_to IS NULL OR CAST(o.o_orderdate AS DATE) < h.valid_to)
+    GROUP BY h.c_mktsegment
+    """,
+)
+def scd2_pit_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time SCD2 enrichment (operators/scd.py
+    scd2_point_in_time): orders join the customer-segment VERSION valid
+    at each order date (history: BUILDING -> MOVED effective
+    1998-01-01, mid date-range), aggregated to cent-exact revenue per
+    effective segment.  The equi-key join carries the validity window
+    as a residual filter — no cartesian, at most one version per fact
+    row; the oracle replays the interval join from the same synthetic
+    history."""
+    from gofast_spark.operators.scd import scd2_init, scd2_merge
+    from gofast_spark.operators.scd import scd2_point_in_time
+
+    snap = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment",
+        F.lit("1995-01-01").cast("date").alias("eff"),
+    )
+    hist = scd2_init(snap, "eff")
+    upd = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_mktsegment") == "BUILDING", "MOVED")
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+        F.lit("1998-01-01").cast("date").alias("eff"),
+    )
+    history = scd2_merge(hist, upd, "c_custkey", ["c_mktsegment"], "eff")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice",
+        F.col("o_orderdate").cast("date").alias("odate"),
+    )
+    joined = scd2_point_in_time(
+        orders, history, ("o_custkey", "c_custkey"), "odate", how="inner"
+    )
+    return joined.groupBy(
+        F.col("c_mktsegment").alias("segment_at_order")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.expr("CAST(o_totalprice * 100 + 0.5 AS BIGINT)"))
+        .cast("bigint")
+        .alias("revenue_c"),
+    )
