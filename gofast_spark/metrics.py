@@ -34,14 +34,25 @@ def regression_report(
     *,
     by: str | Sequence[str] | None = None,
     n_features: int | None = None,
+    median_mode: str = "auto",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """mae / rmse / mape / median_ae / r2 (+ adjusted r2 with
     ``n_features``) in ONE aggregation.
 
     Reference formulas: gofast/metrics.py:1840 (MAPE over nonzero y),
-    :2058 (median AE, exact percentile), :1743 (adjusted R2),
-    :4326 (RMSE).
+    :2058 (median AE), :1743 (adjusted R2), :4326 (RMSE).
+
+    ``median_ae`` routes through the shared auto/exact/sketch
+    percentile switch (stats/prebin.py percentile_expr): with
+    ``median_mode='auto'`` it stays exact unless the caller passes a
+    known ``n_rows`` above the 100k threshold — an exact global
+    percentile over an event-sized frame buffers every |error| into
+    one final merge; pass ``median_mode='sketch'`` (or n_rows) at
+    scale for the bounded-memory GK path.
     """
+    from gofast_spark.stats.prebin import percentile_expr
+
     y, p = F.col(y_col), F.col(pred_col)
     err = y - p
     sse = F.sum(err * err)
@@ -51,7 +62,9 @@ def regression_report(
         F.avg(F.abs(err)).alias("mae"),
         F.sqrt(F.avg(err * err)).alias("rmse"),
         F.avg(F.when(y != 0, F.abs(err / y))).alias("mape"),
-        F.percentile(F.abs(err), 0.5).alias("median_ae"),
+        percentile_expr(F.abs(err), F.lit(0.5), median_mode, n_rows)
+        .cast("double")
+        .alias("median_ae"),
         r2.alias("r2"),
         F.count(y).alias("n"),
     ]
@@ -341,4 +354,25 @@ def calibration_curve(
             "mean_score"
         ),
         (F.sum("pos") / F.count(F.lit(1)).cast("double")).alias("pos_rate"),
+    )
+
+
+def hamming_loss(
+    df: DataFrame,
+    label_col: str,
+    pred_col: str,
+    n_labels: int,
+) -> DataFrame:
+    """Multilabel Hamming loss (gofast/metrics.py:2862): the fraction
+    of WRONG label positions, averaged over rows — symmetric-difference
+    size of the true/predicted label sets over ``n_labels``.  Array
+    columns, pure codegen set arithmetic (array_except both ways), one
+    aggregate."""
+    a = F.col(label_col)
+    b = F.col(pred_col)
+    wrong = F.size(F.array_except(a, b)) + F.size(F.array_except(b, a))
+    d = df.where(a.isNotNull() & b.isNotNull())
+    return d.agg(
+        F.avg(wrong / F.lit(float(n_labels))).alias("hamming_loss"),
+        F.count(F.lit(1)).alias("n"),
     )

@@ -22,32 +22,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from gofast_spark.stats.prebin import _AUTO_THRESHOLD
-
-# percentile_approx accuracy in sketch mode: error <= 1/accuracy of the
-# distribution — 1e-4 relative rank resolution for a bounded-memory
-# sketch, the same floor test_prebin certifies for approxQuantile
-_SKETCH_ACCURACY = 10_000
-
-
-def _percentile_expr(col, q, mode: str, n_rows: int | None):
-    """Exact ``percentile`` or bounded-memory ``percentile_approx``.
-
-    ``mode='exact'`` is the oracle escape hatch; ``'sketch'`` always
-    sketches; ``'auto'`` (the DEFAULT) sketches only when the frame has
-    more than ``_AUTO_THRESHOLD`` rows (``n_rows``, known from the
-    already-materialized frame) — below it exact costs nothing and
-    matches the oracle bit-for-bit, above it an exact global percentile
-    with no groupBy buffers every value into one final merge: the
-    single-fat-reducer hazard this switch exists to remove."""
-    if mode not in ("auto", "exact", "sketch"):
-        raise ValueError(f"percentile mode must be auto|exact|sketch: {mode!r}")
-    sketch = mode == "sketch" or (
-        mode == "auto" and n_rows is not None and n_rows > _AUTO_THRESHOLD
-    )
-    if sketch:
-        return F.percentile_approx(col, q, F.lit(_SKETCH_ACCURACY))
-    return F.percentile(col, q)
+# the shared auto/exact/sketch percentile switch (stats/prebin.py)
+from gofast_spark.stats.prebin import percentile_expr as _percentile_expr
 
 
 def funnel(

@@ -314,3 +314,47 @@ def calibration_curve_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderstatus") == "F").cast("int").alias("label"),
     )
     return calibration_curve(o, "score", "label", bins=10)
+
+
+@query(
+    "hamming_loss_orders",
+    oracle="""
+    SELECT CAST(avg((
+             CAST((o_orderstatus = 'F') <> (o_orderstatus IN ('F', 'P'))
+               AS INT)
+           + CAST((o_orderpriority LIKE '1%')
+               <> (o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%')
+               AS INT)
+           + CAST((o_totalprice > 150000) <> (o_totalprice > 100000)
+               AS INT)) / 3.0) AS DOUBLE) AS hamming_loss,
+           count(*) AS n
+    FROM orders
+    """,
+)
+def hamming_loss_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multilabel Hamming loss (metrics.hamming_loss,
+    gofast/metrics.py:2862) over label SETS as array columns: true vs
+    predicted tag sets built from order attributes, symmetric
+    -difference arithmetic fully codegen (array_except both ways), one
+    aggregate.  The oracle computes the identical mismatch fractions
+    from the underlying indicators."""
+    from gofast_spark.metrics import hamming_loss
+
+    mk = (
+        "filter(array("
+        "IF({a}, 'final', NULL), IF({b}, 'urgent', NULL), "
+        "IF({c}, 'big', NULL)), x -> x IS NOT NULL)"
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.expr(mk.format(
+            a="o_orderstatus = 'F'",
+            b="o_orderpriority LIKE '1%'",
+            c="o_totalprice > 150000",
+        )).alias("y_tags"),
+        F.expr(mk.format(
+            a="o_orderstatus IN ('F', 'P')",
+            b="o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%'",
+            c="o_totalprice > 100000",
+        )).alias("p_tags"),
+    )
+    return hamming_loss(o, "y_tags", "p_tags", 3)

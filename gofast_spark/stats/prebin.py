@@ -39,6 +39,32 @@ from pyspark.sql import functions as F
 _AUTO_BINS = 10_000
 _AUTO_THRESHOLD = 100_000
 
+# percentile_approx accuracy for the sketch path: <= 1/accuracy relative
+# rank error from a bounded-memory GK sketch
+_SKETCH_ACCURACY = 10_000
+
+
+def percentile_expr(col, q, mode: str, n_rows: int | None):
+    """Exact ``percentile`` or bounded-memory ``percentile_approx``
+    aggregate expression.
+
+    ``mode='exact'`` is the oracle escape hatch; ``'sketch'`` always
+    sketches; ``'auto'`` (the DEFAULT of the callers) sketches only
+    when the frame holds more than ``_AUTO_THRESHOLD`` rows (``n_rows``
+    — pass the known count of an already-materialized frame, or None to
+    stay exact) — below the threshold exact costs nothing and matches
+    oracles bit-for-bit; above it an exact global percentile with no
+    groupBy buffers every value into one final merge, the
+    single-fat-reducer hazard this switch removes."""
+    if mode not in ("auto", "exact", "sketch"):
+        raise ValueError(f"percentile mode must be auto|exact|sketch: {mode!r}")
+    sketch = mode == "sketch" or (
+        mode == "auto" and n_rows is not None and n_rows > _AUTO_THRESHOLD
+    )
+    if sketch:
+        return F.percentile_approx(col, q, F.lit(_SKETCH_ACCURACY))
+    return F.percentile(col, q)
+
 
 def prebin_column(
     df: DataFrame,
