@@ -757,3 +757,42 @@ def benford_profile_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("expected", 6).cast("double").alias("expected"),
         F.round("chi2_term", 4).cast("double").alias("chi2_term"),
     )
+
+
+@query(
+    "observed_report_lineitem",
+    oracle="""
+    SELECT 'l_discount' AS "column", count(*) AS n_rows,
+           sum(CAST(l_discount IS NULL AS BIGINT)) AS n_nulls,
+           CAST(sum(CAST(l_discount IS NULL AS BIGINT))
+                / CAST(count(*) AS DOUBLE) AS DOUBLE) AS null_ratio,
+           CAST(min(l_discount) AS VARCHAR) AS min_str,
+           CAST(max(l_discount) AS VARCHAR) AS max_str
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity', count(*),
+           sum(CAST(l_quantity IS NULL AS BIGINT)),
+           CAST(sum(CAST(l_quantity IS NULL AS BIGINT))
+                / CAST(count(*) AS DOUBLE) AS DOUBLE),
+           CAST(min(l_quantity) AS VARCHAR),
+           CAST(max(l_quantity) AS VARCHAR)
+    FROM lineitem
+    """,
+)
+def observed_report_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZERO-extra-scan quality report via metric observation
+    (quality/observe.py; SURVEY §7.3.3 — the reference recomputes every
+    ``(df, report)`` tuple eagerly, gofast/dataops/quality.py:98-325):
+    null counts and min/max ride the SAME noop-write action that
+    materializes the frame, collected as accumulators while rows flow.
+    The oracle recomputes the aggregates relationally — a hash match
+    certifies observation-vs-aggregate equivalence."""
+    from gofast_spark.quality.observe import (
+        observe_quality,
+        quality_report_frame,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_quantity", "l_discount")
+    observed, obs = observe_quality(li, ["l_discount", "l_quantity"])
+    observed.write.format("noop").mode("overwrite").save()
+    return quality_report_frame(observed, obs)

@@ -1,0 +1,77 @@
+"""Single-pass quality reports via Spark metric observation.
+
+The reference's quality ops all return ``(df, report)`` tuples computed
+eagerly over the (in-memory) frame (``audit_data``
+gofast/dataops/quality.py:98-325; ``verify_data_integrity``:1709 —
+every report a fresh pandas pass).  On a distributed engine a separate
+report pass means re-scanning the table; SURVEY §7.3.3's answer is the
+``df.observe`` accumulator: metrics are attached to the SAME job that
+materializes the frame, collected as accumulators while the rows flow —
+a 100-TB quality report for the cost of zero extra scans.
+
+Contract: observed metrics materialize when an ACTION runs on the
+returned frame (write, count, collect); reading them before any action
+raises.  Metrics must be aggregate expressions without distinct (Spark
+observation restriction) — null/NaN/range/row counts, sums, means.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+
+def observe_quality(
+    df: DataFrame,
+    cols: Sequence[str],
+    *,
+    name: str = "quality",
+) -> tuple[DataFrame, Observation]:
+    """Attach a quality observation to ``df``: total rows plus per
+    -column null counts and min/max, riding the next action's scan.
+
+    Returns ``(observed_df, observation)`` — run any action on
+    ``observed_df``, then read ``observation.get`` (a dict) or convert
+    with :func:`quality_report_frame`."""
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        col = F.col(c)
+        metrics.append(
+            F.sum(col.isNull().cast("bigint")).alias(f"{c}__nulls")
+        )
+        metrics.append(F.min(col).alias(f"{c}__min"))
+        metrics.append(F.max(col).alias(f"{c}__max"))
+    return df.observe(obs, *metrics), obs
+
+
+def quality_report_frame(df: DataFrame, obs: Observation) -> DataFrame:
+    """Fold an activated observation into a per-column report frame
+    ``(column, n_rows, n_nulls, null_ratio, min_str, max_str)`` —
+    bounded driver data (one dict), presented back as a DataFrame so
+    reports compose with the rest of the catalog."""
+    m = obs.get  # raises if no action has run yet
+    n = int(m["n_rows"])
+    cols = sorted(
+        {k.rsplit("__", 1)[0] for k in m if k.endswith("__nulls")}
+    )
+    rows = []
+    for c in cols:
+        nulls = int(m[f"{c}__nulls"])
+        rows.append(
+            (
+                c,
+                n,
+                nulls,
+                float(nulls) / n if n else 0.0,
+                None if m[f"{c}__min"] is None else str(m[f"{c}__min"]),
+                None if m[f"{c}__max"] is None else str(m[f"{c}__max"]),
+            )
+        )
+    return df.sparkSession.createDataFrame(
+        rows,
+        "column string, n_rows bigint, n_nulls bigint, "
+        "null_ratio double, min_str string, max_str string",
+    )
