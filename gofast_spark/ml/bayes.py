@@ -1,0 +1,118 @@
+"""Gaussian Naive Bayes as one moment aggregation + codegen scoring.
+
+Mirrors the reference's sklearn-style estimator surface
+(``gofast/estimators/`` — GNB appears via the sklearn delegation in its
+benchmark/cluster-based classifiers) in the distributed closed form:
+TRAINING is one groupBy(class) aggregate (per-class count + per-feature
+sum / sum-of-squares -> priors, means, variances), SCORING is a pure
+projection of the log-likelihood
+
+    ln P(c) + sum_f [ -0.5 ln(2 pi var_fc) - (x_f - mu_fc)^2 / (2 var_fc) ]
+
+with the class argmax as a fixed-order greatest-of comparison — no
+iteration, no UDF, one data pass each way.  Variance smoothing follows
+sklearn's ``var_smoothing`` convention (epsilon = 1e-9 * max feature
+variance) so degenerate constant features can't produce infinities.
+
+All driver-side arithmetic is plain IEEE double in deterministic
+(sorted-class, listed-feature) order, so a SQL oracle can replay the
+exact expression tree.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def fit_gaussian_nb(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str,
+) -> dict:
+    """One aggregation pass -> ``{"classes": [...], "priors": {c: p},
+    "means": {c: [...]}, "vars": {c: [...]}, "n": total}``.
+
+    Population variances (sum(x^2)/n - mean^2, the ML estimate sklearn
+    uses) plus the var_smoothing epsilon; classes sorted for
+    deterministic downstream order."""
+    feats = list(feature_cols)
+    cond = F.col(label_col).isNotNull()
+    for c in feats:
+        cond = cond & F.col(c).isNotNull()
+    d = df.where(cond)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i, c in enumerate(feats):
+        x = F.col(c).cast("double")
+        aggs.append(F.sum(x).alias(f"s_{i}"))
+        aggs.append(F.sum(x * x).alias(f"q_{i}"))
+    rows = {r[label_col]: r
+            for r in d.groupBy(label_col).agg(*aggs).collect()}
+    classes = sorted(rows)
+    if not classes:
+        raise ValueError("no complete rows to fit on")
+    total = sum(int(rows[c]["n"]) for c in classes)
+    means, variances, priors = {}, {}, {}
+    for c in classes:
+        r = rows[c]
+        n = float(r["n"])
+        priors[c] = n / total
+        means[c] = [float(r[f"s_{i}"]) / n for i in range(len(feats))]
+        variances[c] = [
+            float(r[f"q_{i}"]) / n - means[c][i] * means[c][i]
+            for i in range(len(feats))
+        ]
+    # sklearn's var_smoothing: 1e-9 * largest per-feature pooled variance
+    max_var = max(
+        (variances[c][i] for c in classes for i in range(len(feats))),
+        default=0.0,
+    )
+    eps = 1e-9 * max_var if max_var > 0 else 1e-9
+    for c in classes:
+        variances[c] = [v + eps for v in variances[c]]
+    return {
+        "classes": classes,
+        "priors": priors,
+        "means": means,
+        "vars": variances,
+        "features": feats,
+        "n": total,
+    }
+
+
+def predict_gaussian_nb(
+    df: DataFrame,
+    model: dict,
+    *,
+    out_col: str = "prediction",
+) -> DataFrame:
+    """Append the argmax-log-likelihood class — pure column arithmetic
+    (one literal-folded expression per class), ties broken by the FIRST
+    class in sorted order (strict ``>`` comparison chain), so the
+    result is a deterministic function of the model."""
+    feats = model["features"]
+    lls = []
+    for c in model["classes"]:
+        ll = F.lit(math.log(model["priors"][c]))
+        for i, f in enumerate(feats):
+            mu = model["means"][c][i]
+            var = model["vars"][c][i]
+            x = F.col(f).cast("double")
+            ll = (
+                ll
+                + F.lit(-0.5 * math.log(2.0 * math.pi * var))
+                - (x - F.lit(mu)) * (x - F.lit(mu)) / F.lit(2.0 * var)
+            )
+        lls.append((c, ll))
+    # fixed-order argmax: keep class c only if its ll is strictly greater
+    # than every earlier class's and >= every later class's
+    best_cls, best_ll = lls[0]
+    pred = F.lit(best_cls)
+    best = best_ll
+    for c, ll in lls[1:]:
+        pred = F.when(ll > best, F.lit(c)).otherwise(pred)
+        best = F.when(ll > best, ll).otherwise(best)
+    return df.withColumn(out_col, pred)

@@ -265,3 +265,150 @@ def learning_curve_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         "step", "n_train", "n_test",
         F.round("rmse", 4).cast("double").alias("rmse"),
     )
+
+
+def _gnb_oracle() -> str:
+    """Full relational GNB replay: per-class moments, sklearn-style
+    var_smoothing, per-(row, class) log-likelihood, argmax with the
+    (score DESC, class ASC) tie-break, confusion counts."""
+    return """
+    WITH d AS (
+      SELECT o_orderkey AS rid, o_orderstatus AS y,
+             CAST(o_totalprice AS DOUBLE) AS x1,
+             CAST(o_custkey % 97 AS DOUBLE) AS x2
+      FROM orders
+      WHERE o_orderstatus IS NOT NULL AND o_totalprice IS NOT NULL
+        AND o_custkey IS NOT NULL),
+    m AS (
+      SELECT y AS cls, count(*) AS n,
+             sum(x1) AS s1, sum(x1 * x1) AS q1,
+             sum(x2) AS s2, sum(x2 * x2) AS q2
+      FROM d GROUP BY y),
+    tot AS (SELECT sum(n) AS t FROM m),
+    p0 AS (
+      SELECT cls, n, CAST(n AS DOUBLE) / t AS prior,
+             s1 / n AS mu1, q1 / n - (s1 / n) * (s1 / n) AS v1,
+             s2 / n AS mu2, q2 / n - (s2 / n) * (s2 / n) AS v2
+      FROM m, tot),
+    e AS (SELECT 1e-9 * max(greatest(v1, v2)) AS eps FROM p0),
+    p AS (SELECT cls, prior, mu1, v1 + eps AS v1, mu2, v2 + eps AS v2
+          FROM p0, e),
+    scored AS (
+      SELECT d.rid, d.y, p.cls,
+             ln(p.prior)
+             + (-0.5 * ln(2 * pi() * p.v1))
+             - (d.x1 - p.mu1) * (d.x1 - p.mu1) / (2 * p.v1)
+             + (-0.5 * ln(2 * pi() * p.v2))
+             - (d.x2 - p.mu2) * (d.x2 - p.mu2) / (2 * p.v2) AS ll
+      FROM d, p),
+    best AS (
+      SELECT rid, y, cls AS prediction FROM (
+        SELECT rid, y, cls,
+               row_number() OVER (PARTITION BY rid
+                                  ORDER BY ll DESC, cls) AS rn
+        FROM scored) WHERE rn = 1)
+    SELECT y AS label, prediction, count(*) AS n
+    FROM best GROUP BY y, prediction
+    """
+
+
+@query("gaussian_nb_confusion_orders", oracle=_gnb_oracle())
+def gaussian_nb_confusion_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaussian Naive Bayes train + score in two single passes
+    (ml/bayes.py; ref gofast/estimators/ sklearn-delegating
+    classifiers): training is ONE groupBy(class) moment aggregate
+    (bounded driver data: classes x features), scoring is one
+    literal-folded log-likelihood projection with a fixed-order argmax
+    — no iteration, no UDF.  The oracle replays moments, sklearn-style
+    var_smoothing, scoring, and the (score DESC, class ASC) tie-break
+    relationally; the confusion matrix must match exactly."""
+    from gofast_spark.ml.bayes import fit_gaussian_nb, predict_gaussian_nb
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("y"),
+        F.col("o_totalprice").cast("double").alias("x1"),
+        (F.col("o_custkey") % 97).cast("double").alias("x2"),
+    ).where(
+        F.col("y").isNotNull() & F.col("x1").isNotNull()
+        & F.col("x2").isNotNull()
+    )
+    model = fit_gaussian_nb(o, ["x1", "x2"], "y")
+    scored = predict_gaussian_nb(o, model)
+    return scored.groupBy(
+        F.col("y").alias("label"), "prediction"
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+_STUMP_LO, _STUMP_HI, _STUMP_BINS = 0.0, 600000.0, 64
+
+
+def _stump_oracle() -> str:
+    width = (_STUMP_HI - _STUMP_LO) / _STUMP_BINS
+    return f"""
+    WITH d AS (
+      SELECT CAST(o_totalprice AS DOUBLE) AS x,
+             CAST(o_orderstatus = 'F' AS BIGINT) AS y
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL),
+    h AS (
+      SELECT least(greatest(CAST(floor((x - {_STUMP_LO}) / {width}) AS INT),
+                            0), {_STUMP_BINS - 1}) AS bin,
+             count(*) AS n, sum(y) AS pos
+      FROM d GROUP BY 1),
+    t AS (SELECT sum(n) AS tn, sum(pos) AS tpos FROM h),
+    c AS (
+      SELECT bin,
+             coalesce(sum(n) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_left,
+             coalesce(sum(pos) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS pos_left
+      FROM h),
+    s AS (
+      SELECT {_STUMP_LO} + CAST(bin AS DOUBLE) * {width} AS threshold,
+             (2.0 * (CAST(tpos AS DOUBLE) / CAST(tn AS DOUBLE))
+                  * (1.0 - CAST(tpos AS DOUBLE) / CAST(tn AS DOUBLE)))
+             - (CAST(n_left AS DOUBLE) / CAST(tn AS DOUBLE))
+               * (2.0 * (CAST(pos_left AS DOUBLE) / CAST(n_left AS DOUBLE))
+                      * (1.0 - CAST(pos_left AS DOUBLE)
+                             / CAST(n_left AS DOUBLE)))
+             - (CAST(tn - n_left AS DOUBLE) / CAST(tn AS DOUBLE))
+               * (2.0 * (CAST(tpos - pos_left AS DOUBLE)
+                             / CAST(tn - n_left AS DOUBLE))
+                      * (1.0 - CAST(tpos - pos_left AS DOUBLE)
+                             / CAST(tn - n_left AS DOUBLE)))
+               AS gain,
+             n_left, tn - n_left AS n_right,
+             pos_left, tpos - pos_left AS pos_right
+      FROM c, t
+      WHERE n_left > 0 AND tn - n_left > 0)
+    SELECT threshold, gain,
+           CAST(n_left AS BIGINT) AS n_left,
+           CAST(n_right AS BIGINT) AS n_right,
+           CAST(pos_left AS BIGINT) AS pos_left,
+           CAST(pos_right AS BIGINT) AS pos_right
+    FROM s ORDER BY gain DESC, threshold LIMIT 1
+    """
+
+
+@query("stump_split_orders", oracle=_stump_oracle())
+def stump_split_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-based decision-stump split finding (ml/stump.py; the
+    LightGBM-hist primitive, Ke et al. NeurIPS 2017; ref
+    gofast/estimators/tree.py at the single-split level): best Gini
+    split of total price for the finished-order label from ONE
+    histogram groupBy + a 64-row cumulative window + an in-plan
+    max_by argmax — one scan to find the best split of any table size.
+    Gains derive from exact integer counts in a fixed expression
+    order, so the oracle's replay matches bit-for-bit, unrounded."""
+    from gofast_spark.ml.stump import fit_stump
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("price"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("is_final"),
+    )
+    return fit_stump(
+        o, "price", "is_final",
+        lo=_STUMP_LO, hi=_STUMP_HI, bins=_STUMP_BINS,
+    )

@@ -1,0 +1,119 @@
+"""ml/bayes.py + ml/stump.py vs plain-Python/numpy references."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+def _gnb_data(spark, n=300, seed=11):
+    rng = np.random.RandomState(seed)
+    rows = []
+    for cls, (mx, my) in {"a": (0.0, 0.0), "b": (3.0, 1.0),
+                          "c": (-2.0, 2.0)}.items():
+        for _ in range(n // 3):
+            rows.append(Row(y=cls,
+                            x1=float(rng.randn() + mx),
+                            x2=float(rng.randn() * 2 + my)))
+    return rows, spark.createDataFrame(rows)
+
+
+def test_gaussian_nb_matches_sklearn_formulas(spark):
+    from gofast_spark.ml.bayes import fit_gaussian_nb, predict_gaussian_nb
+
+    rows, df = _gnb_data(spark)
+    model = fit_gaussian_nb(df, ["x1", "x2"], "y")
+    # reference moments
+    by = {}
+    for r in rows:
+        by.setdefault(r.y, []).append((r.x1, r.x2))
+    max_var = 0.0
+    ref = {}
+    for c, pts in by.items():
+        a = np.array(pts)
+        mu = a.mean(axis=0)
+        var = a.var(axis=0)  # population variance, sklearn's ML estimate
+        ref[c] = (mu, var)
+        max_var = max(max_var, float(var.max()))
+    eps = 1e-9 * max_var
+    for c in model["classes"]:
+        mu, var = ref[c]
+        assert model["means"][c] == pytest.approx(list(mu), rel=1e-9)
+        assert model["vars"][c] == pytest.approx(list(var + eps), rel=1e-6)
+        assert model["priors"][c] == pytest.approx(len(by[c]) / len(rows))
+
+    # predictions match the driver-side formula applied per row
+    got = {(r["x1"], r["x2"]): r["prediction"]
+           for r in predict_gaussian_nb(df, model).collect()}
+    wrong = 0
+    for r in rows:
+        best, best_ll = None, -math.inf
+        for c in model["classes"]:
+            ll = math.log(model["priors"][c])
+            for i, x in enumerate((r.x1, r.x2)):
+                mu = model["means"][c][i]
+                v = model["vars"][c][i]
+                ll += -0.5 * math.log(2 * math.pi * v) \
+                      - (x - mu) ** 2 / (2 * v)
+            if ll > best_ll:
+                best, best_ll = c, ll
+        wrong += got[(r.x1, r.x2)] != best
+    assert wrong == 0
+    # sanity: well-separated classes classify mostly correctly
+    acc = sum(got[(r.x1, r.x2)] == r.y for r in rows) / len(rows)
+    assert acc > 0.8
+
+
+def test_stump_matches_exhaustive_search(spark):
+    from gofast_spark.ml.stump import fit_stump
+
+    rng = np.random.RandomState(5)
+    xs = rng.rand(500) * 10
+    ys = (xs > 6.28).astype(int)
+    flip = rng.rand(500) < 0.05
+    ys = np.where(flip, 1 - ys, ys)
+    df = spark.createDataFrame(
+        [(float(x), int(y)) for x, y in zip(xs, ys)], "x double, y int"
+    )
+    lo, hi, bins = 0.0, 10.0, 50
+    got = fit_stump(df, "x", "y", lo=lo, hi=hi, bins=bins).collect()[0]
+
+    # exhaustive reference over the same grid
+    width = (hi - lo) / bins
+    best = None
+    n, pos = len(ys), int(ys.sum())
+
+    def gini(p, m):
+        q = p / m
+        return 2.0 * q * (1.0 - q)
+
+    for b in range(bins):
+        thr = lo + b * width
+        mask = xs < thr
+        nl, pl = int(mask.sum()), int(ys[mask].sum())
+        if nl == 0 or nl == n:
+            continue
+        g = gini(pos, n) - nl / n * gini(pl, nl) \
+            - (n - nl) / n * gini(pos - pl, n - nl)
+        if best is None or g > best[1] + 1e-15:
+            best = (thr, g, nl, n - nl, pl, pos - pl)
+    assert got["threshold"] == pytest.approx(best[0])
+    assert got["gain"] == pytest.approx(best[1], rel=1e-12)
+    assert (got["n_left"], got["n_right"]) == (best[2], best[3])
+    assert (got["pos_left"], got["pos_right"]) == (best[4], best[5])
+    # recovered threshold is near the true boundary
+    assert abs(got["threshold"] - 6.28) < 2 * width
+
+
+def test_stump_validates_args(spark):
+    from gofast_spark.ml.stump import fit_stump
+
+    df = spark.createDataFrame([(1.0, 1)], "x double, y int")
+    with pytest.raises(ValueError, match="bins"):
+        fit_stump(df, "x", "y", lo=0.0, hi=1.0, bins=1)
+    with pytest.raises(ValueError, match="hi > lo"):
+        fit_stump(df, "x", "y", lo=1.0, hi=1.0)
