@@ -412,3 +412,101 @@ def stump_split_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         o, "price", "is_final",
         lo=_STUMP_LO, hi=_STUMP_HI, bins=_STUMP_BINS,
     )
+
+
+_BOOST_ROUNDS = 3
+_BOOST_LO, _BOOST_HI, _BOOST_BINS = 1.0, 13.0, 12
+
+
+def _boost_oracle() -> str:
+    """Unrolled 3-round boosted-stump chain (the gradient_descent /
+    pagerank unrolled-oracle discipline): every round a histogram CTE
+    over the EXACT-integer residuals, a cumulative-candidate CTE, a
+    LIMIT-1 argmax, and a 1-row cross join into the next residual
+    projection.  trunc() guards every integer cast (DuckDB CAST
+    rounds; Spark's cast truncates)."""
+    width = (_BOOST_HI - _BOOST_LO) / _BOOST_BINS
+    ctes = [
+        f"""d AS (
+      SELECT least(greatest(CAST(floor((CAST(date_part('month', o_orderdate)
+                   AS DOUBLE) - {_BOOST_LO}) / {width}) AS INT), 0),
+                   {_BOOST_BINS - 1}) AS bin,
+             CAST(trunc(CAST(o_totalprice AS DOUBLE) * 1000 + 0.5)
+               AS BIGINT) AS y
+      FROM orders
+      WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL),
+    b0 AS (
+      SELECT CAST(trunc(CAST(sum(y) AS DOUBLE) / count(*)) AS BIGINT)
+        AS base_u3 FROM d),
+    s0 AS (SELECT bin, y, base_u3 AS pred FROM d, b0)"""
+    ]
+    for k in range(1, _BOOST_ROUNDS + 1):
+        p = k - 1
+        ctes.append(f"""h{k} AS (
+      SELECT bin, count(*) AS n, sum(y - pred) AS s
+      FROM s{p} GROUP BY bin),
+    t{k} AS (SELECT sum(n) AS tn, sum(s) AS ts FROM h{k}),
+    c{k} AS (
+      SELECT bin,
+             coalesce(sum(n) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nl,
+             coalesce(sum(s) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sl
+      FROM h{k}),
+    g{k} AS (
+      SELECT {_BOOST_LO} + CAST(bin AS DOUBLE) * {width} AS threshold,
+             CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE)
+               + CAST(ts - sl AS DOUBLE) * CAST(ts - sl AS DOUBLE)
+                 / CAST(tn - nl AS DOUBLE) AS gain,
+             CAST(trunc(CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE))
+               AS BIGINT) AS left_u3,
+             CAST(trunc(CAST(ts - sl AS DOUBLE) / CAST(tn - nl AS DOUBLE))
+               AS BIGINT) AS right_u3,
+             bin AS split_bin
+      FROM c{k}, t{k}
+      WHERE nl > 0 AND tn - nl > 0),
+    best{k} AS (
+      SELECT * FROM g{k} ORDER BY gain DESC, threshold LIMIT 1),
+    s{k} AS (
+      SELECT s{p}.bin, s{p}.y,
+             s{p}.pred + CASE WHEN s{p}.bin < best{k}.split_bin
+                              THEN best{k}.left_u3
+                              ELSE best{k}.right_u3 END AS pred
+      FROM s{p}, best{k})""")
+    body = ",\n    ".join(ctes)
+    selects = [
+        "SELECT CAST(0 AS INT) AS round, CAST(NULL AS DOUBLE) AS threshold,"
+        " base_u3 AS left_u3, base_u3 AS right_u3 FROM b0"
+    ]
+    for k in range(1, _BOOST_ROUNDS + 1):
+        selects.append(
+            f"SELECT CAST({k} AS INT), threshold, left_u3, right_u3"
+            f" FROM best{k}"
+        )
+    return f"""
+    WITH {body}
+    {" UNION ALL ".join(selects)}
+    """
+
+
+@query("boosted_stumps_orders", oracle=_boost_oracle())
+def boosted_stumps_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three L2-boosting rounds of histogram stumps (ml/boost.py;
+    Friedman 2001, LightGBM-hist split finding) fitting order revenue
+    on order month — per round one histogram aggregate + a bins-sized
+    window + an in-plan argmax broadcast into the next residual
+    projection, ALL in one lazy plan with exact milli-unit integer
+    state.  The oracle unrolls the identical three rounds; the model
+    frame (base + per-round thresholds and leaf values) matches
+    bit-for-bit."""
+    from gofast_spark.ml.boost import fit_boosted_stumps
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.month("o_orderdate").cast("double").alias("m"),
+        F.col("o_totalprice").alias("price"),
+    )
+    return fit_boosted_stumps(
+        o, "m", "price",
+        lo=_BOOST_LO, hi=_BOOST_HI, bins=_BOOST_BINS,
+        rounds=_BOOST_ROUNDS,
+    )

@@ -117,3 +117,33 @@ def test_stump_validates_args(spark):
         fit_stump(df, "x", "y", lo=0.0, hi=1.0, bins=1)
     with pytest.raises(ValueError, match="hi > lo"):
         fit_stump(df, "x", "y", lo=1.0, hi=1.0)
+
+
+def test_boosted_stumps_reduce_sse_each_round(spark):
+    from gofast_spark.ml.boost import fit_boosted_stumps
+
+    rng = np.random.RandomState(9)
+    xs = rng.rand(400) * 10
+    ys = np.where(xs < 4, 10.0, 50.0) + np.where(xs < 7, 0.0, 30.0) \
+        + rng.randn(400)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(xs, ys)], "x double, y double"
+    )
+    model = {r["round"]: r for r in fit_boosted_stumps(
+        df, "x", "y", lo=0.0, hi=10.0, bins=40, rounds=3).collect()}
+    assert set(model) == {0, 1, 2, 3}
+    base = model[0]["left_u3"] / 1e3
+    assert base == pytest.approx(float(ys.mean()), abs=0.001)
+
+    # apply the model in python and check SSE strictly decreases
+    pred = np.full_like(ys, model[0]["left_u3"], dtype=np.int64)
+    y_u = np.trunc(ys * 1e3 + 0.5).astype(np.int64)
+    sses = [float((((y_u - pred) / 1e3) ** 2).sum())]
+    for k in (1, 2, 3):
+        thr, lv, rv = (model[k]["threshold"], model[k]["left_u3"],
+                       model[k]["right_u3"])
+        pred = pred + np.where(xs < thr, lv, rv)
+        sses.append(float((((y_u - pred) / 1e3) ** 2).sum()))
+    assert sses[1] < sses[0] and sses[2] < sses[1]
+    # first split should land near one of the true breakpoints
+    assert min(abs(model[1]["threshold"] - 4), abs(model[1]["threshold"] - 7)) <= 0.5
