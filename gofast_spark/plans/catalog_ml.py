@@ -510,3 +510,85 @@ def boosted_stumps_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         lo=_BOOST_LO, hi=_BOOST_HI, bins=_BOOST_BINS,
         rounds=_BOOST_ROUNDS,
     )
+
+
+_KM_K, _KM_ITER, _KM_D = 4, 2, 4
+
+
+def _kmeans_oracle() -> str:
+    """Unrolled exact-Lloyd replay: hash-seeded init, per-point argmin
+    with (distance, cid) tie-break, truncated-integer-mean updates,
+    empty-cluster carry-over — all integer micro-unit arithmetic."""
+    xs = ", ".join(
+        f"CAST(floor(CAST(embedding[{i + 1}] AS DOUBLE) * 1000000 + 0.5)"
+        f" AS BIGINT) AS x{i}"
+        for i in range(_KM_D)
+    )
+    ctes = [f"""pts AS (
+      SELECT vec_id AS id,
+             CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+               AS BIGINT) AS hv,
+             {xs}
+      FROM embeddings WHERE vec_id IS NOT NULL),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY hv) - 1 AS cid,
+             {", ".join(f"x{i} AS k{i}" for i in range(_KM_D))}
+      FROM (SELECT * FROM pts ORDER BY hv LIMIT {_KM_K}))"""]
+    dist = " + ".join(
+        f"(p.x{i} - c.k{i}) * (p.x{i} - c.k{i})" for i in range(_KM_D)
+    )
+    for t in range(1, _KM_ITER + 1):
+        p = t - 1
+        ctes.append(f"""a{t} AS (
+      SELECT id, {", ".join(f"x{i}" for i in range(_KM_D))}, cid FROM (
+        SELECT p.*, c.cid,
+               row_number() OVER (PARTITION BY p.id
+                 ORDER BY {dist}, c.cid) AS rn
+        FROM pts p, c{p} c) WHERE rn = 1),
+    u{t} AS (
+      SELECT cid,
+             {", ".join(
+                 f"CAST(trunc(CAST(sum(x{i}) AS DOUBLE) / count(*))"
+                 f" AS BIGINT) AS k{i}" for i in range(_KM_D))},
+             count(*) AS n
+      FROM a{t} GROUP BY cid),
+    c{t} AS (
+      SELECT c{p}.cid,
+             {", ".join(
+                 f"coalesce(u{t}.k{i}, c{p}.k{i}) AS k{i}"
+                 for i in range(_KM_D))},
+             coalesce(u{t}.n, 0) AS n
+      FROM c{p} LEFT JOIN u{t} USING (cid))""")
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT cid,
+           {", ".join(f"k{i} AS c{i}_u6" for i in range(_KM_D))},
+           CAST(n AS BIGINT) AS n_points
+    FROM c{_KM_ITER}
+    """
+
+
+@query("kmeans_lloyd_embeddings", oracle=_kmeans_oracle())
+def kmeans_lloyd_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable exact k-means (ml/kmeans_exact.py; Lloyd 1982)
+    over the first 4 embedding dims: integer micro-unit coordinates
+    make every distance, argmin, and truncated-mean update exact and
+    reduction-order-free, init is the k lowest portable-md5 ids, so
+    two unrolled Lloyd iterations match the relational replay
+    bit-for-bit — the oracle-backed from-scratch companion to the
+    MLlib-based IVF/kmeans rows-only entries.  Per iteration: one
+    k-row broadcast, one min_by argmin, one groupBy(k) update."""
+    from gofast_spark.ml.kmeans_exact import fit_kmeans_lloyd
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        *[
+            F.element_at("embedding", i + 1).alias(f"e{i}")
+            for i in range(_KM_D)
+        ],
+    )
+    return fit_kmeans_lloyd(
+        e, "vec_id", [f"e{i}" for i in range(_KM_D)], _KM_K,
+        iterations=_KM_ITER,
+    )

@@ -147,3 +147,28 @@ def test_boosted_stumps_reduce_sse_each_round(spark):
     assert sses[1] < sses[0] and sses[2] < sses[1]
     # first split should land near one of the true breakpoints
     assert min(abs(model[1]["threshold"] - 4), abs(model[1]["threshold"] - 7)) <= 0.5
+
+
+def test_kmeans_lloyd_recovers_separated_clusters(spark):
+    from gofast_spark.ml.kmeans_exact import fit_kmeans_lloyd
+
+    rng = np.random.RandomState(3)
+    centers = [(-5.0, -5.0), (5.0, 5.0), (-5.0, 5.0), (5.0, -5.0)]
+    rows = []
+    for i in range(400):
+        cx, cy = centers[i % 4]
+        rows.append((i, float(cx + rng.randn() * 0.3),
+                     float(cy + rng.randn() * 0.3)))
+    df = spark.createDataFrame(rows, "id bigint, a double, b double")
+    out = fit_kmeans_lloyd(df, "id", ["a", "b"], 4, iterations=3).collect()
+    assert len(out) == 4
+    assert sum(r["n_points"] for r in out) == 400
+    got = sorted(
+        (round(r["c0_u6"] / 1e6), round(r["c1_u6"] / 1e6)) for r in out
+    )
+    assert got == sorted(centers)
+    # determinism under repartitioning
+    out2 = fit_kmeans_lloyd(
+        df.repartition(13), "id", ["a", "b"], 4, iterations=3
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
