@@ -109,3 +109,45 @@ def fit_kmeans_lloyd(
         "cid", *[F.col(f"c{i}").alias(f"c{i}_u6") for i in range(d)],
         "n_points",
     )
+
+
+def kmeans_inertia(
+    df: DataFrame,
+    id_col: str,
+    dim_cols: Sequence[str],
+    centroids: DataFrame,
+) -> DataFrame:
+    """Within-cluster sum of squared distances to the given centroids
+    (the elbow-curve statistic), exact: coordinates and centroids are
+    integer micro-units, so the per-point min distance and the global
+    sum are 64-bit-integer arithmetic with no reduction-order effects.
+    ``centroids`` is a ``fit_kmeans_lloyd`` result (``cid, c{i}_u6``).
+    Returns 1 row ``(inertia_uu, n_points)`` — inertia in SQUARED
+    micro-units (divide by 1e12 for the real-unit value)."""
+    dims = list(dim_cols)
+    d = len(dims)
+    cols = [
+        F.floor(F.col(c).cast("double") * _U + F.lit(0.5))
+        .cast("bigint")
+        .alias(f"x{i}")
+        for i, c in enumerate(dims)
+    ]
+    pts = df.select(F.col(id_col).alias("__id"), *cols).where(
+        F.col("__id").isNotNull()
+    )
+    cent = centroids.select(
+        "cid", *[F.col(f"c{i}_u6").alias(f"c{i}") for i in range(d)]
+    )
+    dist = None
+    for i in range(d):
+        t = F.col(f"x{i}") - F.col(f"c{i}")
+        dist = t * t if dist is None else dist + t * t
+    per_point = (
+        pts.crossJoin(F.broadcast(cent))
+        .groupBy("__id")
+        .agg(F.min(dist).alias("__d"))
+    )
+    return per_point.agg(
+        F.sum("__d").alias("inertia_uu"),
+        F.count(F.lit(1)).alias("n_points"),
+    )

@@ -592,3 +592,50 @@ def kmeans_lloyd_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, "vec_id", [f"e{i}" for i in range(_KM_D)], _KM_K,
         iterations=_KM_ITER,
     )
+
+
+def _kmeans_inertia_oracle() -> str:
+    """The full Lloyd replay of _kmeans_oracle plus a final
+    min-distance assignment against the converged centroids and one
+    exact-integer sum."""
+    base = _kmeans_oracle()
+    # reuse everything up to the FINAL SELECT ("SELECT cid," also
+    # occurs inside the u* CTEs — rsplit, not split)
+    body = base.rsplit("SELECT cid,", 1)[0].rstrip().rstrip("\n")
+    dist = " + ".join(
+        f"(p.x{i} - c.k{i}) * (p.x{i} - c.k{i})" for i in range(_KM_D)
+    )
+    return f"""{body},
+    f AS (
+      SELECT p.id, min({dist}) AS d
+      FROM pts p, c{_KM_ITER} c GROUP BY p.id)
+    SELECT CAST(sum(d) AS BIGINT) AS inertia_uu,
+           count(*) AS n_points
+    FROM f
+    """
+
+
+@query("kmeans_inertia_embeddings", oracle=_kmeans_inertia_oracle())
+def kmeans_inertia_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering quality for the exact k-means (ml/kmeans_exact.py
+    kmeans_inertia): within-cluster SSE against the 2-iteration Lloyd
+    centroids — the elbow statistic — as one k-row broadcast + one
+    per-point min + one exact-integer sum, composed lazily on top of
+    the training plan.  The oracle replays training AND evaluation."""
+    from gofast_spark.ml.kmeans_exact import (
+        fit_kmeans_lloyd,
+        kmeans_inertia,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        *[
+            F.element_at("embedding", i + 1).alias(f"e{i}")
+            for i in range(_KM_D)
+        ],
+    )
+    cent = fit_kmeans_lloyd(
+        e, "vec_id", [f"e{i}" for i in range(_KM_D)], _KM_K,
+        iterations=_KM_ITER,
+    )
+    return kmeans_inertia(e, "vec_id", [f"e{i}" for i in range(_KM_D)], cent)
