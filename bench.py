@@ -78,6 +78,8 @@ HEADLINE = [
     "stream_funnel_counts",
     "key_skew_report_orders",
     "table_checksum_customer",
+    "boosted_stumps_orders",
+    "kmeans_lloyd_embeddings",
 ]
 
 
