@@ -6,8 +6,10 @@ histogram split finding per Ke et al., LightGBM, NeurIPS 2017), reduced
 to its engine-honest core: each round fits one depth-1 regression tree
 to the current residuals — a fixed-grid histogram aggregate (one scan,
 map-side combined), a bins-sized cumulative window, an in-plan argmax —
-and the model update is a projection.  k rounds cost k scans of a
-cached feature frame; model state is k rows.
+and the model update is a projection.  k rounds cost k scans of the
+quantized input projection (persist()/cache the input upstream when
+scans dominate — the operator itself stays side-effect-free); model
+state is k rows.
 
 Engine-portable determinism: the target is quantized to integer
 milli-units (``*1e3``), leaf values are TRUNCATED integer means, so
