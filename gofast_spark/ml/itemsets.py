@@ -1,0 +1,87 @@
+"""Frequent-itemset pair mining with Apriori pruning (market basket).
+
+Agrawal & Srikant, "Fast Algorithms for Mining Association Rules",
+VLDB 1994: a pair can only be frequent if BOTH items are — so the
+basket self-join that enumerates candidate pairs runs over the
+frequent-item-filtered baskets only.  At 100 TB that pruning is the
+whole ballgame: the raw pair explosion is quadratic in basket size,
+but after the support filter the join touches only items that can
+matter, and the per-basket pair count collapses with the item
+frequency tail.
+
+Plan shape: one distinct projection (basket, item), one item-support
+groupBy, a semi-join-style prune (broadcast when the frequent-item set
+is small, gated like every other dim broadcast in the repo), ONE
+equi-join on the basket key with ``item_a < item_b`` to canonicalize,
+one pair groupBy, and lift from a 1-row broadcast of the basket count.
+Top-k is TakeOrderedAndProject with a deterministic
+(support DESC, item_a, item_b) tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def frequent_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    *,
+    min_support: int = 3,
+    top_k: int = 20,
+    broadcast_limit: int | None = 100_000,
+) -> DataFrame:
+    """Top-``top_k`` co-occurring item pairs:
+    ``(item_a, item_b, n_pair, n_a, n_b, lift)`` over distinct
+    (basket, item) incidences; pairs and both items must reach
+    ``min_support`` baskets.  ``lift = n_baskets * n_pair /
+    (n_a * n_b)`` (>1 means the items attract)."""
+    if min_support < 1:
+        raise ValueError("min_support must be >= 1")
+    b = (
+        df.select(
+            F.col(basket_col).alias("bk"), F.col(item_col).alias("it")
+        )
+        .where(F.col(basket_col).isNotNull() & F.col(item_col).isNotNull())
+        .distinct()
+    )
+    support = b.groupBy("it").agg(F.count(F.lit(1)).alias("n_it"))
+    freq = support.where(F.col("n_it") >= min_support)
+    if broadcast_limit is not None and freq.count() <= broadcast_limit:
+        freq = F.broadcast(freq)
+    pruned = b.join(freq, "it").select("bk", "it", "n_it")
+    pairs = (
+        pruned.alias("l")
+        .join(pruned.alias("r"), "bk")
+        .where(F.col("l.it") < F.col("r.it"))
+        .groupBy(
+            F.col("l.it").alias("item_a"),
+            F.col("r.it").alias("item_b"),
+            F.col("l.n_it").alias("n_a"),
+            F.col("r.n_it").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= min_support)
+    )
+    n_baskets = b.select("bk").distinct().agg(
+        F.count(F.lit(1)).alias("__nb")
+    )
+    return (
+        pairs.crossJoin(F.broadcast(n_baskets))
+        .select(
+            "item_a",
+            "item_b",
+            "n_pair",
+            "n_a",
+            "n_b",
+            (
+                F.col("__nb").cast("double")
+                * F.col("n_pair").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            ).alias("lift"),
+        )
+        .orderBy(F.col("n_pair").desc(), "item_a", "item_b")
+        .limit(top_k)
+    )

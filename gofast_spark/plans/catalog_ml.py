@@ -639,3 +639,50 @@ def kmeans_inertia_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         iterations=_KM_ITER,
     )
     return kmeans_inertia(e, "vec_id", [f"e{i}" for i in range(_KM_D)], cent)
+
+
+@query(
+    "frequent_pairs_lineitem",
+    oracle="""
+    WITH b AS (
+      SELECT DISTINCT l_orderkey AS bk,
+             CAST(l_partkey % 199 AS BIGINT) AS it
+      FROM lineitem
+      WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+    s AS (SELECT it, count(*) AS n_it FROM b GROUP BY it),
+    f AS (SELECT * FROM s WHERE n_it >= 5),
+    p AS (
+      SELECT l.it AS item_a, r.it AS item_b,
+             any_value(lf.n_it) AS n_a, any_value(rf.n_it) AS n_b,
+             count(*) AS n_pair
+      FROM b l JOIN b r ON r.bk = l.bk AND l.it < r.it
+      JOIN f lf ON lf.it = l.it
+      JOIN f rf ON rf.it = r.it
+      GROUP BY l.it, r.it
+      HAVING count(*) >= 5),
+    nb AS (SELECT count(DISTINCT bk) AS n_baskets FROM b)
+    SELECT item_a, item_b, CAST(n_pair AS BIGINT) AS n_pair,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(CAST(n_baskets AS DOUBLE) * CAST(n_pair AS DOUBLE)
+                / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS DOUBLE)
+             AS lift
+    FROM p, nb
+    ORDER BY n_pair DESC, item_a, item_b LIMIT 20
+    """,
+)
+def frequent_pairs_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apriori-pruned market-basket pair mining (ml/itemsets.py;
+    Agrawal & Srikant VLDB 1994) over order baskets of bucketed parts:
+    the frequent-item filter runs BEFORE the basket self-join (the
+    pruning that tames the quadratic pair explosion at scale), one
+    basket equi-join with canonical item_a < item_b, lift from a 1-row
+    broadcast basket count, deterministic top-k.  The oracle replays
+    the identical support/prune/join chain."""
+    from gofast_spark.ml.itemsets import frequent_pairs
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", (F.col("l_partkey") % 199).alias("product")
+    )
+    return frequent_pairs(
+        li, "l_orderkey", "product", min_support=5, top_k=20
+    )
