@@ -686,3 +686,78 @@ def frequent_pairs_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frequent_pairs(
         li, "l_orderkey", "product", min_support=5, top_k=20
     )
+
+
+_DB_EPS_U = 8_000  # eps = 0.008 in micro-units
+_DB_MINPTS = 4
+
+
+@query(
+    "dbscan_embeddings",
+    oracle=f"""
+    WITH RECURSIVE pts AS (
+      SELECT vec_id AS id,
+             CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000 + 0.5)
+               AS BIGINT) AS x0,
+             CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000000 + 0.5)
+               AS BIGINT) AS x1
+      FROM embeddings WHERE vec_id IS NOT NULL),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM pts a JOIN pts b ON a.id < b.id
+       AND (a.x0 - b.x0) * (a.x0 - b.x0)
+         + (a.x1 - b.x1) * (a.x1 - b.x1)
+           <= {_DB_EPS_U} * {_DB_EPS_U}),
+    sym AS (
+      SELECT id_a AS id, id_b AS nb FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs),
+    deg AS (SELECT id, count(*) AS n FROM sym GROUP BY id),
+    core AS (SELECT id FROM deg WHERE n + 1 >= {_DB_MINPTS}),
+    ce AS (
+      SELECT id_a, id_b FROM pairs
+      JOIN core ca ON ca.id = pairs.id_a
+      JOIN core cb ON cb.id = pairs.id_b),
+    ced AS (
+      SELECT id_a AS src, id_b AS dst FROM ce
+      UNION SELECT id_b, id_a FROM ce),
+    comp(id, lab) AS (
+      SELECT DISTINCT src, src FROM ced
+      UNION
+      SELECT e.dst, c.lab FROM comp c JOIN ced e ON e.src = c.id),
+    mcomp AS (SELECT id, min(lab) AS lab FROM comp GROUP BY id),
+    core_lab AS (
+      SELECT core.id, coalesce(m.lab, core.id) AS cluster
+      FROM core LEFT JOIN mcomp m ON m.id = core.id),
+    border AS (
+      SELECT s.id, min(cl.cluster) AS cluster
+      FROM sym s JOIN core_lab cl ON cl.id = s.nb
+      WHERE s.id NOT IN (SELECT id FROM core_lab)
+      GROUP BY s.id),
+    lab AS (
+      SELECT id, cluster, 'core' AS role FROM core_lab
+      UNION ALL SELECT id, cluster, 'border' FROM border)
+    SELECT p.id, lab.cluster, coalesce(lab.role, 'noise') AS role
+    FROM pts p LEFT JOIN lab ON lab.id = p.id
+    """,
+)
+def dbscan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed DBSCAN (ml/dbscan.py; Ester et al. KDD 1996) on
+    the first two embedding dims (eps 0.008, min_pts 4): neighbor
+    candidates from ONE equi-join on exploded 3^d adjacent-cell keys
+    (never all-pairs), exact integer micro-unit distances, core-core
+    components via the repo's hash-min connected_components, border
+    points to their smallest core-neighbor cluster.  The oracle is an
+    INDEPENDENT strategy — brute-force pair enumeration + a recursive
+    transitive closure — so a hash match certifies the whole
+    cell-join/degree/CC/border chain."""
+    from gofast_spark.ml.dbscan import dbscan
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.element_at("embedding", 1).alias("e0"),
+        F.element_at("embedding", 2).alias("e1"),
+    )
+    return dbscan(
+        e, "vec_id", ["e0", "e1"],
+        eps=_DB_EPS_U / 1e6, min_pts=_DB_MINPTS,
+    )

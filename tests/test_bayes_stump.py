@@ -185,3 +185,29 @@ def test_kmeans_lloyd_recovers_separated_clusters(spark):
         df.repartition(13), "id", ["a", "b"], 4, iterations=3
     ).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_dbscan_two_blobs_and_noise(spark):
+    from gofast_spark.ml.dbscan import dbscan
+
+    rng = np.random.RandomState(7)
+    rows = []
+    i = 0
+    for cx, cy in ((0.0, 0.0), (10.0, 10.0)):
+        for _ in range(40):
+            rows.append((i, float(cx + rng.randn() * 0.2),
+                         float(cy + rng.randn() * 0.2)))
+            i += 1
+    rows.append((i, 100.0, 100.0))  # isolated noise point
+    df = spark.createDataFrame(rows, "id bigint, a double, b double")
+    out = dbscan(df, "id", ["a", "b"], eps=1.0, min_pts=4).collect()
+    by_id = {r["id"]: r for r in out}
+    assert by_id[80]["role"] == "noise" and by_id[80]["cluster"] is None
+    c0 = {by_id[j]["cluster"] for j in range(40)}
+    c1 = {by_id[j]["cluster"] for j in range(40, 80)}
+    assert c0 == {0} and c1 == {40}, (c0, c1)  # min-member labels
+    assert all(by_id[j]["role"] in ("core", "border") for j in range(80))
+    # determinism under repartitioning
+    out2 = dbscan(df.repartition(9), "id", ["a", "b"],
+                  eps=1.0, min_pts=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
