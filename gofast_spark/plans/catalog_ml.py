@@ -761,3 +761,80 @@ def dbscan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, "vec_id", ["e0", "e1"],
         eps=_DB_EPS_U / 1e6, min_pts=_DB_MINPTS,
     )
+
+
+@query(
+    "target_encode_orders",
+    oracle="""
+    WITH l AS (
+      SELECT o_orderpriority AS cat, CAST(o_totalprice AS DOUBLE) AS y
+      FROM orders WHERE o_totalprice IS NOT NULL),
+    s AS (SELECT cat, sum(y) AS sy, count(*) AS n FROM l GROUP BY cat),
+    g AS (SELECT sum(y) / count(*) AS gm FROM l)
+    SELECT cat AS o_orderpriority,
+           CAST(round((sy + 10.0 * gm) / (n + 10.0), 6) AS DOUBLE)
+             AS prio_te,
+           CAST(n AS BIGINT) AS n
+    FROM s, g
+    """,
+)
+def target_encode_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding (ml/encoding.py target_encode;
+    Micci-Barreca SIGKDD-Exp 2001; completes the ported
+    freq/label/one-hot encoder battery of
+    gofast/transformers/feature_engineering.py): per-priority shrunk
+    mean order value from ONE vocab-sized groupBy + a 1-row prior
+    broadcast, applied as a gated broadcast join.  The entry folds the
+    encoded frame back to the distinct (category, encoding) table the
+    oracle recomputes."""
+    from gofast_spark.ml.encoding import target_encode
+
+    o = _t(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    enc = target_encode(
+        o, "o_orderpriority", "o_totalprice", alpha=10.0, out_col="prio_te"
+    )
+    return enc.groupBy("o_orderpriority").agg(
+        F.round(F.min("prio_te"), 6).cast("double").alias("prio_te"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "woe_encode_customer",
+    oracle="""
+    WITH l AS (
+      SELECT c_mktsegment AS cat,
+             CAST(c_acctbal > 0 AS INT) AS pos
+      FROM customer),
+    per AS (
+      SELECT cat, sum(pos) AS good, sum(1 - pos) AS bad
+      FROM l GROUP BY cat),
+    t AS (SELECT sum(good) AS g, sum(bad) AS b, count(*) AS k FROM per)
+    SELECT cat AS c_mktsegment,
+           CAST(round(ln(((good + 0.5) / (g + 0.5 * k))
+                         / ((bad + 0.5) / (b + 0.5 * k))), 6) AS DOUBLE)
+             AS seg_woe,
+           CAST(good AS BIGINT) AS n_pos,
+           CAST(bad AS BIGINT) AS n_neg
+    FROM per, t
+    """,
+)
+def woe_encode_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence encoding (ml/encoding.py woe_encode — the
+    scorecard encoding whose aggregate is metrics.information_value,
+    ref gofast/metrics.py:1417): per-segment smoothed ln(good share /
+    bad share) for the positive-balance label, one vocab-sized groupBy
+    + a 1-row totals broadcast.  The entry folds back to the distinct
+    (category, woe, counts) table."""
+    from gofast_spark.ml.encoding import woe_encode
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_mktsegment", (F.col("c_acctbal") > 0).cast("int").alias("pos")
+    )
+    enc = woe_encode(c, "c_mktsegment", "pos", positive=1, smooth=0.5,
+                     out_col="seg_woe")
+    return enc.groupBy("c_mktsegment").agg(
+        F.round(F.min("seg_woe"), 6).cast("double").alias("seg_woe"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum(1 - F.col("pos")).cast("bigint").alias("n_neg"),
+    )

@@ -796,3 +796,52 @@ def observed_report_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     observed, obs = observe_quality(li, ["l_discount", "l_quantity"])
     observed.write.format("noop").mode("overwrite").save()
     return quality_report_frame(observed, obs)
+
+
+@query(
+    "psi_drift_orders",
+    oracle="""
+    WITH ref AS (
+      SELECT least(greatest(CAST(floor(CAST(o_totalprice AS DOUBLE)
+                / 60000.0) AS INT), 0), 9) AS bin
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderdate < TIMESTAMP '1998-01-01'),
+    cur AS (
+      SELECT least(greatest(CAST(floor(CAST(o_totalprice AS DOUBLE)
+                / 60000.0) AS INT), 0), 9) AS bin
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderdate >= TIMESTAMP '1998-01-01'),
+    g AS (SELECT CAST(range AS INT) AS bin FROM range(10)),
+    a AS (SELECT bin, count(*) AS n_ref FROM ref GROUP BY bin),
+    b AS (SELECT bin, count(*) AS n_cur FROM cur GROUP BY bin),
+    j AS (
+      SELECT g.bin, coalesce(a.n_ref, 0) AS n_ref,
+             coalesce(b.n_cur, 0) AS n_cur
+      FROM g LEFT JOIN a ON a.bin = g.bin LEFT JOIN b ON b.bin = g.bin),
+    t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM j)
+    SELECT CAST(round(sum(
+             ((n_ref + 0.5) / (tr + 5.0) - (n_cur + 0.5) / (tc + 5.0))
+             * ln(((n_ref + 0.5) / (tr + 5.0))
+                  / ((n_cur + 0.5) / (tc + 5.0)))), 6) AS DOUBLE) AS psi,
+           CAST(max(tr) AS BIGINT) AS n_ref,
+           CAST(max(tc) AS BIGINT) AS n_cur
+    FROM j, t
+    """,
+)
+def psi_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift check (quality/drift.py
+    psi_report; the production monitoring staple the reference keeps in
+    gofast/mlops/): order-value distribution before vs from 1998 over
+    a declared 10-bin grid — one bins-sized groupBy per side, Laplace
+    -smoothed shares, PSI as one aggregate.  The oracle recomputes the
+    identical smoothed-share algebra."""
+    from gofast_spark.quality.drift import psi_report
+
+    o = _t(spark, sf_dir, "orders").select("o_totalprice", "o_orderdate")
+    ref = o.where(F.col("o_orderdate") < "1998-01-01")
+    cur = o.where(F.col("o_orderdate") >= "1998-01-01")
+    out = psi_report(ref, cur, "o_totalprice", lo=0.0, hi=600000.0,
+                     bins=10, smooth=0.5)
+    return out.select(
+        F.round("psi", 6).cast("double").alias("psi"), "n_ref", "n_cur"
+    )
