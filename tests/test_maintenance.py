@@ -124,3 +124,42 @@ def test_first_touch_mins_is_batch_invariant(spark):
     assert sorted(map(tuple, whole.collect())) == sorted(
         map(tuple, merged.collect())
     )
+
+
+def test_target_encode_shrinks_rare_categories(spark):
+    from gofast_spark.ml.encoding import target_encode
+
+    rows = [("a", 10.0)] * 50 + [("b", 100.0)] * 2
+    df = spark.createDataFrame(rows, "cat string, y double")
+    out = {r["cat"]: r["cat_te"]
+           for r in target_encode(df, "cat", "y", alpha=10.0)
+           .select("cat", "cat_te").distinct().collect()}
+    gm = (50 * 10.0 + 2 * 100.0) / 52
+    assert out["a"] == pytest.approx((500 + 10 * gm) / 60)
+    assert out["b"] == pytest.approx((200 + 10 * gm) / 12)
+    # rare category sits much closer to the prior than its raw mean
+    assert abs(out["b"] - gm) < abs(100.0 - gm) / 2
+
+
+def test_woe_encode_signs_and_null_fallback(spark):
+    from gofast_spark.ml.encoding import woe_encode
+
+    rows = [("good_seg", 1)] * 30 + [("good_seg", 0)] * 10 \
+        + [("bad_seg", 1)] * 10 + [("bad_seg", 0)] * 30 + [(None, 1)]
+    df = spark.createDataFrame(rows, "cat string, y int")
+    out = woe_encode(df, "cat", "y").select("cat", "cat_woe").distinct()
+    got = {r["cat"]: r["cat_woe"] for r in out.collect()}
+    assert got["good_seg"] > 0 > got["bad_seg"]
+    assert got["good_seg"] == pytest.approx(-got["bad_seg"], rel=1e-9)
+
+
+def test_psi_zero_for_identical_and_positive_for_shifted(spark):
+    from gofast_spark.quality.drift import psi_report
+
+    a = spark.range(1000).select((F.col("id") % 100).cast("double").alias("x"))
+    same = psi_report(a, a, "x", lo=0.0, hi=100.0, bins=10).first()
+    assert same["psi"] == pytest.approx(0.0, abs=1e-12)
+    b = a.select((F.col("x") + 50.0).alias("x"))
+    shifted = psi_report(a, b, "x", lo=0.0, hi=100.0, bins=10).first()
+    assert shifted["psi"] > 0.25  # folklore "shifted" threshold
+    assert shifted["n_ref"] == shifted["n_cur"] == 1000
