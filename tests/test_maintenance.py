@@ -145,12 +145,16 @@ def test_woe_encode_signs_and_null_fallback(spark):
     from gofast_spark.ml.encoding import woe_encode
 
     rows = [("good_seg", 1)] * 30 + [("good_seg", 0)] * 10 \
-        + [("bad_seg", 1)] * 10 + [("bad_seg", 0)] * 30 + [(None, 1)]
+        + [("bad_seg", 1)] * 10 + [("bad_seg", 0)] * 30 \
+        + [("unlabeled_seg", None)]
     df = spark.createDataFrame(rows, "cat string, y int")
     out = woe_encode(df, "cat", "y").select("cat", "cat_woe").distinct()
     got = {r["cat"]: r["cat_woe"] for r in out.collect()}
     assert got["good_seg"] > 0 > got["bad_seg"]
+    # mirror-image class balance -> antisymmetric WOE
     assert got["good_seg"] == pytest.approx(-got["bad_seg"], rel=1e-9)
+    # a category with no labeled rows carries no evidence
+    assert got["unlabeled_seg"] == 0.0
 
 
 def test_psi_zero_for_identical_and_positive_for_shifted(spark):
