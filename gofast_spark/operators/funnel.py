@@ -383,3 +383,51 @@ def first_touch_counts(
         "step",
         F.col("n_users").cast("bigint").alias("n_users"),
     )
+
+
+def markov_transitions(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    *,
+    min_count: int = 1,
+) -> DataFrame:
+    """First-order Markov transition matrix of the event stream:
+    ``(from_type, to_type, n, p)`` where ``p`` row-normalizes over the
+    outgoing transitions of ``from_type`` — the product-analytics
+    "where do users go next" matrix and the sequence prior behind
+    next-event prediction baselines.
+
+    Consecutive events per user under the deterministic
+    ``(ts, type)`` ordering (the tie-break makes equal-timestamp
+    streams reproducible); one per-user window + one (from, to)
+    groupBy; the row normalizer is a vocab-sized broadcast join, never
+    a second stream scan."""
+    from pyspark.sql import Window
+
+    ev = df.select(
+        F.col(user_col).alias("__u"),
+        F.col(ts_col).alias("__ts"),
+        F.col(type_col).alias("__ty"),
+    ).where(F.col(ts_col).isNotNull() & F.col(type_col).isNotNull())
+    w = Window.partitionBy("__u").orderBy("__ts", "__ty")
+    pairs = ev.withColumn("__next", F.lead("__ty").over(w)).where(
+        F.col("__next").isNotNull()
+    )
+    counts = pairs.groupBy(
+        F.col("__ty").alias("from_type"), F.col("__next").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    outgoing = counts.groupBy("from_type").agg(
+        F.sum("n").alias("__row_total")
+    )
+    return (
+        counts.where(F.col("n") >= min_count)
+        .join(F.broadcast(outgoing), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            (F.col("n") / F.col("__row_total").cast("double")).alias("p"),
+        )
+    )

@@ -2278,3 +2278,49 @@ def langid_confusion_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("lang", "lang_pred").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+@query(
+    "zipf_slope_documents",
+    oracle=f"""
+    WITH norm AS (SELECT {_norm_sql('text')} AS t FROM documents),
+    tk AS (
+      SELECT unnest(string_split(t, ' ')) AS w FROM norm WHERE len(t) > 0),
+    counts AS (SELECT w, count(*) AS n_w FROM tk GROUP BY w),
+    total AS (SELECT sum(n_w) AS nt FROM counts),
+    head AS (
+      SELECT w, n_w,
+             row_number() OVER (ORDER BY n_w DESC, w) AS r
+      FROM counts ORDER BY n_w DESC, w LIMIT 500),
+    m AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             sum(ln(CAST(r AS DOUBLE))) AS sx,
+             sum(ln(CAST(n_w AS DOUBLE))) AS sy,
+             sum(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE))) AS sxx,
+             sum(ln(CAST(r AS DOUBLE)) * ln(CAST(n_w AS DOUBLE))) AS sxy
+      FROM head)
+    SELECT CAST(round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
+             AS DOUBLE) AS slope,
+           CAST(round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                        * sx) / n, 4) AS DOUBLE) AS intercept,
+           CAST(n AS BIGINT) AS n_terms,
+           CAST(nt AS BIGINT) AS n_tokens
+    FROM m, total
+    """,
+)
+def zipf_slope_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf frequency-spectrum fit (text/cooccur.py zipf_slope; Zipf
+    1949) over the documents vocabulary: one explode + vocab groupBy,
+    deterministic (count DESC, token) head ranking, closed-form log-log
+    OLS from one tiny aggregate — the corpus-health fingerprint a
+    curation pipeline tracks per snapshot.  The oracle replays the
+    rank window and the moment algebra."""
+    from gofast_spark.text.cooccur import zipf_slope
+
+    d = _t(spark, sf_dir, "documents")
+    out = zipf_slope(d, "text", top_v=500)
+    return out.select(
+        F.round("slope", 4).cast("double").alias("slope"),
+        F.round("intercept", 4).cast("double").alias("intercept"),
+        "n_terms", "n_tokens",
+    )

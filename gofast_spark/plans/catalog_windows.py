@@ -360,3 +360,34 @@ def funnel_latencies_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_latencies(
         e, "user_id", "ts", "event_type", ["view", "click", "purchase"]
     )
+
+
+@query(
+    "markov_transitions_events",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id AS u, ts, event_type AS ty FROM events
+      WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+    p AS (
+      SELECT ty AS from_type,
+             lead(ty) OVER (PARTITION BY u ORDER BY ts, ty) AS to_type
+      FROM ev),
+    c AS (
+      SELECT from_type, to_type, count(*) AS n FROM p
+      WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+    r AS (SELECT from_type, sum(n) AS rt FROM c GROUP BY from_type)
+    SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n,
+           CAST(c.n / CAST(r.rt AS DOUBLE) AS DOUBLE) AS p
+    FROM c JOIN r ON r.from_type = c.from_type
+    """,
+)
+def markov_transitions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over the event stream
+    (operators/funnel.py markov_transitions): consecutive per-user
+    events under the deterministic (ts, type) ordering, one partitioned
+    lead window + one (from, to) groupBy + a vocab-sized row-normalizer
+    broadcast.  The oracle replays the identical window."""
+    from gofast_spark.operators.funnel import markov_transitions
+
+    e = _t(spark, sf_dir, "events")
+    return markov_transitions(e, "user_id", "ts", "event_type")

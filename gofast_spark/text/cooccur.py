@@ -103,3 +103,60 @@ def bigram_pmi(
     return scored.orderBy(
         F.col("pmi").desc(), F.col("n_pair").desc(), "w1", "w2"
     ).limit(top_k)
+
+
+def zipf_slope(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    top_v: int = 500,
+) -> DataFrame:
+    """Zipf's-law fit of the corpus frequency spectrum: OLS slope of
+    ``ln(freq) ~ ln(rank)`` over the ``top_v`` most frequent tokens
+    (Zipf 1949; a healthy natural-language corpus sits near -1, and
+    the deviation is a cheap corpus-quality fingerprint — template
+    spam flattens the head, boilerplate dedup failures steepen it).
+
+    Returns 1 row ``(slope, intercept, n_terms, n_tokens)``.  One
+    explode + vocab groupBy (the bigram_pmi scan shape), a
+    deterministic (count DESC, token) rank over the top-``top_v``
+    slice, and a closed-form 2x2 OLS from one aggregate of that tiny
+    frame."""
+    norm = normalize_text(text_col)
+    toks = df.where(F.length(norm) > 0).select(
+        F.split(norm, " ").alias("tk")
+    )
+    counts = (
+        toks.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    total = counts.agg(F.sum("n_w").alias("__n_tokens"))
+    from pyspark.sql import Window
+
+    head = counts.orderBy(F.col("n_w").desc(), "w").limit(top_v)
+    ranked = head.withColumn(
+        "__r",
+        F.row_number().over(Window.orderBy(F.col("n_w").desc(), "w")),
+    )
+    x = F.log(F.col("__r").cast("double"))
+    y = F.log(F.col("n_w").cast("double"))
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+    )
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    )
+    return m.crossJoin(F.broadcast(total)).select(
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias(
+            "intercept"
+        ),
+        F.col("n").cast("bigint").alias("n_terms"),
+        F.col("__n_tokens").cast("bigint").alias("n_tokens"),
+    )
