@@ -80,6 +80,8 @@ HEADLINE = [
     "table_checksum_customer",
     "boosted_stumps_orders",
     "kmeans_lloyd_embeddings",
+    "dbscan_embeddings",
+    "frequent_pairs_lineitem",
 ]
 
 
