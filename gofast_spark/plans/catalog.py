@@ -893,10 +893,14 @@ from gofast_spark.plans import catalog_windows  # noqa: E402,F401  (registration
 # approx-quantile floor, PACF, and the product-analytics four).  Entries
 # this round's ADVICE/verdict fixes touch (funnel family, calibration,
 # bigram-PMI, label propagation) sit INSIDE this window, so the fixed
-# code is what the driver verifies.  New entries added during round 8
-# queue contiguously behind the window into slots 31-50 via the
-# _rotate_catalog tail_unverified block (test_driver_window.py asserts
-# no slot is wasted on an already-green entry).  The four rows-only
+# code is what the driver verifies.  Round 8 added 26 new oracle-backed
+# entries; the 20 flagship/verdict-aligned ones (streaming funnel +
+# retention, the model-selection quartet, GNB/stump/boosting/k-means,
+# DBSCAN, frequent pairs, lakehouse maintenance, observer report, PSI)
+# are pinned into the window explicitly, and the remaining 6 (zipf,
+# multilabel hamming, k-means inertia, markov matrix, target/WOE
+# encoders) queue contiguously behind it for r9 via the
+# _rotate_catalog tail_unverified block.  The four rows-only
 # entries stay parked at the very END of the ordering; each has a
 # driver-green oracle-backed companion.  All oracle-backed entries
 # remain continuously re-verified by the local DuckDB sweep
@@ -934,6 +938,26 @@ _DRIVER_WINDOW = [
     "retention_cohorts_events",
     "rfm_segments_events",
     "funnel_latencies_events",
+    "community_triangle_density",
+    "scd2_pit_join_orders",
+    "compact_small_files_orders",
+    "key_skew_report_orders",
+    "table_checksum_customer",
+    "hll_intersection_floor_events",
+    "cv_fold_assignment_counts",
+    "cv_ols_rmse_lineitem",
+    "ridge_cv_sweep_lineitem",
+    "learning_curve_lineitem",
+    "gaussian_nb_confusion_orders",
+    "stump_split_orders",
+    "boosted_stumps_orders",
+    "kmeans_lloyd_embeddings",
+    "frequent_pairs_lineitem",
+    "dbscan_embeddings",
+    "observed_report_lineitem",
+    "psi_drift_orders",
+    "stream_funnel_counts",
+    "stream_retention_cohorts",
 ]
 
 # Cumulative union of driver-green entries (hash_match=true in any
