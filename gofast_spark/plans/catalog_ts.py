@@ -377,3 +377,62 @@ def pacf_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in range(1, 5)
         ]
     )
+
+
+@query(
+    "changepoint_daily_events",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(trunc(value * 1000000 + 0.5) AS BIGINT))
+               AS DOUBLE) AS y
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1),
+    cum AS (
+      SELECT d,
+             coalesce(sum(y) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+               AS sl,
+             coalesce(count(y) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS nl
+      FROM daily),
+    t AS (SELECT sum(y) AS s, count(*) AS n FROM daily),
+    g AS (
+      SELECT d AS change_at,
+             sl * sl / CAST(nl AS DOUBLE)
+               + (s - sl) * (s - sl) / CAST(n - nl AS DOUBLE)
+               - s * s / CAST(n AS DOUBLE) AS gain,
+             nl AS n_left, n - nl AS n_right,
+             sl / CAST(nl AS DOUBLE) AS mean_left,
+             (s - sl) / CAST(n - nl AS DOUBLE) AS mean_right
+      FROM cum, t WHERE nl > 0 AND n - nl > 0)
+    SELECT change_at, gain,
+           CAST(n_left AS BIGINT) AS n_left,
+           CAST(n_right AS BIGINT) AS n_right,
+           mean_left, mean_right
+    FROM g ORDER BY gain DESC, change_at LIMIT 1
+    """,
+)
+def changepoint_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMOC changepoint of daily event value (ts/changepoint.py
+    best_changepoint; Hinkley 1970 / Scott & Knott 1974 — the core step
+    of binary segmentation): micro-unit-exact daily rollup, one
+    cumulative window over the day-sized series, in-plan argmax with
+    the (gain DESC, earliest day) tie-break — the raw stream is only
+    touched by the rollup.  All gains derive from exact integers
+    through one fixed expression order; the oracle replays them
+    unrounded."""
+    from gofast_spark.ts.changepoint import best_changepoint
+
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.where(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.sum(
+                F.expr("CAST(value * 1000000 + 0.5 AS BIGINT)")
+            ).cast("double").alias("y")
+        )
+    )
+    return best_changepoint(daily, "d", "y")

@@ -211,3 +211,27 @@ def test_dbscan_two_blobs_and_noise(spark):
     out2 = dbscan(df.repartition(9), "id", ["a", "b"],
                   eps=1.0, min_pts=4).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_changepoint_finds_planted_shift(spark):
+    from gofast_spark.ts.changepoint import best_changepoint
+    import datetime
+
+    rng = np.random.RandomState(13)
+    rows = []
+    d0 = datetime.date(2024, 1, 1)
+    for i in range(120):
+        level = 10.0 if i < 70 else 25.0
+        rows.append((d0 + datetime.timedelta(days=i),
+                     float(level + rng.randn() * 0.5)))
+    df = spark.createDataFrame(rows, "d date, y double")
+    got = best_changepoint(df, "d", "y").collect()[0]
+    assert got["change_at"] == d0 + datetime.timedelta(days=70)
+    assert got["n_left"] == 70 and got["n_right"] == 50
+    assert got["mean_left"] == pytest.approx(10.0, abs=0.3)
+    assert got["mean_right"] == pytest.approx(25.0, abs=0.3)
+
+    # < 2 points: no split exists
+    tiny = spark.createDataFrame([(d0, 1.0)], "d date, y double")
+    out = best_changepoint(tiny, "d", "y").collect()
+    assert len(out) == 1 and out[0]["change_at"] is None
