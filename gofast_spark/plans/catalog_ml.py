@@ -838,3 +838,62 @@ def woe_encode_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pos").cast("bigint").alias("n_pos"),
         F.sum(1 - F.col("pos")).cast("bigint").alias("n_neg"),
     )
+
+
+@query(
+    "conformal_interval_orders",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderpriority AS g,
+             CAST(trunc(CAST(o_totalprice AS DOUBLE) * 1000000 + 0.5)
+               AS BIGINT) AS y,
+             CAST((o_orderkey * 1103515245 + 12345)
+                  % 2147483648 % 5 AS INT) AS fold
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL),
+    tr AS (SELECT * FROM d WHERE fold <= 2),
+    model AS (
+      SELECT g, CAST(trunc(CAST(sum(y) AS DOUBLE) / count(*)) AS BIGINT)
+        AS mu FROM tr GROUP BY g),
+    gm AS (
+      SELECT CAST(trunc(CAST(sum(y) AS DOUBLE) / count(*)) AS BIGINT)
+        AS gmu, count(*) AS n_train FROM tr),
+    cal AS (
+      SELECT abs(d.y - coalesce(m.mu, gm.gmu)) AS r
+      FROM d LEFT JOIN model m ON m.g = d.g, gm WHERE d.fold = 3),
+    nc AS (SELECT count(*) AS n FROM cal),
+    q AS (
+      SELECT min(r) AS qhat_u FROM (
+        SELECT r, row_number() OVER (ORDER BY r DESC) AS rn FROM cal), nc
+      WHERE rn <= nc.n
+        - least(nc.n, CAST(ceil((nc.n + 1) * 0.9) AS BIGINT)) + 1),
+    te AS (
+      SELECT abs(d.y - coalesce(m.mu, gm.gmu)) AS r
+      FROM d LEFT JOIN model m ON m.g = d.g, gm WHERE d.fold = 4)
+    SELECT CAST(q.qhat_u / 1000000.0 AS DOUBLE) AS qhat,
+           CAST(gm.n_train AS BIGINT) AS n_train,
+           CAST(nc.n AS BIGINT) AS n_cal,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(avg(CAST(te.r <= q.qhat_u AS INT)) AS DOUBLE) AS coverage
+    FROM te, q, nc, gm
+    GROUP BY q.qhat_u, gm.n_train, nc.n
+    """,
+)
+def conformal_interval_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval (ml/conformal.py; Vovk et
+    al. 2005, Lei et al. JASA 2018) for order value under a
+    group-conditional mean model: LCG splits (train/calibrate/test),
+    exact micro-unit residuals, qhat as the conformal order statistic
+    taken from the SMALL upper tail (TakeOrdered, not a full sort),
+    distribution-free >= 90% expected test coverage.  Every number in
+    the chain is exact integer arithmetic; the oracle replays it
+    bit-for-bit."""
+    from gofast_spark.ml.conformal import split_conformal_group_mean
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    return split_conformal_group_mean(
+        o, "o_orderpriority", "o_totalprice",
+        id_col="o_orderkey", alpha=0.1, seed=0,
+    )

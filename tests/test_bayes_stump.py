@@ -235,3 +235,29 @@ def test_changepoint_finds_planted_shift(spark):
     tiny = spark.createDataFrame([(d0, 1.0)], "d date, y double")
     out = best_changepoint(tiny, "d", "y").collect()
     assert len(out) == 1 and out[0]["change_at"] is None
+
+
+def test_split_conformal_coverage_guarantee(spark):
+    from gofast_spark.ml.conformal import split_conformal_group_mean
+
+    rng = np.random.RandomState(21)
+    rows = []
+    for i in range(4000):
+        g = ["a", "b", "c"][i % 3]
+        base = {"a": 10.0, "b": 50.0, "c": 200.0}[g]
+        rows.append((i, g, float(base + rng.randn() * 5.0)))
+    df = spark.createDataFrame(rows, "id bigint, g string, y double")
+    out = split_conformal_group_mean(
+        df, "g", "y", id_col="id", alpha=0.1
+    ).collect()[0]
+    # distribution-free guarantee: expected coverage >= 90%; allow
+    # finite-sample slack on the lower side
+    assert out["coverage"] >= 0.85
+    assert out["coverage"] <= 1.0
+    # qhat should sit near the 90th percentile of |N(0,5)| ~ 8.2
+    assert 6.0 < out["qhat"] < 11.0
+    # tighter alpha -> wider interval
+    wide = split_conformal_group_mean(
+        df, "g", "y", id_col="id", alpha=0.01
+    ).collect()[0]
+    assert wide["qhat"] > out["qhat"]
