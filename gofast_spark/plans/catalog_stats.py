@@ -1492,3 +1492,64 @@ def approx_quantile_floor_lineitem(spark: SparkSession, sf_dir: str) -> DataFram
         )],
         "p50 double, p90 double, p99 double, sketch_within_tol int",
     )
+
+
+@query(
+    "cuped_ab_events",
+    oracle="""
+    WITH pu AS (
+      SELECT user_id AS u,
+             CAST((user_id * 1103515245 + 12345) % 2147483648 % 2 AS INT)
+               AS variant,
+             sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN value
+                      ELSE 0.0 END) AS x,
+             sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN value
+                      ELSE 0.0 END) AS y
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY user_id),
+    g AS (
+      SELECT avg(x) AS mx,
+             (avg(x * y) - avg(x) * avg(y))
+               / (avg(x * x) - avg(x) * avg(x)) AS theta
+      FROM pu),
+    a AS (
+      SELECT variant, y, y - theta * (x - mx) AS y_adj FROM pu, g)
+    SELECT variant, count(*) AS n_users,
+           CAST(round(avg(y), 4) AS DOUBLE) AS mean_post,
+           CAST(round(avg(y_adj), 4) AS DOUBLE) AS mean_adj,
+           CAST(round(avg(y * y) - avg(y) * avg(y), 2) AS DOUBLE)
+             AS var_post,
+           CAST(round(avg(y_adj * y_adj) - avg(y_adj) * avg(y_adj), 2)
+             AS DOUBLE) AS var_adj,
+           CAST(round(1.0 - (avg(y_adj * y_adj) - avg(y_adj) * avg(y_adj))
+                 / (avg(y * y) - avg(y) * avg(y)), 4) AS DOUBLE)
+             AS var_reduction
+    FROM a GROUP BY variant
+    """,
+)
+def cuped_ab_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted A/B readout (stats/cuped.py; Deng et al. WSDM
+    2013): LCG-hash variants, pre/post user metrics split at a fixed
+    date, theta from ONE 1-row moment broadcast, per-variant adjusted
+    means and variance reduction — the experimentation-platform
+    sensitivity standard as two shuffles.  The oracle replays the
+    moment algebra with matched rounding."""
+    from gofast_spark.ml.selection import kfold_assign
+    from gofast_spark.stats.cuped import cuped_report
+
+    e = kfold_assign(
+        _t(spark, sf_dir, "events"), "user_id", 2, seed=0,
+        out_col="variant",
+    )
+    out = cuped_report(
+        e, "user_id", "ts", "value", "variant",
+        experiment_start="2024-01-16",
+    )
+    return out.select(
+        "variant", "n_users",
+        F.round("mean_post", 4).cast("double").alias("mean_post"),
+        F.round("mean_adj", 4).cast("double").alias("mean_adj"),
+        F.round("var_post", 2).cast("double").alias("var_post"),
+        F.round("var_adj", 2).cast("double").alias("var_adj"),
+        F.round("var_reduction", 4).cast("double").alias("var_reduction"),
+    )

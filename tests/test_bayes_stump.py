@@ -261,3 +261,34 @@ def test_split_conformal_coverage_guarantee(spark):
         df, "g", "y", id_col="id", alpha=0.01
     ).collect()[0]
     assert wide["qhat"] > out["qhat"]
+
+
+def test_cuped_reduces_variance_preserves_effect(spark):
+    from gofast_spark.stats.cuped import cuped_report
+
+    rng = np.random.RandomState(17)
+    rows = []
+    for u in range(1500):
+        variant = u % 2
+        activity = float(rng.gamma(4.0, 10.0))  # stable user trait
+        lift = 5.0 if variant == 1 else 0.0
+        # pre and post both driven by the trait -> correlated
+        rows.append((u, variant, "2024-01-05 00:00:00",
+                     activity + float(rng.randn())))
+        rows.append((u, variant, "2024-01-20 00:00:00",
+                     activity + lift + float(rng.randn())))
+    df = spark.createDataFrame(
+        rows, "u bigint, variant int, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["variant"]: r for r in cuped_report(
+        df, "u", "ts", "value", "variant",
+        experiment_start="2024-01-10").collect()}
+    for v in (0, 1):
+        # pre/post correlation ~ var(trait)/(var(trait)+1) ~ 0.997
+        assert out[v]["var_reduction"] > 0.8
+        assert out[v]["var_adj"] < out[v]["var_post"] * 0.2
+    # the treatment effect survives adjustment
+    eff_raw = out[1]["mean_post"] - out[0]["mean_post"]
+    eff_adj = out[1]["mean_adj"] - out[0]["mean_adj"]
+    assert eff_adj == pytest.approx(5.0, abs=1.0)
+    assert abs(eff_adj - eff_raw) < 3.0
