@@ -19,6 +19,20 @@ from gofast_spark.ml.dimensionality import (
     lle_embedding,
     spectral_embedding,
 )
+from gofast_spark.ml.bayes import fit_gaussian_nb, predict_gaussian_nb
+from gofast_spark.ml.boost import fit_boosted_stumps
+from gofast_spark.ml.conformal import split_conformal_group_mean
+from gofast_spark.ml.dbscan import dbscan
+from gofast_spark.ml.encoding import target_encode, woe_encode
+from gofast_spark.ml.itemsets import frequent_pairs
+from gofast_spark.ml.kmeans_exact import fit_kmeans_lloyd, kmeans_inertia
+from gofast_spark.ml.selection import (
+    cross_val_linear,
+    kfold_assign,
+    learning_curve_linear,
+    ridge_cv_sweep,
+)
+from gofast_spark.ml.stump import fit_stump
 
 __all__ = [
     "make_feature_pipeline",
@@ -36,4 +50,19 @@ __all__ = [
     "linkage_matrix",
     "edges_from_pairs",
     "pagerank",
+    "fit_gaussian_nb",
+    "predict_gaussian_nb",
+    "fit_boosted_stumps",
+    "split_conformal_group_mean",
+    "dbscan",
+    "target_encode",
+    "woe_encode",
+    "frequent_pairs",
+    "fit_kmeans_lloyd",
+    "kmeans_inertia",
+    "kfold_assign",
+    "cross_val_linear",
+    "ridge_cv_sweep",
+    "learning_curve_linear",
+    "fit_stump",
 ]
