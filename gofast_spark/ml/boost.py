@@ -126,3 +126,143 @@ def fit_boosted_stumps(
             )
         )
     return model
+
+
+def fit_boosted_stumps_multi(
+    df: DataFrame,
+    feature_specs: list,
+    target_col: str,
+    *,
+    rounds: int = 2,
+) -> DataFrame:
+    """Multi-feature boosting: each round evaluates the histogram of
+    EVERY feature and takes the globally best split — the actual GBDT
+    per-node behavior (one round = one depth-1 tree with feature
+    selection).  ``feature_specs`` is ``[(col, lo, hi, bins), ...]``.
+
+    Returns one row per round ``(round, feature, threshold, left_u3,
+    right_u3)`` with ``feature`` the chosen column name (round 0 =
+    base, feature null).  Cost per round is ONE scan producing all
+    per-feature histograms (the groupBys share the cached projection;
+    at 100 TB persist the quantized frame upstream), candidate gains
+    union across features, argmax tie-break (gain DESC, feature-index
+    ASC, threshold ASC).  Same exact milli-unit integer state as
+    :func:`fit_boosted_stumps`."""
+    specs = [(c, float(lo), float(hi), int(b))
+             for c, lo, hi, b in feature_specs]
+    if not specs or rounds < 1:
+        raise ValueError("need >= 1 feature spec and rounds >= 1")
+    for c, lo, hi, b in specs:
+        if b < 2 or not hi > lo:
+            raise ValueError(f"bad spec for {c}: need bins >= 2, hi > lo")
+    y_u = (F.col(target_col).cast("double") * _U + F.lit(0.5)).cast("bigint")
+    cond = F.col(target_col).isNotNull()
+    bin_cols = []
+    for j, (c, lo, hi, b) in enumerate(specs):
+        x = F.col(c).cast("double")
+        cond = cond & x.isNotNull()
+        width = (hi - lo) / b
+        bin_cols.append(
+            F.least(
+                F.greatest(
+                    F.floor((x - F.lit(lo)) / F.lit(width)).cast("int"),
+                    F.lit(0),
+                ),
+                F.lit(b - 1),
+            ).alias(f"b{j}")
+        )
+    base_rows = df.where(cond).select(*bin_cols, y_u.alias("y"))
+    base = base_rows.agg(
+        (F.sum("y").cast("double") / F.count(F.lit(1)).cast("double"))
+        .cast("bigint")
+        .alias("base_u3")
+    )
+    state = base_rows.crossJoin(F.broadcast(base)).select(
+        *[f"b{j}" for j in range(len(specs))],
+        "y",
+        F.col("base_u3").alias("pred"),
+    )
+    model = base.select(
+        F.lit(0).alias("round"),
+        F.lit(None).cast("string").alias("feature"),
+        F.lit(None).cast("double").alias("threshold"),
+        F.col("base_u3").alias("left_u3"),
+        F.col("base_u3").alias("right_u3"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    for k in range(1, rounds + 1):
+        cands = None
+        for j, (c, lo, hi, b) in enumerate(specs):
+            width = (hi - lo) / b
+            hist = state.groupBy(F.col(f"b{j}").alias("bin")).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("y") - F.col("pred")).alias("s"),
+            )
+            totals = hist.agg(
+                F.sum("n").alias("__n"), F.sum("s").alias("__s")
+            )
+            cand = (
+                hist.withColumn(
+                    "nl", F.coalesce(F.sum("n").over(w), F.lit(0))
+                )
+                .withColumn(
+                    "sl", F.coalesce(F.sum("s").over(w), F.lit(0))
+                )
+                .crossJoin(F.broadcast(totals))
+                .where(
+                    (F.col("nl") > 0) & (F.col("__n") - F.col("nl") > 0)
+                )
+            )
+            nl = F.col("nl").cast("double")
+            nr = (F.col("__n") - F.col("nl")).cast("double")
+            sl = F.col("sl").cast("double")
+            sr = (F.col("__s") - F.col("sl")).cast("double")
+            cand = cand.select(
+                F.lit(j).alias("fidx"),
+                (F.lit(lo) + F.col("bin").cast("double") * F.lit(width))
+                .alias("threshold"),
+                (sl * sl / nl + sr * sr / nr).alias("gain"),
+                (sl / nl).cast("bigint").alias("left_u3"),
+                (sr / nr).cast("bigint").alias("right_u3"),
+                F.col("bin").alias("split_bin"),
+            )
+            cands = cand if cands is None else cands.unionByName(cand)
+        ordkey = F.struct(
+            F.col("gain"),
+            (-F.col("fidx")).alias("nf"),
+            (-F.col("threshold")).alias("nt"),
+        )
+        row = F.struct(
+            "fidx", "threshold", "left_u3", "right_u3", "split_bin"
+        )
+        best = cands.agg(F.max_by(row, ordkey).alias("b")).select("b.*")
+        goes_left = None
+        for j in range(len(specs)):
+            c = (F.col("fidx") == j) & (F.col(f"b{j}") < F.col("split_bin"))
+            goes_left = c if goes_left is None else (goes_left | c)
+        state = state.crossJoin(F.broadcast(best)).select(
+            *[f"b{j}" for j in range(len(specs))],
+            "y",
+            (
+                F.col("pred")
+                + F.when(goes_left, F.col("left_u3")).otherwise(
+                    F.col("right_u3")
+                )
+            ).alias("pred"),
+        )
+        fname = None
+        for j, (c, _lo, _hi, _b) in enumerate(specs):
+            e = F.when(F.col("fidx") == j, F.lit(c))
+            fname = e if fname is None else fname.when(
+                F.col("fidx") == j, F.lit(c)
+            )
+        model = model.unionByName(
+            best.select(
+                F.lit(k).alias("round"),
+                fname.alias("feature"),
+                "threshold",
+                "left_u3",
+                "right_u3",
+            )
+        )
+    return model

@@ -897,3 +897,117 @@ def conformal_interval_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         o, "o_orderpriority", "o_totalprice",
         id_col="o_orderkey", alpha=0.1, seed=0,
     )
+
+
+_B2_ROUNDS = 2
+# (sql expr, lo, hi, bins) — month of order date, bucketed customer key
+_B2_SPECS = [
+    ("CAST(date_part('month', o_orderdate) AS DOUBLE)", 1.0, 13.0, 12),
+    ("CAST(o_custkey % 97 AS DOUBLE)", 0.0, 128.0, 32),
+]
+
+
+def _boost2_oracle() -> str:
+    """Unrolled multi-feature boosting: per round, one histogram CTE
+    PER FEATURE over the shared exact-integer residual state, a union
+    of candidate splits, LIMIT-1 argmax on (gain DESC, feature,
+    threshold), and a CASE-routed state update."""
+    bin_exprs = []
+    for x, lo, hi, b in _B2_SPECS:
+        width = (hi - lo) / b
+        bin_exprs.append(
+            f"least(greatest(CAST(floor((({x}) - {lo}) / {width})"
+            f" AS INT), 0), {b - 1})"
+        )
+    ctes = [f"""d AS (
+      SELECT {bin_exprs[0]} AS b0, {bin_exprs[1]} AS b1,
+             CAST(trunc(CAST(o_totalprice AS DOUBLE) * 1000 + 0.5)
+               AS BIGINT) AS y
+      FROM orders
+      WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+        AND o_custkey IS NOT NULL),
+    base AS (
+      SELECT CAST(trunc(CAST(sum(y) AS DOUBLE) / count(*)) AS BIGINT)
+        AS base_u3 FROM d),
+    s0 AS (SELECT b0, b1, y, base_u3 AS pred FROM d, base)"""]
+    for k in range(1, _B2_ROUNDS + 1):
+        p = k - 1
+        gparts = []
+        for j, (_x, lo, hi, b) in enumerate(_B2_SPECS):
+            width = (hi - lo) / b
+            ctes.append(f"""h{k}f{j} AS (
+      SELECT b{j} AS bin, count(*) AS n, sum(y - pred) AS s
+      FROM s{p} GROUP BY b{j}),
+    t{k}f{j} AS (SELECT sum(n) AS tn, sum(s) AS ts FROM h{k}f{j}),
+    c{k}f{j} AS (
+      SELECT bin,
+             coalesce(sum(n) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nl,
+             coalesce(sum(s) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sl
+      FROM h{k}f{j})""")
+            gparts.append(f"""
+      SELECT {j} AS fidx,
+             {lo} + CAST(bin AS DOUBLE) * {width} AS threshold,
+             CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE)
+               + CAST(ts - sl AS DOUBLE) * CAST(ts - sl AS DOUBLE)
+                 / CAST(tn - nl AS DOUBLE) AS gain,
+             CAST(trunc(CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE))
+               AS BIGINT) AS left_u3,
+             CAST(trunc(CAST(ts - sl AS DOUBLE) / CAST(tn - nl AS DOUBLE))
+               AS BIGINT) AS right_u3,
+             bin AS split_bin
+      FROM c{k}f{j}, t{k}f{j} WHERE nl > 0 AND tn - nl > 0""")
+        ctes.append(f"""u{k} AS ({" UNION ALL ".join(gparts)}),
+    best{k} AS (
+      SELECT * FROM u{k} ORDER BY gain DESC, fidx, threshold LIMIT 1),
+    s{k} AS (
+      SELECT s{p}.b0, s{p}.b1, s{p}.y,
+             s{p}.pred + CASE WHEN (best{k}.fidx = 0
+                                    AND s{p}.b0 < best{k}.split_bin)
+                               OR (best{k}.fidx = 1
+                                    AND s{p}.b1 < best{k}.split_bin)
+                              THEN best{k}.left_u3
+                              ELSE best{k}.right_u3 END AS pred
+      FROM s{p}, best{k})""")
+    body = ",\n    ".join(ctes)
+    names = ["'o_month'", "'custkey_mod'"]
+    selects = [
+        "SELECT CAST(0 AS INT) AS round, CAST(NULL AS VARCHAR) AS feature,"
+        " CAST(NULL AS DOUBLE) AS threshold, base_u3 AS left_u3,"
+        " base_u3 AS right_u3 FROM base"
+    ]
+    for k in range(1, _B2_ROUNDS + 1):
+        selects.append(
+            f"SELECT CAST({k} AS INT),"
+            f" CASE WHEN fidx = 0 THEN {names[0]} ELSE {names[1]} END,"
+            f" threshold, left_u3, right_u3 FROM best{k}"
+        )
+    return f"""
+    WITH {body}
+    {" UNION ALL ".join(selects)}
+    """
+
+
+@query("boosted_stumps_2f_orders", oracle=_boost2_oracle())
+def boosted_stumps_2f_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-feature boosting rounds (ml/boost.py
+    fit_boosted_stumps_multi): each round evaluates the histogram of
+    BOTH features (order month, bucketed customer key) and takes the
+    globally best variance-reduction split — per-node feature selection,
+    the actual GBDT step — with the same exact milli-unit integer
+    state, all in one lazy plan.  The oracle unrolls both rounds
+    including the cross-feature argmax."""
+    from gofast_spark.ml.boost import fit_boosted_stumps_multi
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.month("o_orderdate").cast("double").alias("o_month"),
+        (F.col("o_custkey") % 97).cast("double").alias("custkey_mod"),
+        F.col("o_totalprice").alias("price"),
+    )
+    return fit_boosted_stumps_multi(
+        o,
+        [("o_month", 1.0, 13.0, 12), ("custkey_mod", 0.0, 128.0, 32)],
+        "price",
+        rounds=_B2_ROUNDS,
+    )

@@ -292,3 +292,22 @@ def test_cuped_reduces_variance_preserves_effect(spark):
     eff_adj = out[1]["mean_adj"] - out[0]["mean_adj"]
     assert eff_adj == pytest.approx(5.0, abs=1.0)
     assert abs(eff_adj - eff_raw) < 3.0
+
+
+def test_multi_feature_boosting_selects_signal_feature(spark):
+    from gofast_spark.ml.boost import fit_boosted_stumps_multi
+
+    rng = np.random.RandomState(29)
+    rows = []
+    for i in range(600):
+        noise_f = float(rng.rand() * 10)           # no signal
+        signal_f = float(rng.rand() * 10)
+        y = (30.0 if signal_f > 5 else 5.0) + float(rng.randn())
+        rows.append((noise_f, signal_f, y))
+    df = spark.createDataFrame(rows, "nf double, sf double, y double")
+    model = fit_boosted_stumps_multi(
+        df, [("nf", 0.0, 10.0, 20), ("sf", 0.0, 10.0, 20)], "y", rounds=2
+    ).collect()
+    r1 = [r for r in model if r["round"] == 1][0]
+    assert r1["feature"] == "sf", "round 1 must pick the signal feature"
+    assert abs(r1["threshold"] - 5.0) <= 0.5
