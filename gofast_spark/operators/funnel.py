@@ -321,6 +321,8 @@ def first_touch_mins(
     ts_col: str,
     type_col: str,
     steps: Sequence[str],
+    *,
+    by: str | None = None,
 ) -> DataFrame:
     """Per-user FIRST-TOUCH reach times: one row per user with
     ``t0..t{k-1}`` = min event time of each step type (null if the user
@@ -337,7 +339,12 @@ def first_touch_mins(
         raise ValueError("funnel needs at least two steps")
     ev = df.where(F.col(ts_col).isNotNull())
     ty = F.col(type_col)
-    return ev.groupBy(F.col(user_col).alias("user")).agg(
+    keys = [F.col(user_col).alias("user")]
+    if by is not None:
+        # a per-user segment attribute rides the state for segmented
+        # funnels (first_touch_counts(..., by=...))
+        keys.append(F.col(by))
+    return ev.groupBy(*keys).agg(
         *[
             F.min(F.when(ty == s, F.col(ts_col))).alias(f"t{i}")
             for i, s in enumerate(steps)
@@ -348,6 +355,8 @@ def first_touch_mins(
 def first_touch_counts(
     mins: DataFrame,
     steps: Sequence[str],
+    *,
+    by: str | None = None,
 ) -> DataFrame:
     """First-touch funnel counts from a :func:`first_touch_mins` frame:
     step k counts users whose first-touch times are present AND
@@ -371,14 +380,18 @@ def first_touch_counts(
             & (F.col(f"t{i}") >= F.col(f"t{i - 1}"))
         )
         conds.append(c)
-    agg = mins.agg(
-        *[F.count(F.when(cond, 1)).alias(f"n{i}") for i, cond in
-          enumerate(conds)]
-    )
+    counts = [
+        F.count(F.when(cond, 1)).alias(f"n{i}")
+        for i, cond in enumerate(conds)
+    ]
+    agg = mins.groupBy(by).agg(*counts) if by else mins.agg(*counts)
     stack = ", ".join(f"{i + 1}, '{s}', n{i}" for i, s in enumerate(steps))
-    return agg.selectExpr(
-        f"stack({k}, {stack}) AS (step_idx, step, n_users)"
-    ).select(
+    stacked = agg.selectExpr(
+        *([by] if by else []),
+        f"stack({k}, {stack}) AS (step_idx, step, n_users)",
+    )
+    return stacked.select(
+        *([by] if by else []),
         F.col("step_idx").cast("int").alias("step_idx"),
         "step",
         F.col("n_users").cast("bigint").alias("n_users"),

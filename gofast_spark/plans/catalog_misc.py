@@ -796,3 +796,64 @@ def hll_intersection_floor_events(spark: SparkSession, sf_dir: str) -> DataFrame
             ).cast("int").alias("within_tol"),
         )
     )
+
+
+@query(
+    "abc_analysis_parts",
+    oracle="""
+    WITH per AS (
+      SELECT l_partkey AS key,
+             sum(CAST(trunc(l_extendedprice * 100 + 0.5) AS BIGINT))
+               AS value_c
+      FROM lineitem
+      WHERE l_partkey IS NOT NULL AND l_extendedprice IS NOT NULL
+      GROUP BY l_partkey),
+    t AS (SELECT sum(value_c) AS tot FROM per),
+    cum AS (
+      SELECT key, value_c,
+             sum(value_c) OVER (ORDER BY value_c DESC, key
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               / CAST(tot AS DOUBLE) AS cum_share
+      FROM per, t),
+    cls AS (
+      SELECT CASE WHEN cum_share <= 0.8 THEN 'A'
+                  WHEN cum_share <= 0.95 THEN 'B'
+                  ELSE 'C' END AS abc,
+             value_c
+      FROM cum),
+    r AS (SELECT abc, count(*) AS n_keys,
+                 CAST(sum(value_c) AS BIGINT) AS class_value_c
+          FROM cls GROUP BY abc),
+    rt AS (SELECT sum(class_value_c) AS tot FROM r)
+    SELECT abc, n_keys, class_value_c,
+           CAST(round(class_value_c / CAST(rt.tot AS DOUBLE), 6) AS DOUBLE)
+             AS class_share
+    FROM r, rt
+    """,
+)
+def abc_analysis_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto revenue classification of parts
+    (operators/pareto.py; the 80/95 contribution split): exact cent
+    sums per part from one fact groupBy, deterministic (value DESC,
+    key) cumulative share over the dimension-sized frame, 3-class
+    report — "which 20% of parts are 80% of revenue".  The oracle
+    replays the window and classification."""
+    from gofast_spark.operators.pareto import abc_analysis
+
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    cls = abc_analysis(li, "l_partkey", "l_extendedprice")
+    total = cls.agg(F.sum("value_c").alias("__t"))
+    return (
+        cls.groupBy("abc")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("value_c").cast("bigint").alias("class_value_c"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "abc", "n_keys", "class_value_c",
+            F.round(
+                F.col("class_value_c") / F.col("__t").cast("double"), 6
+            ).cast("double").alias("class_share"),
+        )
+    )

@@ -391,3 +391,51 @@ def markov_transitions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "events")
     return markov_transitions(e, "user_id", "ts", "event_type")
+
+
+@query(
+    "funnel_by_segment_events",
+    oracle="""
+    WITH mins AS (
+      SELECT user_id,
+             CAST(user_id % 3 AS INT) AS segment,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t0,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t1,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t2
+      FROM events WHERE ts IS NOT NULL GROUP BY user_id)
+    SELECT segment, CAST(1 AS INT) AS step_idx, 'view' AS step,
+           count(CASE WHEN t0 IS NOT NULL THEN 1 END) AS n_users
+    FROM mins GROUP BY segment
+    UNION ALL
+    SELECT segment, CAST(2 AS INT), 'click',
+           count(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL
+                       AND t1 >= t0 THEN 1 END)
+    FROM mins GROUP BY segment
+    UNION ALL
+    SELECT segment, CAST(3 AS INT), 'purchase',
+           count(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL
+                       AND t1 >= t0 AND t2 IS NOT NULL
+                       AND t2 >= t1 THEN 1 END)
+    FROM mins GROUP BY segment
+    """,
+)
+def funnel_by_segment_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segmented first-touch funnel (operators/funnel.py
+    first_touch_mins/counts with ``by=``): per-segment step counts from
+    ONE (user, segment) state groupBy + one segment-grouped fold — the
+    funnel-times-dimension breakdown a growth dashboard pivots on,
+    still exactly streaming-maintainable (the segment is a user
+    attribute riding the min state)."""
+    from gofast_spark.operators.funnel import (
+        first_touch_counts,
+        first_touch_mins,
+    )
+
+    steps = ["view", "click", "purchase"]
+    e = _t(spark, sf_dir, "events").withColumn(
+        "segment", (F.col("user_id") % 3).cast("int")
+    )
+    mins = first_touch_mins(
+        e, "user_id", "ts", "event_type", steps, by="segment"
+    )
+    return first_touch_counts(mins, steps, by="segment")
