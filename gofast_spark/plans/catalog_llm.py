@@ -2324,3 +2324,48 @@ def zipf_slope_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("intercept", 4).cast("double").alias("intercept"),
         "n_terms", "n_tokens",
     )
+
+
+@query(
+    "negative_samples_documents",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, {_norm_sql('text')} AS t FROM documents),
+    tk AS (
+      SELECT unnest(string_split(t, ' ')) AS w FROM norm WHERE len(t) > 0),
+    counts AS (SELECT w, count(*) AS n_w FROM tk GROUP BY w),
+    head AS (
+      SELECT w, n_w FROM counts ORDER BY n_w DESC, w LIMIT 1000),
+    tbl AS (
+      SELECT w,
+             sum(n_w) OVER (ORDER BY n_w DESC, w
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_w AS lo,
+             sum(n_w) OVER (ORDER BY n_w DESC, w
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi
+      FROM head),
+    tot AS (SELECT max(hi) AS total FROM tbl),
+    draws AS (
+      SELECT d.doc_id AS id, v.j AS draw,
+             CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#'
+               || CAST(v.j AS VARCHAR)), 1, 15)) AS BIGINT) % tot.total
+               AS u
+      FROM documents d CROSS JOIN (VALUES (0), (1)) AS v(j), tot
+      WHERE d.doc_id IS NOT NULL)
+    SELECT dr.id, CAST(dr.draw AS INT) AS draw, tbl.w AS negative
+    FROM draws dr JOIN tbl ON dr.u >= tbl.lo AND dr.u < tbl.hi
+    """,
+)
+def negative_samples_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic word2vec-style negative sampling
+    (text/negatives.py; Mikolov et al. 2013): two frequency
+    -proportional negatives per document, drawn by the portable md5
+    hash mapped into the exact-integer cumulative unigram space, with
+    interval lookup as a broadcast JVM binary search (Bucketizer) — no
+    range join, fully reproducible across engines and partitionings.
+    The oracle replays the cumulative table and hash draw
+    relationally."""
+    from gofast_spark.text.negatives import negative_samples
+
+    d = _t(spark, sf_dir, "documents")
+    return negative_samples(d, "doc_id", "text", k=2, top_v=1000)
