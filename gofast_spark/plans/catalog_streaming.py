@@ -673,3 +673,88 @@ def stream_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("retention"),
         )
     )
+
+
+@query(
+    "stream_psi_drift_events",
+    oracle="""
+    WITH ref AS (
+      SELECT least(greatest(CAST(floor(CAST(value AS DOUBLE) / 51.2)
+                AS INT), 0), 9) AS bin
+      FROM events
+      WHERE value IS NOT NULL AND ts IS NOT NULL
+        AND ts < TIMESTAMP '2024-01-16'),
+    cur AS (
+      SELECT least(greatest(CAST(floor(CAST(value AS DOUBLE) / 51.2)
+                AS INT), 0), 9) AS bin
+      FROM events
+      WHERE value IS NOT NULL AND ts IS NOT NULL
+        AND ts >= TIMESTAMP '2024-01-16'),
+    g AS (SELECT CAST(range AS INT) AS bin FROM range(10)),
+    a AS (SELECT bin, count(*) AS n_ref FROM ref GROUP BY bin),
+    b AS (SELECT bin, count(*) AS n_cur FROM cur GROUP BY bin),
+    j AS (
+      SELECT g.bin, coalesce(a.n_ref, 0) AS n_ref,
+             coalesce(b.n_cur, 0) AS n_cur
+      FROM g LEFT JOIN a ON a.bin = g.bin LEFT JOIN b ON b.bin = g.bin),
+    t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM j)
+    SELECT CAST(round(sum(
+             ((n_ref + 0.5) / (tr + 5.0) - (n_cur + 0.5) / (tc + 5.0))
+             * ln(((n_ref + 0.5) / (tr + 5.0))
+                  / ((n_cur + 0.5) / (tc + 5.0)))), 6) AS DOUBLE) AS psi,
+           CAST(max(tr) AS BIGINT) AS n_ref,
+           CAST(max(tc) AS BIGINT) AS n_cur
+    FROM j, t
+    """,
+)
+def stream_psi_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift monitoring IN A STREAM (quality/drift.py psi_report over a
+    LIVE current window): the reference histogram is a static
+    pre-period batch; the current-period bin counts are THE streaming
+    state (one bins-sized complete-mode aggregate, the
+    stream_hist_sketch pattern); the drained counts fold to PSI against
+    the reference — the shape of a production drift monitor, where only
+    a 10-counter state ever lives in the stream.  availableNow-equals
+    -batch oracle."""
+    from gofast_spark.quality.drift import psi_from_counts
+    from gofast_spark.streaming import read_event_stream, run_available_now
+
+    lo, hi, bins = 0.0, 512.0, 10
+    ref = _t(spark, sf_dir, "events").where(
+        F.col("ts") < "2024-01-16"
+    ).select("value")
+
+    stream = read_event_stream(spark, sf_dir, glob="events.parquet")
+    cur_bins = (
+        stream.where(
+            F.col("value").isNotNull()
+            & F.col("ts").isNotNull()
+            & (F.col("ts") >= "2024-01-16")
+        )
+        .groupBy(
+            F.least(
+                F.greatest(
+                    F.floor(F.col("value").cast("double") / F.lit(51.2))
+                    .cast("int"),
+                    F.lit(0),
+                ),
+                F.lit(bins - 1),
+            ).alias("bin")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    drained = run_available_now(cur_bins, mode="complete")
+    ref_bins = ref.where(F.col("value").isNotNull()).groupBy(
+        F.least(
+            F.greatest(
+                F.floor(F.col("value").cast("double") / F.lit(51.2))
+                .cast("int"),
+                F.lit(0),
+            ),
+            F.lit(bins - 1),
+        ).alias("bin")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    out = psi_from_counts(ref_bins, drained, bins=bins, smooth=0.5)
+    return out.select(
+        F.round("psi", 6).cast("double").alias("psi"), "n_ref", "n_cur"
+    )

@@ -89,3 +89,48 @@ def psi_report(
             F.max("__tc").alias("n_cur"),
         )
     )
+
+
+def psi_from_counts(
+    ref_counts: DataFrame,
+    cur_counts: DataFrame,
+    *,
+    bins: int,
+    smooth: float = 0.5,
+) -> DataFrame:
+    """PSI from two pre-aggregated ``(bin, n)`` frames (e.g. a drained
+    streaming histogram state vs a stored reference histogram) — the
+    monitoring fast path: no raw rows touched, input is 2 x ``bins``
+    counters.  Missing bins count as 0; same smoothing/grid contract
+    as :func:`psi_report`."""
+    s = float(smooth)
+    spark = ref_counts.sparkSession
+    grid = spark.range(bins).select(F.col("id").cast("int").alias("bin"))
+    joined = (
+        grid.join(
+            ref_counts.select("bin", F.col("n").alias("n_ref")), "bin",
+            "left",
+        )
+        .join(
+            cur_counts.select("bin", F.col("n").alias("n_cur")), "bin",
+            "left",
+        )
+        .select(
+            "bin",
+            F.coalesce(F.col("n_ref"), F.lit(0)).alias("n_ref"),
+            F.coalesce(F.col("n_cur"), F.lit(0)).alias("n_cur"),
+        )
+    )
+    tot = joined.agg(
+        F.sum("n_ref").alias("__tr"), F.sum("n_cur").alias("__tc")
+    )
+    p = (F.col("n_ref") + F.lit(s)) / (F.col("__tr") + F.lit(s) * bins)
+    q = (F.col("n_cur") + F.lit(s)) / (F.col("__tc") + F.lit(s) * bins)
+    return (
+        joined.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum((p - q) * F.log(p / q)).alias("psi"),
+            F.max("__tr").alias("n_ref"),
+            F.max("__tc").alias("n_cur"),
+        )
+    )
