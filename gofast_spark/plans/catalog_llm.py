@@ -2369,3 +2369,50 @@ def negative_samples_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return negative_samples(d, "doc_id", "text", k=2, top_v=1000)
+
+
+@query(
+    "embedding_drift_labels",
+    oracle="""
+    WITH a AS (
+      SELECT generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings WHERE embedding IS NOT NULL AND label % 2 = 0),
+    b AS (
+      SELECT generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings WHERE embedding IS NOT NULL AND label % 2 = 1),
+    am AS (SELECT dim, avg(v) AS ma, count(*) AS na FROM a GROUP BY dim),
+    bm AS (SELECT dim, avg(v) AS mb, count(*) AS nb FROM b GROUP BY dim),
+    j AS (SELECT am.ma, bm.mb, am.na, bm.nb
+          FROM am JOIN bm ON bm.dim = am.dim)
+    SELECT CAST(round(sum(ma * mb)
+             / (sqrt(sum(ma * ma)) * sqrt(sum(mb * mb))), 6) AS DOUBLE)
+             AS cos_means,
+           CAST(round(sqrt(sum(mb * mb)) / sqrt(sum(ma * ma)), 6)
+             AS DOUBLE) AS norm_ratio,
+           CAST(max(na) AS BIGINT) AS n_ref,
+           CAST(max(nb) AS BIGINT) AS n_cur
+    FROM j
+    """,
+)
+def embedding_drift_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift (sim/drift.py embedding_drift —
+    the embedding-space analogue of the PSI monitor): even- vs
+    odd-label slices compared by mean-vector cosine and norm ratio —
+    2 x 64 doubles of state from one posexplode groupBy per slice,
+    catching encoder-version or source-mix skew before recall moves.
+    The oracle replays the per-dim means with matched rounding."""
+    from gofast_spark.sim.drift import embedding_drift
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = embedding_drift(
+        e.where(F.col("label") % 2 == 0),
+        e.where(F.col("label") % 2 == 1),
+        "embedding",
+    )
+    return out.select(
+        F.round("cos_means", 6).cast("double").alias("cos_means"),
+        F.round("norm_ratio", 6).cast("double").alias("norm_ratio"),
+        "n_ref", "n_cur",
+    )
