@@ -444,3 +444,71 @@ def markov_transitions(
             (F.col("n") / F.col("__row_total").cast("double")).alias("p"),
         )
     )
+
+
+def funnel_windowed(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: Sequence[str],
+    *,
+    window_sec: int,
+) -> DataFrame:
+    """Conversion-window funnel: like :func:`funnel`, but step k only
+    counts if it happens within ``window_sec`` seconds AFTER the
+    user's step-(k-1) reach time — the form real product funnels use
+    ("purchased within 24h of the click").  Same frontier-chain scale
+    shape (k-1 user-keyed joins over checkpointed user-sized frames);
+    the window bound is one extra codegen predicate on each join."""
+    steps = list(steps)
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least two steps")
+    if window_sec <= 0:
+        raise ValueError("window_sec must be positive")
+    ev = df.select(
+        F.col(user_col).alias("__u"),
+        F.unix_timestamp(F.col(ts_col)).alias("__s"),
+        F.col(type_col).alias("__ty"),
+    ).where(F.col(ts_col).isNotNull())
+
+    frontier = (
+        ev.where(F.col("__ty") == steps[0])
+        .groupBy("__u")
+        .agg(F.min("__s").alias("__t"))
+        .localCheckpoint(eager=True)
+    )
+    counts = [frontier.count()]
+    for step in steps[1:]:
+        frontier = (
+            ev.where(F.col("__ty") == step)
+            .join(frontier, "__u")
+            .where(
+                (F.col("__s") >= F.col("__t"))
+                & (F.col("__s") <= F.col("__t") + F.lit(window_sec))
+            )
+            .groupBy("__u")
+            .agg(F.min("__s").alias("__t"))
+            .localCheckpoint(eager=True)
+        )
+        counts.append(frontier.count())
+
+    spark = df.sparkSession
+    rows = []
+    for i, (step, n) in enumerate(zip(steps, counts)):
+        prev = counts[i - 1] if i else n
+        first = counts[0]
+        rows.append(
+            (
+                i + 1,
+                step,
+                n,
+                float(n) / prev if prev else 0.0,
+                float(n) / first if first else 0.0,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "step_idx int, step string, n_users bigint, "
+        "conv_from_prev double, conv_from_first double",
+    )

@@ -439,3 +439,50 @@ def funnel_by_segment_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, "user_id", "ts", "event_type", steps, by="segment"
     )
     return first_touch_counts(mins, steps, by="segment")
+
+
+@query(
+    "funnel_windowed_events",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id AS u, epoch(ts) AS s, event_type AS ty FROM events
+      WHERE ts IS NOT NULL),
+    f1 AS (
+      SELECT u, min(s) AS t FROM ev WHERE ty = 'view' GROUP BY u),
+    f2 AS (
+      SELECT e.u, min(e.s) AS t
+      FROM ev e JOIN f1 ON f1.u = e.u
+      WHERE e.ty = 'click' AND e.s >= f1.t AND e.s <= f1.t + 86400
+      GROUP BY e.u),
+    f3 AS (
+      SELECT e.u, min(e.s) AS t
+      FROM ev e JOIN f2 ON f2.u = e.u
+      WHERE e.ty = 'purchase' AND e.s >= f2.t AND e.s <= f2.t + 86400
+      GROUP BY e.u),
+    c AS (SELECT (SELECT count(*) FROM f1) AS n1,
+                 (SELECT count(*) FROM f2) AS n2,
+                 (SELECT count(*) FROM f3) AS n3)
+    SELECT 1 AS step_idx, 'view' AS step, CAST(n1 AS BIGINT) AS n_users,
+           CAST(n1 AS DOUBLE) / n1 AS conv_from_prev,
+           CAST(n1 AS DOUBLE) / n1 AS conv_from_first FROM c
+    UNION ALL
+    SELECT 2, 'click', CAST(n2 AS BIGINT),
+           CAST(n2 AS DOUBLE) / n1, CAST(n2 AS DOUBLE) / n1 FROM c
+    UNION ALL
+    SELECT 3, 'purchase', CAST(n3 AS BIGINT),
+           CAST(n3 AS DOUBLE) / n2, CAST(n3 AS DOUBLE) / n1 FROM c
+    """,
+)
+def funnel_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """24-hour conversion-window funnel (operators/funnel.py
+    funnel_windowed): sequential view -> click -> purchase where each
+    step must land within a day of the previous reach — the bounded
+    -window form real product funnels use; same checkpointed frontier
+    chain as ``funnel`` with one extra codegen predicate."""
+    from gofast_spark.operators.funnel import funnel_windowed
+
+    e = _t(spark, sf_dir, "events")
+    return funnel_windowed(
+        e, "user_id", "ts", "event_type",
+        ["view", "click", "purchase"], window_sec=86_400,
+    )
