@@ -1495,6 +1495,94 @@ def approx_quantile_floor_lineitem(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "msprt_ab_events",
+    oracle="""
+    WITH q AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS is_t,
+             CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS x3
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+    per_day AS (
+      SELECT day,
+             sum(is_t) AS n_t, sum(1 - is_t) AS n_c,
+             sum(CASE WHEN is_t = 1 THEN x3 ELSE 0 END) AS s_t,
+             sum(CASE WHEN is_t = 0 THEN x3 ELSE 0 END) AS s_c,
+             sum(CASE WHEN is_t = 1 THEN CAST(x3 AS HUGEINT) * x3
+                      ELSE 0 END) AS ss_t,
+             sum(CASE WHEN is_t = 0 THEN CAST(x3 AS HUGEINT) * x3
+                      ELSE 0 END) AS ss_c
+      FROM q GROUP BY day),
+    cum AS (
+      SELECT day,
+             sum(n_t) OVER w AS cn_t, sum(n_c) OVER w AS cn_c,
+             sum(s_t) OVER w AS cs_t, sum(s_c) OVER w AS cs_c,
+             CAST(sum(ss_t) OVER w AS DOUBLE) AS css_t,
+             CAST(sum(ss_c) OVER w AS DOUBLE) AS css_c
+      FROM per_day
+      WINDOW w AS (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    d AS (
+      SELECT day, cn_t, cn_c,
+             CAST(cs_t AS DOUBLE) / CAST(cn_t AS DOUBLE) / 1000.0
+               - CAST(cs_c AS DOUBLE) / CAST(cn_c AS DOUBLE) / 1000.0
+               AS theta,
+             (css_t - CAST(cs_t AS DOUBLE) * CAST(cs_t AS DOUBLE)
+                / CAST(cn_t AS DOUBLE))
+               / (CAST(cn_t AS DOUBLE) - 1.0) / 1000000.0
+               / CAST(cn_t AS DOUBLE)
+             + (css_c - CAST(cs_c AS DOUBLE) * CAST(cs_c AS DOUBLE)
+                / CAST(cn_c AS DOUBLE))
+               / (CAST(cn_c AS DOUBLE) - 1.0) / 1000000.0
+               / CAST(cn_c AS DOUBLE) AS v
+      FROM cum WHERE cn_t >= 2 AND cn_c >= 2),
+    s AS (
+      SELECT day, cn_t, cn_c, theta,
+             sqrt(v / (v + 1.0))
+               * exp(theta * theta * 1.0 / (2.0 * v * (v + 1.0)))
+               AS likelihood_ratio
+      FROM d),
+    p AS (
+      SELECT day, cn_t, cn_c, theta, likelihood_ratio,
+             least(1.0, 1.0 / max(likelihood_ratio) OVER (
+               ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+               AS p_value
+      FROM s)
+    SELECT day, CAST(cn_t AS BIGINT) AS n_treatment,
+           CAST(cn_c AS BIGINT) AS n_control,
+           CAST(round(theta, 6) AS DOUBLE) AS theta,
+           CAST(round(likelihood_ratio, 6) AS DOUBLE) AS likelihood_ratio,
+           CAST(round(p_value, 6) AS DOUBLE) AS p_value
+    FROM p
+    """,
+)
+def msprt_ab_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid sequential A/B curve (stats/sequential.py; Johari
+    et al., KDD 2017 mSPRT): daily cumulative exact-integer milli-unit
+    moments -> closed-form normal-mixture likelihood ratio -> running-min
+    always-valid p-value.  ONE scan of the raw events; every window runs
+    over the days-sized table.  The oracle replays the full peeking
+    curve bit-for-bit from the same integer state."""
+    from gofast_spark.stats.sequential import msprt_curve
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "variant",
+        F.when(F.col("user_id") % 2 == 1, "treatment").otherwise("control"),
+    ).where(F.col("ts").isNotNull())
+    out = msprt_curve(
+        e, "ts", "variant", "value",
+        control="control", treatment="treatment", tau2=1.0,
+    )
+    return out.select(
+        "day", "n_treatment", "n_control",
+        F.round("theta", 6).cast("double").alias("theta"),
+        F.round("likelihood_ratio", 6).cast("double")
+        .alias("likelihood_ratio"),
+        F.round("p_value", 6).cast("double").alias("p_value"),
+    )
+
+
+@query(
     "cuped_ab_events",
     oracle="""
     WITH pu AS (

@@ -63,6 +63,55 @@ def kaplan_meier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "nelson_aalen_events",
+    oracle=f"""
+    WITH {_SURV},
+    per_t AS (
+      SELECT duration, count(*) AS n_total, sum(ev) AS n_events
+      FROM surv GROUP BY duration),
+    c AS (
+      SELECT duration, n_events,
+             sum(n_total) OVER () -
+               coalesce(sum(n_total) OVER (ORDER BY duration
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+      FROM per_t),
+    h AS (
+      SELECT duration, n_events, n_risk,
+             sum(n_events * 1.0 / n_risk) OVER (
+               ORDER BY duration ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_hazard,
+             sum(n_events * 1.0 / (n_risk * 1.0 * n_risk)) OVER (
+               ORDER BY duration ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS var_hazard
+      FROM c)
+    SELECT duration, CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(round(cum_hazard, 6) AS DOUBLE) AS cum_hazard,
+           CAST(round(var_hazard, 9) AS DOUBLE) AS var_hazard
+    FROM h WHERE n_events > 0
+    """,
+)
+def nelson_aalen_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard + Aalen variance as cumulative
+    windows over the distinct-time table (companion to kaplan_meier —
+    ref fits lifelines driver-side, gofast/stats/survival_reliability.py:24)."""
+    from gofast_spark.stats.survival import nelson_aalen
+
+    e = _t(spark, sf_dir, "events").where(F.col("value").isNotNull()).select(
+        F.floor(F.col("value")).cast("bigint").alias("dur"),
+        (F.col("user_id") % 4 != 0).cast("int").alias("ev"),
+    )
+    out = nelson_aalen(e, "dur", "ev")
+    return out.select(
+        F.col("duration"),
+        "n_risk",
+        "n_events",
+        F.round("cum_hazard", 6).cast("double").alias("cum_hazard"),
+        F.round("var_hazard", 9).cast("double").alias("var_hazard"),
+    )
+
+
+@query(
     "spearman_lineitem",
     oracle="""
     WITH r AS (

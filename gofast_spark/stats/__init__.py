@@ -16,7 +16,8 @@ from gofast_spark.stats.relationships import (
     kruskal_wallis,
     spearman_corr,
 )
-from gofast_spark.stats.survival import kaplan_meier
+from gofast_spark.stats.sequential import msprt_curve
+from gofast_spark.stats.survival import kaplan_meier, nelson_aalen
 from gofast_spark.stats.probs import (
     binomial_pmf,
     normal_cdf,
@@ -60,6 +61,8 @@ from gofast_spark.stats.inferential import (
 
 __all__ = [
     "kaplan_meier",
+    "msprt_curve",
+    "nelson_aalen",
     "bootstrap",
     "bootstrap_ci",
     "dca_analysis",

@@ -14,6 +14,65 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def nelson_aalen(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    *,
+    keep_censor_times: bool = False,
+    bins: int | str | None = "auto",
+    relative_error: float = 1e-4,
+) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator (Nelson 1972; Aalen,
+    Ann. Statist. 1978): ``H(t) = sum over s<=t of d_s / n_s`` with the
+    Aalen variance ``sum d_s / n_s^2``.
+
+    Output per distinct duration: (duration, n_risk, n_events,
+    cum_hazard, var_hazard).  Same plan shape as :func:`kaplan_meier`
+    (the reference fits lifelines on a driver array,
+    gofast/stats/survival_reliability.py:24): one groupBy(duration) +
+    cumulative windows over the distinct-time table, raw data touched
+    once; ``bins`` bounds the distinct-time table at scale.  The
+    cumulative sum runs over the ordered window, so the double is a
+    deterministic function of the integer (d, n) table."""
+    from gofast_spark.stats.prebin import prebin_column
+
+    df = prebin_column(
+        df, duration_col, bins=bins, relative_error=relative_error
+    )
+    d, e = F.col(duration_col), F.col(event_col)
+    per_t = df.groupBy(d.alias("duration")).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(e.cast("long")).alias("n_events"),
+    )
+    w_prev = (
+        Window.orderBy(F.col("duration"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = Window.orderBy(F.col("duration")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.partitionBy()
+    curve = per_t.select(
+        "duration",
+        "n_events",
+        (
+            F.sum("n_total").over(tot)
+            - F.coalesce(F.sum("n_total").over(w_prev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    dd = F.col("n_events").cast("double")
+    nn = F.col("n_risk").cast("double")
+    out = curve.withColumn(
+        "cum_hazard", F.sum(dd / nn).over(w_cum)
+    ).withColumn("var_hazard", F.sum(dd / (nn * nn)).over(w_cum))
+    if not keep_censor_times:
+        out = out.where(F.col("n_events") > 0)
+    return out.select(
+        "duration", "n_risk", "n_events", "cum_hazard", "var_hazard"
+    )
+
+
 def kaplan_meier(
     df: DataFrame,
     duration_col: str,
