@@ -20,12 +20,14 @@ from gofast_spark.ml.dimensionality import (
     spectral_embedding,
 )
 from gofast_spark.ml.bayes import fit_gaussian_nb, predict_gaussian_nb
+from gofast_spark.ml.bagging import fit_bagged_stumps
 from gofast_spark.ml.boost import fit_boosted_stumps
 from gofast_spark.ml.conformal import split_conformal_group_mean
 from gofast_spark.ml.dbscan import dbscan
 from gofast_spark.ml.encoding import target_encode, woe_encode
 from gofast_spark.ml.itemsets import frequent_pairs
 from gofast_spark.ml.kmeans_exact import fit_kmeans_lloyd, kmeans_inertia
+from gofast_spark.ml.recommend import item_similarity_topk
 from gofast_spark.ml.selection import (
     cross_val_linear,
     kfold_assign,
@@ -52,6 +54,7 @@ __all__ = [
     "pagerank",
     "fit_gaussian_nb",
     "predict_gaussian_nb",
+    "fit_bagged_stumps",
     "fit_boosted_stumps",
     "split_conformal_group_mean",
     "dbscan",
@@ -65,4 +68,5 @@ __all__ = [
     "ridge_cv_sweep",
     "learning_curve_linear",
     "fit_stump",
+    "item_similarity_topk",
 ]

@@ -1,0 +1,97 @@
+"""Item-to-item collaborative filtering (co-occurrence similarity).
+
+Public algorithm: Linden, Smith & York, "Amazon.com Recommendations:
+Item-to-Item Collaborative Filtering" (IEEE Internet Computing 2003);
+Sarwar et al., "Item-Based Collaborative Filtering Recommendation
+Algorithms" (WWW 2001).  Similarity between items a and b is the
+cosine over binary basket incidence vectors, which reduces to
+``n_ab / sqrt(n_a * n_b)`` — everything derives from exact integer
+co-occurrence counts, so the whole neighbor table is SQL-replayable.
+
+Scale shape (the same Apriori discipline as ml/itemsets.py): the
+quadratic basket self-join runs AFTER the min-count item prune, pair
+counts collapse by item-frequency tail, and the per-item top-k ranking
+window partitions BY ITEM, so the ranking distributes across the item
+vocabulary instead of single-reducing.  The reference has no
+recommender surface; this is Spark-native value-add alongside the
+ANN/similarity family (sim/).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def item_similarity_topk(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    *,
+    min_count: int = 2,
+    k: int = 5,
+    broadcast_limit: int | None = 100_000,
+) -> DataFrame:
+    """Top-``k`` cosine neighbors per item:
+    ``(item, neighbor, n_item, n_neighbor, n_both, cosine, rank)``
+    over distinct (basket, item) incidences.  Items below ``min_count``
+    baskets are pruned BEFORE the pair join; ties break
+    (cosine DESC, neighbor ASC) so ranks are deterministic."""
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    b = (
+        df.select(
+            F.col(basket_col).alias("bk"), F.col(item_col).alias("it")
+        )
+        .where(F.col(basket_col).isNotNull() & F.col(item_col).isNotNull())
+        .distinct()
+    )
+    support = b.groupBy("it").agg(F.count(F.lit(1)).alias("n_it"))
+    freq = support.where(F.col("n_it") >= min_count)
+    if broadcast_limit is not None and freq.count() <= broadcast_limit:
+        freq = F.broadcast(freq)
+    pruned = b.join(freq, "it").select("bk", "it", "n_it")
+    pairs = (
+        pruned.alias("l")
+        .join(pruned.alias("r"), "bk")
+        .where(F.col("l.it") < F.col("r.it"))
+        .groupBy(
+            F.col("l.it").alias("item_a"),
+            F.col("r.it").alias("item_b"),
+            F.col("l.n_it").alias("n_a"),
+            F.col("r.n_it").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sym = pairs.select(
+        F.col("item_a").alias("item"),
+        F.col("item_b").alias("neighbor"),
+        F.col("n_a").alias("n_item"),
+        F.col("n_b").alias("n_neighbor"),
+        "n_both",
+    ).unionByName(
+        pairs.select(
+            F.col("item_b").alias("item"),
+            F.col("item_a").alias("neighbor"),
+            F.col("n_b").alias("n_item"),
+            F.col("n_a").alias("n_neighbor"),
+            "n_both",
+        )
+    )
+    cosine = F.col("n_both").cast("double") / F.sqrt(
+        F.col("n_item").cast("double") * F.col("n_neighbor").cast("double")
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.col("cosine").desc(), F.col("neighbor")
+    )
+    return (
+        sym.withColumn("cosine", cosine)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "item", "neighbor", "n_item", "n_neighbor", "n_both",
+            "cosine", "rank",
+        )
+    )

@@ -414,6 +414,96 @@ def stump_split_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BAG_B = 5
+_BAG_SEED = 7
+
+
+def _bagged_oracle() -> str:
+    from gofast_spark.stats.resampling import poisson1_weight_sql
+
+    width = (_STUMP_HI - _STUMP_LO) / _STUMP_BINS
+    u = (
+        "(CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || '_' || "
+        f"CAST(r.replicate AS VARCHAR) || '_{_BAG_SEED}'), 1, 15)) AS BIGINT) "
+        "% 2147483648) / 2147483648.0"
+    )
+    w = poisson1_weight_sql("uu")
+    return f"""
+    WITH r AS (SELECT CAST(range AS BIGINT) AS replicate FROM range({_BAG_B})),
+    d AS (
+      SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS x,
+             CAST(o_orderstatus = 'F' AS BIGINT) AS y
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL),
+    u AS (SELECT r.replicate, k, x, y, {u} AS uu FROM d, r),
+    w AS (SELECT replicate, x, y, {w} AS w FROM u),
+    h AS (
+      SELECT replicate,
+             least(greatest(CAST(floor((x - {_STUMP_LO}) / {width}) AS INT),
+                            0), {_STUMP_BINS - 1}) AS bin,
+             sum(w) AS n, sum(w * y) AS pos
+      FROM w GROUP BY 1, 2),
+    c AS (
+      SELECT replicate, bin,
+             coalesce(sum(n) OVER pw, 0) AS n_left,
+             coalesce(sum(pos) OVER pw, 0) AS pos_left,
+             sum(n) OVER pt AS tn, sum(pos) OVER pt AS tpos
+      FROM h
+      WINDOW pw AS (PARTITION BY replicate ORDER BY bin
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             pt AS (PARTITION BY replicate)),
+    s AS (
+      SELECT replicate,
+             {_STUMP_LO} + CAST(bin AS DOUBLE) * {width} AS threshold,
+             (2.0 * (CAST(tpos AS DOUBLE) / CAST(tn AS DOUBLE))
+                  * (1.0 - CAST(tpos AS DOUBLE) / CAST(tn AS DOUBLE)))
+             - (CAST(n_left AS DOUBLE) / CAST(tn AS DOUBLE))
+               * (2.0 * (CAST(pos_left AS DOUBLE) / CAST(n_left AS DOUBLE))
+                      * (1.0 - CAST(pos_left AS DOUBLE)
+                             / CAST(n_left AS DOUBLE)))
+             - (CAST(tn - n_left AS DOUBLE) / CAST(tn AS DOUBLE))
+               * (2.0 * (CAST(tpos - pos_left AS DOUBLE)
+                             / CAST(tn - n_left AS DOUBLE))
+                      * (1.0 - CAST(tpos - pos_left AS DOUBLE)
+                             / CAST(tn - n_left AS DOUBLE)))
+               AS gain,
+             n_left, tn - n_left AS n_right,
+             pos_left, tpos - pos_left AS pos_right
+      FROM c WHERE n_left > 0 AND tn - n_left > 0)
+    SELECT replicate, threshold, gain,
+           CAST(n_left AS BIGINT) AS n_left,
+           CAST(n_right AS BIGINT) AS n_right,
+           CAST(pos_left AS BIGINT) AS pos_left,
+           CAST(pos_right AS BIGINT) AS pos_right
+    FROM s
+    QUALIFY row_number() OVER (PARTITION BY replicate
+                               ORDER BY gain DESC, threshold) = 1
+    """
+
+
+@query("bagged_stumps_orders", oracle=_bagged_oracle())
+def bagged_stumps_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bagged stump ensemble (ml/bagging.py; Breiman, Machine Learning
+    1996; ref gofast/ensemble.py): five Poisson-bootstrap replicates of
+    the stump_split_orders fit from ONE scan — the replicate explode
+    folds into a (B x bins)-key histogram, windows and argmax run per
+    replicate over <= 64 rows.  Weights are exact-integer portable
+    draws (the bootstrap convention), so every replicate's split and
+    gain replay bit-for-bit, unrounded."""
+    from gofast_spark.ml.bagging import fit_bagged_stumps
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("is_final"),
+    )
+    return fit_bagged_stumps(
+        o, "price", "is_final", "o_orderkey",
+        lo=_STUMP_LO, hi=_STUMP_HI, bins=_STUMP_BINS,
+        n_estimators=_BAG_B, seed=_BAG_SEED,
+    )
+
+
 _BOOST_ROUNDS = 3
 _BOOST_LO, _BOOST_HI, _BOOST_BINS = 1.0, 13.0, 12
 
@@ -1010,4 +1100,60 @@ def boosted_stumps_2f_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("o_month", 1.0, 13.0, 12), ("custkey_mod", 0.0, 128.0, 32)],
         "price",
         rounds=_B2_ROUNDS,
+    )
+
+
+@query(
+    "item_cosine_topk_lineitem",
+    oracle="""
+    WITH b AS (
+      SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+      WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+    s AS (SELECT it, count(*) AS n_it FROM b GROUP BY it),
+    f AS (SELECT * FROM s WHERE n_it >= 5),
+    p AS (SELECT bk, b.it, n_it FROM b JOIN f USING (it)),
+    pr AS (
+      SELECT l.it AS item_a, r.it AS item_b, l.n_it AS n_a,
+             r.n_it AS n_b, count(*) AS n_both
+      FROM p l JOIN p r ON l.bk = r.bk AND l.it < r.it
+      GROUP BY 1, 2, 3, 4),
+    sym AS (
+      SELECT item_a AS item, item_b AS neighbor, n_a AS n_item,
+             n_b AS n_neighbor, n_both FROM pr
+      UNION ALL
+      SELECT item_b, item_a, n_b, n_a, n_both FROM pr),
+    c AS (
+      SELECT item, neighbor, n_item, n_neighbor, n_both,
+             CAST(n_both AS DOUBLE)
+               / sqrt(CAST(n_item AS DOUBLE) * CAST(n_neighbor AS DOUBLE))
+               AS cosine
+      FROM sym),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY item
+               ORDER BY cosine DESC, neighbor) AS rnk
+      FROM c)
+    SELECT item, neighbor, CAST(n_item AS BIGINT) AS n_item,
+           CAST(n_neighbor AS BIGINT) AS n_neighbor,
+           CAST(n_both AS BIGINT) AS n_both,
+           CAST(round(cosine, 6) AS DOUBLE) AS cosine,
+           CAST(rnk AS INT) AS rank
+    FROM r WHERE rnk <= 3
+    """,
+)
+def item_cosine_topk_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-to-item CF neighbors (ml/recommend.py; Linden et al., IEEE
+    Internet Computing 2003): top-3 cosine neighbors per part over
+    order baskets.  Apriori-pruned pair join (min 5 baskets/item), all
+    similarities from exact integer co-counts, per-item ranking window
+    partitioned by item — the neighbor table for any catalog size in
+    one pruned join + one vocabulary-partitioned window."""
+    from gofast_spark.ml.recommend import item_similarity_topk
+
+    li = _t(spark, sf_dir, "lineitem")
+    return item_similarity_topk(
+        li, "l_orderkey", "l_partkey", min_count=5, k=3
+    ).select(
+        "item", "neighbor", "n_item", "n_neighbor", "n_both",
+        F.round("cosine", 6).cast("double").alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
     )
