@@ -376,3 +376,148 @@ def hamming_loss(
         F.avg(wrong / F.lit(float(n_labels))).alias("hamming_loss"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+def cohen_kappa(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Cohen's kappa inter-rater agreement (Cohen, Educational and
+    Psychological Measurement 1960): ``(po - pe) / (1 - pe)`` over two
+    categorical labelings.
+
+    Integer-exact shape: one confusion groupBy, class-sized marginal
+    joins, and the identity ``kappa = (N*sum(diag) - sum(row_k*col_k))
+    / (N^2 - sum(row_k*col_k))`` — every accumulation is an exact
+    integer (decimal-widened products), the ONLY float op is the final
+    division, so the statistic is engine-deterministic with no ordered
+    window.  Returns one row ``(kappa, po, pe, n)``."""
+    a, b = F.col(col_a), F.col(col_b)
+    conf = (
+        df.where(a.isNotNull() & b.isNotNull())
+        .groupBy(a.alias("ca"), b.alias("cb"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    totals = conf.agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.when(F.col("ca") == F.col("cb"), F.col("cnt")).otherwise(
+            F.lit(0)
+        )).alias("diag"),
+    )
+    row_m = conf.groupBy("ca").agg(F.sum("cnt").alias("n_a"))
+    col_m = conf.groupBy(F.col("cb").alias("ca")).agg(
+        F.sum("cnt").alias("n_b")
+    )
+    pe_num = (
+        row_m.join(col_m, "ca")
+        .agg(
+            F.sum(
+                F.col("n_a").cast("decimal(19,0)") * F.col("n_b")
+            ).alias("pe_num")
+        )
+    )
+    j = totals.crossJoin(F.broadcast(pe_num))
+    n = F.col("n").cast("double")
+    diag = F.col("diag").cast("double")
+    pe_n = F.col("pe_num").cast("double")
+    kappa = (n * diag - pe_n) / (n * n - pe_n)
+    return j.select(
+        kappa.alias("kappa"),
+        (diag / n).alias("po"),
+        (pe_n / (n * n)).alias("pe"),
+        F.col("n").alias("n"),
+    )
+
+
+def gains_table(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    key_col: str,
+    *,
+    n_buckets: int = 10,
+    mode: str = "auto",
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Cumulative gains / lift table — the model-targeting readout
+    (decile analysis; see e.g. Berry & Linoff, "Data Mining
+    Techniques", 2004): rank by score descending, cut into
+    ``n_buckets``, report per-bucket response rate, lift, and the
+    cumulative capture curve.  Output per bucket: ``(bucket, n, pos,
+    response_rate, lift, cum_n, cum_pos, capture, cum_lift)``.
+
+    ``mode`` follows the repo's percentile-switch convention
+    (stats/prebin.percentile_expr): ``'exact'`` assigns buckets by
+    global ``ntile`` over (score DESC, key) — deterministic, but a
+    total sort; ``'sketch'`` cuts at ``percentile_approx`` boundaries
+    (distributed, no global sort — bucket sizes approximate);
+    ``'auto'`` sketches only above the 100k-row threshold when
+    ``n_rows`` is given."""
+    from gofast_spark.stats.prebin import _AUTO_THRESHOLD
+
+    if mode not in ("auto", "exact", "sketch"):
+        raise ValueError(f"mode must be auto|exact|sketch: {mode!r}")
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    s = (
+        F.col(score_col) if isinstance(score_col, str) else score_col
+    ).cast("double")
+    y = (
+        F.col(label_col) if isinstance(label_col, str) else label_col
+    ).cast("bigint")
+    base = df.where(s.isNotNull() & y.isNotNull()).select(
+        s.alias("__s"), y.alias("__y"), F.col(key_col).alias("__k")
+    )
+    sketch = mode == "sketch" or (
+        mode == "auto" and n_rows is not None and n_rows > _AUTO_THRESHOLD
+    )
+    if sketch:
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        bounds = base.agg(
+            F.percentile_approx("__s", qs, F.lit(10_000)).alias("__b")
+        )
+        ranked = base.crossJoin(F.broadcast(bounds)).select(
+            "__y",
+            (
+                F.lit(n_buckets)
+                - F.aggregate(
+                    "__b",
+                    F.lit(0),
+                    lambda acc, bd: acc
+                    + F.when(F.col("__s") > bd, 1).otherwise(0),
+                )
+            ).alias("bucket"),
+        )
+    else:
+        w = Window.orderBy(F.col("__s").desc(), F.col("__k"))
+        ranked = base.select(
+            "__y", F.ntile(n_buckets).over(w).alias("bucket")
+        )
+    per = ranked.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("__y").alias("pos")
+    )
+    wc = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    out = per.select(
+        "bucket",
+        "n",
+        "pos",
+        F.sum("n").over(wc).alias("cum_n"),
+        F.sum("pos").over(wc).alias("cum_pos"),
+        F.sum("n").over(tot).alias("__tn"),
+        F.sum("pos").over(tot).alias("__tp"),
+    )
+    nn = F.col("n").cast("double")
+    pp = F.col("pos").cast("double")
+    tn = F.col("__tn").cast("double")
+    tp = F.col("__tp").cast("double")
+    cn = F.col("cum_n").cast("double")
+    cp = F.col("cum_pos").cast("double")
+    return out.select(
+        "bucket",
+        "n",
+        "pos",
+        (pp / nn).alias("response_rate"),
+        ((pp / nn) / (tp / tn)).alias("lift"),
+        "cum_n",
+        "cum_pos",
+        (cp / tp).alias("capture"),
+        ((cp / cn) / (tp / tn)).alias("cum_lift"),
+    )

@@ -358,3 +358,119 @@ def hamming_loss_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )).alias("p_tags"),
     )
     return hamming_loss(o, "y_tags", "p_tags", 3)
+
+
+@query(
+    "cohen_kappa_orders",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderstatus AS ca,
+             CASE WHEN o_totalprice < 100000 THEN 'F'
+                  WHEN o_totalprice < 200000 THEN 'O' ELSE 'P' END AS cb
+      FROM orders
+      WHERE o_orderstatus IS NOT NULL AND o_totalprice IS NOT NULL),
+    conf AS (SELECT ca, cb, count(*) AS cnt FROM d GROUP BY 1, 2),
+    t AS (
+      SELECT sum(cnt) AS n,
+             sum(CASE WHEN ca = cb THEN cnt ELSE 0 END) AS diag
+      FROM conf),
+    r AS (SELECT ca, sum(cnt) AS n_a FROM conf GROUP BY ca),
+    c AS (SELECT cb AS ca, sum(cnt) AS n_b FROM conf GROUP BY cb),
+    p AS (
+      SELECT sum(CAST(n_a AS HUGEINT) * n_b) AS pe_num
+      FROM r JOIN c USING (ca))
+    SELECT CAST(round((CAST(n AS DOUBLE) * CAST(diag AS DOUBLE)
+                       - CAST(pe_num AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                         - CAST(pe_num AS DOUBLE)), 6) AS DOUBLE) AS kappa,
+           CAST(round(CAST(diag AS DOUBLE) / CAST(n AS DOUBLE), 6)
+             AS DOUBLE) AS po,
+           CAST(round(CAST(pe_num AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6)
+             AS DOUBLE) AS pe,
+           CAST(n AS BIGINT) AS n
+    FROM t, p
+    """,
+)
+def cohen_kappa_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa (metrics.cohen_kappa; Cohen 1960) between the
+    order status and a price-rule labeling: integer-exact confusion +
+    marginal-product identity, only the final division is float — no
+    ordered window, no float accumulation anywhere."""
+    from gofast_spark.metrics import cohen_kappa
+
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus").isNotNull() & F.col("o_totalprice").isNotNull()
+    ).select(
+        F.col("o_orderstatus").alias("actual"),
+        F.when(F.col("o_totalprice") < 100000, "F")
+        .when(F.col("o_totalprice") < 200000, "O")
+        .otherwise("P")
+        .alias("predicted"),
+    )
+    out = cohen_kappa(o, "actual", "predicted")
+    return out.select(
+        F.round("kappa", 6).cast("double").alias("kappa"),
+        F.round("po", 6).cast("double").alias("po"),
+        F.round("pe", 6).cast("double").alias("pe"),
+        "n",
+    )
+
+
+@query(
+    "gains_table_orders",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(o_totalprice AS DOUBLE) AS s,
+             CAST(o_orderstatus = 'F' AS BIGINT) AS y,
+             o_orderkey AS k
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL),
+    r AS (SELECT y, ntile(10) OVER (ORDER BY s DESC, k) AS bucket FROM d),
+    per AS (SELECT bucket, count(*) AS n, sum(y) AS pos FROM r
+            GROUP BY bucket),
+    o AS (
+      SELECT bucket, n, pos,
+             sum(n) OVER wc AS cum_n, sum(pos) OVER wc AS cum_pos,
+             sum(n) OVER () AS tn, sum(pos) OVER () AS tp
+      FROM per
+      WINDOW wc AS (ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(n AS BIGINT) AS n, CAST(pos AS BIGINT) AS pos,
+           CAST(round(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE), 6)
+             AS DOUBLE) AS response_rate,
+           CAST(round((CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
+                      / (CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)), 6)
+             AS DOUBLE) AS lift,
+           CAST(cum_n AS BIGINT) AS cum_n,
+           CAST(cum_pos AS BIGINT) AS cum_pos,
+           CAST(round(CAST(cum_pos AS DOUBLE) / CAST(tp AS DOUBLE), 6)
+             AS DOUBLE) AS capture,
+           CAST(round((CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE))
+                      / (CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)), 6)
+             AS DOUBLE) AS cum_lift
+    FROM o
+    """,
+)
+def gains_table_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift deciles (metrics.gains_table): rank
+    orders by total price, label = finished status.  Exact-mode ntile
+    with the (score DESC, key) deterministic tie-break — the oracle
+    path; at scale the operator's sketch mode cuts at percentile_approx
+    boundaries instead of sorting globally."""
+    from gofast_spark.metrics import gains_table
+
+    o = _t(spark, sf_dir, "orders")
+    out = gains_table(
+        o, "o_totalprice", (F.col("o_orderstatus") == "F").cast("int"),
+        "o_orderkey", n_buckets=10,
+    )
+    return out.select(
+        "bucket", "n", "pos",
+        F.round("response_rate", 6).cast("double").alias("response_rate"),
+        F.round("lift", 6).cast("double").alias("lift"),
+        "cum_n", "cum_pos",
+        F.round("capture", 6).cast("double").alias("capture"),
+        F.round("cum_lift", 6).cast("double").alias("cum_lift"),
+    )

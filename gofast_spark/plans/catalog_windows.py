@@ -486,3 +486,37 @@ def funnel_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, "user_id", "ts", "event_type",
         ["view", "click", "purchase"], window_sec=86_400,
     )
+
+
+@query(
+    "ewma_daily_events",
+    oracle=f"""
+    WITH {_DAILY},
+    idx AS (SELECT d, v, CAST(row_number() OVER (ORDER BY d) AS DOUBLE)
+                AS rn FROM daily),
+    c AS (SELECT d, rn, v * power(0.5, -rn) AS cv FROM idx),
+    s AS (
+      SELECT d, rn, cv,
+             sum(cv) OVER wc AS scv,
+             first_value(cv) OVER wc AS c1
+      FROM c
+      WINDOW wc AS (ORDER BY rn
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT d,
+           CAST(round(power(0.5, rn) * (0.5 * (scv - c1) + c1), 4)
+             AS DOUBLE) AS v_ewma
+    FROM s
+    """,
+)
+def ewma_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA over the daily revenue series (ts/engineering.py ewma;
+    Hunter JQT 1986): the recursive filter as ONE cumulative window via
+    the r^{-i} scaled-sum closed form — no UDF, no driver loop.  With
+    alpha = 0.5 every coefficient is dyadic, so both engines compute
+    identical doubles; the oracle replays the same closed form."""
+    from gofast_spark.ts.engineering import ewma
+
+    out = ewma(_daily(spark, sf_dir), "d", "v", alpha=0.5, out_col="v_ewma")
+    return out.select(
+        "d", F.round("v_ewma", 4).cast("double").alias("v_ewma")
+    )

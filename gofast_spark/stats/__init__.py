@@ -17,7 +17,11 @@ from gofast_spark.stats.relationships import (
     spearman_corr,
 )
 from gofast_spark.stats.sequential import msprt_curve
-from gofast_spark.stats.survival import kaplan_meier, nelson_aalen
+from gofast_spark.stats.survival import (
+    kaplan_meier,
+    logrank_test,
+    nelson_aalen,
+)
 from gofast_spark.stats.probs import (
     binomial_pmf,
     normal_cdf,
@@ -61,6 +65,7 @@ from gofast_spark.stats.inferential import (
 
 __all__ = [
     "kaplan_meier",
+    "logrank_test",
     "msprt_curve",
     "nelson_aalen",
     "bootstrap",

@@ -136,3 +136,95 @@ def kaplan_meier(
     if not keep_censor_times:
         out = out.where(F.col("n_events") > 0)
     return out.select("duration", "n_risk", "n_events", "survival")
+
+
+def logrank_test(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    *,
+    bins: int | str | None = "auto",
+    relative_error: float = 1e-4,
+) -> DataFrame:
+    """Two-sample log-rank test (Mantel 1966; Peto & Peto, JRSS-A
+    1972): at each distinct event time the observed-minus-expected
+    group-A deaths under the null, with the hypergeometric variance
+
+        E_a(t) = d_t * n_a(t) / n_t
+        V(t)   = d_t * (n_a/n_t) * (n_b/n_t) * (n_t - d_t) / (n_t - 1)
+
+    and ``chi2 = (sum(O_a - E_a))^2 / sum(V)`` with 1 dof.  Same
+    one-scan shape as :func:`kaplan_meier`: one groupBy(duration) with
+    per-group conditional sums, cumulative-window risk sets over the
+    distinct-time table, one final 1-row aggregate.  Returns
+    ``(chi2, o_minus_e, var, n_a, n_b)``."""
+    from gofast_spark.stats.prebin import prebin_column
+
+    df = df.where(F.col(group_col).isin([group_a, group_b]))
+    df = prebin_column(
+        df, duration_col, bins=bins, relative_error=relative_error
+    )
+    is_a = (F.col(group_col) == group_a).cast("long")
+    is_b = (F.col(group_col) == group_b).cast("long")
+    ev = F.col(event_col).cast("long")
+    per_t = df.groupBy(F.col(duration_col).alias("duration")).agg(
+        F.sum(is_a).alias("m_a"),
+        F.sum(is_b).alias("m_b"),
+        F.sum(ev * is_a).alias("d_a"),
+        F.sum(ev * is_b).alias("d_b"),
+    )
+    w_prev = Window.orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    tot = Window.partitionBy()
+    risk = per_t.select(
+        "duration",
+        "d_a",
+        "d_b",
+        (
+            F.sum("m_a").over(tot)
+            - F.coalesce(F.sum("m_a").over(w_prev), F.lit(0))
+        ).alias("n_a"),
+        (
+            F.sum("m_b").over(tot)
+            - F.coalesce(F.sum("m_b").over(w_prev), F.lit(0))
+        ).alias("n_b"),
+    )
+    d = (F.col("d_a") + F.col("d_b")).cast("double")
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    n = na + nb
+    e_a = d * na / n
+    v = F.when(
+        n > 1.0, d * (na / n) * (nb / n) * (n - d) / (n - F.lit(1.0))
+    ).otherwise(F.lit(0.0))
+    per_time = risk.where(d > 0).select(
+        "duration",
+        (F.col("d_a").cast("double") - e_a).alias("ome"),
+        v.alias("v"),
+        "n_a",
+        "n_b",
+    )
+    # Deterministic double accumulation: cumulative sums over the
+    # duration-ordered window (fixed order in every engine), then ONE
+    # argmax row-pick — never a partition-order-dependent float sum.
+    w_cum = Window.orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = per_time.select(
+        "duration",
+        F.sum("ome").over(w_cum).alias("o_minus_e"),
+        F.sum("v").over(w_cum).alias("var"),
+        F.max("n_a").over(w_cum).alias("n_a"),
+        F.max("n_b").over(w_cum).alias("n_b"),
+    )
+    last = F.max_by(
+        F.struct("o_minus_e", "var", "n_a", "n_b"), F.col("duration")
+    ).alias("s")
+    agg = cum.agg(last).select("s.*")
+    chi2 = (
+        F.col("o_minus_e") * F.col("o_minus_e") / F.col("var")
+    ).alias("chi2")
+    return agg.select(chi2, "o_minus_e", "var", "n_a", "n_b")

@@ -9,6 +9,7 @@ aggregates; only true per-series model fits (STL, ADF) would need
 
 from gofast_spark.ts.engineering import (
     acf,
+    ewma,
     ccf,
     pacf,
     pacf_frame,
@@ -35,6 +36,7 @@ __all__ = [
     "trend_analysis",
     "detrend",
     "acf",
+    "ewma",
     "ccf",
     "pacf",
     "pacf_frame",

@@ -286,3 +286,49 @@ def durbin_levinson(rho: "list[float]") -> "list[float]":
                 phi[k][j] = phi[k - 1][j] - phi[k][k] * phi[k - 1][k - j]
         out.append(phi[k][k])
     return out
+
+
+def ewma(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    *,
+    alpha: float = 0.5,
+    partition_by: "str | None" = None,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponentially weighted moving average with the standard
+    ``s_1 = x_1; s_t = alpha*x_t + (1-alpha)*s_{t-1}`` recursion,
+    computed WITHOUT recursion: the closed form
+
+        s_t = r^t * (alpha * (S_t - c_1) + c_1),
+        c_i = x_i * r^{-i},  S_t = sum_{i<=t} c_i,  r = 1 - alpha
+
+    needs one ``row_number`` + one cumulative window — no UDF, no
+    driver loop (public identity; e.g. Hunter, "The Exponentially
+    Weighted Moving Average", JQT 1986).  Intended for rollup-sized
+    series (daily aggregates): the ``r^{-i}`` scaling bounds usable
+    series length (~1000 points at alpha=0.5 before double overflow);
+    ``partition_by`` distributes independent series across keys.
+    With dyadic ``alpha`` (0.5, 0.25) every coefficient is a power of
+    two, so the arithmetic is engine-exact."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    r = 1.0 - alpha
+    if r == 0.0:
+        return df.withColumn(out_col, F.col(value_col).cast("double"))
+    part = [partition_by] if partition_by else []
+    w = Window.partitionBy(*part).orderBy(order_col)
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    rn = F.row_number().over(w).cast("double")
+    x = F.col(value_col).cast("double")
+    out = (
+        df.withColumn("__rn", rn)
+        .withColumn("__c", x * F.pow(F.lit(r), -F.col("__rn")))
+        .withColumn("__s", F.sum("__c").over(wc))
+        .withColumn("__c1", F.first("__c").over(wc))
+    )
+    s = F.pow(F.lit(r), F.col("__rn")) * (
+        F.lit(alpha) * (F.col("__s") - F.col("__c1")) + F.col("__c1")
+    )
+    return out.withColumn(out_col, s).drop("__rn", "__c", "__s", "__c1")
