@@ -1641,3 +1641,123 @@ def cuped_ab_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("var_adj", 2).cast("double").alias("var_adj"),
         F.round("var_reduction", 4).cast("double").alias("var_reduction"),
     )
+
+
+@query(
+    "fdr_bh_events",
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS h1,
+             CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS x3
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+    g AS (
+      SELECT event_type,
+             sum(h1) AS n1, sum(1 - h1) AS n2,
+             sum(CASE WHEN h1 = 1 THEN x3 ELSE 0 END) AS s1,
+             sum(CASE WHEN h1 = 0 THEN x3 ELSE 0 END) AS s2,
+             sum(CASE WHEN h1 = 1 THEN CAST(x3 AS HUGEINT) * x3
+                      ELSE 0 END) AS ss1,
+             sum(CASE WHEN h1 = 0 THEN CAST(x3 AS HUGEINT) * x3
+                      ELSE 0 END) AS ss2
+      FROM q GROUP BY event_type),
+    zc AS (
+      SELECT event_type,
+             (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 1000.0
+              - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) / 1000.0)
+             / sqrt(
+                 (CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                    * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                   / (CAST(n1 AS DOUBLE) - 1.0) / 1000000.0
+                   / CAST(n1 AS DOUBLE)
+                 + (CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE)
+                    * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                   / (CAST(n2 AS DOUBLE) - 1.0) / 1000000.0
+                   / CAST(n2 AS DOUBLE)) AS z
+      FROM g WHERE n1 >= 2 AND n2 >= 2),
+    e AS (
+      SELECT event_type, z, abs(z) / sqrt(2.0) AS x FROM zc),
+    e2 AS (
+      SELECT event_type, z, x,
+             1.0 / (1.0 + 0.3275911 * x) AS t FROM e),
+    pv AS (
+      SELECT event_type, z,
+             1.0 - (1.0 - (t * (0.254829592 + t * (-0.284496736
+               + t * (1.421413741 + t * (-1.453152027
+               + t * 1.061405429))))) * exp(-x * x)) AS p
+      FROM e2),
+    bh AS (
+      SELECT event_type, z, p,
+             row_number() OVER (ORDER BY p, event_type) AS rank,
+             count(*) OVER () AS m
+      FROM pv),
+    qv AS (
+      SELECT event_type, z, p, rank,
+             least(1.0, min(p * CAST(m AS DOUBLE) / CAST(rank AS DOUBLE))
+               OVER (ORDER BY rank
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+               AS q_value
+      FROM bh)
+    SELECT event_type,
+           CAST(round(z, 6) AS DOUBLE) AS z,
+           CAST(round(p, 6) AS DOUBLE) AS p,
+           CAST(rank AS INT) AS rank,
+           CAST(round(q_value, 6) AS DOUBLE) AS q_value,
+           CAST(q_value <= 0.05 AS INT) AS reject
+    FROM qv
+    """,
+)
+def fdr_bh_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR over a family of per-segment tests
+    (stats/multiple.py; Benjamini & Hochberg JRSS-B 1995): one Welch z
+    per event type (first vs second half of the month, exact milli-unit
+    moments), p from the Abramowitz-Stegun erf polynomial, q-values
+    from the step-up trailing-min window — the multiple-testing layer a
+    metric platform needs over thousands of segment tests, entirely in
+    windows over the hypothesis-sized frame."""
+    from gofast_spark.stats.multiple import fdr_bh, p_two_sided_from_z
+
+    e = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    x3 = F.floor(F.col("value").cast("double") * 1e3 + F.lit(0.5)).cast(
+        "bigint"
+    )
+    h1 = F.col("ts") < "2024-01-16"
+    g = e.groupBy("event_type").agg(
+        F.sum(F.when(h1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(~h1, 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(h1, x3).otherwise(F.lit(0))).alias("s1"),
+        F.sum(F.when(~h1, x3).otherwise(F.lit(0))).alias("s2"),
+        F.sum(
+            F.when(h1, x3.cast("decimal(19,0)") * x3).otherwise(
+                F.lit(0).cast("decimal(38,0)")
+            )
+        ).alias("ss1"),
+        F.sum(
+            F.when(~h1, x3.cast("decimal(19,0)") * x3).otherwise(
+                F.lit(0).cast("decimal(38,0)")
+            )
+        ).alias("ss2"),
+    ).where((F.col("n1") >= 2) & (F.col("n2") >= 2))
+    n1, n2 = F.col("n1").cast("double"), F.col("n2").cast("double")
+    s1, s2 = F.col("s1").cast("double"), F.col("s2").cast("double")
+    ss1 = F.col("ss1").cast("double")
+    ss2 = F.col("ss2").cast("double")
+    v1 = (ss1 - s1 * s1 / n1) / (n1 - F.lit(1.0)) / F.lit(1e6)
+    v2 = (ss2 - s2 * s2 / n2) / (n2 - F.lit(1.0)) / F.lit(1e6)
+    z = (s1 / n1 / F.lit(1e3) - s2 / n2 / F.lit(1e3)) / F.sqrt(
+        v1 / n1 + v2 / n2
+    )
+    tests = g.select(
+        "event_type", z.alias("z"), p_two_sided_from_z(z).alias("p")
+    )
+    out = fdr_bh(tests, "p", tiebreak_cols=["event_type"], alpha=0.05)
+    return out.select(
+        "event_type",
+        F.round("z", 6).cast("double").alias("z"),
+        F.round("p", 6).cast("double").alias("p"),
+        F.col("rank").cast("int").alias("rank"),
+        F.round("q_value", 6).cast("double").alias("q_value"),
+        "reject",
+    )

@@ -758,3 +758,43 @@ def stream_psi_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.round("psi", 6).cast("double").alias("psi"), "n_ref", "n_cur"
     )
+
+
+from gofast_spark.plans.catalog import ORACLE_SQL as _ORACLE_SQL  # noqa: E402
+
+
+@query("stream_msprt_ab_events", oracle=_ORACLE_SQL["msprt_ab_events"])
+def stream_msprt_ab_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid A/B monitoring IN A STREAM (stats/sequential.py;
+    Johari et al. KDD 2017 — the use case mSPRT exists for: a live
+    dashboard peeking daily): the streaming state is the per-(day)
+    integer moment table (one days-sized complete-mode aggregate,
+    exactly maintainable, late-data-safe because sums are
+    order-independent); the drained state folds through
+    msprt_from_day_moments to the identical curve the batch entry
+    produces — availableNow-equals-batch oracle."""
+    from gofast_spark.stats.sequential import (
+        msprt_day_moments,
+        msprt_from_day_moments,
+    )
+    from gofast_spark.streaming import read_event_stream, run_available_now
+
+    stream = read_event_stream(spark, sf_dir, glob="events.parquet").where(
+        F.col("ts").isNotNull()
+    ).withColumn(
+        "variant",
+        F.when(F.col("user_id") % 2 == 1, "treatment").otherwise("control"),
+    )
+    moments = msprt_day_moments(
+        stream, "ts", "variant", "value",
+        control="control", treatment="treatment",
+    )
+    drained = run_available_now(moments, mode="complete")
+    out = msprt_from_day_moments(drained, tau2=1.0)
+    return out.select(
+        "day", "n_treatment", "n_control",
+        F.round("theta", 6).cast("double").alias("theta"),
+        F.round("likelihood_ratio", 6).cast("double")
+        .alias("likelihood_ratio"),
+        F.round("p_value", 6).cast("double").alias("p_value"),
+    )

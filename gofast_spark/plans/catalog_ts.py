@@ -436,3 +436,55 @@ def changepoint_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return best_changepoint(daily, "d", "y")
+
+
+@query(
+    "mann_kendall_daily_events",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL}),
+    idx AS (SELECT row_number() OVER (ORDER BY d) AS rn, v AS x FROM daily),
+    pairs AS (
+      SELECT CAST(sign(b.x - a.x) AS BIGINT) AS sg,
+             (b.x - a.x) / CAST(b.rn - a.rn AS DOUBLE) AS slope
+      FROM idx a JOIN idx b ON a.rn < b.rn),
+    sf AS (SELECT sum(sg) AS s, quantile_cont(slope, 0.5) AS sen_slope
+           FROM pairs),
+    ties AS (
+      SELECT sum(t * (t - 1) * (2 * t + 5)) AS tie_term, sum(t) AS n
+      FROM (SELECT count(*) AS t FROM idx GROUP BY x)),
+    fin AS (
+      SELECT s, sen_slope, n,
+             (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+              * (2.0 * CAST(n AS DOUBLE) + 5.0)
+              - CAST(tie_term AS DOUBLE)) / 18.0 AS var_s
+      FROM sf, ties)
+    SELECT CAST(s AS BIGINT) AS s,
+           CAST(round(var_s, 6) AS DOUBLE) AS var_s,
+           CAST(round(CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0)
+                                           / sqrt(var_s)
+                           WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0)
+                                           / sqrt(var_s)
+                           ELSE 0.0 END, 6) AS DOUBLE) AS z,
+           CAST(round(sen_slope, 4) AS DOUBLE) AS sen_slope,
+           CAST(n AS BIGINT) AS n
+    FROM fin
+    """,
+)
+def mann_kendall_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test + Sen's slope over the daily
+    revenue series (ts/engineering.py mann_kendall; Mann 1945, Sen
+    1968): S and the tie correction stay exact integers from a
+    days-sized banded self-join; z and the median slope are the only
+    float reductions.  The distributed trend readout the reference
+    computes with scipy on a driver array (trend_analysis,
+    gofast/utils/mathext.py)."""
+    from gofast_spark.ts.engineering import mann_kendall
+
+    out = mann_kendall(_daily(spark, sf_dir).select("d", "v"), "d", "v")
+    return out.select(
+        "s",
+        F.round("var_s", 6).cast("double").alias("var_s"),
+        F.round("z", 6).cast("double").alias("z"),
+        F.round("sen_slope", 4).cast("double").alias("sen_slope"),
+        "n",
+    )

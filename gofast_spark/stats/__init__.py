@@ -16,7 +16,12 @@ from gofast_spark.stats.relationships import (
     kruskal_wallis,
     spearman_corr,
 )
-from gofast_spark.stats.sequential import msprt_curve
+from gofast_spark.stats.multiple import fdr_bh, p_two_sided_from_z
+from gofast_spark.stats.sequential import (
+    msprt_curve,
+    msprt_day_moments,
+    msprt_from_day_moments,
+)
 from gofast_spark.stats.survival import (
     kaplan_meier,
     logrank_test,
@@ -66,7 +71,11 @@ from gofast_spark.stats.inferential import (
 __all__ = [
     "kaplan_meier",
     "logrank_test",
+    "fdr_bh",
     "msprt_curve",
+    "msprt_day_moments",
+    "msprt_from_day_moments",
+    "p_two_sided_from_z",
     "nelson_aalen",
     "bootstrap",
     "bootstrap_ci",

@@ -48,12 +48,33 @@ def msprt_curve(
     effect estimate, ``Lambda`` and the always-valid ``p_value``
     (monotone non-increasing).  Values are quantized to exact integer
     milli-units before aggregation so the curve is engine-portable."""
+    per_day = msprt_day_moments(
+        df, ts_col, variant_col, value_col,
+        control=control, treatment=treatment,
+    )
+    return msprt_from_day_moments(per_day, tau2=tau2)
+
+
+def msprt_day_moments(
+    df: DataFrame,
+    ts_col: str,
+    variant_col: str,
+    value_col: str,
+    *,
+    control: str,
+    treatment: str,
+) -> DataFrame:
+    """Per-day integer moment state ``(day, n_t, n_c, s_t, s_c, ss_t,
+    ss_c)`` — the exactly-maintainable mSPRT state: a plain groupBy(day)
+    aggregate, so a STREAM can hold it as complete-mode state and the
+    drained table folds to the identical curve
+    (:func:`msprt_from_day_moments`)."""
     x3 = F.floor(F.col(value_col).cast("double") * 1e3 + F.lit(0.5)).cast(
         "bigint"
     )
     is_t = F.col(variant_col) == treatment
     day = F.to_date(F.col(ts_col))
-    per_day = (
+    return (
         df.where(
             F.col(value_col).isNotNull()
             & F.col(variant_col).isin([control, treatment])
@@ -79,6 +100,14 @@ def msprt_curve(
             ).alias("ss_c"),
         )
     )
+
+
+def msprt_from_day_moments(per_day: DataFrame, *, tau2: float) -> DataFrame:
+    """The mSPRT fold from per-day integer moments ``(day, n_t, n_c,
+    s_t, s_c, ss_t, ss_c)`` — milli-unit sums and decimal squared sums
+    per variant per day.  Split out so a STREAM can maintain exactly
+    this state (one days-sized complete-mode aggregate) and the drained
+    counts fold to the identical always-valid curve."""
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     cum = per_day.select(
         "day",

@@ -10,6 +10,7 @@ aggregates; only true per-series model fits (STL, ADF) would need
 from gofast_spark.ts.engineering import (
     acf,
     ewma,
+    mann_kendall,
     ccf,
     pacf,
     pacf_frame,
@@ -37,6 +38,7 @@ __all__ = [
     "detrend",
     "acf",
     "ewma",
+    "mann_kendall",
     "ccf",
     "pacf",
     "pacf_frame",

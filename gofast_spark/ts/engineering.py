@@ -332,3 +332,70 @@ def ewma(
         F.lit(alpha) * (F.col("__s") - F.col("__c1")) + F.col("__c1")
     )
     return out.withColumn(out_col, s).drop("__rn", "__c", "__s", "__c1")
+
+
+def mann_kendall(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Mann-Kendall trend test with Sen's slope (Mann, Econometrica
+    1945; Kendall 1975; Sen, JASA 1968; Theil 1950): the standard
+    nonparametric monotone-trend readout for rollup series.
+
+        S = sum over i<j of sign(x_j - x_i)
+        Var(S) = [n(n-1)(2n+5) - sum_t t(t-1)(2t+5)] / 18   (tie-corrected)
+        z = (S -/+ 1) / sqrt(Var(S)),  sen = median pairwise slope
+
+    Intended for ROLLUP-sized series (daily aggregates): the pair
+    enumeration is a banded self-join over the series frame (the
+    adaptive_moving_average shape), quadratic in the number of days —
+    never in raw rows.  S and the tie term stay exact integers; the
+    only float reductions are the percentile (order-free) and the final
+    scalar algebra.  Returns one row ``(s, var_s, z, sen_slope, n)``."""
+    w = Window.orderBy(order_col)
+    idx = df.select(
+        F.row_number().over(w).alias("rn"),
+        F.col(value_col).cast("double").alias("x"),
+    )
+    a, b = idx.alias("a"), idx.alias("b")
+    pairs = a.join(b, F.col("a.rn") < F.col("b.rn")).select(
+        F.signum(F.col("b.x") - F.col("a.x")).cast("long").alias("sg"),
+        (
+            (F.col("b.x") - F.col("a.x"))
+            / (F.col("b.rn") - F.col("a.rn")).cast("double")
+        ).alias("slope"),
+    )
+    s_frame = pairs.agg(
+        F.sum("sg").alias("s"),
+        F.percentile("slope", F.lit(0.5)).alias("sen_slope"),
+    )
+    ties = (
+        idx.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_term"),
+            F.sum(F.lit(1) * F.col("t")).alias("n"),
+        )
+    )
+    j = s_frame.crossJoin(F.broadcast(ties))
+    n = F.col("n").cast("double")
+    var_s = (
+        n * (n - F.lit(1.0)) * (F.lit(2.0) * n + F.lit(5.0))
+        - F.col("tie_term").cast("double")
+    ) / F.lit(18.0)
+    s = F.col("s").cast("double")
+    z = (
+        F.when(F.col("s") > 0, (s - F.lit(1.0)) / F.sqrt(var_s))
+        .when(F.col("s") < 0, (s + F.lit(1.0)) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    return j.select(
+        F.col("s"),
+        var_s.alias("var_s"),
+        z.alias("z"),
+        F.col("sen_slope"),
+        F.col("n"),
+    )
