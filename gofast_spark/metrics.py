@@ -521,3 +521,49 @@ def gains_table(
         (cp / tp).alias("capture"),
         ((cp / cn) / (tp / tn)).alias("cum_lift"),
     )
+
+
+def auc_score(
+    df: DataFrame,
+    score_col,
+    label_col,
+) -> DataFrame:
+    """ROC-AUC via the Mann-Whitney rank identity (Hanley & McNeil,
+    Radiology 1982): ``AUC = (R1 - n1(n1+1)/2) / (n1 * n0)`` with R1
+    the midrank sum of positives.
+
+    Integer-exact shape: one groupBy(score) histogram, midranks from a
+    cumulative window over the DISTINCT-score table (doubled to stay
+    integral: ``2*midrank = 2*cum_prev + cnt + 1``), so the only float
+    op is the final division — ties handled exactly, no per-row
+    ranking window over raw data.  Returns ``(auc, n_pos, n_neg)``."""
+    s = (F.col(score_col) if isinstance(score_col, str) else score_col)
+    y = (
+        F.col(label_col) if isinstance(label_col, str) else label_col
+    ).cast("bigint")
+    per = (
+        df.where(s.isNotNull() & y.isNotNull())
+        .groupBy(s.alias("__s"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum(y).alias("pos"))
+    )
+    w_prev = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
+    mr2 = (
+        F.lit(2) * F.coalesce(F.sum("cnt").over(w_prev), F.lit(0))
+        + F.col("cnt")
+        + F.lit(1)
+    )
+    agg = per.select(
+        (F.col("pos") * mr2).alias("r1_2"), "pos", "cnt"
+    ).agg(
+        F.sum("r1_2").alias("r1_2"),
+        F.sum("pos").alias("n1"),
+        F.sum(F.col("cnt") - F.col("pos")).alias("n0"),
+    )
+    n1, n0 = F.col("n1"), F.col("n0")
+    auc = (
+        (F.col("r1_2") - n1 * (n1 + F.lit(1))).cast("double")
+        / (F.lit(2.0) * n1.cast("double") * n0.cast("double"))
+    )
+    return agg.select(
+        auc.alias("auc"), n1.alias("n_pos"), n0.alias("n_neg")
+    )

@@ -1761,3 +1761,218 @@ def fdr_bh_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("q_value", 6).cast("double").alias("q_value"),
         "reject",
     )
+
+
+@query(
+    "kendall_tau_lineitem",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             CAST(floor(CAST(l_extendedprice AS DOUBLE) / 1000.0)
+               AS BIGINT) AS y
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+    cells AS (SELECT x, y, count(*) AS cnt FROM d GROUP BY 1, 2),
+    xs AS (SELECT DISTINCT x FROM cells),
+    ys AS (SELECT DISTINCT y FROM cells),
+    grid AS (
+      SELECT xs.x, ys.y, coalesce(cells.cnt, 0) AS n
+      FROM xs CROSS JOIN ys
+      LEFT JOIN cells ON cells.x = xs.x AND cells.y = ys.y),
+    g1 AS (
+      SELECT x, y, n,
+             coalesce(sum(n) OVER (PARTITION BY y ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS a
+      FROM grid),
+    g2 AS (
+      SELECT x, y, n,
+             coalesce(sum(a) OVER (PARTITION BY x ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s_ll,
+             sum(a) OVER (PARTITION BY x ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b_lle,
+             sum(a) OVER (PARTITION BY x) AS t_l
+      FROM g1),
+    ps AS (
+      SELECT sum(CAST(n AS HUGEINT) * s_ll) AS concordant,
+             sum(CAST(n AS HUGEINT) * (t_l - b_lle)) AS discordant
+      FROM g2),
+    mx AS (
+      SELECT sum(CAST(tx AS HUGEINT) * (tx - 1)) AS tie_x2,
+             sum(tx) AS n_rows
+      FROM (SELECT sum(cnt) AS tx FROM cells GROUP BY x)),
+    my AS (
+      SELECT sum(CAST(ty AS HUGEINT) * (ty - 1)) AS tie_y2
+      FROM (SELECT sum(cnt) AS ty FROM cells GROUP BY y))
+    SELECT CAST(round(
+             (CAST(concordant AS DOUBLE) - CAST(discordant AS DOUBLE))
+             / (sqrt(CAST(CAST(n_rows AS HUGEINT) * (n_rows - 1) - tie_x2
+                       AS DOUBLE)
+                     * CAST(CAST(n_rows AS HUGEINT) * (n_rows - 1) - tie_y2
+                       AS DOUBLE)) / 2.0), 6) AS DOUBLE) AS tau_b,
+           CAST(concordant AS BIGINT) AS concordant,
+           CAST(discordant AS BIGINT) AS discordant,
+           CAST(n_rows AS BIGINT) AS n
+    FROM ps, mx, my
+    """,
+)
+def kendall_tau_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b (stats/relationships.py kendall_tau; Kendall
+    1938) between quantity and the 1000-unit price band: rows fold into
+    a contingency grid, C/D from 2-D prefix sums (two axis-partitioned
+    window passes over the grid), tie terms from the marginals —
+    quadratic in GRID CELLS, never rows, and exact-integer to the final
+    division.  Completes the rank-correlation family next to
+    spearman_corr."""
+    from gofast_spark.stats.relationships import kendall_tau
+
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_quantity").isNotNull() & F.col("l_extendedprice").isNotNull()
+    ).select(
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.floor(F.col("l_extendedprice").cast("double") / F.lit(1000.0))
+        .cast("bigint")
+        .alias("price_band"),
+    )
+    out = kendall_tau(li, "qty", "price_band", bins=None)
+    return out.select(
+        F.round("tau_b", 6).cast("double").alias("tau_b"),
+        "concordant",
+        "discordant",
+        "n",
+    )
+
+
+@query(
+    "roc_auc_events",
+    oracle="""
+    WITH d AS (
+      SELECT value AS s,
+             CAST(event_type = 'purchase' AS BIGINT) AS y
+      FROM events
+      WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL),
+    per AS (SELECT s, count(*) AS cnt, sum(y) AS pos FROM d GROUP BY s),
+    mr AS (
+      SELECT pos, cnt,
+             2 * coalesce(sum(cnt) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + cnt + 1 AS mr2
+      FROM per),
+    agg AS (
+      SELECT sum(pos * mr2) AS r1_2, sum(pos) AS n1,
+             sum(cnt - pos) AS n0
+      FROM mr)
+    SELECT CAST(round(CAST(r1_2 - n1 * (n1 + 1) AS DOUBLE)
+                      / (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)), 6)
+             AS DOUBLE) AS auc,
+           CAST(n1 AS BIGINT) AS n_pos, CAST(n0 AS BIGINT) AS n_neg
+    FROM agg
+    """,
+)
+def roc_auc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of event value separating purchases from views
+    (metrics.auc_score; Hanley & McNeil 1982 rank identity): midranks
+    doubled to stay integral over the distinct-score frame, one
+    histogram + one cumulative window, the only float op is the final
+    division."""
+    from gofast_spark.metrics import auc_score
+
+    e = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isin(["purchase", "view"])
+        & F.col("value").isNotNull()
+    )
+    out = auc_score(
+        e, "value", (F.col("event_type") == "purchase").cast("int")
+    )
+    return out.select(
+        F.round("auc", 6).cast("double").alias("auc"), "n_pos", "n_neg"
+    )
+
+
+@query(
+    "two_proportion_events",
+    oracle="""
+    WITH d AS (
+      SELECT CASE WHEN user_id % 2 = 1 THEN 'treatment'
+                  ELSE 'control' END AS g,
+             CAST(event_type = 'purchase' AS BIGINT) AS s
+      FROM events WHERE event_type IS NOT NULL),
+    agg AS (
+      SELECT sum(CASE WHEN g = 'treatment' THEN 1 ELSE 0 END) AS n_a,
+             sum(CASE WHEN g = 'control' THEN 1 ELSE 0 END) AS n_b,
+             sum(CASE WHEN g = 'treatment' THEN s ELSE 0 END) AS x_a,
+             sum(CASE WHEN g = 'control' THEN s ELSE 0 END) AS x_b
+      FROM d),
+    c AS (
+      SELECT CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+             CAST(x_a AS DOUBLE) AS xa, CAST(x_b AS DOUBLE) AS xb,
+             n_a, n_b
+      FROM agg),
+    zc AS (
+      SELECT *,
+             (xa / na - xb / nb)
+             / sqrt((xa + xb) / (na + nb)
+                    * (1.0 - (xa + xb) / (na + nb))
+                    * (1.0 / na + 1.0 / nb)) AS z
+      FROM c),
+    e AS (SELECT *, abs(z) / sqrt(2.0) AS xx FROM zc),
+    e2 AS (SELECT *, 1.0 / (1.0 + 0.3275911 * xx) AS t FROM e),
+    pv AS (
+      SELECT *,
+             1.0 - (1.0 - (t * (0.254829592 + t * (-0.284496736
+               + t * (1.421413741 + t * (-1.453152027
+               + t * 1.061405429))))) * exp(-xx * xx)) AS p_value
+      FROM e2),
+    w AS (
+      SELECT *,
+             ((xa / na + 1.96 * 1.96 / (2.0 * na))
+              / (1.0 + 1.96 * 1.96 / na)) AS ca,
+             (1.96 * sqrt((xa / na) * (1.0 - xa / na) / na
+                          + 1.96 * 1.96 / (4.0 * na * na))
+              / (1.0 + 1.96 * 1.96 / na)) AS ha,
+             ((xb / nb + 1.96 * 1.96 / (2.0 * nb))
+              / (1.0 + 1.96 * 1.96 / nb)) AS cb,
+             (1.96 * sqrt((xb / nb) * (1.0 - xb / nb) / nb
+                          + 1.96 * 1.96 / (4.0 * nb * nb))
+              / (1.0 + 1.96 * 1.96 / nb)) AS hb
+      FROM pv)
+    SELECT CAST(round(xa / na, 6) AS DOUBLE) AS p_a,
+           CAST(round(xb / nb, 6) AS DOUBLE) AS p_b,
+           CAST(round(z, 6) AS DOUBLE) AS z,
+           CAST(round(p_value, 6) AS DOUBLE) AS p_value,
+           CAST(round(ca - ha, 6) AS DOUBLE) AS a_lo,
+           CAST(round(ca + ha, 6) AS DOUBLE) AS a_hi,
+           CAST(round(cb - hb, 6) AS DOUBLE) AS b_lo,
+           CAST(round(cb + hb, 6) AS DOUBLE) AS b_hi,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b
+    FROM w
+    """,
+)
+def two_proportion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test + Wilson 95% intervals on purchase rate by
+    user-hash variant (stats/inferential.py two_proportion_test; Wilson
+    JASA 1927): four integer counts in, the whole dashboard readout
+    out — pooled-SE z, erf-polynomial p, per-group score intervals."""
+    from gofast_spark.stats.inferential import two_proportion_test
+
+    e = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull()
+    ).withColumn(
+        "variant",
+        F.when(F.col("user_id") % 2 == 1, "treatment").otherwise("control"),
+    )
+    out = two_proportion_test(
+        e, "variant", (F.col("event_type") == "purchase").cast("int"),
+        "treatment", "control",
+    )
+    return out.select(
+        F.round("p_a", 6).cast("double").alias("p_a"),
+        F.round("p_b", 6).cast("double").alias("p_b"),
+        F.round("z", 6).cast("double").alias("z"),
+        F.round("p_value", 6).cast("double").alias("p_value"),
+        F.round("a_lo", 6).cast("double").alias("a_lo"),
+        F.round("a_hi", 6).cast("double").alias("a_hi"),
+        F.round("b_lo", 6).cast("double").alias("b_lo"),
+        F.round("b_hi", 6).cast("double").alias("b_hi"),
+        "n_a",
+        "n_b",
+    )

@@ -13,10 +13,12 @@ from gofast_spark.stats.descriptive import (
 )
 from gofast_spark.stats.relationships import (
     correlation_ops,
+    kendall_tau,
     kruskal_wallis,
     spearman_corr,
 )
 from gofast_spark.stats.multiple import fdr_bh, p_two_sided_from_z
+from gofast_spark.stats.inferential import two_proportion_test
 from gofast_spark.stats.sequential import (
     msprt_curve,
     msprt_day_moments,
@@ -72,6 +74,8 @@ __all__ = [
     "kaplan_meier",
     "logrank_test",
     "fdr_bh",
+    "kendall_tau",
+    "two_proportion_test",
     "msprt_curve",
     "msprt_day_moments",
     "msprt_from_day_moments",

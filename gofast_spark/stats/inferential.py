@@ -587,3 +587,72 @@ def cohens_d(
         F.col("na").cast("bigint").alias("n_a"),
         F.col("nb").cast("bigint").alias("n_b"),
     )
+
+
+def two_proportion_test(
+    df: DataFrame,
+    group_col: str,
+    success_col,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Two-proportion z-test with Wilson score intervals (pooled-SE z
+    per standard practice; Wilson, JASA 1927 for the per-group CI).
+
+    Everything derives from four exact integer counts (one aggregate):
+    ``z = (p_a - p_b) / sqrt(p_pool (1 - p_pool) (1/n_a + 1/n_b))``,
+    plus each group's 95% Wilson interval — the conversion-rate readout
+    of every experimentation dashboard, engine-deterministic because
+    the only inputs are integers.  Returns one row ``(p_a, p_b, z,
+    p_value, a_lo, a_hi, b_lo, b_hi, n_a, n_b)``."""
+    from gofast_spark.stats.multiple import p_two_sided_from_z
+
+    s = (
+        F.col(success_col) if isinstance(success_col, str) else success_col
+    ).cast("bigint")
+    in_a = (F.col(group_col) == group_a).cast("bigint")
+    in_b = (F.col(group_col) == group_b).cast("bigint")
+    agg = df.where(F.col(group_col).isin([group_a, group_b])).agg(
+        F.sum(in_a).alias("n_a"),
+        F.sum(in_b).alias("n_b"),
+        F.sum(s * in_a).alias("x_a"),
+        F.sum(s * in_b).alias("x_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    xa, xb = F.col("x_a").cast("double"), F.col("x_b").cast("double")
+    pa, pb = xa / na, xb / nb
+    pool = (xa + xb) / (na + nb)
+    z = (pa - pb) / F.sqrt(
+        pool * (F.lit(1.0) - pool) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    )
+
+    def wilson(x, n):
+        # 95% Wilson score interval, z* = 1.96
+        zz = F.lit(1.96)
+        p = x / n
+        denom = F.lit(1.0) + zz * zz / n
+        center = (p + zz * zz / (F.lit(2.0) * n)) / denom
+        half = (
+            zz
+            * F.sqrt(
+                p * (F.lit(1.0) - p) / n
+                + zz * zz / (F.lit(4.0) * n * n)
+            )
+            / denom
+        )
+        return center - half, center + half
+
+    a_lo, a_hi = wilson(xa, na)
+    b_lo, b_hi = wilson(xb, nb)
+    return agg.select(
+        pa.alias("p_a"),
+        pb.alias("p_b"),
+        z.alias("z"),
+        p_two_sided_from_z(z).alias("p_value"),
+        a_lo.alias("a_lo"),
+        a_hi.alias("a_hi"),
+        b_lo.alias("b_lo"),
+        b_hi.alias("b_hi"),
+        F.col("n_a"),
+        F.col("n_b"),
+    )

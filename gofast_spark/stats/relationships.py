@@ -198,3 +198,114 @@ def categorical_association(
         F.first("r").cast("int").alias("r"),
         F.first("c").cast("int").alias("c"),
     )
+
+
+def kendall_tau(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    *,
+    bins: int | str | None = "auto",
+    relative_error: float = 1e-4,
+) -> DataFrame:
+    """Kendall's tau-b rank correlation with tie correction (Kendall,
+    Biometrika 1938; tau-b per Agresti, "Analysis of Ordinal
+    Categorical Data"):
+
+        tau_b = (C - D) / sqrt((n0 - n1) (n0 - n2))
+
+    with C/D the concordant/discordant pair counts and n1/n2 the
+    x-/y-marginal tie terms.
+
+    Scale shape: the naive pair enumeration is quadratic in ROWS; here
+    rows first fold into a (x, y) contingency grid (``bins`` bounds
+    both columns via stats.prebin — exact when distinct <= bins, the
+    spearman discipline), the grid is densified by a broadcast
+    cross of the two distinct-value frames, and C/D come from 2-D
+    prefix sums — two cumulative window passes over the grid, each
+    PARTITIONED by one axis.  Everything is an exact integer until the
+    final division (pair counts widened to decimal so N(N-1)/2 never
+    overflows).  Returns ``(tau_b, concordant, discordant, n)``."""
+    from gofast_spark.stats.prebin import prebin_column
+
+    df = df.where(F.col(col_x).isNotNull() & F.col(col_y).isNotNull())
+    df = prebin_column(df, col_x, bins=bins, relative_error=relative_error)
+    df = prebin_column(df, col_y, bins=bins, relative_error=relative_error)
+    cells = df.groupBy(
+        F.col(col_x).alias("x"), F.col(col_y).alias("y")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    xs = cells.select("x").distinct()
+    ys = cells.select("y").distinct()
+    grid = (
+        xs.crossJoin(F.broadcast(ys))
+        .join(cells, ["x", "y"], "left")
+        .select("x", "y", F.coalesce(F.col("cnt"), F.lit(0)).alias("n"))
+    )
+    # A(x,y) = sum over x' < x of n(x', y): cumulative along x per y
+    w_x = (
+        Window.partitionBy("y")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    g1 = grid.withColumn(
+        "a", F.coalesce(F.sum("n").over(w_x), F.lit(0))
+    )
+    # S(x,y)  = sum over y' < y  of A(x,y')  (strictly less in both)
+    # B(x,y)  = sum over y' <= y of A(x,y')  (less in x, leq in y)
+    # T(x)    = sum over all y   of A(x,y)   (less in x, any y)
+    w_y_lt = (
+        Window.partitionBy("x")
+        .orderBy("y")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_y_le = (
+        Window.partitionBy("x")
+        .orderBy("y")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_t = Window.partitionBy("x")
+    g2 = g1.select(
+        "x",
+        "y",
+        "n",
+        F.coalesce(F.sum("a").over(w_y_lt), F.lit(0)).alias("s_ll"),
+        F.sum("a").over(w_y_le).alias("b_lle"),
+        F.sum("a").over(w_t).alias("t_l"),
+    )
+    pair_sums = g2.agg(
+        F.sum(
+            F.col("n").cast("decimal(19,0)") * F.col("s_ll")
+        ).alias("concordant"),
+        F.sum(
+            F.col("n").cast("decimal(19,0)")
+            * (F.col("t_l") - F.col("b_lle"))
+        ).alias("discordant"),
+    )
+    margins_x = cells.groupBy("x").agg(F.sum("cnt").alias("tx")).agg(
+        F.sum(
+            F.col("tx").cast("decimal(19,0)") * (F.col("tx") - 1)
+        ).alias("tie_x2"),
+        F.sum("tx").alias("n_rows"),
+    )
+    margins_y = cells.groupBy("y").agg(F.sum("cnt").alias("ty")).agg(
+        F.sum(
+            F.col("ty").cast("decimal(19,0)") * (F.col("ty") - 1)
+        ).alias("tie_y2"),
+    )
+    j = pair_sums.crossJoin(F.broadcast(margins_x)).crossJoin(
+        F.broadcast(margins_y)
+    )
+    n = F.col("n_rows").cast("decimal(19,0)")
+    n0_2 = n * (n - 1)  # 2*n0
+    c = F.col("concordant").cast("double")
+    d = F.col("discordant").cast("double")
+    denom = F.sqrt(
+        (n0_2 - F.col("tie_x2")).cast("double")
+        * (n0_2 - F.col("tie_y2")).cast("double")
+    ) / F.lit(2.0)
+    return j.select(
+        ((c - d) / denom).alias("tau_b"),
+        F.col("concordant").cast("bigint").alias("concordant"),
+        F.col("discordant").cast("bigint").alias("discordant"),
+        F.col("n_rows").alias("n"),
+    )
