@@ -567,3 +567,67 @@ def auc_score(
     return agg.select(
         auc.alias("auc"), n1.alias("n_pos"), n0.alias("n_neg")
     )
+
+
+def roc_points(
+    df: DataFrame,
+    score_col,
+    label_col,
+    *,
+    lo: float,
+    hi: float,
+    bins: int = 64,
+) -> DataFrame:
+    """ROC curve points over a DECLARED threshold grid (the
+    value_histogram convention): one histogram groupBy + one cumulative
+    window over the bins-sized frame gives ``(threshold, tp, fp, tpr,
+    fpr)`` for every candidate cut — the curve behind
+    :func:`auc_score`, integer-exact, one scan of any table size.
+    Predicting positive means ``score >= threshold``; thresholds are
+    the grid's bin lower edges (descending cumulative counts)."""
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    if not hi > lo:
+        raise ValueError("need hi > lo")
+    s = (F.col(score_col) if isinstance(score_col, str) else score_col).cast(
+        "double"
+    )
+    y = (
+        F.col(label_col) if isinstance(label_col, str) else label_col
+    ).cast("bigint")
+    width = (hi - lo) / bins
+    b = F.least(
+        F.greatest(F.floor((s - F.lit(lo)) / F.lit(width)).cast("int"),
+                   F.lit(0)),
+        F.lit(bins - 1),
+    )
+    hist = (
+        df.where(s.isNotNull() & y.isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(y).alias("pos"))
+    )
+    # score >= threshold(bin) captures this bin and every higher one
+    w_ge = Window.orderBy(F.col("bin").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.partitionBy()
+    cum = hist.select(
+        (F.lit(lo) + F.col("bin").cast("double") * F.lit(width)).alias(
+            "threshold"
+        ),
+        F.sum("pos").over(w_ge).alias("tp"),
+        (F.sum("n").over(w_ge) - F.sum("pos").over(w_ge)).alias("fp"),
+        F.sum("pos").over(tot).alias("__p"),
+        (F.sum("n").over(tot) - F.sum("pos").over(tot)).alias("__n"),
+    )
+    return cum.select(
+        "threshold",
+        "tp",
+        "fp",
+        (F.col("tp").cast("double") / F.col("__p").cast("double")).alias(
+            "tpr"
+        ),
+        (F.col("fp").cast("double") / F.col("__n").cast("double")).alias(
+            "fpr"
+        ),
+    )

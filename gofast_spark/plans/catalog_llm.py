@@ -2416,3 +2416,54 @@ def embedding_drift_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("norm_ratio", 6).cast("double").alias("norm_ratio"),
         "n_ref", "n_cur",
     )
+
+
+@query(
+    "readability_documents",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, text, {_norm_sql('text')} AS t FROM documents),
+    f AS (
+      SELECT doc_id,
+             len(string_split(t, ' ')) AS n_words,
+             greatest(len(regexp_extract_all(text, '[.!?]')), 1)
+               AS n_sentences,
+             greatest(len(regexp_extract_all(t, '[aeiouy]+')),
+                      len(string_split(t, ' '))) AS n_syllables
+      FROM norm WHERE text IS NOT NULL AND length(t) > 0)
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(n_syllables AS BIGINT) AS n_syllables,
+           CAST(round(206.835
+                      - 1.015 * (CAST(n_words AS DOUBLE)
+                                 / CAST(n_sentences AS DOUBLE))
+                      - 84.6 * (CAST(n_syllables AS DOUBLE)
+                                / CAST(n_words AS DOUBLE)), 4)
+             AS DOUBLE) AS flesch_ease,
+           CAST(round(0.39 * (CAST(n_words AS DOUBLE)
+                              / CAST(n_sentences AS DOUBLE))
+                      + 11.8 * (CAST(n_syllables AS DOUBLE)
+                                / CAST(n_words AS DOUBLE))
+                      - 15.59, 4) AS DOUBLE) AS fk_grade
+    FROM f
+    """,
+)
+def readability_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease + FK grade per document
+    (text/analysis.readability; Flesch 1948, Kincaid et al. 1975):
+    sentence/word/vowel-group counts as row-local regexp projections —
+    a corpus-quality signal for one codegen'd scan, extending the
+    quality-classifier feature family."""
+    from gofast_spark.text.analysis import readability
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    out = readability(d, "text")
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.col("n_sentences").cast("bigint").alias("n_sentences"),
+        F.col("n_syllables").cast("bigint").alias("n_syllables"),
+        F.round("flesch_ease", 4).cast("double").alias("flesch_ease"),
+        F.round("fk_grade", 4).cast("double").alias("fk_grade"),
+    )

@@ -474,3 +474,96 @@ def gains_table_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("capture", 6).cast("double").alias("capture"),
         F.round("cum_lift", 6).cast("double").alias("cum_lift"),
     )
+
+
+@query(
+    "roc_points_events",
+    oracle="""
+    WITH d AS (
+      SELECT value AS s, CAST(event_type = 'purchase' AS BIGINT) AS y
+      FROM events
+      WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL),
+    h AS (
+      SELECT least(greatest(CAST(floor((s - 0.0) / 8.0) AS INT), 0), 63)
+               AS bin,
+             count(*) AS n, sum(y) AS pos
+      FROM d GROUP BY 1),
+    c AS (
+      SELECT 0.0 + CAST(bin AS DOUBLE) * 8.0 AS threshold,
+             sum(pos) OVER wd AS tp,
+             sum(n) OVER wd - sum(pos) OVER wd AS fp,
+             sum(pos) OVER () AS p,
+             sum(n) OVER () - sum(pos) OVER () AS nn
+      FROM h
+      WINDOW wd AS (ORDER BY bin DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT threshold, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(round(CAST(tp AS DOUBLE) / CAST(p AS DOUBLE), 6)
+             AS DOUBLE) AS tpr,
+           CAST(round(CAST(fp AS DOUBLE) / CAST(nn AS DOUBLE), 6)
+             AS DOUBLE) AS fpr
+    FROM c
+    """,
+)
+def roc_points_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC curve points over the declared 0..512/64 grid
+    (metrics.roc_points): one histogram groupBy + one descending
+    cumulative window over 64 rows — the curve behind roc_auc_events,
+    integer-exact counts, one scan at any scale."""
+    from gofast_spark.metrics import roc_points
+
+    e = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isin(["purchase", "view"])
+        & F.col("value").isNotNull()
+    )
+    out = roc_points(
+        e, "value", (F.col("event_type") == "purchase").cast("int"),
+        lo=0.0, hi=512.0, bins=64,
+    )
+    return out.select(
+        "threshold", "tp", "fp",
+        F.round("tpr", 6).cast("double").alias("tpr"),
+        F.round("fpr", 6).cast("double").alias("fpr"),
+    )
+
+
+@query(
+    "mad_outliers_events",
+    oracle="""
+    WITH d AS (
+      SELECT event_type AS g, CAST(value AS DOUBLE) AS x
+      FROM events WHERE value IS NOT NULL),
+    med AS (SELECT g, quantile_cont(x, 0.5) AS med FROM d GROUP BY g),
+    mad AS (
+      SELECT d.g, quantile_cont(abs(x - med), 0.5) AS mad
+      FROM d JOIN med ON d.g = med.g GROUP BY d.g),
+    r AS (
+      SELECT d.g,
+             CASE WHEN mad > 0
+                  THEN 0.6745 * (x - med) / mad ELSE 0.0 END AS mz
+      FROM d JOIN med ON d.g = med.g JOIN mad ON d.g = mad.g)
+    SELECT g AS event_type, count(*) AS n,
+           CAST(sum(CASE WHEN abs(mz) > 3.5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers,
+           CAST(round(max(abs(mz)), 6) AS DOUBLE) AS max_abs_mz
+    FROM r GROUP BY g
+    """,
+)
+def mad_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via the MAD modified z-score
+    (quality/outliers.mad_outliers; Iglewicz & Hoaglin 1993), per event
+    type: two grouped percentile aggregates through the shared
+    exact/sketch switch, flags at |mz| > 3.5 — the robust companion to
+    the zscore/IQR handlers, immune to the outliers dragging the
+    scale."""
+    from gofast_spark.quality.outliers import mad_outliers
+
+    e = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    flagged = mad_outliers(e, "value", by="event_type")
+    return flagged.groupBy(F.col("event_type")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("is_outlier").cast("bigint").alias("n_outliers"),
+        F.round(F.max(F.abs(F.col("mz"))), 6)
+        .cast("double")
+        .alias("max_abs_mz"),
+    )

@@ -4,7 +4,7 @@ report side-channels computed as aggregations."""
 
 from gofast_spark.quality.missing import drop_nan_in, handle_missing_data, handle_nans, missing_profile, nan_ops
 from gofast_spark.quality.duplicates import handle_duplicates, handle_unique_identifiers, has_duplicates
-from gofast_spark.quality.outliers import OutlierHandler, handle_outliers_in
+from gofast_spark.quality.outliers import mad_outliers, OutlierHandler, handle_outliers_in
 from gofast_spark.quality.scaling import (
     minmax_scale,
     robust_scale,

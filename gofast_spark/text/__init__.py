@@ -12,6 +12,7 @@ from gofast_spark.text.analysis import (
     language_id,
     normalize_text,
     quality_score,
+    readability,
     text_stats,
     token_count_bpeish,
     tokenize_text,
@@ -64,6 +65,7 @@ __all__ = [
     "normalize_text",
     "tokenize_text",
     "token_count_bpeish",
+    "readability",
     "text_stats",
     "quality_score",
     "language_id",

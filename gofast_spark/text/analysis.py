@@ -175,3 +175,42 @@ def corpus_report(
             / (F.count(F.lit(1)) * F.lit(1_000_000.0))
         ).alias("mean_stopword_ratio"),
     )
+
+
+def readability(df: DataFrame, text_col: str) -> DataFrame:
+    """Flesch reading ease + Flesch-Kincaid grade per document (Flesch,
+    J. Applied Psychology 1948; Kincaid et al. 1975), with the standard
+    large-corpus approximations: sentences = count of ``[.!?]`` in the
+    raw text (min 1), words from the repo's normalize recipe, syllables
+    = vowel-group count (``[aeiouy]+`` runs, min 1/word applied in
+    aggregate via greatest) — every term is a row-local projection, so
+    the score costs one codegen'd scan at any corpus size.
+
+        ease  = 206.835 - 1.015 * words/sentences - 84.6 * syllables/words
+        grade = 0.39 * words/sentences + 11.8 * syllables/words - 15.59
+    """
+    t = F.col(text_col)
+    norm = normalize_text(t)
+    words = F.size(F.split(norm, " "))
+    sentences = F.greatest(
+        F.regexp_count(t, F.lit(r"[.!?]")), F.lit(1)
+    )
+    syllables = F.greatest(
+        F.regexp_count(norm, F.lit("[aeiouy]+")), words
+    )
+    wps = words.cast("double") / sentences.cast("double")
+    spw = syllables.cast("double") / words.cast("double")
+    ease = (
+        F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    )
+    grade = (
+        F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)
+    )
+    return df.where(t.isNotNull() & (F.length(norm) > 0)).select(
+        "*",
+        words.alias("n_words"),
+        sentences.alias("n_sentences"),
+        syllables.alias("n_syllables"),
+        ease.alias("flesch_ease"),
+        grade.alias("fk_grade"),
+    )
