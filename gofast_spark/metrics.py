@@ -631,3 +631,172 @@ def roc_points(
             "fpr"
         ),
     )
+
+
+def pr_curve(
+    df: DataFrame,
+    score_col,
+    label_col,
+    *,
+    lo: float,
+    hi: float,
+    bins: int = 64,
+) -> DataFrame:
+    """Precision-recall points over the same declared grid as
+    :func:`roc_points`, plus step-wise average precision (Zhu 2004 /
+    the sklearn AP definition ``sum_k (R_k - R_{k-1}) * P_k`` over
+    descending thresholds): one histogram, one descending cumulative
+    window, one ordered AP accumulation — all over the bins-sized
+    frame.  Returns per threshold ``(threshold, tp, fp, precision,
+    recall, avg_precision)`` where avg_precision repeats the final AP
+    on every row (a grid-wide constant)."""
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    if not hi > lo:
+        raise ValueError("need hi > lo")
+    s = (F.col(score_col) if isinstance(score_col, str) else score_col).cast(
+        "double"
+    )
+    y = (
+        F.col(label_col) if isinstance(label_col, str) else label_col
+    ).cast("bigint")
+    width = (hi - lo) / bins
+    b = F.least(
+        F.greatest(F.floor((s - F.lit(lo)) / F.lit(width)).cast("int"),
+                   F.lit(0)),
+        F.lit(bins - 1),
+    )
+    hist = (
+        df.where(s.isNotNull() & y.isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(y).alias("pos"))
+    )
+    w_ge = Window.orderBy(F.col("bin").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.partitionBy()
+    cum = hist.select(
+        "bin",
+        (F.lit(lo) + F.col("bin").cast("double") * F.lit(width)).alias(
+            "threshold"
+        ),
+        F.sum("pos").over(w_ge).alias("tp"),
+        (F.sum("n").over(w_ge) - F.sum("pos").over(w_ge)).alias("fp"),
+        F.sum("pos").over(tot).alias("__p"),
+    )
+    prec = F.col("tp").cast("double") / (
+        F.col("tp") + F.col("fp")
+    ).cast("double")
+    rec = F.col("tp").cast("double") / F.col("__p").cast("double")
+    pts = cum.select(
+        "bin", "threshold", "tp", "fp",
+        prec.alias("precision"), rec.alias("recall"),
+    )
+    # AP = sum over descending thresholds of (recall step) * precision;
+    # the recall of the previous (higher) threshold via lag, 0 at the top.
+    w_desc = Window.orderBy(F.col("bin").desc())
+    step = F.col("recall") - F.coalesce(
+        F.lag("recall").over(w_desc), F.lit(0.0)
+    )
+    with_step = pts.withColumn("__ap_term", step * F.col("precision"))
+    ap = with_step.select(
+        "bin", "threshold", "tp", "fp", "precision", "recall",
+        F.sum("__ap_term")
+        .over(
+            Window.orderBy(F.col("bin").desc()).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("avg_precision"),
+    )
+    return ap.drop("bin")
+
+
+def brier_decomposition(
+    df: DataFrame,
+    score_col,
+    label_col,
+    *,
+    bins: int = 10,
+) -> DataFrame:
+    """Brier score with the Murphy (1973) reliability / resolution /
+    uncertainty decomposition over ``bins`` equal-width forecast
+    buckets:
+
+        brier       = mean((p - y)^2)
+        reliability = (1/N) sum_k n_k (pbar_k - ybar_k)^2
+        resolution  = (1/N) sum_k n_k (ybar_k - ybar)^2
+        uncertainty = ybar (1 - ybar)
+
+    (the binned decomposition; brier = rel - res + unc exactly only
+    when forecasts are constant within buckets).  Scores quantize to
+    exact integer micro-units so the global squared-error sum is an
+    integer (decimal-widened) — no float accumulation anywhere except
+    the bins-sized decomposition terms, which fold over a bin-ORDERED
+    cumulative window + argmax pick (the repo's deterministic-sum
+    discipline).  Returns one row."""
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    s = (F.col(score_col) if isinstance(score_col, str) else score_col).cast(
+        "double"
+    )
+    y = (
+        F.col(label_col) if isinstance(label_col, str) else label_col
+    ).cast("bigint")
+    s6 = F.floor(s * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+    b = F.least(
+        F.greatest(F.floor(s * F.lit(float(bins))).cast("int"), F.lit(0)),
+        F.lit(bins - 1),
+    )
+    base = df.where(s.isNotNull() & y.isNotNull()).select(
+        b.alias("bin"), s6.alias("s6"), y.alias("y")
+    )
+    per = base.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_k"),
+        F.sum("y").alias("y_k"),
+        F.sum("s6").alias("ss6_k"),
+        F.sum(
+            (F.col("s6") - F.lit(1_000_000) * F.col("y")).cast(
+                "decimal(19,0)"
+            )
+            * (F.col("s6") - F.lit(1_000_000) * F.col("y"))
+        ).alias("se_k"),
+    )
+    tot = Window.partitionBy()
+    w_cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    g = per.select(
+        "bin",
+        "n_k",
+        "y_k",
+        "ss6_k",
+        F.sum("n_k").over(tot).alias("n"),
+        F.sum("y_k").over(tot).alias("y_tot"),
+        F.sum("se_k").over(tot).alias("se"),
+    )
+    nk = F.col("n_k").cast("double")
+    pbar = F.col("ss6_k").cast("double") / (F.lit(1e6) * nk)
+    ybar_k = F.col("y_k").cast("double") / nk
+    ybar = F.col("y_tot").cast("double") / F.col("n").cast("double")
+    rel_t = nk * (pbar - ybar_k) * (pbar - ybar_k)
+    res_t = nk * (ybar_k - ybar) * (ybar_k - ybar)
+    cum = g.select(
+        "bin",
+        "n",
+        "y_tot",
+        "se",
+        F.sum(rel_t).over(w_cum).alias("rel_c"),
+        F.sum(res_t).over(w_cum).alias("res_c"),
+    )
+    last = cum.agg(
+        F.max_by(F.struct("n", "y_tot", "se", "rel_c", "res_c"),
+                 F.col("bin")).alias("s")
+    ).select("s.*")
+    n = F.col("n").cast("double")
+    yb = F.col("y_tot").cast("double") / n
+    return last.select(
+        (F.col("se").cast("double") / (F.lit(1e12) * n)).alias("brier"),
+        (F.col("rel_c") / n).alias("reliability"),
+        (F.col("res_c") / n).alias("resolution"),
+        (yb * (F.lit(1.0) - yb)).alias("uncertainty"),
+        F.col("n").alias("n"),
+    )

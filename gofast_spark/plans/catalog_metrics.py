@@ -567,3 +567,148 @@ def mad_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("max_abs_mz"),
     )
+
+
+@query(
+    "pr_curve_events",
+    oracle="""
+    WITH d AS (
+      SELECT value AS s, CAST(event_type = 'purchase' AS BIGINT) AS y
+      FROM events
+      WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL),
+    h AS (
+      SELECT least(greatest(CAST(floor((s - 0.0) / 8.0) AS INT), 0), 63)
+               AS bin,
+             count(*) AS n, sum(y) AS pos
+      FROM d GROUP BY 1),
+    c AS (
+      SELECT bin, 0.0 + CAST(bin AS DOUBLE) * 8.0 AS threshold,
+             sum(pos) OVER wd AS tp,
+             sum(n) OVER wd - sum(pos) OVER wd AS fp,
+             sum(pos) OVER () AS p
+      FROM h
+      WINDOW wd AS (ORDER BY bin DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    pts AS (
+      SELECT bin, threshold, tp, fp,
+             CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
+             CAST(tp AS DOUBLE) / CAST(p AS DOUBLE) AS recall
+      FROM c),
+    st AS (
+      SELECT bin, threshold, tp, fp, precision, recall,
+             (recall - coalesce(lag(recall) OVER (ORDER BY bin DESC), 0.0))
+               * precision AS ap_term
+      FROM pts),
+    fin AS (
+      SELECT bin, threshold, tp, fp, precision, recall,
+             sum(ap_term) OVER (ORDER BY bin DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS avg_precision
+      FROM st)
+    SELECT threshold, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(round(precision, 6) AS DOUBLE) AS precision,
+           CAST(round(recall, 6) AS DOUBLE) AS recall,
+           CAST(round(avg_precision, 6) AS DOUBLE) AS avg_precision
+    FROM fin
+    """,
+)
+def pr_curve_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision-recall curve + step-wise average precision over the
+    declared 0..512/64 grid (metrics.pr_curve; the sklearn AP
+    definition): one histogram, one descending cumulative window, one
+    ordered AP fold — the imbalanced-label companion to
+    roc_points_events."""
+    from gofast_spark.metrics import pr_curve
+
+    e = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isin(["purchase", "view"])
+        & F.col("value").isNotNull()
+    )
+    out = pr_curve(
+        e, "value", (F.col("event_type") == "purchase").cast("int"),
+        lo=0.0, hi=512.0, bins=64,
+    )
+    return out.select(
+        "threshold", "tp", "fp",
+        F.round("precision", 6).cast("double").alias("precision"),
+        F.round("recall", 6).cast("double").alias("recall"),
+        F.round("avg_precision", 6).cast("double").alias("avg_precision"),
+    )
+
+
+@query(
+    "brier_decomposition_orders",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(o_custkey % 97 AS DOUBLE) / 97 AS s,
+             CAST(o_orderstatus = 'F' AS BIGINT) AS y
+      FROM orders
+      WHERE o_custkey IS NOT NULL AND o_orderstatus IS NOT NULL),
+    q AS (
+      SELECT CAST(floor(s * 1000000.0 + 0.5) AS BIGINT) AS s6, y,
+             least(greatest(CAST(floor(s * 10.0) AS INT), 0), 9) AS bin
+      FROM d),
+    per AS (
+      SELECT bin, count(*) AS n_k, sum(y) AS y_k, sum(s6) AS ss6_k,
+             sum(CAST(s6 - 1000000 * y AS HUGEINT)
+                 * (s6 - 1000000 * y)) AS se_k
+      FROM q GROUP BY bin),
+    g AS (
+      SELECT bin, n_k, y_k, ss6_k,
+             sum(n_k) OVER () AS n, sum(y_k) OVER () AS y_tot,
+             sum(se_k) OVER () AS se
+      FROM per),
+    t AS (
+      SELECT bin, n, y_tot, se,
+             sum(CAST(n_k AS DOUBLE)
+                 * (CAST(ss6_k AS DOUBLE) / (1000000.0 * CAST(n_k AS DOUBLE))
+                    - CAST(y_k AS DOUBLE) / CAST(n_k AS DOUBLE))
+                 * (CAST(ss6_k AS DOUBLE) / (1000000.0 * CAST(n_k AS DOUBLE))
+                    - CAST(y_k AS DOUBLE) / CAST(n_k AS DOUBLE)))
+               OVER wc AS rel_c,
+             sum(CAST(n_k AS DOUBLE)
+                 * (CAST(y_k AS DOUBLE) / CAST(n_k AS DOUBLE)
+                    - CAST(y_tot AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(y_k AS DOUBLE) / CAST(n_k AS DOUBLE)
+                    - CAST(y_tot AS DOUBLE) / CAST(n AS DOUBLE)))
+               OVER wc AS res_c
+      FROM g
+      WINDOW wc AS (ORDER BY bin
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    last AS (SELECT * FROM t ORDER BY bin DESC LIMIT 1)
+    SELECT CAST(round(CAST(se AS DOUBLE)
+                      / (1000000000000.0 * CAST(n AS DOUBLE)), 9)
+             AS DOUBLE) AS brier,
+           CAST(round(rel_c / CAST(n AS DOUBLE), 9) AS DOUBLE)
+             AS reliability,
+           CAST(round(res_c / CAST(n AS DOUBLE), 9) AS DOUBLE)
+             AS resolution,
+           CAST(round((CAST(y_tot AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (1.0 - CAST(y_tot AS DOUBLE) / CAST(n AS DOUBLE)),
+                      9) AS DOUBLE) AS uncertainty,
+           CAST(n AS BIGINT) AS n
+    FROM last
+    """,
+)
+def brier_decomposition_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score + Murphy (1973) reliability/resolution/uncertainty
+    (metrics.brier_decomposition) for the calibration_curve_orders
+    score: micro-unit-exact squared errors (the global sum is an exact
+    integer), decomposition terms folded over the bin-ordered window
+    with an argmax pick — deterministic end to end."""
+    from gofast_spark.metrics import brier_decomposition
+
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_custkey").isNotNull() & F.col("o_orderstatus").isNotNull()
+    ).select(
+        ((F.col("o_custkey") % 97).cast("double") / 97).alias("score"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("label"),
+    )
+    out = brier_decomposition(o, "score", "label", bins=10)
+    return out.select(
+        F.round("brier", 9).cast("double").alias("brier"),
+        F.round("reliability", 9).cast("double").alias("reliability"),
+        F.round("resolution", 9).cast("double").alias("resolution"),
+        F.round("uncertainty", 9).cast("double").alias("uncertainty"),
+        "n",
+    )
