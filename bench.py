@@ -82,6 +82,13 @@ HEADLINE = [
     "kmeans_lloyd_embeddings",
     "dbscan_embeddings",
     "frequent_pairs_lineitem",
+    # round 8b: item-item CF join, one-scan bagging ensemble, sequential
+    # A/B fold, rank-correlation grid, ranking metrics
+    "item_cosine_topk_lineitem",
+    "bagged_stumps_orders",
+    "msprt_ab_events",
+    "kendall_tau_lineitem",
+    "gains_table_orders",
 ]
 
 
