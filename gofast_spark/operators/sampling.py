@@ -303,3 +303,90 @@ def weighted_sample_per_group(
         .where(F.col("__rn") <= k)
         .drop("__es", "__rn")
     )
+
+
+def neyman_sample(
+    df: DataFrame,
+    strata_col: str,
+    value_col: str,
+    id_col: str,
+    *,
+    total: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Optimal-allocation stratified sampling (Neyman, JRSS 1934):
+    stratum h receives ``n_h = total * N_h S_h / sum(N_g S_g)`` — more
+    budget where the stratum is bigger OR noisier, the
+    minimum-variance allocation for estimating the population mean.
+
+    ONE moment pass computes every stratum's exact milli-unit
+    (N, sum, sumsq); rates broadcast back and rows keep
+    ``md5_uniform(id, seed) < rate_h`` — a pure projection filter, so
+    the sample is deterministic, repartition-stable, and replayable by
+    an engine oracle.  Zero-variance or empty-budget strata sample
+    nothing beyond the rate floor; rates clamp at 1.  Appends nothing —
+    returns the sampled rows."""
+    from gofast_spark.text.hashing import md5_hash64
+
+    if total < 1:
+        raise ValueError("total must be >= 1")
+    x3 = F.floor(F.col(value_col).cast("double") * 1e3 + F.lit(0.5)).cast(
+        "bigint"
+    )
+    per = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(strata_col).alias("__h"))
+        .agg(
+            F.count(F.lit(1)).alias("n_h"),
+            F.sum(x3).alias("s_h"),
+            F.sum(
+                x3.cast("decimal(19,0)") * x3
+            ).alias("ss_h"),
+        )
+    )
+    nh = F.col("n_h").cast("double")
+    sh = F.col("s_h").cast("double")
+    ssh = F.col("ss_h").cast("double")
+    sd = F.when(
+        F.col("n_h") > 1,
+        F.sqrt(
+            (ssh - sh * sh / nh) / (nh - F.lit(1.0)) / F.lit(1e6)
+        ),
+    ).otherwise(F.lit(0.0))
+    weights = per.select("__h", "n_h", (nh * sd).alias("w_h"))
+    # deterministic float fold: cumulative over the stratum-ordered
+    # window, last row picked by argmax — never an unordered double sum
+    from pyspark.sql import Window
+
+    w_cum = Window.orderBy("__h").rowsBetween(Window.unboundedPreceding, 0)
+    tot = (
+        weights.select("__h", F.sum("w_h").over(w_cum).alias("__c"))
+        .agg(F.max_by(F.col("__c"), F.col("__h")).alias("__wsum"))
+    )
+    rates = weights.crossJoin(F.broadcast(tot)).select(
+        "__h",
+        "n_h",
+        F.least(
+            F.lit(1.0),
+            F.lit(float(total))
+            * F.col("w_h")
+            / F.col("__wsum")
+            / F.col("n_h").cast("double"),
+        ).alias("rate"),
+    )
+    u = (
+        F.pmod(
+            md5_hash64(
+                F.concat(
+                    F.col(id_col).cast("string"), F.lit(f"_ney_{seed}")
+                )
+            ),
+            F.lit(2**31),
+        )
+        / F.lit(float(2**31))
+    )
+    j = df.join(
+        F.broadcast(rates.select(F.col("__h").alias(strata_col), "rate")),
+        strata_col,
+    )
+    return j.where(u < F.col("rate")).drop("rate")

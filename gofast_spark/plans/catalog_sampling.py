@@ -305,3 +305,77 @@ def weighted_sample_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample_per_group(
         c, "c_custkey", "c_acctbal", "c_mktsegment", k=5, seed=7
     )
+
+
+@query(
+    "neyman_sample_orders",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderkey, o_orderpriority AS h,
+             CAST(o_totalprice AS DOUBLE) AS v
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL),
+    q AS (
+      SELECT o_orderkey, h, v,
+             CAST(floor(v * 1000.0 + 0.5) AS BIGINT) AS x3
+      FROM d),
+    per AS (
+      SELECT h, count(*) AS n_h, sum(x3) AS s_h,
+             sum(CAST(x3 AS HUGEINT) * x3) AS ss_h
+      FROM q GROUP BY h),
+    w AS (
+      SELECT h, n_h,
+             CAST(n_h AS DOUBLE)
+               * CASE WHEN n_h > 1
+                      THEN sqrt((CAST(ss_h AS DOUBLE)
+                                 - CAST(s_h AS DOUBLE) * CAST(s_h AS DOUBLE)
+                                   / CAST(n_h AS DOUBLE))
+                                / (CAST(n_h AS DOUBLE) - 1.0) / 1000000.0)
+                      ELSE 0.0 END AS w_h
+      FROM per),
+    c AS (
+      SELECT h, n_h, w_h,
+             sum(w_h) OVER (ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+      FROM w),
+    ws AS (SELECT cw AS wsum FROM c ORDER BY h DESC LIMIT 1),
+    rates AS (
+      SELECT h, least(1.0, 1000.0 * w_h / wsum / CAST(n_h AS DOUBLE))
+               AS rate
+      FROM w, ws),
+    sampled AS (
+      SELECT q.h, q.v
+      FROM q JOIN rates ON q.h = rates.h
+      WHERE (CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
+               || '_ney_17'), 1, 15)) AS BIGINT) % 2147483648)
+            / 2147483648.0 < rate)
+    SELECT h AS o_orderpriority, count(*) AS n_sampled,
+           CAST(sum(CAST(floor(v * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM sampled GROUP BY h
+    """,
+)
+def neyman_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman optimal-allocation stratified sample of orders by
+    priority (operators/sampling.neyman_sample; Neyman JRSS 1934):
+    budget 1000 split by N_h * S_h from one exact milli-unit moment
+    pass, membership a pure md5-hash projection filter — deterministic,
+    repartition-stable, and fully replayed by the oracle including the
+    per-stratum sampled sums."""
+    from gofast_spark.operators.sampling import neyman_sample
+
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_totalprice").isNotNull()
+        & F.col("o_orderpriority").isNotNull()
+    ).select("o_orderkey", "o_orderpriority", "o_totalprice")
+    s = neyman_sample(
+        o, "o_orderpriority", "o_totalprice", "o_orderkey",
+        total=1000, seed=17,
+    )
+    return s.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum(
+            F.floor(F.col("o_totalprice").cast("double") * 100 + F.lit(0.5))
+            .cast("bigint")
+        ).cast("bigint").alias("sum_cents"),
+    )

@@ -1976,3 +1976,128 @@ def two_proportion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_a",
         "n_b",
     )
+
+
+@query(
+    "cochran_armitage_orders",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(date_part('month', o_orderdate) AS BIGINT) AS sc,
+             CAST(o_orderstatus = 'F' AS BIGINT) AS y
+      FROM orders
+      WHERE o_orderdate IS NOT NULL AND o_orderstatus IS NOT NULL),
+    per AS (SELECT sc, count(*) AS n_i, sum(y) AS r_i FROM d GROUP BY sc),
+    agg AS (
+      SELECT sum(n_i) AS n, sum(r_i) AS r,
+             sum(CAST(r_i AS HUGEINT) * sc) AS rs,
+             sum(CAST(n_i AS HUGEINT) * sc) AS ns,
+             sum(CAST(n_i AS HUGEINT) * sc * sc) AS nss,
+             count(*) AS n_groups
+      FROM per),
+    zc AS (
+      SELECT (CAST(rs AS DOUBLE)
+              - CAST(r AS DOUBLE) * CAST(ns AS DOUBLE) / CAST(n AS DOUBLE))
+             / sqrt(CAST(r AS DOUBLE) / CAST(n AS DOUBLE)
+                    * (1.0 - CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(nss AS DOUBLE)
+                       - CAST(ns AS DOUBLE) * CAST(ns AS DOUBLE)
+                         / CAST(n AS DOUBLE))) AS z,
+             n, n_groups
+      FROM agg),
+    e AS (SELECT z, n, n_groups, abs(z) / sqrt(2.0) AS xx FROM zc),
+    e2 AS (SELECT *, 1.0 / (1.0 + 0.3275911 * xx) AS t FROM e),
+    pv AS (
+      SELECT z, n, n_groups,
+             1.0 - (1.0 - (t * (0.254829592 + t * (-0.284496736
+               + t * (1.421413741 + t * (-1.453152027
+               + t * 1.061405429))))) * exp(-xx * xx)) AS p_value
+      FROM e2)
+    SELECT CAST(round(z, 6) AS DOUBLE) AS z,
+           CAST(round(p_value, 6) AS DOUBLE) AS p_value,
+           CAST(n AS BIGINT) AS n, CAST(n_groups AS BIGINT) AS n_groups
+    FROM pv
+    """,
+)
+def cochran_armitage_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend-in-proportions test across order months
+    (stats/inferential.py cochran_armitage_trend; Cochran 1954,
+    Armitage 1955): the ordered-category counterpart to the chi2
+    entries — every moment an exact decimal-widened integer, z and the
+    erf p the only float ops."""
+    from gofast_spark.stats.inferential import cochran_armitage_trend
+
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").isNotNull() & F.col("o_orderstatus").isNotNull()
+    )
+    out = cochran_armitage_trend(
+        o,
+        F.month("o_orderdate"),
+        (F.col("o_orderstatus") == "F").cast("int"),
+    )
+    return out.select(
+        F.round("z", 6).cast("double").alias("z"),
+        F.round("p_value", 6).cast("double").alias("p_value"),
+        "n",
+        "n_groups",
+    )
+
+
+@query(
+    "g_test_orders",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderstatus AS ca,
+             CASE WHEN o_orderpriority LIKE '1%'
+                    OR o_orderpriority LIKE '2%'
+                  THEN 'high' ELSE 'low' END AS cb
+      FROM orders
+      WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL),
+    conf AS (SELECT ca, cb, count(*) AS o FROM d GROUP BY 1, 2),
+    rm AS (SELECT ca, sum(o) AS n_a FROM conf GROUP BY ca),
+    cm AS (SELECT cb, sum(o) AS n_b FROM conf GROUP BY cb),
+    t AS (
+      SELECT sum(o) AS n, count(DISTINCT ca) AS r, count(DISTINCT cb) AS c
+      FROM conf),
+    j AS (
+      SELECT conf.ca, conf.cb,
+             CAST(o AS DOUBLE)
+               * ln(CAST(o AS DOUBLE)
+                    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                       / CAST(n AS DOUBLE))) AS term,
+             n, r, c
+      FROM conf JOIN rm USING (ca) JOIN cm USING (cb), t),
+    cum AS (
+      SELECT ca, cb,
+             sum(term) OVER (ORDER BY ca, cb
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g_half,
+             n, r, c
+      FROM j),
+    last AS (SELECT * FROM cum ORDER BY ca DESC, cb DESC LIMIT 1)
+    SELECT CAST(round(2.0 * g_half, 6) AS DOUBLE) AS g_stat,
+           CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+           CAST(n AS BIGINT) AS n
+    FROM last
+    """,
+)
+def g_test_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-test of independence between order status and a priority band
+    (stats/inferential.py g_test; Sokal & Rohlf): the log-likelihood
+    -ratio twin of the Pearson chi2 entries, cell terms folded over the
+    (row, col)-ordered window with an argmax pick."""
+    from gofast_spark.stats.inferential import g_test
+
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus").isNotNull()
+        & F.col("o_orderpriority").isNotNull()
+    ).select(
+        F.col("o_orderstatus").alias("status"),
+        F.when(
+            F.col("o_orderpriority").startswith("1")
+            | F.col("o_orderpriority").startswith("2"),
+            "high",
+        ).otherwise("low").alias("prio_band"),
+    )
+    out = g_test(o, "status", "prio_band")
+    return out.select(
+        F.round("g_stat", 6).cast("double").alias("g_stat"), "dof", "n"
+    )

@@ -18,7 +18,11 @@ from gofast_spark.stats.relationships import (
     spearman_corr,
 )
 from gofast_spark.stats.multiple import fdr_bh, p_two_sided_from_z
-from gofast_spark.stats.inferential import two_proportion_test
+from gofast_spark.stats.inferential import (
+    cochran_armitage_trend,
+    g_test,
+    two_proportion_test,
+)
 from gofast_spark.stats.sequential import (
     msprt_curve,
     msprt_day_moments,
@@ -73,7 +77,9 @@ from gofast_spark.stats.inferential import (
 __all__ = [
     "kaplan_meier",
     "logrank_test",
+    "cochran_armitage_trend",
     "fdr_bh",
+    "g_test",
     "kendall_tau",
     "two_proportion_test",
     "msprt_curve",

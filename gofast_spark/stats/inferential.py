@@ -656,3 +656,125 @@ def two_proportion_test(
         F.col("n_a"),
         F.col("n_b"),
     )
+
+
+def cochran_armitage_trend(
+    df: DataFrame,
+    score_col,
+    success_col,
+) -> DataFrame:
+    """Cochran-Armitage test for trend in proportions across ordered
+    groups (Cochran, Biometrics 1954; Armitage 1955):
+
+        T   = sum_i r_i (s_i - sbar),        sbar = sum(s_i n_i) / N
+        Var = p (1 - p) * sum_i n_i (s_i - sbar)^2,   p = R / N
+        z   = T / sqrt(Var)
+
+    where group ``i`` has integer score ``s_i``, ``n_i`` rows and
+    ``r_i`` successes.  One groupBy(score) + one 1-row fold; with
+    integer scores every accumulation before the final division is an
+    exact (decimal-widened) integer: T = sum(r s) - R * sum(n s) / N
+    and the variance moment use only count sums.  Returns one row
+    ``(z, p_value, n, n_groups)``."""
+    from gofast_spark.stats.multiple import p_two_sided_from_z
+
+    s = (F.col(score_col) if isinstance(score_col, str) else score_col).cast(
+        "bigint"
+    )
+    y = (
+        F.col(success_col) if isinstance(success_col, str) else success_col
+    ).cast("bigint")
+    per = (
+        df.where(s.isNotNull() & y.isNotNull())
+        .groupBy(s.alias("sc"))
+        .agg(F.count(F.lit(1)).alias("n_i"), F.sum(y).alias("r_i"))
+    )
+    agg = per.agg(
+        F.sum("n_i").alias("n"),
+        F.sum("r_i").alias("r"),
+        F.sum(F.col("r_i").cast("decimal(19,0)") * F.col("sc")).alias("rs"),
+        F.sum(F.col("n_i").cast("decimal(19,0)") * F.col("sc")).alias("ns"),
+        F.sum(
+            F.col("n_i").cast("decimal(19,0)") * F.col("sc") * F.col("sc")
+        ).alias("nss"),
+        F.count(F.lit(1)).alias("n_groups"),
+    )
+    n = F.col("n").cast("double")
+    r = F.col("r").cast("double")
+    rs = F.col("rs").cast("double")
+    ns = F.col("ns").cast("double")
+    nss = F.col("nss").cast("double")
+    t = rs - r * ns / n
+    p = r / n
+    var = p * (F.lit(1.0) - p) * (nss - ns * ns / n)
+    z = t / F.sqrt(var)
+    return agg.select(
+        z.alias("z"),
+        p_two_sided_from_z(z).alias("p_value"),
+        F.col("n"),
+        F.col("n_groups"),
+    )
+
+
+def g_test(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """G-test of independence (log-likelihood-ratio chi-square;
+    Sokal & Rohlf, "Biometry"): ``G = 2 sum_cells O ln(O / E)`` with
+    ``E = row * col / N``, asymptotically chi-square with
+    (r-1)(c-1) dof — the information-theoretic twin of the Pearson
+    chi2 (stats chi2 entries), preferred for small expected counts.
+
+    One confusion groupBy + class-sized marginal joins; every input to
+    the log is a ratio of exact integers, and the cell-term sum folds
+    over a (row, col)-ordered cumulative window + argmax pick so the
+    float accumulation is order-fixed.  Returns one row
+    ``(g_stat, dof, n)``."""
+    a, b = F.col(col_a), F.col(col_b)
+    conf = (
+        df.where(a.isNotNull() & b.isNotNull())
+        .groupBy(a.alias("ca"), b.alias("cb"))
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    row_m = conf.groupBy("ca").agg(F.sum("o").alias("n_a"))
+    col_m = conf.groupBy("cb").agg(F.sum("o").alias("n_b"))
+    tot = conf.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("ca").alias("r"),
+        F.countDistinct("cb").alias("c"),
+    )
+    j = (
+        conf.join(F.broadcast(row_m), "ca")
+        .join(F.broadcast(col_m), "cb")
+        .crossJoin(F.broadcast(tot))
+    )
+    o = F.col("o").cast("double")
+    e = (
+        F.col("n_a").cast("double")
+        * F.col("n_b").cast("double")
+        / F.col("n").cast("double")
+    )
+    term = o * F.log(o / e)
+    w_cum = Window.orderBy("ca", "cb").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = j.select(
+        "ca",
+        "cb",
+        F.sum(term).over(w_cum).alias("g_half"),
+        "n",
+        "r",
+        "c",
+    )
+    last = cum.agg(
+        F.max_by(
+            F.struct("g_half", "n", "r", "c"), F.struct("ca", "cb")
+        ).alias("s")
+    ).select("s.*")
+    return last.select(
+        (F.lit(2.0) * F.col("g_half")).alias("g_stat"),
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("bigint").alias("dof"),
+        F.col("n"),
+    )
