@@ -2101,3 +2101,287 @@ def g_test_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.round("g_stat", 6).cast("double").alias("g_stat"), "dof", "n"
     )
+
+
+@query(
+    "ordinal_association_orders",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS x,
+             least(CAST(floor(CAST(o_totalprice AS DOUBLE) / 50000.0)
+               AS BIGINT), 9) AS y
+      FROM orders
+      WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+    cells AS (SELECT x, y, count(*) AS cnt FROM d GROUP BY 1, 2),
+    xs AS (SELECT DISTINCT x FROM cells),
+    ys AS (SELECT DISTINCT y FROM cells),
+    grid AS (
+      SELECT xs.x, ys.y, coalesce(cells.cnt, 0) AS n
+      FROM xs CROSS JOIN ys
+      LEFT JOIN cells ON cells.x = xs.x AND cells.y = ys.y),
+    g1 AS (
+      SELECT x, y, n,
+             coalesce(sum(n) OVER (PARTITION BY y ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS a
+      FROM grid),
+    g2 AS (
+      SELECT x, y, n,
+             coalesce(sum(a) OVER (PARTITION BY x ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s_ll,
+             sum(a) OVER (PARTITION BY x ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b_lle,
+             sum(a) OVER (PARTITION BY x) AS t_l
+      FROM g1),
+    ps AS (
+      SELECT sum(CAST(n AS HUGEINT) * s_ll) AS concordant,
+             sum(CAST(n AS HUGEINT) * (t_l - b_lle)) AS discordant
+      FROM g2),
+    mx AS (
+      SELECT sum(CAST(tx AS HUGEINT) * (tx - 1)) AS tie_x2,
+             sum(tx) AS n_rows
+      FROM (SELECT sum(cnt) AS tx FROM cells GROUP BY x)),
+    my AS (
+      SELECT sum(CAST(ty AS HUGEINT) * (ty - 1)) AS tie_y2
+      FROM (SELECT sum(cnt) AS ty FROM cells GROUP BY y))
+    SELECT CAST(round(
+             (CAST(concordant AS DOUBLE) - CAST(discordant AS DOUBLE))
+             / (sqrt(CAST(CAST(n_rows AS HUGEINT) * (n_rows - 1) - tie_x2
+                       AS DOUBLE)
+                     * CAST(CAST(n_rows AS HUGEINT) * (n_rows - 1) - tie_y2
+                       AS DOUBLE)) / 2.0), 6) AS DOUBLE) AS tau_b,
+           CAST(round(
+             (CAST(concordant AS DOUBLE) - CAST(discordant AS DOUBLE))
+             / (CAST(concordant AS DOUBLE) + CAST(discordant AS DOUBLE)),
+             6) AS DOUBLE) AS gamma,
+           CAST(round(
+             (CAST(concordant AS DOUBLE) - CAST(discordant AS DOUBLE))
+             / (CAST(CAST(n_rows AS HUGEINT) * (n_rows - 1) - tie_x2
+                  AS DOUBLE) / 2.0), 6) AS DOUBLE) AS somers_yx,
+           CAST(round(
+             (CAST(concordant AS DOUBLE) - CAST(discordant AS DOUBLE))
+             / (CAST(CAST(n_rows AS HUGEINT) * (n_rows - 1) - tie_y2
+                  AS DOUBLE) / 2.0), 6) AS DOUBLE) AS somers_xy,
+           CAST(n_rows AS BIGINT) AS n
+    FROM ps, mx, my
+    """,
+)
+def ordinal_association_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinal-association panel between order priority (1-5) and the
+    50k price band: tau-b plus Goodman-Kruskal gamma and both Somers'
+    D directions from ONE contingency-grid C/D pass
+    (stats/relationships.py kendall_tau) — the full ordinal toolbox at
+    the cost of one grid."""
+    from gofast_spark.stats.relationships import kendall_tau
+
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority").isNotNull() & F.col("o_totalprice").isNotNull()
+    ).select(
+        F.substring("o_orderpriority", 1, 1).cast("bigint").alias("prio"),
+        F.least(
+            F.floor(F.col("o_totalprice").cast("double") / F.lit(50000.0))
+            .cast("bigint"),
+            F.lit(9).cast("bigint"),
+        ).alias("band"),
+    )
+    out = kendall_tau(o, "prio", "band", bins=None)
+    return out.select(
+        F.round("tau_b", 6).cast("double").alias("tau_b"),
+        F.round("gamma", 6).cast("double").alias("gamma"),
+        F.round("somers_yx", 6).cast("double").alias("somers_yx"),
+        F.round("somers_xy", 6).cast("double").alias("somers_xy"),
+        "n",
+    )
+
+
+@query(
+    "partial_corr_lineitem",
+    oracle="""
+    WITH q AS (
+      SELECT CAST(floor(CAST(l_quantity AS DOUBLE) * 1000.0 + 0.5)
+               AS BIGINT) AS x,
+             CAST(floor(CAST(l_extendedprice AS DOUBLE) * 1000.0 + 0.5)
+               AS BIGINT) AS y,
+             CAST(floor(CAST(l_discount AS DOUBLE) * 1000.0 + 0.5)
+               AS BIGINT) AS z
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        AND l_discount IS NOT NULL),
+    agg AS (
+      SELECT count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(z) AS sz,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(y AS HUGEINT) * y) AS syy,
+             sum(CAST(z AS HUGEINT) * z) AS szz,
+             sum(CAST(x AS HUGEINT) * y) AS sxy,
+             sum(CAST(x AS HUGEINT) * z) AS sxz,
+             sum(CAST(y AS HUGEINT) * z) AS syz
+      FROM q),
+    r AS (
+      SELECT n,
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+               AS r_xy,
+             (CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+                       - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)))
+               AS r_xz,
+             (CAST(n AS DOUBLE) * CAST(syz AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+                       - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)))
+               AS r_yz
+      FROM agg)
+    SELECT CAST(round((r_xy - r_xz * r_yz)
+                      / sqrt((1.0 - r_xz * r_xz)
+                             * (1.0 - r_yz * r_yz)), 6) AS DOUBLE)
+             AS partial_corr,
+           CAST(round(r_xy, 6) AS DOUBLE) AS r_xy,
+           CAST(round(r_xz, 6) AS DOUBLE) AS r_xz,
+           CAST(round(r_yz, 6) AS DOUBLE) AS r_yz,
+           CAST(n AS BIGINT) AS n
+    FROM r
+    """,
+)
+def partial_corr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial correlation of quantity and price controlling for
+    discount (stats/relationships.py partial_corr): three Pearson r
+    from ONE exact milli-unit moment aggregate, the textbook
+    first-order recursion on top — fully deterministic."""
+    from gofast_spark.stats.relationships import partial_corr
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = partial_corr(li, "l_quantity", "l_extendedprice", "l_discount")
+    return out.select(
+        F.round("partial_corr", 6).cast("double").alias("partial_corr"),
+        F.round("r_xy", 6).cast("double").alias("r_xy"),
+        F.round("r_xz", 6).cast("double").alias("r_xz"),
+        F.round("r_yz", 6).cast("double").alias("r_yz"),
+        "n",
+    )
+
+
+@query(
+    "cliffs_delta_events",
+    oracle="""
+    WITH d AS (
+      SELECT value AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ia,
+             CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS ib
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('purchase', 'view')),
+    per AS (SELECT v, sum(ia) AS ca, sum(ib) AS cb FROM d GROUP BY v),
+    t AS (
+      SELECT ca, cb,
+             coalesce(sum(cb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cb_lt,
+             sum(cb) OVER () AS cb_tot
+      FROM per),
+    agg AS (
+      SELECT sum(CAST(ca AS HUGEINT) * cb_lt) AS n_greater,
+             sum(CAST(ca AS HUGEINT) * (cb_tot - cb_lt - cb)) AS n_less,
+             sum(ca) AS n_a, max(cb_tot) AS n_b
+      FROM t)
+    SELECT CAST(round(CAST(n_greater - n_less AS DOUBLE)
+                      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6)
+             AS DOUBLE) AS delta,
+           CAST(n_greater AS BIGINT) AS n_greater,
+           CAST(n_less AS BIGINT) AS n_less,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b
+    FROM agg
+    """,
+)
+def cliffs_delta_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta between purchase and view values
+    (stats/relationships.py cliffs_delta; Cliff 1993): tie-aware
+    ordinal effect size from the pooled distinct-value frame —
+    decimal-widened exact pair counts, the distribution-free companion
+    to the cohens_d entry."""
+    from gofast_spark.stats.relationships import cliffs_delta
+
+    e = _t(spark, sf_dir, "events")
+    out = cliffs_delta(e, "value", "event_type", "purchase", "view")
+    return out.select(
+        F.round("delta", 6).cast("double").alias("delta"),
+        "n_greater",
+        "n_less",
+        "n_a",
+        "n_b",
+    )
+
+
+@query(
+    "icc_events",
+    oracle="""
+    WITH q AS (
+      SELECT event_type AS g,
+             CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS x3
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+    per AS (
+      SELECT g, count(*) AS n_i, sum(x3) AS s_i,
+             sum(CAST(x3 AS HUGEINT) * x3) AS ss_i
+      FROM q GROUP BY g),
+    g2 AS (
+      SELECT g, n_i,
+             CAST(s_i AS DOUBLE) * CAST(s_i AS DOUBLE)
+               / CAST(n_i AS DOUBLE) AS b_term,
+             CAST(ss_i AS DOUBLE)
+               - CAST(s_i AS DOUBLE) * CAST(s_i AS DOUBLE)
+                 / CAST(n_i AS DOUBLE) AS w_term,
+             sum(n_i) OVER () AS n, sum(s_i) OVER () AS s,
+             sum(CAST(n_i AS HUGEINT) * n_i) OVER () AS nn2,
+             count(*) OVER () AS k
+      FROM per),
+    cum AS (
+      SELECT g, n, s, nn2, k,
+             sum(b_term) OVER wc AS b_c, sum(w_term) OVER wc AS w_c
+      FROM g2
+      WINDOW wc AS (ORDER BY g
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    last AS (SELECT * FROM cum ORDER BY g DESC LIMIT 1),
+    f AS (
+      SELECT (b_c - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                / CAST(n AS DOUBLE)) / 1000000.0
+               / (CAST(k AS DOUBLE) - 1.0) AS msb,
+             w_c / 1000000.0 / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))
+               AS msw,
+             (CAST(n AS DOUBLE) - CAST(nn2 AS DOUBLE) / CAST(n AS DOUBLE))
+               / (CAST(k AS DOUBLE) - 1.0) AS n0,
+             k, n
+      FROM last)
+    SELECT CAST(round((msb - msw) / (msb + (n0 - 1.0) * msw), 6)
+             AS DOUBLE) AS icc1,
+           CAST(round(msb, 6) AS DOUBLE) AS msb,
+           CAST(round(msw, 6) AS DOUBLE) AS msw,
+           CAST(round(n0, 6) AS DOUBLE) AS n0,
+           CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n
+    FROM f
+    """,
+)
+def icc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ICC(1) of event values within event types
+    (stats/inferential.py icc_oneway; Shrout & Fleiss 1979): exact
+    milli-unit per-group moments, cross-group float terms folded over
+    the group-ordered window — the reliability companion to
+    cronbach_lineitem."""
+    from gofast_spark.stats.inferential import icc_oneway
+
+    e = _t(spark, sf_dir, "events")
+    out = icc_oneway(e, "event_type", "value")
+    return out.select(
+        F.round("icc1", 6).cast("double").alias("icc1"),
+        F.round("msb", 6).cast("double").alias("msb"),
+        F.round("msw", 6).cast("double").alias("msw"),
+        F.round("n0", 6).cast("double").alias("n0"),
+        "k",
+        "n",
+    )

@@ -12,15 +12,18 @@ from gofast_spark.stats.descriptive import (
     weighted_median,
 )
 from gofast_spark.stats.relationships import (
+    cliffs_delta,
     correlation_ops,
     kendall_tau,
     kruskal_wallis,
+    partial_corr,
     spearman_corr,
 )
 from gofast_spark.stats.multiple import fdr_bh, p_two_sided_from_z
 from gofast_spark.stats.inferential import (
     cochran_armitage_trend,
     g_test,
+    icc_oneway,
     two_proportion_test,
 )
 from gofast_spark.stats.sequential import (
@@ -77,7 +80,10 @@ from gofast_spark.stats.inferential import (
 __all__ = [
     "kaplan_meier",
     "logrank_test",
+    "cliffs_delta",
     "cochran_armitage_trend",
+    "icc_oneway",
+    "partial_corr",
     "fdr_bh",
     "g_test",
     "kendall_tau",

@@ -778,3 +778,81 @@ def g_test(
         ((F.col("r") - 1) * (F.col("c") - 1)).cast("bigint").alias("dof"),
         F.col("n"),
     )
+
+
+def icc_oneway(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """One-way random-effects intraclass correlation ICC(1) (Shrout &
+    Fleiss, Psychological Bulletin 1979; unbalanced-design n0 per
+    Snedecor & Cochran):
+
+        ICC(1) = (MSB - MSW) / (MSB + (n0 - 1) MSW),
+        n0 = (N - sum n_i^2 / N) / (k - 1)
+
+    from per-group exact milli-unit moments: SSB and SSW derive from
+    (n_i, sum_i, sumsq_i) only, and the cross-group float terms fold
+    over a group-ORDERED cumulative window + argmax pick (the repo's
+    deterministic-sum discipline — ICC is the reliability companion to
+    cronbach_alpha).  Returns one row ``(icc1, msb, msw, n0, k, n)``."""
+    x3 = F.floor(F.col(value_col).cast("double") * 1e3 + F.lit(0.5)).cast(
+        "bigint"
+    )
+    per = (
+        df.where(F.col(value_col).isNotNull() & F.col(group_col).isNotNull())
+        .groupBy(F.col(group_col).alias("g"))
+        .agg(
+            F.count(F.lit(1)).alias("n_i"),
+            F.sum(x3).alias("s_i"),
+            F.sum(x3.cast("decimal(19,0)") * x3).alias("ss_i"),
+        )
+    )
+    tot = Window.partitionBy()
+    ni = F.col("n_i").cast("double")
+    si = F.col("s_i").cast("double")
+    ssi = F.col("ss_i").cast("double")
+    g = per.select(
+        "g",
+        "n_i",
+        (si * si / ni).alias("b_term"),
+        (ssi - si * si / ni).alias("w_term"),
+        F.sum("n_i").over(tot).alias("n"),
+        F.sum("s_i").over(tot).alias("s"),
+        F.sum(F.col("n_i").cast("decimal(19,0)") * F.col("n_i"))
+        .over(tot)
+        .alias("nn2"),
+        F.count(F.lit(1)).over(tot).alias("k"),
+    )
+    w_cum = Window.orderBy("g").rowsBetween(Window.unboundedPreceding, 0)
+    cum = g.select(
+        "g",
+        "n",
+        "s",
+        "nn2",
+        "k",
+        F.sum("b_term").over(w_cum).alias("b_c"),
+        F.sum("w_term").over(w_cum).alias("w_c"),
+    )
+    last = cum.agg(
+        F.max_by(F.struct("n", "s", "nn2", "k", "b_c", "w_c"),
+                 F.col("g")).alias("st")
+    ).select("st.*")
+    n = F.col("n").cast("double")
+    s = F.col("s").cast("double")
+    k = F.col("k").cast("double")
+    ssb = (F.col("b_c") - s * s / n) / F.lit(1e6)
+    ssw = F.col("w_c") / F.lit(1e6)
+    msb = ssb / (k - F.lit(1.0))
+    msw = ssw / (n - k)
+    n0 = (n - F.col("nn2").cast("double") / n) / (k - F.lit(1.0))
+    icc = (msb - msw) / (msb + (n0 - F.lit(1.0)) * msw)
+    return last.select(
+        icc.alias("icc1"),
+        msb.alias("msb"),
+        msw.alias("msw"),
+        n0.alias("n0"),
+        F.col("k").cast("bigint").alias("k"),
+        F.col("n").alias("n"),
+    )

@@ -303,9 +303,151 @@ def kendall_tau(
         (n0_2 - F.col("tie_x2")).cast("double")
         * (n0_2 - F.col("tie_y2")).cast("double")
     ) / F.lit(2.0)
+    # companion ordinal-association measures from the same C/D pass
+    # (Goodman & Kruskal, JASA 1954; Somers, ASR 1962): gamma ignores
+    # all ties; Somers' D conditions on pairs untied in one variable.
+    gamma = (c - d) / (c + d)
+    somers_yx = (c - d) / ((n0_2 - F.col("tie_x2")).cast("double") / F.lit(2.0))
+    somers_xy = (c - d) / ((n0_2 - F.col("tie_y2")).cast("double") / F.lit(2.0))
     return j.select(
         ((c - d) / denom).alias("tau_b"),
+        gamma.alias("gamma"),
+        somers_yx.alias("somers_yx"),
+        somers_xy.alias("somers_xy"),
         F.col("concordant").cast("bigint").alias("concordant"),
         F.col("discordant").cast("bigint").alias("discordant"),
         F.col("n_rows").alias("n"),
+    )
+
+
+def partial_corr(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    col_z: str,
+) -> DataFrame:
+    """First-order partial correlation ``r_xy.z`` (the textbook
+    recursion, e.g. Kendall & Stuart):
+
+        r_xy.z = (r_xy - r_xz r_yz) / sqrt((1 - r_xz^2)(1 - r_yz^2))
+
+    with every Pearson r computed from exact milli-unit integer
+    moments in ONE aggregate — all six sums decimal-widened, so the
+    three correlations (and the partial) are deterministic functions
+    of integers.  Returns one row ``(partial_corr, r_xy, r_xz, r_yz,
+    n)``."""
+    cols = [col_x, col_y, col_z]
+    q = {
+        c: F.floor(F.col(c).cast("double") * 1e3 + F.lit(0.5)).cast(
+            "bigint"
+        )
+        for c in cols
+    }
+    base = df.where(
+        F.col(col_x).isNotNull()
+        & F.col(col_y).isNotNull()
+        & F.col(col_z).isNotNull()
+    ).select(
+        q[col_x].alias("x"), q[col_y].alias("y"), q[col_z].alias("z")
+    )
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    agg = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum("z").alias("sz"),
+        F.sum(dec("x") * F.col("x")).alias("sxx"),
+        F.sum(dec("y") * F.col("y")).alias("syy"),
+        F.sum(dec("z") * F.col("z")).alias("szz"),
+        F.sum(dec("x") * F.col("y")).alias("sxy"),
+        F.sum(dec("x") * F.col("z")).alias("sxz"),
+        F.sum(dec("y") * F.col("z")).alias("syz"),
+    )
+    n = F.col("n").cast("double")
+
+    def r(sab, sa, sb, saa, sbb):
+        num = n * F.col(sab).cast("double") - F.col(sa).cast(
+            "double"
+        ) * F.col(sb).cast("double")
+        da = n * F.col(saa).cast("double") - F.col(sa).cast(
+            "double"
+        ) * F.col(sa).cast("double")
+        db = n * F.col(sbb).cast("double") - F.col(sb).cast(
+            "double"
+        ) * F.col(sb).cast("double")
+        return num / F.sqrt(da * db)
+
+    r_xy = r("sxy", "sx", "sy", "sxx", "syy")
+    r_xz = r("sxz", "sx", "sz", "sxx", "szz")
+    r_yz = r("syz", "sy", "sz", "syy", "szz")
+    partial = (r_xy - r_xz * r_yz) / F.sqrt(
+        (F.lit(1.0) - r_xz * r_xz) * (F.lit(1.0) - r_yz * r_yz)
+    )
+    return agg.select(
+        partial.alias("partial_corr"),
+        r_xy.alias("r_xy"),
+        r_xz.alias("r_xz"),
+        r_yz.alias("r_yz"),
+        F.col("n"),
+    )
+
+
+def cliffs_delta(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Cliff's delta ordinal effect size (Cliff, Psychological
+    Bulletin 1993): ``delta = (#(a > b) - #(a < b)) / (n_a n_b)`` over
+    all cross-group pairs — the tie-aware, distribution-free companion
+    to Cohen's d (stats cohens_d entry).
+
+    Pair counts come from the pooled distinct-value frame: one
+    groupBy(value) with per-group conditional counts, one cumulative
+    window, and decimal-widened products — exact integers until the
+    final division (the ks_test_2samp shape; never a row-level pair
+    join).  Returns one row ``(delta, n_greater, n_less, n_a, n_b)``."""
+    x = F.col(value_col)
+    in_a = (F.col(group_col) == group_a).cast("long")
+    in_b = (F.col(group_col) == group_b).cast("long")
+    per = (
+        df.where(
+            x.isNotNull() & F.col(group_col).isin([group_a, group_b])
+        )
+        .groupBy(x.alias("v"))
+        .agg(F.sum(in_a).alias("ca"), F.sum(in_b).alias("cb"))
+    )
+    w_prev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    tot = Window.partitionBy()
+    t = per.select(
+        "ca",
+        "cb",
+        F.coalesce(F.sum("cb").over(w_prev), F.lit(0)).alias("cb_lt"),
+        F.sum("cb").over(tot).alias("cb_tot"),
+    )
+    agg = t.agg(
+        F.sum(F.col("ca").cast("decimal(19,0)") * F.col("cb_lt")).alias(
+            "n_greater"
+        ),
+        F.sum(
+            F.col("ca").cast("decimal(19,0)")
+            * (F.col("cb_tot") - F.col("cb_lt") - F.col("cb"))
+        ).alias("n_less"),
+        F.sum("ca").alias("n_a"),
+        F.max("cb_tot").alias("n_b"),
+    )
+    delta = (
+        (F.col("n_greater") - F.col("n_less")).cast("double")
+        / (
+            F.col("n_a").cast("double") * F.col("n_b").cast("double")
+        )
+    )
+    return agg.select(
+        delta.alias("delta"),
+        F.col("n_greater").cast("bigint").alias("n_greater"),
+        F.col("n_less").cast("bigint").alias("n_less"),
+        F.col("n_a"),
+        F.col("n_b"),
     )
