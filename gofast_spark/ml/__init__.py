@@ -28,6 +28,7 @@ from gofast_spark.ml.encoding import target_encode, woe_encode
 from gofast_spark.ml.itemsets import frequent_pairs
 from gofast_spark.ml.kmeans_exact import fit_kmeans_lloyd, kmeans_inertia
 from gofast_spark.ml.recommend import item_similarity_topk
+from gofast_spark.ml.stacking import fit_stacking_ols
 from gofast_spark.ml.selection import (
     cross_val_linear,
     kfold_assign,
@@ -67,6 +68,7 @@ __all__ = [
     "cross_val_linear",
     "ridge_cv_sweep",
     "learning_curve_linear",
+    "fit_stacking_ols",
     "fit_stump",
     "item_similarity_topk",
 ]

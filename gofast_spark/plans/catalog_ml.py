@@ -1157,3 +1157,122 @@ def item_cosine_topk_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cosine", 6).cast("double").alias("cosine"),
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+def _stacking_oracle() -> str:
+    """Replays the fit_stacking_ols chain: integer milli-unit moments,
+    2x2-Cramer ridge bases, ANALYTIC meta moments, the shared
+    _det3_sql Cramer tree, and the moment-identity RMSE — every
+    expression in the same fixed order as the Python driver solve."""
+    lam = "1000.0"
+    A = [
+        ["n", "sp1", "sp2"],
+        ["sp1", "sp11", "sp12"],
+        ["sp2", "sp12", "sp22"],
+    ]
+    b = ["sy", "sp1y", "sp2y"]
+    det = _det3_sql(A)
+    ws = []
+    for j in range(3):
+        Aj = [[b[i] if c == j else A[i][c] for c in range(3)]
+              for i in range(3)]
+        ws.append(f"({_det3_sql(Aj)}) / ({det})")
+    return f"""
+    WITH q AS (
+      SELECT CAST(floor(CAST(l_quantity AS DOUBLE) * 1000.0 + 0.5)
+               AS BIGINT) AS x1,
+             CAST(floor(CAST(l_discount AS DOUBLE) * 1000.0 + 0.5)
+               AS BIGINT) AS x2,
+             CAST(floor(CAST(l_extendedprice AS DOUBLE) * 1000.0 + 0.5)
+               AS BIGINT) AS y
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+        AND l_extendedprice IS NOT NULL),
+    mom AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(x1) AS DOUBLE) / 1000.0 AS sx1,
+             CAST(sum(x2) AS DOUBLE) / 1000.0 AS sx2,
+             CAST(sum(y) AS DOUBLE) / 1000.0 AS sy,
+             CAST(sum(CAST(x1 AS HUGEINT) * x1) AS DOUBLE) / 1000000.0
+               AS sx1x1,
+             CAST(sum(CAST(x2 AS HUGEINT) * x2) AS DOUBLE) / 1000000.0
+               AS sx2x2,
+             CAST(sum(CAST(x1 AS HUGEINT) * x2) AS DOUBLE) / 1000000.0
+               AS sx1x2,
+             CAST(sum(CAST(x1 AS HUGEINT) * y) AS DOUBLE) / 1000000.0
+               AS sx1y,
+             CAST(sum(CAST(x2 AS HUGEINT) * y) AS DOUBLE) / 1000000.0
+               AS sx2y,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) / 1000000.0
+               AS syy
+      FROM q),
+    bases AS (
+      SELECT *,
+             (sy * (sx1x1 + {lam}) - sx1 * sx1y)
+               / (n * (sx1x1 + {lam}) - sx1 * sx1) AS a1,
+             (n * sx1y - sy * sx1)
+               / (n * (sx1x1 + {lam}) - sx1 * sx1) AS b1,
+             (sy * (sx2x2 + {lam}) - sx2 * sx2y)
+               / (n * (sx2x2 + {lam}) - sx2 * sx2) AS a2,
+             (n * sx2y - sy * sx2)
+               / (n * (sx2x2 + {lam}) - sx2 * sx2) AS b2
+      FROM mom),
+    meta AS (
+      SELECT *,
+             n * a1 + b1 * sx1 AS sp1,
+             n * a2 + b2 * sx2 AS sp2,
+             n * a1 * a1 + 2.0 * a1 * b1 * sx1 + b1 * b1 * sx1x1 AS sp11,
+             n * a2 * a2 + 2.0 * a2 * b2 * sx2 + b2 * b2 * sx2x2 AS sp22,
+             n * a1 * a2 + a1 * b2 * sx2 + a2 * b1 * sx1
+               + b1 * b2 * sx1x2 AS sp12,
+             a1 * sy + b1 * sx1y AS sp1y,
+             a2 * sy + b2 * sx2y AS sp2y
+      FROM bases),
+    w AS (
+      SELECT *, {ws[0]} AS w0, {ws[1]} AS w1, {ws[2]} AS w2 FROM meta),
+    fin AS (
+      SELECT *,
+             syy - 2.0 * (w0 * sy + w1 * sp1y + w2 * sp2y)
+                 + (w0 * (n * w0 + sp1 * w1 + sp2 * w2)
+                    + w1 * (sp1 * w0 + sp11 * w1 + sp12 * w2)
+                    + w2 * (sp2 * w0 + sp12 * w1 + sp22 * w2)) AS sse
+      FROM w)
+    SELECT CAST(round(a1, 6) AS DOUBLE) AS a1,
+           CAST(round(b1, 6) AS DOUBLE) AS b1,
+           CAST(round(a2, 6) AS DOUBLE) AS a2,
+           CAST(round(b2, 6) AS DOUBLE) AS b2,
+           CAST(round(w0, 6) AS DOUBLE) AS w0,
+           CAST(round(w1, 6) AS DOUBLE) AS w1,
+           CAST(round(w2, 6) AS DOUBLE) AS w2,
+           CAST(round(sqrt(sse / n), 4) AS DOUBLE) AS rmse,
+           CAST(n AS BIGINT) AS n
+    FROM fin
+    """
+
+
+@query("stacking_ols_lineitem", oracle=_stacking_oracle())
+def stacking_ols_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form stacking regressor (ml/stacking.py; ref
+    BenchmarkRegressor, gofast/estimators/benchmark.py; Wolpert 1992):
+    two single-feature ridge bases + OLS meta, where every meta moment
+    derives ANALYTICALLY from the one raw moment aggregate — the whole
+    two-level ensemble is one scan + a 1-row fixed-order Cramer
+    solve, replayed end-to-end by the oracle."""
+    from gofast_spark.ml.stacking import fit_stacking_ols
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = fit_stacking_ols(
+        li, "l_quantity", "l_discount", "l_extendedprice",
+        base_ridge=1000.0,
+    )
+    return out.select(
+        F.round("a1", 6).cast("double").alias("a1"),
+        F.round("b1", 6).cast("double").alias("b1"),
+        F.round("a2", 6).cast("double").alias("a2"),
+        F.round("b2", 6).cast("double").alias("b2"),
+        F.round("w0", 6).cast("double").alias("w0"),
+        F.round("w1", 6).cast("double").alias("w1"),
+        F.round("w2", 6).cast("double").alias("w2"),
+        F.round("rmse", 4).cast("double").alias("rmse"),
+        "n",
+    )
