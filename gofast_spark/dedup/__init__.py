@@ -38,6 +38,7 @@ from gofast_spark.dedup.incremental import (
 from gofast_spark.dedup.minhash import lsh_band_keys
 from gofast_spark.dedup.ngram import ngram_jaccard_pairs
 from gofast_spark.dedup.semantic import assign_semantic_cells, semantic_dedup
+from gofast_spark.dedup.setsim import set_similarity_join
 from gofast_spark.dedup.simhash import simhash
 from gofast_spark.dedup.spans import (
     duplicated_spans,
@@ -48,6 +49,7 @@ from gofast_spark.dedup.spans import (
 __all__ = [
     "exact_dedup",
     "ngram_jaccard_pairs",
+    "set_similarity_join",
     "doc_shingles",
     "doc_shingle_sets",
     "minhash_signatures",

@@ -2467,3 +2467,49 @@ def readability_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("flesch_ease", 4).cast("double").alias("flesch_ease"),
         F.round("fk_grade", 4).cast("double").alias("fk_grade"),
     )
+
+
+@query(
+    "set_similarity_join_documents",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, {_norm_sql('text')} AS t FROM documents
+      WHERE text IS NOT NULL),
+    toks AS (
+      SELECT DISTINCT doc_id, tok
+      FROM (SELECT doc_id, unnest(string_split(t, ' ')) AS tok
+            FROM norm WHERE length(t) > 0)),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    j AS (
+      SELECT id_a, id_b, n_inter,
+             sa.sz + sb.sz - n_inter AS n_union
+      FROM pairs
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b)
+    SELECT id_a, id_b, CAST(n_inter AS BIGINT) AS n_inter,
+           CAST(n_union AS BIGINT) AS n_union,
+           CAST(round(CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE), 6)
+             AS DOUBLE) AS jaccard
+    FROM j WHERE 1000000 * n_inter >= 950000 * n_union
+    """,
+)
+def set_similarity_join_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join at word-Jaccard >= 0.95
+    (dedup/setsim.py; Bayardo et al. WWW 2007 prefix filtering): the
+    engine indexes only each document's rarest-first prefix tokens, so
+    candidate generation is one equi-join on a pruned index — while
+    the ORACLE runs the blind all-pairs token join.  Hash equality
+    proves the filter loses no pair; the >= cut compares scaled
+    integers so the boundary is engine-exact."""
+    from gofast_spark.dedup.setsim import set_similarity_join
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    out = set_similarity_join(d, "doc_id", "text", threshold=0.95)
+    return out.select(
+        "id_a", "id_b", "n_inter", "n_union",
+        F.round("jaccard", 6).cast("double").alias("jaccard"),
+    )
