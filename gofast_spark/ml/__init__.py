@@ -5,7 +5,7 @@ from gofast_spark.ml.pipeline import (
     fit_pca,
     make_feature_pipeline,
 )
-from gofast_spark.ml.graph import edges_from_pairs, pagerank
+from gofast_spark.ml.graph import edges_from_pairs, link_prediction, pagerank
 from gofast_spark.ml.optim import gradient_descent, linkage_matrix
 from gofast_spark.ml.regression import (
     fit_linear_regression,
@@ -69,6 +69,7 @@ __all__ = [
     "ridge_cv_sweep",
     "learning_curve_linear",
     "fit_stacking_ols",
+    "link_prediction",
     "fit_stump",
     "item_similarity_topk",
 ]

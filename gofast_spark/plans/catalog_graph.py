@@ -695,3 +695,69 @@ def scd2_pit_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("revenue_c"),
     )
+
+
+@query(
+    "link_prediction_modgraph",
+    oracle="""
+    WITH raw AS (
+      SELECT DISTINCT CAST(c_custkey % 60 AS BIGINT) AS src,
+             CAST((c_custkey * 7 + 3) % 60 AS BIGINT) AS dst
+      FROM customer),
+    sym AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM raw UNION ALL
+        SELECT dst, src FROM raw) WHERE src <> dst),
+    deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),
+    wedges AS (
+      SELECT a.dst AS u, b.dst AS v, a.src AS w
+      FROM sym a JOIN sym b ON a.src = b.src AND a.dst < b.dst),
+    wd AS (
+      SELECT u, v, deg.deg AS deg_w
+      FROM wedges JOIN deg ON deg.src = wedges.w),
+    pairs AS (
+      SELECT u, v, count(*) AS common,
+             sum(1.0 / ln(CAST(deg_w AS DOUBLE))) AS adamic_adar
+      FROM wd GROUP BY u, v),
+    canon AS (SELECT src AS u, dst AS v FROM sym WHERE src < dst),
+    ne AS (
+      SELECT p.* FROM pairs p
+      LEFT JOIN canon c ON c.u = p.u AND c.v = p.v
+      WHERE c.u IS NULL),
+    scored AS (
+      SELECT ne.u, ne.v, common,
+             du.deg + dv.deg - common AS union_deg,
+             CAST(common AS DOUBLE)
+               / CAST(du.deg + dv.deg - common AS DOUBLE) AS jaccard,
+             adamic_adar
+      FROM ne
+      JOIN deg du ON du.src = ne.u
+      JOIN deg dv ON dv.src = ne.v)
+    SELECT u, v, CAST(common AS BIGINT) AS common,
+           CAST(union_deg AS BIGINT) AS union_deg,
+           CAST(round(jaccard, 6) AS DOUBLE) AS jaccard,
+           CAST(round(adamic_adar, 6) AS DOUBLE) AS adamic_adar
+    FROM scored
+    ORDER BY common DESC, u, v LIMIT 20
+    """,
+)
+def link_prediction_modgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction on the modular graph
+    (ml/graph.py link_prediction; Liben-Nowell & Kleinberg 2003):
+    candidate non-edges from ONE wedge join (wedge-count-sized, never
+    all-pairs), exact integer common/Jaccard, Adamic-Adar per shared
+    middle — the recommender face of the triangle machinery."""
+    from gofast_spark.ml.graph import link_prediction
+
+    c = _t(spark, sf_dir, "customer")
+    edges = c.select(
+        (F.col("c_custkey") % 60).cast("long").alias("src"),
+        ((F.col("c_custkey") * 7 + 3) % 60).cast("long").alias("dst"),
+    ).distinct()
+    out = link_prediction(edges, symmetrize=True, top_k=20)
+    return out.select(
+        "u", "v", "common",
+        F.col("union_deg").cast("bigint").alias("union_deg"),
+        F.round("jaccard", 6).cast("double").alias("jaccard"),
+        F.round("adamic_adar", 6).cast("double").alias("adamic_adar"),
+    )
