@@ -712,3 +712,58 @@ def brier_decomposition_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("uncertainty", 9).cast("double").alias("uncertainty"),
         "n",
     )
+
+
+@query(
+    "isotonic_calibration_orders",
+    oracle="""
+    WITH scored AS (
+      SELECT (CAST(o_custkey % 97 AS DOUBLE) / 97) AS s,
+             CAST(o_orderstatus = 'F' AS INT) AS y
+      FROM orders),
+    base AS (
+      SELECT least(CAST(floor(s * 16) AS INT), 15) AS bin,
+             CAST(trunc(s * 1000000 + 0.5) AS BIGINT) AS s_u6,
+             CAST(trunc(y * 1000000 + 0.5) AS BIGINT) AS y_u6
+      FROM scored),
+    pb AS (
+      SELECT bin, count(*) AS n, sum(s_u6) AS sy_s, sum(y_u6) AS sy
+      FROM base GROUP BY bin),
+    pc AS (
+      SELECT bin, n, sy_s, sy,
+             sum(n) OVER (ORDER BY bin) AS cn,
+             sum(sy) OVER (ORDER BY bin) AS cy
+      FROM pb),
+    blocks AS (
+      SELECT a.bin AS i, b.bin AS j,
+             CAST(b.cy - (a.cy - a.sy) AS DOUBLE)
+               / ((b.cn - (a.cn - a.n)) * 1000000.0) AS m
+      FROM pc a JOIN pc b ON a.bin <= b.bin),
+    g AS (
+      SELECT i, j, min(m) OVER (PARTITION BY i ORDER BY j DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gmin
+      FROM blocks),
+    iso AS (SELECT j AS bin, max(gmin) AS iso FROM g GROUP BY j)
+    SELECT pb.bin, CAST(pb.n AS BIGINT) AS n,
+           CAST(pb.sy_s / (pb.n * 1000000.0) AS DOUBLE) AS mean_score,
+           CAST(pb.sy / (pb.n * 1000000.0) AS DOUBLE) AS pos_rate,
+           CAST(iso.iso AS DOUBLE) AS iso
+    FROM pb JOIN iso USING (bin)
+    """,
+)
+def isotonic_calibration_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration fit (ml/isotonic.py isotonic_fit; Robertson
+    -Wright-Dykstra minimax identity, Barlow et al. 1972) of the
+    finished-order rate against the calibration_curve_orders score:
+    ONE data-sized 16-bin aggregate, then a bins^2 block grid with
+    suffix-min / max windows — no serial PAV sweep anywhere.  Dyadic
+    bin count (16) keeps the Spark ``(s - lo)/width`` binning and the
+    oracle's ``s * 16`` bit-identical; every fitted value is a single
+    exact-integer division so no rounding is needed."""
+    from gofast_spark.ml.isotonic import isotonic_fit
+
+    o = _t(spark, sf_dir, "orders").select(
+        ((F.col("o_custkey") % 97).cast("double") / 97).alias("score"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("label"),
+    )
+    return isotonic_fit(o, "score", "label", bins=16)
