@@ -520,3 +520,82 @@ def ewma_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "d", F.round("v_ewma", 4).cast("double").alias("v_ewma")
     )
+
+
+_BROWN_P1 = f"""
+    {_DAILY},
+    idx AS (SELECT d, v, CAST(row_number() OVER (ORDER BY d) AS DOUBLE)
+                AS rn FROM daily),
+    c AS (SELECT d, v, rn, v * power(0.5, -rn) AS cv FROM idx),
+    s AS (
+      SELECT d, v, rn, cv,
+             sum(cv) OVER wc AS scv,
+             first_value(cv) OVER wc AS c1
+      FROM c
+      WINDOW wc AS (ORDER BY rn
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    p1 AS (SELECT d, v, rn,
+                  power(0.5, rn) * (0.5 * (scv - c1) + c1) AS s1 FROM s),
+    pairs AS (
+      SELECT t.rn AS t, t.d, t.v, t.s1, i.rn AS i, i.s1 AS s1_i
+      FROM p1 t JOIN p1 i ON i.rn <= t.rn),
+    terms AS (
+      SELECT t, d, v, s1,
+             CAST(floor((CASE WHEN i = 1 THEN power(0.5, t - 1)
+                         ELSE 0.5 * power(0.5, t - i) END)
+                        * s1_i * 1000000 + 0.5) AS BIGINT) AS u
+      FROM pairs),
+    sm AS (
+      SELECT d, v, s1, sum(u) / 1000000.0 AS s2
+      FROM terms GROUP BY t, d, v, s1)
+"""
+
+
+@query(
+    "brown_smoothing_daily_events",
+    oracle=f"""
+    WITH {_BROWN_P1}
+    SELECT d, CAST(v AS DOUBLE) AS v,
+           CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2,
+           CAST(2 * s1 - s2 AS DOUBLE) AS level,
+           CAST(s1 - s2 AS DOUBLE) AS trend
+    FROM sm
+    """,
+)
+def brown_smoothing_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown's double exponential smoothing of the daily revenue
+    series (ts/engineering.py double_ewma; Brown 1959, Gardner 1985):
+    pass 1 is the engine-exact dyadic scaled-sum EWMA, pass 2 the
+    series-sized banded self-join with micro-unit-quantized terms so
+    no float sum depends on partition order.  All outputs are
+    unrounded — both engines produce bit-identical doubles."""
+    from gofast_spark.ts.engineering import double_ewma
+
+    out = double_ewma(_daily(spark, sf_dir), "d", "v", alpha=0.5)
+    return out.select(
+        "d", "v", "s1", "s2", "level", "trend"
+    )
+
+
+@query(
+    "brown_forecast_daily_events",
+    oracle=f"""
+    WITH {_BROWN_P1},
+    last AS (
+      SELECT 2 * s1 - s2 AS level, s1 - s2 AS trend
+      FROM sm ORDER BY d DESC LIMIT 1)
+    SELECT h, CAST(level + h * trend AS DOUBLE) AS forecast
+    FROM last, (SELECT unnest(generate_series(1, 7)) AS h)
+    """,
+)
+def brown_forecast_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day-ahead Brown linear forecast from the final smoothing
+    state (ts/engineering.py brown_forecast): the last state picked
+    in-plan via max_by (no global sort), horizon rows from one
+    sequence explode; forecasts are arithmetic on engine-identical
+    doubles, so unrounded parity holds."""
+    from gofast_spark.ts.engineering import brown_forecast, double_ewma
+
+    sm = double_ewma(_daily(spark, sf_dir), "d", "v", alpha=0.5)
+    out = brown_forecast(sm, "d", horizon=7)
+    return out.select(F.col("h").cast("bigint").alias("h"), "forecast")

@@ -399,3 +399,107 @@ def mann_kendall(
         F.col("sen_slope"),
         F.col("n"),
     )
+
+
+def double_ewma(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    *,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Brown's double (linear) exponential smoothing (Brown 1959;
+    Gardner, "Exponential smoothing: the state of the art", J.
+    Forecasting 1985): ``s1 = ewma(y)``, ``s2 = ewma(s1)``, level
+    ``a = 2*s1 - s2``, trend ``b = alpha/(1-alpha) * (s1 - s2)`` —
+    the h-step forecast is ``a + h*b``.
+
+    The first pass reuses :func:`ewma`'s r^{-i} scaled-sum closed form
+    (engine-exact for dyadic alpha).  The second pass CANNOT reuse it
+    deterministically — its inputs are non-integer doubles, and an
+    unordered float sum would depend on partition order — so it
+    expands the series-sized banded self-join ``(t, i <= t)`` with
+    each term quantized to exact integer micro-units before summing
+    (the repo's deterministic-sum discipline; quantization error is
+    <= 0.5e-6 per term).  Intended for rollup-sized series (daily
+    aggregates): the pair grid is ``len(series)**2`` cells,
+    independent of raw row count.
+
+    Returns one row per input row: ``(order, value, s1, s2, level,
+    trend)``.
+    """
+    if not 0.0 < alpha < 1.0:
+        raise ValueError("alpha must be in (0, 1)")
+    r = 1.0 - alpha
+    p1 = ewma(df, order_col, value_col, alpha=alpha, out_col="__s1")
+    p1 = p1.withColumn(
+        "__rn", F.row_number().over(Window.orderBy(order_col))
+    )
+    t = p1.select(
+        F.col("__rn").alias("__t"),
+        F.col(order_col),
+        F.col(value_col),
+        F.col("__s1"),
+    )
+    i = p1.select(F.col("__rn").alias("__i"), F.col("__s1").alias("__s1_i"))
+    weight = F.when(
+        F.col("__i") == 1, F.pow(F.lit(r), F.col("__t") - 1)
+    ).otherwise(F.lit(alpha) * F.pow(F.lit(r), F.col("__t") - F.col("__i")))
+    terms = t.join(i, F.col("__i") <= F.col("__t")).select(
+        "__t",
+        order_col,
+        value_col,
+        "__s1",
+        F.floor(weight * F.col("__s1_i") * F.lit(1e6) + F.lit(0.5))
+        .cast("bigint")
+        .alias("__u"),
+    )
+    out = terms.groupBy("__t", order_col, value_col, "__s1").agg(
+        (F.sum("__u") / F.lit(1e6)).alias("__s2")
+    )
+    k = F.lit(alpha / r)
+    return out.select(
+        order_col,
+        value_col,
+        F.col("__s1").alias("s1"),
+        F.col("__s2").alias("s2"),
+        (F.lit(2.0) * F.col("__s1") - F.col("__s2")).alias("level"),
+        (k * (F.col("__s1") - F.col("__s2"))).alias("trend"),
+    )
+
+
+def brown_forecast(
+    smoothed: DataFrame,
+    order_col: str,
+    *,
+    horizon: int = 7,
+) -> DataFrame:
+    """h-step-ahead forecasts from the LAST row of a
+    :func:`double_ewma` frame: ``yhat_h = level + h * trend`` for
+    ``h = 1..horizon``.  The final state is picked in-plan with one
+    ``max_by`` aggregate (no orderBy-limit global sort) and the
+    horizon rows come from one ``sequence`` explode — fully lazy,
+    constant-sized."""
+    if horizon < 1:
+        raise ValueError("horizon must be >= 1")
+    last = smoothed.agg(
+        F.max_by(
+            F.struct(
+                F.col("level").alias("level"), F.col("trend").alias("trend")
+            ),
+            F.col(order_col),
+        ).alias("st")
+    ).select(F.col("st.level").alias("level"), F.col("st.trend").alias("trend"))
+    hs = last.select(
+        "level",
+        "trend",
+        F.explode(
+            F.sequence(F.lit(1), F.lit(int(horizon)))
+        ).alias("h"),
+    )
+    return hs.select(
+        "h",
+        (F.col("level") + F.col("h").cast("double") * F.col("trend")).alias(
+            "forecast"
+        ),
+    )
