@@ -2513,3 +2513,63 @@ def set_similarity_join_documents(spark: SparkSession, sf_dir: str) -> DataFrame
         "id_a", "id_b", "n_inter", "n_union",
         F.round("jaccard", 6).cast("double").alias("jaccard"),
     )
+
+
+@query(
+    "good_turing_documents",
+    oracle=f"""
+    WITH norm AS (SELECT {_norm_sql('text')} AS t FROM documents),
+    toks AS (
+      SELECT unnest(string_split(t, ' ')) AS tok
+      FROM norm WHERE len(t) >= 1),
+    counts AS (SELECT tok, count(*) AS r FROM toks GROUP BY tok),
+    spec AS (SELECT r, count(*) AS n_r FROM counts GROUP BY r),
+    nb AS (
+      SELECT r, n_r,
+             coalesce(lag(r) OVER (ORDER BY r), 0) AS q,
+             coalesce(lead(r) OVER (ORDER BY r),
+                      2 * r - coalesce(lag(r) OVER (ORDER BY r), 0)) AS t2
+      FROM spec),
+    sz AS (
+      SELECT r, n_r,
+             2.0 * n_r / (t2 - q) AS z_r,
+             ln(CAST(r AS DOUBLE)) AS x,
+             ln(2.0 * n_r / (t2 - q)) AS y
+      FROM nb),
+    fit AS (
+      SELECT count(*) AS m,
+             sum(CAST(floor(x * 1000000 + 0.5) AS BIGINT)) / 1000000.0 AS sx,
+             sum(CAST(floor(y * 1000000 + 0.5) AS BIGINT)) / 1000000.0 AS sy,
+             sum(CAST(floor(x * x * 1000000 + 0.5) AS BIGINT)) / 1000000.0 AS sxx,
+             sum(CAST(floor(x * y * 1000000 + 0.5) AS BIGINT)) / 1000000.0 AS sxy
+      FROM sz),
+    bfit AS (
+      SELECT (m * sxy - sx * sy) / (m * sxx - sx * sx) AS b FROM fit),
+    tot AS (
+      SELECT CAST(sum(r * n_r) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN r = 1 THEN n_r ELSE 0 END) AS BIGINT) AS n1
+      FROM spec)
+    SELECT r, n_r, z_r,
+           (r + 1) * power(CAST(r + 1 AS DOUBLE) / CAST(r AS DOUBLE), b)
+             AS r_star,
+           (r + 1) * power(CAST(r + 1 AS DOUBLE) / CAST(r AS DOUBLE), b)
+             / CAST(n_tokens AS DOUBLE) AS p_gt,
+           CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS p0
+    FROM sz, bfit, tot
+    """,
+)
+def good_turing_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing count-of-counts spectrum with Gale-Sampson LGT
+    smoothing (text/goodturing.py; Good 1953, Gale & Sampson 1995):
+    one corpus-sized token-count shuffle, spectrum-sized everything
+    after; the log-log OLS slope comes from micro-unit-quantized term
+    sums so both engines derive the identical slope, and r* =
+    (r+1)((r+1)/r)^b needs no intercept.  Unrounded — all outputs are
+    bit-identical doubles."""
+    from gofast_spark.text.goodturing import good_turing_spectrum
+
+    d = _t(spark, sf_dir, "documents")
+    out = good_turing_spectrum(d, "text")
+    return out.select(
+        "r", "n_r", "z_r", "r_star", "p_gt", "p0"
+    )
