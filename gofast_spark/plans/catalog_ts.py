@@ -488,3 +488,77 @@ def mann_kendall_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sen_slope", 4).cast("double").alias("sen_slope"),
         "n",
     )
+
+
+@query(
+    "granger_clicks_purchases",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             count(*) FILTER (event_type = 'click') AS x,
+             count(*) FILTER (event_type = 'purchase') AS y
+      FROM events GROUP BY 1),
+    lagged AS (
+      SELECT y,
+             lag(y) OVER (ORDER BY d) AS l,
+             lag(x) OVER (ORDER BY d) AS x
+      FROM daily
+      QUALIFY l IS NOT NULL AND x IS NOT NULL),
+    m AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(y) AS DOUBLE) AS sy, CAST(sum(l) AS DOUBLE) AS sl,
+             CAST(sum(x) AS DOUBLE) AS sx,
+             CAST(sum(y * l) AS DOUBLE) AS syl,
+             CAST(sum(y * x) AS DOUBLE) AS syx,
+             CAST(sum(l * x) AS DOUBLE) AS slx,
+             CAST(sum(l * l) AS DOUBLE) AS sll,
+             CAST(sum(x * x) AS DOUBLE) AS sxx,
+             CAST(sum(y * y) AS DOUBLE) AS syy
+      FROM lagged),
+    solve AS (
+      SELECT n, sy, syl, syx, syy, sl, sll,
+             n * (sll * sxx - slx * slx)
+               - sl * (sl * sxx - slx * sx)
+               + sx * (sl * slx - sll * sx) AS det,
+             sy * (sll * sxx - slx * slx)
+               - sl * (syl * sxx - slx * syx)
+               + sx * (syl * slx - sll * syx) AS dc,
+             n * (syl * sxx - slx * syx)
+               - sy * (sl * sxx - slx * sx)
+               + sx * (sl * syx - syl * sx) AS da,
+             n * (sll * syx - syl * slx)
+               - sl * (sl * syx - syl * sx)
+               + sy * (sl * slx - sll * sx) AS db
+      FROM m),
+    fit AS (
+      SELECT n, syy - ((dc / det) * sy + (da / det) * syl
+                       + (db / det) * syx) AS sse_u,
+             (n * syl - sl * sy) / (n * sll - sl * sl) AS ar,
+             sy, sl, syl, syy
+      FROM solve),
+    res AS (
+      SELECT n, sse_u,
+             syy - ((sy - ar * sl) / n) * sy - ar * syl AS sse_r
+      FROM fit)
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(sse_r AS DOUBLE) AS sse_r,
+           CAST(sse_u AS DOUBLE) AS sse_u,
+           CAST((sse_r - sse_u) / (sse_u / (n - 3.0)) AS DOUBLE) AS f_stat
+    FROM res
+    """,
+)
+def granger_clicks_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger causality F-test, clicks -> purchases, on daily counts
+    (ts/causality.py granger_causality; Granger 1969): one day-keyed
+    aggregate builds the 30-row series, then a lag window + ONE exact
+    -integer moment aggregate; the 3x3 Cramer solve and F statistic
+    are scalar arithmetic on identical doubles, so the result is
+    unrounded bit-exact in both engines."""
+    from gofast_spark.ts.causality import granger_causality
+
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("x"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("y"),
+    )
+    return granger_causality(daily, "d", "x", "y", scale=1.0)
