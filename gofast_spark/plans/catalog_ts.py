@@ -562,3 +562,61 @@ def granger_clicks_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("event_type") == "purchase", 1)).alias("y"),
     )
     return granger_causality(daily, "d", "x", "y", scale=1.0)
+
+
+@query(
+    "ar_forecast_daily_events",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL}),
+    l AS (
+      SELECT d, v,
+             lag(v, 1) OVER w AS l1, lag(v, 2) OVER w AS l2,
+             lag(v, 3) OVER w AS l3
+      FROM daily WINDOW w AS (ORDER BY d)),
+    a AS (
+      SELECT corr(v, l1) AS r1, corr(v, l2) AS r2, corr(v, l3) AS r3
+      FROM l),
+    k2 AS (
+      SELECT *, (r2 - r1 * r1) / (1 - r1 * r1) AS p22 FROM a),
+    k2f AS (
+      SELECT *, r1 - p22 * r1 AS p21 FROM k2),
+    k3 AS (
+      SELECT *, (r3 - (p21 * r2 + p22 * r1)) / (1 - (p21 * r1 + p22 * r2))
+             AS p33 FROM k2f),
+    k3f AS (
+      SELECT *, p21 - p33 * p22 AS p31, p22 - p33 * p21 AS p32 FROM k3),
+    last AS (
+      SELECT v AS v0, l1 AS v1, l2 AS v2 FROM l ORDER BY d DESC LIMIT 1),
+    mu AS (SELECT avg(v) AS mu FROM daily),
+    e AS (
+      SELECT p31, p32, p33, mu,
+             v0 - mu AS e0, v1 - mu AS e1, v2 - mu AS e2
+      FROM k3f, last, mu),
+    s1 AS (SELECT *, 0.0 + p31 * e0 + p32 * e1 + p33 * e2 AS d1 FROM e),
+    s2 AS (SELECT *, 0.0 + p31 * d1 + p32 * e0 + p33 * e1 AS d2 FROM s1),
+    s3 AS (SELECT *, 0.0 + p31 * d2 + p32 * d1 + p33 * e0 AS d3 FROM s2),
+    s4 AS (SELECT *, 0.0 + p31 * d3 + p32 * d2 + p33 * d1 AS d4 FROM s3),
+    s5 AS (SELECT *, 0.0 + p31 * d4 + p32 * d3 + p33 * d2 AS d5 FROM s4)
+    SELECT CAST(h AS BIGINT) AS h, CAST(round(f, 4) AS DOUBLE) AS forecast
+    FROM (
+      SELECT 1 AS h, mu + d1 AS f FROM s5 UNION ALL
+      SELECT 2, mu + d2 FROM s5 UNION ALL
+      SELECT 3, mu + d3 FROM s5 UNION ALL
+      SELECT 4, mu + d4 FROM s5 UNION ALL
+      SELECT 5, mu + d5 FROM s5)
+    """,
+)
+def ar_forecast_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-step AR(3) Yule-Walker forecast of daily revenue
+    (ts/engineering.py ar_forecast; Box & Jenkins 1970): coefficients
+    are the final Durbin-Levinson row over the distributed ACF — the
+    pacf_daily_events chain — and the forecast recursion unrolls as
+    five chained projections over one broadcast state row; the last-p
+    observations come from ONE max_by aggregate, never a global sort.
+    The oracle replays the identical recursion."""
+    from gofast_spark.ts.engineering import ar_forecast
+
+    out = ar_forecast(_daily(spark, sf_dir), "v", "d", p=3, horizon=5)
+    return out.select(
+        "h", F.round("forecast", 4).cast("double").alias("forecast")
+    )

@@ -7,8 +7,12 @@ aggregates; only true per-series model fits (STL, ADF) would need
 ``applyInPandas`` and are explicitly out of this module.
 """
 
+from gofast_spark.ts.causality import granger_causality
 from gofast_spark.ts.engineering import (
     acf,
+    ar_forecast,
+    brown_forecast,
+    double_ewma,
     ewma,
     mann_kendall,
     ccf,
@@ -37,6 +41,10 @@ __all__ = [
     "trend_analysis",
     "detrend",
     "acf",
+    "ar_forecast",
+    "brown_forecast",
+    "double_ewma",
+    "granger_causality",
     "ewma",
     "mann_kendall",
     "ccf",

@@ -196,6 +196,37 @@ def acf(
     )
 
 
+def _durbin_frame(acf_row: DataFrame, max_lag: int) -> DataFrame:
+    """Unroll the Durbin-Levinson recursion over a one-row ACF frame as
+    chained projections, yielding every ``__phi_{k}_{j}`` coefficient
+    column (k = recursion level, j = lag).  Shared by :func:`pacf_frame`
+    (diagonal ``phi_kk``) and :func:`ar_forecast` (final row
+    ``phi_{p,1..p}`` = the Yule-Walker AR(p) coefficients)."""
+
+    def rho(i: int):
+        return F.lit(1.0) if i == 0 else F.col(f"acf_{i}")
+
+    out = acf_row.select("*", F.col("acf_1").alias("__phi_1_1"))
+    for k in range(2, max_lag + 1):
+        prev = {j: F.col(f"__phi_{k-1}_{j}") for j in range(1, k)}
+        num = rho(k) - sum(
+            (prev[j] * rho(k - j) for j in range(1, k)), F.lit(0.0)
+        )
+        den = F.lit(1.0) - sum(
+            (prev[j] * rho(j) for j in range(1, k)), F.lit(0.0)
+        )
+        out = out.select("*", (num / den).alias(f"__phi_{k}_{k}"))
+        a = F.col(f"__phi_{k}_{k}")
+        out = out.select(
+            "*",
+            *[
+                (prev[j] - a * prev[k - j]).alias(f"__phi_{k}_{j}")
+                for j in range(1, k)
+            ],
+        )
+    return out
+
+
 def pacf_frame(
     df: DataFrame,
     value_col: str,
@@ -215,35 +246,16 @@ def pacf_frame(
     Two projections per level keep every phi a *named* column, so the
     expression tree stays O(max_lag^2) instead of copying subtrees
     exponentially."""
-    out = acf(
-        df,
-        value_col,
-        order_by,
-        lags=tuple(range(1, max_lag + 1)),
-        partition_by=partition_by,
+    out = _durbin_frame(
+        acf(
+            df,
+            value_col,
+            order_by,
+            lags=tuple(range(1, max_lag + 1)),
+            partition_by=partition_by,
+        ),
+        max_lag,
     )
-
-    def rho(i: int):
-        return F.lit(1.0) if i == 0 else F.col(f"acf_{i}")
-
-    out = out.select("*", F.col("acf_1").alias("__phi_1_1"))
-    for k in range(2, max_lag + 1):
-        prev = {j: F.col(f"__phi_{k-1}_{j}") for j in range(1, k)}
-        num = rho(k) - sum(
-            (prev[j] * rho(k - j) for j in range(1, k)), F.lit(0.0)
-        )
-        den = F.lit(1.0) - sum(
-            (prev[j] * rho(j) for j in range(1, k)), F.lit(0.0)
-        )
-        out = out.select("*", (num / den).alias(f"__phi_{k}_{k}"))
-        a = F.col(f"__phi_{k}_{k}")
-        out = out.select(
-            "*",
-            *[
-                (prev[j] - a * prev[k - j]).alias(f"__phi_{k}_{j}")
-                for j in range(1, k)
-            ],
-        )
     return out.select(
         *[
             F.col(f"__phi_{k}_{k}").alias(f"pacf_{k}")
@@ -502,4 +514,85 @@ def brown_forecast(
         (F.col("level") + F.col("h").cast("double") * F.col("trend")).alias(
             "forecast"
         ),
+    )
+
+
+def ar_forecast(
+    df: DataFrame,
+    value_col: str,
+    order_by: str,
+    *,
+    p: int = 3,
+    horizon: int = 5,
+) -> DataFrame:
+    """Mean-adjusted AR(p) forecast via Yule-Walker (Box & Jenkins
+    1970, ch. 3; Brockwell & Davis 1991 §8.1): the AR coefficients are
+    the FINAL row ``phi_{p,1..p}`` of the Durbin-Levinson recursion
+    over the distributed ACF — the same unrolled in-plan chain as
+    :func:`pacf_frame` — and the h-step forecast recursion
+
+        xhat_{T+h} = mu + sum_j phi_j (x*_{T+h-j} - mu)
+
+    (forecasts substitute for unobserved values) is unrolled as
+    ``horizon`` chained projections over that one-row state.  No
+    driver collect anywhere: last-p observed values come from ONE
+    ``max_by`` aggregate, the mean from one aggregate, both broadcast
+    onto the coefficient row.  Intended for rollup-sized series.
+
+    Returns ``horizon`` rows ``(h, forecast)``.
+    """
+    if p < 1:
+        raise ValueError("p must be >= 1")
+    if horizon < 1:
+        raise ValueError("horizon must be >= 1")
+    phis = _durbin_frame(
+        acf(df, value_col, order_by, lags=tuple(range(1, p + 1))), p
+    ).select(
+        *[F.col(f"__phi_{p}_{j}").alias(f"__ph_{j}") for j in range(1, p + 1)]
+    )
+    w = Window.orderBy(order_by)
+    lagged = df.select(
+        F.col(order_by).alias("__o"),
+        F.col(value_col).cast("double").alias("__v0"),
+        *[
+            F.lag(value_col, j).over(w).cast("double").alias(f"__v{j}")
+            for j in range(1, p)
+        ],
+    )
+    last = lagged.agg(
+        F.max_by(
+            F.struct(*[F.col(f"__v{j}") for j in range(p)]), F.col("__o")
+        ).alias("st")
+    ).select(*[F.col(f"st.__v{j}").alias(f"__v{j}") for j in range(p)])
+    mu = df.agg(F.avg(F.col(value_col).cast("double")).alias("__mu"))
+    st = phis.crossJoin(F.broadcast(last)).crossJoin(F.broadcast(mu))
+    st = st.select(
+        "*",
+        *[
+            (F.col(f"__v{j}") - F.col("__mu")).alias(f"__e{j}")
+            for j in range(p)
+        ],
+    )
+    devs = [f"__e{j}" for j in range(p)]  # newest first
+    for h in range(1, horizon + 1):
+        expr = sum(
+            (
+                F.col(f"__ph_{j}") * F.col(devs[j - 1])
+                for j in range(1, p + 1)
+            ),
+            F.lit(0.0),
+        )
+        st = st.select("*", expr.alias(f"__d{h}"))
+        devs = [f"__d{h}"] + devs[:-1]
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(h).cast("bigint").alias("h"),
+                (F.col("__mu") + F.col(f"__d{h}")).alias("forecast"),
+            )
+            for h in range(1, horizon + 1)
+        ]
+    )
+    return st.select(F.explode(arr).alias("s")).select(
+        F.col("s.h").alias("h"), F.col("s.forecast").alias("forecast")
     )
