@@ -2385,3 +2385,96 @@ def icc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k",
         "n",
     )
+
+
+def _ipw_oracle(n_iter: int = 3) -> str:
+    """Layered Newton replay (the _logit_oracle recipe) for the
+    PROPENSITY model t ~ x, then the Hajek-normalized IPW readout at
+    the round-6-pinned final weights."""
+    layers = [
+        "w0 AS (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1)"
+    ]
+    prev = "w0"
+    for k in range(1, n_iter + 1):
+        p = f"(1.0 / (1.0 + exp(-({prev}.w0 * 1.0 + {prev}.w1 * d.x))))"
+        layers.append(f"""a{k} AS (
+      SELECT sum({p} * (1.0 - {p}) * 1.0 * 1.0) AS h00,
+             sum({p} * (1.0 - {p}) * 1.0 * d.x) AS h01,
+             sum({p} * (1.0 - {p}) * d.x * d.x) AS h11,
+             sum((d.t - {p}) * 1.0) AS g0,
+             sum((d.t - {p}) * d.x) AS g1
+      FROM d, {prev})""")
+        layers.append(f"""w{k} AS (
+      SELECT {prev}.w0 + (g0 * h11 - h01 * g1) / (h00 * h11 - h01 * h01) AS w0,
+             {prev}.w1 + (h00 * g1 - g0 * h01) / (h00 * h11 - h01 * h01) AS w1
+      FROM a{k}, {prev})""")
+        prev = f"w{k}"
+    cte = ",\n    ".join(layers)
+    return f"""
+    WITH d AS (
+      SELECT CAST(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS DOUBLE)
+               AS y,
+             CAST(CASE WHEN o_orderpriority LIKE '1%'
+                         OR o_orderpriority LIKE '2%'
+                       THEN 1 ELSE 0 END AS DOUBLE) AS t,
+             CAST(o_totalprice AS DOUBLE) / 100000.0 AS x
+      FROM orders
+      WHERE o_orderstatus IS NOT NULL AND o_totalprice IS NOT NULL
+        AND o_orderpriority IS NOT NULL),
+    {cte},
+    wr AS (SELECT round(w0, 6) AS w0, round(w1, 6) AS w1 FROM {prev}),
+    props AS (
+      SELECT d.y, d.t,
+             greatest(least(1.0 / (1.0 + exp(-(wr.w0 + wr.w1 * d.x))),
+                            0.99), 0.01) AS p
+      FROM d, wr),
+    s AS (
+      SELECT sum(t * y / p) AS swty, sum(t / p) AS swt,
+             sum((1.0 - t) * y / (1.0 - p)) AS swcy,
+             sum((1.0 - t) / (1.0 - p)) AS swc,
+             CAST(sum(t) AS BIGINT) AS n_treated,
+             count(*) AS n
+      FROM props)
+    SELECT CAST(round(swty / swt - swcy / swc, 6) AS DOUBLE) AS ate,
+           CAST(round(swty / swt, 6) AS DOUBLE) AS mean_treated,
+           CAST(round(swcy / swc, 6) AS DOUBLE) AS mean_control,
+           n_treated, CAST(n - n_treated AS BIGINT) AS n_control, n
+    FROM s
+    """
+
+
+@query("ipw_ate_orders", oracle=_ipw_oracle(3))
+def ipw_ate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hajek-normalized IPW average treatment effect of high order
+    priority on order finality, adjusting for price (stats/causal.py
+    ipw_ate; Horvitz-Thompson 1952, Hajek 1971, Crump 2009 clipping):
+    the propensity model is the 3-layer Newton trajectory of
+    logistic_newton_orders re-labeled to the treatment, its final
+    weights pinned to the round-6 grid on BOTH sides so each engine
+    scores identical propensities; the readout is one aggregate."""
+    from gofast_spark.stats.causal import ipw_ate
+
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus").isNotNull()
+        & F.col("o_totalprice").isNotNull()
+        & F.col("o_orderpriority").isNotNull()
+    )
+    d = o.select(
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+        .cast("double").alias("y"),
+        F.when(
+            F.col("o_orderpriority").like("1%")
+            | F.col("o_orderpriority").like("2%"),
+            1,
+        ).otherwise(0).cast("double").alias("t"),
+        (F.col("o_totalprice").cast("double") / 100000.0).alias("x"),
+    )
+    out = ipw_ate(
+        d, "t", "y", ["x"], n_iter=3, eps=0.01, coef_round=6
+    )
+    return out.select(
+        F.round("ate", 6).cast("double").alias("ate"),
+        F.round("mean_treated", 6).cast("double").alias("mean_treated"),
+        F.round("mean_control", 6).cast("double").alias("mean_control"),
+        "n_treated", "n_control", "n",
+    )
