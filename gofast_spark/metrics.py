@@ -800,3 +800,56 @@ def brier_decomposition(
         (yb * (F.lit(1.0) - yb)).alias("uncertainty"),
         F.col("n").alias("n"),
     )
+
+
+def forecast_accuracy(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Scale-free forecast accuracy: sMAPE, MASE and Theil's U2 in ONE
+    aggregate (Hyndman & Koehler, "Another look at measures of forecast
+    accuracy", IJF 2006; Theil 1966).
+
+    MASE and U2 normalize by the in-sample one-step naive forecast
+    (``lag(y, 1)`` over ``order_col``), so rows without a predecessor
+    contribute to the numerators only.  Per-row terms are quantized to
+    exact integer micro-units (ratios) / milli-units (squared errors)
+    before summing — the repo's deterministic-sum discipline — so the
+    readout is bit-identical across engines and partition orders.
+    Intended for rollup-sized series frames (the window sorts only the
+    series, never raw data)."""
+    w = Window.orderBy(order_col)
+    y = F.col(value_col).cast("double")
+    f = F.col(pred_col).cast("double")
+    base = df.where(y.isNotNull() & f.isNotNull()).select(
+        y.alias("__y"),
+        f.alias("__f"),
+        F.lag(y).over(w).alias("__p"),
+    )
+    e = F.abs(F.col("__y") - F.col("__f"))
+    sm = F.lit(2.0) * e / (F.abs(F.col("__y")) + F.abs(F.col("__f")))
+    ne = F.abs(F.col("__y") - F.col("__p"))
+    u6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("bigint")  # noqa: E731
+    u3 = lambda c: F.floor(c * F.lit(1e3) + F.lit(0.5)).cast("bigint")  # noqa: E731
+    agg = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(u6(sm)).alias("ssm"),
+        F.sum(u6(e)).alias("se"),
+        F.sum(u6(ne)).alias("sne"),
+        F.count("__p").alias("nn"),
+        F.sum(u3(e * e)).alias("se2"),
+        F.sum(u3(ne * ne)).alias("sne2"),
+    )
+    return agg.select(
+        "n",
+        (F.col("ssm") / (F.col("n") * F.lit(1e6))).alias("smape"),
+        (
+            (F.col("se") / (F.col("n") * F.lit(1e6)))
+            / (F.col("sne") / (F.col("nn") * F.lit(1e6)))
+        ).alias("mase"),
+        F.sqrt(
+            F.col("se2").cast("double") / F.col("sne2").cast("double")
+        ).alias("theil_u2"),
+    )

@@ -620,3 +620,51 @@ def ar_forecast_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "h", F.round("forecast", 4).cast("double").alias("forecast")
     )
+
+
+@query(
+    "forecast_accuracy_daily_events",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL}),
+    pr AS (
+      SELECT d, v, lag(v, 7) OVER (ORDER BY d) AS f FROM daily),
+    kept AS (SELECT d, v, f FROM pr WHERE f IS NOT NULL),
+    base AS (
+      SELECT v AS y, f, lag(v) OVER (ORDER BY d) AS p FROM kept),
+    agg AS (
+      SELECT count(*) AS n,
+             sum(CAST(floor(2.0 * abs(y - f) / (abs(y) + abs(f)) * 1000000
+                            + 0.5) AS BIGINT)) AS ssm,
+             sum(CAST(floor(abs(y - f) * 1000000 + 0.5) AS BIGINT)) AS se,
+             sum(CAST(floor(abs(y - p) * 1000000 + 0.5) AS BIGINT)) AS sne,
+             count(p) AS nn,
+             sum(CAST(floor((y - f) * (y - f) * 1000 + 0.5) AS BIGINT))
+               AS se2,
+             sum(CAST(floor((y - p) * (y - p) * 1000 + 0.5) AS BIGINT))
+               AS sne2
+      FROM base)
+    SELECT n,
+           CAST(ssm / (n * 1000000.0) AS DOUBLE) AS smape,
+           CAST((se / (n * 1000000.0)) / (sne / (nn * 1000000.0)) AS DOUBLE)
+             AS mase,
+           CAST(sqrt(CAST(se2 AS DOUBLE) / CAST(sne2 AS DOUBLE)) AS DOUBLE)
+             AS theil_u2
+    FROM agg
+    """,
+)
+def forecast_accuracy_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sMAPE / MASE / Theil U2 of the weekly seasonal-naive forecast of
+    daily revenue (metrics.forecast_accuracy; Hyndman & Koehler 2006):
+    one series window builds lag-7 predictions, one aggregate with
+    micro/milli-unit-quantized terms scores them — unrounded outputs
+    are exact-integer divisions, bit-identical in both engines."""
+    from pyspark.sql import Window
+
+    from gofast_spark.metrics import forecast_accuracy
+
+    daily = _daily(spark, sf_dir)
+    w = Window.orderBy("d")
+    pr = daily.select(
+        "d", "v", F.lag("v", 7).over(w).alias("f")
+    ).where(F.col("f").isNotNull())
+    return forecast_accuracy(pr, "d", "v", "f")
