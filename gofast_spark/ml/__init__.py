@@ -8,6 +8,7 @@ from gofast_spark.ml.pipeline import (
 from gofast_spark.ml.graph import edges_from_pairs, link_prediction, pagerank
 from gofast_spark.ml.optim import gradient_descent, linkage_matrix
 from gofast_spark.ml.regression import (
+    fit_huber_regression,
     fit_linear_regression,
     fit_linear_regression_grouped,
     fit_logistic_regression,
@@ -69,6 +70,7 @@ __all__ = [
     "ridge_cv_sweep",
     "learning_curve_linear",
     "fit_stacking_ols",
+    "fit_huber_regression",
     "link_prediction",
     "fit_stump",
     "item_similarity_topk",

@@ -348,3 +348,53 @@ def fit_linear_regression_grouped(
         "n",
         r2.alias("r2"),
     )
+
+
+def fit_huber_regression(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    *,
+    delta: float = 1.0,
+    n_iter: int = 3,
+) -> dict:
+    """Robust simple regression by fixed-threshold Huber IRLS (Huber,
+    Ann. Math. Statist. 1964; Holland & Welsch 1977 IRLS form): rows
+    with residual ``|r| <= delta`` get weight 1, larger ones
+    ``delta/|r|``, and each iteration re-solves the 2x2 weighted
+    normal equations.
+
+    ``delta`` is a FIXED threshold in y-units (no per-iteration scale
+    re-estimate) so the whole trajectory — OLS start included — is a
+    chain of single moment aggregates with a fixed-order Cramer 2x2
+    solve between jobs, exactly the fit_logistic_regression shape:
+    one Spark job per iteration regardless of row count, and a SQL
+    oracle can replay every layer.  Returns ``{"intercept", "slope",
+    "n"}``.
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    d = df.where(x.isNotNull() & y.isNotNull())
+
+    def wls(weight) -> "tuple[float, float, int]":
+        row = d.agg(
+            F.sum(weight).alias("sw"),
+            F.sum(weight * x).alias("swx"),
+            F.sum(weight * x * x).alias("swxx"),
+            F.sum(weight * y).alias("swy"),
+            F.sum(weight * x * y).alias("swxy"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        det = row["sw"] * row["swxx"] - row["swx"] * row["swx"]
+        c = (row["swy"] * row["swxx"] - row["swx"] * row["swxy"]) / det
+        b = (row["sw"] * row["swxy"] - row["swy"] * row["swx"]) / det
+        return float(c), float(b), int(row["n"])
+
+    c, b, n = wls(F.lit(1.0))
+    for _ in range(int(n_iter)):
+        r = F.abs(y - (F.lit(c) + F.lit(b) * x))
+        weight = F.when(r <= F.lit(float(delta)), F.lit(1.0)).otherwise(
+            F.lit(float(delta)) / r
+        )
+        c, b, n = wls(weight)
+    return {"intercept": c, "slope": b, "n": n}

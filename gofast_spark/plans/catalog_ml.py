@@ -1276,3 +1276,68 @@ def stacking_ols_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rmse", 4).cast("double").alias("rmse"),
         "n",
     )
+
+
+def _huber_oracle(delta: float, n_iter: int) -> str:
+    """Layered IRLS replay for fit_huber_regression: an OLS start CTE,
+    then per iteration a Huber-weighted moment aggregate + the same
+    fixed-order Cramer 2x2 as the Spark driver loop."""
+    dl = f"{delta!r}"
+    layers = [
+        """m0 AS (
+      SELECT sum(1.0) AS sw, sum(1.0 * x) AS swx, sum(1.0 * x * x) AS swxx,
+             sum(1.0 * y) AS swy, sum(1.0 * x * y) AS swxy, count(*) AS n
+      FROM d)""",
+        """w0 AS (
+      SELECT (swy * swxx - swx * swxy) / (sw * swxx - swx * swx) AS c,
+             (sw * swxy - swy * swx) / (sw * swxx - swx * swx) AS b,
+             n FROM m0)""",
+    ]
+    prev = "w0"
+    for k in range(1, n_iter + 1):
+        layers.append(f"""t{k} AS (
+      SELECT x, y,
+             CASE WHEN abs(y - ({prev}.c + {prev}.b * x)) <= {dl} THEN 1.0
+                  ELSE {dl} / abs(y - ({prev}.c + {prev}.b * x)) END AS wt
+      FROM d, {prev})""")
+        layers.append(f"""m{k} AS (
+      SELECT sum(wt) AS sw, sum(wt * x) AS swx, sum(wt * x * x) AS swxx,
+             sum(wt * y) AS swy, sum(wt * x * y) AS swxy, count(*) AS n
+      FROM t{k})""")
+        layers.append(f"""w{k} AS (
+      SELECT (swy * swxx - swx * swxy) / (sw * swxx - swx * swx) AS c,
+             (sw * swxy - swy * swx) / (sw * swxx - swx * swx) AS b,
+             n FROM m{k})""")
+        prev = f"w{k}"
+    cte = ",\n    ".join(layers)
+    return f"""
+    WITH d AS (
+      SELECT CAST(l_quantity AS DOUBLE) AS x,
+             CAST(l_extendedprice AS DOUBLE) AS y
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+    {cte}
+    SELECT CAST(round(c, 4) AS DOUBLE) AS intercept,
+           CAST(round(b, 4) AS DOUBLE) AS slope,
+           CAST(n AS BIGINT) AS n
+    FROM {prev}
+    """
+
+
+@query("huber_regression_lineitem", oracle=_huber_oracle(10000.0, 3))
+def huber_regression_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust price-on-quantity regression by fixed-threshold Huber
+    IRLS (ml/regression.py fit_huber_regression; Huber 1964, Holland &
+    Welsch 1977): OLS start + 3 reweighted layers, ONE moment
+    aggregate per layer with a driver-side Cramer 2x2 between jobs —
+    the oracle replays the entire trajectory as CTE layers."""
+    from gofast_spark.ml.regression import fit_huber_regression
+
+    li = _t(spark, sf_dir, "lineitem")
+    m = fit_huber_regression(
+        li, "l_quantity", "l_extendedprice", delta=10000.0, n_iter=3
+    )
+    return spark.createDataFrame(
+        [(round(m["intercept"], 4), round(m["slope"], 4), m["n"])],
+        "intercept double, slope double, n bigint",
+    )
