@@ -668,3 +668,53 @@ def forecast_accuracy_daily_events(spark: SparkSession, sf_dir: str) -> DataFram
         "d", "v", F.lag("v", 7).over(w).alias("f")
     ).where(F.col("f").isNotNull())
     return forecast_accuracy(pr, "d", "v", "f")
+
+
+@query(
+    "cusum_daily_events",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL}),
+    u AS (SELECT d, CAST(floor(v * 10000 + 0.5) AS BIGINT) AS vu FROM daily),
+    tot AS (SELECT CAST(sum(vu) AS BIGINT) AS s, count(*) AS n FROM u),
+    dev AS (
+      SELECT d, vu, n,
+             n * vu - s - n * 1000000 AS dp,
+             s - n * vu - n * 1000000 AS dn
+      FROM u, tot),
+    p AS (
+      SELECT d, vu, n,
+             sum(dp) OVER w AS pp, sum(dn) OVER w AS pn
+      FROM dev
+      WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)),
+    m AS (
+      SELECT d, vu, n, pp, pn,
+             least(CAST(0 AS BIGINT), CAST(min(pp) OVER w AS BIGINT)) AS mp,
+             least(CAST(0 AS BIGINT), CAST(min(pn) OVER w AS BIGINT)) AS mn
+      FROM p
+      WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW))
+    SELECT d, CAST(vu / 10000.0 AS DOUBLE) AS v,
+           CAST(CAST(pp - mp AS DOUBLE) / (n * 10000.0) AS DOUBLE)
+             AS cusum_pos,
+           CAST(CAST(pn - mn AS DOUBLE) / (n * 10000.0) AS DOUBLE)
+             AS cusum_neg,
+           CAST(CAST(pp - mp AS BIGINT) > n * 5000000 AS INT) AS alarm_pos,
+           CAST(CAST(pn - mn AS BIGINT) > n * 5000000 AS INT) AS alarm_neg
+    FROM m
+    """,
+)
+def cusum_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tabular CUSUM monitor on daily revenue (ts/changepoint.py cusum;
+    Page 1954): the max(0, ...) recursions as prefix-sum minus running
+    -minimum windows — no recursion, no driver loop; state is exact
+    integers scaled by n so the in-control mean S/n never rounds.
+    Slack k=100, threshold h=500 on the 1e-4 grid."""
+    from gofast_spark.ts.changepoint import cusum
+
+    out = cusum(_daily(spark, sf_dir), "d", "v", k=100.0, h=500.0)
+    return out.select(
+        "d", "v", "cusum_pos", "cusum_neg",
+        F.col("alarm_pos").cast("int").alias("alarm_pos"),
+        F.col("alarm_neg").cast("int").alias("alarm_neg"),
+    )

@@ -8,6 +8,7 @@ aggregates; only true per-series model fits (STL, ADF) would need
 """
 
 from gofast_spark.ts.causality import granger_causality
+from gofast_spark.ts.changepoint import best_changepoint, cusum
 from gofast_spark.ts.engineering import (
     acf,
     ar_forecast,
@@ -41,6 +42,8 @@ __all__ = [
     "trend_analysis",
     "detrend",
     "acf",
+    "best_changepoint",
+    "cusum",
     "ar_forecast",
     "brown_forecast",
     "double_ewma",

@@ -78,3 +78,92 @@ def best_changepoint(
         (-F.unix_micros(F.col("change_at").cast("timestamp"))).alias("nt"),
     )
     return cand.agg(F.max_by(row, ordkey).alias("b")).select("b.*")
+
+
+def cusum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    *,
+    k: float = 0.0,
+    h: "float | None" = None,
+    target: "float | None" = None,
+) -> DataFrame:
+    """Tabular CUSUM mean-shift monitor (Page, Biometrika 1954) with
+    the recursions
+
+        C+_t = max(0, C+_{t-1} + (x_t - target - k))
+        C-_t = max(0, C-_{t-1} + (target - x_t - k))
+
+    computed WITHOUT recursion via the running-minimum identity
+    ``C_t = P_t - min(0, min_{i<=t} P_i)`` where ``P`` is the prefix
+    sum of the drift-adjusted deviations — one cumulative-sum window +
+    one cumulative-min window each side, no UDF, no driver loop.
+
+    Exactness: values are snapped to the 1e-4 grid and all state is
+    kept as exact integers.  With ``target=None`` the in-control mean
+    is the exact rational ``S/n`` — every deviation is scaled by ``n``
+    (so state = ``n*x_u4 - S_u4 - n*k_u4``, still integer) and divided
+    back out only in the final double projection, which makes the
+    whole monitor bit-identical across engines and partition orders.
+    ``k`` (slack) and ``h`` (alarm threshold) must sit on the same
+    1e-4 grid.  Intended for rollup-sized series.
+
+    Returns per input row: ``(order, value, cusum_pos, cusum_neg``,
+    plus ``alarm_pos / alarm_neg`` when ``h`` is given``)``.
+    """
+    v_u = F.floor(
+        F.col(value_col).cast("double") * F.lit(1e4) + F.lit(0.5)
+    ).cast("bigint")
+    k_u = int(round(k * 1e4))
+    base = df.select(F.col(order_col).alias("__o"), v_u.alias("__v"))
+    if target is None:
+        tot = base.agg(
+            F.sum("__v").alias("__s"), F.count(F.lit(1)).alias("__n")
+        )
+        st = base.crossJoin(F.broadcast(tot))
+        dev_p = (
+            F.col("__n") * F.col("__v")
+            - F.col("__s")
+            - F.col("__n") * F.lit(k_u)
+        )
+        dev_n = (
+            F.col("__s")
+            - F.col("__n") * F.col("__v")
+            - F.col("__n") * F.lit(k_u)
+        )
+        scale = F.col("__n").cast("double") * F.lit(1e4)
+    else:
+        t_u = int(round(target * 1e4))
+        st = base
+        dev_p = F.col("__v") - F.lit(t_u) - F.lit(k_u)
+        dev_n = F.lit(t_u) - F.col("__v") - F.lit(k_u)
+        scale = F.lit(1e4)
+    w = Window.orderBy("__o").rowsBetween(Window.unboundedPreceding, 0)
+    st = st.select(
+        "*",
+        F.sum(dev_p).over(w).alias("__pp"),
+        F.sum(dev_n).over(w).alias("__pn"),
+    )
+    st = st.select(
+        "*",
+        F.least(F.lit(0).cast("bigint"), F.min("__pp").over(w)).alias("__mp"),
+        F.least(F.lit(0).cast("bigint"), F.min("__pn").over(w)).alias("__mn"),
+    )
+    cp = (F.col("__pp") - F.col("__mp")).cast("double") / scale
+    cn = (F.col("__pn") - F.col("__mn")).cast("double") / scale
+    cols = [
+        F.col("__o").alias(order_col),
+        (F.col("__v").cast("double") / F.lit(1e4)).alias(value_col),
+        cp.alias("cusum_pos"),
+        cn.alias("cusum_neg"),
+    ]
+    if h is not None:
+        h_u = int(round(h * 1e4))
+        if target is None:
+            thr = (F.col("__n") * F.lit(h_u)).cast("bigint")
+        else:
+            thr = F.lit(h_u).cast("bigint")
+        cols.append(((F.col("__pp") - F.col("__mp")) > thr).alias("alarm_pos"))
+        cols.append(((F.col("__pn") - F.col("__mn")) > thr).alias("alarm_neg"))
+    return st.select(*cols)
