@@ -2478,3 +2478,106 @@ def ipw_ate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_control", 6).cast("double").alias("mean_control"),
         "n_treated", "n_control", "n",
     )
+
+
+def _aipw_oracle(n_iter: int = 3) -> str:
+    """Logistic layers (the _ipw_oracle propensity replay) + per-arm
+    closed-form OLS moments + the AIPW readout, all coefficients
+    round-6-pinned like the Spark side."""
+    layers = [
+        "w0 AS (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1)"
+    ]
+    prev = "w0"
+    for k in range(1, n_iter + 1):
+        p = f"(1.0 / (1.0 + exp(-({prev}.w0 * 1.0 + {prev}.w1 * d.x))))"
+        layers.append(f"""a{k} AS (
+      SELECT sum({p} * (1.0 - {p}) * 1.0 * 1.0) AS h00,
+             sum({p} * (1.0 - {p}) * 1.0 * d.x) AS h01,
+             sum({p} * (1.0 - {p}) * d.x * d.x) AS h11,
+             sum((d.t - {p}) * 1.0) AS g0,
+             sum((d.t - {p}) * d.x) AS g1
+      FROM d, {prev})""")
+        layers.append(f"""w{k} AS (
+      SELECT {prev}.w0 + (g0 * h11 - h01 * g1) / (h00 * h11 - h01 * h01) AS w0,
+             {prev}.w1 + (h00 * g1 - g0 * h01) / (h00 * h11 - h01 * h01) AS w1
+      FROM a{k}, {prev})""")
+        prev = f"w{k}"
+    cte = ",\n    ".join(layers)
+    return f"""
+    WITH d AS (
+      SELECT CAST(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS DOUBLE)
+               AS y,
+             CAST(CASE WHEN o_orderpriority LIKE '1%'
+                         OR o_orderpriority LIKE '2%'
+                       THEN 1 ELSE 0 END AS DOUBLE) AS t,
+             CAST(o_totalprice AS DOUBLE) / 100000.0 AS x
+      FROM orders
+      WHERE o_orderstatus IS NOT NULL AND o_totalprice IS NOT NULL
+        AND o_orderpriority IS NOT NULL),
+    {cte},
+    wr AS (SELECT round(w0, 6) AS w0, round(w1, 6) AS w1 FROM {prev}),
+    moms AS (
+      SELECT sum(t) AS n1, sum(t * x) AS sx1, sum(t * y) AS sy1,
+             sum(t * x * x) AS sxx1, sum(t * x * y) AS sxy1,
+             sum(1.0 - t) AS n0, sum((1.0 - t) * x) AS sx0,
+             sum((1.0 - t) * y) AS sy0, sum((1.0 - t) * x * x) AS sxx0,
+             sum((1.0 - t) * x * y) AS sxy0
+      FROM d),
+    ols AS (
+      SELECT round((sy1 * sxx1 - sx1 * sxy1) / (n1 * sxx1 - sx1 * sx1), 6)
+               AS c1,
+             round((n1 * sxy1 - sy1 * sx1) / (n1 * sxx1 - sx1 * sx1), 6)
+               AS b1,
+             round((sy0 * sxx0 - sx0 * sxy0) / (n0 * sxx0 - sx0 * sx0), 6)
+               AS c0,
+             round((n0 * sxy0 - sy0 * sx0) / (n0 * sxx0 - sx0 * sx0), 6)
+               AS b0
+      FROM moms),
+    score AS (
+      SELECT d.y, d.t,
+             greatest(least(1.0 / (1.0 + exp(-(wr.w0 + wr.w1 * d.x))),
+                            0.99), 0.01) AS p,
+             ols.c1 + ols.b1 * d.x AS m1,
+             ols.c0 + ols.b0 * d.x AS m0
+      FROM d, wr, ols),
+    r AS (
+      SELECT sum(m1 - m0 + t * (y - m1) / p
+                 - (1.0 - t) * (y - m0) / (1.0 - p)) AS ssum,
+             CAST(sum(t) AS BIGINT) AS n_treated,
+             count(*) AS n
+      FROM score)
+    SELECT CAST(round(ssum / n, 6) AS DOUBLE) AS ate_aipw,
+           n_treated, CAST(n - n_treated AS BIGINT) AS n_control, n
+    FROM r
+    """
+
+
+@query("aipw_ate_orders", oracle=_aipw_oracle(3))
+def aipw_ate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doubly-robust AIPW treatment effect (stats/causal.py aipw_ate;
+    Robins-Rotnitzky-Zhao 1994) on the ipw_ate_orders fixture: the
+    same 3-layer propensity trajectory PLUS per-arm closed-form OLS
+    outcome models from ONE treatment-weighted moment aggregate, every
+    scored coefficient round-6-pinned on both sides."""
+    from gofast_spark.stats.causal import aipw_ate
+
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus").isNotNull()
+        & F.col("o_totalprice").isNotNull()
+        & F.col("o_orderpriority").isNotNull()
+    )
+    d = o.select(
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+        .cast("double").alias("y"),
+        F.when(
+            F.col("o_orderpriority").like("1%")
+            | F.col("o_orderpriority").like("2%"),
+            1,
+        ).otherwise(0).cast("double").alias("t"),
+        (F.col("o_totalprice").cast("double") / 100000.0).alias("x"),
+    )
+    out = aipw_ate(d, "t", "y", ["x"], n_iter=3, eps=0.01, coef_round=6)
+    return out.select(
+        F.round("ate_aipw", 6).cast("double").alias("ate_aipw"),
+        "n_treated", "n_control", "n",
+    )

@@ -19,7 +19,7 @@ from gofast_spark.stats.relationships import (
     partial_corr,
     spearman_corr,
 )
-from gofast_spark.stats.causal import ipw_ate
+from gofast_spark.stats.causal import aipw_ate, ipw_ate
 from gofast_spark.stats.multiple import fdr_bh, p_two_sided_from_z
 from gofast_spark.stats.inferential import (
     cochran_armitage_trend,
@@ -79,6 +79,7 @@ from gofast_spark.stats.inferential import (
 )
 
 __all__ = [
+    "aipw_ate",
     "ipw_ate",
     "kaplan_meier",
     "logrank_test",

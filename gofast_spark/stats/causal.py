@@ -90,3 +90,96 @@ def ipw_ate(
         (F.col("n") - F.col("n_treated")).alias("n_control"),
         F.col("n"),
     )
+
+
+def aipw_ate(
+    df: DataFrame,
+    treatment_col: str,
+    outcome_col: str,
+    covariate_cols: Sequence[str],
+    *,
+    n_iter: int = 3,
+    eps: float = 0.01,
+    solver: str = "cramer",
+    coef_round: "int | None" = None,
+) -> DataFrame:
+    """Doubly-robust AIPW average treatment effect (Robins, Rotnitzky
+    & Zhao, JASA 1994; the augmented estimator
+
+        ATE = mean[ m1(x) - m0(x) + t (y - m1) / p - (1-t)(y - m0)/(1-p) ]
+
+    is consistent if EITHER the propensity model or the per-arm
+    outcome model is right).  The propensity is the same Newton
+    logistic as :func:`ipw_ate`; the outcome models are closed-form
+    per-arm simple OLS fits — both arms' moments come from ONE
+    treatment-weighted aggregate, so the full estimator costs
+    ``n_iter + 2`` Spark jobs total, each reducing to one row.
+
+    Restricted to a single covariate (closed-form 2x2 OLS per arm, the
+    SQL-replayable envelope).  ``coef_round`` pins the scored
+    propensity AND outcome coefficients to a decimal grid for
+    cross-engine replay.  Returns ONE row ``(ate_aipw, n_treated,
+    n_control, n)``.
+    """
+    if len(covariate_cols) != 1:
+        raise ValueError("aipw_ate supports exactly one covariate")
+    xc = covariate_cols[0]
+    cond = (
+        F.col(treatment_col).isNotNull()
+        & F.col(outcome_col).isNotNull()
+        & F.col(xc).isNotNull()
+    )
+    d = df.where(cond)
+    m = fit_logistic_regression(
+        d, [xc], treatment_col, n_iter=n_iter, solver=solver
+    )
+    w = m["coef"]
+    t = F.col(treatment_col).cast("double")
+    y = F.col(outcome_col).cast("double")
+    x = F.col(xc).cast("double")
+    u = F.lit(1.0) - t
+    row = d.agg(
+        F.sum(t).alias("n1"),
+        F.sum(t * x).alias("sx1"),
+        F.sum(t * y).alias("sy1"),
+        F.sum(t * x * x).alias("sxx1"),
+        F.sum(t * x * y).alias("sxy1"),
+        F.sum(u).alias("n0"),
+        F.sum(u * x).alias("sx0"),
+        F.sum(u * y).alias("sy0"),
+        F.sum(u * x * x).alias("sxx0"),
+        F.sum(u * x * y).alias("sxy0"),
+    ).first()
+
+    def ols(nn, sx, sy, sxx, sxy):
+        det = nn * sxx - sx * sx
+        return (sy * sxx - sx * sxy) / det, (nn * sxy - sy * sx) / det
+
+    c1, b1 = ols(row["n1"], row["sx1"], row["sy1"], row["sxx1"], row["sxy1"])
+    c0, b0 = ols(row["n0"], row["sx0"], row["sy0"], row["sxx0"], row["sxy0"])
+    if coef_round is not None:
+        r = int(coef_round)
+        w = [round(wi, r) for wi in w]
+        c1, b1, c0, b0 = (round(v, r) for v in (c1, b1, c0, b0))
+    z = F.lit(float(w[0])) + F.lit(float(w[1])) * x
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    p = F.greatest(F.least(p, F.lit(1.0 - eps)), F.lit(eps))
+    m1 = F.lit(float(c1)) + F.lit(float(b1)) * x
+    m0 = F.lit(float(c0)) + F.lit(float(b0)) * x
+    term = (
+        m1
+        - m0
+        + t * (y - m1) / p
+        - (F.lit(1.0) - t) * (y - m0) / (F.lit(1.0) - p)
+    )
+    out = d.agg(
+        F.sum(term).alias("ssum"),
+        F.sum(t).cast("bigint").alias("n_treated"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return out.select(
+        (F.col("ssum") / F.col("n")).alias("ate_aipw"),
+        "n_treated",
+        (F.col("n") - F.col("n_treated")).alias("n_control"),
+        "n",
+    )
