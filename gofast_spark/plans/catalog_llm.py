@@ -2573,3 +2573,67 @@ def good_turing_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "r", "n_r", "z_r", "r_star", "p_gt", "p0"
     )
+
+
+def _textrank_oracle(n_iter: int = 5, damping: float = 0.85) -> str:
+    """Bigram graph from length-filtered tokens + the unrolled
+    synchronous PageRank chain (the _pagerank_oracle pattern) on token
+    nodes."""
+    ctes = [
+        f"""norm AS (SELECT {_norm_sql('text')} AS t FROM documents),
+    tk AS (
+      SELECT list_filter(string_split(t, ' '), x -> len(x) >= 3) AS tk
+      FROM norm WHERE len(t) > 0),
+    tk2 AS (SELECT tk FROM tk WHERE len(tk) >= 2),
+    rawp AS (
+      SELECT tk[i] AS a, tk[i + 1] AS b
+      FROM tk2, unnest(range(1, len(tk))) AS u(i)),
+    edges AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT a AS src, b AS dst FROM rawp WHERE a <> b
+        UNION ALL
+        SELECT b AS src, a AS dst FROM rawp WHERE a <> b)),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+    r0 AS (SELECT node, 1.0 / n AS rank FROM nodes CROSS JOIN nn)"""
+    ]
+    for t in range(1, n_iter + 1):
+        ctes.append(
+            f"""i{t} AS (
+      SELECT e.dst AS node, sum(r.rank / d.outdeg) AS inc
+      FROM edges e
+      JOIN r{t - 1} r ON r.node = e.src
+      JOIN deg d ON d.src = e.src
+      GROUP BY e.dst),
+    r{t} AS (
+      SELECT nd.node,
+             (1 - {damping}) / nn.n + {damping} * coalesce(i.inc, 0) AS rank
+      FROM nodes nd CROSS JOIN nn LEFT JOIN i{t} i ON i.node = nd.node)"""
+        )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT node AS token, CAST(round(rank, 8) AS DOUBLE) AS rank
+    FROM r{n_iter}
+    ORDER BY round(rank, 8) DESC, node
+    LIMIT 20
+    """
+
+
+@query("textrank_keywords_documents", oracle=_textrank_oracle(5, 0.85))
+def textrank_keywords_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level TextRank keywords (text/keywords.py; Mihalcea &
+    Tarau 2004): adjacent-token co-occurrence graph over length>=3
+    tokens — the bigram_pmi scan shape — feeding the shared
+    broadcast-ranks PageRank; top-20 by round-8 rank with token
+    tie-break.  The oracle unrolls all five power iterations on the
+    identical token graph."""
+    from gofast_spark.text.keywords import textrank_keywords
+
+    out = textrank_keywords(
+        _docs(spark, sf_dir), "text", iterations=5, damping=0.85, top_k=20
+    )
+    return out.select(
+        "token", F.round("rank", 8).cast("double").alias("rank")
+    )
