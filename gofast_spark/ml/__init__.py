@@ -6,6 +6,7 @@ from gofast_spark.ml.pipeline import (
     make_feature_pipeline,
 )
 from gofast_spark.ml.graph import edges_from_pairs, link_prediction, pagerank
+from gofast_spark.ml.mixture_em import fit_gmm2
 from gofast_spark.ml.optim import gradient_descent, linkage_matrix
 from gofast_spark.ml.regression import (
     fit_huber_regression,
@@ -71,6 +72,7 @@ __all__ = [
     "learning_curve_linear",
     "fit_stacking_ols",
     "fit_huber_regression",
+    "fit_gmm2",
     "link_prediction",
     "fit_stump",
     "item_similarity_topk",

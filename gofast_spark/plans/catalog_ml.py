@@ -1341,3 +1341,81 @@ def huber_regression_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(round(m["intercept"], 4), round(m["slope"], 4), m["n"])],
         "intercept double, slope double, n bigint",
     )
+
+
+def _gmm2_oracle(n_iter: int = 3) -> str:
+    """Layered EM replay for fit_gmm2: moment-based init CTE, then per
+    iteration a responsibility-weighted moment aggregate + the same
+    closed-form M-step arithmetic as the Spark driver loop."""
+
+    def pdf(mc: str, vc: str) -> str:
+        return (
+            f"(exp(-(x - {mc}) * (x - {mc}) / (2.0 * {vc}))"
+            f" / sqrt(2.0 * pi() * {vc}))"
+        )
+
+    layers = [
+        """init AS (
+      SELECT avg(x) AS m, greatest(var_pop(x), 0.000001) AS v,
+             count(*) AS n FROM d)""",
+        """p0 AS (
+      SELECT 0.5 AS pi1, m - sqrt(v) AS m1, v AS v1,
+             m + sqrt(v) AS m2, v AS v2, n FROM init)""",
+    ]
+    prev = "p0"
+    for k in range(1, n_iter + 1):
+        p1 = f"({prev}.pi1 * {pdf(f'{prev}.m1', f'{prev}.v1')})"
+        p2 = f"((1.0 - {prev}.pi1) * {pdf(f'{prev}.m2', f'{prev}.v2')})"
+        layers.append(f"""a{k} AS (
+      SELECT sum(r1) AS w1, sum(r1 * x) AS sx1, sum(r1 * x * x) AS sxx1,
+             sum(x) AS sx, sum(x * x) AS sxx, max(n) AS n
+      FROM (SELECT x, {p1} / ({p1} + {p2}) AS r1, {prev}.n AS n
+            FROM d, {prev}))""")
+        layers.append(f"""p{k} AS (
+      SELECT w1 / n AS pi1,
+             sx1 / w1 AS m1,
+             greatest(sxx1 / w1 - (sx1 / w1) * (sx1 / w1), 0.000001) AS v1,
+             (sx - sx1) / (n - w1) AS m2,
+             greatest((sxx - sxx1) / (n - w1)
+                      - ((sx - sx1) / (n - w1)) * ((sx - sx1) / (n - w1)),
+                      0.000001) AS v2,
+             n
+      FROM a{k})""")
+        prev = f"p{k}"
+    cte = ",\n    ".join(layers)
+    return f"""
+    WITH d AS (
+      SELECT CAST(o_totalprice AS DOUBLE) / 100000.0 AS x
+      FROM orders WHERE o_totalprice IS NOT NULL),
+    {cte}
+    SELECT CAST(round(pi1, 5) AS DOUBLE) AS pi,
+           CAST(round(m1, 5) AS DOUBLE) AS mean1,
+           CAST(round(v1, 5) AS DOUBLE) AS var1,
+           CAST(round(m2, 5) AS DOUBLE) AS mean2,
+           CAST(round(v2, 5) AS DOUBLE) AS var2,
+           CAST(n AS BIGINT) AS n
+    FROM {prev}
+    """
+
+
+@query("gmm2_em_orders", oracle=_gmm2_oracle(3))
+def gmm2_em_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-component 1-D Gaussian mixture EM on scaled order totals
+    (ml/mixture_em.py fit_gmm2; Dempster-Laird-Rubin 1977): moment
+    -based deterministic init, 3 EM layers, each ONE responsibility
+    -weighted moment aggregate with closed-form driver-side M-steps —
+    the oracle replays every layer's E and M arithmetic."""
+    from gofast_spark.ml.mixture_em import fit_gmm2
+
+    o = _t(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice").cast("double") / 100000.0).alias("x")
+    ).where(F.col("x").isNotNull())
+    m = fit_gmm2(o, "x", n_iter=3)
+    return spark.createDataFrame(
+        [(
+            round(m["pi"], 5), round(m["mean1"], 5), round(m["var1"], 5),
+            round(m["mean2"], 5), round(m["var2"], 5), m["n"],
+        )],
+        "pi double, mean1 double, var1 double, mean2 double, "
+        "var2 double, n bigint",
+    )
