@@ -798,3 +798,41 @@ def stream_msprt_ab_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("likelihood_ratio"),
         F.round("p_value", 6).cast("double").alias("p_value"),
     )
+
+
+from gofast_spark.plans import catalog_ts as _catalog_ts  # noqa: E402,F401
+# (imported for registration order: the batch cusum oracle must exist
+# before this decorator reads it)
+
+
+@query("stream_cusum_daily_events", oracle=_ORACLE_SQL["cusum_daily_events"])
+def stream_cusum_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM mean-shift monitoring IN A STREAM (ts/changepoint.py
+    cusum; Page 1954) — the two-phase streaming pattern: phase 1
+    maintains the exactly-maintainable state (the 1-day windowed
+    revenue sums, complete mode, order-independent), phase 2 folds the
+    drained days-sized frame through the batch CUSUM windows.  The
+    oracle is the batch entry's SQL verbatim — availableNow must equal
+    batch."""
+    from gofast_spark.streaming import (
+        read_event_stream,
+        run_available_now,
+        windowed_aggregate,
+    )
+    from gofast_spark.ts.changepoint import cusum
+
+    stream = read_event_stream(spark, sf_dir, glob="events.parquet")
+    agg = windowed_aggregate(
+        stream, "ts", "1 day", aggs={"value": "sum"}
+    )
+    drained = run_available_now(agg, mode="complete")
+    daily = drained.select(
+        F.col("w.start").cast("date").alias("d"),
+        F.round("value_sum", 4).cast("double").alias("v"),
+    )
+    out = cusum(daily, "d", "v", k=100.0, h=500.0)
+    return out.select(
+        "d", "v", "cusum_pos", "cusum_neg",
+        F.col("alarm_pos").cast("int").alias("alarm_pos"),
+        F.col("alarm_neg").cast("int").alias("alarm_neg"),
+    )
