@@ -89,6 +89,12 @@ HEADLINE = [
     "msprt_ab_events",
     "kendall_tau_lineitem",
     "gains_table_orders",
+    # round 8 extension-2: graph/causal/forecast flagships
+    "textrank_keywords_documents",
+    "good_turing_documents",
+    "link_prediction_modgraph",
+    "aipw_ate_orders",
+
 ]
 
 
