@@ -13,6 +13,7 @@ from gofast_spark.ml.regression import (
     fit_linear_regression,
     fit_linear_regression_grouped,
     fit_logistic_regression,
+    fit_poisson_regression,
     predict_linear,
 )
 from gofast_spark.ml.dimensionality import (
@@ -73,6 +74,7 @@ __all__ = [
     "fit_stacking_ols",
     "fit_huber_regression",
     "fit_gmm2",
+    "fit_poisson_regression",
     "link_prediction",
     "fit_stump",
     "item_similarity_topk",

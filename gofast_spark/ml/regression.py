@@ -398,3 +398,44 @@ def fit_huber_regression(
         )
         c, b, n = wls(weight)
     return {"intercept": c, "slope": b, "n": n}
+
+
+def fit_poisson_regression(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    *,
+    n_iter: int = 4,
+) -> dict:
+    """Poisson regression with log link by Newton/IRLS (McCullagh &
+    Nelder, *Generalized Linear Models*, 1989 §6): ``E[y] = exp(c +
+    b x)``, each step solving
+
+        H = X' diag(mu) X,   g = X'(y - mu),   w += H^-1 g
+
+    from ONE distributed moment aggregate per iteration (the
+    fit_logistic_regression shape) with the fixed-order Cramer 2x2
+    between jobs — start w = 0 (mu = 1 everywhere), so the whole
+    trajectory is deterministic and SQL-replayable.  Returns
+    ``{"intercept", "slope", "n"}``.
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    d = df.where(x.isNotNull() & y.isNotNull())
+    c = b = 0.0
+    n = 0
+    for _ in range(int(n_iter)):
+        mu = F.exp(F.lit(c) + F.lit(b) * x)
+        row = d.agg(
+            F.sum(mu).alias("h00"),
+            F.sum(mu * x).alias("h01"),
+            F.sum(mu * x * x).alias("h11"),
+            F.sum(y - mu).alias("g0"),
+            F.sum((y - mu) * x).alias("g1"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        n = int(row["n"])
+        det = row["h00"] * row["h11"] - row["h01"] * row["h01"]
+        c = c + (row["g0"] * row["h11"] - row["h01"] * row["g1"]) / det
+        b = b + (row["h00"] * row["g1"] - row["g0"] * row["h01"]) / det
+    return {"intercept": float(c), "slope": float(b), "n": n}

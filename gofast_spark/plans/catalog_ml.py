@@ -1419,3 +1419,67 @@ def gmm2_em_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pi double, mean1 double, var1 double, mean2 double, "
         "var2 double, n bigint",
     )
+
+
+def _poisson_oracle(n_iter: int = 4) -> str:
+    """Layered Newton replay for fit_poisson_regression (log link):
+    per iteration one exp-weighted moment aggregate + the fixed-order
+    Cramer 2x2 update, exactly the _logit_oracle recipe."""
+    layers = [
+        "w0 AS (SELECT CAST(0.0 AS DOUBLE) AS c, CAST(0.0 AS DOUBLE) AS b)"
+    ]
+    prev = "w0"
+    for k in range(1, n_iter + 1):
+        mu = f"exp({prev}.c + {prev}.b * d.x)"
+        layers.append(f"""a{k} AS (
+      SELECT sum({mu}) AS h00,
+             sum({mu} * d.x) AS h01,
+             sum({mu} * d.x * d.x) AS h11,
+             sum(d.y - {mu}) AS g0,
+             sum((d.y - {mu}) * d.x) AS g1,
+             count(*) AS n
+      FROM d, {prev})""")
+        layers.append(f"""w{k} AS (
+      SELECT {prev}.c + (g0 * h11 - h01 * g1) / (h00 * h11 - h01 * h01) AS c,
+             {prev}.b + (h00 * g1 - g0 * h01) / (h00 * h11 - h01 * h01) AS b,
+             a{k}.n AS n
+      FROM a{k}, {prev})""")
+        prev = f"w{k}"
+    cte = ",\n    ".join(layers)
+    return f"""
+    WITH d AS (
+      SELECT CAST(count(*) AS DOUBLE) AS y,
+             CAST(max(o.o_totalprice) AS DOUBLE) / 100000.0 AS x
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey),
+    {cte}
+    SELECT CAST(round(c, 5) AS DOUBLE) AS intercept,
+           CAST(round(b, 5) AS DOUBLE) AS slope,
+           CAST(n AS BIGINT) AS n
+    FROM {prev}
+    """
+
+
+@query("poisson_regression_orders", oracle=_poisson_oracle(4))
+def poisson_regression_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson regression of per-order item count on scaled total
+    price (ml/regression.py fit_poisson_regression; McCullagh & Nelder
+    1989): log link, 4 Newton layers, ONE exp-weighted moment
+    aggregate per layer — the oracle replays the whole trajectory."""
+    from gofast_spark.ml.regression import fit_poisson_regression
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    d = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("y"),
+            (F.max("o_totalprice").cast("double") / 100000.0).alias("x"),
+        )
+    )
+    m = fit_poisson_regression(d, "x", "y", n_iter=4)
+    return spark.createDataFrame(
+        [(round(m["intercept"], 5), round(m["slope"], 5), m["n"])],
+        "intercept double, slope double, n bigint",
+    )
