@@ -28,7 +28,7 @@ from gofast_spark.ml.boost import fit_boosted_stumps
 from gofast_spark.ml.conformal import split_conformal_group_mean
 from gofast_spark.ml.dbscan import dbscan
 from gofast_spark.ml.encoding import target_encode, woe_encode
-from gofast_spark.ml.itemsets import frequent_pairs
+from gofast_spark.ml.itemsets import association_rules, frequent_pairs
 from gofast_spark.ml.kmeans_exact import fit_kmeans_lloyd, kmeans_inertia
 from gofast_spark.ml.recommend import item_similarity_topk
 from gofast_spark.ml.stacking import fit_stacking_ols
@@ -65,6 +65,7 @@ __all__ = [
     "target_encode",
     "woe_encode",
     "frequent_pairs",
+    "association_rules",
     "fit_kmeans_lloyd",
     "kmeans_inertia",
     "kfold_assign",

@@ -85,3 +85,84 @@ def frequent_pairs(
         .orderBy(F.col("n_pair").desc(), "item_a", "item_b")
         .limit(top_k)
     )
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    *,
+    min_support: int = 3,
+    top_pairs: int = 20,
+    broadcast_limit: int | None = 100_000,
+) -> DataFrame:
+    """Directional association rules from the top frequent pairs
+    (Agrawal, Imielinski & Swami, SIGMOD 1993): each mined pair yields
+    the two rules ``a -> b`` and ``b -> a`` with
+
+        support    = n_pair / n_baskets
+        confidence = n_pair / n_antecedent
+        lift       = n_baskets * n_pair / (n_a * n_b)
+
+    Built ON TOP of :func:`frequent_pairs` — the Apriori prune and the
+    single basket self-join are reused unchanged, the rule expansion is
+    a constant-sized union of two projections plus one 1-row broadcast
+    basket count.  Confidence/support are single divisions of exact
+    integers (engine-exact); rules order by confidence DESC with
+    (antecedent, consequent) tie-break.
+
+    Returns ``2 * top_pairs`` rows: ``(antecedent, consequent, n_pair,
+    n_ant, n_cons, support, confidence, lift)``.
+    """
+    fp = frequent_pairs(
+        df,
+        basket_col,
+        item_col,
+        min_support=min_support,
+        top_k=top_pairs,
+        broadcast_limit=broadcast_limit,
+    )
+    nb = (
+        df.where(
+            F.col(basket_col).isNotNull() & F.col(item_col).isNotNull()
+        )
+        .select(F.col(basket_col).alias("bk"))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("__nb"))
+    )
+    fwd = fp.select(
+        F.col("item_a").alias("antecedent"),
+        F.col("item_b").alias("consequent"),
+        "n_pair",
+        F.col("n_a").alias("n_ant"),
+        F.col("n_b").alias("n_cons"),
+        "lift",
+    )
+    rev = fp.select(
+        F.col("item_b").alias("antecedent"),
+        F.col("item_a").alias("consequent"),
+        "n_pair",
+        F.col("n_b").alias("n_ant"),
+        F.col("n_a").alias("n_cons"),
+        "lift",
+    )
+    rules = fwd.unionByName(rev).crossJoin(F.broadcast(nb))
+    return (
+        rules.select(
+            "antecedent",
+            "consequent",
+            "n_pair",
+            "n_ant",
+            "n_cons",
+            (
+                F.col("n_pair").cast("double")
+                / F.col("__nb").cast("double")
+            ).alias("support"),
+            (
+                F.col("n_pair").cast("double")
+                / F.col("n_ant").cast("double")
+            ).alias("confidence"),
+            "lift",
+        )
+        .orderBy(F.col("confidence").desc(), "antecedent", "consequent")
+    )

@@ -1483,3 +1483,64 @@ def poisson_regression_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(round(m["intercept"], 5), round(m["slope"], 5), m["n"])],
         "intercept double, slope double, n bigint",
     )
+
+
+@query(
+    "association_rules_lineitem",
+    oracle="""
+    WITH b AS (
+      SELECT DISTINCT l_orderkey AS bk,
+             CAST(l_partkey % 199 AS BIGINT) AS it
+      FROM lineitem
+      WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+    s AS (SELECT it, count(*) AS n_it FROM b GROUP BY it),
+    f AS (SELECT * FROM s WHERE n_it >= 5),
+    p AS (
+      SELECT l.it AS item_a, r.it AS item_b,
+             any_value(lf.n_it) AS n_a, any_value(rf.n_it) AS n_b,
+             count(*) AS n_pair
+      FROM b l JOIN b r ON r.bk = l.bk AND l.it < r.it
+      JOIN f lf ON lf.it = l.it
+      JOIN f rf ON rf.it = r.it
+      GROUP BY l.it, r.it
+      HAVING count(*) >= 5),
+    nb AS (SELECT count(DISTINCT bk) AS n_baskets FROM b),
+    topp AS (
+      SELECT item_a, item_b, n_pair, n_a, n_b,
+             CAST(n_baskets AS DOUBLE) * CAST(n_pair AS DOUBLE)
+               / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS lift,
+             n_baskets
+      FROM p, nb
+      ORDER BY n_pair DESC, item_a, item_b LIMIT 20),
+    rules AS (
+      SELECT item_a AS antecedent, item_b AS consequent,
+             n_pair, n_a AS n_ant, n_b AS n_cons, lift, n_baskets
+      FROM topp
+      UNION ALL
+      SELECT item_b, item_a, n_pair, n_b, n_a, lift, n_baskets
+      FROM topp)
+    SELECT antecedent, consequent, CAST(n_pair AS BIGINT) AS n_pair,
+           CAST(n_ant AS BIGINT) AS n_ant, CAST(n_cons AS BIGINT) AS n_cons,
+           CAST(CAST(n_pair AS DOUBLE) / CAST(n_baskets AS DOUBLE) AS DOUBLE)
+             AS support,
+           CAST(CAST(n_pair AS DOUBLE) / CAST(n_ant AS DOUBLE) AS DOUBLE)
+             AS confidence,
+           CAST(lift AS DOUBLE) AS lift
+    FROM rules
+    ORDER BY confidence DESC, antecedent, consequent
+    """,
+)
+def association_rules_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional association rules over the frequent_pairs_lineitem
+    baskets (ml/itemsets.py association_rules; Agrawal-Imielinski
+    -Swami 1993): the Apriori-pruned pair mine reused unchanged, rule
+    expansion a constant-sized two-way union with exact-integer
+    support/confidence divisions, confidence-ordered."""
+    from gofast_spark.ml.itemsets import association_rules
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", (F.col("l_partkey") % 199).alias("product")
+    )
+    return association_rules(
+        li, "l_orderkey", "product", min_support=5, top_pairs=20
+    )
