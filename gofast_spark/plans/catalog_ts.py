@@ -718,3 +718,72 @@ def cusum_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("alarm_pos").cast("int").alias("alarm_pos"),
         F.col("alarm_neg").cast("int").alias("alarm_neg"),
     )
+
+
+@query(
+    "chow_test_daily_events",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL}),
+    d AS (
+      SELECT CAST(t AS BIGINT) AS t,
+             CAST(floor(v * 1000 + 0.5) AS BIGINT) AS y
+      FROM daily WHERE t IS NOT NULL AND v IS NOT NULL),
+    m AS (
+      SELECT CAST(count(*) AS DOUBLE) AS np, CAST(sum(t) AS DOUBLE) AS stp,
+             CAST(sum(t * t) AS DOUBLE) AS sttp,
+             CAST(sum(y) AS DOUBLE) AS syp,
+             CAST(sum(t * y) AS DOUBLE) AS styp,
+             CAST(sum(y * y) AS DOUBLE) AS syyp,
+             CAST(sum(CASE WHEN t < 15 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+             CAST(sum(CASE WHEN t < 15 THEN t ELSE 0 END) AS DOUBLE) AS st1,
+             CAST(sum(CASE WHEN t < 15 THEN t * t ELSE 0 END) AS DOUBLE)
+               AS stt1,
+             CAST(sum(CASE WHEN t < 15 THEN y ELSE 0 END) AS DOUBLE) AS sy1,
+             CAST(sum(CASE WHEN t < 15 THEN t * y ELSE 0 END) AS DOUBLE)
+               AS sty1,
+             CAST(sum(CASE WHEN t < 15 THEN y * y ELSE 0 END) AS DOUBLE)
+               AS syy1,
+             CAST(sum(CASE WHEN t >= 15 THEN 1 ELSE 0 END) AS DOUBLE) AS n2,
+             CAST(sum(CASE WHEN t >= 15 THEN t ELSE 0 END) AS DOUBLE) AS st2,
+             CAST(sum(CASE WHEN t >= 15 THEN t * t ELSE 0 END) AS DOUBLE)
+               AS stt2,
+             CAST(sum(CASE WHEN t >= 15 THEN y ELSE 0 END) AS DOUBLE) AS sy2,
+             CAST(sum(CASE WHEN t >= 15 THEN t * y ELSE 0 END) AS DOUBLE)
+               AS sty2,
+             CAST(sum(CASE WHEN t >= 15 THEN y * y ELSE 0 END) AS DOUBLE)
+               AS syy2
+      FROM d),
+    fit AS (
+      SELECT n1, n2,
+             syyp - ((syp - ((np * styp - stp * syp)
+                             / (np * sttp - stp * stp)) * stp) / np) * syp
+                  - ((np * styp - stp * syp)
+                     / (np * sttp - stp * stp)) * styp AS sp,
+             syy1 - ((sy1 - ((n1 * sty1 - st1 * sy1)
+                             / (n1 * stt1 - st1 * st1)) * st1) / n1) * sy1
+                  - ((n1 * sty1 - st1 * sy1)
+                     / (n1 * stt1 - st1 * st1)) * sty1 AS s1,
+             syy2 - ((sy2 - ((n2 * sty2 - st2 * sy2)
+                             / (n2 * stt2 - st2 * st2)) * st2) / n2) * sy2
+                  - ((n2 * sty2 - st2 * sy2)
+                     / (n2 * stt2 - st2 * st2)) * sty2 AS s2,
+             np
+      FROM m)
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(sp / 1000000.0 AS DOUBLE) AS sse_pooled,
+           CAST(s1 / 1000000.0 AS DOUBLE) AS sse_1,
+           CAST(s2 / 1000000.0 AS DOUBLE) AS sse_2,
+           CAST(((sp - s1 - s2) / 2.0) / ((s1 + s2) / (np - 4.0)) AS DOUBLE)
+             AS f_stat
+    FROM fit
+    """,
+)
+def chow_test_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chow structural-break test at day 15 of the daily revenue trend
+    (ts/changepoint.py chow_test; Chow 1960): pooled + two-segment OLS
+    from ONE conditional exact-integer moment aggregate — milli-unit
+    squares stay inside int64 — so the F statistic is unrounded
+    bit-exact in both engines."""
+    from gofast_spark.ts.changepoint import chow_test
+
+    return chow_test(_daily(spark, sf_dir), "t", "v", split=15.0)

@@ -8,7 +8,7 @@ aggregates; only true per-series model fits (STL, ADF) would need
 """
 
 from gofast_spark.ts.causality import granger_causality
-from gofast_spark.ts.changepoint import best_changepoint, cusum
+from gofast_spark.ts.changepoint import best_changepoint, chow_test, cusum
 from gofast_spark.ts.engineering import (
     acf,
     ar_forecast,
@@ -43,6 +43,7 @@ __all__ = [
     "detrend",
     "acf",
     "best_changepoint",
+    "chow_test",
     "cusum",
     "ar_forecast",
     "brown_forecast",

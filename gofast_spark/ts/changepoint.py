@@ -167,3 +167,77 @@ def cusum(
         cols.append(((F.col("__pp") - F.col("__mp")) > thr).alias("alarm_pos"))
         cols.append(((F.col("__pn") - F.col("__mn")) > thr).alias("alarm_neg"))
     return st.select(*cols)
+
+
+def chow_test(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    *,
+    split: float,
+) -> DataFrame:
+    """Chow test for a structural break at a KNOWN split point (Chow,
+    Econometrica 1960): fit ``y ~ c + b*t`` pooled and separately on
+    ``t < split`` / ``t >= split``, then
+
+        F = ((SSE_p - SSE_1 - SSE_2) / 2) / ((SSE_1 + SSE_2) / (n - 4)).
+
+    All three regressions come from ONE conditional moment aggregate:
+    values are quantized to exact milli-unit integers and the time
+    index must be integer, so every Gram moment (including the
+    squared-value sums, which stay inside int64 at milli precision) is
+    an exact integer and the closed-form solves — and F — are
+    bit-identical across engines and partition orders.
+
+    Returns ONE row ``(n1, n2, sse_pooled, sse_1, sse_2, f_stat)``
+    with SSEs in milli-unit^2 scale divided back to value units.
+    """
+    t = F.col(time_col).cast("bigint")
+    yq = F.floor(
+        F.col(value_col).cast("double") * F.lit(1e3) + F.lit(0.5)
+    ).cast("bigint")
+    d = df.where(
+        F.col(time_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(t.alias("__t"), yq.alias("__y"))
+    seg = (F.col("__t") < F.lit(split)).cast("int")
+
+    def moms(w, tag):
+        return [
+            F.sum(w).alias(f"n{tag}"),
+            F.sum(w * F.col("__t")).alias(f"st{tag}"),
+            F.sum(w * F.col("__t") * F.col("__t")).alias(f"stt{tag}"),
+            F.sum(w * F.col("__y")).alias(f"sy{tag}"),
+            F.sum(w * F.col("__t") * F.col("__y")).alias(f"sty{tag}"),
+            F.sum(w * F.col("__y") * F.col("__y")).alias(f"syy{tag}"),
+        ]
+
+    one = F.lit(1).cast("bigint")
+    w1 = seg.cast("bigint")
+    w2 = (one - w1).cast("bigint")
+    agg = d.agg(*moms(one, "p"), *moms(w1, "1"), *moms(w2, "2"))
+
+    def sse(tag):
+        n = F.col(f"n{tag}").cast("double")
+        st = F.col(f"st{tag}").cast("double")
+        stt = F.col(f"stt{tag}").cast("double")
+        sy = F.col(f"sy{tag}").cast("double")
+        sty = F.col(f"sty{tag}").cast("double")
+        syy = F.col(f"syy{tag}").cast("double")
+        b = (n * sty - st * sy) / (n * stt - st * st)
+        c = (sy - b * st) / n
+        return syy - c * sy - b * sty
+
+    s_p, s_1, s_2 = sse("p"), sse("1"), sse("2")
+    n_tot = F.col("np").cast("double")
+    f_stat = ((s_p - s_1 - s_2) / F.lit(2.0)) / (
+        (s_1 + s_2) / (n_tot - F.lit(4.0))
+    )
+    u2 = F.lit(1e6)  # milli-units squared -> value units squared
+    return agg.select(
+        F.col("n1").alias("n1"),
+        F.col("n2").alias("n2"),
+        (s_p / u2).alias("sse_pooled"),
+        (s_1 / u2).alias("sse_1"),
+        (s_2 / u2).alias("sse_2"),
+        f_stat.alias("f_stat"),
+    )
