@@ -347,3 +347,63 @@ def midrank_binned_floor_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [row], "spearman_close int, ks_close int, bounded_ok int"
     )
+
+
+@query(
+    "weibull_fit_events",
+    oracle=f"""
+    WITH {_SURV},
+    per_t AS (
+      SELECT duration, count(*) AS n_total, sum(ev) AS n_events
+      FROM surv GROUP BY duration),
+    c AS (
+      SELECT duration, n_events,
+             sum(n_total) OVER () -
+               coalesce(sum(n_total) OVER (ORDER BY duration
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM per_t),
+    k AS (
+      SELECT duration, n_events,
+             exp(sum(ln(1.0 - n_events * 1.0 / n_risk)) OVER (
+               ORDER BY duration ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)) AS survival
+      FROM c),
+    pts AS (
+      SELECT ln(CAST(duration AS DOUBLE)) AS x,
+             ln(-ln(survival)) AS y
+      FROM k
+      WHERE n_events > 0 AND survival > 0.0 AND survival < 1.0
+        AND duration > 0),
+    fit AS (
+      SELECT count(*) AS m,
+             sum(CAST(floor(x * 1000000 + 0.5) AS BIGINT)) / 1000000.0 AS sx,
+             sum(CAST(floor(y * 1000000 + 0.5) AS BIGINT)) / 1000000.0 AS sy,
+             sum(CAST(floor(x * x * 1000000 + 0.5) AS BIGINT)) / 1000000.0
+               AS sxx,
+             sum(CAST(floor(x * y * 1000000 + 0.5) AS BIGINT)) / 1000000.0
+               AS sxy
+      FROM pts)
+    SELECT CAST((m * sxy - sx * sy) / (m * sxx - sx * sx) AS DOUBLE)
+             AS shape,
+           CAST(exp(-((sy - ((m * sxy - sx * sy) / (m * sxx - sx * sx)) * sx)
+                      / m)
+                    / ((m * sxy - sx * sy) / (m * sxx - sx * sx)))
+             AS DOUBLE) AS scale,
+           CAST(m AS BIGINT) AS n_points
+    FROM fit
+    """,
+)
+def weibull_fit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weibull probability-plot fit of the event-duration survival
+    curve (stats/survival.py weibull_fit; Nelson 1982): the KM chain
+    of kaplan_meier_events plus one micro-unit-quantized OLS aggregate
+    — shape/scale are unrounded bit-exact arithmetic on the quantized
+    sums in both engines."""
+    from gofast_spark.stats.survival import weibull_fit
+
+    e = _t(spark, sf_dir, "events").where(F.col("value").isNotNull()).select(
+        F.floor(F.col("value")).cast("bigint").alias("dur"),
+        (F.col("user_id") % 4 != 0).cast("int").alias("ev"),
+    )
+    return weibull_fit(e, "dur", "ev")

@@ -36,6 +36,7 @@ from gofast_spark.stats.survival import (
     kaplan_meier,
     logrank_test,
     nelson_aalen,
+    weibull_fit,
 )
 from gofast_spark.stats.probs import (
     binomial_pmf,
@@ -96,6 +97,7 @@ __all__ = [
     "msprt_from_day_moments",
     "p_two_sided_from_z",
     "nelson_aalen",
+    "weibull_fit",
     "bootstrap",
     "bootstrap_ci",
     "dca_analysis",

@@ -228,3 +228,62 @@ def logrank_test(
         F.col("o_minus_e") * F.col("o_minus_e") / F.col("var")
     ).alias("chi2")
     return agg.select(chi2, "o_minus_e", "var", "n_a", "n_b")
+
+
+def weibull_fit(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    *,
+    bins: "int | str | None" = "auto",
+    relative_error: float = 1e-4,
+) -> DataFrame:
+    """Weibull survival-model fit by linearizing the Kaplan-Meier
+    curve (the classic probability-plot / median-rank regression:
+    ``S(t) = exp(-(t/lambda)^k)`` implies ``ln(-ln S) = k ln t -
+    k ln lambda``; e.g. Nelson, *Applied Life Data Analysis*, 1982):
+    OLS of ``ln(-ln S)`` on ``ln t`` over the distinct-duration KM
+    frame gives shape ``k`` = slope and scale ``lambda`` =
+    ``exp(-intercept/k)``.
+
+    Riding on :func:`kaplan_meier`, the fit adds one duration-sized
+    projection + ONE aggregate whose term sums are quantized to exact
+    integer micro-units (the repo's deterministic-sum discipline) —
+    the estimates are bit-identical across engines.  Points with
+    S in {0, 1} or t <= 0 are outside the linearization domain and
+    excluded.  Returns ONE row ``(shape, scale, n_points)``.
+    """
+    km = kaplan_meier(
+        df,
+        duration_col,
+        event_col,
+        bins=bins,
+        relative_error=relative_error,
+    )
+    pts = km.where(
+        (F.col("survival") > 0.0)
+        & (F.col("survival") < 1.0)
+        & (F.col("duration") > 0)
+    ).select(
+        F.log(F.col("duration").cast("double")).alias("x"),
+        F.log(-F.log(F.col("survival"))).alias("y"),
+    )
+    u6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("bigint")  # noqa: E731
+    fit = pts.agg(
+        F.count(F.lit(1)).alias("m"),
+        (F.sum(u6(F.col("x"))) / F.lit(1e6)).alias("sx"),
+        (F.sum(u6(F.col("y"))) / F.lit(1e6)).alias("sy"),
+        (F.sum(u6(F.col("x") * F.col("x"))) / F.lit(1e6)).alias("sxx"),
+        (F.sum(u6(F.col("x") * F.col("y"))) / F.lit(1e6)).alias("sxy"),
+    )
+    k = (
+        (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    )
+    return fit.select(
+        k.alias("shape"),
+        F.exp(-((F.col("sy") - k * F.col("sx")) / F.col("m")) / k).alias(
+            "scale"
+        ),
+        F.col("m").alias("n_points"),
+    )
