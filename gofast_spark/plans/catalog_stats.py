@@ -2581,3 +2581,50 @@ def aipw_ate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("ate_aipw", 6).cast("double").alias("ate_aipw"),
         "n_treated", "n_control", "n",
     )
+
+
+@query(
+    "gumbel_daily_max_events",
+    oracle="""
+    WITH mx AS (
+      SELECT CAST(ts AS DATE) AS d, max(value) AS x
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1),
+    agg AS (
+      SELECT avg(x) AS m, stddev_samp(x) AS s, count(*) AS n FROM mx),
+    fit AS (
+      SELECT m - 0.5772156649015329 * (s * (sqrt(6) / pi())) AS mu,
+             s * (sqrt(6) / pi()) AS sigma, n
+      FROM agg)
+    SELECT CAST(round(mu, 5) AS DOUBLE) AS mu,
+           CAST(round(sigma, 5) AS DOUBLE) AS sigma,
+           CAST(n AS BIGINT) AS n,
+           CAST(round(mu - sigma * ln(-ln(1 - 1.0 / 10)), 5) AS DOUBLE)
+             AS level_10,
+           CAST(round(mu - sigma * ln(-ln(1 - 1.0 / 100)), 5) AS DOUBLE)
+             AS level_100
+    FROM fit
+    """,
+)
+def gumbel_daily_max_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel EV-I fit of the daily event-value maxima by method of
+    moments plus 10/100-day return levels (stats/descriptive.py
+    gumbel_fit; Gumbel 1958): one day-keyed max aggregate builds the
+    block maxima, ONE moment aggregate fits — cost independent of
+    block count."""
+    from gofast_spark.stats.descriptive import gumbel_fit
+
+    e = _t(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    mx = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.max("value").alias("x")
+    )
+    out = gumbel_fit(mx, "x", return_periods=(10, 100))
+    return out.select(
+        F.round("mu", 5).cast("double").alias("mu"),
+        F.round("sigma", 5).cast("double").alias("sigma"),
+        "n",
+        F.round("level_10", 5).cast("double").alias("level_10"),
+        F.round("level_100", 5).cast("double").alias("level_100"),
+    )

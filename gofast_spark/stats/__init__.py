@@ -2,6 +2,7 @@
 sufficient statistics + scipy on the driver."""
 
 from gofast_spark.stats.descriptive import (
+    gumbel_fit,
     corr_matrix,
     describe,
     gini_coeff,
@@ -98,6 +99,7 @@ __all__ = [
     "p_two_sided_from_z",
     "nelson_aalen",
     "weibull_fit",
+    "gumbel_fit",
     "bootstrap",
     "bootstrap_ci",
     "dca_analysis",

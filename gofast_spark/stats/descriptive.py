@@ -191,3 +191,41 @@ def corr_matrix(df: DataFrame, columns: Sequence[str]) -> DataFrame:
         for a, b in pairs
     ]
     return row.select(F.explode(F.array(*stacked)).alias("s")).select("s.*")
+
+
+def gumbel_fit(
+    df: DataFrame,
+    value_col: str,
+    *,
+    return_periods: "Sequence[int]" = (10, 100),
+) -> DataFrame:
+    """Gumbel (EV-I) fit of block maxima by the method of moments
+    (Gumbel, *Statistics of Extremes*, 1958):
+
+        sigma = s * sqrt(6) / pi,   mu = mean - gamma * sigma
+
+    (gamma = Euler-Mascheroni), plus the T-period return levels
+    ``mu - sigma * ln(-ln(1 - 1/T))``.  Feed it a frame of block
+    maxima (e.g. daily/annual maxima from one groupBy) — the fit
+    itself is ONE moment aggregate, so cost is independent of block
+    count.  Returns one row: ``(mu, sigma, n, level_T...)``.
+    """
+    import math
+
+    x = F.col(value_col).cast("double")
+    d = df.where(x.isNotNull())
+    agg = d.agg(
+        F.avg(x).alias("m"),
+        F.stddev_samp(x).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    sigma = F.col("s") * F.lit(math.sqrt(6.0) / math.pi)
+    mu = F.col("m") - F.lit(0.5772156649015329) * sigma
+    cols = [mu.alias("mu"), sigma.alias("sigma"), F.col("n")]
+    for T in return_periods:
+        cols.append(
+            (
+                mu - sigma * F.lit(math.log(-math.log(1.0 - 1.0 / float(T))))
+            ).alias(f"level_{T}")
+        )
+    return agg.select(*cols)
