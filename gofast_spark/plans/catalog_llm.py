@@ -2637,3 +2637,67 @@ def textrank_keywords_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "token", F.round("rank", 8).cast("double").alias("rank")
     )
+
+
+@query(
+    "heaps_law_documents",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_norm_sql('text')} AS t FROM documents),
+    base AS (
+      SELECT doc_id AS id, string_split(t, ' ') AS tk,
+             {md5_hash64_sql("CAST(doc_id AS VARCHAR)")} AS shuf
+      FROM norm WHERE len(t) > 0),
+    ranked AS (
+      SELECT id, tk,
+             row_number() OVER (ORDER BY shuf, id) AS r,
+             sum(len(tk)) OVER (ORDER BY shuf, id ROWS UNBOUNDED PRECEDING)
+               AS cumtok
+      FROM base),
+    firstocc AS (
+      SELECT w, min(r) AS fr
+      FROM (SELECT r, unnest(list_distinct(tk)) AS w FROM ranked)
+      GROUP BY w),
+    newv AS (SELECT fr, count(*) AS nv FROM firstocc GROUP BY fr),
+    axis AS (
+      SELECT r, cumtok, coalesce(nv, 0) AS nv
+      FROM ranked LEFT JOIN newv ON newv.fr = ranked.r),
+    axis2 AS (
+      SELECT r, cumtok,
+             sum(nv) OVER (ORDER BY r ROWS UNBOUNDED PRECEDING) AS vocab
+      FROM axis),
+    pts AS (
+      SELECT ln(CAST(cumtok AS DOUBLE)) AS x,
+             ln(CAST(vocab AS DOUBLE)) AS y
+      FROM axis2),
+    fit AS (
+      SELECT count(*) AS m,
+             sum(CAST(floor(x * 1000000 + 0.5) AS BIGINT)) / 1000000.0 AS sx,
+             sum(CAST(floor(y * 1000000 + 0.5) AS BIGINT)) / 1000000.0 AS sy,
+             sum(CAST(floor(x * x * 1000000 + 0.5) AS BIGINT)) / 1000000.0
+               AS sxx,
+             sum(CAST(floor(x * y * 1000000 + 0.5) AS BIGINT)) / 1000000.0
+               AS sxy
+      FROM pts),
+    tot AS (
+      SELECT count(*) AS n_docs, max(cumtok) AS n_tokens,
+             max(vocab) AS vocab
+      FROM axis2)
+    SELECT CAST((m * sxy - sx * sy) / (m * sxx - sx * sx) AS DOUBLE) AS beta,
+           CAST(exp((sy - ((m * sxy - sx * sy) / (m * sxx - sx * sx)) * sx)
+                    / m) AS DOUBLE) AS k,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(vocab AS BIGINT) AS vocab
+    FROM fit, tot
+    """,
+)
+def heaps_law_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth exponent over the md5-shuffled
+    corpus (text/goodturing.py heaps_law; Heaps 1978): doc ranks and
+    token axes via the TWO-PHASE distributed prefix scan (never a
+    single-reducer window on the corpus), first-occurrence ranks from
+    one (token -> min rank) aggregate, micro-unit-quantized log-log
+    OLS — beta and K are unrounded bit-exact."""
+    from gofast_spark.text.goodturing import heaps_law
+
+    return heaps_law(_docs(spark, sf_dir), "doc_id", "text")

@@ -106,3 +106,88 @@ def good_turing_spectrum(
             F.col("n1").cast("double") / F.col("n_tokens").cast("double")
         ).alias("p0"),
     )
+
+
+def heaps_law(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit ``V(N) = K * N^beta`` (Heaps
+    1978; Herdan 1960) over a DETERMINISTICALLY SHUFFLED document
+    order, so the curve measures the corpus, not its ingest order.
+
+    Pipeline — nothing funnels through one reducer:
+
+    1. per-doc token counts, shuffle key = portable md5 of the id;
+    2. doc rank and cumulative token count via the two-phase
+       distributed prefix scan (operators/prefix.py);
+    3. each token's FIRST-occurrence rank from one (token -> min rank)
+       aggregate over the distinct (doc, token) pairs;
+    4. vocabulary size at each rank = prefix scan of the new-token
+       counts, joined back to the token axis;
+    5. log-log OLS with micro-unit-quantized term sums (the
+       good_turing_spectrum recipe) -> ``beta`` = slope, ``k`` =
+       exp(intercept).
+
+    Returns ONE row ``(beta, k, n_docs, n_tokens, vocab)``.
+    """
+    from gofast_spark.operators.prefix import distributed_cumsum
+    from gofast_spark.text.hashing import md5_hash64
+
+    norm = normalize_text(text_col)
+    base = df.where(F.length(norm) > 0).select(
+        F.col(id_col).alias("__id"),
+        F.split(norm, " ").alias("tk"),
+        md5_hash64(F.col(id_col).cast("string")).alias("__shuf"),
+    )
+    docs = base.select(
+        "__id", "__shuf", F.size("tk").alias("__nt"), "tk"
+    )
+    with_one = docs.withColumn("__one", F.lit(1))
+    ranked = distributed_cumsum(
+        with_one, ["__shuf", "__id"], "__one", out_col="__r"
+    )
+    ranked = distributed_cumsum(
+        ranked, ["__shuf", "__id"], "__nt", out_col="__cumtok"
+    ).select("__id", "__r", "__cumtok", "tk")
+    first = (
+        ranked.select("__r", F.explode(F.array_distinct("tk")).alias("w"))
+        .groupBy("w")
+        .agg(F.min("__r").alias("__fr"))
+        .groupBy("__fr")
+        .agg(F.count(F.lit(1)).alias("__new"))
+    )
+    axis = ranked.select("__r", "__cumtok").join(
+        first, ranked["__r"] == first["__fr"], "left"
+    ).select(
+        "__r", "__cumtok", F.coalesce("__new", F.lit(0)).alias("__new")
+    )
+    axis = distributed_cumsum(axis, ["__r"], "__new", out_col="__vocab")
+    pts = axis.select(
+        F.log(F.col("__cumtok").cast("double")).alias("x"),
+        F.log(F.col("__vocab").cast("double")).alias("y"),
+    )
+    fit = pts.agg(
+        F.count(F.lit(1)).alias("m"),
+        (F.sum(_u6(F.col("x"))) / F.lit(1e6)).alias("sx"),
+        (F.sum(_u6(F.col("y"))) / F.lit(1e6)).alias("sy"),
+        (F.sum(_u6(F.col("x") * F.col("x"))) / F.lit(1e6)).alias("sxx"),
+        (F.sum(_u6(F.col("x") * F.col("y"))) / F.lit(1e6)).alias("sxy"),
+    )
+    tot = axis.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("__cumtok").alias("n_tokens"),
+        F.max("__vocab").alias("vocab"),
+    )
+    beta = (
+        (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    )
+    return fit.crossJoin(F.broadcast(tot)).select(
+        beta.alias("beta"),
+        F.exp((F.col("sy") - beta * F.col("sx")) / F.col("m")).alias("k"),
+        "n_docs",
+        "n_tokens",
+        "vocab",
+    )

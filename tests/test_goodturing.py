@@ -75,3 +75,49 @@ def test_good_turing_smoothed_counts_positive_increasing(spark):
     assert all(r["r_star"] > 0 for r in rows)
     stars = [r["r_star"] for r in rows]
     assert stars == sorted(stars)
+
+
+def test_heaps_law_reference(spark):
+    import math
+    import re
+    from gofast_spark.text.goodturing import heaps_law
+    from gofast_spark.text.hashing import md5_hash64  # noqa: F401
+
+    texts = {
+        i: " ".join(
+            f"w{(i * 13 + j * 7) % 40}" for j in range(5 + i % 4)
+        )
+        for i in range(25)
+    }
+    df = spark.createDataFrame(
+        [(str(i), t) for i, t in texts.items()], ["doc_id", "text"]
+    )
+    row = heaps_law(df, "doc_id", "text").collect()[0]
+    # reference: replicate shuffle order via the same md5 rank
+    import hashlib
+
+    def shuf(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+
+    order = sorted(texts, key=lambda i: (shuf(i), str(i)))
+    seen, xs, ys, cum = set(), [], [], 0
+    for i in order:
+        toks = re.sub(r" +", " ", texts[i].lower()).strip().split(" ")
+        cum += len(toks)
+        seen |= set(toks)
+        xs.append(math.log(cum))
+        ys.append(math.log(len(seen)))
+    q6 = lambda v: math.floor(v * 1e6 + 0.5) / 1e6
+    m = len(xs)
+    sx = sum(q6(x) for x in xs)
+    sy = sum(q6(y) for y in ys)
+    sxx = sum(q6(x * x) for x in xs)
+    sxy = sum(q6(x * y) for x, y in zip(xs, ys))
+    beta = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+    k = math.exp((sy - beta * sx) / m)
+    assert row["n_docs"] == 25
+    assert row["vocab"] == len(seen)
+    assert row["n_tokens"] == cum
+    assert abs(row["beta"] - beta) < 1e-9
+    assert abs(row["k"] - k) < 1e-9
+    assert 0.0 < row["beta"] <= 1.0
