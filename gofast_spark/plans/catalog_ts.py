@@ -787,3 +787,163 @@ def chow_test_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gofast_spark.ts.changepoint import chow_test
 
     return chow_test(_daily(spark, sf_dir), "t", "v", split=15.0)
+
+
+@query(
+    "croston_sparse_purchases",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+               AS BIGINT) AS t,
+             count(*) FILTER (event_type = 'purchase' AND value > 900)
+               AS v
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY 1),
+    nz AS (SELECT t, v FROM daily WHERE v <> 0),
+    g AS (
+      SELECT t, v,
+             coalesce(t - lag(t) OVER (ORDER BY t), 1) AS gap,
+             CAST(row_number() OVER (ORDER BY t) AS DOUBLE) AS rn
+      FROM nz),
+    c AS (
+      SELECT t, v, gap, rn,
+             v * power(0.5, -rn) AS cz,
+             gap * power(0.5, -rn) AS cp
+      FROM g),
+    s AS (
+      SELECT t, v, gap, rn,
+             sum(cz) OVER wc AS sz, first_value(cz) OVER wc AS z1,
+             sum(cp) OVER wc AS sp, first_value(cp) OVER wc AS p1
+      FROM c
+      WINDOW wc AS (ORDER BY rn
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    sm AS (
+      SELECT t, v, gap,
+             power(0.5, rn) * (0.5 * (sz - z1) + z1) AS z_hat,
+             power(0.5, rn) * (0.5 * (sp - p1) + p1) AS p_hat
+      FROM s)
+    SELECT t, CAST(v AS BIGINT) AS v, CAST(gap AS BIGINT) AS interval,
+           CAST(z_hat AS DOUBLE) AS z_hat,
+           CAST(p_hat AS DOUBLE) AS p_hat,
+           CAST(z_hat / p_hat AS DOUBLE) AS croston_rate
+    FROM sm
+    """,
+)
+def croston_sparse_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston intermittent-demand forecast of high-value purchase
+    days (ts/engineering.py croston_forecast; Croston 1972): the
+    nonzero-day filter + one lag window for inter-demand gaps, then
+    TWO engine-exact dyadic EWMA closed forms (integer inputs, no
+    float-order dependence) — the per-period rate z_hat/p_hat is
+    unrounded bit-exact."""
+    from gofast_spark.ts.engineering import croston_forecast
+
+    e = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    daily = e.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01"))
+        .cast("bigint")
+        .alias("t")
+    ).agg(
+        F.count(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 900),
+                1,
+            )
+        ).alias("v")
+    )
+    out = croston_forecast(daily, "t", "v", alpha=0.5)
+    return out.select(
+        "t", F.col("v").cast("bigint").alias("v"),
+        F.col("interval").cast("bigint").alias("interval"),
+        "z_hat", "p_hat", "croston_rate",
+    )
+
+
+@query(
+    "ljung_box_daily_events",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL}),
+    l AS (
+      SELECT v,
+             lag(v, 1) OVER (ORDER BY t) AS l1,
+             lag(v, 2) OVER (ORDER BY t) AS l2,
+             lag(v, 3) OVER (ORDER BY t) AS l3,
+             lag(v, 4) OVER (ORDER BY t) AS l4,
+             lag(v, 5) OVER (ORDER BY t) AS l5
+      FROM daily),
+    a AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             corr(v, l1) AS r1, corr(v, l2) AS r2, corr(v, l3) AS r3,
+             corr(v, l4) AS r4, corr(v, l5) AS r5
+      FROM l)
+    SELECT CAST(round(n * (n + 2.0) *
+             (r1*r1/(n-1) + r2*r2/(n-2) + r3*r3/(n-3)
+              + r4*r4/(n-4) + r5*r5/(n-5)), 6) AS DOUBLE) AS q_stat,
+           CAST(5 AS INTEGER) AS dof,
+           CAST(n AS BIGINT) AS n
+    FROM a
+    """,
+)
+def ljung_box_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box whiteness test on the daily revenue series
+    (ts/engineering.py ljung_box; Ljung & Box 1978) — Q from the same
+    corr-with-lag ACF the `acf_daily_events` entry verifies, one window
+    projection + one aggregate row."""
+    from gofast_spark.ts.engineering import ljung_box
+
+    out = ljung_box(_daily(spark, sf_dir), "v", "t", max_lag=5)
+    return out.select(
+        F.round("q_stat", 6).alias("q_stat"), "dof", "n"
+    )
+
+
+@query(
+    "theta_forecast_daily",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL}),
+    e AS (
+      SELECT t, v,
+             CAST(row_number() OVER (ORDER BY t) AS DOUBLE) AS rn,
+             CAST(floor(v * 1e4 + 0.5) AS BIGINT) AS vu
+      FROM daily),
+    c AS (SELECT t, rn, vu, v * power(0.5, -rn) AS cz FROM e),
+    s AS (
+      SELECT t, rn, vu,
+             power(0.5, rn) * (0.5 * (sum(cz) OVER wc
+                                      - first_value(cz) OVER wc)
+                               + first_value(cz) OVER wc) AS sm
+      FROM c
+      WINDOW wc AS (ORDER BY rn
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    m AS (
+      SELECT count(*) AS n,
+             sum(CAST(t AS HUGEINT)) AS st,
+             sum(CAST(t AS HUGEINT) * t) AS stt,
+             sum(CAST(vu AS HUGEINT)) AS sv,
+             sum(CAST(t AS HUGEINT) * vu) AS stv,
+             arg_max(sm, t) AS level
+      FROM s),
+    sl AS (
+      SELECT n, level,
+             CAST(n * stv - st * sv AS DOUBLE)
+               / CAST(n * stt - st * st AS DOUBLE) / 1e4 AS slope
+      FROM m)
+    SELECT CAST(h AS INTEGER) AS h,
+           CAST(level + slope / 2.0 *
+                (CAST(h AS DOUBLE) - 1.0 + 2.0
+                 - power(0.5, CAST(n AS DOUBLE)) * 2.0) AS DOUBLE)
+             AS forecast
+    FROM sl, range(1, 8) AS r(h)
+    """,
+)
+def theta_forecast_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-method 7-day forecast of daily revenue
+    (ts/engineering.py theta_forecast; Assimakopoulos & Nikolopoulos
+    2000 via Hyndman & Billah 2003's SES-with-drift equivalence): the
+    dyadic-alpha EWMA closed form supplies the level, exact integer
+    moments the trend slope — bit-reproducible, presented unrounded."""
+    from gofast_spark.ts.engineering import theta_forecast
+
+    return theta_forecast(
+        _daily(spark, sf_dir), "t", "v", alpha=0.5, horizon=7
+    )

@@ -596,3 +596,145 @@ def ar_forecast(
     return st.select(F.explode(arr).alias("s")).select(
         F.col("s.h").alias("h"), F.col("s.forecast").alias("forecast")
     )
+
+
+def croston_forecast(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    *,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Croston's method for intermittent demand (Croston, Oper. Res.
+    Q. 1972): maintain TWO exponential smoothers over the NONZERO
+    -demand periods only — demand size ``z`` and inter-demand interval
+    ``p`` — and forecast the per-period rate ``z / p``.
+
+    Both smoothers ride :func:`ewma`'s closed form over the filtered
+    nonzero frame (engine-exact for dyadic ``alpha``); the interval
+    series is the gap between consecutive nonzero periods (one lag
+    window).  Returns the nonzero-period frame with ``z_hat``,
+    ``p_hat`` and ``croston_rate`` columns — the final row's rate is
+    the standing forecast."""
+    if not 0.0 < alpha < 1.0:
+        raise ValueError("alpha must be in (0, 1)")
+    d = df.where(
+        F.col(value_col).isNotNull() & (F.col(value_col) != 0)
+    ).select(F.col(order_col).alias("__o"), F.col(value_col).alias("__z"))
+    w = Window.orderBy("__o")
+    gaps = d.select(
+        "__o",
+        "__z",
+        F.coalesce(
+            F.col("__o") - F.lag("__o").over(w), F.lit(1)
+        ).alias("__gap"),
+    )
+    sm = ewma(gaps, "__o", "__z", alpha=alpha, out_col="z_hat")
+    sm = ewma(sm, "__o", "__gap", alpha=alpha, out_col="p_hat")
+    return sm.select(
+        F.col("__o").alias(order_col),
+        F.col("__z").alias(value_col),
+        F.col("__gap").alias("interval"),
+        "z_hat",
+        "p_hat",
+        (F.col("z_hat") / F.col("p_hat")).alias("croston_rate"),
+    )
+
+
+def ljung_box(
+    df: DataFrame,
+    value_col: str,
+    order_by: str,
+    *,
+    max_lag: int = 5,
+) -> DataFrame:
+    """Ljung-Box portmanteau statistic for serial correlation (Ljung &
+    Box, Biometrika 1978): ``Q = n(n+2) * sum_k rho_k^2 / (n-k)`` with
+    ``dof = max_lag``, the standard residual-whiteness diagnostic
+    (gofast/utils/ts_utils.py ACF readouts stop at rho; this composes
+    them).  ``rho_k`` here is :func:`acf`'s corr-with-lag estimate, so
+    the whole readout is ONE window projection + ONE aggregate row over
+    a rollup-sized series."""
+    w = Window.orderBy(order_by)
+    out = df.select(
+        F.col(value_col).alias("__v"),
+        *[
+            F.lag(value_col, k).over(w).alias(f"__l_{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    ).agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.corr("__v", f"__l_{k}").alias(f"__r_{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    n = F.col("__n").cast("double")
+    q = sum(
+        (
+            F.col(f"__r_{k}") * F.col(f"__r_{k}") / (n - F.lit(float(k)))
+            for k in range(1, max_lag + 1)
+        ),
+        F.lit(0.0),
+    ) * n * (n + F.lit(2.0))
+    return out.select(
+        q.alias("q_stat"),
+        F.lit(max_lag).cast("int").alias("dof"),
+        F.col("__n").cast("bigint").alias("n"),
+    )
+
+
+def theta_forecast(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    *,
+    alpha: float = 0.5,
+    horizon: int = 7,
+    units: float = 1e4,
+) -> DataFrame:
+    """Theta-method forecast (Assimakopoulos & Nikolopoulos, IJF 2000)
+    in the Hyndman & Billah (IJF 2003) SES-with-drift form:
+
+        yhat(h) = level + (b/2) * (h - 1 + 1/alpha - (1-alpha)^n/alpha)
+
+    where ``level`` is the final simple-exponential-smoothing state
+    (:func:`ewma`, engine-exact for dyadic ``alpha``) and ``b`` the OLS
+    slope of the linear trend.  The slope comes from EXACT integer
+    moments — values quantized to ``units`` (daily rollups are already
+    4-decimal), sums widened to decimal — so the whole forecast is
+    bit-reproducible across partitionings and engines.  One window
+    projection + one aggregate; returns ``(h, forecast)`` rows."""
+    if not 0.0 < alpha < 1.0:
+        raise ValueError("alpha must be in (0, 1)")
+    t = F.col(order_col).cast("bigint")
+    vu = F.floor(F.col(value_col).cast("double") * F.lit(units) + F.lit(0.5)) \
+        .cast("bigint")
+    sm = ewma(df, order_col, value_col, alpha=alpha, out_col="__lvl")
+    agg = sm.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(t).alias("__st"),
+        F.sum(t.cast("decimal(19,0)") * t).alias("__stt"),
+        F.sum(vu.cast("decimal(19,0)")).alias("__sv"),
+        F.sum(t.cast("decimal(19,0)") * vu).alias("__stv"),
+        F.max_by("__lvl", order_col).alias("__level"),
+    )
+    n = F.col("__n").cast("decimal(19,0)")
+    num = (n * F.col("__stv") - F.col("__st").cast("decimal(19,0)")
+           * F.col("__sv")).cast("double")
+    den = (n * F.col("__stt")
+           - F.col("__st").cast("decimal(19,0)")
+           * F.col("__st").cast("decimal(19,0)")).cast("double")
+    slope = num / den / F.lit(units)
+    r = 1.0 - alpha
+    drift = (
+        F.col("h").cast("double") - F.lit(1.0) + F.lit(1.0 / alpha)
+        - F.pow(F.lit(r), F.col("__n").cast("double")) / F.lit(alpha)
+    )
+    hs = agg.select(
+        "*", F.explode(F.sequence(F.lit(1), F.lit(horizon))).alias("h")
+    )
+    return hs.select(
+        F.col("h").cast("int").alias("h"),
+        (F.col("__level") + slope / F.lit(2.0) * drift).alias("forecast"),
+    )

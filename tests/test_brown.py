@@ -63,3 +63,26 @@ def test_double_ewma_repartition_invariant(spark):
         map(tuple, double_ewma(df.repartition(7), "t", "y").collect())
     )
     assert a == b
+
+
+def test_croston_matches_recursion(spark):
+    from gofast_spark.ts.engineering import croston_forecast
+
+    # day index, demand (zeros = no demand)
+    series = {0: 5.0, 3: 7.0, 4: 6.0, 9: 8.0, 10: 0.0, 15: 9.0}
+    df = spark.createDataFrame(list(series.items()), ["t", "y"])
+    got = {r["t"]: r for r in croston_forecast(df, "t", "y").collect()}
+    # reference recursions over nonzero periods
+    nz = [(t, z) for t, z in sorted(series.items()) if z != 0]
+    zh = ph = None
+    prev_t = None
+    for t, z in nz:
+        gap = 1 if prev_t is None else t - prev_t
+        zh = z if zh is None else 0.5 * z + 0.5 * zh
+        ph = gap if ph is None else 0.5 * gap + 0.5 * ph
+        prev_t = t
+        r = got[t]
+        assert abs(r["z_hat"] - zh) < 1e-9
+        assert abs(r["p_hat"] - ph) < 1e-9
+        assert abs(r["croston_rate"] - zh / ph) < 1e-9
+    assert 10 not in got  # zero-demand day excluded
