@@ -2628,3 +2628,62 @@ def gumbel_daily_max_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("level_10", 5).cast("double").alias("level_10"),
         F.round("level_100", 5).cast("double").alias("level_100"),
     )
+
+
+@query(
+    "bartlett_events",
+    oracle="""
+    WITH per AS (
+      SELECT event_type,
+             count(*) AS n,
+             sum(CAST(CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS HUGEINT))
+               AS s,
+             sum(CAST(CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS HUGEINT)
+                 * CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS ss
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1 HAVING count(*) >= 2),
+    s2t AS (
+      SELECT n,
+             CAST(n * ss - s * s AS DOUBLE)
+               / CAST(n * (n - 1) AS DOUBLE) / 1e12 AS s2
+      FROM per),
+    t AS (
+      SELECT n,
+             CAST(floor(CAST(n - 1 AS DOUBLE) * s2 * 1e6 + 0.5) AS BIGINT)
+               AS w_u,
+             CAST(floor(CAST(n - 1 AS DOUBLE) * ln(s2) * 1e6 + 0.5)
+               AS BIGINT) AS lt_u,
+             CAST(floor(1e12 / CAST(n - 1 AS DOUBLE) + 0.5) AS BIGINT)
+               AS inv_u
+      FROM s2t),
+    g AS (
+      SELECT count(*) AS k, sum(n) AS nn,
+             sum(w_u) AS sw, sum(lt_u) AS slt, sum(inv_u) AS sinv
+      FROM t)
+    SELECT CAST(round(
+             (CAST(nn - k AS DOUBLE)
+                * ln(CAST(sw AS DOUBLE) / 1e6 / CAST(nn - k AS DOUBLE))
+              - CAST(slt AS DOUBLE) / 1e6)
+             / (1.0 + (CAST(sinv AS DOUBLE) / 1e12
+                       - 1.0 / CAST(nn - k AS DOUBLE))
+                      / (3.0 * CAST(k - 1 AS DOUBLE))), 6) AS DOUBLE)
+             AS bartlett_stat,
+           CAST(k - 1 AS INTEGER) AS dof,
+           CAST(k AS INTEGER) AS n_groups,
+           CAST(nn AS BIGINT) AS n
+    FROM g
+    """,
+)
+def bartlett_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett homogeneity of event-value variances across event
+    types (stats/inferential.py bartlett_test; Bartlett 1937) — the
+    parametric sibling of `levene_events`, exact-integer per-group
+    moments so the statistic is partition- and engine-reproducible."""
+    from gofast_spark.stats.inferential import bartlett_test
+
+    e = _t(spark, sf_dir, "events")
+    out = bartlett_test(e, "value", "event_type")
+    return out.select(
+        F.round(F.col("bartlett_stat"), 6).alias("bartlett_stat"),
+        "dof", "n_groups", "n",
+    )

@@ -856,3 +856,77 @@ def icc_oneway(
         F.col("k").cast("bigint").alias("k"),
         F.col("n").alias("n"),
     )
+
+
+def bartlett_test(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    *,
+    units: float = 1e6,
+) -> DataFrame:
+    """Bartlett's homogeneity-of-variances test (Bartlett, Proc. R.
+    Soc. A 1937; the parametric counterpart of ``levene_test``,
+    gofast/stats/inferential.py:793 family):
+
+        T = [(N-g) ln(s_p^2) - sum_i (n_i-1) ln(s_i^2)] / C
+        C = 1 + (sum_i 1/(n_i-1) - 1/(N-g)) / (3(g-1))
+
+    Determinism discipline: per-group variances come from EXACT integer
+    moments (values quantized to ``units``, squares widened to decimal),
+    so every ``s_i^2`` is the same double on any engine/partitioning;
+    the g-row reductions quantize each summand to integer micro-units
+    before summing.  Two aggregates total (per-group, then global).
+    Output: one row ``(bartlett_stat, dof, n_groups, n)``."""
+    vu = (
+        F.floor(F.col(value_col).cast("double") * F.lit(units) + F.lit(0.5))
+        .cast("bigint")
+    )
+    per = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(group_col).alias("__g"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(vu.cast("decimal(19,0)")).alias("__s"),
+            F.sum(vu.cast("decimal(19,0)") * vu).alias("__ss"),
+        )
+        .where(F.col("__n") >= 2)
+    )
+    n = F.col("__n").cast("decimal(19,0)")
+    # s2 in VALUE units^2: exact-integer numerator/denominator, one division
+    s2 = (
+        (n * F.col("__ss") - F.col("__s") * F.col("__s")).cast("double")
+        / (n * (n - F.lit(1).cast("decimal(19,0)"))).cast("double")
+        / F.lit(units * units)
+    )
+    terms = per.select(
+        F.col("__n"),
+        # (n_i-1)*s2_i and (n_i-1)*ln(s2_i), quantized to 1e6 micro-units
+        F.floor((n - F.lit(1).cast("decimal(19,0)")).cast("double") * s2
+                * F.lit(1e6) + F.lit(0.5)).cast("bigint").alias("__w_u"),
+        F.floor((F.col("__n") - F.lit(1)).cast("double") * F.log(s2)
+                * F.lit(1e6) + F.lit(0.5)).cast("bigint").alias("__lt_u"),
+        # 1/(n_i-1) at 1e12 units
+        F.floor(F.lit(1e12) / (F.col("__n") - F.lit(1)).cast("double")
+                + F.lit(0.5)).cast("bigint").alias("__inv_u"),
+    )
+    g = terms.agg(
+        F.count(F.lit(1)).alias("__k"),
+        F.sum("__n").alias("__N"),
+        F.sum("__w_u").alias("__sw"),
+        F.sum("__lt_u").alias("__slt"),
+        F.sum("__inv_u").alias("__sinv"),
+    )
+    nn = (F.col("__N") - F.col("__k")).cast("double")
+    pooled = F.col("__sw").cast("double") / F.lit(1e6) / nn
+    c = F.lit(1.0) + (
+        F.col("__sinv").cast("double") / F.lit(1e12) - F.lit(1.0) / nn
+    ) / (F.lit(3.0) * (F.col("__k") - F.lit(1)).cast("double"))
+    t_stat = (nn * F.log(pooled)
+              - F.col("__slt").cast("double") / F.lit(1e6)) / c
+    return g.select(
+        t_stat.alias("bartlett_stat"),
+        (F.col("__k") - F.lit(1)).cast("int").alias("dof"),
+        F.col("__k").cast("int").alias("n_groups"),
+        F.col("__N").cast("bigint").alias("n"),
+    )
