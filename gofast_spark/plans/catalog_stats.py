@@ -2687,3 +2687,148 @@ def bartlett_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("bartlett_stat"), 6).alias("bartlett_stat"),
         "dof", "n_groups", "n",
     )
+
+
+@query(
+    "did_estimator_events",
+    oracle="""
+    WITH d AS (
+      SELECT CAST((user_id * 1103515245 + 12345) % 2147483648 % 2 AS INT)
+               AS t,
+             (ts >= TIMESTAMP '2024-01-16') AS p,
+             CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vu
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+    a AS (
+      SELECT
+        sum(CASE WHEN t = 1 AND NOT p THEN CAST(vu AS HUGEINT) END)
+          AS s_t_pre,
+        sum(CASE WHEN t = 1 AND NOT p THEN 1 ELSE 0 END) AS n_t_pre,
+        sum(CASE WHEN t = 1 AND p THEN CAST(vu AS HUGEINT) END)
+          AS s_t_post,
+        sum(CASE WHEN t = 1 AND p THEN 1 ELSE 0 END) AS n_t_post,
+        sum(CASE WHEN t = 0 AND NOT p THEN CAST(vu AS HUGEINT) END)
+          AS s_c_pre,
+        sum(CASE WHEN t = 0 AND NOT p THEN 1 ELSE 0 END) AS n_c_pre,
+        sum(CASE WHEN t = 0 AND p THEN CAST(vu AS HUGEINT) END)
+          AS s_c_post,
+        sum(CASE WHEN t = 0 AND p THEN 1 ELSE 0 END) AS n_c_post
+      FROM d),
+    m AS (
+      SELECT
+        CAST(s_t_pre AS DOUBLE) / CAST(n_t_pre AS DOUBLE) / 1e6
+          AS mean_t_pre,
+        CAST(s_t_post AS DOUBLE) / CAST(n_t_post AS DOUBLE) / 1e6
+          AS mean_t_post,
+        CAST(s_c_pre AS DOUBLE) / CAST(n_c_pre AS DOUBLE) / 1e6
+          AS mean_c_pre,
+        CAST(s_c_post AS DOUBLE) / CAST(n_c_post AS DOUBLE) / 1e6
+          AS mean_c_post,
+        n_t_pre, n_t_post, n_c_pre, n_c_post
+      FROM a)
+    SELECT mean_t_pre, mean_t_post, mean_c_pre, mean_c_post,
+           CAST(n_t_pre AS BIGINT) AS n_t_pre,
+           CAST(n_t_post AS BIGINT) AS n_t_post,
+           CAST(n_c_pre AS BIGINT) AS n_c_pre,
+           CAST(n_c_post AS BIGINT) AS n_c_post,
+           CAST((mean_t_post - mean_t_pre) - (mean_c_post - mean_c_pre)
+             AS DOUBLE) AS did
+    FROM m
+    """,
+)
+def did_estimator_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-period difference-in-differences on event values
+    (stats/causal.py did_estimator; Card & Krueger 1994): LCG-hash
+    treatment groups (the cuped_ab_events assignment), pre/post split
+    at 2024-01-16, all four cell means from ONE conditional-sum
+    aggregate of exact micro-unit integers."""
+    from gofast_spark.ml.selection import kfold_assign
+    from gofast_spark.stats.causal import did_estimator
+
+    e = kfold_assign(
+        _t(spark, sf_dir, "events").where(F.col("ts").isNotNull()),
+        "user_id", 2, seed=0, out_col="variant",
+    )
+    out = did_estimator(
+        e, "value",
+        F.col("variant") == 1,
+        F.col("ts") >= F.lit("2024-01-16").cast("timestamp"),
+    )
+    return out.select(
+        "mean_t_pre", "mean_t_post", "mean_c_pre", "mean_c_post",
+        F.col("n_t_pre").cast("bigint").alias("n_t_pre"),
+        F.col("n_t_post").cast("bigint").alias("n_t_post"),
+        F.col("n_c_pre").cast("bigint").alias("n_c_pre"),
+        F.col("n_c_post").cast("bigint").alias("n_c_post"),
+        "did",
+    )
+
+
+@query(
+    "rdd_local_linear_lineitem",
+    oracle="""
+    WITH d AS (
+      SELECT (CAST(l_quantity AS DOUBLE) >= 25.5) AS r,
+             CAST(floor((CAST(l_quantity AS DOUBLE) - 25.5) * 1e3 + 0.5)
+               AS BIGINT) AS u,
+             CAST(floor(CAST(l_extendedprice AS DOUBLE)
+                        / CAST(l_quantity AS DOUBLE) * 1e6 + 0.5)
+               AS BIGINT) AS y
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        AND abs(CAST(l_quantity AS DOUBLE) - 25.5) <= 10.0),
+    a AS (
+      SELECT
+        sum(CASE WHEN NOT r THEN 1 ELSE 0 END) AS n_l,
+        sum(CASE WHEN NOT r THEN CAST(u AS HUGEINT) ELSE 0 END) AS su_l,
+        sum(CASE WHEN NOT r THEN CAST(u AS HUGEINT) * u ELSE 0 END)
+          AS suu_l,
+        sum(CASE WHEN NOT r THEN CAST(y AS HUGEINT) ELSE 0 END) AS sy_l,
+        sum(CASE WHEN NOT r THEN CAST(u AS HUGEINT) * y ELSE 0 END)
+          AS suy_l,
+        sum(CASE WHEN r THEN 1 ELSE 0 END) AS n_r,
+        sum(CASE WHEN r THEN CAST(u AS HUGEINT) ELSE 0 END) AS su_r,
+        sum(CASE WHEN r THEN CAST(u AS HUGEINT) * u ELSE 0 END) AS suu_r,
+        sum(CASE WHEN r THEN CAST(y AS HUGEINT) ELSE 0 END) AS sy_r,
+        sum(CASE WHEN r THEN CAST(u AS HUGEINT) * y ELSE 0 END) AS suy_r
+      FROM d),
+    f AS (
+      SELECT
+        CAST(sy_l * suu_l - su_l * suy_l AS DOUBLE)
+          / CAST(n_l * suu_l - su_l * su_l AS DOUBLE) / 1e6 AS a_left,
+        CAST(n_l * suy_l - su_l * sy_l AS DOUBLE)
+          / CAST(n_l * suu_l - su_l * su_l AS DOUBLE) / 1e6 * 1e3
+          AS b_left,
+        CAST(sy_r * suu_r - su_r * suy_r AS DOUBLE)
+          / CAST(n_r * suu_r - su_r * su_r AS DOUBLE) / 1e6 AS a_right,
+        CAST(n_r * suy_r - su_r * sy_r AS DOUBLE)
+          / CAST(n_r * suu_r - su_r * su_r AS DOUBLE) / 1e6 * 1e3
+          AS b_right,
+        n_l, n_r
+      FROM a)
+    SELECT CAST(a_right - a_left AS DOUBLE) AS tau,
+           a_left, a_right, b_left, b_right,
+           CAST(n_l AS BIGINT) AS n_left, CAST(n_r AS BIGINT) AS n_right
+    FROM f
+    """,
+)
+def rdd_local_linear_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharp regression-discontinuity of unit price at the quantity
+    cutoff 25.5 with bandwidth 10 (stats/causal.py rdd_local_linear;
+    Imbens & Lemieux 2008): local-linear fits on each side from ONE
+    conditional exact-moment aggregate, closed-form intercepts, tau
+    unrounded bit-exact."""
+    from gofast_spark.stats.causal import rdd_local_linear
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("double").alias("q"),
+        (F.col("l_extendedprice").cast("double")
+         / F.col("l_quantity").cast("double")).alias("unit_price"),
+    )
+    out = rdd_local_linear(
+        li, "q", "unit_price", cutoff=25.5, bandwidth=10.0
+    )
+    return out.select(
+        "tau", "a_left", "a_right", "b_left", "b_right",
+        F.col("n_left").cast("bigint").alias("n_left"),
+        F.col("n_right").cast("bigint").alias("n_right"),
+    )

@@ -183,3 +183,134 @@ def aipw_ate(
         (F.col("n") - F.col("n_treated")).alias("n_control"),
         "n",
     )
+
+
+def did_estimator(
+    df: DataFrame,
+    value_col: str,
+    treat_col,
+    post_col,
+    *,
+    units: float = 1e6,
+) -> DataFrame:
+    """Difference-in-differences estimate of a treatment effect from a
+    2x2 (treated x post) design (Card & Krueger, AER 1994; the
+    canonical two-period DiD):
+
+        DiD = (ybar_T,post - ybar_T,pre) - (ybar_C,post - ybar_C,pre)
+
+    ``treat_col`` / ``post_col`` are boolean Columns (or names).  ONE
+    map-side-combinable aggregate computes all four cell sums/counts as
+    conditional sums of micro-unit-quantized values — exact integers,
+    so every mean (and the estimate) is partition- and engine-
+    reproducible.  Output: one row with the four cell means, cell
+    counts, and ``did``."""
+    t = F.col(treat_col) if isinstance(treat_col, str) else treat_col
+    p = F.col(post_col) if isinstance(post_col, str) else post_col
+    vu = (
+        F.floor(F.col(value_col).cast("double") * F.lit(units) + F.lit(0.5))
+        .cast("bigint")
+    )
+    d = df.where(F.col(value_col).isNotNull()).select(
+        t.cast("boolean").alias("__t"), p.cast("boolean").alias("__p"),
+        vu.alias("__v"),
+    )
+
+    def cell(tv: bool, pv: bool, tag: str):
+        m = (F.col("__t") == tv) & (F.col("__p") == pv)
+        return [
+            F.sum(F.when(m, F.col("__v")).otherwise(F.lit(0))
+                  .cast("decimal(38,0)")).alias(f"__s_{tag}"),
+            F.sum(F.when(m, 1).otherwise(0)).alias(f"n_{tag}"),
+        ]
+
+    agg = d.agg(
+        *cell(True, False, "t_pre"), *cell(True, True, "t_post"),
+        *cell(False, False, "c_pre"), *cell(False, True, "c_post"),
+    )
+
+    def mean(tag: str):
+        return (
+            F.col(f"__s_{tag}").cast("double")
+            / F.col(f"n_{tag}").cast("double") / F.lit(units)
+        ).alias(f"mean_{tag}")
+
+    out = agg.select(
+        mean("t_pre"), mean("t_post"), mean("c_pre"), mean("c_post"),
+        "n_t_pre", "n_t_post", "n_c_pre", "n_c_post",
+    )
+    return out.select(
+        "*",
+        (
+            (F.col("mean_t_post") - F.col("mean_t_pre"))
+            - (F.col("mean_c_post") - F.col("mean_c_pre"))
+        ).alias("did"),
+    )
+
+
+def rdd_local_linear(
+    df: DataFrame,
+    running_col: str,
+    value_col: str,
+    *,
+    cutoff: float,
+    bandwidth: float,
+    units: float = 1e6,
+) -> DataFrame:
+    """Sharp regression-discontinuity estimate with local-linear fits
+    on each side of the cutoff (Thistlethwaite & Campbell 1960;
+    Imbens & Lemieux, J. Econometrics 2008): within ``bandwidth`` of
+    ``cutoff``, fit ``y ~ a + b*(x - cutoff)`` separately left/right
+    (rectangular kernel) and report ``tau = a_right - a_left``.
+
+    Exact-moment discipline: the running variable enters as
+    ``du = 2*(x - cutoff)`` scaled to integers via milli-units and the
+    outcome as micro-unit integers, so both closed-form intercepts are
+    ratios of exact decimal products — bit-reproducible.  ONE
+    conditional-sum aggregate; no window, no join."""
+    x = F.col(running_col).cast("double")
+    # du in milli-units keeps half-integer cutoffs exact
+    du = F.floor((x - F.lit(cutoff)) * F.lit(1e3) + F.lit(0.5)) \
+        .cast("bigint")
+    yu = (
+        F.floor(F.col(value_col).cast("double") * F.lit(units) + F.lit(0.5))
+        .cast("bigint")
+    )
+    d = df.where(
+        F.col(value_col).isNotNull() & x.isNotNull()
+        & (F.abs(x - F.lit(cutoff)) <= F.lit(bandwidth))
+    ).select((x >= F.lit(cutoff)).alias("__r"), du.alias("__u"),
+             yu.alias("__y"))
+
+    def side(rv: bool, tag: str):
+        m = F.col("__r") == rv
+        z = F.lit(0).cast("bigint")
+        u = F.when(m, F.col("__u")).otherwise(z)
+        y = F.when(m, F.col("__y")).otherwise(z)
+        return [
+            F.sum(F.when(m, 1).otherwise(0)).alias(f"n_{tag}"),
+            F.sum(u.cast("decimal(19,0)")).alias(f"__su_{tag}"),
+            F.sum(u.cast("decimal(19,0)") * u).alias(f"__suu_{tag}"),
+            F.sum(y.cast("decimal(38,0)")).alias(f"__sy_{tag}"),
+            F.sum(u.cast("decimal(19,0)") * y).alias(f"__suy_{tag}"),
+        ]
+
+    agg = d.agg(*side(False, "left"), *side(True, "right"))
+
+    def fit(tag: str):
+        n = F.col(f"n_{tag}").cast("decimal(19,0)")
+        su, suu = F.col(f"__su_{tag}"), F.col(f"__suu_{tag}")
+        sy, suy = F.col(f"__sy_{tag}"), F.col(f"__suy_{tag}")
+        det = (n * suu - su * su).cast("double")
+        a = (sy * suu - su * suy).cast("double") / det / F.lit(units)
+        b = (n * suy - su * sy).cast("double") / det \
+            / F.lit(units) * F.lit(1e3)
+        return a.alias(f"a_{tag}"), b.alias(f"b_{tag}")
+
+    out = agg.select(
+        *fit("left"), *fit("right"), "n_left", "n_right",
+    )
+    return out.select(
+        (F.col("a_right") - F.col("a_left")).alias("tau"),
+        "a_left", "a_right", "b_left", "b_right", "n_left", "n_right",
+    )

@@ -81,3 +81,46 @@ def test_theta_matches_recursion(spark):
         drift = h - 1 + 2.0 - 0.5 ** n * 2.0
         assert got[h] == pytest.approx(lvl + slope / 2 * drift, abs=1e-9)
     assert len(got) == 3
+
+
+def test_did_estimator_small(spark):
+    from gofast_spark.stats.causal import did_estimator
+    import pyspark.sql.functions as F
+
+    rows = [
+        # (treated, post, y)
+        (1, 0, 10.0), (1, 0, 12.0),   # T pre  mean 11
+        (1, 1, 20.0), (1, 1, 26.0),   # T post mean 23
+        (0, 0, 5.0), (0, 0, 7.0),     # C pre  mean 6
+        (0, 1, 9.0), (0, 1, 11.0),    # C post mean 10
+    ]
+    df = spark.createDataFrame(rows, ["t", "p", "y"])
+    got = did_estimator(
+        df, "y", F.col("t") == 1, F.col("p") == 1
+    ).collect()[0]
+    assert got["mean_t_pre"] == pytest.approx(11.0)
+    assert got["mean_c_post"] == pytest.approx(10.0)
+    # (23 - 11) - (10 - 6) = 8
+    assert got["did"] == pytest.approx(8.0, abs=1e-9)
+    assert got["n_t_post"] == 2
+
+
+def test_rdd_recovers_known_discontinuity(spark):
+    from gofast_spark.stats.causal import rdd_local_linear
+
+    # y = 2 + 0.5*(x-5) left of 5; y = 7 + 1.5*(x-5) right: tau = 5
+    rows = []
+    for i in range(40):
+        x = i * 0.25  # 0 .. 9.75
+        if x < 5:
+            y = 2.0 + 0.5 * (x - 5.0)
+        else:
+            y = 7.0 + 1.5 * (x - 5.0)
+        rows.append((x, y))
+    df = spark.createDataFrame(rows, ["x", "y"])
+    got = rdd_local_linear(df, "x", "y", cutoff=5.0, bandwidth=3.0) \
+        .collect()[0]
+    assert got["tau"] == pytest.approx(5.0, abs=1e-4)
+    assert got["b_left"] == pytest.approx(0.5, abs=1e-4)
+    assert got["b_right"] == pytest.approx(1.5, abs=1e-4)
+    assert got["n_left"] > 0 and got["n_right"] > 0
