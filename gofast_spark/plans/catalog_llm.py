@@ -2701,3 +2701,55 @@ def heaps_law_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gofast_spark.text.goodturing import heaps_law
 
     return heaps_law(_docs(spark, sf_dir), "doc_id", "text")
+
+
+@query(
+    "llr_collocations_documents",
+    oracle=f"""
+    WITH norm AS (SELECT {_norm_sql('text')} AS t FROM documents),
+    tk AS (SELECT string_split(t, ' ') AS tk FROM norm WHERE len(t) > 0),
+    pairs AS (
+      SELECT tk[i] AS w1, tk[i + 1] AS w2, count(*) AS n_pair
+      FROM tk, unnest(range(1, len(tk))) AS u(i)
+      GROUP BY 1, 2),
+    fst AS (SELECT w1, sum(n_pair) AS r1 FROM pairs GROUP BY 1),
+    snd AS (SELECT w2, sum(n_pair) AS c1 FROM pairs GROUP BY 1),
+    tot AS (SELECT sum(n_pair) AS nn FROM pairs),
+    sc AS (
+      SELECT p.w1, p.w2, p.n_pair,
+        2.0 * (
+          CASE WHEN n_pair > 0 THEN CAST(n_pair AS DOUBLE)
+            * ln(CAST(n_pair AS DOUBLE) * nn
+                 / (CAST(r1 AS DOUBLE) * c1)) ELSE 0.0 END
+          + CASE WHEN r1 - n_pair > 0 THEN CAST(r1 - n_pair AS DOUBLE)
+            * ln(CAST(r1 - n_pair AS DOUBLE) * nn
+                 / (CAST(r1 AS DOUBLE) * (nn - c1))) ELSE 0.0 END
+          + CASE WHEN c1 - n_pair > 0 THEN CAST(c1 - n_pair AS DOUBLE)
+            * ln(CAST(c1 - n_pair AS DOUBLE) * nn
+                 / (CAST(nn - r1 AS DOUBLE) * c1)) ELSE 0.0 END
+          + CASE WHEN nn - r1 - c1 + n_pair > 0
+            THEN CAST(nn - r1 - c1 + n_pair AS DOUBLE)
+            * ln(CAST(nn - r1 - c1 + n_pair AS DOUBLE) * nn
+                 / (CAST(nn - r1 AS DOUBLE) * (nn - c1))) ELSE 0.0 END
+        ) AS llr
+      FROM pairs p
+      JOIN fst USING (w1) JOIN snd USING (w2) CROSS JOIN tot
+      WHERE n_pair >= 5)
+    SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair,
+           CAST(round(llr, 6) AS DOUBLE) AS llr
+    FROM sc
+    ORDER BY llr DESC, n_pair DESC, w1, w2
+    LIMIT 50
+    """,
+)
+def llr_collocations_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 collocations by Dunning log-likelihood ratio
+    (text/cooccur.py llr_collocations; Dunning 1993) — the
+    count-robust companion to `bigram_pmi_documents`: every margin of
+    the 2x2 table derives from the ONE bigram count table, so a single
+    corpus explode feeds the whole score."""
+    from gofast_spark.text.cooccur import llr_collocations
+
+    return llr_collocations(
+        _docs(spark, sf_dir), "text", min_count=5, top_k=50
+    )

@@ -845,3 +845,128 @@ def psi_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.round("psi", 6).cast("double").alias("psi"), "n_ref", "n_cur"
     )
+
+
+@query(
+    "diversity_nations_by_segment",
+    oracle="""
+    WITH c AS (
+      SELECT c_mktsegment AS segment, c_nationkey AS cc, count(*) AS n
+      FROM customer WHERE c_nationkey IS NOT NULL GROUP BY 1, 2),
+    per AS (
+      SELECT segment, count(*) AS richness, sum(n) AS nn,
+             sum(CAST(floor(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))
+                            * 1e6 + 0.5) AS BIGINT)) AS snln,
+             sum(CAST(n AS HUGEINT) * (n - 1)) AS sp,
+             sum(CAST(n AS HUGEINT) * n) AS sq
+      FROM c GROUP BY 1)
+    SELECT segment,
+           CAST(richness AS BIGINT) AS richness,
+           CAST(nn AS BIGINT) AS n,
+           ln(CAST(nn AS DOUBLE))
+             - CAST(snln AS DOUBLE) / 1e6 / CAST(nn AS DOUBLE) AS shannon,
+           exp(ln(CAST(nn AS DOUBLE))
+             - CAST(snln AS DOUBLE) / 1e6 / CAST(nn AS DOUBLE))
+             AS effective_categories,
+           CAST(sp AS DOUBLE)
+             / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0))
+             AS simpson,
+           CAST(sq AS DOUBLE) / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))
+             AS hhi
+    FROM per
+    """,
+)
+def diversity_nations_by_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-segment nation-mix diversity (stats/descriptive.py
+    diversity_indices; Shannon 1948, Simpson 1949, Herfindahl-
+    Hirschman): richness, Shannon entropy + Hill-number effective
+    count, unbiased Simpson, and HHI concentration — two hash
+    aggregates, exact-integer reductions throughout."""
+    from gofast_spark.stats.descriptive import diversity_indices
+
+    out = diversity_indices(
+        _t(spark, sf_dir, "customer"), "c_mktsegment", "c_nationkey"
+    )
+    return out.select(
+        F.col("g").alias("segment"), "richness", "n", "shannon",
+        "effective_categories", "simpson", "hhi",
+    )
+
+
+@query(
+    "theil_inequality_acctbal",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(c_acctbal AS DOUBLE) AS x FROM customer
+      WHERE c_acctbal IS NOT NULL AND c_acctbal > 0),
+    a AS (
+      SELECT count(*) AS n,
+             sum(CAST(floor(x * 1e2 + 0.5) AS HUGEINT)) AS sx,
+             sum(CAST(floor(x * ln(x) * 1e6 + 0.5) AS HUGEINT)) AS sxlx,
+             sum(CAST(floor(ln(x) * 1e9 + 0.5) AS HUGEINT)) AS slx
+      FROM d),
+    m AS (
+      SELECT n, CAST(sx AS DOUBLE) / 1e2 / CAST(n AS DOUBLE) AS mu,
+             sxlx, slx
+      FROM a)
+    SELECT CAST(n AS BIGINT) AS n,
+           mu AS mean,
+           CAST(sxlx AS DOUBLE) / 1e6 / (CAST(n AS DOUBLE) * mu) - ln(mu)
+             AS theil_t,
+           ln(mu) - CAST(slx AS DOUBLE) / 1e9 / CAST(n AS DOUBLE)
+             AS theil_l
+    FROM m
+    """,
+)
+def theil_inequality_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T and L inequality of positive account balances
+    (stats/descriptive.py theil_indices; Theil 1967 GE(1)/GE(0)) —
+    ONE exact-integer aggregate, the entropy-decomposable companion to
+    `gini_acctbal`."""
+    from gofast_spark.stats.descriptive import theil_indices
+
+    return theil_indices(_t(spark, sf_dir, "customer"), "c_acctbal")
+
+
+@query(
+    "lorenz_points_acctbal",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(c_acctbal AS DOUBLE) AS x FROM customer
+      WHERE c_acctbal IS NOT NULL AND c_acctbal >= 0),
+    b AS (SELECT x, ntile(10) OVER (ORDER BY x) AS bucket FROM d),
+    per AS (
+      SELECT bucket, count(*) AS n,
+             sum(CAST(floor(x * 1e2 + 0.5) AS HUGEINT)) AS s
+      FROM b GROUP BY 1),
+    t AS (SELECT sum(n) AS tn, sum(s) AS ts FROM per)
+    SELECT CAST(bucket AS INTEGER) AS bucket,
+           CAST(n AS BIGINT) AS n,
+           CAST(sum(n) OVER wc AS DOUBLE) / CAST(tn AS DOUBLE)
+             AS pop_share,
+           CAST(sum(s) OVER wc AS DOUBLE) / CAST(ts AS DOUBLE)
+             AS value_share
+    FROM per, t
+    WINDOW wc AS (ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def lorenz_points_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz-curve decile points of non-negative account balances
+    (stats/descriptive.py lorenz_points; Lorenz 1905): the exact-ntile
+    oracle path (engine-parity ceil-division buckets; tied values never
+    change bucket sums), cumulative population vs value share — the
+    curve `gini_acctbal` integrates.  The sketch path is the 100-TB
+    default and is unit-tested."""
+    from gofast_spark.stats.descriptive import lorenz_points
+
+    out = lorenz_points(
+        _t(spark, sf_dir, "customer"), "c_acctbal",
+        buckets=10, mode="exact",
+    )
+    return out.select(
+        F.col("bucket").cast("int").alias("bucket"),
+        "n", "pop_share", "value_share",
+    )

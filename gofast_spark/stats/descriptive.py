@@ -229,3 +229,171 @@ def gumbel_fit(
             ).alias(f"level_{T}")
         )
     return agg.select(*cols)
+
+
+def diversity_indices(
+    df: DataFrame, group_col: str, category_col: str
+) -> DataFrame:
+    """Per-group categorical diversity: Shannon entropy (nats), its
+    exponential (Hill number q=1, "effective categories"), the
+    UNBIASED Simpson index ``sum n_i(n_i-1) / (N(N-1))`` (Simpson,
+    Nature 1949; Hurlbert's finite-sample PIE complement), the
+    Herfindahl-Hirschman concentration ``sum (n_i/N)^2``, and richness.
+
+    Shannon uses the exact-integer identity
+    ``H = ln N - (1/N) sum n_i ln n_i`` with each ``n_i ln n_i``
+    quantized to micro-units before the (category-sized) reduction, so
+    every index is partition- and engine-reproducible.  Two hash
+    aggregates, no window, no join."""
+    counts = (
+        df.where(F.col(category_col).isNotNull())
+        .groupBy(
+            F.col(group_col).alias("g"), F.col(category_col).alias("__c")
+        )
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    n = F.col("__n")
+    per = counts.groupBy("g").agg(
+        F.count(F.lit(1)).alias("richness"),
+        F.sum(n).alias("__N"),
+        F.sum(
+            F.floor(n.cast("double") * F.log(n.cast("double"))
+                    * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+        ).alias("__snln"),
+        F.sum((n.cast("decimal(19,0)") * (n - F.lit(1)))).alias("__sp"),
+        F.sum((n.cast("decimal(19,0)") * n)).alias("__sq"),
+    )
+    nn = F.col("__N").cast("double")
+    shannon = F.log(nn) - F.col("__snln").cast("double") / F.lit(1e6) / nn
+    simpson = F.col("__sp").cast("double") / (
+        nn * (nn - F.lit(1.0))
+    )
+    hhi = F.col("__sq").cast("double") / (nn * nn)
+    return per.select(
+        "g",
+        F.col("richness").cast("bigint").alias("richness"),
+        F.col("__N").cast("bigint").alias("n"),
+        shannon.alias("shannon"),
+        F.exp(shannon).alias("effective_categories"),
+        simpson.alias("simpson"),
+        hhi.alias("hhi"),
+    )
+
+
+def theil_indices(df: DataFrame, column: str, *, units: float = 1e2) -> DataFrame:
+    """Theil's T and L inequality indices over the POSITIVE values of a
+    column (Theil, *Economics and Information Theory* 1967; the
+    GE(1)/GE(0) generalized-entropy members):
+
+        T = (1/N) sum (x/mu) ln(x/mu) = [sum x ln x]/(N mu) - ln mu
+        L = (1/N) sum ln(mu/x)        = ln mu - [sum ln x]/N
+
+    All three reductions are exact-integer: values quantized to
+    ``units`` (monetary data is 2-decimal), ``x ln x`` to micro-units,
+    ``ln x`` to nano-units — deterministic on any partitioning and
+    bit-matched by the SQL oracle.  ONE aggregate."""
+    x = F.col(column).cast("double")
+    d = df.where(x.isNotNull() & (x > 0)).select(x.alias("__x"))
+    xx = F.col("__x")
+    agg = d.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(
+            F.floor(xx * F.lit(units) + F.lit(0.5)).cast("decimal(19,0)")
+        ).alias("__sx"),
+        F.sum(
+            F.floor(xx * F.log(xx) * F.lit(1e6) + F.lit(0.5))
+            .cast("decimal(19,0)")
+        ).alias("__sxlx"),
+        F.sum(
+            F.floor(F.log(xx) * F.lit(1e9) + F.lit(0.5))
+            .cast("decimal(19,0)")
+        ).alias("__slx"),
+    )
+    n = F.col("__n").cast("double")
+    mu = F.col("__sx").cast("double") / F.lit(units) / n
+    sxlx = F.col("__sxlx").cast("double") / F.lit(1e6)
+    slx = F.col("__slx").cast("double") / F.lit(1e9)
+    return agg.select(
+        F.col("__n").cast("bigint").alias("n"),
+        mu.alias("mean"),
+        (sxlx / (n * mu) - F.log(mu)).alias("theil_t"),
+        (F.log(mu) - slx / n).alias("theil_l"),
+    )
+
+
+def lorenz_points(
+    df: DataFrame,
+    column: str,
+    *,
+    buckets: int = 10,
+    units: float = 1e2,
+    mode: str = "auto",
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Lorenz-curve points at ``buckets`` quantile cuts (Lorenz, JASA
+    1905): for each quantile bucket of the NON-NEGATIVE values, the
+    cumulative population share and cumulative value share — the
+    curve `gini_coeff` integrates.  Bucket sums quantize to exact
+    integer units; the cumulative pass is a window over ``buckets``
+    rows.
+
+    ``mode`` follows the repo's percentile-switch convention
+    (metrics.gains_table, stats/prebin.percentile_expr): ``'exact'``
+    assigns buckets by global ``ntile`` (deterministic ceil-division
+    parity on both engines, but a total sort); ``'sketch'`` cuts at
+    broadcast ``percentile_approx`` boundaries — distributed, no
+    global sort, the 100-TB default; ``'auto'`` sketches above the
+    100k-row threshold when ``n_rows`` is given."""
+    from gofast_spark.stats.prebin import _AUTO_THRESHOLD
+
+    if mode not in ("auto", "exact", "sketch"):
+        raise ValueError(f"mode must be auto|exact|sketch: {mode!r}")
+    x = F.col(column).cast("double")
+    d = df.where(x.isNotNull() & (x >= 0)).select(x.alias("__x"))
+    sketch = mode == "sketch" or (
+        mode == "auto" and n_rows is not None and n_rows > _AUTO_THRESHOLD
+    )
+    if sketch:
+        qs = [i / buckets for i in range(1, buckets)]
+        bounds = d.agg(
+            F.percentile_approx("__x", qs, F.lit(10_000)).alias("__b")
+        )
+        b = d.crossJoin(F.broadcast(bounds)).select(
+            "__x",
+            (
+                F.lit(1)
+                + F.aggregate(
+                    "__b",
+                    F.lit(0),
+                    lambda acc, bd: acc
+                    + F.when(F.col("__x") > bd, 1).otherwise(0),
+                )
+            ).alias("bucket"),
+        )
+    else:
+        b = d.select(
+            "__x",
+            F.ntile(buckets).over(Window.orderBy("__x")).alias("bucket"),
+        )
+    per = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(
+            F.floor(F.col("__x") * F.lit(units) + F.lit(0.5))
+            .cast("decimal(19,0)")
+        ).alias("__s"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = per.agg(
+        F.sum("__n").alias("__tn"), F.sum("__s").alias("__ts")
+    )
+    cum = per.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.col("__n").cast("bigint").alias("n"),
+        (F.sum("__n").over(w).cast("double")
+         / F.col("__tn").cast("double")).alias("pop_share"),
+        (F.sum("__s").over(w).cast("double")
+         / F.col("__ts").cast("double")).alias("value_share"),
+    )
+    return cum

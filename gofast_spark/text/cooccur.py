@@ -160,3 +160,80 @@ def zipf_slope(
         F.col("n").cast("bigint").alias("n_terms"),
         F.col("__n_tokens").cast("bigint").alias("n_tokens"),
     )
+
+
+def llr_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_count: int = 5,
+    top_k: int = 50,
+    broadcast_limit: int | None = 500_000,
+) -> DataFrame:
+    """Top-``top_k`` adjacent pairs by Dunning's log-likelihood ratio
+    (Dunning, Computational Linguistics 1993) — the count-robust
+    collocation score that, unlike PMI, does not explode on rare pairs:
+
+        G2 = 2 * sum_ij k_ij * ln( k_ij * N / (R_i * C_j) )
+
+    over the 2x2 contingency of (first word = w1?) x (second word =
+    w2?), with ``0 * ln 0 = 0``.  Every margin derives from the ONE
+    bigram count table (first-/second-position counts are vocab-sized
+    groupBys of it and N is its 1-row sum) — a single corpus explode
+    feeds everything.  Products promote to double from the first
+    multiply so int64 never overflows at corpus scale; the score is
+    rounded to 6 for engine-stable top-k ties."""
+    norm = normalize_text(text_col)
+    toks = df.where(F.length(norm) > 0).select(
+        F.split(norm, " ").alias("tk")
+    )
+    pairs = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("tk"), 1, F.size("tk") - 1).alias("w1"),
+                F.slice(F.col("tk"), 2, F.size("tk") - 1).alias("w2"),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    pc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    first = pc.groupBy("w1").agg(F.sum("n_pair").alias("r1"))
+    second = pc.groupBy("w2").agg(F.sum("n_pair").alias("c1"))
+    total = pc.agg(F.sum("n_pair").alias("nn"))
+    # same vocabulary-size broadcast gate as bigram_pmi: above the limit
+    # the margin joins shuffle and AQE decides
+    if broadcast_limit is None or first.count() <= broadcast_limit:
+        first, second = F.broadcast(first), F.broadcast(second)
+
+    j = (
+        pc.where(F.col("n_pair") >= min_count)
+        .join(first, "w1")
+        .join(second, "w2")
+        .crossJoin(F.broadcast(total))
+    )
+
+    def term(k, r, c):
+        # k * ln(k*N / (r*c)), double from the first multiply
+        return F.when(
+            k > 0,
+            k.cast("double")
+            * F.log(k.cast("double") * F.col("nn") / (r.cast("double") * c)),
+        ).otherwise(F.lit(0.0))
+
+    k11 = F.col("n_pair")
+    k12 = F.col("r1") - k11
+    k21 = F.col("c1") - k11
+    k22 = F.col("nn") - F.col("r1") - F.col("c1") + k11
+    r2 = F.col("nn") - F.col("r1")
+    c2 = F.col("nn") - F.col("c1")
+    g2 = F.lit(2.0) * (
+        term(k11, F.col("r1"), F.col("c1"))
+        + term(k12, F.col("r1"), c2)
+        + term(k21, r2, F.col("c1"))
+        + term(k22, r2, c2)
+    )
+    scored = j.select(
+        "w1", "w2", "n_pair", F.round(g2, 6).alias("llr")
+    )
+    return scored.orderBy(
+        F.col("llr").desc(), F.col("n_pair").desc(), "w1", "w2"
+    ).limit(top_k)

@@ -124,3 +124,92 @@ def test_rdd_recovers_known_discontinuity(spark):
     assert got["b_left"] == pytest.approx(0.5, abs=1e-4)
     assert got["b_right"] == pytest.approx(1.5, abs=1e-4)
     assert got["n_left"] > 0 and got["n_right"] > 0
+
+
+def test_llr_matches_reference(spark):
+    from gofast_spark.text.cooccur import llr_collocations
+
+    docs = [("a b a b c",)] * 6 + [("a c b a",)] * 4
+    df = spark.createDataFrame(docs, ["text"])
+    got = llr_collocations(df, "text", min_count=2, top_k=10).collect()
+    rows = {(r["w1"], r["w2"]): r for r in got}
+    # hand-count the bigrams: "a b" appears 2x per doc type-1 (a-b, a-b)
+    pairs = []
+    for d, in docs:
+        t = d.split()
+        pairs += list(zip(t, t[1:]))
+    from collections import Counter
+    pc = Counter(pairs)
+    first = Counter(p[0] for p in pairs)
+    second = Counter(p[1] for p in pairs)
+    nn = len(pairs)
+    k11 = pc[("a", "b")]
+    r1, c1 = first["a"], second["b"]
+    k12, k21 = r1 - k11, c1 - k11
+    k22 = nn - r1 - c1 + k11
+
+    def term(k, r, c):
+        return k * math.log(k * nn / (r * c)) if k > 0 else 0.0
+
+    g2 = 2 * (
+        term(k11, r1, c1) + term(k12, r1, nn - c1)
+        + term(k21, nn - r1, c1) + term(k22, nn - r1, nn - c1)
+    )
+    assert rows[("a", "b")]["n_pair"] == k11
+    assert rows[("a", "b")]["llr"] == pytest.approx(g2, abs=1e-5)
+
+
+def test_diversity_indices_small(spark):
+    from gofast_spark.stats.descriptive import diversity_indices
+
+    rows = [("g1", c) for c in "aaabbc"] + [("g2", c) for c in "abcd"]
+    df = spark.createDataFrame(rows, ["g", "c"])
+    got = {r["g"]: r for r in diversity_indices(df, "g", "c").collect()}
+    # g1: counts 3,2,1 of 6
+    ps = [3 / 6, 2 / 6, 1 / 6]
+    h = -sum(p * math.log(p) for p in ps)
+    assert got["g1"]["shannon"] == pytest.approx(h, abs=1e-5)
+    assert got["g1"]["richness"] == 3
+    # unbiased Simpson: sum n(n-1) / (N(N-1)) = (6+2+0)/30
+    assert got["g1"]["simpson"] == pytest.approx(8 / 30, abs=1e-9)
+    assert got["g1"]["hhi"] == pytest.approx((9 + 4 + 1) / 36, abs=1e-9)
+    # g2 uniform over 4: effective categories = 4
+    assert got["g2"]["effective_categories"] == pytest.approx(4.0, abs=1e-4)
+
+
+def test_theil_zero_for_equal_values(spark):
+    from gofast_spark.stats.descriptive import theil_indices
+
+    df = spark.createDataFrame([(5.0,)] * 8, ["x"])
+    got = theil_indices(df, "x").collect()[0]
+    assert got["theil_t"] == pytest.approx(0.0, abs=1e-6)
+    assert got["theil_l"] == pytest.approx(0.0, abs=1e-6)
+    assert got["mean"] == pytest.approx(5.0)
+
+    # known inequality: one rich, rest zero-ish excluded (positive only)
+    df2 = spark.createDataFrame([(1.0,), (1.0,), (4.0,)], ["x"])
+    g2 = theil_indices(df2, "x").collect()[0]
+    mu = 2.0
+    t = (1 / 3) * sum(x / mu * math.log(x / mu) for x in (1, 1, 4))
+    ll = (1 / 3) * sum(math.log(mu / x) for x in (1, 1, 4))
+    assert g2["theil_t"] == pytest.approx(t, abs=1e-5)
+    assert g2["theil_l"] == pytest.approx(ll, abs=1e-5)
+
+
+def test_lorenz_sketch_and_exact_agree_on_shape(spark):
+    from gofast_spark.stats.descriptive import lorenz_points
+
+    vals = [(float(i % 97) + 1,) for i in range(500)]
+    df = spark.createDataFrame(vals, ["x"])
+    exact = lorenz_points(df, "x", buckets=5, mode="exact").collect()
+    sk = lorenz_points(df, "x", buckets=5, mode="sketch").collect()
+    # both end at (1, 1) and are monotone with value_share <= pop_share
+    for rows in (exact, sk):
+        rows = sorted(rows, key=lambda r: r["bucket"])
+        assert rows[-1]["pop_share"] == pytest.approx(1.0)
+        assert rows[-1]["value_share"] == pytest.approx(1.0)
+        last = 0.0
+        for r in rows:
+            assert r["value_share"] >= last
+            last = r["value_share"]
+            assert r["value_share"] <= r["pop_share"] + 1e-9
