@@ -370,3 +370,123 @@ def link_prediction(
     return scored.orderBy(
         F.col("common").desc(), F.col("u"), F.col("v")
     ).limit(top_k)
+
+
+def hits_scores(
+    edges: DataFrame,
+    *,
+    iterations: int = 4,
+    scale: int = 10**12,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg, JACM 1999) by synchronous
+    power iteration over a DIRECTED edge list, with max- (L-infinity-)
+    normalization each half-step.
+
+    Exact-integer state: scores live as integers in ``scale`` units;
+    each half-step is one edges-join-scores + one destination groupBy
+    whose sums are EXACT (decimal-widened), and the renormalization
+    divides by the exact max — so every iteration is bit-reproducible
+    on any partitioning and the differential oracle unrolls the
+    identical chain in SQL.  Score frames are node-sized and
+    ``localCheckpoint``'d per round (the pagerank discipline)."""
+    # edge and node frames feed every half-step: truncate their lineage
+    # ONCE so the 2*iterations jobs don't each re-derive them
+    e = edges.select("src", "dst").where(
+        F.col("src") != F.col("dst")
+    ).distinct().localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    ).localCheckpoint(eager=True)
+    h = nodes.select(
+        "node", F.lit(scale).cast("bigint").alias("score")
+    ).localCheckpoint(eager=True)
+
+    def half(score: DataFrame, join_key: str, group_key: str) -> DataFrame:
+        raw = (
+            e.join(score, e[join_key] == score["node"])
+            .groupBy(F.col(group_key).alias("__n"))
+            .agg(F.sum(F.col("score").cast("decimal(38,0)")).alias("__raw"))
+        )
+        mx = raw.agg(F.max("__raw").alias("__mx"))
+        return (
+            nodes.join(raw, nodes["node"] == raw["__n"], "left")
+            .crossJoin(F.broadcast(mx))
+            .select(
+                "node",
+                F.coalesce(
+                    F.floor(
+                        F.col("__raw").cast("double") * F.lit(float(scale))
+                        / F.col("__mx").cast("double") + F.lit(0.5)
+                    ).cast("bigint"),
+                    F.lit(0).cast("bigint"),
+                ).alias("score"),
+            )
+        )
+
+    a = None
+    for _ in range(iterations):
+        a = half(h, "src", "dst").localCheckpoint(eager=True)
+        h = half(a, "dst", "src").localCheckpoint(eager=True)
+    return (
+        nodes.join(
+            h.select(F.col("node").alias("__hn"), F.col("score").alias("__h")),
+            nodes["node"] == F.col("__hn"), "left")
+        .join(
+            a.select(F.col("node").alias("__an"), F.col("score").alias("__a")),
+            nodes["node"] == F.col("__an"), "left")
+        .select(
+            "node",
+            (F.coalesce(F.col("__h"), F.lit(0)).cast("double")
+             / F.lit(float(scale))).alias("hub"),
+            (F.coalesce(F.col("__a"), F.lit(0)).cast("double")
+             / F.lit(float(scale))).alias("authority"),
+        )
+    )
+
+
+def kcore_members(
+    edges: DataFrame,
+    k: int,
+    *,
+    symmetrize: bool = True,
+    max_rounds: int = 30,
+) -> DataFrame:
+    """The k-core of a graph — the maximal subgraph where every node
+    has degree >= k (Seidman, Social Networks 1983) — by iterative
+    peeling: drop nodes of degree < k, recompute, repeat to fixpoint.
+
+    Each round is ONE degree aggregate + two semi-joins on the
+    surviving edge set (node-sized keep list, broadcast by AQE when
+    small); the edge frame is ``localCheckpoint``'d per round and the
+    loop stops when the edge count stops changing (the
+    connected-components discipline — a bounded 1-row driver action
+    per round).  Raises after ``max_rounds`` without convergence.
+    Returns ``(node, degree)`` within the k-core."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    if symmetrize:
+        e = e.union(e.select(F.col("dst").alias("src"),
+                             F.col("src").alias("dst")))
+    cur = e.distinct().localCheckpoint(eager=True)
+    n_cur = cur.count()
+    for _ in range(max_rounds):
+        deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+        keep = deg.where(F.col("__deg") >= k).select("src")
+        nxt = (
+            cur.join(keep, "src", "leftsemi")
+            .join(keep.select(F.col("src").alias("dst")), "dst", "leftsemi")
+        ).localCheckpoint(eager=True)
+        n_nxt = nxt.count()
+        if n_nxt == n_cur:
+            break
+        cur, n_cur = nxt, n_nxt
+    else:
+        raise RuntimeError(
+            f"k-core peeling did not converge in {max_rounds} rounds"
+        )
+    return cur.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree")
+    )

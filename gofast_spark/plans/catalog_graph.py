@@ -761,3 +761,135 @@ def link_prediction_modgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("jaccard", 6).cast("double").alias("jaccard"),
         F.round("adamic_adar", 6).cast("double").alias("adamic_adar"),
     )
+
+
+_HITS_ITER = 4
+_HITS_SCALE = 10**12
+
+_MOD2_RAW = """
+      SELECT DISTINCT src, dst FROM (
+        SELECT CAST(c_custkey % 60 AS BIGINT) AS src,
+               CAST((c_custkey * 7 + 3) % 60 AS BIGINT) AS dst
+        FROM customer
+        UNION ALL
+        SELECT CAST(c_custkey % 60 AS BIGINT) AS src,
+               CAST((c_custkey * c_custkey + 1) % 60 AS BIGINT) AS dst
+        FROM customer)
+      WHERE src <> dst"""
+
+
+def _mod2_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-map modular graph on customer keys: i -> (7i+3)%60 and
+    i -> (i^2+1)%60 — varied in/out degrees (the single-map graph is a
+    permutation, which makes HITS degenerate)."""
+    c = _t(spark, sf_dir, "customer")
+    a = c.select(
+        (F.col("c_custkey") % 60).cast("long").alias("src"),
+        ((F.col("c_custkey") * 7 + 3) % 60).cast("long").alias("dst"),
+    )
+    b = c.select(
+        (F.col("c_custkey") % 60).cast("long").alias("src"),
+        ((F.col("c_custkey") * F.col("c_custkey") + 1) % 60)
+        .cast("long").alias("dst"),
+    )
+    return a.union(b).where(F.col("src") != F.col("dst")).distinct()
+
+
+def _hits_oracle() -> str:
+    """Unrolled 4-iteration HITS chain with exact HUGEINT state and
+    max-normalization — the same bit-reproducible recipe as the
+    pagerank/gradient-descent unrolled oracles."""
+    s = _HITS_SCALE
+    ctes = [
+        f"""raw AS ({_MOD2_RAW}),
+    nodes AS (SELECT src AS node FROM raw UNION SELECT dst FROM raw),
+    h0 AS (SELECT node, CAST({s} AS HUGEINT) AS s FROM nodes)"""
+    ]
+
+    def half(out: str, inp: str, jk: str, gk: str) -> str:
+        # every CTE is referenced exactly ONCE by the next level: DuckDB
+        # inlines CTEs, so a twice-referenced max-CTE doubles work per
+        # level (2^8 blowup over 4 iterations) — the max rides a window
+        # function instead
+        return f"""{out}r AS (
+      SELECT e.{gk} AS n, sum(x.s) AS raw
+      FROM raw e JOIN {inp} x ON x.node = e.{jk} GROUP BY 1),
+    {out}n AS (
+      SELECT n, CAST(floor(CAST(raw AS DOUBLE) * 1e12
+                           / CAST(max(raw) OVER () AS DOUBLE) + 0.5)
+               AS HUGEINT) AS s
+      FROM {out}r),
+    {out} AS (
+      SELECT nd.node, coalesce(x.s, CAST(0 AS HUGEINT)) AS s
+      FROM nodes nd LEFT JOIN {out}n x ON x.n = nd.node)"""
+
+    for t in range(1, _HITS_ITER + 1):
+        ctes.append(half(f"a{t}", f"h{t - 1}", "src", "dst"))
+        ctes.append(half(f"h{t}", f"a{t}", "dst", "src"))
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT nd.node,
+           CAST(h.s AS DOUBLE) / 1e12 AS hub,
+           CAST(a.s AS DOUBLE) / 1e12 AS authority
+    FROM nodes nd
+    JOIN h{_HITS_ITER} h ON h.node = nd.node
+    JOIN a{_HITS_ITER} a ON a.node = nd.node
+    """
+
+
+@query("hits_scores_modgraph", oracle=_hits_oracle())
+def hits_scores_modgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (ml/graph.py hits_scores; Kleinberg 1999)
+    over the two-map modular graph — exact-integer max-normalized
+    power iteration, every half-step one join + one groupBy, oracle
+    unrolls the identical chain."""
+    from gofast_spark.ml.graph import hits_scores
+
+    return hits_scores(
+        _mod2_edges(spark, sf_dir), iterations=_HITS_ITER,
+        scale=_HITS_SCALE,
+    )
+
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 6
+
+
+def _kcore_oracle() -> str:
+    """Unrolled k-core peel: R fixed rounds (the engine converges in 2
+    on this graph; extra rounds are no-ops once stable)."""
+    ctes = [
+        f"""raw AS ({_MOD2_RAW}),
+    e0 AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM raw UNION ALL SELECT dst, src FROM raw))"""
+    ]
+    for r in range(1, _KCORE_ROUNDS + 1):
+        ctes.append(
+            f"""d{r} AS (SELECT src, count(*) AS deg FROM e{r - 1} GROUP BY 1),
+    k{r} AS (SELECT src FROM d{r} WHERE deg >= {_KCORE_K}),
+    e{r} AS (
+      SELECT e.src, e.dst FROM e{r - 1} e
+      JOIN k{r} a ON a.src = e.src
+      JOIN k{r} b ON b.src = e.dst)"""
+        )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+    FROM e{_KCORE_ROUNDS} GROUP BY 1
+    """
+
+
+@query("kcore_members_modgraph", oracle=_kcore_oracle())
+def kcore_members_modgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core membership + in-core degree (ml/graph.py kcore_members;
+    Seidman 1983) over the symmetrized two-map modular graph —
+    iterative peel, one degree aggregate + two semi-joins per round,
+    localCheckpoint'd edge state, convergence-raise discipline."""
+    from gofast_spark.ml.graph import kcore_members
+
+    return kcore_members(
+        _mod2_edges(spark, sf_dir), _KCORE_K, symmetrize=True,
+    )

@@ -213,3 +213,52 @@ def test_lorenz_sketch_and_exact_agree_on_shape(spark):
             assert r["value_share"] >= last
             last = r["value_share"]
             assert r["value_share"] <= r["pop_share"] + 1e-9
+
+
+def test_hits_known_graph(spark):
+    from gofast_spark.ml.graph import hits_scores
+
+    # star: 1,2,3 all point at 9; 9 points at 1 — 9 is the authority
+    edges = [(1, 9), (2, 9), (3, 9), (9, 1)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r for r in
+           hits_scores(df, iterations=3).collect()}
+    assert got[9]["authority"] == pytest.approx(1.0)  # max-normalized
+    assert got[9]["authority"] > got[1]["authority"]
+    # hubs: 1,2,3 are the pure hubs (all point at the authority)
+    assert got[1]["hub"] == pytest.approx(1.0)
+    assert got[2]["hub"] == got[3]["hub"] == got[1]["hub"]
+    assert got[9]["hub"] < got[1]["hub"]
+
+
+def test_hits_repartition_invariant(spark):
+    from gofast_spark.ml.graph import hits_scores
+
+    edges = [(i, (i * 3 + 1) % 11) for i in range(11)] + [
+        (i, (i * i + 2) % 11) for i in range(11)
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    a = sorted(map(tuple, hits_scores(df, iterations=4).collect()))
+    b = sorted(map(tuple,
+                   hits_scores(df.repartition(7), iterations=4).collect()))
+    assert a == b
+
+
+def test_kcore_peels_cascade(spark):
+    from gofast_spark.ml.graph import kcore_members
+
+    # K4 on 1-4 plus a tail 4-5-6: the tail peels away in 2 rounds
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    edges = k4 + [(4, 5), (5, 6)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["degree"] for r in
+           kcore_members(df, 3).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert all(d == 3 for d in got.values())
+
+
+def test_kcore_empty_when_k_too_large(spark):
+    from gofast_spark.ml.graph import kcore_members
+
+    df = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    assert kcore_members(df, 5).count() == 0
