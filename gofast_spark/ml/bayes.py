@@ -116,3 +116,93 @@ def predict_gaussian_nb(
         pred = F.when(ll > best, F.lit(c)).otherwise(pred)
         best = F.when(ll > best, ll).otherwise(best)
     return df.withColumn(out_col, pred)
+
+
+def multinomial_nb_predictions(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str,
+    label_col: str,
+    id_col: str,
+    *,
+    units: int = 10**6,
+) -> DataFrame:
+    """Multinomial naive Bayes text classification (McCallum & Nigam,
+    AAAI-98 workshop; the standard bag-of-words NB) fit on ``train``
+    and scored on ``test`` — entirely as DataFrame algebra:
+
+        score(d, c) = ln P(c) + sum_t n_dt * ln( (n_ct + 1) / (N_c + V) )
+
+    with add-one (Laplace) smoothing.  TRAINING is one explode +
+    groupBy (the vocab-class count table) plus class-sized rollups;
+    SCORING left-joins the test term counts against the count table
+    per class and reduces per (doc, class) — every log-probability is
+    quantized to ``units`` integers first, so the per-doc sums are
+    EXACT bigints (partition- and engine-reproducible) and the argmax
+    tie-break (max score, then lexicographic class) is total.  Returns
+    ``(id, label, predicted)`` for every non-empty test document."""
+    from pyspark.sql import Window
+
+    from gofast_spark.text.analysis import normalize_text
+
+    u = float(units)
+    norm = normalize_text(text_col)
+
+    tr = train.where(F.length(norm) > 0).select(
+        F.col(label_col).alias("cls"), F.split(norm, " ").alias("tk")
+    )
+    tcc = tr.select("cls", F.explode("tk").alias("token")) \
+        .groupBy("cls", "token").agg(F.count(F.lit(1)).alias("n_ct"))
+    ct = tcc.groupBy("cls").agg(F.sum("n_ct").alias("n_c"))
+    vocab = tcc.agg(F.countDistinct("token").alias("v"))
+    pri = (
+        tr.groupBy("cls").agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(F.broadcast(
+            tr.agg(F.count(F.lit(1)).alias("n_train"))))
+        .select(
+            "cls",
+            F.floor(
+                F.log(F.col("n_docs").cast("double")
+                      / F.col("n_train").cast("double"))
+                * F.lit(u) + F.lit(0.5)
+            ).cast("bigint").alias("prior_u"),
+        )
+    )
+
+    te = test.where(F.length(norm) > 0).select(
+        F.col(id_col).alias("id"), F.col(label_col).alias("label"),
+        F.explode(F.split(norm, " ")).alias("token"),
+    ).groupBy("id", "label", "token").agg(
+        F.count(F.lit(1)).alias("n_dt")
+    )
+
+    # every (test token) x (class): class table is tiny, broadcast
+    scored = (
+        te.crossJoin(F.broadcast(ct))
+        .crossJoin(F.broadcast(vocab))
+        .join(tcc, ["cls", "token"], "left")
+        .select(
+            "id", "label", "cls", "n_dt",
+            F.floor(
+                F.log(
+                    (F.coalesce(F.col("n_ct"), F.lit(0)) + F.lit(1))
+                    .cast("double")
+                    / (F.col("n_c") + F.col("v")).cast("double")
+                ) * F.lit(u) + F.lit(0.5)
+            ).cast("bigint").alias("logp_u"),
+        )
+    )
+    per_dc = scored.groupBy("id", "label", "cls").agg(
+        F.sum(F.col("n_dt") * F.col("logp_u")).alias("__s")
+    ).join(F.broadcast(pri), "cls").select(
+        "id", "label", "cls",
+        (F.col("__s") + F.col("prior_u")).alias("score_u"),
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("score_u").desc(), F.col("cls").asc()
+    )
+    return (
+        per_dc.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("id", "label", F.col("cls").alias("predicted"))
+    )

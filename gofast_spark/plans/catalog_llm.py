@@ -2753,3 +2753,74 @@ def llr_collocations_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return llr_collocations(
         _docs(spark, sf_dir), "text", min_count=5, top_k=50
     )
+
+
+@query(
+    "multinomial_nb_confusion_documents",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, lang, {_norm_sql('text')} AS t FROM documents),
+    tr AS (
+      SELECT lang AS cls, string_split(t, ' ') AS tk FROM base
+      WHERE len(t) > 0 AND doc_id % 5 <> 0),
+    tcc AS (
+      SELECT cls, tk[i] AS token, count(*) AS n_ct
+      FROM tr, unnest(range(1, len(tk) + 1)) AS u(i)
+      GROUP BY 1, 2),
+    ct AS (SELECT cls, sum(n_ct) AS n_c FROM tcc GROUP BY 1),
+    vv AS (SELECT count(DISTINCT token) AS v FROM tcc),
+    pri AS (
+      SELECT cls,
+             CAST(floor(ln(CAST(n_docs AS DOUBLE)
+                           / CAST(n_train AS DOUBLE)) * 1e6 + 0.5)
+               AS BIGINT) AS prior_u
+      FROM (SELECT cls, count(*) AS n_docs FROM tr GROUP BY 1),
+           (SELECT count(*) AS n_train FROM tr)),
+    tek AS (
+      SELECT doc_id AS id, lang AS label, string_split(t, ' ') AS tk
+      FROM base WHERE len(t) > 0 AND doc_id % 5 = 0),
+    ted AS (
+      SELECT id, label, tk[i] AS token, count(*) AS n_dt
+      FROM tek, unnest(range(1, len(tk) + 1)) AS u(i)
+      GROUP BY 1, 2, 3),
+    sc AS (
+      SELECT ted.id, ted.label, ct.cls, ted.n_dt,
+             CAST(floor(ln(CAST(coalesce(tcc.n_ct, 0) + 1 AS DOUBLE)
+                           / CAST(ct.n_c + vv.v AS DOUBLE)) * 1e6 + 0.5)
+               AS BIGINT) AS logp_u
+      FROM ted CROSS JOIN ct CROSS JOIN vv
+      LEFT JOIN tcc ON tcc.cls = ct.cls AND tcc.token = ted.token),
+    pdc AS (
+      SELECT id, label, cls, sum(n_dt * logp_u) AS s
+      FROM sc GROUP BY 1, 2, 3),
+    tot AS (
+      SELECT id, label, pdc.cls, s + prior_u AS score_u
+      FROM pdc JOIN pri ON pri.cls = pdc.cls),
+    pred AS (
+      SELECT id, label, cls AS predicted,
+             row_number() OVER (PARTITION BY id
+                                ORDER BY score_u DESC, cls ASC) AS rn
+      FROM tot)
+    SELECT label AS lang, predicted, CAST(count(*) AS BIGINT) AS n
+    FROM pred WHERE rn = 1 GROUP BY 1, 2
+    """,
+)
+def multinomial_nb_confusion_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Language confusion matrix of an add-one multinomial naive Bayes
+    classifier (ml/bayes.py multinomial_nb_predictions; McCallum &
+    Nigam 1998) trained on the doc_id%5!=0 split and scored on the
+    held-out fold — vocab-class count table from one explode+groupBy,
+    micro-unit-exact per-doc score sums, total argmax tie-break."""
+    from gofast_spark.ml.bayes import multinomial_nb_predictions
+
+    d = _docs(spark, sf_dir)
+    out = multinomial_nb_predictions(
+        d.where(F.col("doc_id") % 5 != 0),
+        d.where(F.col("doc_id") % 5 == 0),
+        "text", "lang", "doc_id",
+    )
+    return out.groupBy(
+        F.col("label").alias("lang"), "predicted"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))

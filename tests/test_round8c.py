@@ -262,3 +262,41 @@ def test_kcore_empty_when_k_too_large(spark):
 
     df = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
     assert kcore_members(df, 5).count() == 0
+
+
+def test_multinomial_nb_separable(spark):
+    from gofast_spark.ml.bayes import multinomial_nb_predictions
+
+    train = spark.createDataFrame(
+        [(1, "cat", "meow purr whiskers meow"),
+         (2, "cat", "purr meow feline"),
+         (3, "dog", "bark woof fetch bark"),
+         (4, "dog", "woof bark puppy")],
+        ["id", "y", "text"],
+    )
+    test = spark.createDataFrame(
+        [(10, "cat", "meow meow purr"),
+         (11, "dog", "bark fetch woof"),
+         (12, "cat", "whiskers feline")],
+        ["id", "y", "text"],
+    )
+    got = {r["id"]: r["predicted"] for r in
+           multinomial_nb_predictions(
+               train, test, "text", "y", "id").collect()}
+    assert got == {10: "cat", 11: "dog", 12: "cat"}
+
+
+def test_multinomial_nb_repartition_invariant(spark):
+    from gofast_spark.ml.bayes import multinomial_nb_predictions
+
+    rows = [(i, "ab"[i % 2],
+             ("alpha beta gamma " if i % 2 else "delta eps zeta ") * 3)
+            for i in range(40)]
+    df = spark.createDataFrame(rows, ["id", "y", "text"])
+    tr, te = df.where("id % 3 != 0"), df.where("id % 3 = 0")
+    a = sorted(map(tuple, multinomial_nb_predictions(
+        tr, te, "text", "y", "id").collect()))
+    b = sorted(map(tuple, multinomial_nb_predictions(
+        tr.repartition(7), te.repartition(5), "text", "y", "id"
+    ).collect()))
+    assert a == b and len(a) == te.count()
