@@ -853,3 +853,55 @@ def forecast_accuracy(
             F.col("se2").cast("double") / F.col("sne2").cast("double")
         ).alias("theil_u2"),
     )
+
+
+def mcc_report(df: DataFrame, label_col: str, pred_col: str) -> DataFrame:
+    """Matthews correlation coefficient with its companion chance-
+    corrected readouts (Matthews, BBA 1975; Youden, Cancer 1950;
+    Powers 2011's informedness/markedness decomposition — MCC is their
+    geometric mean):
+
+        MCC = (tp*tn - fp*fn) / sqrt((tp+fp)(tp+fn)(tn+fp)(tn+fn))
+
+    ONE conditional-count aggregate; the numerator and every margin
+    product stay exact (decimal-widened) integers, so the statistic is
+    bit-reproducible.  Output: (mcc, youden_j, markedness, tp, fp, fn,
+    tn, n)."""
+    y = F.col(label_col).cast("int")
+    p = F.col(pred_col).cast("int")
+    d = df.where(y.isNotNull() & p.isNotNull()).select(
+        y.alias("__y"), p.alias("__p")
+    )
+
+    def cnt(yv, pv, tag):
+        return F.sum(
+            F.when((F.col("__y") == yv) & (F.col("__p") == pv), 1)
+            .otherwise(0)
+        ).alias(tag)
+
+    c = d.agg(cnt(1, 1, "tp"), cnt(0, 1, "fp"),
+              cnt(1, 0, "fn"), cnt(0, 0, "tn"))
+    tp = F.col("tp").cast("decimal(19,0)")
+    fp = F.col("fp").cast("decimal(19,0)")
+    fn = F.col("fn").cast("decimal(19,0)")
+    tn = F.col("tn").cast("decimal(19,0)")
+    num = (tp * tn - fp * fn).cast("double")
+    den = F.sqrt(
+        ((tp + fp) * (tp + fn)).cast("double")
+        * ((tn + fp) * (tn + fn)).cast("double")
+    )
+    tpr = tp.cast("double") / (tp + fn).cast("double")
+    tnr = tn.cast("double") / (tn + fp).cast("double")
+    ppv = tp.cast("double") / (tp + fp).cast("double")
+    npv = tn.cast("double") / (tn + fn).cast("double")
+    return c.select(
+        (num / den).alias("mcc"),
+        (tpr + tnr - F.lit(1.0)).alias("youden_j"),
+        (ppv + npv - F.lit(1.0)).alias("markedness"),
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("fp").cast("bigint").alias("fp"),
+        F.col("fn").cast("bigint").alias("fn"),
+        F.col("tn").cast("bigint").alias("tn"),
+        (F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn"))
+        .cast("bigint").alias("n"),
+    )

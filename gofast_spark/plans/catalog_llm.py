@@ -2824,3 +2824,61 @@ def multinomial_nb_confusion_documents(
     return out.groupBy(
         F.col("label").alias("lang"), "predicted"
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+
+@query(
+    "js_divergence_sources",
+    oracle=f"""
+    WITH base AS (
+      SELECT source AS g, {_norm_sql('text')} AS t FROM documents
+      WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+    tk AS (SELECT g, string_split(t, ' ') AS tk FROM base
+           WHERE len(t) > 0),
+    uni AS (
+      SELECT g, tk[i] AS token, count(*) AS n
+      FROM tk, unnest(range(1, len(tk) + 1)) AS u(i)
+      GROUP BY 1, 2),
+    tot AS (SELECT g, sum(n) AS nt FROM uni GROUP BY 1),
+    p AS (
+      SELECT uni.g, token,
+             CAST(n AS DOUBLE) / CAST(nt AS DOUBLE) AS p
+      FROM uni JOIN tot ON tot.g = uni.g),
+    per AS (
+      SELECT g,
+             sum(CAST(floor(p * ln(p) * 1e9 + 0.5) AS BIGINT)) AS e_u,
+             sum(CAST(floor(p / 2.0 * ln(p / 2.0) * 1e9 + 0.5)
+               AS BIGINT)) AS a_u
+      FROM p GROUP BY 1),
+    sh AS (
+      SELECT a.g AS g1, b.g AS g2,
+             sum(CAST(floor((a.p + b.p) / 2.0 * ln((a.p + b.p) / 2.0)
+                            * 1e9 + 0.5) AS BIGINT)) AS s_u,
+             sum(CAST(floor(a.p / 2.0 * ln(a.p / 2.0) * 1e9 + 0.5)
+               AS BIGINT)) AS ba_u,
+             sum(CAST(floor(b.p / 2.0 * ln(b.p / 2.0) * 1e9 + 0.5)
+               AS BIGINT)) AS bb_u
+      FROM p a JOIN p b ON a.token = b.token AND a.g < b.g
+      GROUP BY 1, 2)
+    SELECT pa.g AS g1, pb.g AS g2,
+           CAST((CAST(pa.e_u + pb.e_u AS DOUBLE) / 2.0
+                 - CAST(coalesce(s_u, 0)
+                        + (pa.a_u - coalesce(ba_u, 0))
+                        + (pb.a_u - coalesce(bb_u, 0))
+                     AS DOUBLE)) / 1e9 AS DOUBLE) AS jsd
+    FROM per pa
+    JOIN per pb ON pa.g < pb.g
+    LEFT JOIN sh ON sh.g1 = pa.g AND sh.g2 = pb.g
+    """,
+)
+def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between four sources'
+    unigram distributions (text/entropy.py js_divergence_groups; Lin
+    1991) — the corpus-mixing drift readout: one explode+groupBy,
+    group-sized entropy rollups, ONE vocab-sized inner self-join (no
+    outer join), nano-unit exact reductions."""
+    from gofast_spark.text.entropy import js_divergence_groups
+
+    d = _docs(spark, sf_dir).where(
+        F.col("source").isin("src0", "src1", "src2", "src3")
+    )
+    return js_divergence_groups(d, "text", "source")

@@ -767,3 +767,47 @@ def isotonic_calibration_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderstatus") == "F").cast("int").alias("label"),
     )
     return isotonic_fit(o, "score", "label", bins=16)
+
+
+@query(
+    "mcc_orders",
+    oracle="""
+    WITH t AS (
+      SELECT CAST(o_totalprice > 300000 AS INTEGER) AS y,
+             CAST((o_orderkey % 3) <> 0 AS INTEGER) AS p
+      FROM orders),
+    c AS (
+      SELECT count(*) FILTER (y = 1 AND p = 1) AS tp,
+             count(*) FILTER (y = 0 AND p = 1) AS fp,
+             count(*) FILTER (y = 1 AND p = 0) AS fn,
+             count(*) FILTER (y = 0 AND p = 0) AS tn
+      FROM t)
+    SELECT CAST(CAST(tp AS HUGEINT) * tn - CAST(fp AS HUGEINT) * fn
+             AS DOUBLE)
+           / sqrt(CAST((tp + fp) * CAST(tp + fn AS HUGEINT) AS DOUBLE)
+                  * CAST((tn + fp) * CAST(tn + fn AS HUGEINT) AS DOUBLE))
+             AS mcc,
+           CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)
+             + CAST(tn AS DOUBLE) / CAST(tn + fp AS DOUBLE) - 1.0
+             AS youden_j,
+           CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+             + CAST(tn AS DOUBLE) / CAST(tn + fn AS DOUBLE) - 1.0
+             AS markedness,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+           CAST(tp + fp + fn + tn AS BIGINT) AS n
+    FROM c
+    """,
+)
+def mcc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation + Youden's J + markedness on the same
+    label/prediction derivation as `classification_metrics_orders`
+    (metrics.py mcc_report; Matthews 1975, Powers 2011) — one
+    conditional-count aggregate, exact-integer margin products."""
+    from gofast_spark.metrics import mcc_report
+
+    o = _t(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice") > 300000).cast("int").alias("y"),
+        ((F.col("o_orderkey") % 3) != 0).cast("int").alias("p"),
+    )
+    return mcc_report(o, "y", "p")

@@ -970,3 +970,48 @@ def lorenz_points_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").cast("int").alias("bucket"),
         "n", "pop_share", "value_share",
     )
+
+
+@query(
+    "grubbs_test_acctbal",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(floor(CAST(c_acctbal AS DOUBLE) * 1e2 + 0.5) AS BIGINT)
+               AS xu
+      FROM customer WHERE c_acctbal IS NOT NULL),
+    st AS (
+      SELECT count(*) AS n, sum(CAST(xu AS HUGEINT)) AS s,
+             sum(CAST(xu AS HUGEINT) * xu) AS ss
+      FROM d),
+    m AS (
+      SELECT n, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+             sqrt(CAST(n * ss - s * s AS DOUBLE)
+                  / CAST(n * (n - 1) AS DOUBLE)) AS sd_u
+      FROM st),
+    dev AS (
+      SELECT xu, n, mu, sd_u,
+             CAST(floor(abs(CAST(xu AS DOUBLE) - mu) * 1e4 + 0.5)
+               AS BIGINT) AS dev_u
+      FROM d, m),
+    mx AS (SELECT n, mu, sd_u, max(dev_u) AS dmax FROM dev
+           GROUP BY 1, 2, 3),
+    o AS (
+      SELECT mx.n, mx.mu, mx.sd_u, mx.dmax, max(d2.xu) AS oxu
+      FROM dev d2, mx WHERE d2.dev_u = mx.dmax
+      GROUP BY 1, 2, 3, 4)
+    SELECT CAST(dmax AS DOUBLE) / 1e4 / sd_u AS g_stat,
+           CAST(oxu AS DOUBLE) / 1e2 AS outlier,
+           mu / 1e2 AS mean,
+           sd_u / 1e2 AS sd,
+           CAST(n AS BIGINT) AS n
+    FROM o
+    """,
+)
+def grubbs_test_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs maximum-normed-residual outlier statistic on account
+    balances (stats/inferential.py grubbs_test; Grubbs 1950) —
+    exact centi-unit moments, order-free integer max deviation,
+    larger-value tie-break."""
+    from gofast_spark.stats.inferential import grubbs_test
+
+    return grubbs_test(_t(spark, sf_dir, "customer"), "c_acctbal")

@@ -947,3 +947,39 @@ def theta_forecast_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return theta_forecast(
         _daily(spark, sf_dir), "t", "v", alpha=0.5, horizon=7
     )
+
+
+@query(
+    "runs_test_daily_events",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL}),
+    med AS (SELECT quantile_cont(v, 0.5) AS m FROM daily),
+    sided AS (
+      SELECT t, CAST(v > m AS INTEGER) AS s FROM daily, med
+      WHERE v <> m),
+    mk AS (
+      SELECT s,
+             CASE WHEN lag(s) OVER (ORDER BY t) IS NULL
+                    OR lag(s) OVER (ORDER BY t) <> s
+                  THEN 1 ELSE 0 END AS nr
+      FROM sided),
+    a AS (SELECT sum(nr) AS r, sum(s) AS n1, sum(1 - s) AS n2 FROM mk)
+    SELECT CAST(r AS BIGINT) AS runs,
+           CAST(n1 AS BIGINT) AS n_above,
+           CAST(n2 AS BIGINT) AS n_below,
+           CAST((CAST(r AS DOUBLE)
+                 - (2.0 * n1 * n2 / (n1 + n2) + 1.0))
+                / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - (n1 + n2))
+                       / ((n1 + n2) * (n1 + n2) * ((n1 + n2) - 1.0)))
+             AS DOUBLE) AS z
+    FROM a
+    """,
+)
+def runs_test_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz randomness test of the daily revenue series
+    about its median (stats/inferential.py runs_test; Wald &
+    Wolfowitz 1940) — one exact-percentile broadcast, one lag window
+    over the rollup series, exact integer run counts."""
+    from gofast_spark.stats.inferential import runs_test
+
+    return runs_test(_daily(spark, sf_dir), "v", "t")

@@ -930,3 +930,113 @@ def bartlett_test(
         F.col("__k").cast("int").alias("n_groups"),
         F.col("__N").cast("bigint").alias("n"),
     )
+
+
+def runs_test(
+    df: DataFrame, value_col: str, order_col: str
+) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness about the median
+    (Wald & Wolfowitz, Ann. Math. Stat. 1940): count maximal runs of
+    same-side-of-median values in series order, compare to the exact
+    run-count moments
+
+        mu = 2 n1 n2 / (n1 + n2) + 1
+        var = 2 n1 n2 (2 n1 n2 - n1 - n2) / ((n1+n2)^2 (n1+n2-1))
+
+    Values EQUAL to the median are dropped (the standard convention).
+    Intended for rollup-sized series: one exact-percentile aggregate
+    (broadcast), one lag window, one count aggregate; every count is
+    an exact integer so z is engine-reproducible.  Output: one row
+    ``(runs, n_above, n_below, z)``."""
+    v = F.col(value_col).cast("double")
+    med = df.agg(F.percentile(v, 0.5).alias("__med"))
+    sided = (
+        df.crossJoin(F.broadcast(med))
+        .where(v.isNotNull() & (v != F.col("__med")))
+        .select(
+            F.col(order_col).alias("__o"),
+            (v > F.col("__med")).cast("int").alias("__s"),
+        )
+    )
+    w = Window.orderBy("__o")
+    marked = sided.select(
+        "__s",
+        F.when(
+            F.lag("__s").over(w).isNull()
+            | (F.lag("__s").over(w) != F.col("__s")),
+            1,
+        ).otherwise(0).alias("__new_run"),
+    )
+    agg = marked.agg(
+        F.sum("__new_run").alias("__r"),
+        F.sum("__s").alias("__n1"),
+        F.sum(F.lit(1) - F.col("__s")).alias("__n2"),
+    )
+    r = F.col("__r").cast("double")
+    n1 = F.col("__n1").cast("double")
+    n2 = F.col("__n2").cast("double")
+    nn = n1 + n2
+    mu = F.lit(2.0) * n1 * n2 / nn + F.lit(1.0)
+    var = (
+        F.lit(2.0) * n1 * n2 * (F.lit(2.0) * n1 * n2 - nn)
+        / (nn * nn * (nn - F.lit(1.0)))
+    )
+    return agg.select(
+        F.col("__r").cast("bigint").alias("runs"),
+        F.col("__n1").cast("bigint").alias("n_above"),
+        F.col("__n2").cast("bigint").alias("n_below"),
+        ((r - mu) / F.sqrt(var)).alias("z"),
+    )
+
+
+def grubbs_test(
+    df: DataFrame, column: str, *, units: float = 1e2
+) -> DataFrame:
+    """Grubbs' maximum-normed-residual outlier statistic (Grubbs,
+    Ann. Math. Stat. 1950): ``G = max|x - mean| / sd`` with the sample
+    standard deviation, plus the offending value.
+
+    Exact-moment discipline: mean and sd come from ``units``-quantized
+    integer sums (decimal-widened squares); the max deviation is an
+    order-free integer max over micro-unit deviations, and the outlier
+    value ties break on the larger value — ONE stats aggregate +
+    ONE deviation aggregate, both engine-reproducible."""
+    x = F.col(column).cast("double")
+    xu = F.floor(x * F.lit(units) + F.lit(0.5)).cast("bigint")
+    d = df.where(x.isNotNull()).select(xu.alias("__xu"))
+    stats = d.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("__xu").cast("decimal(19,0)")).alias("__s"),
+        F.sum(F.col("__xu").cast("decimal(19,0)") * F.col("__xu"))
+        .alias("__ss"),
+    )
+    n = F.col("__n").cast("decimal(19,0)")
+    mean_u = F.col("__s").cast("double") / F.col("__n").cast("double")
+    var_u2 = (
+        (n * F.col("__ss") - F.col("__s") * F.col("__s")).cast("double")
+        / (n * (n - F.lit(1).cast("decimal(19,0)"))).cast("double")
+    )
+    st = stats.select(
+        "__n", mean_u.alias("__mu"), F.sqrt(var_u2).alias("__sd_u")
+    )
+    dev = (
+        d.crossJoin(F.broadcast(st))
+        .select(
+            "__xu", "__mu", "__sd_u", "__n",
+            F.floor(F.abs(F.col("__xu").cast("double") - F.col("__mu"))
+                    * F.lit(1e4) + F.lit(0.5)).cast("bigint")
+            .alias("__dev_u"),
+        )
+    )
+    out = dev.groupBy("__n", "__mu", "__sd_u").agg(
+        F.max(F.struct(F.col("__dev_u"), F.col("__xu"))).alias("__mx")
+    )
+    return out.select(
+        (F.col("__mx.__dev_u").cast("double") / F.lit(1e4)
+         / F.col("__sd_u")).alias("g_stat"),
+        (F.col("__mx.__xu").cast("double") / F.lit(units))
+        .alias("outlier"),
+        (F.col("__mu") / F.lit(units)).alias("mean"),
+        (F.col("__sd_u") / F.lit(units)).alias("sd"),
+        F.col("__n").cast("bigint").alias("n"),
+    )

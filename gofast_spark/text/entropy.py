@@ -72,3 +72,89 @@ def char_entropy_frame(
         / F.lit(LN2)
     )
     return step.select(*keep, "n_chars", h.alias(out_col))
+
+
+def js_divergence_groups(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence (nats) between the unigram
+    token distributions of document groups (Lin, IEEE Trans. IT 1991)
+    — the symmetric, bounded corpus-mixing/drift readout data-curation
+    pipelines compare sources with.
+
+    Decomposition used (so tokens absent from one side need no outer
+    join):  with ``E_s = sum p ln p`` per group and
+    ``M = sum m ln m`` over the mixture ``m = (p+q)/2``,
+
+        JSD(P,Q) = E_p/2 + E_q/2 - M
+        M = S_shared + (A_p - B_p) + (A_q - B_q)
+
+    where ``A_s = sum_all (p/2) ln(p/2)``, ``S_shared`` and ``B_s``
+    are sums over SHARED tokens only of ``m ln m`` and ``(p/2)
+    ln(p/2)``.  Shapes: one explode + groupBy (the per-group count
+    table), two group-sized rollups, and ONE vocab-sized inner
+    self-join for the shared terms — never an outer join, never
+    corpus-sized.  Every summand is quantized to nano-units so all
+    reductions are exact integers.  Output: ``(g1, g2, jsd)`` for
+    every unordered group pair."""
+    from gofast_spark.text.analysis import normalize_text
+
+    norm = normalize_text(text_col)
+    toks = df.where(F.length(norm) > 0).select(
+        F.col(group_col).alias("g"),
+        F.explode(F.split(norm, " ")).alias("token"),
+    )
+    uni = toks.groupBy("g", "token").agg(F.count(F.lit(1)).alias("n"))
+    tot = uni.groupBy("g").agg(F.sum("n").alias("nt"))
+    p = uni.join(F.broadcast(tot), "g").select(
+        "g", "token",
+        (F.col("n").cast("double") / F.col("nt").cast("double"))
+        .alias("p"),
+    )
+
+    def q9(expr):
+        return F.floor(expr * F.lit(1e9) + F.lit(0.5)).cast("bigint")
+
+    # per-group sums over ALL tokens: E = sum p ln p, A = sum (p/2) ln (p/2)
+    per = p.groupBy("g").agg(
+        F.sum(q9(F.col("p") * F.log("p"))).alias("e_u"),
+        F.sum(q9(F.col("p") / F.lit(2.0)
+                 * F.log(F.col("p") / F.lit(2.0)))).alias("a_u"),
+    )
+
+    a = p.select(F.col("g").alias("g1"), "token", F.col("p").alias("pa"))
+    b = p.select(F.col("g").alias("g2"), "token", F.col("p").alias("pb"))
+    m = (F.col("pa") + F.col("pb")) / F.lit(2.0)
+    shared = (
+        a.join(b, "token")
+        .where(F.col("g1") < F.col("g2"))
+        .groupBy("g1", "g2")
+        .agg(
+            F.sum(q9(m * F.log(m))).alias("s_u"),
+            F.sum(q9(F.col("pa") / F.lit(2.0)
+                     * F.log(F.col("pa") / F.lit(2.0)))).alias("ba_u"),
+            F.sum(q9(F.col("pb") / F.lit(2.0)
+                     * F.log(F.col("pb") / F.lit(2.0)))).alias("bb_u"),
+        )
+    )
+    # every unordered group pair, even token-disjoint ones (their
+    # shared sums are empty and the identity collapses to JSD = ln 2)
+    ga = per.select(F.col("g").alias("g1"), F.col("e_u").alias("ea_u"),
+                    F.col("a_u").alias("aa_u"))
+    gb = per.select(F.col("g").alias("g2"), F.col("e_u").alias("eb_u"),
+                    F.col("a_u").alias("ab_u"))
+    j = (
+        ga.join(gb, F.col("g1") < F.col("g2"))
+        .join(shared, ["g1", "g2"], "left")
+    )
+    z = F.lit(0).cast("bigint")
+    mix = (F.coalesce(F.col("s_u"), z)
+           + (F.col("aa_u") - F.coalesce(F.col("ba_u"), z))
+           + (F.col("ab_u") - F.coalesce(F.col("bb_u"), z)))
+    jsd = (
+        (F.col("ea_u") + F.col("eb_u")).cast("double") / F.lit(2.0)
+        - mix.cast("double")
+    ) / F.lit(1e9)
+    return j.select("g1", "g2", jsd.alias("jsd"))

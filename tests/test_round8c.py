@@ -300,3 +300,70 @@ def test_multinomial_nb_repartition_invariant(spark):
         tr.repartition(7), te.repartition(5), "text", "y", "id"
     ).collect()))
     assert a == b and len(a) == te.count()
+
+
+def test_mcc_known_confusion(spark):
+    from gofast_spark.metrics import mcc_report
+
+    # tp=4 fp=1 fn=2 tn=3
+    rows = ([(1, 1)] * 4 + [(0, 1)] * 1 + [(1, 0)] * 2 + [(0, 0)] * 3)
+    df = spark.createDataFrame(rows, ["y", "p"])
+    got = mcc_report(df, "y", "p").collect()[0]
+    tp, fp, fn, tn = 4, 1, 2, 3
+    mcc = (tp * tn - fp * fn) / math.sqrt(
+        (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    )
+    assert got["mcc"] == pytest.approx(mcc, abs=1e-9)
+    assert got["youden_j"] == pytest.approx(
+        tp / (tp + fn) + tn / (tn + fp) - 1, abs=1e-9)
+    assert (got["tp"], got["fp"], got["fn"], got["tn"]) == (4, 1, 2, 3)
+
+
+def test_runs_test_alternating(spark):
+    from gofast_spark.stats.inferential import runs_test
+
+    # strictly alternating about the median -> maximum number of runs
+    ys = [1.0, 9.0] * 6  # median 5, 12 runs of length 1
+    df = spark.createDataFrame(list(enumerate(ys)), ["t", "y"])
+    got = runs_test(df, "y", "t").collect()[0]
+    assert got["runs"] == 12
+    assert got["n_above"] == got["n_below"] == 6
+    n1 = n2 = 6.0
+    mu = 2 * n1 * n2 / (n1 + n2) + 1
+    var = (2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+           / ((n1 + n2) ** 2 * (n1 + n2 - 1)))
+    assert got["z"] == pytest.approx((12 - mu) / math.sqrt(var), abs=1e-9)
+
+
+def test_grubbs_finds_planted_outlier(spark):
+    from gofast_spark.stats.inferential import grubbs_test
+
+    vals = [10.0, 10.5, 9.5, 10.2, 9.8, 10.1, 9.9, 30.0]
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    got = grubbs_test(df, "x").collect()[0]
+    assert got["outlier"] == pytest.approx(30.0)
+    m = sum(vals) / len(vals)
+    sd = math.sqrt(sum((v - m) ** 2 for v in vals) / (len(vals) - 1))
+    assert got["g_stat"] == pytest.approx(abs(30 - m) / sd, abs=1e-3)
+
+
+def test_jsd_properties(spark):
+    from gofast_spark.text.entropy import js_divergence_groups
+
+    rows = (
+        [("a", "x x y z")] * 3
+        + [("b", "x x y z")] * 3          # identical to a -> jsd 0
+        + [("c", "q r s t q r")] * 3      # disjoint-ish from a
+    )
+    df = spark.createDataFrame(rows, ["g", "text"])
+    got = {(r["g1"], r["g2"]): r["jsd"] for r in
+           js_divergence_groups(df, "text", "g").collect()}
+    assert got[("a", "b")] == pytest.approx(0.0, abs=1e-6)
+    # fully disjoint distributions: the shared sums vanish and the
+    # identity collapses to the JSD maximum, ln 2
+    assert got[("a", "c")] == pytest.approx(math.log(2.0), abs=1e-6)
+    # overlapping-but-different distributions give 0 < jsd <= ln 2
+    rows2 = [("p", "x x x y")] * 3 + [("q", "x y y y")] * 3
+    df2 = spark.createDataFrame(rows2, ["g", "text"])
+    j = js_divergence_groups(df2, "text", "g").collect()[0]["jsd"]
+    assert 0.0 < j <= math.log(2.0) + 1e-9
