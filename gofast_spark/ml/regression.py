@@ -439,3 +439,74 @@ def fit_poisson_regression(
         c = c + (row["g0"] * row["h11"] - row["h01"] * row["g1"]) / det
         b = b + (row["h00"] * row["g1"] - row["g0"] * row["h01"]) / det
     return {"intercept": float(c), "slope": float(b), "n": n}
+
+
+def cooks_distance_simple(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    key_cols,
+    *,
+    top_k: int = 20,
+    units_x: float = 1e2,
+    units_y: float = 1e2,
+) -> DataFrame:
+    """Top-``top_k`` most influential observations of a simple linear
+    regression by Cook's distance (Cook, Technometrics 1977):
+
+        D_i = e_i^2 / (p s^2) * h_i / (1 - h_i)^2,   p = 2
+        h_i = 1/n + (x_i - xbar)^2 / Sxx,   s^2 = SSE / (n - 2)
+
+    The fit, SSE (via ``Syy - b Sxy`` — no residual pass) and leverage
+    terms all derive from ONE exact-integer moment aggregate
+    (broadcast), so every per-row distance is engine-reproducible; the
+    readout is a projection + TakeOrderedAndProject on the rounded
+    score with key tie-breaks."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    xu = F.floor(x * F.lit(units_x) + F.lit(0.5)).cast("bigint")
+    yu = F.floor(y * F.lit(units_y) + F.lit(0.5)).cast("bigint")
+    d = df.where(x.isNotNull() & y.isNotNull()).select(
+        *keys, xu.alias("__xu"), yu.alias("__yu")
+    )
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    m = d.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(dec("__xu")).alias("__sx"),
+        F.sum(dec("__yu")).alias("__sy"),
+        F.sum(dec("__xu") * F.col("__xu")).alias("__sxx"),
+        F.sum(dec("__yu") * F.col("__yu")).alias("__syy"),
+        F.sum(dec("__xu") * F.col("__yu")).alias("__sxy"),
+    )
+    n = F.col("__n").cast("decimal(19,0)")
+    nd = F.col("__n").cast("double")
+    sxx = (n * F.col("__sxx") - F.col("__sx") * F.col("__sx")) \
+        .cast("double")
+    syy = (n * F.col("__syy") - F.col("__sy") * F.col("__sy")) \
+        .cast("double")
+    sxy = (n * F.col("__sxy") - F.col("__sx") * F.col("__sy")) \
+        .cast("double")
+    stats = m.select(
+        "__n",
+        (F.col("__sx").cast("double") / nd).alias("__mx"),
+        (F.col("__sy").cast("double") / nd).alias("__my"),
+        (sxy / sxx).alias("__b"),
+        # Sxx and SSE carry the 1/n moment scaling: Sxx_c = sxx/n,
+        # SSE = (syy - b*sxy)/n, both exact-moment-derived
+        (sxx / nd).alias("__sxx_c"),
+        ((syy - (sxy / sxx) * sxy) / nd).alias("__sse"),
+    )
+    j = d.crossJoin(F.broadcast(stats))
+    nd2 = F.col("__n").cast("double")
+    dx = F.col("__xu").cast("double") - F.col("__mx")
+    e = (F.col("__yu").cast("double") - F.col("__my")
+         - F.col("__b") * dx)
+    h = F.lit(1.0) / nd2 + dx * dx / F.col("__sxx_c")
+    s2 = F.col("__sse") / (nd2 - F.lit(2.0))
+    cook = (e * e / (F.lit(2.0) * s2)) * h \
+        / ((F.lit(1.0) - h) * (F.lit(1.0) - h))
+    scored = j.select(*keys, F.round(cook, 6).alias("cooks_d"))
+    return scored.orderBy(
+        F.col("cooks_d").desc(), *[F.col(k) for k in keys]
+    ).limit(top_k)

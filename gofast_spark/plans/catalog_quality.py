@@ -1015,3 +1015,118 @@ def grubbs_test_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gofast_spark.stats.inferential import grubbs_test
 
     return grubbs_test(_t(spark, sf_dir, "customer"), "c_acctbal")
+
+
+@query(
+    "mahalanobis_outliers_lineitem",
+    oracle="""
+    WITH d AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(floor(CAST(l_quantity AS DOUBLE) * 1e2 + 0.5)
+               AS BIGINT) AS xu,
+             CAST(floor(CAST(l_extendedprice AS DOUBLE) * 1e2 + 0.5)
+               AS BIGINT) AS yu
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+    m AS (
+      SELECT count(*) AS n,
+             sum(CAST(xu AS HUGEINT)) AS sx, sum(CAST(yu AS HUGEINT)) AS sy,
+             sum(CAST(xu AS HUGEINT) * xu) AS sxx,
+             sum(CAST(yu AS HUGEINT) * yu) AS syy,
+             sum(CAST(xu AS HUGEINT) * yu) AS sxy
+      FROM d),
+    s AS (
+      SELECT n,
+             CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx,
+             CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my,
+             CAST(n * sxx - sx * sx AS DOUBLE)
+               / CAST(n * (n - 1) AS DOUBLE) AS vx,
+             CAST(n * syy - sy * sy AS DOUBLE)
+               / CAST(n * (n - 1) AS DOUBLE) AS vy,
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * (n - 1) AS DOUBLE) AS cxy
+      FROM m),
+    sc AS (
+      SELECT l_orderkey, l_linenumber,
+             round(((CAST(xu AS DOUBLE) - mx) * (CAST(xu AS DOUBLE) - mx)
+                      * vy
+                    - 2.0 * (CAST(xu AS DOUBLE) - mx)
+                      * (CAST(yu AS DOUBLE) - my) * cxy
+                    + (CAST(yu AS DOUBLE) - my) * (CAST(yu AS DOUBLE) - my)
+                      * vx)
+                   / (vx * vy - cxy * cxy), 6) AS md2
+      FROM d, s)
+    SELECT l_orderkey, l_linenumber, CAST(md2 AS DOUBLE) AS md2
+    FROM sc ORDER BY md2 DESC, l_orderkey, l_linenumber LIMIT 20
+    """,
+)
+def mahalanobis_outliers_lineitem(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-20 (quantity, price) multivariate outliers by squared
+    Mahalanobis distance (quality/outliers.py mahalanobis_outliers_2d;
+    Mahalanobis 1936): exact-integer moment aggregate, closed-form 2x2
+    inverse, TakeOrderedAndProject on the rounded score."""
+    from gofast_spark.quality.outliers import mahalanobis_outliers_2d
+
+    return mahalanobis_outliers_2d(
+        _t(spark, sf_dir, "lineitem"), "l_quantity", "l_extendedprice",
+        ["l_orderkey", "l_linenumber"], top_k=20,
+    )
+
+
+@query(
+    "winsorize_acctbal",
+    oracle="""
+    WITH x AS (
+      SELECT CAST(c_acctbal AS DOUBLE) AS x FROM customer
+      WHERE c_acctbal IS NOT NULL),
+    cuts AS (
+      SELECT quantile_cont(x, 0.05) AS lo, quantile_cont(x, 0.95) AS hi
+      FROM x),
+    w AS (
+      SELECT CASE WHEN x < lo THEN lo WHEN x > hi THEN hi ELSE x END
+               AS wx,
+             x, lo, hi
+      FROM x, cuts)
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           any_value(lo) AS lo_cut, any_value(hi) AS hi_cut,
+           CAST(sum(CASE WHEN x < lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_lo,
+           CAST(sum(CASE WHEN x > hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hi,
+           CAST(sum(CAST(floor(wx * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) / 1e6 AS mean_after
+    FROM w
+    """,
+)
+def winsorize_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization readout at the 5th/95th percentiles
+    (quality/outliers.py winsorize_column; Dixon & Tukey 1968) — the
+    clamp sibling of `outliers_iqr_clip_acctbal`; exact-percentile
+    oracle path, sketch path above the row threshold."""
+    from gofast_spark.quality.outliers import winsorize_column
+
+    c = _t(spark, sf_dir, "customer").where(
+        F.col("c_acctbal").isNotNull()
+    ).select(F.col("c_acctbal").cast("double").alias("x"))
+    cuts = c.agg(
+        F.percentile(F.col("x"), 0.05).alias("lo"),
+        F.percentile(F.col("x"), 0.95).alias("hi"),
+    )
+    w = winsorize_column(c, "x", mode="exact", out_col="wx")
+    return (
+        w.crossJoin(F.broadcast(cuts)).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.first("lo").alias("lo_cut"),
+            F.first("hi").alias("hi_cut"),
+            F.sum(F.when(F.col("x") < F.col("lo"), 1).otherwise(0))
+            .cast("bigint").alias("n_lo"),
+            F.sum(F.when(F.col("x") > F.col("hi"), 1).otherwise(0))
+            .cast("bigint").alias("n_hi"),
+            (F.sum(F.floor(F.col("wx") * F.lit(1e6) + F.lit(0.5))
+                   .cast("decimal(38,0)")).cast("double")
+             / F.count(F.lit(1)).cast("double") / F.lit(1e6))
+            .alias("mean_after"),
+        )
+    )

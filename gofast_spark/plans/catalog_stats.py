@@ -2832,3 +2832,72 @@ def rdd_local_linear_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_left").cast("bigint").alias("n_left"),
         F.col("n_right").cast("bigint").alias("n_right"),
     )
+
+
+@query(
+    "cooks_distance_lineitem",
+    oracle="""
+    WITH d AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(floor(CAST(l_quantity AS DOUBLE) * 1e2 + 0.5)
+               AS BIGINT) AS xu,
+             CAST(floor(CAST(l_extendedprice AS DOUBLE) * 1e2 + 0.5)
+               AS BIGINT) AS yu
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+    m AS (
+      SELECT count(*) AS n,
+             sum(CAST(xu AS HUGEINT)) AS sx, sum(CAST(yu AS HUGEINT)) AS sy,
+             sum(CAST(xu AS HUGEINT) * xu) AS sxx,
+             sum(CAST(yu AS HUGEINT) * yu) AS syy,
+             sum(CAST(xu AS HUGEINT) * yu) AS sxy
+      FROM d),
+    s AS (
+      SELECT n,
+             CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx,
+             CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my,
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS b,
+             CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n AS DOUBLE)
+               AS sxx_c,
+             (CAST(n * syy - sy * sy AS DOUBLE)
+                - (CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE))
+                  * CAST(n * sxy - sx * sy AS DOUBLE))
+               / CAST(n AS DOUBLE) AS sse
+      FROM m),
+    sc AS (
+      SELECT l_orderkey, l_linenumber,
+             round(
+               ((CAST(yu AS DOUBLE) - my
+                 - b * (CAST(xu AS DOUBLE) - mx))
+                * (CAST(yu AS DOUBLE) - my
+                   - b * (CAST(xu AS DOUBLE) - mx))
+                / (2.0 * (sse / (CAST(n AS DOUBLE) - 2.0))))
+               * (1.0 / CAST(n AS DOUBLE)
+                  + (CAST(xu AS DOUBLE) - mx) * (CAST(xu AS DOUBLE) - mx)
+                    / sxx_c)
+               / ((1.0 - (1.0 / CAST(n AS DOUBLE)
+                          + (CAST(xu AS DOUBLE) - mx)
+                            * (CAST(xu AS DOUBLE) - mx) / sxx_c))
+                  * (1.0 - (1.0 / CAST(n AS DOUBLE)
+                            + (CAST(xu AS DOUBLE) - mx)
+                              * (CAST(xu AS DOUBLE) - mx) / sxx_c))),
+               6) AS cooks_d
+      FROM d, s)
+    SELECT l_orderkey, l_linenumber, CAST(cooks_d AS DOUBLE) AS cooks_d
+    FROM sc ORDER BY cooks_d DESC, l_orderkey, l_linenumber LIMIT 20
+    """,
+)
+def cooks_distance_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most influential lineitem rows for the price~quantity
+    fit by Cook's distance (ml/regression.py cooks_distance_simple;
+    Cook 1977): one exact-moment aggregate feeds slope, SSE (Syy -
+    b*Sxy, no residual pass) and leverage; projection +
+    TakeOrderedAndProject."""
+    from gofast_spark.ml.regression import cooks_distance_simple
+
+    return cooks_distance_simple(
+        _t(spark, sf_dir, "lineitem"), "l_quantity", "l_extendedprice",
+        ["l_orderkey", "l_linenumber"], top_k=20,
+    )

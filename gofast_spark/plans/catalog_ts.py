@@ -983,3 +983,47 @@ def runs_test_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gofast_spark.stats.inferential import runs_test
 
     return runs_test(_daily(spark, sf_dir), "v", "t")
+
+
+@query(
+    "page_hinkley_daily_events",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL}),
+    b AS (
+      SELECT t, v,
+             CAST(floor(v * 1e4 + 0.5) AS BIGINT) AS vu
+      FROM daily),
+    st AS (
+      SELECT t, v,
+             CAST(vu AS DOUBLE) / 1e4
+               - (CAST(sum(vu) OVER wc AS DOUBLE) / 1e4)
+                 / CAST(row_number() OVER (ORDER BY t) AS DOUBLE)
+               - 0.0 AS d
+      FROM b
+      WINDOW wc AS (ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    acc AS (
+      SELECT t, v, sum(d) OVER wc AS m
+      FROM st
+      WINDOW wc AS (ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT t, v, m,
+           m - min(m) OVER (ORDER BY t
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS ph,
+           (m - min(m) OVER (ORDER BY t
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW)) > 100000.0 AS alarm
+    FROM acc
+    """,
+)
+def page_hinkley_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley mean-shift detection over the daily revenue series
+    (ts/changepoint.py page_hinkley; Page 1954) — exact-integer
+    running means, two chained ordered cumulative windows, the CUSUM
+    family's streaming drift test."""
+    from gofast_spark.ts.changepoint import page_hinkley
+
+    return page_hinkley(
+        _daily(spark, sf_dir), "t", "v", delta=0.0, lam=100000.0
+    )

@@ -239,3 +239,115 @@ def mad_outliers(
         )
         .drop("__med", "__mad")
     )
+
+
+def mahalanobis_outliers_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    key_cols,
+    *,
+    top_k: int = 20,
+    units_x: float = 1e2,
+    units_y: float = 1e2,
+) -> DataFrame:
+    """Top-``top_k`` rows by squared Mahalanobis distance in a
+    2-feature space (Mahalanobis 1936) — the correlation-aware
+    multivariate outlier score:
+
+        md2 = [ dx^2 vy - 2 dx dy cxy + dy^2 vx ] / (vx vy - cxy^2)
+
+    with sample (co)variances from EXACT integer moments (values
+    quantized to ``units_*``), so the closed-form 2x2 inverse and every
+    per-row score are engine-reproducible.  ONE moment aggregate
+    (broadcast) + one projection + TakeOrderedAndProject on the
+    rounded score with key tie-breaks."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    xu = F.floor(x * F.lit(units_x) + F.lit(0.5)).cast("bigint")
+    yu = F.floor(y * F.lit(units_y) + F.lit(0.5)).cast("bigint")
+    d = df.where(x.isNotNull() & y.isNotNull()).select(
+        *keys, xu.alias("__xu"), yu.alias("__yu")
+    )
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    m = d.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(dec("__xu")).alias("__sx"),
+        F.sum(dec("__yu")).alias("__sy"),
+        F.sum(dec("__xu") * F.col("__xu")).alias("__sxx"),
+        F.sum(dec("__yu") * F.col("__yu")).alias("__syy"),
+        F.sum(dec("__xu") * F.col("__yu")).alias("__sxy"),
+    )
+    n = F.col("__n").cast("decimal(19,0)")
+    nm1 = (n * (n - F.lit(1).cast("decimal(19,0)"))).cast("double")
+    stats = m.select(
+        "__n",
+        (F.col("__sx").cast("double") / F.col("__n").cast("double"))
+        .alias("__mx"),
+        (F.col("__sy").cast("double") / F.col("__n").cast("double"))
+        .alias("__my"),
+        ((n * F.col("__sxx") - F.col("__sx") * F.col("__sx"))
+         .cast("double") / nm1).alias("__vx"),
+        ((n * F.col("__syy") - F.col("__sy") * F.col("__sy"))
+         .cast("double") / nm1).alias("__vy"),
+        ((n * F.col("__sxy") - F.col("__sx") * F.col("__sy"))
+         .cast("double") / nm1).alias("__cxy"),
+    )
+    j = d.crossJoin(F.broadcast(stats))
+    dx = F.col("__xu").cast("double") - F.col("__mx")
+    dy = F.col("__yu").cast("double") - F.col("__my")
+    det = (F.col("__vx") * F.col("__vy")
+           - F.col("__cxy") * F.col("__cxy"))
+    # md2 in QUANTIZED units on both axes cancels: dx is in units_x,
+    # vx in units_x^2, etc. — the ratio is unit-free
+    md2 = (
+        dx * dx * F.col("__vy")
+        - F.lit(2.0) * dx * dy * F.col("__cxy")
+        + dy * dy * F.col("__vx")
+    ) / det
+    scored = j.select(*keys, F.round(md2, 6).alias("md2"))
+    return scored.orderBy(
+        F.col("md2").desc(), *[F.col(k) for k in keys]
+    ).limit(top_k)
+
+
+def winsorize_column(
+    df: DataFrame,
+    column: str,
+    *,
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+    mode: str = "auto",
+    n_rows: int | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Winsorize a column at the ``[p_lo, p_hi]`` percentile bounds
+    (Dixon & Tukey, Technometrics 1968 — 'winsorization'): values
+    outside are CLAMPED to the bound (vs. the IQR clip's fence rule).
+
+    The two cut points ride the repo's percentile switch
+    (stats/prebin.percentile_expr): exact below the row threshold /
+    oracle path, one bounded-memory ``percentile_approx`` sketch above
+    it — then a 1-row broadcast and a pure clamp projection."""
+    from gofast_spark.stats.prebin import percentile_expr
+
+    c = F.col(column).cast("double")
+    cuts = df.agg(
+        percentile_expr(c, p_lo, mode, n_rows).alias("__lo"),
+        percentile_expr(c, p_hi, mode, n_rows).alias("__hi"),
+    ).select(
+        F.col("__lo").cast("double").alias("__lo"),
+        F.col("__hi").cast("double").alias("__hi"),
+    )
+    out = out_col or column
+    return (
+        df.crossJoin(F.broadcast(cuts))
+        .withColumn(
+            out,
+            F.when(c < F.col("__lo"), F.col("__lo"))
+            .when(c > F.col("__hi"), F.col("__hi"))
+            .otherwise(c),
+        )
+        .drop("__lo", "__hi")
+    )

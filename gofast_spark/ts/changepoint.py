@@ -241,3 +241,55 @@ def chow_test(
         (s_2 / u2).alias("sse_2"),
         f_stat.alias("f_stat"),
     )
+
+
+def page_hinkley(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    *,
+    delta: float = 0.0,
+    lam: float = 50.0,
+    units: float = 1e4,
+) -> DataFrame:
+    """Page-Hinkley mean-shift detector (Page, Biometrika 1954; the
+    standard streaming drift test in the CUSUM family):
+
+        m_t  = sum_{i<=t} (x_i - mean_{1..i} - delta)
+        PH_t = m_t - min_{i<=t} m_i,    alarm when PH_t > lambda
+
+    Running means come from an exact-integer cumulative sum (values
+    quantized to ``units``); the two chained cumulative windows are
+    ordered left-to-right folds, identical on both engines.  Intended
+    for rollup-sized series.  Returns the series with ``(m, ph,
+    alarm)`` columns."""
+    w = Window.orderBy("__o")
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    vu = F.floor(F.col(value_col).cast("double") * F.lit(units)
+                 + F.lit(0.5)).cast("bigint")
+    base = df.select(
+        F.col(order_col).alias("__o"),
+        F.col(value_col).alias("__v"),
+        vu.alias("__vu"),
+    )
+    step = base.select(
+        "__o", "__v",
+        (
+            F.col("__vu").cast("double") / F.lit(units)
+            - (F.sum("__vu").over(wc).cast("double") / F.lit(units))
+            / F.row_number().over(w).cast("double")
+            - F.lit(delta)
+        ).alias("__d"),
+    )
+    acc = step.select(
+        "__o", "__v", F.sum("__d").over(wc).alias("m")
+    )
+    out = acc.select(
+        F.col("__o").alias(order_col),
+        F.col("__v").alias(value_col),
+        "m",
+        (F.col("m") - F.min("m").over(wc)).alias("ph"),
+    )
+    return out.select(
+        "*", (F.col("ph") > F.lit(lam)).alias("alarm")
+    )

@@ -367,3 +367,53 @@ def test_jsd_properties(spark):
     df2 = spark.createDataFrame(rows2, ["g", "text"])
     j = js_divergence_groups(df2, "text", "g").collect()[0]["jsd"]
     assert 0.0 < j <= math.log(2.0) + 1e-9
+
+
+def test_mahalanobis_flags_planted_point(spark):
+    from gofast_spark.quality.outliers import mahalanobis_outliers_2d
+
+    rows = [(i, float(i % 10), float(i % 10) * 2 + 1) for i in range(60)]
+    rows.append((99, 5.0, 100.0))  # far off the y = 2x + 1 line
+    df = spark.createDataFrame(rows, ["k", "x", "y"])
+    top = mahalanobis_outliers_2d(df, "x", "y", "k", top_k=1).collect()
+    assert top[0]["k"] == 99
+
+
+def test_cooks_distance_flags_influential(spark):
+    from gofast_spark.ml.regression import cooks_distance_simple
+
+    rows = [(i, float(i), 3.0 * i + 2 + (0.1 if i % 2 else -0.1))
+            for i in range(30)]
+    rows.append((99, 60.0, 0.0))  # high-leverage, way off the line
+    df = spark.createDataFrame(rows, ["k", "x", "y"])
+    top = cooks_distance_simple(df, "x", "y", "k", top_k=1).collect()
+    assert top[0]["k"] == 99
+
+
+def test_page_hinkley_detects_shift(spark):
+    from gofast_spark.ts.changepoint import page_hinkley
+
+    ys = [10.0] * 15 + [30.0] * 15  # upward mean shift at t=15
+    df = spark.createDataFrame(list(enumerate(ys)), ["t", "y"])
+    out = {r["t"]: r for r in
+           page_hinkley(df, "t", "y", lam=20.0).collect()}
+    assert not out[10]["alarm"]          # before the shift: quiet
+    assert out[29]["alarm"]              # well after the shift: alarm
+    assert out[29]["ph"] > out[16]["ph"] >= 0.0
+
+
+def test_winsorize_clamps_tails(spark):
+    from gofast_spark.quality.outliers import winsorize_column
+
+    vals = [float(i) for i in range(1, 101)]
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    w = winsorize_column(df, "x", p_lo=0.1, p_hi=0.9, mode="exact",
+                         out_col="wx")
+    rows = w.collect()
+    lo = sorted(vals)[9] + 0.9 * 0  # quantile_cont(0.1) of 1..100 = 10.9
+    mx = max(r["wx"] for r in rows)
+    mn = min(r["wx"] for r in rows)
+    assert mn == pytest.approx(10.9)
+    assert mx == pytest.approx(90.1)
+    # interior untouched
+    assert any(r["wx"] == 50.0 for r in rows)
