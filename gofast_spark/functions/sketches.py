@@ -201,3 +201,58 @@ def distinct_intersection_estimate(
             - F.hll_sketch_estimate(F.hll_union("ska", "skb"))
         ).alias("est_intersection"),
     )
+
+
+def kmv_estimate(
+    df: DataFrame,
+    key_col: str,
+    group_col: str | None = None,
+    *,
+    k: int = 32,
+) -> DataFrame:
+    """K-minimum-values distinct-count estimate (Bar-Yossef et al.,
+    RANDOM 2002; the theta-sketch family's base estimator): hash keys
+    to uniform integers, keep the ``k`` smallest DISTINCT hashes per
+    group, and estimate
+
+        D ~ (k - 1) / U_(k),   U_(k) = kth smallest hash / 2^60
+
+    (unbiased for the uniform kth order statistic).  Groups holding
+    fewer than ``k`` distinct keys report their EXACT count (the
+    sketch IS the value set there — the standard KMV small-set rule).
+    Engine-exact by construction: the md5 hash and the kth minimum are
+    deterministic, so unlike HLL this sketch is bit-replayable in the
+    SQL oracle.  Shapes: one distinct aggregate, one per-group top-k
+    window over the DISTINCT-hash frame (vocab-sized, never raw rows).
+    """
+    from pyspark.sql import Window
+
+    from gofast_spark.text.hashing import md5_hash64
+
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    g = [group_col] if group_col else []
+    hashes = (
+        df.where(F.col(key_col).isNotNull())
+        .select(*g, md5_hash64(F.col(key_col).cast("string")).alias("__h"))
+        .distinct()
+    )
+    w = Window.partitionBy(*g).orderBy("__h")
+    topk = hashes.select(
+        *g, "__h", F.row_number().over(w).alias("__rn")
+    ).where(F.col("__rn") <= k)
+    per = topk.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max(F.when(F.col("__rn") == k, F.col("__h"))).alias("__kth"),
+    )
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1))
+        / (F.col("__kth").cast("double") / F.lit(float(2**60)))
+    )
+    cols = g + [
+        F.col("n_kept").cast("bigint").alias("n_kept"),
+        est.alias("estimate"),
+    ]
+    return per.select(*cols)

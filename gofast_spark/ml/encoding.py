@@ -108,3 +108,61 @@ def woe_encode(
         .withColumn(out, F.coalesce(F.col(out), F.lit(0.0)))
         .drop("__cat")
     )
+
+
+def oof_target_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    key_col: str,
+    *,
+    n_folds: int = 5,
+    seed: int = 0,
+    units: float = 1e2,
+    out_col: str = "te_oof",
+) -> DataFrame:
+    """Leakage-safe out-of-fold target encoding (Micci-Barreca, SIGKDD
+    Expl. 2001, in the k-fold form every gradient-boosting pipeline
+    uses): each row's category mean EXCLUDES its own fold,
+
+        te(cat, fold) = (S_cat - s_cat,fold) / (N_cat - n_cat,fold)
+
+    so the encoding never sees the row's own target.  ONE
+    groupBy(cat, fold) of ``units``-quantized exact integer sums, a
+    category-sized rollup, and a broadcast join back — the total-minus-
+    fold subtraction is the same one-pass trick as cross_val_linear's
+    fold Gram moments (ml/selection.py)."""
+    from gofast_spark.ml.selection import kfold_assign
+
+    t = F.col(target_col).cast("double")
+    tu = F.floor(t * F.lit(units) + F.lit(0.5)).cast("bigint")
+    d = kfold_assign(
+        df.where(t.isNotNull()), key_col, n_folds, seed=seed,
+        out_col="__fold",
+    )
+    per = d.groupBy(
+        F.col(cat_col).alias("__cat"), F.col("__fold").alias("__f")
+    ).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(tu.cast("decimal(38,0)")).alias("__s"),
+    )
+    tot = per.groupBy("__cat").agg(
+        F.sum("__n").alias("__nt"), F.sum("__s").alias("__st")
+    )
+    enc = per.join(F.broadcast(tot), "__cat").select(
+        "__cat", "__f",
+        (
+            (F.col("__st") - F.col("__s")).cast("double")
+            / (F.col("__nt") - F.col("__n")).cast("double")
+            / F.lit(units)
+        ).alias(out_col),
+    )
+    return (
+        d.join(
+            F.broadcast(enc),
+            (d[cat_col] == enc["__cat"]) & (d["__fold"] == enc["__f"]),
+            "left",
+        )
+        .drop("__cat", "__f")
+        .withColumnRenamed("__fold", "fold")
+    )

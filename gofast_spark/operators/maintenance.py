@@ -128,3 +128,29 @@ def table_checksum(
         F.count(F.lit(1)).alias("n_rows"),
         F.bit_xor(md5_hash64(canon)).alias("checksum"),
     )
+
+
+def partition_stats_report(
+    df: DataFrame,
+    part_col: str,
+    stat_cols,
+) -> DataFrame:
+    """Zone-map / data-skipping readout per partition value (the
+    min/max/null statistics Parquet row groups and lakehouse manifests
+    keep — see e.g. the Delta/Iceberg file-skipping design, and the
+    reference's data-audit surface): for each value of ``part_col``,
+    row count plus per-column min, max, and null count.
+
+    ONE hash aggregate; the output is partition-count-sized, the frame
+    a query planner (or a human) scans to judge which partitions a
+    predicate can skip."""
+    cols = [stat_cols] if isinstance(stat_cols, str) else list(stat_cols)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.min(c).alias(f"min_{c}"),
+            F.max(c).alias(f"max_{c}"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint").alias(f"nulls_{c}"),
+        ]
+    return df.groupBy(F.col(part_col).alias("partition")).agg(*aggs)

@@ -893,3 +893,52 @@ def kcore_members_modgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore_members(
         _mod2_edges(spark, sf_dir), _KCORE_K, symmetrize=True,
     )
+
+
+@query(
+    "kmv_distinct_users_events",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+               AS BIGINT) AS h
+      FROM events WHERE user_id IS NOT NULL),
+    r AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h)
+               AS rn
+      FROM h),
+    per AS (
+      SELECT event_type, count(*) AS n_kept,
+             max(CASE WHEN rn = 32 THEN h END) AS kth
+      FROM r WHERE rn <= 32 GROUP BY 1),
+    ex AS (
+      SELECT event_type, count(DISTINCT user_id) AS n_exact
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+    SELECT per.event_type,
+           CAST(per.n_kept AS BIGINT) AS n_kept,
+           CASE WHEN per.n_kept < 32 THEN CAST(per.n_kept AS DOUBLE)
+                ELSE 31.0 / (CAST(kth AS DOUBLE)
+                             / 1152921504606846976.0) END AS estimate,
+           CAST(ex.n_exact AS BIGINT) AS n_exact
+    FROM per JOIN ex ON ex.event_type = per.event_type
+    """,
+)
+def kmv_distinct_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct-user estimate from a k-minimum-values
+    sketch, k=32, against the exact count (functions/sketches.py
+    kmv_estimate; Bar-Yossef et al. 2002) — unlike HLL the KMV kth-min
+    is fully deterministic, so the oracle replays it bit-for-bit;
+    mergeable by keeping the k smallest of unioned sketches."""
+    from gofast_spark.functions.sketches import kmv_estimate
+
+    e = _t(spark, sf_dir, "events")
+    est = kmv_estimate(e, "user_id", "event_type", k=32)
+    exact = (
+        e.where(F.col("user_id").isNotNull())
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_exact"))
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "n_kept", "estimate", "n_exact"
+    )

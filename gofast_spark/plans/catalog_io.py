@@ -831,3 +831,32 @@ def table_checksum_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(c_acctbal * 100 + 0.5 AS BIGINT)"),
         ],
     )
+
+
+@query(
+    "partition_stats_orders",
+    oracle="""
+    SELECT o_orderpriority AS partition,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(o_totalprice) AS min_o_totalprice,
+           max(o_totalprice) AS max_o_totalprice,
+           CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS nulls_o_totalprice,
+           min(o_orderdate) AS min_o_orderdate,
+           max(o_orderdate) AS max_o_orderdate,
+           CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS nulls_o_orderdate
+    FROM orders GROUP BY 1
+    """,
+)
+def partition_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map / data-skipping statistics per order priority
+    (operators/maintenance.py partition_stats_report; the Parquet
+    row-group min/max/null manifest readout) — one hash aggregate,
+    partition-count-sized output."""
+    from gofast_spark.operators.maintenance import partition_stats_report
+
+    return partition_stats_report(
+        _t(spark, sf_dir, "orders"), "o_orderpriority",
+        ["o_totalprice", "o_orderdate"],
+    )

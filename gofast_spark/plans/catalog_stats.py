@@ -2901,3 +2901,45 @@ def cooks_distance_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "lineitem"), "l_quantity", "l_extendedprice",
         ["l_orderkey", "l_linenumber"], top_k=20,
     )
+
+
+@query(
+    "oof_target_encode_orders",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderpriority AS cat,
+             CAST(floor(CAST(o_totalprice AS DOUBLE) * 1e2 + 0.5)
+               AS BIGINT) AS tu,
+             CAST((o_orderkey * 1103515245 + 12345) % 2147483648 % 5
+               AS INT) AS f
+      FROM orders WHERE o_totalprice IS NOT NULL),
+    per AS (
+      SELECT cat, f, count(*) AS n, sum(CAST(tu AS HUGEINT)) AS s
+      FROM d GROUP BY 1, 2),
+    tot AS (SELECT cat, sum(n) AS nt, sum(s) AS st FROM per GROUP BY 1)
+    SELECT cat AS priority, f AS fold, CAST(n AS BIGINT) AS n,
+           CAST(st - s AS DOUBLE) / CAST(nt - n AS DOUBLE) / 1e2
+             AS te_oof
+    FROM per JOIN tot USING (cat)
+    """,
+)
+def oof_target_encode_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe out-of-fold target encoding of order priority by
+    mean total price (ml/encoding.py oof_target_encode; Micci-Barreca
+    2001): the (category, fold) table where each encoding excludes its
+    own fold — total-minus-fold exact integer sums, one groupBy + one
+    rollup."""
+    from gofast_spark.ml.encoding import oof_target_encode
+
+    o = _t(spark, sf_dir, "orders")
+    enc = oof_target_encode(
+        o, "o_orderpriority", "o_totalprice", "o_orderkey",
+        n_folds=5, units=1e2,
+    )
+    return enc.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("fold").alias("fold"),
+        F.col("te_oof"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n")).select(
+        "priority", "fold", "n", "te_oof"
+    )

@@ -417,3 +417,56 @@ def test_winsorize_clamps_tails(spark):
     assert mx == pytest.approx(90.1)
     # interior untouched
     assert any(r["wx"] == 50.0 for r in rows)
+
+
+def test_kmv_small_set_exact_and_estimate_close(spark):
+    from gofast_spark.functions.sketches import kmv_estimate
+
+    # 10 distinct keys < k: exact count
+    df = spark.createDataFrame([(i % 10,) for i in range(100)], ["k"])
+    got = kmv_estimate(df, "k", k=32).collect()[0]
+    assert got["n_kept"] == 10 and got["estimate"] == 10.0
+    # 5000 distinct: estimate within 40% (k=32 is coarse)
+    df2 = spark.createDataFrame([(i,) for i in range(5000)], ["k"])
+    est = kmv_estimate(df2, "k", k=32).collect()[0]["estimate"]
+    assert 3000 < est < 7000
+
+
+def test_oof_target_encode_excludes_own_fold(spark):
+    from gofast_spark.ml.encoding import oof_target_encode
+
+    rows = [(i, "a", 10.0 if i % 5 == 0 else 20.0) for i in range(50)]
+    df = spark.createDataFrame(rows, ["id", "cat", "y"])
+    enc = oof_target_encode(df, "cat", "y", "id", n_folds=5).collect()
+    for r in enc:
+        # each row's encoding = mean over the OTHER folds; since fold
+        # assignment is id-hash-based, just check it never equals the
+        # global mean when the fold means differ, and is in range
+        assert 10.0 <= r["te_oof"] <= 20.0
+    # exactness on a hand-built case: category total 50 rows
+    import collections
+    by_fold = collections.defaultdict(list)
+    for r in enc:
+        by_fold[r["fold"]].append(r)
+    for f, rs in by_fold.items():
+        in_fold = [10.0 if i % 5 == 0 else 20.0 for i in range(50)
+                   if (i * 1103515245 + 12345) % 2147483648 % 5 == f]
+        others = [10.0 if i % 5 == 0 else 20.0 for i in range(50)
+                  if (i * 1103515245 + 12345) % 2147483648 % 5 != f]
+        want = sum(others) / len(others)
+        for r in rs:
+            assert r["te_oof"] == pytest.approx(want, abs=1e-9)
+
+
+def test_partition_stats_report(spark):
+    from gofast_spark.operators.maintenance import partition_stats_report
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("a", 5.0), ("b", 2.0)], ["p", "x"]
+    )
+    got = {r["partition"]: r for r in
+           partition_stats_report(df, "p", "x").collect()}
+    assert got["a"]["n_rows"] == 3
+    assert got["a"]["min_x"] == 1.0 and got["a"]["max_x"] == 5.0
+    assert got["a"]["nulls_x"] == 1
+    assert got["b"]["nulls_x"] == 0
