@@ -2882,3 +2882,55 @@ def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source").isin("src0", "src1", "src2", "src3")
     )
     return js_divergence_groups(d, "text", "source")
+
+
+@query(
+    "rake_keywords_documents",
+    oracle=f"""
+    WITH norm AS (SELECT {_norm_sql('text')} AS t FROM documents),
+    marked AS (
+      SELECT regexp_replace(' ' || replace(t, ' ', '  ') || ' ',
+                            ' (the|a|of|and|to|in|is) ', ' | ', 'g')
+               AS mt
+      FROM norm WHERE len(t) > 0),
+    ph AS (
+      SELECT trim(regexp_replace(seg, ' +', ' ', 'g')) AS phrase
+      FROM marked, unnest(string_split(mt, '|')) AS u(seg)),
+    phx AS (SELECT phrase FROM ph WHERE len(phrase) > 0),
+    ptk AS (SELECT phrase, string_split(phrase, ' ') AS tk FROM phx),
+    words AS (
+      SELECT tk[i] AS w, len(tk) AS plen
+      FROM ptk, unnest(range(1, len(tk) + 1)) AS u(i)),
+    stats AS (
+      SELECT w,
+             CAST(floor(CAST(sum(plen) AS DOUBLE)
+                        / CAST(count(*) AS DOUBLE) * 1e6 + 0.5)
+               AS BIGINT) AS score_u
+      FROM words GROUP BY 1),
+    pw AS (
+      SELECT phrase, tk[i] AS w
+      FROM ptk, unnest(range(1, len(tk) + 1)) AS u(i)),
+    ps AS (
+      SELECT phrase, sum(score_u) AS su
+      FROM pw JOIN stats USING (w) GROUP BY 1),
+    fr AS (SELECT phrase, count(*) AS pf FROM phx GROUP BY 1)
+    SELECT ps.phrase,
+           CAST(pf AS BIGINT) AS phrase_freq,
+           CAST(round(CAST(su AS DOUBLE) / CAST(pf AS DOUBLE) / 1e6, 6)
+             AS DOUBLE) AS rake_score
+    FROM ps JOIN fr ON fr.phrase = ps.phrase
+    WHERE pf >= 2
+    ORDER BY rake_score DESC, ps.phrase
+    LIMIT 20
+    """,
+)
+def rake_keywords_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 RAKE keyphrases over the corpus (text/keywords.py
+    rake_keywords; Rose et al. 2010) — stopword-boundary phrase
+    segmentation as row-local string algebra, deg/freq word scores
+    from one vocab-sized aggregate, micro-unit-exact phrase sums."""
+    from gofast_spark.text.keywords import rake_keywords
+
+    return rake_keywords(
+        _docs(spark, sf_dir), "text", top_k=20, min_phrase_freq=2
+    )

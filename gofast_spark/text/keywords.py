@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from gofast_spark.ml.graph import pagerank
-from gofast_spark.text.analysis import normalize_text
+from gofast_spark.text.analysis import EN_STOPWORDS, normalize_text
 
 __all__ = ["textrank_keywords"]
 
@@ -73,3 +73,86 @@ def textrank_keywords(
         .orderBy(F.round("rank", 8).desc(), "token")
         .limit(top_k)
     )
+
+
+def rake_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    stopwords: tuple[str, ...] = EN_STOPWORDS,
+    top_k: int = 20,
+    min_phrase_freq: int = 2,
+    broadcast_limit: int | None = 500_000,
+) -> DataFrame:
+    """Top-``top_k`` candidate phrases by RAKE score (Rose, Engel,
+    Cramer & Cowley, "Automatic keyword extraction from individual
+    documents", 2010): split normalized text into phrases at stopword
+    boundaries, score each word ``deg(w)/freq(w)`` (degree counts the
+    lengths of the phrases it appears in), and score a phrase by the
+    sum of its member word scores.
+
+    Phrase segmentation is ROW-LOCAL string algebra: spaces are doubled
+    so every token owns its delimiters, stopword occurrences become
+    '|' separators in one regexp pass (no overlapping-match loss), and
+    the phrase list is a split + trim.  Word stats are one explode +
+    groupBy (vocab-sized); word scores are exact integer ratios
+    quantized to micro-units so each phrase's score SUM is an exact
+    bigint — engine-reproducible top-k with phrase tie-break."""
+    norm = normalize_text(text_col)
+    alt = "|".join(stopwords)
+    padded = F.concat(
+        F.lit(" "), F.regexp_replace(norm, " ", "  "), F.lit(" ")
+    )
+    marked = F.regexp_replace(padded, f" ({alt}) ", " | ")
+    phrases = df.where(F.length(norm) > 0).select(
+        F.filter(
+            F.transform(
+                F.split(marked, "\\|"),
+                lambda s: F.trim(F.regexp_replace(s, " +", " ")),
+            ),
+            lambda s: F.length(s) > 0,
+        ).alias("ps")
+    ).select(F.explode("ps").alias("phrase"))
+
+    words = phrases.select(
+        "phrase",
+        F.split(F.col("phrase"), " ").alias("wk"),
+    ).select(
+        F.explode("wk").alias("w"), F.size("wk").alias("plen")
+    )
+    stats = words.groupBy("w").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("plen").alias("deg"),
+    ).select(
+        "w",
+        # deg/freq as an exact-int ratio, quantized to micro-units
+        F.floor(
+            F.col("deg").cast("double") / F.col("freq").cast("double")
+            * F.lit(1e6) + F.lit(0.5)
+        ).cast("bigint").alias("score_u"),
+    )
+    if broadcast_limit is None or stats.count() <= broadcast_limit:
+        stats = F.broadcast(stats)
+
+    pw = phrases.select(
+        "phrase", F.explode(F.split(F.col("phrase"), " ")).alias("w")
+    )
+    ps = pw.join(stats, "w").groupBy("phrase").agg(
+        F.sum("score_u").alias("__su")
+    )
+    # a phrase occurring f times accumulates f copies of its word sum:
+    # divide by its own frequency to recover the per-occurrence score
+    freq = phrases.groupBy("phrase").agg(
+        F.count(F.lit(1)).alias("phrase_freq")
+    )
+    out = ps.join(freq, "phrase").select(
+        "phrase",
+        F.col("phrase_freq").cast("bigint").alias("phrase_freq"),
+        F.round(
+            (F.col("__su") / F.col("phrase_freq")).cast("double")
+            / F.lit(1e6), 6
+        ).alias("rake_score"),
+    ).where(F.col("phrase_freq") >= min_phrase_freq)
+    return out.orderBy(
+        F.col("rake_score").desc(), F.col("phrase")
+    ).limit(top_k)

@@ -470,3 +470,25 @@ def test_partition_stats_report(spark):
     assert got["a"]["min_x"] == 1.0 and got["a"]["max_x"] == 5.0
     assert got["a"]["nulls_x"] == 1
     assert got["b"]["nulls_x"] == 0
+
+
+def test_rake_segments_and_scores(spark):
+    from gofast_spark.text.keywords import rake_keywords
+
+    # "machine learning" is a recurring 2-word phrase; stopwords break
+    # phrases: "the quick system" -> phrase "quick system"
+    docs = [("machine learning is the future of machine learning",)] * 3
+    df = spark.createDataFrame(docs, ["text"])
+    got = {r["phrase"]: r for r in
+           rake_keywords(df, "text", top_k=10,
+                         min_phrase_freq=1).collect()}
+    assert "machine learning" in got
+    assert got["machine learning"]["phrase_freq"] == 6
+    # both words appear only inside the 2-word phrase: deg/freq = 2
+    # each, so the phrase scores 4
+    assert got["machine learning"]["rake_score"] == pytest.approx(4.0)
+    assert "future" in got
+    assert got["future"]["rake_score"] == pytest.approx(1.0)
+    # stopwords never appear inside phrases
+    assert all(" is " not in p and not p.startswith("is ")
+               for p in got)
