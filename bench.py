@@ -94,7 +94,16 @@ HEADLINE = [
     "good_turing_documents",
     "link_prediction_modgraph",
     "aipw_ate_orders",
-
+    # round 8 extension-3: collocation mining, NB text classification,
+    # HITS, k-core, JS source divergence, RAKE, KMV sketch, influence
+    "llr_collocations_documents",
+    "multinomial_nb_confusion_documents",
+    "hits_scores_modgraph",
+    "kcore_members_modgraph",
+    "js_divergence_sources",
+    "rake_keywords_documents",
+    "kmv_distinct_users_events",
+    "cooks_distance_lineitem",
 ]
 
 
