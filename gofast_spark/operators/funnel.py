@@ -512,3 +512,56 @@ def funnel_windowed(
         "step_idx int, step string, n_users bigint, "
         "conv_from_prev double, conv_from_first double",
     )
+
+
+def attribution_touches(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    *,
+    conversion_type: str = "purchase",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """First-/last-touch conversion attribution (the standard
+    marketing-attribution baselines; see e.g. Shao & Li, KDD 2011 for
+    the taxonomy): every conversion event is attributed to the FIRST
+    and the LAST non-conversion event type that preceded it in the
+    user's ordered stream.
+
+    One user-partitioned ordered window (rows UNBOUNDED PRECEDING ..
+    -1, ignore-nulls first/last) + one channel groupBy — no self-join,
+    scales with users x events like sessionization.  Conversions with
+    no prior touch report channel '(none)'.  Output: ``(channel,
+    last_touch, first_touch)`` conversion counts."""
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col(type_col) != conversion_type, F.col(type_col)
+    )
+    marked = df.select(
+        F.col(type_col).alias("__t"),
+        F.last(touch, ignorenulls=True).over(w).alias("__last"),
+        F.first(touch, ignorenulls=True).over(w).alias("__first"),
+    ).where(F.col("__t") == conversion_type)
+    lt = marked.groupBy(
+        F.coalesce(F.col("__last"), F.lit("(none)")).alias("channel")
+    ).agg(F.count(F.lit(1)).alias("last_touch"))
+    ft = marked.groupBy(
+        F.coalesce(F.col("__first"), F.lit("(none)")).alias("channel")
+    ).agg(F.count(F.lit(1)).alias("first_touch"))
+    return lt.join(ft, "channel", "full").select(
+        "channel",
+        F.coalesce("last_touch", F.lit(0)).cast("bigint")
+        .alias("last_touch"),
+        F.coalesce("first_touch", F.lit(0)).cast("bigint")
+        .alias("first_touch"),
+    )

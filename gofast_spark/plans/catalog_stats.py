@@ -2943,3 +2943,100 @@ def oof_target_encode_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n")).select(
         "priority", "fold", "n", "te_oof"
     )
+
+
+@query(
+    "attribution_touches_events",
+    oracle="""
+    WITH s AS (
+      SELECT event_type AS t,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING) AS lastt,
+             first_value(CASE WHEN event_type <> 'purchase'
+                              THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING) AS firstt
+      FROM events WHERE ts IS NOT NULL),
+    conv AS (SELECT * FROM s WHERE t = 'purchase'),
+    lt AS (SELECT coalesce(lastt, '(none)') AS channel,
+                  count(*) AS last_touch
+           FROM conv GROUP BY 1),
+    ft AS (SELECT coalesce(firstt, '(none)') AS channel,
+                  count(*) AS first_touch
+           FROM conv GROUP BY 1)
+    SELECT coalesce(lt.channel, ft.channel) AS channel,
+           CAST(coalesce(last_touch, 0) AS BIGINT) AS last_touch,
+           CAST(coalesce(first_touch, 0) AS BIGINT) AS first_touch
+    FROM lt FULL JOIN ft ON ft.channel = lt.channel
+    """,
+)
+def attribution_touches_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-/last-touch purchase attribution by prior event type
+    (operators/funnel.py attribution_touches; the marketing-
+    attribution baselines, cf. Shao & Li 2011) — one user-partitioned
+    ignore-nulls window + channel rollups, no self-join."""
+    from gofast_spark.operators.funnel import attribution_touches
+
+    e = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    return attribution_touches(
+        e, "user_id", "ts", "event_type",
+        conversion_type="purchase", tiebreak_col="event_id",
+    )
+
+
+@query(
+    "ab_mde_events",
+    oracle="""
+    WITH d AS (
+      SELECT CAST((user_id * 1103515245 + 12345) % 2147483648 % 2
+               AS INT) AS g,
+             CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+    a AS (
+      SELECT
+        sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS n0,
+        sum(CASE WHEN g = 0 THEN CAST(v AS HUGEINT) ELSE 0 END) AS s0,
+        sum(CASE WHEN g = 0 THEN CAST(v AS HUGEINT) * v ELSE 0 END)
+          AS ss0,
+        sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS n1,
+        sum(CASE WHEN g = 1 THEN CAST(v AS HUGEINT) ELSE 0 END) AS s1,
+        sum(CASE WHEN g = 1 THEN CAST(v AS HUGEINT) * v ELSE 0 END)
+          AS ss1
+      FROM d),
+    m AS (
+      SELECT n0, n1,
+             CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) / 1e6 AS mean_0,
+             CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 1e6 AS mean_1,
+             sqrt(CAST(n0 * ss0 - s0 * s0 AS DOUBLE)
+                    / CAST(n0 * (n0 - 1) AS DOUBLE) / 1e12
+                    / CAST(n0 AS DOUBLE)
+                  + CAST(n1 * ss1 - s1 * s1 AS DOUBLE)
+                    / CAST(n1 * (n1 - 1) AS DOUBLE) / 1e12
+                    / CAST(n1 AS DOUBLE)) AS se
+      FROM a)
+    SELECT CAST(n0 AS BIGINT) AS n_0, CAST(n1 AS BIGINT) AS n_1,
+           mean_0, mean_1, se,
+           2.8015852181129683 * se AS mde_abs,
+           2.8015852181129683 * se / mean_0 AS mde_rel
+    FROM m
+    """,
+)
+def ab_mde_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-detectable-effect sizing of the LCG-split experiment at
+    alpha=0.05 / power=0.80 (stats/cuped.py ab_mde_report; Cohen 1988)
+    — exact micro-unit per-variant moments, pinned normal quantiles,
+    one conditional aggregate."""
+    from gofast_spark.ml.selection import kfold_assign
+    from gofast_spark.stats.cuped import ab_mde_report
+
+    e = kfold_assign(
+        _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull()),
+        "user_id", 2, seed=0, out_col="variant",
+    )
+    return ab_mde_report(e, "value", "variant")

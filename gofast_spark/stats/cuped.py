@@ -85,3 +85,73 @@ def cuped_report(
         var_adj.alias("var_adj"),
         (F.lit(1.0) - var_adj / var_post).alias("var_reduction"),
     )
+
+
+# two-sided alpha=0.05 and power=0.80 normal quantiles, pinned to their
+# nearest doubles so both engines compute the identical MDE
+_Z_ALPHA = 1.959963984540054
+_Z_POWER = 0.8416212335729143
+
+
+def ab_mde_report(
+    df: DataFrame,
+    value_col: str,
+    variant_col: str,
+    *,
+    units: float = 1e6,
+) -> DataFrame:
+    """Minimum detectable effect of a two-variant experiment at
+    alpha=0.05 (two-sided) / power=0.80 (standard power analysis;
+    Cohen, *Statistical Power Analysis*, 1988):
+
+        MDE = (z_{1-a/2} + z_{power}) * sqrt(var_0/n_0 + var_1/n_1)
+
+    — the experimentation-platform sizing readout next to
+    ``cuped_report``.  Per-variant means/variances come from EXACT
+    ``units``-quantized integer moments (one conditional aggregate),
+    so the MDE is engine-reproducible.  Output: one row ``(n_0, n_1,
+    mean_0, mean_1, se, mde_abs, mde_rel)`` with ``mde_rel`` relative
+    to variant 0's mean."""
+    v = F.col(value_col).cast("double")
+    g = F.col(variant_col).cast("int")
+    vu = F.floor(v * F.lit(units) + F.lit(0.5)).cast("bigint")
+    d = df.where(v.isNotNull() & g.isNotNull()).select(
+        g.alias("__g"), vu.alias("__v")
+    )
+
+    def side(gv: int, tag: str):
+        m = F.col("__g") == gv
+        x = F.when(m, F.col("__v")).otherwise(F.lit(0).cast("bigint"))
+        return [
+            F.sum(F.when(m, 1).otherwise(0)).alias(f"__n_{tag}"),
+            F.sum(x.cast("decimal(19,0)")).alias(f"__s_{tag}"),
+            F.sum(x.cast("decimal(19,0)") * x).alias(f"__ss_{tag}"),
+        ]
+
+    agg = d.agg(*side(0, "0"), *side(1, "1"))
+
+    def stats(tag: str):
+        n = F.col(f"__n_{tag}").cast("decimal(19,0)")
+        nd = F.col(f"__n_{tag}").cast("double")
+        mean = (F.col(f"__s_{tag}").cast("double") / nd / F.lit(units))
+        var = (
+            (n * F.col(f"__ss_{tag}")
+             - F.col(f"__s_{tag}") * F.col(f"__s_{tag}")).cast("double")
+            / (n * (n - F.lit(1).cast("decimal(19,0)"))).cast("double")
+            / F.lit(units * units)
+        )
+        return mean, var, nd
+
+    m0, v0, n0 = stats("0")
+    m1, v1, n1 = stats("1")
+    se = F.sqrt(v0 / n0 + v1 / n1)
+    mde = F.lit(_Z_ALPHA + _Z_POWER) * se
+    return agg.select(
+        F.col("__n_0").cast("bigint").alias("n_0"),
+        F.col("__n_1").cast("bigint").alias("n_1"),
+        m0.alias("mean_0"),
+        m1.alias("mean_1"),
+        se.alias("se"),
+        mde.alias("mde_abs"),
+        (mde / m0).alias("mde_rel"),
+    )

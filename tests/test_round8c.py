@@ -492,3 +492,44 @@ def test_rake_segments_and_scores(spark):
     # stopwords never appear inside phrases
     assert all(" is " not in p and not p.startswith("is ")
                for p in got)
+
+
+def test_attribution_first_and_last_touch(spark):
+    from gofast_spark.operators.funnel import attribution_touches
+
+    rows = [
+        (1, 1, "ad"), (1, 2, "email"), (1, 3, "purchase"),
+        (2, 1, "purchase"),                       # no prior touch
+        (3, 1, "search"), (3, 2, "purchase"), (3, 3, "ad"),
+        (3, 4, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, ["u", "ts", "t"])
+    got = {r["channel"]: r for r in attribution_touches(
+        df, "u", "ts", "t", conversion_type="purchase").collect()}
+    # user1: last=email first=ad; user2: none; user3 conv1: search/search,
+    # conv2: last=ad first=search
+    assert got["email"]["last_touch"] == 1
+    assert got["ad"]["last_touch"] == 1
+    assert got["ad"]["first_touch"] == 1
+    assert got["search"]["last_touch"] == 1
+    assert got["search"]["first_touch"] == 2
+    assert got["(none)"]["last_touch"] == 1
+    assert got["(none)"]["first_touch"] == 1
+    assert got["email"]["first_touch"] == 0
+
+
+def test_ab_mde_matches_formula(spark):
+    from gofast_spark.stats.cuped import ab_mde_report
+
+    rows = [(0, float(v)) for v in (10, 12, 14, 16)] + \
+           [(1, float(v)) for v in (11, 13, 15, 17, 19)]
+    df = spark.createDataFrame(rows, ["g", "y"])
+    got = ab_mde_report(df, "y", "g").collect()[0]
+    import statistics
+    v0 = statistics.variance([10, 12, 14, 16])
+    v1 = statistics.variance([11, 13, 15, 17, 19])
+    se = math.sqrt(v0 / 4 + v1 / 5)
+    assert got["se"] == pytest.approx(se, abs=1e-6)
+    assert got["mde_abs"] == pytest.approx(2.8015852181129683 * se,
+                                           abs=1e-6)
+    assert got["n_0"] == 4 and got["n_1"] == 5
