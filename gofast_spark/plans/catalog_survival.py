@@ -407,3 +407,92 @@ def weibull_fit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") % 4 != 0).cast("int").alias("ev"),
     )
     return weibull_fit(e, "dur", "ev")
+
+
+_COX_ITER = 4
+
+
+def _cox_terms(beta: str) -> tuple[str, str]:
+    """The nano-unit-quantized Newton summands at a given beta SQL
+    expression — mirrors stats/survival.cox_ph_binary's expression
+    tree exactly."""
+    w1 = f"CAST(n1 AS DOUBLE) * exp({beta})"
+    p = f"({w1}) / (CAST(n0 AS DOUBLE) + {w1})"
+    u = f"CAST(d1 AS DOUBLE) - CAST(d0 + d1 AS DOUBLE) * ({p})"
+    i = (f"CAST(d0 + d1 AS DOUBLE) * ({p})"
+         f" * (CAST(n0 AS DOUBLE) / (CAST(n0 AS DOUBLE) + {w1}))")
+    qu = f"sum(CAST(floor(({u}) * 1e9 + 0.5) AS BIGINT))"
+    qi = f"sum(CAST(floor(({i}) * 1e9 + 0.5) AS BIGINT))"
+    return qu, qi
+
+
+def _cox_oracle() -> str:
+    """Unrolled Newton chain (single reference per level, the HITS
+    oracle lesson)."""
+    ctes = ["""surv AS (
+      SELECT CAST(floor(value) AS BIGINT) AS duration,
+             CAST(user_id % 4 <> 0 AS INTEGER) AS ev,
+             CAST(user_id % 2 AS INTEGER) AS grp
+      FROM events WHERE value IS NOT NULL),
+    per_t AS (
+      SELECT duration, sum(1 - grp) AS m0, sum(grp) AS m1,
+             sum(ev * (1 - grp)) AS d0, sum(ev * grp) AS d1
+      FROM surv GROUP BY 1),
+    risk AS (
+      SELECT duration, d0, d1,
+             sum(m0) OVER ()
+               - coalesce(sum(m0) OVER (ORDER BY duration
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n0,
+             sum(m1) OVER ()
+               - coalesce(sum(m1) OVER (ORDER BY duration
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n1
+      FROM per_t),
+    j AS (SELECT * FROM risk WHERE d0 + d1 > 0),
+    b0 AS (SELECT 0.0 AS beta)"""]
+    for k in range(1, _COX_ITER + 1):
+        qu, qi = _cox_terms("beta")
+        ctes.append(f"""a{k} AS (
+      SELECT {qu} AS su, {qi} AS si, any_value(beta) AS b
+      FROM j, b{k - 1}),
+    b{k} AS (
+      SELECT b + CAST(su AS DOUBLE) / CAST(si AS DOUBLE) AS beta
+      FROM a{k})""")
+    qu, qi = _cox_terms("beta")
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body},
+    fin AS (
+      SELECT any_value(beta) AS beta, {qu} AS uf, {qi} AS if_
+      FROM j, b{_COX_ITER}),
+    sizes AS (
+      SELECT sum(m0) AS n_0, sum(m1) AS n_1, sum(d0 + d1) AS n_events
+      FROM per_t)
+    SELECT beta, exp(beta) AS hazard_ratio,
+           1.0 / sqrt(CAST(if_ AS DOUBLE) / 1e9) AS se,
+           CAST(uf AS DOUBLE) / 1e9 AS u_final,
+           CAST(n_0 AS BIGINT) AS n_0, CAST(n_1 AS BIGINT) AS n_1,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM fin, sizes
+    """
+
+
+@query("cox_ph_events", oracle=_cox_oracle())
+def cox_ph_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cox proportional-hazards fit of the even/odd-user covariate on
+    the synthetic survival frame (stats/survival.py cox_ph_binary;
+    Cox 1972, Breslow 1974) — the logrank family's effect-size
+    estimator: rollup-sized risk-set table, 4 in-plan Newton
+    iterations with nano-unit-exact score/information sums, unrolled
+    verbatim by the oracle."""
+    from gofast_spark.stats.survival import cox_ph_binary
+
+    e = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    ).select(
+        F.floor(F.col("value")).cast("bigint").alias("dur"),
+        (F.col("user_id") % 4 != 0).cast("int").alias("ev"),
+        (F.col("user_id") % 2).cast("int").alias("grp"),
+    )
+    return cox_ph_binary(e, "dur", "ev", "grp", iterations=_COX_ITER)

@@ -533,3 +533,40 @@ def test_ab_mde_matches_formula(spark):
     assert got["mde_abs"] == pytest.approx(2.8015852181129683 * se,
                                            abs=1e-6)
     assert got["n_0"] == 4 and got["n_1"] == 5
+
+
+def test_cox_ph_matches_reference_newton(spark):
+    from gofast_spark.stats.survival import cox_ph_binary
+
+    # planted hazard: group 1 fails sooner
+    rows = []
+    data = [
+        (5, 1, 0), (8, 1, 0), (12, 1, 0), (14, 0, 0), (16, 1, 0),
+        (20, 1, 0), (3, 1, 1), (4, 1, 1), (6, 1, 1), (7, 0, 1),
+        (9, 1, 1), (11, 1, 1),
+    ]
+    df = spark.createDataFrame(data, ["dur", "ev", "grp"])
+    got = cox_ph_binary(df, "dur", "ev", "grp", iterations=6) \
+        .collect()[0]
+
+    # pure-python Breslow Newton on the same risk sets
+    times = sorted({t for t, e, _ in data if e == 1})
+    beta = 0.0
+    for _ in range(6):
+        u = i = 0.0
+        for t in times:
+            n0 = sum(1 for d, _, g in data if d >= t and g == 0)
+            n1 = sum(1 for d, _, g in data if d >= t and g == 1)
+            d1 = sum(1 for d, e, g in data
+                     if d == t and e == 1 and g == 1)
+            dd = sum(1 for d, e, _ in data if d == t and e == 1)
+            w1 = n1 * math.exp(beta)
+            p = w1 / (n0 + w1)
+            u += d1 - dd * p
+            i += dd * p * (n0 / (n0 + w1))
+        beta += u / i
+    assert got["beta"] == pytest.approx(beta, abs=1e-5)
+    assert got["hazard_ratio"] == pytest.approx(math.exp(beta), abs=1e-4)
+    assert got["hazard_ratio"] > 1.0  # group 1 has elevated hazard
+    assert abs(got["u_final"]) < 1e-3  # converged score
+    assert got["n_0"] == 6 and got["n_1"] == 6
