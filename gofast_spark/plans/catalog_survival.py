@@ -496,3 +496,60 @@ def cox_ph_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") % 2).cast("int").alias("grp"),
     )
     return cox_ph_binary(e, "dur", "ev", "grp", iterations=_COX_ITER)
+
+
+@query(
+    "rmst_events",
+    oracle=f"""
+    WITH {_SURV},
+    per_t AS (
+      SELECT duration, count(*) AS n_total, sum(ev) AS n_events
+      FROM surv GROUP BY duration),
+    c AS (
+      SELECT duration, n_events,
+             sum(n_total) OVER () -
+               coalesce(sum(n_total) OVER (ORDER BY duration
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM per_t),
+    k AS (
+      SELECT duration, n_events,
+             exp(sum(ln(1.0 - n_events * 1.0 / n_risk)) OVER (
+               ORDER BY duration ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)) AS survival
+      FROM c),
+    ke AS (
+      SELECT CAST(duration AS DOUBLE) AS t, survival
+      FROM k WHERE n_events > 0 AND CAST(duration AS DOUBLE) <= 300.0),
+    seg AS (
+      SELECT t, survival,
+             coalesce(lag(t) OVER (ORDER BY t), 0.0) AS pt,
+             coalesce(lag(survival) OVER (ORDER BY t), 1.0) AS ps
+      FROM ke),
+    a AS (
+      SELECT sum(CAST(floor((t - pt) * ps * 1e9 + 0.5) AS BIGINT))
+               AS area_u,
+             arg_max(survival, t) AS last_s, max(t) AS last_t,
+             count(*) AS n_times
+      FROM seg)
+    SELECT CAST(area_u AS DOUBLE) / 1e9
+             + (300.0 - last_t) * last_s AS rmst,
+           CAST(300.0 AS DOUBLE) AS tau,
+           CAST(n_times AS BIGINT) AS n_times
+    FROM a
+    """,
+)
+def rmst_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time to tau=300 over the synthetic
+    survival frame (stats/survival.py restricted_mean_survival;
+    Royston & Parmar 2013) — the KM step-function area via one lag
+    window, nano-unit-exact segment sums."""
+    from gofast_spark.stats.survival import restricted_mean_survival
+
+    e = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    ).select(
+        F.floor(F.col("value")).cast("bigint").alias("dur"),
+        (F.col("user_id") % 4 != 0).cast("int").alias("ev"),
+    )
+    return restricted_mean_survival(e, "dur", "ev", tau=300.0)

@@ -1027,3 +1027,40 @@ def page_hinkley_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return page_hinkley(
         _daily(spark, sf_dir), "t", "v", delta=0.0, lam=100000.0
     )
+
+
+def _periodogram_oracle(max_freq: int = 10) -> str:
+    terms = []
+    for k in range(1, max_freq + 1):
+        c = (f"sum(CAST(floor(v * cos(6.283185307179586 * {k}.0 * tt / nd)"
+             f" * 1e3 + 0.5) AS BIGINT)) AS c{k}")
+        s = (f"sum(CAST(floor(v * sin(6.283185307179586 * {k}.0 * tt / nd)"
+             f" * 1e3 + 0.5) AS BIGINT)) AS s{k}")
+        terms += [c, s]
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({k} AS INTEGER) AS k, "
+        f"(pow(CAST(c{k} AS DOUBLE) / 1e3, 2.0)"
+        f" + pow(CAST(s{k} AS DOUBLE) / 1e3, 2.0))"
+        f" / CAST(n AS DOUBLE) AS power FROM a"
+        for k in range(1, max_freq + 1)
+    )
+    return f"""
+    WITH daily AS ({_DAILY_SQL}),
+    b AS (
+      SELECT CAST(t AS DOUBLE) AS tt, v,
+             CAST(cnt AS DOUBLE) AS nd, cnt AS n
+      FROM daily, (SELECT count(*) AS cnt FROM daily)),
+    a AS (SELECT any_value(n) AS n, {", ".join(terms)} FROM b)
+    {rows}
+    """
+
+
+@query("periodogram_daily_events", oracle=_periodogram_oracle())
+def periodogram_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schuster periodogram of the daily revenue series at harmonics
+    1..10 (ts/engineering.py periodogram; Schuster 1898) — pinned
+    2-pi literal, per-summand quantization so the spectral sums are
+    exact integers, one aggregate + in-plan explode."""
+    from gofast_spark.ts.engineering import periodogram
+
+    return periodogram(_daily(spark, sf_dir), "t", "v", max_freq=10)

@@ -391,3 +391,50 @@ def cox_ph_binary(
         F.col("n_1").cast("bigint").alias("n_1"),
         F.col("n_events").cast("bigint").alias("n_events"),
     )
+
+
+def restricted_mean_survival(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    *,
+    tau: float,
+) -> DataFrame:
+    """Restricted mean survival time up to horizon ``tau`` (Royston &
+    Parmar, BMC Med. Res. Methodol. 2013; the recommended summary when
+    proportional hazards fails): the area under the Kaplan-Meier step
+    function on [0, tau],
+
+        RMST = sum_i S(t_{i-1}) * (t_i - t_{i-1}) + S(t_m) * (tau - t_m)
+
+    One lag window over the (rollup-sized) KM curve, nano-unit-exact
+    segment sums, the tail segment from one ``max_by`` argmax.
+    Returns ``(rmst, tau, n_times)``."""
+    km = kaplan_meier(df, duration_col, event_col).where(
+        F.col("duration").cast("double") <= F.lit(tau)
+    )
+    w = Window.orderBy("duration")
+    seg = km.select(
+        F.col("duration").cast("double").alias("t"),
+        "survival",
+        F.coalesce(F.lag(F.col("duration").cast("double")).over(w),
+                   F.lit(0.0)).alias("pt"),
+        F.coalesce(F.lag("survival").over(w), F.lit(1.0)).alias("ps"),
+    )
+    agg = seg.agg(
+        F.sum(
+            F.floor((F.col("t") - F.col("pt")) * F.col("ps")
+                    * F.lit(1e9) + F.lit(0.5)).cast("bigint")
+        ).alias("__area_u"),
+        F.max_by(F.struct("t", "survival"), "t").alias("__last"),
+        F.count(F.lit(1)).alias("n_times"),
+    )
+    rmst = (
+        F.col("__area_u").cast("double") / F.lit(1e9)
+        + (F.lit(tau) - F.col("__last.t")) * F.col("__last.survival")
+    )
+    return agg.select(
+        rmst.alias("rmst"),
+        F.lit(tau).alias("tau"),
+        F.col("n_times").cast("bigint").alias("n_times"),
+    )

@@ -738,3 +738,59 @@ def theta_forecast(
         F.col("h").cast("int").alias("h"),
         (F.col("__level") + slope / F.lit(2.0) * drift).alias("forecast"),
     )
+
+
+_TWO_PI = 6.283185307179586
+
+
+def periodogram(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    *,
+    max_freq: int = 10,
+    units: float = 1e3,
+) -> DataFrame:
+    """Schuster periodogram at harmonics ``k = 1..max_freq`` (Schuster
+    1898; the classical hidden-periodicity scan):
+
+        P_k = ( C_k^2 + S_k^2 ) / n,
+        C_k = sum_t v_t cos(2 pi k t / n),  S_k likewise with sin
+
+    Intended for rollup-sized series.  Each cos/sin summand is
+    quantized to ``units`` integers so the 2*max_freq reductions are
+    exact (partition-order-free); the angles use a pinned 2-pi literal
+    so both engines evaluate identical doubles.  One count broadcast +
+    ONE aggregate + an in-plan explode to ``(k, power)`` rows."""
+    t = F.col(order_col).cast("double")
+    v = F.col(value_col).cast("double")
+    nn = df.agg(F.count(F.lit(1)).alias("__n"))
+    base = df.crossJoin(F.broadcast(nn)).select(
+        t.alias("__t"), v.alias("__v"),
+        F.col("__n").cast("double").alias("__nd"), "__n",
+    )
+
+    def q(expr):
+        return F.floor(expr * F.lit(units) + F.lit(0.5)).cast("bigint")
+
+    aggs = [F.first("__n").alias("__n")]
+    for k in range(1, max_freq + 1):
+        ang = F.lit(_TWO_PI * k) * F.col("__t") / F.col("__nd")
+        aggs.append(F.sum(q(F.col("__v") * F.cos(ang))).alias(f"__c_{k}"))
+        aggs.append(F.sum(q(F.col("__v") * F.sin(ang))).alias(f"__s_{k}"))
+    agg = base.agg(*aggs)
+    powers = F.array(*[
+        F.struct(
+            F.lit(k).cast("int").alias("k"),
+            (
+                (
+                    F.pow(F.col(f"__c_{k}").cast("double") / F.lit(units), 2.0)
+                    + F.pow(F.col(f"__s_{k}").cast("double") / F.lit(units), 2.0)
+                ) / F.col("__n").cast("double")
+            ).alias("power"),
+        )
+        for k in range(1, max_freq + 1)
+    ])
+    return agg.select(F.explode(powers).alias("p")).select(
+        F.col("p.k").alias("k"), F.col("p.power").alias("power")
+    )

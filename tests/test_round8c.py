@@ -570,3 +570,30 @@ def test_cox_ph_matches_reference_newton(spark):
     assert got["hazard_ratio"] > 1.0  # group 1 has elevated hazard
     assert abs(got["u_final"]) < 1e-3  # converged score
     assert got["n_0"] == 6 and got["n_1"] == 6
+
+
+def test_rmst_step_integral(spark):
+    from gofast_spark.stats.survival import restricted_mean_survival
+
+    # events at t=2 (S: 1->0.75), t=5 (0.75->0.5), censor at 10
+    data = [(2, 1), (2, 1), (5, 1), (5, 1), (10, 0), (10, 0),
+            (10, 0), (10, 0)]
+    df = spark.createDataFrame(data, ["dur", "ev"])
+    got = restricted_mean_survival(df, "dur", "ev", tau=8.0).collect()[0]
+    # S=1 on [0,2), 0.75 on [2,5), 0.5 on [5,8]: 2 + 3*0.75 + 3*0.5
+    assert got["rmst"] == pytest.approx(2 + 2.25 + 1.5, abs=1e-6)
+    assert got["n_times"] == 2
+
+
+def test_periodogram_finds_planted_frequency(spark):
+    from gofast_spark.ts.engineering import periodogram
+
+    n = 48
+    rows = [(t, 100.0 + 50.0 * math.cos(2 * math.pi * 4 * t / n))
+            for t in range(n)]
+    df = spark.createDataFrame(rows, ["t", "y"])
+    got = {r["k"]: r["power"] for r in
+           periodogram(df, "t", "y", max_freq=8).collect()}
+    # k=4 dominates every other harmonic
+    assert got[4] == max(got.values())
+    assert got[4] > 100 * max(v for k, v in got.items() if k != 4)
