@@ -151,3 +151,68 @@ def kmeans_inertia(
         F.sum("__d").alias("inertia_uu"),
         F.count(F.lit(1)).alias("n_points"),
     )
+
+
+def simplified_silhouette(
+    df: DataFrame,
+    id_col: str,
+    dim_cols: Sequence[str],
+    centroids: DataFrame,
+) -> DataFrame:
+    """Per-cluster mean SIMPLIFIED silhouette (Rousseeuw, JCAM 1987;
+    the centroid-based simplification of Hruschka et al. 2004 —
+    distances to centroids, not all point pairs, so the cost is
+    points x k instead of points^2):
+
+        s_i = (b_i - a_i) / max(a_i, b_i)
+
+    with ``a`` the distance to the assigned centroid and ``b`` the
+    nearest OTHER centroid.  Distances are exact integer micro-unit
+    squares (the `kmeans_inertia` arithmetic); each ``s_i`` is
+    quantized to nano-units so the per-cluster means are exact.
+    ``centroids`` is a ``fit_kmeans_lloyd`` result.  Output: ``(cid,
+    n, mean_silhouette)``."""
+    dims = list(dim_cols)
+    d = len(dims)
+    cols = [
+        F.floor(F.col(c).cast("double") * _U + F.lit(0.5))
+        .cast("bigint")
+        .alias(f"x{i}")
+        for i, c in enumerate(dims)
+    ]
+    pts = df.select(F.col(id_col).alias("__id"), *cols).where(
+        F.col("__id").isNotNull()
+    )
+    cent = centroids.select(
+        "cid", *[F.col(f"c{i}_u6").alias(f"c{i}") for i in range(d)]
+    )
+    dist = None
+    for i in range(d):
+        t = F.col(f"x{i}") - F.col(f"c{i}")
+        dist = t * t if dist is None else dist + t * t
+    j = pts.crossJoin(F.broadcast(cent))
+    asg = j.groupBy("__id").agg(
+        F.min(F.struct(dist.alias("d2"), F.col("cid"))).alias("__m")
+    ).select(
+        "__id",
+        F.col("__m.d2").alias("__a2"),
+        F.col("__m.cid").alias("__own"),
+    )
+    b = (
+        j.join(F.broadcast(asg.select("__id", "__own")), "__id")
+        .where(F.col("cid") != F.col("__own"))
+        .groupBy("__id")
+        .agg(F.min(dist).alias("__b2"))
+    )
+    a_d = F.sqrt(F.col("__a2").cast("double")) / F.lit(float(_U))
+    b_d = F.sqrt(F.col("__b2").cast("double")) / F.lit(float(_U))
+    su = F.floor(
+        (b_d - a_d) / F.greatest(a_d, b_d) * F.lit(1e9) + F.lit(0.5)
+    ).cast("bigint")
+    s = asg.join(b, "__id").select(F.col("__own").alias("cid"),
+                                   su.alias("__su"))
+    return s.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.sum("__su").cast("double") / F.lit(1e9)
+         / F.count(F.lit(1)).cast("double")).alias("mean_silhouette"),
+    )

@@ -1544,3 +1544,105 @@ def association_rules_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return association_rules(
         li, "l_orderkey", "product", min_support=5, top_pairs=20
     )
+
+
+def _silhouette_oracle() -> str:
+    """The kmeans unroll (same as _kmeans_oracle) feeding the
+    simplified-silhouette readout — certifying the two ops CHAIN."""
+    xs = ", ".join(
+        f"CAST(floor(CAST(embedding[{i + 1}] AS DOUBLE) * 1000000 + 0.5)"
+        f" AS BIGINT) AS x{i}"
+        for i in range(_KM_D)
+    )
+    ctes = [f"""pts AS (
+      SELECT vec_id AS id,
+             CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+               AS BIGINT) AS hv,
+             {xs}
+      FROM embeddings WHERE vec_id IS NOT NULL),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY hv) - 1 AS cid,
+             {", ".join(f"x{i} AS k{i}" for i in range(_KM_D))}
+      FROM (SELECT * FROM pts ORDER BY hv LIMIT {_KM_K}))"""]
+    dist = " + ".join(
+        f"(p.x{i} - c.k{i}) * (p.x{i} - c.k{i})" for i in range(_KM_D)
+    )
+    for t in range(1, _KM_ITER + 1):
+        p = t - 1
+        ctes.append(f"""a{t} AS (
+      SELECT id, {", ".join(f"x{i}" for i in range(_KM_D))}, cid FROM (
+        SELECT p.*, c.cid,
+               row_number() OVER (PARTITION BY p.id
+                 ORDER BY {dist}, c.cid) AS rn
+        FROM pts p, c{p} c) WHERE rn = 1),
+    u{t} AS (
+      SELECT cid,
+             {", ".join(
+                 f"CAST(trunc(CAST(sum(x{i}) AS DOUBLE) / count(*))"
+                 f" AS BIGINT) AS k{i}" for i in range(_KM_D))},
+             count(*) AS n
+      FROM a{t} GROUP BY cid),
+    c{t} AS (
+      SELECT c{p}.cid,
+             {", ".join(
+                 f"coalesce(u{t}.k{i}, c{p}.k{i}) AS k{i}"
+                 for i in range(_KM_D))},
+             coalesce(u{t}.n, 0) AS n
+      FROM c{p} LEFT JOIN u{t} USING (cid))""")
+    fin = f"c{_KM_ITER}"
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body},
+    asg AS (
+      SELECT id, cid, d2 FROM (
+        SELECT p.id, c.cid, {dist} AS d2,
+               row_number() OVER (PARTITION BY p.id
+                 ORDER BY {dist}, c.cid) AS rn
+        FROM pts p, {fin} c) WHERE rn = 1),
+    b2 AS (
+      SELECT p.id, min({dist}) AS b2
+      FROM pts p, {fin} c, asg
+      WHERE asg.id = p.id AND c.cid <> asg.cid
+      GROUP BY p.id),
+    s AS (
+      SELECT asg.cid,
+             CAST(floor(
+               (sqrt(CAST(b2 AS DOUBLE)) / 1000000.0
+                - sqrt(CAST(d2 AS DOUBLE)) / 1000000.0)
+               / greatest(sqrt(CAST(d2 AS DOUBLE)) / 1000000.0,
+                          sqrt(CAST(b2 AS DOUBLE)) / 1000000.0)
+               * 1e9 + 0.5) AS BIGINT) AS su
+      FROM asg JOIN b2 ON b2.id = asg.id)
+    SELECT cid, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(su) AS DOUBLE) / 1e9 / CAST(count(*) AS DOUBLE)
+             AS mean_silhouette
+    FROM s GROUP BY cid
+    """
+
+
+@query("silhouette_embeddings", oracle=_silhouette_oracle())
+def silhouette_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster simplified silhouette of the exact-Lloyd clustering
+    (ml/kmeans_exact.py simplified_silhouette; Rousseeuw 1987,
+    centroid-based form) — points x k distances only, exact integer
+    squares, nano-unit-exact means; the oracle replays the Lloyd
+    unroll AND the silhouette chain."""
+    from gofast_spark.ml.kmeans_exact import (
+        fit_kmeans_lloyd,
+        simplified_silhouette,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        *[
+            F.element_at("embedding", i + 1).alias(f"e{i}")
+            for i in range(_KM_D)
+        ],
+    )
+    cent = fit_kmeans_lloyd(
+        e, "vec_id", [f"e{i}" for i in range(_KM_D)], _KM_K,
+        iterations=_KM_ITER,
+    )
+    return simplified_silhouette(
+        e, "vec_id", [f"e{i}" for i in range(_KM_D)], cent
+    )

@@ -1130,3 +1130,41 @@ def winsorize_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mean_after"),
         )
     )
+
+
+@query(
+    "k_anonymity_customer",
+    oracle="""
+    WITH per AS (
+      SELECT c_nationkey, c_mktsegment, count(*) AS n,
+             count(DISTINCT CAST(floor(CAST(c_acctbal AS DOUBLE)
+               / 1000.0) AS BIGINT)) AS l
+      FROM customer GROUP BY 1, 2)
+    SELECT CAST(5 AS INTEGER) AS k,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_groups,
+           CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+             AS n_rows_at_risk,
+           CAST(min(n) AS BIGINT) AS anonymity_level,
+           CAST(min(l) AS BIGINT) AS l_diversity_min
+    FROM per
+    """,
+)
+def k_anonymity_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit of customers under the
+    (nation, segment) quasi-identifier with bucketed balance as the
+    sensitive attribute (quality/audit.py k_anonymity_report; Sweeney
+    2002, Machanavajjhala 2007) — the pre-release re-identification
+    readout beside `pii_redact_contacts` and `anonymize_customer_names`."""
+    from gofast_spark.quality.audit import k_anonymity_report
+
+    c = _t(spark, sf_dir, "customer").withColumn(
+        "acct_bucket",
+        F.floor(F.col("c_acctbal").cast("double") / F.lit(1000.0))
+        .cast("bigint"),
+    )
+    return k_anonymity_report(
+        c, ["c_nationkey", "c_mktsegment"], k=5,
+        sensitive_col="acct_bucket",
+    )

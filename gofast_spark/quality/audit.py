@@ -139,3 +139,45 @@ def benford_profile(df: DataFrame, col: str) -> DataFrame:
             / (F.col("total") * F.col("expected"))
         ).alias("chi2_term"),
     )
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols,
+    *,
+    k: int = 5,
+    sensitive_col: str | None = None,
+) -> DataFrame:
+    """k-anonymity / l-diversity audit of a table under a
+    quasi-identifier set (Sweeney, IJUFKS 2002; Machanavajjhala et
+    al., TKDD 2007): group rows by the quasi-identifier combination
+    and report how close the table is to k-anonymity — the re-
+    identification readout PII pipelines run before release.
+
+    ONE groupBy over the quasi-identifier set (plus a per-group
+    distinct count when ``sensitive_col`` is given — exact, one extra
+    shuffle), then a group-count-sized rollup.  Output: one row
+    ``(k, n_groups, n_violating_groups, n_rows_at_risk,
+    anonymity_level, l_diversity_min)`` where ``anonymity_level`` is
+    the smallest group (the k the table actually satisfies) and
+    ``l_diversity_min`` the minimum per-group distinct sensitive
+    values (NULL without a sensitive column)."""
+    quasi = [quasi_cols] if isinstance(quasi_cols, str) else list(quasi_cols)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    if sensitive_col:
+        aggs.append(
+            F.countDistinct(F.col(sensitive_col)).alias("__l")
+        )
+    per = df.groupBy(*[F.col(c) for c in quasi]).agg(*aggs)
+    out = per.agg(
+        F.lit(k).cast("int").alias("k"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(F.when(F.col("__n") < k, 1).otherwise(0))
+        .cast("bigint").alias("n_violating_groups"),
+        F.sum(F.when(F.col("__n") < k, F.col("__n")).otherwise(0))
+        .cast("bigint").alias("n_rows_at_risk"),
+        F.min("__n").cast("bigint").alias("anonymity_level"),
+        (F.min("__l") if sensitive_col else F.lit(None))
+        .cast("bigint").alias("l_diversity_min"),
+    )
+    return out

@@ -597,3 +597,36 @@ def test_periodogram_finds_planted_frequency(spark):
     # k=4 dominates every other harmonic
     assert got[4] == max(got.values())
     assert got[4] > 100 * max(v for k, v in got.items() if k != 4)
+
+
+def test_silhouette_separated_clusters(spark):
+    from gofast_spark.ml.kmeans_exact import (
+        fit_kmeans_lloyd, simplified_silhouette,
+    )
+
+    # two tight, well-separated blobs
+    rows = [(i, 0.0 + (i % 3) * 0.01, 0.0) for i in range(12)] + \
+           [(100 + i, 10.0 + (i % 3) * 0.01, 10.0) for i in range(12)]
+    df = spark.createDataFrame(rows, ["id", "x", "y"])
+    cent = fit_kmeans_lloyd(df, "id", ["x", "y"], 2, iterations=3)
+    got = simplified_silhouette(df, "id", ["x", "y"], cent).collect()
+    assert len(got) == 2
+    for r in got:
+        assert r["n"] == 12
+        assert r["mean_silhouette"] > 0.99  # near-perfect separation
+
+
+def test_k_anonymity_report(spark):
+    from gofast_spark.quality.audit import k_anonymity_report
+
+    rows = ([("us", "a", i) for i in range(6)]      # group of 6: safe
+            + [("fr", "a", i) for i in range(3)]    # group of 3: at risk
+            + [("de", "b", 1)])                     # group of 1: at risk
+    df = spark.createDataFrame(rows, ["nat", "seg", "s"])
+    got = k_anonymity_report(
+        df, ["nat", "seg"], k=5, sensitive_col="s").collect()[0]
+    assert got["n_groups"] == 3
+    assert got["n_violating_groups"] == 2
+    assert got["n_rows_at_risk"] == 4
+    assert got["anonymity_level"] == 1
+    assert got["l_diversity_min"] == 1
