@@ -3040,3 +3040,134 @@ def ab_mde_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", 2, seed=0, out_col="variant",
     )
     return ab_mde_report(e, "value", "variant")
+
+
+@query(
+    "covariate_balance_orders",
+    oracle="""
+    WITH d AS (
+      SELECT CAST((o_orderkey * 1103515245 + 12345) % 2147483648 % 2
+               AS INT) AS t,
+             CAST(floor(CAST(o_totalprice AS DOUBLE) * 1e6 + 0.5)
+               AS BIGINT) AS p,
+             CAST(floor(CAST(date_diff('day', DATE '1995-01-01',
+                  CAST(o_orderdate AS DATE)) AS DOUBLE) * 1e6 + 0.5)
+               AS BIGINT) AS dd
+      FROM orders),
+    a AS (
+      SELECT
+        sum(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS nt,
+        sum(CASE WHEN t = 1 THEN CAST(p AS HUGEINT) ELSE 0 END) AS spt,
+        sum(CASE WHEN t = 1 THEN CAST(p AS HUGEINT) * p ELSE 0 END)
+          AS sspt,
+        sum(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS nc,
+        sum(CASE WHEN t = 0 THEN CAST(p AS HUGEINT) ELSE 0 END) AS spc,
+        sum(CASE WHEN t = 0 THEN CAST(p AS HUGEINT) * p ELSE 0 END)
+          AS sspc,
+        sum(CASE WHEN t = 1 THEN CAST(dd AS HUGEINT) ELSE 0 END) AS sdt,
+        sum(CASE WHEN t = 1 THEN CAST(dd AS HUGEINT) * dd ELSE 0 END)
+          AS ssdt,
+        sum(CASE WHEN t = 0 THEN CAST(dd AS HUGEINT) ELSE 0 END) AS sdc,
+        sum(CASE WHEN t = 0 THEN CAST(dd AS HUGEINT) * dd ELSE 0 END)
+          AS ssdc
+      FROM d),
+    f AS (
+      SELECT 'price' AS covariate,
+             CAST(spt AS DOUBLE) / CAST(nt AS DOUBLE) / 1e6 AS mean_t,
+             CAST(spc AS DOUBLE) / CAST(nc AS DOUBLE) / 1e6 AS mean_c,
+             CAST(nt * sspt - spt * spt AS DOUBLE)
+               / CAST(nt * (nt - 1) AS DOUBLE) / 1e12 AS var_t,
+             CAST(nc * sspc - spc * spc AS DOUBLE)
+               / CAST(nc * (nc - 1) AS DOUBLE) / 1e12 AS var_c,
+             nt, nc
+      FROM a
+      UNION ALL
+      SELECT 'order_day',
+             CAST(sdt AS DOUBLE) / CAST(nt AS DOUBLE) / 1e6,
+             CAST(sdc AS DOUBLE) / CAST(nc AS DOUBLE) / 1e6,
+             CAST(nt * ssdt - sdt * sdt AS DOUBLE)
+               / CAST(nt * (nt - 1) AS DOUBLE) / 1e12,
+             CAST(nc * ssdc - sdc * sdc AS DOUBLE)
+               / CAST(nc * (nc - 1) AS DOUBLE) / 1e12,
+             nt, nc
+      FROM a)
+    SELECT covariate, mean_t, mean_c,
+           (mean_t - mean_c) / sqrt((var_t + var_c) / 2.0) AS smd,
+           CAST(nt AS BIGINT) AS n_t, CAST(nc AS BIGINT) AS n_c
+    FROM f
+    """,
+)
+def covariate_balance_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized-mean-difference balance table for the LCG-split
+    order 'experiment' over (total price, order day)
+    (stats/causal.py covariate_balance; Austin 2009) — the propensity
+    diagnostics companion to `ipw_ate_orders`, one conditional
+    exact-moment aggregate."""
+    from gofast_spark.ml.selection import kfold_assign
+    from gofast_spark.stats.causal import covariate_balance
+
+    o = kfold_assign(
+        _t(spark, sf_dir, "orders"), "o_orderkey", 2, seed=0,
+        out_col="variant",
+    ).select(
+        F.col("variant"),
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.datediff(F.col("o_orderdate").cast("date"),
+                   F.lit("1995-01-01")).cast("double").alias("order_day"),
+    )
+    return covariate_balance(
+        o, ["price", "order_day"], F.col("variant") == 1
+    )
+
+
+@query(
+    "srm_check_events",
+    oracle="""
+    WITH d AS (
+      SELECT CAST((user_id * 1103515245 + 12345) % 2147483648 % 2
+               AS INT) AS g
+      FROM events WHERE user_id IS NOT NULL),
+    a AS (
+      SELECT sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS n0,
+             sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS n1
+      FROM d)
+    SELECT CAST(n0 AS BIGINT) AS n_0, CAST(n1 AS BIGINT) AS n_1,
+           CAST(n0 AS DOUBLE) / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE))
+             AS ratio_0,
+           (CAST(n0 AS DOUBLE) - (CAST(n0 AS DOUBLE)
+              + CAST(n1 AS DOUBLE)) * 0.5)
+             * (CAST(n0 AS DOUBLE) - (CAST(n0 AS DOUBLE)
+                + CAST(n1 AS DOUBLE)) * 0.5)
+             / ((CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)) * 0.5)
+           + (CAST(n1 AS DOUBLE) - (CAST(n0 AS DOUBLE)
+              + CAST(n1 AS DOUBLE)) * 0.5)
+             * (CAST(n1 AS DOUBLE) - (CAST(n0 AS DOUBLE)
+                + CAST(n1 AS DOUBLE)) * 0.5)
+             / ((CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)) * 0.5)
+             AS chi2,
+           ((CAST(n0 AS DOUBLE) - (CAST(n0 AS DOUBLE)
+               + CAST(n1 AS DOUBLE)) * 0.5)
+             * (CAST(n0 AS DOUBLE) - (CAST(n0 AS DOUBLE)
+                + CAST(n1 AS DOUBLE)) * 0.5)
+             / ((CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)) * 0.5)
+            + (CAST(n1 AS DOUBLE) - (CAST(n0 AS DOUBLE)
+               + CAST(n1 AS DOUBLE)) * 0.5)
+             * (CAST(n1 AS DOUBLE) - (CAST(n0 AS DOUBLE)
+                + CAST(n1 AS DOUBLE)) * 0.5)
+             / ((CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)) * 0.5))
+             > 10.827566170662733 AS srm_suspected
+    FROM a
+    """,
+)
+def srm_check_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch chi-square check of the LCG user split
+    (stats/causal.py srm_check; Fabijan et al. 2019) — the A/B trust
+    gate, one conditional-count aggregate."""
+    from gofast_spark.ml.selection import kfold_assign
+    from gofast_spark.stats.causal import srm_check
+
+    e = kfold_assign(
+        _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull()),
+        "user_id", 2, seed=0, out_col="variant",
+    )
+    return srm_check(e, "variant")

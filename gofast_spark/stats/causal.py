@@ -314,3 +314,108 @@ def rdd_local_linear(
         (F.col("a_right") - F.col("a_left")).alias("tau"),
         "a_left", "a_right", "b_left", "b_right", "n_left", "n_right",
     )
+
+
+def covariate_balance(
+    df: DataFrame,
+    covariate_cols,
+    treat_col,
+    *,
+    units: float = 1e6,
+) -> DataFrame:
+    """Standardized-mean-difference covariate balance table (Austin,
+    Stat. Med. 2009; the standard propensity-diagnostics readout —
+    |SMD| < 0.1 is the usual balance rule):
+
+        SMD = (mean_T - mean_C) / sqrt((var_T + var_C) / 2)
+
+    per covariate, from ONE conditional exact-integer moment aggregate
+    (values quantized to ``units``, squares decimal-widened) — no
+    join, no window, engine-reproducible.  Output: one row per
+    covariate ``(covariate, mean_t, mean_c, smd, n_t, n_c)``."""
+    covs = (
+        [covariate_cols] if isinstance(covariate_cols, str)
+        else list(covariate_cols)
+    )
+    t = (F.col(treat_col) if isinstance(treat_col, str) else treat_col) \
+        .cast("boolean")
+    aggs = []
+    for c in covs:
+        x = F.col(c).cast("double")
+        xu = F.floor(x * F.lit(units) + F.lit(0.5)).cast("bigint")
+        for side, m in (("t", t), ("c", ~t)):
+            z = F.lit(0).cast("bigint")
+            v = F.when(m & x.isNotNull(), xu).otherwise(z)
+            aggs += [
+                F.sum(F.when(m & x.isNotNull(), 1).otherwise(0))
+                .alias(f"__n_{side}_{c}"),
+                F.sum(v.cast("decimal(19,0)")).alias(f"__s_{side}_{c}"),
+                F.sum(v.cast("decimal(19,0)") * v)
+                .alias(f"__ss_{side}_{c}"),
+            ]
+    agg = df.agg(*aggs)
+
+    rows = []
+    for c in covs:
+        def mv(side):
+            n = F.col(f"__n_{side}_{c}").cast("decimal(19,0)")
+            nd = F.col(f"__n_{side}_{c}").cast("double")
+            mean = (F.col(f"__s_{side}_{c}").cast("double") / nd
+                    / F.lit(units))
+            var = (
+                (n * F.col(f"__ss_{side}_{c}")
+                 - F.col(f"__s_{side}_{c}") * F.col(f"__s_{side}_{c}"))
+                .cast("double")
+                / (n * (n - F.lit(1).cast("decimal(19,0)")))
+                .cast("double") / F.lit(units * units)
+            )
+            return mean, var, F.col(f"__n_{side}_{c}")
+
+        mt, vt, nt = mv("t")
+        mc, vc, nc = mv("c")
+        smd = (mt - mc) / F.sqrt((vt + vc) / F.lit(2.0))
+        rows.append(F.struct(
+            F.lit(c).alias("covariate"),
+            mt.alias("mean_t"), mc.alias("mean_c"),
+            smd.alias("smd"),
+            nt.cast("bigint").alias("n_t"),
+            nc.cast("bigint").alias("n_c"),
+        ))
+    return agg.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+
+
+def srm_check(
+    df: DataFrame,
+    variant_col: str,
+    *,
+    expected: tuple[float, float] = (0.5, 0.5),
+) -> DataFrame:
+    """Sample-ratio-mismatch check for a two-variant experiment
+    (Fabijan et al., KDD 2019 — the most common A/B trust failure):
+    chi-square goodness of fit of observed variant counts against the
+    designed split.
+
+        chi2 = sum_g (n_g - N p_g)^2 / (N p_g),  dof = 1
+
+    ONE conditional-count aggregate; exact integer counts so the
+    statistic is engine-reproducible.  Output: ``(n_0, n_1, ratio_0,
+    chi2, srm_suspected)`` — flagged above the conventional
+    chi2 > 10.83 (p < 0.001) bar."""
+    g = F.col(variant_col).cast("int")
+    agg = df.where(g.isNotNull()).agg(
+        F.sum(F.when(g == 0, 1).otherwise(0)).alias("__n0"),
+        F.sum(F.when(g == 1, 1).otherwise(0)).alias("__n1"),
+    )
+    n0 = F.col("__n0").cast("double")
+    n1 = F.col("__n1").cast("double")
+    nn = n0 + n1
+    e0 = nn * F.lit(expected[0])
+    e1 = nn * F.lit(expected[1])
+    chi2 = (n0 - e0) * (n0 - e0) / e0 + (n1 - e1) * (n1 - e1) / e1
+    return agg.select(
+        F.col("__n0").cast("bigint").alias("n_0"),
+        F.col("__n1").cast("bigint").alias("n_1"),
+        (n0 / nn).alias("ratio_0"),
+        chi2.alias("chi2"),
+        (chi2 > F.lit(10.827566170662733)).alias("srm_suspected"),
+    )

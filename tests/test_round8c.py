@@ -630,3 +630,36 @@ def test_k_anonymity_report(spark):
     assert got["n_rows_at_risk"] == 4
     assert got["anonymity_level"] == 1
     assert got["l_diversity_min"] == 1
+
+
+def test_covariate_balance_detects_imbalance(spark):
+    from gofast_spark.stats.causal import covariate_balance
+    import pyspark.sql.functions as F
+
+    # treated group shifted by +2 on x, balanced on y
+    rows = [(1, 10.0 + i * 0.1 + 2.0, 5.0 + i * 0.1) for i in range(50)]
+    rows += [(0, 10.0 + i * 0.1, 5.0 + i * 0.1) for i in range(50)]
+    df = spark.createDataFrame(rows, ["t", "x", "y"])
+    got = {r["covariate"]: r for r in covariate_balance(
+        df, ["x", "y"], F.col("t") == 1).collect()}
+    assert abs(got["x"]["smd"]) > 1.0      # badly imbalanced
+    assert abs(got["y"]["smd"]) < 1e-6     # perfectly balanced
+    assert got["x"]["mean_t"] == pytest.approx(got["x"]["mean_c"] + 2.0,
+                                               abs=1e-6)
+
+
+def test_srm_check_flags_skewed_split(spark):
+    from gofast_spark.stats.causal import srm_check
+
+    ok = spark.createDataFrame(
+        [(i % 2,) for i in range(1000)], ["g"])
+    got = srm_check(ok, "g").collect()[0]
+    assert got["chi2"] == pytest.approx(0.0)
+    assert not got["srm_suspected"]
+
+    bad = spark.createDataFrame(
+        [(0,)] * 700 + [(1,)] * 300, ["g"])
+    got2 = srm_check(bad, "g").collect()[0]
+    # chi2 = (700-500)^2/500 * 2 = 160
+    assert got2["chi2"] == pytest.approx(160.0)
+    assert got2["srm_suspected"]
