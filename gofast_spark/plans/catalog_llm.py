@@ -2934,3 +2934,62 @@ def rake_keywords_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rake_keywords(
         _docs(spark, sf_dir), "text", top_k=20, min_phrase_freq=2
     )
+
+
+@query(
+    "chi2_tokens_by_lang",
+    oracle=f"""
+    WITH d AS (
+      SELECT lang AS cls, {_norm_sql('text')} AS t FROM documents),
+    dd AS (SELECT cls, t FROM d WHERE len(t) > 0),
+    dt AS (
+      SELECT cls, tok AS token
+      FROM (SELECT cls, list_distinct(string_split(t, ' ')) AS tk
+            FROM dd), unnest(tk) AS u(tok)),
+    a AS (SELECT cls, token, count(*) AS df_ct FROM dt GROUP BY 1, 2),
+    cs AS (SELECT cls, count(*) AS n_c FROM dd GROUP BY 1),
+    tt AS (SELECT count(*) AS nn FROM dd),
+    td AS (SELECT token, sum(df_ct) AS n_t FROM a GROUP BY 1),
+    j AS (
+      SELECT a.cls, a.token, df_ct, n_c, n_t, nn
+      FROM a JOIN cs USING (cls) JOIN td USING (token) CROSS JOIN tt
+      WHERE n_t >= 2),
+    sc AS (
+      SELECT cls, token, df_ct,
+             round(CAST(nn AS DOUBLE)
+               * (CAST(df_ct AS DOUBLE)
+                    * CAST(nn - n_t - n_c + df_ct AS DOUBLE)
+                  - CAST(n_c - df_ct AS DOUBLE)
+                    * CAST(n_t - df_ct AS DOUBLE))
+               * (CAST(df_ct AS DOUBLE)
+                    * CAST(nn - n_t - n_c + df_ct AS DOUBLE)
+                  - CAST(n_c - df_ct AS DOUBLE)
+                    * CAST(n_t - df_ct AS DOUBLE))
+               / ((CAST(df_ct AS DOUBLE) + CAST(n_c - df_ct AS DOUBLE))
+                  * (CAST(n_t - df_ct AS DOUBLE)
+                     + CAST(nn - n_t - n_c + df_ct AS DOUBLE))
+                  * (CAST(df_ct AS DOUBLE) + CAST(n_t - df_ct AS DOUBLE))
+                  * (CAST(n_c - df_ct AS DOUBLE)
+                     + CAST(nn - n_t - n_c + df_ct AS DOUBLE))), 6)
+               AS chi2
+      FROM j),
+    rk AS (
+      SELECT cls, token, df_ct, chi2,
+             row_number() OVER (PARTITION BY cls
+               ORDER BY chi2 DESC, token) AS rn
+      FROM sc)
+    SELECT cls, token, CAST(df_ct AS BIGINT) AS df_ct,
+           CAST(chi2 AS DOUBLE) AS chi2
+    FROM rk WHERE rn <= 5
+    """,
+)
+def chi2_tokens_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 chi-square-selected tokens per language (text/features.py
+    chi2_feature_selection; Yang & Pedersen 1997) — document-frequency
+    2x2 contingencies from one explode+distinct+groupBy, double
+    promotion from the first multiply, per-class rank window."""
+    from gofast_spark.text.features import chi2_feature_selection
+
+    return chi2_feature_selection(
+        _docs(spark, sf_dir), "text", "lang", top_k=5, min_df=2
+    )

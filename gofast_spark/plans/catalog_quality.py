@@ -1168,3 +1168,57 @@ def k_anonymity_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         c, ["c_nationkey", "c_mktsegment"], k=5,
         sensitive_col="acct_bucket",
     )
+
+
+@query(
+    "hbos_outliers_lineitem",
+    oracle="""
+    WITH base AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_quantity AS DOUBLE) AS x0,
+             CAST(l_extendedprice AS DOUBLE) AS x1
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+    r AS (
+      SELECT count(*) AS n, min(x0) AS lo0, max(x0) AS hi0,
+             min(x1) AS lo1, max(x1) AS hi1
+      FROM base),
+    b AS (
+      SELECT l_orderkey, l_linenumber, n,
+             least(greatest(CAST(floor((x0 - lo0)
+               / ((hi0 - lo0) / 10.0)) AS INTEGER), 0), 9) AS b0,
+             least(greatest(CAST(floor((x1 - lo1)
+               / ((hi1 - lo1) / 10.0)) AS INTEGER), 0), 9) AS b1
+      FROM base, r),
+    h0 AS (
+      SELECT b0,
+             CAST(floor(-ln(CAST(count(*) AS DOUBLE)
+               / CAST(any_value(n) AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+               AS s0
+      FROM b GROUP BY b0),
+    h1 AS (
+      SELECT b1,
+             CAST(floor(-ln(CAST(count(*) AS DOUBLE)
+               / CAST(any_value(n) AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+               AS s1
+      FROM b GROUP BY b1),
+    sc AS (
+      SELECT l_orderkey, l_linenumber, s0 + s1 AS st
+      FROM b JOIN h0 USING (b0) JOIN h1 USING (b1))
+    SELECT l_orderkey, l_linenumber,
+           CAST(round(CAST(st AS DOUBLE) / 1e6, 6) AS DOUBLE) AS hbos
+    FROM sc ORDER BY hbos DESC, l_orderkey, l_linenumber LIMIT 20
+    """,
+)
+def hbos_outliers_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 histogram-based outlier scores over (quantity, price)
+    (quality/outliers.py hbos_scores; Goldstein & Dengel 2012) — the
+    linear-time unsupervised detector beside the Mahalanobis entry:
+    bins-sized histograms, broadcast joins, micro-unit-exact score
+    sums."""
+    from gofast_spark.quality.outliers import hbos_scores
+
+    return hbos_scores(
+        _t(spark, sf_dir, "lineitem"), ["l_quantity", "l_extendedprice"],
+        ["l_orderkey", "l_linenumber"], bins=10, top_k=20,
+    )

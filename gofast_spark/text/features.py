@@ -86,3 +86,80 @@ def hashed_tf_vector(
             F.expr("transform(vec, x -> x / __l2)"),
         )
     return assembled.select(id_col, "vec")
+
+
+def chi2_feature_selection(
+    df: DataFrame,
+    text_col: str,
+    label_col: str,
+    *,
+    top_k: int = 10,
+    min_df: int = 2,
+) -> DataFrame:
+    """Per-class chi-square feature (token) selection (Yang &
+    Pedersen, ICML 1997 — the classic text feature-selection study):
+    for each (token, class), the chi-square of the 2x2 document
+    contingency
+
+        chi2 = N (AD - CB)^2 / ((A+C)(B+D)(A+B)(C+D))
+
+    with A = docs of the class containing the token, using DOCUMENT
+    frequencies (each doc counts once per token).  One explode +
+    distinct + groupBy builds the (token, class) table; margins are
+    vocab-/class-sized rollups; products promote to double from the
+    first multiply so int64 never overflows.  Output: the ``top_k``
+    tokens per class by chi2 (rounded to 6 for engine-stable ties,
+    token tie-break)."""
+    from pyspark.sql import Window
+
+    from gofast_spark.text.analysis import normalize_text
+
+    norm = normalize_text(text_col)
+    # one row per (doc, DISTINCT token): array_distinct is row-local,
+    # so document frequency needs no doc-id key at all
+    doc_tokens = (
+        df.where(F.length(norm) > 0)
+        .select(
+            F.col(label_col).alias("cls"),
+            F.explode(F.array_distinct(F.split(norm, " "))).alias("token"),
+        )
+    )
+    a = doc_tokens.groupBy("cls", "token").agg(
+        F.count(F.lit(1)).alias("df_ct")
+    )
+    # class sizes and totals come from the DOC counts, not token rows
+    docs = df.where(F.length(norm) > 0).select(
+        F.col(label_col).alias("cls")
+    )
+    cls_sizes = docs.groupBy("cls").agg(F.count(F.lit(1)).alias("n_c"))
+    total = docs.agg(F.count(F.lit(1)).alias("nn"))
+    tok_df = a.groupBy("token").agg(F.sum("df_ct").alias("n_t"))
+
+    j = (
+        a.join(F.broadcast(cls_sizes), "cls")
+        .join(tok_df, "token")
+        .crossJoin(F.broadcast(total))
+        .where(F.col("n_t") >= min_df)
+    )
+    A = F.col("df_ct").cast("double")
+    B = (F.col("n_t") - F.col("df_ct")).cast("double")
+    C = (F.col("n_c") - F.col("df_ct")).cast("double")
+    D = (F.col("nn") - F.col("n_t") - F.col("n_c")
+         + F.col("df_ct")).cast("double")
+    nn = F.col("nn").cast("double")
+    chi2 = (
+        nn * (A * D - C * B) * (A * D - C * B)
+        / ((A + C) * (B + D) * (A + B) * (C + D))
+    )
+    scored = j.select(
+        "cls", "token", F.col("df_ct").cast("bigint").alias("df_ct"),
+        F.round(chi2, 6).alias("chi2"),
+    )
+    w = Window.partitionBy("cls").orderBy(
+        F.col("chi2").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= top_k)
+        .select("cls", "token", "df_ct", "chi2")
+    )

@@ -663,3 +663,29 @@ def test_srm_check_flags_skewed_split(spark):
     # chi2 = (700-500)^2/500 * 2 = 160
     assert got2["chi2"] == pytest.approx(160.0)
     assert got2["srm_suspected"]
+
+
+def test_hbos_flags_rare_bin_point(spark):
+    from gofast_spark.quality.outliers import hbos_scores
+
+    rows = [(i, 5.0 + (i % 10) * 0.05, 100.0 + (i % 7)) for i in range(99)]
+    rows.append((999, 50.0, 1000.0))  # alone in the top bins
+    df = spark.createDataFrame(rows, ["k", "x", "y"])
+    top = hbos_scores(df, ["x", "y"], "k", bins=10, top_k=1).collect()
+    assert top[0]["k"] == 999
+
+
+def test_chi2_selection_separates_class_vocab(spark):
+    from gofast_spark.text.features import chi2_feature_selection
+
+    docs = [("en", "hello world common")] * 5 + \
+           [("fr", "bonjour monde common")] * 5
+    df = spark.createDataFrame(docs, ["lang", "text"])
+    got = chi2_feature_selection(df, "text", "lang", top_k=2,
+                                 min_df=2).collect()
+    by_cls = {}
+    for r in got:
+        by_cls.setdefault(r["cls"], []).append(r["token"])
+    # class-exclusive tokens dominate; 'common' (in every doc) never tops
+    assert set(by_cls["en"]) <= {"hello", "world"}
+    assert set(by_cls["fr"]) <= {"bonjour", "monde"}
