@@ -686,6 +686,12 @@ def test_chi2_selection_separates_class_vocab(spark):
     by_cls = {}
     for r in got:
         by_cls.setdefault(r["cls"], []).append(r["token"])
-    # class-exclusive tokens dominate; 'common' (in every doc) never tops
-    assert set(by_cls["en"]) <= {"hello", "world"}
-    assert set(by_cls["fr"]) <= {"bonjour", "monde"}
+        # perfectly separating tokens score chi2 = N = 10 (chi-square
+        # rewards NEGATIVE association equally: a token absent from the
+        # class is as informative as one exclusive to it)
+        assert r["chi2"] == pytest.approx(10.0)
+    discriminative = {"hello", "world", "bonjour", "monde"}
+    assert set(by_cls["en"]) <= discriminative
+    assert set(by_cls["fr"]) <= discriminative
+    # 'common' (in every doc of both classes) has chi2 = 0: never selected
+    assert all("common" not in toks for toks in by_cls.values())
