@@ -2956,7 +2956,14 @@ def rake_keywords_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE n_t >= 2),
     sc AS (
       SELECT cls, token, df_ct,
-             round(CAST(nn AS DOUBLE)
+             round(CASE WHEN
+               ((CAST(df_ct AS DOUBLE) + CAST(n_c - df_ct AS DOUBLE))
+                * (CAST(n_t - df_ct AS DOUBLE)
+                   + CAST(nn - n_t - n_c + df_ct AS DOUBLE))
+                * (CAST(df_ct AS DOUBLE) + CAST(n_t - df_ct AS DOUBLE))
+                * (CAST(n_c - df_ct AS DOUBLE)
+                   + CAST(nn - n_t - n_c + df_ct AS DOUBLE))) > 0.0
+             THEN CAST(nn AS DOUBLE)
                * (CAST(df_ct AS DOUBLE)
                     * CAST(nn - n_t - n_c + df_ct AS DOUBLE)
                   - CAST(n_c - df_ct AS DOUBLE)
@@ -2970,8 +2977,8 @@ def rake_keywords_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                      + CAST(nn - n_t - n_c + df_ct AS DOUBLE))
                   * (CAST(df_ct AS DOUBLE) + CAST(n_t - df_ct AS DOUBLE))
                   * (CAST(n_c - df_ct AS DOUBLE)
-                     + CAST(nn - n_t - n_c + df_ct AS DOUBLE))), 6)
-               AS chi2
+                     + CAST(nn - n_t - n_c + df_ct AS DOUBLE)))
+             ELSE 0.0 END, 6) AS chi2
       FROM j),
     rk AS (
       SELECT cls, token, df_ct, chi2,

@@ -147,10 +147,13 @@ def chi2_feature_selection(
     D = (F.col("nn") - F.col("n_t") - F.col("n_c")
          + F.col("df_ct")).cast("double")
     nn = F.col("nn").cast("double")
-    chi2 = (
-        nn * (A * D - C * B) * (A * D - C * B)
-        / ((A + C) * (B + D) * (A + B) * (C + D))
-    )
+    den = (A + C) * (B + D) * (A + B) * (C + D)
+    # a token present in every document (or every doc of one class'
+    # complement) zeroes a margin: it carries no signal — score 0
+    chi2 = F.when(
+        den > 0.0,
+        nn * (A * D - C * B) * (A * D - C * B) / den,
+    ).otherwise(F.lit(0.0))
     scored = j.select(
         "cls", "token", F.col("df_ct").cast("bigint").alias("df_ct"),
         F.round(chi2, 6).alias("chi2"),
