@@ -1646,3 +1646,95 @@ def silhouette_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simplified_silhouette(
         e, "vec_id", [f"e{i}" for i in range(_KM_D)], cent
     )
+
+
+_EN_L1, _EN_L2, _EN_SWEEPS = 0.02, 0.1, 8
+
+
+def _enet_oracle() -> str:
+    """Unrolled glmnet coordinate-descent chain over the 1-row
+    correlation frame (single reference per CTE level)."""
+    cols = "n, r12, r1y, r2y, mux1, mux2, muy, sdx1, sdx2, sdy"
+
+    def soft(z: str) -> str:
+        return (f"sign({z}) * greatest(abs({z}) - {_EN_L1}, 0.0)"
+                f" / {1.0 + _EN_L2!r}")
+
+    ctes = [f"""d AS (
+      SELECT CAST(floor(CAST(l_quantity AS DOUBLE) * 1e2 + 0.5)
+               AS BIGINT) AS x1,
+             CAST(floor(CAST(l_discount AS DOUBLE) * 1e2 + 0.5)
+               AS BIGINT) AS x2,
+             CAST(floor(CAST(l_extendedprice AS DOUBLE) * 1e2 + 0.5)
+               AS BIGINT) AS y
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+        AND l_extendedprice IS NOT NULL),
+    m AS (
+      SELECT count(*) AS n,
+             sum(CAST(x1 AS HUGEINT)) AS sx1,
+             sum(CAST(x2 AS HUGEINT)) AS sx2,
+             sum(CAST(y AS HUGEINT)) AS sy,
+             sum(CAST(x1 AS HUGEINT) * x1) AS sx1x1,
+             sum(CAST(x2 AS HUGEINT) * x2) AS sx2x2,
+             sum(CAST(y AS HUGEINT) * y) AS syy,
+             sum(CAST(x1 AS HUGEINT) * x2) AS sx1x2,
+             sum(CAST(x1 AS HUGEINT) * y) AS sx1y,
+             sum(CAST(x2 AS HUGEINT) * y) AS sx2y
+      FROM d),
+    base AS (
+      SELECT n,
+             CAST(n * sx1x2 - sx1 * sx2 AS DOUBLE)
+               / sqrt(CAST(n * sx1x1 - sx1 * sx1 AS DOUBLE)
+                      * CAST(n * sx2x2 - sx2 * sx2 AS DOUBLE)) AS r12,
+             CAST(n * sx1y - sx1 * sy AS DOUBLE)
+               / sqrt(CAST(n * sx1x1 - sx1 * sx1 AS DOUBLE)
+                      * CAST(n * syy - sy * sy AS DOUBLE)) AS r1y,
+             CAST(n * sx2y - sx2 * sy AS DOUBLE)
+               / sqrt(CAST(n * sx2x2 - sx2 * sx2 AS DOUBLE)
+                      * CAST(n * syy - sy * sy AS DOUBLE)) AS r2y,
+             CAST(sx1 AS DOUBLE) / CAST(n AS DOUBLE) / 1e2 AS mux1,
+             CAST(sx2 AS DOUBLE) / CAST(n AS DOUBLE) / 1e2 AS mux2,
+             CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 1e2 AS muy,
+             sqrt(CAST(n * sx1x1 - sx1 * sx1 AS DOUBLE)
+                  / CAST(n * n AS DOUBLE)) / 1e2 AS sdx1,
+             sqrt(CAST(n * sx2x2 - sx2 * sx2 AS DOUBLE)
+                  / CAST(n * n AS DOUBLE)) / 1e2 AS sdx2,
+             sqrt(CAST(n * syy - sy * sy AS DOUBLE)
+                  / CAST(n * n AS DOUBLE)) / 1e2 AS sdy
+      FROM m),
+    c0 AS (SELECT {cols}, 0.0 AS b1, 0.0 AS b2 FROM base)"""]
+    for k in range(1, _EN_SWEEPS + 1):
+        ctes.append(f"""c{k}a AS (
+      SELECT {cols}, {soft("r1y - r12 * b2")} AS b1, b2
+      FROM c{k - 1}),
+    c{k} AS (
+      SELECT {cols}, b1, {soft("r2y - r12 * b1")} AS b2
+      FROM c{k}a)""")
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT b1 AS beta1_std, b2 AS beta2_std,
+           b1 * sdy / sdx1 AS w1,
+           b2 * sdy / sdx2 AS w2,
+           muy - b1 * sdy / sdx1 * mux1 - b2 * sdy / sdx2 * mux2
+             AS intercept,
+           CAST(n AS BIGINT) AS n
+    FROM c{_EN_SWEEPS}
+    """
+
+
+@query("elastic_net_cd_lineitem", oracle=_enet_oracle())
+def elastic_net_cd_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elastic-net price ~ (quantity, discount) by unrolled coordinate
+    descent (ml/regression.py elastic_net_cd_2f; Friedman, Hastie &
+    Tibshirani 2010) — one exact-moment aggregate, then 2x8 chained
+    1-row soft-threshold projections; completes the OLS/ridge/huber/
+    logistic/poisson regression family with an L1 path."""
+    from gofast_spark.ml.regression import elastic_net_cd_2f
+
+    return elastic_net_cd_2f(
+        _t(spark, sf_dir, "lineitem"),
+        "l_quantity", "l_discount", "l_extendedprice",
+        l1=_EN_L1, l2=_EN_L2, sweeps=_EN_SWEEPS,
+    )

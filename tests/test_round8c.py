@@ -695,3 +695,43 @@ def test_chi2_selection_separates_class_vocab(spark):
     assert set(by_cls["fr"]) <= discriminative
     # 'common' (in every doc of both classes) has chi2 = 0: never selected
     assert all("common" not in toks for toks in by_cls.values())
+
+
+def test_elastic_net_matches_reference_cd(spark):
+    from gofast_spark.ml.regression import elastic_net_cd_2f
+
+    rows = [(float(i % 10), float((i * 7) % 5),
+             3.0 * (i % 10) - 2.0 * ((i * 7) % 5) + 50.0
+             + (0.2 if i % 2 else -0.2))
+            for i in range(200)]
+    df = spark.createDataFrame(rows, ["x1", "x2", "y"])
+    got = elastic_net_cd_2f(df, "x1", "x2", "y",
+                            l1=0.01, l2=0.05, sweeps=10).collect()[0]
+
+    # reference CD on python-side standardized correlations
+    xs1 = [r[0] for r in rows]; xs2 = [r[1] for r in rows]
+    ys = [r[2] for r in rows]; n = len(rows)
+
+    def std(v):
+        mu = sum(v) / n
+        sd = math.sqrt(sum((x - mu) ** 2 for x in v) / n)
+        return [(x - mu) / sd for x in v], mu, sd
+
+    z1, mu1, sd1 = std(xs1); z2, mu2, sd2 = std(xs2)
+    zy, muy, sdy = std(ys)
+    r12 = sum(a * b for a, b in zip(z1, z2)) / n
+    r1y = sum(a * b for a, b in zip(z1, zy)) / n
+    r2y = sum(a * b for a, b in zip(z2, zy)) / n
+
+    def soft(z, g):
+        return math.copysign(max(abs(z) - g, 0.0), z)
+
+    b1 = b2 = 0.0
+    for _ in range(10):
+        b1 = soft(r1y - r12 * b2, 0.01) / 1.05
+        b2 = soft(r2y - r12 * b1, 0.01) / 1.05
+    assert got["beta1_std"] == pytest.approx(b1, abs=1e-4)
+    assert got["beta2_std"] == pytest.approx(b2, abs=1e-4)
+    # de-standardized slope close to the planted 3.0 / -2.0
+    assert got["w1"] == pytest.approx(3.0, abs=0.3)
+    assert got["w2"] == pytest.approx(-2.0, abs=0.3)
