@@ -565,3 +565,49 @@ def attribution_touches(
         F.coalesce("first_touch", F.lit(0)).cast("bigint")
         .alias("first_touch"),
     )
+
+
+def top_user_paths(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    *,
+    depth: int = 3,
+    top_k: int = 15,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Top-``top_k`` most common user journey prefixes: each user's
+    first ``depth`` event types in time order, joined with '>' (the
+    product-analytics "paths" report; the flow-visualization input).
+
+    Per-user ordering is ROW-LOCAL after one groupBy: collect the
+    (ts, tiebreak, type) structs, ``array_sort`` (deterministic under
+    any partitioning — no orderBy-dependent collect_list), slice the
+    prefix.  Output: ``(path, n_users)`` with (count desc, path)
+    deterministic ties."""
+    order = [F.col(ts_col).alias("__ts")] + (
+        [F.col(tiebreak_col).alias("__tb")] if tiebreak_col else []
+    )
+    d = df.where(F.col(ts_col).isNotNull()).select(
+        F.col(user_col).alias("__u"),
+        F.struct(*order, F.col(type_col).alias("__ty")).alias("__s"),
+    )
+    paths = d.groupBy("__u").agg(
+        F.concat_ws(
+            ">",
+            F.slice(
+                F.transform(
+                    F.array_sort(F.collect_list("__s")),
+                    lambda s: s["__ty"],
+                ),
+                1, depth,
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "path")
+        .limit(top_k)
+    )

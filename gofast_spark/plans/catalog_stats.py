@@ -3171,3 +3171,34 @@ def srm_check_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", 2, seed=0, out_col="variant",
     )
     return srm_check(e, "variant")
+
+
+@query(
+    "top_user_paths_events",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events WHERE ts IS NOT NULL),
+    p AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM r WHERE rn <= 3 GROUP BY user_id)
+    SELECT path, CAST(count(*) AS BIGINT) AS n_users
+    FROM p GROUP BY path
+    ORDER BY n_users DESC, path
+    LIMIT 15
+    """,
+)
+def top_user_paths_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 three-step user journey prefixes (operators/funnel.py
+    top_user_paths) — deterministic row-local array_sort ordering, one
+    user groupBy + one path rollup; the flow-report input beside the
+    funnel/retention/attribution family."""
+    from gofast_spark.operators.funnel import top_user_paths
+
+    return top_user_paths(
+        _t(spark, sf_dir, "events"), "user_id", "ts", "event_type",
+        depth=3, top_k=15, tiebreak_col="event_id",
+    )

@@ -735,3 +735,18 @@ def test_elastic_net_matches_reference_cd(spark):
     # de-standardized slope close to the planted 3.0 / -2.0
     assert got["w1"] == pytest.approx(3.0, abs=0.3)
     assert got["w2"] == pytest.approx(-2.0, abs=0.3)
+
+
+def test_top_user_paths(spark):
+    from gofast_spark.operators.funnel import top_user_paths
+
+    rows = [
+        (1, 1, "view"), (1, 2, "click"), (1, 3, "purchase"), (1, 4, "x"),
+        (2, 1, "view"), (2, 2, "click"), (2, 3, "purchase"),
+        (3, 1, "view"), (3, 2, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, ["u", "ts", "t"])
+    got = {r["path"]: r["n_users"] for r in top_user_paths(
+        df, "u", "ts", "t", depth=3, top_k=10).collect()}
+    assert got["view>click>purchase"] == 2
+    assert got["view>purchase"] == 1  # short journeys keep their length
