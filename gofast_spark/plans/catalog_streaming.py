@@ -836,3 +836,71 @@ def stream_cusum_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("alarm_pos").cast("int").alias("alarm_pos"),
         F.col("alarm_neg").cast("int").alias("alarm_neg"),
     )
+
+
+@query(
+    "stream_srm_check_events",
+    oracle="""
+    WITH d AS (
+      SELECT CAST((user_id * 1103515245 + 12345) % 2147483648 % 2
+               AS INT) AS g
+      FROM events WHERE user_id IS NOT NULL),
+    a AS (
+      SELECT sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS n0,
+             sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS n1
+      FROM d)
+    SELECT CAST(n0 AS BIGINT) AS n_0, CAST(n1 AS BIGINT) AS n_1,
+           CAST(n0 AS DOUBLE) / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE))
+             AS ratio_0,
+           ((CAST(n0 AS DOUBLE) - (CAST(n0 AS DOUBLE)
+               + CAST(n1 AS DOUBLE)) * 0.5)
+             * (CAST(n0 AS DOUBLE) - (CAST(n0 AS DOUBLE)
+                + CAST(n1 AS DOUBLE)) * 0.5)
+             / ((CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)) * 0.5)
+            + (CAST(n1 AS DOUBLE) - (CAST(n0 AS DOUBLE)
+               + CAST(n1 AS DOUBLE)) * 0.5)
+             * (CAST(n1 AS DOUBLE) - (CAST(n0 AS DOUBLE)
+                + CAST(n1 AS DOUBLE)) * 0.5)
+             / ((CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)) * 0.5))
+             AS chi2
+    FROM a
+    """,
+)
+def stream_srm_check_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail IN A STREAM (stats/causal.py
+    srm_check semantics; Fabijan et al. 2019): the per-variant counts
+    are THE streaming state — one 2-counter complete-mode aggregate,
+    exactly how an experimentation platform monitors assignment drift
+    live; the drained counts fold to the chi-square.  availableNow-
+    equals-batch oracle."""
+    from gofast_spark.streaming import read_event_stream, run_available_now
+
+    stream = read_event_stream(spark, sf_dir, glob="events.parquet")
+    g = (
+        (F.col("user_id") * F.lit(1103515245) + F.lit(12345))
+        % F.lit(2147483648) % F.lit(2)
+    ).cast("int")
+    counts = (
+        stream.where(F.col("user_id").isNotNull())
+        .groupBy(g.alias("g"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    drained = run_available_now(counts, mode="complete")
+    agg = drained.agg(
+        F.sum(F.when(F.col("g") == 0, F.col("n")).otherwise(0))
+        .alias("__n0"),
+        F.sum(F.when(F.col("g") == 1, F.col("n")).otherwise(0))
+        .alias("__n1"),
+    )
+    n0 = F.col("__n0").cast("double")
+    n1 = F.col("__n1").cast("double")
+    nn = n0 + n1
+    e0 = nn * F.lit(0.5)
+    e1 = nn * F.lit(0.5)
+    chi2 = (n0 - e0) * (n0 - e0) / e0 + (n1 - e1) * (n1 - e1) / e1
+    return agg.select(
+        F.col("__n0").cast("bigint").alias("n_0"),
+        F.col("__n1").cast("bigint").alias("n_1"),
+        (n0 / nn).alias("ratio_0"),
+        chi2.alias("chi2"),
+    )

@@ -1064,3 +1064,40 @@ def periodogram_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gofast_spark.ts.engineering import periodogram
 
     return periodogram(_daily(spark, sf_dir), "t", "v", max_freq=10)
+
+
+@query(
+    "quantile_bands_daily_events",
+    oracle="""
+    SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+             AS INTEGER) AS t,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(quantile_cont(CAST(value AS DOUBLE), 0.1) AS DOUBLE)
+             AS p10,
+           CAST(quantile_cont(CAST(value AS DOUBLE), 0.5) AS DOUBLE)
+             AS p50,
+           CAST(quantile_cont(CAST(value AS DOUBLE), 0.9) AS DOUBLE)
+             AS p90
+    FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def quantile_bands_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day p10/p50/p90 value bands — the monitoring-dashboard
+    percentile ribbon.  GROUPED exact percentiles (each day's state is
+    day-sized, map-side combinable — unlike a global percentile this
+    shape is fine at 100 TB; the cross-engine quantile_cont parity is
+    the verified F.percentile contract)."""
+    e = _t(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    v = F.col("value").cast("double")
+    return e.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01"))
+        .cast("int").alias("t")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.percentile(v, 0.1).cast("double").alias("p10"),
+        F.percentile(v, 0.5).cast("double").alias("p50"),
+        F.percentile(v, 0.9).cast("double").alias("p90"),
+    )
