@@ -3202,3 +3202,71 @@ def top_user_paths_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "events"), "user_id", "ts", "event_type",
         depth=3, top_k=15, tiebreak_col="event_id",
     )
+
+
+@query(
+    "ab_experiment_report_events",
+    oracle="""
+    WITH d AS (
+      SELECT CAST((user_id * 1103515245 + 12345) % 2147483648 % 2
+               AS INT) AS g,
+             CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+    a AS (
+      SELECT
+        sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS n0,
+        sum(CASE WHEN g = 0 THEN CAST(v AS HUGEINT) ELSE 0 END) AS s0,
+        sum(CASE WHEN g = 0 THEN CAST(v AS HUGEINT) * v ELSE 0 END)
+          AS ss0,
+        sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS n1,
+        sum(CASE WHEN g = 1 THEN CAST(v AS HUGEINT) ELSE 0 END) AS s1,
+        sum(CASE WHEN g = 1 THEN CAST(v AS HUGEINT) * v ELSE 0 END)
+          AS ss1
+      FROM d),
+    m AS (
+      SELECT n0, n1,
+             CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) / 1e6 AS mean_0,
+             CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 1e6 AS mean_1,
+             (CAST(n0 AS DOUBLE) - (CAST(n0 AS DOUBLE)
+                + CAST(n1 AS DOUBLE)) * 0.5)
+               * (CAST(n0 AS DOUBLE) - (CAST(n0 AS DOUBLE)
+                  + CAST(n1 AS DOUBLE)) * 0.5)
+               / ((CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)) * 0.5)
+             + (CAST(n1 AS DOUBLE) - (CAST(n0 AS DOUBLE)
+                + CAST(n1 AS DOUBLE)) * 0.5)
+               * (CAST(n1 AS DOUBLE) - (CAST(n0 AS DOUBLE)
+                  + CAST(n1 AS DOUBLE)) * 0.5)
+               / ((CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)) * 0.5)
+               AS srm_chi2,
+             sqrt(CAST(n0 * ss0 - s0 * s0 AS DOUBLE)
+                    / CAST(n0 * (n0 - 1) AS DOUBLE) / 1e12
+                    / CAST(n0 AS DOUBLE)
+                  + CAST(n1 * ss1 - s1 * s1 AS DOUBLE)
+                    / CAST(n1 * (n1 - 1) AS DOUBLE) / 1e12
+                    / CAST(n1 AS DOUBLE)) AS se
+      FROM a)
+    SELECT CAST(n0 AS BIGINT) AS n_0, CAST(n1 AS BIGINT) AS n_1,
+           srm_chi2, mean_0, mean_1,
+           mean_1 / mean_0 - 1.0 AS lift, se,
+           (mean_1 - mean_0) / se AS z,
+           abs((mean_1 - mean_0) / se) > 1.959963984540054
+             AS significant,
+           2.8015852181129683 * se AS mde_abs
+    FROM m
+    """,
+)
+def ab_experiment_report_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One-pass A/B experiment report — SRM guardrail + Welch z +
+    lift + MDE from the SAME six sufficient statistics
+    (stats/cuped.py ab_report), certifying the experimentation family
+    composes into the single aggregate a platform actually runs."""
+    from gofast_spark.ml.selection import kfold_assign
+    from gofast_spark.stats.cuped import ab_report
+
+    e = kfold_assign(
+        _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull()),
+        "user_id", 2, seed=0, out_col="variant",
+    )
+    return ab_report(e, "value", "variant")

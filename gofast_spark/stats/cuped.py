@@ -155,3 +155,70 @@ def ab_mde_report(
         mde.alias("mde_abs"),
         (mde / m0).alias("mde_rel"),
     )
+
+
+def ab_report(
+    df: DataFrame,
+    value_col: str,
+    variant_col: str,
+    *,
+    units: float = 1e6,
+) -> DataFrame:
+    """End-to-end two-variant experiment readout from ONE conditional
+    exact-moment aggregate — the composition of the family's verified
+    pieces (srm_check + Welch z + ab_mde_report share the same six
+    sufficient statistics, so a platform computes them in a single
+    pass): per-variant n and mean, the SRM chi-square, the lift, the
+    Welch standard error, the z statistic, the significance flag at
+    two-sided alpha=0.05, and the MDE the design could have detected.
+    Output: one row."""
+    v = F.col(value_col).cast("double")
+    g = F.col(variant_col).cast("int")
+    vu = F.floor(v * F.lit(units) + F.lit(0.5)).cast("bigint")
+    d = df.where(v.isNotNull() & g.isNotNull()).select(
+        g.alias("__g"), vu.alias("__v")
+    )
+
+    def side(gv: int, tag: str):
+        m = F.col("__g") == gv
+        x = F.when(m, F.col("__v")).otherwise(F.lit(0).cast("bigint"))
+        return [
+            F.sum(F.when(m, 1).otherwise(0)).alias(f"__n_{tag}"),
+            F.sum(x.cast("decimal(19,0)")).alias(f"__s_{tag}"),
+            F.sum(x.cast("decimal(19,0)") * x).alias(f"__ss_{tag}"),
+        ]
+
+    agg = d.agg(*side(0, "0"), *side(1, "1"))
+
+    def stats(tag: str):
+        n = F.col(f"__n_{tag}").cast("decimal(19,0)")
+        nd = F.col(f"__n_{tag}").cast("double")
+        mean = (F.col(f"__s_{tag}").cast("double") / nd / F.lit(units))
+        var = (
+            (n * F.col(f"__ss_{tag}")
+             - F.col(f"__s_{tag}") * F.col(f"__s_{tag}")).cast("double")
+            / (n * (n - F.lit(1).cast("decimal(19,0)"))).cast("double")
+            / F.lit(units * units)
+        )
+        return mean, var, nd
+
+    m0, v0, n0 = stats("0")
+    m1, v1, n1 = stats("1")
+    nn = n0 + n1
+    e = nn * F.lit(0.5)
+    srm = (n0 - e) * (n0 - e) / e + (n1 - e) * (n1 - e) / e
+    se = F.sqrt(v0 / n0 + v1 / n1)
+    z = (m1 - m0) / se
+    mde = F.lit(_Z_ALPHA + _Z_POWER) * se
+    return agg.select(
+        F.col("__n_0").cast("bigint").alias("n_0"),
+        F.col("__n_1").cast("bigint").alias("n_1"),
+        srm.alias("srm_chi2"),
+        m0.alias("mean_0"),
+        m1.alias("mean_1"),
+        (m1 / m0 - F.lit(1.0)).alias("lift"),
+        se.alias("se"),
+        z.alias("z"),
+        (F.abs(z) > F.lit(1.959963984540054)).alias("significant"),
+        mde.alias("mde_abs"),
+    )

@@ -750,3 +750,21 @@ def test_top_user_paths(spark):
         df, "u", "ts", "t", depth=3, top_k=10).collect()}
     assert got["view>click>purchase"] == 2
     assert got["view>purchase"] == 1  # short journeys keep their length
+
+
+def test_ab_report_composes(spark):
+    from gofast_spark.stats.cuped import ab_mde_report, ab_report
+    from gofast_spark.stats.causal import srm_check
+
+    rows = [(i % 2, 10.0 + (i % 7) + (5.0 if i % 2 else 0.0))
+            for i in range(400)]
+    df = spark.createDataFrame(rows, ["g", "y"])
+    full = ab_report(df, "y", "g").collect()[0]
+    mde = ab_mde_report(df, "y", "g").collect()[0]
+    srm = srm_check(df, "g").collect()[0]
+    assert full["se"] == pytest.approx(mde["se"], abs=1e-12)
+    assert full["mde_abs"] == pytest.approx(mde["mde_abs"], abs=1e-12)
+    assert full["srm_chi2"] == pytest.approx(srm["chi2"], abs=1e-12)
+    assert full["significant"]  # planted +5 shift is unmissable
+    assert full["lift"] == pytest.approx(
+        full["mean_1"] / full["mean_0"] - 1.0, abs=1e-12)
