@@ -3270,3 +3270,45 @@ def ab_experiment_report_events(
         "user_id", 2, seed=0, out_col="variant",
     )
     return ab_report(e, "value", "variant")
+
+
+@query(
+    "negbin_fit_user_events",
+    oracle="""
+    WITH cnt AS (
+      SELECT user_id, count(*) AS c FROM events
+      WHERE user_id IS NOT NULL GROUP BY 1),
+    a AS (
+      SELECT count(*) AS n,
+             sum(CAST(c AS HUGEINT)) AS s,
+             sum(CAST(c AS HUGEINT) * c) AS ss,
+             sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS z
+      FROM cnt),
+    m AS (
+      SELECT n, z,
+             CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+             CAST(n * ss - s * s AS DOUBLE)
+               / CAST(n * (n - 1) AS DOUBLE) AS var
+      FROM a)
+    SELECT CAST(n AS BIGINT) AS n, mean, var,
+           var / mean AS dispersion,
+           CAST(z AS DOUBLE) / CAST(n AS DOUBLE) AS zero_share,
+           CASE WHEN var > mean THEN mean / var END AS p,
+           CASE WHEN var > mean THEN mean * mean / (var - mean) END AS r
+    FROM m
+    """,
+)
+def negbin_fit_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-binomial fit of per-user event counts by the method of
+    moments (stats/descriptive.py negbin_fit_moments; Anscombe 1950) —
+    the overdispersion readout that justifies NB user-activity models
+    over Poisson; one user groupBy + one exact-moment aggregate."""
+    from gofast_spark.stats.descriptive import negbin_fit_moments
+
+    cnt = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return negbin_fit_moments(cnt, "c")

@@ -397,3 +397,40 @@ def lorenz_points(
          / F.col("__ts").cast("double")).alias("value_share"),
     )
     return cum
+
+
+def negbin_fit_moments(df: DataFrame, count_col: str) -> DataFrame:
+    """Negative-binomial fit by the method of moments (Anscombe,
+    Biometrika 1950) over a non-negative integer column:
+
+        p = m / s2,   r = m^2 / (s2 - m)
+
+    plus the dispersion index ``s2/m`` (the overdispersion readout that
+    justifies NB over Poisson) and the zero share.  ONE aggregate of
+    exact integer moments (counts are already integers — no
+    quantization needed); emits NULL shape parameters when the data is
+    under-dispersed (s2 <= m, where NB degenerates to Poisson)."""
+    c = F.col(count_col).cast("bigint")
+    agg = df.where(c.isNotNull() & (c >= 0)).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(c.cast("decimal(19,0)")).alias("__s"),
+        F.sum(c.cast("decimal(19,0)") * c).alias("__ss"),
+        F.sum(F.when(c == 0, 1).otherwise(0)).alias("__z"),
+    )
+    n = F.col("__n").cast("decimal(19,0)")
+    nd = F.col("__n").cast("double")
+    m = F.col("__s").cast("double") / nd
+    s2 = (
+        (n * F.col("__ss") - F.col("__s") * F.col("__s")).cast("double")
+        / (n * (n - F.lit(1).cast("decimal(19,0)"))).cast("double")
+    )
+    over = s2 > m
+    return agg.select(
+        F.col("__n").cast("bigint").alias("n"),
+        m.alias("mean"),
+        s2.alias("var"),
+        (s2 / m).alias("dispersion"),
+        (F.col("__z").cast("double") / nd).alias("zero_share"),
+        F.when(over, m / s2).alias("p"),
+        F.when(over, m * m / (s2 - m)).alias("r"),
+    )

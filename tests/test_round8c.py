@@ -768,3 +768,23 @@ def test_ab_report_composes(spark):
     assert full["significant"]  # planted +5 shift is unmissable
     assert full["lift"] == pytest.approx(
         full["mean_1"] / full["mean_0"] - 1.0, abs=1e-12)
+
+
+def test_negbin_fit_moments(spark):
+    from gofast_spark.stats.descriptive import negbin_fit_moments
+    import statistics
+
+    counts = [0, 0, 1, 2, 2, 3, 5, 8, 13, 6]
+    df = spark.createDataFrame([(c,) for c in counts], ["c"])
+    got = negbin_fit_moments(df, "c").collect()[0]
+    m = statistics.mean(counts)
+    v = statistics.variance(counts)
+    assert got["mean"] == pytest.approx(m)
+    assert got["var"] == pytest.approx(v, abs=1e-9)
+    assert got["p"] == pytest.approx(m / v, abs=1e-9)
+    assert got["r"] == pytest.approx(m * m / (v - m), abs=1e-9)
+    assert got["zero_share"] == pytest.approx(0.2)
+    # under-dispersed: shape params degrade to NULL
+    df2 = spark.createDataFrame([(5,)] * 10, ["c"])
+    got2 = negbin_fit_moments(df2, "c").collect()[0]
+    assert got2["p"] is None and got2["r"] is None
