@@ -1222,3 +1222,36 @@ def hbos_outliers_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "lineitem"), ["l_quantity", "l_extendedprice"],
         ["l_orderkey", "l_linenumber"], bins=10, top_k=20,
     )
+
+
+@query(
+    "trimmed_mean_acctbal",
+    oracle="""
+    WITH x AS (
+      SELECT CAST(c_acctbal AS DOUBLE) AS x FROM customer
+      WHERE c_acctbal IS NOT NULL),
+    cuts AS (
+      SELECT quantile_cont(x, 0.1) AS lo, quantile_cont(x, 0.9) AS hi,
+             count(*) AS nt
+      FROM x),
+    k AS (SELECT x, lo, hi, nt FROM x, cuts
+          WHERE x >= lo AND x <= hi)
+    SELECT CAST(sum(CAST(floor(x * 1e2 + 0.5) AS HUGEINT)) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) / 1e2 AS trimmed_mean,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(any_value(nt) AS BIGINT) AS n_total,
+           any_value(lo) AS lo_cut, any_value(hi) AS hi_cut
+    FROM k
+    """,
+)
+def trimmed_mean_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% two-sided trimmed mean of account balances
+    (stats/descriptive.py trimmed_mean; Tukey & McLaughlin 1963) — the
+    exclude sibling of `winsorize_acctbal`, exact cuts on the oracle
+    path, sketch above the row threshold."""
+    from gofast_spark.stats.descriptive import trimmed_mean
+
+    return trimmed_mean(
+        _t(spark, sf_dir, "customer"), "c_acctbal",
+        p_lo=0.1, p_hi=0.9, mode="exact",
+    )

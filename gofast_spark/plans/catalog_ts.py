@@ -1101,3 +1101,45 @@ def quantile_bands_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile(v, 0.5).cast("double").alias("p50"),
         F.percentile(v, 0.9).cast("double").alias("p90"),
     )
+
+
+@query(
+    "max_drawdown_daily_events",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL}),
+    d AS (SELECT t, v - lag(v) OVER (ORDER BY t) AS dv FROM daily),
+    b AS (
+      SELECT t, CAST(floor(dv * 1e4 + 0.5) AS BIGINT) AS vu
+      FROM d WHERE dv IS NOT NULL),
+    c AS (
+      SELECT t, sum(vu) OVER wc AS c
+      FROM b
+      WINDOW wc AS (ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    p AS (
+      SELECT t, c, max(c) OVER wc AS peak
+      FROM c
+      WINDOW wc AS (ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    r AS (SELECT t, c, peak, peak - c AS dd FROM p)
+    SELECT CAST(dd AS DOUBLE) / 1e4 AS max_drawdown,
+           t AS trough_t,
+           CAST(peak AS DOUBLE) / 1e4 AS peak_value,
+           CAST(c AS DOUBLE) / 1e4 AS trough_value
+    FROM r ORDER BY dd DESC, t LIMIT 1
+    """,
+)
+def max_drawdown_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of daily revenue from its running peak
+    (ts/engineering.py max_drawdown over the day-over-day changes;
+    Magdon-Ismail & Atiya 2004) — exact-integer cumulative windows,
+    one argmax row-pick with earliest-trough ties."""
+    from pyspark.sql import Window
+
+    from gofast_spark.ts.engineering import max_drawdown
+
+    w = Window.orderBy("t")
+    d = _daily(spark, sf_dir).select(
+        "t", (F.col("v") - F.lag("v").over(w)).alias("dv")
+    ).where(F.col("dv").isNotNull())
+    return max_drawdown(d, "t", "dv", units=1e4)

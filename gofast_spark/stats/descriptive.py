@@ -434,3 +434,49 @@ def negbin_fit_moments(df: DataFrame, count_col: str) -> DataFrame:
         F.when(over, m / s2).alias("p"),
         F.when(over, m * m / (s2 - m)).alias("r"),
     )
+
+
+def trimmed_mean(
+    df: DataFrame,
+    column: str,
+    *,
+    p_lo: float = 0.1,
+    p_hi: float = 0.9,
+    mode: str = "auto",
+    n_rows: int | None = None,
+    units: float = 1e2,
+) -> DataFrame:
+    """Trimmed mean — the mean of values strictly inside the
+    ``[p_lo, p_hi]`` percentile cuts (Tukey & McLaughlin, Sankhya
+    1963; the robust-location companion of winsorization, which CLAMPS
+    where this EXCLUDES).  The cuts ride the repo's percentile switch
+    (exact below the row threshold, percentile_approx sketch above);
+    the mean itself is an exact ``units``-quantized integer sum.
+    Output: ``(trimmed_mean, n_kept, n_total, lo_cut, hi_cut)``."""
+    from gofast_spark.stats.prebin import percentile_expr
+
+    c = F.col(column).cast("double")
+    d = df.where(c.isNotNull()).select(c.alias("__x"))
+    cuts = d.agg(
+        percentile_expr(F.col("__x"), p_lo, mode, n_rows).alias("__lo"),
+        percentile_expr(F.col("__x"), p_hi, mode, n_rows).alias("__hi"),
+        F.count(F.lit(1)).alias("__nt"),
+    ).select(
+        F.col("__lo").cast("double").alias("__lo"),
+        F.col("__hi").cast("double").alias("__hi"), "__nt",
+    )
+    xu = F.floor(F.col("__x") * F.lit(units) + F.lit(0.5)).cast("bigint")
+    kept = (
+        d.crossJoin(F.broadcast(cuts))
+        .where((F.col("__x") >= F.col("__lo"))
+               & (F.col("__x") <= F.col("__hi")))
+    )
+    return kept.agg(
+        (F.sum(xu.cast("decimal(38,0)")).cast("double")
+         / F.count(F.lit(1)).cast("double") / F.lit(units))
+        .alias("trimmed_mean"),
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.first("__nt").cast("bigint").alias("n_total"),
+        F.first("__lo").alias("lo_cut"),
+        F.first("__hi").alias("hi_cut"),
+    )

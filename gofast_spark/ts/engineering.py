@@ -794,3 +794,50 @@ def periodogram(
     return agg.select(F.explode(powers).alias("p")).select(
         F.col("p.k").alias("k"), F.col("p.power").alias("power")
     )
+
+
+def max_drawdown(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    *,
+    units: float = 1e4,
+) -> DataFrame:
+    """Maximum drawdown of a cumulative series (Magdon-Ismail &
+    Atiya, Risk 2004 formalize the statistic): with the running total
+    C_t = sum_{i<=t} v_i, the drawdown at t is ``max_{i<=t} C_i - C_t``
+    and MDD its maximum — the worst peak-to-trough fall.
+
+    Exact-integer cumulative sums (values quantized to ``units``), two
+    chained ordered windows over a rollup-sized series, one argmax
+    row-pick (deepest drawdown; earliest trough on ties).  Output:
+    ``(max_drawdown, trough_t, peak_value, trough_value)``."""
+    w = Window.orderBy("__o")
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    vu = F.floor(F.col(value_col).cast("double") * F.lit(units)
+                 + F.lit(0.5)).cast("bigint")
+    base = df.select(F.col(order_col).alias("__o"), vu.alias("__vu"))
+    cum = base.select("__o", F.sum("__vu").over(wc).alias("__c"))
+    dd = cum.select(
+        "__o", "__c",
+        F.max("__c").over(wc).alias("__peak"),
+    ).select(
+        "__o", "__c", "__peak",
+        (F.col("__peak") - F.col("__c")).alias("__dd"),
+    )
+    best = dd.agg(
+        F.max_by(
+            F.struct(F.col("__dd"), F.col("__o").alias("__tt"),
+                     F.col("__peak"), F.col("__c")),
+            F.struct(F.col("__dd"), -F.col("__o")),
+        ).alias("__m")
+    )
+    return best.select(
+        (F.col("__m.__dd").cast("double") / F.lit(units))
+        .alias("max_drawdown"),
+        F.col("__m.__tt").alias("trough_t"),
+        (F.col("__m.__peak").cast("double") / F.lit(units))
+        .alias("peak_value"),
+        (F.col("__m.__c").cast("double") / F.lit(units))
+        .alias("trough_value"),
+    )

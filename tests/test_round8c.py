@@ -788,3 +788,29 @@ def test_negbin_fit_moments(spark):
     df2 = spark.createDataFrame([(5,)] * 10, ["c"])
     got2 = negbin_fit_moments(df2, "c").collect()[0]
     assert got2["p"] is None and got2["r"] is None
+
+
+def test_trimmed_mean_excludes_tails(spark):
+    from gofast_spark.stats.descriptive import trimmed_mean
+
+    vals = [float(i) for i in range(1, 101)]  # 1..100
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    got = trimmed_mean(df, "x", p_lo=0.1, p_hi=0.9,
+                       mode="exact").collect()[0]
+    # cuts at 10.9 / 90.1 -> keeps 11..90, mean 50.5
+    assert got["trimmed_mean"] == pytest.approx(50.5)
+    assert got["n_kept"] == 80 and got["n_total"] == 100
+
+
+def test_max_drawdown_known_series(spark):
+    from gofast_spark.ts.engineering import max_drawdown
+
+    # increments: cumulative path 10, 15, 7, 12, 4, 20
+    incs = [10.0, 5.0, -8.0, 5.0, -8.0, 16.0]
+    df = spark.createDataFrame(list(enumerate(incs)), ["t", "dv"])
+    got = max_drawdown(df, "t", "dv").collect()[0]
+    # peak 15 at t=1, trough 4 at t=4: MDD = 11
+    assert got["max_drawdown"] == pytest.approx(11.0)
+    assert got["trough_t"] == 4
+    assert got["peak_value"] == pytest.approx(15.0)
+    assert got["trough_value"] == pytest.approx(4.0)
