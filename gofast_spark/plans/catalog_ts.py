@@ -1143,3 +1143,128 @@ def max_drawdown_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t", (F.col("v") - F.lag("v").over(w)).alias("dv")
     ).where(F.col("dv").isNotNull())
     return max_drawdown(d, "t", "dv", units=1e4)
+
+
+@query(
+    "newey_west_se_daily",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL}),
+    b AS (SELECT t, CAST(floor(v * 1e4 + 0.5) AS BIGINT) AS vu
+          FROM daily),
+    m AS (SELECT count(*) AS n, sum(CAST(vu AS HUGEINT)) AS s FROM b),
+    d AS (
+      SELECT t,
+             (CAST(vu AS DOUBLE)
+              - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / 1e4 AS dd,
+             n, s
+      FROM b, m),
+    l AS (
+      SELECT n, s, dd,
+             lag(dd, 1) OVER (ORDER BY t) AS d1,
+             lag(dd, 2) OVER (ORDER BY t) AS d2,
+             lag(dd, 3) OVER (ORDER BY t) AS d3,
+             lag(dd, 4) OVER (ORDER BY t) AS d4,
+             lag(dd, 5) OVER (ORDER BY t) AS d5
+      FROM d),
+    a AS (
+      SELECT any_value(n) AS n, any_value(s) AS s,
+             sum(CAST(floor(dd * dd + 0.5) AS BIGINT)) AS g0,
+             sum(CAST(floor(dd * d1 + 0.5) AS BIGINT)) AS g1,
+             sum(CAST(floor(dd * d2 + 0.5) AS BIGINT)) AS g2,
+             sum(CAST(floor(dd * d3 + 0.5) AS BIGINT)) AS g3,
+             sum(CAST(floor(dd * d4 + 0.5) AS BIGINT)) AS g4,
+             sum(CAST(floor(dd * d5 + 0.5) AS BIGINT)) AS g5
+      FROM l),
+    f AS (
+      SELECT CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e4 AS mean,
+             CAST(n AS DOUBLE) AS nd, n,
+             CAST(g0 AS DOUBLE) / CAST(n AS DOUBLE) AS gg0,
+             CAST(g0 AS DOUBLE) / CAST(n AS DOUBLE)
+             + 2.0 * (1.0 - 1.0 / 6.0)
+               * (CAST(g1 AS DOUBLE) / CAST(n AS DOUBLE))
+             + 2.0 * (1.0 - 2.0 / 6.0)
+               * (CAST(g2 AS DOUBLE) / CAST(n AS DOUBLE))
+             + 2.0 * (1.0 - 3.0 / 6.0)
+               * (CAST(g3 AS DOUBLE) / CAST(n AS DOUBLE))
+             + 2.0 * (1.0 - 4.0 / 6.0)
+               * (CAST(g4 AS DOUBLE) / CAST(n AS DOUBLE))
+             + 2.0 * (1.0 - 5.0 / 6.0)
+               * (CAST(g5 AS DOUBLE) / CAST(n AS DOUBLE)) AS lrv
+      FROM a)
+    SELECT mean, sqrt(gg0 / nd) AS se_iid, sqrt(lrv / nd) AS se_nw,
+           lrv, CAST(n AS BIGINT) AS n
+    FROM f
+    """,
+)
+def newey_west_se_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAC (Newey-West, Bartlett kernel, L=5) standard error of the
+    daily-revenue mean (ts/engineering.py newey_west_se; Newey & West
+    1987) — the serial-correlation-robust uncertainty beside the
+    acf/ljung_box diagnostics; exact quantized lag-product sums."""
+    from gofast_spark.ts.engineering import newey_west_se
+
+    return newey_west_se(_daily(spark, sf_dir), "t", "v", max_lag=5)
+
+
+@query(
+    "seasonal_strength_daily",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS d, round(sum(value), 4) AS v
+      FROM events GROUP BY 1),
+    tr AS (
+      SELECT d, v,
+             CASE WHEN count(*) OVER w = 7 THEN avg(v) OVER w END
+               AS trend,
+             datediff('day', DATE '1970-01-01', d) % 7 AS phase
+      FROM d WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING
+                          AND 3 FOLLOWING)),
+    pm AS (SELECT phase, avg(v - trend) AS pmean FROM tr GROUP BY phase),
+    gm AS (SELECT avg(pmean) AS g FROM pm),
+    comp AS (
+      SELECT tr.v - tr.trend - (pm.pmean - gm.g) AS resid,
+             (pm.pmean - gm.g) AS seasonal, tr.trend AS trend
+      FROM tr JOIN pm ON tr.phase = pm.phase, gm
+      WHERE tr.trend IS NOT NULL),
+    b AS (
+      SELECT CAST(floor(resid * 1e4 + 0.5) AS BIGINT) AS r,
+             CAST(floor((seasonal + resid) * 1e4 + 0.5) AS BIGINT) AS sr,
+             CAST(floor((trend + resid) * 1e4 + 0.5) AS BIGINT) AS trr
+      FROM comp),
+    a AS (
+      SELECT count(*) AS n,
+             sum(CAST(r AS HUGEINT)) AS s_r,
+             sum(CAST(r AS HUGEINT) * r) AS ss_r,
+             sum(CAST(sr AS HUGEINT)) AS s_sr,
+             sum(CAST(sr AS HUGEINT) * sr) AS ss_sr,
+             sum(CAST(trr AS HUGEINT)) AS s_tr,
+             sum(CAST(trr AS HUGEINT) * trr) AS ss_tr
+      FROM b),
+    f AS (
+      SELECT n,
+             CAST(n * ss_r - s_r * s_r AS DOUBLE)
+               / CAST(n * (n - 1) AS DOUBLE) / 1e8 AS vr,
+             CAST(n * ss_sr - s_sr * s_sr AS DOUBLE)
+               / CAST(n * (n - 1) AS DOUBLE) / 1e8 AS vsr,
+             CAST(n * ss_tr - s_tr * s_tr AS DOUBLE)
+               / CAST(n * (n - 1) AS DOUBLE) / 1e8 AS vtr
+      FROM a)
+    SELECT greatest(0.0, 1.0 - vr / vsr) AS f_seasonal,
+           greatest(0.0, 1.0 - vr / vtr) AS f_trend,
+           vr AS var_resid,
+           CAST(n AS BIGINT) AS n
+    FROM f
+    """,
+)
+def seasonal_strength_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal + trend strength of daily revenue (ts/decompose.py
+    seasonal_strength; the Hyndman FPP STL feature pair) — composes
+    the verified classical decomposition into the variance-ratio
+    readout, quantized components, exact-moment variances."""
+    from gofast_spark.ts.decompose import seasonal_strength
+
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.round(F.sum("value"), 4).cast("double").alias("v")
+    )
+    return seasonal_strength(daily, "v", "d", period=7)

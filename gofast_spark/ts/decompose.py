@@ -12,6 +12,7 @@ missing dependency, not a silent fallback (builder-brief stub policy).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def _require(module: str):
@@ -303,4 +304,69 @@ def seasonal_decompose(
         F.col("__trend").alias("trend"),
         seasonal.alias("seasonal"),
         (v - F.col("__trend") - seasonal).alias("resid"),
+    )
+
+
+def seasonal_strength(
+    df: DataFrame,
+    value_col: str,
+    date_col: str,
+    *,
+    period: int = 7,
+    units: float = 1e4,
+) -> DataFrame:
+    """Seasonal and trend strength of a series (Hyndman &
+    Athanasopoulos, *Forecasting: Principles and Practice*, the STL
+    feature pair; Wang, Smith & Hyndman 2006):
+
+        F_s = max(0, 1 - var(resid) / var(seasonal + resid))
+        F_t = max(0, 1 - var(resid) / var(trend + resid))
+
+    computed over the rows where the classical decomposition
+    (:func:`seasonal_decompose`) has a complete trend window.  Each
+    component is quantized to ``units`` integers before the variance
+    moments (the same tolerance the decomposition's own differential
+    entry certifies at round-4), so both strengths are
+    engine-reproducible.  Output: one row ``(f_seasonal, f_trend,
+    var_resid, n)``."""
+    dec = seasonal_decompose(
+        df, value_col, date_col, period=period
+    ).where(F.col("trend").isNotNull())
+
+    def q(c):
+        return F.floor(c * F.lit(units) + F.lit(0.5)).cast("bigint")
+
+    base = dec.select(
+        q(F.col("resid")).alias("__r"),
+        q(F.col("seasonal") + F.col("resid")).alias("__sr"),
+        q(F.col("trend") + F.col("resid")).alias("__tr"),
+    )
+    dd = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    agg = base.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            a for tag in ("r", "sr", "tr") for a in (
+                F.sum(dd(f"__{tag}")).alias(f"__s_{tag}"),
+                F.sum(dd(f"__{tag}") * F.col(f"__{tag}"))
+                .alias(f"__ss_{tag}"),
+            )
+        ],
+    )
+    n = F.col("__n").cast("decimal(19,0)")
+
+    def var(tag):
+        return (
+            (n * F.col(f"__ss_{tag}")
+             - F.col(f"__s_{tag}") * F.col(f"__s_{tag}")).cast("double")
+            / (n * (n - F.lit(1).cast("decimal(19,0)"))).cast("double")
+            / F.lit(units * units)
+        )
+
+    fs = F.greatest(F.lit(0.0), F.lit(1.0) - var("r") / var("sr"))
+    ft = F.greatest(F.lit(0.0), F.lit(1.0) - var("r") / var("tr"))
+    return agg.select(
+        fs.alias("f_seasonal"),
+        ft.alias("f_trend"),
+        var("r").alias("var_resid"),
+        F.col("__n").cast("bigint").alias("n"),
     )

@@ -841,3 +841,73 @@ def max_drawdown(
         (F.col("__m.__c").cast("double") / F.lit(units))
         .alias("trough_value"),
     )
+
+
+def newey_west_se(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    *,
+    max_lag: int = 5,
+    units: float = 1e4,
+) -> DataFrame:
+    """Newey-West (HAC) standard error of a series mean (Newey & West,
+    Econometrica 1987) with Bartlett-kernel weights:
+
+        LRV = g0 + 2 * sum_k (1 - k/(L+1)) g_k,
+        g_k = (1/n) sum_{t>k} (x_t - xbar)(x_{t-k} - xbar)
+
+    — the autocorrelation-robust uncertainty for a rollup-series mean
+    (the iid SE understates it under positive serial correlation).
+    The mean comes from exact ``units``-quantized integer sums; each
+    lag product is quantized to integers before its reduction, so the
+    whole readout is engine-reproducible.  One broadcast + one lag
+    window + one aggregate.  Output: ``(mean, se_iid, se_nw, lrv,
+    n)``."""
+    vu = F.floor(F.col(value_col).cast("double") * F.lit(units)
+                 + F.lit(0.5)).cast("bigint")
+    base = df.select(F.col(order_col).alias("__o"), vu.alias("__vu"))
+    m = base.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("__vu").cast("decimal(19,0)")).alias("__s"),
+    )
+    j = base.crossJoin(F.broadcast(m))
+    mean_u = F.col("__s").cast("double") / F.col("__n").cast("double")
+    d = (F.col("__vu").cast("double") - mean_u) / F.lit(units)
+    w = Window.orderBy("__o")
+    lagged = j.select(
+        "__n",
+        d.alias("__d"),
+        *[
+            F.lag(d, k).over(w).alias(f"__d_{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+
+    def q(expr):
+        return F.floor(expr + F.lit(0.5)).cast("bigint")
+
+    agg = lagged.agg(
+        F.first("__n").alias("__n"),
+        F.sum(q(F.col("__d") * F.col("__d"))).alias("__g0"),
+        *[
+            F.sum(q(F.col("__d") * F.col(f"__d_{k}"))).alias(f"__g_{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    n = F.col("__n").cast("double")
+    g0 = F.col("__g0").cast("double") / n
+    lrv = g0
+    for k in range(1, max_lag + 1):
+        wk = F.lit(1.0) - F.lit(float(k)) / F.lit(float(max_lag + 1))
+        lrv = lrv + F.lit(2.0) * wk * (F.col(f"__g_{k}").cast("double") / n)
+    return agg.crossJoin(F.broadcast(m.select(
+        (F.col("__s").cast("double") / F.col("__n").cast("double")
+         / F.lit(units)).alias("__mean")
+    ))).select(
+        F.col("__mean").alias("mean"),
+        F.sqrt(g0 / n).alias("se_iid"),
+        F.sqrt(lrv / n).alias("se_nw"),
+        lrv.alias("lrv"),
+        F.col("__n").cast("bigint").alias("n"),
+    )

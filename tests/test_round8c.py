@@ -814,3 +814,40 @@ def test_max_drawdown_known_series(spark):
     assert got["trough_t"] == 4
     assert got["peak_value"] == pytest.approx(15.0)
     assert got["trough_value"] == pytest.approx(4.0)
+
+
+def test_newey_west_inflates_se_for_autocorrelated(spark):
+    from gofast_spark.ts.engineering import newey_west_se
+
+    # strongly positively autocorrelated series (slow sine)
+    ys = [1000.0 + 500.0 * math.sin(t / 5.0) for t in range(40)]
+    df = spark.createDataFrame(list(enumerate(ys)), ["t", "y"])
+    got = newey_west_se(df, "t", "y", max_lag=5).collect()[0]
+    assert got["se_nw"] > got["se_iid"]  # HAC must widen under rho>0
+    assert got["mean"] == pytest.approx(sum(ys) / len(ys), abs=1e-3)
+    # reference computation
+    m = sum(ys) / len(ys)
+    d = [y - m for y in ys]
+    n = len(ys)
+    def g(k):
+        return sum(round(d[t] * d[t - k]) for t in range(k, n)) / n
+    lrv = g(0) + 2 * sum((1 - k / 6) * g(k) for k in range(1, 6))
+    assert got["lrv"] == pytest.approx(lrv, rel=1e-6)
+
+
+def test_seasonal_strength_on_seasonal_series(spark):
+    from gofast_spark.ts.decompose import seasonal_strength
+    import datetime
+
+    base = datetime.date(2024, 1, 1)
+    rows = [
+        (base + datetime.timedelta(days=t),
+         100.0 + 30.0 * [1, -1, 2, -2, 0, 3, -3][t % 7] + t * 0.5)
+        for t in range(35)
+    ]
+    df = spark.createDataFrame(rows, ["d", "v"])
+    got = seasonal_strength(df, "v", "d", period=7).collect()[0]
+    # strong planted weekly pattern and trend
+    assert got["f_seasonal"] > 0.95
+    assert got["f_trend"] > 0.5
+    assert got["n"] == 35 - 6  # complete trend windows only
