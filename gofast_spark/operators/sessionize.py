@@ -119,3 +119,55 @@ def compact_files(
     os.rename(tmp, base)
     shutil.rmtree(old)
     return n
+
+
+def audience_overlap(
+    df: DataFrame,
+    group_col: str,
+    user_col: str,
+) -> DataFrame:
+    """Pairwise audience overlap between groups (the ad-tech /
+    product-analytics audience-intersection matrix): for every
+    unordered group pair, the distinct-user intersection, Jaccard
+    similarity, and Szymkiewicz-Simpson overlap coefficient
+    ``|A n B| / min(|A|, |B|)``.
+
+    One distinct (group, user) projection; the intersection is a
+    user-keyed self-join of that reduced frame (never raw events);
+    sizes broadcast back.  Exact integer counts throughout.  Output:
+    ``(g1, g2, n_common, n_g1, n_g2, jaccard, overlap_coef)``."""
+    from pyspark.sql import functions as F
+
+    gu = df.where(
+        F.col(user_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("g"), F.col(user_col).alias("u")
+    ).distinct()
+    sizes = gu.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    a = gu.select(F.col("g").alias("g1"), "u")
+    b = gu.select(F.col("g").alias("g2"), "u")
+    inter = (
+        a.join(b, "u")
+        .where(F.col("g1") < F.col("g2"))
+        .groupBy("g1", "g2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        inter.join(
+            F.broadcast(sizes.select(F.col("g").alias("g1"),
+                                     F.col("n").alias("n_g1"))), "g1")
+        .join(
+            F.broadcast(sizes.select(F.col("g").alias("g2"),
+                                     F.col("n").alias("n_g2"))), "g2")
+    )
+    return out.select(
+        "g1", "g2",
+        F.col("n_common").cast("bigint").alias("n_common"),
+        F.col("n_g1").cast("bigint").alias("n_g1"),
+        F.col("n_g2").cast("bigint").alias("n_g2"),
+        (F.col("n_common").cast("double")
+         / (F.col("n_g1") + F.col("n_g2")
+            - F.col("n_common")).cast("double")).alias("jaccard"),
+        (F.col("n_common").cast("double")
+         / F.least("n_g1", "n_g2").cast("double")).alias("overlap_coef"),
+    )

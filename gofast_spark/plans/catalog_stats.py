@@ -3312,3 +3312,40 @@ def negbin_fit_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
     return negbin_fit_moments(cnt, "c")
+
+
+@query(
+    "audience_overlap_events",
+    oracle="""
+    WITH gu AS (
+      SELECT DISTINCT event_type AS g, user_id AS u FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+    sizes AS (SELECT g, count(*) AS n FROM gu GROUP BY 1),
+    inter AS (
+      SELECT a.g AS g1, b.g AS g2, count(*) AS n_common
+      FROM gu a JOIN gu b ON a.u = b.u AND a.g < b.g
+      GROUP BY 1, 2)
+    SELECT g1, g2,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST(sa.n AS BIGINT) AS n_g1,
+           CAST(sb.n AS BIGINT) AS n_g2,
+           CAST(n_common AS DOUBLE)
+             / CAST(sa.n + sb.n - n_common AS DOUBLE) AS jaccard,
+           CAST(n_common AS DOUBLE)
+             / CAST(least(sa.n, sb.n) AS DOUBLE) AS overlap_coef
+    FROM inter
+    JOIN sizes sa ON sa.g = inter.g1
+    JOIN sizes sb ON sb.g = inter.g2
+    """,
+)
+def audience_overlap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise distinct-user overlap between event types
+    (operators/sessionize.py audience_overlap) — Jaccard +
+    Szymkiewicz-Simpson coefficients from ONE user-keyed self-join of
+    the reduced (type, user) frame; the cross-source sibling of
+    `source_overlap_documents` on behavioral audiences."""
+    from gofast_spark.operators.sessionize import audience_overlap
+
+    return audience_overlap(
+        _t(spark, sf_dir, "events"), "event_type", "user_id"
+    )

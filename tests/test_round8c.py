@@ -851,3 +851,20 @@ def test_seasonal_strength_on_seasonal_series(spark):
     assert got["f_seasonal"] > 0.95
     assert got["f_trend"] > 0.5
     assert got["n"] == 35 - 6  # complete trend windows only
+
+
+def test_audience_overlap(spark):
+    from gofast_spark.operators.sessionize import audience_overlap
+
+    rows = [("a", 1), ("a", 2), ("a", 3),
+            ("b", 2), ("b", 3), ("b", 4), ("b", 4),  # dup collapses
+            ("c", 9)]
+    df = spark.createDataFrame(rows, ["g", "u"])
+    got = {(r["g1"], r["g2"]): r for r in
+           audience_overlap(df, "g", "u").collect()}
+    ab = got[("a", "b")]
+    assert ab["n_common"] == 2 and ab["n_g1"] == 3 and ab["n_g2"] == 3
+    assert ab["jaccard"] == pytest.approx(2 / 4)
+    assert ab["overlap_coef"] == pytest.approx(2 / 3)
+    # disjoint pairs don't appear (no shared user row)
+    assert ("a", "c") not in got
