@@ -1268,3 +1268,196 @@ def seasonal_strength_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 4).cast("double").alias("v")
     )
     return seasonal_strength(daily, "v", "d", period=7)
+
+
+def _vr_oracle(qs=(2, 4, 8)) -> str:
+    wins = ",\n             ".join(
+        f"""CASE WHEN count(*) OVER (ORDER BY t
+               ROWS BETWEEN {q - 1} PRECEDING AND CURRENT ROW) = {q}
+             THEN sum(vu) OVER (ORDER BY t
+               ROWS BETWEEN {q - 1} PRECEDING AND CURRENT ROW) END
+             AS sq{q}"""
+        for q in qs
+    )
+    aggs = []
+    for q in qs:
+        aggs.append(
+            f"count(sq{q}) AS n{q}, sum(CAST(sq{q} AS HUGEINT)) AS s{q}, "
+            f"sum(CAST(sq{q} AS HUGEINT) * sq{q}) AS ss{q}"
+        )
+    sel = []
+    for q in qs:
+        phi = (2.0 * (2 * q - 1) * (q - 1)) / (3.0 * q)
+        vq = (f"(CAST(n{q} * ss{q} - s{q} * s{q} AS DOUBLE)"
+              f" / CAST(n{q} * (n{q} - 1) AS DOUBLE))")
+        v1 = ("(CAST(n0 * ss0 - s0 * s0 AS DOUBLE)"
+              " / CAST(n0 * (n0 - 1) AS DOUBLE))")
+        vr = f"{vq} / ({q}.0 * {v1})"
+        sel.append(
+            f"SELECT CAST({q} AS INTEGER) AS q, {vr} AS vr,"
+            f" ({vr} - 1.0) * sqrt(CAST(n0 AS DOUBLE) * {q}.0)"
+            f" / {phi ** 0.5!r} AS z,"
+            f" CAST(n{q} AS BIGINT) AS n_windows FROM a"
+        )
+    body = " UNION ALL ".join(sel)
+    return f"""
+    WITH daily AS ({_DAILY_SQL}),
+    b AS (SELECT t, CAST(floor(v * 1e4 + 0.5) AS BIGINT) AS vu
+          FROM daily),
+    p AS (
+      SELECT vu,
+             {wins}
+      FROM b),
+    a AS (
+      SELECT count(vu) AS n0, sum(CAST(vu AS HUGEINT)) AS s0,
+             sum(CAST(vu AS HUGEINT) * vu) AS ss0,
+             {", ".join(aggs)}
+      FROM p)
+    {body}
+    """
+
+
+@query("variance_ratio_daily", oracle=_vr_oracle())
+def variance_ratio_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo-MacKinlay variance ratios of daily revenue at horizons
+    2/4/8 (ts/engineering.py variance_ratio; Lo & MacKinlay 1988) —
+    overlapping q-sum windows over exact quantized integers, one
+    projection + one aggregate, in-plan explode."""
+    from gofast_spark.ts.engineering import variance_ratio
+
+    return variance_ratio(_daily(spark, sf_dir), "t", "v", qs=(2, 4, 8))
+
+
+@query(
+    "permutation_sign_test_daily",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL}),
+    d AS (
+      SELECT CAST(t AS BIGINT) AS t,
+             v - lag(v) OVER (ORDER BY t) AS dv
+      FROM daily),
+    b AS (
+      SELECT t, CAST(floor(dv * 1e4 + 0.5) AS BIGINT) AS vu
+      FROM d WHERE dv IS NOT NULL),
+    obs AS (SELECT sum(CAST(vu AS HUGEINT)) AS o, count(*) AS n FROM b),
+    perms AS (
+      SELECT b.t, b.vu, p
+      FROM b, (SELECT CAST(range AS INT) + 1 AS p FROM range(500))),
+    st AS (
+      SELECT p,
+             sum(CAST((CAST(('0x' || substr(md5(CAST(t AS VARCHAR)
+                   || ':' || CAST(p AS VARCHAR)), 1, 15)) AS BIGINT)
+                 % 2 * 2 - 1) AS HUGEINT) * vu) AS s
+      FROM perms GROUP BY p),
+    h AS (
+      SELECT sum(CASE WHEN abs(s) >= abs(o) THEN 1 ELSE 0 END) AS hits,
+             any_value(o) AS o, any_value(n) AS n
+      FROM st, obs)
+    SELECT CAST(o AS DOUBLE) / CAST(n AS DOUBLE) / 1e4
+             AS observed_mean,
+           CAST(hits + 1 AS DOUBLE) / 501.0 AS p_value,
+           CAST(n AS BIGINT) AS n,
+           CAST(500 AS INTEGER) AS n_perms
+    FROM h
+    """,
+)
+def permutation_sign_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher sign-flip permutation test that day-over-day revenue
+    changes are symmetric about zero (stats/resampling.py
+    permutation_sign_test; Fisher 1935, Phipson & Smyth 2010 add-one
+    p) — 500 md5-deterministic sign vectors over the rollup series,
+    exact integer permutation sums, bit-replayable 'randomness'."""
+    from pyspark.sql import Window
+
+    from gofast_spark.stats.resampling import permutation_sign_test
+
+    w = Window.orderBy("t")
+    d = _daily(spark, sf_dir).select(
+        F.col("t").cast("bigint").alias("t"),
+        (F.col("v") - F.lag("v").over(w)).alias("dv"),
+    ).where(F.col("dv").isNotNull())
+    return permutation_sign_test(d, "t", "dv", n_perms=500)
+
+
+@query(
+    "engle_granger_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+               AS BIGINT) AS t,
+             CAST(round(sum(CASE WHEN event_type = 'click' THEN value
+                            ELSE 0 END), 4) AS DOUBLE) AS x,
+             CAST(round(sum(CASE WHEN event_type = 'purchase' THEN value
+                            ELSE 0 END), 4) AS DOUBLE) AS y
+      FROM events WHERE ts IS NOT NULL GROUP BY 1),
+    b AS (
+      SELECT t, CAST(floor(x * 1e4 + 0.5) AS BIGINT) AS xu,
+             CAST(floor(y * 1e4 + 0.5) AS BIGINT) AS yu
+      FROM daily),
+    m AS (
+      SELECT count(*) AS n,
+             sum(CAST(xu AS HUGEINT)) AS sx,
+             sum(CAST(yu AS HUGEINT)) AS sy,
+             sum(CAST(xu AS HUGEINT) * xu) AS sxx,
+             sum(CAST(xu AS HUGEINT) * yu) AS sxy
+      FROM b),
+    f AS (
+      SELECT n,
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS bb,
+             CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+               - (CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE))
+                 * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS a_u
+      FROM m),
+    r AS (
+      SELECT t,
+             CAST(floor(CAST(yu AS DOUBLE) - a_u
+                        - bb * CAST(xu AS DOUBLE) + 0.5) AS BIGINT)
+               AS e,
+             bb, a_u / 1e4 AS a
+      FROM b, f),
+    l AS (
+      SELECT a, bb,
+             lag(e) OVER (ORDER BY t) AS el,
+             e - lag(e) OVER (ORDER BY t) AS de
+      FROM r),
+    g AS (
+      SELECT any_value(a) AS alpha, any_value(bb) AS beta,
+             count(*) AS mm,
+             sum(CAST(el AS HUGEINT) * el) AS see,
+             sum(CAST(el AS HUGEINT) * de) AS sed,
+             sum(CAST(de AS HUGEINT) * de) AS sdd
+      FROM l WHERE el IS NOT NULL)
+    SELECT alpha, beta,
+           CAST(sed AS DOUBLE) / CAST(see AS DOUBLE) AS gamma,
+           (CAST(sed AS DOUBLE) / CAST(see AS DOUBLE))
+             / sqrt(((CAST(sdd AS DOUBLE)
+                      - (CAST(sed AS DOUBLE) / CAST(see AS DOUBLE))
+                        * CAST(sed AS DOUBLE))
+                     / (CAST(mm AS DOUBLE) - 1.0))
+                    / CAST(see AS DOUBLE)) AS t_stat,
+           CAST(mm AS BIGINT) AS n
+    FROM g
+    """,
+)
+def engle_granger_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engle-Granger cointegration of daily purchase vs click revenue
+    (ts/causality.py engle_granger; Engle & Granger 1987) — exact-
+    moment OLS, quantized residuals, lag-0 ADF t on the residual
+    series; the levels companion to `granger_clicks_purchases`."""
+    from gofast_spark.ts.causality import engle_granger
+
+    e = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    daily = e.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01"))
+        .cast("bigint").alias("t")
+    ).agg(
+        F.round(F.sum(F.when(F.col("event_type") == "click",
+                             F.col("value")).otherwise(0)), 4)
+        .cast("double").alias("x"),
+        F.round(F.sum(F.when(F.col("event_type") == "purchase",
+                             F.col("value")).otherwise(0)), 4)
+        .cast("double").alias("y"),
+    )
+    return engle_granger(daily, "t", "y", "x", units=1e4)

@@ -200,3 +200,67 @@ def bootstrap_ci(
         float(np.quantile(stats, lo)),
         float(np.quantile(stats, 1.0 - lo)),
     )
+
+
+def permutation_sign_test(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    *,
+    n_perms: int = 500,
+    units: float = 1e4,
+) -> DataFrame:
+    """Sign-flip permutation test that a (difference) series is
+    symmetric about zero (Fisher's randomization test, *Design of
+    Experiments* 1935; the exact nonparametric alternative to the
+    one-sample t): compare |sum(x)| against the null distribution of
+    ``sum(s_p * x)`` over deterministic +/-1 sign vectors.
+
+    Signs come from the portable md5 hash of (row key, perm id), so
+    the 'random' flips are bit-reproducible on any engine — the same
+    determinism trick as the weighted sampler; the per-permutation
+    sums are exact quantized integers.  Shapes: rows x ``n_perms``
+    explode of the ROLLUP-sized series, one groupBy(perm).  Output:
+    ``(observed_mean, p_value, n, n_perms)`` with the add-one
+    (Phipson & Smyth 2010) p-value."""
+    from gofast_spark.text.hashing import md5_hash64
+
+    vu = F.floor(F.col(value_col).cast("double") * F.lit(units)
+                 + F.lit(0.5)).cast("bigint")
+    base = df.where(F.col(value_col).isNotNull()).select(
+        F.col(order_col).cast("bigint").alias("__o"), vu.alias("__vu")
+    )
+    obs = base.agg(
+        F.sum(F.col("__vu").cast("decimal(19,0)")).alias("__obs"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    perms = base.select(
+        "__o", "__vu",
+        F.explode(F.sequence(F.lit(1), F.lit(n_perms))).alias("__p"),
+    )
+    sign = (
+        md5_hash64(
+            F.concat(F.col("__o").cast("string"), F.lit(":"),
+                     F.col("__p").cast("string"))
+        ) % 2 * 2 - 1
+    ).cast("bigint")
+    stats = perms.groupBy("__p").agg(
+        F.sum((sign * F.col("__vu")).cast("decimal(19,0)"))
+        .alias("__st")
+    )
+    hits = stats.crossJoin(F.broadcast(obs)).agg(
+        F.sum(
+            F.when(F.abs(F.col("__st")) >= F.abs(F.col("__obs")), 1)
+            .otherwise(0)
+        ).alias("__hits"),
+        F.first("__obs").alias("__obs"),
+        F.first("__n").alias("__n"),
+    )
+    return hits.select(
+        (F.col("__obs").cast("double") / F.col("__n").cast("double")
+         / F.lit(units)).alias("observed_mean"),
+        ((F.col("__hits") + F.lit(1)).cast("double")
+         / F.lit(float(n_perms + 1))).alias("p_value"),
+        F.col("__n").cast("bigint").alias("n"),
+        F.lit(n_perms).cast("int").alias("n_perms"),
+    )

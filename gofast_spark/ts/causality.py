@@ -109,3 +109,88 @@ def granger_causality(
         sse_u.alias("sse_u"),
         f.alias("f_stat"),
     )
+
+
+def engle_granger(
+    df: DataFrame,
+    order_col: str,
+    y_col: str,
+    x_col: str,
+    *,
+    units: float = 1e4,
+) -> DataFrame:
+    """Engle-Granger two-step cointegration test (Engle & Granger,
+    Econometrica 1987), lag-0 ADF form: (1) OLS ``y ~ a + b x`` from
+    exact integer moments; (2) regress the residual's first difference
+    on its own lag (no intercept) and report the t-statistic of
+
+        gamma = sum(e_{t-1} * de_t) / sum(e_{t-1}^2)
+
+    — a strongly negative t rejects 'no cointegration' against the
+    Engle-Granger critical values (~-3.34 at 5%, n=50).  Residuals are
+    exact-moment-derived doubles quantized to ``units`` integers, so
+    both stages are bit-reproducible.  Shapes: one moment aggregate, a
+    broadcast, one lag window over the rollup series, one final
+    aggregate.  Output: ``(alpha, beta, gamma, t_stat, n)``."""
+    yu = F.floor(F.col(y_col).cast("double") * F.lit(units)
+                 + F.lit(0.5)).cast("bigint")
+    xu = F.floor(F.col(x_col).cast("double") * F.lit(units)
+                 + F.lit(0.5)).cast("bigint")
+    base = df.where(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(F.col(order_col).alias("__o"), xu.alias("__x"),
+             yu.alias("__y"))
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    m = base.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(dec("__x")).alias("__sx"),
+        F.sum(dec("__y")).alias("__sy"),
+        F.sum(dec("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(dec("__x") * F.col("__y")).alias("__sxy"),
+    )
+    n = F.col("__n").cast("decimal(19,0)")
+    b = (
+        (n * F.col("__sxy") - F.col("__sx") * F.col("__sy"))
+        .cast("double")
+        / (n * F.col("__sxx") - F.col("__sx") * F.col("__sx"))
+        .cast("double")
+    )
+    a_u = (
+        F.col("__sy").cast("double") / F.col("__n").cast("double")
+        - b * (F.col("__sx").cast("double")
+               / F.col("__n").cast("double"))
+    )
+    fit = m.select("__n", b.alias("__b"), a_u.alias("__a_u"))
+    res = base.crossJoin(F.broadcast(fit)).select(
+        "__o",
+        F.floor(
+            F.col("__y").cast("double") - F.col("__a_u")
+            - F.col("__b") * F.col("__x").cast("double") + F.lit(0.5)
+        ).cast("bigint").alias("__e"),
+        F.col("__b"), (F.col("__a_u") / F.lit(units)).alias("__a"),
+    )
+    w = Window.orderBy("__o")
+    lagd = res.select(
+        "__a", "__b",
+        F.lag("__e").over(w).alias("__el"),
+        (F.col("__e") - F.lag("__e").over(w)).alias("__de"),
+    ).where(F.col("__el").isNotNull())
+    agg = lagd.agg(
+        F.first("__a").alias("alpha"),
+        F.first("__b").alias("beta"),
+        F.count(F.lit(1)).alias("__m"),
+        F.sum(dec("__el") * F.col("__el")).alias("__see"),
+        F.sum(dec("__el") * F.col("__de")).alias("__sed"),
+        F.sum(dec("__de") * F.col("__de")).alias("__sdd"),
+    )
+    g = F.col("__sed").cast("double") / F.col("__see").cast("double")
+    s2 = (
+        (F.col("__sdd").cast("double")
+         - g * F.col("__sed").cast("double"))
+        / (F.col("__m").cast("double") - F.lit(1.0))
+    )
+    t = g / F.sqrt(s2 / F.col("__see").cast("double"))
+    return agg.select(
+        "alpha", "beta", g.alias("gamma"), t.alias("t_stat"),
+        F.col("__m").cast("bigint").alias("n"),
+    )

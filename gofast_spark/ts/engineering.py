@@ -911,3 +911,79 @@ def newey_west_se(
         lrv.alias("lrv"),
         F.col("__n").cast("bigint").alias("n"),
     )
+
+
+def variance_ratio(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    *,
+    qs: Sequence[int] = (2, 4, 8),
+    units: float = 1e4,
+) -> DataFrame:
+    """Lo-MacKinlay variance-ratio statistics (Lo & MacKinlay, RFS
+    1988 — the random-walk diagnostic): for each horizon ``q``,
+
+        VR(q) = Var(overlapping q-sums) / (q * Var(x)),
+        z(q)  = (VR - 1) * sqrt(n*q) / sqrt(2(2q-1)(q-1) / (3q))
+
+    (the homoscedastic form).  Values quantize to ``units`` integers;
+    overlapping q-sums are window sums of those integers, so every
+    variance is an exact-moment ratio.  One window projection + one
+    aggregate.  Output: ``(q, vr, z, n_windows)`` rows."""
+    qs = list(qs)
+    w = Window.orderBy("__o")
+    vu = F.floor(F.col(value_col).cast("double") * F.lit(units)
+                 + F.lit(0.5)).cast("bigint")
+    base = df.select(F.col(order_col).alias("__o"), vu.alias("__vu"))
+    proj = base.select(
+        "__vu",
+        *[
+            F.when(
+                F.count(F.lit(1)).over(
+                    w.rowsBetween(-(q - 1), 0)
+                ) == q,
+                F.sum("__vu").over(w.rowsBetween(-(q - 1), 0)),
+            ).alias(f"__sq_{q}")
+            for q in qs
+        ],
+    )
+    dec = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    aggs = [
+        F.count(F.col("__vu")).alias("__n"),
+        F.sum(dec(F.col("__vu"))).alias("__s"),
+        F.sum(dec(F.col("__vu")) * F.col("__vu")).alias("__ss"),
+    ]
+    for q in qs:
+        c = F.col(f"__sq_{q}")
+        aggs += [
+            F.count(c).alias(f"__n_{q}"),
+            F.sum(dec(c)).alias(f"__s_{q}"),
+            F.sum(dec(c) * c).alias(f"__ss_{q}"),
+        ]
+    agg = proj.agg(*aggs)
+
+    def var(n_c, s_c, ss_c):
+        n = F.col(n_c).cast("decimal(19,0)")
+        return (
+            (n * F.col(ss_c) - F.col(s_c) * F.col(s_c)).cast("double")
+            / (n * (n - F.lit(1).cast("decimal(19,0)"))).cast("double")
+        )
+
+    v1 = var("__n", "__s", "__ss")
+    rows = []
+    for q in qs:
+        vq = var(f"__n_{q}", f"__s_{q}", f"__ss_{q}")
+        vr = vq / (F.lit(float(q)) * v1)
+        phi = (2.0 * (2 * q - 1) * (q - 1)) / (3.0 * q)
+        z = (
+            (vr - F.lit(1.0))
+            * F.sqrt(F.col("__n").cast("double") * F.lit(float(q)))
+            / F.lit(phi ** 0.5)
+        )
+        rows.append(F.struct(
+            F.lit(q).cast("int").alias("q"),
+            vr.alias("vr"), z.alias("z"),
+            F.col(f"__n_{q}").cast("bigint").alias("n_windows"),
+        ))
+    return agg.select(F.explode(F.array(*rows)).alias("r")).select("r.*")

@@ -868,3 +868,53 @@ def test_audience_overlap(spark):
     assert ab["overlap_coef"] == pytest.approx(2 / 3)
     # disjoint pairs don't appear (no shared user row)
     assert ("a", "c") not in got
+
+
+def test_variance_ratio_random_walk_vs_meanreverting(spark):
+    from gofast_spark.ts.engineering import variance_ratio
+
+    # strongly mean-reverting (alternating): VR(2) well below 1
+    ys = [100.0, 0.0] * 20
+    df = spark.createDataFrame(list(enumerate(ys)), ["t", "y"])
+    got = {r["q"]: r for r in
+           variance_ratio(df, "t", "y", qs=(2,)).collect()}
+    assert got[2]["vr"] < 0.2
+    assert got[2]["z"] < -3.0
+    assert got[2]["n_windows"] == 39
+
+
+def test_permutation_sign_test_extreme_and_null(spark):
+    from gofast_spark.stats.resampling import permutation_sign_test
+
+    # all-positive diffs: observed |sum| is near-maximal -> tiny p
+    pos = spark.createDataFrame(
+        [(t, 5.0 + (t % 3)) for t in range(20)], ["t", "d"])
+    got = permutation_sign_test(pos, "t", "d", n_perms=200).collect()[0]
+    assert got["p_value"] < 0.05
+    assert got["observed_mean"] == pytest.approx(
+        sum(5.0 + (t % 3) for t in range(20)) / 20)
+    # symmetric +-5 pattern: p should NOT be small
+    sym = spark.createDataFrame(
+        [(t, 5.0 if t % 2 else -5.0) for t in range(20)], ["t", "d"])
+    got2 = permutation_sign_test(sym, "t", "d", n_perms=200).collect()[0]
+    assert got2["p_value"] > 0.5
+
+
+def test_engle_granger_cointegrated_pair(spark):
+    from gofast_spark.ts.causality import engle_granger
+
+    # y = 2x + stationary noise -> strongly negative t_stat
+    import math as _m
+    rows = [(t, 50.0 + 10.0 * _m.sin(t / 3.0),
+             2.0 * (50.0 + 10.0 * _m.sin(t / 3.0))
+             + (1.5 if t % 2 else -1.5)) for t in range(60)]
+    df = spark.createDataFrame(rows, ["t", "x", "y"])
+    got = engle_granger(df, "t", "y", "x").collect()[0]
+    assert got["beta"] == pytest.approx(2.0, abs=0.05)
+    assert got["t_stat"] < -3.3   # rejects no-cointegration
+    # independent random-walk-ish pair: residual ADF much weaker
+    rows2 = [(t, float((t * 7919) % 101), float((t * 104729) % 97))
+             for t in range(60)]
+    df2 = spark.createDataFrame(rows2, ["t", "x", "y"])
+    g2 = engle_granger(df2, "t", "y", "x").collect()[0]
+    assert g2["n"] == 59
