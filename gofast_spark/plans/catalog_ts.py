@@ -1461,3 +1461,91 @@ def engle_granger_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double").alias("y"),
     )
     return engle_granger(daily, "t", "y", "x", units=1e4)
+
+
+def _haar_oracle(levels: int = 3) -> str:
+    parts = []
+    for lv in range(1, levels + 1):
+        parts.append(f"""SELECT {lv} AS level, count(*) AS n_blocks,
+        sum(d * d) AS e_u FROM (
+          SELECT CAST(floor(t / {2 ** lv}) AS BIGINT) AS b,
+                 sum(CASE WHEN CAST(floor(t / {2 ** (lv - 1)}) AS BIGINT)
+                            % 2 = 0
+                          THEN CAST(vu AS HUGEINT)
+                          ELSE -CAST(vu AS HUGEINT) END) AS d,
+                 count(*) AS c
+          FROM b GROUP BY 1) WHERE c = {2 ** lv} GROUP BY 1""")
+    union = " UNION ALL ".join(parts)
+    return f"""
+    WITH daily AS ({_DAILY_SQL}),
+    b AS (
+      SELECT CAST(t AS BIGINT) AS t,
+             CAST(floor(v * 1e4 + 0.5) AS BIGINT) AS vu
+      FROM daily),
+    lv AS ({union}),
+    tot AS (
+      SELECT sum(CAST(e_u AS DOUBLE) / power(2.0, CAST(level AS DOUBLE)))
+               AS tt
+      FROM lv)
+    SELECT CAST(level AS INTEGER) AS level,
+           CAST(n_blocks AS BIGINT) AS n_blocks,
+           CAST(e_u AS DOUBLE) / power(2.0, CAST(level AS DOUBLE)) / 1e8
+             AS energy,
+           CAST(e_u AS DOUBLE) / power(2.0, CAST(level AS DOUBLE)) / tt
+             AS energy_share
+    FROM lv, tot
+    """
+
+
+@query("haar_energy_daily", oracle=_haar_oracle())
+def haar_energy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haar wavelet detail-energy by time scale for daily revenue
+    (ts/decompose.py haar_energy; Haar 1910, Mallat 1989) — exact
+    integer block sums, one small groupBy per level; which scales
+    carry the variation."""
+    from gofast_spark.ts.decompose import haar_energy
+
+    return haar_energy(_daily(spark, sf_dir), "t", "v", levels=3)
+
+
+def _spec_entropy_oracle(max_freq: int = 10) -> str:
+    terms = []
+    for k in range(1, max_freq + 1):
+        terms.append(
+            f"sum(CAST(floor(v * cos(6.283185307179586 * {k}.0 * tt / nd)"
+            f" * 1e3 + 0.5) AS BIGINT))::HUGEINT AS c{k}")
+        terms.append(
+            f"sum(CAST(floor(v * sin(6.283185307179586 * {k}.0 * tt / nd)"
+            f" * 1e3 + 0.5) AS BIGINT))::HUGEINT AS s{k}")
+    p2 = {k: f"(c{k} * c{k} + s{k} * s{k})" for k in range(1, max_freq + 1)}
+    tot = " + ".join(p2[k] for k in range(1, max_freq + 1))
+    shares = ", ".join(
+        f"CAST({p2[k]} AS DOUBLE) / CAST({tot} AS DOUBLE) AS p{k}"
+        for k in range(1, max_freq + 1)
+    )
+    h = " + ".join(
+        f"CASE WHEN p{k} > 0.0 THEN -p{k} * ln(p{k}) ELSE 0.0 END"
+        for k in range(1, max_freq + 1)
+    )
+    return f"""
+    WITH daily AS ({_DAILY_SQL}),
+    b AS (
+      SELECT CAST(t AS DOUBLE) AS tt, v, CAST(cnt AS DOUBLE) AS nd
+      FROM daily, (SELECT count(*) AS cnt FROM daily)),
+    a AS (SELECT {", ".join(terms)} FROM b),
+    p AS (SELECT {shares} FROM a)
+    SELECT ({h}) / ln({float(max_freq)!r}) AS spectral_entropy,
+           CAST({max_freq} AS INTEGER) AS k
+    FROM p
+    """
+
+
+@query("spectral_entropy_daily", oracle=_spec_entropy_oracle())
+def spectral_entropy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized spectral entropy of the daily revenue series over
+    harmonics 1..10 (ts/engineering.py spectral_entropy; the
+    tsfeatures forecastability measure, cf. Goerg 2013) — exact
+    quantized spectral sums, fixed-order share/entropy expressions."""
+    from gofast_spark.ts.engineering import spectral_entropy
+
+    return spectral_entropy(_daily(spark, sf_dir), "t", "v", max_freq=10)

@@ -370,3 +370,74 @@ def seasonal_strength(
         var("r").alias("var_resid"),
         F.col("__n").cast("bigint").alias("n"),
     )
+
+
+def haar_energy(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    *,
+    levels: int = 3,
+    units: float = 1e4,
+) -> DataFrame:
+    """Haar wavelet detail-energy decomposition of a series (Haar 1910;
+    Mallat, TPAMI 1989 multiresolution) — which time scales carry the
+    variation:
+
+        d_{l,j} = sum(first half of block j at level l)
+                - sum(second half),      E_l = sum_j d^2 / 2^l
+
+    Unnormalized block sums stay EXACT quantized integers (one small
+    groupBy per level over the rollup series, complete blocks only),
+    so every energy is an exact-integer ratio.  Output per level:
+    ``(level, n_blocks, energy, energy_share)`` with shares over the
+    detail energies."""
+    vu = F.floor(F.col(value_col).cast("double") * F.lit(units)
+                 + F.lit(0.5)).cast("bigint")
+    base = df.select(
+        F.col(order_col).cast("bigint").alias("__t"), vu.alias("__vu")
+    )
+    per_level = []
+    for lv in range(1, levels + 1):
+        blk = F.floor(F.col("__t") / F.lit(2 ** lv))
+        sign = F.when(
+            (F.floor(F.col("__t") / F.lit(2 ** (lv - 1))) % 2) == 0, 1
+        ).otherwise(-1)
+        d = (
+            base.groupBy(blk.alias("__b"))
+            .agg(
+                F.sum((sign * F.col("__vu")).cast("decimal(19,0)"))
+                .alias("__d"),
+                F.count(F.lit(1)).alias("__c"),
+            )
+            .where(F.col("__c") == 2 ** lv)
+        )
+        e = d.agg(
+            F.lit(lv).cast("int").alias("level"),
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+            F.sum(F.col("__d") * F.col("__d")).alias("__e_u"),
+        )
+        per_level.append(e)
+    allv = per_level[0]
+    for e in per_level[1:]:
+        allv = allv.unionByName(e)
+    tot = allv.agg(
+        F.sum(
+            F.col("__e_u").cast("double")
+            / F.pow(F.lit(2.0), F.col("level").cast("double"))
+        ).alias("__tot")
+    )
+    energy = (
+        F.col("__e_u").cast("double")
+        / F.pow(F.lit(2.0), F.col("level").cast("double"))
+        / F.lit(units * units)
+    )
+    return allv.crossJoin(F.broadcast(tot)).select(
+        "level", "n_blocks",
+        energy.alias("energy"),
+        (
+            F.col("__e_u").cast("double")
+            / F.pow(F.lit(2.0), F.col("level").cast("double"))
+            / F.col("__tot")
+        ).alias("energy_share"),
+    )

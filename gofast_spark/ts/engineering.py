@@ -987,3 +987,67 @@ def variance_ratio(
             F.col(f"__n_{q}").cast("bigint").alias("n_windows"),
         ))
     return agg.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+
+
+def spectral_entropy(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    *,
+    max_freq: int = 10,
+    units: float = 1e3,
+) -> DataFrame:
+    """Normalized spectral entropy over the first ``max_freq``
+    periodogram harmonics (the tsfeatures 'forecastability' measure;
+    Goerg 2013's ForeCA omega is 1 minus this):
+
+        H = - sum_k p_k ln p_k / ln K,   p_k = P_k / sum P
+
+    Low H = concentrated spectrum = predictable series.  Every power
+    derives from the SAME quantized integer cos/sin sums as
+    :func:`periodogram` (P in squared units cancels in the shares),
+    and both reductions over k are FIXED-ORDER expression sums — no
+    row-order dependence anywhere.  Output: one row
+    ``(spectral_entropy, k)``."""
+    t = F.col(order_col).cast("double")
+    v = F.col(value_col).cast("double")
+    nn = df.agg(F.count(F.lit(1)).alias("__n"))
+    base = df.crossJoin(F.broadcast(nn)).select(
+        t.alias("__t"), v.alias("__v"),
+        F.col("__n").cast("double").alias("__nd"),
+    )
+
+    def q(expr):
+        return F.floor(expr * F.lit(units) + F.lit(0.5)).cast("bigint")
+
+    aggs = []
+    for k in range(1, max_freq + 1):
+        ang = F.lit(_TWO_PI * k) * F.col("__t") / F.col("__nd")
+        aggs.append(F.sum(q(F.col("__v") * F.cos(ang)))
+                    .cast("decimal(19,0)").alias(f"__c_{k}"))
+        aggs.append(F.sum(q(F.col("__v") * F.sin(ang)))
+                    .cast("decimal(19,0)").alias(f"__s_{k}"))
+    agg = base.agg(*aggs)
+    p2 = {
+        k: F.col(f"__c_{k}") * F.col(f"__c_{k}")
+        + F.col(f"__s_{k}") * F.col(f"__s_{k}")
+        for k in range(1, max_freq + 1)
+    }
+    tot = p2[1]
+    for k in range(2, max_freq + 1):
+        tot = tot + p2[k]
+    withp = agg.select(
+        *[
+            (p2[k].cast("double") / tot.cast("double")).alias(f"__p_{k}")
+            for k in range(1, max_freq + 1)
+        ]
+    )
+    h = None
+    for k in range(1, max_freq + 1):
+        pk = F.col(f"__p_{k}")
+        term = F.when(pk > 0.0, -pk * F.log(pk)).otherwise(F.lit(0.0))
+        h = term if h is None else h + term
+    return withp.select(
+        (h / F.log(F.lit(float(max_freq)))).alias("spectral_entropy"),
+        F.lit(max_freq).cast("int").alias("k"),
+    )

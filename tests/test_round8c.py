@@ -918,3 +918,37 @@ def test_engle_granger_cointegrated_pair(spark):
     df2 = spark.createDataFrame(rows2, ["t", "x", "y"])
     g2 = engle_granger(df2, "t", "y", "x").collect()[0]
     assert g2["n"] == 59
+
+
+def test_haar_energy_concentrates_at_fast_scale(spark):
+    from gofast_spark.ts.decompose import haar_energy
+
+    # alternating series: ALL detail energy at level 1
+    ys = [10.0, 0.0] * 16
+    df = spark.createDataFrame(list(enumerate(ys)), ["t", "y"])
+    got = {r["level"]: r for r in
+           haar_energy(df, "t", "y", levels=3).collect()}
+    assert got[1]["energy_share"] == pytest.approx(1.0)
+    assert got[2]["energy_share"] == pytest.approx(0.0)
+    assert got[1]["n_blocks"] == 16
+    # level-1 detail: each pair differs by 10 -> energy 16*100/2
+    assert got[1]["energy"] == pytest.approx(16 * 100 / 2.0)
+
+
+def test_spectral_entropy_bounds(spark):
+    from gofast_spark.ts.engineering import spectral_entropy
+
+    # pure tone: entropy near 0
+    n = 40
+    tone = [(t, 100.0 * math.cos(2 * math.pi * 4 * t / n))
+            for t in range(n)]
+    got = spectral_entropy(
+        spark.createDataFrame(tone, ["t", "y"]), "t", "y",
+        max_freq=8).collect()[0]
+    assert got["spectral_entropy"] < 0.1
+    # hash-noise: entropy near 1
+    noise = [(t, float((t * 7919) % 101)) for t in range(n)]
+    g2 = spectral_entropy(
+        spark.createDataFrame(noise, ["t", "y"]), "t", "y",
+        max_freq=8).collect()[0]
+    assert g2["spectral_entropy"] > 0.7
