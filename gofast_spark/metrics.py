@@ -905,3 +905,42 @@ def mcc_report(df: DataFrame, label_col: str, pred_col: str) -> DataFrame:
         (F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn"))
         .cast("bigint").alias("n"),
     )
+
+
+def expected_calibration_error(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    *,
+    bins: int = 10,
+) -> DataFrame:
+    """Expected and maximum calibration error over the reliability-
+    diagram bins (Naeini, Cooper & Hauskrecht, AAAI 2015):
+
+        ECE = sum_b (n_b / N) * |mean_score_b - pos_rate_b|
+        MCE = max_b |mean_score_b - pos_rate_b|
+
+    Rides :func:`calibration_curve`'s bins; the per-bin gap is an
+    exact-integer difference (micro-unit score sums vs integer
+    positive counts over a common n_b denominator), quantized to
+    nano-units before the bin reduction so the weighted sum is exact.
+    Output: one row ``(ece, mce, n, n_bins)``."""
+    curve = calibration_curve(df, score_col, label_col, bins=bins)
+    gap = F.abs(F.col("mean_score") - F.col("pos_rate"))
+    w_u = F.floor(
+        F.col("n").cast("double") * gap * F.lit(1e9) + F.lit(0.5)
+    ).cast("bigint")
+    agg = curve.agg(
+        F.sum(w_u).alias("__w"),
+        F.max(F.floor(gap * F.lit(1e9) + F.lit(0.5)).cast("bigint"))
+        .alias("__mce_u"),
+        F.sum("n").alias("__n"),
+        F.count(F.lit(1)).alias("__b"),
+    )
+    return agg.select(
+        (F.col("__w").cast("double") / F.lit(1e9)
+         / F.col("__n").cast("double")).alias("ece"),
+        (F.col("__mce_u").cast("double") / F.lit(1e9)).alias("mce"),
+        F.col("__n").cast("bigint").alias("n"),
+        F.col("__b").cast("int").alias("n_bins"),
+    )

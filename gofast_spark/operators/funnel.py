@@ -611,3 +611,75 @@ def top_user_paths(
         .orderBy(F.col("n_users").desc(), "path")
         .limit(top_k)
     )
+
+
+def cohort_ltv(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    amount_col: str,
+    *,
+    cohort_type: str | None = None,
+    type_col: str | None = None,
+    period_days: int = 7,
+    max_periods: int = 8,
+    units: float = 1e6,
+) -> DataFrame:
+    """Cumulative revenue per cohort user by cohort age — the LTV
+    curve growth teams read next to the retention triangle (same
+    cohort arithmetic as :func:`retention_cohorts`): for each entry-
+    period cohort and offset, the period revenue, its running total,
+    and the running total per cohort user.
+
+    Entry times are one groupBy; revenue joins that user-sized frame
+    once; sums are exact ``units``-quantized integers; the cumulative
+    pass is a window over the (cohort, offset)-sized matrix only.
+    Output: ``(cohort, offset, revenue, cum_revenue, ltv_per_user,
+    cohort_size)``."""
+    from pyspark.sql import Window
+
+    ev = df.select(
+        F.col(user_col).alias("__u"),
+        F.unix_timestamp(F.col(ts_col)).alias("__s"),
+        F.col(amount_col).alias("__a"),
+        *([F.col(type_col).alias("__ty")] if type_col else []),
+    ).where(F.col(ts_col).isNotNull() & F.col(amount_col).isNotNull())
+    entries = ev
+    if cohort_type is not None:
+        if type_col is None:
+            raise ValueError("cohort_type needs type_col")
+        entries = ev.where(F.col("__ty") == cohort_type)
+    first = entries.groupBy("__u").agg(F.min("__s").alias("__t0"))
+    period = 86_400 * period_days
+    cohort = (F.col("__t0") / F.lit(float(period))).cast("bigint")
+    offset = (
+        (F.col("__s") - F.col("__t0")) / F.lit(float(period))
+    ).cast("bigint")
+    au = F.floor(F.col("__a").cast("double") * F.lit(units)
+                 + F.lit(0.5)).cast("bigint")
+    rev = (
+        ev.join(first, "__u")
+        .where((F.col("__s") >= F.col("__t0"))
+               & (offset < max_periods))
+        .groupBy(cohort.alias("cohort"), offset.alias("offset"))
+        .agg(F.sum(au.cast("decimal(38,0)")).alias("__r"))
+    )
+    sizes = first.groupBy(cohort.alias("cohort")).agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    w = Window.partitionBy("cohort").orderBy("offset").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        rev.join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort", "offset", "cohort_size",
+            (F.col("__r").cast("double") / F.lit(units))
+            .alias("revenue"),
+            (F.sum("__r").over(w).cast("double") / F.lit(units))
+            .alias("cum_revenue"),
+            (F.sum("__r").over(w).cast("double") / F.lit(units)
+             / F.col("cohort_size").cast("double"))
+            .alias("ltv_per_user"),
+        )
+    )

@@ -811,3 +811,50 @@ def mcc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("o_orderkey") % 3) != 0).cast("int").alias("p"),
     )
     return mcc_report(o, "y", "p")
+
+
+@query(
+    "ece_orders",
+    oracle="""
+    WITH scored AS (
+      SELECT (CAST(o_custkey % 97 AS DOUBLE) / 97) AS s,
+             CAST(o_orderstatus = 'F' AS INT) AS y
+      FROM orders),
+    b AS (
+      SELECT least(CAST(floor(s * 10) AS INT), 9) AS bin,
+             CAST(trunc(s * 1000000 + 0.5) AS BIGINT) AS s_u6, y
+      FROM scored),
+    curve AS (
+      SELECT bin, count(*) AS n,
+             CAST(sum(s_u6) / (count(*) * 1000000.0) AS DOUBLE)
+               AS mean_score,
+             CAST(sum(y) / CAST(count(*) AS DOUBLE) AS DOUBLE)
+               AS pos_rate
+      FROM b GROUP BY bin),
+    a AS (
+      SELECT sum(CAST(floor(CAST(n AS DOUBLE)
+                            * abs(mean_score - pos_rate) * 1e9 + 0.5)
+                   AS BIGINT)) AS w,
+             max(CAST(floor(abs(mean_score - pos_rate) * 1e9 + 0.5)
+                   AS BIGINT)) AS mce_u,
+             sum(n) AS nn, count(*) AS nb
+      FROM curve)
+    SELECT CAST(w AS DOUBLE) / 1e9 / CAST(nn AS DOUBLE) AS ece,
+           CAST(mce_u AS DOUBLE) / 1e9 AS mce,
+           CAST(nn AS BIGINT) AS n,
+           CAST(nb AS INTEGER) AS n_bins
+    FROM a
+    """,
+)
+def ece_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected + maximum calibration error over the reliability bins
+    (metrics.expected_calibration_error; Naeini et al. 2015) —
+    composes the verified `calibration_curve_orders` chain into the
+    scalar calibration readout."""
+    from gofast_spark.metrics import expected_calibration_error
+
+    o = _t(spark, sf_dir, "orders").select(
+        ((F.col("o_custkey") % 97).cast("double") / 97).alias("score"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("label"),
+    )
+    return expected_calibration_error(o, "score", "label", bins=10)

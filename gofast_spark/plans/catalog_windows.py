@@ -599,3 +599,53 @@ def brown_forecast_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     sm = double_ewma(_daily(spark, sf_dir), "d", "v", alpha=0.5)
     out = brown_forecast(sm, "d", horizon=7)
     return out.select(F.col("h").cast("bigint").alias("h"), "forecast")
+
+
+@query(
+    "cohort_ltv_events",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id AS u, epoch(ts) AS s, value AS a, event_type AS ty
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+    first AS (
+      SELECT u, min(s) AS t0 FROM ev WHERE ty = 'signup' GROUP BY u),
+    rev AS (
+      SELECT CAST(floor(t0 / 604800.0) AS BIGINT) AS cohort,
+             CAST(floor((s - t0) / 604800.0) AS BIGINT) AS "offset",
+             sum(CAST(floor(CAST(a AS DOUBLE) * 1e6 + 0.5) AS HUGEINT))
+               AS r
+      FROM ev JOIN first ON first.u = ev.u
+      WHERE s >= t0 AND floor((s - t0) / 604800.0) < 8
+      GROUP BY 1, 2),
+    sizes AS (
+      SELECT CAST(floor(t0 / 604800.0) AS BIGINT) AS cohort,
+             count(*) AS cohort_size
+      FROM first GROUP BY 1)
+    SELECT rev.cohort, rev."offset",
+           CAST(any_value(cohort_size) AS BIGINT) AS cohort_size,
+           CAST(any_value(r) AS DOUBLE) / 1e6 AS revenue,
+           CAST(sum(any_value(r)) OVER wc AS DOUBLE) / 1e6
+             AS cum_revenue,
+           CAST(sum(any_value(r)) OVER wc AS DOUBLE) / 1e6
+             / CAST(any_value(cohort_size) AS DOUBLE) AS ltv_per_user
+    FROM rev JOIN sizes sz ON sz.cohort = rev.cohort
+    GROUP BY rev.cohort, rev."offset"
+    WINDOW wc AS (PARTITION BY rev.cohort ORDER BY rev."offset"
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def cohort_ltv_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly signup-cohort LTV curve (operators/funnel.py cohort_ltv)
+    — cumulative revenue per cohort user by cohort age, the monetary
+    companion to `retention_cohorts_events`; exact micro-unit sums,
+    matrix-sized cumulative window."""
+    from gofast_spark.operators.funnel import cohort_ltv
+
+    e = _t(spark, sf_dir, "events")
+    return cohort_ltv(
+        e, "user_id", "ts", "value", cohort_type="signup",
+        type_col="event_type", period_days=7, max_periods=8,
+    ).select(
+        "cohort", "offset", "cohort_size", "revenue", "cum_revenue",
+        "ltv_per_user",
+    )

@@ -954,3 +954,41 @@ def test_spectral_entropy_bounds(spark):
     # broadband (not flat over only 8 harmonics, but far above a tone)
     assert g2["spectral_entropy"] > 0.4
     assert g2["spectral_entropy"] > 3 * got["spectral_entropy"]
+
+
+def test_ece_perfect_and_miscalibrated(spark):
+    from gofast_spark.metrics import expected_calibration_error
+
+    # perfectly calibrated in two bins: score .25 with 25% positives,
+    # score .75 with 75% positives
+    rows = ([(0.25, 1)] * 1 + [(0.25, 0)] * 3
+            + [(0.75, 1)] * 3 + [(0.75, 0)] * 1)
+    df = spark.createDataFrame(rows, ["s", "y"])
+    got = expected_calibration_error(df, "s", "y", bins=4).collect()[0]
+    assert got["ece"] == pytest.approx(0.0, abs=1e-9)
+    # inverted: score .9 all negative
+    bad = spark.createDataFrame([(0.9, 0)] * 10, ["s", "y"])
+    g2 = expected_calibration_error(bad, "s", "y", bins=4).collect()[0]
+    assert g2["ece"] == pytest.approx(0.9, abs=1e-9)
+    assert g2["mce"] == pytest.approx(0.9, abs=1e-9)
+
+
+def test_cohort_ltv_cumulates(spark):
+    from gofast_spark.operators.funnel import cohort_ltv
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for u in (1, 2):
+        rows.append((u, base, "signup", 0.0))
+        rows.append((u, base + datetime.timedelta(days=1), "buy", 10.0))
+        rows.append((u, base + datetime.timedelta(days=8), "buy", 20.0))
+    df = spark.createDataFrame(rows, ["u", "ts", "ty", "amt"])
+    got = {r["offset"]: r for r in cohort_ltv(
+        df, "u", "ts", "amt", cohort_type="signup", type_col="ty",
+        period_days=7).collect()}
+    assert got[0]["revenue"] == pytest.approx(20.0)   # 2 users x 10
+    assert got[1]["revenue"] == pytest.approx(40.0)
+    assert got[1]["cum_revenue"] == pytest.approx(60.0)
+    assert got[1]["ltv_per_user"] == pytest.approx(30.0)
+    assert got[0]["cohort_size"] == 2
