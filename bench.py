@@ -104,6 +104,12 @@ HEADLINE = [
     "rake_keywords_documents",
     "kmv_distinct_users_events",
     "cooks_distance_lineitem",
+    # round 8 closing wave: survival effect size, L1 regression path,
+    # one-pass experimentation report, cointegration
+    "cox_ph_events",
+    "elastic_net_cd_lineitem",
+    "ab_experiment_report_events",
+    "engle_granger_daily",
 ]
 
 
