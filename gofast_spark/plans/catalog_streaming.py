@@ -904,3 +904,101 @@ def stream_srm_check_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n0 / nn).alias("ratio_0"),
         chi2.alias("chi2"),
     )
+
+
+@query(
+    "stream_ab_report_events",
+    oracle="""
+    WITH d AS (
+      SELECT CAST((user_id * 1103515245 + 12345) % 2147483648 % 2
+               AS INT) AS g,
+             CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+    a AS (
+      SELECT
+        sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS n0,
+        sum(CASE WHEN g = 0 THEN CAST(v AS HUGEINT) ELSE 0 END) AS s0,
+        sum(CASE WHEN g = 0 THEN CAST(v AS HUGEINT) * v ELSE 0 END)
+          AS ss0,
+        sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS n1,
+        sum(CASE WHEN g = 1 THEN CAST(v AS HUGEINT) ELSE 0 END) AS s1,
+        sum(CASE WHEN g = 1 THEN CAST(v AS HUGEINT) * v ELSE 0 END)
+          AS ss1
+      FROM d),
+    m AS (
+      SELECT n0, n1,
+             CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) / 1e6 AS mean_0,
+             CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 1e6 AS mean_1,
+             sqrt(CAST(n0 * ss0 - s0 * s0 AS DOUBLE)
+                    / CAST(n0 * (n0 - 1) AS DOUBLE) / 1e12
+                    / CAST(n0 AS DOUBLE)
+                  + CAST(n1 * ss1 - s1 * s1 AS DOUBLE)
+                    / CAST(n1 * (n1 - 1) AS DOUBLE) / 1e12
+                    / CAST(n1 AS DOUBLE)) AS se
+      FROM a)
+    SELECT CAST(n0 AS BIGINT) AS n_0, CAST(n1 AS BIGINT) AS n_1,
+           mean_0, mean_1,
+           (mean_1 - mean_0) / se AS z,
+           abs((mean_1 - mean_0) / se) > 1.959963984540054
+             AS significant
+    FROM m
+    """,
+)
+def stream_ab_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live A/B readout IN A STREAM: the six sufficient statistics
+    (per-variant count / quantized sum / sum of squares) are THE
+    streaming state — one complete-mode conditional aggregate, exactly
+    how an experimentation platform watches a running test; the
+    drained counters fold to the Welch z and significance flag
+    (stats/cuped.py ab_report semantics).  availableNow-equals-batch
+    oracle, exact-integer state."""
+    from gofast_spark.streaming import read_event_stream, run_available_now
+
+    stream = read_event_stream(spark, sf_dir, glob="events.parquet")
+    g = (
+        (F.col("user_id") * F.lit(1103515245) + F.lit(12345))
+        % F.lit(2147483648) % F.lit(2)
+    ).cast("int")
+    vu = F.floor(F.col("value").cast("double") * F.lit(1e6)
+                 + F.lit(0.5)).cast("bigint")
+    z = F.lit(0).cast("bigint")
+    base = stream.where(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    ).select(g.alias("g"), vu.alias("v"))
+
+    def side(gv, tag):
+        m = F.col("g") == gv
+        x = F.when(m, F.col("v")).otherwise(z)
+        return [
+            F.sum(F.when(m, 1).otherwise(0)).alias(f"n{tag}"),
+            F.sum(x.cast("decimal(19,0)")).alias(f"s{tag}"),
+            F.sum(x.cast("decimal(19,0)") * x).alias(f"ss{tag}"),
+        ]
+
+    counters = base.agg(*side(0, "0"), *side(1, "1"))
+    drained = run_available_now(counters, mode="complete")
+
+    def stats(tag):
+        n = F.col(f"n{tag}").cast("decimal(19,0)")
+        nd = F.col(f"n{tag}").cast("double")
+        mean = F.col(f"s{tag}").cast("double") / nd / F.lit(1e6)
+        var = (
+            (n * F.col(f"ss{tag}") - F.col(f"s{tag}") * F.col(f"s{tag}"))
+            .cast("double")
+            / (n * (n - F.lit(1).cast("decimal(19,0)"))).cast("double")
+            / F.lit(1e12)
+        )
+        return mean, var, nd
+
+    m0, v0, n0 = stats("0")
+    m1, v1, n1 = stats("1")
+    se = F.sqrt(v0 / n0 + v1 / n1)
+    zz = (m1 - m0) / se
+    return drained.select(
+        F.col("n0").cast("bigint").alias("n_0"),
+        F.col("n1").cast("bigint").alias("n_1"),
+        m0.alias("mean_0"),
+        m1.alias("mean_1"),
+        zz.alias("z"),
+        (F.abs(zz) > F.lit(1.959963984540054)).alias("significant"),
+    )
