@@ -59,3 +59,49 @@ def abc_analysis(
         .otherwise("C")
     )
     return cum.withColumn("abc", abc)
+
+
+def skyline_2d(
+    df: DataFrame,
+    max_col: str,
+    min_col: str,
+) -> DataFrame:
+    """Two-dimensional skyline / Pareto frontier (Börzsönyi, Kossmann
+    & Stocker, ICDE 2001): the points not dominated under (maximize
+    ``max_col``, minimize ``min_col``).
+
+    Scale shape: reduce to DISTINCT ``max_col`` values with their best
+    ``min_col`` (one hash aggregate — the skyline can only contain
+    these), then one running-min window over that rollup-sized frame:
+    a point survives iff it beats every point with a strictly larger
+    ``max_col``.  Never a pairwise dominance join.  Output:
+    ``(<max_col>, <min_col>, n_at_point)`` skyline points."""
+    x = F.col(max_col)
+    y = F.col(min_col)
+    per = (
+        df.where(x.isNotNull() & y.isNotNull())
+        .groupBy(x.alias("__x"))
+        .agg(F.min(y).alias("__y"))
+    )
+    n_at = (
+        df.where(x.isNotNull() & y.isNotNull())
+        .groupBy(x.alias("__x2"), y.alias("__y2"))
+        .agg(F.count(F.lit(1)).alias("n_at_point"))
+    )
+    w = Window.orderBy(F.col("__x").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    sky = per.select(
+        "__x", "__y", F.min("__y").over(w).alias("__best_above")
+    ).where(
+        F.col("__best_above").isNull()
+        | (F.col("__y") < F.col("__best_above"))
+    )
+    return sky.join(
+        n_at,
+        (sky["__x"] == n_at["__x2"]) & (sky["__y"] == n_at["__y2"]),
+    ).select(
+        F.col("__x").alias(max_col),
+        F.col("__y").alias(min_col),
+        F.col("n_at_point").cast("bigint").alias("n_at_point"),
+    )

@@ -857,3 +857,37 @@ def abc_analysis_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double").alias("class_share"),
         )
     )
+
+
+@query(
+    "skyline_quantity_price_lineitem",
+    oracle="""
+    WITH base AS (
+      SELECT l_quantity AS q, l_extendedprice AS p FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+    per AS (SELECT q, min(p) AS p FROM base GROUP BY q),
+    nat AS (SELECT q, p, count(*) AS n_at_point FROM base GROUP BY 1, 2),
+    sky AS (
+      SELECT q, p,
+             min(p) OVER (ORDER BY q DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS best_above
+      FROM per)
+    SELECT sky.q AS l_quantity, sky.p AS l_extendedprice,
+           CAST(n_at_point AS BIGINT) AS n_at_point
+    FROM sky JOIN nat ON nat.q = sky.q AND nat.p = sky.p
+    WHERE best_above IS NULL OR sky.p < best_above
+    """,
+)
+def skyline_quantity_price_lineitem(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pareto frontier of (maximize quantity, minimize price) over
+    lineitem (operators/pareto.py skyline_2d; Börzsönyi et al. 2001 —
+    the SKYLINE operator): distinct-value rollup + one running-min
+    window, never a pairwise dominance join."""
+    from gofast_spark.operators.pareto import skyline_2d
+
+    return skyline_2d(
+        _t(spark, sf_dir, "lineitem"), "l_quantity", "l_extendedprice"
+    )

@@ -992,3 +992,17 @@ def test_cohort_ltv_cumulates(spark):
     assert got[1]["cum_revenue"] == pytest.approx(60.0)
     assert got[1]["ltv_per_user"] == pytest.approx(30.0)
     assert got[0]["cohort_size"] == 2
+
+
+def test_skyline_2d_dominance(spark):
+    from gofast_spark.operators.pareto import skyline_2d
+
+    # (qty, price): frontier = (5, 10), (3, 8), (1, 5)
+    rows = [(5, 10.0), (5, 12.0), (3, 8.0), (3, 11.0),
+            (4, 9.0),            # dominated? needs q>=4 & p<=9: (5,10) no
+            (2, 9.0),            # dominated by (3, 8)
+            (1, 5.0)]
+    df = spark.createDataFrame(rows, ["q", "p"])
+    got = sorted((r["q"], r["p"]) for r in
+                 skyline_2d(df, "q", "p").collect())
+    assert got == [(1, 5.0), (3, 8.0), (4, 9.0), (5, 10.0)]
