@@ -174,7 +174,18 @@ def main() -> None:
         json.dump({**result, "runs": spread}, f, indent=1)
     spark.stop()
     sys.stdout.flush()
-    print(json.dumps(result), flush=True)
+    # The stdout line must fit the driver's 2000-char tail capture
+    # (r8 verdict ask #7: at 72 headline queries the full per-query dict
+    # alone overflows it) — report the 10 slowest queries inline and
+    # point at bench_result.json for the rest.
+    slow10 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    compact = {
+        **result,
+        "queries": slow10,
+        "n_queries": len(timings),
+        "queries_full": "bench_result.json",
+    }
+    print(json.dumps(compact), flush=True)
 
 
 if __name__ == "__main__":

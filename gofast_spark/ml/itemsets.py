@@ -20,8 +20,56 @@ Top-k is TakeOrderedAndProject with a deterministic
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
+
+
+def cap_basket_size(
+    pruned: DataFrame,
+    max_basket_size: int | None,
+    *,
+    basket_col: str = "bk",
+) -> DataFrame:
+    """Drop baskets whose post-prune item count exceeds
+    ``max_basket_size`` before a basket self-join.
+
+    Apriori pruning bounds the item VOCABULARY but not a single basket:
+    one bot user with 10k distinct items contributes ~5e7 pairs from one
+    join key — a straggler/OOM at scale no matter how rare.  The guard
+    is the standard fix (e.g. Spark MLlib's FPGrowth treats oversized
+    transactions the same way: bound the per-key blowup, never let one
+    key dominate the shuffle).
+
+    No-silent-caps rule: when the cap binds, the dropped-basket count is
+    computed (one basket-sized aggregate) and logged loudly.  When it
+    does not bind — the overwhelmingly common case — the input frame is
+    returned UNCHANGED, so no join is added to the plan and existing
+    plan-shape CI stays valid."""
+    if max_basket_size is None:
+        return pruned
+    if max_basket_size < 2:
+        raise ValueError("max_basket_size must be >= 2")
+    sizes = pruned.groupBy(basket_col).agg(
+        F.count(F.lit(1)).alias("__bk_n")
+    )
+    oversized = sizes.where(F.col("__bk_n") > max_basket_size)
+    n_over = oversized.count()
+    if n_over == 0:
+        return pruned
+    logger.warning(
+        "cap_basket_size: dropping %d basket(s) larger than %d items "
+        "before the pair self-join (no-silent-caps: raise "
+        "max_basket_size to include them)",
+        n_over,
+        max_basket_size,
+    )
+    return pruned.join(
+        oversized.select(basket_col), basket_col, "left_anti"
+    )
 
 
 def frequent_pairs(
@@ -32,6 +80,7 @@ def frequent_pairs(
     min_support: int = 3,
     top_k: int = 20,
     broadcast_limit: int | None = 100_000,
+    max_basket_size: int | None = 10_000,
 ) -> DataFrame:
     """Top-``top_k`` co-occurring item pairs:
     ``(item_a, item_b, n_pair, n_a, n_b, lift)`` over distinct
@@ -51,7 +100,9 @@ def frequent_pairs(
     freq = support.where(F.col("n_it") >= min_support)
     if broadcast_limit is not None and freq.count() <= broadcast_limit:
         freq = F.broadcast(freq)
-    pruned = b.join(freq, "it").select("bk", "it", "n_it")
+    pruned = cap_basket_size(
+        b.join(freq, "it").select("bk", "it", "n_it"), max_basket_size
+    )
     pairs = (
         pruned.alias("l")
         .join(pruned.alias("r"), "bk")
@@ -95,6 +146,7 @@ def association_rules(
     min_support: int = 3,
     top_pairs: int = 20,
     broadcast_limit: int | None = 100_000,
+    max_basket_size: int | None = 10_000,
 ) -> DataFrame:
     """Directional association rules from the top frequent pairs
     (Agrawal, Imielinski & Swami, SIGMOD 1993): each mined pair yields
@@ -121,6 +173,7 @@ def association_rules(
         min_support=min_support,
         top_k=top_pairs,
         broadcast_limit=broadcast_limit,
+        max_basket_size=max_basket_size,
     )
     nb = (
         df.where(

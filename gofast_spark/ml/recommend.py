@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from gofast_spark.ml.itemsets import cap_basket_size
+
 
 def item_similarity_topk(
     df: DataFrame,
@@ -31,6 +33,7 @@ def item_similarity_topk(
     min_count: int = 2,
     k: int = 5,
     broadcast_limit: int | None = 100_000,
+    max_basket_size: int | None = 10_000,
 ) -> DataFrame:
     """Top-``k`` cosine neighbors per item:
     ``(item, neighbor, n_item, n_neighbor, n_both, cosine, rank)``
@@ -52,7 +55,9 @@ def item_similarity_topk(
     freq = support.where(F.col("n_it") >= min_count)
     if broadcast_limit is not None and freq.count() <= broadcast_limit:
         freq = F.broadcast(freq)
-    pruned = b.join(freq, "it").select("bk", "it", "n_it")
+    pruned = cap_basket_size(
+        b.join(freq, "it").select("bk", "it", "n_it"), max_basket_size
+    )
     pairs = (
         pruned.alias("l")
         .join(pruned.alias("r"), "bk")

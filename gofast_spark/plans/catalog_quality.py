@@ -764,18 +764,18 @@ def benford_profile_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT 'l_discount' AS "column", count(*) AS n_rows,
            sum(CAST(l_discount IS NULL AS BIGINT)) AS n_nulls,
-           CAST(sum(CAST(l_discount IS NULL AS BIGINT))
-                / CAST(count(*) AS DOUBLE) AS DOUBLE) AS null_ratio,
-           CAST(min(l_discount) AS VARCHAR) AS min_str,
-           CAST(max(l_discount) AS VARCHAR) AS max_str
+           CAST(floor(1000000 * sum(CAST(l_discount IS NULL AS BIGINT))
+                / CAST(count(*) AS DOUBLE)) AS BIGINT) AS null_ppm,
+           CAST(floor(min(l_discount) * 1000000 + 0.5) AS BIGINT) AS min_u6,
+           CAST(floor(max(l_discount) * 1000000 + 0.5) AS BIGINT) AS max_u6
     FROM lineitem
     UNION ALL
     SELECT 'l_quantity', count(*),
            sum(CAST(l_quantity IS NULL AS BIGINT)),
-           CAST(sum(CAST(l_quantity IS NULL AS BIGINT))
-                / CAST(count(*) AS DOUBLE) AS DOUBLE),
-           CAST(min(l_quantity) AS VARCHAR),
-           CAST(max(l_quantity) AS VARCHAR)
+           CAST(floor(1000000 * sum(CAST(l_quantity IS NULL AS BIGINT))
+                / CAST(count(*) AS DOUBLE)) AS BIGINT),
+           CAST(floor(min(l_quantity) * 1000000 + 0.5) AS BIGINT),
+           CAST(floor(max(l_quantity) * 1000000 + 0.5) AS BIGINT)
     FROM lineitem
     """,
 )
@@ -786,16 +786,20 @@ def observed_report_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     null counts and min/max ride the SAME noop-write action that
     materializes the frame, collected as accumulators while rows flow.
     The oracle recomputes the aggregates relationally — a hash match
-    certifies observation-vs-aggregate equivalence."""
+    certifies observation-vs-aggregate equivalence.  r8 driver red
+    (hash-only): the ``str()``-rendered min/max vs DuckDB ``CAST AS
+    VARCHAR`` left the hash at the mercy of two engines' float
+    formatters; the numeric presentation is exact integers end-to-end
+    (micro-unit min/max, ppm null ratio)."""
     from gofast_spark.quality.observe import (
         observe_quality,
-        quality_report_frame,
+        quality_report_numeric,
     )
 
     li = _t(spark, sf_dir, "lineitem").select("l_quantity", "l_discount")
     observed, obs = observe_quality(li, ["l_discount", "l_quantity"])
     observed.write.format("noop").mode("overwrite").save()
-    return quality_report_frame(observed, obs)
+    return quality_report_numeric(observed, obs)
 
 
 @query(
@@ -863,11 +867,12 @@ def psi_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT segment,
            CAST(richness AS BIGINT) AS richness,
            CAST(nn AS BIGINT) AS n,
-           ln(CAST(nn AS DOUBLE))
-             - CAST(snln AS DOUBLE) / 1e6 / CAST(nn AS DOUBLE) AS shannon,
-           exp(ln(CAST(nn AS DOUBLE))
+           CAST(floor((ln(CAST(nn AS DOUBLE))
              - CAST(snln AS DOUBLE) / 1e6 / CAST(nn AS DOUBLE))
-             AS effective_categories,
+             * 1e6 + 0.5) AS BIGINT) AS shannon_u6,
+           CAST(floor(exp(ln(CAST(nn AS DOUBLE))
+             - CAST(snln AS DOUBLE) / 1e6 / CAST(nn AS DOUBLE))
+             * 1e6 + 0.5) AS BIGINT) AS effective_categories_u6,
            CAST(sp AS DOUBLE)
              / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0))
              AS simpson,
@@ -883,15 +888,29 @@ def diversity_nations_by_segment(
     diversity_indices; Shannon 1948, Simpson 1949, Herfindahl-
     Hirschman): richness, Shannon entropy + Hill-number effective
     count, unbiased Simpson, and HHI concentration — two hash
-    aggregates, exact-integer reductions throughout."""
+    aggregates, exact-integer reductions throughout.  Shannon/Hill
+    present as micro-unit integers: the inner n·ln(n) sum is already
+    integer-exact on both sides, but the FINAL ln/exp go through JVM
+    Math vs DuckDB libm, which disagree by 1 ulp on some arguments
+    (observed at sf0.01) — quantization absorbs transcendental ulp
+    noise; simpson/hhi are exact integer ratios and stay raw."""
     from gofast_spark.stats.descriptive import diversity_indices
 
     out = diversity_indices(
         _t(spark, sf_dir, "customer"), "c_mktsegment", "c_nationkey"
     )
     return out.select(
-        F.col("g").alias("segment"), "richness", "n", "shannon",
-        "effective_categories", "simpson", "hhi",
+        F.col("g").alias("segment"),
+        "richness",
+        "n",
+        F.floor(F.col("shannon") * 1e6 + 0.5)
+        .cast("bigint")
+        .alias("shannon_u6"),
+        F.floor(F.col("effective_categories") * 1e6 + 0.5)
+        .cast("bigint")
+        .alias("effective_categories_u6"),
+        "simpson",
+        "hhi",
     )
 
 

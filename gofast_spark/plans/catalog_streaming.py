@@ -593,7 +593,8 @@ def stream_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_retention_cohorts",
     oracle="""
     WITH ev AS (
-      SELECT user_id AS u, epoch(ts) AS s, event_type AS ty FROM events
+      SELECT user_id AS u, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             event_type AS ty FROM events
       WHERE ts IS NOT NULL),
     first AS (
       SELECT u, min(s) AS t0 FROM ev WHERE ty = 'signup' GROUP BY u),

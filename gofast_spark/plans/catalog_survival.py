@@ -469,7 +469,8 @@ def _cox_oracle() -> str:
     sizes AS (
       SELECT sum(m0) AS n_0, sum(m1) AS n_1, sum(d0 + d1) AS n_events
       FROM per_t)
-    SELECT beta, exp(beta) AS hazard_ratio,
+    SELECT beta,
+           CAST(floor(exp(beta) * 1e6 + 0.5) AS BIGINT) AS hazard_ratio_u6,
            1.0 / sqrt(CAST(if_ AS DOUBLE) / 1e9) AS se,
            CAST(uf AS DOUBLE) / 1e9 AS u_final,
            CAST(n_0 AS BIGINT) AS n_0, CAST(n_1 AS BIGINT) AS n_1,
@@ -485,7 +486,10 @@ def cox_ph_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cox 1972, Breslow 1974) — the logrank family's effect-size
     estimator: rollup-sized risk-set table, 4 in-plan Newton
     iterations with nano-unit-exact score/information sums, unrolled
-    verbatim by the oracle."""
+    verbatim by the oracle.  hazard_ratio presents micro-unit: beta is
+    nano-quantized so both engines agree bit-for-bit, but
+    ``exp(beta)`` goes through JVM Math.exp vs DuckDB libm, which
+    disagree by 1 ulp on some arguments (observed at sf0.01)."""
     from gofast_spark.stats.survival import cox_ph_binary
 
     e = _t(spark, sf_dir, "events").where(
@@ -495,7 +499,18 @@ def cox_ph_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") % 4 != 0).cast("int").alias("ev"),
         (F.col("user_id") % 2).cast("int").alias("grp"),
     )
-    return cox_ph_binary(e, "dur", "ev", "grp", iterations=_COX_ITER)
+    out = cox_ph_binary(e, "dur", "ev", "grp", iterations=_COX_ITER)
+    return out.select(
+        "beta",
+        F.floor(F.col("hazard_ratio") * 1e6 + 0.5)
+        .cast("bigint")
+        .alias("hazard_ratio_u6"),
+        "se",
+        "u_final",
+        "n_0",
+        "n_1",
+        "n_events",
+    )
 
 
 @query(

@@ -1287,7 +1287,9 @@ def _vr_oracle(qs=(2, 4, 8)) -> str:
         )
     sel = []
     for q in qs:
-        phi = (2.0 * (2 * q - 1) * (q - 1)) / (3.0 * q)
+        # radicand from small exact integers (see ts/engineering.py:
+        # DuckDB's DECIMAL-literal -> double conversion is 1 ulp off
+        # for a 17-digit phi**0.5 literal)
         vq = (f"(CAST(n{q} * ss{q} - s{q} * s{q} AS DOUBLE)"
               f" / CAST(n{q} * (n{q} - 1) AS DOUBLE))")
         v1 = ("(CAST(n0 * ss0 - s0 * s0 AS DOUBLE)"
@@ -1295,8 +1297,8 @@ def _vr_oracle(qs=(2, 4, 8)) -> str:
         vr = f"{vq} / ({q}.0 * {v1})"
         sel.append(
             f"SELECT CAST({q} AS INTEGER) AS q, {vr} AS vr,"
-            f" ({vr} - 1.0) * sqrt(CAST(n0 AS DOUBLE) * {q}.0)"
-            f" / {phi ** 0.5!r} AS z,"
+            f" ({vr} - 1.0) * sqrt(CAST(n0 AS DOUBLE)"
+            f" * {3 * q * q}.0 / {2 * (2 * q - 1) * (q - 1)}.0) AS z,"
             f" CAST(n{q} AS BIGINT) AS n_windows FROM a"
         )
     body = " UNION ALL ".join(sel)

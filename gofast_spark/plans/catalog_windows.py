@@ -235,7 +235,8 @@ def funnel_events_vcp(spark: SparkSession, sf_dir: str) -> DataFrame:
     "retention_cohorts_events",
     oracle="""
     WITH ev AS (
-      SELECT user_id AS u, epoch(ts) AS s, event_type AS ty FROM events
+      SELECT user_id AS u, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             event_type AS ty FROM events
       WHERE ts IS NOT NULL),
     first AS (
       SELECT u, min(s) AS t0 FROM ev WHERE ty = 'signup' GROUP BY u),
@@ -325,7 +326,8 @@ def rfm_segments_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "funnel_latencies_events",
     oracle="""
     WITH ev AS (
-      SELECT user_id AS u, epoch(ts) AS s, event_type AS ty FROM events
+      SELECT user_id AS u, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             event_type AS ty FROM events
       WHERE ts IS NOT NULL),
     f1 AS (SELECT u, min(s) AS t FROM ev WHERE ty = 'view' GROUP BY u),
     f2 AS (
@@ -338,14 +340,16 @@ def rfm_segments_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE ev.ty = 'purchase' AND ev.s >= f2.t GROUP BY ev.u, f2.t)
     SELECT 1 AS step_idx, 'view->click' AS transition,
            CAST(count(*) AS BIGINT) AS n_users,
-           CAST(avg(t - prev) AS DOUBLE) AS avg_latency_sec,
-           CAST(quantile_cont(CAST(t - prev AS DOUBLE), 0.5) AS DOUBLE)
-             AS median_latency_sec
+           CAST(floor(avg(t - prev) * 1000000 + 0.5) AS BIGINT)
+             AS avg_latency_us,
+           CAST(floor(quantile_cont(CAST(t - prev AS DOUBLE), 0.5)
+                * 1000000 + 0.5) AS BIGINT) AS median_latency_us
     FROM f2
     UNION ALL
     SELECT 2, 'click->purchase', CAST(count(*) AS BIGINT),
-           CAST(avg(t - prev) AS DOUBLE),
-           CAST(quantile_cont(CAST(t - prev AS DOUBLE), 0.5) AS DOUBLE)
+           CAST(floor(avg(t - prev) * 1000000 + 0.5) AS BIGINT),
+           CAST(floor(quantile_cont(CAST(t - prev AS DOUBLE), 0.5)
+                * 1000000 + 0.5) AS BIGINT)
     FROM f3
     """,
 )
@@ -353,12 +357,29 @@ def funnel_latencies_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-transition funnel latencies (operators/funnel.py
     funnel_latencies): the same frontier chain as funnel_events_vcp
     with mean + exact-median seconds between reach times, aggregated
-    over user-sized frames only."""
+    over user-sized frames only.  r8 driver red (hash-only): the
+    oracle's DuckDB ``epoch(ts)`` keeps microseconds while the engine's
+    ``unix_timestamp`` floors to whole seconds — sub-second latency
+    mass diverged below the old 6-sig-digit local gate.  The oracle now
+    floors epoch to match the engine's second semantics exactly, and
+    both sides present micro-unit integers (identical IEEE doubles →
+    identical floor(x*1e6+0.5))."""
     from gofast_spark.operators.funnel import funnel_latencies
 
     e = _t(spark, sf_dir, "events")
-    return funnel_latencies(
+    out = funnel_latencies(
         e, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    )
+    return out.select(
+        "step_idx",
+        "transition",
+        "n_users",
+        F.floor(F.col("avg_latency_sec") * 1000000.0 + 0.5)
+        .cast("bigint")
+        .alias("avg_latency_us"),
+        F.floor(F.col("median_latency_sec") * 1000000.0 + 0.5)
+        .cast("bigint")
+        .alias("median_latency_us"),
     )
 
 
@@ -445,7 +466,8 @@ def funnel_by_segment_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "funnel_windowed_events",
     oracle="""
     WITH ev AS (
-      SELECT user_id AS u, epoch(ts) AS s, event_type AS ty FROM events
+      SELECT user_id AS u, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             event_type AS ty FROM events
       WHERE ts IS NOT NULL),
     f1 AS (
       SELECT u, min(s) AS t FROM ev WHERE ty = 'view' GROUP BY u),
@@ -605,7 +627,8 @@ def brown_forecast_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cohort_ltv_events",
     oracle="""
     WITH ev AS (
-      SELECT user_id AS u, epoch(ts) AS s, value AS a, event_type AS ty
+      SELECT user_id AS u, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             value AS a, event_type AS ty
       FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
     first AS (
       SELECT u, min(s) AS t0 FROM ev WHERE ty = 'signup' GROUP BY u),

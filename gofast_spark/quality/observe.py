@@ -75,3 +75,49 @@ def quality_report_frame(df: DataFrame, obs: Observation) -> DataFrame:
         "column string, n_rows bigint, n_nulls bigint, "
         "null_ratio double, min_str string, max_str string",
     )
+
+
+def quality_report_numeric(
+    df: DataFrame,
+    obs: Observation,
+    *,
+    unit: int = 1_000_000,
+) -> DataFrame:
+    """Exact-integer presentation of the observed quality report for
+    NUMERIC columns: ``(column, n_rows, n_nulls, null_ppm, min_u6,
+    max_u6)`` with ``null_ppm = floor(unit * n_nulls / n_rows)`` and
+    min/max quantized to micro-units ``floor(v * unit + 0.5)``.
+
+    Every cell is an integer, so the report hashes identically across
+    engines regardless of float-rendering conventions — the
+    differential-testing presentation (:func:`quality_report_frame`
+    keeps the human-readable string form)."""
+    import math
+
+    m = obs.get  # raises if no action has run yet
+    n = int(m["n_rows"])
+    cols = sorted(
+        {k.rsplit("__", 1)[0] for k in m if k.endswith("__nulls")}
+    )
+
+    def _q(v):
+        return None if v is None else int(math.floor(float(v) * unit + 0.5))
+
+    rows = []
+    for c in cols:
+        nulls = int(m[f"{c}__nulls"])
+        rows.append(
+            (
+                c,
+                n,
+                nulls,
+                int(math.floor(unit * nulls / n)) if n else 0,
+                _q(m[f"{c}__min"]),
+                _q(m[f"{c}__max"]),
+            )
+        )
+    return df.sparkSession.createDataFrame(
+        rows,
+        "column string, n_rows bigint, n_nulls bigint, "
+        "null_ppm bigint, min_u6 bigint, max_u6 bigint",
+    )

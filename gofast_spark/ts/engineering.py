@@ -975,11 +975,16 @@ def variance_ratio(
     for q in qs:
         vq = var(f"__n_{q}", f"__s_{q}", f"__ss_{q}")
         vr = vq / (F.lit(float(q)) * v1)
-        phi = (2.0 * (2 * q - 1) * (q - 1)) / (3.0 * q)
-        z = (
-            (vr - F.lit(1.0))
-            * F.sqrt(F.col("__n").cast("double") * F.lit(float(q)))
-            / F.lit(phi ** 0.5)
+        # z = (VR-1) * sqrt(nq / phi), phi = 2(2q-1)(q-1)/(3q) — folded
+        # into ONE sqrt of integer-exact doubles: a 17-digit phi**0.5
+        # literal round-trips differently through DuckDB's DECIMAL
+        # literal parser (decimal->double conversion is 1 ulp off), so
+        # both engines build the radicand from small exact integers
+        # instead and take one correctly-rounded sqrt.
+        z = (vr - F.lit(1.0)) * F.sqrt(
+            F.col("__n").cast("double")
+            * F.lit(float(3 * q * q))
+            / F.lit(float(2 * (2 * q - 1) * (q - 1)))
         )
         rows.append(F.struct(
             F.lit(q).cast("int").alias("q"),

@@ -47,7 +47,12 @@ def _norm_cell(v):
             return "-0"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
-        return f"{v:.6g}"
+        # Full-precision repr (r8 verdict ask #3): the driver hashes raw
+        # values, so a 6-sig-digit local gate let sub-1e-6 engine/oracle
+        # divergences (funnel_latencies_events's fractional-epoch oracle)
+        # pass locally and fail the driver.  Strict local gate = local
+        # green predicts driver green.
+        return repr(v)
     if isinstance(v, int):
         return str(v)
     return str(v)

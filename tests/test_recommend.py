@@ -74,3 +74,38 @@ def test_item_similarity_duplicate_incidence_collapses(spark):
     got = item_similarity_topk(df, "bk", "it", min_count=1, k=1).collect()
     for r in got:
         assert r["n_both"] == 2 and r["cosine"] == pytest.approx(1.0)
+
+
+def test_mega_basket_capped_before_pair_join(spark, caplog):
+    """One planted bot basket above max_basket_size is dropped from the
+    pair join (and logged — no-silent-caps), leaving the organic pairs
+    intact; with the cap above the basket size, results are unchanged."""
+    import logging
+
+    from gofast_spark.ml.itemsets import frequent_pairs
+    from gofast_spark.ml.recommend import item_similarity_topk
+
+    organic = [(b, it) for b in (1, 2, 3) for it in ("a", "b")]
+    bot = [(99, f"x{i}") for i in range(50)] + [(99, "a"), (99, "b")]
+    df = spark.createDataFrame(organic + bot, "bk int, it string")
+
+    with caplog.at_level(logging.WARNING, "gofast_spark.ml.itemsets"):
+        capped = frequent_pairs(
+            df, "bk", "it", min_support=1, top_k=100, max_basket_size=10
+        ).collect()
+    assert any("dropping 1 basket" in r.message for r in caplog.records)
+    ab = [r for r in capped if (r["item_a"], r["item_b"]) == ("a", "b")]
+    assert len(ab) == 1 and ab[0]["n_pair"] == 3  # bot basket excluded
+    assert all(not r["item_a"].startswith("x") for r in capped)
+
+    uncapped = frequent_pairs(
+        df, "bk", "it", min_support=1, top_k=2000, max_basket_size=None
+    ).collect()
+    ab_u = [r for r in uncapped if (r["item_a"], r["item_b"]) == ("a", "b")]
+    assert ab_u[0]["n_pair"] == 4  # bot basket counted without the cap
+
+    sim = item_similarity_topk(
+        df, "bk", "it", min_count=1, k=3, max_basket_size=10
+    ).collect()
+    a_row = [r for r in sim if r["item"] == "a" and r["neighbor"] == "b"]
+    assert a_row and a_row[0]["n_both"] == 3

@@ -1006,3 +1006,30 @@ def test_skyline_2d_dominance(spark):
     got = sorted((r["q"], r["p"]) for r in
                  skyline_2d(df, "q", "p").collect())
     assert got == [(1, 5.0), (3, 8.0), (4, 9.0), (5, 10.0)]
+
+
+def test_skyline_2d_continuous_domain_matches_brute_force(spark):
+    """Continuous (all-distinct) max_col domain: the range-bucketed
+    two-pass prefix scan must agree with the O(n^2) dominance
+    definition, across bucket counts (boundary-independence) including
+    the degenerate single-bucket path."""
+    import random
+
+    from gofast_spark.operators.pareto import skyline_2d
+
+    rng = random.Random(42)
+    pts = [(rng.uniform(0, 100), rng.uniform(0, 100)) for _ in range(300)]
+    expect = sorted(
+        (x, y)
+        for x, y in pts
+        if not any(
+            (x2 >= x and y2 <= y and (x2 > x or y2 < y)) for x2, y2 in pts
+        )
+    )
+    df = spark.createDataFrame(pts, ["x", "y"])
+    for buckets in (1, 7, 64):
+        got = sorted(
+            (r["x"], r["y"])
+            for r in skyline_2d(df, "x", "y", range_buckets=buckets).collect()
+        )
+        assert got == expect, f"range_buckets={buckets}"
