@@ -47,7 +47,7 @@ def fit_bagged_stumps(
     left; ties break (gain DESC, threshold ASC) as in fit_stump."""
     from gofast_spark.stats.resampling import (
         _poisson1_weight,
-        _portable_uniform,
+        _portable_uniform_int,
     )
 
     if bins < 2:
@@ -68,7 +68,7 @@ def fit_bagged_stumps(
         "replicate",
         F.explode(F.array([F.lit(i) for i in range(n_estimators)])),
     )
-    w = _poisson1_weight(_portable_uniform(key_col, seed)).cast("bigint")
+    w = _poisson1_weight(_portable_uniform_int(key_col, seed)).cast("bigint")
     hist = rep.groupBy(F.col("replicate"), b.alias("bin")).agg(
         F.sum(w).alias("n"), F.sum(w * y).alias("pos")
     )

@@ -425,7 +425,7 @@ def _bagged_oracle() -> str:
     u = (
         "(CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || '_' || "
         f"CAST(r.replicate AS VARCHAR) || '_{_BAG_SEED}'), 1, 15)) AS BIGINT) "
-        "% 2147483648) / 2147483648.0"
+        "% 2147483648)"
     )
     w = poisson1_weight_sql("uu")
     return f"""

@@ -372,7 +372,7 @@ def _bootstrap_oracle() -> str:
     u = (
         "(CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '_' || "
         "CAST(r.replicate AS VARCHAR) || '_17'), 1, 15)) AS BIGINT) "
-        "% 2147483648) / 2147483648.0"
+        "% 2147483648)"
     )
     w = poisson1_weight_sql("uu")
     return f"""

@@ -21,9 +21,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # Cumulative Poisson(1) CDF, k = 0..11: e^-1 * sum_{i<=k} 1/i!.
-# These exact literals are baked into BOTH the Spark plan and the DuckDB
-# oracle SQL (poisson1_weight_sql) so the inverse-CDF draw is
-# bit-identical across engines.
 POIS1_CDF = [
     0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
     0.9810118431238463, 0.9963401531726563, 0.9994058151824183,
@@ -31,10 +28,26 @@ POIS1_CDF = [
     0.9999998885745216, 0.9999999899522336, 0.9999999991683892,
 ]
 
+# The uniform draw has 31-bit resolution (u = h/2^31 with integer h), so
+# the inverse-CDF comparison u < cdf[k] is EXACTLY h < ceil(cdf[k]*2^31)
+# — integer thresholds computed once with exact rational arithmetic.
+# Both engines compare integers; no float literal crosses the SQL text
+# (r9 guard: DuckDB's DECIMAL-literal -> double conversion is 1 ulp off
+# for some 17-digit literals, four of them in this very table).
+def _int_thresholds() -> list[int]:
+    import math
+    from fractions import Fraction
 
-def _portable_uniform(key_col: str, seed: int):
-    """U[0,1) from the md5-based portable hash of (key, replicate, seed) —
-    identical in Spark and DuckDB (see text.hashing.md5_hash64)."""
+    return [math.ceil(Fraction(t) * 2**31) for t in POIS1_CDF]
+
+
+POIS1_CDF_INT = _int_thresholds()
+
+
+def _portable_uniform_int(key_col: str, seed: int):
+    """31-bit integer uniform from the md5-based portable hash of
+    (key, replicate, seed) — identical in Spark and DuckDB (see
+    text.hashing.md5_hash64)."""
     from gofast_spark.text.hashing import md5_hash64
 
     s = F.concat(
@@ -43,24 +56,32 @@ def _portable_uniform(key_col: str, seed: int):
         F.col("replicate").cast("string"),
         F.lit(f"_{seed}"),
     )
-    return F.pmod(md5_hash64(s), F.lit(2**31)) / F.lit(float(2**31))
+    return F.pmod(md5_hash64(s), F.lit(2**31))
 
 
-def _poisson1_weight(u):
-    """Inverse-CDF Poisson(1) draw from a uniform column."""
-    w = F.lit(len(POIS1_CDF))
-    for k in range(len(POIS1_CDF) - 1, -1, -1):
-        w = F.when(u < F.lit(POIS1_CDF[k]), F.lit(k)).otherwise(w)
+def _portable_uniform(key_col: str, seed: int):
+    """U[0,1) dyadic uniform (exact division of the 31-bit draw)."""
+    return _portable_uniform_int(key_col, seed) / F.lit(float(2**31))
+
+
+def _poisson1_weight(h):
+    """Inverse-CDF Poisson(1) draw from a 31-bit INTEGER uniform column
+    (from :func:`_portable_uniform_int`) — integer comparisons only."""
+    w = F.lit(len(POIS1_CDF_INT))
+    for k in range(len(POIS1_CDF_INT) - 1, -1, -1):
+        w = F.when(h < F.lit(POIS1_CDF_INT[k]), F.lit(k)).otherwise(w)
     return w
 
 
-def poisson1_weight_sql(u_sql: str) -> str:
-    """The same inverse-CDF draw as DuckDB SQL text (for oracle queries)."""
+def poisson1_weight_sql(h_sql: str) -> str:
+    """The same inverse-CDF draw as DuckDB SQL text (for oracle
+    queries); ``h_sql`` must be the 31-bit INTEGER uniform expression
+    (the md5 hash mod 2^31, NOT divided down to [0,1))."""
     cases = " ".join(
-        f"WHEN {u_sql} < {POIS1_CDF[k]!r} THEN {k}"
-        for k in range(len(POIS1_CDF))
+        f"WHEN {h_sql} < {POIS1_CDF_INT[k]} THEN {k}"
+        for k in range(len(POIS1_CDF_INT))
     )
-    return f"CASE {cases} ELSE {len(POIS1_CDF)} END"
+    return f"CASE {cases} ELSE {len(POIS1_CDF_INT)} END"
 
 
 def bootstrap(
@@ -109,10 +130,10 @@ def bootstrap(
                 ),
             )
         )
-        u = _portable_uniform("__k", seed)
+        h = _portable_uniform_int("__k", seed)
         weighted = rows.select(
             F.col("replicate").cast("bigint").alias("replicate"),
-            _poisson1_weight(u).cast("double").alias("w"),
+            _poisson1_weight(h).cast("double").alias("w"),
             "x",
         )
         agg = weighted.groupBy("replicate").agg(

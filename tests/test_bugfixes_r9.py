@@ -1,0 +1,72 @@
+"""Round-9 regression guards: cross-engine float-precision hazard
+classes surfaced by the full-precision oracle gate (r8 verdict asks
+#2/#3).  These are STATIC guards over the oracle SQL text — they run in
+milliseconds and fail the moment a future entry reintroduces a pattern
+from a class that has already produced a driver red."""
+
+from __future__ import annotations
+
+import re
+
+import duckdb
+import pytest
+
+from gofast_spark.plans.catalog import ORACLE_SQL
+
+_FLOAT_LIT = re.compile(r"\d+\.\d{13,}")
+
+
+def test_long_float_literals_convert_exactly_in_duckdb():
+    """DuckDB parses float literals as DECIMAL and its decimal->double
+    conversion is 1 ulp off for SOME 17-digit literals (r9:
+    CAST(1.8708286933869707 AS DOUBLE) -> ...709 broke
+    variance_ratio_daily).  Every long literal any oracle embeds must
+    round-trip to the exact Python double, or the oracle silently
+    diverges from the engine by an ulp."""
+    lits = sorted(
+        {m for sql in ORACLE_SQL.values() for m in _FLOAT_LIT.findall(sql)}
+    )
+    assert lits, "expected at least one long float literal in the catalog"
+    con = duckdb.connect()
+    bad = []
+    for lit in lits:
+        got = con.execute(f"SELECT CAST({lit} AS DOUBLE)").fetchone()[0]
+        if got != float(lit):
+            bad.append((lit, repr(got)))
+    con.close()
+    assert not bad, (
+        f"oracle float literals that DuckDB converts inexactly "
+        f"(use small-integer arithmetic instead): {bad}"
+    )
+
+
+def test_no_fractional_epoch_in_oracles():
+    """Spark's unix_timestamp floors to whole seconds; DuckDB's
+    epoch(ts) keeps microseconds (every events.ts row has them).  A
+    bare epoch() in an oracle therefore diverges from the engine below
+    the second (r8 driver red: funnel_latencies_events) — every use
+    must be wrapped in floor()."""
+    offenders = []
+    for name, sql in ORACLE_SQL.items():
+        for m in re.finditer(r"(floor\()?epoch(_ms|_us)?\(", sql):
+            if m.group(0).startswith("floor(") or m.group(2):
+                continue
+            offenders.append(name)
+            break
+    assert not offenders, (
+        f"oracles using fractional epoch() without floor(): {offenders}"
+    )
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["funnel_latencies_events", "observed_report_lineitem",
+     "variance_ratio_daily", "diversity_nations_by_segment",
+     "cox_ph_events"],
+)
+def test_r9_fixed_entries_present_exact_values(name):
+    """The five entries fixed this round present quantized/exact-integer
+    values (no raw transcendental or str()-rendered floats) — the
+    columns that diverged are now *_u6/_us/_ppm integer presentations."""
+    sql = ORACLE_SQL[name]
+    assert re.search(r"_u6|_us|_ppm|floor\(", sql)
