@@ -47,12 +47,19 @@ def cap_basket_size(
     No-silent-caps rule: when the cap binds, the dropped-basket count is
     computed (one basket-sized aggregate) and logged loudly.  When it
     does not bind — the overwhelmingly common case — the input frame is
-    returned UNCHANGED, so no join is added to the plan and existing
-    plan-shape CI stays valid."""
+    returned UNCHANGED (modulo materialization), so no join is added to
+    the plan and existing plan-shape CI stays valid.
+
+    The guard's size aggregate is an extra ACTION, so the pruned frame
+    is localCheckpoint'd first: the size scan reads the materialized
+    partitions, and the downstream pair self-join reads them TWICE
+    instead of recomputing the distinct+prune subtree per side — the
+    guard then costs roughly what the duplicate subtree used to."""
     if max_basket_size is None:
         return pruned
     if max_basket_size < 2:
         raise ValueError("max_basket_size must be >= 2")
+    pruned = pruned.localCheckpoint(eager=True)
     sizes = pruned.groupBy(basket_col).agg(
         F.count(F.lit(1)).alias("__bk_n")
     )
