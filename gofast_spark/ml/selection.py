@@ -205,6 +205,73 @@ def ridge_cv_sweep(
     return spark.createDataFrame(out, "lam double, mean_rmse double")
 
 
+def random_search_lcg_picks(
+    grid_size: int, n_trials: int, seed: int
+) -> list[int]:
+    """The deterministic index sequence of :func:`random_search_ridge`:
+    trial i's grid index is the i-th LCG state (the repo's portable
+    LCG, same constants as :func:`kfold_assign`) mod ``grid_size`` —
+    pure 63-bit-safe integer arithmetic, replayable verbatim in SQL."""
+    if grid_size < 1:
+        raise ValueError("grid must be non-empty")
+    picks = []
+    s = seed
+    for _ in range(n_trials):
+        s = (_LCG_A * s + _LCG_C) % _LCG_M
+        picks.append(s % grid_size)
+    return picks
+
+
+def random_search_ridge(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str,
+    *,
+    id_col: str,
+    grid: Sequence[float],
+    n_trials: int = 8,
+    k: int = 4,
+    seed: int = 0,
+) -> DataFrame:
+    """Random hyperparameter search over a discrete ridge-lambda grid
+    (Bergstra & Bengio, "Random Search for Hyper-Parameter
+    Optimization", JMLR 2012; the reference's search surface is
+    gofast/models/optimize.py RandomizedSearchCV wrapping): ``n_trials``
+    draws with replacement via the portable LCG, and EVERY trial is
+    scored from the same single set of CV fold moments — one data scan
+    regardless of trial count, the closed-form-model property that
+    makes wide searches feasible at 100 TB.  Sampling from a discrete
+    grid keeps the draw integer-exact across engines (a log-uniform
+    continuous draw would go through exp/ln, which differ by 1 ulp
+    between JVM Math and libm — see the r9 parity notes).
+
+    Returns ``(trial, lam, mean_rmse)`` — one row per trial, duplicate
+    lambdas solved once and mapped back."""
+    g = [float(x) for x in grid]
+    if n_trials < 1:
+        raise ValueError("n_trials must be >= 1")
+    lams = [g[j] for j in random_search_lcg_picks(len(g), n_trials, seed)]
+    feats = list(feature_cols)
+    if len(feats) != 2:
+        raise ValueError("random_search_ridge supports exactly 2 features")
+    p, rows = _fold_moments(df, feats, label_col, id_col, k, seed)
+    missing = [f for f in range(k) if f not in rows]
+    if missing:
+        raise ValueError(f"empty folds {missing}: id space too small for k={k}")
+    rmse_by_lam = {}
+    for lam in sorted(set(lams)):
+        tot = 0.0
+        for f in range(k):
+            _w, n_test, sse = _solve_and_score(p, rows, f, lam)
+            tot += (sse / n_test) ** 0.5
+        rmse_by_lam[lam] = tot / k
+    out = [(i, lam, rmse_by_lam[lam]) for i, lam in enumerate(lams)]
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        out, "trial int, lam double, mean_rmse double"
+    )
+
+
 def learning_curve_linear(
     df: DataFrame,
     feature_cols: Sequence[str],

