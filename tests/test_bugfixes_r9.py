@@ -117,3 +117,54 @@ def test_random_search_ridge_matches_sweep_and_lcg(spark):
         lam, rmse = got[i]
         assert lam == grid[picks[i]]
         assert rmse == sweep[lam]
+
+
+def test_quality_report_numeric_values(spark):
+    """quality_report_numeric: ppm + micro-unit integers from the
+    observation dict, nulls counted, None min/max preserved."""
+    from gofast_spark.quality.observe import (
+        observe_quality,
+        quality_report_numeric,
+    )
+
+    df = spark.createDataFrame(
+        [(1.5, None), (2.25, None), (None, None), (0.5, None)],
+        "a double, b double",
+    )
+    observed, obs = observe_quality(df, ["a", "b"])
+    observed.write.format("noop").mode("overwrite").save()
+    rows = {r["column"]: r for r in quality_report_numeric(observed, obs).collect()}
+    a, b = rows["a"], rows["b"]
+    assert a["n_rows"] == 4 and a["n_nulls"] == 1
+    assert a["null_ppm"] == 250000
+    assert a["min_u6"] == 500000 and a["max_u6"] == 2250000
+    assert b["n_nulls"] == 4 and b["min_u6"] is None and b["max_u6"] is None
+    assert b["null_ppm"] == 1000000
+
+
+def test_cap_basket_size_none_and_validation(spark):
+    from gofast_spark.ml.itemsets import cap_basket_size
+
+    df = spark.createDataFrame([(1, "a"), (1, "b")], "bk int, it string")
+    assert cap_basket_size(df, None) is df  # disabled -> untouched plan
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cap_basket_size(df, 1)
+
+
+def test_random_search_ridge_validation(spark):
+    from gofast_spark.ml.selection import (
+        random_search_lcg_picks,
+        random_search_ridge,
+    )
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        random_search_lcg_picks(0, 3, 1)
+    df = spark.createDataFrame([(1, 1.0, 1.0, 1.0)], "id bigint, x1 double, x2 double, y double")
+    with _pytest.raises(ValueError):
+        random_search_ridge(df, ["x1", "x2"], "y", id_col="id", grid=[1.0], n_trials=0)
+    with _pytest.raises(ValueError):
+        random_search_ridge(df, ["x1"], "y", id_col="id", grid=[1.0], n_trials=1)
