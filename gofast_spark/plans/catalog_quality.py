@@ -764,16 +764,16 @@ def benford_profile_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT 'l_discount' AS "column", count(*) AS n_rows,
            sum(CAST(l_discount IS NULL AS BIGINT)) AS n_nulls,
-           CAST(floor(1000000 * sum(CAST(l_discount IS NULL AS BIGINT))
-                / CAST(count(*) AS DOUBLE)) AS BIGINT) AS null_ppm,
+           CAST((1000000 * sum(CAST(l_discount IS NULL AS BIGINT)))
+                // count(*) AS BIGINT) AS null_ppm,
            CAST(floor(min(l_discount) * 1000000 + 0.5) AS BIGINT) AS min_u6,
            CAST(floor(max(l_discount) * 1000000 + 0.5) AS BIGINT) AS max_u6
     FROM lineitem
     UNION ALL
     SELECT 'l_quantity', count(*),
            sum(CAST(l_quantity IS NULL AS BIGINT)),
-           CAST(floor(1000000 * sum(CAST(l_quantity IS NULL AS BIGINT))
-                / CAST(count(*) AS DOUBLE)) AS BIGINT),
+           CAST((1000000 * sum(CAST(l_quantity IS NULL AS BIGINT)))
+                // count(*) AS BIGINT),
            CAST(floor(min(l_quantity) * 1000000 + 0.5) AS BIGINT),
            CAST(floor(max(l_quantity) * 1000000 + 0.5) AS BIGINT)
     FROM lineitem
@@ -785,21 +785,41 @@ def observed_report_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``(df, report)`` tuple eagerly, gofast/dataops/quality.py:98-325):
     null counts and min/max ride the SAME noop-write action that
     materializes the frame, collected as accumulators while rows flow.
-    The oracle recomputes the aggregates relationally — a hash match
-    certifies observation-vs-aggregate equivalence.  r8 driver red
-    (hash-only): the ``str()``-rendered min/max vs DuckDB ``CAST AS
-    VARCHAR`` left the hash at the mercy of two engines' float
-    formatters; the numeric presentation is exact integers end-to-end
-    (micro-unit min/max, ppm null ratio)."""
+
+    r8/r9 driver red (hash-only, value-identical locally both rounds):
+    the entry used to RETURN a ``createDataFrame`` of the harvested
+    observation literals — the only LocalRelation-shaped result in the
+    catalog, and whatever the driver's hash is sensitive to lives in
+    that path, not in the values (r9 verdict, What's wrong #1).
+    Restructured per the verdict: the returned frame is now the COMPUTED
+    relational aggregate (one scan + ``stack`` unpivot,
+    quality/observe.py quality_report_relational — exact integers
+    end-to-end, pure-integer ppm division on both engines), and the
+    observation-vs-aggregate equivalence the entry exists to certify is
+    asserted IN-ENTRY: after the noop write activates the observation,
+    the harvested rows must equal the aggregate's collected rows or the
+    entry raises.  A green row still proves the zero-extra-scan
+    observation equals the relational truth, while the driver hashes a
+    computed plan like every other green entry."""
     from gofast_spark.quality.observe import (
         observe_quality,
-        quality_report_numeric,
+        observed_numeric_rows,
+        quality_report_relational,
     )
 
+    cols = ["l_discount", "l_quantity"]
     li = _t(spark, sf_dir, "lineitem").select("l_quantity", "l_discount")
-    observed, obs = observe_quality(li, ["l_discount", "l_quantity"])
+    observed, obs = observe_quality(li, cols)
     observed.write.format("noop").mode("overwrite").save()
-    return quality_report_numeric(observed, obs)
+    report = quality_report_relational(li, cols)
+    harvested = observed_numeric_rows(obs)
+    computed = [tuple(r) for r in report.collect()]
+    if sorted(computed) != sorted(harvested):
+        raise AssertionError(
+            "observation/aggregate divergence: "
+            f"observed={harvested} relational={computed}"
+        )
+    return report
 
 
 @query(

@@ -91,7 +91,27 @@ def quality_report_numeric(
     Every cell is an integer, so the report hashes identically across
     engines regardless of float-rendering conventions — the
     differential-testing presentation (:func:`quality_report_frame`
-    keeps the human-readable string form)."""
+    keeps the human-readable string form).
+
+    ``null_ppm`` is pure integer arithmetic ``(unit * n_nulls) // n`` —
+    never a double division — so the value is exact even when
+    ``unit * n_nulls`` exceeds 2**53 (a float path can be 1 ulp off
+    there and flip the floor)."""
+    rows = observed_numeric_rows(obs, unit=unit)
+    return df.sparkSession.createDataFrame(
+        rows,
+        "column string, n_rows bigint, n_nulls bigint, "
+        "null_ppm bigint, min_u6 bigint, max_u6 bigint",
+    )
+
+
+def observed_numeric_rows(
+    obs: Observation, *, unit: int = 1_000_000
+) -> list[tuple]:
+    """The exact-integer report rows harvested from an activated
+    observation, as plain Python tuples sorted by column name —
+    the comparison side of :func:`quality_report_relational`'s
+    observation-vs-aggregate equivalence check."""
     import math
 
     m = obs.get  # raises if no action has run yet
@@ -111,13 +131,61 @@ def quality_report_numeric(
                 c,
                 n,
                 nulls,
-                int(math.floor(unit * nulls / n)) if n else 0,
+                (unit * nulls) // n if n else 0,
                 _q(m[f"{c}__min"]),
                 _q(m[f"{c}__max"]),
             )
         )
-    return df.sparkSession.createDataFrame(
-        rows,
-        "column string, n_rows bigint, n_nulls bigint, "
-        "null_ppm bigint, min_u6 bigint, max_u6 bigint",
+    return rows
+
+
+def quality_report_relational(
+    df: DataFrame,
+    cols: Sequence[str],
+    *,
+    unit: int = 1_000_000,
+) -> DataFrame:
+    """The same exact-integer quality report as
+    :func:`quality_report_numeric`, but as a COMPUTED relational plan
+    (one global aggregate over ``df`` + a ``stack`` unpivot) instead of
+    a ``createDataFrame`` of observation literals: one scan, one
+    1-row-per-column result, no driver-side literals.
+
+    ``null_ppm`` uses Spark's ``div`` (exact integer division on
+    bigints; all operands non-negative, so trunc == floor) — mirroring
+    the pure-integer oracle ``(unit * n_nulls) // count(*)``."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        col = F.col(c)
+        aggs += [
+            F.sum(col.isNull().cast("bigint")).alias(f"{c}__nulls"),
+            F.floor(F.min(col) * unit + F.lit(0.5))
+            .cast("bigint")
+            .alias(f"{c}__min_u"),
+            F.floor(F.max(col) * unit + F.lit(0.5))
+            .cast("bigint")
+            .alias(f"{c}__max_u"),
+        ]
+    agg = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', `{c}__nulls`, `{c}__min_u`, `{c}__max_u`"
+        for c in sorted(cols)
+    )
+    stacked = agg.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) "
+            "AS (`column`, n_nulls, min_u6, max_u6)"
+        ),
+    )
+    return stacked.select(
+        F.col("column"),
+        F.col("n_rows"),
+        F.col("n_nulls"),
+        F.expr(
+            f"CASE WHEN n_rows = 0 THEN CAST(0 AS BIGINT) "
+            f"ELSE CAST({unit} * n_nulls DIV n_rows AS BIGINT) END"
+        ).alias("null_ppm"),
+        "min_u6",
+        "max_u6",
     )
