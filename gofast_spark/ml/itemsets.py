@@ -16,6 +16,14 @@ equi-join on the basket key with ``item_a < item_b`` to canonicalize,
 one pair groupBy, and lift from a 1-row broadcast of the basket count.
 Top-k is TakeOrderedAndProject with a deterministic
 (support DESC, item_a, item_b) tie-break.
+
+Capped-corpus semantics: when ``max_basket_size`` BINDS (an oversized
+basket was dropped), every statistic — pair counts, item supports,
+basket count, hence lift/confidence/cosine — is recomputed over the
+CAPPED corpus (the corpus with the oversized baskets removed
+entirely), so numerators and denominators always describe the same
+population.  When the cap does not bind (the overwhelmingly common
+case) the plan is byte-identical to the uncapped one.
 """
 
 from __future__ import annotations
@@ -24,6 +32,7 @@ import logging
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 logger = logging.getLogger(__name__)
 
@@ -33,9 +42,10 @@ def cap_basket_size(
     max_basket_size: int | None,
     *,
     basket_col: str = "bk",
-) -> DataFrame:
+) -> tuple[DataFrame, int]:
     """Drop baskets whose post-prune item count exceeds
-    ``max_basket_size`` before a basket self-join.
+    ``max_basket_size`` before a basket self-join; returns
+    ``(capped_frame, n_dropped_baskets)``.
 
     Apriori pruning bounds the item VOCABULARY but not a single basket:
     one bot user with 10k distinct items contributes ~5e7 pairs from one
@@ -45,38 +55,108 @@ def cap_basket_size(
     key dominate the shuffle).
 
     No-silent-caps rule: when the cap binds, the dropped-basket count is
-    computed (one basket-sized aggregate) and logged loudly.  When it
-    does not bind — the overwhelmingly common case — the input frame is
-    returned UNCHANGED (modulo materialization), so no join is added to
-    the plan and existing plan-shape CI stays valid.
+    computed (one basket-sized aggregate), logged loudly, and RETURNED
+    so callers can keep their denominators consistent with the capped
+    corpus.  When it does not bind — the overwhelmingly common case —
+    the input frame is returned UNCHANGED (modulo materialization), so
+    no join is added to the plan and existing plan-shape CI stays valid.
 
     The guard's size aggregate is an extra ACTION, so the pruned frame
-    is localCheckpoint'd first: the size scan reads the materialized
+    is ``persist(DISK_ONLY)``'d first: the size scan materializes the
     partitions, and the downstream pair self-join reads them TWICE
     instead of recomputing the distinct+prune subtree per side — the
-    guard then costs roughly what the duplicate subtree used to."""
+    guard then costs roughly what the duplicate subtree used to.
+    ``persist`` (unlike ``localCheckpoint``) KEEPS lineage, so a lost
+    executor recomputes its partitions instead of failing the job —
+    the right trade for a default-on path at cluster scale.  The cache
+    lives for the session (or until the caller unpersists); it is
+    frequent-incidence-sized, already the working set of the self-join.
+    """
     if max_basket_size is None:
-        return pruned
+        return pruned, 0
     if max_basket_size < 2:
         raise ValueError("max_basket_size must be >= 2")
-    pruned = pruned.localCheckpoint(eager=True)
+    pruned = pruned.persist(StorageLevel.DISK_ONLY)
     sizes = pruned.groupBy(basket_col).agg(
         F.count(F.lit(1)).alias("__bk_n")
     )
     oversized = sizes.where(F.col("__bk_n") > max_basket_size)
     n_over = oversized.count()
     if n_over == 0:
-        return pruned
+        return pruned, 0
     logger.warning(
         "cap_basket_size: dropping %d basket(s) larger than %d items "
         "before the pair self-join (no-silent-caps: raise "
-        "max_basket_size to include them)",
+        "max_basket_size to include them); all supports and basket "
+        "counts are recomputed over the capped corpus",
         n_over,
         max_basket_size,
     )
-    return pruned.join(
-        oversized.select(basket_col), basket_col, "left_anti"
+    return (
+        pruned.join(oversized.select(basket_col), basket_col, "left_anti"),
+        n_over,
     )
+
+
+def _basket_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    *,
+    min_support: int,
+    broadcast_limit: int | None,
+    max_basket_size: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared mining core for :func:`frequent_pairs` /
+    :func:`association_rules` / ``ml.recommend.item_similarity_topk``:
+    returns ``(pairs, n_baskets)`` where ``pairs`` has
+    ``(item_a, item_b, n_a, n_b, n_pair)`` (unfiltered by pair support)
+    and ``n_baskets`` is a 1-row frame ``(__nb)`` holding the basket
+    count of the SAME corpus the pair counts were taken from (capped
+    when the cap binds)."""
+    b = (
+        df.select(
+            F.col(basket_col).alias("bk"), F.col(item_col).alias("it")
+        )
+        .where(F.col(basket_col).isNotNull() & F.col(item_col).isNotNull())
+        .distinct()
+    )
+    support = b.groupBy("it").agg(F.count(F.lit(1)).alias("n_it"))
+    freq = support.where(F.col("n_it") >= min_support)
+    freq_small = (
+        broadcast_limit is not None and freq.count() <= broadcast_limit
+    )
+    if freq_small:
+        freq = F.broadcast(freq)
+    pruned, n_dropped = cap_basket_size(
+        b.join(freq, "it").select("bk", "it", "n_it"), max_basket_size
+    )
+    if n_dropped:
+        # Capped-corpus consistency (see module docstring): the carried
+        # pre-cap supports would overcount items that appeared in the
+        # dropped baskets, so recompute them on the capped frame.  The
+        # recomputed table is at most frequent-vocab-sized, so it
+        # inherits the same broadcast gate as the prune.
+        supp2 = pruned.groupBy("it").agg(F.count(F.lit(1)).alias("n_it"))
+        if freq_small:
+            supp2 = F.broadcast(supp2)
+        pruned = pruned.select("bk", "it").join(supp2, "it")
+    pairs = (
+        pruned.alias("l")
+        .join(pruned.alias("r"), "bk")
+        .where(F.col("l.it") < F.col("r.it"))
+        .groupBy(
+            F.col("l.it").alias("item_a"),
+            F.col("r.it").alias("item_b"),
+            F.col("l.n_it").alias("n_a"),
+            F.col("r.n_it").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    n_baskets = b.select("bk").distinct().agg(
+        (F.count(F.lit(1)) - F.lit(n_dropped)).alias("__nb")
+    )
+    return pairs, n_baskets
 
 
 def frequent_pairs(
@@ -93,41 +173,22 @@ def frequent_pairs(
     ``(item_a, item_b, n_pair, n_a, n_b, lift)`` over distinct
     (basket, item) incidences; pairs and both items must reach
     ``min_support`` baskets.  ``lift = n_baskets * n_pair /
-    (n_a * n_b)`` (>1 means the items attract)."""
+    (n_a * n_b)`` (>1 means the items attract).  When
+    ``max_basket_size`` binds, every count describes the capped corpus
+    (module docstring)."""
     if min_support < 1:
         raise ValueError("min_support must be >= 1")
-    b = (
-        df.select(
-            F.col(basket_col).alias("bk"), F.col(item_col).alias("it")
-        )
-        .where(F.col(basket_col).isNotNull() & F.col(item_col).isNotNull())
-        .distinct()
-    )
-    support = b.groupBy("it").agg(F.count(F.lit(1)).alias("n_it"))
-    freq = support.where(F.col("n_it") >= min_support)
-    if broadcast_limit is not None and freq.count() <= broadcast_limit:
-        freq = F.broadcast(freq)
-    pruned = cap_basket_size(
-        b.join(freq, "it").select("bk", "it", "n_it"), max_basket_size
-    )
-    pairs = (
-        pruned.alias("l")
-        .join(pruned.alias("r"), "bk")
-        .where(F.col("l.it") < F.col("r.it"))
-        .groupBy(
-            F.col("l.it").alias("item_a"),
-            F.col("r.it").alias("item_b"),
-            F.col("l.n_it").alias("n_a"),
-            F.col("r.n_it").alias("n_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_pair"))
-        .where(F.col("n_pair") >= min_support)
-    )
-    n_baskets = b.select("bk").distinct().agg(
-        F.count(F.lit(1)).alias("__nb")
+    pairs, n_baskets = _basket_pairs(
+        df,
+        basket_col,
+        item_col,
+        min_support=min_support,
+        broadcast_limit=broadcast_limit,
+        max_basket_size=max_basket_size,
     )
     return (
-        pairs.crossJoin(F.broadcast(n_baskets))
+        pairs.where(F.col("n_pair") >= min_support)
+        .crossJoin(F.broadcast(n_baskets))
         .select(
             "item_a",
             "item_b",
@@ -163,32 +224,32 @@ def association_rules(
         confidence = n_pair / n_antecedent
         lift       = n_baskets * n_pair / (n_a * n_b)
 
-    Built ON TOP of :func:`frequent_pairs` — the Apriori prune and the
-    single basket self-join are reused unchanged, the rule expansion is
-    a constant-sized union of two projections plus one 1-row broadcast
-    basket count.  Confidence/support are single divisions of exact
+    Built on the SAME :func:`_basket_pairs` core as
+    :func:`frequent_pairs` — the Apriori prune and the single basket
+    self-join are shared, and ``n_baskets`` is the core's
+    capped-corpus-consistent count (one 1-row broadcast), so support,
+    confidence and lift all describe the same population even when the
+    basket cap binds.  Confidence/support are single divisions of exact
     integers (engine-exact); rules order by confidence DESC with
     (antecedent, consequent) tie-break.
 
     Returns ``2 * top_pairs`` rows: ``(antecedent, consequent, n_pair,
     n_ant, n_cons, support, confidence, lift)``.
     """
-    fp = frequent_pairs(
+    if min_support < 1:
+        raise ValueError("min_support must be >= 1")
+    pairs, n_baskets = _basket_pairs(
         df,
         basket_col,
         item_col,
         min_support=min_support,
-        top_k=top_pairs,
         broadcast_limit=broadcast_limit,
         max_basket_size=max_basket_size,
     )
-    nb = (
-        df.where(
-            F.col(basket_col).isNotNull() & F.col(item_col).isNotNull()
-        )
-        .select(F.col(basket_col).alias("bk"))
-        .distinct()
-        .agg(F.count(F.lit(1)).alias("__nb"))
+    fp = (
+        pairs.where(F.col("n_pair") >= min_support)
+        .orderBy(F.col("n_pair").desc(), "item_a", "item_b")
+        .limit(top_pairs)
     )
     fwd = fp.select(
         F.col("item_a").alias("antecedent"),
@@ -196,7 +257,6 @@ def association_rules(
         "n_pair",
         F.col("n_a").alias("n_ant"),
         F.col("n_b").alias("n_cons"),
-        "lift",
     )
     rev = fp.select(
         F.col("item_b").alias("antecedent"),
@@ -204,9 +264,8 @@ def association_rules(
         "n_pair",
         F.col("n_b").alias("n_ant"),
         F.col("n_a").alias("n_cons"),
-        "lift",
     )
-    rules = fwd.unionByName(rev).crossJoin(F.broadcast(nb))
+    rules = fwd.unionByName(rev).crossJoin(F.broadcast(n_baskets))
     return (
         rules.select(
             "antecedent",
@@ -222,7 +281,14 @@ def association_rules(
                 F.col("n_pair").cast("double")
                 / F.col("n_ant").cast("double")
             ).alias("confidence"),
-            "lift",
+            (
+                F.col("__nb").cast("double")
+                * F.col("n_pair").cast("double")
+                / (
+                    F.col("n_ant").cast("double")
+                    * F.col("n_cons").cast("double")
+                )
+            ).alias("lift"),
         )
         .orderBy(F.col("confidence").desc(), "antecedent", "consequent")
     )

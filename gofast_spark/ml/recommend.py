@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from gofast_spark.ml.itemsets import cap_basket_size
+from gofast_spark.ml.itemsets import _basket_pairs
 
 
 def item_similarity_topk(
@@ -39,37 +39,24 @@ def item_similarity_topk(
     ``(item, neighbor, n_item, n_neighbor, n_both, cosine, rank)``
     over distinct (basket, item) incidences.  Items below ``min_count``
     baskets are pruned BEFORE the pair join; ties break
-    (cosine DESC, neighbor ASC) so ranks are deterministic."""
+    (cosine DESC, neighbor ASC) so ranks are deterministic.  When
+    ``max_basket_size`` binds, co-occurrence counts AND item supports
+    both describe the capped corpus (ml/itemsets.py module docstring),
+    so the cosine never mixes capped numerators with uncapped
+    denominators."""
     if min_count < 1:
         raise ValueError("min_count must be >= 1")
     if k < 1:
         raise ValueError("k must be >= 1")
-    b = (
-        df.select(
-            F.col(basket_col).alias("bk"), F.col(item_col).alias("it")
-        )
-        .where(F.col(basket_col).isNotNull() & F.col(item_col).isNotNull())
-        .distinct()
+    pairs, _ = _basket_pairs(
+        df,
+        basket_col,
+        item_col,
+        min_support=min_count,
+        broadcast_limit=broadcast_limit,
+        max_basket_size=max_basket_size,
     )
-    support = b.groupBy("it").agg(F.count(F.lit(1)).alias("n_it"))
-    freq = support.where(F.col("n_it") >= min_count)
-    if broadcast_limit is not None and freq.count() <= broadcast_limit:
-        freq = F.broadcast(freq)
-    pruned = cap_basket_size(
-        b.join(freq, "it").select("bk", "it", "n_it"), max_basket_size
-    )
-    pairs = (
-        pruned.alias("l")
-        .join(pruned.alias("r"), "bk")
-        .where(F.col("l.it") < F.col("r.it"))
-        .groupBy(
-            F.col("l.it").alias("item_a"),
-            F.col("r.it").alias("item_b"),
-            F.col("l.n_it").alias("n_a"),
-            F.col("r.n_it").alias("n_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_both"))
-    )
+    pairs = pairs.withColumnRenamed("n_pair", "n_both")
     sym = pairs.select(
         F.col("item_a").alias("item"),
         F.col("item_b").alias("neighbor"),

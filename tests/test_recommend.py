@@ -97,6 +97,12 @@ def test_mega_basket_capped_before_pair_join(spark, caplog):
     ab = [r for r in capped if (r["item_a"], r["item_b"]) == ("a", "b")]
     assert len(ab) == 1 and ab[0]["n_pair"] == 3  # bot basket excluded
     assert all(not r["item_a"].startswith("x") for r in capped)
+    # capped-corpus consistency: supports and the basket count describe
+    # the corpus WITHOUT the dropped basket (3 organic baskets), so
+    # lift = 3 * 3 / (3 * 3) = 1.0 — not 3 * 3 / (4 * 4) from mixing a
+    # capped numerator with uncapped denominators
+    assert ab[0]["n_a"] == 3 and ab[0]["n_b"] == 3
+    assert ab[0]["lift"] == pytest.approx(1.0)
 
     uncapped = frequent_pairs(
         df, "bk", "it", min_support=1, top_k=2000, max_basket_size=None
@@ -109,3 +115,7 @@ def test_mega_basket_capped_before_pair_join(spark, caplog):
     ).collect()
     a_row = [r for r in sim if r["item"] == "a" and r["neighbor"] == "b"]
     assert a_row and a_row[0]["n_both"] == 3
+    # capped-corpus cosine: 3 / sqrt(3 * 3) = 1.0 (supports recomputed
+    # on the capped frame, not the pre-cap 4-basket supports)
+    assert a_row[0]["n_item"] == 3 and a_row[0]["n_neighbor"] == 3
+    assert a_row[0]["cosine"] == pytest.approx(1.0)
