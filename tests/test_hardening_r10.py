@@ -1,0 +1,151 @@
+"""Round-10 hardening: observation-report integer arithmetic, binding
+basket cap at adversarial scale, and repartition-invariance of the
+driver-window entries (r9 verdict asks #2/#5, ADVICE items #1-#3)."""
+
+from __future__ import annotations
+
+import logging
+import os
+from types import SimpleNamespace
+
+import pytest
+
+from tests.oracle_util import normalize_rows
+
+SF_SMALL = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
+
+
+def test_observed_numeric_rows_integer_ppm():
+    """null_ppm is exact integer arithmetic (unit*nulls)//n — the float
+    path floor(unit*nulls/n) is 1 ulp high for this witness (ppm 999999
+    instead of 999998), the ADVICE r9 #3 failure mode once unit*nulls
+    crosses 2**53."""
+    from gofast_spark.quality.observe import observed_numeric_rows
+
+    nulls, n = 999999000999998, 1000000000999999
+    import math
+
+    assert int(math.floor(1_000_000 * nulls / n)) == 999999  # float is WRONG
+    obs = SimpleNamespace(
+        get={"n_rows": n, "c__nulls": nulls, "c__min": None, "c__max": None}
+    )
+    rows = observed_numeric_rows(obs)
+    assert rows == [("c", n, nulls, 999998, None, None)]
+
+
+def test_quality_relational_matches_observed(spark):
+    """The computed relational report (what observed_report_lineitem now
+    RETURNS) and the observation-literal report (what it asserts
+    against) agree cell-for-cell, including all-null and null-free
+    columns."""
+    from gofast_spark.quality.observe import (
+        observe_quality,
+        observed_numeric_rows,
+        quality_report_relational,
+    )
+
+    df = spark.createDataFrame(
+        [(1.5, None), (2.25, None), (None, None), (0.5, None)],
+        "x double, y double",
+    )
+    observed, obs = observe_quality(df, ["x", "y"])
+    observed.write.format("noop").mode("overwrite").save()
+    harvested = observed_numeric_rows(obs)
+    computed = sorted(
+        tuple(r) for r in quality_report_relational(df, ["x", "y"]).collect()
+    )
+    assert computed == sorted(harvested)
+    x = dict(zip(["column", "n_rows", "n_nulls", "null_ppm", "min_u6",
+                  "max_u6"], harvested[0]))
+    assert x == {"column": "x", "n_rows": 4, "n_nulls": 1,
+                 "null_ppm": 250000, "min_u6": 500000, "max_u6": 2250000}
+    y = harvested[1]
+    assert y[2] == 4 and y[3] == 1_000_000 and y[4] is None and y[5] is None
+
+
+def test_observed_report_entry_asserts_in_plan(sf_small, spark):
+    """The restructured entry returns a COMPUTED plan (no LocalRelation
+    of driver literals — the r8/r9 driver-red shape) and still runs the
+    in-entry observation-vs-aggregate assertion without raising."""
+    from gofast_spark.plans.catalog import QUERIES
+
+    df = QUERIES["observed_report_lineitem"](spark, sf_small)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "LocalRelation" not in plan, plan
+    assert df.count() == 2
+
+
+@pytest.mark.stress
+def test_mega_basket_cap_binds_at_scale(spark, caplog):
+    """A 100k-item bot basket (the adversarial case the cap exists for):
+    the cap BINDS, the basket never reaches the pair self-join — so no
+    join key owns more than cap-choose-2 pairs — and the organic pairs
+    plus their capped-corpus supports survive intact."""
+    from pyspark.sql import functions as F
+
+    from gofast_spark.ml.itemsets import cap_basket_size, frequent_pairs
+
+    mega = spark.range(100_000).select(
+        F.lit(0).alias("bk"), F.concat(F.lit("x"), F.col("id")).alias("it")
+    )
+    organic = spark.range(1, 501).selectExpr(
+        "CAST(id AS INT) AS bk",
+        "stack(2, 'a', 'b') AS it",
+    )
+    df = organic.unionByName(mega)
+
+    cap = 1_000
+    pruned = df.selectExpr("bk", "it", "CAST(1 AS BIGINT) AS n_it")
+    with caplog.at_level(logging.WARNING, "gofast_spark.ml.itemsets"):
+        capped, n_dropped = cap_basket_size(pruned, cap)
+    assert n_dropped == 1
+    sizes = capped.groupBy("bk").count().agg(F.max("count")).first()[0]
+    assert sizes <= cap  # no join key can own > cap*(cap-1)/2 pairs
+
+    # min_support=1 keeps every bot item past the Apriori prune (with
+    # min_support=2 the prune alone would empty the mega basket and the
+    # cap would never bind) — and the 100k+2-item frequent vocabulary
+    # exceeds broadcast_limit, so this also exercises the non-broadcast
+    # prune path
+    got = frequent_pairs(
+        df, "bk", "it", min_support=1, top_k=10, max_basket_size=cap
+    ).collect()
+    assert [(r["item_a"], r["item_b"], r["n_pair"], r["n_a"], r["n_b"])
+            for r in got] == [("a", "b", 500, 500, 500)]
+    # lift over the capped corpus: 500 baskets, 500*500/(500*500) = 1.0
+    assert got[0]["lift"] == pytest.approx(1.0)
+
+
+@pytest.mark.stress
+def test_driver_window_repartition_invariance(spark):
+    """Every entry in the current 50-slot driver window returns
+    IDENTICAL normalized output under a different shuffle-partition
+    count (3 vs the session's 8/32) — the partition-count hazards the
+    r9 bare-local re-verification used to catch manually (r9 verdict
+    ask #5b), now a marked test."""
+    from gofast_spark.plans.catalog import QUERIES
+
+    window = list(QUERIES)[:50]
+    base = spark.conf.get("spark.sql.shuffle.partitions")
+    failures = []
+    for name in window:
+        fn = QUERIES[name]
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "3")
+            df_a = fn(spark, SF_SMALL)
+            a, cols_a = normalize_rows(
+                df_a.columns, [tuple(r) for r in df_a.collect()]
+            )
+            spark.conf.set("spark.sql.shuffle.partitions", base)
+            df_b = fn(spark, SF_SMALL)
+            b, cols_b = normalize_rows(
+                df_b.columns, [tuple(r) for r in df_b.collect()]
+            )
+            if (a, cols_a) != (b, cols_b):
+                diff = [i for i, (x, y) in enumerate(zip(a, b)) if x != y]
+                failures.append((name, f"first diff row {diff[:3]}"))
+        except Exception as e:  # noqa: BLE001 — collect all, report once
+            failures.append((name, f"raised {type(e).__name__}: {e}"))
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", base)
+    assert not failures, failures
