@@ -117,26 +117,32 @@ def test_mega_basket_cap_binds_at_scale(spark, caplog):
 
 
 @pytest.mark.stress
-def test_driver_window_repartition_invariance(spark):
-    """Every entry in the current 50-slot driver window returns
-    IDENTICAL normalized output under a different shuffle-partition
-    count (3 vs the session's 8/32) — the partition-count hazards the
-    r9 bare-local re-verification used to catch manually (r9 verdict
-    ask #5b), now a marked test."""
-    from gofast_spark.plans.catalog import QUERIES
+def test_never_green_repartition_invariance(spark):
+    """Every never-driver-checked entry — the 50-slot window AND the
+    overflow queue behind it (next round's window) — returns IDENTICAL
+    normalized output when both the shuffle-partition count (3 vs the
+    session's 8/32) and the scan split size (1 MiB maxPartitionBytes →
+    many more input partitions) change — the partition-count hazards
+    the r9 bare-local re-verification used to catch manually (r9
+    verdict ask #5b), now a marked test that pre-validates future
+    windows too."""
+    from gofast_spark.plans.catalog import _DRIVER_VERIFIED, QUERIES
 
-    window = list(QUERIES)[:50]
-    base = spark.conf.get("spark.sql.shuffle.partitions")
+    names = [n for n in QUERIES if n not in _DRIVER_VERIFIED]
+    base_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    base_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
     failures = []
-    for name in window:
+    for name in names:
         fn = QUERIES[name]
         try:
             spark.conf.set("spark.sql.shuffle.partitions", "3")
+            spark.conf.set("spark.sql.files.maxPartitionBytes", "1048576")
             df_a = fn(spark, SF_SMALL)
             a, cols_a = normalize_rows(
                 df_a.columns, [tuple(r) for r in df_a.collect()]
             )
-            spark.conf.set("spark.sql.shuffle.partitions", base)
+            spark.conf.set("spark.sql.shuffle.partitions", base_shuffle)
+            spark.conf.set("spark.sql.files.maxPartitionBytes", base_split)
             df_b = fn(spark, SF_SMALL)
             b, cols_b = normalize_rows(
                 df_b.columns, [tuple(r) for r in df_b.collect()]
@@ -147,5 +153,6 @@ def test_driver_window_repartition_invariance(spark):
         except Exception as e:  # noqa: BLE001 — collect all, report once
             failures.append((name, f"raised {type(e).__name__}: {e}"))
         finally:
-            spark.conf.set("spark.sql.shuffle.partitions", base)
+            spark.conf.set("spark.sql.shuffle.partitions", base_shuffle)
+            spark.conf.set("spark.sql.files.maxPartitionBytes", base_split)
     assert not failures, failures
