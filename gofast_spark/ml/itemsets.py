@@ -42,6 +42,7 @@ def cap_basket_size(
     max_basket_size: int | None,
     *,
     basket_col: str = "bk",
+    materialize: bool = True,
 ) -> tuple[DataFrame, int]:
     """Drop baskets whose post-prune item count exceeds
     ``max_basket_size`` before a basket self-join; returns
@@ -68,15 +69,23 @@ def cap_basket_size(
     guard then costs roughly what the duplicate subtree used to.
     ``persist`` (unlike ``localCheckpoint``) KEEPS lineage, so a lost
     executor recomputes its partitions instead of failing the job —
-    the right trade for a default-on path at cluster scale.  The cache
-    lives for the session (or until the caller unpersists); it is
-    frequent-incidence-sized, already the working set of the self-join.
+    the right trade for a default-on path at cluster scale.
+
+    Cache lifetime: the entry lives in the session's SQL CacheManager
+    until unpersisted.  Repeated calls over the SAME input dedupe to
+    one entry (CacheManager matches the logical plan), so the cache
+    grows with the number of DISTINCT mined inputs, not calls.  A
+    long-lived service mining many distinct inputs should either pass
+    ``materialize=False`` (the guard scan then recomputes the
+    distinct+prune subtree once — correctness is unaffected) or shed
+    entries periodically via ``spark.catalog.clearCache()``.
     """
     if max_basket_size is None:
         return pruned, 0
     if max_basket_size < 2:
         raise ValueError("max_basket_size must be >= 2")
-    pruned = pruned.persist(StorageLevel.DISK_ONLY)
+    if materialize:
+        pruned = pruned.persist(StorageLevel.DISK_ONLY)
     sizes = pruned.groupBy(basket_col).agg(
         F.count(F.lit(1)).alias("__bk_n")
     )
@@ -106,6 +115,7 @@ def _basket_pairs(
     min_support: int,
     broadcast_limit: int | None,
     max_basket_size: int | None,
+    materialize: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared mining core for :func:`frequent_pairs` /
     :func:`association_rules` / ``ml.recommend.item_similarity_topk``:
@@ -129,15 +139,26 @@ def _basket_pairs(
     if freq_small:
         freq = F.broadcast(freq)
     pruned, n_dropped = cap_basket_size(
-        b.join(freq, "it").select("bk", "it", "n_it"), max_basket_size
+        b.join(freq, "it").select("bk", "it", "n_it"),
+        max_basket_size,
+        materialize=materialize,
     )
     if n_dropped:
         # Capped-corpus consistency (see module docstring): the carried
         # pre-cap supports would overcount items that appeared in the
         # dropped baskets, so recompute them on the capped frame.  The
-        # recomputed table is at most frequent-vocab-sized, so it
-        # inherits the same broadcast gate as the prune.
-        supp2 = pruned.groupBy("it").agg(F.count(F.lit(1)).alias("n_it"))
+        # support floor is re-applied too — an item whose pre-cap
+        # support cleared ``min_support`` only thanks to the dropped
+        # baskets is below the floor on the capped corpus and must not
+        # reach the pair join (callers like item_similarity_topk have
+        # no later pair-support filter to subsume it).  The recomputed
+        # table is at most frequent-vocab-sized, so it inherits the
+        # same broadcast gate as the prune.
+        supp2 = (
+            pruned.groupBy("it")
+            .agg(F.count(F.lit(1)).alias("n_it"))
+            .where(F.col("n_it") >= min_support)
+        )
         if freq_small:
             supp2 = F.broadcast(supp2)
         pruned = pruned.select("bk", "it").join(supp2, "it")

@@ -139,6 +139,41 @@ def observed_numeric_rows(
     return rows
 
 
+def exact_ppm_sql(
+    nulls: str = "n_nulls",
+    n: str = "n_rows",
+    unit: int = 1_000_000,
+    dialect: str = "spark",
+) -> str:
+    """SQL text computing ``floor(unit * nulls / n)`` in EXACT bigint
+    arithmetic without overflowing int64.
+
+    A single ``(unit * nulls) DIV n`` overflows (errors under ANSI)
+    once ``nulls > 2**63 / unit`` ≈ 9.2e12 for ppm — reachable on a
+    multi-trillion-row table.  The unit is therefore split into two
+    balanced power-of-10 factors ``u1 * u2`` and the division staged:
+
+        t = u1 * nulls;  q1 = t DIV n;  r1 = t % n
+        floor(t * u2 / n) = u2 * q1 + (u2 * r1) DIV n
+
+    (exact because ``t * u2 = u2*q1*n + u2*r1``; all operands
+    non-negative, so integer division's truncation is floor).  With
+    u1 = u2 = 1000 the intermediates stay under 2**63 for any table
+    below ~9.2e15 rows.  The same algebra is emitted for both engines
+    — only the integer-division spelling differs (Spark ``DIV``,
+    DuckDB ``//``) — so oracles reuse it via ``dialect='duckdb'``."""
+    u1, u2 = unit, 1
+    while u1 % 10 == 0 and u1 > u2 * 10:
+        u1 //= 10
+        u2 *= 10
+    assert u1 * u2 == unit
+    idiv = {"spark": "DIV", "duckdb": "//"}[dialect]
+    return (
+        f"CAST({u2} * (({u1} * {nulls}) {idiv} {n}) "
+        f"+ ({u2} * (({u1} * {nulls}) % {n})) {idiv} {n} AS BIGINT)"
+    )
+
+
 def quality_report_relational(
     df: DataFrame,
     cols: Sequence[str],
@@ -151,9 +186,9 @@ def quality_report_relational(
     a ``createDataFrame`` of observation literals: one scan, one
     1-row-per-column result, no driver-side literals.
 
-    ``null_ppm`` uses Spark's ``div`` (exact integer division on
-    bigints; all operands non-negative, so trunc == floor) — mirroring
-    the pure-integer oracle ``(unit * n_nulls) // count(*)``."""
+    ``null_ppm`` uses the staged exact integer division of
+    :func:`exact_ppm_sql` — overflow-safe bigint arithmetic mirroring
+    the pure-integer oracle, never a double conversion."""
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in cols:
         col = F.col(c)
@@ -184,7 +219,7 @@ def quality_report_relational(
         F.col("n_nulls"),
         F.expr(
             f"CASE WHEN n_rows = 0 THEN CAST(0 AS BIGINT) "
-            f"ELSE CAST({unit} * n_nulls DIV n_rows AS BIGINT) END"
+            f"ELSE {exact_ppm_sql('n_nulls', 'n_rows', unit)} END"
         ).alias("null_ppm"),
         "min_u6",
         "max_u6",

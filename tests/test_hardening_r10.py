@@ -5,14 +5,11 @@ driver-window entries (r9 verdict asks #2/#5, ADVICE items #1-#3)."""
 from __future__ import annotations
 
 import logging
-import os
 from types import SimpleNamespace
 
 import pytest
 
 from tests.oracle_util import normalize_rows
-
-SF_SMALL = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
 
 
 def test_observed_numeric_rows_integer_ppm():
@@ -31,6 +28,40 @@ def test_observed_numeric_rows_integer_ppm():
     )
     rows = observed_numeric_rows(obs)
     assert rows == [("c", n, nulls, 999998, None, None)]
+
+
+def test_exact_ppm_sql_overflow_safe(spark):
+    """The staged bigint division stays exact where the naive
+    (unit*nulls) DIV n would overflow int64 (nulls > ~9.2e12), and
+    reproduces the 1-ulp float witness exactly."""
+    from gofast_spark.quality.observe import exact_ppm_sql
+
+    cases = [
+        (999999000999998, 1000000000999999, 999998),  # float path says 999999
+        (10**13, 2 * 10**13, 500000),  # 1e6 * 1e13 = 1e19 > 2**63
+        (4 * 10**15, 9 * 10**15, 444444),
+        (0, 5, 0),
+        (5, 5, 1000000),
+    ]
+    df = spark.createDataFrame(
+        [(nu, nn) for nu, nn, _ in cases], "n_nulls long, n_rows long"
+    )
+    got = [
+        r[0]
+        for r in df.selectExpr(exact_ppm_sql()).collect()
+    ]
+    assert got == [exp for _, _, exp in cases]
+    import duckdb
+
+    con = duckdb.connect()
+    duck = [
+        con.execute(
+            f"SELECT {exact_ppm_sql(str(nu), str(nn), dialect='duckdb')}"
+        ).fetchone()[0]
+        for nu, nn, _ in cases
+    ]
+    con.close()
+    assert duck == [exp for _, _, exp in cases]  # oracle-reusable algebra
 
 
 def test_quality_relational_matches_observed(spark):
@@ -75,6 +106,33 @@ def test_observed_report_entry_asserts_in_plan(sf_small, spark):
     assert df.count() == 2
 
 
+def test_support_floor_reapplied_on_capped_corpus(spark):
+    """An item whose support cleared min_count only thanks to a
+    dropped oversized basket must NOT reach the pair join: its
+    capped-corpus support is below the floor, and item_similarity_topk
+    has no later pair-support filter to subsume it (frequent_pairs
+    does via n_pair >= min_support)."""
+    from gofast_spark.ml.recommend import item_similarity_topk
+
+    organic = [(1, "a"), (1, "b"), (1, "c"), (2, "a"), (2, "b"),
+               (3, "a"), (3, "b")]
+    # two oversized bot baskets sharing 20 items so the bot items pass
+    # the min_count=2 prune and the baskets stay oversized POST-prune;
+    # 'c' rides in one of them, lifting its pre-cap support to 2
+    bots = [(90 + k, f"x{i}") for k in (0, 1) for i in range(20)]
+    bots.append((90, "c"))
+    df = spark.createDataFrame(organic + bots, "bk int, it string")
+
+    got = item_similarity_topk(
+        df, "bk", "it", min_count=2, k=5, max_basket_size=10
+    ).collect()
+    names = {r["item"] for r in got} | {r["neighbor"] for r in got}
+    assert "c" not in names, got  # capped-corpus support 1 < min_count
+    assert names == {"a", "b"}
+    ab = [r for r in got if r["item"] == "a"]
+    assert ab[0]["n_both"] == 3 and ab[0]["n_item"] == 3
+
+
 @pytest.mark.stress
 def test_mega_basket_cap_binds_at_scale(spark, caplog):
     """A 100k-item bot basket (the adversarial case the cap exists for):
@@ -117,7 +175,7 @@ def test_mega_basket_cap_binds_at_scale(spark, caplog):
 
 
 @pytest.mark.stress
-def test_never_green_repartition_invariance(spark):
+def test_never_green_repartition_invariance(spark, sf_small):
     """Every never-driver-checked entry — the 50-slot window AND the
     overflow queue behind it (next round's window) — returns IDENTICAL
     normalized output when both the shuffle-partition count (3 vs the
@@ -125,7 +183,14 @@ def test_never_green_repartition_invariance(spark):
     many more input partitions) change — the partition-count hazards
     the r9 bare-local re-verification used to catch manually (r9
     verdict ask #5b), now a marked test that pre-validates future
-    windows too."""
+    windows too.
+
+    The SQL cache is cleared before EACH run: entries that persist()
+    internally (the basket miners) would otherwise serve run B from run
+    A's materialized partitions, and the config variation would never
+    reach their plans — the comparison would be run A against itself."""
+    from itertools import zip_longest
+
     from gofast_spark.plans.catalog import _DRIVER_VERIFIED, QUERIES
 
     names = [n for n in QUERIES if n not in _DRIVER_VERIFIED]
@@ -135,21 +200,30 @@ def test_never_green_repartition_invariance(spark):
     for name in names:
         fn = QUERIES[name]
         try:
+            spark.catalog.clearCache()
             spark.conf.set("spark.sql.shuffle.partitions", "3")
             spark.conf.set("spark.sql.files.maxPartitionBytes", "1048576")
-            df_a = fn(spark, SF_SMALL)
+            df_a = fn(spark, sf_small)
             a, cols_a = normalize_rows(
                 df_a.columns, [tuple(r) for r in df_a.collect()]
             )
             spark.conf.set("spark.sql.shuffle.partitions", base_shuffle)
             spark.conf.set("spark.sql.files.maxPartitionBytes", base_split)
-            df_b = fn(spark, SF_SMALL)
+            spark.catalog.clearCache()
+            df_b = fn(spark, sf_small)
             b, cols_b = normalize_rows(
                 df_b.columns, [tuple(r) for r in df_b.collect()]
             )
             if (a, cols_a) != (b, cols_b):
-                diff = [i for i, (x, y) in enumerate(zip(a, b)) if x != y]
-                failures.append((name, f"first diff row {diff[:3]}"))
+                if len(a) != len(b):
+                    failures.append((name, f"row count {len(a)} vs {len(b)}"))
+                else:
+                    diff = [
+                        i
+                        for i, (x, y) in enumerate(zip_longest(a, b))
+                        if x != y
+                    ]
+                    failures.append((name, f"first diff rows {diff[:3]}"))
         except Exception as e:  # noqa: BLE001 — collect all, report once
             failures.append((name, f"raised {type(e).__name__}: {e}"))
         finally:
