@@ -64,6 +64,51 @@ def test_exact_ppm_sql_overflow_safe(spark):
     assert duck == [exp for _, _, exp in cases]  # oracle-reusable algebra
 
 
+def test_exact_ppm_sql_property():
+    """Property check (no Spark roundtrip — DuckDB evaluates the
+    duckdb dialect, and the spark dialect's DIV/% on non-negative
+    bigints is replayed with Python // and %): the staged division
+    equals the arbitrary-precision floor for any nulls <= n up to the
+    documented ~9.2e15-row bound, units 10^0..10^6."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from gofast_spark.quality.observe import exact_ppm_sql
+
+    con = duckdb.connect()
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=9 * 10**15),
+        frac=st.fractions(min_value=0, max_value=1),
+        exp=st.integers(min_value=0, max_value=6),
+    )
+    def check(n, frac, exp):
+        nulls = min(n, int(frac * n))
+        unit = 10**exp
+        expected = (unit * nulls) // n
+        # literals parse as INT32 in DuckDB; real uses divide BIGINT
+        # columns, so mirror that typing explicitly
+        got = con.execute(
+            "SELECT " + exact_ppm_sql(
+                f"CAST({nulls} AS BIGINT)", f"CAST({n} AS BIGINT)",
+                unit, "duckdb",
+            )
+        ).fetchone()[0]
+        assert got == expected
+        # replay the spark dialect's algebra exactly: DIV == // and %
+        # are identical for non-negative bigints, and Python shares the
+        # */+ precedence, so evaluating the emitted text IS the algebra
+        sql = exact_ppm_sql(str(nulls), str(n), unit, "spark")
+        inner = sql[len("CAST("):-len(" AS BIGINT)")]
+        got_spark = eval(inner.replace(" DIV ", "//"))  # noqa: S307 — our own emitted text
+        assert got_spark == expected
+
+    check()
+    con.close()
+
+
 def test_quality_relational_matches_observed(spark):
     """The computed relational report (what observed_report_lineitem now
     RETURNS) and the observation-literal report (what it asserts
