@@ -40,7 +40,10 @@ def to_categories(
     if method == "equal_range":
         lo, hi = df.agg(F.min(x), F.max(x)).first()
         lo, hi = float(lo), float(hi)
-        width = (hi - lo) / k
+        # constant column: zero width would make (x-lo)/width NaN/Inf
+        # (ANSI floor then errors); any positive width puts every row
+        # in bucket 0, which is the only sensible answer
+        width = (hi - lo) / k or 1.0
         bucket = F.least(F.floor((x - F.lit(lo)) / F.lit(width)), F.lit(k - 1))
         edges = [lo + width * i for i in range(1, k)]
     elif method == "quantile":

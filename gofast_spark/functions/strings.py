@@ -48,9 +48,16 @@ def to_snake_case(col: Column | str) -> Column:
 
 def slugify(col: Column | str, *, delim: str = "-") -> Column:
     """URL slug (gofast/utils/text.py:1192): lower, non-alphanumeric runs
-    -> ``delim``, trim leading/trailing delims."""
-    out = F.regexp_replace(F.lower(_c(col)), "[^a-z0-9]+", delim)
-    return F.regexp_replace(out, f"^{delim}+|{delim}+$", "")
+    -> ``delim``, trim leading/trailing delims.  The delimiter is
+    regex-escaped in the trim pattern (a ``.`` delim would otherwise
+    trim every character) and ``$``/``\\`` are escaped in the
+    replacement (regexp_replace treats them as group references)."""
+    import re
+
+    repl = delim.replace("\\", "\\\\").replace("$", "\\$")
+    out = F.regexp_replace(F.lower(_c(col)), "[^a-z0-9]+", repl)
+    d = re.escape(delim)
+    return F.regexp_replace(out, f"^(?:{d})+|(?:{d})+$", "")
 
 
 def capitalize_first(col: Column | str) -> Column:
