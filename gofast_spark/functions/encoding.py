@@ -40,10 +40,14 @@ def to_categories(
     if method == "equal_range":
         lo, hi = df.agg(F.min(x), F.max(x)).first()
         lo, hi = float(lo), float(hi)
-        # constant column: zero width would make (x-lo)/width NaN/Inf
+        # constant column: zero range would make (x-lo)/width NaN/Inf
         # (ANSI floor then errors); any positive width puts every row
-        # in bucket 0, which is the only sensible answer
-        width = (hi - lo) / k or 1.0
+        # in bucket 0, which is the only sensible answer.  Guard the
+        # RANGE, not the quotient — ((hi-lo) or 1.0)/k matches the
+        # sibling binning guards (operators/checks.py,
+        # stats/descriptive.py) and cannot be defeated by a denormal
+        # range whose /k quotient underflows to 0.0
+        width = ((hi - lo) or 1.0) / k
         bucket = F.least(F.floor((x - F.lit(lo)) / F.lit(width)), F.lit(k - 1))
         edges = [lo + width * i for i in range(1, k)]
     elif method == "quantile":

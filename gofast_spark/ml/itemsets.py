@@ -36,6 +36,32 @@ from pyspark.storagelevel import StorageLevel
 
 logger = logging.getLogger(__name__)
 
+# Handles persisted by cap_basket_size (default materialize=True path).
+# CacheManager dedupes same-plan entries, so this grows with DISTINCT
+# mined inputs; a long-lived service calls release_basket_caches()
+# after each mining batch's terminal action to shed them.
+_PERSISTED_CACHES: list[DataFrame] = []
+
+
+def release_basket_caches() -> int:
+    """Unpersist every frame :func:`cap_basket_size` materialized so
+    far and forget the handles; returns how many were released.
+
+    Call AFTER the miner's terminal action (the persisted partitions
+    are read during the pair self-join) — unpersist is lazy-safe
+    either way (Spark recomputes from lineage), but releasing early
+    forfeits the double-read saving.  Addresses the unbounded
+    CacheManager growth a long-lived session mining many distinct
+    inputs would otherwise see."""
+    n = len(_PERSISTED_CACHES)
+    for frame in _PERSISTED_CACHES:
+        try:
+            frame.unpersist()
+        except Exception:  # session already stopped — nothing to free
+            pass
+    _PERSISTED_CACHES.clear()
+    return n
+
 
 def cap_basket_size(
     pruned: DataFrame,
@@ -77,8 +103,9 @@ def cap_basket_size(
     grows with the number of DISTINCT mined inputs, not calls.  A
     long-lived service mining many distinct inputs should either pass
     ``materialize=False`` (the guard scan then recomputes the
-    distinct+prune subtree once — correctness is unaffected) or shed
-    entries periodically via ``spark.catalog.clearCache()``.
+    distinct+prune subtree once — correctness is unaffected) or call
+    :func:`release_basket_caches` after each batch's terminal action
+    (every persisted handle is registered there for exactly this).
     """
     if max_basket_size is None:
         return pruned, 0
@@ -86,6 +113,7 @@ def cap_basket_size(
         raise ValueError("max_basket_size must be >= 2")
     if materialize:
         pruned = pruned.persist(StorageLevel.DISK_ONLY)
+        _PERSISTED_CACHES.append(pruned)
     sizes = pruned.groupBy(basket_col).agg(
         F.count(F.lit(1)).alias("__bk_n")
     )

@@ -272,6 +272,121 @@ def random_search_ridge(
     )
 
 
+def smbo_quadratic_ridge(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str,
+    *,
+    id_col: str,
+    grid: Sequence[float],
+    rounds: int = 3,
+    k: int = 4,
+    seed: int = 0,
+) -> DataFrame:
+    """Sequential model-based hyperparameter optimization over a
+    discrete ridge-lambda grid (SMBO: Hutter, Hoos & Leyton-Brown,
+    LION 2011 — SMAC; Jones, Schonlau & Welch, J. Global Optim. 1998 —
+    EGO; the reference dispatches the same search family to
+    ``BayesSearchCV``, gofast/models/_optimize.py:703-719, and
+    describes sequential model-based optimization in
+    gofast/models/_selection.py:1513).
+
+    The loop is the classic surrogate/acquire/evaluate cycle:
+
+    1. evaluate a space-filling INITIAL DESIGN (grid ends + middle);
+    2. fit a quadratic response-surface surrogate
+       ``mu(j) = c0 + c1 j + c2 j^2`` over the observed
+       (grid-index, CV-RMSE) points by least squares;
+    3. ACQUIRE the unobserved grid index minimizing the surrogate
+       (ties -> smallest index), evaluate it, refit, repeat.
+
+    Every evaluation is scored from ONE set of CV fold moments (the
+    :func:`ridge_cv_sweep` property) — the whole sequential search
+    costs a single data scan, so "sequential" here spends driver
+    microseconds, not cluster passes.  Engine-reproducibility
+    discipline: observations enter the surrogate as exact integers
+    (RMSE quantized to 1e-4 units), the surrogate's normal equations
+    use integer moments of grid INDICES (never the float lambdas), the
+    solve is the fixed-order Cramer tree (`ml.regression._cramer_solve`
+    — mirrored verbatim by the SQL oracle), and the per-candidate fold
+    RMSE total is accumulated in explicit fold order.  The acquisition
+    argmin therefore replays bit-for-bit in SQL.
+
+    Returns one row per evaluation: ``(step, phase, grid_j, lam,
+    mean_rmse)`` with phase 'init' or 'smbo' and mean_rmse presented
+    in the exact 1e-4-unit quantization the surrogate consumed."""
+    g = [float(x) for x in grid]
+    if len(g) < 4:
+        raise ValueError("grid must have >= 4 candidates")
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    feats = list(feature_cols)
+    if len(feats) != 2:
+        raise ValueError("smbo_quadratic_ridge supports exactly 2 features")
+    init = [0, len(g) // 2, len(g) - 1]
+    if rounds > len(g) - len(init):
+        raise ValueError("rounds exceed unobserved grid size")
+    p, rows = _fold_moments(df, feats, label_col, id_col, k, seed)
+    missing = [f for f in range(k) if f not in rows]
+    if missing:
+        raise ValueError(f"empty folds {missing}: id space too small for k={k}")
+    import math
+
+    def y_u4(j: int) -> int:
+        # explicit fold-order accumulation (0..k-1): the SQL oracle
+        # sums the same pivoted CASE terms left-to-right
+        tot = 0.0
+        for f in range(k):
+            _w, n_test, sse = _solve_and_score(p, rows, f, g[j])
+            tot = tot + (sse / n_test) ** 0.5
+        return int(math.floor(tot / k * 1e4 + 0.5))
+
+    observed: dict[int, int] = {}
+    out = []
+    for step, j in enumerate(init):
+        observed[j] = y_u4(j)
+        out.append((step, "init", j, g[j], observed[j] / 1e4))
+    for r in range(rounds):
+        # quadratic LS surrogate from integer moments (exact bigint
+        # sums — order-independent), fixed-order Cramer solve
+        pts = sorted(observed.items())
+        S = [0] * 5
+        T = [0] * 3
+        for j, y in pts:
+            jp = 1
+            for q in range(5):
+                S[q] += jp
+                if q < 3:
+                    T[q] += y * jp
+                jp *= j
+        A = [
+            [float(S[0]), float(S[1]), float(S[2])],
+            [float(S[1]), float(S[2]), float(S[3])],
+            [float(S[2]), float(S[3]), float(S[4])],
+        ]
+        b = [float(T[0]), float(T[1]), float(T[2])]
+        c0, c1, c2 = _cramer_solve(A, b)
+        # acquisition: surrogate argmin over unobserved indices,
+        # tie-break smallest index — same (mu, j) ordering in SQL
+        best_j, best_mu = None, None
+        for j in range(len(g)):
+            if j in observed:
+                continue
+            mu = c0 + c1 * j + c2 * (j * j)
+            if best_mu is None or mu < best_mu:
+                best_j, best_mu = j, mu
+        observed[best_j] = y_u4(best_j)
+        out.append(
+            (len(init) + r, "smbo", best_j, g[best_j],
+             observed[best_j] / 1e4)
+        )
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        out,
+        "step int, phase string, grid_j int, lam double, mean_rmse double",
+    )
+
+
 def learning_curve_linear(
     df: DataFrame,
     feature_cols: Sequence[str],

@@ -884,78 +884,53 @@ from gofast_spark.plans import catalog_windows  # noqa: E402,F401  (registration
 #
 # The correctness driver oracle-checks exactly the first 50 catalog entries
 # per round (verified: r02-r04 each checked insertion positions 0-49).
-# Round 10 continues the drain (r9 verdict asks #1/#3): the 49 r9 greens
-# are folded into _DRIVER_VERIFIED below; the single r9 red
-# (observed_report_lineitem -- value-identical locally for two rounds,
-# so the entry SHAPE, a createDataFrame of observation literals, was the
-# variable; restructured this round to return a computed relational
-# aggregate with the observation asserted against it in-entry) is
-# re-pinned at the head, and the remaining 49 slots are filled
-# never-green-first in catalog queue order (the estimator tail through
-# the ts/econometrics wave, ending at page_hinkley_daily_events).  The
-# 25 remaining never-green entries (periodogram_daily_events ..
-# cohort_ltv_events) queue contiguously behind the window for r11 via
-# the _rotate_catalog tail_unverified block.  Catalog growth stays
-# frozen (verdict ask #3: <= 10 new entries, fixes/driver asks only)
-# until the queue fits inside one window.  The four rows-only entries
-# stay parked at the very END of the ordering; each has a driver-green
-# oracle-backed companion.  All oracle-backed entries remain
-# continuously re-verified by the local DuckDB sweep
-# (tests/test_oracle_catalog.py) at full float precision
-# (tests/oracle_util.py repr-strict _norm_cell).
+# Round 11 finishes the drain (r10 verdict asks #1/#2/#4): the 49 r10
+# greens are folded into _DRIVER_VERIFIED below (361 -> 410); the
+# three-round red observed_report_lineitem is re-pinned at the head AS A
+# PURE PLAN (no in-entry Observation/write/collect — the r10 round
+# falsified the LocalRelation theory, leaving the Observation side
+# effects and stale per-name driver state as the only live hypotheses)
+# with its same-SQL new-name twin quality_report_relational_lineitem
+# pinned right behind it to discriminate the two; the final 25
+# never-green entries (periodogram_daily_events .. cohort_ltv_events)
+# fill the next slots.  Breadth resumes this round (r10 verdict ask
+# #3): new entries auto-queue into the remaining ~23 window slots via
+# the _rotate_catalog tail_unverified block, never displacing a queued
+# never-green entry.  The four rows-only entries stay parked at the
+# very END of the ordering; each has a driver-green oracle-backed
+# companion.  All oracle-backed entries remain continuously re-verified
+# by the local DuckDB sweep (tests/test_oracle_catalog.py) at full
+# float precision (tests/oracle_util.py repr-strict _norm_cell).
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
     "observed_report_lineitem",
-    "cooks_distance_lineitem",
-    "oof_target_encode_orders",
-    "attribution_touches_events",
-    "ab_mde_events",
-    "covariate_balance_orders",
-    "srm_check_events",
-    "top_user_paths_events",
-    "ab_experiment_report_events",
-    "negbin_fit_user_events",
-    "audience_overlap_events",
-    "random_search_ridge_lineitem",
-    "bagged_stumps_orders",
-    "kmeans_inertia_embeddings",
-    "target_encode_orders",
-    "woe_encode_customer",
-    "conformal_interval_orders",
-    "boosted_stumps_2f_orders",
-    "item_cosine_topk_lineitem",
-    "stacking_ols_lineitem",
-    "huber_regression_lineitem",
-    "gmm2_em_orders",
-    "poisson_regression_orders",
-    "association_rules_lineitem",
-    "silhouette_embeddings",
-    "elastic_net_cd_lineitem",
-    "diversity_nations_by_segment",
-    "theil_inequality_acctbal",
-    "lorenz_points_acctbal",
-    "grubbs_test_acctbal",
-    "mahalanobis_outliers_lineitem",
-    "winsorize_acctbal",
-    "k_anonymity_customer",
-    "hbos_outliers_lineitem",
-    "trimmed_mean_acctbal",
-    "neyman_sample_orders",
-    "stream_psi_drift_events",
-    "stream_msprt_ab_events",
-    "changepoint_daily_events",
-    "mann_kendall_daily_events",
-    "granger_clicks_purchases",
-    "ar_forecast_daily_events",
-    "forecast_accuracy_daily_events",
-    "cusum_daily_events",
-    "chow_test_daily_events",
-    "croston_sparse_purchases",
-    "ljung_box_daily_events",
-    "theta_forecast_daily",
-    "runs_test_daily_events",
-    "page_hinkley_daily_events",
+    "quality_report_relational_lineitem",
+    "periodogram_daily_events",
+    "quantile_bands_daily_events",
+    "max_drawdown_daily_events",
+    "newey_west_se_daily",
+    "seasonal_strength_daily",
+    "variance_ratio_daily",
+    "permutation_sign_test_daily",
+    "engle_granger_daily",
+    "haar_energy_daily",
+    "spectral_entropy_daily",
+    "stream_cusum_daily_events",
+    "stream_srm_check_events",
+    "stream_ab_report_events",
+    "nelson_aalen_events",
+    "logrank_test_events",
+    "weibull_fit_events",
+    "cox_ph_events",
+    "rmst_events",
+    "markov_transitions_events",
+    "funnel_by_segment_events",
+    "funnel_windowed_events",
+    "ewma_daily_events",
+    "brown_smoothing_daily_events",
+    "brown_forecast_daily_events",
+    "cohort_ltv_events",
 ]
 
 # Cumulative union of driver-green entries (hash_match=true in any
@@ -963,49 +938,57 @@ _DRIVER_WINDOW = [
 # is DERIVED, not hand-maintained: tests/test_driver_window.py recomputes
 # the union from the committed CORRECTNESS files and fails on drift.
 _DRIVER_VERIFIED = {
-    "abc_analysis_parts", "acf_daily_events", "adaptive_ma_daily",
-    "aipw_ate_orders", "anonymize_customer_names", "anova_events",
-    "approx_quantile_floor_lineitem", "array2hdf5_roundtrip",
-    "asof_forward_click_view", "asof_join_click_view",
-    "assess_outlier_impact_customer", "audit_data_customer",
-    "augment_noise_invariants_customer", "balanced_accuracy_priority",
-    "bartlett_events", "batch_sampling_counts", "benford_profile_acctbal",
+    "ab_experiment_report_events", "ab_mde_events", "abc_analysis_parts",
+    "acf_daily_events", "adaptive_ma_daily", "aipw_ate_orders",
+    "anonymize_customer_names", "anova_events",
+    "approx_quantile_floor_lineitem", "ar_forecast_daily_events",
+    "array2hdf5_roundtrip", "asof_forward_click_view",
+    "asof_join_click_view", "assess_outlier_impact_customer",
+    "association_rules_lineitem", "attribution_touches_events",
+    "audience_overlap_events", "audit_data_customer",
+    "augment_noise_invariants_customer", "bagged_stumps_orders",
+    "balanced_accuracy_priority", "bartlett_events",
+    "batch_sampling_counts", "benford_profile_acctbal",
     "bigram_lm_score_documents", "bigram_pmi_documents",
     "binning_statistic_median", "bloom_prefilter_orders",
     "bm25_topk_documents", "bool_algebra_customers",
-    "boosted_stumps_orders", "bootstrap_mean_acctbal", "boxcox_quantity",
-    "bpe_merges_documents", "bpe_segment_documents",
-    "brier_decomposition_orders", "build_df_inline",
-    "calibration_curve_orders", "callable_agg_range_events",
-    "categorical_association_orders", "categorical_cast_nation",
-    "category_count_orders", "char_entropy_documents",
+    "boosted_stumps_2f_orders", "boosted_stumps_orders",
+    "bootstrap_mean_acctbal", "boxcox_quantity", "bpe_merges_documents",
+    "bpe_segment_documents", "brier_decomposition_orders",
+    "build_df_inline", "calibration_curve_orders",
+    "callable_agg_range_events", "categorical_association_orders",
+    "categorical_cast_nation", "category_count_orders",
+    "changepoint_daily_events", "char_entropy_documents",
     "check_unique_values_customer", "chi2_events_type_bucket",
     "chi2_gof_orderstatus", "chi2_tokens_by_lang",
-    "chunk_documents_windows", "chunked_mlm_pairs_documents",
-    "classification_metrics_orders", "cleaner_customer",
-    "cliffs_delta_events", "cms_heavy_hitters_events",
+    "chow_test_daily_events", "chunk_documents_windows",
+    "chunked_mlm_pairs_documents", "classification_metrics_orders",
+    "cleaner_customer", "cliffs_delta_events", "cms_heavy_hitters_events",
     "cochran_armitage_orders", "cochran_q_orders", "cohen_kappa_orders",
     "cohens_d_events", "column_selector_regex",
     "community_triangle_density", "compact_small_files_orders",
     "concat_frames_union", "confidence_ratio_events",
-    "contamination_check_documents", "corpus_build_pipeline",
+    "conformal_interval_orders", "contamination_check_documents",
+    "cooks_distance_lineitem", "corpus_build_pipeline",
     "corpus_filter_documents", "corpus_report_documents",
-    "corr_matrix_lineitem", "correlation_ops_strong", "coverage_orders",
-    "cronbach_lineitem", "cube_revenue_orders", "cumsum_orders_revenue",
-    "cumulative_revenue_by_day", "cuped_ab_events",
-    "cv_fold_assignment_counts", "cv_ols_rmse_lineitem",
-    "cyclical_month_orders", "data_assistant_profile",
-    "data_extractor_orders", "data_facade_pipeline",
-    "dataset_bounds_invariant", "dataset_registry_counts",
-    "date_features_orders", "dbscan_embeddings",
+    "corr_matrix_lineitem", "correlation_ops_strong",
+    "covariate_balance_orders", "coverage_orders", "cronbach_lineitem",
+    "croston_sparse_purchases", "cube_revenue_orders",
+    "cumsum_orders_revenue", "cumulative_revenue_by_day",
+    "cuped_ab_events", "cusum_daily_events", "cv_fold_assignment_counts",
+    "cv_ols_rmse_lineitem", "cyclical_month_orders",
+    "data_assistant_profile", "data_extractor_orders",
+    "data_facade_pipeline", "dataset_bounds_invariant",
+    "dataset_registry_counts", "date_features_orders", "dbscan_embeddings",
     "dca_residual_gram_orders", "dedup_exact_distinct",
     "dedup_exact_prefix", "degree_assortativity_modgraph",
     "describe_lineitem", "descriptive_extras_quantity",
-    "did_estimator_events", "doc_fingerprint_tokens",
-    "drop_consecutive_dups_events", "drop_correlated_lineitem",
-    "drop_missing_rows_events", "dsir_resample_documents",
-    "dsir_weights_documents", "duplicated_spans_documents",
-    "durbin_watson_daily", "ece_orders", "embedding_cosine_topk",
+    "did_estimator_events", "diversity_nations_by_segment",
+    "doc_fingerprint_tokens", "drop_consecutive_dups_events",
+    "drop_correlated_lineitem", "drop_missing_rows_events",
+    "dsir_resample_documents", "dsir_weights_documents",
+    "duplicated_spans_documents", "durbin_watson_daily", "ece_orders",
+    "elastic_net_cd_lineitem", "embedding_cosine_topk",
     "embedding_drift_labels", "embedding_ivf_topk", "embedding_lsh_topk",
     "embedding_near_dup_pairs", "embedding_norm_by_label",
     "encode_decode_text_roundtrip", "euclidean_distance_nations",
@@ -1014,67 +997,76 @@ _DRIVER_VERIFIED = {
     "filter_by_isin_anti", "filter_by_isin_semi",
     "filter_by_period_events", "filter_df_quantity",
     "filter_position_customers", "flagship_revenue_by_region",
-    "frame_union_customer", "frames_add_nation", "frames_compare_nation",
-    "freq_encode_mktsegment", "frequent_pairs_lineitem",
-    "friedman_events", "funnel_events_vcp", "funnel_latencies_events",
-    "g_test_orders", "gains_table_orders", "gaussian_nb_confusion_orders",
-    "generate_comparison_orders", "gini_acctbal", "gini_score_orders",
+    "forecast_accuracy_daily_events", "frame_union_customer",
+    "frames_add_nation", "frames_compare_nation", "freq_encode_mktsegment",
+    "frequent_pairs_lineitem", "friedman_events", "funnel_events_vcp",
+    "funnel_latencies_events", "g_test_orders", "gains_table_orders",
+    "gaussian_nb_confusion_orders", "generate_comparison_orders",
+    "gini_acctbal", "gini_score_orders", "gmm2_em_orders",
     "good_turing_documents", "gradient_descent_lineitem",
-    "group_and_aggregate_events", "group_and_filter_orders",
-    "grouped_ols_lineitem", "grouping_sets_orders",
+    "granger_clicks_purchases", "group_and_aggregate_events",
+    "group_and_filter_orders", "grouped_ols_lineitem",
+    "grouping_sets_orders", "grubbs_test_acctbal",
     "gumbel_daily_max_events", "hamming_loss_orders",
     "handle_duplicates_drop_orders", "handle_duplicates_mark",
     "has_duplicates_orders", "hash_split_test_counts",
     "hashed_tf_documents", "haversine_bearing_nations",
-    "heaps_law_documents", "hist_quantile_events",
-    "hist_sketch_rollup_events", "hits_scores_modgraph",
-    "hll_intersection_floor_events", "hll_weekly_distinct_users",
-    "icc_events", "incremental_dedup_pairs",
-    "incremental_dedup_survivors", "infer_frequency_events",
-    "information_value_segment", "inspect_data_customer",
-    "interpolate_daily_gaps", "ipw_ate_orders", "is_in_if_orders_columns",
-    "isotonic_calibration_orders", "ivf_kmeans_fullprobe_topk",
+    "hbos_outliers_lineitem", "heaps_law_documents",
+    "hist_quantile_events", "hist_sketch_rollup_events",
+    "hits_scores_modgraph", "hll_intersection_floor_events",
+    "hll_weekly_distinct_users", "huber_regression_lineitem", "icc_events",
+    "incremental_dedup_pairs", "incremental_dedup_survivors",
+    "infer_frequency_events", "information_value_segment",
+    "inspect_data_customer", "interpolate_daily_gaps", "ipw_ate_orders",
+    "is_in_if_orders_columns", "isotonic_calibration_orders",
+    "item_cosine_topk_lineitem", "ivf_kmeans_fullprobe_topk",
     "ivf_kmeans_recall_floor", "jarque_bera_lineitem",
     "jl_project_embeddings", "jl_shortlist_topk_embeddings",
     "js_divergence_sources", "json_props_extract_events",
-    "kaplan_meier_events", "kcore_members_modgraph",
-    "kendall_tau_lineitem", "key_skew_report_orders",
+    "k_anonymity_customer", "kaplan_meier_events",
+    "kcore_members_modgraph", "kendall_tau_lineitem",
+    "key_skew_report_orders", "kmeans_inertia_embeddings",
     "kmeans_lloyd_embeddings", "kmv_distinct_users_events",
-    "kpca_landmark_identity", "kpss_daily_events",
-    "kruskal_wallis_events", "ks_test_purchase_view",
-    "label_encode_priority", "label_propagation_communities",
-    "lag_diff_daily_revenue", "langid_confusion_documents",
-    "leakage_safe_split_counts", "learning_curve_lineitem",
-    "levene_events", "levenshtein_part_types", "link_prediction_modgraph",
-    "linkage_invariants_nation", "llr_collocations_documents",
-    "load_iris_target_counts", "logistic_newton_orders", "lsh_plan_curve",
-    "mad_outliers_events", "make_classification_label_counts",
-    "make_sales_portable_agg", "mann_whitney_events",
-    "map_values_binarize_orders", "mask_by_reference_returns",
-    "mcc_orders", "mcnemar_orders", "merge_datasets_orders_customer",
-    "merge_frames_on_index_customer", "merge_upsert_customer",
-    "midrank_binned_floor_acctbal", "minhash_near_dup_pairs",
-    "minhash_signatures_documents", "missing_profile_events",
-    "mixed_effects_lineitem", "mixture_sample_documents",
-    "mlm_mask_documents", "moving_average_revenue", "msprt_ab_events",
+    "kpca_landmark_identity", "kpss_daily_events", "kruskal_wallis_events",
+    "ks_test_purchase_view", "label_encode_priority",
+    "label_propagation_communities", "lag_diff_daily_revenue",
+    "langid_confusion_documents", "leakage_safe_split_counts",
+    "learning_curve_lineitem", "levene_events", "levenshtein_part_types",
+    "link_prediction_modgraph", "linkage_invariants_nation",
+    "ljung_box_daily_events", "llr_collocations_documents",
+    "load_iris_target_counts", "logistic_newton_orders",
+    "lorenz_points_acctbal", "lsh_plan_curve", "mad_outliers_events",
+    "mahalanobis_outliers_lineitem", "make_classification_label_counts",
+    "make_sales_portable_agg", "mann_kendall_daily_events",
+    "mann_whitney_events", "map_values_binarize_orders",
+    "mask_by_reference_returns", "mcc_orders", "mcnemar_orders",
+    "merge_datasets_orders_customer", "merge_frames_on_index_customer",
+    "merge_upsert_customer", "midrank_binned_floor_acctbal",
+    "minhash_near_dup_pairs", "minhash_signatures_documents",
+    "missing_profile_events", "mixed_effects_lineitem",
+    "mixture_sample_documents", "mlm_mask_documents",
+    "moving_average_revenue", "msprt_ab_events",
     "multimodal_blob_features", "multimodal_resize_blobs",
     "multinomial_nb_confusion_documents", "nan_ops_fill_customer",
     "nan_to_na_events", "near_dup_best_survivors",
     "near_dup_canonical_survivors", "near_dup_clusters_documents",
     "nearest_join_2d_acctbal", "nearest_join_acctbal",
-    "negative_samples_documents", "ngram_jaccard_pairs",
-    "normal_cdf_acctbal", "ols_normal_eq_lineitem", "one_hot_orderstatus",
-    "ordinal_association_orders", "outlier_handler_zscore_transfer",
-    "outliers_iqr_clip_acctbal", "pacf_daily_events",
-    "pack_sequences_documents", "pagerank_customer_supplier",
+    "negative_samples_documents", "negbin_fit_user_events",
+    "neyman_sample_orders", "ngram_jaccard_pairs", "normal_cdf_acctbal",
+    "ols_normal_eq_lineitem", "one_hot_orderstatus",
+    "oof_target_encode_orders", "ordinal_association_orders",
+    "outlier_handler_zscore_transfer", "outliers_iqr_clip_acctbal",
+    "pacf_daily_events", "pack_sequences_documents",
+    "page_hinkley_daily_events", "pagerank_customer_supplier",
     "pair_data_rounded_acctbal", "partial_corr_lineitem",
     "partition_stats_orders", "partitioned_write_orders",
     "pii_redact_contacts", "poisson_deviance_lineitem",
-    "pop_labels_select_features", "pq_adc_topk_embeddings",
-    "pr_curve_events", "psi_drift_orders", "q1_pricing_summary",
-    "quality_classifier_documents", "quality_control_orders",
-    "quantile_loss_orders", "quartiles_iqr_quantity",
-    "rake_keywords_documents", "range_join_acctbal_brackets",
+    "poisson_regression_orders", "pop_labels_select_features",
+    "pq_adc_topk_embeddings", "pr_curve_events", "psi_drift_orders",
+    "q1_pricing_summary", "quality_classifier_documents",
+    "quality_control_orders", "quantile_loss_orders",
+    "quartiles_iqr_quantity", "rake_keywords_documents",
+    "random_search_ridge_lineitem", "range_join_acctbal_brackets",
     "rank_suppliers_in_nation", "ranking_metrics_events",
     "rdd_local_linear_lineitem", "read_data_nation",
     "read_data_pickle_nation", "read_data_tsv_part_types",
@@ -1087,49 +1079,54 @@ _DRIVER_VERIFIED = {
     "ridge_normal_eq_lineitem", "rm_anova_events", "robust_scale_acctbal",
     "robust_scale_grouped_events", "roc_auc_events", "roc_points_events",
     "rolling_slope_daily", "rollup_revenue_orders",
-    "salted_agg_events_type", "sanitize_frame_cols_customer",
-    "sanitize_messy_csv_nation", "save_or_load_roundtrip_range",
-    "savgol_interior_daily", "scale_acctbal_customer",
-    "scd2_history_customer", "scd2_pit_join_orders",
-    "scrape_web_table_inline", "seasonal_decompose_daily",
-    "semantic_dedup_embeddings", "sessionized_aggregate_events",
-    "set_ops_nationkeys", "set_similarity_join_documents",
-    "shuffled_token_shards_documents", "simhash_documents",
-    "skew_report_events", "skewness_profile_lineitem",
-    "skyline_quantity_price_lineitem", "smart_group_having",
-    "smooth1d_triangle_daily", "soft_bin_stat_orders",
-    "source_overlap_documents", "span_corruption_documents",
-    "spatial_sampling_customers", "spearman_auto_binned_floor",
-    "spearman_binned_exact_lineitem", "spearman_lineitem",
-    "split_data_counts", "sql_facade_aggregate", "sql_facade_dml",
-    "sql_facade_join", "sql_facade_window", "standard_scale_acctbal",
+    "runs_test_daily_events", "salted_agg_events_type",
+    "sanitize_frame_cols_customer", "sanitize_messy_csv_nation",
+    "save_or_load_roundtrip_range", "savgol_interior_daily",
+    "scale_acctbal_customer", "scd2_history_customer",
+    "scd2_pit_join_orders", "scrape_web_table_inline",
+    "seasonal_decompose_daily", "semantic_dedup_embeddings",
+    "sessionized_aggregate_events", "set_ops_nationkeys",
+    "set_similarity_join_documents", "shuffled_token_shards_documents",
+    "silhouette_embeddings", "simhash_documents", "skew_report_events",
+    "skewness_profile_lineitem", "skyline_quantity_price_lineitem",
+    "smart_group_having", "smooth1d_triangle_daily",
+    "soft_bin_stat_orders", "source_overlap_documents",
+    "span_corruption_documents", "spatial_sampling_customers",
+    "spearman_auto_binned_floor", "spearman_binned_exact_lineitem",
+    "spearman_lineitem", "split_data_counts", "sql_facade_aggregate",
+    "sql_facade_dml", "sql_facade_join", "sql_facade_window",
+    "srm_check_events", "stacking_ols_lineitem", "standard_scale_acctbal",
     "stateful_totals_events", "stationarity_diff_log_daily",
     "stream_cdc_merge_customer", "stream_corpus_filter_counts",
     "stream_dedup_events", "stream_funnel_counts",
     "stream_hist_sketch_events", "stream_interval_join_events",
+    "stream_msprt_ab_events", "stream_psi_drift_events",
     "stream_retention_cohorts", "stream_static_enrich_counts",
     "stream_token_counts_documents", "streaming_window_counts",
     "string_case_part_names", "strip_spans_documents",
     "stump_split_orders", "summarize_text_head", "swap_ic_orders",
     "t_test_click_error", "t_test_paired_lineitem",
     "table_checksum_customer", "table_diff_customer",
-    "temperature_mixture_documents", "temperature_sampled_counts",
-    "text_quality_language", "text_stats_documents",
-    "textrank_keywords_documents", "tfidf_keywords_documents",
-    "to_categories_acctbal", "to_long_part_melt", "to_wide_orders_pivot",
-    "token_shards_documents", "trend_daily_events",
-    "triangle_count_modgraph", "truncate_customers_by_supplier",
-    "truncate_tokens_part", "ts_engineering_daily_events",
-    "ts_outlier_z_daily_events", "ts_split_counts_events",
-    "two_proportion_events", "url_dedup_documents",
-    "verify_integrity_customer", "video_frame_sample_agg",
-    "warehouse_sink_roundtrip_events",
+    "target_encode_orders", "temperature_mixture_documents",
+    "temperature_sampled_counts", "text_quality_language",
+    "text_stats_documents", "textrank_keywords_documents",
+    "tfidf_keywords_documents", "theil_inequality_acctbal",
+    "theta_forecast_daily", "to_categories_acctbal", "to_long_part_melt",
+    "to_wide_orders_pivot", "token_shards_documents",
+    "top_user_paths_events", "trend_daily_events",
+    "triangle_count_modgraph", "trimmed_mean_acctbal",
+    "truncate_customers_by_supplier", "truncate_tokens_part",
+    "ts_engineering_daily_events", "ts_outlier_z_daily_events",
+    "ts_split_counts_events", "two_proportion_events",
+    "url_dedup_documents", "verify_integrity_customer",
+    "video_frame_sample_agg", "warehouse_sink_roundtrip_events",
     "warehouse_store_retrieve_supplier", "weighted_median_quantity",
     "weighted_sample_customers", "weighted_sample_per_segment",
-    "wilcoxon_orders", "write_roundtrip_csv_nation",
-    "write_roundtrip_json_orders", "write_roundtrip_orc_customer",
-    "write_roundtrip_parquet_lineitem", "write_roundtrip_text_region",
-    "zipf_slope_documents", "zorder_write_morton_orders"
+    "wilcoxon_orders", "winsorize_acctbal", "woe_encode_customer",
+    "write_roundtrip_csv_nation", "write_roundtrip_json_orders",
+    "write_roundtrip_orc_customer", "write_roundtrip_parquet_lineitem",
+    "write_roundtrip_text_region", "zipf_slope_documents",
+    "zorder_write_morton_orders"
 }
 
 # PERMANENT ADJUDICATION (r8 verdict ask #9, settled r9): these four

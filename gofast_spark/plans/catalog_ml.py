@@ -339,6 +339,119 @@ def learning_curve_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SMBO_ROUNDS = 3
+_SMBO_INIT = [0, len(_RS_GRID) // 2, len(_RS_GRID) - 1]
+
+
+def _smbo_oracle() -> str:
+    """Unrolled SMBO replay: the full candidate RMSE table once, then
+    per-round quadratic-surrogate Cramer fits over the growing observed
+    set and acquisition argmins — every pick a LIMIT-1 over (mu, j)."""
+    w0, w1, w2 = _cramer_w_sql("ls.lam")
+    vals = ", ".join(
+        f"({j}, {float(v)!r})" for j, v in enumerate(_RS_GRID)
+    )
+    # fixed fold-order RMSE total: pivoted CASE terms summed
+    # left-to-right, matching ml.selection.smbo_quadratic_ridge's
+    # explicit fold-order accumulation
+    fold_tot = " + ".join(
+        f"max(CASE WHEN fold = {f} THEN fr END)" for f in range(_CV_K)
+    )
+    init_set = ", ".join(str(j) for j in _SMBO_INIT)
+    det = _det3_sql
+    A = [["s0", "s1", "s2"], ["s1", "s2", "s3"], ["s2", "s3", "s4"]]
+    bb = ["t0", "t1", "t2"]
+    qs = []
+    for col in range(3):
+        Aj = [
+            [bb[i] if c == col else A[i][c] for c in range(3)]
+            for i in range(3)
+        ]
+        qs.append(f"({det(Aj)}) / ({det(A)})")
+    ctes = [f"""{_CV_MOMENT_CTES},
+    tl(j, lam) AS (VALUES {vals}),
+    ls AS (SELECT j, CAST(lam AS DOUBLE) AS lam FROM tl),
+    w AS (
+      SELECT ls.j, ls.lam, tr.fold, {w0} AS w0, {w1} AS w1, {w2} AS w2
+      FROM tr, ls),
+    s AS (
+      SELECT w.j, w.lam, m.fold, sqrt(({_sse_sql()}) / m.n) AS fr
+      FROM w JOIN m ON m.fold = w.fold),
+    r AS (
+      SELECT j, lam,
+             CAST(floor(({fold_tot}) / {_CV_K} * 1e4 + 0.5) AS BIGINT)
+               AS y
+      FROM s GROUP BY j, lam)"""]
+    for rr in range(1, _SMBO_ROUNDS + 1):
+        prev_picks = [f"(SELECT j FROM p{q})" for q in range(1, rr)]
+        obs = f"j IN ({init_set})"
+        for pp in prev_picks:
+            obs += f" OR j = {pp}"
+        ctes.append(f"""o{rr} AS (
+      SELECT CAST(count(*) AS DOUBLE) AS s0,
+             CAST(sum(j) AS DOUBLE) AS s1,
+             CAST(sum(j * j) AS DOUBLE) AS s2,
+             CAST(sum(j * j * j) AS DOUBLE) AS s3,
+             CAST(sum(j * j * j * j) AS DOUBLE) AS s4,
+             CAST(sum(y) AS DOUBLE) AS t0,
+             CAST(sum(y * j) AS DOUBLE) AS t1,
+             CAST(sum(y * (j * j)) AS DOUBLE) AS t2
+      FROM r WHERE {obs}),
+    f{rr} AS (
+      SELECT {qs[0]} AS q0, {qs[1]} AS q1, {qs[2]} AS q2 FROM o{rr}),
+    p{rr} AS (
+      SELECT r.j, r.lam, r.y
+      FROM r, f{rr}
+      WHERE NOT ({obs})
+      ORDER BY f{rr}.q0 + f{rr}.q1 * r.j + f{rr}.q2 * (r.j * r.j), r.j
+      LIMIT 1)""")
+    body = ",\n    ".join(ctes)
+    init_rows = "\n      UNION ALL ".join(
+        f"SELECT {step} AS step, 'init' AS phase, j, lam, y "
+        f"FROM r WHERE j = {j}"
+        for step, j in enumerate(_SMBO_INIT)
+    )
+    pick_rows = "\n      UNION ALL ".join(
+        f"SELECT {len(_SMBO_INIT) + q - 1}, 'smbo', j, lam, y FROM p{q}"
+        for q in range(1, _SMBO_ROUNDS + 1)
+    )
+    return f"""
+    WITH {body},
+    fin AS (
+      {init_rows}
+      UNION ALL {pick_rows})
+    SELECT CAST(step AS INT) AS step, phase, CAST(j AS INT) AS grid_j,
+           CAST(lam AS DOUBLE) AS lam,
+           CAST(y AS DOUBLE) / 1e4 AS mean_rmse
+    FROM fin
+    """
+
+
+@query("smbo_ridge_lineitem", oracle=_smbo_oracle())
+def smbo_ridge_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential model-based (Bayesian-optimization-style)
+    hyperparameter search over the ridge-lambda grid (ml/selection.py
+    smbo_quadratic_ridge; SMAC — Hutter, Hoos & Leyton-Brown, LION
+    2011; EGO — Jones, Schonlau & Welch 1998; the reference dispatches
+    this family to BayesSearchCV, gofast/models/_optimize.py:703-719,
+    and names SMBO at gofast/models/_selection.py:1513): a
+    space-filling initial design, a quadratic response-surface
+    surrogate fit by fixed-order Cramer least squares over integer
+    moments, and per-round acquisition argmins — every evaluation
+    scored from ONE set of CV fold moments (single data scan total).
+    The oracle replays the full sequential loop unrolled: candidate
+    RMSE table, per-round surrogate fit, and each acquisition's
+    (mu, j) argmin."""
+    from gofast_spark.ml.selection import smbo_quadratic_ridge
+
+    li = _t(spark, sf_dir, "lineitem")
+    return smbo_quadratic_ridge(
+        li, ["l_quantity", "l_discount"], "l_extendedprice",
+        id_col="l_orderkey", grid=_RS_GRID, rounds=_SMBO_ROUNDS,
+        k=_CV_K, seed=_CV_SEED,
+    )
+
+
 def _gnb_oracle() -> str:
     """Full relational GNB replay: per-class moments, sklearn-style
     var_smoothing, per-(row, class) log-likelihood, argmax with the

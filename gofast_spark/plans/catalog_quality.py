@@ -780,46 +780,67 @@ def benford_profile_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def observed_report_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ZERO-extra-scan quality report via metric observation
-    (quality/observe.py; SURVEY §7.3.3 — the reference recomputes every
-    ``(df, report)`` tuple eagerly, gofast/dataops/quality.py:98-325):
-    null counts and min/max ride the SAME noop-write action that
-    materializes the frame, collected as accumulators while rows flow.
+    """Exact-integer quality report over lineitem (quality/observe.py;
+    SURVEY §7.3.3 — the reference recomputes every ``(df, report)``
+    tuple eagerly, gofast/dataops/quality.py:98-325; here the report is
+    one relational aggregate + ``stack`` unpivot).
 
-    r8/r9 driver red (hash-only, value-identical locally both rounds):
-    the entry used to RETURN a ``createDataFrame`` of the harvested
-    observation literals — the only LocalRelation-shaped result in the
-    catalog, and whatever the driver's hash is sensitive to lives in
-    that path, not in the values (r9 verdict, What's wrong #1).
-    Restructured per the verdict: the returned frame is now the COMPUTED
-    relational aggregate (one scan + ``stack`` unpivot,
-    quality/observe.py quality_report_relational — exact integers
-    end-to-end, pure-integer ppm division on both engines), and the
-    observation-vs-aggregate equivalence the entry exists to certify is
-    asserted IN-ENTRY: after the noop write activates the observation,
-    the harvested rows must equal the aggregate's collected rows or the
-    entry raises.  A green row still proves the zero-extra-scan
-    observation equals the relational truth, while the driver hashes a
-    computed plan like every other green entry."""
-    from gofast_spark.quality.observe import (
-        observe_quality,
-        observed_numeric_rows,
-        quality_report_relational,
-    )
+    Driver-red history (hash-only, value-identical locally every
+    round).  r8/r9: returned a ``createDataFrame`` of harvested
+    observation literals — restructured r10 to return the COMPUTED
+    relational aggregate, with the observation-vs-aggregate equivalence
+    asserted in-entry (noop write + collect).  Still red in r10, which
+    falsified the LocalRelation theory; the one remaining unique
+    feature was the in-entry pyspark ``Observation`` + self-run actions
+    riding the entry's execution (r10 verdict, What's wrong #1).
 
-    cols = ["l_discount", "l_quantity"]
+    r11 isolation experiment, per the verdict: this entry is now a
+    PURE plan — no Observation, no write, no collect; the zero-extra
+    -scan observation's equivalence to this relational truth is
+    certified by ``tests/test_hardening_r10.py
+    test_quality_relational_matches_observed`` instead of in-entry.  A
+    same-SQL twin (``quality_report_relational_lineitem``) is pinned
+    alongside: pure-old-name green ⇒ the Observation side effects were
+    the poison; old red + twin green ⇒ stale per-name driver state ⇒
+    park the old name with adjudication."""
+    from gofast_spark.quality.observe import quality_report_relational
+
     li = _t(spark, sf_dir, "lineitem").select("l_quantity", "l_discount")
-    observed, obs = observe_quality(li, cols)
-    observed.write.format("noop").mode("overwrite").save()
-    report = quality_report_relational(li, cols)
-    harvested = observed_numeric_rows(obs)
-    computed = [tuple(r) for r in report.collect()]
-    if sorted(computed) != sorted(harvested):
-        raise AssertionError(
-            "observation/aggregate divergence: "
-            f"observed={harvested} relational={computed}"
-        )
-    return report
+    return quality_report_relational(li, ["l_discount", "l_quantity"])
+
+
+@query(
+    "quality_report_relational_lineitem",
+    oracle="""
+    SELECT 'l_discount' AS "column", count(*) AS n_rows,
+           sum(CAST(l_discount IS NULL AS BIGINT)) AS n_nulls,
+           CAST((1000000 * sum(CAST(l_discount IS NULL AS BIGINT)))
+                // count(*) AS BIGINT) AS null_ppm,
+           CAST(floor(min(l_discount) * 1000000 + 0.5) AS BIGINT) AS min_u6,
+           CAST(floor(max(l_discount) * 1000000 + 0.5) AS BIGINT) AS max_u6
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity', count(*),
+           sum(CAST(l_quantity IS NULL AS BIGINT)),
+           CAST((1000000 * sum(CAST(l_quantity IS NULL AS BIGINT)))
+                // count(*) AS BIGINT),
+           CAST(floor(min(l_quantity) * 1000000 + 0.5) AS BIGINT),
+           CAST(floor(max(l_quantity) * 1000000 + 0.5) AS BIGINT)
+    FROM lineitem
+    """,
+)
+def quality_report_relational_lineitem(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Same-SQL new-name twin of ``observed_report_lineitem`` (r10
+    verdict isolation experiment, What's wrong #1): byte-identical
+    Spark plan and oracle under a name the driver has never seen.  The
+    2x2 outcome against the old name discriminates Observation-side
+    -effect poisoning from stale per-name driver state."""
+    from gofast_spark.quality.observe import quality_report_relational
+
+    li = _t(spark, sf_dir, "lineitem").select("l_quantity", "l_discount")
+    return quality_report_relational(li, ["l_discount", "l_quantity"])
 
 
 @query(

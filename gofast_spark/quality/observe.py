@@ -191,7 +191,9 @@ def quality_report_relational(
     the pure-integer oracle, never a double conversion."""
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in cols:
-        col = F.col(c)
+        # explicit backtick quoting: a raw name with a backtick fails
+        # Spark's attribute parser in both F.col and df[...]
+        col = F.col("`" + c.replace("`", "``") + "`")
         aggs += [
             F.sum(col.isNull().cast("bigint")).alias(f"{c}__nulls"),
             F.floor(F.min(col) * unit + F.lit(0.5))
@@ -202,8 +204,18 @@ def quality_report_relational(
             .alias(f"{c}__max_u"),
         ]
     agg = df.agg(*aggs)
+
+    def _ident(name: str) -> str:
+        # backtick-quoted identifier: escape embedded backticks
+        return "`" + name.replace("`", "``") + "`"
+
+    def _slit(s: str) -> str:
+        # single-quoted SQL string literal: escape quotes + backslashes
+        return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+
     stack_args = ", ".join(
-        f"'{c}', `{c}__nulls`, `{c}__min_u`, `{c}__max_u`"
+        f"{_slit(c)}, {_ident(c + '__nulls')}, "
+        f"{_ident(c + '__min_u')}, {_ident(c + '__max_u')}"
         for c in sorted(cols)
     )
     stacked = agg.select(

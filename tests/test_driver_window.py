@@ -1,7 +1,7 @@
 """Driver-window bookkeeping invariants.
 
 _DRIVER_VERIFIED must equal the union of hash_match=true entries across
-the committed CORRECTNESS_r0*.json files — deriving it in a test makes
+the committed CORRECTNESS_r*.json files — deriving it in a test makes
 hand-maintenance drift fail loudly (an entry wrongly listed as verified
 would otherwise be parked outside the driver window indefinitely)."""
 
@@ -14,12 +14,36 @@ import os
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _derived_green_union() -> set[str]:
+def _derived_green_union(repo: str = REPO) -> set[str]:
+    # r10 lesson: the original glob was CORRECTNESS_r0*.json, which
+    # silently stopped matching at the two-digit round rollover
+    # (CORRECTNESS_r10.json) and blinded the rotation tripwire — the
+    # pattern must survive any round number.
     union: set[str] = set()
-    for f in glob.glob(os.path.join(REPO, "CORRECTNESS_r0*.json")):
+    for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
         d = json.load(open(f))
         union.update(k for k, v in d.items() if v.get("hash_match") is True)
     return union
+
+
+def test_green_union_sees_two_digit_rounds(tmp_path):
+    """Regression for the r10 tripwire blindness: a correctness file
+    with a TWO-digit round number must contribute to the derived green
+    union (the old CORRECTNESS_r0*.json glob matched r01-r09 only, so
+    the rotate-me alarm could never fire again after r9)."""
+    (tmp_path / "CORRECTNESS_r09.json").write_text(
+        json.dumps({"old_entry": {"hash_match": True}})
+    )
+    (tmp_path / "CORRECTNESS_r11.json").write_text(
+        json.dumps(
+            {
+                "new_entry": {"hash_match": True},
+                "red_entry": {"hash_match": False},
+            }
+        )
+    )
+    got = _derived_green_union(str(tmp_path))
+    assert got == {"old_entry", "new_entry"}
 
 
 def test_driver_verified_matches_correctness_files():
@@ -31,7 +55,7 @@ def test_driver_verified_matches_correctness_files():
     from gofast_spark.plans.catalog import _DRIVER_VERIFIED
 
     derived = _derived_green_union()
-    assert derived, "no CORRECTNESS_r0*.json files found"
+    assert derived, "no CORRECTNESS_r*.json files found"
     unbacked = _DRIVER_VERIFIED - derived
     assert not unbacked, f"_DRIVER_VERIFIED claims never-green: {sorted(unbacked)}"
 
