@@ -893,6 +893,113 @@ def psi_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "psi_by_source_documents",
+    oracle="""
+    WITH cnt AS (
+      SELECT source AS grp,
+             least(greatest(CAST(floor(CAST(n_chars AS DOUBLE) / 60.0)
+                   AS INT), 0), 9) AS bin,
+             count(*) AS n
+      FROM documents
+      WHERE n_chars IS NOT NULL AND source IS NOT NULL
+      GROUP BY 1, 2),
+    spine AS (SELECT CAST(range AS INT) AS bin FROM range(10)),
+    grid AS (
+      SELECT g.grp, s.bin, coalesce(c.n, 0) AS n
+      FROM (SELECT DISTINCT grp FROM cnt) g
+      CROSS JOIN spine s
+      LEFT JOIN cnt c ON c.grp = g.grp AND c.bin = s.bin),
+    m AS (
+      SELECT grp, bin, n,
+             sum(n) OVER (PARTITION BY grp) AS n_g,
+             sum(n) OVER (PARTITION BY bin) - n AS rest_b,
+             sum(n) OVER () - sum(n) OVER (PARTITION BY grp) AS rest_t
+      FROM grid)
+    SELECT grp AS "group",
+           CAST(max(n_g) AS BIGINT) AS n_group,
+           CAST(max(rest_t) AS BIGINT) AS n_rest,
+           CAST(sum(CAST(floor(
+             ((n + 0.5) / (n_g + 5.0) - (rest_b + 0.5) / (rest_t + 5.0))
+             * ln(((n + 0.5) / (n_g + 5.0))
+                  / ((rest_b + 0.5) / (rest_t + 5.0)))
+             * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS psi_u6
+    FROM m GROUP BY grp ORDER BY grp
+    """,
+)
+def psi_by_source_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source drift report (quality/drift.py psi_by_group; the
+    r10 verdict's named breadth pull): for every ingest source, the
+    PSI of the document-length distribution against the REST of the
+    corpus — "which source shifted?" from ONE scan via a dense
+    source x bin grid and window margins, never a per-source pass.
+    Summands quantized to micro-units before the integer sum (the
+    transcendental-sum discipline), replayed verbatim by the
+    oracle."""
+    from gofast_spark.quality.drift import psi_by_group
+
+    d = _t(spark, sf_dir, "documents").select("source", "n_chars")
+    return psi_by_group(
+        d, "source", "n_chars", lo=0.0, hi=600.0, bins=10, smooth=0.5
+    )
+
+
+@query(
+    "ks_drift_by_type_events",
+    oracle="""
+    WITH cnt AS (
+      SELECT event_type AS grp,
+             least(greatest(CAST(floor(CAST(value AS DOUBLE) / 5.0)
+                   AS INT), 0), 99) AS bin,
+             count(*) AS n
+      FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2),
+    spine AS (SELECT CAST(range AS INT) AS bin FROM range(100)),
+    grid AS (
+      SELECT g.grp, s.bin, coalesce(c.n, 0) AS n
+      FROM (SELECT DISTINCT grp FROM cnt) g
+      CROSS JOIN spine s
+      LEFT JOIN cnt c ON c.grp = g.grp AND c.bin = s.bin),
+    mg AS (
+      SELECT grp, bin, n,
+             sum(n) OVER (PARTITION BY bin) AS tot_b,
+             sum(n) OVER (PARTITION BY grp) AS n_g,
+             sum(n) OVER () AS n_all
+      FROM grid),
+    m AS (
+      SELECT grp, n_g, n_all,
+             sum(n) OVER (PARTITION BY grp ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_g,
+             sum(tot_b) OVER (PARTITION BY grp ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_all
+      FROM mg)
+    SELECT grp AS "group",
+           CAST(max(n_g) AS BIGINT) AS n_group,
+           CAST(max(n_all) - max(n_g) AS BIGINT) AS n_rest,
+           max(CAST(floor(abs(
+             CAST(cum_g AS DOUBLE) / CAST(n_g AS DOUBLE)
+             - CAST(cum_all - cum_g AS DOUBLE)
+               / CAST(n_all - n_g AS DOUBLE)) * 1000000 + 0.5)
+             AS BIGINT)) AS ks_u6
+    FROM m GROUP BY grp ORDER BY grp
+    """,
+)
+def ks_drift_by_type_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group two-sample KS drift statistic (quality/drift.py
+    ks_by_group): for every event type, D = max |ECDF_type -
+    ECDF_rest| over a declared 100-bin grid — the scale-safe KS (no
+    per-group sort of raw values), group-vs-rest from one scan via
+    cumulative windows.  Pure integer counts and single divisions;
+    micro-unit presentation."""
+    from gofast_spark.quality.drift import ks_by_group
+
+    e = _t(spark, sf_dir, "events").select("event_type", "value")
+    return ks_by_group(
+        e, "event_type", "value", lo=0.0, hi=500.0, bins=100
+    )
+
+
+@query(
     "diversity_nations_by_segment",
     oracle="""
     WITH c AS (

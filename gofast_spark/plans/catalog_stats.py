@@ -3349,3 +3349,100 @@ def audience_overlap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audience_overlap(
         _t(spark, sf_dir, "events"), "event_type", "user_id"
     )
+
+
+_ENTROPY_CTES = """
+    d AS (
+      SELECT event_type AS x, CAST(hour(ts) // 6 AS INT) AS y
+      FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+    xy AS (SELECT x, y, count(*) AS n FROM d GROUP BY 1, 2),
+    hxy AS (
+      SELECT sum(n) AS n,
+             sum(CAST(floor(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))
+                 * 1e6 + 0.5) AS BIGINT)) AS s
+      FROM xy),
+    hx AS (
+      SELECT sum(n) AS n,
+             sum(CAST(floor(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))
+                 * 1e6 + 0.5) AS BIGINT)) AS s
+      FROM (SELECT x, sum(n) AS n FROM xy GROUP BY x)),
+    hy AS (
+      SELECT sum(n) AS n,
+             sum(CAST(floor(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))
+                 * 1e6 + 0.5) AS BIGINT)) AS s
+      FROM (SELECT y, sum(n) AS n FROM xy GROUP BY y)),
+    e AS (
+      SELECT CAST(hxy.n AS BIGINT) AS n,
+             CAST(floor((ln(CAST(hx.n AS DOUBLE))
+               - CAST(hx.s AS DOUBLE) / 1e6 / CAST(hx.n AS DOUBLE))
+               * 1e6 + 0.5) AS BIGINT) AS hx_u6,
+             CAST(floor((ln(CAST(hy.n AS DOUBLE))
+               - CAST(hy.s AS DOUBLE) / 1e6 / CAST(hy.n AS DOUBLE))
+               * 1e6 + 0.5) AS BIGINT) AS hy_u6,
+             CAST(floor((ln(CAST(hxy.n AS DOUBLE))
+               - CAST(hxy.s AS DOUBLE) / 1e6 / CAST(hxy.n AS DOUBLE))
+               * 1e6 + 0.5) AS BIGINT) AS hxy_u6
+      FROM hxy, hx, hy)
+"""
+
+
+@query(
+    "mutual_info_events",
+    oracle=f"""
+    WITH {_ENTROPY_CTES}
+    SELECT n, hx_u6, hy_u6, hxy_u6,
+           hx_u6 + hy_u6 - hxy_u6 AS mi_u6
+    FROM e
+    """,
+)
+def mutual_info_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and six-hour time-of-day
+    bucket (stats/infotheory.py entropy_report; Shannon 1948;
+    completes the reference's categorical-association family —
+    Cramer's V and friends live in gofast/stats/relationships.py):
+    MI = H(X) + H(Y) - H(X,Y), each entropy from ONE contingency
+    aggregate with micro-unit-quantized n*ln(n) summands, so the MI in
+    micro-units is pure integer arithmetic in both engines."""
+    from gofast_spark.stats.infotheory import entropy_report
+
+    e = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    ).select(
+        F.col("event_type").alias("x"),
+        F.expr("CAST(hour(ts) DIV 6 AS INT)").alias("y"),
+    )
+    return entropy_report(e, "x", "y").select(
+        "n", "hx_u6", "hy_u6", "hxy_u6", "mi_u6"
+    )
+
+
+@query(
+    "theils_u_events",
+    oracle=f"""
+    WITH {_ENTROPY_CTES}
+    SELECT n, hx_u6 + hy_u6 - hxy_u6 AS mi_u6, hx_u6,
+           CASE WHEN hx_u6 > 0
+                THEN CAST(hx_u6 + hy_u6 - hxy_u6 AS DOUBLE)
+                     / CAST(hx_u6 AS DOUBLE)
+                ELSE 0.0 END AS theil_u_xy
+    FROM e
+    """,
+)
+def theils_u_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's uncertainty coefficient U(event_type | time bucket)
+    (stats/infotheory.py entropy_report; Theil, "On the estimation of
+    relationships involving qualitative variables", Am. J. Sociology
+    1970): the asymmetric, [0,1]-normalized "how much does knowing Y
+    reduce uncertainty about X" — MI / H(X) as one division of two
+    exact micro-unit integers."""
+    from gofast_spark.stats.infotheory import entropy_report
+
+    e = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    ).select(
+        F.col("event_type").alias("x"),
+        F.expr("CAST(hour(ts) DIV 6 AS INT)").alias("y"),
+    )
+    return entropy_report(e, "x", "y").select(
+        "n", "mi_u6", "hx_u6", "theil_u_xy"
+    )

@@ -409,6 +409,169 @@ def weibull_fit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weibull_fit(e, "dur", "ev")
 
 
+# Grouped-survival SQL building blocks: per-segment KM with the
+# absorbing-state guard mirrored (d == n at a time makes survival
+# exactly 0 from there on; DuckDB ln(0) ERRORS, so the ln argument is
+# clamped to 1.0 on absorbed rows — they contribute ln(1) = 0 — and
+# the cumulative absorbed flag forces the survival value to 0.0, the
+# exact algebra of stats/survival.py's F.when(absorbed, 0.0) +
+# NULL-skipped F.log(0)).
+_GSURV = """
+    surv AS (
+      SELECT event_type AS seg,
+             CAST(floor(value) AS BIGINT) AS duration,
+             CAST(user_id % 4 <> 0 AS INTEGER) AS ev
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+    per_t AS (
+      SELECT seg, duration, count(*) AS n_total, sum(ev) AS n_events
+      FROM surv GROUP BY 1, 2),
+    c AS (
+      SELECT seg, duration, n_events,
+             sum(n_total) OVER (PARTITION BY seg)
+               - coalesce(sum(n_total) OVER (PARTITION BY seg
+                   ORDER BY duration ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS n_risk
+      FROM per_t),
+    k AS (
+      SELECT seg, duration, n_events, n_risk,
+             CASE WHEN max(CAST(n_events = n_risk AS INT)) OVER (
+                    PARTITION BY seg ORDER BY duration
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+                  THEN 0.0
+                  ELSE exp(sum(ln(CASE WHEN n_events < n_risk
+                                   THEN 1.0 - n_events * 1.0 / n_risk
+                                   ELSE 1.0 END)) OVER (
+                    PARTITION BY seg ORDER BY duration
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             END AS survival
+      FROM c)
+"""
+
+
+@query(
+    "rmst_by_segment_events",
+    oracle=f"""
+    WITH {_GSURV},
+    ke AS (
+      SELECT seg, CAST(duration AS DOUBLE) AS t, survival
+      FROM k WHERE n_events > 0 AND CAST(duration AS DOUBLE) <= 300.0),
+    sg AS (
+      SELECT seg, t, survival,
+             coalesce(lag(t) OVER (PARTITION BY seg ORDER BY t), 0.0) AS pt,
+             coalesce(lag(survival) OVER (PARTITION BY seg ORDER BY t),
+                      1.0) AS ps
+      FROM ke),
+    a AS (
+      SELECT seg,
+             sum(CAST(floor((t - pt) * ps * 1e9 + 0.5) AS BIGINT))
+               AS area_u,
+             arg_max(survival, t) AS last_s, max(t) AS last_t,
+             count(*) AS n_times
+      FROM sg GROUP BY seg)
+    SELECT seg AS segment,
+           CAST(area_u AS DOUBLE) / 1e9
+             + (300.0 - last_t) * last_s AS rmst,
+           CAST(300.0 AS DOUBLE) AS tau,
+           CAST(n_times AS BIGINT) AS n_times
+    FROM a ORDER BY segment
+    """,
+)
+def rmst_by_segment_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment restricted mean survival time to tau=300
+    (stats/survival.py restricted_mean_survival_grouped; Royston &
+    Parmar 2013; the reference fits survival strata one driver-side
+    lifelines call at a time, gofast/stats/survival_reliability.py:24)
+    — every stratum's KM area from ONE scan via segment-partitioned
+    windows.  Unlike the pooled rmst_events, per-segment risk sets hit
+    the absorbing d == n state (a stratum's last subject failing), so
+    the guarded product-limit branch is exercised and mirrored in the
+    oracle."""
+    from gofast_spark.stats.survival import restricted_mean_survival_grouped
+
+    e = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    ).select(
+        F.col("event_type").alias("seg"),
+        F.floor(F.col("value")).cast("bigint").alias("dur"),
+        (F.col("user_id") % 4 != 0).cast("int").alias("ev"),
+    )
+    return restricted_mean_survival_grouped(e, "dur", "ev", "seg", tau=300.0)
+
+
+@query(
+    "aalen_johansen_events",
+    oracle="""
+    WITH surv AS (
+      SELECT CAST(floor(value) AS BIGINT) AS duration,
+             CASE WHEN user_id % 4 = 0 THEN 0
+                  WHEN user_id % 4 = 1 THEN 1 ELSE 2 END AS cause
+      FROM events WHERE value IS NOT NULL),
+    per_t AS (
+      SELECT duration, count(*) AS n_total,
+             sum(CAST(cause = 1 AS BIGINT)) AS d1,
+             sum(CAST(cause = 2 AS BIGINT)) AS d2
+      FROM surv GROUP BY 1),
+    c AS (
+      SELECT duration, d1, d2,
+             sum(n_total) OVER ()
+               - coalesce(sum(n_total) OVER (ORDER BY duration
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM per_t),
+    s AS (
+      SELECT duration, n_risk, d1, d2,
+             CASE WHEN coalesce(max(CAST(d1 + d2 = n_risk AS INT)) OVER (
+                    ORDER BY duration ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) = 1
+                  THEN 0.0
+                  ELSE exp(coalesce(sum(ln(CASE WHEN d1 + d2 < n_risk
+                                   THEN 1.0 - (d1 + d2) * 1.0 / n_risk
+                                   ELSE 1.0 END)) OVER (
+                    ORDER BY duration ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0.0))
+             END AS surv_prev
+      FROM c),
+    f AS (
+      SELECT duration, n_risk, d1, d2, surv_prev,
+             sum(surv_prev * d1 * 1.0 / n_risk) OVER (ORDER BY duration
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cif1,
+             sum(surv_prev * d2 * 1.0 / n_risk) OVER (ORDER BY duration
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cif2
+      FROM s)
+    SELECT duration, CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d1 AS BIGINT) AS d1, CAST(d2 AS BIGINT) AS d2,
+           CAST(round(surv_prev, 6) AS DOUBLE) AS surv_prev,
+           CAST(round(cif1, 6) AS DOUBLE) AS cif1,
+           CAST(round(cif2, 6) AS DOUBLE) AS cif2
+    FROM f WHERE d1 + d2 > 0
+    """,
+)
+def aalen_johansen_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Competing-risks cumulative incidence (stats/survival.py
+    aalen_johansen; Aalen & Johansen 1978): cause 1 vs cause 2 vs
+    censoring carved from user_id, CIF_k(t) = sum S(s-) d_ks / n_s
+    with the all-cause product-limit S(s-) over strictly-preceding
+    rows — the correct decomposition where per-cause KM over-counts.
+    One groupBy(duration) + ordered windows; the oracle replays the
+    guarded ln algebra (DuckDB ln(0) errors where Spark NULL-skips)."""
+    from gofast_spark.stats.survival import aalen_johansen
+
+    e = _t(spark, sf_dir, "events").where(F.col("value").isNotNull()).select(
+        F.floor(F.col("value")).cast("bigint").alias("dur"),
+        F.when(F.col("user_id") % 4 == 0, F.lit(0))
+        .when(F.col("user_id") % 4 == 1, F.lit(1))
+        .otherwise(F.lit(2))
+        .alias("cause"),
+    )
+    out = aalen_johansen(e, "dur", "cause")
+    return out.select(
+        "duration", "n_risk", "d1", "d2",
+        F.round("surv_prev", 6).cast("double").alias("surv_prev"),
+        F.round("cif1", 6).cast("double").alias("cif1"),
+        F.round("cif2", 6).cast("double").alias("cif2"),
+    )
+
+
 _COX_ITER = 4
 
 
@@ -507,6 +670,99 @@ def cox_ph_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("hazard_ratio_u6"),
         "se",
         "u_final",
+        "n_0",
+        "n_1",
+        "n_events",
+    )
+
+
+def _cox_grouped_oracle() -> str:
+    """Per-segment unrolled Newton chain: the iteration state is a
+    segment-keyed CTE joined back each level (single reference per
+    level, the HITS oracle lesson)."""
+    ctes = ["""surv AS (
+      SELECT event_type AS seg,
+             CAST(floor(value) AS BIGINT) AS duration,
+             CAST(user_id % 4 <> 0 AS INTEGER) AS ev,
+             CAST(user_id % 2 AS INTEGER) AS grp
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+    per_t AS (
+      SELECT seg, duration, sum(1 - grp) AS m0, sum(grp) AS m1,
+             sum(ev * (1 - grp)) AS d0, sum(ev * grp) AS d1
+      FROM surv GROUP BY 1, 2),
+    risk AS (
+      SELECT seg, duration, d0, d1,
+             sum(m0) OVER (PARTITION BY seg)
+               - coalesce(sum(m0) OVER (PARTITION BY seg ORDER BY duration
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n0,
+             sum(m1) OVER (PARTITION BY seg)
+               - coalesce(sum(m1) OVER (PARTITION BY seg ORDER BY duration
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n1
+      FROM per_t),
+    j AS (SELECT * FROM risk WHERE d0 + d1 > 0),
+    b0 AS (SELECT DISTINCT seg, 0.0 AS beta FROM j)"""]
+    for k in range(1, _COX_ITER + 1):
+        qu, qi = _cox_terms("beta")
+        ctes.append(f"""a{k} AS (
+      SELECT j.seg, {qu} AS su, {qi} AS si, any_value(beta) AS b
+      FROM j JOIN b{k - 1} ON b{k - 1}.seg = j.seg GROUP BY j.seg),
+    b{k} AS (
+      SELECT seg, b + CAST(su AS DOUBLE) / CAST(si AS DOUBLE) AS beta
+      FROM a{k})""")
+    _qu, qi = _cox_terms("beta")
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body},
+    fin AS (
+      SELECT j.seg, any_value(beta) AS beta, {qi} AS if_
+      FROM j JOIN b{_COX_ITER} ON b{_COX_ITER}.seg = j.seg GROUP BY j.seg),
+    sizes AS (
+      SELECT seg, sum(m0) AS n_0, sum(m1) AS n_1,
+             sum(d0 + d1) AS n_events
+      FROM per_t GROUP BY seg)
+    SELECT fin.seg AS segment, beta,
+           CAST(floor(exp(beta) * 1e6 + 0.5) AS BIGINT) AS hazard_ratio_u6,
+           1.0 / sqrt(CAST(if_ AS DOUBLE) / 1e9) AS se,
+           CAST(n_0 AS BIGINT) AS n_0, CAST(n_1 AS BIGINT) AS n_1,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM fin JOIN sizes ON sizes.seg = fin.seg
+    ORDER BY segment
+    """
+
+
+@query("cox_ph_by_segment_events", oracle=_cox_grouped_oracle())
+def cox_ph_by_segment_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment Cox proportional-hazards fits (stats/survival.py
+    cox_ph_binary_grouped; Cox 1972, Breslow 1974; the reference fits
+    lifelines per stratum driver-side,
+    gofast/stats/survival_reliability.py:24-112): one event_type
+    stratum per row, all five Newton chains sharing ONE scan via
+    segment-partitioned risk windows and a segment-keyed broadcast
+    iteration state.  Nano-unit summand quantization makes each
+    stratum's beta bit-identical to the ungrouped fit on that stratum;
+    the oracle unrolls the per-segment Newton chain verbatim.
+    hazard_ratio presents micro-unit (exp 1-ulp discipline)."""
+    from gofast_spark.stats.survival import cox_ph_binary_grouped
+
+    e = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    ).select(
+        F.col("event_type").alias("seg"),
+        F.floor(F.col("value")).cast("bigint").alias("dur"),
+        (F.col("user_id") % 4 != 0).cast("int").alias("ev"),
+        (F.col("user_id") % 2).cast("int").alias("grp"),
+    )
+    out = cox_ph_binary_grouped(e, "dur", "ev", "grp", "seg",
+                                iterations=_COX_ITER)
+    return out.select(
+        "segment",
+        "beta",
+        F.floor(F.col("hazard_ratio") * 1e6 + 0.5)
+        .cast("bigint")
+        .alias("hazard_ratio_u6"),
+        "se",
         "n_0",
         "n_1",
         "n_events",

@@ -91,6 +91,170 @@ def psi_report(
     )
 
 
+def psi_by_group(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    *,
+    lo: float,
+    hi: float,
+    bins: int = 10,
+    smooth: float = 0.5,
+    unit: int = 1_000_000,
+) -> DataFrame:
+    """Per-group drift report from ONE scan: for every ``group_col``
+    value, the PSI of ``col``'s binned distribution against the REST
+    of the corpus (leave-one-group-out) — the per-source monitoring
+    readout a training-data pipeline runs over its ingest sources
+    ("which source shifted?"), generalizing :func:`psi_report`'s
+    two-frame form.
+
+    Shape: one groupBy((group, bin)) count, a dense groups x bins grid
+    (distinct groups joined to a broadcast bin spine so empty bins
+    still contribute their smoothing term), and window sums for the
+    group/bin/grand margins — no second pass, no per-group scans.  The
+    summands are quantized to ``1/unit`` before the final integer sum
+    (the repo's transcendental-sum discipline), so the report is
+    engine-exact.  Returns ``(group, n_group, n_rest, psi_u6)``
+    ordered by group."""
+    if bins < 2 or not hi > lo:
+        raise ValueError("need bins >= 2 and hi > lo")
+    width = (hi - lo) / bins
+    s = float(smooth)
+    x = F.col(col).cast("double")
+    counts = (
+        df.where(x.isNotNull() & F.col(group_col).isNotNull())
+        .groupBy(
+            F.col(group_col).alias("grp"),
+            _bin(x, lo, width, bins).alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spine = df.sparkSession.range(bins).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    grid = (
+        counts.select("grp").distinct()
+        .crossJoin(F.broadcast(spine))
+        .join(counts, ["grp", "bin"], "left")
+        .select(
+            "grp", "bin", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+        )
+    )
+    from pyspark.sql import Window
+
+    w_grp = Window.partitionBy("grp")
+    w_bin = Window.partitionBy("bin")
+    w_all = Window.partitionBy()
+    m = grid.select(
+        "grp",
+        "bin",
+        "n",
+        F.sum("n").over(w_grp).alias("n_g"),
+        (F.sum("n").over(w_bin) - F.col("n")).alias("rest_b"),
+        (F.sum("n").over(w_all) - F.sum("n").over(w_grp)).alias("rest_t"),
+    )
+    p = (F.col("n") + F.lit(s)) / (F.col("n_g") + F.lit(s * bins))
+    q = (F.col("rest_b") + F.lit(s)) / (F.col("rest_t") + F.lit(s * bins))
+    term_u = F.floor((p - q) * F.log(p / q) * unit + F.lit(0.5)).cast(
+        "bigint"
+    )
+    return (
+        m.groupBy(F.col("grp").alias("group"))
+        .agg(
+            F.max("n_g").cast("bigint").alias("n_group"),
+            F.max("rest_t").cast("bigint").alias("n_rest"),
+            F.sum(term_u).alias("psi_u6"),
+        )
+        .orderBy("group")
+    )
+
+
+def ks_by_group(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    *,
+    lo: float,
+    hi: float,
+    bins: int = 100,
+    unit: int = 1_000_000,
+) -> DataFrame:
+    """Per-group two-sample Kolmogorov-Smirnov drift statistic from
+    ONE scan: for every group, ``D = max_b |F_group(b) - F_rest(b)|``
+    over a declared ``bins``-point grid (group vs rest-of-corpus ECDFs
+    evaluated on the binned support — the scale-safe KS: exact in the
+    grid resolution, no per-group sort of raw values).
+
+    Shape mirrors :func:`psi_by_group`: one groupBy((group, bin)), a
+    dense grid, cumulative windows per group for both ECDFs (the rest
+    ECDF from the grand cumulative minus the group's own).  All
+    arithmetic is integer counts and single divisions — no
+    transcendentals — quantized to ``1/unit``.  Returns ``(group,
+    n_group, n_rest, ks_u6)`` ordered by group."""
+    if bins < 2 or not hi > lo:
+        raise ValueError("need bins >= 2 and hi > lo")
+    width = (hi - lo) / bins
+    x = F.col(col).cast("double")
+    counts = (
+        df.where(x.isNotNull() & F.col(group_col).isNotNull())
+        .groupBy(
+            F.col(group_col).alias("grp"),
+            _bin(x, lo, width, bins).alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spine = df.sparkSession.range(bins).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    grid = (
+        counts.select("grp").distinct()
+        .crossJoin(F.broadcast(spine))
+        .join(counts, ["grp", "bin"], "left")
+        .select(
+            "grp", "bin", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+        )
+    )
+    from pyspark.sql import Window
+
+    w_grp = Window.partitionBy("grp")
+    w_bin = Window.partitionBy("bin")
+    w_all = Window.partitionBy()
+    w_cum = Window.partitionBy("grp").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    margins = grid.select(
+        "grp",
+        "bin",
+        "n",
+        F.sum("n").over(w_bin).alias("tot_b"),
+        F.sum("n").over(w_grp).alias("n_g"),
+        F.sum("n").over(w_all).alias("n_all"),
+    )
+    m = margins.select(
+        "grp",
+        "bin",
+        "n_g",
+        "n_all",
+        F.sum("n").over(w_cum).alias("cum_g"),
+        F.sum("tot_b").over(w_cum).alias("cum_all"),
+    )
+    f_g = F.col("cum_g").cast("double") / F.col("n_g").cast("double")
+    f_r = (F.col("cum_all") - F.col("cum_g")).cast("double") / (
+        F.col("n_all") - F.col("n_g")
+    ).cast("double")
+    d_u = F.floor(F.abs(f_g - f_r) * unit + F.lit(0.5)).cast("bigint")
+    return (
+        m.groupBy(F.col("grp").alias("group"))
+        .agg(
+            F.max("n_g").cast("bigint").alias("n_group"),
+            (F.max("n_all") - F.max("n_g")).cast("bigint").alias("n_rest"),
+            F.max(d_u).alias("ks_u6"),
+        )
+        .orderBy("group")
+    )
+
+
 def psi_from_counts(
     ref_counts: DataFrame,
     cur_counts: DataFrame,

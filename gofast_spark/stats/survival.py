@@ -393,6 +393,279 @@ def cox_ph_binary(
     )
 
 
+def cox_ph_binary_grouped(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col: str,
+    segment_col: str,
+    *,
+    iterations: int = 4,
+    bins: int | str | None = "auto",
+    relative_error: float = 1e-4,
+) -> DataFrame:
+    """Per-segment Cox proportional-hazards fits (Cox, JRSS-B 1972;
+    Breslow 1974) — :func:`cox_ph_binary` generalized to run one
+    INDEPENDENT fit per ``segment_col`` value in a single lazy plan
+    (the reference fits lifelines per stratum driver-side,
+    gofast/stats/survival_reliability.py:24-112; here every stratum's
+    Newton chain shares the same scan).
+
+    The risk-set windows partition by segment, and the per-iteration
+    Newton state is a SEGMENT-KEYED frame (segments x 1 row) joined
+    back broadcast — so the plan scales with segment count only in the
+    tiny state join, never in extra scans of the raw data.  Summand
+    quantization (nano-units) matches the ungrouped fit, so each
+    segment's estimates are bit-identical to running
+    :func:`cox_ph_binary` on that segment alone.  Returns one row per
+    segment: ``(segment, beta, hazard_ratio, se, n_0, n_1,
+    n_events)``."""
+    from gofast_spark.stats.prebin import prebin_column
+
+    df = prebin_column(
+        df, duration_col, bins=bins, relative_error=relative_error
+    )
+    g = F.col(group_col).cast("long")
+    ev = F.col(event_col).cast("long")
+    per_t = df.groupBy(
+        F.col(segment_col).alias("seg"),
+        F.col(duration_col).alias("duration"),
+    ).agg(
+        F.sum(F.lit(1) - g).alias("m0"),
+        F.sum(g).alias("m1"),
+        F.sum(ev * (F.lit(1) - g)).alias("d0"),
+        F.sum(ev * g).alias("d1"),
+    )
+    w_prev = Window.partitionBy("seg").orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    tot = Window.partitionBy("seg")
+    risk = per_t.select(
+        "seg", "duration", "d0", "d1",
+        (F.sum("m0").over(tot)
+         - F.coalesce(F.sum("m0").over(w_prev), F.lit(0))).alias("n0"),
+        (F.sum("m1").over(tot)
+         - F.coalesce(F.sum("m1").over(w_prev), F.lit(0))).alias("n1"),
+    ).where((F.col("d0") + F.col("d1")) > 0)
+
+    def q9(x):
+        return F.floor(x * F.lit(1e9) + F.lit(0.5)).cast("bigint")
+
+    def newton_terms(beta_col):
+        n0 = F.col("n0").cast("double")
+        n1 = F.col("n1").cast("double")
+        d = (F.col("d0") + F.col("d1")).cast("double")
+        w1 = n1 * F.exp(beta_col)
+        p = w1 / (n0 + w1)
+        u = F.col("d1").cast("double") - d * p
+        i = d * p * (n0 / (n0 + w1))
+        return q9(u), q9(i)
+
+    state = risk.select("seg").distinct().withColumn("__beta", F.lit(0.0))
+    for _ in range(iterations):
+        u_t, i_t = newton_terms(F.col("__beta"))
+        agg = (
+            risk.join(F.broadcast(state), "seg")
+            .groupBy("seg")
+            .agg(
+                F.sum(u_t).alias("__u"),
+                F.sum(i_t).alias("__i"),
+                F.first("__beta").alias("__b0"),
+            )
+        )
+        state = agg.select(
+            "seg",
+            (
+                F.col("__b0")
+                + F.col("__u").cast("double") / F.col("__i").cast("double")
+            ).alias("__beta"),
+        )
+    u_t, i_t = newton_terms(F.col("__beta"))
+    fin = (
+        risk.join(F.broadcast(state), "seg")
+        .groupBy("seg")
+        .agg(
+            F.first("__beta").alias("beta"),
+            F.sum(i_t).alias("__if"),
+        )
+    )
+    sizes = per_t.groupBy("seg").agg(
+        F.sum("m0").alias("n_0"), F.sum("m1").alias("n_1"),
+        F.sum(F.col("d0") + F.col("d1")).alias("n_events"),
+    )
+    return (
+        fin.join(F.broadcast(sizes), "seg")
+        .select(
+            F.col("seg").alias("segment"),
+            "beta",
+            F.exp(F.col("beta")).alias("hazard_ratio"),
+            (F.lit(1.0)
+             / F.sqrt(F.col("__if").cast("double") / F.lit(1e9))).alias("se"),
+            F.col("n_0").cast("bigint").alias("n_0"),
+            F.col("n_1").cast("bigint").alias("n_1"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+        )
+        .orderBy("segment")
+    )
+
+
+def restricted_mean_survival_grouped(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    segment_col: str,
+    *,
+    tau: float,
+) -> DataFrame:
+    """Per-segment restricted mean survival time (Royston & Parmar
+    2013) — :func:`restricted_mean_survival` with every window
+    partitioned by segment, so one scan yields each stratum's KM area
+    on [0, tau].  Returns ``(segment, rmst, tau, n_times)`` ordered by
+    segment."""
+    d, e = F.col(duration_col), F.col(event_col)
+    per_t = df.groupBy(
+        F.col(segment_col).alias("seg"), d.alias("duration")
+    ).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(e.cast("long")).alias("n_events"),
+    )
+    w_prev = Window.partitionBy("seg").orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_cum = Window.partitionBy("seg").orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.partitionBy("seg")
+    curve = per_t.select(
+        "seg", "duration", "n_events",
+        (F.sum("n_total").over(tot)
+         - F.coalesce(F.sum("n_total").over(w_prev), F.lit(0))).alias("n_risk"),
+    )
+    absorbed = (
+        F.max((F.col("n_events") == F.col("n_risk")).cast("int")).over(w_cum)
+        == 1
+    )
+    surv = F.when(absorbed, F.lit(0.0)).otherwise(
+        F.exp(
+            F.sum(
+                F.log(1.0 - F.col("n_events") / F.col("n_risk"))
+            ).over(w_cum)
+        )
+    )
+    km = (
+        curve.withColumn("survival", surv)
+        .where(F.col("n_events") > 0)
+        .where(F.col("duration").cast("double") <= F.lit(tau))
+    )
+    w = Window.partitionBy("seg").orderBy("duration")
+    seg = km.select(
+        "seg",
+        F.col("duration").cast("double").alias("t"),
+        "survival",
+        F.coalesce(F.lag(F.col("duration").cast("double")).over(w),
+                   F.lit(0.0)).alias("pt"),
+        F.coalesce(F.lag("survival").over(w), F.lit(1.0)).alias("ps"),
+    )
+    agg = seg.groupBy("seg").agg(
+        F.sum(
+            F.floor((F.col("t") - F.col("pt")) * F.col("ps")
+                    * F.lit(1e9) + F.lit(0.5)).cast("bigint")
+        ).alias("__area_u"),
+        F.max_by(F.struct("t", "survival"), "t").alias("__last"),
+        F.count(F.lit(1)).alias("n_times"),
+    )
+    rmst = (
+        F.col("__area_u").cast("double") / F.lit(1e9)
+        + (F.lit(tau) - F.col("__last.t")) * F.col("__last.survival")
+    )
+    return agg.select(
+        F.col("seg").alias("segment"),
+        rmst.alias("rmst"),
+        F.lit(tau).alias("tau"),
+        F.col("n_times").cast("bigint").alias("n_times"),
+    ).orderBy("segment")
+
+
+def aalen_johansen(
+    df: DataFrame,
+    duration_col: str,
+    cause_col: str,
+    *,
+    bins: int | str | None = "auto",
+    relative_error: float = 1e-4,
+) -> DataFrame:
+    """Aalen-Johansen cumulative-incidence estimator for two competing
+    risks (Aalen & Johansen, Scand. J. Statist. 1978): with cause k in
+    {1, 2} and 0 = censored,
+
+        CIF_k(t) = sum over event times s <= t of S(s-) * d_ks / n_s
+
+    where ``S(s-)`` is the all-cause Kaplan-Meier survival just before
+    ``s``.  Naive per-cause KM ("1 - KM treating other causes as
+    censoring") over-estimates incidence when risks compete — the AJ
+    estimator is the correct decomposition (CIF_1 + CIF_2 + S = 1 at
+    every event time).
+
+    Same one-scan shape as :func:`kaplan_meier`: one
+    groupBy(duration) with per-cause death counts, total-minus-prefix
+    risk sets, an ordered PRECEDING-window product-limit for S(s-),
+    and cumulative sums for the two CIFs.  Returns per event time:
+    ``(duration, n_risk, d1, d2, surv_prev, cif1, cif2)``."""
+    from gofast_spark.stats.prebin import prebin_column
+
+    df = prebin_column(
+        df, duration_col, bins=bins, relative_error=relative_error
+    )
+    c = F.col(cause_col)
+    per_t = df.groupBy(F.col(duration_col).alias("duration")).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum((c == 1).cast("long")).alias("d1"),
+        F.sum((c == 2).cast("long")).alias("d2"),
+    )
+    w_prev = Window.orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    tot = Window.partitionBy()
+    curve = per_t.select(
+        "duration", "d1", "d2",
+        (F.sum("n_total").over(tot)
+         - F.coalesce(F.sum("n_total").over(w_prev), F.lit(0))).alias("n_risk"),
+    )
+    d_all = (F.col("d1") + F.col("d2")).cast("double")
+    n = F.col("n_risk").cast("double")
+    # S(s-) = product-limit over STRICTLY PRECEDING rows; d == n in a
+    # preceding row is the absorbing state (everyone failed)
+    absorbed_prev = (
+        F.coalesce(
+            F.max(
+                ((F.col("d1") + F.col("d2")) == F.col("n_risk")).cast("int")
+            ).over(w_prev),
+            F.lit(0),
+        )
+        == 1
+    )
+    s_prev = F.when(absorbed_prev, F.lit(0.0)).otherwise(
+        F.exp(
+            F.coalesce(F.sum(F.log(1.0 - d_all / n)).over(w_prev), F.lit(0.0))
+        )
+    )
+    w_cum = Window.orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    stepped = curve.withColumn("surv_prev", s_prev).select(
+        "duration", "n_risk", "d1", "d2", "surv_prev",
+        F.sum(
+            F.col("surv_prev") * F.col("d1").cast("double") / n
+        ).over(w_cum).alias("cif1"),
+        F.sum(
+            F.col("surv_prev") * F.col("d2").cast("double") / n
+        ).over(w_cum).alias("cif2"),
+    )
+    return stepped.where((F.col("d1") + F.col("d2")) > 0).select(
+        "duration", "n_risk", "d1", "d2", "surv_prev", "cif1", "cif2"
+    )
+
+
 def restricted_mean_survival(
     df: DataFrame,
     duration_col: str,

@@ -132,6 +132,222 @@ class TestReleaseBasketCaches:
         assert release_basket_caches() == 0
 
 
+class TestGroupedSurvival:
+    def _surv_df(self, spark):
+        # two segments with different hazard profiles, 25% censoring
+        rows = []
+        for i in range(240):
+            seg = "a" if i % 2 == 0 else "b"
+            dur = (i * 7) % 13 + (3 if seg == "b" else 0) + 1
+            ev = 0 if i % 4 == 0 else 1
+            grp = (i // 2) % 2
+            rows.append((seg, dur, ev, grp))
+        return spark.createDataFrame(
+            rows, "seg string, dur bigint, ev int, grp int"
+        )
+
+    def test_grouped_cox_matches_per_segment_fit(self, spark):
+        from gofast_spark.stats.survival import (
+            cox_ph_binary,
+            cox_ph_binary_grouped,
+        )
+
+        df = self._surv_df(spark)
+        got = {
+            r["segment"]: r
+            for r in cox_ph_binary_grouped(
+                df, "dur", "ev", "grp", "seg", iterations=3
+            ).collect()
+        }
+        assert set(got) == {"a", "b"}
+        for seg in ("a", "b"):
+            solo = cox_ph_binary(
+                df.where(F.col("seg") == seg), "dur", "ev", "grp",
+                iterations=3,
+            ).collect()[0]
+            # bit-identical: same quantized summands, same fold of
+            # the Newton chain
+            assert got[seg]["beta"] == solo["beta"]
+            assert got[seg]["n_events"] == solo["n_events"]
+            assert got[seg]["se"] == solo["se"]
+
+    def test_grouped_rmst_matches_per_segment(self, spark):
+        from gofast_spark.stats.survival import (
+            restricted_mean_survival,
+            restricted_mean_survival_grouped,
+        )
+
+        df = self._surv_df(spark)
+        got = {
+            r["segment"]: r
+            for r in restricted_mean_survival_grouped(
+                df, "dur", "ev", "seg", tau=12.0
+            ).collect()
+        }
+        for seg in ("a", "b"):
+            solo = restricted_mean_survival(
+                df.where(F.col("seg") == seg), "dur", "ev", tau=12.0
+            ).collect()[0]
+            assert got[seg]["rmst"] == pytest.approx(solo["rmst"], abs=1e-9)
+            assert got[seg]["n_times"] == solo["n_times"]
+
+    def test_aalen_johansen_decomposition(self, spark):
+        """CIF_1 + CIF_2 + S(t) = 1 at every event time (the defining
+        identity competing-risks estimators must satisfy; a per-cause
+        KM complement would violate it)."""
+        from gofast_spark.stats.survival import aalen_johansen
+
+        rows = []
+        for i in range(300):
+            dur = (i * 11) % 17 + 1
+            cause = 0 if i % 5 == 0 else (1 if i % 3 == 0 else 2)
+            rows.append((dur, cause))
+        df = spark.createDataFrame(rows, "dur bigint, cause int")
+        out = aalen_johansen(df, "dur", "cause").orderBy("duration").collect()
+        assert out, "no event times"
+        # recompute S(t) stepwise from the returned table and check
+        # the decomposition at the final event time
+        s = 1.0
+        for r in out:
+            d = r["d1"] + r["d2"]
+            assert r["surv_prev"] == pytest.approx(s, abs=1e-9)
+            s *= 1.0 - d / r["n_risk"]
+        last = out[-1]
+        assert last["cif1"] + last["cif2"] + s == pytest.approx(1.0, abs=1e-9)
+
+    def test_aalen_johansen_absorbing_tail(self, spark):
+        """All remaining subjects failing at the last time is the
+        absorbing state: survival hits exactly 0 and both CIFs stop
+        at their final values (no NULL leakage from log(0))."""
+        from gofast_spark.stats.survival import aalen_johansen
+
+        df = spark.createDataFrame(
+            [(1, 1), (1, 2), (2, 1), (2, 1)], "dur bigint, cause int"
+        )
+        out = aalen_johansen(df, "dur", "cause").orderBy("duration").collect()
+        last = out[-1]
+        assert last["cif1"] + last["cif2"] == pytest.approx(1.0, abs=1e-12)
+
+
+class TestGroupedDrift:
+    def test_psi_by_group_matches_two_frame_psi(self, spark):
+        """With exactly two groups, each group's leave-one-out PSI must
+        equal psi_report(group, rest) up to the u6 summand
+        quantization."""
+        import math
+
+        from gofast_spark.quality.drift import psi_by_group, psi_report
+
+        rows = [("a", float(i % 40)) for i in range(400)] + [
+            ("b", float((i * i) % 37)) for i in range(300)
+        ]
+        df = spark.createDataFrame(rows, "g string, x double")
+        got = {
+            r["group"]: r
+            for r in psi_by_group(
+                df, "g", "x", lo=0.0, hi=40.0, bins=8
+            ).collect()
+        }
+        for g, other in (("a", "b"), ("b", "a")):
+            two = psi_report(
+                df.where(F.col("g") == g),
+                df.where(F.col("g") == other),
+                "x",
+                lo=0.0,
+                hi=40.0,
+                bins=8,
+            ).collect()[0]
+            assert got[g]["n_group"] == two["n_ref"]
+            assert got[g]["n_rest"] == two["n_cur"]
+            # u6 quantization happens per-summand in the grouped path
+            # and not at all in psi_report — bound the gap by the max
+            # quantization error (8 summands x 0.5 ulp of 1e-6)
+            assert abs(got[g]["psi_u6"] / 1e6 - two["psi"]) < 8e-6
+            assert not math.isnan(two["psi"])
+
+    def test_psi_by_group_flags_the_shifted_source(self, spark):
+        from gofast_spark.quality.drift import psi_by_group
+
+        rows = (
+            [("s1", float(i % 20)) for i in range(500)]
+            + [("s2", float(i % 20)) for i in range(500)]
+            + [("s3", 80.0 + float(i % 20)) for i in range(500)]
+        )
+        df = spark.createDataFrame(rows, "g string, x double")
+        out = {
+            r["group"]: r["psi_u6"]
+            for r in psi_by_group(
+                df, "g", "x", lo=0.0, hi=100.0, bins=10
+            ).collect()
+        }
+        assert out["s3"] > out["s1"]
+        assert out["s3"] > out["s2"]
+        assert out["s3"] > 250_000  # PSI >> 0.25: "shifted" folklore bar
+
+    def test_ks_by_group_identical_and_disjoint(self, spark):
+        from gofast_spark.quality.drift import ks_by_group
+
+        rows = (
+            [("same1", float(i % 10)) for i in range(200)]
+            + [("same2", float(i % 10)) for i in range(200)]
+            + [("far", 50.0 + float(i % 10)) for i in range(200)]
+        )
+        df = spark.createDataFrame(rows, "g string, x double")
+        out = {
+            r["group"]: r["ks_u6"]
+            for r in ks_by_group(df, "g", "x", lo=0.0, hi=100.0, bins=50
+                                 ).collect()
+        }
+        # identical distributions vs (identical + far): small D;
+        # the far group's ECDF is 0 where the rest's is 1 -> D = 1
+        assert out["far"] == 1_000_000
+        assert out["same1"] == out["same2"]
+        assert out["same1"] <= 500_000  # rest includes 'far': D = 1/3 share
+        # exact: rest of same1 = 200 same2 + 200 far; on the shared
+        # support ECDF gap peaks at |1 - 0.5| = 0.5 at the last shared bin
+        assert out["same1"] == 500_000
+
+
+class TestEntropyReport:
+    def test_independent_columns_mi_near_zero(self, spark):
+        from gofast_spark.stats.infotheory import entropy_report
+
+        # x and y cycle with coprime periods over a multiple of both:
+        # exactly independent empirical distribution
+        rows = [(i % 4, i % 5) for i in range(400)]
+        df = spark.createDataFrame(rows, "x int, y int")
+        r = entropy_report(df, "x", "y").collect()[0]
+        assert r["n"] == 400
+        # H(X)=ln4, H(Y)=ln5, H(XY)=ln20 up to quantization
+        import math
+
+        assert r["hx_u6"] == pytest.approx(math.log(4) * 1e6, abs=3)
+        assert r["hy_u6"] == pytest.approx(math.log(5) * 1e6, abs=3)
+        assert abs(r["mi_u6"]) <= 5  # quantization residue only
+        assert abs(r["theil_u_xy"]) < 1e-5
+
+    def test_deterministic_function_mi_equals_hx(self, spark):
+        """y = f(x) makes H(X|Y)... inverted: x determined BY y gives
+        MI = H(X) and U(X|Y) = 1."""
+        from gofast_spark.stats.infotheory import entropy_report
+
+        rows = [(i % 3, i % 6) for i in range(360)]  # x = y mod 3
+        df = spark.createDataFrame(rows, "x int, y int")
+        r = entropy_report(df, "x", "y").collect()[0]
+        assert r["mi_u6"] == pytest.approx(r["hx_u6"], abs=5)
+        assert r["theil_u_xy"] == pytest.approx(1.0, abs=1e-5)
+
+    def test_constant_x_zero_entropy_guard(self, spark):
+        from gofast_spark.stats.infotheory import entropy_report
+
+        df = spark.createDataFrame(
+            [(1, i % 3) for i in range(30)], "x int, y int"
+        )
+        r = entropy_report(df, "x", "y").collect()[0]
+        assert r["hx_u6"] == 0
+        assert r["theil_u_xy"] == 0.0  # guarded division
+
+
 class TestQualityReportEscaping:
     def test_backtick_and_quote_identifiers(self, spark):
         from gofast_spark.quality.observe import quality_report_relational
