@@ -1923,3 +1923,80 @@ def elastic_net_cd_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_quantity", "l_discount", "l_extendedprice",
         l1=_EN_L1, l2=_EN_L2, sweeps=_EN_SWEEPS,
     )
+
+
+def _lda_oracle() -> str:
+    """Replay of the fixed-order 2x2 closed-form solve over exact
+    micro-unit moments (ml/discriminant.py fisher_lda_binary)."""
+    mean = {
+        (i, c): f"(CAST(s{i}_{c} AS DOUBLE) / 1000000.0"
+                f" / CAST(n{c} AS DOUBLE))"
+        for i in (1, 2) for c in (0, 1)
+    }
+    sc = {
+        (ij, c): f"(CAST(s{ij}_{c} AS DOUBLE) / 1000000.0"
+                 f" - CAST(n{c} AS DOUBLE) * {mean[(int(ij[0]), c)]}"
+                 f" * {mean[(int(ij[1]), c)]})"
+        for ij in ("11", "12", "22") for c in (0, 1)
+    }
+    a = f"({sc[('11', 0)]} + {sc[('11', 1)]})"
+    b = f"({sc[('12', 0)]} + {sc[('12', 1)]})"
+    d = f"({sc[('22', 0)]} + {sc[('22', 1)]})"
+    det = f"({a} * {d} - {b} * {b})"
+    d1 = f"({mean[(1, 1)]} - {mean[(1, 0)]})"
+    d2 = f"({mean[(2, 1)]} - {mean[(2, 0)]})"
+    w1 = f"(({d} * {d1} - {b} * {d2}) / {det})"
+    w2 = f"(({a} * {d2} - {b} * {d1}) / {det})"
+    thr = (f"(({w1} * ({mean[(1, 0)]} + {mean[(1, 1)]})"
+           f" + {w2} * ({mean[(2, 0)]} + {mean[(2, 1)]})) / 2.0)")
+    moms = []
+    for c in (0, 1):
+        m = f"CAST(CAST(l_returnflag = 'R' AS INT) = {c} AS BIGINT)"
+        # floor() on the quantized value: Spark's bigint cast
+        # TRUNCATES while DuckDB's ROUNDS (r9 parity note) — floor
+        # matches truncation on this positive domain
+        q1 = ("CAST(floor(CAST(l_quantity AS DOUBLE) * 1000000 + 0.5)"
+              " AS BIGINT)")
+        q2 = ("CAST(floor(CAST(l_discount AS DOUBLE) * 1000000 + 0.5)"
+              " AS BIGINT)")
+        q11 = ("CAST(floor(CAST(l_quantity AS DOUBLE)"
+               " * CAST(l_quantity AS DOUBLE) * 1000000 + 0.5) AS BIGINT)")
+        q12 = ("CAST(floor(CAST(l_quantity AS DOUBLE)"
+               " * CAST(l_discount AS DOUBLE) * 1000000 + 0.5) AS BIGINT)")
+        q22 = ("CAST(floor(CAST(l_discount AS DOUBLE)"
+               " * CAST(l_discount AS DOUBLE) * 1000000 + 0.5) AS BIGINT)")
+        moms += [
+            f"CAST(sum({m}) AS BIGINT) AS n{c}",
+            f"sum({m} * {q1}) AS s1_{c}", f"sum({m} * {q2}) AS s2_{c}",
+            f"sum({m} * {q11}) AS s11_{c}", f"sum({m} * {q12}) AS s12_{c}",
+            f"sum({m} * {q22}) AS s22_{c}",
+        ]
+    cols = ",\n             ".join(moms)
+    return f"""
+    WITH mo AS (
+      SELECT {cols}
+      FROM lineitem
+      WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+        AND l_discount IS NOT NULL)
+    SELECT n0, n1, {w1} AS w1, {w2} AS w2, {thr} AS threshold
+    FROM mo
+    """
+
+
+@query("lda_fisher_lineitem", oracle=_lda_oracle())
+def lda_fisher_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher's linear discriminant, closed form in ONE aggregate
+    (ml/discriminant.py fisher_lda_binary; Fisher, Ann. Eugenics 1936;
+    the reference reaches discriminant estimators through its sklearn
+    model-search dispatch, gofast/models/optimize.py): returned-flag
+    class from (quantity, discount), w = Sw^-1 (mu1 - mu0) by the
+    fixed-order 2x2 inverse over micro-unit-exact per-class moments —
+    every double downstream of the same integers in both engines, so
+    w and the midpoint threshold present UNROUNDED."""
+    from gofast_spark.ml.discriminant import fisher_lda_binary
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_returnflag") == "R").cast("int").alias("y"),
+        "l_quantity", "l_discount",
+    )
+    return fisher_lda_binary(li, ["l_quantity", "l_discount"], "y")

@@ -1422,3 +1422,39 @@ def trimmed_mean_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "customer"), "c_acctbal",
         p_lo=0.1, p_hi=0.9, mode="exact",
     )
+
+
+@query(
+    "gini_by_segment_customer",
+    oracle="""
+    WITH r AS (
+      SELECT c_mktsegment AS segment, c_acctbal AS x,
+             row_number() OVER (PARTITION BY c_mktsegment
+               ORDER BY c_acctbal) AS i
+      FROM customer
+      WHERE c_acctbal IS NOT NULL AND c_mktsegment IS NOT NULL)
+    SELECT segment,
+           CAST(round(2.0 * sum(i * x) / (count(*) * sum(x))
+                - (count(*) + 1.0) / count(*), 6) AS DOUBLE) AS gini,
+           count(*) AS n
+    FROM r GROUP BY segment ORDER BY segment
+    """,
+)
+def gini_by_segment_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment Gini coefficients of account balance
+    (stats/descriptive.py gini_coeff_grouped; ref gini_coeffs,
+    gofast/stats/descriptive.py:51 sorts one raw array driver-side):
+    the distinct-value rank identity with segment-partitioned windows
+    — every segment's inequality measure from one scan, ordered
+    windows over distinct values only.  The oracle uses the naive
+    raw-rank formula per segment, certifying the reduced formulation
+    group-by-group."""
+    from gofast_spark.stats.descriptive import gini_coeff_grouped
+
+    c = _t(spark, sf_dir, "customer")
+    out = gini_coeff_grouped(c, "c_acctbal", "c_mktsegment")
+    return out.select(
+        F.col("group").alias("segment"),
+        F.round("gini", 6).cast("double").alias("gini"),
+        "n",
+    )

@@ -672,3 +672,108 @@ def cohort_ltv_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cohort", "offset", "cohort_size", "revenue", "cum_revenue",
         "ltv_per_user",
     )
+
+
+@query(
+    "seasonal_naive_mase_daily",
+    oracle=f"""
+    WITH {_DAILY},
+    l AS (
+      SELECT v, lag(v, 1) OVER (ORDER BY d) AS l1,
+             lag(v, 7) OVER (ORDER BY d) AS ls
+      FROM daily),
+    a AS (
+      SELECT count(l1) AS n_naive, count(ls) AS n_seasonal,
+             sum(CAST(floor(abs(v - l1) * 1000000 + 0.5) AS BIGINT)) AS e1,
+             sum(CAST(floor(abs(v - ls) * 1000000 + 0.5) AS BIGINT)) AS es
+      FROM l)
+    SELECT CAST(n_naive AS BIGINT) AS n_naive,
+           CAST(n_seasonal AS BIGINT) AS n_seasonal,
+           CAST(e1 AS DOUBLE) / 1000000.0 / CAST(n_naive AS DOUBLE)
+             AS mae_naive,
+           CAST(es AS DOUBLE) / 1000000.0 / CAST(n_seasonal AS DOUBLE)
+             AS mae_seasonal,
+           (CAST(es AS DOUBLE) / 1000000.0 / CAST(n_seasonal AS DOUBLE))
+             / (CAST(e1 AS DOUBLE) / 1000000.0 / CAST(n_naive AS DOUBLE))
+             AS mase_seasonal
+    FROM a
+    """,
+)
+def seasonal_naive_mase_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-baseline benchmark over the daily revenue series
+    (ts/engineering.py seasonal_naive_accuracy; Hyndman & Koehler, IJF
+    2006): naive vs weekly seasonal-naive in-sample MAE and the
+    seasonal variant's MASE — the scale-free bar any real forecast
+    must clear.  Two lag windows + one aggregate; absolute errors
+    micro-unit-quantized so both MAEs and their ratio are
+    deterministic integer functions."""
+    from gofast_spark.ts.engineering import seasonal_naive_accuracy
+
+    return seasonal_naive_accuracy(
+        _daily(spark, sf_dir), "d", "v", season=7
+    )
+
+
+@query(
+    "ddm_drift_daily_events",
+    oracle="""
+    WITH dd AS (
+      SELECT CAST(ts AS DATE) AS d, count(*) AS n,
+             sum(CAST(event_type = 'error' AS BIGINT)) AS e
+      FROM events GROUP BY 1),
+    cum AS (
+      SELECT d, row_number() OVER (ORDER BY d) AS rn,
+             sum(n) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS cum_n,
+             sum(e) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS cum_err
+      FROM dd),
+    ps AS (
+      SELECT d, rn, cum_n, cum_err,
+             CAST(cum_err AS DOUBLE) / CAST(cum_n AS DOUBLE) AS p
+      FROM cum),
+    sc2 AS (
+      SELECT d, rn, cum_n, cum_err,
+             CAST(floor((p + sqrt(p * (1.0 - p) / CAST(cum_n AS DOUBLE)))
+               * 1000000000 + 0.5) AS BIGINT) AS ps_u9,
+             CAST(floor(sqrt(p * (1.0 - p) / CAST(cum_n AS DOUBLE))
+               * 1000000000 + 0.5) AS BIGINT) AS s_u9
+      FROM ps),
+    keyed AS (
+      SELECT d, rn, cum_n, cum_err, ps_u9, s_u9,
+             min(ps_u9 * 2097152 + rn) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS minkey
+      FROM sc2),
+    fl AS (
+      SELECT k.d, k.cum_n, k.cum_err, k.ps_u9,
+             CAST((k.minkey - k.minkey % 2097152) // 2097152 AS BIGINT)
+               AS ps_min_u9,
+             m.s_u9 AS s_min_u9
+      FROM keyed k JOIN sc2 m ON m.rn = k.minkey % 2097152)
+    SELECT d AS "order", CAST(cum_n AS BIGINT) AS cum_n,
+           CAST(cum_err AS BIGINT) AS cum_err, ps_u9, ps_min_u9,
+           s_min_u9,
+           CASE WHEN ps_u9 >= ps_min_u9 + 3 * s_min_u9 THEN 'drift'
+                WHEN ps_u9 >= ps_min_u9 + 2 * s_min_u9 THEN 'warning'
+                ELSE 'stable' END AS state
+    FROM fl
+    """,
+)
+def ddm_drift_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift Detection Method over the daily error-rate stream
+    (ts/changepoint.py ddm_drift; Gama, Medas, Castillo & Rodrigues,
+    SBIA 2004): the cumulative error proportion's p + s tracked
+    against its running minimum, warning at 2 sigma and drift at 3
+    sigma above it — the standard concept-drift monitor for a model
+    serving pipeline.  The joint (value, index) running min is a
+    packed-integer key (earliest-index tie-break, engine-exact); s at
+    the minimizing index via one rollup-sized equi-join."""
+    from gofast_spark.ts.changepoint import ddm_drift
+
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("event_type") == "error").cast("bigint")).alias("err"),
+    )
+    return ddm_drift(daily, "d", "n", "err")

@@ -149,6 +149,51 @@ def gini_coeff(
     )
 
 
+def gini_coeff_grouped(
+    df: DataFrame, column: str, group_col: str
+) -> DataFrame:
+    """Per-group Gini coefficients — :func:`gini_coeff`'s
+    distinct-value rank identity with every window partitioned by the
+    group, so one scan yields each group's inequality measure
+    (ref: gini_coeffs, gofast/stats/descriptive.py:51, which sorts one
+    raw array at a time driver-side).
+
+    The reduction is per (group, distinct value): the ordered window
+    runs over each group's distinct values only, never the raw rows.
+    Returns ``(group, gini, n)`` ordered by group."""
+    c = F.col(column)
+    src = (
+        df.where(c.isNotNull() & F.col(group_col).isNotNull())
+        .groupBy(F.col(group_col).alias("g"), c.alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy(F.col("v").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = src.select(
+        "g", "v", "c",
+        F.coalesce(F.sum("c").over(w), F.lit(0)).alias("__m"),
+    )
+    num = F.sum(
+        F.col("v")
+        * (F.col("c") * F.col("__m") + F.col("c") * (F.col("c") + 1) / 2.0)
+    )
+    n = F.sum("c")
+    tot = F.sum(F.col("v") * F.col("c"))
+    return (
+        cum.groupBy(F.col("g").alias("group"))
+        .agg(
+            (F.lit(2.0) * num / (n * tot) - (n + F.lit(1.0)) / n).alias(
+                "gini"
+            ),
+            n.cast("bigint").alias("n"),
+        )
+        .orderBy("group")
+    )
+
+
 def weighted_median(df: DataFrame, value_col: str, weight_col: str) -> DataFrame:
     """Weighted median, scale-safe: weights are first summed per distinct
     value (hash aggregation), then the cumulative-weight window runs over

@@ -293,3 +293,97 @@ def page_hinkley(
     return out.select(
         "*", (F.col("ph") > F.lit(lam)).alias("alarm")
     )
+
+
+def ddm_drift(
+    df: DataFrame,
+    order_col: str,
+    n_col: str,
+    err_col: str,
+    *,
+    unit: int = 1_000_000_000,
+) -> DataFrame:
+    """Drift Detection Method over an ordered batch/period stream
+    (Gama, Medas, Castillo & Rodrigues, "Learning with Drift
+    Detection", SBIA 2004): with cumulative error proportion
+    ``p_i = cum_err / cum_n`` and ``s_i = sqrt(p_i (1 - p_i) /
+    cum_n)``, track the running minimum of ``p + s`` (jointly, at the
+    prefix index where the sum is smallest) and flag
+
+        warning  when  p_i + s_i >= p_min + 2 s_min
+        drift    when  p_i + s_i >= p_min + 3 s_min
+
+    Engine-reproducibility: ``p + s`` and ``s`` are quantized to
+    ``1/unit`` BEFORE the running-min comparison, and the joint
+    (value, index) minimum is one integer running min over a packed
+    key ``ps_u9 * 2^21 + rn`` (deterministic earliest-index
+    tie-break, pure bigint comparisons — no argmin ambiguity, no
+    engine-specific struct ordering); the ``s`` at the minimizing
+    index comes from one equi-join back on the row number.
+
+    The input is a PERIOD-aggregated frame (one row per day/batch with
+    event and error counts) — rollup-sized, so the ordered windows and
+    the 1-row-per-key self-join are the documented small-frame
+    pattern.  Returns per period:
+    ``(order, cum_n, cum_err, ps_u9, ps_min_u9, s_min_u9, state)``."""
+    o = F.col(order_col)
+    w_cum = Window.orderBy(o).rowsBetween(Window.unboundedPreceding, 0)
+    rn = F.row_number().over(Window.orderBy(o))
+    cum = df.select(
+        o.alias("order"),
+        rn.alias("__rn"),
+        F.sum(F.col(n_col)).over(w_cum).alias("cum_n"),
+        F.sum(F.col(err_col)).over(w_cum).alias("cum_err"),
+    )
+    p = F.col("cum_err").cast("double") / F.col("cum_n").cast("double")
+    s = F.sqrt(p * (F.lit(1.0) - p) / F.col("cum_n").cast("double"))
+    q = lambda x: F.floor(x * F.lit(float(unit)) + F.lit(0.5)).cast(  # noqa: E731
+        "bigint"
+    )
+    scored = cum.select(
+        "order", "__rn", "cum_n", "cum_err",
+        q(p + s).alias("ps_u9"),
+        q(s).alias("s_u9"),
+    )
+    pack = F.lit(2_097_152)  # 2^21: rn fits far below on rollup frames
+    w_cum2 = Window.orderBy("order").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    keyed = scored.select(
+        "order", "__rn", "cum_n", "cum_err", "ps_u9", "s_u9",
+        F.min(F.col("ps_u9") * pack + F.col("__rn")).over(w_cum2).alias(
+            "__minkey"
+        ),
+    )
+    at_min = scored.select(
+        F.col("__rn").alias("__rn_min"), F.col("s_u9").alias("s_min_u9")
+    )
+    flagged = (
+        keyed.withColumn("__rn_min", F.col("__minkey") % pack)
+        .withColumn(
+            "ps_min_u9",
+            (F.col("__minkey") - F.col("__minkey") % pack) / pack,
+        )
+        .withColumn("ps_min_u9", F.col("ps_min_u9").cast("bigint"))
+        .join(F.broadcast(at_min), "__rn_min")
+        .select(
+            "order", "cum_n", "cum_err", "ps_u9", "ps_min_u9", "s_min_u9"
+        )
+    )
+    state = (
+        F.when(
+            F.col("ps_u9")
+            >= F.col("ps_min_u9") + 3 * F.col("s_min_u9"),
+            F.lit("drift"),
+        )
+        .when(
+            F.col("ps_u9")
+            >= F.col("ps_min_u9") + 2 * F.col("s_min_u9"),
+            F.lit("warning"),
+        )
+        .otherwise(F.lit("stable"))
+    )
+    return flagged.select(
+        "order", "cum_n", "cum_err", "ps_u9", "ps_min_u9", "s_min_u9",
+        state.alias("state"),
+    )

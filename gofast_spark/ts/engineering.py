@@ -1056,3 +1056,58 @@ def spectral_entropy(
         (h / F.log(F.lit(float(max_freq)))).alias("spectral_entropy"),
         F.lit(max_freq).cast("int").alias("k"),
     )
+
+
+def seasonal_naive_accuracy(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    *,
+    season: int = 7,
+    unit: int = 1_000_000,
+) -> DataFrame:
+    """Forecast-baseline comparison on an ordered series: in-sample
+    MAE of the naive forecast (y_hat_t = y_{t-1}) vs the seasonal
+    naive (y_hat_t = y_{t-season}), and the seasonal variant's MASE
+    (Hyndman & Koehler, "Another look at measures of forecast
+    accuracy", IJF 2006 — MASE scales a forecast's MAE by the naive
+    MAE, the recommended scale-free benchmark every real forecast must
+    beat).
+
+    Two lag windows + one aggregate over the period-rollup frame.
+    Absolute errors are quantized to ``1/unit`` before the integer
+    sums, so both MAEs — and their MASE ratio — are deterministic
+    functions of the integer error table.  Returns ONE row:
+    ``(n_naive, n_seasonal, mae_naive, mae_seasonal, mase_seasonal)``.
+    """
+    if season < 2:
+        raise ValueError("season must be >= 2")
+    o, v = F.col(order_col), F.col(value_col).cast("double")
+    w = Window.orderBy(o)
+    lagged = df.select(
+        v.alias("v"),
+        F.lag(v, 1).over(w).alias("l1"),
+        F.lag(v, season).over(w).alias("ls"),
+    )
+    q = lambda x: F.floor(x * F.lit(float(unit)) + F.lit(0.5)).cast(  # noqa: E731
+        "bigint"
+    )
+    agg = lagged.agg(
+        F.count("l1").alias("n_naive"),
+        F.count("ls").alias("n_seasonal"),
+        F.sum(q(F.abs(F.col("v") - F.col("l1")))).alias("__e1"),
+        F.sum(q(F.abs(F.col("v") - F.col("ls")))).alias("__es"),
+    )
+    mae1 = F.col("__e1").cast("double") / F.lit(float(unit)) / F.col(
+        "n_naive"
+    ).cast("double")
+    maes = F.col("__es").cast("double") / F.lit(float(unit)) / F.col(
+        "n_seasonal"
+    ).cast("double")
+    return agg.select(
+        "n_naive",
+        "n_seasonal",
+        mae1.alias("mae_naive"),
+        maes.alias("mae_seasonal"),
+        (maes / mae1).alias("mase_seasonal"),
+    )

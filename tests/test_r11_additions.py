@@ -348,6 +348,110 @@ class TestEntropyReport:
         assert r["theil_u_xy"] == 0.0  # guarded division
 
 
+class TestSeasonalNaiveAccuracy:
+    def test_hand_computed_series(self, spark):
+        from gofast_spark.ts.engineering import seasonal_naive_accuracy
+
+        # v_t = t for t in 1..10: naive error = 1 always (9 terms);
+        # seasonal (season=3) error = 3 always (7 terms)
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(1, 11)], "d int, v double"
+        )
+        r = seasonal_naive_accuracy(df, "d", "v", season=3).collect()[0]
+        assert r["n_naive"] == 9
+        assert r["n_seasonal"] == 7
+        assert r["mae_naive"] == pytest.approx(1.0, abs=1e-9)
+        assert r["mae_seasonal"] == pytest.approx(3.0, abs=1e-9)
+        assert r["mase_seasonal"] == pytest.approx(3.0, abs=1e-9)
+
+    def test_rejects_bad_season(self, spark):
+        from gofast_spark.ts.engineering import seasonal_naive_accuracy
+
+        df = spark.createDataFrame([(1, 1.0)], "d int, v double")
+        with pytest.raises(ValueError, match="season"):
+            seasonal_naive_accuracy(df, "d", "v", season=1)
+
+
+class TestDdmDrift:
+    def test_stable_then_drift(self, spark):
+        from gofast_spark.ts.changepoint import ddm_drift
+
+        # 10 periods at 5% error rate, then 5 periods at 60%
+        rows = [(t, 100, 5) for t in range(1, 11)] + [
+            (t, 100, 60) for t in range(11, 16)
+        ]
+        df = spark.createDataFrame(rows, "t int, n bigint, e bigint")
+        out = ddm_drift(df, "t", "n", "e").orderBy("order").collect()
+        states = [r["state"] for r in out]
+        assert all(s == "stable" for s in states[:10])
+        assert states[-1] == "drift"
+        # once p+s rises, the running min must stay at the low-error era
+        assert out[-1]["ps_min_u9"] == out[9]["ps_min_u9"]
+
+    def test_monotone_quantities(self, spark):
+        from gofast_spark.ts.changepoint import ddm_drift
+
+        rows = [(t, 50, t % 3) for t in range(1, 9)]
+        df = spark.createDataFrame(rows, "t int, n bigint, e bigint")
+        out = ddm_drift(df, "t", "n", "e").orderBy("order").collect()
+        mins = [r["ps_min_u9"] for r in out]
+        assert mins == sorted(mins, reverse=True)  # running min never rises
+        assert [r["cum_n"] for r in out] == [50 * t for t in range(1, 9)]
+
+
+class TestFisherLda:
+    def test_separable_classes_direction(self, spark):
+        from gofast_spark.ml.discriminant import fisher_lda_binary
+
+        # class 0 around (1, 1), class 1 around (5, 5): w must point
+        # toward increasing x1 + x2 and the midpoint must separate
+        rows = []
+        for i in range(200):
+            j = i % 5 * 0.1
+            k = i % 7 * 0.05
+            rows.append((0, 1.0 + j, 1.0 - k))
+            rows.append((1, 5.0 + j, 5.0 - k))
+        df = spark.createDataFrame(rows, "y int, x1 double, x2 double")
+        r = fisher_lda_binary(df, ["x1", "x2"], "y").collect()[0]
+        assert r["n0"] == 200 and r["n1"] == 200
+        # score the class means: mu1 projects above threshold, mu0 below
+        s0 = r["w1"] * 1.2 + r["w2"] * 0.8
+        s1 = r["w1"] * 5.2 + r["w2"] * 4.8
+        assert s0 < r["threshold"] < s1
+
+    def test_two_features_required(self, spark):
+        from gofast_spark.ml.discriminant import fisher_lda_binary
+
+        df = spark.createDataFrame([(0, 1.0)], "y int, x1 double")
+        with pytest.raises(ValueError, match="2 features"):
+            fisher_lda_binary(df, ["x1"], "y")
+
+
+class TestGiniGrouped:
+    def test_matches_ungrouped_per_group(self, spark):
+        from gofast_spark.stats.descriptive import (
+            gini_coeff,
+            gini_coeff_grouped,
+        )
+
+        rows = [("a", float(1 + i % 7)) for i in range(70)] + [
+            ("b", float((i % 11) ** 2)) for i in range(66)
+        ]
+        df = spark.createDataFrame(rows, "g string, x double")
+        got = {
+            r["group"]: r
+            for r in gini_coeff_grouped(df, "x", "g").collect()
+        }
+        for g in ("a", "b"):
+            solo = gini_coeff(
+                df.where(F.col("g") == g), "x"
+            ).collect()[0]
+            assert got[g]["gini"] == pytest.approx(solo["gini"], abs=1e-12)
+        assert got["a"]["n"] == 70 and got["b"]["n"] == 66
+        # squared values are more unequal than a flat cycle
+        assert got["b"]["gini"] > got["a"]["gini"]
+
+
 class TestQualityReportEscaping:
     def test_backtick_and_quote_identifiers(self, spark):
         from gofast_spark.quality.observe import quality_report_relational
