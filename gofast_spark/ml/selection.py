@@ -387,6 +387,77 @@ def smbo_quadratic_ridge(
     )
 
 
+def successive_halving_ridge(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str,
+    *,
+    id_col: str,
+    grid: Sequence[float],
+    k: int = 4,
+    seed: int = 0,
+) -> DataFrame:
+    """Successive-halving hyperparameter search over a discrete
+    ridge-lambda grid (Karnin, Koren & Somekh, ICML 2013; Jamieson &
+    Talwalkar, AISTATS 2016 — the elimination core of Hyperband): rung
+    r scores the surviving candidates on a growing budget (here: the
+    mean held-out RMSE over folds ``0..r``) and keeps the best half,
+    until one survivor remains.
+
+    Like every search in this module, ALL evaluations derive from one
+    set of CV fold moments — a rung's extra "budget" is driver
+    arithmetic, not another data pass; the halving schedule is the
+    interface parity point (the reference's search family,
+    gofast/models/optimize.py).  Determinism: per-(candidate, fold)
+    RMSEs are quantized to 1e-4 units once, rung scores are integer
+    SUMS of those units (no means — same ranking, exact arithmetic),
+    and elimination ranks on ``(score, grid index)`` — total order,
+    engine-replayable.
+
+    Returns one row per (rung, evaluated candidate):
+    ``(rung, grid_j, lam, score_u4, kept)`` with ``score_u4`` the
+    integer sum of the rung's per-fold RMSE units."""
+    g = [float(x) for x in grid]
+    if len(g) < 2:
+        raise ValueError("grid must have >= 2 candidates")
+    feats = list(feature_cols)
+    if len(feats) != 2:
+        raise ValueError("successive_halving_ridge supports exactly 2 features")
+    import math
+
+    rungs = int(math.ceil(math.log2(len(g))))
+    if rungs > k:
+        raise ValueError(
+            f"need k >= log2(len(grid)) folds for the budget schedule "
+            f"({rungs} rungs, k={k})"
+        )
+    p, rows = _fold_moments(df, feats, label_col, id_col, k, seed)
+    missing = [f for f in range(k) if f not in rows]
+    if missing:
+        raise ValueError(f"empty folds {missing}: id space too small for k={k}")
+    u4 = {}
+    for j in range(len(g)):
+        for f in range(k):
+            _w, n_test, sse = _solve_and_score(p, rows, f, g[j])
+            u4[(j, f)] = int(math.floor((sse / n_test) ** 0.5 * 1e4 + 0.5))
+    alive = list(range(len(g)))
+    out = []
+    for r in range(rungs):
+        scored = sorted(
+            (sum(u4[(j, f)] for f in range(r + 1)), j) for j in alive
+        )
+        keep = max(1, len(alive) // 2)
+        kept = {j for _s, j in scored[:keep]}
+        for s, j in scored:
+            out.append((r, j, g[j], s, j in kept))
+        alive = sorted(kept)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        out,
+        "rung int, grid_j int, lam double, score_u4 bigint, kept boolean",
+    )
+
+
 def learning_curve_linear(
     df: DataFrame,
     feature_cols: Sequence[str],

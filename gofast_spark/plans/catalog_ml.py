@@ -2000,3 +2000,76 @@ def lda_fisher_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_quantity", "l_discount",
     )
     return fisher_lda_binary(li, ["l_quantity", "l_discount"], "y")
+
+
+def _halving_oracle() -> str:
+    """Unrolled successive-halving replay: per-(candidate, fold) RMSE
+    units once, then one row_number elimination per rung."""
+    w0, w1, w2 = _cramer_w_sql("ls.lam")
+    vals = ", ".join(
+        f"({j}, {float(v)!r})" for j, v in enumerate(_RS_GRID)
+    )
+    us = ", ".join(
+        f"max(CASE WHEN fold = {f} THEN su4 END) AS u{f}"
+        for f in range(_CV_K)
+    )
+    n_grid = len(_RS_GRID)
+    import math
+
+    rungs = int(math.ceil(math.log2(n_grid)))
+    ctes = [f"""{_CV_MOMENT_CTES},
+    tl(j, lam) AS (VALUES {vals}),
+    ls AS (SELECT j, CAST(lam AS DOUBLE) AS lam FROM tl),
+    w AS (
+      SELECT ls.j, ls.lam, tr.fold, {w0} AS w0, {w1} AS w1, {w2} AS w2
+      FROM tr, ls),
+    s AS (
+      SELECT w.j, w.lam, m.fold,
+             CAST(floor(sqrt(({_sse_sql()}) / m.n) * 1e4 + 0.5) AS BIGINT)
+               AS su4
+      FROM w JOIN m ON m.fold = w.fold),
+    q AS (SELECT j, lam, {us} FROM s GROUP BY j, lam)"""]
+    prev = "q"
+    alive = n_grid
+    for r in range(rungs):
+        score = " + ".join(f"u{f}" for f in range(r + 1))
+        keep = max(1, alive // 2)
+        ctes.append(f"""r{r} AS (
+      SELECT j, lam, u0{"".join(", u" + str(f) for f in range(1, _CV_K))},
+             {score} AS score,
+             row_number() OVER (ORDER BY {score}, j) <= {keep} AS kept
+      FROM {prev}{"" if r == 0 else " WHERE kept"})""")
+        prev = f"r{r}"
+        alive = keep
+    body = ",\n    ".join(ctes)
+    rows = "\n    UNION ALL ".join(
+        f"SELECT {r} AS rung, CAST(j AS INT) AS grid_j,"
+        f" CAST(lam AS DOUBLE) AS lam, score AS score_u4, kept FROM r{r}"
+        for r in range(rungs)
+    )
+    return f"""
+    WITH {body}
+    {rows}
+    """
+
+
+@query("successive_halving_ridge_lineitem", oracle=_halving_oracle())
+def successive_halving_ridge_lineitem(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Successive-halving search over the ridge grid (ml/selection.py
+    successive_halving_ridge; Karnin, Koren & Somekh ICML 2013;
+    Jamieson & Talwalkar AISTATS 2016 — Hyperband's elimination core;
+    completes the reference's search-family parity alongside grid /
+    random / SMBO, gofast/models/optimize.py): 16 candidates halve
+    over 4 rungs on a growing fold budget, every rung scored from the
+    SAME single-scan fold moments with integer 1e-4-unit rung scores
+    and (score, index) elimination ranks — the whole schedule replays
+    relationally."""
+    from gofast_spark.ml.selection import successive_halving_ridge
+
+    li = _t(spark, sf_dir, "lineitem")
+    return successive_halving_ridge(
+        li, ["l_quantity", "l_discount"], "l_extendedprice",
+        id_col="l_orderkey", grid=_RS_GRID, k=_CV_K, seed=_CV_SEED,
+    )

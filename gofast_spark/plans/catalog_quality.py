@@ -1458,3 +1458,53 @@ def gini_by_segment_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("gini", 6).cast("double").alias("gini"),
         "n",
     )
+
+
+@query(
+    "psi_daily_events",
+    oracle="""
+    WITH cnt AS (
+      SELECT CAST(ts AS DATE) AS grp,
+             least(greatest(CAST(floor(CAST(value AS DOUBLE) / 50.0)
+                   AS INT), 0), 9) AS bin,
+             count(*) AS n
+      FROM events
+      WHERE value IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1, 2),
+    spine AS (SELECT CAST(range AS INT) AS bin FROM range(10)),
+    grid AS (
+      SELECT g.grp, s.bin, coalesce(c.n, 0) AS n
+      FROM (SELECT DISTINCT grp FROM cnt) g
+      CROSS JOIN spine s
+      LEFT JOIN cnt c ON c.grp = g.grp AND c.bin = s.bin),
+    m AS (
+      SELECT grp, bin, n,
+             sum(n) OVER (PARTITION BY grp) AS n_g,
+             sum(n) OVER (PARTITION BY bin) - n AS rest_b,
+             sum(n) OVER () - sum(n) OVER (PARTITION BY grp) AS rest_t
+      FROM grid)
+    SELECT grp AS "group",
+           CAST(max(n_g) AS BIGINT) AS n_group,
+           CAST(max(rest_t) AS BIGINT) AS n_rest,
+           CAST(sum(CAST(floor(
+             ((n + 0.5) / (n_g + 5.0) - (rest_b + 0.5) / (rest_t + 5.0))
+             * ln(((n + 0.5) / (n_g + 5.0))
+                  / ((rest_b + 0.5) / (rest_t + 5.0)))
+             * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS psi_u6
+    FROM m GROUP BY grp ORDER BY grp
+    """,
+)
+def psi_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift-over-time report (quality/drift.py psi_by_group with the
+    calendar day as the group): each day's event-value distribution
+    PSI'd against every other day pooled — the "when did the data
+    change?" readout next to psi_by_source's "which source changed?",
+    same one-scan dense-grid machinery."""
+    from gofast_spark.quality.drift import psi_by_group
+
+    e = _t(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull()
+    ).select(F.col("ts").cast("date").alias("day"), "value")
+    return psi_by_group(
+        e, "day", "value", lo=0.0, hi=500.0, bins=10, smooth=0.5
+    )

@@ -1551,3 +1551,67 @@ def spectral_entropy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gofast_spark.ts.engineering import spectral_entropy
 
     return spectral_entropy(_daily(spark, sf_dir), "t", "v", max_freq=10)
+
+
+@query(
+    "cusum_by_type_events",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS g, CAST(ts AS DATE) AS d,
+             CAST(round(sum(value), 4) AS DOUBLE) AS v
+      FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+    u AS (
+      SELECT g, d, CAST(floor(v * 10000 + 0.5) AS BIGINT) AS vu
+      FROM daily),
+    tot AS (
+      SELECT g, CAST(sum(vu) AS BIGINT) AS s, count(*) AS n
+      FROM u GROUP BY g),
+    dev AS (
+      SELECT u.g, d, vu, n,
+             n * vu - s - n * 200000 AS dp,
+             s - n * vu - n * 200000 AS dn
+      FROM u JOIN tot ON tot.g = u.g),
+    p AS (
+      SELECT g, d, vu, n,
+             sum(dp) OVER w AS pp, sum(dn) OVER w AS pn
+      FROM dev
+      WINDOW w AS (PARTITION BY g ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    m AS (
+      SELECT g, d, vu, n, pp, pn,
+             least(CAST(0 AS BIGINT), CAST(min(pp) OVER w AS BIGINT)) AS mp,
+             least(CAST(0 AS BIGINT), CAST(min(pn) OVER w AS BIGINT)) AS mn
+      FROM p
+      WINDOW w AS (PARTITION BY g ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT g AS "group", d, CAST(vu / 10000.0 AS DOUBLE) AS v,
+           CAST(CAST(pp - mp AS DOUBLE) / (n * 10000.0) AS DOUBLE)
+             AS cusum_pos,
+           CAST(CAST(pn - mn AS DOUBLE) / (n * 10000.0) AS DOUBLE)
+             AS cusum_neg,
+           CAST(CAST(pp - mp AS BIGINT) > n * 1000000 AS INT) AS alarm_pos,
+           CAST(CAST(pn - mn AS BIGINT) > n * 1000000 AS INT) AS alarm_neg
+    FROM m
+    """,
+)
+def cusum_by_type_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type CUSUM monitors over each type's daily revenue
+    (ts/changepoint.py cusum_grouped; Page 1954): one scan runs an
+    independent mean-shift monitor per segment via group-partitioned
+    prefix-sum/running-min windows, each with its own exact rational
+    in-control mean — the per-source monitoring readout next to the
+    pooled cusum_daily_events.  Slack k=20, threshold h=100 on the
+    1e-4 grid (per-type series carry ~1/5 the pooled daily mass)."""
+    from gofast_spark.ts.changepoint import cusum_grouped
+
+    e = _t(spark, sf_dir, "events").where(F.col("event_type").isNotNull())
+    daily = e.groupBy(
+        F.col("event_type").alias("ty"),
+        F.col("ts").cast("date").alias("d"),
+    ).agg(F.round(F.sum("value"), 4).cast("double").alias("v"))
+    out = cusum_grouped(daily, "d", "v", "ty", k=20.0, h=100.0)
+    return out.select(
+        "group", "d", "v", "cusum_pos", "cusum_neg",
+        F.col("alarm_pos").cast("int").alias("alarm_pos"),
+        F.col("alarm_neg").cast("int").alias("alarm_neg"),
+    )

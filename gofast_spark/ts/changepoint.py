@@ -387,3 +387,79 @@ def ddm_drift(
         "order", "cum_n", "cum_err", "ps_u9", "ps_min_u9", "s_min_u9",
         state.alias("state"),
     )
+
+
+def cusum_grouped(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    group_col: str,
+    *,
+    k: float = 0.0,
+    h: "float | None" = None,
+) -> DataFrame:
+    """Per-group tabular CUSUM (Page, Biometrika 1954) — :func:`cusum`
+    with every window partitioned by ``group_col`` and each group's
+    in-control mean its OWN exact rational ``S_g / n_g``: one scan
+    monitors every segment's series for mean shifts independently
+    (the per-source/per-type monitoring readout).
+
+    Same exact-integer discipline as the ungrouped monitor: values
+    snap to the 1e-4 grid, deviations are scaled by the group's
+    ``n_g`` so no mean ever rounds, and the max(0, .) recursion is the
+    prefix-sum minus running-minimum identity per group.  The
+    group-totals join is a groups-sized broadcast.  Returns per row:
+    ``(group, order, value, cusum_pos, cusum_neg[, alarm_pos,
+    alarm_neg])``."""
+    v_u = F.floor(
+        F.col(value_col).cast("double") * F.lit(1e4) + F.lit(0.5)
+    ).cast("bigint")
+    k_u = int(round(k * 1e4))
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(order_col).alias("__o"),
+        v_u.alias("__v"),
+    )
+    tot = base.groupBy("__g").agg(
+        F.sum("__v").alias("__s"), F.count(F.lit(1)).alias("__n")
+    )
+    st = base.join(F.broadcast(tot), "__g")
+    dev_p = (
+        F.col("__n") * F.col("__v")
+        - F.col("__s")
+        - F.col("__n") * F.lit(k_u)
+    )
+    dev_n = (
+        F.col("__s")
+        - F.col("__n") * F.col("__v")
+        - F.col("__n") * F.lit(k_u)
+    )
+    scale = F.col("__n").cast("double") * F.lit(1e4)
+    w = Window.partitionBy("__g").orderBy("__o").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    st = st.select(
+        "*",
+        F.sum(dev_p).over(w).alias("__pp"),
+        F.sum(dev_n).over(w).alias("__pn"),
+    )
+    st = st.select(
+        "*",
+        F.least(F.lit(0).cast("bigint"), F.min("__pp").over(w)).alias("__mp"),
+        F.least(F.lit(0).cast("bigint"), F.min("__pn").over(w)).alias("__mn"),
+    )
+    cp = (F.col("__pp") - F.col("__mp")).cast("double") / scale
+    cn = (F.col("__pn") - F.col("__mn")).cast("double") / scale
+    cols = [
+        F.col("__g").alias("group"),
+        F.col("__o").alias(order_col),
+        (F.col("__v").cast("double") / F.lit(1e4)).alias(value_col),
+        cp.alias("cusum_pos"),
+        cn.alias("cusum_neg"),
+    ]
+    if h is not None:
+        h_u = int(round(h * 1e4))
+        thr = (F.col("__n") * F.lit(h_u)).cast("bigint")
+        cols.append(((F.col("__pp") - F.col("__mp")) > thr).alias("alarm_pos"))
+        cols.append(((F.col("__pn") - F.col("__mn")) > thr).alias("alarm_neg"))
+    return st.select(*cols)

@@ -452,6 +452,120 @@ class TestGiniGrouped:
         assert got["b"]["gini"] > got["a"]["gini"]
 
 
+class TestSuccessiveHalving:
+    def _df(self, spark):
+        rows = [
+            (i, float(i % 17), float(i % 5),
+             2.0 + 3.0 * (i % 17) + 0.4 * ((i * i) % 11))
+            for i in range(400)
+        ]
+        return spark.createDataFrame(
+            rows, "id bigint, x1 double, x2 double, y double"
+        )
+
+    def test_halving_schedule_and_invariants(self, spark):
+        from gofast_spark.ml.selection import successive_halving_ridge
+
+        grid = [0.0, 0.1, 1.0, 10.0, 100.0, 1000.0, 10000.0, 100000.0]
+        out = successive_halving_ridge(
+            self._df(spark), ["x1", "x2"], "y", id_col="id", grid=grid, k=4
+        ).collect()
+        by_rung = {}
+        for r in out:
+            by_rung.setdefault(r["rung"], []).append(r)
+        # 8 -> 4 -> 2 evaluated per rung (3 rungs for an 8-grid)
+        assert sorted(by_rung) == [0, 1, 2]
+        assert [len(by_rung[r]) for r in (0, 1, 2)] == [8, 4, 2]
+        # each rung's survivors are exactly the next rung's evaluands
+        for r in (0, 1):
+            kept = {x["grid_j"] for x in by_rung[r] if x["kept"]}
+            nxt = {x["grid_j"] for x in by_rung[r + 1]}
+            assert kept == nxt
+        # final rung keeps exactly one winner with the best score
+        final = by_rung[2]
+        winners = [x for x in final if x["kept"]]
+        assert len(winners) == 1
+        assert winners[0]["score_u4"] == min(x["score_u4"] for x in final)
+
+    def test_halving_requires_enough_folds(self, spark):
+        from gofast_spark.ml.selection import successive_halving_ridge
+
+        with pytest.raises(ValueError, match="log2"):
+            successive_halving_ridge(
+                self._df(spark), ["x1", "x2"], "y", id_col="id",
+                grid=[float(i) for i in range(32)], k=4,
+            )
+
+
+class TestCusumGrouped:
+    def test_matches_ungrouped_per_group(self, spark):
+        from gofast_spark.ts.changepoint import cusum, cusum_grouped
+
+        rows = []
+        for t in range(1, 21):
+            rows.append(("a", t, 10.0 + (3.0 if t > 12 else 0.0)))
+            rows.append(("b", t, 5.0))
+        df = spark.createDataFrame(rows, "g string, t int, v double")
+        grouped = cusum_grouped(df, "t", "v", "g", k=0.5, h=4.0).collect()
+        for g in ("a", "b"):
+            solo = {
+                r["t"]: r
+                for r in cusum(
+                    df.where(F.col("g") == g).select("t", "v"),
+                    "t", "v", k=0.5, h=4.0,
+                ).collect()
+            }
+            for r in [x for x in grouped if x["group"] == g]:
+                assert r["cusum_pos"] == solo[r["t"]]["cusum_pos"]
+                assert r["cusum_neg"] == solo[r["t"]]["cusum_neg"]
+                assert r["alarm_pos"] == solo[r["t"]]["alarm_pos"]
+        # the shifted group alarms, the flat one never does
+        assert any(
+            r["alarm_pos"] for r in grouped if r["group"] == "a"
+        )
+        assert not any(
+            r["alarm_pos"] or r["alarm_neg"]
+            for r in grouped
+            if r["group"] == "b"
+        )
+
+
+class TestNonBindingCapPlanEquality:
+    def test_non_binding_cap_plan_is_byte_identical(self, spark):
+        """r10 verdict ask #5: when max_basket_size does NOT bind, the
+        miner's plan must be byte-identical to the uncapped plan (no
+        extra join, no recomputed supports).  Compared on the analyzed
+        logical plan with materialization off (the persist node is the
+        one documented difference of the default path)."""
+        from gofast_spark.ml.itemsets import _basket_pairs
+
+        rows = [(b, f"i{i}") for b in range(30) for i in range(b % 4 + 2)]
+        df = spark.createDataFrame(rows, "bk bigint, it string")
+        kw = dict(min_support=2, broadcast_limit=100, materialize=False)
+        pairs_uncapped, nb_uncapped = _basket_pairs(
+            df, "bk", "it", max_basket_size=None, **kw
+        )
+        pairs_capped, nb_capped = _basket_pairs(
+            df, "bk", "it", max_basket_size=10_000, **kw
+        )
+
+        def plan(d):
+            import re
+
+            # expression ids (#NN) are allocation-order artifacts;
+            # structural equality is what the invariant claims
+            return re.sub(
+                r"#\d+", "#", d._jdf.queryExecution().optimizedPlan().toString()
+            )
+
+        assert plan(pairs_capped) == plan(pairs_uncapped)
+        assert plan(nb_capped) == plan(nb_uncapped)
+        # and the results agree, trivially
+        a = sorted(map(tuple, pairs_uncapped.collect()))
+        b = sorted(map(tuple, pairs_capped.collect()))
+        assert a == b
+
+
 class TestQualityReportEscaping:
     def test_backtick_and_quote_identifiers(self, spark):
         from gofast_spark.quality.observe import quality_report_relational
