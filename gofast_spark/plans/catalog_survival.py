@@ -824,3 +824,99 @@ def rmst_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") % 4 != 0).cast("int").alias("ev"),
     )
     return restricted_mean_survival(e, "dur", "ev", tau=300.0)
+
+
+@query(
+    "km_median_by_segment_events",
+    oracle=f"""
+    WITH {_GSURV}
+    SELECT seg AS segment,
+           min(CASE WHEN survival <= 0.5 THEN duration END)
+             AS median_duration,
+           CAST(round(min(survival), 6) AS DOUBLE) AS min_survival,
+           count(*) AS n_times
+    FROM k WHERE n_events > 0
+    GROUP BY seg ORDER BY segment
+    """,
+)
+def km_median_by_segment_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-segment Kaplan-Meier median survival time (stats/survival.py
+    km_median_grouped; ref kaplan_meier_analysis,
+    gofast/stats/survival_reliability.py:24 reads the median off a
+    driver-side lifelines fit): the first event time where each
+    stratum's curve reaches 0.5, NULL when censoring keeps the curve
+    above it — one scan via the shared grouped product-limit curve
+    with the absorbing-state guard."""
+    from gofast_spark.stats.survival import km_median_grouped
+
+    e = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    ).select(
+        F.col("event_type").alias("seg"),
+        F.floor(F.col("value")).cast("bigint").alias("dur"),
+        (F.col("user_id") % 4 != 0).cast("int").alias("ev"),
+    )
+    out = km_median_grouped(e, "dur", "ev", "seg")
+    return out.select(
+        "segment", "median_duration",
+        F.round("min_survival", 6).cast("double").alias("min_survival"),
+        "n_times",
+    )
+
+
+@query(
+    "weibull_by_segment_events",
+    oracle=f"""
+    WITH {_GSURV},
+    pts AS (
+      SELECT seg, ln(CAST(duration AS DOUBLE)) AS x,
+             ln(-ln(survival)) AS y
+      FROM k
+      WHERE n_events > 0 AND survival > 0.0 AND survival < 1.0
+        AND duration > 0),
+    fit AS (
+      SELECT seg AS segment, count(*) AS m,
+             sum(CAST(floor(x * 1000000 + 0.5) AS BIGINT)) / 1000000.0
+               AS sx,
+             sum(CAST(floor(y * 1000000 + 0.5) AS BIGINT)) / 1000000.0
+               AS sy,
+             sum(CAST(floor(x * x * 1000000 + 0.5) AS BIGINT)) / 1000000.0
+               AS sxx,
+             sum(CAST(floor(x * y * 1000000 + 0.5) AS BIGINT)) / 1000000.0
+               AS sxy
+      FROM pts GROUP BY seg)
+    SELECT segment,
+           CASE WHEN m >= 2 AND m * sxx - sx * sx <> 0.0
+                THEN CAST((m * sxy - sx * sy) / (m * sxx - sx * sx)
+                     AS DOUBLE) END AS shape,
+           CASE WHEN m >= 2 AND m * sxx - sx * sx <> 0.0
+                THEN CAST(exp(-((sy - ((m * sxy - sx * sy)
+                                 / (m * sxx - sx * sx)) * sx) / m)
+                              / ((m * sxy - sx * sy)
+                                 / (m * sxx - sx * sx))) AS DOUBLE)
+           END AS scale,
+           CAST(m AS BIGINT) AS n_points
+    FROM fit ORDER BY segment
+    """,
+)
+def weibull_by_segment_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-segment Weibull probability-plot fits (stats/survival.py
+    weibull_fit_grouped; Nelson 1982): every event-type stratum's
+    (shape, scale) from ONE scan — the linearized-KM OLS with
+    segment-grouped micro-unit-quantized moments, NULL where the fit
+    is undefined.  Completes the grouped-survival family (Cox, RMST,
+    median, Weibull) the r10 verdict queued for breadth."""
+    from gofast_spark.stats.survival import weibull_fit_grouped
+
+    e = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    ).select(
+        F.col("event_type").alias("seg"),
+        F.floor(F.col("value")).cast("bigint").alias("dur"),
+        (F.col("user_id") % 4 != 0).cast("int").alias("ev"),
+    )
+    return weibull_fit_grouped(e, "dur", "ev", "seg")

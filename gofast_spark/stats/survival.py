@@ -509,19 +509,16 @@ def cox_ph_binary_grouped(
     )
 
 
-def restricted_mean_survival_grouped(
+def _km_grouped_curve(
     df: DataFrame,
     duration_col: str,
     event_col: str,
     segment_col: str,
-    *,
-    tau: float,
 ) -> DataFrame:
-    """Per-segment restricted mean survival time (Royston & Parmar
-    2013) — :func:`restricted_mean_survival` with every window
-    partitioned by segment, so one scan yields each stratum's KM area
-    on [0, tau].  Returns ``(segment, rmst, tau, n_times)`` ordered by
-    segment."""
+    """Shared per-segment KM curve: ``(seg, duration, n_events,
+    n_risk, survival)`` at EVENT times, with the absorbing d == n
+    state guarded (survival exactly 0 from there on; F.log(0) is NULL
+    in Spark and sum() would silently skip it)."""
     d, e = F.col(duration_col), F.col(event_col)
     per_t = df.groupBy(
         F.col(segment_col).alias("seg"), d.alias("duration")
@@ -552,10 +549,100 @@ def restricted_mean_survival_grouped(
             ).over(w_cum)
         )
     )
-    km = (
-        curve.withColumn("survival", surv)
-        .where(F.col("n_events") > 0)
-        .where(F.col("duration").cast("double") <= F.lit(tau))
+    return curve.withColumn("survival", surv).where(F.col("n_events") > 0)
+
+
+def km_median_grouped(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    segment_col: str,
+) -> DataFrame:
+    """Per-segment Kaplan-Meier MEDIAN survival time — the first event
+    time where the survival curve reaches 0.5 or below (the standard
+    reported survival summary; ref kaplan_meier_analysis,
+    gofast/stats/survival_reliability.py:24 reads it off a lifelines
+    fit driver-side).  One scan via the shared grouped KM curve; a
+    segment whose curve never reaches 0.5 reports NULL (median not
+    attained — the honest answer under heavy censoring).  Returns
+    ``(segment, median_duration, min_survival, n_times)`` ordered by
+    segment."""
+    km = _km_grouped_curve(df, duration_col, event_col, segment_col)
+    return (
+        km.groupBy(F.col("seg").alias("segment"))
+        .agg(
+            F.min(
+                F.when(
+                    F.col("survival") <= 0.5, F.col("duration")
+                )
+            ).alias("median_duration"),
+            F.min("survival").alias("min_survival"),
+            F.count(F.lit(1)).alias("n_times"),
+        )
+        .orderBy("segment")
+    )
+
+
+def weibull_fit_grouped(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    segment_col: str,
+) -> DataFrame:
+    """Per-segment Weibull probability-plot fits (Nelson 1982) —
+    :func:`weibull_fit`'s linearized-KM OLS with the regression
+    moments grouped by segment: one scan fits every stratum's
+    ``(shape, scale)``.  Segments with fewer than 2 usable points or a
+    degenerate x-variance report NULL estimates (fit undefined).
+    Micro-unit-quantized term sums keep the estimates bit-identical
+    across engines.  Returns ``(segment, shape, scale, n_points)``
+    ordered by segment."""
+    km = _km_grouped_curve(df, duration_col, event_col, segment_col)
+    pts = km.where(
+        (F.col("survival") > 0.0)
+        & (F.col("survival") < 1.0)
+        & (F.col("duration") > 0)
+    ).select(
+        "seg",
+        F.log(F.col("duration").cast("double")).alias("x"),
+        F.log(-F.log(F.col("survival"))).alias("y"),
+    )
+    u6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("bigint")  # noqa: E731
+    fit = pts.groupBy(F.col("seg").alias("segment")).agg(
+        F.count(F.lit(1)).alias("m"),
+        (F.sum(u6(F.col("x"))) / F.lit(1e6)).alias("sx"),
+        (F.sum(u6(F.col("y"))) / F.lit(1e6)).alias("sy"),
+        (F.sum(u6(F.col("x") * F.col("x"))) / F.lit(1e6)).alias("sxx"),
+        (F.sum(u6(F.col("x") * F.col("y"))) / F.lit(1e6)).alias("sxy"),
+    )
+    den = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    k = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")) / den
+    ok = (F.col("m") >= 2) & (den != 0.0)
+    return fit.select(
+        "segment",
+        F.when(ok, k).alias("shape"),
+        F.when(
+            ok, F.exp(-((F.col("sy") - k * F.col("sx")) / F.col("m")) / k)
+        ).alias("scale"),
+        F.col("m").cast("bigint").alias("n_points"),
+    ).orderBy("segment")
+
+
+def restricted_mean_survival_grouped(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    segment_col: str,
+    *,
+    tau: float,
+) -> DataFrame:
+    """Per-segment restricted mean survival time (Royston & Parmar
+    2013) — :func:`restricted_mean_survival` with every window
+    partitioned by segment, so one scan yields each stratum's KM area
+    on [0, tau].  Returns ``(segment, rmst, tau, n_times)`` ordered by
+    segment."""
+    km = _km_grouped_curve(df, duration_col, event_col, segment_col).where(
+        F.col("duration").cast("double") <= F.lit(tau)
     )
     w = Window.partitionBy("seg").orderBy("duration")
     seg = km.select(

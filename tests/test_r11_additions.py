@@ -191,6 +191,58 @@ class TestGroupedSurvival:
             assert got[seg]["rmst"] == pytest.approx(solo["rmst"], abs=1e-9)
             assert got[seg]["n_times"] == solo["n_times"]
 
+    def test_km_median_grouped(self, spark):
+        from gofast_spark.stats.survival import km_median_grouped
+
+        # segment 'fast': all fail at t=1,2 (no censoring) -> median 1
+        # (S(1) = 0.5 <= 0.5); segment 'censored': one early event then
+        # censoring only -> curve stays at ~0.9 -> NULL median
+        rows = [("fast", 1, 1)] * 5 + [("fast", 2, 1)] * 5
+        rows += [("censored", 1, 1)] + [("censored", t, 0)
+                                        for t in range(2, 11)]
+        df = spark.createDataFrame(rows, "seg string, dur bigint, ev int")
+        got = {
+            r["segment"]: r
+            for r in km_median_grouped(df, "dur", "ev", "seg").collect()
+        }
+        assert got["fast"]["median_duration"] == 1
+        assert got["censored"]["median_duration"] is None
+        assert got["censored"]["min_survival"] == pytest.approx(0.9, abs=1e-9)
+
+    def test_weibull_grouped_matches_ungrouped(self, spark):
+        from gofast_spark.stats.survival import (
+            weibull_fit,
+            weibull_fit_grouped,
+        )
+
+        df = self._surv_df(spark)
+        got = {
+            r["segment"]: r
+            for r in weibull_fit_grouped(df, "dur", "ev", "seg").collect()
+        }
+        for seg in ("a", "b"):
+            solo = weibull_fit(
+                df.where(F.col("seg") == seg), "dur", "ev"
+            ).collect()[0]
+            assert got[seg]["shape"] == solo["shape"]
+            assert got[seg]["scale"] == solo["scale"]
+            assert got[seg]["n_points"] == solo["n_points"]
+
+    def test_weibull_grouped_degenerate_segment_is_null(self, spark):
+        from gofast_spark.stats.survival import weibull_fit_grouped
+
+        # a segment with a single usable point: fit undefined -> NULLs
+        rows = [("one", 5, 1)] * 3 + [("one", 9, 0)] * 3
+        rows += [("ok", t, 1) for t in (1, 2, 3, 4, 5)] * 4
+        df = spark.createDataFrame(rows, "seg string, dur bigint, ev int")
+        got = {
+            r["segment"]: r
+            for r in weibull_fit_grouped(df, "dur", "ev", "seg").collect()
+        }
+        assert got["one"]["shape"] is None
+        assert got["one"]["scale"] is None
+        assert got["ok"]["shape"] is not None
+
     def test_aalen_johansen_decomposition(self, spark):
         """CIF_1 + CIF_2 + S(t) = 1 at every event time (the defining
         identity competing-risks estimators must satisfy; a per-cause
