@@ -110,6 +110,14 @@ HEADLINE = [
     "elastic_net_cd_lineitem",
     "ab_experiment_report_events",
     "engle_granger_daily",
+    # round 11 breadth: sequential search, grouped survival,
+    # per-source drift, info theory
+    "smbo_ridge_lineitem",
+    "successive_halving_ridge_lineitem",
+    "cox_ph_by_segment_events",
+    "psi_by_source_documents",
+    "ks_drift_by_type_events",
+    "mutual_info_events",
 ]
 
 
