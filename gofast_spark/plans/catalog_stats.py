@@ -3446,3 +3446,310 @@ def theils_u_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entropy_report(e, "x", "y").select(
         "n", "mi_u6", "hx_u6", "theil_u_xy"
     )
+
+
+_A2_GBAR = "(CAST(ss AS DOUBLE) / 1000000.0 / CAST(nn AS DOUBLE))"
+_A2_DA = (f"(CAST(s_a AS DOUBLE) / 1000000.0 / CAST(n_a AS DOUBLE)"
+          f" - {_A2_GBAR})")
+_A2_DB = (f"(CAST(s_b AS DOUBLE) / 1000000.0 / CAST(n_b AS DOUBLE)"
+          f" - {_A2_GBAR})")
+_A2_DC = (f"(CAST(s AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE)"
+          f" - {_A2_GBAR})")
+
+
+@query(
+    "anova_two_way_events",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_type AS a, CAST(day(ts) % 7 AS INT) AS b,
+             CAST(value AS DOUBLE) AS v
+      FROM events
+      WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        AND value IS NOT NULL),
+    cells AS (
+      SELECT a, b, count(*) AS n,
+             sum(CAST(floor(v * 1000000.0 + 0.5) AS BIGINT)) AS s,
+             sum(CAST(floor(v * v * 1000000.0 + 0.5) AS BIGINT)) AS qq
+      FROM d GROUP BY 1, 2),
+    m AS (
+      SELECT a, b, n, s, qq,
+             sum(n) OVER (PARTITION BY a) AS n_a,
+             sum(s) OVER (PARTITION BY a) AS s_a,
+             sum(n) OVER (PARTITION BY b) AS n_b,
+             sum(s) OVER (PARTITION BY b) AS s_b,
+             sum(n) OVER () AS nn, sum(s) OVER () AS ss,
+             sum(qq) OVER () AS qt,
+             count(*) OVER (PARTITION BY a) AS nc_a,
+             count(*) OVER (PARTITION BY b) AS nc_b
+      FROM cells),
+    terms AS (
+      SELECT nn, qt, ss,
+             CAST(floor(CAST(n_a AS DOUBLE) * {_A2_DA} * {_A2_DA}
+               / CAST(nc_a AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS t_a,
+             CAST(floor(CAST(n_b AS DOUBLE) * {_A2_DB} * {_A2_DB}
+               / CAST(nc_b AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS t_b,
+             CAST(floor(CAST(n AS DOUBLE) * {_A2_DC} * {_A2_DC}
+               * 1000000.0 + 0.5) AS BIGINT) AS t_c
+      FROM m),
+    agg AS (
+      SELECT max(nn) AS nn, max(qt) AS qt, max(ss) AS ss,
+             sum(t_a) AS sa_u, sum(t_b) AS sb_u, sum(t_c) AS sc_u
+      FROM terms),
+    lv AS (SELECT count(DISTINCT a) AS la, count(DISTINCT b) AS lb
+           FROM cells),
+    fin AS (
+      SELECT CAST(nn AS BIGINT) AS n,
+             CAST(la - 1 AS BIGINT) AS df_a,
+             CAST(lb - 1 AS BIGINT) AS df_b,
+             CAST((la - 1) * (lb - 1) AS BIGINT) AS df_ab,
+             CAST(nn - la * lb AS BIGINT) AS df_err,
+             CAST(sa_u AS DOUBLE) / 1000000.0 AS ss_a,
+             CAST(sb_u AS DOUBLE) / 1000000.0 AS ss_b,
+             CAST(sc_u AS DOUBLE) / 1000000.0
+               - CAST(sa_u AS DOUBLE) / 1000000.0
+               - CAST(sb_u AS DOUBLE) / 1000000.0 AS ss_ab,
+             CAST(qt AS DOUBLE) / 1000000.0
+               - CAST(nn AS DOUBLE)
+                 * (CAST(ss AS DOUBLE) / 1000000.0 / CAST(nn AS DOUBLE))
+                 * (CAST(ss AS DOUBLE) / 1000000.0 / CAST(nn AS DOUBLE))
+               - CAST(sc_u AS DOUBLE) / 1000000.0 AS ss_err
+      FROM agg, lv)
+    SELECT n, df_a, df_b, df_ab, df_err, ss_a, ss_b, ss_ab, ss_err,
+           ss_a / CAST(df_a AS DOUBLE)
+             / (ss_err / CAST(df_err AS DOUBLE)) AS f_a,
+           ss_b / CAST(df_b AS DOUBLE)
+             / (ss_err / CAST(df_err AS DOUBLE)) AS f_b,
+           ss_ab / CAST(df_ab AS DOUBLE)
+             / (ss_err / CAST(df_err AS DOUBLE)) AS f_ab
+    FROM fin
+    """,
+)
+def anova_two_way_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-way factorial ANOVA with interaction: event value by
+    event_type x day-of-month-mod-7 (stats/inferential.py
+    anova_two_way; Scheffe 1959; the reference's ANOVA is the one-way
+    statistical_tests dispatch, gofast/stats/inferential.py:97 — this
+    adds the factorial decomposition).  One (a, b) cell aggregate with
+    decimal-widened micro-unit moments, window margins, and per-term
+    quantized SS sums — all twelve outputs deterministic, presented
+    unrounded."""
+    from gofast_spark.stats.inferential import anova_two_way
+
+    e = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    ).select(
+        F.col("event_type").alias("a"),
+        F.expr("CAST(day(ts) % 7 AS INT)").alias("b"),
+        "value",
+    )
+    return anova_two_way(e, "a", "b", "value")
+
+
+@query(
+    "welch_anova_events",
+    oracle="""
+    WITH per_g AS (
+      SELECT event_type AS g, count(*) AS n_g,
+             sum(CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5)
+                 AS BIGINT)) AS s_g,
+             sum(CAST(floor(CAST(value AS DOUBLE) * CAST(value AS DOUBLE)
+                 * 1000000.0 + 0.5) AS BIGINT)) AS q_g
+      FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1),
+    st AS (
+      SELECT g, n_g,
+             CAST(n_g AS DOUBLE)
+               / ((CAST(q_g AS DOUBLE) / 1000000.0
+                   - CAST(n_g AS DOUBLE)
+                     * (CAST(s_g AS DOUBLE) / 1000000.0
+                        / CAST(n_g AS DOUBLE))
+                     * (CAST(s_g AS DOUBLE) / 1000000.0
+                        / CAST(n_g AS DOUBLE)))
+                  / (CAST(n_g AS DOUBLE) - 1.0)) AS w,
+             CAST(s_g AS DOUBLE) / 1000000.0 / CAST(n_g AS DOUBLE) AS mu
+      FROM per_g),
+    m AS (
+      SELECT n_g, w, mu,
+             sum(CAST(floor(w * 1000000.0 + 0.5) AS BIGINT)) OVER ()
+               AS ww_u,
+             sum(CAST(floor(w * mu * 1000000.0 + 0.5) AS BIGINT)) OVER ()
+               AS wm_u,
+             count(*) OVER () AS k, sum(n_g) OVER () AS nn
+      FROM st),
+    t AS (
+      SELECT k, nn,
+             CAST(floor(w * (mu - CAST(wm_u AS DOUBLE) / 1000000.0
+                              / (CAST(ww_u AS DOUBLE) / 1000000.0))
+                          * (mu - CAST(wm_u AS DOUBLE) / 1000000.0
+                              / (CAST(ww_u AS DOUBLE) / 1000000.0))
+                        * 1000000.0 + 0.5) AS BIGINT) AS au,
+             CAST(floor((1.0 - w / (CAST(ww_u AS DOUBLE) / 1000000.0))
+                        * (1.0 - w / (CAST(ww_u AS DOUBLE) / 1000000.0))
+                        / (CAST(n_g AS DOUBLE) - 1.0)
+                        * 1000000.0 + 0.5) AS BIGINT) AS bu
+      FROM m),
+    agg AS (
+      SELECT max(k) AS k, max(nn) AS nn, sum(au) AS sa, sum(bu) AS sb
+      FROM t)
+    SELECT (CAST(sa AS DOUBLE) / 1000000.0 / (CAST(k AS DOUBLE) - 1.0))
+             / (1.0 + (2.0 * (CAST(k AS DOUBLE) - 2.0)
+                       / (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0))
+                      * (CAST(sb AS DOUBLE) / 1000000.0)) AS f_stat,
+           CAST(k - 1 AS BIGINT) AS df1,
+           (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0)
+             / (3.0 * (CAST(sb AS DOUBLE) / 1000000.0)) AS df2,
+           CAST(k AS BIGINT) AS k,
+           CAST(nn AS BIGINT) AS n
+    FROM agg
+    """,
+)
+def welch_anova_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's heteroskedastic one-way ANOVA across event types
+    (stats/inferential.py welch_anova; Welch, Biometrika 1951) — the
+    unequal-variances F* next to the pooled anova_events (green r1):
+    per-group micro-unit-exact moments from ONE groupBy, k-sized
+    reductions with quantized summands, F*/df2 deterministic and
+    presented unrounded."""
+    from gofast_spark.stats.inferential import welch_anova
+
+    e = _t(spark, sf_dir, "events")
+    return welch_anova(e, "value", "event_type")
+
+
+def _bp_oracle() -> str:
+    """Both OLS passes replayed: main-fit Cramer w, residual squares,
+    auxiliary-fit R^2 in the exact driver expression order of
+    ml/regression.fit_linear_regression."""
+    A = [["a00", "a01", "a02"], ["a01", "a11", "a12"], ["a02", "a12", "a22"]]
+    bb = ["b0", "b1", "b2"]
+    det = _det3_sql(A)
+    ws = []
+    for j in range(3):
+        Aj = [[bb[i] if c == j else A[i][c] for c in range(3)]
+              for i in range(3)]
+        ws.append(f"({_det3_sql(Aj)}) / ({det})")
+    # flat row-major quadratic form, mirroring the python generator
+    quad = " + ".join(
+        f"w{i} * {A[i][j]} * w{j}" for i in range(3) for j in range(3)
+    )
+    moments = """
+      SELECT CAST(count(*) AS DOUBLE) AS a00,
+             sum(x1) AS a01, sum(x2) AS a02,
+             sum(x1 * x1) AS a11, sum(x1 * x2) AS a12,
+             sum(x2 * x2) AS a22,
+             sum(y) AS b0, sum(x1 * y) AS b1, sum(x2 * y) AS b2,
+             sum(y * y) AS yy, count(*) AS n"""
+    return f"""
+    WITH d0 AS (
+      SELECT CAST(l_quantity AS DOUBLE) AS x1,
+             CAST(l_discount AS DOUBLE) AS x2,
+             CAST(l_extendedprice AS DOUBLE) AS y
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+        AND l_extendedprice IS NOT NULL),
+    m1 AS ({moments} FROM d0),
+    w1 AS (SELECT {ws[0]} AS w0, {ws[1]} AS w1, {ws[2]} AS w2 FROM m1),
+    d1 AS (
+      SELECT x1, x2, y - (w0 + w1 * x1 + w2 * x2) AS e
+      FROM d0, w1),
+    d2 AS (SELECT x1, x2, e * e AS y FROM d1),
+    m2 AS ({moments} FROM d2),
+    w2c AS (SELECT {ws[0]} AS w0, {ws[1]} AS w1, {ws[2]} AS w2,
+                   a00, a01, a02, a11, a12, a22, b0, b1, b2, yy, n
+            FROM m2),
+    fin AS (
+      SELECT n,
+             1.0 - (yy - 2.0 * (w0 * b0 + w1 * b1 + w2 * b2) + ({quad}))
+                   / (yy - b0 * b0 / n) AS r2
+      FROM w2c)
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(round(r2, 6) AS DOUBLE) AS r2_aux,
+           CAST(round(n * r2, 4) AS DOUBLE) AS lm_stat,
+           CAST(2 AS INT) AS dof
+    FROM fin
+    """
+
+
+@query("breusch_pagan_lineitem", oracle=_bp_oracle())
+def breusch_pagan_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breusch-Pagan heteroskedasticity test, Koenker's studentized
+    LM = n * R^2_aux form (stats/inferential.py breusch_pagan; Breusch
+    & Pagan 1979, Koenker 1981; completes the regression-diagnostics
+    family next to durbin_watson/jarque_bera/cooks_distance): the
+    residual-variance regression of extendedprice ~ quantity +
+    discount — two single-aggregate passes, both Cramer chains
+    replayed verbatim by the oracle."""
+    from gofast_spark.stats.inferential import breusch_pagan
+
+    li = _t(spark, sf_dir, "lineitem")
+    return breusch_pagan(
+        li, ["l_quantity", "l_discount"], "l_extendedprice"
+    )
+
+
+@query(
+    "ks_normal_acctbal",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(c_acctbal AS DOUBLE) AS v
+      FROM customer WHERE c_acctbal IS NOT NULL),
+    s AS (SELECT avg(v) AS mu, stddev_pop(v) AS sd FROM d),
+    per_v AS (SELECT v, count(*) AS c FROM d GROUP BY v),
+    cum AS (
+      SELECT v, c,
+             sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS cum,
+             sum(c) OVER () AS nn
+      FROM per_v),
+    z AS (
+      SELECT v, cum, cum - c AS cum_prev, nn,
+             (v - mu) / (sd * sqrt(2.0)) AS zz
+      FROM cum, s),
+    e AS (SELECT *, 1.0 / (1.0 + 0.3275911 * abs(zz)) AS t FROM z),
+    ph AS (
+      SELECT cum, cum_prev, nn,
+             CASE WHEN zz >= 0
+                  THEN 0.5 * (1.0 + (1.0 - (t * (0.254829592
+                    + t * (-0.284496736 + t * (1.421413741
+                    + t * (-1.453152027 + t * 1.061405429)))))
+                    * exp(-abs(zz) * abs(zz))))
+                  ELSE 1.0 - 0.5 * (1.0 + (1.0 - (t * (0.254829592
+                    + t * (-0.284496736 + t * (1.421413741
+                    + t * (-1.453152027 + t * 1.061405429)))))
+                    * exp(-abs(zz) * abs(zz))))
+             END AS phi
+      FROM e),
+    gaps AS (
+      SELECT nn,
+             CAST(floor((CAST(cum AS DOUBLE) / CAST(nn AS DOUBLE) - phi)
+               * 1000000.0 + 0.5) AS BIGINT) AS dp_u,
+             CAST(floor((phi - CAST(cum_prev AS DOUBLE)
+               / CAST(nn AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS dm_u
+      FROM ph),
+    agg AS (
+      SELECT CAST(max(nn) AS BIGINT) AS n, max(dp_u) AS d_plus_u6,
+             max(dm_u) AS d_minus_u6
+      FROM gaps)
+    SELECT n,
+           (SELECT CAST(round(mu, 6) AS DOUBLE) FROM s) AS mu,
+           (SELECT CAST(round(sd, 6) AS DOUBLE) FROM s) AS sd,
+           d_plus_u6, d_minus_u6,
+           greatest(d_plus_u6, d_minus_u6) AS d_u6
+    FROM agg
+    """,
+)
+def ks_normal_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sample Kolmogorov-Smirnov test of account balances against
+    the fitted normal (stats/inferential.py ks_normal_test;
+    Kolmogorov 1933, Lilliefors plug-in of sample mu/sd; the
+    reference's kolmogorov_smirnov_test is the two-sample scipy wrap,
+    gofast/stats/inferential.py:1173 — this adds the one-sample
+    goodness-of-fit form): ECDF-vs-Phi sups over the distinct-value
+    table with the shared Abramowitz-Stegun erf polynomial, per-value
+    gaps quantized so the sup is an integer max."""
+    from gofast_spark.stats.inferential import ks_normal_test
+
+    return ks_normal_test(_t(spark, sf_dir, "customer"), "c_acctbal")

@@ -1040,3 +1040,320 @@ def grubbs_test(
         (F.col("__sd_u") / F.lit(units)).alias("sd"),
         F.col("__n").cast("bigint").alias("n"),
     )
+
+
+def anova_two_way(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    value_col: str,
+    *,
+    unit: int = 1_000_000,
+) -> DataFrame:
+    """Two-way ANOVA with interaction (the classic weighted
+    sums-of-squares decomposition, Scheffe, *The Analysis of
+    Variance*, 1959; the reference's ANOVA surface is the one-way
+    ``statistical_tests`` dispatch, gofast/stats/inferential.py —
+    this completes the factorial form):
+
+        SS_A     = sum_a n_a (ybar_a - ybar)^2
+        SS_B     = sum_b n_b (ybar_b - ybar)^2
+        SS_cells = sum_ab n_ab (ybar_ab - ybar)^2
+        SS_AB    = SS_cells - SS_A - SS_B
+        SS_E     = SS_T - SS_cells
+
+    with F ratios against the within-cell mean square.  ONE scan: the
+    (a, b) cell aggregate carries micro-unit-exact value and
+    value-squared sums, every margin is an integer re-aggregate of
+    the cell table, and each SS is a sum of per-cell/per-level terms
+    quantized to ``1/unit`` before an integer sum — deterministic in
+    any engine.  Returns ONE row: ``(n, df_a, df_b, df_ab, df_err,
+    ss_a, ss_b, ss_ab, ss_err, f_a, f_b, f_ab)``."""
+    a, b = F.col(a_col), F.col(b_col)
+    v = F.col(value_col).cast("double")
+
+    def q(x):
+        return F.floor(x * F.lit(float(unit)) + F.lit(0.5)).cast("bigint")
+
+    cells = (
+        df.where(a.isNotNull() & b.isNotNull() & v.isNotNull())
+        .groupBy(a.alias("a"), b.alias("b"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal-widened integer sums (exact to ~1e28 — the
+            # v^2 micro-units would overflow int64 near 4e7 rows)
+            F.sum(q(v).cast("decimal(18,0)")).alias("s"),
+            F.sum(q(v * v).cast("decimal(18,0)")).alias("qq"),
+        )
+    )
+    wa = Window.partitionBy("a")
+    wb = Window.partitionBy("b")
+    w_all = Window.partitionBy()
+    m = cells.select(
+        "a", "b", "n", "s", "qq",
+        F.sum("n").over(wa).alias("n_a"),
+        F.sum("s").over(wa).alias("s_a"),
+        F.sum("n").over(wb).alias("n_b"),
+        F.sum("s").over(wb).alias("s_b"),
+        F.sum("n").over(w_all).alias("nn"),
+        F.sum("s").over(w_all).alias("ss"),
+        F.sum("qq").over(w_all).alias("qt"),
+    )
+    u = F.lit(float(unit))
+    gbar = F.col("ss").cast("double") / u / F.col("nn").cast("double")
+
+    def mean(s_col, n_col):
+        return F.col(s_col).cast("double") / u / F.col(n_col).cast("double")
+
+    da = mean("s_a", "n_a") - gbar
+    db_ = mean("s_b", "n_b") - gbar
+    dc = mean("s", "n") - gbar
+    # per-cell terms; A/B level terms are divided by the level's cell
+    # count so summing them over CELLS equals summing once per level
+    n_cells_a = F.count(F.lit(1)).over(wa)
+    n_cells_b = F.count(F.lit(1)).over(wb)
+    terms = m.select(
+        "nn", "qt", "ss",
+        F.count(F.lit(1)).over(w_all).alias("n_cells"),
+        q(F.col("n_a").cast("double") * da * da
+          / n_cells_a.cast("double")).alias("t_a"),
+        q(F.col("n_b").cast("double") * db_ * db_
+          / n_cells_b.cast("double")).alias("t_b"),
+        q(F.col("n").cast("double") * dc * dc).alias("t_c"),
+    )
+    agg = terms.agg(
+        F.max("nn").alias("nn"),
+        F.max("qt").alias("qt"),
+        F.max("ss").alias("ss"),
+        F.max("n_cells").alias("n_cells"),
+        F.sum("t_a").alias("sa_u"),
+        F.sum("t_b").alias("sb_u"),
+        F.sum("t_c").alias("sc_u"),
+    )
+    # level counts from the cell table (exact, tiny)
+    n_lv = cells.agg(
+        F.countDistinct("a").alias("la"), F.countDistinct("b").alias("lb")
+    )
+    j = agg.crossJoin(F.broadcast(n_lv))
+    nn = F.col("nn").cast("double")
+    ss_t = F.col("qt").cast("double") / u - nn * (
+        F.col("ss").cast("double") / u / nn
+    ) * (F.col("ss").cast("double") / u / nn)
+    ss_a = F.col("sa_u").cast("double") / u
+    ss_b = F.col("sb_u").cast("double") / u
+    ss_cells = F.col("sc_u").cast("double") / u
+    ss_ab = ss_cells - ss_a - ss_b
+    ss_e = ss_t - ss_cells
+    df_a = (F.col("la") - 1).cast("bigint")
+    df_b = (F.col("lb") - 1).cast("bigint")
+    df_ab = ((F.col("la") - 1) * (F.col("lb") - 1)).cast("bigint")
+    df_e = (F.col("nn") - F.col("la") * F.col("lb")).cast("bigint")
+    mse = ss_e / df_e.cast("double")
+    return j.select(
+        F.col("nn").cast("bigint").alias("n"),
+        df_a.alias("df_a"),
+        df_b.alias("df_b"),
+        df_ab.alias("df_ab"),
+        df_e.alias("df_err"),
+        ss_a.alias("ss_a"),
+        ss_b.alias("ss_b"),
+        ss_ab.alias("ss_ab"),
+        ss_e.alias("ss_err"),
+        (ss_a / df_a.cast("double") / mse).alias("f_a"),
+        (ss_b / df_b.cast("double") / mse).alias("f_b"),
+        (ss_ab / df_ab.cast("double") / mse).alias("f_ab"),
+    )
+
+
+def welch_anova(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    *,
+    unit: int = 1_000_000,
+) -> DataFrame:
+    """Welch's heteroskedastic one-way ANOVA (Welch, Biometrika 1951)
+    — the unequal-variances F* the classic pooled ANOVA
+    (:func:`anova_test`, green r1) gets wrong when group variances
+    differ:
+
+        w_g   = n_g / s^2_g,            W = sum w_g
+        ybar* = sum w_g ybar_g / W
+        A     = sum w_g (ybar_g - ybar*)^2 / (k - 1)
+        B     = 1 + (2 (k-2) / (k^2 - 1)) * sum (1 - w_g/W)^2 / (n_g - 1)
+        F*    = A / B,   df1 = k - 1,
+        df2   = (k^2 - 1) / (3 * sum (1 - w_g/W)^2 / (n_g - 1))
+
+    One groupBy pass: per-group micro-unit-exact value and
+    value-squared sums (decimal-widened) make n, mean, and variance
+    deterministic integers/ratios; the k-sized reductions quantize
+    each summand to ``1/unit`` before integer sums, so F* and df2
+    replay bit-for-bit.  Returns ONE row ``(f_stat, df1, df2, k,
+    n)``."""
+    g, v = F.col(group_col), F.col(value_col).cast("double")
+
+    def q(x):
+        return F.floor(x * F.lit(float(unit)) + F.lit(0.5)).cast("bigint")
+
+    per_g = (
+        df.where(g.isNotNull() & v.isNotNull())
+        .groupBy(g.alias("g"))
+        .agg(
+            F.count(F.lit(1)).alias("n_g"),
+            F.sum(q(v).cast("decimal(18,0)")).alias("s_g"),
+            F.sum(q(v * v).cast("decimal(18,0)")).alias("q_g"),
+        )
+    )
+    u = F.lit(float(unit))
+    n = F.col("n_g").cast("double")
+    mean = F.col("s_g").cast("double") / u / n
+    # sample variance from exact integer moments
+    var = (F.col("q_g").cast("double") / u - n * mean * mean) / (
+        n - F.lit(1.0)
+    )
+    w = n / var
+    stage = per_g.select(
+        "g", "n_g",
+        w.alias("w"),
+        mean.alias("mu"),
+    )
+    w_all = Window.partitionBy()
+    m = stage.select(
+        "n_g", "w", "mu",
+        F.sum(q(F.col("w"))).over(w_all).alias("ww_u"),
+        F.sum(q(F.col("w") * F.col("mu"))).over(w_all).alias("wm_u"),
+        F.count(F.lit(1)).over(w_all).alias("k"),
+        F.sum("n_g").over(w_all).alias("nn"),
+    )
+    big_w = F.col("ww_u").cast("double") / u
+    ystar = F.col("wm_u").cast("double") / u / big_w
+    a_term = q(F.col("w") * (F.col("mu") - ystar) * (F.col("mu") - ystar))
+    h = F.lit(1.0) - F.col("w") / big_w
+    b_term = q(h * h / (F.col("n_g").cast("double") - F.lit(1.0)))
+    agg = m.select(
+        "k", "nn", a_term.alias("au"), b_term.alias("bu")
+    ).agg(
+        F.max("k").alias("k"),
+        F.max("nn").alias("nn"),
+        F.sum("au").alias("sa"),
+        F.sum("bu").alias("sb"),
+    )
+    k = F.col("k").cast("double")
+    hsum = F.col("sb").cast("double") / u
+    a = F.col("sa").cast("double") / u / (k - F.lit(1.0))
+    b = F.lit(1.0) + (
+        F.lit(2.0) * (k - F.lit(2.0)) / (k * k - F.lit(1.0))
+    ) * hsum
+    return agg.select(
+        (a / b).alias("f_stat"),
+        (F.col("k") - 1).cast("bigint").alias("df1"),
+        ((k * k - F.lit(1.0)) / (F.lit(3.0) * hsum)).alias("df2"),
+        F.col("k").cast("bigint").alias("k"),
+        F.col("nn").cast("bigint").alias("n"),
+    )
+
+
+def breusch_pagan(
+    df: DataFrame,
+    feature_cols: "list[str]",
+    label_col: str,
+) -> DataFrame:
+    """Breusch-Pagan heteroskedasticity test, studentized (Koenker)
+    form (Breusch & Pagan, Econometrica 1979; Koenker, J. Econometrics
+    1981): fit OLS, regress the SQUARED residuals on the same
+    regressors, and report ``LM = n * R^2_aux`` (chi-square with p
+    degrees of freedom under homoskedasticity).
+
+    Two relational passes, both single aggregates: the main-fit Gram
+    moments (fixed-order Cramer solve, ml/regression discipline), then
+    the auxiliary moments of ``e^2`` with the coefficients embedded as
+    exact double literals.  Returns ONE row ``(n, r2_aux, lm_stat,
+    dof)`` with r2/LM presentation-rounded (the raw moment sums carry
+    partition-order float noise, absorbed at 6/4 decimals — the same
+    tolerance class as every regression entry)."""
+    from gofast_spark.ml.regression import (
+        fit_linear_regression,
+        predict_linear,
+    )
+
+    feats = list(feature_cols)
+    if len(feats) != 2:
+        raise ValueError("breusch_pagan supports exactly 2 features")
+    cond = F.col(label_col).isNotNull()
+    for c in feats:
+        cond = cond & F.col(c).isNotNull()
+    d = df.where(cond)
+    fit = fit_linear_regression(d, feats, label_col, solver="cramer")
+    scored = predict_linear(d, fit, feats, out_col="__pred")
+    e = F.col(label_col).cast("double") - F.col("__pred")
+    d2 = scored.select(*feats, (e * e).alias("__e2"))
+    aux = fit_linear_regression(d2, feats, "__e2", solver="cramer")
+    lm = aux["n"] * aux["r2"]
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(aux["n"], round(aux["r2"], 6), round(lm, 4), len(feats))],
+        "n bigint, r2_aux double, lm_stat double, dof int",
+    )
+
+
+def ks_normal_test(
+    df: DataFrame,
+    value_col: str,
+    *,
+    unit: int = 1_000_000,
+) -> DataFrame:
+    """One-sample Kolmogorov-Smirnov test against the fitted normal
+    (Kolmogorov 1933; Lilliefors-style plug-in of the sample mean/sd —
+    the distributional companion of the two-sample ks_test): over the
+    distinct-value table,
+
+        D+ = max_v ( ECDF(v)      - Phi(z_v) )
+        D- = max_v ( Phi(z_v) - ECDF_prev(v) )
+        D  = max(D+, D-)
+
+    with ``Phi`` the Abramowitz-Stegun erf polynomial shared with
+    ``stats.probs.normal_cdf`` — replayed coefficient-for-coefficient
+    by the oracle.  One distinct-value groupBy + one cumulative
+    window; the per-value gaps are quantized to ``1/unit`` and the
+    final sup is an INTEGER max (deterministic).  Returns ONE row
+    ``(n, mu, sd, d_plus_u6, d_minus_u6, d_u6)`` with mu/sd rounded
+    to 6 decimals."""
+    from gofast_spark.stats.probs import normal_cdf
+
+    v = F.col(value_col).cast("double")
+    d = df.where(v.isNotNull()).select(v.alias("v"))
+    mu, sd = d.agg(F.avg("v"), F.stddev_pop("v")).first()
+    mu, sd = float(mu), float(sd)
+    per_v = d.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    cum = per_v.select(
+        "v",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(tot).alias("nn"),
+        (F.sum("c").over(w_cum) - F.col("c")).alias("cum_prev"),
+    )
+    phi = normal_cdf(F.col("v"), mu=mu, sigma=sd)
+    nn = F.col("nn").cast("double")
+
+    def q(x):
+        return F.floor(x * F.lit(float(unit)) + F.lit(0.5)).cast("bigint")
+
+    gaps = cum.select(
+        "nn",
+        q(F.col("cum").cast("double") / nn - phi).alias("dp_u"),
+        q(phi - F.col("cum_prev").cast("double") / nn).alias("dm_u"),
+    )
+    agg = gaps.agg(
+        F.max("nn").cast("bigint").alias("n"),
+        F.max("dp_u").alias("d_plus_u6"),
+        F.max("dm_u").alias("d_minus_u6"),
+    )
+    return agg.select(
+        "n",
+        F.round(F.lit(mu), 6).cast("double").alias("mu"),
+        F.round(F.lit(sd), 6).cast("double").alias("sd"),
+        "d_plus_u6",
+        "d_minus_u6",
+        F.greatest(F.col("d_plus_u6"), F.col("d_minus_u6")).alias("d_u6"),
+    )

@@ -618,6 +618,108 @@ class TestNonBindingCapPlanEquality:
         assert a == b
 
 
+class TestWelchAnova:
+    def test_matches_hand_computed(self, spark):
+        from gofast_spark.stats.inferential import welch_anova
+
+        rows = (
+            [("a", float(v)) for v in (1, 2, 3, 4, 5)] * 4
+            + [("b", float(v)) for v in (11, 13, 15, 17, 19)] * 4
+            + [("c", float(v)) for v in (2, 4, 6, 8, 10)] * 4
+        )
+        df = spark.createDataFrame(rows, "g string, x double")
+        r = welch_anova(df, "x", "g").collect()[0]
+        # pure-python Welch on the same data
+        import statistics as st
+
+        groups = {}
+        for g, x in rows:
+            groups.setdefault(g, []).append(x)
+        w, mu = {}, {}
+        for g, xs in groups.items():
+            mu[g] = sum(xs) / len(xs)
+            w[g] = len(xs) / st.variance(xs)
+        W = sum(w.values())
+        ystar = sum(w[g] * mu[g] for g in groups) / W
+        k = len(groups)
+        A = sum(w[g] * (mu[g] - ystar) ** 2 for g in groups) / (k - 1)
+        hsum = sum(
+            (1 - w[g] / W) ** 2 / (len(groups[g]) - 1) for g in groups
+        )
+        B = 1 + (2 * (k - 2) / (k * k - 1)) * hsum
+        assert r["f_stat"] == pytest.approx(A / B, rel=1e-4)
+        assert r["df1"] == 2
+        assert r["df2"] == pytest.approx((k * k - 1) / (3 * hsum), rel=1e-4)
+        assert r["n"] == 60 and r["k"] == 3
+
+
+class TestAnovaTwoWay:
+    def test_balanced_design_decomposition(self, spark):
+        from gofast_spark.stats.inferential import anova_two_way
+
+        # y = 2*a + 3*b + noise-free interaction 0: SS_AB ~ 0
+        rows = []
+        for a in range(3):
+            for b in range(4):
+                for rep in range(5):
+                    rows.append((a, b, float(2 * a + 3 * b + rep)))
+        df = spark.createDataFrame(rows, "a int, b int, y double")
+        r = anova_two_way(df, "a", "b", "y").collect()[0]
+        assert r["n"] == 60
+        assert (r["df_a"], r["df_b"], r["df_ab"], r["df_err"]) == (2, 3, 6, 48)
+        # additive model: interaction SS vanishes (cell mean =
+        # a-effect + b-effect exactly)
+        assert abs(r["ss_ab"]) < 1e-3
+        # known SS_A for balanced design: sum_a n_a (2a - 2)^2 = 20*(4+0+4)
+        assert r["ss_a"] == pytest.approx(160.0, abs=1e-3)
+        # rep noise 0..4 has SS 10 per cell x 12 cells
+        assert r["ss_err"] == pytest.approx(120.0, abs=1e-3)
+        assert r["f_a"] > r["f_ab"]
+
+
+class TestBreuschPagan:
+    def test_heteroskedastic_flags_high_lm(self, spark):
+        from gofast_spark.stats.inferential import breusch_pagan
+
+        # variance grows with x1: LM should be clearly positive and
+        # much larger than on the homoskedastic twin
+        het, hom = [], []
+        for i in range(800):
+            x1 = float(i % 40)
+            x2 = float((i * 7) % 11)
+            noise = ((i * 13) % 9 - 4) / 4.0  # in [-1, 1]
+            het.append((x1, x2, 1.0 + 2.0 * x1 + x2 + noise * (0.1 + x1)))
+            hom.append((x1, x2, 1.0 + 2.0 * x1 + x2 + noise * 5.0))
+        dh = spark.createDataFrame(het, "x1 double, x2 double, y double")
+        dm = spark.createDataFrame(hom, "x1 double, x2 double, y double")
+        rh = breusch_pagan(dh, ["x1", "x2"], "y").collect()[0]
+        rm = breusch_pagan(dm, ["x1", "x2"], "y").collect()[0]
+        assert rh["n"] == 800 and rh["dof"] == 2
+        assert rh["lm_stat"] > 100.0  # chi2(2) critical ~ 6; blatant
+        assert rh["lm_stat"] > 10 * max(rm["lm_stat"], 1.0)
+
+
+class TestKsNormal:
+    def test_normal_ish_beats_uniform(self, spark):
+        from gofast_spark.stats.inferential import ks_normal_test
+
+        # symmetric triangular-ish sample (closer to normal) vs a flat
+        # uniform grid: the uniform's D against its fitted normal is
+        # larger
+        tri = [(float(a + b),) for a in range(20) for b in range(20)]
+        uni = [(float(i % 40),) for i in range(400)]
+        dt = spark.createDataFrame(tri, "v double")
+        du = spark.createDataFrame(uni, "v double")
+        rt = ks_normal_test(dt, "v").collect()[0]
+        ru = ks_normal_test(du, "v").collect()[0]
+        assert rt["d_u6"] == max(rt["d_plus_u6"], rt["d_minus_u6"])
+        assert rt["n"] == 400 and ru["n"] == 400
+        assert rt["d_u6"] < ru["d_u6"]
+        # both sups are genuine probabilities in [0, 1]
+        for r in (rt, ru):
+            assert 0 <= r["d_u6"] <= 1_000_000
+
+
 class TestQualityReportEscaping:
     def test_backtick_and_quote_identifiers(self, spark):
         from gofast_spark.quality.observe import quality_report_relational
