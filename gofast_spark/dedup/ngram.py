@@ -93,3 +93,94 @@ def _pairs_from_shingles(
     return shingle_jaccard(sh, cand, id_col).where(
         F.col("jaccard") >= threshold
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    threshold: float = 0.9,
+    max_df: int | None = None,
+    eager: bool = True,
+) -> DataFrame:
+    """All document pairs with n-gram CONTAINMENT >= threshold, where
+    containment is ``|A ∩ B| / min(|A|, |B|)`` — Broder's containment
+    coefficient symmetrized to the smaller set ("On the resemblance
+    and containment of documents", SEQUENCES 1997).  Catches the
+    subset-duplicates Jaccard misses: a short document embedded
+    verbatim in a long one has low Jaccard (the union is large) but
+    containment 1.0 — the quote/boilerplate/wrapper case a training
+    -corpus dedup actually needs to catch.
+
+    Same candidate generation as :func:`ngram_jaccard_pairs`
+    (rare-shingle block join under ``max_df``), one intersection
+    verify, sizes from the same shingle frame.  Output columns:
+    ``(id_a, id_b, n_a, n_b, containment)`` with ``id_a < id_b``."""
+    sh = doc_shingles(df, id_col, text_col, k=k)
+    if eager:
+        sh = sh.persist()
+    try:
+        if max_df is not None:
+            rare = (
+                sh.groupBy("sh_hash")
+                .agg(F.count(F.lit(1)).alias("__df"))
+                .where(F.col("__df") <= max_df)
+                .select("sh_hash")
+            )
+            block = sh.join(rare, on="sh_hash", how="inner")
+        else:
+            block = sh
+        a = block.select(
+            F.col(id_col).alias("id_a"), F.col("sh_hash").alias("__h")
+        )
+        b = block.select(
+            F.col(id_col).alias("id_b"), F.col("sh_hash").alias("__h")
+        )
+        cand = (
+            a.join(b, on="__h", how="inner")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+        x = sh.select(F.col(id_col).alias("id_a"), "sh_hash")
+        y = sh.select(F.col(id_col).alias("id_b"), "sh_hash")
+        inter = (
+            cand.join(x, "id_a")
+            .join(y, ["id_b", "sh_hash"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+        out = (
+            inter.join(
+                sizes.select(
+                    F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")
+                ),
+                "id_a",
+            )
+            .join(
+                sizes.select(
+                    F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")
+                ),
+                "id_b",
+            )
+            .select(
+                "id_a",
+                "id_b",
+                F.col("n_a").cast("bigint").alias("n_a"),
+                F.col("n_b").cast("bigint").alias("n_b"),
+                (
+                    F.col("n_inter").cast("double")
+                    / F.least("n_a", "n_b").cast("double")
+                ).alias("containment"),
+            )
+            .where(F.col("containment") >= threshold)
+        )
+        if eager:
+            return out.localCheckpoint(eager=True)
+        return out
+    finally:
+        if eager:
+            sh.unpersist()

@@ -3000,3 +3000,47 @@ def chi2_tokens_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chi2_feature_selection(
         _docs(spark, sf_dir), "text", "lang", top_k=5, min_df=2
     )
+
+
+@query(
+    "ngram_containment_pairs",
+    oracle=f"""
+    WITH {_SHINGLE_CTES},
+    rare AS (SELECT h FROM shh GROUP BY h HAVING count(*) <= 64),
+    rsh AS (SELECT s.doc_id, s.h FROM shh s JOIN rare r ON s.h = r.h),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM rsh a JOIN rsh b ON a.h = b.h AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_inter
+      FROM cand c
+      JOIN shh x ON x.doc_id = c.id_a
+      JOIN shh y ON y.doc_id = c.id_b AND y.h = x.h
+      GROUP BY c.id_a, c.id_b)
+    SELECT i.id_a, i.id_b,
+           CAST(sa.n_sh AS BIGINT) AS n_a,
+           CAST(sb.n_sh AS BIGINT) AS n_b,
+           CAST(round(i.n_inter * 1.0
+                / least(sa.n_sh, sb.n_sh), 4) AS DOUBLE) AS containment
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE i.n_inter * 1.0 / least(sa.n_sh, sb.n_sh) >= 0.8
+    """,
+)
+def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subset-duplicate pairs by n-gram CONTAINMENT
+    (dedup/ngram.py ngram_containment_pairs; Broder, SEQUENCES 1997):
+    |A intersect B| / min(|A|, |B|) >= 0.8 — catches a short document
+    embedded in a long one, where Jaccard (ngram_jaccard_pairs, green
+    r5) is diluted by the large union.  Same rare-shingle candidate
+    blocking, one intersection verify."""
+    from gofast_spark.dedup.ngram import ngram_containment_pairs as pairs
+
+    d = _t(spark, sf_dir, "documents")
+    out = pairs(d, "doc_id", "text", k=3, threshold=0.8, max_df=64)
+    return out.select(
+        "id_a", "id_b", "n_a", "n_b",
+        F.round("containment", 4).cast("double").alias("containment"),
+    )

@@ -3753,3 +3753,156 @@ def ks_normal_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gofast_spark.stats.inferential import ks_normal_test
 
     return ks_normal_test(_t(spark, sf_dir, "customer"), "c_acctbal")
+
+
+@query(
+    "poisson_dispersion_user_events",
+    oracle="""
+    WITH per AS (
+      SELECT user_id AS k, count(*) AS c
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+    a AS (
+      SELECT count(*) AS n, sum(c) AS s,
+             sum(CAST(c AS HUGEINT) * c) AS q
+      FROM per)
+    SELECT CAST(n AS BIGINT) AS n_keys, CAST(s AS BIGINT) AS total,
+           CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+           (CAST(q AS DOUBLE) - CAST(n AS DOUBLE)
+              * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+              * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+             / (CAST(n AS DOUBLE) - 1.0) AS variance,
+           ((CAST(q AS DOUBLE) - CAST(n AS DOUBLE)
+              * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+              * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+             / (CAST(n AS DOUBLE) - 1.0))
+             / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             AS dispersion_index,
+           (CAST(n AS DOUBLE) - 1.0)
+             * ((CAST(q AS DOUBLE) - CAST(n AS DOUBLE)
+                  * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                / (CAST(n AS DOUBLE) - 1.0))
+             / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS chi2_stat,
+           CAST(n - 1 AS BIGINT) AS dof
+    FROM a
+    """,
+)
+def poisson_dispersion_user_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fisher's dispersion test on per-user event counts
+    (stats/inferential.py poisson_dispersion; Fisher 1950, Cox & Lewis
+    1966): the equidispersion check that motivates the negative
+    -binomial fit already in the catalog (negbin_fit_user_events,
+    green r10).  Integer count moments end-to-end — every output
+    deterministic, unrounded."""
+    from gofast_spark.stats.inferential import poisson_dispersion
+
+    e = _t(spark, sf_dir, "events")
+    return poisson_dispersion(e, "user_id")
+
+
+@query(
+    "tukey_hsd_pairs_events",
+    oracle="""
+    WITH per_g AS (
+      SELECT event_type AS g, count(*) AS n_g,
+             sum(CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5)
+                 AS BIGINT)) AS s_g,
+             sum(CAST(floor(CAST(value AS DOUBLE) * CAST(value AS DOUBLE)
+                 * 1000000.0 + 0.5) AS BIGINT)) AS q_g
+      FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1),
+    m AS (
+      SELECT g, n_g,
+             CAST(s_g AS DOUBLE) / 1000000.0 / CAST(n_g AS DOUBLE) AS mu,
+             sum(CAST(floor((CAST(q_g AS DOUBLE) / 1000000.0
+               - CAST(n_g AS DOUBLE)
+                 * (CAST(s_g AS DOUBLE) / 1000000.0 / CAST(n_g AS DOUBLE))
+                 * (CAST(s_g AS DOUBLE) / 1000000.0 / CAST(n_g AS DOUBLE)))
+               * 1000000.0 + 0.5) AS BIGINT)) OVER () AS ssw_u,
+             sum(n_g) OVER () AS nn, count(*) OVER () AS k
+      FROM per_g),
+    w AS (
+      SELECT g, n_g, mu,
+             CAST(ssw_u AS DOUBLE) / 1000000.0
+               / CAST(nn - k AS DOUBLE) AS mse
+      FROM m)
+    SELECT a.g AS g_a, b.g AS g_b,
+           CAST(a.n_g AS BIGINT) AS n_a, CAST(b.n_g AS BIGINT) AS n_b,
+           a.mu - b.mu AS mean_diff,
+           sqrt(a.mse / 2.0 * (1.0 / CAST(a.n_g AS DOUBLE)
+                + 1.0 / CAST(b.n_g AS DOUBLE))) AS se,
+           (a.mu - b.mu)
+             / sqrt(a.mse / 2.0 * (1.0 / CAST(a.n_g AS DOUBLE)
+                + 1.0 / CAST(b.n_g AS DOUBLE))) AS q_stat
+    FROM w a JOIN w b ON a.g < b.g
+    ORDER BY g_a, g_b
+    """,
+)
+def tukey_hsd_pairs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-Kramer HSD pairwise comparisons across event types
+    (stats/inferential.py tukey_hsd; Tukey 1949, Kramer 1956) — the
+    post-hoc that follows a significant ANOVA F, with the
+    studentized-range q per pair from one micro-unit-exact moment
+    pass and a groups-sized broadcast self-join.  Deterministic,
+    unrounded."""
+    from gofast_spark.stats.inferential import tukey_hsd
+
+    e = _t(spark, sf_dir, "events")
+    return tukey_hsd(e, "value", "event_type")
+
+
+@query(
+    "cvm_normal_acctbal",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(c_acctbal AS DOUBLE) AS v
+      FROM customer WHERE c_acctbal IS NOT NULL),
+    s AS (SELECT avg(v) AS mu, stddev_pop(v) AS sd FROM d),
+    r AS (
+      SELECT v, row_number() OVER (ORDER BY v) AS i,
+             count(*) OVER () AS nn
+      FROM d),
+    z AS (SELECT i, nn, (v - mu) / (sd * sqrt(2.0)) AS zz FROM r, s),
+    e AS (SELECT *, 1.0 / (1.0 + 0.3275911 * abs(zz)) AS t FROM z),
+    ph AS (
+      SELECT i, nn,
+             CASE WHEN zz >= 0
+                  THEN 0.5 * (1.0 + (1.0 - (t * (0.254829592
+                    + t * (-0.284496736 + t * (1.421413741
+                    + t * (-1.453152027 + t * 1.061405429)))))
+                    * exp(-abs(zz) * abs(zz))))
+                  ELSE 1.0 - 0.5 * (1.0 + (1.0 - (t * (0.254829592
+                    + t * (-0.284496736 + t * (1.421413741
+                    + t * (-1.453152027 + t * 1.061405429)))))
+                    * exp(-abs(zz) * abs(zz))))
+             END AS phi
+      FROM e),
+    t2 AS (
+      SELECT nn,
+             CAST(floor((phi - (2.0 * CAST(i AS DOUBLE) - 1.0)
+                         / (2.0 * CAST(nn AS DOUBLE)))
+                        * (phi - (2.0 * CAST(i AS DOUBLE) - 1.0)
+                           / (2.0 * CAST(nn AS DOUBLE)))
+                        * 1000000000.0 + 0.5) AS BIGINT) AS tq
+      FROM ph),
+    agg AS (SELECT CAST(max(nn) AS BIGINT) AS n, sum(tq) AS su FROM t2)
+    SELECT n,
+           (SELECT CAST(round(mu, 6) AS DOUBLE) FROM s) AS mu,
+           (SELECT CAST(round(sd, 6) AS DOUBLE) FROM s) AS sd,
+           CAST(floor(1.0 / (12.0 * CAST(n AS DOUBLE)) * 1000000000.0
+                + 0.5) AS BIGINT) + CAST(su AS BIGINT) AS w2_u9
+    FROM agg
+    """,
+)
+def cvm_normal_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sample Cramer-von Mises normality statistic over account
+    balances (stats/inferential.py cvm_normal_test; Cramer 1928, von
+    Mises 1928) — the quadratic-ECDF companion of ks_normal_acctbal's
+    sup: tie-invariant ranked terms through the shared erf polynomial,
+    nano-quantized before the integer sum."""
+    from gofast_spark.stats.inferential import cvm_normal_test
+
+    return cvm_normal_test(_t(spark, sf_dir, "customer"), "c_acctbal")

@@ -1357,3 +1357,184 @@ def ks_normal_test(
         "d_minus_u6",
         F.greatest(F.col("d_plus_u6"), F.col("d_minus_u6")).alias("d_u6"),
     )
+
+
+def poisson_dispersion(
+    df: DataFrame,
+    key_col: str,
+) -> DataFrame:
+    """Fisher's dispersion (variance) test for Poisson-distributed
+    counts (Fisher 1950; Cox & Lewis, *The Statistical Analysis of
+    Series of Events*, 1966): over per-key event counts, the index of
+    dispersion ``s^2 / xbar`` and the chi-square statistic
+    ``(n - 1) s^2 / xbar`` (df = n - 1) — equidispersion holds under
+    Poisson, ``>> 1`` motivates the negative-binomial fit
+    (stats/causal.py negbin_fit).
+
+    One groupBy(key) count + one moment aggregate over the per-key
+    table.  Counts are integers, so every moment is exact and the
+    statistic is deterministic — presented unrounded.  Returns ONE
+    row ``(n_keys, total, mean, variance, dispersion_index,
+    chi2_stat, dof)``."""
+    k = F.col(key_col)
+    per = df.where(k.isNotNull()).groupBy(k.alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("q"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("s").cast("double") / n
+    var = (F.col("q").cast("double") - n * mean * mean) / (n - F.lit(1.0))
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_keys"),
+        F.col("s").cast("bigint").alias("total"),
+        mean.alias("mean"),
+        var.alias("variance"),
+        (var / mean).alias("dispersion_index"),
+        ((n - F.lit(1.0)) * var / mean).alias("chi2_stat"),
+        (F.col("n") - 1).cast("bigint").alias("dof"),
+    )
+
+
+def tukey_hsd(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    *,
+    unit: int = 1_000_000,
+) -> DataFrame:
+    """Tukey-Kramer honestly-significant-difference pairwise
+    comparisons (Tukey 1949; Kramer, Biometrics 1956 — the unequal-n
+    form): for every group pair the mean difference and the
+    studentized-range statistic
+
+        q = (ybar_a - ybar_b) / sqrt( MSE/2 * (1/n_a + 1/n_b) )
+
+    with MSE the one-way ANOVA within mean square — the standard
+    post-hoc after a significant F (anova_events / welch_anova).
+
+    One groupBy pass builds micro-unit-exact per-group moments; MSE
+    comes from the same exact integers; the pairs are a self-join of
+    the GROUPS-sized frame (broadcast).  Deterministic, presented
+    unrounded.  Returns one row per pair (g_a < g_b): ``(g_a, g_b,
+    n_a, n_b, mean_diff, se, q_stat)``."""
+    g, v = F.col(group_col), F.col(value_col).cast("double")
+
+    def q6(x):
+        return F.floor(x * F.lit(float(unit)) + F.lit(0.5)).cast("bigint")
+
+    per_g = (
+        df.where(g.isNotNull() & v.isNotNull())
+        .groupBy(g.alias("g"))
+        .agg(
+            F.count(F.lit(1)).alias("n_g"),
+            F.sum(q6(v).cast("decimal(18,0)")).alias("s_g"),
+            F.sum(q6(v * v).cast("decimal(18,0)")).alias("q_g"),
+        )
+    )
+    u = F.lit(float(unit))
+    w_all = Window.partitionBy()
+    n = F.col("n_g").cast("double")
+    mean = F.col("s_g").cast("double") / u / n
+    # within-group SS from the group's own exact moments, quantized
+    within_u = q6(
+        F.col("q_g").cast("double") / u - n * mean * mean
+    )
+    m = per_g.select(
+        "g", "n_g", mean.alias("mu"),
+        F.sum(within_u).over(w_all).alias("ssw_u"),
+        F.sum("n_g").over(w_all).alias("nn"),
+        F.count(F.lit(1)).over(w_all).alias("k"),
+    )
+    mse = (
+        F.col("ssw_u").cast("double") / u
+        / (F.col("nn") - F.col("k")).cast("double")
+    )
+    left = m.select(
+        F.col("g").alias("g_a"), F.col("n_g").alias("n_a"),
+        F.col("mu").alias("mu_a"), mse.alias("mse"),
+    )
+    right = m.select(
+        F.col("g").alias("g_b"), F.col("n_g").alias("n_b"),
+        F.col("mu").alias("mu_b"),
+    )
+    pairs = left.join(
+        F.broadcast(right), F.col("g_a") < F.col("g_b")
+    )
+    se = F.sqrt(
+        F.col("mse") / F.lit(2.0)
+        * (F.lit(1.0) / F.col("n_a").cast("double")
+           + F.lit(1.0) / F.col("n_b").cast("double"))
+    )
+    return pairs.select(
+        "g_a", "g_b",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        (F.col("mu_a") - F.col("mu_b")).alias("mean_diff"),
+        se.alias("se"),
+        ((F.col("mu_a") - F.col("mu_b")) / se).alias("q_stat"),
+    ).orderBy("g_a", "g_b")
+
+
+def cvm_normal_test(
+    df: DataFrame,
+    value_col: str,
+    *,
+    unit: int = 1_000_000_000,
+) -> DataFrame:
+    """One-sample Cramer-von Mises goodness-of-fit against the fitted
+    normal (Cramer 1928; von Mises 1928; the quadratic-ECDF companion
+    of :func:`ks_normal_test`'s sup form):
+
+        W^2 = 1/(12 n) + sum_i ( Phi(z_(i)) - (2i - 1) / (2n) )^2
+
+    over the value-ordered sample.  Ties are safe: equal values share
+    one Phi and the (2i-1)/2n ranks they occupy are the same SET under
+    any intra-tie order, so the summed contribution is
+    order-invariant.  Each term is quantized to ``1/unit`` before the
+    integer sum.  Intended for samples whose distinct support fits an
+    ordered window (pre-bin at 100 TB — the ks_test contract).
+    Returns ONE row ``(n, mu, sd, w2_u9)``."""
+    from gofast_spark.stats.probs import normal_cdf
+
+    v = F.col(value_col).cast("double")
+    d = df.where(v.isNotNull()).select(v.alias("v"))
+    mu, sd = d.agg(F.avg("v"), F.stddev_pop("v")).first()
+    mu, sd = float(mu), float(sd)
+    w = Window.orderBy("v")
+    tot = Window.partitionBy()
+    ranked = d.select(
+        "v",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(tot).alias("nn"),
+    )
+    phi = normal_cdf(F.col("v"), mu=mu, sigma=sd)
+    nn = F.col("nn").cast("double")
+    term = phi - (F.lit(2.0) * F.col("i").cast("double") - F.lit(1.0)) / (
+        F.lit(2.0) * nn
+    )
+    qterm = F.floor(
+        term * term * F.lit(float(unit)) + F.lit(0.5)
+    ).cast("bigint")
+    agg = ranked.select("nn", qterm.alias("t")).agg(
+        F.max("nn").cast("bigint").alias("n"),
+        F.sum("t").alias("su"),
+    )
+    w2_u9 = (
+        F.floor(
+            F.lit(1.0)
+            / (F.lit(12.0) * F.col("n").cast("double"))
+            * F.lit(float(unit))
+            + F.lit(0.5)
+        ).cast("bigint")
+        + F.col("su")
+    )
+    return agg.select(
+        "n",
+        F.round(F.lit(mu), 6).cast("double").alias("mu"),
+        F.round(F.lit(sd), 6).cast("double").alias("sd"),
+        w2_u9.alias("w2_u9"),
+    )

@@ -720,6 +720,110 @@ class TestKsNormal:
             assert 0 <= r["d_u6"] <= 1_000_000
 
 
+class TestPoissonDispersion:
+    def test_poisson_like_vs_overdispersed(self, spark):
+        from gofast_spark.stats.inferential import poisson_dispersion
+
+        # constant counts (variance 0 -> index 0) vs bursty keys
+        flat = [(k,) for k in range(50) for _ in range(4)]
+        bursty = [(k,) for k in range(50) for _ in range(1 + (k % 5) * 4)]
+        df_f = spark.createDataFrame(flat, "k bigint")
+        df_b = spark.createDataFrame(bursty, "k bigint")
+        rf = poisson_dispersion(df_f, "k").collect()[0]
+        rb = poisson_dispersion(df_b, "k").collect()[0]
+        assert rf["n_keys"] == 50 and rf["total"] == 200
+        assert rf["mean"] == 4.0
+        assert rf["dispersion_index"] == 0.0
+        assert rb["dispersion_index"] > 1.0  # overdispersed
+        assert rb["dof"] == 49
+
+
+class TestTukeyHsd:
+    def test_pairs_and_known_difference(self, spark):
+        from gofast_spark.stats.inferential import tukey_hsd
+
+        rows = (
+            [("a", float(v)) for v in (1, 2, 3, 4, 5)] * 6
+            + [("b", float(v)) for v in (11, 12, 13, 14, 15)] * 6
+            + [("c", float(v)) for v in (1, 2, 3, 4, 5)] * 6
+        )
+        df = spark.createDataFrame(rows, "g string, x double")
+        out = {
+            (r["g_a"], r["g_b"]): r
+            for r in tukey_hsd(df, "x", "g").collect()
+        }
+        assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+        # identical groups: zero mean difference and q
+        assert out[("a", "c")]["mean_diff"] == pytest.approx(0.0, abs=1e-9)
+        assert out[("a", "c")]["q_stat"] == pytest.approx(0.0, abs=1e-6)
+        # b sits exactly 10 above both
+        assert out[("a", "b")]["mean_diff"] == pytest.approx(-10.0, abs=1e-6)
+        assert abs(out[("a", "b")]["q_stat"]) > 10
+        # MSE = within variance = var of 1..5 -> se identical across pairs
+        assert out[("a", "b")]["se"] == pytest.approx(
+            out[("b", "c")]["se"], abs=1e-12
+        )
+
+
+class TestCvmNormal:
+    def test_uniform_worse_than_bell(self, spark):
+        from gofast_spark.stats.inferential import cvm_normal_test
+
+        bell = [(float(a + b + c),) for a in range(8) for b in range(8)
+                for c in range(8)]
+        uni = [(float(i % 32),) for i in range(512)]
+        rb = cvm_normal_test(spark.createDataFrame(bell, "v double"), "v")
+        ru = cvm_normal_test(spark.createDataFrame(uni, "v double"), "v")
+        rb, ru = rb.collect()[0], ru.collect()[0]
+        assert rb["n"] == 512 and ru["n"] == 512
+        assert rb["w2_u9"] < ru["w2_u9"]
+        assert rb["w2_u9"] > 0
+
+
+class TestNgramContainment:
+    def test_subset_document_found_where_jaccard_misses(self, spark):
+        from gofast_spark.dedup.ngram import (
+            ngram_containment_pairs,
+            ngram_jaccard_pairs,
+        )
+
+        short = "alpha beta gamma delta epsilon zeta"
+        filler = " ".join(f"tok{i} mid{i} end{i}" for i in range(30))
+        rows = [
+            (1, short),
+            (2, short + " " + filler),  # short embedded in long
+            (3, "completely different words entirely here now"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        cont = ngram_containment_pairs(
+            df, "doc_id", "text", k=3, threshold=0.9
+        ).collect()
+        jac = ngram_jaccard_pairs(
+            df, "doc_id", "text", k=3, threshold=0.9
+        ).collect()
+        got = {(r["id_a"], r["id_b"]): r["containment"] for r in cont}
+        assert (1, 2) in got  # every shingle of doc 1 appears in doc 2
+        assert got[(1, 2)] == pytest.approx(1.0, abs=1e-9)
+        assert not any(
+            (r["id_a"], r["id_b"]) == (1, 2) for r in jac
+        )  # jaccard diluted by the big union
+
+    def test_containment_bounds(self, spark):
+        from gofast_spark.dedup.ngram import ngram_containment_pairs
+
+        rows = [
+            (1, "one two three four five six"),
+            (2, "one two three four five six"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = ngram_containment_pairs(
+            df, "doc_id", "text", k=3, threshold=0.5
+        ).collect()
+        assert len(out) == 1
+        assert out[0]["containment"] == 1.0
+        assert out[0]["n_a"] == out[0]["n_b"]
+
+
 class TestQualityReportEscaping:
     def test_backtick_and_quote_identifiers(self, spark):
         from gofast_spark.quality.observe import quality_report_relational
