@@ -42,12 +42,12 @@ def to_categories(
         lo, hi = float(lo), float(hi)
         # constant column: zero range would make (x-lo)/width NaN/Inf
         # (ANSI floor then errors); any positive width puts every row
-        # in bucket 0, which is the only sensible answer.  Guard the
-        # RANGE, not the quotient — ((hi-lo) or 1.0)/k matches the
-        # sibling binning guards (operators/checks.py,
-        # stats/descriptive.py) and cannot be defeated by a denormal
-        # range whose /k quotient underflows to 0.0
-        width = ((hi - lo) or 1.0) / k
+        # in bucket 0, which is the only sensible answer.  Guard BOTH
+        # levels: the range (matching the sibling binning guards in
+        # operators/checks.py / stats/descriptive.py) AND the
+        # quotient — a denormal nonzero range is truthy yet its /k
+        # quotient can still underflow to exactly 0.0
+        width = (((hi - lo) or 1.0) / k) or 1.0
         bucket = F.least(F.floor((x - F.lit(lo)) / F.lit(width)), F.lit(k - 1))
         edges = [lo + width * i for i in range(1, k)]
     elif method == "quantile":

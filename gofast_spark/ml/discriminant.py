@@ -48,9 +48,11 @@ def fisher_lda_binary(
 
     def q(x):
         # micro-unit row quantization summed as compact decimal:
-        # exact integer moments at any scale (the _units6 recipe)
+        # exact integer moments at any scale.  floor(), not a bare
+        # bigint cast: the cast truncates toward zero, which diverges
+        # from the floor-based oracle replay on NEGATIVE values
         return (
-            (x * F.lit(float(unit)) + F.lit(0.5))
+            F.floor(x * F.lit(float(unit)) + F.lit(0.5))
             .cast("bigint")
             .cast("decimal(18,0)")
         )

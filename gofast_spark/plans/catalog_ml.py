@@ -346,7 +346,14 @@ _SMBO_INIT = [0, len(_RS_GRID) // 2, len(_RS_GRID) - 1]
 def _smbo_oracle() -> str:
     """Unrolled SMBO replay: the full candidate RMSE table once, then
     per-round quadratic-surrogate Cramer fits over the growing observed
-    set and acquisition argmins — every pick a LIMIT-1 over (mu, j)."""
+    set and acquisition argmins — every pick a LIMIT-1 over (mu, j).
+
+    Inlining bound (the HITS-oracle lesson): each round references
+    every earlier pick CTE, so DuckDB's CTE inlining duplicates the
+    moment-scan subplan roughly 2^rounds times.  At _SMBO_ROUNDS = 3
+    that is a handful of 60k-row aggregates (sub-second at sf0.01);
+    raising the round count needs a materialized-candidate rewrite
+    first — do NOT bump the constant without one."""
     w0, w1, w2 = _cramer_w_sql("ls.lam")
     vals = ", ".join(
         f"({j}, {float(v)!r})" for j, v in enumerate(_RS_GRID)

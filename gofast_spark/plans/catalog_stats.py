@@ -3834,7 +3834,7 @@ def poisson_dispersion_user_events(
            a.mu - b.mu AS mean_diff,
            sqrt(a.mse / 2.0 * (1.0 / CAST(a.n_g AS DOUBLE)
                 + 1.0 / CAST(b.n_g AS DOUBLE))) AS se,
-           (a.mu - b.mu)
+           abs(a.mu - b.mu)
              / sqrt(a.mse / 2.0 * (1.0 / CAST(a.n_g AS DOUBLE)
                 + 1.0 / CAST(b.n_g AS DOUBLE))) AS q_stat
     FROM w a JOIN w b ON a.g < b.g

@@ -540,9 +540,10 @@ def rmst_by_segment_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM s)
     SELECT duration, CAST(n_risk AS BIGINT) AS n_risk,
            CAST(d1 AS BIGINT) AS d1, CAST(d2 AS BIGINT) AS d2,
-           CAST(round(surv_prev, 6) AS DOUBLE) AS surv_prev,
-           CAST(round(cif1, 6) AS DOUBLE) AS cif1,
-           CAST(round(cif2, 6) AS DOUBLE) AS cif2
+           CAST(floor(surv_prev * 1000000 + 0.5) AS BIGINT)
+             AS surv_prev_u6,
+           CAST(floor(cif1 * 1000000 + 0.5) AS BIGINT) AS cif1_u6,
+           CAST(floor(cif2 * 1000000 + 0.5) AS BIGINT) AS cif2_u6
     FROM f WHERE d1 + d2 > 0
     """,
 )
@@ -553,7 +554,9 @@ def aalen_johansen_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the all-cause product-limit S(s-) over strictly-preceding
     rows — the correct decomposition where per-cause KM over-counts.
     One groupBy(duration) + ordered windows; the oracle replays the
-    guarded ln algebra (DuckDB ln(0) errors where Spark NULL-skips)."""
+    guarded ln algebra (DuckDB ln(0) errors where Spark NULL-skips).
+    The exp/ln-derived outputs present as micro-unit-quantized
+    integers (the final-transcendental discipline)."""
     from gofast_spark.stats.survival import aalen_johansen
 
     e = _t(spark, sf_dir, "events").where(F.col("value").isNotNull()).select(
@@ -564,11 +567,15 @@ def aalen_johansen_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cause"),
     )
     out = aalen_johansen(e, "dur", "cause")
+
+    def u6(c):
+        return F.floor(F.col(c) * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+
     return out.select(
         "duration", "n_risk", "d1", "d2",
-        F.round("surv_prev", 6).cast("double").alias("surv_prev"),
-        F.round("cif1", 6).cast("double").alias("cif1"),
-        F.round("cif2", 6).cast("double").alias("cif2"),
+        u6("surv_prev").alias("surv_prev_u6"),
+        u6("cif1").alias("cif1_u6"),
+        u6("cif2").alias("cif2_u6"),
     )
 
 
@@ -831,9 +838,11 @@ def rmst_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_GSURV}
     SELECT seg AS segment,
-           min(CASE WHEN survival <= 0.5 THEN duration END)
-             AS median_duration,
-           CAST(round(min(survival), 6) AS DOUBLE) AS min_survival,
+           min(CASE WHEN CAST(floor(survival * 1000000 + 0.5) AS BIGINT)
+                         <= 500000
+                    THEN duration END) AS median_duration,
+           min(CAST(floor(survival * 1000000 + 0.5) AS BIGINT))
+             AS min_survival_u6,
            count(*) AS n_times
     FROM k WHERE n_events > 0
     GROUP BY seg ORDER BY segment
@@ -848,7 +857,9 @@ def km_median_by_segment_events(
     driver-side lifelines fit): the first event time where each
     stratum's curve reaches 0.5, NULL when censoring keeps the curve
     above it — one scan via the shared grouped product-limit curve
-    with the absorbing-state guard."""
+    with the absorbing-state guard.  The 0.5 threshold and the
+    min-survival readout are micro-unit-quantized integers (a curve
+    through exactly 1/2 sits 1 ulp from the JVM/libm split)."""
     from gofast_spark.stats.survival import km_median_grouped
 
     e = _t(spark, sf_dir, "events").where(
@@ -858,12 +869,7 @@ def km_median_by_segment_events(
         F.floor(F.col("value")).cast("bigint").alias("dur"),
         (F.col("user_id") % 4 != 0).cast("int").alias("ev"),
     )
-    out = km_median_grouped(e, "dur", "ev", "seg")
-    return out.select(
-        "segment", "median_duration",
-        F.round("min_survival", 6).cast("double").alias("min_survival"),
-        "n_times",
-    )
+    return km_median_grouped(e, "dur", "ev", "seg")
 
 
 @query(

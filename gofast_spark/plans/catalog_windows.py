@@ -683,7 +683,10 @@ def cohort_ltv_events(spark: SparkSession, sf_dir: str) -> DataFrame:
              lag(v, 7) OVER (ORDER BY d) AS ls
       FROM daily),
     a AS (
-      SELECT count(l1) AS n_naive, count(ls) AS n_seasonal,
+      SELECT count(CASE WHEN v IS NOT NULL AND l1 IS NOT NULL
+                        THEN 1 END) AS n_naive,
+             count(CASE WHEN v IS NOT NULL AND ls IS NOT NULL
+                        THEN 1 END) AS n_seasonal,
              sum(CAST(floor(abs(v - l1) * 1000000 + 0.5) AS BIGINT)) AS e1,
              sum(CAST(floor(abs(v - ls) * 1000000 + 0.5) AS BIGINT)) AS es
       FROM l)

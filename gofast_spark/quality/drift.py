@@ -240,9 +240,14 @@ def ks_by_group(
         F.sum("tot_b").over(w_cum).alias("cum_all"),
     )
     f_g = F.col("cum_g").cast("double") / F.col("n_g").cast("double")
-    f_r = (F.col("cum_all") - F.col("cum_g")).cast("double") / (
-        F.col("n_all") - F.col("n_g")
-    ).cast("double")
+    # single-group corpus: the rest ECDF is undefined (0/0 would
+    # NaN-poison the bigint cast under ANSI) — define D = 0, there is
+    # nothing to drift against
+    f_r = F.when(
+        F.col("n_all") > F.col("n_g"),
+        (F.col("cum_all") - F.col("cum_g")).cast("double")
+        / (F.col("n_all") - F.col("n_g")).cast("double"),
+    ).otherwise(f_g)
     d_u = F.floor(F.abs(f_g - f_r) * unit + F.lit(0.5)).cast("bigint")
     return (
         m.groupBy(F.col("grp").alias("group"))

@@ -1211,12 +1211,15 @@ def welch_anova(
     var = (F.col("q_g").cast("double") / u - n * mean * mean) / (
         n - F.lit(1.0)
     )
-    w = n / var
-    stage = per_g.select(
+    # the weight n/var is undefined for singleton or constant groups
+    # (the NaN would fail the ANSI bigint cast downstream): such
+    # groups are excluded from the statistic, documented behavior
+    w = F.when(var > F.lit(0.0), n / var)
+    stage = per_g.where(F.col("n_g") > 1).select(
         "g", "n_g",
         w.alias("w"),
         mean.alias("mu"),
-    )
+    ).where(F.col("w").isNotNull())
     w_all = Window.partitionBy()
     m = stage.select(
         "n_g", "w", "mu",
@@ -1469,13 +1472,16 @@ def tukey_hsd(
         * (F.lit(1.0) / F.col("n_a").cast("double")
            + F.lit(1.0) / F.col("n_b").cast("double"))
     )
+    # q is defined on the ABSOLUTE difference (compared against the
+    # always-positive studentized-range critical value); the signed
+    # difference stays available as mean_diff
     return pairs.select(
         "g_a", "g_b",
         F.col("n_a").cast("bigint").alias("n_a"),
         F.col("n_b").cast("bigint").alias("n_b"),
         (F.col("mu_a") - F.col("mu_b")).alias("mean_diff"),
         se.alias("se"),
-        ((F.col("mu_a") - F.col("mu_b")) / se).alias("q_stat"),
+        (F.abs(F.col("mu_a") - F.col("mu_b")) / se).alias("q_stat"),
     ).orderBy("g_a", "g_b")
 
 

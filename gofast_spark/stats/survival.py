@@ -477,7 +477,13 @@ def cox_ph_binary_grouped(
             "seg",
             (
                 F.col("__b0")
-                + F.col("__u").cast("double") / F.col("__i").cast("double")
+                # degenerate stratum (one treatment arm): information
+                # is 0 — hold beta instead of NaN-poisoning the chain
+                + F.when(
+                    F.col("__i") != 0,
+                    F.col("__u").cast("double")
+                    / F.col("__i").cast("double"),
+                ).otherwise(F.lit(0.0))
             ).alias("__beta"),
         )
     u_t, i_t = newton_terms(F.col("__beta"))
@@ -499,8 +505,11 @@ def cox_ph_binary_grouped(
             F.col("seg").alias("segment"),
             "beta",
             F.exp(F.col("beta")).alias("hazard_ratio"),
-            (F.lit(1.0)
-             / F.sqrt(F.col("__if").cast("double") / F.lit(1e9))).alias("se"),
+            F.when(
+                F.col("__if") > 0,
+                F.lit(1.0)
+                / F.sqrt(F.col("__if").cast("double") / F.lit(1e9)),
+            ).alias("se"),
             F.col("n_0").cast("bigint").alias("n_0"),
             F.col("n_1").cast("bigint").alias("n_1"),
             F.col("n_events").cast("bigint").alias("n_events"),
@@ -516,9 +525,13 @@ def _km_grouped_curve(
     segment_col: str,
 ) -> DataFrame:
     """Shared per-segment KM curve: ``(seg, duration, n_events,
-    n_risk, survival)`` at EVENT times, with the absorbing d == n
-    state guarded (survival exactly 0 from there on; F.log(0) is NULL
-    in Spark and sum() would silently skip it)."""
+    n_risk, survival)`` at ALL distinct times (censor-only rows have
+    ``n_events = 0`` and leave the product-limit untouched — callers
+    filter to event times but keep the full frame as the SEGMENT
+    UNIVERSE, so a stratum with rows but no observed events still
+    appears in per-segment reports).  The absorbing d == n state is
+    guarded (survival exactly 0 from there on; F.log(0) is NULL in
+    Spark and sum() would silently skip it)."""
     d, e = F.col(duration_col), F.col(event_col)
     per_t = df.groupBy(
         F.col(segment_col).alias("seg"), d.alias("duration")
@@ -549,7 +562,7 @@ def _km_grouped_curve(
             ).over(w_cum)
         )
     )
-    return curve.withColumn("survival", surv).where(F.col("n_events") > 0)
+    return curve.withColumn("survival", surv)
 
 
 def km_median_grouped(
@@ -564,20 +577,43 @@ def km_median_grouped(
     gofast/stats/survival_reliability.py:24 reads it off a lifelines
     fit driver-side).  One scan via the shared grouped KM curve; a
     segment whose curve never reaches 0.5 reports NULL (median not
-    attained — the honest answer under heavy censoring).  Returns
-    ``(segment, median_duration, min_survival, n_times)`` ordered by
-    segment."""
-    km = _km_grouped_curve(df, duration_col, event_col, segment_col)
+    attained — the honest answer under heavy censoring).
+
+    The 0.5 threshold compares the MICRO-UNIT-QUANTIZED survival
+    (``floor(S * 1e6 + 0.5) <= 500000``), never the raw
+    ``exp(sum(ln))`` double: a curve passing exactly through 1/2
+    (d = n/2 at one time) lands within 1 ulp of 0.5 where JVM Math
+    and libm disagree — quantizing first makes the comparison an
+    integer one on both engines (the repo's transcendental
+    -comparison discipline).  A stratum with rows but NO observed
+    events still gets a row (NULL median, min_survival_u6 = 1e6,
+    n_times = 0) — per-segment reports must never silently drop a
+    segment.  Returns ``(segment, median_duration, min_survival_u6,
+    n_times)`` ordered by segment."""
+    curve = _km_grouped_curve(df, duration_col, event_col, segment_col)
+    segs = curve.select(F.col("seg").alias("segment")).distinct()
+    km = curve.where(F.col("n_events") > 0)
+    s_u6 = F.floor(F.col("survival") * F.lit(1e6) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    agg = km.groupBy(F.col("seg").alias("segment")).agg(
+        F.min(
+            F.when(s_u6 <= F.lit(500_000), F.col("duration"))
+        ).alias("median_duration"),
+        F.min(s_u6).alias("min_survival_u6"),
+        F.count(F.lit(1)).alias("n_times"),
+    )
     return (
-        km.groupBy(F.col("seg").alias("segment"))
-        .agg(
-            F.min(
-                F.when(
-                    F.col("survival") <= 0.5, F.col("duration")
-                )
-            ).alias("median_duration"),
-            F.min("survival").alias("min_survival"),
-            F.count(F.lit(1)).alias("n_times"),
+        segs.join(agg, "segment", "left")
+        .select(
+            "segment",
+            "median_duration",
+            F.coalesce(
+                F.col("min_survival_u6"), F.lit(1_000_000)
+            ).alias("min_survival_u6"),
+            F.coalesce(F.col("n_times"), F.lit(0))
+            .cast("bigint")
+            .alias("n_times"),
         )
         .orderBy("segment")
     )
@@ -593,13 +629,16 @@ def weibull_fit_grouped(
     :func:`weibull_fit`'s linearized-KM OLS with the regression
     moments grouped by segment: one scan fits every stratum's
     ``(shape, scale)``.  Segments with fewer than 2 usable points or a
-    degenerate x-variance report NULL estimates (fit undefined).
+    degenerate x-variance report NULL estimates (fit undefined), and a
+    segment with NO usable points still gets its (NULL, NULL, 0) row.
     Micro-unit-quantized term sums keep the estimates bit-identical
     across engines.  Returns ``(segment, shape, scale, n_points)``
     ordered by segment."""
-    km = _km_grouped_curve(df, duration_col, event_col, segment_col)
-    pts = km.where(
-        (F.col("survival") > 0.0)
+    curve = _km_grouped_curve(df, duration_col, event_col, segment_col)
+    segs = curve.select(F.col("seg").alias("segment")).distinct()
+    pts = curve.where(
+        (F.col("n_events") > 0)
+        & (F.col("survival") > 0.0)
         & (F.col("survival") < 1.0)
         & (F.col("duration") > 0)
     ).select(
@@ -618,14 +657,26 @@ def weibull_fit_grouped(
     den = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
     k = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")) / den
     ok = (F.col("m") >= 2) & (den != 0.0)
-    return fit.select(
+    fitted = fit.select(
         "segment",
         F.when(ok, k).alias("shape"),
         F.when(
             ok, F.exp(-((F.col("sy") - k * F.col("sx")) / F.col("m")) / k)
         ).alias("scale"),
         F.col("m").cast("bigint").alias("n_points"),
-    ).orderBy("segment")
+    )
+    return (
+        segs.join(fitted, "segment", "left")
+        .select(
+            "segment",
+            "shape",
+            "scale",
+            F.coalesce(F.col("n_points"), F.lit(0))
+            .cast("bigint")
+            .alias("n_points"),
+        )
+        .orderBy("segment")
+    )
 
 
 def restricted_mean_survival_grouped(
@@ -639,10 +690,16 @@ def restricted_mean_survival_grouped(
     """Per-segment restricted mean survival time (Royston & Parmar
     2013) — :func:`restricted_mean_survival` with every window
     partitioned by segment, so one scan yields each stratum's KM area
-    on [0, tau].  Returns ``(segment, rmst, tau, n_times)`` ordered by
-    segment."""
-    km = _km_grouped_curve(df, duration_col, event_col, segment_col).where(
-        F.col("duration").cast("double") <= F.lit(tau)
+    on [0, tau].  A stratum with no event time inside [0, tau]
+    (all-censored, or first failure past the horizon) has survival 1
+    on the whole window and reports ``rmst = tau`` rather than
+    silently vanishing.  Returns ``(segment, rmst, tau, n_times)``
+    ordered by segment."""
+    curve = _km_grouped_curve(df, duration_col, event_col, segment_col)
+    segs = curve.select(F.col("seg").alias("segment")).distinct()
+    km = curve.where(
+        (F.col("n_events") > 0)
+        & (F.col("duration").cast("double") <= F.lit(tau))
     )
     w = Window.partitionBy("seg").orderBy("duration")
     seg = km.select(
@@ -665,12 +722,24 @@ def restricted_mean_survival_grouped(
         F.col("__area_u").cast("double") / F.lit(1e9)
         + (F.lit(tau) - F.col("__last.t")) * F.col("__last.survival")
     )
-    return agg.select(
+    computed = agg.select(
         F.col("seg").alias("segment"),
         rmst.alias("rmst"),
-        F.lit(tau).alias("tau"),
         F.col("n_times").cast("bigint").alias("n_times"),
-    ).orderBy("segment")
+    )
+    return (
+        segs.join(computed, "segment", "left")
+        .select(
+            "segment",
+            # no event inside [0, tau]: S = 1 on the window -> rmst = tau
+            F.coalesce(F.col("rmst"), F.lit(tau)).alias("rmst"),
+            F.lit(tau).alias("tau"),
+            F.coalesce(F.col("n_times"), F.lit(0))
+            .cast("bigint")
+            .alias("n_times"),
+        )
+        .orderBy("segment")
+    )
 
 
 def aalen_johansen(

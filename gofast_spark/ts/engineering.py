@@ -1092,9 +1092,15 @@ def seasonal_naive_accuracy(
     q = lambda x: F.floor(x * F.lit(float(unit)) + F.lit(0.5)).cast(  # noqa: E731
         "bigint"
     )
+    # count PAIRS, not lags: a null current value contributes no
+    # error term, so it must not inflate the MAE denominator either
     agg = lagged.agg(
-        F.count("l1").alias("n_naive"),
-        F.count("ls").alias("n_seasonal"),
+        F.count(
+            F.when(F.col("v").isNotNull() & F.col("l1").isNotNull(), 1)
+        ).alias("n_naive"),
+        F.count(
+            F.when(F.col("v").isNotNull() & F.col("ls").isNotNull(), 1)
+        ).alias("n_seasonal"),
         F.sum(q(F.abs(F.col("v") - F.col("l1")))).alias("__e1"),
         F.sum(q(F.abs(F.col("v") - F.col("ls")))).alias("__es"),
     )

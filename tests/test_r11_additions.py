@@ -171,6 +171,28 @@ class TestGroupedSurvival:
             assert got[seg]["n_events"] == solo["n_events"]
             assert got[seg]["se"] == solo["se"]
 
+    def test_grouped_rmst_keeps_eventless_segments(self, spark):
+        from gofast_spark.stats.survival import (
+            restricted_mean_survival_grouped,
+        )
+
+        rows = [("ok", t, 1) for t in (1, 2, 3)] * 5
+        rows += [("late", 400, 1)] * 5  # first failure past the horizon
+        rows += [("cens", t, 0) for t in (1, 2, 3)]  # all censored
+        df = spark.createDataFrame(rows, "seg string, dur bigint, ev int")
+        got = {
+            r["segment"]: r
+            for r in restricted_mean_survival_grouped(
+                df, "dur", "ev", "seg", tau=300.0
+            ).collect()
+        }
+        assert set(got) == {"ok", "late", "cens"}
+        # survival is 1 on [0, tau] for both degenerate strata
+        assert got["late"]["rmst"] == 300.0
+        assert got["cens"]["rmst"] == 300.0
+        assert got["cens"]["n_times"] == 0
+        assert got["ok"]["rmst"] < 300.0
+
     def test_grouped_rmst_matches_per_segment(self, spark):
         from gofast_spark.stats.survival import (
             restricted_mean_survival,
@@ -200,14 +222,22 @@ class TestGroupedSurvival:
         rows = [("fast", 1, 1)] * 5 + [("fast", 2, 1)] * 5
         rows += [("censored", 1, 1)] + [("censored", t, 0)
                                         for t in range(2, 11)]
+        # a segment with rows but NO observed events must still appear
+        rows += [("allcens", t, 0) for t in range(1, 6)]
         df = spark.createDataFrame(rows, "seg string, dur bigint, ev int")
         got = {
             r["segment"]: r
             for r in km_median_grouped(df, "dur", "ev", "seg").collect()
         }
+        assert set(got) == {"fast", "censored", "allcens"}
+        # S(1) = 0.5 EXACTLY — the quantized threshold must catch it
+        # regardless of the exp(ln) ulp
         assert got["fast"]["median_duration"] == 1
         assert got["censored"]["median_duration"] is None
-        assert got["censored"]["min_survival"] == pytest.approx(0.9, abs=1e-9)
+        assert got["censored"]["min_survival_u6"] == 900_000
+        assert got["allcens"]["median_duration"] is None
+        assert got["allcens"]["min_survival_u6"] == 1_000_000
+        assert got["allcens"]["n_times"] == 0
 
     def test_weibull_grouped_matches_ungrouped(self, spark):
         from gofast_spark.stats.survival import (
@@ -336,6 +366,19 @@ class TestGroupedDrift:
         assert out["s3"] > out["s2"]
         assert out["s3"] > 250_000  # PSI >> 0.25: "shifted" folklore bar
 
+    def test_ks_by_group_single_group_is_zero_not_crash(self, spark):
+        """With one group the rest-ECDF denominator is zero; the guard
+        defines D = 0 instead of NaN-poisoning the ANSI bigint cast."""
+        from gofast_spark.quality.drift import ks_by_group
+
+        df = spark.createDataFrame(
+            [("only", float(i % 7)) for i in range(50)], "g string, x double"
+        )
+        out = ks_by_group(df, "g", "x", lo=0.0, hi=10.0, bins=10).collect()
+        assert len(out) == 1
+        assert out[0]["ks_u6"] == 0
+        assert out[0]["n_rest"] == 0
+
     def test_ks_by_group_identical_and_disjoint(self, spark):
         from gofast_spark.quality.drift import ks_by_group
 
@@ -415,6 +458,22 @@ class TestSeasonalNaiveAccuracy:
         assert r["mae_naive"] == pytest.approx(1.0, abs=1e-9)
         assert r["mae_seasonal"] == pytest.approx(3.0, abs=1e-9)
         assert r["mase_seasonal"] == pytest.approx(3.0, abs=1e-9)
+
+    def test_null_values_do_not_inflate_denominators(self, spark):
+        from gofast_spark.ts.engineering import seasonal_naive_accuracy
+
+        # v NULL at t=2: lag-1 exists there but the error term is NULL,
+        # so the pair must not count toward n_naive
+        rows = [(1, 1.0), (2, None), (3, 3.0), (4, 4.0), (5, 5.0)]
+        df = spark.createDataFrame(rows, "d int, v double")
+        r = seasonal_naive_accuracy(df, "d", "v", season=2).collect()[0]
+        # naive pairs: (3,2)=NULL v_prev -> no, (2,1) v NULL -> no,
+        # (4,3), (5,4) -> 2 pairs of error 1
+        assert r["n_naive"] == 2
+        assert r["mae_naive"] == pytest.approx(1.0, abs=1e-9)
+        # seasonal (lag 2): (3,1)=2, (5,3)=2; (4,2) has NULL lag -> 2 pairs
+        assert r["n_seasonal"] == 2
+        assert r["mae_seasonal"] == pytest.approx(2.0, abs=1e-9)
 
     def test_rejects_bad_season(self, spark):
         from gofast_spark.ts.engineering import seasonal_naive_accuracy
