@@ -3906,3 +3906,187 @@ def cvm_normal_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gofast_spark.stats.inferential import cvm_normal_test
 
     return cvm_normal_test(_t(spark, sf_dir, "customer"), "c_acctbal")
+
+
+@query(
+    "lognormal_fit_price",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(l_extendedprice AS DOUBLE) AS v
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0),
+    a AS (
+      SELECT count(*) AS n,
+             sum(CAST(floor(ln(v) * 1000000.0 + 0.5) AS BIGINT)) AS su,
+             sum(CAST(floor(ln(v) * ln(v) * 1000000.0 + 0.5)
+                 AS BIGINT)) AS sq
+      FROM d)
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(su AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE) AS mu_ln,
+           sqrt(CAST(sq AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE)
+                - (CAST(su AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE))
+                  * (CAST(su AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE)))
+             AS sigma_ln,
+           CAST(floor(exp(CAST(su AS DOUBLE) / 1000000.0
+                          / CAST(n AS DOUBLE)) * 1000000.0 + 0.5)
+                AS BIGINT) AS median_u6
+    FROM a
+    """,
+)
+def lognormal_fit_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-normal MLE over extended prices (stats/distfit.py
+    lognormal_fit; Johnson-Kotz-Balakrishnan ch. 14; the reference
+    fits/uses log-normal samples throughout
+    gofast/stats/descriptive.py:326) — mu/sigma of ln(x) from one
+    aggregate of u6-quantized per-row logs, implied median exp(mu)
+    quantized per the transcendental-output rule."""
+    from gofast_spark.stats.distfit import lognormal_fit
+
+    return lognormal_fit(_t(spark, sf_dir, "lineitem"), "l_extendedprice")
+
+
+@query(
+    "gamma_mom_price",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(l_extendedprice AS DOUBLE) AS v
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0),
+    a AS (
+      SELECT count(*) AS n,
+             sum(CAST(floor(v * 1000000.0 + 0.5) AS BIGINT)) AS s,
+             sum(CAST(floor(v * v * 1000000.0 + 0.5) AS BIGINT)) AS q
+      FROM d)
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(s AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE) AS mean,
+           (CAST(q AS DOUBLE) / 1000000.0
+            - CAST(n AS DOUBLE)
+              * (CAST(s AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE))
+              * (CAST(s AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE)))
+             / (CAST(n AS DOUBLE) - 1.0) AS variance,
+           ((CAST(s AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE))
+            * (CAST(s AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE)))
+             / ((CAST(q AS DOUBLE) / 1000000.0
+                 - CAST(n AS DOUBLE)
+                   * (CAST(s AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE))
+                   * (CAST(s AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE)))
+                / (CAST(n AS DOUBLE) - 1.0)) AS shape,
+           ((CAST(q AS DOUBLE) / 1000000.0
+             - CAST(n AS DOUBLE)
+               * (CAST(s AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE))
+               * (CAST(s AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE)))
+            / (CAST(n AS DOUBLE) - 1.0))
+             / (CAST(s AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE))
+             AS scale
+    FROM a
+    """,
+)
+def gamma_mom_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gamma method-of-moments fit over extended prices
+    (stats/distfit.py gamma_mom_fit; Johnson-Kotz-Balakrishnan ch. 17):
+    shape = mean^2/var, scale = var/mean from micro-unit-exact moments
+    — one scan, deterministic, unrounded."""
+    from gofast_spark.stats.distfit import gamma_mom_fit
+
+    return gamma_mom_fit(_t(spark, sf_dir, "lineitem"), "l_extendedprice")
+
+
+@query(
+    "pareto_tail_price",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(l_extendedprice AS DOUBLE) AS v, l_orderkey,
+             l_linenumber
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0),
+    r AS (
+      SELECT v, row_number() OVER (
+               ORDER BY v DESC, l_orderkey, l_linenumber) AS i
+      FROM d),
+    top AS (SELECT * FROM r WHERE i <= 501),
+    thr AS (SELECT min(CASE WHEN i = 501 THEN v END) AS xm FROM top),
+    su AS (
+      SELECT sum(CAST(floor(ln(v / xm) * 1000000000.0 + 0.5)
+                 AS BIGINT)) AS s
+      FROM top, thr WHERE i <= 500)
+    SELECT CAST(500 AS BIGINT) AS k,
+           (SELECT xm FROM thr) AS x_threshold,
+           500.0 * 1000000000.0 / CAST(s AS DOUBLE) AS alpha
+    FROM su
+    """,
+)
+def pareto_tail_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index estimate over the top-500 extended prices
+    (stats/distfit.py pareto_tail_fit; Hill, Ann. Statist. 1975):
+    deterministic (value DESC, key) top-k selection, u9-quantized
+    log-ratios, one division — the heavy-tail screen that pairs with
+    the log-normal/gamma fits."""
+    from gofast_spark.stats.distfit import pareto_tail_fit
+
+    return pareto_tail_fit(
+        _t(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        ["l_orderkey", "l_linenumber"],
+        k=500,
+    )
+
+
+@query(
+    "anderson_darling_acctbal",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(c_acctbal AS DOUBLE) AS v
+      FROM customer WHERE c_acctbal IS NOT NULL),
+    s AS (SELECT avg(v) AS mu, stddev_pop(v) AS sd FROM d),
+    r AS (
+      SELECT v, row_number() OVER (ORDER BY v) AS i,
+             count(*) OVER () AS nn
+      FROM d),
+    z AS (SELECT i, nn, (v - mu) / (sd * sqrt(2.0)) AS zz FROM r, s),
+    e AS (SELECT *, 1.0 / (1.0 + 0.3275911 * abs(zz)) AS t FROM z),
+    ph AS (
+      SELECT i, nn,
+             CASE WHEN zz >= 0
+                  THEN 0.5 * (1.0 + (1.0 - (t * (0.254829592
+                    + t * (-0.284496736 + t * (1.421413741
+                    + t * (-1.453152027 + t * 1.061405429)))))
+                    * exp(-abs(zz) * abs(zz))))
+                  ELSE 1.0 - 0.5 * (1.0 + (1.0 - (t * (0.254829592
+                    + t * (-0.284496736 + t * (1.421413741
+                    + t * (-1.453152027 + t * 1.061405429)))))
+                    * exp(-abs(zz) * abs(zz))))
+             END AS phi
+      FROM e),
+    pc AS (
+      SELECT i, nn,
+             least(greatest(phi, 0.000000000001),
+                   1.0 - 0.000000000001) AS phi
+      FROM ph),
+    t2 AS (
+      SELECT nn,
+             CAST(floor(((2.0 * CAST(i AS DOUBLE) - 1.0) * ln(phi)
+                         + (2.0 * (CAST(nn AS DOUBLE)
+                                   - CAST(i AS DOUBLE)) + 1.0)
+                           * ln(1.0 - phi))
+                        * 1000000.0 + 0.5) AS BIGINT) AS tq
+      FROM pc),
+    agg AS (SELECT CAST(max(nn) AS BIGINT) AS n, sum(tq) AS su FROM t2)
+    SELECT n,
+           (SELECT CAST(round(mu, 6) AS DOUBLE) FROM s) AS mu,
+           (SELECT CAST(round(sd, 6) AS DOUBLE) FROM s) AS sd,
+           -CAST(n AS DOUBLE)
+             - CAST(su AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE) AS a2
+    FROM agg
+    """,
+)
+def anderson_darling_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anderson-Darling normality statistic over account balances
+    (stats/distfit.py anderson_darling_normal; Anderson & Darling
+    1952, Stephens 1974; reference: gofast/stats/evaluation.py:928
+    NormalityTests.anderson_darling_test wraps scipy.stats.anderson) —
+    the tail-weighted companion of ks_normal_acctbal/cvm_normal_acctbal:
+    single-pass ranked form through the shared erf polynomial,
+    u6-quantized summands, clamped Phi."""
+    from gofast_spark.stats.distfit import anderson_darling_normal
+
+    return anderson_darling_normal(_t(spark, sf_dir, "customer"), "c_acctbal")

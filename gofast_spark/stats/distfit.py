@@ -1,0 +1,228 @@
+"""Parametric distribution fitting and goodness-of-fit, Spark-first.
+
+The reference wraps scipy's fitters and normality tests behind eager
+NumPy helpers (``NormalityTests.anderson_darling_test``,
+gofast/stats/evaluation.py:928; ``check_and_fix_distributions`` style
+usage throughout gofast/stats/descriptive.py).  Here every fit is a
+closed-form aggregate over sufficient statistics — one scan, no driver
+iteration — so the same plan runs unchanged on a 1000-executor cluster:
+
+- log-normal MLE: the MLE of (mu, sigma) is the mean/sd of ln(x) —
+  one aggregate over per-row quantized logs.
+- gamma method-of-moments: shape = mean^2/var, scale = var/mean from
+  micro-unit-exact moments (Johnson, Kotz & Balakrishnan 1994).
+- Pareto tail (Hill 1975): alpha = k / sum ln(x_i / x_(k+1)) over the
+  top-k order statistics — a top-k window, never a full sort shuffle
+  to the driver.
+- Anderson-Darling A^2 (Anderson & Darling 1952; Stephens 1974 for the
+  fitted-parameter case): the single-pass form
+  ``-n - (1/n) sum_i [(2i-1) ln Phi(z_i) + (2(n-i)+1) ln(1-Phi(z_i))]``
+  with the shared Abramowitz-Stegun erf polynomial
+  (stats/probs.normal_cdf).
+
+Determinism discipline (the catalog's transcendental-output rule):
+every per-row transcendental (ln, Phi) is quantized to a fixed unit
+BEFORE the integer sum, so cross-engine 1-ulp libm differences cannot
+accumulate; derived ratios are single replayed IEEE expressions over
+exact integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _q(x, unit: float):
+    """HALF-UP quantization to 1/unit as bigint (engine-portable)."""
+    return F.floor(x * F.lit(unit) + F.lit(0.5)).cast("bigint")
+
+
+def lognormal_fit(
+    df: DataFrame,
+    value_col: str,
+    *,
+    unit: int = 1_000_000,
+) -> DataFrame:
+    """Log-normal maximum-likelihood fit over the positive values of
+    ``value_col``: mu = mean(ln x), sigma = sd_pop(ln x) (the MLE —
+    Johnson, Kotz & Balakrishnan 1994, ch. 14), plus the implied
+    median ``exp(mu)`` quantized to micro-units.
+
+    Per-row ln(x) and ln(x)^2 are u6-quantized before decimal-exact
+    sums (decimal(28,0) buffer — exact far above 100-TB row counts);
+    mu/sigma are single divisions of those integers.  Returns ONE row
+    ``(n, mu_ln, sigma_ln, median_u6)``."""
+    v = F.col(value_col).cast("double")
+    d = df.where(v.isNotNull() & (v > 0)).select(v.alias("v"))
+    lnv = F.log("v")
+    agg = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_q(lnv, float(unit)).cast("decimal(18,0)")).alias("su"),
+        F.sum(_q(lnv * lnv, float(unit)).cast("decimal(18,0)")).alias("sq"),
+    )
+    u = F.lit(float(unit))
+    n = F.col("n").cast("double")
+    mu = F.col("su").cast("double") / u / n
+    var = F.col("sq").cast("double") / u / n - mu * mu
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        mu.alias("mu_ln"),
+        F.sqrt(var).alias("sigma_ln"),
+        _q(F.exp(mu), float(unit)).alias("median_u6"),
+    )
+
+
+def gamma_mom_fit(
+    df: DataFrame,
+    value_col: str,
+    *,
+    unit: int = 1_000_000,
+) -> DataFrame:
+    """Gamma fit by the method of moments (Johnson, Kotz &
+    Balakrishnan 1994, ch. 17): ``shape = mean^2 / var``,
+    ``scale = var / mean`` with the SAMPLE variance, over positive
+    values.
+
+    Micro-unit-exact first/second moments (per-row u6 integers summed
+    in a decimal(28,0) buffer — exact to ~1e28, above any 100-TB
+    second-moment total for values up to ~1e3; larger domains drop
+    ``unit``).  All outputs are replayed single-expression IEEE
+    arithmetic over the exact integers — deterministic, unrounded.
+    Returns ONE row ``(n, mean, variance, shape, scale)``."""
+    v = F.col(value_col).cast("double")
+    d = df.where(v.isNotNull() & (v > 0)).select(v.alias("v"))
+    agg = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_q(F.col("v"), float(unit)).cast("decimal(18,0)")).alias("s"),
+        F.sum(
+            _q(F.col("v") * F.col("v"), float(unit)).cast("decimal(18,0)")
+        ).alias("q"),
+    )
+    u = F.lit(float(unit))
+    n = F.col("n").cast("double")
+    mean = F.col("s").cast("double") / u / n
+    var = (F.col("q").cast("double") / u - n * mean * mean) / (
+        n - F.lit(1.0)
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        mean.alias("mean"),
+        var.alias("variance"),
+        (mean * mean / var).alias("shape"),
+        (var / mean).alias("scale"),
+    )
+
+
+def pareto_tail_fit(
+    df: DataFrame,
+    value_col: str,
+    order_cols: "list[str]",
+    *,
+    k: int = 1000,
+    unit: int = 1_000_000_000,
+) -> DataFrame:
+    """Hill estimator of the Pareto tail index (Hill, Ann. Statist.
+    1975): over the top ``k+1`` order statistics,
+
+        alpha_hat = k / sum_{i=1..k} ln( x_(i) / x_(k+1) )
+
+    with ``x_(k+1)`` the threshold.  The top-(k+1) selection ranks by
+    ``(value DESC, *order_cols)`` so ties at the boundary resolve
+    deterministically on both engines.  Per-row log-ratios are
+    u9-quantized before the integer sum; alpha is one division.  At
+    scale the rank window is a top-k — Spark's TakeOrderedAndProject
+    path, never a full global sort.  Returns ONE row
+    ``(k, x_threshold, alpha)``."""
+    v = F.col(value_col).cast("double")
+    w = Window.orderBy(
+        F.col("v").desc(), *[F.col(c) for c in order_cols]
+    )
+    d = (
+        df.where(v.isNotNull() & (v > 0))
+        .select(v.alias("v"), *order_cols)
+        .withColumn("i", F.row_number().over(w))
+        .where(F.col("i") <= k + 1)
+    )
+    thr = d.agg(F.min(F.when(F.col("i") == k + 1, F.col("v")))).first()[0]
+    if thr is None:
+        raise ValueError(
+            f"pareto_tail_fit: fewer than k+1={k + 1} positive rows"
+        )
+    thr = float(thr)
+    lnq = _q(F.log(F.col("v") / F.lit(thr)), float(unit))
+    agg = d.where(F.col("i") <= k).agg(F.sum(lnq).alias("su"))
+    return agg.select(
+        F.lit(k).cast("bigint").alias("k"),
+        F.lit(thr).cast("double").alias("x_threshold"),
+        (
+            F.lit(float(k)) * F.lit(float(unit))
+            / F.col("su").cast("double")
+        ).alias("alpha"),
+    )
+
+
+def anderson_darling_normal(
+    df: DataFrame,
+    value_col: str,
+    *,
+    unit: int = 1_000_000,
+) -> DataFrame:
+    """Anderson-Darling goodness-of-fit against the fitted normal
+    (Anderson & Darling 1952; the Lilliefors-style plug-in of sample
+    mu/sd per Stephens 1974; reference:
+    gofast/stats/evaluation.py:928 ``anderson_darling_test`` wraps
+    scipy.stats.anderson), in the single-pass form
+
+        A^2 = -n - (1/n) sum_i [ (2i-1) ln Phi(z_(i))
+                                 + (2(n-i)+1) ln(1 - Phi(z_(i))) ]
+
+    with ``Phi`` the shared Abramowitz-Stegun erf polynomial.  Ties
+    are safe: equal values share one Phi and occupy the same SET of
+    ranks under any intra-tie order, so the summed contribution is
+    order-invariant.  Phi is clamped to [1e-12, 1-1e-12] before ln
+    (both engines).  Each summand is u6-quantized before the integer
+    sum; A^2 is then a replayed expression over (n, sum).  Intended
+    for samples whose support fits an ordered window (pre-bin at
+    100 TB — the ks_test contract).  Returns ONE row
+    ``(n, mu, sd, a2)``."""
+    from gofast_spark.stats.probs import normal_cdf
+
+    v = F.col(value_col).cast("double")
+    d = df.where(v.isNotNull()).select(v.alias("v"))
+    mu, sd = d.agg(F.avg("v"), F.stddev_pop("v")).first()
+    mu, sd = float(mu), float(sd)
+    w = Window.orderBy("v")
+    tot = Window.partitionBy()
+    ranked = d.select(
+        "v",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(tot).alias("nn"),
+    )
+    phi = normal_cdf(F.col("v"), mu=mu, sigma=sd)
+    phi_c = F.least(
+        F.greatest(phi, F.lit(1e-12)), F.lit(1.0 - 1e-12)
+    )
+    i = F.col("i").cast("double")
+    nn = F.col("nn").cast("double")
+    summand = (F.lit(2.0) * i - F.lit(1.0)) * F.log(phi_c) + (
+        F.lit(2.0) * (nn - i) + F.lit(1.0)
+    ) * F.log(F.lit(1.0) - phi_c)
+    agg = ranked.select(
+        "nn", _q(summand, float(unit)).alias("t")
+    ).agg(
+        F.max("nn").cast("bigint").alias("n"),
+        F.sum("t").alias("su"),
+    )
+    a2 = (
+        -F.col("n").cast("double")
+        - F.col("su").cast("double")
+        / F.lit(float(unit))
+        / F.col("n").cast("double")
+    )
+    return agg.select(
+        "n",
+        F.round(F.lit(mu), 6).cast("double").alias("mu"),
+        F.round(F.lit(sd), 6).cast("double").alias("sd"),
+        a2.alias("a2"),
+    )
