@@ -621,3 +621,127 @@ def elastic_net_cd_2f(
          - w2 * F.col("__mu_x2")).alias("intercept"),
         F.col("__n").cast("bigint").alias("n"),
     )
+
+
+def information_criteria(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str,
+) -> DataFrame:
+    """AIC/BIC of the OLS fit ``label ~ features`` (Akaike 1974;
+    Schwarz 1978; Burnham & Anderson 2002 for the concentrated
+    Gaussian form; reference: gofast/stats/evaluation.py:1063-1071
+    ``InformationCriteria.aic``/``.bic`` score fitted sklearn models
+    eagerly):
+
+        AIC = n ln(SSE/n) + 2k        BIC = n ln(SSE/n) + k ln n
+
+    with ``k`` the design size (intercept + features) — the Gaussian
+    log-likelihood concentrated over the error variance, dropping the
+    model-free constant ``n(ln 2 pi + 1)`` (comparisons across models
+    on the same rows are unaffected).
+
+    One moment aggregation + fixed-order Cramer solve (the
+    ml/regression discipline); ln compresses the moment sums'
+    partition-order float noise by SSE, so round-4 presentation
+    absorbs it (the regression-entry tolerance class).  Returns ONE
+    row ``(n, k_params, r2, aic, bic)``."""
+    import math
+
+    feats = list(feature_cols)
+    fit = fit_linear_regression(df, feats, label_col, solver="cramer")
+    n = fit["n"]
+    k = len(feats) + 1
+    ll_core = n * math.log(fit["sse"] / n)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(
+            n,
+            k,
+            round(fit["r2"], 6),
+            round(ll_core + 2.0 * k, 4),
+            round(ll_core + k * math.log(n), 4),
+        )],
+        "n bigint, k_params int, r2 double, aic double, bic double",
+    )
+
+
+def loco_importance(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str,
+) -> DataFrame:
+    """Leave-one-covariate-out (LOCO) importance for the two-feature
+    OLS fit (Lei et al., JASA 2018 for the LOCO framing; reference:
+    gofast/stats/evaluation.py:1487
+    ``FeatureImportanceTests.permutation_importance_test`` — LOCO is
+    the refit-based counterpart that closed-form OLS makes free): the
+    drop in R^2 when each feature is removed and the model REFIT on
+    the remaining one.
+
+    ALL THREE fits (full 3-unknown, two reduced 2-unknown) come from
+    ONE moment aggregation — the reduced normal equations are
+    submatrices of the full Gram matrix, so no second scan.  Fixed
+    -order Cramer arithmetic mirrored by the oracle; outputs rounded
+    to 6 (ratio noise class).  Returns one row per feature
+    ``(feature, r2_full, r2_reduced, delta_r2)`` ordered by feature."""
+    feats = list(feature_cols)
+    if len(feats) != 2:
+        raise ValueError("loco_importance supports exactly 2 features")
+    cond = F.col(label_col).isNotNull()
+    for c in feats:
+        cond = cond & F.col(c).isNotNull()
+    d = df.where(cond)
+    x1 = F.col(feats[0]).cast("double")
+    x2 = F.col(feats[1]).cast("double")
+    y = F.col(label_col).cast("double")
+    row = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x1).alias("a01"),
+        F.sum(x2).alias("a02"),
+        F.sum(x1 * x1).alias("a11"),
+        F.sum(x1 * x2).alias("a12"),
+        F.sum(x2 * x2).alias("a22"),
+        F.sum(y).alias("b0"),
+        F.sum(x1 * y).alias("b1"),
+        F.sum(x2 * y).alias("b2"),
+        F.sum(y * y).alias("yy"),
+    ).first()
+    n = int(row["n"])
+    a00 = float(n)
+    a01, a02 = float(row["a01"]), float(row["a02"])
+    a11, a12, a22 = float(row["a11"]), float(row["a12"]), float(row["a22"])
+    b0, b1, b2 = float(row["b0"]), float(row["b1"]), float(row["b2"])
+    yy = float(row["yy"])
+    sst = yy - b0 * b0 / n
+
+    def r2_of(A, b):
+        w = _cramer_solve(A, b)
+        p = len(b)
+        sse = (
+            yy
+            - 2.0 * sum(wi * bi for wi, bi in zip(w, b))
+            + sum(
+                w[i] * A[i][j] * w[j]
+                for i in range(p)
+                for j in range(p)
+            )
+        )
+        return 1.0 - sse / sst
+
+    r2_full = r2_of(
+        [[a00, a01, a02], [a01, a11, a12], [a02, a12, a22]],
+        [b0, b1, b2],
+    )
+    r2_wo1 = r2_of([[a00, a02], [a02, a22]], [b0, b2])
+    r2_wo2 = r2_of([[a00, a01], [a01, a11]], [b0, b1])
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [
+            (feats[0], round(r2_full, 6), round(r2_wo1, 6),
+             round(r2_full - r2_wo1, 6)),
+            (feats[1], round(r2_full, 6), round(r2_wo2, 6),
+             round(r2_full - r2_wo2, 6)),
+        ],
+        "feature string, r2_full double, r2_reduced double, delta_r2 double",
+    ).orderBy("feature")

@@ -4090,3 +4090,324 @@ def anderson_darling_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gofast_spark.stats.distfit import anderson_darling_normal
 
     return anderson_darling_normal(_t(spark, sf_dir, "customer"), "c_acctbal")
+
+
+def _ic_loco_moments() -> str:
+    """Shared moments CTE for the information-criteria and LOCO
+    entries: the breusch_pagan design (quantity, discount ->
+    extendedprice) so the three regression diagnostics share one
+    contract."""
+    return """
+    WITH d0 AS (
+      SELECT CAST(l_quantity AS DOUBLE) AS x1,
+             CAST(l_discount AS DOUBLE) AS x2,
+             CAST(l_extendedprice AS DOUBLE) AS y
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+        AND l_extendedprice IS NOT NULL),
+    m AS (
+      SELECT CAST(count(*) AS DOUBLE) AS a00,
+             sum(x1) AS a01, sum(x2) AS a02,
+             sum(x1 * x1) AS a11, sum(x1 * x2) AS a12,
+             sum(x2 * x2) AS a22,
+             sum(y) AS b0, sum(x1 * y) AS b1, sum(x2 * y) AS b2,
+             sum(y * y) AS yy, count(*) AS n
+      FROM d0)"""
+
+
+def _sse3_sql() -> str:
+    """Full-model SSE in the exact python expression order of
+    ml.regression (w·b flat, then row-major quadratic form)."""
+    A = [["a00", "a01", "a02"], ["a01", "a11", "a12"], ["a02", "a12", "a22"]]
+    bb = ["b0", "b1", "b2"]
+    det = _det3_sql(A)
+    ws = []
+    for j in range(3):
+        Aj = [[bb[i] if c == j else A[i][c] for c in range(3)]
+              for i in range(3)]
+        ws.append(f"({_det3_sql(Aj)}) / ({det})")
+    quad = " + ".join(
+        f"w{i} * {A[i][j]} * w{j}" for i in range(3) for j in range(3)
+    )
+    return (
+        f"w3 AS (SELECT {ws[0]} AS w0, {ws[1]} AS w1, {ws[2]} AS w2,"
+        " a00, a01, a02, a11, a12, a22, b0, b1, b2, yy, n FROM m),\n"
+        "    sse3 AS (SELECT n, yy - b0 * b0 / n AS sst,"
+        f" yy - 2.0 * (w0 * b0 + w1 * b1 + w2 * b2) + ({quad}) AS sse"
+        " FROM w3)"
+    )
+
+
+def _sse2_sql(tag: str, a_keep: str, b_keep: str, aa: str) -> str:
+    """Reduced-model (intercept + one feature) SSE: 2x2 Cramer in the
+    fixed _det2 order.  ``a_keep`` = cross term a0x, ``b_keep`` = bx,
+    ``aa`` = axx."""
+    det = f"(a00 * {aa} - {a_keep} * {a_keep})"
+    w0 = f"((b0 * {aa} - {a_keep} * {b_keep}) / {det})"
+    w1 = f"((a00 * {b_keep} - b0 * {a_keep}) / {det})"
+    quad = (
+        f"{w0} * a00 * {w0} + {w0} * {a_keep} * {w1}"
+        f" + {w1} * {a_keep} * {w0} + {w1} * {aa} * {w1}"
+    )
+    return (
+        f"{tag} AS (SELECT n,"
+        f" yy - 2.0 * ({w0} * b0 + {w1} * {b_keep}) + ({quad}) AS sse"
+        " FROM m)"
+    )
+
+
+@query(
+    "aic_bic_ols_lineitem",
+    oracle=f"""
+    {_ic_loco_moments()},
+    {_sse3_sql()}
+    SELECT CAST(n AS BIGINT) AS n, CAST(3 AS INT) AS k_params,
+           CAST(round(1.0 - sse / sst, 6) AS DOUBLE) AS r2,
+           CAST(round(CAST(n AS DOUBLE) * ln(sse / CAST(n AS DOUBLE))
+                      + 2.0 * 3, 4) AS DOUBLE) AS aic,
+           CAST(round(CAST(n AS DOUBLE) * ln(sse / CAST(n AS DOUBLE))
+                      + 3 * ln(CAST(n AS DOUBLE)), 4) AS DOUBLE) AS bic
+    FROM sse3
+    """,
+)
+def aic_bic_ols_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AIC/BIC of the OLS fit extendedprice ~ quantity + discount
+    (ml/regression.py information_criteria; Akaike 1974, Schwarz 1978;
+    reference gofast/stats/evaluation.py:1063-1071 InformationCriteria)
+    — the concentrated-Gaussian form n ln(SSE/n) + penalty from the
+    same one-scan Cramer fit as breusch_pagan_lineitem."""
+    from gofast_spark.ml.regression import information_criteria
+
+    li = _t(spark, sf_dir, "lineitem")
+    return information_criteria(
+        li, ["l_quantity", "l_discount"], "l_extendedprice"
+    )
+
+
+@query(
+    "loco_importance_lineitem",
+    oracle=f"""
+    {_ic_loco_moments()},
+    {_sse3_sql()},
+    {_sse2_sql("sse_wo1", "a02", "b2", "a22")},
+    {_sse2_sql("sse_wo2", "a01", "b1", "a11")}
+    SELECT * FROM (
+      SELECT 'l_quantity' AS feature,
+             CAST(round(1.0 - f.sse / f.sst, 6) AS DOUBLE) AS r2_full,
+             CAST(round(1.0 - r.sse / f.sst, 6) AS DOUBLE) AS r2_reduced,
+             CAST(round((1.0 - f.sse / f.sst)
+                        - (1.0 - r.sse / f.sst), 6) AS DOUBLE)
+               AS delta_r2
+      FROM sse3 f, sse_wo1 r
+      UNION ALL
+      SELECT 'l_discount' AS feature,
+             CAST(round(1.0 - f.sse / f.sst, 6) AS DOUBLE) AS r2_full,
+             CAST(round(1.0 - r.sse / f.sst, 6) AS DOUBLE) AS r2_reduced,
+             CAST(round((1.0 - f.sse / f.sst)
+                        - (1.0 - r.sse / f.sst), 6) AS DOUBLE)
+               AS delta_r2
+      FROM sse3 f, sse_wo2 r)
+    ORDER BY feature
+    """,
+)
+def loco_importance_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-covariate-out importance for the two-feature OLS fit
+    (ml/regression.py loco_importance; Lei et al. JASA 2018; reference
+    gofast/stats/evaluation.py:1487 FeatureImportanceTests) — the
+    refit-based importance that closed-form OLS gets from ONE moment
+    scan: both reduced models are submatrices of the full Gram
+    matrix."""
+    from gofast_spark.ml.regression import loco_importance
+
+    li = _t(spark, sf_dir, "lineitem")
+    return loco_importance(
+        li, ["l_quantity", "l_discount"], "l_extendedprice"
+    )
+
+
+def _ppf_sql(p: str) -> str:
+    """Acklam inverse-normal replay: generated from the SAME
+    coefficient tuples as stats/probs.normal_ppf (repr round-trip), so
+    both engines evaluate one expression tree."""
+    from gofast_spark.stats.probs import (
+        PPF_A, PPF_B, PPF_C, PPF_D, PPF_P_LOW,
+    )
+
+    def tail(q: str) -> str:
+        c, dd = PPF_C, PPF_D
+        num = (
+            f"(((({c[0]!r} * {q} + {c[1]!r}) * {q} + {c[2]!r}) * {q}"
+            f" + {c[3]!r}) * {q} + {c[4]!r}) * {q} + {c[5]!r}"
+        )
+        den = (
+            f"((({dd[0]!r} * {q} + {dd[1]!r}) * {q} + {dd[2]!r}) * {q}"
+            f" + {dd[3]!r}) * {q} + 1.0"
+        )
+        return f"({num}) / ({den})"
+
+    a, b = PPF_A, PPF_B
+    qc = f"({p} - 0.5)"
+    r = f"({qc} * {qc})"
+    num = (
+        f"(((({a[0]!r} * {r} + {a[1]!r}) * {r} + {a[2]!r}) * {r}"
+        f" + {a[3]!r}) * {r} + {a[4]!r}) * {r} + {a[5]!r}"
+    )
+    den = (
+        f"(((({b[0]!r} * {r} + {b[1]!r}) * {r} + {b[2]!r}) * {r}"
+        f" + {b[3]!r}) * {r} + {b[4]!r}) * {r} + 1.0"
+    )
+    lo = tail(f"sqrt(-2.0 * ln({p}))")
+    hi = tail(f"sqrt(-2.0 * ln(1.0 - {p}))")
+    return (
+        f"CASE WHEN {p} < {PPF_P_LOW!r} THEN {lo}"
+        f" WHEN {p} > {1.0 - PPF_P_LOW!r} THEN -({hi})"
+        f" ELSE ({num}) * {qc} / ({den}) END"
+    )
+
+
+def _sf_oracle() -> str:
+    m = _ppf_sql(
+        "((CAST(i AS DOUBLE) - 0.375) / (CAST(nn AS DOUBLE) + 0.25))"
+    )
+    return f"""
+    WITH d AS (
+      SELECT CAST(c_acctbal AS DOUBLE) AS v
+      FROM customer WHERE c_acctbal IS NOT NULL),
+    r AS (
+      SELECT v, row_number() OVER (ORDER BY v) AS i,
+             count(*) OVER () AS nn
+      FROM d),
+    q AS (
+      SELECT CAST(floor(({m}) * 1000000.0 + 0.5) AS BIGINT) AS m,
+             CAST(floor(v * 100.0 + 0.5) AS BIGINT) AS x
+      FROM r),
+    a AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(m * x) AS sxm, sum(m * m) AS smm,
+             sum(x) AS sx, sum(x * x) AS sxx
+      FROM q)
+    SELECT n,
+           (CAST(sxm AS DOUBLE) / 100000000.0)
+             * (CAST(sxm AS DOUBLE) / 100000000.0)
+             / ((CAST(smm AS DOUBLE) / 1000000000000.0)
+                * ((CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                      / CAST(n AS DOUBLE)) / 10000.0)) AS w_prime
+    FROM a
+    """
+
+
+@query("shapiro_francia_acctbal", oracle=_sf_oracle())
+def shapiro_francia_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapiro-Francia normality statistic over account balances
+    (stats/distfit.py shapiro_francia; Shapiro & Francia JASA 1972;
+    reference: gofast/stats/evaluation.py:923 shapiro_wilk_test wraps
+    scipy — SF is its large-n order-score form): squared correlation
+    of the order statistics with Blom normal scores through the shared
+    Acklam inverse-normal polynomial, every sum an exact integer."""
+    from gofast_spark.stats.distfit import shapiro_francia
+
+    return shapiro_francia(_t(spark, sf_dir, "customer"), "c_acctbal")
+
+
+def _hl_oracle(n_iter: int = 3, n_bins: int = 10) -> str:
+    """The _logit_oracle Newton layers, then scoring at the
+    round-5 weights, fixed-width probability bins, and the
+    integer-quantized Hosmer-Lemeshow chi-square."""
+    layers = [
+        "w0 AS (SELECT CAST(0.0 AS DOUBLE) AS w0,"
+        " CAST(0.0 AS DOUBLE) AS w1)"
+    ]
+    prev = "w0"
+    for k in range(1, n_iter + 1):
+        p = f"(1.0 / (1.0 + exp(-({prev}.w0 * 1.0 + {prev}.w1 * d.x))))"
+        layers.append(f"""a{k} AS (
+      SELECT sum({p} * (1.0 - {p}) * 1.0 * 1.0) AS h00,
+             sum({p} * (1.0 - {p}) * 1.0 * d.x) AS h01,
+             sum({p} * (1.0 - {p}) * d.x * d.x) AS h11,
+             sum((d.y - {p}) * 1.0) AS g0,
+             sum((d.y - {p}) * d.x) AS g1,
+             count(*) AS n
+      FROM d, {prev})""")
+        layers.append(f"""w{k} AS (
+      SELECT {prev}.w0 + (g0 * h11 - h01 * g1) / (h00 * h11 - h01 * h01) AS w0,
+             {prev}.w1 + (h00 * g1 - g0 * h01) / (h00 * h11 - h01 * h01) AS w1,
+             a{k}.n AS n
+      FROM a{k}, {prev})""")
+        prev = f"w{k}"
+    cte = ",\n    ".join(layers)
+    width = 1_000_000 // n_bins
+    return f"""
+    WITH d AS (
+      SELECT CAST(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS DOUBLE) AS y,
+             CAST(o_totalprice AS DOUBLE) / 100000.0 AS x
+      FROM orders
+      WHERE o_orderstatus IS NOT NULL AND o_totalprice IS NOT NULL),
+    {cte},
+    scored AS (
+      SELECT CAST(floor((1.0 / (1.0 + exp(-(round({prev}.w0, 5)
+                   + round({prev}.w1, 5) * d.x)))) * 1000000.0 + 0.5)
+               AS BIGINT) AS pu,
+             CAST(d.y AS BIGINT) AS y
+      FROM d, {prev}),
+    per AS (
+      SELECT least(CAST(floor(pu / {width}.0) AS INT), {n_bins - 1})
+               AS bin,
+             count(*) AS n_g, sum(y) AS o1, sum(pu) AS e1u
+      FROM scored GROUP BY 1),
+    used AS (
+      SELECT * FROM per
+      WHERE e1u > 0 AND n_g * 1000000 - e1u > 0),
+    fin AS (
+      SELECT CAST(sum(n_g) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS bins_used,
+             sum(CAST(floor(((CAST(o1 AS DOUBLE)
+                              - CAST(e1u AS DOUBLE) / 1000000.0)
+                             * (CAST(o1 AS DOUBLE)
+                                - CAST(e1u AS DOUBLE) / 1000000.0)
+                             / (CAST(e1u AS DOUBLE) / 1000000.0)
+                             + (CAST(o1 AS DOUBLE)
+                                - CAST(e1u AS DOUBLE) / 1000000.0)
+                               * (CAST(o1 AS DOUBLE)
+                                  - CAST(e1u AS DOUBLE) / 1000000.0)
+                               / (CAST(n_g AS DOUBLE)
+                                  - CAST(e1u AS DOUBLE) / 1000000.0))
+                            * 1000000.0 + 0.5) AS BIGINT)) AS chi2_u6
+      FROM used)
+    SELECT n, bins_used, CAST(chi2_u6 AS BIGINT) AS chi2_u6,
+           CAST(bins_used - 2 AS BIGINT) AS dof
+    FROM fin
+    """
+
+
+@query("hosmer_lemeshow_orders", oracle=_hl_oracle(3, 10))
+def hosmer_lemeshow_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hosmer-Lemeshow calibration test of the 3-iteration Newton
+    logistic fit of order finality on total price
+    (stats/evaluation.py hosmer_lemeshow; Hosmer & Lemeshow 1980;
+    reference gofast/stats/evaluation.py:379
+    GoodnessOfFit.hosmer_lemeshow_test): fixed-width probability bins
+    over round-5 weights (rank-decile bins are not ulp-stable across
+    engines), integer-exact O/E, quantized per-bin contributions.
+    The oracle replays the full Newton trajectory plus the binned
+    chi-square."""
+    from gofast_spark.ml import fit_logistic_regression
+    from gofast_spark.stats.evaluation import hosmer_lemeshow
+
+    o = _t(spark, sf_dir, "orders")
+    d = o.select(
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+        .cast("double").alias("y"),
+        (F.col("o_totalprice").cast("double") / 100000.0).alias("x"),
+    ).where(
+        F.col("o_orderstatus").isNotNull()
+        & F.col("o_totalprice").isNotNull()
+    )
+    m = fit_logistic_regression(d, ["x"], "y", n_iter=3, solver="cramer")
+    w0 = round(m["coef"][0], 5)
+    w1 = round(m["coef"][1], 5)
+    z = F.lit(w0) + F.lit(w1) * F.col("x")
+    scored = d.select(
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("p"), "y"
+    )
+    return hosmer_lemeshow(scored, "p", "y", n_bins=10)

@@ -226,3 +226,71 @@ def anderson_darling_normal(
         F.round(F.lit(sd), 6).cast("double").alias("sd"),
         a2.alias("a2"),
     )
+
+
+def shapiro_francia(
+    df: DataFrame,
+    value_col: str,
+    *,
+    unit: int = 1_000_000,
+    value_unit: int = 100,
+) -> DataFrame:
+    """Shapiro-Francia normality statistic (Shapiro & Francia, JASA
+    1972 — the large-n simplification of Shapiro-Wilk, whose exact
+    coefficients need the order-statistic covariance matrix; the
+    reference wraps scipy's Shapiro-Wilk,
+    gofast/stats/evaluation.py:923):
+
+        W' = ( sum_i m_i x_(i) )^2 / ( sum_i m_i^2 * sum_i (x_i - xbar)^2 )
+
+    with Blom scores ``m_i = Phi^{-1}((i - 3/8) / (n + 1/4))`` through
+    the shared Acklam inverse-normal polynomial (stats/probs
+    normal_ppf).  W' is the squared correlation between the sample
+    order statistics and their expected normal scores — near 1 under
+    normality.
+
+    Ties are safe (equal x share the value; the m_i they receive are
+    the same SET under any intra-tie order, and only sums over the tie
+    block enter).  m_i is u6-quantized and x ``value_unit``-quantized
+    per row, so every sum is an exact integer and W' one replayed
+    expression — deterministic, unrounded.  Ordered-window form (the
+    ks_test pre-bin contract at 100 TB).  Returns ONE row
+    ``(n, w_prime)``."""
+    from gofast_spark.stats.probs import normal_ppf
+
+    v = F.col(value_col).cast("double")
+    d = df.where(v.isNotNull()).select(v.alias("v"))
+    w = Window.orderBy("v")
+    tot = Window.partitionBy()
+    ranked = d.select(
+        "v",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(tot).alias("nn"),
+    )
+    p_i = (F.col("i").cast("double") - F.lit(0.375)) / (
+        F.col("nn").cast("double") + F.lit(0.25)
+    )
+    m_u = _q(normal_ppf(p_i), float(unit))
+    x_u = _q(F.col("v"), float(value_unit))
+    agg = ranked.select(
+        m_u.alias("m"), x_u.alias("x")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("m") * F.col("x")).alias("sxm"),
+        F.sum(F.col("m") * F.col("m")).alias("smm"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    uu = float(unit) * float(value_unit)
+    num = F.col("sxm").cast("double") / F.lit(uu)
+    den = (
+        F.col("smm").cast("double") / F.lit(float(unit) * float(unit))
+    ) * (
+        (
+            F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double")
+            / F.col("n").cast("double")
+        )
+        / F.lit(float(value_unit) * float(value_unit))
+    )
+    return agg.select("n", (num * num / den).alias("w_prime"))

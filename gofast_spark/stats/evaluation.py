@@ -190,3 +190,72 @@ def residual_analysis(
     jb = jarque_bera(base, "__r").select("jb_stat", "skewness", "kurtosis")
     dw = durbin_watson(base, "__r", "__o").select("dw_stat", "n")
     return mom.crossJoin(jb).crossJoin(dw)
+
+
+def hosmer_lemeshow(
+    df: DataFrame,
+    p_col: str,
+    y_col: str,
+    *,
+    n_bins: int = 10,
+    unit: int = 1_000_000,
+) -> DataFrame:
+    """Hosmer-Lemeshow calibration test for a fitted binary classifier
+    (Hosmer & Lemeshow 1980; reference: gofast/stats/evaluation.py:379
+    ``GoodnessOfFit.hosmer_lemeshow_test``), in the FIXED-CUTPOINT
+    form: rows are grouped into ``n_bins`` equal-width probability
+    bins (not sample deciles — rank-based deciles are not stable
+    across engines when two predictions differ by one ulp, while a
+    fixed 1/n_bins grid moves a row only if its probability sits at a
+    bin edge), and
+
+        chi2 = sum_g (O_g - E_g)^2 / E_g + (O'_g - E'_g)^2 / E'_g
+
+    over the event/non-event cells.  Predicted probabilities are
+    u6-quantized BEFORE binning and summing, so O/E are exact integers
+    and every per-bin contribution is quantized before the final
+    integer sum — deterministic end-to-end.  Bins whose expected count
+    is zero on either side are excluded (dof = used_bins - 2, the HL
+    convention).  Returns ONE row ``(n, bins_used, chi2_u6, dof)``."""
+    p = F.col(p_col).cast("double")
+    y = F.col(y_col).cast("double")
+    u = float(unit)
+    d = df.where(p.isNotNull() & y.isNotNull()).select(
+        F.floor(p * F.lit(u) + F.lit(0.5)).cast("bigint").alias("pu"),
+        y.cast("bigint").alias("y"),
+    )
+    width = unit // n_bins
+    binned = d.select(
+        F.least(
+            F.floor(F.col("pu") / F.lit(width)).cast("int"),
+            F.lit(n_bins - 1),
+        ).alias("bin"),
+        "pu",
+        "y",
+    )
+    per = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum("y").alias("o1"),
+        F.sum("pu").alias("e1u"),
+    )
+    ng = F.col("n_g").cast("double")
+    e1 = F.col("e1u").cast("double") / F.lit(u)
+    diff = F.col("o1").cast("double") - e1
+    contrib = diff * diff / e1 + diff * diff / (ng - e1)
+    used = per.where(
+        (F.col("e1u") > 0)
+        & (F.col("n_g") * F.lit(unit) - F.col("e1u") > 0)
+    )
+    agg = used.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("bins_used"),
+        F.sum(
+            F.floor(contrib * F.lit(u) + F.lit(0.5)).cast("bigint")
+        ).alias("chi2_u6"),
+    )
+    return agg.select(
+        "n",
+        "bins_used",
+        "chi2_u6",
+        (F.col("bins_used") - 2).cast("bigint").alias("dof"),
+    )
