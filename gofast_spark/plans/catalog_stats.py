@@ -4411,3 +4411,190 @@ def hosmer_lemeshow_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("p"), "y"
     )
     return hosmer_lemeshow(scored, "p", "y", n_bins=10)
+
+
+@query(
+    "mood_median_events",
+    oracle="""
+    WITH d AS (
+      SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+      FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+    r AS (
+      SELECT v, row_number() OVER (ORDER BY v) AS i,
+             count(*) OVER () AS nn
+      FROM d),
+    m AS (
+      SELECT v AS med FROM r
+      WHERE i = CAST(floor((CAST(nn AS DOUBLE) + 1.0) / 2.0) AS BIGINT)),
+    per AS (
+      SELECT g, count(*) AS n_g,
+             sum(CASE WHEN v > (SELECT med FROM m) THEN 1 ELSE 0 END)
+               AS a_g
+      FROM d GROUP BY 1),
+    mm AS (
+      SELECT g, n_g, a_g,
+             sum(n_g) OVER () AS n, sum(a_g) OVER () AS a,
+             count(*) OVER () AS k
+      FROM per),
+    c AS (
+      SELECT n, a, k,
+             CAST(floor(((CAST(a_g AS DOUBLE)
+                          - CAST(n_g AS DOUBLE) * CAST(a AS DOUBLE)
+                            / CAST(n AS DOUBLE))
+                         * (CAST(a_g AS DOUBLE)
+                            - CAST(n_g AS DOUBLE) * CAST(a AS DOUBLE)
+                              / CAST(n AS DOUBLE))
+                         / (CAST(n_g AS DOUBLE) * CAST(a AS DOUBLE)
+                            / CAST(n AS DOUBLE))
+                         + (CAST(n_g - a_g AS DOUBLE)
+                            - CAST(n_g AS DOUBLE)
+                              * (CAST(n AS DOUBLE) - CAST(a AS DOUBLE))
+                              / CAST(n AS DOUBLE))
+                           * (CAST(n_g - a_g AS DOUBLE)
+                              - CAST(n_g AS DOUBLE)
+                                * (CAST(n AS DOUBLE)
+                                   - CAST(a AS DOUBLE))
+                                / CAST(n AS DOUBLE))
+                           / (CAST(n_g AS DOUBLE)
+                              * (CAST(n AS DOUBLE) - CAST(a AS DOUBLE))
+                              / CAST(n AS DOUBLE)))
+                        * 1000000000.0 + 0.5) AS BIGINT) AS cq
+      FROM mm),
+    agg AS (SELECT n, a, k, sum(cq) AS chi2 FROM c GROUP BY 1, 2, 3)
+    SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k_groups,
+           CAST(a AS BIGINT) AS n_above,
+           CAST(chi2 AS BIGINT) AS chi2_u9,
+           CAST(k - 1 AS BIGINT) AS dof
+    FROM agg
+    """,
+)
+def mood_median_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test across event types (stats/inferential.py
+    mood_median_test; Mood 1950) — the coarse outlier-immune
+    homogeneity check beside kruskal_wallis_events: lower-median
+    threshold selected by integer rank (interpolated medians are not
+    ulp-stable cross-engine), integer counts, u9-quantized per-group
+    chi-square contributions."""
+    from gofast_spark.stats.inferential import mood_median_test
+
+    e = _t(spark, sf_dir, "events")
+    return mood_median_test(e, "value", "event_type")
+
+
+@query(
+    "jonckheere_terpstra_events",
+    oracle="""
+    WITH d AS (
+      SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+      FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+    cnt AS (SELECT v, g, count(*) AS c FROM d GROUP BY 1, 2),
+    vals AS (SELECT DISTINCT v FROM d),
+    grps AS (SELECT DISTINCT g FROM d),
+    grid AS (SELECT vals.v, grps.g FROM vals, grps),
+    cell AS (
+      SELECT grid.v, grid.g, coalesce(cnt.c, 0) AS c
+      FROM grid LEFT JOIN cnt ON grid.v = cnt.v AND grid.g = cnt.g),
+    cum AS (
+      SELECT v, g, c,
+             coalesce(sum(c) OVER (PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cp
+      FROM cell),
+    jt AS (
+      SELECT sum(2 * b.c * a.cp + a.c * b.c) AS jt2
+      FROM cum a JOIN cum b ON a.v = b.v AND a.g < b.g),
+    sizes AS (SELECT g, count(*) AS n_g FROM d GROUP BY 1),
+    mom AS (
+      SELECT sum(n_g) AS n, sum(n_g * n_g) AS s2,
+             sum(n_g * n_g * (2 * n_g + 3)) AS s3, count(*) AS k
+      FROM sizes)
+    SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k_groups,
+           CAST(jt2 AS BIGINT) AS jt2,
+           (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+            - CAST(s2 AS DOUBLE)) / 2.0 AS mean2,
+           (CAST(jt2 AS DOUBLE) / 2.0
+            - ((CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                - CAST(s2 AS DOUBLE)) / 2.0) / 2.0)
+             / sqrt((CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                     * (2.0 * CAST(n AS DOUBLE) + 3.0)
+                     - CAST(s3 AS DOUBLE)) / 72.0) AS z
+    FROM jt, mom
+    """,
+)
+def jonckheere_terpstra_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra ordered-alternative test across event types
+    (stats/inferential.py jonckheere_terpstra; Jonckheere 1954,
+    Terpstra 1952; group order lexicographic) — pairwise Mann-Whitney
+    counts from ONE contingency + dense value-grid cumulative windows
+    (the ks_by_group pattern), carried doubled so the statistic stays
+    an exact integer."""
+    from gofast_spark.stats.inferential import jonckheere_terpstra
+
+    e = _t(spark, sf_dir, "events")
+    return jonckheere_terpstra(e, "value", "event_type")
+
+
+@query(
+    "page_trend_weekday_events",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(ts AS DATE) AS d FROM events WHERE ts IS NOT NULL),
+    daily AS (SELECT d, count(*) AS v FROM e GROUP BY 1),
+    keyed AS (
+      SELECT CAST(isoyear(d) AS BIGINT) * 100
+               + CAST(week(d) AS BIGINT) AS b,
+             CAST(isodow(d) AS INT) AS t, v
+      FROM daily),
+    kg AS (SELECT count(DISTINCT t) AS k FROM keyed),
+    ok AS (
+      SELECT b FROM keyed GROUP BY b
+      HAVING count(DISTINCT t) = (SELECT k FROM kg)),
+    comp AS (SELECT keyed.* FROM keyed JOIN ok USING (b)),
+    ranked AS (
+      SELECT b, t,
+             2 * rank() OVER (PARTITION BY b ORDER BY v)
+               + count(*) OVER (PARTITION BY b, v) - 1 AS r2
+      FROM comp),
+    per_t AS (SELECT t, sum(r2) AS rr2 FROM ranked GROUP BY 1),
+    idx AS (
+      SELECT t, rr2, row_number() OVER (ORDER BY t) AS j FROM per_t),
+    bb AS (SELECT count(DISTINCT b) AS nb FROM comp),
+    agg AS (SELECT sum(j * rr2) AS l2 FROM idx)
+    SELECT CAST(nb AS BIGINT) AS b_blocks,
+           CAST(k AS BIGINT) AS k_treatments,
+           CAST(l2 AS BIGINT) AS l2,
+           (CAST(l2 AS DOUBLE) / 2.0
+            - CAST(nb AS DOUBLE) * CAST(k AS DOUBLE)
+              * (CAST(k AS DOUBLE) + 1.0) * (CAST(k AS DOUBLE) + 1.0)
+              / 2.0 / 2.0)
+             / sqrt(CAST(nb AS DOUBLE) * CAST(k AS DOUBLE)
+                    * CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0)
+                    * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0)
+                    / 144.0) AS z
+    FROM agg, bb, kg
+    """,
+)
+def page_trend_weekday_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's L trend test for a day-of-week effect on daily event
+    volume (stats/inferential.py page_trend_test; Page, JASA 1963):
+    complete ISO weeks are the blocks, ISO weekdays the ordered
+    treatments, daily counts the responses — doubled average ranks
+    keep L an exact integer; z uses the no-tie moments."""
+    from gofast_spark.stats.inferential import page_trend_test
+
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.where(F.col("ts").isNotNull())
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    keyed = daily.select(
+        (
+            F.expr("extract(YEAROFWEEK FROM d)").cast("bigint")
+            * F.lit(100)
+            + F.weekofyear("d").cast("bigint")
+        ).alias("b"),
+        (F.weekday("d") + F.lit(1)).cast("int").alias("t"),
+        "v",
+    )
+    return page_trend_test(keyed, "b", "t", "v")

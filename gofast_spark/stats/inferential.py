@@ -15,6 +15,8 @@ combined).  KS needs the pooled order statistics: one global sort of the
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1543,4 +1545,230 @@ def cvm_normal_test(
         F.round(F.lit(mu), 6).cast("double").alias("mu"),
         F.round(F.lit(sd), 6).cast("double").alias("sd"),
         w2_u9.alias("w2_u9"),
+    )
+
+
+def mood_median_test(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    *,
+    unit: int = 1_000_000_000,
+) -> DataFrame:
+    """Mood's median test (Mood, *Introduction to the Theory of
+    Statistics*, 1950): chi-square independence of group x
+    (above / not-above the grand median) — the coarse, outlier-immune
+    companion of kruskal_wallis.
+
+    The grand median is the LOWER median (the order statistic at
+    ``floor((n+1)/2)``) — an actual data value selected by integer
+    rank, so both engines threshold on the identical double (an
+    interpolated median is not ulp-stable across engines).  Counts are
+    integers; each group's chi-square contribution is one replayed
+    expression over integers, u9-quantized before the final integer
+    sum.  Returns ONE row ``(n, k_groups, n_above, chi2_u9, dof)``."""
+    v = F.col(value_col).cast("double")
+    g = F.col(group_col)
+    d = df.where(v.isNotNull() & g.isNotNull()).select(
+        g.alias("g"), v.alias("v")
+    )
+    w = Window.orderBy("v")
+    tot = Window.partitionBy()
+    ranked = d.select(
+        "v",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(tot).alias("nn"),
+    )
+    med = ranked.where(
+        F.col("i")
+        == F.floor(
+            (F.col("nn").cast("double") + F.lit(1.0)) / F.lit(2.0)
+        ).cast("bigint")
+    ).first()["v"]
+    med = float(med)
+    per = d.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum((F.col("v") > F.lit(med)).cast("bigint")).alias("a_g"),
+    )
+    wall = Window.partitionBy()
+    m = per.select(
+        "g", "n_g", "a_g",
+        F.sum("n_g").over(wall).alias("n"),
+        F.sum("a_g").over(wall).alias("a"),
+        F.count(F.lit(1)).over(wall).alias("k"),
+    )
+    ng = F.col("n_g").cast("double")
+    n = F.col("n").cast("double")
+    a = F.col("a").cast("double")
+    e1 = ng * a / n
+    e0 = ng * (n - a) / n
+    o1 = F.col("a_g").cast("double")
+    o0 = (F.col("n_g") - F.col("a_g")).cast("double")
+    contrib = (o1 - e1) * (o1 - e1) / e1 + (o0 - e0) * (o0 - e0) / e0
+    agg = m.select(
+        "n", "a", "k",
+        F.floor(contrib * F.lit(float(unit)) + F.lit(0.5))
+        .cast("bigint").alias("cq"),
+    ).groupBy("n", "a", "k").agg(F.sum("cq").alias("chi2_u9"))
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("k").cast("bigint").alias("k_groups"),
+        F.col("a").cast("bigint").alias("n_above"),
+        "chi2_u9",
+        (F.col("k") - 1).cast("bigint").alias("dof"),
+    )
+
+
+def jonckheere_terpstra(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Jonckheere-Terpstra test for an ORDERED alternative across k
+    groups (Jonckheere, Biometrika 1954; Terpstra 1952): the sum of
+    pairwise Mann-Whitney counts between every ordered group pair
+    (group order = lexicographic on ``group_col``).  Reported as the
+    tie-exact DOUBLED statistic
+
+        JT2 = sum_{a<b} sum_v [ 2 c_b(v) A_a(<v) + c_a(v) c_b(v) ]
+
+    (twice ``#{x_a < x_b} + #{x_a = x_b}/2``) so everything stays an
+    INTEGER, plus the normal approximation z from the no-tie moments
+    (Lehmann, *Nonparametrics*, 1975).
+
+    Relational shape: one (value, group) contingency, a dense
+    ``distinct-values x k`` grid (window cumulatives per group — the
+    ks_by_group pattern; pre-bin values at 100 TB), and a grid
+    self-join on value for the k(k-1)/2 ordered pairs.  Returns ONE
+    row ``(n, k_groups, jt2, mean2, z)``."""
+    v = F.col(value_col).cast("double")
+    g = F.col(group_col)
+    d = df.where(v.isNotNull() & g.isNotNull()).select(
+        g.alias("g"), v.alias("v")
+    )
+    cnt = d.groupBy("v", "g").agg(F.count(F.lit(1)).alias("c"))
+    vals = d.select("v").distinct()
+    groups = d.select("g").distinct()
+    grid = vals.crossJoin(F.broadcast(groups))
+    cell = grid.join(cnt, ["v", "g"], "left").select(
+        "v", "g", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    wg = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = cell.select(
+        "v", "g", "c",
+        F.coalesce(F.sum("c").over(wg), F.lit(0)).alias("cum_prev"),
+    )
+    left = cum.select(
+        F.col("v").alias("va"), F.col("g").alias("ga"),
+        F.col("c").alias("ca"), F.col("cum_prev").alias("cpa"),
+    )
+    right = cum.select(
+        F.col("v").alias("vb"), F.col("g").alias("gb"),
+        F.col("c").alias("cb"),
+    )
+    pairs = left.join(
+        right,
+        (F.col("va") == F.col("vb")) & (F.col("ga") < F.col("gb")),
+    )
+    jt2_row = pairs.agg(
+        F.sum(
+            F.lit(2) * F.col("cb") * F.col("cpa")
+            + F.col("ca") * F.col("cb")
+        ).alias("jt2")
+    )
+    sizes = d.groupBy("g").agg(F.count(F.lit(1)).alias("n_g"))
+    mom = sizes.agg(
+        F.sum("n_g").alias("n"),
+        F.sum(F.col("n_g") * F.col("n_g")).alias("s2"),
+        F.sum(
+            F.col("n_g") * F.col("n_g")
+            * (F.lit(2) * F.col("n_g") + F.lit(3))
+        ).alias("s3"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    j = jt2_row.crossJoin(mom)
+    n = F.col("n").cast("double")
+    mean2 = (n * n - F.col("s2").cast("double")) / F.lit(2.0)
+    var = (
+        n * n * (F.lit(2.0) * n + F.lit(3.0))
+        - F.col("s3").cast("double")
+    ) / F.lit(72.0)
+    z = (F.col("jt2").cast("double") / F.lit(2.0) - mean2 / F.lit(2.0)) / F.sqrt(var)
+    return j.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("k").cast("bigint").alias("k_groups"),
+        F.col("jt2").cast("bigint").alias("jt2"),
+        mean2.alias("mean2"),
+        z.alias("z"),
+    )
+
+
+def page_trend_test(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Page's L trend test for ordered treatments in a randomized
+    block design (Page, JASA 1963): within each complete block the
+    values are ranked (AVERAGE ranks on ties, carried doubled so they
+    stay integers), and
+
+        L = sum_j j * R_j
+
+    over treatments in their natural order, with the normal
+    approximation ``z = (L - mu_L) / sd_L``,
+    ``mu_L = b k (k+1)^2 / 4``, ``Var L = b k^2 (k+1)(k^2-1) / 144``
+    (no-tie moments).  Only blocks containing ALL k treatments enter
+    (k = the global distinct treatment count).  Everything up to z is
+    integer arithmetic: ranks via min-rank + tie-count (both
+    engine-deterministic), L carried doubled (L2).  Returns ONE row
+    ``(b_blocks, k_treatments, l2, z)``."""
+    b = F.col(block_col)
+    t = F.col(treatment_col)
+    v = F.col(value_col).cast("double")
+    d = df.where(b.isNotNull() & t.isNotNull() & v.isNotNull()).select(
+        b.alias("b"), t.alias("t"), v.alias("v")
+    )
+    k_global = d.select("t").distinct().count()
+    wb = Window.partitionBy("b")
+    complete = (
+        d.withColumn(
+            "k_b", F.size(F.collect_set("t").over(wb))
+        )
+        .where(F.col("k_b") == k_global)
+        .drop("k_b")
+    )
+    wr = Window.partitionBy("b").orderBy("v")
+    wt = Window.partitionBy("b", "v")
+    ranked = complete.select(
+        "b", "t",
+        (
+            F.lit(2) * F.rank().over(wr)
+            + F.count(F.lit(1)).over(wt) - F.lit(1)
+        ).alias("r2"),
+    )
+    wt_ord = Window.orderBy("t")
+    per_t = ranked.groupBy("t").agg(F.sum("r2").alias("rr2"))
+    idx = per_t.select(
+        "t", "rr2", F.row_number().over(wt_ord).alias("j")
+    )
+    nb = complete.select("b").distinct().count()
+    agg = idx.agg(F.sum(F.col("j") * F.col("rr2")).alias("l2"))
+    kk = float(k_global)
+    bb = float(nb)
+    mean_l2 = bb * kk * (kk + 1.0) * (kk + 1.0) / 2.0
+    var_l = bb * kk * kk * (kk + 1.0) * (kk * kk - 1.0) / 144.0
+    z = (
+        F.col("l2").cast("double") / F.lit(2.0) - F.lit(mean_l2 / 2.0)
+    ) / F.lit(math.sqrt(var_l))
+    return agg.select(
+        F.lit(nb).cast("bigint").alias("b_blocks"),
+        F.lit(k_global).cast("bigint").alias("k_treatments"),
+        F.col("l2").cast("bigint").alias("l2"),
+        z.alias("z"),
     )
