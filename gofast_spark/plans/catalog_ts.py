@@ -1615,3 +1615,260 @@ def cusum_by_type_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("alarm_pos").cast("int").alias("alarm_pos"),
         F.col("alarm_neg").cast("int").alias("alarm_neg"),
     )
+
+
+def _adf_oracle() -> str:
+    """Full replay of ts/longrun.adf_relational: u4 grid, centered
+    level regressor (integer floor-div mean — `//` truncates in
+    DuckDB vs floors in python, identical on this positive revenue
+    domain), integer Gram moments, fixed-order Cramer 3x3, then the
+    t statistic from the gamma cofactor."""
+    A = [["nn", "sx1", "sx2"], ["sx1", "s11", "s12"], ["sx2", "s12", "s22"]]
+    bb = ["sy", "s1y", "s2y"]
+    det = _det3_sql_ts(A)
+    ws = []
+    for j in range(3):
+        Aj = [[bb[i] if c == j else A[i][c] for c in range(3)]
+              for i in range(3)]
+        ws.append(f"({_det3_sql_ts(Aj)}) / ({det})")
+    quad = " + ".join(
+        f"w{i} * {A[i][j]} * w{j}" for i in range(3) for j in range(3)
+    )
+    return f"""
+    WITH daily AS ({_DAILY_SQL}),
+    u AS (
+      SELECT d, CAST(floor(v * 10000.0 + 0.5) AS BIGINT) AS yu
+      FROM daily),
+    lagd AS (
+      SELECT yu, lag(yu, 1) OVER (ORDER BY d) AS l1,
+             lag(yu, 2) OVER (ORDER BY d) AS l2
+      FROM u),
+    base AS (SELECT * FROM lagd WHERE l2 IS NOT NULL),
+    pre AS (
+      SELECT count(*) AS n, CAST(sum(l1) // count(*) AS BIGINT) AS mbar
+      FROM base),
+    mom AS (
+      SELECT CAST(pre.n AS DOUBLE) AS nn, pre.n AS n_int,
+             CAST(sum(l1 - mbar) AS DOUBLE) AS sx1,
+             CAST(sum(l1 - l2) AS DOUBLE) AS sx2,
+             CAST(sum((l1 - mbar) * (l1 - mbar)) AS DOUBLE) AS s11,
+             CAST(sum((l1 - mbar) * (l1 - l2)) AS DOUBLE) AS s12,
+             CAST(sum((l1 - l2) * (l1 - l2)) AS DOUBLE) AS s22,
+             CAST(sum(yu - l1) AS DOUBLE) AS sy,
+             CAST(sum((l1 - mbar) * (yu - l1)) AS DOUBLE) AS s1y,
+             CAST(sum((l1 - l2) * (yu - l1)) AS DOUBLE) AS s2y,
+             CAST(sum((yu - l1) * (yu - l1)) AS DOUBLE) AS syy
+      FROM base, pre GROUP BY pre.n),
+    wts AS (
+      SELECT n_int, nn, sy, s1y, s2y, syy, sx2, s22,
+             {ws[0]} AS w0, {ws[1]} AS w1, {ws[2]} AS w2,
+             sx1, s11, s12
+      FROM mom),
+    fin AS (
+      SELECT n_int, w1 AS gamma,
+             (syy - 2.0 * (w0 * sy + w1 * s1y + w2 * s2y) + ({quad}))
+               / (nn - 3.0) AS s2,
+             (nn * s22 - sx2 * sx2) / ({det}) AS inv11
+      FROM wts)
+    SELECT CAST(n_int AS BIGINT) AS n_obs,
+           CAST(round(gamma, 6) AS DOUBLE) AS gamma,
+           CAST(round(gamma / sqrt(s2 * inv11), 4) AS DOUBLE)
+             AS t_gamma,
+           gamma / sqrt(s2 * inv11) < -2.86 AS reject_5pct
+    FROM fin
+    """
+
+
+def _det3_sql_ts(m) -> str:
+    """Same fixed expression order as ml.regression._det3."""
+    return (
+        f"{m[0][0]} * ({m[1][1]} * {m[2][2]} - {m[1][2]} * {m[2][1]})"
+        f" - {m[0][1]} * ({m[1][0]} * {m[2][2]} - {m[1][2]} * {m[2][0]})"
+        f" + {m[0][2]} * ({m[1][0]} * {m[2][1]} - {m[1][1]} * {m[2][0]})"
+    )
+
+
+@query("adf_test_daily", oracle=_adf_oracle())
+def adf_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Augmented Dickey-Fuller unit-root test (one augmentation lag,
+    constant) on daily revenue (ts/longrun.py adf_relational; Dickey &
+    Fuller 1979, Said & Dickey 1984; reference trend_analysis
+    strategy='adf' gofast/utils/ts_utils.py:720 wraps statsmodels
+    adfuller — ts/decompose.adf_test keeps that form; this is the
+    oracle-replayable relational one): integer Gram moments on the u4
+    grid with a centered level regressor, Cramer 3x3, t from the
+    gamma cofactor, 5%% decision at the Fuller critical value."""
+    from gofast_spark.ts.longrun import adf_relational
+
+    return adf_relational(_daily(spark, sf_dir), "d", "v")
+
+
+def _co_oracle() -> str:
+    return f"""
+    WITH daily AS ({_DAILY_SQL}),
+    m1 AS (
+      SELECT count(*) AS n,
+             CAST(sum(CAST(t AS BIGINT)) AS DOUBLE) AS st,
+             CAST(sum(CAST(t AS BIGINT) * CAST(t AS BIGINT)) AS DOUBLE)
+               AS stt,
+             CAST(sum(CAST(floor(v * 10000.0 + 0.5) AS BIGINT))
+               AS DOUBLE) AS sv,
+             CAST(sum(CAST(t AS BIGINT)
+                      * CAST(floor(v * 10000.0 + 0.5) AS BIGINT))
+               AS DOUBLE) AS stv
+      FROM daily),
+    fit1 AS (
+      SELECT n,
+             ((sv * stt - st * stv)
+              / (CAST(n AS DOUBLE) * stt - st * st)) / 10000.0 AS a_ols,
+             ((CAST(n AS DOUBLE) * stv - st * sv)
+              / (CAST(n AS DOUBLE) * stt - st * st)) / 10000.0 AS b_ols
+      FROM m1),
+    rows_e AS (
+      SELECT d, v, CAST(t AS DOUBLE) AS t,
+             v - (a_ols + b_ols * CAST(t AS DOUBLE)) AS e
+      FROM daily, fit1),
+    lagd AS (
+      SELECT v, t, e,
+             lag(e) OVER (ORDER BY d) AS ep,
+             lag(v) OVER (ORDER BY d) AS vp,
+             lag(t) OVER (ORDER BY d) AS tp
+      FROM rows_e),
+    base AS (SELECT * FROM lagd WHERE ep IS NOT NULL),
+    m2 AS (
+      SELECT CAST(sum(CAST(floor(e * ep * 1000000.0 + 0.5) AS BIGINT))
+               AS DOUBLE) AS sep,
+             CAST(sum(CAST(floor(ep * ep * 1000000.0 + 0.5) AS BIGINT))
+               AS DOUBLE) AS spp
+      FROM base),
+    rho_c AS (SELECT sep / spp AS rho FROM m2),
+    m3 AS (
+      SELECT CAST(count(*) AS DOUBLE) AS m,
+             CAST(sum(CAST(floor((t - rho * tp) * 1000000.0 + 0.5)
+               AS BIGINT)) AS DOUBLE) AS sx,
+             CAST(sum(CAST(floor((t - rho * tp) * (t - rho * tp)
+               * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(floor((v - rho * vp) * 1000000.0 + 0.5)
+               AS BIGINT)) AS DOUBLE) AS sy,
+             CAST(sum(CAST(floor((t - rho * tp) * (v - rho * vp)
+               * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) AS sxy
+      FROM base, rho_c)
+    SELECT CAST((SELECT n FROM fit1) AS BIGINT) AS n,
+           CAST(round((SELECT b_ols FROM fit1), 6) AS DOUBLE) AS b_ols,
+           CAST(round((SELECT rho FROM rho_c), 6) AS DOUBLE) AS rho,
+           CAST(round((m * sxy / 1000000.0
+                       - sx / 1000000.0 * (sy / 1000000.0))
+                      / (m * sxx / 1000000.0
+                         - sx / 1000000.0 * (sx / 1000000.0)), 6)
+                AS DOUBLE) AS b_co
+    FROM m3
+    """
+
+
+@query("cochrane_orcutt_daily", oracle=_co_oracle())
+def cochrane_orcutt_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochrane-Orcutt AR(1) error correction for the daily-revenue
+    trend regression (ts/longrun.py cochrane_orcutt; Cochrane & Orcutt
+    JASA 1949) — the serial-correlation companion of
+    durbin_watson_daily: OLS slope, residual-lag rho, and the
+    quasi-differenced refit slope, every coefficient chain replayed
+    over quantized integer moments."""
+    from gofast_spark.ts.longrun import cochrane_orcutt
+
+    return cochrane_orcutt(_daily(spark, sf_dir), "d", "v", "t")
+
+
+def _hurst_oracle() -> str:
+    """Replay of ts/longrun.hurst_rs at sizes (5, 10, 15): exact
+    integer block ranges (m*S_t identity), quantized ln(R/S), then the
+    3-point slope PIVOTED into fixed columns so the float sums happen
+    in one declared order on both engines."""
+    ys = {
+        m: f"(CAST(slq{m} AS DOUBLE) / 1000000.0"
+           f" / CAST(nb{m} AS DOUBLE))"
+        for m in (5, 10, 15)
+    }
+    xs = {m: f"ln(CAST({m} AS DOUBLE))" for m in (5, 10, 15)}
+    sx = f"(({xs[5]} + {xs[10]}) + {xs[15]})"
+    sy = f"(({ys[5]} + {ys[10]}) + {ys[15]})"
+    sxx = (
+        f"(({xs[5]} * {xs[5]} + {xs[10]} * {xs[10]})"
+        f" + {xs[15]} * {xs[15]})"
+    )
+    sxy = (
+        f"(({xs[5]} * {ys[5]} + {xs[10]} * {ys[10]})"
+        f" + {xs[15]} * {ys[15]})"
+    )
+    hurst = (
+        f"(3.0 * {sxy} - {sx} * {sy})"
+        f" / (3.0 * {sxx} - {sx} * {sx})"
+    )
+    return f"""
+    WITH daily AS ({_DAILY_SQL}),
+    u AS (
+      SELECT CAST(floor(v * 10000.0 + 0.5) AS BIGINT) AS yu,
+             row_number() OVER (ORDER BY d) - 1 AS t
+      FROM daily),
+    sizes AS (SELECT unnest([5, 10, 15]) AS m),
+    tagged AS (
+      SELECT m, yu,
+             CAST(floor(CAST(t AS DOUBLE) / CAST(m AS DOUBLE))
+               AS BIGINT) AS blk,
+             t % m AS i
+      FROM u, sizes),
+    scored AS (
+      SELECT m, blk, i, yu,
+             count(*) OVER (PARTITION BY m, blk) AS cnt,
+             sum(yu) OVER (PARTITION BY m, blk) AS sb,
+             sum(yu * yu) OVER (PARTITION BY m, blk) AS qb,
+             sum(yu) OVER (PARTITION BY m, blk ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM tagged),
+    kept AS (SELECT * FROM scored WHERE cnt = m),
+    per_blk AS (
+      SELECT m, blk,
+             max(CAST(m AS BIGINT) * cum - (i + 1) * sb) AS mx,
+             min(CAST(m AS BIGINT) * cum - (i + 1) * sb) AS mn,
+             max(sb) AS sb, max(qb) AS qb
+      FROM kept GROUP BY 1, 2),
+    lnq AS (
+      SELECT m,
+             CAST(floor(ln((CAST(mx - mn AS DOUBLE) / CAST(m AS DOUBLE))
+                  / sqrt(CAST(qb AS DOUBLE) / CAST(m AS DOUBLE)
+                         - (CAST(sb AS DOUBLE) / CAST(m AS DOUBLE))
+                           * (CAST(sb AS DOUBLE) / CAST(m AS DOUBLE))))
+                  * 1000000.0 + 0.5) AS BIGINT) AS lq
+      FROM per_blk WHERE qb * m - sb * sb > 0),
+    per_size AS (
+      SELECT m, count(*) AS n_blocks, sum(lq) AS slq
+      FROM lnq GROUP BY 1),
+    piv AS (
+      SELECT max(CASE WHEN m = 5 THEN n_blocks END) AS nb5,
+             max(CASE WHEN m = 5 THEN slq END) AS slq5,
+             max(CASE WHEN m = 10 THEN n_blocks END) AS nb10,
+             max(CASE WHEN m = 10 THEN slq END) AS slq10,
+             max(CASE WHEN m = 15 THEN n_blocks END) AS nb15,
+             max(CASE WHEN m = 15 THEN slq END) AS slq15
+      FROM per_size)
+    SELECT p.m, CAST(p.n_blocks AS BIGINT) AS n_blocks,
+           CAST(p.slq AS BIGINT) AS sum_ln_rs_u6,
+           CAST(round({hurst}, 6) AS DOUBLE) AS hurst
+    FROM per_size p, piv
+    ORDER BY p.m
+    """
+
+
+@query("hurst_rs_daily", oracle=_hurst_oracle())
+def hurst_rs_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of daily revenue by rescaled-range analysis at
+    block sizes 5/10/15 (ts/longrun.py hurst_rs; Hurst 1951,
+    Mandelbrot & Wallis 1969) — the long-memory companion of
+    variance_ratio_daily: exact integer block ranges via the
+    ``m * S_t`` identity, quantized ln(R/S), fixed-order 3-point
+    slope."""
+    from gofast_spark.ts.longrun import hurst_rs
+
+    return hurst_rs(
+        _daily(spark, sf_dir), "d", "v", block_sizes=(5, 10, 15)
+    )
