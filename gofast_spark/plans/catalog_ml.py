@@ -2080,3 +2080,59 @@ def successive_halving_ridge_lineitem(
         li, ["l_quantity", "l_discount"], "l_extendedprice",
         id_col="l_orderkey", grid=_RS_GRID, k=_CV_K, seed=_CV_SEED,
     )
+
+
+def _knn_oracle(dims: int = 8, k: int = 5) -> str:
+    coords = ",\n             ".join(
+        f"CAST(floor(CAST(embedding[{i + 1}] AS DOUBLE) * 1000000.0"
+        f" + 0.5) AS BIGINT) AS e{i}"
+        for i in range(dims)
+    )
+    qcols = ", ".join(f"e{i} AS q{i}" for i in range(dims))
+    dist = " + ".join(
+        f"(q.q{i} - t.e{i}) * (q.q{i} - t.e{i})" for i in range(dims)
+    )
+    return f"""
+    WITH base AS (
+      SELECT vec_id AS id, label,
+             {coords}
+      FROM embeddings WHERE vec_id IS NOT NULL AND label IS NOT NULL),
+    q AS (
+      SELECT id AS qid, label AS qlabel, {qcols}
+      FROM base WHERE id % 10 = 0),
+    t AS (SELECT * FROM base WHERE id % 10 <> 0),
+    pairs AS (
+      SELECT t.id, t.label, q.qid, q.qlabel, {dist} AS dist
+      FROM t, q),
+    nn AS (
+      SELECT *, row_number() OVER (PARTITION BY qid
+               ORDER BY dist, id) AS rnk
+      FROM pairs),
+    votes AS (
+      SELECT qid, qlabel, label, count(*) AS c
+      FROM nn WHERE rnk <= {k} GROUP BY 1, 2, 3),
+    win AS (
+      SELECT qid, qlabel, label, c,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY c DESC, label) AS vr
+      FROM votes)
+    SELECT qid AS id, qlabel AS label, label AS pred,
+           CAST(c AS BIGINT) AS votes
+    FROM win WHERE vr = 1 ORDER BY id
+    """
+
+
+@query("knn_classify_embeddings", oracle=_knn_oracle(8, 5))
+def knn_classify_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-NN majority-vote classification of every 10th embedding
+    against the rest (ml/knn.py knn_classify; Fix & Hodges 1951,
+    Cover & Hart 1967) — the exact brute-force baseline the IVF/PQ/JL
+    entries approximate: broadcast query probes, one corpus scan,
+    integer micro-unit distances, integer tie-broken ranks and
+    votes."""
+    from gofast_spark.ml.knn import knn_classify
+
+    e = _t(spark, sf_dir, "embeddings")
+    return knn_classify(
+        e, "vec_id", "embedding", "label", dims=8, k=5, holdout_mod=10
+    )

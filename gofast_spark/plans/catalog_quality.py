@@ -1508,3 +1508,188 @@ def psi_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_by_group(
         e, "day", "value", lo=0.0, hi=500.0, bins=10, smooth=0.5
     )
+
+
+@query(
+    "wasserstein_drift_events",
+    oracle="""
+    WITH d AS (
+      SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')),
+    per_v AS (
+      SELECT v,
+             sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS c_a,
+             sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS c_b
+      FROM d GROUP BY 1),
+    cum AS (
+      SELECT v,
+             sum(c_a) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS ca,
+             sum(c_b) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS cb,
+             sum(c_a) OVER () AS na, sum(c_b) OVER () AS nb,
+             lead(v) OVER (ORDER BY v) AS vn
+      FROM per_v),
+    t AS (
+      SELECT na, nb,
+             CAST(floor(CAST(abs(ca * nb - cb * na) AS DOUBLE)
+                        * (vn - v)
+                        / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+                        * 1000000000.0 + 0.5) AS BIGINT) AS tq
+      FROM cum WHERE vn IS NOT NULL)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CAST(sum(tq) AS BIGINT) AS w1_u9
+    FROM t GROUP BY 1, 2
+    """,
+)
+def wasserstein_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-Wasserstein distance between click and purchase value
+    distributions (quality/drift.py wasserstein_1d; Vallender 1974) —
+    the metric-aware drift measure beside PSI/KS/JSD: ECDF gaps
+    carried as exact integers over the merged distinct-value table,
+    segment terms u9-quantized."""
+    from gofast_spark.quality.drift import wasserstein_1d
+
+    e = _t(spark, sf_dir, "events")
+    return wasserstein_1d(e, "value", "event_type", "click", "purchase")
+
+
+@query(
+    "kl_jsd_by_type_events",
+    oracle="""
+    WITH d AS (
+      SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')),
+    s AS (SELECT min(v) AS lo, max(v) AS hi FROM d),
+    binned AS (
+      SELECT g,
+             least(greatest(CAST(floor((v - lo)
+               / ((CASE WHEN hi - lo = 0 THEN 1.0 ELSE hi - lo END)
+                  / 20.0)) AS INT), 0), 19) AS b
+      FROM d, s),
+    per_b AS (
+      SELECT b,
+             sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS c_a,
+             sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS c_b
+      FROM binned GROUP BY 1),
+    grid AS (SELECT unnest(range(20)) AS b),
+    cells AS (
+      SELECT grid.b,
+             coalesce(per_b.c_a, 0) AS c_a,
+             coalesce(per_b.c_b, 0) AS c_b
+      FROM grid LEFT JOIN per_b ON grid.b = per_b.b),
+    w AS (
+      SELECT b, c_a, c_b,
+             sum(c_a) OVER () AS na, sum(c_b) OVER () AS nb
+      FROM cells),
+    terms AS (
+      SELECT na, nb,
+             CAST(floor(((CAST(c_a AS DOUBLE) + 1.0)
+                         / (CAST(na AS DOUBLE) + 20.0))
+                        * ln(((CAST(c_a AS DOUBLE) + 1.0)
+                              / (CAST(na AS DOUBLE) + 20.0))
+                             / ((CAST(c_b AS DOUBLE) + 1.0)
+                                / (CAST(nb AS DOUBLE) + 20.0)))
+                        * 1000000000.0 + 0.5) AS BIGINT) AS t_ab,
+             CAST(floor(((CAST(c_b AS DOUBLE) + 1.0)
+                         / (CAST(nb AS DOUBLE) + 20.0))
+                        * ln(((CAST(c_b AS DOUBLE) + 1.0)
+                              / (CAST(nb AS DOUBLE) + 20.0))
+                             / ((CAST(c_a AS DOUBLE) + 1.0)
+                                / (CAST(na AS DOUBLE) + 20.0)))
+                        * 1000000000.0 + 0.5) AS BIGINT) AS t_ba,
+             CAST(floor((0.5 * (((CAST(c_a AS DOUBLE) + 1.0)
+                                 / (CAST(na AS DOUBLE) + 20.0))
+                                * ln(((CAST(c_a AS DOUBLE) + 1.0)
+                                      / (CAST(na AS DOUBLE) + 20.0))
+                                     / ((((CAST(c_a AS DOUBLE) + 1.0)
+                                          / (CAST(na AS DOUBLE) + 20.0))
+                                         + ((CAST(c_b AS DOUBLE) + 1.0)
+                                            / (CAST(nb AS DOUBLE)
+                                               + 20.0))) / 2.0)))
+                         + 0.5 * (((CAST(c_b AS DOUBLE) + 1.0)
+                                   / (CAST(nb AS DOUBLE) + 20.0))
+                                  * ln(((CAST(c_b AS DOUBLE) + 1.0)
+                                        / (CAST(nb AS DOUBLE) + 20.0))
+                                       / ((((CAST(c_a AS DOUBLE) + 1.0)
+                                            / (CAST(na AS DOUBLE)
+                                               + 20.0))
+                                           + ((CAST(c_b AS DOUBLE) + 1.0)
+                                              / (CAST(nb AS DOUBLE)
+                                                 + 20.0))) / 2.0))))
+                        * 1000000000.0 + 0.5) AS BIGINT) AS t_js
+      FROM w)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CAST(20 AS INT) AS bins,
+           CAST(sum(t_ab) AS BIGINT) AS kl_ab_u9,
+           CAST(sum(t_ba) AS BIGINT) AS kl_ba_u9,
+           CAST(sum(t_js) AS BIGINT) AS jsd_u9
+    FROM terms GROUP BY 1, 2
+    """,
+)
+def kl_jsd_by_type_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kullback-Leibler (both directions) and Jensen-Shannon
+    divergences between click and purchase value distributions
+    (quality/drift.py kl_jsd_binned; Kullback & Leibler 1951, Lin
+    1991; reference gofast/stats/evaluation.py:1198-1215
+    DistributionComparison) — Laplace-smoothed 20-bin histograms on
+    deterministic min/max edges, u9-quantized summands."""
+    from gofast_spark.quality.drift import kl_jsd_binned
+
+    e = _t(spark, sf_dir, "events")
+    return kl_jsd_binned(
+        e, "value", "event_type", "click", "purchase", bins=20
+    )
+
+
+@query(
+    "hellinger_by_type_events",
+    oracle="""
+    WITH d AS (
+      SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')),
+    s AS (SELECT min(v) AS lo, max(v) AS hi FROM d),
+    binned AS (
+      SELECT g,
+             least(greatest(CAST(floor((v - lo)
+               / ((CASE WHEN hi - lo = 0 THEN 1.0 ELSE hi - lo END)
+                  / 20.0)) AS INT), 0), 19) AS b
+      FROM d, s),
+    per_b AS (
+      SELECT b,
+             sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS c_a,
+             sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS c_b
+      FROM binned GROUP BY 1),
+    w AS (
+      SELECT c_a, c_b,
+             sum(c_a) OVER () AS na, sum(c_b) OVER () AS nb
+      FROM per_b),
+    t AS (
+      SELECT na, nb,
+             CAST(floor(sqrt((CAST(c_a AS DOUBLE) / CAST(na AS DOUBLE))
+                             * (CAST(c_b AS DOUBLE)
+                                / CAST(nb AS DOUBLE)))
+                        * 1000000000.0 + 0.5) AS BIGINT) AS tq
+      FROM w)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CAST(20 AS INT) AS bins,
+           CAST(sum(tq) AS BIGINT) AS bc_u9,
+           1000000000 - CAST(sum(tq) AS BIGINT) AS h2_u9
+    FROM t GROUP BY 1, 2
+    """,
+)
+def hellinger_by_type_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Squared Hellinger distance between click and purchase value
+    distributions (quality/drift.py hellinger_binned; Hellinger 1909)
+    — the bounded symmetric drift metric that needs no smoothing:
+    exact rational cell probabilities on deterministic bin edges,
+    sqrt(pq) u9-quantized, H^2 = unit - BC as a pure integer."""
+    from gofast_spark.quality.drift import hellinger_binned
+
+    e = _t(spark, sf_dir, "events")
+    return hellinger_binned(
+        e, "value", "event_type", "click", "purchase", bins=20
+    )

@@ -23,7 +23,7 @@ drift on their own.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -302,4 +302,215 @@ def psi_from_counts(
             F.max("__tr").alias("n_ref"),
             F.max("__tc").alias("n_cur"),
         )
+    )
+
+
+def wasserstein_1d(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    *,
+    unit: int = 1_000_000_000,
+) -> DataFrame:
+    """Exact 1-Wasserstein (earth-mover) distance between the value
+    distributions of two groups (Vallender 1974: for one-dimensional
+    empirical measures ``W1 = integral |F_a - F_b| dx``) — the
+    metric-aware drift companion of the PSI/KS/JSD family: unlike KS
+    it weighs HOW FAR mass moved, not just the largest ECDF gap.
+
+    Over the merged distinct-value table,
+
+        W1 = sum_v |F_a(v) - F_b(v)| * (v_next - v)
+
+    where the ECDF gap is carried as the exact INTEGER
+    ``|cum_a * n_b - cum_b * n_a|`` (common denominator n_a n_b), so
+    each segment term is one double product quantized to ``1/unit``
+    before the integer sum.  One distinct-value groupBy + ordered
+    window (pre-bin at 100 TB — the ks_test contract).  Returns ONE
+    row ``(n_a, n_b, w1_u9)``."""
+    v = F.col(value_col).cast("double")
+    g = F.col(group_col)
+    d = df.where(
+        v.isNotNull() & g.isin([group_a, group_b])
+    ).select(g.alias("g"), v.alias("v"))
+    per_v = d.groupBy("v").agg(
+        F.sum((F.col("g") == group_a).cast("bigint")).alias("c_a"),
+        F.sum((F.col("g") == group_b).cast("bigint")).alias("c_b"),
+    )
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    w_lead = Window.orderBy("v")
+    tot = Window.partitionBy()
+    cum = per_v.select(
+        "v",
+        F.sum("c_a").over(w_cum).alias("ca"),
+        F.sum("c_b").over(w_cum).alias("cb"),
+        F.sum("c_a").over(tot).alias("na"),
+        F.sum("c_b").over(tot).alias("nb"),
+        F.lead("v").over(w_lead).alias("vn"),
+    ).where(F.col("vn").isNotNull())
+    gap = F.abs(
+        F.col("ca") * F.col("nb") - F.col("cb") * F.col("na")
+    ).cast("double")
+    term = (
+        gap
+        * (F.col("vn") - F.col("v"))
+        / (F.col("na").cast("double") * F.col("nb").cast("double"))
+    )
+    agg = cum.select(
+        "na", "nb",
+        F.floor(term * F.lit(float(unit)) + F.lit(0.5))
+        .cast("bigint").alias("tq"),
+    ).groupBy("na", "nb").agg(F.sum("tq").alias("w1_u9"))
+    return agg.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        "w1_u9",
+    )
+
+
+def kl_jsd_binned(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    *,
+    bins: int = 20,
+    unit: int = 1_000_000_000,
+) -> DataFrame:
+    """Kullback-Leibler divergences (both directions) and the
+    Jensen-Shannon divergence between two groups' binned value
+    distributions (Kullback & Leibler 1951; Lin, IEEE IT 1991;
+    reference: gofast/stats/evaluation.py:1198-1215
+    ``DistributionComparison.kullback_leibler_divergence`` /
+    ``.jensen_shannon_divergence`` compare eager numpy vectors) —
+    with add-one (Laplace) smoothing on the counts so empty bins never
+    produce ln(0).
+
+    Bin edges come from the global min/max (deterministic) with the
+    shared zero-range guard; smoothed cell probabilities are exact
+    rationals ``(c + 1) / (n + bins)``; each n ln n-style summand is
+    quantized to ``1/unit`` before the integer sums.  Returns ONE row
+    ``(n_a, n_b, bins, kl_ab_u9, kl_ba_u9, jsd_u9)``."""
+    v = F.col(value_col).cast("double")
+    g = F.col(group_col)
+    d = df.where(
+        v.isNotNull() & g.isin([group_a, group_b])
+    ).select(g.alias("g"), v.alias("v"))
+    lo, hi = d.agg(F.min("v"), F.max("v")).first()
+    lo, hi = float(lo), float(hi)
+    width = ((hi - lo) or 1.0) / bins
+    binned = d.select(
+        "g", _bin(F.col("v"), lo, width, bins).alias("b")
+    )
+    per_b = binned.groupBy("b").agg(
+        F.sum((F.col("g") == group_a).cast("bigint")).alias("c_a"),
+        F.sum((F.col("g") == group_b).cast("bigint")).alias("c_b"),
+    )
+    # dense grid: every bin present even when both counts are zero
+    spark = df.sparkSession
+    grid = spark.range(bins).select(F.col("id").cast("int").alias("b"))
+    cells = grid.join(per_b, "b", "left").select(
+        "b",
+        F.coalesce(F.col("c_a"), F.lit(0)).alias("c_a"),
+        F.coalesce(F.col("c_b"), F.lit(0)).alias("c_b"),
+    )
+    tot = Window.partitionBy()
+    w = cells.select(
+        "b", "c_a", "c_b",
+        F.sum("c_a").over(tot).alias("na"),
+        F.sum("c_b").over(tot).alias("nb"),
+    )
+    p = (F.col("c_a").cast("double") + F.lit(1.0)) / (
+        F.col("na").cast("double") + F.lit(float(bins))
+    )
+    q = (F.col("c_b").cast("double") + F.lit(1.0)) / (
+        F.col("nb").cast("double") + F.lit(float(bins))
+    )
+    m = (p + q) / F.lit(2.0)
+    uu = F.lit(float(unit))
+
+    def qz(x):
+        return F.floor(x * uu + F.lit(0.5)).cast("bigint")
+
+    terms = w.select(
+        "na", "nb",
+        qz(p * F.log(p / q)).alias("t_ab"),
+        qz(q * F.log(q / p)).alias("t_ba"),
+        qz(
+            F.lit(0.5) * (p * F.log(p / m))
+            + F.lit(0.5) * (q * F.log(q / m))
+        ).alias("t_js"),
+    )
+    agg = terms.groupBy("na", "nb").agg(
+        F.sum("t_ab").alias("kl_ab_u9"),
+        F.sum("t_ba").alias("kl_ba_u9"),
+        F.sum("t_js").alias("jsd_u9"),
+    )
+    return agg.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.lit(bins).cast("int").alias("bins"),
+        "kl_ab_u9", "kl_ba_u9", "jsd_u9",
+    )
+
+
+def hellinger_binned(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    *,
+    bins: int = 20,
+    unit: int = 1_000_000_000,
+) -> DataFrame:
+    """Squared Hellinger distance between two groups' binned value
+    distributions (Hellinger 1909; ``H^2 = 1 - BC`` with the
+    Bhattacharyya coefficient ``BC = sum_i sqrt(p_i q_i)``) — a
+    bounded [0, 1] drift metric that, unlike KL, is symmetric and
+    finite on disjoint supports, so it needs no smoothing.
+
+    Same deterministic construction as :func:`kl_jsd_binned` (global
+    min/max edges, exact rational cell probabilities); each
+    ``sqrt(p q)`` is quantized to ``1/unit`` before the integer sum,
+    and ``H^2`` in units is the INTEGER ``unit - BC_u``.  Returns ONE
+    row ``(n_a, n_b, bins, bc_u9, h2_u9)``."""
+    v = F.col(value_col).cast("double")
+    g = F.col(group_col)
+    d = df.where(
+        v.isNotNull() & g.isin([group_a, group_b])
+    ).select(g.alias("g"), v.alias("v"))
+    lo, hi = d.agg(F.min("v"), F.max("v")).first()
+    lo, hi = float(lo), float(hi)
+    width = ((hi - lo) or 1.0) / bins
+    binned = d.select(
+        "g", _bin(F.col("v"), lo, width, bins).alias("b")
+    )
+    per_b = binned.groupBy("b").agg(
+        F.sum((F.col("g") == group_a).cast("bigint")).alias("c_a"),
+        F.sum((F.col("g") == group_b).cast("bigint")).alias("c_b"),
+    )
+    tot = Window.partitionBy()
+    w = per_b.select(
+        "c_a", "c_b",
+        F.sum("c_a").over(tot).alias("na"),
+        F.sum("c_b").over(tot).alias("nb"),
+    )
+    p = F.col("c_a").cast("double") / F.col("na").cast("double")
+    q = F.col("c_b").cast("double") / F.col("nb").cast("double")
+    bc_term = F.floor(
+        F.sqrt(p * q) * F.lit(float(unit)) + F.lit(0.5)
+    ).cast("bigint")
+    agg = w.select("na", "nb", bc_term.alias("t")).groupBy(
+        "na", "nb"
+    ).agg(F.sum("t").alias("bc_u9"))
+    return agg.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.lit(bins).cast("int").alias("bins"),
+        "bc_u9",
+        (F.lit(int(unit)) - F.col("bc_u9")).alias("h2_u9"),
     )
