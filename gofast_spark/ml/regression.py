@@ -745,3 +745,63 @@ def loco_importance(
         ],
         "feature string, r2_full double, r2_reduced double, delta_r2 double",
     ).orderBy("feature")
+
+
+def fit_probit_regression(
+    df: DataFrame,
+    feature_col: str,
+    label_col: str,
+    *,
+    n_iter: int = 3,
+) -> dict:
+    """Probit regression (intercept + ONE feature) by Fisher scoring
+    (Bliss 1935 for the probit model; McCullagh & Nelder 1989, ch. 4
+    for the scoring iteration) — the Gaussian-link companion of
+    :func:`fit_logistic_regression`:
+
+        g = sum x_i (y_i - p_i) phi(z_i) / (p_i (1 - p_i))
+        I = sum x_i x_i' phi(z_i)^2 / (p_i (1 - p_i))
+
+    with ``p = Phi(z)`` through the shared Abramowitz-Stegun erf
+    polynomial and ``phi`` the shared normal pdf
+    (stats/probs) — each iteration is ONE distributed moment
+    aggregation + a fixed-order Cramer 2x2 update at w0 = (0, 0),
+    exactly the layered-oracle recipe of the logistic entry.  p is
+    clamped to [1e-10, 1 - 1e-10] on both engines.  Returns
+    ``{"coef": [w0, w1], "n": int}``."""
+    from gofast_spark.stats.probs import normal_cdf, normal_pdf
+
+    cond = (
+        F.col(label_col).isNotNull() & F.col(feature_col).isNotNull()
+    )
+    d = df.where(cond)
+    x = F.col(feature_col).cast("double")
+    y = F.col(label_col).cast("double")
+    w = [0.0, 0.0]
+    n = None
+    for _ in range(int(n_iter)):
+        z = F.lit(w[0]) * F.lit(1.0) + F.lit(w[1]) * x
+        pc = F.least(
+            F.greatest(normal_cdf(z), F.lit(1e-10)),
+            F.lit(1.0 - 1e-10),
+        )
+        ph = normal_pdf(z)
+        s = ph * ph / (pc * (F.lit(1.0) - pc))
+        gf = (y - pc) * (ph / (pc * (F.lit(1.0) - pc)))
+        row = d.agg(
+            F.sum(s * F.lit(1.0) * F.lit(1.0)).alias("h00"),
+            F.sum(s * F.lit(1.0) * x).alias("h01"),
+            F.sum(s * x * x).alias("h11"),
+            F.sum(gf * F.lit(1.0)).alias("g0"),
+            F.sum(gf * x).alias("g1"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        h00, h01, h11 = float(row["h00"]), float(row["h01"]), float(row["h11"])
+        g0, g1 = float(row["g0"]), float(row["g1"])
+        n = int(row["n"])
+        det = h00 * h11 - h01 * h01
+        w = [
+            w[0] + (g0 * h11 - h01 * g1) / det,
+            w[1] + (h00 * g1 - g0 * h01) / det,
+        ]
+    return {"coef": w, "n": n}

@@ -4598,3 +4598,188 @@ def page_trend_weekday_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
     )
     return page_trend_test(keyed, "b", "t", "v")
+
+
+@query(
+    "dagostino_k2_acctbal",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(c_acctbal AS DOUBLE) AS v
+      FROM customer WHERE c_acctbal IS NOT NULL),
+    s AS (SELECT avg(v) AS mu, stddev_pop(v) AS sd FROM d),
+    m AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n, count(*) AS n_int,
+             CAST(sum(CAST(floor(((v - mu) / sd) * ((v - mu) / sd)
+                  * ((v - mu) / sd) * 1000000.0 + 0.5) AS BIGINT))
+               AS DOUBLE) AS s3,
+             CAST(sum(CAST(floor(((v - mu) / sd) * ((v - mu) / sd)
+                  * ((v - mu) / sd) * ((v - mu) / sd) * 1000000.0
+                  + 0.5) AS BIGINT)) AS DOUBLE) AS s4
+      FROM d, s),
+    g AS (
+      SELECT n_int, n, s3 / 1000000.0 / n AS g1,
+             s4 / 1000000.0 / n AS b2
+      FROM m),
+    t1 AS (
+      SELECT *,
+             g1 * sqrt(((n + 1.0) * (n + 3.0)) / (6.0 * (n - 2.0)))
+               AS y,
+             3.0 * (n * n + 27.0 * n - 70.0) * (n + 1.0) * (n + 3.0)
+               / ((n - 2.0) * (n + 5.0) * (n + 7.0) * (n + 9.0))
+               AS beta2
+      FROM g),
+    t2 AS (SELECT *, -1.0 + sqrt(2.0 * (beta2 - 1.0)) AS w2 FROM t1),
+    t3 AS (
+      SELECT *, 1.0 / sqrt(0.5 * ln(w2)) AS delta,
+             sqrt(2.0 / (w2 - 1.0)) AS alpha
+      FROM t2),
+    t4 AS (
+      SELECT *,
+             delta * ln(y / alpha
+                        + sqrt((y / alpha) * (y / alpha) + 1.0)) AS z1
+      FROM t3),
+    t5 AS (
+      SELECT *, 3.0 * (n - 1.0) / (n + 1.0) AS eb2,
+             24.0 * n * (n - 2.0) * (n - 3.0)
+               / ((n + 1.0) * (n + 1.0) * (n + 3.0) * (n + 5.0)) AS vb2
+      FROM t4),
+    t6 AS (
+      SELECT *, (b2 - eb2) / sqrt(vb2) AS x,
+             6.0 * (n * n - 5.0 * n + 2.0)
+               / ((n + 7.0) * (n + 9.0))
+               * sqrt(6.0 * (n + 3.0) * (n + 5.0)
+                      / (n * (n - 2.0) * (n - 3.0))) AS sb1
+      FROM t5),
+    t7 AS (
+      SELECT *,
+             6.0 + 8.0 / sb1
+               * (2.0 / sb1 + sqrt(1.0 + 4.0 / (sb1 * sb1))) AS a
+      FROM t6),
+    t8 AS (
+      SELECT *,
+             ((1.0 - 2.0 / (9.0 * a))
+              - (CASE WHEN (1.0 - 2.0 / a)
+                           / (1.0 + x * sqrt(2.0 / (a - 4.0))) < 0
+                      THEN -power(abs((1.0 - 2.0 / a)
+                             / (1.0 + x * sqrt(2.0 / (a - 4.0)))),
+                             1.0 / 3.0)
+                      ELSE power(abs((1.0 - 2.0 / a)
+                             / (1.0 + x * sqrt(2.0 / (a - 4.0)))),
+                             1.0 / 3.0) END))
+               / sqrt(2.0 / (9.0 * a)) AS z2
+      FROM t7)
+    SELECT CAST(n_int AS BIGINT) AS n,
+           CAST(round(g1, 6) AS DOUBLE) AS g1,
+           CAST(round(b2, 6) AS DOUBLE) AS b2,
+           CAST(round(z1, 4) AS DOUBLE) AS z_skew,
+           CAST(round(z2, 4) AS DOUBLE) AS z_kurt,
+           CAST(round(z1 * z1 + z2 * z2, 4) AS DOUBLE) AS k2
+    FROM t8
+    """,
+)
+def dagostino_k2_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D'Agostino-Pearson K^2 omnibus normality test over account
+    balances (stats/distfit.py dagostino_k2; D'Agostino 1970, Anscombe
+    & Glynn 1983, D'Agostino-Belanger-D'Agostino 1990; reference
+    gofast/stats/evaluation.py:904 NormalityTests) — the moments-based
+    member completing the KS/CvM/AD/SF normality family: one
+    quantized z^3/z^4 pass, scalar transform chain replayed CTE by
+    CTE with a signed-pow cube root."""
+    from gofast_spark.stats.distfit import dagostino_k2
+
+    return dagostino_k2(_t(spark, sf_dir, "customer"), "c_acctbal")
+
+
+def _probit_oracle(n_iter: int = 3) -> str:
+    """Layered Fisher-scoring replay for the probit fit: each
+    iteration stores the clamped Phi(z) and the normal pdf once per
+    row (value-identical to the Spark column expressions), aggregates
+    the information/score moments, and applies the SAME fixed-order
+    Cramer 2x2 update as ml.regression."""
+
+    def phi_case(zexpr: str) -> str:
+        zz = f"(({zexpr}) - 0.0) / 1.4142135623730951"
+        t = f"1.0 / (1.0 + 0.3275911 * abs({zz}))"
+        poly = (
+            f"({t}) * (0.254829592 + ({t}) * (-0.284496736 + ({t})"
+            f" * (1.421413741 + ({t}) * (-1.453152027 + ({t})"
+            f" * 1.061405429))))"
+        )
+        pos = (
+            f"0.5 * (1.0 + (1.0 - ({poly})"
+            f" * exp(-abs({zz}) * abs({zz}))))"
+        )
+        return (
+            f"CASE WHEN ({zz}) >= 0 THEN {pos}"
+            f" ELSE 1.0 - ({pos}) END"
+        )
+
+    layers = [
+        "w0 AS (SELECT CAST(0.0 AS DOUBLE) AS w0,"
+        " CAST(0.0 AS DOUBLE) AS w1)"
+    ]
+    prev = "w0"
+    for k in range(1, n_iter + 1):
+        z = f"({prev}.w0 * 1.0 + {prev}.w1 * d.x)"
+        layers.append(f"""r{k} AS (
+      SELECT d.y, d.x,
+             least(greatest({phi_case(z)}, 1e-10),
+                   0.9999999999) AS p,
+             exp(-0.5 * {z} * {z}) / 2.5066282746310002 AS ph
+      FROM d, {prev})""")
+        layers.append(f"""a{k} AS (
+      SELECT sum(ph * ph / (p * (1.0 - p)) * 1.0 * 1.0) AS h00,
+             sum(ph * ph / (p * (1.0 - p)) * 1.0 * x) AS h01,
+             sum(ph * ph / (p * (1.0 - p)) * x * x) AS h11,
+             sum((y - p) * (ph / (p * (1.0 - p))) * 1.0) AS g0,
+             sum((y - p) * (ph / (p * (1.0 - p))) * x) AS g1,
+             count(*) AS n
+      FROM r{k})""")
+        layers.append(f"""w{k} AS (
+      SELECT {prev}.w0 + (g0 * h11 - h01 * g1) / (h00 * h11 - h01 * h01) AS w0,
+             {prev}.w1 + (h00 * g1 - g0 * h01) / (h00 * h11 - h01 * h01) AS w1,
+             a{k}.n AS n
+      FROM a{k}, {prev})""")
+        prev = f"w{k}"
+    cte = ",\n    ".join(layers)
+    return f"""
+    WITH d AS (
+      SELECT CAST(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS DOUBLE) AS y,
+             CAST(o_totalprice AS DOUBLE) / 100000.0 AS x
+      FROM orders
+      WHERE o_orderstatus IS NOT NULL AND o_totalprice IS NOT NULL),
+    {cte}
+    SELECT CAST(round(w0, 5) AS DOUBLE) AS w0,
+           CAST(round(w1, 5) AS DOUBLE) AS w1,
+           CAST(n AS BIGINT) AS n
+    FROM {prev}
+    """
+
+
+@query("probit_orders", oracle=_probit_oracle(3))
+def probit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probit regression of order finality on total price by Fisher
+    scoring (ml/regression.py fit_probit_regression; Bliss 1935,
+    McCullagh & Nelder 1989 ch. 4) — the Gaussian-link GLM beside the
+    catalog's logistic/Poisson/negative-binomial fits, same design as
+    logistic_newton_orders for link comparison: 3 scoring iterations,
+    each ONE normal-weighted moment aggregation through the shared
+    erf/pdf polynomials, Cramer 2x2 updates; the oracle replays every
+    layer."""
+    from gofast_spark.ml.regression import fit_probit_regression
+
+    o = _t(spark, sf_dir, "orders")
+    d = o.select(
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+        .cast("double").alias("y"),
+        (F.col("o_totalprice").cast("double") / 100000.0).alias("x"),
+    ).where(
+        F.col("o_orderstatus").isNotNull()
+        & F.col("o_totalprice").isNotNull()
+    )
+    m = fit_probit_regression(d, "x", "y", n_iter=3)
+    w = m["coef"]
+    return spark.createDataFrame(
+        [(round(w[0], 5), round(w[1], 5), m["n"])],
+        "w0 double, w1 double, n bigint",
+    )

@@ -926,3 +926,85 @@ def weibull_by_segment_events(
         (F.col("user_id") % 4 != 0).cast("int").alias("ev"),
     )
     return weibull_fit_grouped(e, "dur", "ev", "seg")
+
+
+@query(
+    "gehan_wilcoxon_events",
+    oracle="""
+    WITH surv AS (
+      SELECT CAST(floor(value) AS BIGINT) AS duration,
+             CAST(user_id % 4 <> 0 AS INTEGER) AS ev,
+             CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS ia
+      FROM events WHERE value IS NOT NULL),
+    per_t AS (
+      SELECT duration,
+             sum(ia) AS m_a, sum(1 - ia) AS m_b,
+             sum(ev * ia) AS d_a, sum(ev * (1 - ia)) AS d_b
+      FROM surv GROUP BY duration),
+    risk AS (
+      SELECT duration, d_a, d_b,
+             sum(m_a) OVER () - coalesce(sum(m_a) OVER wp, 0) AS n_a,
+             sum(m_b) OVER () - coalesce(sum(m_b) OVER wp, 0) AS n_b
+      FROM per_t
+      WINDOW wp AS (ORDER BY duration
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    pt AS (
+      SELECT duration,
+             (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+               * (CAST(d_a AS DOUBLE)
+                  - (CAST(d_a + d_b AS DOUBLE) * CAST(n_a AS DOUBLE)
+                     / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))))
+               AS ome,
+             (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+               * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+               * CASE WHEN CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)
+                           > 1.0
+                  THEN CAST(d_a + d_b AS DOUBLE)
+                       * (CAST(n_a AS DOUBLE)
+                          / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                       * (CAST(n_b AS DOUBLE)
+                          / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                       * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                          - CAST(d_a + d_b AS DOUBLE))
+                       / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                          - 1.0)
+                  ELSE 0.0 END AS v,
+             n_a, n_b
+      FROM risk WHERE d_a + d_b > 0),
+    cum AS (
+      SELECT duration,
+             sum(ome) OVER wc AS o_minus_e, sum(v) OVER wc AS var,
+             max(n_a) OVER wc AS n_a, max(n_b) OVER wc AS n_b
+      FROM pt
+      WINDOW wc AS (ORDER BY duration
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    last AS (SELECT * FROM cum ORDER BY duration DESC LIMIT 1)
+    SELECT CAST(round(o_minus_e * o_minus_e / var, 6) AS DOUBLE) AS chi2,
+           CAST(round(o_minus_e, 4) AS DOUBLE) AS o_minus_e,
+           CAST(round(var, 2) AS DOUBLE) AS var,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b
+    FROM last
+    """,
+)
+def gehan_wilcoxon_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gehan-Wilcoxon weighted log-rank test (stats/survival.py
+    logrank_test weight='gehan'; Gehan, Biometrika 1965; Breslow 1970;
+    Fleming & Harrington ch. 7) — the early-difference-weighted
+    companion of logrank_test_events (weights w_t = n_t emphasize
+    early event times where the risk sets are large), same one-scan
+    distinct-time construction with ordered-window accumulation."""
+    from gofast_spark.stats.survival import logrank_test
+
+    e = _t(spark, sf_dir, "events").where(F.col("value").isNotNull()).select(
+        F.floor(F.col("value")).cast("bigint").alias("dur"),
+        (F.col("user_id") % 4 != 0).cast("int").alias("ev"),
+        F.when(F.col("user_id") % 2 == 0, "a").otherwise("b").alias("grp"),
+    )
+    out = logrank_test(e, "dur", "ev", "grp", "a", "b", weight="gehan")
+    return out.select(
+        F.round("chi2", 6).cast("double").alias("chi2"),
+        F.round("o_minus_e", 4).cast("double").alias("o_minus_e"),
+        F.round("var", 2).cast("double").alias("var"),
+        "n_a",
+        "n_b",
+    )

@@ -1872,3 +1872,52 @@ def hurst_rs_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hurst_rs(
         _daily(spark, sf_dir), "d", "v", block_sizes=(5, 10, 15)
     )
+
+
+@query(
+    "theil_sen_daily",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL}),
+    u AS (
+      SELECT CAST(floor(v * 10000.0 + 0.5) AS BIGINT) AS vu,
+             CAST(t AS BIGINT) AS t
+      FROM daily),
+    pairs AS (
+      SELECT a.t AS at, a.vu AS av, b.t AS bt, b.vu AS bv
+      FROM u a JOIN u b ON a.t < b.t),
+    sl AS (
+      SELECT CAST(bv - av AS DOUBLE) / 10000.0
+               / CAST(bt - at AS DOUBLE) AS s,
+             row_number() OVER (ORDER BY CAST(bv - av AS DOUBLE)
+               / 10000.0 / CAST(bt - at AS DOUBLE), at, bt) AS i,
+             count(*) OVER () AS np
+      FROM pairs),
+    med AS (
+      SELECT s AS sen, np FROM sl
+      WHERE i = CAST(floor((CAST(np AS DOUBLE) + 1.0) / 2.0)
+                AS BIGINT)),
+    resid AS (
+      SELECT CAST(vu AS DOUBLE) / 10000.0
+               - (SELECT sen FROM med) * CAST(t AS DOUBLE) AS b0,
+             row_number() OVER (ORDER BY CAST(vu AS DOUBLE) / 10000.0
+               - (SELECT sen FROM med) * CAST(t AS DOUBLE), t) AS i,
+             count(*) OVER () AS n
+      FROM u),
+    mi AS (
+      SELECT b0, n FROM resid
+      WHERE i = CAST(floor((CAST(n AS DOUBLE) + 1.0) / 2.0) AS BIGINT))
+    SELECT CAST((SELECT n FROM mi) AS BIGINT) AS n,
+           CAST((SELECT np FROM med) AS BIGINT) AS n_pairs,
+           (SELECT sen FROM med) AS slope,
+           (SELECT b0 FROM mi) AS intercept
+    """,
+)
+def theil_sen_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily revenue (ts/longrun.py
+    theil_sen; Theil 1950, Sen JASA 1968) — the slope companion of
+    mann_kendall_daily_events: lower-median of all pairwise
+    integer-grid slopes with (slope, i, j) tie-breaks, lower-median
+    intercept, no interpolation anywhere."""
+    from gofast_spark.ts.longrun import theil_sen
+
+    return theil_sen(_daily(spark, sf_dir), "d", "v", "t")

@@ -294,3 +294,110 @@ def shapiro_francia(
         / F.lit(float(value_unit) * float(value_unit))
     )
     return agg.select("n", (num * num / den).alias("w_prime"))
+
+
+def _cbrt(v: float) -> float:
+    """Signed cube root via pow(|v|, 1/3) — the SQL replay uses the
+    same sign * power(abs(x), 1.0/3.0) form (NOT a cbrt builtin, whose
+    libm path can differ by an ulp from pow)."""
+    import math
+
+    return math.copysign(abs(v) ** (1.0 / 3.0), v)
+
+
+def dagostino_k2(
+    df: DataFrame,
+    value_col: str,
+    *,
+    unit: int = 1_000_000,
+) -> DataFrame:
+    """D'Agostino-Pearson K^2 omnibus normality test (D'Agostino 1970
+    for the skewness transform; Anscombe & Glynn 1983 for kurtosis;
+    D'Agostino, Belanger & D'Agostino 1990 for the omnibus; reference:
+    gofast/stats/evaluation.py:904 ``NormalityTests`` — this is the
+    moments-based member scipy calls ``normaltest``):
+
+        K^2 = z1(g1)^2 + z2(b2)^2 ~ chi2(2)
+
+    with g1 the sample skewness and b2 the kurtosis, each transformed
+    to approximate normality.
+
+    One mu/sd aggregate, then ONE pass summing u6-quantized z^3 / z^4
+    — g1 and b2 are single divisions of exact integers; the scalar
+    transform chain runs on the driver and is replayed
+    expression-for-expression by the oracle (signed-pow cube root,
+    never a cbrt builtin).  Returns ONE row
+    ``(n, g1, b2, z_skew, z_kurt, k2)``."""
+    import math
+
+    v = F.col(value_col).cast("double")
+    d = df.where(v.isNotNull()).select(v.alias("v"))
+    mu, sd = d.agg(F.avg("v"), F.stddev_pop("v")).first()
+    mu, sd = float(mu), float(sd)
+    z = (F.col("v") - F.lit(mu)) / F.lit(sd)
+    agg = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_q(z * z * z, float(unit))).alias("s3"),
+        F.sum(_q(z * z * z * z, float(unit))).alias("s4"),
+    ).first()
+    n = float(agg["n"])
+    u = float(unit)
+    g1 = float(agg["s3"]) / u / n
+    b2 = float(agg["s4"]) / u / n
+    # --- skewness transform (D'Agostino 1970) ---
+    y = g1 * math.sqrt(((n + 1.0) * (n + 3.0)) / (6.0 * (n - 2.0)))
+    beta2 = (
+        3.0
+        * (n * n + 27.0 * n - 70.0)
+        * (n + 1.0)
+        * (n + 3.0)
+        / ((n - 2.0) * (n + 5.0) * (n + 7.0) * (n + 9.0))
+    )
+    w2 = -1.0 + math.sqrt(2.0 * (beta2 - 1.0))
+    delta = 1.0 / math.sqrt(0.5 * math.log(w2))
+    alpha = math.sqrt(2.0 / (w2 - 1.0))
+    z1 = delta * math.log(
+        y / alpha + math.sqrt((y / alpha) * (y / alpha) + 1.0)
+    )
+    # --- kurtosis transform (Anscombe & Glynn 1983) ---
+    eb2 = 3.0 * (n - 1.0) / (n + 1.0)
+    vb2 = (
+        24.0
+        * n
+        * (n - 2.0)
+        * (n - 3.0)
+        / ((n + 1.0) * (n + 1.0) * (n + 3.0) * (n + 5.0))
+    )
+    x = (b2 - eb2) / math.sqrt(vb2)
+    sb1 = (
+        6.0
+        * (n * n - 5.0 * n + 2.0)
+        / ((n + 7.0) * (n + 9.0))
+        * math.sqrt(
+            6.0 * (n + 3.0) * (n + 5.0) / (n * (n - 2.0) * (n - 3.0))
+        )
+    )
+    a = 6.0 + 8.0 / sb1 * (
+        2.0 / sb1 + math.sqrt(1.0 + 4.0 / (sb1 * sb1))
+    )
+    z2 = (
+        (1.0 - 2.0 / (9.0 * a))
+        - _cbrt(
+            (1.0 - 2.0 / a)
+            / (1.0 + x * math.sqrt(2.0 / (a - 4.0)))
+        )
+    ) / math.sqrt(2.0 / (9.0 * a))
+    k2 = z1 * z1 + z2 * z2
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(
+            int(n),
+            round(g1, 6),
+            round(b2, 6),
+            round(z1, 4),
+            round(z2, 4),
+            round(k2, 4),
+        )],
+        "n bigint, g1 double, b2 double, z_skew double,"
+        " z_kurt double, k2 double",
+    )

@@ -148,6 +148,7 @@ def logrank_test(
     *,
     bins: int | str | None = "auto",
     relative_error: float = 1e-4,
+    weight: str = "logrank",
 ) -> DataFrame:
     """Two-sample log-rank test (Mantel 1966; Peto & Peto, JRSS-A
     1972): at each distinct event time the observed-minus-expected
@@ -156,7 +157,12 @@ def logrank_test(
         E_a(t) = d_t * n_a(t) / n_t
         V(t)   = d_t * (n_a/n_t) * (n_b/n_t) * (n_t - d_t) / (n_t - 1)
 
-    and ``chi2 = (sum(O_a - E_a))^2 / sum(V)`` with 1 dof.  Same
+    and ``chi2 = (sum(w_t (O_a - E_a)))^2 / sum(w_t^2 V)`` with 1 dof.
+    ``weight`` selects the weighted-logrank family member (Fleming &
+    Harrington 1991, ch. 7): ``'logrank'`` w_t = 1 (the default, plan
+    -identical to the original), ``'gehan'`` w_t = n_t (Gehan 1965 /
+    Breslow 1970 — early differences count more), ``'tarone_ware'``
+    w_t = sqrt(n_t) (Tarone & Ware 1977).  Same
     one-scan shape as :func:`kaplan_meier`: one groupBy(duration) with
     per-group conditional sums, cumulative-window risk sets over the
     distinct-time table, one final 1-row aggregate.  Returns
@@ -200,10 +206,20 @@ def logrank_test(
     v = F.when(
         n > 1.0, d * (na / n) * (nb / n) * (n - d) / (n - F.lit(1.0))
     ).otherwise(F.lit(0.0))
+    if weight == "logrank":
+        ome_w, v_w = F.col("d_a").cast("double") - e_a, v
+    elif weight == "gehan":
+        ome_w = n * (F.col("d_a").cast("double") - e_a)
+        v_w = n * n * v
+    elif weight == "tarone_ware":
+        ome_w = F.sqrt(n) * (F.col("d_a").cast("double") - e_a)
+        v_w = n * v
+    else:
+        raise ValueError(f"unknown logrank weight {weight!r}")
     per_time = risk.where(d > 0).select(
         "duration",
-        (F.col("d_a").cast("double") - e_a).alias("ome"),
-        v.alias("v"),
+        ome_w.alias("ome"),
+        v_w.alias("v"),
         "n_a",
         "n_b",
     )

@@ -324,3 +324,81 @@ def hurst_rs(
         [(m, nb, slq, round(hurst, 6)) for m, nb, slq in pts],
         "m int, n_blocks bigint, sum_ln_rs_u6 bigint, hurst double",
     ).orderBy("m")
+
+
+def theil_sen(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    time_col: str,
+    *,
+    unit: int = 10_000,
+) -> DataFrame:
+    """Theil-Sen robust trend estimate (Theil 1950; Sen, JASA 1968 —
+    the slope companion of the Mann-Kendall test already in the
+    catalog): the LOWER median of all pairwise slopes
+    ``(y_j - y_i) / (t_j - t_i)``, and the lower-median intercept of
+    ``y_i - slope * t_i``.
+
+    Values are quantized to ``1/unit`` so every pairwise slope is one
+    division of exact integers; both medians are order statistics
+    selected by integer rank with (slope, i, j) tie-breaks — no
+    interpolation, fully engine-deterministic.  O(m^2) pairs on the
+    days-sized rollup frame (the rollup-series contract; the raw-table
+    aggregation upstream is the only big scan).  Returns ONE row
+    ``(n, n_pairs, slope, intercept)``."""
+    v = F.col(value_col).cast("double")
+    t = F.col(time_col).cast("bigint")
+    d = df.select(
+        F.col(order_col).alias("__o"),
+        _q(v, float(unit)).alias("vu"),
+        t.alias("t"),
+    )
+    a = d.select(
+        F.col("t").alias("at"), F.col("vu").alias("av")
+    )
+    b = d.select(
+        F.col("t").alias("bt"), F.col("vu").alias("bv")
+    )
+    u = float(unit)
+    pairs = a.join(b, F.col("at") < F.col("bt"))
+    slope = (
+        (F.col("bv") - F.col("av")).cast("double")
+        / F.lit(u)
+        / (F.col("bt") - F.col("at")).cast("double")
+    )
+    wr = Window.orderBy(slope, F.col("at"), F.col("bt"))
+    tot = Window.partitionBy()
+    ranked = pairs.select(
+        slope.alias("s"),
+        F.row_number().over(wr).alias("i"),
+        F.count(F.lit(1)).over(tot).alias("np"),
+    )
+    med = ranked.where(
+        F.col("i")
+        == F.floor(
+            (F.col("np").cast("double") + F.lit(1.0)) / F.lit(2.0)
+        ).cast("bigint")
+    ).first()
+    sen, n_pairs = float(med["s"]), int(med["np"])
+    resid = F.col("vu").cast("double") / F.lit(u) - F.lit(sen) * F.col(
+        "t"
+    ).cast("double")
+    wi = Window.orderBy(resid, F.col("t"))
+    toti = Window.partitionBy()
+    ranked_i = d.select(
+        resid.alias("b0"),
+        F.row_number().over(wi).alias("i"),
+        F.count(F.lit(1)).over(toti).alias("n"),
+    )
+    mi = ranked_i.where(
+        F.col("i")
+        == F.floor(
+            (F.col("n").cast("double") + F.lit(1.0)) / F.lit(2.0)
+        ).cast("bigint")
+    ).first()
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(int(mi["n"]), n_pairs, sen, float(mi["b0"]))],
+        "n bigint, n_pairs bigint, slope double, intercept double",
+    )
