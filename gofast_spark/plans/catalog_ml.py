@@ -2136,3 +2136,99 @@ def knn_classify_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_classify(
         e, "vec_id", "embedding", "label", dims=8, k=5, holdout_mod=10
     )
+
+
+def _retrieval_oracle(dims: int = 8, k: int = 10, p_at: int = 5) -> str:
+    coords = ",\n             ".join(
+        f"CAST(floor(CAST(embedding[{i + 1}] AS DOUBLE) * 1000000.0"
+        f" + 0.5) AS BIGINT) AS e{i}"
+        for i in range(dims)
+    )
+    qcols = ", ".join(f"e{i} AS q{i}" for i in range(dims))
+    dist = " + ".join(
+        f"(q.q{i} - t.e{i}) * (q.q{i} - t.e{i})" for i in range(dims)
+    )
+    return f"""
+    WITH base AS (
+      SELECT vec_id AS id, label,
+             {coords}
+      FROM embeddings WHERE vec_id IS NOT NULL AND label IS NOT NULL),
+    q AS (
+      SELECT id AS qid, label AS qlabel, {qcols}
+      FROM base WHERE id % 10 = 0),
+    t AS (SELECT * FROM base WHERE id % 10 <> 0),
+    pairs AS (
+      SELECT t.id, t.label, q.qid, q.qlabel, {dist} AS dist
+      FROM t, q),
+    nn AS (
+      SELECT qid, qlabel,
+             CAST(label = qlabel AS BIGINT) AS rel,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY dist, id) AS rnk
+      FROM pairs QUALIFY rnk <= {k}),
+    per_q AS (
+      SELECT qid, qlabel,
+             sum(CASE WHEN rnk <= {p_at} THEN rel ELSE 0 END)
+               AS p_hits,
+             sum(CAST(floor(CAST(rel AS DOUBLE)
+                  / log2(CAST(rnk + 1 AS DOUBLE)) * 1000000000.0
+                  + 0.5) AS BIGINT)) AS dcg_u,
+             min(CASE WHEN rel = 1 THEN rnk END) AS first_rel
+      FROM nn GROUP BY 1, 2),
+    n_rel AS (SELECT label, count(*) AS n_rel FROM t GROUP BY 1),
+    ranks AS (
+      SELECT CAST(i AS INT) AS i,
+             CAST(floor(1.0 / log2(CAST(i + 1 AS DOUBLE))
+                  * 1000000000.0 + 0.5) AS BIGINT) AS iterm
+      FROM (SELECT unnest(range(1, {k + 1})) AS i)),
+    idcg AS (
+      SELECT i, sum(iterm) OVER (ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS idcg_u
+      FROM ranks),
+    scored AS (
+      SELECT per_q.*,
+             CAST(least(n_rel.n_rel, {k}) AS INT) AS ideal_i
+      FROM per_q JOIN n_rel ON per_q.qlabel = n_rel.label),
+    final_q AS (
+      SELECT p_hits,
+             CASE WHEN first_rel IS NOT NULL
+                  THEN CAST(floor(1.0 / CAST(first_rel AS DOUBLE)
+                       * 1000000000.0 + 0.5) AS BIGINT)
+                  ELSE 0 END AS mrr_u,
+             CAST(floor(CAST(dcg_u AS DOUBLE)
+                  / CAST(idcg_u AS DOUBLE) * 1000000000.0 + 0.5)
+               AS BIGINT) AS ndcg_u
+      FROM scored JOIN idcg ON scored.ideal_i = idcg.i),
+    agg AS (
+      SELECT count(*) AS q, sum(p_hits) AS sp, sum(mrr_u) AS sm,
+             sum(ndcg_u) AS sn
+      FROM final_q)
+    SELECT CAST(q AS BIGINT) AS n_queries,
+           CAST(sp AS BIGINT) AS sum_p_at,
+           CAST(sp AS DOUBLE) / ({p_at}.0 * CAST(q AS DOUBLE))
+             AS precision_at_p,
+           CAST(sm AS DOUBLE) / 1000000000.0 / CAST(q AS DOUBLE)
+             AS mrr,
+           CAST(sn AS DOUBLE) / 1000000000.0 / CAST(q AS DOUBLE)
+             AS ndcg
+    FROM agg
+    """
+
+
+@query("retrieval_metrics_embeddings", oracle=_retrieval_oracle(8, 10, 5))
+def retrieval_metrics_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Precision@5 / MRR / nDCG@10 of the exact nearest-neighbor index
+    over held-out embeddings with same-label binary relevance
+    (ml/knn.py retrieval_eval; Jarvelin & Kekalainen TOIS 2002) — the
+    retrieval-quality harness for the ANN family: integer distances
+    and ranks, every DCG term and per-query ratio quantized before the
+    integer means, ideal DCG from a rank-table cumulative join."""
+    from gofast_spark.ml.knn import retrieval_eval
+
+    e = _t(spark, sf_dir, "embeddings")
+    return retrieval_eval(
+        e, "vec_id", "embedding", "label", dims=8, k=10, p_at=5
+    )

@@ -4783,3 +4783,179 @@ def probit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(round(w[0], 5), round(w[1], 5), m["n"])],
         "w0 double, w1 double, n bigint",
     )
+
+
+@query(
+    "dunn_test_events",
+    oracle="""
+    WITH d AS (
+      SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+      FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+    ranked AS (
+      SELECT g,
+             2 * rank() OVER (ORDER BY v)
+               + count(*) OVER (PARTITION BY v) - 1 AS r2
+      FROM d),
+    per_g AS (
+      SELECT g, count(*) AS n_g, sum(r2) AS sr2
+      FROM ranked GROUP BY 1),
+    ties AS (
+      SELECT sum(t * t * t - t) AS tcorr, sum(t) AS nn
+      FROM (SELECT count(*) AS t FROM d GROUP BY v)),
+    m AS (SELECT g, n_g, sr2, tcorr, nn FROM per_g, ties)
+    SELECT a.g AS g_a, b.g AS g_b,
+           CAST(a.n_g AS BIGINT) AS n_a, CAST(b.n_g AS BIGINT) AS n_b,
+           CAST(a.sr2 AS DOUBLE) / 2.0 / CAST(a.n_g AS DOUBLE)
+             - CAST(b.sr2 AS DOUBLE) / 2.0 / CAST(b.n_g AS DOUBLE)
+             AS mean_rank_diff,
+           (CAST(a.sr2 AS DOUBLE) / 2.0 / CAST(a.n_g AS DOUBLE)
+            - CAST(b.sr2 AS DOUBLE) / 2.0 / CAST(b.n_g AS DOUBLE))
+             / sqrt((CAST(a.nn AS DOUBLE)
+                     * (CAST(a.nn AS DOUBLE) + 1.0) / 12.0
+                     - CAST(a.tcorr AS DOUBLE)
+                       / (12.0 * (CAST(a.nn AS DOUBLE) - 1.0)))
+                    * (1.0 / CAST(a.n_g AS DOUBLE)
+                       + 1.0 / CAST(b.n_g AS DOUBLE))) AS z
+    FROM m a JOIN m b ON a.g < b.g
+    ORDER BY g_a, g_b
+    """,
+)
+def dunn_test_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunn's tie-corrected post-hoc pairwise rank comparisons across
+    event types (stats/inferential.py dunn_test; Dunn 1964) — the
+    nonparametric counterpart of tukey_hsd_pairs_events, following the
+    catalog's kruskal_wallis_events: doubled global average ranks keep
+    every rank sum exact, z is one replayed expression per pair."""
+    from gofast_spark.stats.inferential import dunn_test
+
+    e = _t(spark, sf_dir, "events")
+    return dunn_test(e, "value", "event_type")
+
+
+@query(
+    "kendall_w_weekday_events",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(ts AS DATE) AS d FROM events WHERE ts IS NOT NULL),
+    daily AS (SELECT d, count(*) AS v FROM e GROUP BY 1),
+    keyed AS (
+      SELECT CAST(isoyear(d) AS BIGINT) * 100
+               + CAST(week(d) AS BIGINT) AS b,
+             CAST(isodow(d) AS INT) AS t, CAST(v AS DOUBLE) AS v
+      FROM daily),
+    kg AS (SELECT count(DISTINCT t) AS k FROM keyed),
+    ok AS (
+      SELECT b FROM keyed GROUP BY b
+      HAVING count(DISTINCT t) = (SELECT k FROM kg)),
+    comp AS (SELECT keyed.* FROM keyed JOIN ok USING (b)),
+    nbk AS (SELECT count(DISTINCT b) AS nb FROM comp),
+    ranked AS (
+      SELECT b, t,
+             2 * rank() OVER (PARTITION BY b ORDER BY v)
+               + count(*) OVER (PARTITION BY b, v) - 1 AS r2
+      FROM comp),
+    tc AS (
+      SELECT coalesce(sum(tcc * tcc * tcc - tcc), 0) AS tsum
+      FROM (SELECT count(*) AS tcc FROM comp GROUP BY b, v)),
+    per_t AS (SELECT t, sum(r2) AS rr2 FROM ranked GROUP BY 1),
+    s4c AS (
+      SELECT sum((rr2 - (SELECT nb FROM nbk)
+                    * ((SELECT k FROM kg) + 1))
+                 * (rr2 - (SELECT nb FROM nbk)
+                     * ((SELECT k FROM kg) + 1))) AS s4
+      FROM per_t)
+    SELECT CAST((SELECT nb FROM nbk) AS BIGINT) AS b_blocks,
+           CAST((SELECT k FROM kg) AS BIGINT) AS k_treatments,
+           CAST(s4 AS BIGINT) AS s4,
+           3.0 * CAST(s4 AS DOUBLE)
+             / CAST((SELECT nb FROM nbk) * (SELECT nb FROM nbk)
+                    * (SELECT k FROM kg)
+                    * ((SELECT k FROM kg) * (SELECT k FROM kg) - 1)
+                    - (SELECT nb FROM nbk) * (SELECT tsum FROM tc)
+               AS DOUBLE) AS w
+    FROM s4c
+    """,
+)
+def kendall_w_weekday_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's coefficient of concordance for the day-of-week effect
+    on daily event volume (stats/inferential.py kendall_w; Kendall &
+    Babington Smith 1939) — the [0, 1] effect size beside
+    page_trend_weekday_events' directional L and friedman_events'
+    chi-square: doubled within-block average ranks, tie-corrected
+    denominator, W as one integer division."""
+    from gofast_spark.stats.inferential import kendall_w
+
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.where(F.col("ts").isNotNull())
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    keyed = daily.select(
+        (
+            F.expr("extract(YEAROFWEEK FROM d)").cast("bigint")
+            * F.lit(100)
+            + F.weekofyear("d").cast("bigint")
+        ).alias("b"),
+        (F.weekday("d") + F.lit(1)).cast("int").alias("t"),
+        F.col("v").cast("double").alias("v"),
+    )
+    return kendall_w(keyed, "b", "t", "v")
+
+
+@query(
+    "ansari_bradley_events",
+    oracle="""
+    WITH d AS (
+      SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')),
+    ranked AS (
+      SELECT g,
+             2 * rank() OVER (ORDER BY v)
+               + count(*) OVER (PARTITION BY v) - 1 AS r2,
+             count(*) OVER () AS nn
+      FROM d),
+    agg AS (
+      SELECT sum(CASE WHEN g = 'click'
+                      THEN least(r2, 2 * (nn + 1) - r2)
+                      ELSE 0 END) AS ab2,
+             sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS n_a,
+             sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS n_b,
+             max(nn) AS nn
+      FROM ranked)
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(ab2 AS BIGINT) AS ab2,
+           CAST(round((CAST(ab2 AS DOUBLE) / 2.0
+                 - CASE WHEN nn % 2 = 0
+                        THEN CAST(n_a AS DOUBLE)
+                             * (CAST(nn AS DOUBLE) + 2.0) / 4.0
+                        ELSE CAST(n_a AS DOUBLE)
+                             * (CAST(nn AS DOUBLE) + 1.0)
+                             * (CAST(nn AS DOUBLE) + 1.0)
+                             / (4.0 * CAST(nn AS DOUBLE)) END)
+                / sqrt(CASE WHEN nn % 2 = 0
+                       THEN CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                            * (CAST(nn AS DOUBLE) + 2.0)
+                            * (CAST(nn AS DOUBLE) - 2.0)
+                            / (48.0 * (CAST(nn AS DOUBLE) - 1.0))
+                       ELSE CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                            * (CAST(nn AS DOUBLE) + 1.0)
+                            * (3.0 + CAST(nn AS DOUBLE)
+                               * CAST(nn AS DOUBLE))
+                            / (48.0 * CAST(nn AS DOUBLE)
+                               * CAST(nn AS DOUBLE)) END), 6)
+             AS DOUBLE) AS z
+    FROM agg
+    """,
+)
+def ansari_bradley_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ansari-Bradley scale test between click and purchase values
+    (stats/inferential.py ansari_bradley; Ansari & Bradley 1960) —
+    the rank-based dispersion comparison beside levene/bartlett:
+    doubled both-ends midrank scores stay exact integers; classical
+    even/odd no-tie moments for the normal approximation."""
+    from gofast_spark.stats.inferential import ansari_bradley
+
+    e = _t(spark, sf_dir, "events")
+    return ansari_bradley(e, "value", "event_type", "click", "purchase")

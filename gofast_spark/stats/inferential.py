@@ -1772,3 +1772,232 @@ def page_trend_test(
         F.col("l2").cast("bigint").alias("l2"),
         z.alias("z"),
     )
+
+
+def dunn_test(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Dunn's post-hoc pairwise rank comparisons after Kruskal-Wallis
+    (Dunn, Technometrics 1964), with the tie-corrected variance: for
+    every group pair
+
+        z = (Rbar_a - Rbar_b)
+            / sqrt( (N(N+1)/12 - T/(12(N-1))) (1/n_a + 1/n_b) )
+
+    with ``T = sum_ties (t^3 - t)``.  Ranks are GLOBAL average ranks
+    carried DOUBLED (min-rank + tie-count, exact integers); rank sums,
+    N, and T are integers, so every z is one replayed expression —
+    deterministic, unrounded.  Pairs come from a groups-sized
+    broadcast self-join (the tukey_hsd shape).  Returns one row per
+    pair (g_a < g_b): ``(g_a, g_b, n_a, n_b, mean_rank_diff, z)``."""
+    v = F.col(value_col).cast("double")
+    g = F.col(group_col)
+    d = df.where(v.isNotNull() & g.isNotNull()).select(
+        g.alias("g"), v.alias("v")
+    )
+    wr = Window.orderBy("v")
+    wt = Window.partitionBy("v")
+    ranked = d.select(
+        "g",
+        (
+            F.lit(2) * F.rank().over(wr)
+            + F.count(F.lit(1)).over(wt) - F.lit(1)
+        ).alias("r2"),
+    )
+    per_g = ranked.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum("r2").alias("sr2"),
+    )
+    ties = (
+        d.groupBy("v").agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.sum(
+                F.col("t") * F.col("t") * F.col("t") - F.col("t")
+            ).alias("tcorr"),
+            F.sum("t").alias("nn"),
+        )
+    )
+    m = per_g.crossJoin(F.broadcast(ties)).select(
+        "g", "n_g", "sr2", "tcorr", "nn",
+    )
+    left = m.select(
+        F.col("g").alias("g_a"), F.col("n_g").alias("n_a"),
+        F.col("sr2").alias("sr2_a"), "tcorr", "nn",
+    )
+    right = m.select(
+        F.col("g").alias("g_b"), F.col("n_g").alias("n_b"),
+        F.col("sr2").alias("sr2_b"),
+    )
+    pairs = left.join(
+        F.broadcast(right), F.col("g_a") < F.col("g_b")
+    )
+    nn = F.col("nn").cast("double")
+    rbar_a = F.col("sr2_a").cast("double") / F.lit(2.0) / F.col(
+        "n_a"
+    ).cast("double")
+    rbar_b = F.col("sr2_b").cast("double") / F.lit(2.0) / F.col(
+        "n_b"
+    ).cast("double")
+    var = (
+        nn * (nn + F.lit(1.0)) / F.lit(12.0)
+        - F.col("tcorr").cast("double")
+        / (F.lit(12.0) * (nn - F.lit(1.0)))
+    ) * (
+        F.lit(1.0) / F.col("n_a").cast("double")
+        + F.lit(1.0) / F.col("n_b").cast("double")
+    )
+    return pairs.select(
+        "g_a", "g_b",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        (rbar_a - rbar_b).alias("mean_rank_diff"),
+        ((rbar_a - rbar_b) / F.sqrt(var)).alias("z"),
+    ).orderBy("g_a", "g_b")
+
+
+def kendall_w(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Kendall's coefficient of concordance W across complete blocks
+    (Kendall & Babington Smith, Ann. Math. Statist. 1939) — the
+    effect-size companion of the Friedman test already in the catalog
+    (W = chi2_F / (b (k-1))):
+
+        W = 12 S / ( b^2 k (k^2 - 1) - b T ),
+        S = sum_j (R_j - b(k+1)/2)^2
+
+    with ``T = sum_{blocks, ties} (t^3 - t)`` the tie correction.
+    Ranks are within-block average ranks carried DOUBLED, so
+    ``4 S = sum_j (R2_j - b(k+1))^2`` and every input to W is an exact
+    integer — W is ONE division.  Only blocks with all k treatments
+    enter.  Returns ONE row ``(b_blocks, k_treatments, s4, w)``."""
+    b = F.col(block_col)
+    t = F.col(treatment_col)
+    v = F.col(value_col).cast("double")
+    d = df.where(b.isNotNull() & t.isNotNull() & v.isNotNull()).select(
+        b.alias("b"), t.alias("t"), v.alias("v")
+    )
+    k_global = d.select("t").distinct().count()
+    wb = Window.partitionBy("b")
+    complete = (
+        d.withColumn("k_b", F.size(F.collect_set("t").over(wb)))
+        .where(F.col("k_b") == k_global)
+        .drop("k_b")
+    )
+    nb = complete.select("b").distinct().count()
+    wr = Window.partitionBy("b").orderBy("v")
+    wt = Window.partitionBy("b", "v")
+    ranked = complete.select(
+        "b", "t", "v",
+        (
+            F.lit(2) * F.rank().over(wr)
+            + F.count(F.lit(1)).over(wt) - F.lit(1)
+        ).alias("r2"),
+    )
+    tcorr = (
+        complete.groupBy("b", "v")
+        .agg(F.count(F.lit(1)).alias("tc"))
+        .agg(
+            F.sum(
+                F.col("tc") * F.col("tc") * F.col("tc") - F.col("tc")
+            ).alias("tsum")
+        )
+        .first()["tsum"]
+    )
+    tcorr = int(tcorr)
+    per_t = ranked.groupBy("t").agg(F.sum("r2").alias("rr2"))
+    center = nb * (k_global + 1)
+    s4_row = per_t.agg(
+        F.sum(
+            (F.col("rr2") - F.lit(center))
+            * (F.col("rr2") - F.lit(center))
+        ).alias("s4")
+    ).first()
+    s4 = int(s4_row["s4"])
+    denom = (
+        nb * nb * k_global * (k_global * k_global - 1)
+        - nb * tcorr
+    )
+    w = 3.0 * float(s4) / float(denom)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(nb, k_global, s4, w)],
+        "b_blocks bigint, k_treatments bigint, s4 bigint, w double",
+    )
+
+
+def ansari_bradley(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Ansari-Bradley rank test for a SCALE difference between two
+    samples with equal centers (Ansari & Bradley, Ann. Math. Statist.
+    1960) — the nonparametric companion of levene/bartlett: scores
+    run 1, 2, ... toward the middle from BOTH ends, so a group
+    concentrated in the middle (smaller spread) gets a larger score
+    sum.
+
+    Midrank scores carried DOUBLED: ``s2 = min(r2, 2(N+1) - r2)``
+    with ``r2`` the doubled average rank — exact integers end-to-end.
+    The normal approximation uses the classical no-tie moments
+    (even/odd N forms; ties are midranked in the statistic but the
+    variance is the no-tie one — the conventional large-sample
+    report).  Returns ONE row ``(n_a, n_b, ab2, z)``."""
+    v = F.col(value_col).cast("double")
+    g = F.col(group_col)
+    d = df.where(
+        v.isNotNull() & g.isin([group_a, group_b])
+    ).select(g.alias("g"), v.alias("v"))
+    wr = Window.orderBy("v")
+    wt = Window.partitionBy("v")
+    ranked = d.select(
+        "g",
+        (
+            F.lit(2) * F.rank().over(wr)
+            + F.count(F.lit(1)).over(wt) - F.lit(1)
+        ).alias("r2"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("nn"),
+    )
+    s2 = F.least(
+        F.col("r2"),
+        F.lit(2) * (F.col("nn") + F.lit(1)) - F.col("r2"),
+    )
+    agg = ranked.agg(
+        F.sum(
+            F.when(F.col("g") == group_a, s2).otherwise(F.lit(0))
+        ).alias("ab2"),
+        F.sum((F.col("g") == group_a).cast("bigint")).alias("n_a"),
+        F.sum((F.col("g") == group_b).cast("bigint")).alias("n_b"),
+        F.max("nn").alias("nn"),
+    ).first()
+    ab2, n_a, n_b, nn = (
+        int(agg["ab2"]), int(agg["n_a"]), int(agg["n_b"]), int(agg["nn"])
+    )
+    import math
+
+    na, nb_, n = float(n_a), float(n_b), float(nn)
+    ab = float(ab2) / 2.0
+    if nn % 2 == 0:
+        mean = na * (n + 2.0) / 4.0
+        var = na * nb_ * (n + 2.0) * (n - 2.0) / (
+            48.0 * (n - 1.0)
+        )
+    else:
+        mean = na * (n + 1.0) * (n + 1.0) / (4.0 * n)
+        var = na * nb_ * (n + 1.0) * (3.0 + n * n) / (
+            48.0 * n * n
+        )
+    z = (ab - mean) / math.sqrt(var)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(n_a, n_b, ab2, round(z, 6))],
+        "n_a bigint, n_b bigint, ab2 bigint, z double",
+    )
