@@ -1693,3 +1693,61 @@ def hellinger_by_type_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hellinger_binned(
         e, "value", "event_type", "click", "purchase", bins=20
     )
+
+
+@query(
+    "wasserstein_by_source_documents",
+    oracle="""
+    WITH d AS (
+      SELECT source AS g, CAST(n_chars AS DOUBLE) AS v
+      FROM documents
+      WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+    cnt AS (SELECT v, g, count(*) AS c FROM d GROUP BY 1, 2),
+    vals AS (SELECT DISTINCT v FROM d),
+    grps AS (SELECT DISTINCT g FROM d),
+    grid AS (SELECT vals.v, grps.g FROM vals, grps),
+    cell AS (
+      SELECT grid.v, grid.g, coalesce(cnt.c, 0) AS c
+      FROM grid LEFT JOIN cnt ON grid.v = cnt.v AND grid.g = cnt.g),
+    cum AS (
+      SELECT v, g,
+             sum(c) OVER (PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_g,
+             sum(c) OVER (PARTITION BY v) AS cv,
+             sum(c) OVER (PARTITION BY g) AS n_g,
+             sum(c) OVER () AS n,
+             lead(v) OVER (PARTITION BY g ORDER BY v) AS vn
+      FROM cell),
+    cum2 AS (
+      SELECT v, g, cum_g, n_g, n, vn,
+             sum(cv) OVER (PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_all
+      FROM cum),
+    t AS (
+      SELECT g, n_g,
+             CAST(floor(CAST(abs(cum_g * (n - n_g)
+                             - (cum_all - cum_g) * n_g) AS DOUBLE)
+                        * (vn - v)
+                        / (CAST(n_g AS DOUBLE)
+                           * CAST(n - n_g AS DOUBLE))
+                        * 1000000000.0 + 0.5) AS BIGINT) AS tq
+      FROM cum2 WHERE vn IS NOT NULL)
+    SELECT g AS source, CAST(n_g AS BIGINT) AS n_group,
+           CAST(sum(tq) AS BIGINT) AS w1_u9
+    FROM t GROUP BY 1, 2 ORDER BY source
+    """,
+)
+def wasserstein_by_source_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Leave-one-source-out exact Wasserstein drift over document
+    lengths (quality/drift.py wasserstein_by_group; Vallender 1974) —
+    the metric-aware sibling of psi_by_source_documents: every
+    source's earth-mover distance to the pooled rest from ONE scan
+    over a dense values-by-sources grid."""
+    from gofast_spark.quality.drift import wasserstein_by_group
+
+    docs = _t(spark, sf_dir, "documents")
+    return wasserstein_by_group(docs, "n_chars", "source")

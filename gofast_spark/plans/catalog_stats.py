@@ -4959,3 +4959,159 @@ def ansari_bradley_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "events")
     return ansari_bradley(e, "value", "event_type", "click", "purchase")
+
+
+def _spiegelhalter_oracle(n_iter: int = 3) -> str:
+    """The _logit_oracle Newton layers, then the unbinned calibration
+    Z over quantized per-row summands at the round-5 weights."""
+    layers = [
+        "w0 AS (SELECT CAST(0.0 AS DOUBLE) AS w0,"
+        " CAST(0.0 AS DOUBLE) AS w1)"
+    ]
+    prev = "w0"
+    for k in range(1, n_iter + 1):
+        p = f"(1.0 / (1.0 + exp(-({prev}.w0 * 1.0 + {prev}.w1 * d.x))))"
+        layers.append(f"""a{k} AS (
+      SELECT sum({p} * (1.0 - {p}) * 1.0 * 1.0) AS h00,
+             sum({p} * (1.0 - {p}) * 1.0 * d.x) AS h01,
+             sum({p} * (1.0 - {p}) * d.x * d.x) AS h11,
+             sum((d.y - {p}) * 1.0) AS g0,
+             sum((d.y - {p}) * d.x) AS g1,
+             count(*) AS n
+      FROM d, {prev})""")
+        layers.append(f"""w{k} AS (
+      SELECT {prev}.w0 + (g0 * h11 - h01 * g1) / (h00 * h11 - h01 * h01) AS w0,
+             {prev}.w1 + (h00 * g1 - g0 * h01) / (h00 * h11 - h01 * h01) AS w1,
+             a{k}.n AS n
+      FROM a{k}, {prev})""")
+        prev = f"w{k}"
+    cte = ",\n    ".join(layers)
+    return f"""
+    WITH d AS (
+      SELECT CAST(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS DOUBLE) AS y,
+             CAST(o_totalprice AS DOUBLE) / 100000.0 AS x
+      FROM orders
+      WHERE o_orderstatus IS NOT NULL AND o_totalprice IS NOT NULL),
+    {cte},
+    scored AS (
+      SELECT d.y,
+             1.0 / (1.0 + exp(-(round({prev}.w0, 5)
+                                + round({prev}.w1, 5) * d.x))) AS p
+      FROM d, {prev}),
+    agg AS (
+      SELECT count(*) AS n,
+             sum(CAST(floor((y - p) * (1.0 - 2.0 * p)
+                  * 1000000000.0 + 0.5) AS BIGINT)) AS nu,
+             sum(CAST(floor((1.0 - 2.0 * p) * (1.0 - 2.0 * p) * p
+                  * (1.0 - p) * 1000000000.0 + 0.5) AS BIGINT)) AS de
+      FROM scored)
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(nu AS BIGINT) AS num_u9, CAST(de AS BIGINT) AS den_u9,
+           CAST(nu AS DOUBLE) / 1000000000.0
+             / sqrt(CAST(de AS DOUBLE) / 1000000000.0) AS z
+    FROM agg
+    """
+
+
+@query("spiegelhalter_z_orders", oracle=_spiegelhalter_oracle(3))
+def spiegelhalter_z_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spiegelhalter's unbinned calibration Z for the Newton logistic
+    fit of order finality (stats/evaluation.py spiegelhalter_z;
+    Spiegelhalter 1986) — the binning-free companion of
+    hosmer_lemeshow_orders: quantized per-row summands at the round-5
+    weights; the oracle replays the whole trajectory."""
+    from gofast_spark.ml import fit_logistic_regression
+    from gofast_spark.stats.evaluation import spiegelhalter_z
+
+    o = _t(spark, sf_dir, "orders")
+    d = o.select(
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+        .cast("double").alias("y"),
+        (F.col("o_totalprice").cast("double") / 100000.0).alias("x"),
+    ).where(
+        F.col("o_orderstatus").isNotNull()
+        & F.col("o_totalprice").isNotNull()
+    )
+    m = fit_logistic_regression(d, ["x"], "y", n_iter=3, solver="cramer")
+    w0 = round(m["coef"][0], 5)
+    w1 = round(m["coef"][1], 5)
+    z = F.lit(w0) + F.lit(w1) * F.col("x")
+    scored = d.select(
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("p"), "y"
+    )
+    return spiegelhalter_z(scored, "p", "y")
+
+
+@query(
+    "lepage_events",
+    oracle="""
+    WITH d AS (
+      SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')),
+    ranked AS (
+      SELECT g,
+             2 * rank() OVER (ORDER BY v)
+               + count(*) OVER (PARTITION BY v) - 1 AS r2,
+             count(*) OVER () AS nn
+      FROM d),
+    agg AS (
+      SELECT sum(CASE WHEN g = 'click' THEN r2 ELSE 0 END) AS w2,
+             sum(CASE WHEN g = 'click'
+                      THEN least(r2, 2 * (nn + 1) - r2)
+                      ELSE 0 END) AS ab2,
+             sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS n_a,
+             sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS n_b,
+             max(nn) AS nn
+      FROM ranked),
+    tie AS (
+      SELECT sum(t * t * t - t) AS tc
+      FROM (SELECT count(*) AS t FROM d GROUP BY v)),
+    zc AS (
+      SELECT n_a, n_b,
+             (CAST(w2 AS DOUBLE) / 2.0
+              - CAST(n_a AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0)
+                / 2.0)
+               / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                      / 12.0
+                      * ((CAST(nn AS DOUBLE) + 1.0)
+                         - CAST(tc AS DOUBLE)
+                           / (CAST(nn AS DOUBLE)
+                              * (CAST(nn AS DOUBLE) - 1.0)))) AS z_w,
+             (CAST(ab2 AS DOUBLE) / 2.0
+              - CASE WHEN nn % 2 = 0
+                     THEN CAST(n_a AS DOUBLE)
+                          * (CAST(nn AS DOUBLE) + 2.0) / 4.0
+                     ELSE CAST(n_a AS DOUBLE)
+                          * (CAST(nn AS DOUBLE) + 1.0)
+                          * (CAST(nn AS DOUBLE) + 1.0)
+                          / (4.0 * CAST(nn AS DOUBLE)) END)
+               / sqrt(CASE WHEN nn % 2 = 0
+                      THEN CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                           * (CAST(nn AS DOUBLE) + 2.0)
+                           * (CAST(nn AS DOUBLE) - 2.0)
+                           / (48.0 * (CAST(nn AS DOUBLE) - 1.0))
+                      ELSE CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                           * (CAST(nn AS DOUBLE) + 1.0)
+                           * (3.0 + CAST(nn AS DOUBLE)
+                              * CAST(nn AS DOUBLE))
+                           / (48.0 * CAST(nn AS DOUBLE)
+                              * CAST(nn AS DOUBLE)) END) AS z_ab
+      FROM agg, tie)
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(round(z_w, 6) AS DOUBLE) AS z_wilcoxon,
+           CAST(round(z_ab, 6) AS DOUBLE) AS z_ansari,
+           CAST(round(z_w * z_w + z_ab * z_ab, 6) AS DOUBLE) AS d_stat
+    FROM zc
+    """,
+)
+def lepage_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lepage location-or-scale two-sample test between click and
+    purchase values (stats/inferential.py lepage_test; Lepage 1971) —
+    the omnibus combining the tie-corrected Wilcoxon rank-sum z with
+    ansari_bradley_events' scale z, chi-square(2) under H0; doubled
+    midranks keep both components exact integers."""
+    from gofast_spark.stats.inferential import lepage_test
+
+    e = _t(spark, sf_dir, "events")
+    return lepage_test(e, "value", "event_type", "click", "purchase")

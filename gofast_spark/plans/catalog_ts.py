@@ -1921,3 +1921,56 @@ def theil_sen_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gofast_spark.ts.longrun import theil_sen
 
     return theil_sen(_daily(spark, sf_dir), "d", "v", "t")
+
+
+@query(
+    "ccf_clicks_purchases",
+    oracle="""
+    WITH x AS (
+      SELECT CAST(ts AS DATE) AS d, count(*) AS v FROM events
+      WHERE ts IS NOT NULL AND event_type = 'click' GROUP BY 1),
+    y AS (
+      SELECT CAST(ts AS DATE) AS dy, count(*) AS y FROM events
+      WHERE ts IS NOT NULL AND event_type = 'purchase' GROUP BY 1),
+    lags AS (SELECT CAST(unnest(range(-3, 4)) AS INT) AS lag),
+    keyed AS (
+      SELECT lag, x.v AS x, x.d + lag AS dk FROM x, lags),
+    joined AS (SELECT lag, x, y FROM keyed JOIN y ON dk = dy),
+    agg AS (
+      SELECT lag, count(*) AS m, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy,
+             sum(x * y) AS sxy
+      FROM joined GROUP BY 1)
+    SELECT lag, CAST(m AS BIGINT) AS n,
+           (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             AS r
+    FROM agg ORDER BY lag
+    """,
+)
+def ccf_clicks_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between daily click and purchase
+    counts at lags -3..3 (ts/causality.py cross_correlation; Box &
+    Jenkins 1970 ch. 11) — the lead-lag screen beside
+    granger_clicks_purchases: one lag-exploded join, integer Pearson
+    moments per lag, every r a replayed expression."""
+    from gofast_spark.ts.causality import cross_correlation
+
+    e = _t(spark, sf_dir, "events")
+
+    def daily(tp):
+        return (
+            e.where(
+                F.col("ts").isNotNull() & (F.col("event_type") == tp)
+            )
+            .groupBy(F.col("ts").cast("date").alias("d"))
+            .agg(F.count(F.lit(1)).alias("v"))
+        )
+
+    return cross_correlation(
+        daily("click"), daily("purchase"), "d", "v", max_lag=3
+    )

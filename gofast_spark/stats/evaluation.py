@@ -259,3 +259,56 @@ def hosmer_lemeshow(
         "chi2_u6",
         (F.col("bins_used") - 2).cast("bigint").alias("dof"),
     )
+
+
+def spiegelhalter_z(
+    df: DataFrame,
+    p_col: str,
+    y_col: str,
+    *,
+    unit: int = 1_000_000_000,
+) -> DataFrame:
+    """Spiegelhalter's Z calibration test (Spiegelhalter, Statistics
+    in Medicine 1986) — the unbinned companion of
+    :func:`hosmer_lemeshow`: under perfect calibration
+
+        Z = sum (y_i - p_i)(1 - 2 p_i)
+            / sqrt( sum (1 - 2 p_i)^2 p_i (1 - p_i) )
+
+    is asymptotically standard normal.  Each numerator and
+    denominator summand is quantized to ``1/unit`` before the integer
+    sums, so Z is one replayed expression.  Returns ONE row
+    ``(n, num_u9, den_u9, z)``."""
+    p = F.col(p_col).cast("double")
+    y = F.col(y_col).cast("double")
+    d = df.where(p.isNotNull() & y.isNotNull()).select(
+        p.alias("p"), y.alias("y")
+    )
+    u = float(unit)
+    num = (F.col("y") - F.col("p")) * (
+        F.lit(1.0) - F.lit(2.0) * F.col("p")
+    )
+    den = (
+        (F.lit(1.0) - F.lit(2.0) * F.col("p"))
+        * (F.lit(1.0) - F.lit(2.0) * F.col("p"))
+        * F.col("p")
+        * (F.lit(1.0) - F.col("p"))
+    )
+    agg = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.floor(num * F.lit(u) + F.lit(0.5)).cast("bigint")
+        ).alias("nu"),
+        F.sum(
+            F.floor(den * F.lit(u) + F.lit(0.5)).cast("bigint")
+        ).alias("de"),
+    )
+    z = F.col("nu").cast("double") / F.lit(u) / F.sqrt(
+        F.col("de").cast("double") / F.lit(u)
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("nu").alias("num_u9"),
+        F.col("de").alias("den_u9"),
+        z.alias("z"),
+    )

@@ -2001,3 +2001,96 @@ def ansari_bradley(
         [(n_a, n_b, ab2, round(z, 6))],
         "n_a bigint, n_b bigint, ab2 bigint, z double",
     )
+
+
+def lepage_test(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Lepage two-sample test for a LOCATION-OR-SCALE difference
+    (Lepage, Biometrika 1971): ``D = z_W^2 + z_AB^2``, the sum of the
+    squared standardized Wilcoxon rank-sum (location) and
+    Ansari-Bradley (scale) statistics, asymptotically chi-square with
+    2 dof.
+
+    Both components ride the doubled-midrank machinery (exact
+    integers); z_W uses the tie-corrected rank-sum variance, z_AB the
+    classical no-tie even/odd moments (the :func:`ansari_bradley`
+    convention).  Returns ONE row
+    ``(n_a, n_b, z_wilcoxon, z_ansari, d_stat)``."""
+    import math
+
+    v = F.col(value_col).cast("double")
+    g = F.col(group_col)
+    d = df.where(
+        v.isNotNull() & g.isin([group_a, group_b])
+    ).select(g.alias("g"), v.alias("v"))
+    wr = Window.orderBy("v")
+    wt = Window.partitionBy("v")
+    ranked = d.select(
+        "g",
+        (
+            F.lit(2) * F.rank().over(wr)
+            + F.count(F.lit(1)).over(wt) - F.lit(1)
+        ).alias("r2"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("nn"),
+    )
+    s2 = F.least(
+        F.col("r2"),
+        F.lit(2) * (F.col("nn") + F.lit(1)) - F.col("r2"),
+    )
+    agg = ranked.agg(
+        F.sum(
+            F.when(F.col("g") == group_a, F.col("r2")).otherwise(
+                F.lit(0)
+            )
+        ).alias("w2"),
+        F.sum(
+            F.when(F.col("g") == group_a, s2).otherwise(F.lit(0))
+        ).alias("ab2"),
+        F.sum((F.col("g") == group_a).cast("bigint")).alias("n_a"),
+        F.sum((F.col("g") == group_b).cast("bigint")).alias("n_b"),
+        F.max("nn").alias("nn"),
+    ).first()
+    tie = (
+        d.groupBy("v").agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.sum(
+                F.col("t") * F.col("t") * F.col("t") - F.col("t")
+            ).alias("tc")
+        )
+        .first()["tc"]
+    )
+    w2, ab2 = int(agg["w2"]), int(agg["ab2"])
+    n_a, n_b, nn = int(agg["n_a"]), int(agg["n_b"]), int(agg["nn"])
+    tc = int(tie)
+    na, nb_, n = float(n_a), float(n_b), float(nn)
+    w = float(w2) / 2.0
+    ew = na * (n + 1.0) / 2.0
+    vw = na * nb_ / 12.0 * (
+        (n + 1.0) - float(tc) / (n * (n - 1.0))
+    )
+    z_w = (w - ew) / math.sqrt(vw)
+    ab = float(ab2) / 2.0
+    if nn % 2 == 0:
+        eab = na * (n + 2.0) / 4.0
+        vab = na * nb_ * (n + 2.0) * (n - 2.0) / (48.0 * (n - 1.0))
+    else:
+        eab = na * (n + 1.0) * (n + 1.0) / (4.0 * n)
+        vab = na * nb_ * (n + 1.0) * (3.0 + n * n) / (
+            48.0 * n * n
+        )
+    z_ab = (ab - eab) / math.sqrt(vab)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(
+            n_a, n_b,
+            round(z_w, 6), round(z_ab, 6),
+            round(z_w * z_w + z_ab * z_ab, 6),
+        )],
+        "n_a bigint, n_b bigint, z_wilcoxon double,"
+        " z_ansari double, d_stat double",
+    )

@@ -194,3 +194,59 @@ def engle_granger(
         "alpha", "beta", g.alias("gamma"), t.alias("t_stat"),
         F.col("__m").cast("bigint").alias("n"),
     )
+
+
+def cross_correlation(
+    x_df: "DataFrame",
+    y_df: "DataFrame",
+    date_col: str,
+    value_col: str,
+    *,
+    max_lag: int = 3,
+) -> "DataFrame":
+    """Sample cross-correlation function between two integer-valued
+    daily series (Box & Jenkins 1970, ch. 11 — the lead-lag screen
+    that motivates the Granger test already in the catalog):
+
+        r(lag) = corr( x_t, y_{t+lag} ),  lag in [-max_lag, max_lag]
+
+    Relational shape: the x frame is exploded across the lag table
+    (2L+1 broadcast rows), keyed to ``date + lag``, and joined to the
+    y frame — every lag's Pearson moments come from ONE grouped
+    aggregate over integer counts, so each r(lag) is a replayed
+    expression over exact integers.  Returns one row per lag
+    ``(lag, n, r)`` ordered by lag."""
+    from pyspark.sql import functions as F
+
+    spark = x_df.sparkSession
+    lags = spark.range(-max_lag, max_lag + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    x = x_df.select(
+        F.col(date_col).alias("d"), F.col(value_col).alias("x")
+    )
+    y = y_df.select(
+        F.col(date_col).alias("dy"), F.col(value_col).alias("y")
+    )
+    keyed = x.crossJoin(F.broadcast(lags)).select(
+        "lag", "x", F.date_add(F.col("d"), F.col("lag")).alias("dk")
+    )
+    joined = keyed.join(y, F.col("dk") == F.col("dy"))
+    agg = joined.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    m = F.col("m").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    r = (m * sxy - sx * sy) / F.sqrt(
+        (m * sxx - sx * sx) * (m * syy - sy * sy)
+    )
+    return agg.select(
+        "lag", F.col("m").cast("bigint").alias("n"), r.alias("r")
+    ).orderBy("lag")
