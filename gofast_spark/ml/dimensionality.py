@@ -271,3 +271,79 @@ def lle_embedding(
         [f"{c} double" for c in cols] + [f"lle_{i} double" for i in range(k)]
     )
     return spark.createDataFrame(data, schema)
+
+
+def pca_2d(
+    df: DataFrame,
+    vec_col: str,
+    *,
+    dims: "tuple[int, int]" = (1, 2),
+    unit: int = 1_000_000,
+) -> DataFrame:
+    """Closed-form PCA of TWO embedding coordinates (Pearson 1901;
+    the 2x2 symmetric eigenproblem has an exact solution, so no
+    iteration and no LAPACK — fully oracle-replayable, unlike the
+    parked kernel-PCA entries):
+
+        lambda_{1,2} = (a + c)/2 +- sqrt( ((a - c)/2)^2 + b^2 )
+        theta        = atan2(2 b, a - c) / 2
+
+    over the population covariance matrix [[a, b], [b, c]] of the two
+    selected (1-based) coordinates.  Moments are micro-unit-exact
+    integers from ONE scan; the covariances divide the grid out once,
+    so eigenvalues are in original units^2 and theta (the principal
+    -axis angle) is grid-invariant and presented round-6 (in-plan
+    atan2 is 1-ulp engine-dependent).  Returns ONE row
+    ``(n, var_x, var_y, cov_xy, lambda1, lambda2, theta,
+    explained_ratio)``."""
+    u = float(unit)
+    x = F.floor(
+        F.element_at(F.col(vec_col), dims[0]).cast("double")
+        * F.lit(u) + F.lit(0.5)
+    ).cast("bigint")
+    y = F.floor(
+        F.element_at(F.col(vec_col), dims[1]).cast("double")
+        * F.lit(u) + F.lit(0.5)
+    ).cast("bigint")
+    d = df.where(F.col(vec_col).isNotNull()).select(
+        x.alias("x"), y.alias("y")
+    )
+    agg = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    uu = F.lit(u * u)
+    a = (
+        F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double") / n
+    ) / n / uu
+    b = (
+        F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double") / n
+    ) / n / uu
+    c = (
+        F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy").cast("double") / n
+    ) / n / uu
+    half = (a + c) / F.lit(2.0)
+    root = F.sqrt(
+        ((a - c) / F.lit(2.0)) * ((a - c) / F.lit(2.0)) + b * b
+    )
+    l1 = half + root
+    l2 = half - root
+    theta = F.atan2(F.lit(2.0) * b, a - c) / F.lit(2.0)
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        a.alias("var_x"),
+        c.alias("var_y"),
+        b.alias("cov_xy"),
+        l1.alias("lambda1"),
+        l2.alias("lambda2"),
+        F.round(theta, 6).cast("double").alias("theta"),
+        (l1 / (a + c)).alias("explained_ratio"),
+    )

@@ -2232,3 +2232,53 @@ def retrieval_metrics_embeddings(
     return retrieval_eval(
         e, "vec_id", "embedding", "label", dims=8, k=10, p_at=5
     )
+
+
+@query(
+    "pca_2d_embeddings",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000.0
+               + 0.5) AS BIGINT) AS x,
+             CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000000.0
+               + 0.5) AS BIGINT) AS y
+      FROM embeddings WHERE embedding IS NOT NULL),
+    agg AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+      FROM d),
+    m AS (
+      SELECT CAST(n AS BIGINT) AS n,
+             (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+               / CAST(n AS DOUBLE) / 1000000000000.0 AS a,
+             (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+               / CAST(n AS DOUBLE) / 1000000000000.0 AS b,
+             (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+               / CAST(n AS DOUBLE) / 1000000000000.0 AS c
+      FROM agg)
+    SELECT n, a AS var_x, c AS var_y, b AS cov_xy,
+           (a + c) / 2.0 + sqrt(((a - c) / 2.0) * ((a - c) / 2.0)
+             + b * b) AS lambda1,
+           (a + c) / 2.0 - sqrt(((a - c) / 2.0) * ((a - c) / 2.0)
+             + b * b) AS lambda2,
+           CAST(round(atan2(2.0 * b, a - c) / 2.0, 6) AS DOUBLE)
+             AS theta,
+           ((a + c) / 2.0 + sqrt(((a - c) / 2.0) * ((a - c) / 2.0)
+              + b * b)) / (a + c) AS explained_ratio
+    FROM m
+    """,
+)
+def pca_2d_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form PCA of the first two embedding coordinates
+    (ml/dimensionality.py pca_2d; Pearson 1901) — the exact 2x2
+    eigensolution no iteration or LAPACK needs, making it fully
+    oracle-replayable unlike the parked kernel-PCA entries: exact
+    integer moments, eigenvalues in original units^2, round-6
+    principal angle."""
+    from gofast_spark.ml.dimensionality import pca_2d
+
+    e = _t(spark, sf_dir, "embeddings")
+    return pca_2d(e, "embedding", dims=(1, 2))

@@ -5115,3 +5115,155 @@ def lepage_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "events")
     return lepage_test(e, "value", "event_type", "click", "purchase")
+
+
+_MI2D_ENTROPY = """
+    s AS (
+      SELECT min(CAST(l_extendedprice AS DOUBLE)) AS lo,
+             max(CAST(l_extendedprice AS DOUBLE)) AS hi
+      FROM lineitem WHERE l_extendedprice IS NOT NULL),
+    d AS (
+      SELECT CAST(l_quantity AS INT) AS x,
+             least(greatest(CAST(floor((CAST(l_extendedprice AS DOUBLE)
+               - lo) / ((CASE WHEN hi - lo = 0 THEN 1.0
+                         ELSE hi - lo END) / 20.0)) AS INT), 0), 19)
+               AS y
+      FROM lineitem, s
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+    xy AS (SELECT x, y, count(*) AS n FROM d GROUP BY 1, 2),
+    hxy AS (
+      SELECT sum(n) AS n,
+             sum(CAST(floor(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))
+                 * 1e6 + 0.5) AS BIGINT)) AS s
+      FROM xy),
+    hx AS (
+      SELECT sum(n) AS n,
+             sum(CAST(floor(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))
+                 * 1e6 + 0.5) AS BIGINT)) AS s
+      FROM (SELECT x, sum(n) AS n FROM xy GROUP BY x)),
+    hy AS (
+      SELECT sum(n) AS n,
+             sum(CAST(floor(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))
+                 * 1e6 + 0.5) AS BIGINT)) AS s
+      FROM (SELECT y, sum(n) AS n FROM xy GROUP BY y)),
+    e AS (
+      SELECT CAST(hxy.n AS BIGINT) AS n,
+             CAST(floor((ln(CAST(hx.n AS DOUBLE))
+               - CAST(hx.s AS DOUBLE) / 1e6 / CAST(hx.n AS DOUBLE))
+               * 1e6 + 0.5) AS BIGINT) AS hx_u6,
+             CAST(floor((ln(CAST(hy.n AS DOUBLE))
+               - CAST(hy.s AS DOUBLE) / 1e6 / CAST(hy.n AS DOUBLE))
+               * 1e6 + 0.5) AS BIGINT) AS hy_u6,
+             CAST(floor((ln(CAST(hxy.n AS DOUBLE))
+               - CAST(hxy.s AS DOUBLE) / 1e6 / CAST(hxy.n AS DOUBLE))
+               * 1e6 + 0.5) AS BIGINT) AS hxy_u6
+      FROM hxy, hx, hy)
+"""
+
+
+@query(
+    "mi_quantity_price_binned",
+    oracle=f"""
+    WITH {_MI2D_ENTROPY}
+    SELECT n, hx_u6, hy_u6, hxy_u6,
+           hx_u6 + hy_u6 - hxy_u6 AS mi_u6
+    FROM e
+    """,
+)
+def mi_quantity_price_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between line quantity and 20-binned extended
+    price (stats/infotheory.py entropy_report over deterministic
+    min/max bin edges; Shannon 1948) — the continuous-pair MI via the
+    binned plug-in estimator, extending mutual_info_events'
+    categorical form: micro-unit-quantized n ln n summands make MI
+    pure integer arithmetic."""
+    from gofast_spark.quality.drift import _bin
+    from gofast_spark.stats.infotheory import entropy_report
+
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_quantity").isNotNull()
+        & F.col("l_extendedprice").isNotNull()
+    )
+    lo, hi = li.agg(
+        F.min(F.col("l_extendedprice").cast("double")),
+        F.max(F.col("l_extendedprice").cast("double")),
+    ).first()
+    lo, hi = float(lo), float(hi)
+    width = ((hi - lo) or 1.0) / 20
+    d = li.select(
+        F.col("l_quantity").cast("int").alias("x"),
+        _bin(
+            F.col("l_extendedprice").cast("double"), lo, width, 20
+        ).alias("y"),
+    )
+    return entropy_report(d, "x", "y").select(
+        "n", "hx_u6", "hy_u6", "hxy_u6", "mi_u6"
+    )
+
+
+@query(
+    "bhattacharyya_gaussian_events",
+    oracle="""
+    WITH d AS (
+      SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')),
+    agg AS (
+      SELECT sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS na,
+             sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS nb,
+             sum(CASE WHEN g = 'click'
+                 THEN CAST(floor(v * 1000000.0 + 0.5) AS BIGINT)
+                 ELSE 0 END) AS sa,
+             sum(CASE WHEN g = 'purchase'
+                 THEN CAST(floor(v * 1000000.0 + 0.5) AS BIGINT)
+                 ELSE 0 END) AS sb,
+             sum(CASE WHEN g = 'click'
+                 THEN CAST(floor(v * v * 1000000.0 + 0.5) AS BIGINT)
+                 ELSE 0 END) AS qa,
+             sum(CASE WHEN g = 'purchase'
+                 THEN CAST(floor(v * v * 1000000.0 + 0.5) AS BIGINT)
+                 ELSE 0 END) AS qb
+      FROM d),
+    m AS (
+      SELECT na, nb,
+             CAST(sa AS DOUBLE) / 1000000.0 / CAST(na AS DOUBLE)
+               AS mu_a,
+             CAST(sb AS DOUBLE) / 1000000.0 / CAST(nb AS DOUBLE)
+               AS mu_b,
+             CAST(qa AS DOUBLE) / 1000000.0 / CAST(na AS DOUBLE)
+               - (CAST(sa AS DOUBLE) / 1000000.0 / CAST(na AS DOUBLE))
+                 * (CAST(sa AS DOUBLE) / 1000000.0
+                    / CAST(na AS DOUBLE)) AS va,
+             CAST(qb AS DOUBLE) / 1000000.0 / CAST(nb AS DOUBLE)
+               - (CAST(sb AS DOUBLE) / 1000000.0 / CAST(nb AS DOUBLE))
+                 * (CAST(sb AS DOUBLE) / 1000000.0
+                    / CAST(nb AS DOUBLE)) AS vb
+      FROM agg),
+    f AS (
+      SELECT na, nb,
+             (mu_a - mu_b) * (mu_a - mu_b)
+               / (8.0 * ((va + vb) / 2.0))
+               + ln(((va + vb) / 2.0) / sqrt(va * vb)) / 2.0 AS db
+      FROM m)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CAST(round(db, 6) AS DOUBLE) AS db,
+           CAST(floor(exp(-db) * 1000000000.0 + 0.5) AS BIGINT)
+             AS bc_u9
+    FROM f
+    """,
+)
+def bhattacharyya_gaussian_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gaussian-model Bhattacharyya distance between click and
+    purchase values (quality/drift.py bhattacharyya_gaussian;
+    Bhattacharyya 1943, Kailath 1967) — the closed-form parametric
+    companion of hellinger_by_type_events (H^2 = 1 - exp(-DB) under
+    normality): micro-unit-exact per-group moments, round-6 DB,
+    quantized coefficient."""
+    from gofast_spark.quality.drift import bhattacharyya_gaussian
+
+    e = _t(spark, sf_dir, "events")
+    return bhattacharyya_gaussian(
+        e, "value", "event_type", "click", "purchase"
+    )

@@ -594,3 +594,81 @@ def wasserstein_by_group(
         F.col("n_g").cast("bigint").alias("n_group"),
         "w1_u9",
     ).orderBy(group_col)
+
+
+def bhattacharyya_gaussian(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    *,
+    unit: int = 1_000_000,
+    out_unit: int = 1_000_000_000,
+) -> DataFrame:
+    """Closed-form Bhattacharyya distance between two groups under a
+    Gaussian model (Bhattacharyya 1943; Kailath, IEEE COM 1967):
+
+        DB = (mu_a - mu_b)^2 / (8 sbar^2) + ln( sbar^2 / (s_a s_b) ) / 2
+        sbar^2 = (s_a^2 + s_b^2) / 2
+
+    — the parametric companion of :func:`hellinger_binned` (for
+    Gaussians, ``H^2 = 1 - exp(-DB)``).  Population moments come from
+    one micro-unit-exact aggregate per the catalog discipline; DB is
+    presented round-6 (its in-plan ln is 1-ulp engine-dependent)
+    and the Bhattacharyya coefficient ``exp(-DB)`` is quantized per
+    the transcendental-output rule.
+    Returns ONE row ``(n_a, n_b, db, bc_u9)``."""
+    v = F.col(value_col).cast("double")
+    g = F.col(group_col)
+    d = df.where(
+        v.isNotNull() & g.isin([group_a, group_b])
+    ).select(g.alias("g"), v.alias("v"))
+    u = float(unit)
+
+    def q6(x):
+        return F.floor(x * F.lit(u) + F.lit(0.5)).cast("bigint")
+
+    agg = d.agg(
+        F.sum((F.col("g") == group_a).cast("bigint")).alias("na"),
+        F.sum((F.col("g") == group_b).cast("bigint")).alias("nb"),
+        F.sum(
+            F.when(F.col("g") == group_a, q6(F.col("v"))).otherwise(
+                F.lit(0)
+            ).cast("decimal(18,0)")
+        ).alias("sa"),
+        F.sum(
+            F.when(F.col("g") == group_b, q6(F.col("v"))).otherwise(
+                F.lit(0)
+            ).cast("decimal(18,0)")
+        ).alias("sb"),
+        F.sum(
+            F.when(
+                F.col("g") == group_a, q6(F.col("v") * F.col("v"))
+            ).otherwise(F.lit(0)).cast("decimal(18,0)")
+        ).alias("qa"),
+        F.sum(
+            F.when(
+                F.col("g") == group_b, q6(F.col("v") * F.col("v"))
+            ).otherwise(F.lit(0)).cast("decimal(18,0)")
+        ).alias("qb"),
+    )
+    na = F.col("na").cast("double")
+    nb = F.col("nb").cast("double")
+    uu = F.lit(u)
+    mu_a = F.col("sa").cast("double") / uu / na
+    mu_b = F.col("sb").cast("double") / uu / nb
+    va = F.col("qa").cast("double") / uu / na - mu_a * mu_a
+    vb = F.col("qb").cast("double") / uu / nb - mu_b * mu_b
+    vbar = (va + vb) / F.lit(2.0)
+    db = (mu_a - mu_b) * (mu_a - mu_b) / (F.lit(8.0) * vbar) + F.log(
+        vbar / F.sqrt(va * vb)
+    ) / F.lit(2.0)
+    ou = float(out_unit)
+    return agg.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.round(db, 6).cast("double").alias("db"),
+        F.floor(F.exp(-db) * F.lit(ou) + F.lit(0.5))
+        .cast("bigint").alias("bc_u9"),
+    )
