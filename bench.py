@@ -118,6 +118,12 @@ HEADLINE = [
     "psi_by_source_documents",
     "ks_drift_by_type_events",
     "mutual_info_events",
+    # round 11 second breadth wave: exact retrieval metrics, per-source
+    # Wasserstein drift, relational unit root, rank post-hoc
+    "retrieval_metrics_embeddings",
+    "wasserstein_by_source_documents",
+    "adf_test_daily",
+    "dunn_test_events",
 ]
 
 
