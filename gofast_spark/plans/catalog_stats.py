@@ -4725,7 +4725,7 @@ def _probit_oracle(n_iter: int = 3) -> str:
       SELECT d.y, d.x,
              least(greatest({phi_case(z)}, 1e-10),
                    0.9999999999) AS p,
-             exp(-0.5 * {z} * {z}) / 2.5066282746310002 AS ph
+             exp(-0.5 * {z} * {z}) / sqrt(2.0 * pi()) AS ph
       FROM d, {prev})""")
         layers.append(f"""a{k} AS (
       SELECT sum(ph * ph / (p * (1.0 - p)) * 1.0 * 1.0) AS h00,
