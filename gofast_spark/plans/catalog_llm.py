@@ -3044,3 +3044,53 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", "id_b", "n_a", "n_b",
         F.round("containment", 4).cast("double").alias("containment"),
     )
+
+
+@query(
+    "ngram_novelty_documents",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, {_norm_sql('text')} AS t FROM documents
+      WHERE doc_id IS NOT NULL),
+    tk AS (
+      SELECT doc_id, string_split(t, ' ') AS tk FROM norm
+      WHERE len(t) > 0),
+    bg AS (
+      SELECT doc_id, tk[i] || '|' || tk[i + 1] AS bg
+      FROM tk, unnest(range(1, len(tk))) AS u(i)),
+    train_set AS (SELECT DISTINCT bg FROM bg WHERE doc_id % 5 <> 0),
+    test_occ AS (SELECT bg FROM bg WHERE doc_id % 5 = 0),
+    test_types AS (SELECT DISTINCT bg FROM test_occ),
+    novel_types AS (
+      SELECT t.bg FROM test_types t
+      LEFT JOIN train_set s ON t.bg = s.bg WHERE s.bg IS NULL),
+    novel_occ AS (
+      SELECT o.bg FROM test_occ o
+      LEFT JOIN train_set s ON o.bg = s.bg WHERE s.bg IS NULL),
+    c AS (
+      SELECT (SELECT count(*) FROM train_set) AS n_train,
+             (SELECT count(*) FROM test_types) AS n_test,
+             (SELECT count(*) FROM novel_types) AS n_novel,
+             (SELECT count(*) FROM test_occ) AS occ_test,
+             (SELECT count(*) FROM novel_occ) AS occ_novel)
+    SELECT CAST(n_train AS BIGINT) AS n_train_types,
+           CAST(n_test AS BIGINT) AS n_test_types,
+           CAST(n_novel AS BIGINT) AS novel_types,
+           CAST(n_novel AS DOUBLE) / CAST(n_test AS DOUBLE)
+             AS type_novelty,
+           CAST(occ_test AS BIGINT) AS test_occurrences,
+           CAST(occ_novel AS BIGINT) AS novel_occurrences,
+           CAST(occ_novel AS DOUBLE) / CAST(occ_test AS DOUBLE)
+             AS occurrence_novelty
+    FROM c
+    """,
+)
+def ngram_novelty_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram novelty of the doc_id %% 5 == 0 held-out split against
+    the training rest (text/cooccur.py ngram_novelty) — the
+    memorization/contamination screen beside contamination_check and
+    the dedup family: distinct-bigram anti-join, integer counts and
+    single-division ratios."""
+    from gofast_spark.text.cooccur import ngram_novelty
+
+    return ngram_novelty(_docs(spark, sf_dir), "text", "doc_id")

@@ -5267,3 +5267,101 @@ def bhattacharyya_gaussian_events(
     return bhattacharyya_gaussian(
         e, "value", "event_type", "click", "purchase"
     )
+
+
+@query(
+    "zip_moment_fit_user_events",
+    oracle="""
+    WITH per AS (
+      SELECT user_id AS k, count(*) AS c
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+    a AS (
+      SELECT count(*) AS n, sum(c) AS s,
+             sum(CAST(c AS HUGEINT) * c) AS q
+      FROM per),
+    m AS (
+      SELECT CAST(n AS BIGINT) AS n_keys,
+             CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+             (CAST(q AS DOUBLE) - CAST(n AS DOUBLE)
+                * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+               / (CAST(n AS DOUBLE) - 1.0) AS variance
+      FROM a)
+    SELECT n_keys, mean, variance,
+           (variance + mean * mean - mean) / mean AS lambda_hat,
+           1.0 - mean / ((variance + mean * mean - mean) / mean)
+             AS pi_hat
+    FROM m
+    """,
+)
+def zip_moment_fit_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-inflated Poisson moment fit over per-user event counts
+    (stats/causal.py zip_moment_fit; Lambert 1992) — the
+    zero-inflation reading beside poisson_dispersion_user_events and
+    negbin_fit_user_events: integer count moments, deterministic
+    unrounded estimators."""
+    from gofast_spark.stats.causal import zip_moment_fit
+
+    e = _t(spark, sf_dir, "events")
+    return zip_moment_fit(e, "user_id")
+
+
+@query(
+    "markov_entropy_events",
+    oracle="""
+    WITH seq AS (
+      SELECT lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS x,
+             event_type AS y
+      FROM events
+      WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        AND event_id IS NOT NULL AND user_id IS NOT NULL),
+    d AS (SELECT x, y FROM seq WHERE x IS NOT NULL),
+    xy AS (SELECT x, y, count(*) AS n FROM d GROUP BY 1, 2),
+    hxy AS (
+      SELECT sum(n) AS n,
+             sum(CAST(floor(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))
+                 * 1e6 + 0.5) AS BIGINT)) AS s
+      FROM xy),
+    hx AS (
+      SELECT sum(n) AS n,
+             sum(CAST(floor(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))
+                 * 1e6 + 0.5) AS BIGINT)) AS s
+      FROM (SELECT x, sum(n) AS n FROM xy GROUP BY x)),
+    e AS (
+      SELECT CAST(hxy.n AS BIGINT) AS n,
+             CAST(floor((ln(CAST(hx.n AS DOUBLE))
+               - CAST(hx.s AS DOUBLE) / 1e6 / CAST(hx.n AS DOUBLE))
+               * 1e6 + 0.5) AS BIGINT) AS hx_u6,
+             CAST(floor((ln(CAST(hxy.n AS DOUBLE))
+               - CAST(hxy.s AS DOUBLE) / 1e6 / CAST(hxy.n AS DOUBLE))
+               * 1e6 + 0.5) AS BIGINT) AS hxy_u6
+      FROM hxy, hx)
+    SELECT n, hx_u6, hxy_u6, hxy_u6 - hx_u6 AS h_cond_u6
+    FROM e
+    """,
+)
+def markov_entropy_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the per-user event-type Markov chain —
+    ``H(X_{t+1} | X_t) = H(X_t, X_{t+1}) - H(X_t)`` over consecutive
+    -event bigrams (Shannon 1948; the information-theoretic reading of
+    markov_transitions_events' transition matrix): one lag window +
+    the shared entropy machinery, micro-unit integer arithmetic."""
+    from gofast_spark.stats.infotheory import entropy_report
+    from pyspark.sql import Window as W
+
+    e = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_id").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    d = e.select(
+        F.lag("event_type").over(w).alias("x"),
+        F.col("event_type").alias("y"),
+    ).where(F.col("x").isNotNull())
+    return entropy_report(d, "x", "y").select(
+        "n", "hx_u6", "hxy_u6",
+        (F.col("hxy_u6") - F.col("hx_u6")).alias("h_cond_u6"),
+    )

@@ -1974,3 +1974,39 @@ def ccf_clicks_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross_correlation(
         daily("click"), daily("purchase"), "d", "v", max_lag=3
     )
+
+
+@query(
+    "turning_points_daily",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL}),
+    u AS (
+      SELECT d, CAST(floor(v * 10000.0 + 0.5) AS BIGINT) AS v
+      FROM daily),
+    lagd AS (
+      SELECT v, lag(v, 1) OVER (ORDER BY d) AS p,
+             lead(v, 1) OVER (ORDER BY d) AS nx
+      FROM u),
+    base AS (
+      SELECT * FROM lagd WHERE p IS NOT NULL AND nx IS NOT NULL),
+    agg AS (
+      SELECT count(*) + 2 AS n,
+             sum(CAST((p < v AND v > nx) OR (p > v AND v < nx)
+                 AS BIGINT)) AS t
+      FROM base)
+    SELECT CAST(n AS BIGINT) AS n, CAST(t AS BIGINT) AS t_points,
+           2.0 * (CAST(n AS DOUBLE) - 2.0) / 3.0 AS expected,
+           (CAST(t AS DOUBLE)
+            - 2.0 * (CAST(n AS DOUBLE) - 2.0) / 3.0)
+             / sqrt((16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0) AS z
+    FROM agg
+    """,
+)
+def turning_points_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turning-points randomness test on daily revenue
+    (ts/engineering.py turning_points_test; Kendall & Stuart vol. 3)
+    — the local-extrema companion of runs_test_daily_events: integer
+    comparisons on the u4 grid, classical i.i.d. moments."""
+    from gofast_spark.ts.engineering import turning_points_test
+
+    return turning_points_test(_daily(spark, sf_dir), "d", "v")

@@ -419,3 +419,45 @@ def srm_check(
         chi2.alias("chi2"),
         (chi2 > F.lit(10.827566170662733)).alias("srm_suspected"),
     )
+
+
+def zip_moment_fit(
+    df: DataFrame,
+    key_col: str,
+) -> DataFrame:
+    """Zero-inflated Poisson fit by the method of moments over per-key
+    event counts (Lambert, Technometrics 1992 introduced the ZIP
+    model; the moment estimators solve mean = (1-pi) lambda and
+    var = mean (1 + lambda - mean)):
+
+        lambda_hat = (var + mean^2 - mean) / mean
+        pi_hat     = 1 - mean / lambda_hat
+
+    — the zero-inflation reading beside the negative-binomial
+    overdispersion fit (negbin_fit).  On underdispersed data the
+    moment pi_hat can be negative; it is reported as computed (the
+    standard moment-estimator caveat).  Integer count moments
+    end-to-end — deterministic, unrounded.  Returns ONE row
+    ``(n_keys, mean, variance, lambda_hat, pi_hat)``."""
+    k = F.col(key_col)
+    per = df.where(k.isNotNull()).groupBy(k.alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("q"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("s").cast("double") / n
+    var = (F.col("q").cast("double") - n * mean * mean) / (
+        n - F.lit(1.0)
+    )
+    lam = (var + mean * mean - mean) / mean
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_keys"),
+        mean.alias("mean"),
+        var.alias("variance"),
+        lam.alias("lambda_hat"),
+        (F.lit(1.0) - mean / lam).alias("pi_hat"),
+    )

@@ -237,3 +237,68 @@ def llr_collocations(
     return scored.orderBy(
         F.col("llr").desc(), F.col("n_pair").desc(), "w1", "w2"
     ).limit(top_k)
+
+
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    holdout_mod: int = 5,
+) -> DataFrame:
+    """Bigram novelty of a held-out document split against the rest of
+    the corpus — the train/test contamination-and-memorization screen
+    a training-data pipeline runs before evaluation splits are trusted
+    (complementing the catalog's contamination_check and dedup
+    families): the fraction of held-out bigram TYPES (and token
+    OCCURRENCES) never seen in the training split.
+
+    One tokenize pass, two distinct bigram tables, one left-anti join
+    — the train side is the big one and is only ever distinct-reduced,
+    never collected.  All outputs are integer counts and their single
+    -division ratios.  Returns ONE row ``(n_train_types, n_test_types,
+    novel_types, type_novelty, test_occurrences, novel_occurrences,
+    occurrence_novelty)``."""
+    norm = normalize_text(text_col)
+    base = df.where(
+        F.col(id_col).isNotNull() & (F.length(norm) > 0)
+    ).select(F.col(id_col).alias("id"), F.split(norm, " ").alias("tk"))
+
+    def bigrams(d: DataFrame) -> DataFrame:
+        return d.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("tk"), 1, F.size("tk") - 1).alias("w1"),
+                    F.slice(F.col("tk"), 2, F.size("tk") - 1).alias("w2"),
+                )
+            ).alias("bg")
+        ).select(
+            F.concat(
+                F.col("bg.w1"), F.lit("|"), F.col("bg.w2")
+            ).alias("bg")
+        )
+
+    train_set = bigrams(
+        base.where(F.col("id") % holdout_mod != 0)
+    ).distinct()
+    test_occ = bigrams(base.where(F.col("id") % holdout_mod == 0))
+    test_types = test_occ.distinct()
+    novel_types = test_types.join(train_set, "bg", "left_anti")
+    novel_occ = test_occ.join(train_set, "bg", "left_anti")
+    spark = df.sparkSession
+    n_train = train_set.count()
+    n_test = test_types.count()
+    n_novel = novel_types.count()
+    occ_test = test_occ.count()
+    occ_novel = novel_occ.count()
+    return spark.createDataFrame(
+        [(
+            n_train, n_test, n_novel,
+            (n_novel / n_test) if n_test else 0.0,
+            occ_test, occ_novel,
+            (occ_novel / occ_test) if occ_test else 0.0,
+        )],
+        "n_train_types bigint, n_test_types bigint, novel_types bigint,"
+        " type_novelty double, test_occurrences bigint,"
+        " novel_occurrences bigint, occurrence_novelty double",
+    )

@@ -1117,3 +1117,50 @@ def seasonal_naive_accuracy(
         maes.alias("mae_seasonal"),
         (maes / mae1).alias("mase_seasonal"),
     )
+
+
+def turning_points_test(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    *,
+    unit: int = 10_000,
+) -> DataFrame:
+    """Turning-points test of randomness (Kendall & Stuart, *The
+    Advanced Theory of Statistics* vol. 3; Bienayme 1874 for the
+    moments): count local extrema — t is a turning point when
+    ``y_{t-1} < y_t > y_{t+1}`` or ``y_{t-1} > y_t < y_{t+1}`` — and
+    compare against the i.i.d. moments
+
+        E[T] = 2 (n - 2) / 3,   Var[T] = (16 n - 29) / 90 .
+
+    The series is quantized to ``1/unit`` so every comparison is an
+    integer one (ties break monotone runs and are NOT turning points —
+    the strict-inequality convention; the classical test assumes a
+    continuous law).  Returns ONE row ``(n, t_points, expected, z)``."""
+    w = Window.orderBy(order_col)
+    vu = F.floor(
+        F.col(value_col).cast("double") * F.lit(float(unit)) + F.lit(0.5)
+    ).cast("bigint")
+    d = df.select(F.col(order_col).alias("__o"), vu.alias("v")).select(
+        "v",
+        F.lag("v", 1).over(Window.orderBy("__o")).alias("p"),
+        F.lead("v", 1).over(Window.orderBy("__o")).alias("nx"),
+    ).where(F.col("p").isNotNull() & F.col("nx").isNotNull())
+    is_tp = (
+        ((F.col("p") < F.col("v")) & (F.col("v") > F.col("nx")))
+        | ((F.col("p") > F.col("v")) & (F.col("v") < F.col("nx")))
+    ).cast("bigint")
+    agg = d.agg(
+        (F.count(F.lit(1)) + F.lit(2)).alias("n"),
+        F.sum(is_tp).alias("t"),
+    )
+    n = F.col("n").cast("double")
+    e = F.lit(2.0) * (n - F.lit(2.0)) / F.lit(3.0)
+    v = (F.lit(16.0) * n - F.lit(29.0)) / F.lit(90.0)
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("t").cast("bigint").alias("t_points"),
+        e.alias("expected"),
+        ((F.col("t").cast("double") - e) / F.sqrt(v)).alias("z"),
+    )
