@@ -5365,3 +5365,124 @@ def markov_entropy_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n", "hx_u6", "hxy_u6",
         (F.col("hxy_u6") - F.col("hx_u6")).alias("h_cond_u6"),
     )
+
+
+@query(
+    "holm_bonferroni_events",
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS h1,
+             CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS x3
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+    g AS (
+      SELECT event_type,
+             sum(h1) AS n1, sum(1 - h1) AS n2,
+             sum(CASE WHEN h1 = 1 THEN x3 ELSE 0 END) AS s1,
+             sum(CASE WHEN h1 = 0 THEN x3 ELSE 0 END) AS s2,
+             sum(CASE WHEN h1 = 1 THEN CAST(x3 AS HUGEINT) * x3
+                      ELSE 0 END) AS ss1,
+             sum(CASE WHEN h1 = 0 THEN CAST(x3 AS HUGEINT) * x3
+                      ELSE 0 END) AS ss2
+      FROM q GROUP BY event_type),
+    zc AS (
+      SELECT event_type,
+             (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 1000.0
+              - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) / 1000.0)
+             / sqrt(
+                 (CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                    * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                   / (CAST(n1 AS DOUBLE) - 1.0) / 1000000.0
+                   / CAST(n1 AS DOUBLE)
+                 + (CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE)
+                    * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                   / (CAST(n2 AS DOUBLE) - 1.0) / 1000000.0
+                   / CAST(n2 AS DOUBLE)) AS z
+      FROM g WHERE n1 >= 2 AND n2 >= 2),
+    e AS (
+      SELECT event_type, z, abs(z) / sqrt(2.0) AS x FROM zc),
+    e2 AS (
+      SELECT event_type, z, x,
+             1.0 / (1.0 + 0.3275911 * x) AS t FROM e),
+    pv AS (
+      SELECT event_type, z,
+             1.0 - (1.0 - (t * (0.254829592 + t * (-0.284496736
+               + t * (1.421413741 + t * (-1.453152027
+               + t * 1.061405429))))) * exp(-x * x)) AS p
+      FROM e2),
+    holm AS (
+      SELECT event_type, z, p,
+             row_number() OVER (ORDER BY p, event_type) AS rank,
+             count(*) OVER () AS m
+      FROM pv),
+    adj AS (
+      SELECT event_type, z, p, rank,
+             max(least(1.0, p * CAST(m - rank + 1 AS DOUBLE)))
+               OVER (ORDER BY rank
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS p_adj
+      FROM holm)
+    SELECT event_type,
+           CAST(round(z, 6) AS DOUBLE) AS z,
+           CAST(round(p, 6) AS DOUBLE) AS p,
+           CAST(rank AS INT) AS rank,
+           CAST(round(p_adj, 6) AS DOUBLE) AS p_adj,
+           CAST(p_adj <= 0.05 AS INT) AS reject
+    FROM adj
+    """,
+)
+def holm_bonferroni_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holm step-down FWER correction over the same per-segment Welch
+    family as fdr_bh_events (stats/multiple.py holm_bonferroni; Holm
+    1979) — the family-wise companion of the BH step-up: running max
+    of (m - j + 1) p_(j) over the rank window, everything on the
+    hypothesis-sized frame."""
+    from gofast_spark.stats.multiple import (
+        holm_bonferroni,
+        p_two_sided_from_z,
+    )
+
+    e = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    x3 = F.floor(
+        F.col("value").cast("double") * 1e3 + F.lit(0.5)
+    ).cast("bigint")
+    h1 = F.col("ts") < "2024-01-16"
+    g = e.groupBy("event_type").agg(
+        F.sum(F.when(h1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(~h1, 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(h1, x3).otherwise(F.lit(0))).alias("s1"),
+        F.sum(F.when(~h1, x3).otherwise(F.lit(0))).alias("s2"),
+        F.sum(
+            F.when(h1, x3.cast("decimal(19,0)") * x3).otherwise(
+                F.lit(0).cast("decimal(38,0)")
+            )
+        ).alias("ss1"),
+        F.sum(
+            F.when(~h1, x3.cast("decimal(19,0)") * x3).otherwise(
+                F.lit(0).cast("decimal(38,0)")
+            )
+        ).alias("ss2"),
+    ).where((F.col("n1") >= 2) & (F.col("n2") >= 2))
+    n1, n2 = F.col("n1").cast("double"), F.col("n2").cast("double")
+    s1, s2 = F.col("s1").cast("double"), F.col("s2").cast("double")
+    ss1 = F.col("ss1").cast("double")
+    ss2 = F.col("ss2").cast("double")
+    v1 = (ss1 - s1 * s1 / n1) / (n1 - F.lit(1.0)) / F.lit(1e6)
+    v2 = (ss2 - s2 * s2 / n2) / (n2 - F.lit(1.0)) / F.lit(1e6)
+    z = (s1 / n1 / F.lit(1e3) - s2 / n2 / F.lit(1e3)) / F.sqrt(
+        v1 / n1 + v2 / n2
+    )
+    tests = g.select(
+        "event_type", z.alias("z"), p_two_sided_from_z(z).alias("p")
+    )
+    out = holm_bonferroni(tests, "p", tiebreak_cols=["event_type"])
+    return out.select(
+        "event_type",
+        F.round("z", 6).cast("double").alias("z"),
+        F.round("p", 6).cast("double").alias("p"),
+        F.col("rank").cast("int").alias("rank"),
+        F.round("p_adj", 6).cast("double").alias("p_adj"),
+        "reject",
+    )

@@ -60,3 +60,40 @@ def p_two_sided_from_z(z: Column) -> Column:
     from gofast_spark.stats.probs import _erf_approx
 
     return 1.0 - _erf_approx(F.abs(z) / math.sqrt(2.0))
+
+
+def holm_bonferroni(
+    df: DataFrame,
+    p_col: str,
+    *,
+    tiebreak_cols: "list[str] | None" = None,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Append Holm step-down adjusted p-values and decisions (Holm,
+    Scand. J. Statist. 1979) — the FWER-controlling companion of
+    :func:`fdr_bh`'s FDR step-up, uniformly more powerful than plain
+    Bonferroni:
+
+        p_adj_(i) = max_{j <= i} min(1, (m - j + 1) p_(j))
+
+    via one rank window + a running max.  Ties in p break on
+    ``tiebreak_cols`` so ranks are deterministic."""
+    tb = [F.col(c) for c in (tiebreak_cols or [])]
+    w = Window.orderBy(F.col(p_col), *tb)
+    ranked = df.withColumn("rank", F.row_number().over(w)).withColumn(
+        "__m", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    adj_raw = F.least(
+        F.lit(1.0),
+        F.col(p_col)
+        * (F.col("__m") - F.col("rank") + F.lit(1)).cast("double"),
+    )
+    w_head = Window.orderBy("rank").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    p_adj = F.max(adj_raw).over(w_head)
+    return (
+        ranked.withColumn("p_adj", p_adj)
+        .withColumn("reject", (F.col("p_adj") <= F.lit(alpha)).cast("int"))
+        .drop("__m")
+    )

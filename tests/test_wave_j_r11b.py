@@ -146,3 +146,40 @@ class TestMarkovEntropyComposition:
         assert (out["hxy_u6"] - out["hx_u6"]) / 1e6 == pytest.approx(
             1.0986, abs=0.05
         )
+
+
+class TestHolmBonferroni:
+    def test_stepdown_monotone_and_classic_example(self, spark):
+        from gofast_spark.stats.multiple import holm_bonferroni
+
+        # classic: m=4, p = .01, .02, .03, .04 at alpha=.05
+        # adj = max-running of (4*.01, 3*.02, 2*.03, 1*.04)
+        #     = .04, .06, .06, .06 -> reject only the first
+        rows = [("a", 0.01), ("b", 0.02), ("c", 0.03), ("d", 0.04)]
+        df = spark.createDataFrame(rows, "h string, p double")
+        out = {
+            r["h"]: r
+            for r in holm_bonferroni(
+                df, "p", tiebreak_cols=["h"]
+            ).collect()
+        }
+        import pytest as _pt
+
+        assert out["a"]["p_adj"] == _pt.approx(0.04, abs=1e-12)
+        assert out["b"]["p_adj"] == _pt.approx(0.06, abs=1e-12)
+        assert out["c"]["p_adj"] == _pt.approx(0.06, abs=1e-12)
+        assert out["d"]["p_adj"] == _pt.approx(0.06, abs=1e-12)
+        assert [out[h]["reject"] for h in "abcd"] == [1, 0, 0, 0]
+        # adjusted p's are monotone in rank
+        ranked = sorted(out.values(), key=lambda r: r["rank"])
+        adj = [r["p_adj"] for r in ranked]
+        assert adj == sorted(adj)
+
+    def test_caps_at_one(self, spark):
+        from gofast_spark.stats.multiple import holm_bonferroni
+
+        rows = [("a", 0.5), ("b", 0.9)]
+        df = spark.createDataFrame(rows, "h string, p double")
+        out = holm_bonferroni(df, "p", tiebreak_cols=["h"]).collect()
+        assert all(r["p_adj"] <= 1.0 for r in out)
+        assert all(r["reject"] == 0 for r in out)
