@@ -5486,3 +5486,233 @@ def holm_bonferroni_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("p_adj", 6).cast("double").alias("p_adj"),
         "reject",
     )
+
+
+@query(
+    "point_biserial_orders",
+    oracle="""
+    WITH q AS (
+      SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS x,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders WHERE o_totalprice IS NOT NULL),
+    a AS (
+      SELECT count(*) AS n, sum(y) AS n1,
+             sum(CAST(x AS HUGEINT)) AS sx,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CASE WHEN y = 1 THEN CAST(x AS HUGEINT) ELSE 0 END) AS sxy
+      FROM q)
+    SELECT CAST(round(
+             CAST(n * sxy - sx * n1 AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * n1 - CAST(n1 AS HUGEINT) * n1 AS DOUBLE)),
+             6) AS DOUBLE) AS r_pb,
+           CAST(n AS BIGINT) AS n,
+           CAST(n1 AS BIGINT) AS n1
+    FROM a
+    """,
+)
+def point_biserial_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-biserial correlation between finished status and order
+    value (stats/relationships.py point_biserial; Tate 1954) — one
+    aggregate of integer cent/count moments, single closed-form double
+    expression."""
+    from gofast_spark.stats.relationships import point_biserial
+
+    o = _t(spark, sf_dir, "orders")
+    out = point_biserial(
+        o, "o_totalprice", F.col("o_orderstatus") == "F"
+    )
+    return out.select(
+        F.round("r_pb", 6).cast("double").alias("r_pb"), "n", "n1"
+    )
+
+
+@query(
+    "rank_biserial_events",
+    oracle="""
+    WITH src AS (
+      SELECT CAST(value AS DOUBLE) AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ia
+      FROM events WHERE event_type IN ('purchase', 'view')),
+    pv AS (
+      SELECT v, CAST(count(*) AS DOUBLE) AS c, CAST(sum(ia) AS DOUBLE) AS ca
+      FROM src GROUP BY v),
+    r AS (
+      SELECT c, ca,
+             coalesce(sum(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (c + 1) / 2.0 AS mr
+      FROM pv),
+    a AS (
+      SELECT sum(ca * mr) AS ra, sum(ca) AS na, sum(c) AS n FROM r),
+    u AS (
+      SELECT ra - na * (na + 1) / 2.0 AS ua,
+             na * (n - na) - (ra - na * (na + 1) / 2.0) AS ub,
+             na, n - na AS nb
+      FROM a)
+    SELECT CAST(round((ua - ub) / (na * nb), 6) AS DOUBLE) AS r_rb,
+           CAST(round(ua, 4) AS DOUBLE) AS u_a,
+           CAST(round(ub, 4) AS DOUBLE) AS u_b,
+           CAST(na AS BIGINT) AS n_a,
+           CAST(nb AS BIGINT) AS n_b
+    FROM u
+    """,
+)
+def rank_biserial_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biserial effect size of purchase vs view event values
+    (stats/relationships.py rank_biserial; Cureton 1956, Wendt 1972)
+    — (U_a - U_b)/(n_a n_b) on the mann_whitney_events midrank
+    machinery, the U-test companion of cliffs_delta_events."""
+    from gofast_spark.stats.relationships import rank_biserial
+
+    e = _t(spark, sf_dir, "events")
+    out = rank_biserial(e, "value", "event_type", "purchase", "view")
+    return out.select(
+        F.round("r_rb", 6).cast("double").alias("r_rb"),
+        F.round("u_a", 4).cast("double").alias("u_a"),
+        F.round("u_b", 4).cast("double").alias("u_b"),
+        "n_a",
+        "n_b",
+    )
+
+
+@query(
+    "odds_ratio_events",
+    oracle="""
+    WITH q AS (
+      SELECT CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS e,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS o
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+    cells AS (
+      SELECT sum(e * o) AS a, sum(e * (1 - o)) AS b,
+             sum((1 - e) * o) AS c, sum((1 - e) * (1 - o)) AS d
+      FROM q),
+    adj AS (
+      SELECT a, b, c, d,
+             CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0
+                  THEN 0.5 ELSE 0.0 END AS h
+      FROM cells),
+    m AS (
+      SELECT a, b, c, d,
+             CAST(a AS DOUBLE) + h AS af, CAST(b AS DOUBLE) + h AS bf,
+             CAST(c AS DOUBLE) + h AS cf, CAST(d AS DOUBLE) + h AS df,
+             CASE WHEN h > 0 THEN 1 ELSE 0 END AS corrected
+      FROM adj),
+    s AS (
+      SELECT a, b, c, d, corrected,
+             ln(af) + ln(df) - ln(bf) - ln(cf) AS log_or,
+             sqrt(1.0/af + 1.0/bf + 1.0/cf + 1.0/df) AS se,
+             (af / (af + bf)) / (cf / (cf + df)) AS rr
+      FROM m)
+    SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+           CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
+           CAST(round(exp(log_or), 6) AS DOUBLE) AS odds_ratio,
+           CAST(round(log_or, 6) AS DOUBLE) AS log_or,
+           CAST(round(se, 6) AS DOUBLE) AS se_log_or,
+           CAST(round(exp(log_or - 1.959964 * se), 6) AS DOUBLE) AS or_lo,
+           CAST(round(exp(log_or + 1.959964 * se), 6) AS DOUBLE) AS or_hi,
+           CAST(round(rr, 6) AS DOUBLE) AS risk_ratio,
+           CAST(corrected AS INT) AS corrected
+    FROM s
+    """,
+)
+def odds_ratio_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2x2 odds-ratio / risk-ratio report: early-window exposure vs
+    purchase outcome (stats/inferential.py odds_ratio_2x2; Woolf 1955
+    Wald log-CI, Haldane-Anscombe zero-cell correction) — one
+    aggregate to four integer cells, closed-form doubles after."""
+    from gofast_spark.stats.inferential import odds_ratio_2x2
+
+    e = _t(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    out = odds_ratio_2x2(
+        e,
+        F.col("ts") < "2024-01-16",
+        F.col("event_type") == "purchase",
+    )
+    return out.select(
+        "a", "b", "c", "d",
+        F.round("odds_ratio", 6).cast("double").alias("odds_ratio"),
+        F.round("log_or", 6).cast("double").alias("log_or"),
+        F.round("se_log_or", 6).cast("double").alias("se_log_or"),
+        F.round("or_lo", 6).cast("double").alias("or_lo"),
+        F.round("or_hi", 6).cast("double").alias("or_hi"),
+        F.round("risk_ratio", 6).cast("double").alias("risk_ratio"),
+        "corrected",
+    )
+
+
+_FK_PPF = _ppf_sql("p")
+
+_FK_ORACLE = f"""
+    WITH base AS (
+      SELECT event_type AS g,
+             CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS x
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+    gx AS (SELECT g, x, count(*) AS c FROM base GROUP BY g, x),
+    cum AS (
+      SELECT g, x,
+             sum(c) OVER (PARTITION BY g ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+             sum(c) OVER (PARTITION BY g) AS ng
+      FROM gx),
+    med AS (SELECT g, min(x) AS med FROM cum WHERE cm * 2 >= ng GROUP BY g),
+    cent AS (
+      SELECT b.g, abs(b.x - m.med) AS d
+      FROM base b JOIN med m ON b.g = m.g),
+    gd AS (SELECT g, d, count(*) AS c FROM cent GROUP BY g, d),
+    dd AS (SELECT d, sum(c) AS cd FROM gd GROUP BY d),
+    rk AS (
+      SELECT d, cd,
+             coalesce(sum(cd) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 2
+               + cd + 1 AS r2,
+             sum(cd) OVER () AS n
+      FROM dd),
+    pr AS (
+      SELECT d, cd,
+             0.5 + CAST(r2 AS DOUBLE)
+               / (4.0 * (CAST(n AS DOUBLE) + 1.0)) AS p
+      FROM rk),
+    sc AS (
+      SELECT d, cd,
+             CAST(floor(({_FK_PPF}) * 1000000.0 + 0.5) AS BIGINT) AS a
+      FROM pr),
+    per AS (
+      SELECT g, sum(CAST(c AS HUGEINT) * a) AS sg, sum(c) AS ng
+      FROM gd JOIN sc USING (d) GROUP BY g),
+    st AS (
+      SELECT sum((CAST(sg AS HUGEINT) * sg) // ng) AS sq,
+             sum(sg) AS s, sum(ng) AS n, count(*) AS k
+      FROM per),
+    ssx AS (SELECT sum(CAST(cd AS HUGEINT) * a * a) AS ss FROM sc)
+    SELECT CAST(round(
+             CAST(sq - (CAST(s AS HUGEINT) * s) // n AS DOUBLE)
+             / (CAST(ss - (CAST(s AS HUGEINT) * s) // n AS DOUBLE)
+                / (CAST(n AS DOUBLE) - 1.0)), 6) AS DOUBLE) AS fk_stat,
+           CAST(k - 1 AS BIGINT) AS dof,
+           CAST(k AS BIGINT) AS n_groups,
+           CAST(n AS BIGINT) AS n
+    FROM st, ssx
+    """
+
+
+@query("fligner_killeen_events", oracle=_FK_ORACLE)
+def fligner_killeen_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fligner-Killeen homogeneity-of-variance test over event types
+    (stats/inferential.py fligner_killeen; Fligner & Killeen 1976,
+    Conover-Johnson-Johnson 1981) — the rank-based companion of
+    levene_events/bartlett_events: lower-median centring by integer
+    rank, pooled doubled midranks on the distinct-|d| grid, Acklam
+    normal scores u6-quantized so every cross-row sum is integer."""
+    from gofast_spark.stats.inferential import fligner_killeen
+
+    e = _t(spark, sf_dir, "events")
+    out = fligner_killeen(e, "value", "event_type")
+    return out.select(
+        F.round("fk_stat", 6).cast("double").alias("fk_stat"),
+        "dof",
+        "n_groups",
+        "n",
+    )

@@ -2094,3 +2094,187 @@ def lepage_test(
         "n_a bigint, n_b bigint, z_wilcoxon double,"
         " z_ansari double, d_stat double",
     )
+
+
+def odds_ratio_2x2(
+    df: DataFrame,
+    exposure: Column,
+    outcome: Column,
+    *,
+    z_crit: float = 1.959964,
+) -> DataFrame:
+    """Epidemiological 2x2 association report: odds ratio and risk
+    ratio with Wald log-scale confidence intervals (Woolf 1955; the
+    2x2 summary the reference's contingency helpers print next to the
+    chi-square, gofast/stats/inferential.py:1496 family).
+
+    ONE aggregate produces the four integer cells
+
+        a = exposed & outcome      b = exposed & ~outcome
+        c = unexposed & outcome    d = unexposed & ~outcome
+
+    and every statistic is a closed-form double expression over them:
+    OR = ad/bc, RR = (a/(a+b))/(c/(c+d)), SE(log OR) =
+    sqrt(1/a+1/b+1/c+1/d), CI = exp(log OR -+ z*SE).  When any cell is
+    zero the Haldane-Anscombe +0.5 correction is applied to ALL cells
+    (flagged in the ``corrected`` column) so the estimates stay
+    finite.  Rows where either column is NULL are excluded."""
+    e = exposure.cast("int")
+    o = outcome.cast("int")
+    base = df.where(e.isNotNull() & o.isNotNull())
+    agg = base.agg(
+        F.sum(e * o).alias("a"),
+        F.sum(e * (1 - o)).alias("b"),
+        F.sum((1 - e) * o).alias("c"),
+        F.sum((1 - e) * (1 - o)).alias("d"),
+    )
+    zero = (
+        (F.col("a") == 0)
+        | (F.col("b") == 0)
+        | (F.col("c") == 0)
+        | (F.col("d") == 0)
+    )
+    corr = F.when(zero, F.lit(0.5)).otherwise(F.lit(0.0))
+    a = F.col("a").cast("double") + corr
+    b = F.col("b").cast("double") + corr
+    c = F.col("c").cast("double") + corr
+    d = F.col("d").cast("double") + corr
+    log_or = F.log(a) + F.log(d) - F.log(b) - F.log(c)
+    se = F.sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)
+    rr = (a / (a + b)) / (c / (c + d))
+    return agg.select(
+        F.col("a").cast("bigint").alias("a"),
+        F.col("b").cast("bigint").alias("b"),
+        F.col("c").cast("bigint").alias("c"),
+        F.col("d").cast("bigint").alias("d"),
+        F.exp(log_or).alias("odds_ratio"),
+        log_or.alias("log_or"),
+        se.alias("se_log_or"),
+        F.exp(log_or - F.lit(z_crit) * se).alias("or_lo"),
+        F.exp(log_or + F.lit(z_crit) * se).alias("or_hi"),
+        rr.alias("risk_ratio"),
+        zero.cast("int").alias("corrected"),
+    )
+
+
+def fligner_killeen(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    *,
+    quantize: int = 1000,
+) -> DataFrame:
+    """Fligner-Killeen test of homogeneity of variances (Fligner &
+    Killeen, JASA 1976; Conover, Johnson & Johnson 1981's normal-score
+    form) — the rank-based, median-centred companion of
+    :func:`levene_test` and Bartlett: robust to non-normality because
+    it ranks |x - median_g| and scores the ranks through the normal
+    quantile a(r) = Phi^{-1}(1/2 + r/(2(N+1))).
+
+    Determinism and scale shape:
+    - values quantize to ``1/quantize`` units (integer grid; the
+      declared tie contract, both engines identical);
+    - the per-group centre is the LOWER MEDIAN selected by integer
+      rank on a per-group distinct-value cumulative frame (group x
+      distinct-value sized, the ks_test pattern — never a full-table
+      rank window);
+    - pooled midranks of d = |x - med_g| run over the DISTINCT-d
+      frame (doubled to stay integer: r2 = 2*cum_less + n_d + 1);
+    - each normal score is u6-quantized (floor(a*1e6 + 0.5)) so every
+      cross-row sum is INTEGER and commutes across partitions;
+    - the between-group numerator uses staged floor division
+      (floor(s_g^2 / n_g), error < 1 in u6^2-space per group) so even
+      the group-level combine is pure integer arithmetic.
+
+    Returns one row ``(fk_stat, dof, n_groups, n)``; the statistic is
+    asymptotically chi-square with k-1 dof."""
+    x = F.floor(
+        F.col(value_col).cast("double") * F.lit(float(quantize)) + F.lit(0.5)
+    ).cast("bigint")
+    base = df.where(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(F.col(group_col).alias("__g"), x.alias("__x"))
+
+    # lower median per group by integer rank over the (g, x) grid
+    gx = base.groupBy("__g", "__x").agg(F.count(F.lit(1)).alias("__c"))
+    wg = Window.partitionBy("__g").orderBy("__x")
+    cum = F.sum("__c").over(
+        wg.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = F.sum("__c").over(Window.partitionBy("__g"))
+    med = (
+        gx.select("__g", "__x", cum.alias("__cum"), tot.alias("__ng"))
+        .where(F.col("__cum") * 2 >= F.col("__ng"))
+        .groupBy("__g")
+        .agg(F.min("__x").alias("__med"))
+    )
+
+    centred = base.join(F.broadcast(med), "__g").select(
+        "__g", F.abs(F.col("__x") - F.col("__med")).alias("__d")
+    )
+    gd = centred.groupBy("__g", "__d").agg(F.count(F.lit(1)).alias("__c"))
+    dd = gd.groupBy("__d").agg(F.sum("__c").alias("__cd"))
+    w = Window.orderBy("__d").rowsBetween(Window.unboundedPreceding, -1)
+    r2 = (
+        F.coalesce(F.sum("__cd").over(w), F.lit(0)) * 2
+        + F.col("__cd")
+        + 1
+    )
+    n_tot = F.sum("__cd").over(Window.partitionBy())
+    from gofast_spark.stats.probs import normal_ppf
+
+    p = 0.5 + r2.cast("double") / (
+        4.0 * (n_tot.cast("double") + 1.0)
+    )
+    a_u6 = F.floor(normal_ppf(p) * 1e6 + F.lit(0.5)).cast("bigint")
+    scores = dd.select(
+        "__d",
+        "__cd",
+        a_u6.alias("__a"),
+    )
+    per_g = (
+        gd.join(F.broadcast(scores.select("__d", "__a")), "__d")
+        .groupBy("__g")
+        .agg(
+            F.sum(F.col("__c").cast("decimal(19,0)") * F.col("__a")).alias(
+                "__sg"
+            ),
+            F.sum("__c").alias("__ng"),
+        )
+    )
+    # exact floor division via the modulo identity (all operands
+    # positive: FK scores are Phi^{-1}(p > 1/2) > 0, so sums are
+    # positive and truncation == floor): a plain decimal divide
+    # HALF_UP-rounds at scale 6 BEFORE floor, which can tip a
+    # .9999995 fraction over the integer boundary DuckDB's `//`
+    # truncates under — the modulo form divides exactly.
+    def _floordiv(num, den):
+        return (num - num % den) / den
+
+    sg2 = F.col("__sg").cast("decimal(38,0)") * F.col("__sg")
+    stat = per_g.agg(
+        F.sum(_floordiv(sg2, F.col("__ng"))).alias("__sq"),
+        F.sum("__sg").alias("__s"),
+        F.sum("__ng").alias("__n"),
+        F.count(F.lit(1)).alias("__k"),
+    )
+    ss = scores.agg(
+        F.sum(
+            F.col("__cd").cast("decimal(19,0)")
+            * F.col("__a")
+            * F.col("__a")
+        ).alias("__ss")
+    )
+    j = stat.crossJoin(F.broadcast(ss))
+    s2 = F.col("__s").cast("decimal(38,0)") * F.col("__s")
+    s2n = (s2 - s2 % F.col("__n")) / F.col("__n")
+    num = (F.col("__sq") - s2n).cast("double")
+    var = (F.col("__ss") - s2n).cast("double") / (
+        F.col("__n").cast("double") - 1.0
+    )
+    return j.select(
+        (num / var).alias("fk_stat"),
+        (F.col("__k") - 1).cast("bigint").alias("dof"),
+        F.col("__k").cast("bigint").alias("n_groups"),
+        F.col("__n").cast("bigint").alias("n"),
+    )

@@ -451,3 +451,87 @@ def cliffs_delta(
         F.col("n_a"),
         F.col("n_b"),
     )
+
+
+def point_biserial(
+    df: DataFrame,
+    value_col: str,
+    indicator: Column,
+    *,
+    quantize: int = 100,
+) -> DataFrame:
+    """Point-biserial correlation between a binary indicator and a
+    numeric column — the Pearson r specialization the reference's
+    ``correlation`` dispatches to for dichotomous/continuous pairs
+    (gofast/stats/relationships.py:32; Tate, Ann. Math. Statist. 1954).
+
+    One aggregate of INTEGER sufficient statistics: the value is
+    quantized to ``1/quantize`` units (exact for money domains), the
+    indicator contributes integer counts and conditional sums, squares
+    are decimal-widened, and the single Pearson closed form
+
+        r = (n*Sxy - Sx*n1) / sqrt((n*Sxx - Sx^2) * n1 * (n - n1))
+
+    runs in double over a handful of exact integers — deterministic
+    across engines and summation orders.  Rows with a NULL value or
+    indicator are excluded."""
+    x = F.floor(
+        F.col(value_col).cast("double") * F.lit(float(quantize)) + F.lit(0.5)
+    ).cast("bigint")
+    ind = indicator.cast("int")
+    base = df.where(F.col(value_col).isNotNull() & ind.isNotNull())
+    agg = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(ind).alias("n1"),
+        F.sum(x.cast("decimal(19,0)")).alias("sx"),
+        F.sum(x.cast("decimal(19,0)") * x).alias("sxx"),
+        F.sum(F.when(ind == 1, x).otherwise(F.lit(0)).cast("decimal(19,0)")).alias(
+            "sxy"
+        ),
+    )
+    n = F.col("n").cast("decimal(38,0)")
+    n1 = F.col("n1").cast("decimal(38,0)")
+    num = (n * F.col("sxy") - F.col("sx") * n1).cast("double")
+    den_x = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    den_y = (n * n1 - n1 * n1).cast("double")
+    return agg.select(
+        (num / F.sqrt(den_x * den_y)).alias("r_pb"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n1").cast("bigint").alias("n1"),
+    )
+
+
+def rank_biserial(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    *,
+    bins: int | str | None = "auto",
+) -> DataFrame:
+    """Rank-biserial correlation (Cureton 1956; Wendt 1972's simple
+    difference formula) — the effect-size companion of the
+    Mann-Whitney U test, as Cliff's delta is of the dominance count:
+
+        r_rb = (U_a - U_b) / (n_a * n_b)  =  1 - 2*U_b / (n_a * n_b)
+
+    Rides :func:`gofast_spark.stats.inferential.mann_whitney_u`'s
+    distinct-value midrank machinery unchanged (one groupBy + one
+    small-frame cumulative window, never a full-table rank sort), so
+    its tie handling and scale shape are inherited verbatim."""
+    from gofast_spark.stats.inferential import mann_whitney_u
+
+    u = mann_whitney_u(
+        df, value_col, group_col, group_a, group_b, bins=bins
+    )
+    r = (F.col("u_a") - F.col("u_b")) / (
+        F.col("n_a").cast("double") * F.col("n_b").cast("double")
+    )
+    return u.select(
+        r.alias("r_rb"),
+        F.col("u_a"),
+        F.col("u_b"),
+        F.col("n_a"),
+        F.col("n_b"),
+    )
