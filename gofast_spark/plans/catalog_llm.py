@@ -3094,3 +3094,105 @@ def ngram_novelty_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gofast_spark.text.cooccur import ngram_novelty
 
     return ngram_novelty(_docs(spark, sf_dir), "text", "doc_id")
+
+
+@query(
+    "lexical_richness_documents",
+    oracle=f"""
+    WITH norm AS (
+      SELECT {_norm_sql('text')} AS t FROM documents),
+    w AS (
+      SELECT unnest(string_split(t, ' ')) AS w FROM norm
+      WHERE len(t) > 0),
+    c AS (SELECT w, count(*) AS c FROM w GROUP BY w),
+    a AS (
+      SELECT sum(c) AS n, count(*) AS v,
+             sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS v1,
+             sum(CAST(c AS HUGEINT) * c) AS c2
+      FROM c)
+    SELECT CAST(n AS BIGINT) AS n_tokens,
+           CAST(v AS BIGINT) AS n_types,
+           CAST(v1 AS BIGINT) AS hapax_types,
+           CAST(round(CAST(v AS DOUBLE) / CAST(n AS DOUBLE), 6)
+             AS DOUBLE) AS ttr,
+           CAST(round(CAST(v1 AS DOUBLE) / CAST(v AS DOUBLE), 6)
+             AS DOUBLE) AS hapax_ratio,
+           CAST(round(10000.0 * (CAST(c2 AS DOUBLE) - CAST(n AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS DOUBLE)
+             AS yule_k
+    FROM a
+    """,
+)
+def lexical_richness_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus lexical-richness report: TTR, hapax ratio, Yule's K
+    (text/analysis.py lexical_richness; Yule 1944) — the
+    boilerplate/repetitiveness gauge beside heaps_law_documents and
+    the repetition filters: one word groupBy, integer moments, three
+    final ratios."""
+    from gofast_spark.text.analysis import lexical_richness
+
+    out = lexical_richness(_docs(spark, sf_dir), "text")
+    return out.select(
+        "n_tokens", "n_types", "hapax_types",
+        F.round("ttr", 6).cast("double").alias("ttr"),
+        F.round("hapax_ratio", 6).cast("double").alias("hapax_ratio"),
+        F.round("yule_k", 6).cast("double").alias("yule_k"),
+    )
+
+
+@query(
+    "cross_perplexity_documents",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, {_norm_sql('text')} AS t FROM documents
+      WHERE doc_id IS NOT NULL),
+    tk AS (
+      SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM norm
+      WHERE len(t) > 0),
+    tr AS (
+      SELECT w, count(*) AS c_tr FROM tk WHERE doc_id % 5 <> 0
+      GROUP BY w),
+    te AS (
+      SELECT w, count(*) AS c_te FROM tk WHERE doc_id % 5 = 0
+      GROUP BY w),
+    tot AS (SELECT sum(c_tr) AS n_tr, count(*) AS v_tr FROM tr),
+    j AS (
+      SELECT te.c_te, tr.c_tr, tot.n_tr, tot.v_tr
+      FROM te LEFT JOIN tr USING (w), tot),
+    q AS (
+      SELECT c_te, c_tr, n_tr, v_tr,
+             CAST(floor(ln(CAST(coalesce(c_tr, 0) + 1 AS DOUBLE)
+               / CAST(n_tr + v_tr + 1 AS DOUBLE)) * 1000000.0)
+               AS BIGINT) AS lnp
+      FROM j),
+    a AS (
+      SELECT sum(CAST(c_te AS HUGEINT) * lnp) AS s,
+             sum(c_te) AS n_te,
+             sum(CASE WHEN c_tr IS NULL THEN c_te ELSE 0 END) AS oov,
+             min(n_tr) AS n_tr, min(v_tr) AS v_tr
+      FROM q)
+    SELECT CAST(n_tr AS BIGINT) AS n_train_tokens,
+           CAST(v_tr AS BIGINT) AS n_train_types,
+           CAST(n_te AS BIGINT) AS n_test_tokens,
+           CAST(oov AS BIGINT) AS oov_tokens,
+           CAST(round(-CAST(s AS DOUBLE) / 1000000.0
+             / CAST(n_te AS DOUBLE), 6) AS DOUBLE) AS cross_entropy,
+           CAST(round(exp(-CAST(s AS DOUBLE) / 1000000.0
+             / CAST(n_te AS DOUBLE)), 6) AS DOUBLE) AS perplexity
+    FROM a
+    """,
+)
+def cross_perplexity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out unigram cross-entropy/perplexity of the doc_id %% 5
+    split (text/analysis.py cross_perplexity; Chen & Goodman 1996
+    add-one baseline) — the distribution-shift twin of
+    ngram_novelty_documents: vocab-sized join, u6-quantized ln p
+    terms, integer weighted sum."""
+    from gofast_spark.text.analysis import cross_perplexity
+
+    out = cross_perplexity(_docs(spark, sf_dir), "text", "doc_id")
+    return out.select(
+        "n_train_tokens", "n_train_types", "n_test_tokens", "oov_tokens",
+        F.round("cross_entropy", 6).cast("double").alias("cross_entropy"),
+        F.round("perplexity", 6).cast("double").alias("perplexity"),
+    )

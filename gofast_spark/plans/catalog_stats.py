@@ -5716,3 +5716,55 @@ def fligner_killeen_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_groups",
         "n",
     )
+
+
+@query(
+    "hhi_revenue_by_nation",
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_nationkey AS nk, o.o_custkey AS ck,
+             sum(CAST(floor(o.o_totalprice * 1000000.0 + 0.5)
+               AS HUGEINT)) AS v
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE o.o_totalprice IS NOT NULL
+      GROUP BY 1, 2),
+    a AS (
+      SELECT nk, sum(v * v) AS sq, sum(v) AS s, count(*) AS nm
+      FROM rev GROUP BY nk)
+    SELECT n.n_name AS nation,
+           CAST(nm AS BIGINT) AS n_members,
+           CAST(round(CAST(sq AS DOUBLE)
+             / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)), 6) AS DOUBLE)
+             AS hhi,
+           CAST(round(1.0 / (CAST(sq AS DOUBLE)
+             / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE))), 6) AS DOUBLE)
+             AS n_effective
+    FROM a JOIN nation n ON a.nk = n.n_nationkey
+    """,
+)
+def hhi_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of order revenue across
+    customers within each nation (stats/descriptive.py
+    herfindahl_index; Herfindahl 1950) — the market-concentration
+    member of the Gini/Theil/Lorenz inequality family: one
+    member-level groupBy, integer micro-unit moments, one division."""
+    from gofast_spark.stats.descriptive import herfindahl_index
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    joined = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    out = herfindahl_index(
+        joined, "o_totalprice", "o_custkey", ["nation"]
+    )
+    return out.select(
+        "nation",
+        "n_members",
+        F.round("hhi", 6).cast("double").alias("hhi"),
+        F.round("n_effective", 6).cast("double").alias("n_effective"),
+    )

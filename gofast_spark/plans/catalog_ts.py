@@ -2010,3 +2010,45 @@ def turning_points_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gofast_spark.ts.engineering import turning_points_test
 
     return turning_points_test(_daily(spark, sf_dir), "d", "v")
+
+
+@query(
+    "von_neumann_daily",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL}),
+    u AS (SELECT d, CAST(floor(v * 10000 + 0.5) AS BIGINT) AS x
+          FROM daily),
+    l AS (SELECT x, x - lag(x) OVER (ORDER BY d) AS dd FROM u),
+    a AS (
+      SELECT sum(CASE WHEN dd IS NOT NULL
+                      THEN CAST(dd AS HUGEINT) * dd ELSE 0 END) AS sd2,
+             sum(CAST(x AS HUGEINT) * x) AS sx2,
+             sum(CAST(x AS HUGEINT)) AS sx,
+             count(*) AS n
+      FROM l)
+    SELECT CAST(round(CAST(n * n * sd2 AS DOUBLE)
+             / CAST((n - 1) * (n * sx2 - sx * sx) AS DOUBLE), 6)
+             AS DOUBLE) AS vn_ratio,
+           CAST(round((CAST(n * n * sd2 AS DOUBLE)
+               / CAST((n - 1) * (n * sx2 - sx * sx) AS DOUBLE) - 2.0)
+             / sqrt(4.0 * (CAST(n AS DOUBLE) - 2.0)
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0)),
+             6) AS DOUBLE) AS z,
+           CAST(n AS BIGINT) AS n
+    FROM a
+    """,
+)
+def von_neumann_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Von Neumann successive-difference ratio of the daily series
+    (ts/engineering.py von_neumann_ratio; von Neumann 1941) — the
+    finite-sample Durbin-Watson relative beside the runs and
+    turning-points randomness screens: integer difference/deviation
+    moments, one double division."""
+    from gofast_spark.ts.engineering import von_neumann_ratio
+
+    out = von_neumann_ratio(_daily(spark, sf_dir), "v", "d")
+    return out.select(
+        F.round("vn_ratio", 6).cast("double").alias("vn_ratio"),
+        F.round("z", 6).cast("double").alias("z"),
+        "n",
+    )

@@ -525,3 +525,52 @@ def trimmed_mean(
         F.first("__lo").alias("lo_cut"),
         F.first("__hi").alias("hi_cut"),
     )
+
+
+def herfindahl_index(
+    df: DataFrame,
+    value_col: str,
+    member_col: str,
+    group_cols: Sequence[str] = (),
+    *,
+    quantize: int = 1_000_000,
+) -> DataFrame:
+    """Herfindahl-Hirschman concentration index of ``value_col`` shares
+    held by ``member_col`` within each group (Herfindahl 1950,
+    Hirschman 1945) — the market-concentration companion of the
+    catalog's Gini / Theil / Lorenz inequality family:
+
+        HHI = sum_i (s_i)^2,   s_i = member i's share of the group sum
+
+    ranging 1/n (uniform) to 1 (monopoly).  ``n_effective = 1/HHI``
+    is the equivalent number of equal members.
+
+    One member-level groupBy then one group-level aggregate; values
+    are quantized to integer units so both sums are exact decimals,
+    and HHI = sum v_i^2 / (sum v_i)^2 is a single double division —
+    share arithmetic never happens per-row."""
+    v = F.floor(
+        F.col(value_col).cast("double") * F.lit(float(quantize)) + F.lit(0.5)
+    ).cast("bigint")
+    gcols = list(group_cols)
+    per = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*gcols, F.col(member_col).alias("__m"))
+        .agg(F.sum(v.cast("decimal(19,0)")).alias("__v"))
+    )
+    agg = per.groupBy(*gcols).agg(
+        F.sum(F.col("__v").cast("decimal(38,0)") * F.col("__v")).alias(
+            "__sq"
+        ),
+        F.sum("__v").alias("__s"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    hhi = F.col("__sq").cast("double") / (
+        F.col("__s").cast("double") * F.col("__s").cast("double")
+    )
+    return agg.select(
+        *gcols,
+        F.col("n_members").cast("bigint").alias("n_members"),
+        hhi.alias("hhi"),
+        (F.lit(1.0) / hhi).alias("n_effective"),
+    )

@@ -214,3 +214,122 @@ def readability(df: DataFrame, text_col: str) -> DataFrame:
         ease.alias("flesch_ease"),
         grade.alias("fk_grade"),
     )
+
+
+def lexical_richness(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Corpus lexical-richness report: type-token ratio, hapax ratio,
+    and Yule's characteristic K (Yule, *The Statistical Study of
+    Literary Vocabulary*, 1944) — the length-robust repetitiveness
+    measure a training-data pipeline reads next to the dedup and
+    repetition filters (a memorized/boilerplate-heavy corpus shows an
+    inflated K):
+
+        K = 10^4 * (sum_w c_w^2 - N) / N^2
+
+    (equivalent to the textbook ``sum m^2 V_m`` form since
+    ``sum_m m^2 V_m = sum_w c_w^2``).  One tokenize/explode pass, one
+    word-level groupBy, ONE final aggregate of integer moments —
+    c_w^2 is decimal-widened, so every sum commutes and the result is
+    exact; the only doubles are the three final ratios.  Returns one
+    row ``(n_tokens, n_types, hapax_types, ttr, hapax_ratio,
+    yule_k)``."""
+    norm = normalize_text(text_col)
+    words = (
+        df.where(F.length(norm) > 0)
+        .select(F.explode(F.split(norm, " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = words.agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("v"),
+        F.sum((F.col("c") == 1).cast("int")).alias("v1"),
+        F.sum(F.col("c").cast("decimal(19,0)") * F.col("c")).alias("c2"),
+    )
+    n = F.col("n").cast("double")
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.col("v").cast("bigint").alias("n_types"),
+        F.col("v1").cast("bigint").alias("hapax_types"),
+        (F.col("v").cast("double") / n).alias("ttr"),
+        (F.col("v1").cast("double") / F.col("v").cast("double")).alias(
+            "hapax_ratio"
+        ),
+        (
+            F.lit(1e4)
+            * (F.col("c2").cast("double") - n)
+            / (n * n)
+        ).alias("yule_k"),
+    )
+
+
+def cross_perplexity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    holdout_mod: int = 5,
+) -> DataFrame:
+    """Held-out unigram cross-entropy / perplexity: an add-one
+    -smoothed unigram language model is fit on the training split
+    (``id % holdout_mod != 0``) and evaluated on the held-out split —
+    the distribution-shift twin of :func:`ngram_novelty`'s
+    memorization screen (Chen & Goodman 1996's smoothing baseline;
+    the data-selection signal behind DSIR-style importance weights).
+
+        p(w) = (c_w + 1) / (N + V + 1)        (one shared OOV bucket)
+        H    = -sum_test count(w) * ln p(w) / N_test
+        ppl  = exp(H)
+
+    Scale shape: one tokenize pass, two word-level groupBys, one
+    vocab-sized left join (never row-level), and ONE final aggregate.
+    Each distinct word's ln p(w) is u6-quantized (floor(ln*1e6)) so
+    the weighted sum is pure integer arithmetic and commutes.
+    Returns one row ``(n_train_tokens, n_train_types, n_test_tokens,
+    oov_tokens, cross_entropy, perplexity)``."""
+    norm = normalize_text(text_col)
+    base = df.where(
+        F.col(id_col).isNotNull() & (F.length(norm) > 0)
+    ).select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(norm, " ")).alias("w"),
+    )
+    train = (
+        base.where(F.col("id") % holdout_mod != 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_tr"))
+    )
+    test = (
+        base.where(F.col("id") % holdout_mod == 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_te"))
+    )
+    tot = train.agg(
+        F.sum("c_tr").alias("n_tr"), F.count(F.lit(1)).alias("v_tr")
+    )
+    joined = test.join(train, "w", "left").crossJoin(F.broadcast(tot))
+    denom = (F.col("n_tr") + F.col("v_tr") + 1).cast("double")
+    p = (F.coalesce(F.col("c_tr"), F.lit(0)) + 1).cast("double") / denom
+    lnp_u6 = F.floor(F.log(p) * F.lit(1e6)).cast("bigint")
+    agg = joined.agg(
+        F.sum(F.col("c_te").cast("decimal(19,0)") * lnp_u6).alias("s"),
+        F.sum("c_te").alias("n_te"),
+        F.sum(
+            F.when(F.col("c_tr").isNull(), F.col("c_te")).otherwise(
+                F.lit(0)
+            )
+        ).alias("oov"),
+        F.first("n_tr").alias("n_tr"),
+        F.first("v_tr").alias("v_tr"),
+    )
+    h = -F.col("s").cast("double") / 1e6 / F.col("n_te").cast("double")
+    return agg.select(
+        F.col("n_tr").cast("bigint").alias("n_train_tokens"),
+        F.col("v_tr").cast("bigint").alias("n_train_types"),
+        F.col("n_te").cast("bigint").alias("n_test_tokens"),
+        F.col("oov").cast("bigint").alias("oov_tokens"),
+        h.alias("cross_entropy"),
+        F.exp(h).alias("perplexity"),
+    )

@@ -1164,3 +1164,70 @@ def turning_points_test(
         e.alias("expected"),
         ((F.col("t").cast("double") - e) / F.sqrt(v)).alias("z"),
     )
+
+
+def von_neumann_ratio(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    *,
+    quantize: int = 10000,
+) -> DataFrame:
+    """Von Neumann ratio of successive differences (von Neumann, Ann.
+    Math. Statist. 1941; the Abbe criterion) — the classic
+    randomness-against-trend screen beside the runs and turning-points
+    tests, and the finite-sample relative of the Durbin-Watson
+    statistic:
+
+        vn = (sum d_t^2 / (n-1)) / (sum (x - xbar)^2 / n),   d_t = x_t - x_{t-1}
+
+    Expectation 2 under independence; vn < 2 flags positive serial
+    correlation, vn > 2 alternation.  ``z`` is the normal deviate
+    (vn - 2) / sqrt(4 (n-2) / (n^2 - 1)) (Young 1941's variance).
+
+    Determinism: values quantize to ``1/quantize`` units, so both the
+    difference and deviation sums are exact integers (decimal-widened
+    squares) combined as ``vn = n^2 sum d^2 / ((n-1)(n sum x^2 - S^2))``
+    — one double division at the end.  The lag runs over an ordered
+    window on the rollup-sized series frame (the documented daily
+    -series contract: pre-aggregate before calling at scale)."""
+    x = F.floor(
+        F.col(value_col).cast("double") * F.lit(float(quantize)) + F.lit(0.5)
+    ).cast("bigint")
+    base = df.where(
+        F.col(value_col).isNotNull() & F.col(order_col).isNotNull()
+    ).select(F.col(order_col).alias("__t"), x.alias("__x"))
+    w = Window.orderBy("__t")
+    d = F.col("__x") - F.lag("__x").over(w)
+    lagged = base.select(
+        "__x", d.alias("__d")
+    )
+    agg = lagged.agg(
+        F.sum(
+            F.when(
+                F.col("__d").isNotNull(),
+                F.col("__d").cast("decimal(19,0)") * F.col("__d"),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("sd2"),
+        F.sum(F.col("__x").cast("decimal(19,0)") * F.col("__x")).alias(
+            "sx2"
+        ),
+        F.sum(F.col("__x").cast("decimal(19,0)")).alias("sx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    n = F.col("n").cast("decimal(38,0)")
+    num = (n * n * F.col("sd2")).cast("double")
+    den = (
+        (n - 1).cast("decimal(38,0)")
+        * (n * F.col("sx2") - F.col("sx") * F.col("sx"))
+    ).cast("double")
+    vn = num / den
+    nd = F.col("n").cast("double")
+    z = (vn - 2.0) / F.sqrt(
+        4.0 * (nd - 2.0) / (nd * nd - 1.0)
+    )
+    return agg.select(
+        vn.alias("vn_ratio"),
+        z.alias("z"),
+        F.col("n").cast("bigint").alias("n"),
+    )

@@ -188,3 +188,136 @@ class TestFlignerKilleen:
             ),
             abs=1e-3,
         )
+
+
+class TestLexicalRichness:
+    def test_hand_computed_counts(self, spark):
+        from gofast_spark.text.analysis import lexical_richness
+
+        rows = [(1, "the cat sat on the mat"), (2, "the cat ran")]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = lexical_richness(df, "text").first()
+        # tokens: the x3, cat x2, sat, on, mat, ran -> N=9, V=6, V1=4
+        assert out["n_tokens"] == 9
+        assert out["n_types"] == 6
+        assert out["hapax_types"] == 4
+        assert out["ttr"] == pytest.approx(6 / 9, abs=1e-12)
+        assert out["hapax_ratio"] == pytest.approx(4 / 6, abs=1e-12)
+        # sum c^2 = 9+4+1+1+1+1 = 17; K = 1e4*(17-9)/81
+        assert out["yule_k"] == pytest.approx(1e4 * 8 / 81, abs=1e-9)
+
+    def test_uniform_corpus_zero_k(self, spark):
+        from gofast_spark.text.analysis import lexical_richness
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma delta")], "doc_id bigint, text string"
+        )
+        out = lexical_richness(df, "text").first()
+        # every type occurs once: sum c^2 = N, so K = 0 and TTR = 1
+        assert out["yule_k"] == 0.0
+        assert out["ttr"] == 1.0
+
+
+class TestCrossPerplexity:
+    def test_memorized_split_matches_hand_model(self, spark):
+        from gofast_spark.text.analysis import cross_perplexity
+
+        import math
+
+        rows = [(1, "a b a"), (2, "b c"), (5, "a c d")]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = cross_perplexity(df, "text", "doc_id", holdout_mod=5).first()
+        # train (ids 1,2): tokens a a b b c -> N=5, V=3
+        assert out["n_train_tokens"] == 5
+        assert out["n_train_types"] == 3
+        assert out["n_test_tokens"] == 3
+        assert out["oov_tokens"] == 1  # 'd'
+        denom = 5 + 3 + 1
+        # u6-quantized ln p per type, then weighted
+        lnp = {
+            "a": math.floor(math.log(3 / denom) * 1e6),
+            "c": math.floor(math.log(2 / denom) * 1e6),
+            "d": math.floor(math.log(1 / denom) * 1e6),
+        }
+        h = -sum(lnp.values()) / 1e6 / 3
+        assert out["cross_entropy"] == pytest.approx(h, abs=1e-9)
+        assert out["perplexity"] == pytest.approx(math.exp(h), rel=1e-9)
+
+    def test_lower_perplexity_for_matching_distribution(self, spark):
+        from gofast_spark.text.analysis import cross_perplexity
+
+        same = [(i, "alpha beta gamma alpha") for i in range(1, 11)]
+        df_same = spark.createDataFrame(same, "doc_id bigint, text string")
+        shifted = [
+            (i, "alpha beta gamma alpha" if i % 5 != 0 else "zeta eta theta")
+            for i in range(1, 11)
+        ]
+        df_shift = spark.createDataFrame(
+            shifted, "doc_id bigint, text string"
+        )
+        ppl_same = cross_perplexity(df_same, "text", "doc_id").first()[
+            "perplexity"
+        ]
+        ppl_shift = cross_perplexity(df_shift, "text", "doc_id").first()[
+            "perplexity"
+        ]
+        assert ppl_same < ppl_shift
+
+
+class TestHerfindahl:
+    def test_monopoly_and_uniform(self, spark):
+        from gofast_spark.stats.descriptive import herfindahl_index
+
+        rows = [("g1", "m1", 10.0), ("g1", "m2", 10.0), ("g1", "m3", 10.0),
+                ("g1", "m4", 10.0), ("g2", "m1", 40.0)]
+        df = spark.createDataFrame(rows, "g string, m string, v double")
+        out = {
+            r["g"]: r
+            for r in herfindahl_index(df, "v", "m", ["g"]).collect()
+        }
+        assert out["g1"]["hhi"] == pytest.approx(0.25, abs=1e-12)
+        assert out["g1"]["n_effective"] == pytest.approx(4.0, abs=1e-9)
+        assert out["g2"]["hhi"] == pytest.approx(1.0, abs=1e-12)
+        assert out["g2"]["n_members"] == 1
+
+    def test_member_level_aggregation_first(self, spark):
+        from gofast_spark.stats.descriptive import herfindahl_index
+
+        # m1 split across rows must aggregate before squaring:
+        # shares (0.5, 0.5) -> 0.5, not (0.25,0.25,0.5) -> 0.375
+        rows = [("m1", 1.0), ("m1", 1.0), ("m2", 2.0)]
+        df = spark.createDataFrame(rows, "m string, v double")
+        out = herfindahl_index(df, "v", "m").first()
+        assert out["hhi"] == pytest.approx(0.5, abs=1e-12)
+
+
+class TestVonNeumann:
+    def test_alternating_series_high_ratio(self, spark):
+        from gofast_spark.ts.engineering import von_neumann_ratio
+
+        rows = [(i, float(i % 2)) for i in range(40)]
+        df = spark.createDataFrame(rows, "t bigint, v double")
+        out = von_neumann_ratio(df, "v", "t").first()
+        assert out["vn_ratio"] > 3.5
+        assert out["z"] > 4.0
+
+    def test_trend_series_low_ratio(self, spark):
+        from gofast_spark.ts.engineering import von_neumann_ratio
+
+        rows = [(i, float(i)) for i in range(40)]
+        df = spark.createDataFrame(rows, "t bigint, v double")
+        out = von_neumann_ratio(df, "v", "t").first()
+        assert out["vn_ratio"] < 0.2
+        assert out["z"] < -4.0
+
+    def test_matches_numpy_formula(self, spark):
+        from gofast_spark.ts.engineering import von_neumann_ratio
+
+        rng = np.random.RandomState(13)
+        x = np.round(rng.normal(0, 1, 60), 4)
+        rows = [(i, float(v)) for i, v in enumerate(x)]
+        df = spark.createDataFrame(rows, "t bigint, v double")
+        out = von_neumann_ratio(df, "v", "t").first()
+        d2 = np.sum(np.diff(x) ** 2) / (len(x) - 1)
+        s2 = np.sum((x - x.mean()) ** 2) / len(x)
+        assert out["vn_ratio"] == pytest.approx(d2 / s2, rel=1e-9)
