@@ -5768,3 +5768,153 @@ def hhi_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("hhi", 6).cast("double").alias("hhi"),
         F.round("n_effective", 6).cast("double").alias("n_effective"),
     )
+
+
+@query(
+    "energy_distance_events",
+    oracle="""
+    WITH src AS (
+      SELECT CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ia
+      FROM events
+      WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL),
+    pv AS (
+      SELECT v, sum(ia) AS a, sum(1 - ia) AS b FROM src GROUP BY v),
+    cum AS (
+      SELECT sum(a) OVER w AS ca, sum(b) OVER w AS cb,
+             lead(v) OVER (ORDER BY v) - v AS gap
+      FROM pv
+      WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)),
+    tot AS (SELECT sum(ia) AS na, sum(1 - ia) AS nb FROM src),
+    s AS (
+      SELECT sum(CAST((CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na)
+                   * (CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na)
+                   AS HUGEINT) * gap) AS acc,
+             max(na) AS na, max(nb) AS nb
+      FROM cum, tot WHERE gap IS NOT NULL)
+    SELECT CAST(round(2.0 * CAST(acc AS DOUBLE)
+             / (CAST(na AS DOUBLE) * CAST(na AS DOUBLE)
+                * CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE) * 1000.0), 6)
+             AS DOUBLE) AS d2_energy,
+           CAST(na AS BIGINT) AS n_a,
+           CAST(nb AS BIGINT) AS n_b
+    FROM s
+    """,
+)
+def energy_distance_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1D energy distance between purchase and view event values
+    (stats/inferential.py energy_distance_1d; Szekely & Rizzo 2004)
+    via the exact CDF-gap identity D^2 = 2 integral (F-G)^2 dt —
+    integer ECDF products over the merged distinct-value grid, the L2
+    companion of the KS/U tests."""
+    from gofast_spark.stats.inferential import energy_distance_1d
+
+    e = _t(spark, sf_dir, "events")
+    out = energy_distance_1d(e, "value", "event_type", "purchase", "view")
+    return out.select(
+        F.round("d2_energy", 6).cast("double").alias("d2_energy"),
+        "n_a",
+        "n_b",
+    )
+
+
+@query(
+    "lift_deciles_orders",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS x,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders WHERE o_totalprice IS NOT NULL),
+    span AS (SELECT min(x) AS mn, max(x) AS mx FROM base),
+    binned AS (
+      SELECT CAST(floor(CAST((x - mn) * 10 AS DOUBLE)
+               / CAST(mx - mn + 1 AS DOUBLE)) AS INT) AS bin, y
+      FROM base, span),
+    per AS (
+      SELECT bin, count(*) AS n, sum(y) AS n_pos FROM binned GROUP BY bin),
+    cum AS (
+      SELECT bin, n, n_pos,
+             sum(n) OVER w AS cum_n, sum(n_pos) OVER w AS cum_pos,
+             sum(n) OVER () AS tn, sum(n_pos) OVER () AS tp
+      FROM per
+      WINDOW w AS (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW))
+    SELECT bin,
+           CAST(n AS BIGINT) AS n,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(cum_n AS BIGINT) AS cum_n,
+           CAST(cum_pos AS BIGINT) AS cum_pos,
+           CAST(round(CAST(cum_pos AS DOUBLE) / CAST(tp AS DOUBLE), 6)
+             AS DOUBLE) AS gain,
+           CAST(round(CAST(CAST(cum_pos AS HUGEINT) * tn AS DOUBLE)
+             / CAST(CAST(cum_n AS HUGEINT) * tp AS DOUBLE), 6) AS DOUBLE)
+             AS lift
+    FROM cum
+    """,
+)
+def lift_deciles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gain/lift table of order value as a targeting score
+    for finished status (stats/evaluation.py lift_table) — fixed-width
+    integer bins (the Hosmer-Lemeshow cross-engine lesson), one
+    cumulative window over the 10-bin frame, integer gain/lift
+    ratios."""
+    from gofast_spark.stats.evaluation import lift_table
+
+    o = _t(spark, sf_dir, "orders")
+    out = lift_table(o, "o_totalprice", F.col("o_orderstatus") == "F")
+    return out.select(
+        "bin", "n", "n_pos", "cum_n", "cum_pos",
+        F.round("gain", 6).cast("double").alias("gain"),
+        F.round("lift", 6).cast("double").alias("lift"),
+    )
+
+
+@query(
+    "wilson_ci_events",
+    oracle="""
+    WITH a AS (
+      SELECT sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS k,
+             count(*) AS n
+      FROM events WHERE event_type IS NOT NULL),
+    m AS (
+      SELECT k, n, CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+             CAST(n AS DOUBLE) AS nd
+      FROM a),
+    s AS (
+      SELECT k, n, p, nd,
+             1.0 + 1.959964 * 1.959964 / nd AS denom,
+             (p + 1.959964 * 1.959964 / (2.0 * nd))
+               / (1.0 + 1.959964 * 1.959964 / nd) AS center,
+             1.959964 * sqrt(p * (1.0 - p) / nd
+               + 1.959964 * 1.959964 / (4.0 * nd * nd))
+               / (1.0 + 1.959964 * 1.959964 / nd) AS half,
+             1.959964 * sqrt(p * (1.0 - p) / nd) AS wald_half
+      FROM m)
+    SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+           CAST(round(p, 6) AS DOUBLE) AS p_hat,
+           CAST(round(center - half, 6) AS DOUBLE) AS wilson_lo,
+           CAST(round(center + half, 6) AS DOUBLE) AS wilson_hi,
+           CAST(round(p - wald_half, 6) AS DOUBLE) AS wald_lo,
+           CAST(round(p + wald_half, 6) AS DOUBLE) AS wald_hi
+    FROM s
+    """,
+)
+def wilson_ci_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score interval for the purchase share of events
+    (stats/inferential.py wilson_interval; Wilson 1927, Brown-Cai
+    -DasGupta 2001) beside the Wald bounds it dominates — one
+    aggregate to (k, n), closed-form doubles."""
+    from gofast_spark.stats.inferential import wilson_interval
+
+    e = _t(spark, sf_dir, "events").where(F.col("event_type").isNotNull())
+    out = wilson_interval(e, F.col("event_type") == "purchase")
+    return out.select(
+        "k", "n",
+        F.round("p_hat", 6).cast("double").alias("p_hat"),
+        F.round("wilson_lo", 6).cast("double").alias("wilson_lo"),
+        F.round("wilson_hi", 6).cast("double").alias("wilson_hi"),
+        F.round("wald_lo", 6).cast("double").alias("wald_lo"),
+        F.round("wald_hi", 6).cast("double").alias("wald_hi"),
+    )

@@ -2052,3 +2052,47 @@ def von_neumann_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("z", 6).cast("double").alias("z"),
         "n",
     )
+
+
+@query(
+    "cox_stuart_daily_events",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL}),
+    u AS (
+      SELECT CAST(floor(v * 10000 + 0.5) AS BIGINT) AS x,
+             row_number() OVER (ORDER BY d) AS t
+      FROM daily),
+    tot AS (SELECT count(*) AS n FROM u),
+    a AS (
+      SELECT u.x, u.t, tot.n FROM u, tot
+      WHERE u.t <= tot.n - floor((tot.n + 1) / 2)),
+    p AS (
+      SELECT a.x AS x1, b.x AS x2, a.n
+      FROM a JOIN u b ON a.t + floor((a.n + 1) / 2) = b.t),
+    g AS (
+      SELECT sum(CASE WHEN x2 > x1 THEN 1 ELSE 0 END) AS np,
+             sum(CASE WHEN x2 < x1 THEN 1 ELSE 0 END) AS nm,
+             count(*) AS npairs, max(n) AS n
+      FROM p)
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(npairs AS BIGINT) AS n_pairs,
+           CAST(np AS BIGINT) AS n_plus,
+           CAST(nm AS BIGINT) AS n_minus,
+           CAST(round(CAST(np - nm AS DOUBLE)
+             / sqrt(CAST(np + nm AS DOUBLE)), 6) AS DOUBLE) AS z
+    FROM g
+    """,
+)
+def cox_stuart_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cox-Stuart sign test for trend on the daily series
+    (ts/engineering.py cox_stuart_test; Cox & Stuart 1955) — the
+    half-split sign screen beside mann_kendall_daily_events: one
+    indexed self-equi-join on the rollup-sized frame, integer sign
+    counts, one normal deviate."""
+    from gofast_spark.ts.engineering import cox_stuart_test
+
+    out = cox_stuart_test(_daily(spark, sf_dir), "v", "d")
+    return out.select(
+        "n", "n_pairs", "n_plus", "n_minus",
+        F.round("z", 6).cast("double").alias("z"),
+    )

@@ -312,3 +312,80 @@ def spiegelhalter_z(
         F.col("de").alias("den_u9"),
         z.alias("z"),
     )
+
+
+def lift_table(
+    df: DataFrame,
+    score_col: str,
+    outcome: Column,
+    *,
+    bins: int = 10,
+    quantize: int = 100,
+) -> DataFrame:
+    """Cumulative gain / lift table over descending score bins — the
+    targeting-model readout beside the calibration curve and ROC AUC
+    (the reference's evaluation family, gofast/stats/evaluation.py):
+    bin the score, walk bins from best to worst, and report what
+    fraction of all positives each cumulative cut captures (gain) and
+    the capture rate relative to random targeting (lift).
+
+    Bins are FIXED-WIDTH over the observed [min, max] score span —
+    the Hosmer-Lemeshow lesson: rank deciles are not ulp-stable
+    across engines, while integer fixed-width binning
+
+        bin = floor((x - mn) * bins / (mx - mn + 1))
+
+    over quantized scores is exact arithmetic both sides.  One
+    aggregate for the span (broadcast spine), one groupBy over bins,
+    one cumulative window over the bins-sized frame.  Gain and lift
+    are integer ratios: lift = cum_pos * n / (cum_n * total_pos)."""
+    x = F.floor(
+        F.col(score_col).cast("double") * F.lit(float(quantize)) + F.lit(0.5)
+    ).cast("bigint")
+    y = outcome.cast("int")
+    base = df.where(F.col(score_col).isNotNull() & y.isNotNull()).select(
+        x.alias("__x"), y.alias("__y")
+    )
+    span = base.agg(
+        F.min("__x").alias("__mn"), F.max("__x").alias("__mx")
+    )
+    b = F.floor(
+        (F.col("__x") - F.col("__mn"))
+        * F.lit(bins)
+        / (F.col("__mx") - F.col("__mn") + 1)
+    ).cast("int")
+    binned = base.crossJoin(F.broadcast(span)).select(
+        b.alias("bin"), "__y"
+    )
+    per = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__y").alias("n_pos"),
+    )
+    w = Window.orderBy(F.desc("bin")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy()
+    cum = per.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.sum("n").over(w).alias("cum_n"),
+        F.sum("n_pos").over(w).alias("cum_pos"),
+        F.sum("n").over(tot).alias("__tn"),
+        F.sum("n_pos").over(tot).alias("__tp"),
+    )
+    gain = F.col("cum_pos").cast("double") / F.col("__tp").cast("double")
+    lift = (
+        F.col("cum_pos").cast("decimal(19,0)") * F.col("__tn")
+    ).cast("double") / (
+        F.col("cum_n").cast("decimal(19,0)") * F.col("__tp")
+    ).cast("double")
+    return cum.select(
+        "bin",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        F.col("cum_n").cast("bigint").alias("cum_n"),
+        F.col("cum_pos").cast("bigint").alias("cum_pos"),
+        gain.alias("gain"),
+        lift.alias("lift"),
+    )

@@ -2278,3 +2278,128 @@ def fligner_killeen(
         F.col("__k").cast("bigint").alias("n_groups"),
         F.col("__n").cast("bigint").alias("n"),
     )
+
+
+def energy_distance_1d(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    *,
+    quantize: int = 1000,
+) -> DataFrame:
+    """One-dimensional energy distance between two samples (Szekely &
+    Rizzo 2004) via the closed-form CDF identity
+
+        D^2(F, G) = 2 * integral (F(t) - G(t))^2 dt
+
+    — the L2 companion of the sup-norm KS and rank-sum U tests,
+    sensitive to BOTH location and scale differences.  Between
+    consecutive distinct values the ECDF gap is constant, so the
+    integral is an exact sum over the merged distinct-value grid:
+
+        D^2 = 2 * sum_i (ca_i * nb - cb_i * na)^2 * gap_i
+                  / (na^2 * nb^2 * quantize)
+
+    with ca/cb cumulative group counts — ALL integer arithmetic
+    (decimal-widened products) until the single final division.
+    Values quantize to ``1/quantize`` units (the declared grid, both
+    engines identical); the cumulative window runs over the
+    distinct-value frame only (the ks_test pattern: pre-bin at 100-TB
+    scale)."""
+    x = F.floor(
+        F.col(value_col).cast("double") * F.lit(float(quantize)) + F.lit(0.5)
+    ).cast("bigint")
+    src = df.where(
+        F.col(group_col).isin(group_a, group_b)
+        & F.col(value_col).isNotNull()
+    ).select(
+        x.alias("__v"),
+        (F.col(group_col) == group_a).cast("int").alias("__ia"),
+    )
+    pv = src.groupBy("__v").agg(
+        F.sum("__ia").alias("__a"),
+        F.sum(1 - F.col("__ia")).alias("__b"),
+    )
+    w = Window.orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    gap = F.lead("__v").over(Window.orderBy("__v")) - F.col("__v")
+    cum = pv.select(
+        F.sum("__a").over(w).alias("__ca"),
+        F.sum("__b").over(w).alias("__cb"),
+        gap.alias("__gap"),
+    )
+    tot = src.agg(
+        F.sum("__ia").alias("__na"),
+        F.sum(1 - F.col("__ia")).alias("__nb"),
+    )
+    j = cum.where(F.col("__gap").isNotNull()).crossJoin(F.broadcast(tot))
+    diff = (
+        F.col("__ca").cast("decimal(19,0)") * F.col("__nb")
+        - F.col("__cb").cast("decimal(19,0)") * F.col("__na")
+    )
+    agg = j.agg(
+        F.sum(
+            (diff * diff).cast("decimal(38,0)") * F.col("__gap")
+        ).alias("__s"),
+        F.max("__na").alias("__na"),
+        F.max("__nb").alias("__nb"),
+    )
+    na = F.col("__na").cast("double")
+    nb = F.col("__nb").cast("double")
+    d2 = (
+        2.0
+        * F.col("__s").cast("double")
+        / (na * na * nb * nb * F.lit(float(quantize)))
+    )
+    return agg.select(
+        d2.alias("d2_energy"),
+        F.col("__na").cast("bigint").alias("n_a"),
+        F.col("__nb").cast("bigint").alias("n_b"),
+    )
+
+
+def wilson_interval(
+    df: DataFrame,
+    success: Column,
+    *,
+    z_crit: float = 1.959964,
+) -> DataFrame:
+    """Wilson score confidence interval for a binomial proportion
+    (Wilson, JASA 1927) next to the Wald interval it dominates
+    (Brown, Cai & DasGupta 2001's recommendation) — the
+    boundary-safe CI the catalog's two_proportion z-test lacks:
+
+        center = (p + z^2/2n) / (1 + z^2/n)
+        half   = z * sqrt(p(1-p)/n + z^2/4n^2) / (1 + z^2/n)
+
+    ONE aggregate to the integer pair (k, n); every interval bound is
+    a closed-form double over those two integers."""
+    s = success.cast("int")
+    agg = df.where(s.isNotNull()).agg(
+        F.sum(s).alias("k"), F.count(F.lit(1)).alias("n")
+    )
+    k = F.col("k").cast("double")
+    n = F.col("n").cast("double")
+    p = k / n
+    z = F.lit(z_crit)
+    z2 = z * z
+    denom = 1.0 + z2 / n
+    center = (p + z2 / (2.0 * n)) / denom
+    half = (
+        z
+        * F.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))
+        / denom
+    )
+    wald_half = z * F.sqrt(p * (1.0 - p) / n)
+    return agg.select(
+        F.col("k").cast("bigint").alias("k"),
+        F.col("n").cast("bigint").alias("n"),
+        p.alias("p_hat"),
+        (center - half).alias("wilson_lo"),
+        (center + half).alias("wilson_hi"),
+        (p - wald_half).alias("wald_lo"),
+        (p + wald_half).alias("wald_hi"),
+    )

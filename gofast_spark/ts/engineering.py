@@ -1231,3 +1231,65 @@ def von_neumann_ratio(
         z.alias("z"),
         F.col("n").cast("bigint").alias("n"),
     )
+
+
+def cox_stuart_test(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    *,
+    quantize: int = 10000,
+) -> DataFrame:
+    """Cox-Stuart trend test (Cox & Stuart, Biometrika 1955): a sign
+    test on pairs (x_i, x_{i+h}) with h = ceil(n/2) — the
+    distribution-free quick screen beside Mann-Kendall (which weighs
+    ALL pairs; Cox-Stuart uses n/2 independent ones, so it is the
+    cheap first look):
+
+        n_plus  = #{x_{i+h} > x_i},  n_minus = #{x_{i+h} < x_i}
+        z = (n_plus - n_minus) / sqrt(n_plus + n_minus)
+
+    (ties drop out; z is the +-1 sign-sum normal deviate).  Values
+    quantize to ``1/quantize`` units so comparisons are integer-exact
+    on both engines.  The pairing is ONE equi-join of the indexed
+    series with itself on t + h = t' (rollup-sized frames, the
+    documented daily-series contract)."""
+    x = F.floor(
+        F.col(value_col).cast("double") * F.lit(float(quantize)) + F.lit(0.5)
+    ).cast("bigint")
+    idx = (
+        df.where(F.col(value_col).isNotNull() & F.col(order_col).isNotNull())
+        .select(F.col(order_col).alias("__o"), x.alias("__x"))
+        .withColumn("__t", F.row_number().over(Window.orderBy("__o")))
+    )
+    tot = idx.agg(F.count(F.lit(1)).alias("__n"))
+    a = idx.crossJoin(F.broadcast(tot)).where(
+        F.col("__t") <= F.col("__n") - F.floor(
+            (F.col("__n") + 1) / 2
+        )
+    )
+    h = F.floor((F.col("__n") + 1) / 2)
+    b = idx.select(
+        F.col("__t").alias("__t2"), F.col("__x").alias("__x2")
+    )
+    pairs = a.join(b, a["__t"] + h == b["__t2"])
+    agg = pairs.agg(
+        F.sum((F.col("__x2") > F.col("__x")).cast("int")).alias("n_plus"),
+        F.sum((F.col("__x2") < F.col("__x")).cast("int")).alias("n_minus"),
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.max("__n").alias("n"),
+    )
+    # all-ties series: zero informative pairs -> NULL z (ANSI
+    # divide-by-zero rule, both engines)
+    z = F.when(
+        F.col("n_plus") + F.col("n_minus") > 0,
+        (F.col("n_plus") - F.col("n_minus")).cast("double")
+        / F.sqrt((F.col("n_plus") + F.col("n_minus")).cast("double")),
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        F.col("n_plus").cast("bigint").alias("n_plus"),
+        F.col("n_minus").cast("bigint").alias("n_minus"),
+        z.alias("z"),
+    )

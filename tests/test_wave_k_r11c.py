@@ -321,3 +321,137 @@ class TestVonNeumann:
         d2 = np.sum(np.diff(x) ** 2) / (len(x) - 1)
         s2 = np.sum((x - x.mean()) ** 2) / len(x)
         assert out["vn_ratio"] == pytest.approx(d2 / s2, rel=1e-9)
+
+
+class TestCoxStuart:
+    def test_monotone_trend_all_plus(self, spark):
+        from gofast_spark.ts.engineering import cox_stuart_test
+
+        rows = [(i, float(i)) for i in range(20)]
+        df = spark.createDataFrame(rows, "t bigint, v double")
+        out = cox_stuart_test(df, "v", "t").first()
+        assert out["n_pairs"] == 10
+        assert out["n_plus"] == 10
+        assert out["n_minus"] == 0
+        assert out["z"] == pytest.approx(10 / np.sqrt(10), abs=1e-12)
+
+    def test_odd_length_drops_middle(self, spark):
+        from gofast_spark.ts.engineering import cox_stuart_test
+
+        rows = [(i, float(-i)) for i in range(21)]
+        df = spark.createDataFrame(rows, "t bigint, v double")
+        out = cox_stuart_test(df, "v", "t").first()
+        assert out["n"] == 21
+        assert out["n_pairs"] == 10
+        assert out["n_minus"] == 10
+        assert out["z"] < -3.0
+
+    def test_ties_drop_out(self, spark):
+        from gofast_spark.ts.engineering import cox_stuart_test
+
+        rows = [(i, 5.0) for i in range(10)]
+        df = spark.createDataFrame(rows, "t bigint, v double")
+        out = cox_stuart_test(df, "v", "t").first()
+        assert out["n_plus"] == 0 and out["n_minus"] == 0
+        assert out["n_pairs"] == 5
+        assert out["z"] is None  # ANSI guard: no informative pairs
+
+
+class TestEnergyDistance:
+    @staticmethod
+    def _ref(a, b):
+        # direct pairwise form: 2 E|X-Y| - E|X-X'| - E|Y-Y'|
+        a = np.asarray(a, float)
+        b = np.asarray(b, float)
+        exy = np.abs(a[:, None] - b[None, :]).mean()
+        exx = np.abs(a[:, None] - a[None, :]).mean()
+        eyy = np.abs(b[:, None] - b[None, :]).mean()
+        return 2 * exy - exx - eyy
+
+    def test_matches_pairwise_identity(self, spark):
+        from gofast_spark.stats.inferential import energy_distance_1d
+
+        rng = np.random.RandomState(17)
+        a = np.round(rng.normal(0, 1, 60), 3)
+        b = np.round(rng.normal(0.7, 1.5, 80), 3)
+        rows = [("a", float(v)) for v in a] + [("b", float(v)) for v in b]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = energy_distance_1d(df, "v", "g", "a", "b").first()
+        # the V-statistic (with diagonal) pairwise form equals the
+        # 2*integral (F-G)^2 identity exactly
+        assert out["d2_energy"] == pytest.approx(
+            self._ref(a, b), rel=1e-9
+        )
+        assert out["n_a"] == 60 and out["n_b"] == 80
+
+    def test_identical_samples_zero(self, spark):
+        from gofast_spark.stats.inferential import energy_distance_1d
+
+        vals = [1.0, 2.0, 3.0, 4.0]
+        rows = [("a", v) for v in vals] + [("b", v) for v in vals]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = energy_distance_1d(df, "v", "g", "a", "b").first()
+        assert out["d2_energy"] == 0.0
+
+
+class TestLiftTable:
+    def test_perfect_score_top_bin_lift(self, spark):
+        from gofast_spark.stats.evaluation import lift_table
+
+        # scores 0..99; positives are exactly the top 10 scores
+        rows = [(float(i), 1 if i >= 90 else 0) for i in range(100)]
+        df = spark.createDataFrame(rows, "s double, y int")
+        out = {
+            r["bin"]: r
+            for r in lift_table(df, "s", F.col("y") == 1).collect()
+        }
+        assert len(out) == 10
+        top = out[9]
+        assert top["n"] == 10 and top["n_pos"] == 10
+        assert top["gain"] == pytest.approx(1.0, abs=1e-12)
+        assert top["lift"] == pytest.approx(10.0, abs=1e-9)
+        # bottom cumulative row covers everything: lift 1, gain 1
+        bot = out[0]
+        assert bot["cum_n"] == 100
+        assert bot["lift"] == pytest.approx(1.0, abs=1e-12)
+
+    def test_random_outcome_lift_near_one(self, spark):
+        from gofast_spark.stats.evaluation import lift_table
+
+        rng = np.random.RandomState(23)
+        rows = [
+            (float(s), int(y))
+            for s, y in zip(rng.rand(2000) * 10, rng.rand(2000) < 0.3)
+        ]
+        df = spark.createDataFrame(rows, "s double, y int")
+        rowsout = lift_table(df, "s", F.col("y") == 1).collect()
+        for r in rowsout:
+            assert r["lift"] == pytest.approx(1.0, abs=0.35)
+
+
+class TestWilsonInterval:
+    def test_textbook_values(self, spark):
+        from gofast_spark.stats.inferential import wilson_interval
+
+        # k=8, n=10: Wilson 95% ~ (0.4902, 0.9433)
+        rows = [(1,)] * 8 + [(0,)] * 2
+        df = spark.createDataFrame(rows, "y int")
+        out = wilson_interval(df, F.col("y") == 1).first()
+        assert out["p_hat"] == pytest.approx(0.8, abs=1e-12)
+        assert out["wilson_lo"] == pytest.approx(0.4902, abs=2e-3)
+        assert out["wilson_hi"] == pytest.approx(0.9433, abs=2e-3)
+        # Wilson stays inside [0,1] where Wald can escape
+        assert 0.0 <= out["wilson_lo"] <= out["wilson_hi"] <= 1.0
+
+    def test_extreme_proportion_bounds(self, spark):
+        from gofast_spark.stats.inferential import wilson_interval
+
+        rows = [(1,)] * 10
+        df = spark.createDataFrame(rows, "y int")
+        out = wilson_interval(df, F.col("y") == 1).first()
+        # p_hat = 1: Wald collapses to [1,1]; Wilson lower bound < 1
+        assert out["wald_lo"] == pytest.approx(1.0, abs=1e-12)
+        assert out["wilson_lo"] < 1.0
+        assert out["wilson_hi"] <= 1.0 + 1e-12
+
+
