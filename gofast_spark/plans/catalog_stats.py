@@ -5918,3 +5918,239 @@ def wilson_ci_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("wald_lo", 6).cast("double").alias("wald_lo"),
         F.round("wald_hi", 6).cast("double").alias("wald_hi"),
     )
+
+
+@query(
+    "vif_lineitem",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(floor(l_quantity * 1.0 + 0.5) AS BIGINT) AS x1,
+             CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS x2,
+             CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS x3
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        AND l_discount IS NOT NULL),
+    m AS (
+      SELECT count(*) AS n,
+             sum(CAST(x1 AS HUGEINT)) AS s1, sum(CAST(x2 AS HUGEINT)) AS s2,
+             sum(CAST(x3 AS HUGEINT)) AS s3,
+             sum(CAST(x1 AS HUGEINT) * x1) AS s11,
+             sum(CAST(x2 AS HUGEINT) * x2) AS s22,
+             sum(CAST(x3 AS HUGEINT) * x3) AS s33,
+             sum(CAST(x1 AS HUGEINT) * x2) AS s12,
+             sum(CAST(x1 AS HUGEINT) * x3) AS s13,
+             sum(CAST(x2 AS HUGEINT) * x3) AS s23
+      FROM base),
+    r AS (
+      SELECT n,
+             CAST(n * s12 - s1 * s2 AS DOUBLE)
+               / sqrt(CAST(n * s11 - s1 * s1 AS DOUBLE)
+                      * CAST(n * s22 - s2 * s2 AS DOUBLE)) AS r12,
+             CAST(n * s13 - s1 * s3 AS DOUBLE)
+               / sqrt(CAST(n * s11 - s1 * s1 AS DOUBLE)
+                      * CAST(n * s33 - s3 * s3 AS DOUBLE)) AS r13,
+             CAST(n * s23 - s2 * s3 AS DOUBLE)
+               / sqrt(CAST(n * s22 - s2 * s2 AS DOUBLE)
+                      * CAST(n * s33 - s3 * s3 AS DOUBLE)) AS r23
+      FROM m),
+    d AS (
+      SELECT n, r12, r13, r23,
+             1.0 + 2.0 * r12 * r13 * r23 - r12 * r12 - r13 * r13
+               - r23 * r23 AS det
+      FROM r)
+    SELECT CAST(round(r12, 6) AS DOUBLE) AS r12,
+           CAST(round(r13, 6) AS DOUBLE) AS r13,
+           CAST(round(r23, 6) AS DOUBLE) AS r23,
+           CAST(round(det, 6) AS DOUBLE) AS det_r,
+           CAST(round((1.0 - r23 * r23) / det, 6) AS DOUBLE) AS vif_1,
+           CAST(round((1.0 - r13 * r13) / det, 6) AS DOUBLE) AS vif_2,
+           CAST(round((1.0 - r12 * r12) / det, 6) AS DOUBLE) AS vif_3,
+           CAST(n AS BIGINT) AS n
+    FROM d
+    """,
+)
+def vif_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance inflation factors of (quantity, extendedprice,
+    discount) via the closed-form 3x3 correlation inverse
+    (stats/relationships.py vif_three; Belsley-Kuh-Welsch 1980) —
+    the multicollinearity screen beside corr_matrix_lineitem: one
+    integer-moment aggregate, closed-form doubles."""
+    from gofast_spark.stats.relationships import vif_three
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = vif_three(
+        li, ["l_quantity", "l_extendedprice", "l_discount"],
+        quantize=(1, 100, 100),
+    )
+    return out.select(
+        F.round("r12", 6).cast("double").alias("r12"),
+        F.round("r13", 6).cast("double").alias("r13"),
+        F.round("r23", 6).cast("double").alias("r23"),
+        F.round("det_r", 6).cast("double").alias("det_r"),
+        F.round("vif_1", 6).cast("double").alias("vif_1"),
+        F.round("vif_2", 6).cast("double").alias("vif_2"),
+        F.round("vif_3", 6).cast("double").alias("vif_3"),
+        "n",
+    )
+
+
+@query(
+    "jackknife_ratio_lineitem",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(floor(l_extendedprice * 1000000.0 + 0.5) AS BIGINT) AS x,
+             CAST(floor(l_quantity) AS BIGINT) AS y
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
+    tot AS (
+      SELECT sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+             count(*) AS n
+      FROM base),
+    r AS (
+      SELECT CAST(floor(CAST(sx - x AS DOUBLE) / CAST(sy - y AS DOUBLE)
+               * 1000.0) AS BIGINT) AS rq, n, sx, sy
+      FROM base, tot),
+    a AS (
+      SELECT sum(CAST(rq AS HUGEINT)) AS sr,
+             sum(CAST(rq AS HUGEINT) * rq) AS sr2,
+             max(n) AS n, max(sx) AS sx, max(sy) AS sy
+      FROM r)
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(round(CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) / 1000000.0,
+             6) AS DOUBLE) AS theta_hat,
+           CAST(round(CAST(sr AS DOUBLE) / CAST(n AS DOUBLE)
+             / 1000000000.0, 6) AS DOUBLE) AS theta_jack,
+           CAST(round(sqrt((CAST(n AS DOUBLE) - 1.0) / CAST(n AS DOUBLE)
+             * (CAST(sr2 AS DOUBLE) - CAST(sr AS DOUBLE)
+                * CAST(sr AS DOUBLE) / CAST(n AS DOUBLE)) / 1e+18), 6)
+             AS DOUBLE) AS se_jack,
+           CAST(round((CAST(n AS DOUBLE) - 1.0)
+             * (CAST(sr AS DOUBLE) / CAST(n AS DOUBLE) / 1000000000.0
+                - CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) / 1000000.0), 6)
+             AS DOUBLE) AS bias_jack
+    FROM a
+    """,
+)
+def jackknife_ratio_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one jackknife variance/bias of price-per-quantity
+    (stats/resampling.py jackknife_ratio; Quenouille 1956, Tukey
+    1958) — closed-form leave-one-out replicates from one broadcast
+    spine, u-quantized before summation so replicate sums are
+    integer."""
+    from gofast_spark.stats.resampling import jackknife_ratio
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = jackknife_ratio(li, "l_extendedprice", "l_quantity")
+    return out.select(
+        "n",
+        F.round("theta_hat", 6).cast("double").alias("theta_hat"),
+        F.round("theta_jack", 6).cast("double").alias("theta_jack"),
+        F.round("se_jack", 6).cast("double").alias("se_jack"),
+        F.round("bias_jack", 6).cast("double").alias("bias_jack"),
+    )
+
+
+_QQ_PPF = _ppf_sql("p")
+
+_QQ_ORACLE = f"""
+    WITH base AS (
+      SELECT CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS x
+      FROM customer WHERE c_acctbal IS NOT NULL),
+    mom AS (
+      SELECT count(*) AS n, sum(CAST(x AS HUGEINT)) AS s,
+             sum(CAST(x AS HUGEINT) * x) AS ss
+      FROM base),
+    grid AS (
+      SELECT x, sum(c) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS cum
+      FROM (SELECT x, count(*) AS c FROM base GROUP BY x)),
+    probs AS (SELECT unnest(range(1, 10)) AS i),
+    pj AS (
+      SELECT i, n, s, ss,
+             CAST((i * n + 9) - ((i * n + 9) % 10) AS DOUBLE) / 10
+               AS r
+      FROM probs, mom),
+    emp AS (
+      SELECT i, n, s, ss, min(x) AS q
+      FROM grid JOIN pj ON grid.cum >= pj.r
+      GROUP BY i, n, s, ss),
+    t AS (
+      SELECT p, q_emp,
+             CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0
+               + sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)
+                       * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                      / (CAST(n AS DOUBLE) - 1.0) / 10000.0)
+               * ({_QQ_PPF}) AS q_theo
+      FROM (SELECT CAST(i AS DOUBLE) / 10.0 AS p,
+                   CAST(q AS DOUBLE) / 100.0 AS q_emp, n, s, ss
+            FROM emp))
+    SELECT p, q_emp,
+           CAST(round(q_theo, 6) AS DOUBLE) AS q_theo,
+           CAST(round(q_emp - q_theo, 6) AS DOUBLE) AS diff
+    FROM t
+    """
+
+
+@query("qq_normal_acctbal", oracle=_QQ_ORACLE)
+def qq_normal_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normal Q-Q table of customer account balances at interior
+    deciles (stats/evaluation.py qq_normal_points) — integer-rank
+    order statistics on the distinct-value grid against the
+    moment-fitted normal through the shared Acklam quantile, the
+    tabular companion of the KS/CvM/AD battery."""
+    from gofast_spark.stats.evaluation import qq_normal_points
+
+    c = _t(spark, sf_dir, "customer")
+    out = qq_normal_points(c, "c_acctbal")
+    return out.select(
+        "p",
+        "q_emp",
+        F.round("q_theo", 6).cast("double").alias("q_theo"),
+        F.round("diff", 6).cast("double").alias("diff"),
+    )
+
+
+@query(
+    "cohens_h_events",
+    oracle="""
+    WITH q AS (
+      SELECT CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS g,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS s
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+    a AS (
+      SELECT sum(g * s) AS k1, sum(g) AS n1,
+             sum((1 - g) * s) AS k2, sum(1 - g) AS n2
+      FROM q),
+    m AS (
+      SELECT k1, n1, k2, n2,
+             CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+             CAST(k2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS p2
+      FROM a)
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(round(p1, 6) AS DOUBLE) AS p1,
+           CAST(round(p2, 6) AS DOUBLE) AS p2,
+           CAST(round(2.0 * asin(sqrt(p1)) - 2.0 * asin(sqrt(p2)), 6)
+             AS DOUBLE) AS h
+    FROM m
+    """,
+)
+def cohens_h_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's h for the purchase share, early vs late window
+    (stats/inferential.py cohens_h; Cohen 1988) — the arcsine
+    effect-size companion of two_proportion_events."""
+    from gofast_spark.stats.inferential import cohens_h
+
+    e = _t(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    out = cohens_h(
+        e,
+        F.col("ts") < "2024-01-16",
+        F.col("event_type") == "purchase",
+    )
+    return out.select(
+        "n1", "n2",
+        F.round("p1", 6).cast("double").alias("p1"),
+        F.round("p2", 6).cast("double").alias("p2"),
+        F.round("h", 6).cast("double").alias("h"),
+    )

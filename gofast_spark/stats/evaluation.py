@@ -389,3 +389,92 @@ def lift_table(
         gain.alias("gain"),
         lift.alias("lift"),
     )
+
+
+def qq_normal_points(
+    df: DataFrame,
+    value_col: str,
+    *,
+    deciles: int = 10,
+    quantize: int = 100,
+) -> DataFrame:
+    """Normal Q-Q report at interior deciles: the empirical quantile
+    (lower order statistic by integer rank, ceil(i*n/k)) against the
+    fitted-normal quantile mu + sigma * Phi^{-1}(i/k) — the tabular
+    companion of the KS/CvM/AD normality battery (the reference's
+    NormalityTests family, gofast/stats/evaluation.py:904).
+
+    Determinism and scale: values quantize to ``1/quantize`` units;
+    the order statistic is selected on the distinct-value cumulative
+    frame (min value whose cumulative count reaches the integer rank
+    ceil(i*n/k) = (i*n + k - 1) DIV k — never a full-table sort);
+    mu/sigma come from one integer-moment aggregate; Phi^{-1} is the
+    shared Acklam polynomial.  Returns k-1 rows ``(p, q_emp, q_theo,
+    diff)``."""
+    from gofast_spark.stats.probs import normal_ppf
+
+    x = F.floor(
+        F.col(value_col).cast("double") * F.lit(float(quantize)) + F.lit(0.5)
+    ).cast("bigint")
+    base = df.where(F.col(value_col).isNotNull()).select(x.alias("__x"))
+    mom = base.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("__x").cast("decimal(19,0)")).alias("__s"),
+        F.sum(F.col("__x").cast("decimal(19,0)") * F.col("__x")).alias(
+            "__ss"
+        ),
+    )
+    spark = df.sparkSession
+    probs = spark.range(1, deciles).select(
+        F.col("id").cast("int").alias("__i")
+    )
+    grid = (
+        base.groupBy("__x")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .select(
+            "__x",
+            F.sum("__c")
+            .over(
+                Window.orderBy("__x").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            .alias("__cum"),
+        )
+    )
+    pj = probs.crossJoin(F.broadcast(mom))
+    rank = (
+        F.col("__i").cast("bigint") * F.col("__n") + F.lit(deciles - 1)
+    ).cast("bigint") - (
+        (F.col("__i").cast("bigint") * F.col("__n") + F.lit(deciles - 1))
+        % F.lit(deciles)
+    )
+    pj = pj.select(
+        "__i", "__n", "__s", "__ss", (rank / F.lit(deciles)).alias("__r")
+    )
+    emp = (
+        grid.join(F.broadcast(pj), F.col("__cum") >= F.col("__r"))
+        .groupBy("__i", "__n", "__s", "__ss")
+        .agg(F.min("__x").alias("__q"))
+    )
+    n = F.col("__n").cast("double")
+    mu = F.col("__s").cast("double") / n / F.lit(float(quantize))
+    var = (
+        (
+            F.col("__ss").cast("double")
+            - F.col("__s").cast("double")
+            * F.col("__s").cast("double")
+            / n
+        )
+        / (n - 1.0)
+        / F.lit(float(quantize) * float(quantize))
+    )
+    p = F.col("__i").cast("double") / F.lit(float(deciles))
+    q_theo = mu + F.sqrt(var) * normal_ppf(p)
+    q_emp = F.col("__q").cast("double") / F.lit(float(quantize))
+    return emp.select(
+        p.alias("p"),
+        q_emp.alias("q_emp"),
+        q_theo.alias("q_theo"),
+        (q_emp - q_theo).alias("diff"),
+    )

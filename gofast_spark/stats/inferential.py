@@ -2403,3 +2403,38 @@ def wilson_interval(
         (p - wald_half).alias("wald_lo"),
         (p + wald_half).alias("wald_hi"),
     )
+
+
+def cohens_h(
+    df: DataFrame,
+    group_col: Column,
+    success: Column,
+) -> DataFrame:
+    """Cohen's h effect size for two proportions (Cohen 1988 ch. 6):
+    the arcsine-stabilized difference
+
+        h = 2 asin(sqrt(p1)) - 2 asin(sqrt(p2))
+
+    — the magnitude companion of the two-proportion z-test (variance
+    of the arcsine transform is 1/4n regardless of p, so h is
+    comparable across baselines).  ``group_col`` must be a boolean
+    column expression (True -> group 1); one aggregate to four
+    integers, closed-form doubles after."""
+    g = group_col.cast("int")
+    s = success.cast("int")
+    agg = df.where(g.isNotNull() & s.isNotNull()).agg(
+        F.sum(g * s).alias("k1"),
+        F.sum(g).alias("n1"),
+        F.sum((1 - g) * s).alias("k2"),
+        F.sum(1 - g).alias("n2"),
+    )
+    p1 = F.col("k1").cast("double") / F.col("n1").cast("double")
+    p2 = F.col("k2").cast("double") / F.col("n2").cast("double")
+    h = 2.0 * F.asin(F.sqrt(p1)) - 2.0 * F.asin(F.sqrt(p2))
+    return agg.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        p1.alias("p1"),
+        p2.alias("p2"),
+        h.alias("h"),
+    )

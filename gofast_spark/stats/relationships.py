@@ -535,3 +535,82 @@ def rank_biserial(
         F.col("n_a"),
         F.col("n_b"),
     )
+
+
+def vif_three(
+    df: DataFrame,
+    cols: Sequence[str],
+    *,
+    quantize: Sequence[int] = (1, 100, 100),
+) -> DataFrame:
+    """Variance inflation factors for THREE regressors via the
+    closed-form inverse of their 3x3 correlation matrix (the
+    multicollinearity screen of the reference's model-diagnostics
+    family; Belsley-Kuh-Welsch 1980):
+
+        VIF_i = [R^{-1}]_ii,   e.g. VIF_1 = (1 - r23^2) / det(R)
+        det(R) = 1 + 2 r12 r13 r23 - r12^2 - r13^2 - r23^2
+
+    ONE aggregate collects the nine integer moments (each column
+    quantized per ``quantize``; squares and cross-products decimal
+    -widened so sums commute); every correlation and VIF is a closed
+    -form double over them.  Returns one row ``(r12, r13, r23,
+    det_r, vif_1, vif_2, vif_3, n)``."""
+    assert len(cols) == 3 and len(quantize) == 3
+    q = [
+        F.floor(
+            F.col(c).cast("double") * F.lit(float(k)) + F.lit(0.5)
+        ).cast("bigint")
+        for c, k in zip(cols, quantize)
+    ]
+    base = df.where(
+        F.col(cols[0]).isNotNull()
+        & F.col(cols[1]).isNotNull()
+        & F.col(cols[2]).isNotNull()
+    ).select(
+        q[0].alias("__x1"), q[1].alias("__x2"), q[2].alias("__x3")
+    )
+
+    def d(c):
+        return F.col(c).cast("decimal(19,0)")
+
+    agg = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d("__x1")).alias("s1"),
+        F.sum(d("__x2")).alias("s2"),
+        F.sum(d("__x3")).alias("s3"),
+        F.sum(d("__x1") * F.col("__x1")).alias("s11"),
+        F.sum(d("__x2") * F.col("__x2")).alias("s22"),
+        F.sum(d("__x3") * F.col("__x3")).alias("s33"),
+        F.sum(d("__x1") * F.col("__x2")).alias("s12"),
+        F.sum(d("__x1") * F.col("__x3")).alias("s13"),
+        F.sum(d("__x2") * F.col("__x3")).alias("s23"),
+    )
+    n = F.col("n").cast("decimal(38,0)")
+
+    def corr(sab, sa, sb, saa, sbb):
+        num = (n * sab - sa * sb).cast("double")
+        da = (n * saa - sa * sa).cast("double")
+        db = (n * sbb - sb * sb).cast("double")
+        return num / F.sqrt(da * db)
+
+    r12 = corr(F.col("s12"), F.col("s1"), F.col("s2"), F.col("s11"), F.col("s22"))
+    r13 = corr(F.col("s13"), F.col("s1"), F.col("s3"), F.col("s11"), F.col("s33"))
+    r23 = corr(F.col("s23"), F.col("s2"), F.col("s3"), F.col("s22"), F.col("s33"))
+    det = (
+        1.0
+        + 2.0 * r12 * r13 * r23
+        - r12 * r12
+        - r13 * r13
+        - r23 * r23
+    )
+    return agg.select(
+        r12.alias("r12"),
+        r13.alias("r13"),
+        r23.alias("r23"),
+        det.alias("det_r"),
+        ((1.0 - r23 * r23) / det).alias("vif_1"),
+        ((1.0 - r13 * r13) / det).alias("vif_2"),
+        ((1.0 - r12 * r12) / det).alias("vif_3"),
+        F.col("n").cast("bigint").alias("n"),
+    )

@@ -285,3 +285,74 @@ def permutation_sign_test(
         F.col("__n").cast("bigint").alias("n"),
         F.lit(n_perms).cast("int").alias("n_perms"),
     )
+
+
+def jackknife_ratio(
+    df: DataFrame,
+    num_col: str,
+    den_col: str,
+    *,
+    num_quantize: int = 1_000_000,
+    ratio_quantize: int = 1000,
+) -> DataFrame:
+    """Delete-one jackknife variance and bias of the ratio estimator
+    R = sum(x) / sum(y) (Quenouille 1956; Tukey 1958; Efron 1982 ch.
+    2) — the classic survey-sampling ratio diagnostic, exactly
+    computable in ONE scan because the leave-one-out replicate has
+    the closed form R_(i) = (Sx - x_i) / (Sy - y_i):
+
+        var_jack  = (n-1)/n * sum_i (R_(i) - Rbar)^2
+        bias_jack = (n-1) * (Rbar - R)
+
+    Numerators quantize to micro-units (exact money domain) and every
+    per-row replicate is floor-quantized to ``1/ratio_quantize`` of a
+    micro-unit-per-den-unit BEFORE summation, so the replicate sums
+    are pure integers and commute across partitions (the u6-summand
+    discipline).  Totals arrive via one broadcast spine row."""
+    x = F.floor(
+        F.col(num_col).cast("double") * F.lit(float(num_quantize))
+        + F.lit(0.5)
+    ).cast("bigint")
+    y = F.col(den_col).cast("bigint")
+    base = df.where(
+        F.col(num_col).isNotNull() & F.col(den_col).isNotNull()
+    ).select(x.alias("__x"), y.alias("__y"))
+    tot = base.agg(
+        F.sum(F.col("__x").cast("decimal(19,0)")).alias("__sx"),
+        F.sum(F.col("__y").cast("decimal(19,0)")).alias("__sy"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    j = base.crossJoin(F.broadcast(tot))
+    r_i = (
+        (F.col("__sx") - F.col("__x")).cast("double")
+        / (F.col("__sy") - F.col("__y")).cast("double")
+    )
+    rq = F.floor(r_i * F.lit(float(ratio_quantize))).cast("bigint")
+    agg = j.agg(
+        F.sum(rq.cast("decimal(19,0)")).alias("sr"),
+        F.sum(rq.cast("decimal(19,0)") * rq).alias("sr2"),
+        F.max("__n").alias("n"),
+        F.max("__sx").alias("sx"),
+        F.max("__sy").alias("sy"),
+    )
+    scale = float(num_quantize) * float(ratio_quantize)
+    n = F.col("n").cast("double")
+    sr = F.col("sr").cast("double")
+    sr2 = F.col("sr2").cast("double")
+    theta = F.col("sx").cast("double") / F.col("sy").cast("double") / float(
+        num_quantize
+    )
+    rbar = sr / n / scale
+    var_jack = (
+        (n - 1.0)
+        / n
+        * (sr2 - sr * sr / n)
+        / F.lit(scale * scale)
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        theta.alias("theta_hat"),
+        rbar.alias("theta_jack"),
+        F.sqrt(var_jack).alias("se_jack"),
+        ((n - 1.0) * (rbar - theta)).alias("bias_jack"),
+    )

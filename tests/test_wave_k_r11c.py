@@ -455,3 +455,128 @@ class TestWilsonInterval:
         assert out["wilson_hi"] <= 1.0 + 1e-12
 
 
+
+
+class TestVifThree:
+    def test_matches_numpy_inverse(self, spark):
+        from gofast_spark.stats.relationships import vif_three
+
+        rng = np.random.RandomState(29)
+        x1 = rng.normal(0, 1, 300)
+        x2 = np.round(0.8 * x1 + 0.6 * rng.normal(0, 1, 300), 2)
+        x3 = np.round(rng.normal(0, 1, 300), 2)
+        x1 = np.round(x1, 2)
+        df = spark.createDataFrame(
+            [(float(a), float(b), float(c)) for a, b, c in zip(x1, x2, x3)],
+            "a double, b double, c double",
+        )
+        out = vif_three(
+            df, ["a", "b", "c"], quantize=(100, 100, 100)
+        ).first()
+        r = np.corrcoef(np.vstack([x1, x2, x3]))
+        inv = np.linalg.inv(r)
+        assert out["vif_1"] == pytest.approx(inv[0, 0], rel=1e-9)
+        assert out["vif_2"] == pytest.approx(inv[1, 1], rel=1e-9)
+        assert out["vif_3"] == pytest.approx(inv[2, 2], rel=1e-9)
+        # collinear pair inflates its two VIFs well above the third
+        assert out["vif_1"] > 1.5 and out["vif_2"] > 1.5
+        assert out["vif_3"] < 1.2
+
+    def test_orthogonal_regressors_unit_vif(self, spark):
+        from gofast_spark.stats.relationships import vif_three
+
+        # perfectly balanced orthogonal design
+        rows = [
+            (1.0, 1.0, 1.0), (1.0, -1.0, -1.0),
+            (-1.0, 1.0, -1.0), (-1.0, -1.0, 1.0),
+        ] * 5
+        df = spark.createDataFrame(rows, "a double, b double, c double")
+        out = vif_three(df, ["a", "b", "c"], quantize=(1, 1, 1)).first()
+        for k in ("vif_1", "vif_2", "vif_3"):
+            assert out[k] == pytest.approx(1.0, abs=1e-12)
+
+
+class TestJackknifeRatio:
+    def test_matches_direct_loo(self, spark):
+        from gofast_spark.stats.resampling import jackknife_ratio
+
+        rng = np.random.RandomState(31)
+        y = rng.randint(1, 20, 100)
+        x = np.round(y * 3.0 + rng.normal(0, 2, 100), 2)
+        df = spark.createDataFrame(
+            [(float(a), int(b)) for a, b in zip(x, y)],
+            "x double, y bigint",
+        )
+        out = jackknife_ratio(df, "x", "y").first()
+        sx, sy, n = x.sum(), y.sum(), len(x)
+        # replicate the u-quantization contract exactly
+        xq = np.floor(x * 1e6 + 0.5)
+        r = np.floor((xq.sum() - xq) / (sy - y) * 1e3)
+        rbar = r.sum() / n / 1e9
+        var = (n - 1) / n * ((r**2).sum() - r.sum() ** 2 / n) / 1e18
+        assert out["theta_hat"] == pytest.approx(
+            xq.sum() / sy / 1e6, rel=1e-12
+        )
+        assert out["theta_jack"] == pytest.approx(rbar, rel=1e-9)
+        assert out["se_jack"] == pytest.approx(np.sqrt(var), rel=1e-9)
+
+    def test_constant_ratio_zero_variance(self, spark):
+        from gofast_spark.stats.resampling import jackknife_ratio
+
+        rows = [(6.0, 2), (9.0, 3), (15.0, 5)]
+        df = spark.createDataFrame(rows, "x double, y bigint")
+        out = jackknife_ratio(df, "x", "y").first()
+        assert out["theta_hat"] == pytest.approx(3.0, abs=1e-9)
+        assert out["se_jack"] == pytest.approx(0.0, abs=1e-6)
+
+
+class TestQQNormal:
+    def test_standard_normalish_sample(self, spark):
+        from gofast_spark.stats.evaluation import qq_normal_points
+
+        rng = np.random.RandomState(37)
+        x = np.round(rng.normal(50, 10, 5000), 2)
+        df = spark.createDataFrame([(float(v),) for v in x], "v double")
+        rows = qq_normal_points(df, "v").collect()
+        assert len(rows) == 9
+        ps = sorted(r["p"] for r in rows)
+        assert ps == pytest.approx([i / 10 for i in range(1, 10)])
+        for r in rows:
+            # on a genuinely normal sample the QQ diff stays small
+            assert abs(r["diff"]) < 1.0
+            assert r["diff"] == pytest.approx(
+                r["q_emp"] - r["q_theo"], abs=1e-9
+            )
+
+    def test_empirical_quantile_is_lower_order_stat(self, spark):
+        from gofast_spark.stats.evaluation import qq_normal_points
+
+        vals = [float(i) for i in range(1, 11)]  # 1..10
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        rows = {round(r["p"], 1): r for r in qq_normal_points(df, "v").collect()}
+        # rank ceil(p*10): p=0.1 -> 1st order stat = 1.0; p=0.5 -> 5.0
+        assert rows[0.1]["q_emp"] == 1.0
+        assert rows[0.5]["q_emp"] == 5.0
+        assert rows[0.9]["q_emp"] == 9.0
+
+
+class TestCohensH:
+    def test_matches_closed_form(self, spark):
+        from gofast_spark.stats.inferential import cohens_h
+
+        import math
+
+        rows = [(1, 1)] * 30 + [(1, 0)] * 70 + [(0, 1)] * 10 + [(0, 0)] * 90
+        df = spark.createDataFrame(rows, "g int, s int")
+        out = cohens_h(df, F.col("g") == 1, F.col("s") == 1).first()
+        ref = 2 * math.asin(math.sqrt(0.3)) - 2 * math.asin(math.sqrt(0.1))
+        assert out["h"] == pytest.approx(ref, abs=1e-12)
+        assert out["p1"] == pytest.approx(0.3) and out["p2"] == pytest.approx(0.1)
+
+    def test_equal_proportions_zero(self, spark):
+        from gofast_spark.stats.inferential import cohens_h
+
+        rows = [(1, 1)] * 5 + [(1, 0)] * 5 + [(0, 1)] * 7 + [(0, 0)] * 7
+        df = spark.createDataFrame(rows, "g int, s int")
+        out = cohens_h(df, F.col("g") == 1, F.col("s") == 1).first()
+        assert out["h"] == pytest.approx(0.0, abs=1e-12)
