@@ -3196,3 +3196,46 @@ def cross_perplexity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cross_entropy", 6).cast("double").alias("cross_entropy"),
         F.round("perplexity", 6).cast("double").alias("perplexity"),
     )
+
+
+@query(
+    "hill_numbers_documents",
+    oracle=f"""
+    WITH norm AS (
+      SELECT {_norm_sql('text')} AS t FROM documents),
+    w AS (
+      SELECT unnest(string_split(t, ' ')) AS w FROM norm
+      WHERE len(t) > 0),
+    c AS (SELECT w, count(*) AS c FROM w GROUP BY w),
+    a AS (
+      SELECT sum(c) AS n, count(*) AS v,
+             sum(CAST(floor(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+               * 1000000.0) AS HUGEINT)) AS t,
+             sum(CAST(c AS HUGEINT) * c) AS c2
+      FROM c)
+    SELECT CAST(n AS BIGINT) AS n_tokens,
+           CAST(v AS BIGINT) AS hill_0,
+           CAST(round(exp(ln(CAST(n AS DOUBLE)) - CAST(t AS DOUBLE)
+             / 1000000.0 / CAST(n AS DOUBLE)), 6) AS DOUBLE) AS hill_1,
+           CAST(round(CAST(CAST(n AS HUGEINT) * n AS DOUBLE)
+             / CAST(c2 AS DOUBLE), 6) AS DOUBLE) AS hill_2,
+           CAST(round(ln(CAST(n AS DOUBLE)) - CAST(t AS DOUBLE)
+             / 1000000.0 / CAST(n AS DOUBLE), 6) AS DOUBLE) AS shannon_h
+    FROM a
+    """,
+)
+def hill_numbers_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill-number diversity profile (q = 0, 1, 2) of the corpus
+    token distribution (text/analysis.py hill_numbers; Hill 1973,
+    Jost 2006) — effective vocabulary sizes beside Zipf slope and
+    Yule's K for mixture monitoring; u6-quantized c*ln(c) summands,
+    exact integer inverse-Simpson ratio."""
+    from gofast_spark.text.analysis import hill_numbers
+
+    out = hill_numbers(_docs(spark, sf_dir), "text")
+    return out.select(
+        "n_tokens", "hill_0",
+        F.round("hill_1", 6).cast("double").alias("hill_1"),
+        F.round("hill_2", 6).cast("double").alias("hill_2"),
+        F.round("shannon_h", 6).cast("double").alias("shannon_h"),
+    )

@@ -6154,3 +6154,192 @@ def cohens_h_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("p2", 6).cast("double").alias("p2"),
         F.round("h", 6).cast("double").alias("h"),
     )
+
+
+_PAIRED_ORDER_SQL = """
+      SELECT CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT) AS a,
+             li.b AS b
+      FROM orders o
+      JOIN (SELECT l_orderkey,
+                   sum(CAST(floor(l_extendedprice * 100.0 + 0.5)
+                     AS BIGINT)) AS b
+            FROM lineitem GROUP BY l_orderkey) li
+        ON o.o_orderkey = li.l_orderkey
+      WHERE o.o_totalprice IS NOT NULL
+"""
+
+
+def _paired_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconciliation pairs: the order header total vs the summed
+    lineitem extended price, BOTH in integer cents (per-item
+    quantization BEFORE the sum, so the pair is engine-exact — a
+    per-order double sum would be partition-order dependent)."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice").isNotNull())
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5)
+                ).cast("bigint")
+            ).alias("b")
+        )
+    )
+    return o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("a"),
+        "b",
+    )
+
+
+@query(
+    "lin_ccc_orders",
+    oracle=f"""
+    WITH pairs AS ({_PAIRED_ORDER_SQL}),
+    m AS (
+      SELECT count(*) AS n,
+             sum(CAST(a AS HUGEINT)) AS sa, sum(CAST(b AS HUGEINT)) AS sb,
+             sum(CAST(a AS HUGEINT) * a) AS saa,
+             sum(CAST(b AS HUGEINT) * b) AS sbb,
+             sum(CAST(a AS HUGEINT) * b) AS sab
+      FROM pairs),
+    c AS (
+      SELECT n,
+             n * sab - sa * sb AS cov,
+             n * saa - sa * sa AS va,
+             n * sbb - sb * sb AS vb,
+             (sa - sb) * (sa - sb) AS shift
+      FROM m)
+    SELECT CAST(round(2.0 * CAST(cov AS DOUBLE)
+             / (CAST(va AS DOUBLE) + CAST(vb AS DOUBLE)
+                + CAST(shift AS DOUBLE)), 6) AS DOUBLE) AS ccc,
+           CAST(round(CAST(cov AS DOUBLE)
+             / sqrt(CAST(va AS DOUBLE) * CAST(vb AS DOUBLE)), 6)
+             AS DOUBLE) AS r_pearson,
+           CAST(n AS BIGINT) AS n
+    FROM c
+    """,
+)
+def lin_ccc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lin's concordance between the order header total and the
+    summed lineitem revenue (stats/evaluation.py lin_ccc; Lin 1989)
+    — the agreement score of the reconciliation check, pure integer
+    moments over cent pairs."""
+    from gofast_spark.stats.evaluation import lin_ccc
+
+    out = lin_ccc(_paired_orders(spark, sf_dir), "a", "b", quantize=1)
+    return out.select(
+        F.round("ccc", 6).cast("double").alias("ccc"),
+        F.round("r_pearson", 6).cast("double").alias("r_pearson"),
+        "n",
+    )
+
+
+@query(
+    "bland_altman_orders",
+    oracle=f"""
+    WITH pairs AS ({_PAIRED_ORDER_SQL}),
+    d AS (SELECT a - b AS dd FROM pairs),
+    m AS (
+      SELECT count(*) AS n, sum(CAST(dd AS HUGEINT)) AS s,
+             sum(CAST(dd AS HUGEINT) * dd) AS ss
+      FROM d),
+    c AS (
+      SELECT n,
+             CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1.0 AS mean,
+             sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)
+                   * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                  / (CAST(n AS DOUBLE) - 1.0)) / 1.0 AS sd
+      FROM m)
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(round(mean, 6) AS DOUBLE) AS mean_diff_cents,
+           CAST(round(sd, 6) AS DOUBLE) AS sd_diff_cents,
+           CAST(round(mean - 1.959964 * sd, 6) AS DOUBLE) AS loa_lo,
+           CAST(round(mean + 1.959964 * sd, 6) AS DOUBLE) AS loa_hi
+    FROM c
+    """,
+)
+def bland_altman_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bland-Altman limits of agreement for the header-vs-lineitems
+    order total reconciliation (stats/evaluation.py bland_altman;
+    Bland & Altman 1986) — bias and 95% limits in cents from one
+    integer-moment aggregate."""
+    from gofast_spark.stats.evaluation import bland_altman
+
+    out = bland_altman(
+        _paired_orders(spark, sf_dir), "a", "b", quantize=1
+    )
+    return out.select(
+        "n",
+        F.round("mean_diff", 6).cast("double").alias("mean_diff_cents"),
+        F.round("sd_diff", 6).cast("double").alias("sd_diff_cents"),
+        F.round("loa_lo", 6).cast("double").alias("loa_lo"),
+        F.round("loa_hi", 6).cast("double").alias("loa_hi"),
+    )
+
+
+_RM_ORACLE = """
+    WITH base AS (
+      SELECT CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS x
+      FROM customer WHERE c_acctbal IS NOT NULL),
+    nrow AS (SELECT count(*) AS n FROM base),
+    grid AS (
+      SELECT x, sum(c) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS cum
+      FROM (SELECT x, count(*) AS c FROM base GROUP BY x)),
+    octs AS (SELECT unnest(range(1, 8)) AS i),
+    pj AS (
+      SELECT i, n,
+             ((i * n + 7) - ((i * n + 7) % 8)) / 8 AS r
+      FROM octs, nrow),
+    emp AS (
+      SELECT i, n, min(x) AS q
+      FROM grid JOIN pj ON grid.cum >= pj.r
+      GROUP BY i, n),
+    piv AS (
+      SELECT n,
+             max(CASE WHEN i = 1 THEN q END) AS e1,
+             max(CASE WHEN i = 2 THEN q END) AS e2,
+             max(CASE WHEN i = 3 THEN q END) AS e3,
+             max(CASE WHEN i = 4 THEN q END) AS e4,
+             max(CASE WHEN i = 5 THEN q END) AS e5,
+             max(CASE WHEN i = 6 THEN q END) AS e6,
+             max(CASE WHEN i = 7 THEN q END) AS e7
+      FROM emp GROUP BY n)
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(e2 AS DOUBLE) / 100.0 AS q1,
+           CAST(e4 AS DOUBLE) / 100.0 AS median,
+           CAST(e6 AS DOUBLE) / 100.0 AS q3,
+           CASE WHEN e6 > e2 THEN CAST(round(
+             (CAST(e6 AS DOUBLE) + CAST(e2 AS DOUBLE)
+              - 2.0 * CAST(e4 AS DOUBLE))
+             / (CAST(e6 AS DOUBLE) - CAST(e2 AS DOUBLE)), 6) AS DOUBLE)
+           END AS bowley_skew,
+           CASE WHEN e6 > e2 THEN CAST(round(
+             ((CAST(e7 AS DOUBLE) - CAST(e5 AS DOUBLE))
+              + (CAST(e3 AS DOUBLE) - CAST(e1 AS DOUBLE)))
+             / (CAST(e6 AS DOUBLE) - CAST(e2 AS DOUBLE)), 6) AS DOUBLE)
+           END AS moors_kurtosis
+    FROM piv
+    """
+
+
+@query("robust_moments_acctbal", oracle=_RM_ORACLE)
+def robust_moments_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bowley quartile skewness + Moors octile kurtosis of customer
+    balances (stats/descriptive.py robust_quantile_moments; Bowley
+    1920, Moors 1988) — outlier-immune shape stats from integer-rank
+    octiles on the distinct-value grid."""
+    from gofast_spark.stats.descriptive import robust_quantile_moments
+
+    c = _t(spark, sf_dir, "customer")
+    out = robust_quantile_moments(c, "c_acctbal")
+    return out.select(
+        "n", "q1", "median", "q3",
+        F.round("bowley_skew", 6).cast("double").alias("bowley_skew"),
+        F.round("moors_kurtosis", 6).cast("double").alias(
+            "moors_kurtosis"
+        ),
+    )

@@ -2096,3 +2096,103 @@ def cox_stuart_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n", "n_pairs", "n_plus", "n_minus",
         F.round("z", 6).cast("double").alias("z"),
     )
+
+
+@query(
+    "seasonal_mann_kendall_daily",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL}),
+    u AS (SELECT t % 7 AS g, d, v FROM daily),
+    idx AS (
+      SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY d) AS rn
+      FROM u),
+    p AS (
+      SELECT sum(CASE WHEN b.v > a.v THEN 1
+                      WHEN b.v < a.v THEN -1 ELSE 0 END) AS s
+      FROM idx a JOIN idx b ON a.g = b.g AND a.rn < b.rn),
+    ties AS (SELECT g, v, count(*) AS tt FROM idx GROUP BY g, v),
+    per AS (
+      SELECT g, sum(tt * (tt - 1) * (2 * tt + 5)) AS tie_term,
+             sum(tt) AS n_g
+      FROM ties GROUP BY g),
+    vt AS (
+      SELECT sum(n_g * (n_g - 1) * (2 * n_g + 5) - tie_term) AS var18,
+             sum(n_g) AS n, count(*) AS k
+      FROM per)
+    SELECT CAST(s AS BIGINT) AS s,
+           CAST(round(CAST(var18 AS DOUBLE) / 18.0, 6) AS DOUBLE)
+             AS var_s,
+           CAST(round(CASE
+             WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0)
+               / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+             WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0)
+               / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+             ELSE 0.0 END, 6) AS DOUBLE) AS z,
+           CAST(n AS BIGINT) AS n,
+           CAST(k AS BIGINT) AS n_seasons
+    FROM p, vt
+    """,
+)
+def seasonal_mann_kendall_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Seasonal Mann-Kendall over the daily series with day-of-week
+    seasons (ts/engineering.py seasonal_mann_kendall; Hirsch-Slack
+    -Smith 1982) — within-season pairs only, so the weekly cycle
+    cannot masquerade as trend; the deseasonalized companion of
+    mann_kendall_daily_events."""
+    from gofast_spark.ts.engineering import seasonal_mann_kendall
+
+    d = _daily(spark, sf_dir).withColumn("season", F.col("t") % 7)
+    out = seasonal_mann_kendall(d, "d", "v", "season")
+    return out.select(
+        "s",
+        F.round("var_s", 6).cast("double").alias("var_s"),
+        F.round("z", 6).cast("double").alias("z"),
+        "n",
+        "n_seasons",
+    )
+
+
+@query(
+    "dixon_q_daily",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL}),
+    u AS (SELECT CAST(floor(v * 10000 + 0.5) AS BIGINT) AS x FROM daily),
+    r AS (
+      SELECT x, row_number() OVER (ORDER BY x) AS ra,
+             row_number() OVER (ORDER BY x DESC) AS rd,
+             count(*) OVER () AS n
+      FROM u),
+    a AS (
+      SELECT min(x) AS lo, max(x) AS hi,
+             min(CASE WHEN ra = 2 THEN x END) AS second,
+             min(CASE WHEN rd = 2 THEN x END) AS penult,
+             max(n) AS n
+      FROM r)
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(lo AS DOUBLE) / 10000.0 AS x_min,
+           CAST(second AS DOUBLE) / 10000.0 AS x_second,
+           CAST(penult AS DOUBLE) / 10000.0 AS x_penult,
+           CAST(hi AS DOUBLE) / 10000.0 AS x_max,
+           CASE WHEN hi > lo THEN CAST(round(
+             CAST(second - lo AS DOUBLE) / CAST(hi - lo AS DOUBLE), 6)
+             AS DOUBLE) END AS q_low,
+           CASE WHEN hi > lo THEN CAST(round(
+             CAST(hi - penult AS DOUBLE) / CAST(hi - lo AS DOUBLE), 6)
+             AS DOUBLE) END AS q_high
+    FROM a
+    """,
+)
+def dixon_q_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dixon's Q gap-over-range ratios for the daily series extremes
+    (ts/engineering.py dixon_q; Dixon 1950) — the small-sample
+    order-statistic outlier screen beside grubbs_test_acctbal."""
+    from gofast_spark.ts.engineering import dixon_q
+
+    out = dixon_q(_daily(spark, sf_dir), "v", "d")
+    return out.select(
+        "n", "x_min", "x_second", "x_penult", "x_max",
+        F.round("q_low", 6).cast("double").alias("q_low"),
+        F.round("q_high", 6).cast("double").alias("q_high"),
+    )

@@ -574,3 +574,80 @@ def herfindahl_index(
         hhi.alias("hhi"),
         (F.lit(1.0) / hhi).alias("n_effective"),
     )
+
+
+def robust_quantile_moments(
+    df: DataFrame,
+    value_col: str,
+    *,
+    quantize: int = 100,
+) -> DataFrame:
+    """Quantile-based robust shape report: Bowley's quartile skewness
+    (Bowley 1920) and Moors' octile kurtosis (Moors, The Statistician
+    1988) — outlier-immune alternatives to the moment skewness/
+    kurtosis profile:
+
+        bowley = (Q3 + Q1 - 2 Q2) / (Q3 - Q1)
+        moors  = ((E7 - E5) + (E3 - E1)) / (E6 - E2)
+
+    with octiles E1..E7 selected as LOWER order statistics by integer
+    rank ceil(i*n/8) on the distinct-value cumulative frame (never a
+    full-table sort; both engines pick the identical element).
+    Moors' reference value under normality is 1.233.  Returns one row
+    ``(n, q1, median, q3, bowley_skew, moors_kurtosis)``."""
+    x = F.floor(
+        F.col(value_col).cast("double") * F.lit(float(quantize)) + F.lit(0.5)
+    ).cast("bigint")
+    base = df.where(F.col(value_col).isNotNull()).select(x.alias("__x"))
+    nrow = base.agg(F.count(F.lit(1)).alias("__n"))
+    grid = (
+        base.groupBy("__x")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .select(
+            "__x",
+            F.sum("__c")
+            .over(
+                Window.orderBy("__x").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            .alias("__cum"),
+        )
+    )
+    spark = df.sparkSession
+    octs = spark.range(1, 8).select(F.col("id").cast("int").alias("__i"))
+    pj = octs.crossJoin(F.broadcast(nrow))
+    t = F.col("__i").cast("bigint") * F.col("__n") + F.lit(7)
+    rank = (t - t % F.lit(8)) / F.lit(8)
+    pj = pj.select("__i", "__n", rank.alias("__r"))
+    emp = (
+        grid.join(F.broadcast(pj), F.col("__cum") >= F.col("__r"))
+        .groupBy("__i", "__n")
+        .agg(F.min("__x").alias("__q"))
+    )
+    one = emp.groupBy("__n").agg(
+        *[
+            F.max(F.when(F.col("__i") == i, F.col("__q"))).alias(f"e{i}")
+            for i in range(1, 8)
+        ]
+    )
+    q = F.lit(float(quantize))
+
+    def e(i):
+        return F.col(f"e{i}").cast("double")
+
+    # zero interquartile range (constant-ish column): NULL shape
+    # statistics per the ANSI divide-by-zero rule
+    iqr_pos = F.col("e6") > F.col("e2")
+    bowley = F.when(iqr_pos, (e(6) + e(2) - 2.0 * e(4)) / (e(6) - e(2)))
+    moors = F.when(
+        iqr_pos, ((e(7) - e(5)) + (e(3) - e(1))) / (e(6) - e(2))
+    )
+    return one.select(
+        F.col("__n").cast("bigint").alias("n"),
+        (e(2) / q).alias("q1"),
+        (e(4) / q).alias("median"),
+        (e(6) / q).alias("q3"),
+        bowley.alias("bowley_skew"),
+        moors.alias("moors_kurtosis"),
+    )

@@ -478,3 +478,120 @@ def qq_normal_points(
         q_theo.alias("q_theo"),
         (q_emp - q_theo).alias("diff"),
     )
+
+
+def lin_ccc(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    *,
+    quantize: int = 100,
+) -> DataFrame:
+    """Lin's concordance correlation coefficient (Lin, Biometrics
+    1989): agreement between two measurements of the same quantity —
+    Pearson r penalized by location and scale shift, the
+    reproducibility score of a reconciliation/method-comparison
+    check:
+
+        CCC = 2 s_xy / (s_x^2 + s_y^2 + (xbar - ybar)^2)
+            = 2 (n Sxy - Sx Sy)
+              / ((n Sxx - Sx^2) + (n Syy - Sy^2) + (Sx - Sy)^2)
+
+    — the second form is PURE INTEGER over quantized moments (the
+    n^2 factors cancel), so one aggregate and one double division.
+    Returns one row ``(ccc, r_pearson, n)``."""
+    qa = F.floor(
+        F.col(col_a).cast("double") * F.lit(float(quantize)) + F.lit(0.5)
+    ).cast("bigint")
+    qb = F.floor(
+        F.col(col_b).cast("double") * F.lit(float(quantize)) + F.lit(0.5)
+    ).cast("bigint")
+    base = df.where(
+        F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+    ).select(qa.alias("__a"), qb.alias("__b"))
+
+    def d(c):
+        return F.col(c).cast("decimal(19,0)")
+
+    agg = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d("__a")).alias("sa"),
+        F.sum(d("__b")).alias("sb"),
+        F.sum(d("__a") * F.col("__a")).alias("saa"),
+        F.sum(d("__b") * F.col("__b")).alias("sbb"),
+        F.sum(d("__a") * F.col("__b")).alias("sab"),
+    )
+    n = F.col("n").cast("decimal(38,0)")
+    cov = n * F.col("sab") - F.col("sa") * F.col("sb")
+    va = n * F.col("saa") - F.col("sa") * F.col("sa")
+    vb = n * F.col("sbb") - F.col("sb") * F.col("sb")
+    shift = (F.col("sa") - F.col("sb")).cast("decimal(38,0)") * (
+        F.col("sa") - F.col("sb")
+    )
+    ccc = (2.0 * cov.cast("double")) / (
+        va.cast("double") + vb.cast("double") + shift.cast("double")
+    )
+    r = cov.cast("double") / F.sqrt(va.cast("double") * vb.cast("double"))
+    return agg.select(
+        ccc.alias("ccc"),
+        r.alias("r_pearson"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+
+
+def bland_altman(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    *,
+    quantize: int = 1_000_000,
+    z_crit: float = 1.959964,
+) -> DataFrame:
+    """Bland-Altman limits of agreement (Bland & Altman, Lancet
+    1986): mean difference between two paired measurements and the
+    interval mean +- z * sd(diff) expected to cover ~95% of
+    differences — the bias/limits companion of :func:`lin_ccc`.
+
+    Differences quantize to micro-units, so the moment sums are
+    exact integers; mean, sd, and both limits are closed-form doubles
+    over them.  ONE aggregate, no second pass.  Returns one row
+    ``(n, mean_diff, sd_diff, loa_lo, loa_hi)``."""
+    da = F.floor(
+        F.col(col_a).cast("double") * F.lit(float(quantize)) + F.lit(0.5)
+    ).cast("bigint")
+    db = F.floor(
+        F.col(col_b).cast("double") * F.lit(float(quantize)) + F.lit(0.5)
+    ).cast("bigint")
+    dd = (da - db).alias("__d")
+    base = df.where(
+        F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+    ).select(dd)
+    agg = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("__d").cast("decimal(19,0)")).alias("s"),
+        F.sum(F.col("__d").cast("decimal(19,0)") * F.col("__d")).alias(
+            "ss"
+        ),
+    )
+    n = F.col("n").cast("double")
+    q = F.lit(float(quantize))
+    mean = F.col("s").cast("double") / n / q
+    sd = (
+        F.sqrt(
+            (
+                F.col("ss").cast("double")
+                - F.col("s").cast("double")
+                * F.col("s").cast("double")
+                / n
+            )
+            / (n - 1.0)
+        )
+        / q
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        mean.alias("mean_diff"),
+        sd.alias("sd_diff"),
+        (mean - F.lit(z_crit) * sd).alias("loa_lo"),
+        (mean + F.lit(z_crit) * sd).alias("loa_hi"),
+    )

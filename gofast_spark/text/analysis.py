@@ -333,3 +333,49 @@ def cross_perplexity(
         h.alias("cross_entropy"),
         F.exp(h).alias("perplexity"),
     )
+
+
+def hill_numbers(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Hill-number diversity profile of the token distribution (Hill,
+    Ecology 1973; Jost 2006): the effective number of equally-common
+    types at orders q = 0, 1, 2 —
+
+        N0 = V (richness)
+        N1 = exp(H)            (Shannon diversity)
+        N2 = N^2 / sum c_w^2   (inverse Simpson)
+
+    N0 >= N1 >= N2 always; the gaps measure how head-heavy the
+    vocabulary is (the diversity companion of Zipf slope and Yule's
+    K for corpus-mixture monitoring).  One word groupBy, one final
+    aggregate: the Shannon entropy uses the u6-quantized c*ln(c)
+    summand discipline (integer sums commute); N2 is an exact
+    integer ratio."""
+    norm = normalize_text(text_col)
+    words = (
+        df.where(F.length(norm) > 0)
+        .select(F.explode(F.split(norm, " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    clnc_u6 = F.floor(
+        F.col("c").cast("double") * F.log(F.col("c").cast("double"))
+        * F.lit(1e6)
+    ).cast("bigint")
+    agg = words.agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("v"),
+        F.sum(clnc_u6.cast("decimal(19,0)")).alias("t"),
+        F.sum(F.col("c").cast("decimal(19,0)") * F.col("c")).alias("c2"),
+    )
+    n = F.col("n").cast("double")
+    h = F.log(n) - F.col("t").cast("double") / 1e6 / n
+    n2 = (
+        F.col("n").cast("decimal(38,0)") * F.col("n")
+    ).cast("double") / F.col("c2").cast("double")
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.col("v").cast("bigint").alias("hill_0"),
+        F.exp(h).alias("hill_1"),
+        n2.alias("hill_2"),
+        h.alias("shannon_h"),
+    )

@@ -1293,3 +1293,135 @@ def cox_stuart_test(
         F.col("n_minus").cast("bigint").alias("n_minus"),
         z.alias("z"),
     )
+
+
+def seasonal_mann_kendall(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    season_col: str,
+) -> DataFrame:
+    """Seasonal Mann-Kendall trend test (Hirsch, Slack & Smith, Water
+    Resources Research 1982): the Mann-Kendall S statistic computed
+    WITHIN each season (pairs never cross seasons, so a strong weekly
+    cycle cannot masquerade as trend), seasonal S and tie-corrected
+    variances summed:
+
+        S = sum_g S_g,   Var = sum_g Var_g,
+        z = (S -/+ 1) / sqrt(Var)
+
+    Same scale contract as :func:`mann_kendall`: the pair enumeration
+    is a banded self-join over the ROLLUP-sized series frame,
+    partitioned by season; S and the tie terms stay exact integers.
+    Returns one row ``(s, var_s, z, n, n_seasons)``."""
+    idx = df.select(
+        F.col(season_col).alias("__g"),
+        F.col(order_col).alias("__o"),
+        F.col(value_col).cast("double").alias("__x"),
+    ).withColumn(
+        "__rn",
+        F.row_number().over(Window.partitionBy("__g").orderBy("__o")),
+    )
+    a, b = idx.alias("a"), idx.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.__g") == F.col("b.__g"))
+        & (F.col("a.__rn") < F.col("b.__rn")),
+    ).select(
+        F.signum(F.col("b.__x") - F.col("a.__x")).cast("long").alias("sg")
+    )
+    s_frame = pairs.agg(F.sum("sg").alias("s"))
+    per_season = (
+        idx.groupBy("__g", "__x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("__g")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_term"),
+            F.sum("t").alias("n_g"),
+        )
+    )
+    var_tot = per_season.agg(
+        F.sum(
+            F.col("n_g")
+            * (F.col("n_g") - 1)
+            * (2 * F.col("n_g") + 5)
+            - F.col("tie_term")
+        ).alias("var18"),
+        F.sum("n_g").alias("n"),
+        F.count(F.lit(1)).alias("n_seasons"),
+    )
+    j = s_frame.crossJoin(F.broadcast(var_tot))
+    var_s = F.col("var18").cast("double") / F.lit(18.0)
+    s = F.col("s").cast("double")
+    z = (
+        F.when(F.col("s") > 0, (s - F.lit(1.0)) / F.sqrt(var_s))
+        .when(F.col("s") < 0, (s + F.lit(1.0)) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    return j.select(
+        F.col("s").cast("bigint").alias("s"),
+        var_s.alias("var_s"),
+        z.alias("z"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_seasons").cast("bigint").alias("n_seasons"),
+    )
+
+
+def dixon_q(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    *,
+    quantize: int = 10000,
+) -> DataFrame:
+    """Dixon's Q ratios for the two extreme observations (Dixon,
+    Ann. Math. Statist. 1950; the r10 gap-over-range form) — the
+    small-sample outlier screen beside Grubbs (which assumes
+    normal-scale moments; Dixon uses only order statistics):
+
+        q_low  = (x_(2) - x_(1)) / (x_(n) - x_(1))
+        q_high = (x_(n) - x_(n-1)) / (x_(n) - x_(1))
+
+    Values quantize to integers; the four order statistics come from
+    one min/max + rank-window pass over the ROLLUP-sized frame (the
+    daily-series contract).  Returns one row ``(n, x_min, x_second,
+    x_penult, x_max, q_low, q_high)`` — NULL ratios when the range is
+    zero (ANSI divide-by-zero rule)."""
+    x = F.floor(
+        F.col(value_col).cast("double") * F.lit(float(quantize)) + F.lit(0.5)
+    ).cast("bigint")
+    base = df.where(F.col(value_col).isNotNull()).select(x.alias("__x"))
+    ranked = base.select(
+        "__x",
+        F.row_number().over(Window.orderBy("__x")).alias("__ra"),
+        F.row_number().over(Window.orderBy(F.desc("__x"))).alias("__rd"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("__n"),
+    )
+    agg = ranked.agg(
+        F.min("__x").alias("lo"),
+        F.max("__x").alias("hi"),
+        F.min(F.when(F.col("__ra") == 2, F.col("__x"))).alias("second"),
+        F.min(F.when(F.col("__rd") == 2, F.col("__x"))).alias("penult"),
+        F.max("__n").alias("n"),
+    )
+    rng = (F.col("hi") - F.col("lo")).cast("double")
+    q = F.lit(float(quantize))
+    q_low = F.when(
+        F.col("hi") > F.col("lo"),
+        (F.col("second") - F.col("lo")).cast("double") / rng,
+    )
+    q_high = F.when(
+        F.col("hi") > F.col("lo"),
+        (F.col("hi") - F.col("penult")).cast("double") / rng,
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("lo").cast("double") / q).alias("x_min"),
+        (F.col("second").cast("double") / q).alias("x_second"),
+        (F.col("penult").cast("double") / q).alias("x_penult"),
+        (F.col("hi").cast("double") / q).alias("x_max"),
+        q_low.alias("q_low"),
+        q_high.alias("q_high"),
+    )

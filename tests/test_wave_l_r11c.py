@@ -1,0 +1,191 @@
+"""Unit tests for the round-11 third-wave batch K5: Lin's CCC,
+Bland-Altman, Hill numbers, seasonal Mann-Kendall, Dixon's Q, and the
+Bowley/Moors robust moments."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestLinCCC:
+    def test_perfect_agreement_is_one(self, spark):
+        from gofast_spark.stats.evaluation import lin_ccc
+
+        rows = [(float(i), float(i)) for i in range(1, 30)]
+        df = spark.createDataFrame(rows, "a double, b double")
+        out = lin_ccc(df, "a", "b", quantize=1).first()
+        assert out["ccc"] == pytest.approx(1.0, abs=1e-12)
+        assert out["r_pearson"] == pytest.approx(1.0, abs=1e-12)
+
+    def test_shift_penalizes_ccc_not_r(self, spark):
+        from gofast_spark.stats.evaluation import lin_ccc
+
+        rows = [(float(i), float(i) + 10.0) for i in range(1, 30)]
+        df = spark.createDataFrame(rows, "a double, b double")
+        out = lin_ccc(df, "a", "b", quantize=1).first()
+        assert out["r_pearson"] == pytest.approx(1.0, abs=1e-12)
+        # var(1..29) = 70; shift^2 = 100 -> ccc = 140/240
+        assert out["ccc"] == pytest.approx(140.0 / 240.0, rel=1e-9)
+        assert out["ccc"] < out["r_pearson"]
+
+    def test_matches_population_formula(self, spark):
+        from gofast_spark.stats.evaluation import lin_ccc
+
+        rng = np.random.RandomState(41)
+        a = np.round(rng.normal(10, 2, 200), 2)
+        b = np.round(a + rng.normal(0.5, 1, 200), 2)
+        df = spark.createDataFrame(
+            [(float(x), float(y)) for x, y in zip(a, b)],
+            "a double, b double",
+        )
+        out = lin_ccc(df, "a", "b").first()
+        sxy = np.cov(a, b, bias=True)[0, 1]
+        ref = 2 * sxy / (a.var() + b.var() + (a.mean() - b.mean()) ** 2)
+        assert out["ccc"] == pytest.approx(ref, rel=1e-9)
+
+
+class TestBlandAltman:
+    def test_known_bias_and_limits(self, spark):
+        from gofast_spark.stats.evaluation import bland_altman
+
+        rng = np.random.RandomState(43)
+        a = np.round(rng.normal(100, 10, 500), 3)
+        b = np.round(a - 2.0 + rng.normal(0, 0.5, 500), 3)
+        df = spark.createDataFrame(
+            [(float(x), float(y)) for x, y in zip(a, b)],
+            "a double, b double",
+        )
+        out = bland_altman(df, "a", "b").first()
+        d = np.round(a * 1e6 + 0.5).astype(np.int64) // 1 - 0  # noqa: F841
+        diffs = np.floor(a * 1e6 + 0.5) - np.floor(b * 1e6 + 0.5)
+        ref_mean = diffs.mean() / 1e6
+        ref_sd = diffs.std(ddof=1) / 1e6
+        assert out["mean_diff"] == pytest.approx(ref_mean, rel=1e-9)
+        assert out["sd_diff"] == pytest.approx(ref_sd, rel=1e-9)
+        assert out["loa_lo"] == pytest.approx(
+            ref_mean - 1.959964 * ref_sd, rel=1e-9
+        )
+        assert out["loa_hi"] == pytest.approx(
+            ref_mean + 1.959964 * ref_sd, rel=1e-9
+        )
+
+
+class TestHillNumbers:
+    def test_uniform_distribution_all_equal(self, spark):
+        from gofast_spark.text.analysis import hill_numbers
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma delta")], "doc_id bigint, text string"
+        )
+        out = hill_numbers(df, "text").first()
+        assert out["hill_0"] == 4
+        assert out["hill_1"] == pytest.approx(4.0, abs=1e-4)
+        assert out["hill_2"] == pytest.approx(4.0, abs=1e-9)
+
+    def test_ordering_n0_ge_n1_ge_n2(self, spark):
+        from gofast_spark.text.analysis import hill_numbers
+
+        df = spark.createDataFrame(
+            [(1, "the the the the cat sat on a mat")],
+            "doc_id bigint, text string",
+        )
+        out = hill_numbers(df, "text").first()
+        assert out["hill_0"] >= out["hill_1"] >= out["hill_2"]
+        # skewed head: effective numbers strictly below richness
+        assert out["hill_1"] < out["hill_0"]
+
+
+class TestSeasonalMannKendall:
+    def test_within_season_trend_detected(self, spark):
+        from gofast_spark.ts.engineering import seasonal_mann_kendall
+
+        # strong weekly cycle + slow upward trend
+        rows = [
+            (i, float((i % 7) * 100 + i * 0.5), i % 7) for i in range(56)
+        ]
+        df = spark.createDataFrame(rows, "t bigint, v double, s bigint")
+        out = seasonal_mann_kendall(df, "t", "v", "s").first()
+        # every within-season pair increases: S = 7 * C(8,2) = 196
+        assert out["s"] == 196
+        assert out["z"] > 4.0
+        assert out["n_seasons"] == 7
+
+    def test_pure_cycle_no_trend(self, spark):
+        from gofast_spark.ts.engineering import seasonal_mann_kendall
+
+        rows = [(i, float(i % 7), i % 7) for i in range(56)]
+        df = spark.createDataFrame(rows, "t bigint, v double, s bigint")
+        out = seasonal_mann_kendall(df, "t", "v", "s").first()
+        # constant within every season: S = 0, z = 0
+        assert out["s"] == 0
+        assert out["z"] == 0.0
+
+
+class TestDixonQ:
+    def test_hand_computed_ratios(self, spark):
+        from gofast_spark.ts.engineering import dixon_q
+
+        vals = [10.0, 11.0, 12.0, 13.0, 30.0]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "t bigint, v double"
+        )
+        out = dixon_q(df, "v", "t").first()
+        assert out["x_min"] == 10.0 and out["x_max"] == 30.0
+        assert out["q_low"] == pytest.approx(1.0 / 20.0, abs=1e-9)
+        assert out["q_high"] == pytest.approx(17.0 / 20.0, abs=1e-9)
+
+    def test_constant_series_null_ratios(self, spark):
+        from gofast_spark.ts.engineering import dixon_q
+
+        df = spark.createDataFrame(
+            [(i, 5.0) for i in range(6)], "t bigint, v double"
+        )
+        out = dixon_q(df, "v", "t").first()
+        assert out["q_low"] is None and out["q_high"] is None
+
+
+class TestRobustMoments:
+    def test_symmetric_sample_zero_bowley(self, spark):
+        from gofast_spark.stats.descriptive import robust_quantile_moments
+
+        vals = [float(v) for v in range(-40, 41)]  # symmetric 81 values
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        out = robust_quantile_moments(df, "v").first()
+        assert out["bowley_skew"] == pytest.approx(0.0, abs=1e-9)
+        assert out["median"] == pytest.approx(0.0, abs=1e-9)
+
+    def test_octile_selection_matches_numpy_lower(self, spark):
+        from gofast_spark.stats.descriptive import robust_quantile_moments
+
+        rng = np.random.RandomState(47)
+        x = np.round(rng.normal(0, 1, 2000), 2)
+        df = spark.createDataFrame([(float(v),) for v in x], "v double")
+        out = robust_quantile_moments(df, "v").first()
+        xs = np.sort(np.floor(x * 100 + 0.5).astype(np.int64))
+        n = len(xs)
+
+        def oct_(i):
+            return xs[math.ceil(i * n / 8) - 1] / 100.0
+
+        assert out["q1"] == pytest.approx(oct_(2), abs=1e-12)
+        assert out["median"] == pytest.approx(oct_(4), abs=1e-12)
+        assert out["q3"] == pytest.approx(oct_(6), abs=1e-12)
+        e = {i: oct_(i) for i in range(1, 8)}
+        assert out["moors_kurtosis"] == pytest.approx(
+            ((e[7] - e[5]) + (e[3] - e[1])) / (e[6] - e[2]), rel=1e-9
+        )
+        # Moors' normal reference is ~1.233
+        assert 1.0 < out["moors_kurtosis"] < 1.5
+
+    def test_right_skew_positive_bowley(self, spark):
+        from gofast_spark.stats.descriptive import robust_quantile_moments
+
+        rng = np.random.RandomState(53)
+        x = np.round(np.exp(rng.normal(0, 0.8, 3000)), 3)
+        df = spark.createDataFrame([(float(v),) for v in x], "v double")
+        out = robust_quantile_moments(df, "v", quantize=1000).first()
+        assert out["bowley_skew"] > 0.1
