@@ -6343,3 +6343,91 @@ def robust_moments_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "moors_kurtosis"
         ),
     )
+
+
+@query(
+    "cmh_orders",
+    oracle="""
+    WITH q AS (
+      SELECT o_orderpriority AS k,
+             CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                  THEN 1 ELSE 0 END AS e,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS o
+      FROM orders
+      WHERE o_orderdate IS NOT NULL AND o_orderstatus IS NOT NULL
+        AND o_orderpriority IS NOT NULL),
+    per AS (
+      SELECT k,
+             sum(e * o) AS a, sum(e * (1 - o)) AS b,
+             sum((1 - e) * o) AS c, sum((1 - e) * (1 - o)) AS d
+      FROM q GROUP BY k),
+    t AS (
+      SELECT a,
+             CAST(floor((CAST(a AS DOUBLE) + b) * (CAST(a AS DOUBLE) + c)
+               / (CAST(a AS DOUBLE) + b + c + d) * 1000000.0) AS BIGINT)
+               AS e_u6,
+             CAST(floor((CAST(a AS DOUBLE) + b) * (CAST(c AS DOUBLE) + d)
+               * (CAST(a AS DOUBLE) + c) * (CAST(b AS DOUBLE) + d)
+               / ((CAST(a AS DOUBLE) + b + c + d)
+                  * (CAST(a AS DOUBLE) + b + c + d)
+                  * (CAST(a AS DOUBLE) + b + c + d - 1.0))
+               * 1000000.0) AS BIGINT) AS v_u6,
+             CAST(floor(CAST(a AS DOUBLE) * d
+               / (CAST(a AS DOUBLE) + b + c + d) * 1000000.0) AS BIGINT)
+               AS r_u6,
+             CAST(floor(CAST(b AS DOUBLE) * c
+               / (CAST(a AS DOUBLE) + b + c + d) * 1000000.0) AS BIGINT)
+               AS s_u6,
+             a + b + c + d AS n_k
+      FROM per WHERE a + b + c + d > 1),
+    g AS (
+      SELECT sum(a) AS sum_a, sum(e_u6) AS sum_e, sum(v_u6) AS sum_v,
+             sum(r_u6) AS sum_r, sum(s_u6) AS sum_s,
+             count(*) AS k, sum(n_k) AS n
+      FROM t)
+    SELECT CAST(round(
+             (abs(CAST(sum_a AS DOUBLE) - CAST(sum_e AS DOUBLE) / 1000000.0)
+              - 0.5)
+             * (abs(CAST(sum_a AS DOUBLE) - CAST(sum_e AS DOUBLE) / 1000000.0)
+                - 0.5)
+             / (CAST(sum_v AS DOUBLE) / 1000000.0), 6) AS DOUBLE)
+             AS cmh_stat,
+           CASE WHEN sum_s > 0 THEN CAST(round(
+             CAST(sum_r AS DOUBLE) / CAST(sum_s AS DOUBLE), 6) AS DOUBLE)
+           END AS or_mh,
+           CAST(sum_a AS BIGINT) AS sum_a,
+           CAST(round(CAST(sum_e AS DOUBLE) / 1000000.0, 6) AS DOUBLE)
+             AS sum_e,
+           CAST(k AS BIGINT) AS n_strata,
+           CAST(n AS BIGINT) AS n
+    FROM g
+    """,
+)
+def cmh_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel association of early-window exposure
+    with finished status, stratified by order priority
+    (stats/inferential.py cochran_mantel_haenszel; Cochran 1954,
+    Mantel & Haenszel 1959) — the confounder-adjusted companion of
+    odds_ratio_events: per-stratum integer cells, u6-quantized
+    stratum terms, integer cross-stratum combine."""
+    from gofast_spark.stats.inferential import cochran_mantel_haenszel
+
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").isNotNull()
+        & F.col("o_orderstatus").isNotNull()
+        & F.col("o_orderpriority").isNotNull()
+    )
+    out = cochran_mantel_haenszel(
+        o,
+        "o_orderpriority",
+        F.col("o_orderdate") < "1998-01-01",
+        F.col("o_orderstatus") == "F",
+    )
+    return out.select(
+        F.round("cmh_stat", 6).cast("double").alias("cmh_stat"),
+        F.round("or_mh", 6).cast("double").alias("or_mh"),
+        "sum_a",
+        F.round("sum_e", 6).cast("double").alias("sum_e"),
+        "n_strata",
+        "n",
+    )

@@ -2196,3 +2196,47 @@ def dixon_q_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("q_low", 6).cast("double").alias("q_low"),
         F.round("q_high", 6).cast("double").alias("q_high"),
     )
+
+
+@query(
+    "holt_forecast_daily",
+    oracle=f"""
+    WITH RECURSIVE daily AS ({_DAILY_SQL}),
+    u AS (
+      SELECT row_number() OVER (ORDER BY d) AS t,
+             CAST(floor(v * 10000 + 0.5) AS BIGINT) AS y
+      FROM daily),
+    nn AS (SELECT max(t) AS n FROM u),
+    rec AS (
+      SELECT 2 AS t,
+             (SELECT y FROM u WHERE t = 2) AS l,
+             (SELECT y FROM u WHERE t = 2)
+               - (SELECT y FROM u WHERE t = 1) AS b
+      UNION ALL
+      SELECT r.t + 1,
+             CAST(floor((u.y + 1 * (r.l + r.b)) / 2) AS BIGINT),
+             CAST(floor((
+               (CAST(floor((u.y + 1 * (r.l + r.b)) / 2) AS BIGINT) - r.l)
+               + 3 * r.b) / 4) AS BIGINT)
+      FROM rec r JOIN u ON u.t = r.t + 1
+      WHERE r.t < (SELECT n FROM nn)),
+    fin AS (SELECT l, b FROM rec ORDER BY t DESC LIMIT 1),
+    h AS (SELECT unnest(range(1, 8)) AS h)
+    SELECT CAST(h AS INT) AS h,
+           CAST(l + h * b AS DOUBLE) / 10000.0 AS forecast,
+           CAST(l AS DOUBLE) / 10000.0 AS level,
+           CAST(b AS DOUBLE) / 10000.0 AS trend
+    FROM h, fin
+    """,
+)
+def holt_forecast_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend smoothing of the daily series with dyadic
+    alpha = 1/2, beta = 1/4 (ts/engineering.py holt_forecast; Holt
+    1957, Gardner 1985) — exact integer recursion folded in-plan via
+    F.aggregate; the two-parameter companion of Brown's double EWMA;
+    DuckDB replays the identical floor recursion as a recursive
+    CTE."""
+    from gofast_spark.ts.engineering import holt_forecast
+
+    out = holt_forecast(_daily(spark, sf_dir), "v", "d")
+    return out.select("h", "forecast", "level", "trend")

@@ -2438,3 +2438,82 @@ def cohens_h(
         p2.alias("p2"),
         h.alias("h"),
     )
+
+
+def cochran_mantel_haenszel(
+    df: DataFrame,
+    stratum_col: str,
+    exposure: Column,
+    outcome: Column,
+) -> DataFrame:
+    """Cochran-Mantel-Haenszel test and Mantel-Haenszel pooled odds
+    ratio for a 2x2 association across strata (Cochran 1954; Mantel
+    & Haenszel, JNCI 1959) — the confounder-adjusted companion of
+    :func:`odds_ratio_2x2`: each stratum contributes its own 2x2
+    table, so a stratum-correlated confounder cannot fake (or mask)
+    the pooled association:
+
+        CMH   = (|sum_k (a_k - E_k)| - 1/2)^2 / sum_k Var_k
+        OR_MH = sum_k (a_k d_k / n_k) / sum_k (b_k c_k / n_k)
+
+    with E_k = (a+b)(a+c)/n and Var_k = (a+b)(c+d)(a+c)(b+d) /
+    (n^2 (n-1)).  ONE groupBy produces the per-stratum integer
+    cells; every stratum-level rational term is u6-quantized (floor
+    (x * 1e6)) before the cross-stratum sum, so the combine is pure
+    integer arithmetic and commutes.  Returns one row ``(cmh_stat,
+    or_mh, sum_a, sum_e, n_strata, n)``."""
+    e = exposure.cast("int")
+    o = outcome.cast("int")
+    per = (
+        df.where(
+            e.isNotNull() & o.isNotNull() & F.col(stratum_col).isNotNull()
+        )
+        .groupBy(F.col(stratum_col).alias("__k"))
+        .agg(
+            F.sum(e * o).alias("a"),
+            F.sum(e * (1 - o)).alias("b"),
+            F.sum((1 - e) * o).alias("c"),
+            F.sum((1 - e) * (1 - o)).alias("d"),
+        )
+    )
+    a, b, c, d = (F.col(x).cast("double") for x in "abcd")
+    n = a + b + c + d
+    e_k = (a + b) * (a + c) / n
+    var_k = (
+        (a + b) * (c + d) * (a + c) * (b + d) / (n * n * (n - 1.0))
+    )
+    u = F.lit(1e6)
+    terms = per.where((a + b + c + d) > 1).select(
+        F.col("a"),
+        F.floor(e_k * u).cast("bigint").alias("e_u6"),
+        F.floor(var_k * u).cast("bigint").alias("v_u6"),
+        F.floor(a * d / n * u).cast("bigint").alias("r_u6"),
+        F.floor(b * c / n * u).cast("bigint").alias("s_u6"),
+        (a + b + c + d).cast("bigint").alias("n_k"),
+    )
+    agg = terms.agg(
+        F.sum("a").alias("sum_a"),
+        F.sum("e_u6").alias("sum_e"),
+        F.sum("v_u6").alias("sum_v"),
+        F.sum("r_u6").alias("sum_r"),
+        F.sum("s_u6").alias("sum_s"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_k").alias("n"),
+    )
+    dev = F.abs(
+        F.col("sum_a").cast("double")
+        - F.col("sum_e").cast("double") / 1e6
+    ) - F.lit(0.5)
+    cmh = dev * dev / (F.col("sum_v").cast("double") / 1e6)
+    or_mh = F.when(
+        F.col("sum_s") > 0,
+        F.col("sum_r").cast("double") / F.col("sum_s").cast("double"),
+    )
+    return agg.select(
+        cmh.alias("cmh_stat"),
+        or_mh.alias("or_mh"),
+        F.col("sum_a").cast("bigint").alias("sum_a"),
+        (F.col("sum_e").cast("double") / 1e6).alias("sum_e"),
+        F.col("k").cast("bigint").alias("n_strata"),
+        F.col("n").cast("bigint").alias("n"),
+    )

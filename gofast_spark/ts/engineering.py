@@ -1425,3 +1425,84 @@ def dixon_q(
         q_low.alias("q_low"),
         q_high.alias("q_high"),
     )
+
+
+def holt_forecast(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    *,
+    alpha_inv: int = 2,
+    beta_inv: int = 4,
+    horizons: int = 7,
+    quantize: int = 10000,
+) -> DataFrame:
+    """Holt's linear-trend exponential smoothing (Holt 1957, reprinted
+    IJF 2004; Gardner 1985) with DYADIC smoothing weights alpha =
+    1/alpha_inv, beta = 1/beta_inv so the entire recursion runs in
+    exact integer arithmetic:
+
+        l_t = floor((y_t + (alpha_inv-1) (l_{t-1} + b_{t-1})) / alpha_inv)
+        b_t = floor(((l_t - l_{t-1}) + (beta_inv-1) b_{t-1}) / beta_inv)
+
+    initialized l_2 = y_2, b_2 = y_2 - y_1 and folded over t = 3..n.
+    Each floor is the declared per-step quantization (error < 1
+    quantum per step, identical both engines), so the final state is
+    bit-reproducible — the trajectory-replay discipline of the GLM
+    fits applied to a smoother.
+
+    Scale shape: the ROLLUP-sized series is gathered into ONE ordered
+    array (array_sort of (t, y) structs) and the recursion is a
+    single in-plan ``F.aggregate`` fold — no driver loop, no
+    per-step jobs.  Returns ``horizons`` rows ``(h, forecast, level,
+    trend)`` with the h-step-ahead forecast l_n + h b_n."""
+    y = F.floor(
+        F.col(value_col).cast("double") * F.lit(float(quantize)) + F.lit(0.5)
+    ).cast("bigint")
+    base = df.where(
+        F.col(value_col).isNotNull() & F.col(order_col).isNotNull()
+    ).select(F.col(order_col).alias("__o"), y.alias("__y"))
+    arr = base.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("__o"), F.col("__y")))
+        ).alias("__a")
+    ).select(F.transform("__a", lambda s: s["__y"]).alias("__v"))
+
+    a1 = F.lit(alpha_inv - 1)
+    ai = F.lit(alpha_inv)
+    b1 = F.lit(beta_inv - 1)
+    bi = F.lit(beta_inv)
+
+    def step(acc, yv):
+        l_new = F.floor(
+            (yv + a1 * (acc["l"] + acc["b"])) / ai
+        ).cast("bigint")
+        b_new = F.floor(
+            ((l_new - acc["l"]) + b1 * acc["b"]) / bi
+        ).cast("bigint")
+        return F.struct(l_new.alias("l"), b_new.alias("b"))
+
+    init = F.struct(
+        F.element_at("__v", 2).alias("l"),
+        (F.element_at("__v", 2) - F.element_at("__v", 1)).alias("b"),
+    )
+    rest = F.slice(F.col("__v"), 3, F.greatest(F.size("__v") - 2, F.lit(0)))
+    state = arr.select(
+        F.aggregate(rest, init, step).alias("__s"),
+    ).select(
+        F.col("__s.l").alias("__l"), F.col("__s.b").alias("__b")
+    )
+    hs = state.select(
+        "__l",
+        "__b",
+        F.explode(F.sequence(F.lit(1), F.lit(horizons))).alias("h"),
+    )
+    q = F.lit(float(quantize))
+    return hs.select(
+        F.col("h").cast("int").alias("h"),
+        ((F.col("__l") + F.col("h") * F.col("__b")).cast("double") / q).alias(
+            "forecast"
+        ),
+        (F.col("__l").cast("double") / q).alias("level"),
+        (F.col("__b").cast("double") / q).alias("trend"),
+    )

@@ -189,3 +189,88 @@ class TestRobustMoments:
         df = spark.createDataFrame([(float(v),) for v in x], "v double")
         out = robust_quantile_moments(df, "v", quantize=1000).first()
         assert out["bowley_skew"] > 0.1
+
+
+class TestHoltForecast:
+    @staticmethod
+    def _ref(y, horizons=7):
+        # integer dyadic recursion, alpha=1/2 beta=1/4
+        yq = [int(np.floor(v * 10000 + 0.5)) for v in y]
+        l, b = yq[1], yq[1] - yq[0]
+        for v in yq[2:]:
+            l_new = (v + (l + b)) // 2
+            b = ((l_new - l) + 3 * b) // 4
+            l = l_new
+        return [(h, (l + h * b) / 10000.0) for h in range(1, horizons + 1)]
+
+    def test_matches_pure_python_recursion(self, spark):
+        from gofast_spark.ts.engineering import holt_forecast
+
+        rng = np.random.RandomState(59)
+        y = np.round(10 + 0.5 * np.arange(30) + rng.normal(0, 1, 30), 4)
+        df = spark.createDataFrame(
+            [(i, float(v)) for i, v in enumerate(y)], "t bigint, v double"
+        )
+        out = {
+            r["h"]: r["forecast"]
+            for r in holt_forecast(df, "v", "t").collect()
+        }
+        for h, f in self._ref(y):
+            assert out[h] == pytest.approx(f, abs=1e-12)
+
+    def test_linear_series_extrapolates_linearly(self, spark):
+        from gofast_spark.ts.engineering import holt_forecast
+
+        df = spark.createDataFrame(
+            [(i, 2.0 * i + 5.0) for i in range(20)], "t bigint, v double"
+        )
+        rows = {r["h"]: r for r in holt_forecast(df, "v", "t").collect()}
+        # exact linear input: trend converges to ~2/step
+        assert rows[1]["trend"] == pytest.approx(2.0, abs=0.1)
+        assert rows[7]["forecast"] - rows[1]["forecast"] == pytest.approx(
+            12.0, abs=0.6
+        )
+
+
+class TestCMH:
+    def test_confounded_marginal_adjusted_away(self, spark):
+        from gofast_spark.stats.inferential import cochran_mantel_haenszel
+
+        # two strata; within each stratum exposure and outcome are
+        # INDEPENDENT, but both are stratum-correlated, faking a
+        # marginal association: CMH must stay small.
+        rows = []
+        # stratum s1: exposure 80%, outcome 80%
+        for e in (1, 0):
+            for o in (1, 0):
+                pe = 0.8 if e else 0.2
+                po = 0.8 if o else 0.2
+                rows += [("s1", e, o)] * int(100 * pe * po)
+        # stratum s2: exposure 20%, outcome 20%
+        for e in (1, 0):
+            for o in (1, 0):
+                pe = 0.2 if e else 0.8
+                po = 0.2 if o else 0.8
+                rows += [("s2", e, o)] * int(100 * pe * po)
+        df = spark.createDataFrame(rows, "k string, e int, o int")
+        out = cochran_mantel_haenszel(
+            df, "k", F.col("e") == 1, F.col("o") == 1
+        ).first()
+        assert out["cmh_stat"] < 1.0
+        assert out["or_mh"] == pytest.approx(1.0, abs=0.05)
+        assert out["n_strata"] == 2
+
+    def test_real_association_detected(self, spark):
+        from gofast_spark.stats.inferential import cochran_mantel_haenszel
+
+        rows = []
+        for k in ("s1", "s2"):
+            rows += [(k, 1, 1)] * 60 + [(k, 1, 0)] * 40
+            rows += [(k, 0, 1)] * 30 + [(k, 0, 0)] * 70
+        df = spark.createDataFrame(rows, "k string, e int, o int")
+        out = cochran_mantel_haenszel(
+            df, "k", F.col("e") == 1, F.col("o") == 1
+        ).first()
+        # per-stratum OR = (60*70)/(40*30) = 3.5
+        assert out["or_mh"] == pytest.approx(3.5, abs=0.01)
+        assert out["cmh_stat"] > 15.0
