@@ -3239,3 +3239,51 @@ def hill_numbers_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("hill_2", 6).cast("double").alias("hill_2"),
         F.round("shannon_h", 6).cast("double").alias("shannon_h"),
     )
+
+
+@query(
+    "lexical_richness_by_lang_documents",
+    oracle=f"""
+    WITH norm AS (
+      SELECT lang, {_norm_sql('text')} AS t FROM documents
+      WHERE lang IS NOT NULL),
+    w AS (
+      SELECT lang, unnest(string_split(t, ' ')) AS w FROM norm
+      WHERE len(t) > 0),
+    c AS (SELECT lang, w, count(*) AS c FROM w GROUP BY lang, w),
+    a AS (
+      SELECT lang, sum(c) AS n, count(*) AS v,
+             sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS v1,
+             sum(CAST(c AS HUGEINT) * c) AS c2
+      FROM c GROUP BY lang)
+    SELECT lang,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(v AS BIGINT) AS n_types,
+           CAST(v1 AS BIGINT) AS hapax_types,
+           CAST(round(CAST(v AS DOUBLE) / CAST(n AS DOUBLE), 6)
+             AS DOUBLE) AS ttr,
+           CAST(round(CAST(v1 AS DOUBLE) / CAST(v AS DOUBLE), 6)
+             AS DOUBLE) AS hapax_ratio,
+           CAST(round(10000.0 * (CAST(c2 AS DOUBLE) - CAST(n AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS DOUBLE)
+             AS yule_k
+    FROM a
+    """,
+)
+def lexical_richness_by_lang_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-language lexical richness (text/analysis.py
+    lexical_richness_by_group) — the corpus-mixture monitor: one
+    (lang, word) groupBy, one group aggregate, never per-group
+    passes."""
+    from gofast_spark.text.analysis import lexical_richness_by_group
+
+    d = _docs(spark, sf_dir).where(F.col("lang").isNotNull())
+    out = lexical_richness_by_group(d, "text", "lang")
+    return out.select(
+        "lang", "n_tokens", "n_types", "hapax_types",
+        F.round("ttr", 6).cast("double").alias("ttr"),
+        F.round("hapax_ratio", 6).cast("double").alias("hapax_ratio"),
+        F.round("yule_k", 6).cast("double").alias("yule_k"),
+    )

@@ -6431,3 +6431,233 @@ def cmh_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_strata",
         "n",
     )
+
+
+@query(
+    "wilson_ci_by_type_events",
+    oracle="""
+    WITH a AS (
+      SELECT event_type,
+             sum(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS k,
+             count(*) AS n
+      FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL
+      GROUP BY event_type),
+    m AS (
+      SELECT event_type, k, n,
+             CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+             CAST(n AS DOUBLE) AS nd
+      FROM a)
+    SELECT event_type, CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+           CAST(round(p, 6) AS DOUBLE) AS p_hat,
+           CAST(round((p + 1.959964 * 1.959964 / (2.0 * nd))
+                 / (1.0 + 1.959964 * 1.959964 / nd)
+               - 1.959964 * sqrt(p * (1.0 - p) / nd
+                 + 1.959964 * 1.959964 / (4.0 * nd * nd))
+                 / (1.0 + 1.959964 * 1.959964 / nd), 6) AS DOUBLE)
+             AS wilson_lo,
+           CAST(round((p + 1.959964 * 1.959964 / (2.0 * nd))
+                 / (1.0 + 1.959964 * 1.959964 / nd)
+               + 1.959964 * sqrt(p * (1.0 - p) / nd
+                 + 1.959964 * 1.959964 / (4.0 * nd * nd))
+                 / (1.0 + 1.959964 * 1.959964 / nd), 6) AS DOUBLE)
+             AS wilson_hi
+    FROM m
+    """,
+)
+def wilson_ci_by_type_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Wilson interval for the share of high-value
+    events (stats/inferential.py wilson_interval_by_group) — the
+    per-segment proportion readout beside the pooled
+    wilson_ci_events."""
+    from gofast_spark.stats.inferential import wilson_interval_by_group
+
+    e = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    )
+    out = wilson_interval_by_group(
+        e, "event_type", F.col("value") > 50.0
+    )
+    return out.select(
+        "event_type", "k", "n",
+        F.round("p_hat", 6).cast("double").alias("p_hat"),
+        F.round("wilson_lo", 6).cast("double").alias("wilson_lo"),
+        F.round("wilson_hi", 6).cast("double").alias("wilson_hi"),
+    )
+
+
+@query(
+    "odds_ratio_by_priority_orders",
+    oracle="""
+    WITH q AS (
+      SELECT o_orderpriority AS k,
+             CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                  THEN 1 ELSE 0 END AS e,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS o
+      FROM orders
+      WHERE o_orderdate IS NOT NULL AND o_orderstatus IS NOT NULL
+        AND o_orderpriority IS NOT NULL),
+    cells AS (
+      SELECT k,
+             sum(e * o) AS a, sum(e * (1 - o)) AS b,
+             sum((1 - e) * o) AS c, sum((1 - e) * (1 - o)) AS d
+      FROM q GROUP BY k),
+    adj AS (
+      SELECT k, a, b, c, d,
+             CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0
+                  THEN 0.5 ELSE 0.0 END AS h
+      FROM cells),
+    m AS (
+      SELECT k, a, b, c, d,
+             CAST(a AS DOUBLE) + h AS af, CAST(b AS DOUBLE) + h AS bf,
+             CAST(c AS DOUBLE) + h AS cf, CAST(d AS DOUBLE) + h AS df,
+             CASE WHEN h > 0 THEN 1 ELSE 0 END AS corrected
+      FROM adj),
+    s AS (
+      SELECT k, a, b, c, d, corrected,
+             ln(af) + ln(df) - ln(bf) - ln(cf) AS log_or,
+             sqrt(1.0/af + 1.0/bf + 1.0/cf + 1.0/df) AS se
+      FROM m)
+    SELECT k AS o_orderpriority,
+           CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+           CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
+           CAST(round(exp(log_or), 6) AS DOUBLE) AS odds_ratio,
+           CAST(round(exp(log_or - 1.959964 * se), 6) AS DOUBLE) AS or_lo,
+           CAST(round(exp(log_or + 1.959964 * se), 6) AS DOUBLE) AS or_hi,
+           CAST(corrected AS INT) AS corrected
+    FROM s
+    """,
+)
+def odds_ratio_by_priority_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-priority odds ratios for the same exposure/outcome
+    cmh_orders pools (stats/inferential.py odds_ratio_by_group) —
+    the stratum table read beside the pooled MH estimate."""
+    from gofast_spark.stats.inferential import odds_ratio_by_group
+
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").isNotNull()
+        & F.col("o_orderstatus").isNotNull()
+        & F.col("o_orderpriority").isNotNull()
+    )
+    out = odds_ratio_by_group(
+        o,
+        "o_orderpriority",
+        F.col("o_orderdate") < "1998-01-01",
+        F.col("o_orderstatus") == "F",
+    )
+    return out.select(
+        "o_orderpriority", "a", "b", "c", "d",
+        F.round("odds_ratio", 6).cast("double").alias("odds_ratio"),
+        F.round("or_lo", 6).cast("double").alias("or_lo"),
+        F.round("or_hi", 6).cast("double").alias("or_hi"),
+        "corrected",
+    )
+
+
+@query(
+    "breslow_day_orders",
+    oracle="""
+    WITH q AS (
+      SELECT o_orderpriority AS k,
+             CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                  THEN 1 ELSE 0 END AS e,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS o
+      FROM orders
+      WHERE o_orderdate IS NOT NULL AND o_orderstatus IS NOT NULL
+        AND o_orderpriority IS NOT NULL),
+    per AS (
+      SELECT k,
+             sum(e * o) AS a, sum(e * (1 - o)) AS b,
+             sum((1 - e) * o) AS c, sum((1 - e) * (1 - o)) AS d
+      FROM q GROUP BY k),
+    mh AS (
+      SELECT sum(CAST(floor(CAST(a AS DOUBLE) * d
+               / (CAST(a AS DOUBLE) + b + c + d) * 1000000.0) AS BIGINT))
+               AS sum_r,
+             sum(CAST(floor(CAST(b AS DOUBLE) * c
+               / (CAST(a AS DOUBLE) + b + c + d) * 1000000.0) AS BIGINT))
+               AS sum_s
+      FROM per WHERE a + b + c + d > 1),
+    j AS (
+      SELECT per.*, CAST(sum_r AS DOUBLE) / CAST(sum_s AS DOUBLE) AS psi
+      FROM per, mh),
+    fit AS (
+      SELECT a, b, c, d, psi,
+             CAST(a AS DOUBLE) + b + c + d AS n,
+             psi - 1.0 AS qa,
+             -(psi * ((CAST(a AS DOUBLE) + b) + (CAST(a AS DOUBLE) + c))
+               + ((CAST(c AS DOUBLE) + d) - (CAST(a AS DOUBLE) + c)))
+               AS qb,
+             psi * (CAST(a AS DOUBLE) + b) * (CAST(a AS DOUBLE) + c)
+               AS qc
+      FROM j),
+    root AS (
+      SELECT a, b, c, d, psi, n,
+             CASE WHEN abs(qa) < 1e-12
+                  THEN (CAST(a AS DOUBLE) + b) * (CAST(a AS DOUBLE) + c) / n
+                  ELSE (-qb - sqrt(qb * qb - 4.0 * qa * qc)) / (2.0 * qa)
+             END AS at
+      FROM fit),
+    cellfit AS (
+      SELECT a, b, c, d, psi, n, at,
+             (CAST(a AS DOUBLE) + b) - at AS bt,
+             (CAST(a AS DOUBLE) + c) - at AS ct,
+             (CAST(c AS DOUBLE) + d) - ((CAST(a AS DOUBLE) + c) - at) AS dt
+      FROM root),
+    v AS (
+      SELECT a, b, c, d, psi, n, at,
+             1.0 / (1.0 / at + 1.0 / bt + 1.0 / ct + 1.0 / dt) AS var
+      FROM cellfit),
+    terms AS (
+      SELECT CAST(floor((CAST(a AS DOUBLE) - at) * 1000000.0) AS BIGINT)
+               AS dev_u6,
+             CAST(floor((CAST(a AS DOUBLE) - at) * (CAST(a AS DOUBLE) - at)
+               / var * 1000000.0) AS BIGINT) AS chi_u6,
+             CAST(floor(var * 1000000.0) AS BIGINT) AS var_u6,
+             CAST(n AS BIGINT) AS n_k, psi
+      FROM v WHERE n > 1 AND a > 0 AND b > 0 AND c > 0 AND d > 0),
+    g AS (
+      SELECT sum(chi_u6) AS s_chi, sum(dev_u6) AS s_dev,
+             sum(var_u6) AS s_var, count(*) AS k, sum(n_k) AS n,
+             max(psi) AS psi
+      FROM terms)
+    SELECT CAST(round(CAST(s_chi AS DOUBLE) / 1000000.0
+             - (CAST(s_dev AS DOUBLE) / 1000000.0)
+               * (CAST(s_dev AS DOUBLE) / 1000000.0)
+               / (CAST(s_var AS DOUBLE) / 1000000.0), 6) AS DOUBLE)
+             AS bd_stat,
+           CAST(k - 1 AS BIGINT) AS dof,
+           CAST(round(psi, 6) AS DOUBLE) AS psi_mh,
+           CAST(k AS BIGINT) AS n_strata,
+           CAST(n AS BIGINT) AS n
+    FROM g
+    """,
+)
+def breslow_day_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breslow-Day-Tarone homogeneity of the per-priority odds ratios
+    (stats/inferential.py breslow_day; Breslow & Day 1980, Tarone
+    1985) — the pooling pre-condition for cmh_orders: margin
+    -preserving quadratic roots per stratum, u6-quantized stratum
+    terms, integer combine."""
+    from gofast_spark.stats.inferential import breslow_day
+
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").isNotNull()
+        & F.col("o_orderstatus").isNotNull()
+        & F.col("o_orderpriority").isNotNull()
+    )
+    out = breslow_day(
+        o,
+        "o_orderpriority",
+        F.col("o_orderdate") < "1998-01-01",
+        F.col("o_orderstatus") == "F",
+    )
+    return out.select(
+        F.round("bd_stat", 6).cast("double").alias("bd_stat"),
+        "dof",
+        F.round("psi_mh", 6).cast("double").alias("psi_mh"),
+        "n_strata",
+        "n",
+    )

@@ -2240,3 +2240,60 @@ def holt_forecast_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = holt_forecast(_daily(spark, sf_dir), "v", "d")
     return out.select("h", "forecast", "level", "trend")
+
+
+@query(
+    "von_neumann_by_type_events",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS g, CAST(ts AS DATE) AS d,
+             CAST(round(sum(value), 4) AS DOUBLE) AS v
+      FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+    u AS (
+      SELECT g, d, CAST(floor(v * 10000 + 0.5) AS BIGINT) AS x
+      FROM daily),
+    l AS (
+      SELECT g, x, x - lag(x) OVER (PARTITION BY g ORDER BY d) AS dd
+      FROM u),
+    a AS (
+      SELECT g,
+             sum(CASE WHEN dd IS NOT NULL
+                      THEN CAST(dd AS HUGEINT) * dd ELSE 0 END) AS sd2,
+             sum(CAST(x AS HUGEINT) * x) AS sx2,
+             sum(CAST(x AS HUGEINT)) AS sx,
+             count(*) AS n
+      FROM l GROUP BY g)
+    SELECT g AS event_type,
+           CASE WHEN n > 2 AND (n - 1) * (n * sx2 - sx * sx) > 0
+                THEN CAST(round(CAST(n * n * sd2 AS DOUBLE)
+                  / CAST((n - 1) * (n * sx2 - sx * sx) AS DOUBLE), 6)
+                  AS DOUBLE) END AS vn_ratio,
+           CASE WHEN n > 2 AND (n - 1) * (n * sx2 - sx * sx) > 0
+                THEN CAST(round((CAST(n * n * sd2 AS DOUBLE)
+                    / CAST((n - 1) * (n * sx2 - sx * sx) AS DOUBLE) - 2.0)
+                  / sqrt(4.0 * (CAST(n AS DOUBLE) - 2.0)
+                         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0)),
+                  6) AS DOUBLE) END AS z,
+           CAST(n AS BIGINT) AS n
+    FROM a
+    """,
+)
+def von_neumann_by_type_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type von Neumann ratio over each type's daily series
+    (ts/engineering.py von_neumann_by_group) — one scan with
+    group-partitioned lag windows, the per-segment randomness screen
+    beside the pooled von_neumann_daily."""
+    from gofast_spark.ts.engineering import von_neumann_by_group
+
+    e = _t(spark, sf_dir, "events").where(F.col("event_type").isNotNull())
+    daily = e.groupBy(
+        F.col("event_type").alias("event_type"),
+        F.col("ts").cast("date").alias("d"),
+    ).agg(F.round(F.sum("value"), 4).cast("double").alias("v"))
+    out = von_neumann_by_group(daily, "v", "d", "event_type")
+    return out.select(
+        "event_type",
+        F.round("vn_ratio", 6).cast("double").alias("vn_ratio"),
+        F.round("z", 6).cast("double").alias("z"),
+        "n",
+    )

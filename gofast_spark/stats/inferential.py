@@ -2517,3 +2517,203 @@ def cochran_mantel_haenszel(
         F.col("k").cast("bigint").alias("n_strata"),
         F.col("n").cast("bigint").alias("n"),
     )
+
+
+def wilson_interval_by_group(
+    df: DataFrame,
+    group_col: str,
+    success: Column,
+    *,
+    z_crit: float = 1.959964,
+) -> DataFrame:
+    """Per-group :func:`wilson_interval`: one groupBy to the integer
+    (k, n) pairs, closed-form bounds per row — the per-segment
+    proportion readout (per-arm conversion, per-source pass-rate)."""
+    s = success.cast("int")
+    agg = (
+        df.where(s.isNotNull() & F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .agg(F.sum(s).alias("k"), F.count(F.lit(1)).alias("n"))
+    )
+    k = F.col("k").cast("double")
+    n = F.col("n").cast("double")
+    p = k / n
+    z = F.lit(z_crit)
+    z2 = z * z
+    denom = 1.0 + z2 / n
+    center = (p + z2 / (2.0 * n)) / denom
+    half = z * F.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n)) / denom
+    return agg.select(
+        group_col,
+        F.col("k").cast("bigint").alias("k"),
+        F.col("n").cast("bigint").alias("n"),
+        p.alias("p_hat"),
+        (center - half).alias("wilson_lo"),
+        (center + half).alias("wilson_hi"),
+    )
+
+
+def odds_ratio_by_group(
+    df: DataFrame,
+    stratum_col: str,
+    exposure: Column,
+    outcome: Column,
+    *,
+    z_crit: float = 1.959964,
+) -> DataFrame:
+    """Per-stratum 2x2 odds ratios with Wald log-intervals — the
+    stratum table :func:`cochran_mantel_haenszel` pools; reading both
+    shows WHERE the association lives and whether pooling is honest
+    (see :func:`breslow_day` for the formal homogeneity test).  Same
+    cell construction and Haldane-Anscombe zero-cell rule as
+    :func:`odds_ratio_2x2`, per group."""
+    e = exposure.cast("int")
+    o = outcome.cast("int")
+    agg = (
+        df.where(
+            e.isNotNull() & o.isNotNull() & F.col(stratum_col).isNotNull()
+        )
+        .groupBy(stratum_col)
+        .agg(
+            F.sum(e * o).alias("a"),
+            F.sum(e * (1 - o)).alias("b"),
+            F.sum((1 - e) * o).alias("c"),
+            F.sum((1 - e) * (1 - o)).alias("d"),
+        )
+    )
+    zero = (
+        (F.col("a") == 0)
+        | (F.col("b") == 0)
+        | (F.col("c") == 0)
+        | (F.col("d") == 0)
+    )
+    corr = F.when(zero, F.lit(0.5)).otherwise(F.lit(0.0))
+    a = F.col("a").cast("double") + corr
+    b = F.col("b").cast("double") + corr
+    c = F.col("c").cast("double") + corr
+    d = F.col("d").cast("double") + corr
+    log_or = F.log(a) + F.log(d) - F.log(b) - F.log(c)
+    se = F.sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)
+    return agg.select(
+        stratum_col,
+        F.col("a").cast("bigint").alias("a"),
+        F.col("b").cast("bigint").alias("b"),
+        F.col("c").cast("bigint").alias("c"),
+        F.col("d").cast("bigint").alias("d"),
+        F.exp(log_or).alias("odds_ratio"),
+        F.exp(log_or - F.lit(z_crit) * se).alias("or_lo"),
+        F.exp(log_or + F.lit(z_crit) * se).alias("or_hi"),
+        zero.cast("int").alias("corrected"),
+    )
+
+
+def breslow_day(
+    df: DataFrame,
+    stratum_col: str,
+    exposure: Column,
+    outcome: Column,
+) -> DataFrame:
+    """Breslow-Day test of odds-ratio homogeneity across strata with
+    Tarone's correction (Breslow & Day 1980 vol. 1 §4.4; Tarone,
+    Biometrika 1985) — the pre-condition check for pooling via
+    :func:`cochran_mantel_haenszel`: under a COMMON odds ratio psi
+    (the Mantel-Haenszel estimate), each stratum's expected exposed
+    -case count a~ solves the margin-preserving quadratic
+
+        (psi - 1) a~^2 - [psi (r1 + c1) + (r0 - c1)] a~
+                       + psi r1 c1 = 0
+
+    (the root keeping all four cells positive), with Var(a~) =
+    1 / (1/a~ + 1/b~ + 1/c~ + 1/d~) and
+
+        X^2_BD = sum_k (a_k - a~_k)^2 / Var_k
+                 - (sum_k (a_k - a~_k))^2 / sum_k Var_k   (Tarone)
+
+    asymptotically chi-square with k-1 dof.  Stage 1 computes psi
+    (one u6-quantized aggregate, the CMH discipline); stage 2
+    broadcasts it back to the stratum-sized frame; every stratum
+    -level double term is u6-quantized before the final sum so the
+    combine is pure integer arithmetic.  Returns one row ``(bd_stat,
+    dof, psi_mh, n_strata, n)``."""
+    e = exposure.cast("int")
+    o = outcome.cast("int")
+    per = (
+        df.where(
+            e.isNotNull() & o.isNotNull() & F.col(stratum_col).isNotNull()
+        )
+        .groupBy(F.col(stratum_col).alias("__k"))
+        .agg(
+            F.sum(e * o).alias("a"),
+            F.sum(e * (1 - o)).alias("b"),
+            F.sum((1 - e) * o).alias("c"),
+            F.sum((1 - e) * (1 - o)).alias("d"),
+        )
+    )
+    a, b, c, d = (F.col(x).cast("double") for x in "abcd")
+    n = a + b + c + d
+    u = F.lit(1e6)
+    mh = per.where(n > 1).agg(
+        F.sum(F.floor(a * d / n * u).cast("bigint")).alias("sum_r"),
+        F.sum(F.floor(b * c / n * u).cast("bigint")).alias("sum_s"),
+    )
+    psi = (
+        F.col("sum_r").cast("double") / F.col("sum_s").cast("double")
+    ).alias("__psi")
+    j = per.crossJoin(F.broadcast(mh.select(psi)))
+    r1 = a + b
+    r0 = c + d
+    c1 = a + c
+    p = F.col("__psi")
+    qa = p - 1.0
+    qb = -(p * (r1 + c1) + (r0 - c1))
+    qc = p * r1 * c1
+    disc = F.sqrt(qb * qb - 4.0 * qa * qc)
+    # psi == 1 exactly degenerates the quadratic to the linear
+    # independence expectation r1*c1/n (measure-zero but guarded so
+    # both engines take the same branch)
+    at = F.when(
+        F.abs(qa) < F.lit(1e-12), r1 * c1 / n
+    ).otherwise((-qb - disc) / (2.0 * qa))
+    bt = r1 - at
+    ct = c1 - at
+    dt = r0 - ct
+    var = 1.0 / (1.0 / at + 1.0 / bt + 1.0 / ct + 1.0 / dt)
+    # strata with a zero cell are excluded from the BD sum: the
+    # margin-preserving root can land on a boundary there and the
+    # fitted-cell reciprocals blow up (ANSI divide-by-zero rule);
+    # such strata still inform psi via the MH stage above.
+    pos = (
+        (F.col("a") > 0)
+        & (F.col("b") > 0)
+        & (F.col("c") > 0)
+        & (F.col("d") > 0)
+    )
+    terms = j.where((n > 1) & pos).select(
+        F.floor((a - at) * u).cast("bigint").alias("dev_u6"),
+        F.floor((a - at) * (a - at) / var * u).cast("bigint").alias(
+            "chi_u6"
+        ),
+        F.floor(var * u).cast("bigint").alias("var_u6"),
+        (a + b + c + d).cast("bigint").alias("n_k"),
+        F.col("__psi"),
+    )
+    agg = terms.agg(
+        F.sum("chi_u6").alias("s_chi"),
+        F.sum("dev_u6").alias("s_dev"),
+        F.sum("var_u6").alias("s_var"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_k").alias("n"),
+        F.max("__psi").alias("psi"),
+    )
+    dev = F.col("s_dev").cast("double") / 1e6
+    bd = (
+        F.col("s_chi").cast("double") / 1e6
+        - dev * dev / (F.col("s_var").cast("double") / 1e6)
+    )
+    return agg.select(
+        bd.alias("bd_stat"),
+        (F.col("k") - 1).cast("bigint").alias("dof"),
+        F.col("psi").alias("psi_mh"),
+        F.col("k").cast("bigint").alias("n_strata"),
+        F.col("n").cast("bigint").alias("n"),
+    )

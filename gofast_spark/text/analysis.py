@@ -379,3 +379,43 @@ def hill_numbers(df: DataFrame, text_col: str = "text") -> DataFrame:
         n2.alias("hill_2"),
         h.alias("shannon_h"),
     )
+
+
+def lexical_richness_by_group(
+    df: DataFrame, text_col: str, group_col: str
+) -> DataFrame:
+    """Per-group :func:`lexical_richness` (TTR, hapax ratio, Yule's
+    K) from ONE scan: the word table groups by (group, word), the
+    moment aggregate by group — no per-group passes.  The corpus
+    -mixture monitor by source/language (a boilerplate-heavy slice
+    shows an inflated K against its siblings)."""
+    norm = normalize_text(text_col)
+    words = (
+        df.where((F.length(norm) > 0) & F.col(group_col).isNotNull())
+        .select(
+            F.col(group_col).alias("__g"),
+            F.explode(F.split(norm, " ")).alias("w"),
+        )
+        .groupBy("__g", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = words.groupBy("__g").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("v"),
+        F.sum((F.col("c") == 1).cast("int")).alias("v1"),
+        F.sum(F.col("c").cast("decimal(19,0)") * F.col("c")).alias("c2"),
+    )
+    n = F.col("n").cast("double")
+    return agg.select(
+        F.col("__g").alias(group_col),
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.col("v").cast("bigint").alias("n_types"),
+        F.col("v1").cast("bigint").alias("hapax_types"),
+        (F.col("v").cast("double") / n).alias("ttr"),
+        (F.col("v1").cast("double") / F.col("v").cast("double")).alias(
+            "hapax_ratio"
+        ),
+        (F.lit(1e4) * (F.col("c2").cast("double") - n) / (n * n)).alias(
+            "yule_k"
+        ),
+    )

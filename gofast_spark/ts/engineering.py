@@ -1506,3 +1506,62 @@ def holt_forecast(
         (F.col("__l").cast("double") / q).alias("level"),
         (F.col("__b").cast("double") / q).alias("trend"),
     )
+
+
+def von_neumann_by_group(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    group_col: str,
+    *,
+    quantize: int = 10000,
+) -> DataFrame:
+    """Per-group :func:`von_neumann_ratio` from ONE scan: the lag
+    window partitions by group, the moment aggregate groups by it —
+    each series gets its own successive-difference ratio and normal
+    deviate (the per-segment randomness screen; series shorter than
+    3 points return NULLs per the ANSI divide-by-zero rule)."""
+    x = F.floor(
+        F.col(value_col).cast("double") * F.lit(float(quantize)) + F.lit(0.5)
+    ).cast("bigint")
+    base = df.where(
+        F.col(value_col).isNotNull()
+        & F.col(order_col).isNotNull()
+        & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("__g"),
+        F.col(order_col).alias("__t"),
+        x.alias("__x"),
+    )
+    w = Window.partitionBy("__g").orderBy("__t")
+    d = F.col("__x") - F.lag("__x").over(w)
+    lagged = base.select("__g", "__x", d.alias("__d"))
+    agg = lagged.groupBy("__g").agg(
+        F.sum(
+            F.when(
+                F.col("__d").isNotNull(),
+                F.col("__d").cast("decimal(19,0)") * F.col("__d"),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("sd2"),
+        F.sum(F.col("__x").cast("decimal(19,0)") * F.col("__x")).alias(
+            "sx2"
+        ),
+        F.sum(F.col("__x").cast("decimal(19,0)")).alias("sx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    n = F.col("n").cast("decimal(38,0)")
+    den_dec = (n - 1).cast("decimal(38,0)") * (
+        n * F.col("sx2") - F.col("sx") * F.col("sx")
+    )
+    vn = F.when(
+        (F.col("n") > 2) & (den_dec > 0),
+        (n * n * F.col("sd2")).cast("double") / den_dec.cast("double"),
+    )
+    nd = F.col("n").cast("double")
+    z = (vn - 2.0) / F.sqrt(4.0 * (nd - 2.0) / (nd * nd - 1.0))
+    return agg.select(
+        F.col("__g").alias(group_col),
+        vn.alias("vn_ratio"),
+        z.alias("z"),
+        F.col("n").cast("bigint").alias("n"),
+    )

@@ -274,3 +274,105 @@ class TestCMH:
         # per-stratum OR = (60*70)/(40*30) = 3.5
         assert out["or_mh"] == pytest.approx(3.5, abs=0.01)
         assert out["cmh_stat"] > 15.0
+
+
+class TestGroupedVariants:
+    def test_lexical_richness_by_group_matches_pooled_per_slice(self, spark):
+        from gofast_spark.text.analysis import (
+            lexical_richness,
+            lexical_richness_by_group,
+        )
+
+        rows = [
+            (1, "en", "the cat sat on the mat"),
+            (2, "en", "the cat ran"),
+            (3, "fr", "le chat le chat noir"),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id bigint, lang string, text string"
+        )
+        grouped = {
+            r["lang"]: r
+            for r in lexical_richness_by_group(df, "text", "lang").collect()
+        }
+        for lang in ("en", "fr"):
+            pooled = lexical_richness(
+                df.where(F.col("lang") == lang), "text"
+            ).first()
+            g = grouped[lang]
+            assert g["n_tokens"] == pooled["n_tokens"]
+            assert g["yule_k"] == pytest.approx(pooled["yule_k"], abs=1e-12)
+
+    def test_wilson_by_group_matches_pooled_per_slice(self, spark):
+        from gofast_spark.stats.inferential import (
+            wilson_interval,
+            wilson_interval_by_group,
+        )
+
+        rows = [("a", 1)] * 8 + [("a", 0)] * 2 + [("b", 1)] * 3 + [
+            ("b", 0)
+        ] * 7
+        df = spark.createDataFrame(rows, "g string, y int")
+        grouped = {
+            r["g"]: r
+            for r in wilson_interval_by_group(
+                df, "g", F.col("y") == 1
+            ).collect()
+        }
+        for g in ("a", "b"):
+            pooled = wilson_interval(
+                df.where(F.col("g") == g), F.col("y") == 1
+            ).first()
+            assert grouped[g]["wilson_lo"] == pytest.approx(
+                pooled["wilson_lo"], abs=1e-12
+            )
+            assert grouped[g]["wilson_hi"] == pytest.approx(
+                pooled["wilson_hi"], abs=1e-12
+            )
+
+    def test_von_neumann_by_group_short_series_null(self, spark):
+        from gofast_spark.ts.engineering import von_neumann_by_group
+
+        rows = [("a", 0, 1.0), ("a", 1, 2.0), ("b", 0, 1.0),
+                ("b", 1, 3.0), ("b", 2, 2.0), ("b", 3, 5.0)]
+        df = spark.createDataFrame(rows, "g string, t bigint, v double")
+        out = {
+            r["g"]: r
+            for r in von_neumann_by_group(df, "v", "t", "g").collect()
+        }
+        assert out["a"]["vn_ratio"] is None  # n = 2 guard
+        assert out["b"]["vn_ratio"] is not None
+
+
+class TestBreslowDay:
+    def test_homogeneous_strata_small_stat(self, spark):
+        from gofast_spark.stats.inferential import breslow_day
+
+        rows = []
+        for k in ("s1", "s2", "s3"):
+            rows += [(k, 1, 1)] * 60 + [(k, 1, 0)] * 40
+            rows += [(k, 0, 1)] * 30 + [(k, 0, 0)] * 70
+        df = spark.createDataFrame(rows, "k string, e int, o int")
+        out = breslow_day(
+            df, "k", F.col("e") == 1, F.col("o") == 1
+        ).first()
+        # identical per-stratum tables: OR homogeneous, BD ~ 0
+        assert out["bd_stat"] == pytest.approx(0.0, abs=1e-3)
+        assert out["dof"] == 2
+        assert out["psi_mh"] == pytest.approx(3.5, abs=0.01)
+
+    def test_heterogeneous_strata_large_stat(self, spark):
+        from gofast_spark.stats.inferential import breslow_day
+
+        rows = []
+        # stratum 1: OR = 9; stratum 2: OR = 1/9
+        rows += [("s1", 1, 1)] * 90 + [("s1", 1, 0)] * 10
+        rows += [("s1", 0, 1)] * 50 + [("s1", 0, 0)] * 50
+        rows += [("s2", 1, 1)] * 10 + [("s2", 1, 0)] * 90
+        rows += [("s2", 0, 1)] * 50 + [("s2", 0, 0)] * 50
+        df = spark.createDataFrame(rows, "k string, e int, o int")
+        out = breslow_day(
+            df, "k", F.col("e") == 1, F.col("o") == 1
+        ).first()
+        assert out["bd_stat"] > 20.0
+        assert out["dof"] == 1
