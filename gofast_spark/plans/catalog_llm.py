@@ -3287,3 +3287,104 @@ def lexical_richness_by_lang_documents(
         F.round("hapax_ratio", 6).cast("double").alias("hapax_ratio"),
         F.round("yule_k", 6).cast("double").alias("yule_k"),
     )
+
+
+@query(
+    "vocab_coverage_documents",
+    oracle=f"""
+    WITH norm AS (
+      SELECT {_norm_sql('text')} AS t FROM documents),
+    w AS (
+      SELECT unnest(string_split(t, ' ')) AS w FROM norm
+      WHERE len(t) > 0),
+    c AS (SELECT w, count(*) AS c FROM w GROUP BY w),
+    r AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, w ASC) AS r
+      FROM c),
+    a AS (
+      SELECT sum(c) AS n, count(*) AS v,
+             sum(CASE WHEN r <= 10 THEN c ELSE 0 END) AS top10,
+             sum(CASE WHEN r <= 100 THEN c ELSE 0 END) AS top100,
+             sum(CASE WHEN r <= 1000 THEN c ELSE 0 END) AS top1000
+      FROM r)
+    SELECT CAST(n AS BIGINT) AS n_tokens,
+           CAST(v AS BIGINT) AS n_types,
+           CAST(round(CAST(top10 AS DOUBLE) / CAST(n AS DOUBLE), 6)
+             AS DOUBLE) AS cov_10,
+           CAST(round(CAST(top100 AS DOUBLE) / CAST(n AS DOUBLE), 6)
+             AS DOUBLE) AS cov_100,
+           CAST(round(CAST(top1000 AS DOUBLE) / CAST(n AS DOUBLE), 6)
+             AS DOUBLE) AS cov_1000
+    FROM a
+    """,
+)
+def vocab_coverage_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-coverage of the corpus token distribution at top-10/100/
+    1000 types (text/analysis.py vocab_topk_coverage) — the
+    cumulative-Zipf readout that sizes a BPE vocabulary; rank window
+    on the vocab-sized frame with the (count DESC, word ASC)
+    deterministic tie-break."""
+    from gofast_spark.text.analysis import vocab_topk_coverage
+
+    out = vocab_topk_coverage(_docs(spark, sf_dir), "text")
+    return out.select(
+        "n_tokens", "n_types",
+        F.round("cov_10", 6).cast("double").alias("cov_10"),
+        F.round("cov_100", 6).cast("double").alias("cov_100"),
+        F.round("cov_1000", 6).cast("double").alias("cov_1000"),
+    )
+
+
+@query(
+    "doc_length_ks_by_source",
+    oracle="""
+    WITH cnt AS (
+      SELECT source AS grp,
+             least(greatest(CAST(floor(CAST(n_chars AS DOUBLE) / 6.0)
+                   AS INT), 0), 99) AS bin,
+             count(*) AS n
+      FROM documents
+      WHERE n_chars IS NOT NULL AND source IS NOT NULL
+      GROUP BY 1, 2),
+    spine AS (SELECT CAST(range AS INT) AS bin FROM range(100)),
+    grid AS (
+      SELECT g.grp, s.bin, coalesce(c.n, 0) AS n
+      FROM (SELECT DISTINCT grp FROM cnt) g
+      CROSS JOIN spine s
+      LEFT JOIN cnt c ON c.grp = g.grp AND c.bin = s.bin),
+    mg AS (
+      SELECT grp, bin, n,
+             sum(n) OVER (PARTITION BY bin) AS tot_b,
+             sum(n) OVER (PARTITION BY grp) AS n_g,
+             sum(n) OVER () AS n_all
+      FROM grid),
+    m AS (
+      SELECT grp, n_g, n_all,
+             sum(n) OVER (PARTITION BY grp ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_g,
+             sum(tot_b) OVER (PARTITION BY grp ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_all
+      FROM mg)
+    SELECT grp AS "group",
+           CAST(max(n_g) AS BIGINT) AS n_group,
+           CAST(max(n_all) - max(n_g) AS BIGINT) AS n_rest,
+           max(CAST(floor(abs(
+             CAST(cum_g AS DOUBLE) / CAST(n_g AS DOUBLE)
+             - CAST(cum_all - cum_g AS DOUBLE)
+               / CAST(n_all - n_g AS DOUBLE)) * 1000000 + 0.5)
+             AS BIGINT)) AS ks_u6
+    FROM m GROUP BY grp ORDER BY grp
+    """,
+)
+def doc_length_ks_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source two-sample KS drift of document LENGTH against the
+    rest of the corpus (quality/drift.py ks_by_group on n_chars) —
+    the length-distribution mixture monitor a corpus build reads
+    beside psi_by_source_documents; declared 100-bin grid over
+    [0, 600) chars."""
+    from gofast_spark.quality.drift import ks_by_group
+
+    d = _t(spark, sf_dir, "documents").select("source", "n_chars").where(
+        F.col("n_chars").isNotNull() & F.col("source").isNotNull()
+    )
+    return ks_by_group(d, "source", "n_chars", lo=0.0, hi=600.0, bins=100)

@@ -1751,3 +1751,41 @@ def wasserstein_by_source_documents(
 
     docs = _t(spark, sf_dir, "documents")
     return wasserstein_by_group(docs, "n_chars", "source")
+
+
+@query(
+    "last_digit_uniformity_orders",
+    oracle="""
+    WITH per AS (
+      SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) % 10
+               AS d,
+             count(*) AS o
+      FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1),
+    a AS (
+      SELECT sum(o) AS n, sum(CAST(o AS HUGEINT) * o) AS o2,
+             count(*) AS digits_seen
+      FROM per)
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(digits_seen AS BIGINT) AS digits_seen,
+           CAST(round(CAST(10 * o2 - CAST(n AS HUGEINT) * n AS DOUBLE)
+             / CAST(n AS DOUBLE), 6) AS DOUBLE) AS chi2,
+           CAST(9 AS BIGINT) AS dof
+    FROM a
+    """,
+)
+def last_digit_uniformity_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Last-digit uniformity chi-square of order amounts in cents
+    (quality/audit.py last_digit_uniformity; Nigrini's forensic
+    companion of benford_profile_acctbal) — ten integer digit
+    counts, one closed-form division."""
+    from gofast_spark.quality.audit import last_digit_uniformity
+
+    o = _t(spark, sf_dir, "orders")
+    out = last_digit_uniformity(o, "o_totalprice")
+    return out.select(
+        "n", "digits_seen",
+        F.round("chi2", 6).cast("double").alias("chi2"),
+        "dof",
+    )

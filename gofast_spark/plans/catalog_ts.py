@@ -2297,3 +2297,40 @@ def von_neumann_by_type_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("z", 6).cast("double").alias("z"),
         "n",
     )
+
+
+@query(
+    "cum_periodogram_daily",
+    oracle=f"""
+    WITH pg AS ({_periodogram_oracle()}),
+    q AS (
+      SELECT k, CAST(floor(power * 1000000.0) AS BIGINT) AS p FROM pg),
+    c AS (
+      SELECT k, sum(p) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS cum
+      FROM q),
+    t AS (SELECT max(cum) AS tot, max(k) AS m FROM c),
+    d AS (
+      SELECT max(abs(CAST(cum AS HUGEINT) * m - CAST(k AS HUGEINT) * tot))
+               AS dnum,
+             max(m) AS m, max(tot) AS tot
+      FROM c, t WHERE k < m)
+    SELECT CAST(round(CAST(dnum AS DOUBLE)
+             / (CAST(m AS DOUBLE) * CAST(tot AS DOUBLE)), 6) AS DOUBLE)
+             AS d_stat,
+           CAST(m AS INT) AS m
+    FROM d
+    """,
+)
+def cum_periodogram_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett cumulative-periodogram white-noise screen over the
+    daily series harmonics (ts/engineering.py cum_periodogram_test;
+    Bartlett 1955) — sup gap between the normalized spectral CDF and
+    the diagonal, integer cum/sup arithmetic over the 10-harmonic
+    frame; the broadband companion of periodogram_daily_events."""
+    from gofast_spark.ts.engineering import cum_periodogram_test
+
+    out = cum_periodogram_test(_daily(spark, sf_dir), "t", "v")
+    return out.select(
+        F.round("d_stat", 6).cast("double").alias("d_stat"), "m"
+    )

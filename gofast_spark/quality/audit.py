@@ -181,3 +181,51 @@ def k_anonymity_report(
         .cast("bigint").alias("l_diversity_min"),
     )
     return out
+
+
+def last_digit_uniformity(
+    df: DataFrame,
+    value_col: str,
+    *,
+    quantize: int = 100,
+) -> DataFrame:
+    """Last-digit uniformity screen (Nigrini's forensic-accounting
+    companion to the Benford first-digit profile: genuine transaction
+    amounts have ~uniform final digits, while invented or rounded
+    figures cluster): chi-square of the last digit of the quantized
+    amount against the uniform expectation,
+
+        chi2 = (10 * sum_d o_d^2 - n^2) / n        (dof = 9)
+
+    — the algebraic form that needs only the 10 integer digit counts
+    (absent digits contribute zero automatically).  One groupBy over
+    the digit, one closed-form division."""
+    d = (
+        F.floor(
+            F.col(value_col).cast("double") * F.lit(float(quantize))
+            + F.lit(0.5)
+        ).cast("bigint")
+        % 10
+    )
+    per = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(d.alias("__d"))
+        .agg(F.count(F.lit(1)).alias("__o"))
+    )
+    agg = per.agg(
+        F.sum("__o").alias("n"),
+        F.sum(F.col("__o").cast("decimal(19,0)") * F.col("__o")).alias(
+            "o2"
+        ),
+        F.count(F.lit(1)).alias("digits_seen"),
+    )
+    n = F.col("n").cast("decimal(38,0)")
+    chi2 = (
+        F.lit(10).cast("decimal(38,0)") * F.col("o2") - n * n
+    ).cast("double") / F.col("n").cast("double")
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("digits_seen").cast("bigint").alias("digits_seen"),
+        chi2.alias("chi2"),
+        F.lit(9).cast("bigint").alias("dof"),
+    )

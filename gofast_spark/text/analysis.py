@@ -9,7 +9,7 @@ Python per row, so these run at scan speed on 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # small multilingual stopword lists for the heuristic language-ID
@@ -418,4 +418,53 @@ def lexical_richness_by_group(
         (F.lit(1e4) * (F.col("c2").cast("double") - n) / (n * n)).alias(
             "yule_k"
         ),
+    )
+
+
+def vocab_topk_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    ks: "tuple[int, ...]" = (10, 100, 1000),
+) -> DataFrame:
+    """Head-coverage curve of the token distribution: the fraction of
+    all token OCCURRENCES covered by the top-k most frequent types —
+    the readout that sizes a BPE/embedding vocabulary and flags a
+    boilerplate-dominated corpus (Zipf's law in cumulative form).
+
+    One word groupBy; the rank is a row_number over the VOCAB-sized
+    frame ordered (count DESC, word ASC — the deterministic
+    tie-break), never over raw rows; one conditional aggregate emits
+    every requested k.  Returns one row ``(n_tokens, n_types,
+    cov_<k>...)``."""
+    norm = normalize_text(text_col)
+    words = (
+        df.where(F.length(norm) > 0)
+        .select(F.explode(F.split(norm, " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ranked = words.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.desc("c"), F.asc("w")))
+        .alias("r"),
+    )
+    aggs = [
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("v"),
+    ] + [
+        F.sum(F.when(F.col("r") <= k, F.col("c")).otherwise(F.lit(0))).alias(
+            f"top{k}"
+        )
+        for k in ks
+    ]
+    agg = ranked.agg(*aggs)
+    n = F.col("n").cast("double")
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.col("v").cast("bigint").alias("n_types"),
+        *[
+            (F.col(f"top{k}").cast("double") / n).alias(f"cov_{k}")
+            for k in ks
+        ],
     )

@@ -1565,3 +1565,55 @@ def von_neumann_by_group(
         z.alias("z"),
         F.col("n").cast("bigint").alias("n"),
     )
+
+
+def cum_periodogram_test(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    *,
+    max_freq: int = 10,
+) -> DataFrame:
+    """Bartlett's cumulative-periodogram white-noise test (Bartlett
+    1955; the Kolmogorov-style band on the normalized spectral CDF):
+    under white noise the cumulative periodogram climbs the diagonal,
+    so the sup gap
+
+        D = max_{j < m} | C_j - j/m |,   C_j = sum_{k<=j} P_k / sum P
+
+    flags hidden periodicity that any single harmonic test can miss.
+    Rides :func:`periodogram` unchanged (pinned 2-pi literal,
+    quantized spectral sums); each power is u6-floor-quantized so the
+    cumulative and the sup run in pure integer arithmetic —
+    D = max |cum_j m - j tot| / (m tot).  Returns one row
+    ``(d_stat, m)``."""
+    pg = periodogram(df, order_col, value_col, max_freq=max_freq)
+    q = pg.select(
+        "k",
+        F.floor(F.col("power") * F.lit(1e6)).cast("bigint").alias("p"),
+    )
+    w = Window.orderBy("k").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = q.select("k", F.sum("p").over(w).alias("cum"))
+    t = c.agg(F.max("cum").alias("tot"), F.max("k").alias("m"))
+    d = (
+        c.crossJoin(F.broadcast(t))
+        .where(F.col("k") < F.col("m"))
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum").cast("decimal(38,0)") * F.col("m")
+                    - F.col("k").cast("decimal(38,0)") * F.col("tot")
+                )
+            ).alias("dnum"),
+            F.max("m").alias("m"),
+            F.max("tot").alias("tot"),
+        )
+    )
+    stat = F.col("dnum").cast("double") / (
+        F.col("m").cast("double") * F.col("tot").cast("double")
+    )
+    return d.select(
+        stat.alias("d_stat"), F.col("m").cast("int").alias("m")
+    )

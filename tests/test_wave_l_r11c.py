@@ -376,3 +376,75 @@ class TestBreslowDay:
         ).first()
         assert out["bd_stat"] > 20.0
         assert out["dof"] == 1
+
+
+class TestVocabCoverage:
+    def test_hand_computed_coverage(self, spark):
+        from gofast_spark.text.analysis import vocab_topk_coverage
+
+        # counts: the=5, cat=3, sat=1, mat=1 -> N=10
+        rows = [(1, "the the the cat cat sat"), (2, "the the cat mat")]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = vocab_topk_coverage(df, "text", ks=(1, 2, 3)).first()
+        assert out["n_tokens"] == 10 and out["n_types"] == 4
+        assert out["cov_1"] == pytest.approx(0.5, abs=1e-12)
+        assert out["cov_2"] == pytest.approx(0.8, abs=1e-12)
+        assert out["cov_3"] == pytest.approx(0.9, abs=1e-12)
+
+    def test_tie_break_is_alphabetical(self, spark):
+        from gofast_spark.text.analysis import vocab_topk_coverage
+
+        # apple and zebra both occur twice; top-1 must pick 'apple'
+        rows = [(1, "apple zebra apple zebra kiwi")]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = vocab_topk_coverage(df, "text", ks=(1,)).first()
+        assert out["cov_1"] == pytest.approx(0.4, abs=1e-12)
+
+
+class TestLastDigitUniformity:
+    def test_uniform_digits_small_chi2(self, spark):
+        from gofast_spark.quality.audit import last_digit_uniformity
+
+        rows = [(float(i) / 100.0,) for i in range(1000)]
+        df = spark.createDataFrame(rows, "v double")
+        out = last_digit_uniformity(df, "v").first()
+        # perfectly uniform last digits: chi2 exactly 0
+        assert out["chi2"] == 0.0
+        assert out["digits_seen"] == 10
+        assert out["dof"] == 9
+
+    def test_rounded_amounts_flagged(self, spark):
+        from gofast_spark.quality.audit import last_digit_uniformity
+
+        # every amount ends in .x0 cents: massive chi2
+        rows = [(float(i) / 10.0,) for i in range(500)]
+        df = spark.createDataFrame(rows, "v double")
+        out = last_digit_uniformity(df, "v").first()
+        # all mass on digit 0: chi2 = (10*n^2 - n^2)/n = 9n
+        assert out["chi2"] == pytest.approx(9 * 500, abs=1e-9)
+
+
+class TestCumPeriodogram:
+    def test_pure_sine_concentrates(self, spark):
+        from gofast_spark.ts.engineering import cum_periodogram_test
+
+        import math
+
+        rows = [
+            (i, 100.0 + 50.0 * math.sin(2 * math.pi * 3 * i / 60))
+            for i in range(60)
+        ]
+        df = spark.createDataFrame(rows, "t bigint, v double")
+        out = cum_periodogram_test(df, "t", "v").first()
+        # all spectral mass near one harmonic: large sup gap
+        assert out["d_stat"] > 0.4
+        assert out["m"] == 10
+
+    def test_white_noise_small_gap(self, spark):
+        from gofast_spark.ts.engineering import cum_periodogram_test
+
+        rng = np.random.RandomState(61)
+        rows = [(i, float(v)) for i, v in enumerate(rng.normal(0, 1, 200))]
+        df = spark.createDataFrame(rows, "t bigint, v double")
+        out = cum_periodogram_test(df, "t", "v").first()
+        assert out["d_stat"] < 0.35
