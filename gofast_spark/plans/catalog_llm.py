@@ -3388,3 +3388,41 @@ def doc_length_ks_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").isNotNull() & F.col("source").isNotNull()
     )
     return ks_by_group(d, "source", "n_chars", lo=0.0, hi=600.0, bins=100)
+
+
+@query(
+    "tokenizer_fertility_by_lang",
+    oracle=f"""
+    WITH base AS (
+      SELECT lang, {_norm_sql('text')} AS t, text FROM documents
+      WHERE lang IS NOT NULL),
+    q AS (
+      SELECT lang,
+             len(string_split(t, ' ')) AS w,
+             len(regexp_extract_all(lower(text),
+               '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS b
+      FROM base WHERE len(t) > 0)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(w) AS BIGINT) AS ws_tokens,
+           CAST(sum(b) AS BIGINT) AS bpe_tokens,
+           CAST(round(CAST(sum(b) AS DOUBLE) / CAST(sum(w) AS DOUBLE), 6)
+             AS DOUBLE) AS fertility
+    FROM q GROUP BY lang
+    """,
+)
+def tokenizer_fertility_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-language tokenizer fertility: BPE-proxy tokens per
+    whitespace word (text/analysis.py tokenizer_fertility_by_group)
+    — the sequence-length cost multiplier of a multilingual mixture;
+    integer count sums, one division per language."""
+    from gofast_spark.text.analysis import tokenizer_fertility_by_group
+
+    d = _docs(spark, sf_dir).where(F.col("lang").isNotNull())
+    out = tokenizer_fertility_by_group(d, "text", "lang")
+    return out.select(
+        "lang", "n_docs", "ws_tokens", "bpe_tokens",
+        F.round("fertility", 6).cast("double").alias("fertility"),
+    )

@@ -6661,3 +6661,155 @@ def breslow_day_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_strata",
         "n",
     )
+
+
+@query(
+    "cvm_2samp_events",
+    oracle="""
+    WITH src AS (
+      SELECT CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ia
+      FROM events
+      WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL),
+    pv AS (
+      SELECT v, sum(ia) AS a, sum(1 - ia) AS b FROM src GROUP BY v),
+    cum AS (
+      SELECT a + b AS cnt,
+             sum(a) OVER w AS ca, sum(b) OVER w AS cb
+      FROM pv
+      WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)),
+    tot AS (SELECT sum(ia) AS na, sum(1 - ia) AS nb FROM src),
+    s AS (
+      SELECT sum(CAST((CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na)
+                   * (CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na)
+                   AS HUGEINT) * cnt) AS acc,
+             max(na) AS na, max(nb) AS nb
+      FROM cum, tot)
+    SELECT CAST(round(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+             * CAST(acc AS DOUBLE)
+             / ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+                * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+                * CAST(na AS DOUBLE) * CAST(na AS DOUBLE)
+                * CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE)), 6)
+             AS DOUBLE) AS t_cvm,
+           CAST(na AS BIGINT) AS n_a,
+           CAST(nb AS BIGINT) AS n_b
+    FROM s
+    """,
+)
+def cvm_2samp_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramer-von Mises criterion, purchase vs view values
+    (stats/inferential.py cvm_two_sample; Anderson 1962) — the
+    quadratic-ECDF companion of the KS/energy pair, integer
+    count-weighted gap products over the merged grid."""
+    from gofast_spark.stats.inferential import cvm_two_sample
+
+    e = _t(spark, sf_dir, "events")
+    out = cvm_two_sample(e, "value", "event_type", "purchase", "view")
+    return out.select(
+        F.round("t_cvm", 6).cast("double").alias("t_cvm"),
+        "n_a",
+        "n_b",
+    )
+
+
+@query(
+    "ancova_events",
+    oracle="""
+    WITH base AS (
+      SELECT event_type AS g,
+             CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS y,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+               AS BIGINT) AS x
+      FROM events
+      WHERE value IS NOT NULL AND ts IS NOT NULL
+        AND event_type IS NOT NULL),
+    per AS (
+      SELECT g, count(*) AS n,
+             sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(x AS HUGEINT) * y) AS sxy,
+             sum(CAST(y AS HUGEINT) * y) AS syy
+      FROM base GROUP BY g),
+    t AS (
+      SELECT n, sx, sy, sxx, sxy, syy,
+             CAST(floor(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+               * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+               AS BIGINT) AS exx_q,
+             CAST(floor(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+               * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+               AS BIGINT) AS exy_q,
+             CAST(floor(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+               * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+               AS BIGINT) AS eyy_q
+      FROM per),
+    a AS (
+      SELECT sum(exx_q) AS exx, sum(exy_q) AS exy, sum(eyy_q) AS eyy,
+             sum(n) AS nn, sum(sx) AS tsx, sum(sy) AS tsy,
+             sum(sxx) AS tsxx, sum(sxy) AS tsxy, sum(syy) AS tsyy,
+             count(*) AS k
+      FROM t),
+    m AS (
+      SELECT CAST(exx AS DOUBLE) AS exx,
+             CAST(exy AS DOUBLE) AS exy,
+             CAST(eyy AS DOUBLE) AS eyy,
+             CAST(nn AS DOUBLE) AS nn,
+             CAST(tsxx AS DOUBLE) - CAST(tsx AS DOUBLE)
+               * CAST(tsx AS DOUBLE) / CAST(nn AS DOUBLE) AS txx,
+             CAST(tsxy AS DOUBLE) - CAST(tsx AS DOUBLE)
+               * CAST(tsy AS DOUBLE) / CAST(nn AS DOUBLE) AS txy,
+             CAST(tsyy AS DOUBLE) - CAST(tsy AS DOUBLE)
+               * CAST(tsy AS DOUBLE) / CAST(nn AS DOUBLE) AS tyy,
+             CAST(k AS DOUBLE) AS kd, k, nn AS n_rows
+      FROM a),
+    f AS (
+      SELECT ((tyy - txy * txy / txx) - (eyy - exy * exy / exx))
+               / (kd - 1.0)
+               / ((eyy - exy * exy / exx) / (nn - kd - 1.0)) AS f_stat,
+             exy / exx * (1.0 / 1000.0) AS slope_within,
+             k, n_rows, nn
+      FROM m)
+    SELECT CAST(round(f_stat, 6) AS DOUBLE) AS f_stat,
+           CAST(k - 1 AS BIGINT) AS dof_between,
+           CAST(n_rows - k - 1 AS BIGINT) AS dof_within,
+           CAST(round(slope_within, 6) AS DOUBLE) AS slope_within,
+           CAST(k AS BIGINT) AS k,
+           CAST(n_rows AS BIGINT) AS n
+    FROM f
+    """,
+)
+def ancova_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANCOVA of event value by type, adjusted for the day
+    index (stats/inferential.py ancova_oneway; Fisher 1932) — the
+    covariate-adjusted group F beside anova_events/welch_anova:
+    per-group integer moments, u6-quantized corrected terms, one
+    cross-group integer combine."""
+    from gofast_spark.stats.inferential import ancova_oneway
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .where(
+            F.col("value").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .select(
+            "event_type",
+            "value",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            )
+            .cast("bigint")
+            .alias("t"),
+        )
+    )
+    out = ancova_oneway(e, "value", "t", "event_type")
+    return out.select(
+        F.round("f_stat", 6).cast("double").alias("f_stat"),
+        "dof_between",
+        "dof_within",
+        F.round("slope_within", 6).cast("double").alias("slope_within"),
+        "k",
+        "n",
+    )

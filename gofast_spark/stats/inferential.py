@@ -2717,3 +2717,190 @@ def breslow_day(
         F.col("k").cast("bigint").alias("n_strata"),
         F.col("n").cast("bigint").alias("n"),
     )
+
+
+def cvm_two_sample(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    *,
+    quantize: int = 1000,
+) -> DataFrame:
+    """Two-sample Cramer-von Mises criterion (Anderson, Ann. Math.
+    Statist. 1962) in the ECDF form
+
+        T = (n m / N^2) * sum_k cnt_k * (F(x_k) - G(x_k))^2
+
+    summed over the pooled sample (per distinct value, weighted by
+    its multiplicity) — the quadratic companion of the sup-norm KS
+    and the gap-weighted energy distance, more sensitive to
+    distributed small departures than either.
+
+    Same machinery as :func:`energy_distance_1d`: cumulative group
+    counts over the merged distinct-value grid, every term the exact
+    integer (ca*nb - cb*na)^2 * cnt, one final division
+    T = nm * S / (N^2 na^2 nb^2).  Values quantize to
+    ``1/quantize`` units (the declared grid)."""
+    x = F.floor(
+        F.col(value_col).cast("double") * F.lit(float(quantize)) + F.lit(0.5)
+    ).cast("bigint")
+    src = df.where(
+        F.col(group_col).isin(group_a, group_b)
+        & F.col(value_col).isNotNull()
+    ).select(
+        x.alias("__v"),
+        (F.col(group_col) == group_a).cast("int").alias("__ia"),
+    )
+    pv = src.groupBy("__v").agg(
+        F.sum("__ia").alias("__a"),
+        F.sum(1 - F.col("__ia")).alias("__b"),
+    )
+    w = Window.orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = pv.select(
+        (F.col("__a") + F.col("__b")).alias("__cnt"),
+        F.sum("__a").over(w).alias("__ca"),
+        F.sum("__b").over(w).alias("__cb"),
+    )
+    tot = src.agg(
+        F.sum("__ia").alias("__na"),
+        F.sum(1 - F.col("__ia")).alias("__nb"),
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    diff = (
+        F.col("__ca").cast("decimal(19,0)") * F.col("__nb")
+        - F.col("__cb").cast("decimal(19,0)") * F.col("__na")
+    )
+    agg = j.agg(
+        F.sum((diff * diff).cast("decimal(38,0)") * F.col("__cnt")).alias(
+            "__s"
+        ),
+        F.max("__na").alias("__na"),
+        F.max("__nb").alias("__nb"),
+    )
+    na = F.col("__na").cast("double")
+    nb = F.col("__nb").cast("double")
+    nn = na + nb
+    t = (
+        na
+        * nb
+        * F.col("__s").cast("double")
+        / (nn * nn * na * na * nb * nb)
+    )
+    return agg.select(
+        t.alias("t_cvm"),
+        F.col("__na").cast("bigint").alias("n_a"),
+        F.col("__nb").cast("bigint").alias("n_b"),
+    )
+
+
+def ancova_oneway(
+    df: DataFrame,
+    value_col: str,
+    covariate_col: str,
+    group_col: str,
+    *,
+    y_quantize: int = 1000,
+    x_quantize: int = 1,
+) -> DataFrame:
+    """One-way ANCOVA: the group-effect F test on means ADJUSTED for
+    one covariate (Fisher 1932 ch. VIII; the reference's ANOVA family
+    extended by a nuisance regressor):
+
+        E__ = within-group corrected sums (pooled over groups)
+        T__ = total corrected sums
+        SSe_w = Eyy - Exy^2/Exx         df = N - k - 1
+        SSe_t = Tyy - Txy^2/Txx         df = N - 2
+        F = ((SSe_t - SSe_w)/(k - 1)) / (SSe_w/(N - k - 1))
+
+    ONE groupBy collects per-group integer moments; each group's
+    rational corrected term is u6-quantized before the cross-group
+    sum (the CMH combine discipline), so the pooled E-terms are
+    integers; the total T-terms come from the same moments.  Returns
+    one row ``(f_stat, dof_between, dof_within, slope_within, k,
+    n)``."""
+    y = F.floor(
+        F.col(value_col).cast("double") * F.lit(float(y_quantize))
+        + F.lit(0.5)
+    ).cast("bigint")
+    xq = F.floor(
+        F.col(covariate_col).cast("double") * F.lit(float(x_quantize))
+        + F.lit(0.5)
+    ).cast("bigint")
+    base = df.where(
+        F.col(value_col).isNotNull()
+        & F.col(covariate_col).isNotNull()
+        & F.col(group_col).isNotNull()
+    ).select(F.col(group_col).alias("__g"), y.alias("__y"), xq.alias("__x"))
+
+    def d(c):
+        return F.col(c).cast("decimal(19,0)")
+
+    per = base.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d("__x")).alias("sx"),
+        F.sum(d("__y")).alias("sy"),
+        F.sum(d("__x") * F.col("__x")).alias("sxx"),
+        F.sum(d("__x") * F.col("__y")).alias("sxy"),
+        F.sum(d("__y") * F.col("__y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    # corrected sums live on the quantized-product scale (>= 1e6 for
+    # any non-degenerate group), so INTEGER-unit flooring keeps the
+    # relative quantization error below 1e-6 while never overflowing
+    # int64 the way a *1e6 rescale would on a 1e17-sized moment
+    terms = per.select(
+        "n", "sx", "sy", "sxx", "sxy", "syy",
+        F.floor(F.col("sxx").cast("double") - sx * sx / n)
+        .cast("bigint")
+        .alias("exx_q"),
+        F.floor(F.col("sxy").cast("double") - sx * sy / n)
+        .cast("bigint")
+        .alias("exy_q"),
+        F.floor(F.col("syy").cast("double") - sy * sy / n)
+        .cast("bigint")
+        .alias("eyy_q"),
+    )
+    agg = terms.agg(
+        F.sum("exx_q").alias("exx"),
+        F.sum("exy_q").alias("exy"),
+        F.sum("eyy_q").alias("eyy"),
+        F.sum("n").alias("nn"),
+        F.sum("sx").alias("tsx"),
+        F.sum("sy").alias("tsy"),
+        F.sum("sxx").alias("tsxx"),
+        F.sum("sxy").alias("tsxy"),
+        F.sum("syy").alias("tsyy"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    nn = F.col("nn").cast("double")
+    tsx = F.col("tsx").cast("double")
+    tsy = F.col("tsy").cast("double")
+    exx = F.col("exx").cast("double")
+    exy = F.col("exy").cast("double")
+    eyy = F.col("eyy").cast("double")
+    txx = F.col("tsxx").cast("double") - tsx * tsx / nn
+    txy = F.col("tsxy").cast("double") - tsx * tsy / nn
+    tyy = F.col("tsyy").cast("double") - tsy * tsy / nn
+    sse_w = eyy - exy * exy / exx
+    sse_t = tyy - txy * txy / txx
+    k = F.col("k").cast("double")
+    f = ((sse_t - sse_w) / (k - 1.0)) / (
+        sse_w / (nn - k - 1.0)
+    )
+    # exy/exx is in (y*y_quantize) per (x*x_quantize) units; rescale
+    # back to original y-per-x
+    slope = exy / exx * F.lit(float(x_quantize) / float(y_quantize))
+    return agg.select(
+        f.alias("f_stat"),
+        (F.col("k") - 1).cast("bigint").alias("dof_between"),
+        (F.col("nn").cast("bigint") - F.col("k") - 1).alias("dof_within"),
+        slope.alias("slope_within"),
+        F.col("k").cast("bigint").alias("k"),
+        F.col("nn").cast("bigint").alias("n"),
+    )

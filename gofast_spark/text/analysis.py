@@ -468,3 +468,39 @@ def vocab_topk_coverage(
             for k in ks
         ],
     )
+
+
+def tokenizer_fertility_by_group(
+    df: DataFrame, text_col: str, group_col: str
+) -> DataFrame:
+    """Tokenizer fertility per group: subword-ish tokens (the
+    BPE-proxy of :func:`token_count_bpeish`) over whitespace words —
+    the per-language cost multiplier every multilingual training-data
+    budget needs (a language with fertility 2.3 consumes 2.3x the
+    sequence length per word).  Both counts are per-row integers
+    summed exactly; one division per group."""
+    norm = normalize_text(text_col)
+    ws = F.size(F.split(norm, " "))
+    bpe = token_count_bpeish(F.col(text_col))
+    base = df.where(
+        (F.length(norm) > 0) & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("__g"),
+        ws.alias("__w"),
+        bpe.alias("__b"),
+    )
+    agg = base.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__w").alias("ws_tokens"),
+        F.sum("__b").alias("bpe_tokens"),
+    )
+    return agg.select(
+        F.col("__g").alias(group_col),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("ws_tokens").cast("bigint").alias("ws_tokens"),
+        F.col("bpe_tokens").cast("bigint").alias("bpe_tokens"),
+        (
+            F.col("bpe_tokens").cast("double")
+            / F.col("ws_tokens").cast("double")
+        ).alias("fertility"),
+    )

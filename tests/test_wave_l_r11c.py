@@ -448,3 +448,84 @@ class TestCumPeriodogram:
         df = spark.createDataFrame(rows, "t bigint, v double")
         out = cum_periodogram_test(df, "t", "v").first()
         assert out["d_stat"] < 0.35
+
+
+class TestCvMTwoSample:
+    def test_identical_samples_zero(self, spark):
+        from gofast_spark.stats.inferential import cvm_two_sample
+
+        vals = [1.0, 2.0, 3.0, 4.0, 5.0]
+        rows = [("a", v) for v in vals] + [("b", v) for v in vals]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = cvm_two_sample(df, "v", "g", "a", "b").first()
+        assert out["t_cvm"] == 0.0
+
+    def test_matches_direct_ecdf_sum(self, spark):
+        from gofast_spark.stats.inferential import cvm_two_sample
+
+        rng = np.random.RandomState(67)
+        a = np.round(rng.normal(0, 1, 70), 3)
+        b = np.round(rng.normal(0.5, 1.3, 90), 3)
+        rows = [("a", float(v)) for v in a] + [("b", float(v)) for v in b]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = cvm_two_sample(df, "v", "g", "a", "b").first()
+        pooled = np.sort(np.concatenate([a, b]))
+        fa = np.searchsorted(np.sort(a), pooled, side="right") / len(a)
+        fb = np.searchsorted(np.sort(b), pooled, side="right") / len(b)
+        n, m = len(a), len(b)
+        ref = n * m / (n + m) ** 2 * np.sum((fa - fb) ** 2)
+        assert out["t_cvm"] == pytest.approx(ref, rel=1e-9)
+
+
+class TestAncova:
+    def test_adjusts_covariate_driven_difference_away(self, spark):
+        from gofast_spark.stats.inferential import ancova_oneway
+
+        # y depends ONLY on x; group b just has larger x, so raw
+        # means differ but the adjusted effect must vanish
+        rng = np.random.RandomState(71)
+        rows = []
+        for i in range(200):
+            x = float(i % 50)
+            rows.append(("a", 2.0 * x + float(np.round(rng.normal(0, 0.5), 3)), x))
+        for i in range(200):
+            x = float(50 + i % 50)
+            rows.append(("b", 2.0 * x + float(np.round(rng.normal(0, 0.5), 3)), x))
+        df = spark.createDataFrame(rows, "g string, y double, x double")
+        out = ancova_oneway(df, "y", "x", "g").first()
+        assert out["slope_within"] == pytest.approx(2.0, abs=0.05)
+        # chi2/F threshold: adjusted group effect indistinguishable
+        assert out["f_stat"] < 4.0
+
+    def test_real_group_effect_survives_adjustment(self, spark):
+        from gofast_spark.stats.inferential import ancova_oneway
+
+        rng = np.random.RandomState(73)
+        rows = []
+        for i in range(150):
+            x = float(i % 50)
+            rows.append(("a", x + float(np.round(rng.normal(0, 0.5), 3)), x))
+            rows.append(("b", x + 5.0 + float(np.round(rng.normal(0, 0.5), 3)), x))
+        df = spark.createDataFrame(rows, "g string, y double, x double")
+        out = ancova_oneway(df, "y", "x", "g").first()
+        assert out["f_stat"] > 100.0
+        assert out["dof_between"] == 1
+
+
+class TestTokenizerFertility:
+    def test_punctuation_raises_fertility(self, spark):
+        from gofast_spark.text.analysis import tokenizer_fertility_by_group
+
+        rows = [
+            (1, "en", "plain words here"),
+            (2, "xx", "hy-phen-ated, punc!tu@ted; text."),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id bigint, lang string, text string"
+        )
+        out = {
+            r["lang"]: r
+            for r in tokenizer_fertility_by_group(df, "text", "lang").collect()
+        }
+        assert out["en"]["fertility"] == pytest.approx(1.0, abs=1e-12)
+        assert out["xx"]["fertility"] >= 2.0
