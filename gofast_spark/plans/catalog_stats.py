@@ -5494,7 +5494,8 @@ def holm_bonferroni_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH q AS (
       SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS x,
              CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
-      FROM orders WHERE o_totalprice IS NOT NULL),
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL),
     a AS (
       SELECT count(*) AS n, sum(y) AS n1,
              sum(CAST(x AS HUGEINT)) AS sx,
@@ -5825,7 +5826,8 @@ def energy_distance_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH base AS (
       SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS x,
              CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
-      FROM orders WHERE o_totalprice IS NOT NULL),
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL),
     span AS (SELECT min(x) AS mn, max(x) AS mx FROM base),
     binned AS (
       SELECT CAST(floor(CAST((x - mn) * 10 AS DOUBLE)

@@ -2190,7 +2190,7 @@ def dixon_q_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-statistic outlier screen beside grubbs_test_acctbal."""
     from gofast_spark.ts.engineering import dixon_q
 
-    out = dixon_q(_daily(spark, sf_dir), "v", "d")
+    out = dixon_q(_daily(spark, sf_dir), "v")
     return out.select(
         "n", "x_min", "x_second", "x_penult", "x_max",
         F.round("q_low", 6).cast("double").alias("q_low"),

@@ -576,6 +576,46 @@ def herfindahl_index(
     )
 
 
+def integer_rank_quantiles(base: DataFrame, k: int) -> DataFrame:
+    """Lower order statistics at the k-1 interior quantiles by INTEGER
+    rank ceil(i*n/k) — the engine-portable quantile selection shared
+    by :func:`robust_quantile_moments` and
+    :func:`gofast_spark.stats.evaluation.qq_normal_points`
+    (interpolated quantiles are not ulp-stable across engines; an
+    integer-rank element is).
+
+    ``base`` must expose ONE quantized bigint column ``__x``.  The
+    selection runs on the distinct-value cumulative frame (never a
+    full-table sort) against a broadcast (k-1)-row rank spine.
+    Returns k-1 rows ``(__i, __n, __q)``."""
+    nrow = base.agg(F.count(F.lit(1)).alias("__n"))
+    grid = (
+        base.groupBy("__x")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .select(
+            "__x",
+            F.sum("__c")
+            .over(
+                Window.orderBy("__x").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            .alias("__cum"),
+        )
+    )
+    spark = base.sparkSession
+    qs = spark.range(1, k).select(F.col("id").cast("int").alias("__i"))
+    pj = qs.crossJoin(F.broadcast(nrow))
+    t = F.col("__i").cast("bigint") * F.col("__n") + F.lit(k - 1)
+    rank = (t - t % F.lit(k)) / F.lit(k)
+    pj = pj.select("__i", "__n", rank.alias("__r"))
+    return (
+        grid.join(F.broadcast(pj), F.col("__cum") >= F.col("__r"))
+        .groupBy("__i", "__n")
+        .agg(F.min("__x").alias("__q"))
+    )
+
+
 def robust_quantile_moments(
     df: DataFrame,
     value_col: str,
@@ -599,32 +639,7 @@ def robust_quantile_moments(
         F.col(value_col).cast("double") * F.lit(float(quantize)) + F.lit(0.5)
     ).cast("bigint")
     base = df.where(F.col(value_col).isNotNull()).select(x.alias("__x"))
-    nrow = base.agg(F.count(F.lit(1)).alias("__n"))
-    grid = (
-        base.groupBy("__x")
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .select(
-            "__x",
-            F.sum("__c")
-            .over(
-                Window.orderBy("__x").rowsBetween(
-                    Window.unboundedPreceding, Window.currentRow
-                )
-            )
-            .alias("__cum"),
-        )
-    )
-    spark = df.sparkSession
-    octs = spark.range(1, 8).select(F.col("id").cast("int").alias("__i"))
-    pj = octs.crossJoin(F.broadcast(nrow))
-    t = F.col("__i").cast("bigint") * F.col("__n") + F.lit(7)
-    rank = (t - t % F.lit(8)) / F.lit(8)
-    pj = pj.select("__i", "__n", rank.alias("__r"))
-    emp = (
-        grid.join(F.broadcast(pj), F.col("__cum") >= F.col("__r"))
-        .groupBy("__i", "__n")
-        .agg(F.min("__x").alias("__q"))
-    )
+    emp = integer_rank_quantiles(base, 8)
     one = emp.groupBy("__n").agg(
         *[
             F.max(F.when(F.col("__i") == i, F.col("__q"))).alias(f"e{i}")

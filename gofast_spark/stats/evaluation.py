@@ -424,38 +424,10 @@ def qq_normal_points(
             "__ss"
         ),
     )
-    spark = df.sparkSession
-    probs = spark.range(1, deciles).select(
-        F.col("id").cast("int").alias("__i")
-    )
-    grid = (
-        base.groupBy("__x")
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .select(
-            "__x",
-            F.sum("__c")
-            .over(
-                Window.orderBy("__x").rowsBetween(
-                    Window.unboundedPreceding, Window.currentRow
-                )
-            )
-            .alias("__cum"),
-        )
-    )
-    pj = probs.crossJoin(F.broadcast(mom))
-    rank = (
-        F.col("__i").cast("bigint") * F.col("__n") + F.lit(deciles - 1)
-    ).cast("bigint") - (
-        (F.col("__i").cast("bigint") * F.col("__n") + F.lit(deciles - 1))
-        % F.lit(deciles)
-    )
-    pj = pj.select(
-        "__i", "__n", "__s", "__ss", (rank / F.lit(deciles)).alias("__r")
-    )
-    emp = (
-        grid.join(F.broadcast(pj), F.col("__cum") >= F.col("__r"))
-        .groupBy("__i", "__n", "__s", "__ss")
-        .agg(F.min("__x").alias("__q"))
+    from gofast_spark.stats.descriptive import integer_rank_quantiles
+
+    emp = integer_rank_quantiles(base, deciles).crossJoin(
+        F.broadcast(mom.select("__s", "__ss"))
     )
     n = F.col("__n").cast("double")
     mu = F.col("__s").cast("double") / n / F.lit(float(quantize))

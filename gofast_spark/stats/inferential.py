@@ -2096,6 +2096,55 @@ def lepage_test(
     )
 
 
+def _haldane_or_exprs(z_crit: float) -> "dict[str, Column]":
+    """Shared 2x2 odds-ratio column expressions over integer cell
+    columns ``a b c d``: Haldane-Anscombe zero-cell correction, Woolf
+    log-OR, its SE, Wald bounds, and the risk ratio — built once so
+    the pooled (:func:`odds_ratio_2x2`) and per-stratum
+    (:func:`odds_ratio_by_group`) variants cannot drift apart."""
+    zero = (
+        (F.col("a") == 0)
+        | (F.col("b") == 0)
+        | (F.col("c") == 0)
+        | (F.col("d") == 0)
+    )
+    corr = F.when(zero, F.lit(0.5)).otherwise(F.lit(0.0))
+    a = F.col("a").cast("double") + corr
+    b = F.col("b").cast("double") + corr
+    c = F.col("c").cast("double") + corr
+    d = F.col("d").cast("double") + corr
+    log_or = F.log(a) + F.log(d) - F.log(b) - F.log(c)
+    se = F.sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)
+    return {
+        "zero": zero,
+        "log_or": log_or,
+        "se": se,
+        "or_lo": F.exp(log_or - F.lit(z_crit) * se),
+        "or_hi": F.exp(log_or + F.lit(z_crit) * se),
+        "risk_ratio": (a / (a + b)) / (c / (c + d)),
+    }
+
+
+def _wilson_bound_exprs(z_crit: float) -> "dict[str, Column]":
+    """Shared Wilson score-interval expressions over integer columns
+    ``k n`` — one builder for the pooled and per-group variants."""
+    k = F.col("k").cast("double")
+    n = F.col("n").cast("double")
+    p = k / n
+    z = F.lit(z_crit)
+    z2 = z * z
+    denom = 1.0 + z2 / n
+    center = (p + z2 / (2.0 * n)) / denom
+    half = z * F.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n)) / denom
+    return {
+        "p_hat": p,
+        "wilson_lo": center - half,
+        "wilson_hi": center + half,
+        "wald_lo": p - z * F.sqrt(p * (1.0 - p) / n),
+        "wald_hi": p + z * F.sqrt(p * (1.0 - p) / n),
+    }
+
+
 def odds_ratio_2x2(
     df: DataFrame,
     exposure: Column,
@@ -2128,32 +2177,19 @@ def odds_ratio_2x2(
         F.sum((1 - e) * o).alias("c"),
         F.sum((1 - e) * (1 - o)).alias("d"),
     )
-    zero = (
-        (F.col("a") == 0)
-        | (F.col("b") == 0)
-        | (F.col("c") == 0)
-        | (F.col("d") == 0)
-    )
-    corr = F.when(zero, F.lit(0.5)).otherwise(F.lit(0.0))
-    a = F.col("a").cast("double") + corr
-    b = F.col("b").cast("double") + corr
-    c = F.col("c").cast("double") + corr
-    d = F.col("d").cast("double") + corr
-    log_or = F.log(a) + F.log(d) - F.log(b) - F.log(c)
-    se = F.sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)
-    rr = (a / (a + b)) / (c / (c + d))
+    e_ = _haldane_or_exprs(z_crit)
     return agg.select(
         F.col("a").cast("bigint").alias("a"),
         F.col("b").cast("bigint").alias("b"),
         F.col("c").cast("bigint").alias("c"),
         F.col("d").cast("bigint").alias("d"),
-        F.exp(log_or).alias("odds_ratio"),
-        log_or.alias("log_or"),
-        se.alias("se_log_or"),
-        F.exp(log_or - F.lit(z_crit) * se).alias("or_lo"),
-        F.exp(log_or + F.lit(z_crit) * se).alias("or_hi"),
-        rr.alias("risk_ratio"),
-        zero.cast("int").alias("corrected"),
+        F.exp(e_["log_or"]).alias("odds_ratio"),
+        e_["log_or"].alias("log_or"),
+        e_["se"].alias("se_log_or"),
+        e_["or_lo"].alias("or_lo"),
+        e_["or_hi"].alias("or_hi"),
+        e_["risk_ratio"].alias("risk_ratio"),
+        e_["zero"].cast("int").alias("corrected"),
     )
 
 
@@ -2280,6 +2316,72 @@ def fligner_killeen(
     )
 
 
+def _merged_ecdf_quadratic(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    *,
+    quantize: int,
+    weight: str,
+) -> DataFrame:
+    """Shared two-sample quadratic-ECDF scaffold for
+    :func:`energy_distance_1d` (weight='gap': each squared ECDF gap
+    weighted by the distance to the next distinct value — the
+    integral form) and :func:`cvm_two_sample` (weight='count': each
+    squared gap weighted by the pooled multiplicity at the value —
+    the per-observation form).  One groupBy over the quantized
+    distinct-value grid, one cumulative window, one broadcast totals
+    spine; every summand is the exact integer
+    (ca*nb - cb*na)^2 * weight.  Returns one row
+    ``(__s, __na, __nb)``."""
+    x = F.floor(
+        F.col(value_col).cast("double") * F.lit(float(quantize)) + F.lit(0.5)
+    ).cast("bigint")
+    src = df.where(
+        F.col(group_col).isin(group_a, group_b)
+        & F.col(value_col).isNotNull()
+    ).select(
+        x.alias("__v"),
+        (F.col(group_col) == group_a).cast("int").alias("__ia"),
+    )
+    pv = src.groupBy("__v").agg(
+        F.sum("__ia").alias("__a"),
+        F.sum(1 - F.col("__ia")).alias("__b"),
+    )
+    w = Window.orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    if weight == "gap":
+        wcol = F.lead("__v").over(Window.orderBy("__v")) - F.col("__v")
+    else:
+        wcol = F.col("__a") + F.col("__b")
+    cum = pv.select(
+        F.sum("__a").over(w).alias("__ca"),
+        F.sum("__b").over(w).alias("__cb"),
+        wcol.alias("__w"),
+    )
+    if weight == "gap":
+        cum = cum.where(F.col("__w").isNotNull())
+    tot = src.agg(
+        F.sum("__ia").alias("__na"),
+        F.sum(1 - F.col("__ia")).alias("__nb"),
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    diff = (
+        F.col("__ca").cast("decimal(19,0)") * F.col("__nb")
+        - F.col("__cb").cast("decimal(19,0)") * F.col("__na")
+    )
+    return j.agg(
+        F.sum((diff * diff).cast("decimal(38,0)") * F.col("__w")).alias(
+            "__s"
+        ),
+        F.max("__na").alias("__na"),
+        F.max("__nb").alias("__nb"),
+    )
+
+
 def energy_distance_1d(
     df: DataFrame,
     value_col: str,
@@ -2308,44 +2410,9 @@ def energy_distance_1d(
     engines identical); the cumulative window runs over the
     distinct-value frame only (the ks_test pattern: pre-bin at 100-TB
     scale)."""
-    x = F.floor(
-        F.col(value_col).cast("double") * F.lit(float(quantize)) + F.lit(0.5)
-    ).cast("bigint")
-    src = df.where(
-        F.col(group_col).isin(group_a, group_b)
-        & F.col(value_col).isNotNull()
-    ).select(
-        x.alias("__v"),
-        (F.col(group_col) == group_a).cast("int").alias("__ia"),
-    )
-    pv = src.groupBy("__v").agg(
-        F.sum("__ia").alias("__a"),
-        F.sum(1 - F.col("__ia")).alias("__b"),
-    )
-    w = Window.orderBy("__v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    gap = F.lead("__v").over(Window.orderBy("__v")) - F.col("__v")
-    cum = pv.select(
-        F.sum("__a").over(w).alias("__ca"),
-        F.sum("__b").over(w).alias("__cb"),
-        gap.alias("__gap"),
-    )
-    tot = src.agg(
-        F.sum("__ia").alias("__na"),
-        F.sum(1 - F.col("__ia")).alias("__nb"),
-    )
-    j = cum.where(F.col("__gap").isNotNull()).crossJoin(F.broadcast(tot))
-    diff = (
-        F.col("__ca").cast("decimal(19,0)") * F.col("__nb")
-        - F.col("__cb").cast("decimal(19,0)") * F.col("__na")
-    )
-    agg = j.agg(
-        F.sum(
-            (diff * diff).cast("decimal(38,0)") * F.col("__gap")
-        ).alias("__s"),
-        F.max("__na").alias("__na"),
-        F.max("__nb").alias("__nb"),
+    agg = _merged_ecdf_quadratic(
+        df, value_col, group_col, group_a, group_b,
+        quantize=quantize, weight="gap",
     )
     na = F.col("__na").cast("double")
     nb = F.col("__nb").cast("double")
@@ -2381,27 +2448,15 @@ def wilson_interval(
     agg = df.where(s.isNotNull()).agg(
         F.sum(s).alias("k"), F.count(F.lit(1)).alias("n")
     )
-    k = F.col("k").cast("double")
-    n = F.col("n").cast("double")
-    p = k / n
-    z = F.lit(z_crit)
-    z2 = z * z
-    denom = 1.0 + z2 / n
-    center = (p + z2 / (2.0 * n)) / denom
-    half = (
-        z
-        * F.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))
-        / denom
-    )
-    wald_half = z * F.sqrt(p * (1.0 - p) / n)
+    e_ = _wilson_bound_exprs(z_crit)
     return agg.select(
         F.col("k").cast("bigint").alias("k"),
         F.col("n").cast("bigint").alias("n"),
-        p.alias("p_hat"),
-        (center - half).alias("wilson_lo"),
-        (center + half).alias("wilson_hi"),
-        (p - wald_half).alias("wald_lo"),
-        (p + wald_half).alias("wald_hi"),
+        e_["p_hat"].alias("p_hat"),
+        e_["wilson_lo"].alias("wilson_lo"),
+        e_["wilson_hi"].alias("wilson_hi"),
+        e_["wald_lo"].alias("wald_lo"),
+        e_["wald_hi"].alias("wald_hi"),
     )
 
 
@@ -2535,21 +2590,14 @@ def wilson_interval_by_group(
         .groupBy(group_col)
         .agg(F.sum(s).alias("k"), F.count(F.lit(1)).alias("n"))
     )
-    k = F.col("k").cast("double")
-    n = F.col("n").cast("double")
-    p = k / n
-    z = F.lit(z_crit)
-    z2 = z * z
-    denom = 1.0 + z2 / n
-    center = (p + z2 / (2.0 * n)) / denom
-    half = z * F.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n)) / denom
+    e_ = _wilson_bound_exprs(z_crit)
     return agg.select(
         group_col,
         F.col("k").cast("bigint").alias("k"),
         F.col("n").cast("bigint").alias("n"),
-        p.alias("p_hat"),
-        (center - half).alias("wilson_lo"),
-        (center + half).alias("wilson_hi"),
+        e_["p_hat"].alias("p_hat"),
+        e_["wilson_lo"].alias("wilson_lo"),
+        e_["wilson_hi"].alias("wilson_hi"),
     )
 
 
@@ -2581,29 +2629,17 @@ def odds_ratio_by_group(
             F.sum((1 - e) * (1 - o)).alias("d"),
         )
     )
-    zero = (
-        (F.col("a") == 0)
-        | (F.col("b") == 0)
-        | (F.col("c") == 0)
-        | (F.col("d") == 0)
-    )
-    corr = F.when(zero, F.lit(0.5)).otherwise(F.lit(0.0))
-    a = F.col("a").cast("double") + corr
-    b = F.col("b").cast("double") + corr
-    c = F.col("c").cast("double") + corr
-    d = F.col("d").cast("double") + corr
-    log_or = F.log(a) + F.log(d) - F.log(b) - F.log(c)
-    se = F.sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)
+    e_ = _haldane_or_exprs(z_crit)
     return agg.select(
         stratum_col,
         F.col("a").cast("bigint").alias("a"),
         F.col("b").cast("bigint").alias("b"),
         F.col("c").cast("bigint").alias("c"),
         F.col("d").cast("bigint").alias("d"),
-        F.exp(log_or).alias("odds_ratio"),
-        F.exp(log_or - F.lit(z_crit) * se).alias("or_lo"),
-        F.exp(log_or + F.lit(z_crit) * se).alias("or_hi"),
-        zero.cast("int").alias("corrected"),
+        F.exp(e_["log_or"]).alias("odds_ratio"),
+        e_["or_lo"].alias("or_lo"),
+        e_["or_hi"].alias("or_hi"),
+        e_["zero"].cast("int").alias("corrected"),
     )
 
 
@@ -2743,43 +2779,9 @@ def cvm_two_sample(
     integer (ca*nb - cb*na)^2 * cnt, one final division
     T = nm * S / (N^2 na^2 nb^2).  Values quantize to
     ``1/quantize`` units (the declared grid)."""
-    x = F.floor(
-        F.col(value_col).cast("double") * F.lit(float(quantize)) + F.lit(0.5)
-    ).cast("bigint")
-    src = df.where(
-        F.col(group_col).isin(group_a, group_b)
-        & F.col(value_col).isNotNull()
-    ).select(
-        x.alias("__v"),
-        (F.col(group_col) == group_a).cast("int").alias("__ia"),
-    )
-    pv = src.groupBy("__v").agg(
-        F.sum("__ia").alias("__a"),
-        F.sum(1 - F.col("__ia")).alias("__b"),
-    )
-    w = Window.orderBy("__v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = pv.select(
-        (F.col("__a") + F.col("__b")).alias("__cnt"),
-        F.sum("__a").over(w).alias("__ca"),
-        F.sum("__b").over(w).alias("__cb"),
-    )
-    tot = src.agg(
-        F.sum("__ia").alias("__na"),
-        F.sum(1 - F.col("__ia")).alias("__nb"),
-    )
-    j = cum.crossJoin(F.broadcast(tot))
-    diff = (
-        F.col("__ca").cast("decimal(19,0)") * F.col("__nb")
-        - F.col("__cb").cast("decimal(19,0)") * F.col("__na")
-    )
-    agg = j.agg(
-        F.sum((diff * diff).cast("decimal(38,0)") * F.col("__cnt")).alias(
-            "__s"
-        ),
-        F.max("__na").alias("__na"),
-        F.max("__nb").alias("__nb"),
+    agg = _merged_ecdf_quadratic(
+        df, value_col, group_col, group_a, group_b,
+        quantize=quantize, weight="count",
     )
     na = F.col("__na").cast("double")
     nb = F.col("__nb").cast("double")

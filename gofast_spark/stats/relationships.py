@@ -556,7 +556,8 @@ def vif_three(
     -widened so sums commute); every correlation and VIF is a closed
     -form double over them.  Returns one row ``(r12, r13, r23,
     det_r, vif_1, vif_2, vif_3, n)``."""
-    assert len(cols) == 3 and len(quantize) == 3
+    if len(cols) != 3 or len(quantize) != 3:
+        raise ValueError("vif_three needs exactly three columns and quantizers")
     q = [
         F.floor(
             F.col(c).cast("double") * F.lit(float(k)) + F.lit(0.5)

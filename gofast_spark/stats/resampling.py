@@ -313,7 +313,11 @@ def jackknife_ratio(
         F.col(num_col).cast("double") * F.lit(float(num_quantize))
         + F.lit(0.5)
     ).cast("bigint")
-    y = F.col(den_col).cast("bigint")
+    # floor (not cast) the denominator: Spark's double->bigint cast
+    # truncates toward zero while DuckDB's rounds — floor is the one
+    # spelling both engines share, and it matches the oracle's
+    # CAST(floor(...) AS BIGINT)
+    y = F.floor(F.col(den_col).cast("double")).cast("bigint")
     base = df.where(
         F.col(num_col).isNotNull() & F.col(den_col).isNotNull()
     ).select(x.alias("__x"), y.alias("__y"))

@@ -1217,11 +1217,14 @@ def von_neumann_ratio(
     )
     n = F.col("n").cast("decimal(38,0)")
     num = (n * n * F.col("sd2")).cast("double")
-    den = (
-        (n - 1).cast("decimal(38,0)")
-        * (n * F.col("sx2") - F.col("sx") * F.col("sx"))
-    ).cast("double")
-    vn = num / den
+    den_dec = (n - 1).cast("decimal(38,0)") * (
+        n * F.col("sx2") - F.col("sx") * F.col("sx")
+    )
+    # constant series (zero variance) or n <= 2: NULL per the ANSI
+    # divide-by-zero rule — same contract as von_neumann_by_group
+    vn = F.when(
+        (F.col("n") > 2) & (den_dec > 0), num / den_dec.cast("double")
+    )
     nd = F.col("n").cast("double")
     z = (vn - 2.0) / F.sqrt(
         4.0 * (nd - 2.0) / (nd * nd - 1.0)
@@ -1372,7 +1375,6 @@ def seasonal_mann_kendall(
 def dixon_q(
     df: DataFrame,
     value_col: str,
-    order_col: str,
     *,
     quantize: int = 10000,
 ) -> DataFrame:

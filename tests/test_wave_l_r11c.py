@@ -133,7 +133,7 @@ class TestDixonQ:
         df = spark.createDataFrame(
             [(i, v) for i, v in enumerate(vals)], "t bigint, v double"
         )
-        out = dixon_q(df, "v", "t").first()
+        out = dixon_q(df, "v").first()
         assert out["x_min"] == 10.0 and out["x_max"] == 30.0
         assert out["q_low"] == pytest.approx(1.0 / 20.0, abs=1e-9)
         assert out["q_high"] == pytest.approx(17.0 / 20.0, abs=1e-9)
@@ -144,7 +144,7 @@ class TestDixonQ:
         df = spark.createDataFrame(
             [(i, 5.0) for i in range(6)], "t bigint, v double"
         )
-        out = dixon_q(df, "v", "t").first()
+        out = dixon_q(df, "v").first()
         assert out["q_low"] is None and out["q_high"] is None
 
 
