@@ -124,6 +124,12 @@ HEADLINE = [
     "wasserstein_by_source_documents",
     "adf_test_daily",
     "dunn_test_events",
+    # round 11 third breadth wave: corpus richness/perplexity, rank-based
+    # variance homogeneity, concentration
+    "lexical_richness_documents",
+    "cross_perplexity_documents",
+    "fligner_killeen_events",
+    "hhi_revenue_by_nation",
 ]
 
 
