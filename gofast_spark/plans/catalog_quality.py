@@ -1789,3 +1789,78 @@ def last_digit_uniformity_orders(
         F.round("chi2", 6).cast("double").alias("chi2"),
         "dof",
     )
+
+
+@query(
+    "outlier_consensus_events",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS x
+      FROM events WHERE value IS NOT NULL),
+    mom AS (
+      SELECT count(*) AS n, sum(CAST(x AS HUGEINT)) AS s,
+             sum(CAST(x AS HUGEINT) * x) AS ss
+      FROM base),
+    grid AS (
+      SELECT x, sum(c) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS cum
+      FROM (SELECT x, count(*) AS c FROM base GROUP BY x)),
+    qs AS (SELECT unnest(range(1, 4)) AS i),
+    pj AS (
+      SELECT i, ((i * n + 3) - ((i * n + 3) % 4)) / 4 AS r
+      FROM qs, mom),
+    emp AS (
+      SELECT i, min(x) AS q FROM grid JOIN pj ON grid.cum >= pj.r
+      GROUP BY i),
+    qrow AS (
+      SELECT max(CASE WHEN i = 1 THEN q END) AS q1,
+             max(CASE WHEN i = 2 THEN q END) AS med,
+             max(CASE WHEN i = 3 THEN q END) AS q3
+      FROM emp),
+    dev AS (SELECT abs(b.x - q.med) AS x FROM base b, qrow q),
+    dgrid AS (
+      SELECT x, sum(c) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS cum
+      FROM (SELECT x, count(*) AS c FROM dev GROUP BY x)),
+    dpj AS (
+      SELECT ((1 * n + 1) - ((1 * n + 1) % 2)) / 2 AS r FROM mom),
+    madrow AS (
+      SELECT min(x) AS mad FROM dgrid, dpj WHERE dgrid.cum >= dpj.r),
+    f AS (
+      SELECT b.x, m.n, m.s, m.ss, q.q1, q.med, q.q3, d.mad
+      FROM base b, mom m, qrow q, madrow d),
+    flags AS (
+      SELECT
+        CASE WHEN abs(CAST(x AS DOUBLE)
+               - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             > 3.0 * sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)
+                 * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                 / (CAST(n AS DOUBLE) - 1.0))
+             THEN 1 ELSE 0 END AS zf,
+        CASE WHEN x * 2 < q1 * 2 - (q3 - q1) * 3
+               OR x * 2 > q3 * 2 + (q3 - q1) * 3
+             THEN 1 ELSE 0 END AS qf,
+        CASE WHEN mad > 0 AND abs(x - med) * 6745 > mad * 35000
+             THEN 1 ELSE 0 END AS mf
+      FROM f)
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(zf) AS BIGINT) AS n_z,
+           CAST(sum(qf) AS BIGINT) AS n_iqr,
+           CAST(sum(mf) AS BIGINT) AS n_mad,
+           CAST(sum(CASE WHEN zf + qf + mf >= 2 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_consensus2,
+           CAST(sum(CASE WHEN zf + qf + mf >= 3 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_consensus3
+    FROM flags
+    """,
+)
+def outlier_consensus_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-detector outlier consensus (z-score, Tukey fences, MAD
+    rule) over event values (quality/audit.py outlier_consensus;
+    Iglewicz & Hoaglin 1993) — integer-rank quartiles/deviation
+    median, pure-integer fence and MAD inequalities, ensemble votes
+    beside the single-rule mad/iqr/zscore entries."""
+    from gofast_spark.quality.audit import outlier_consensus
+
+    e = _t(spark, sf_dir, "events")
+    return outlier_consensus(e, "value")

@@ -6815,3 +6815,70 @@ def ancova_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k",
         "n",
     )
+
+
+@query(
+    "design_effect_orders",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderpriority AS h,
+             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS x
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL),
+    per AS (
+      SELECT h, count(*) AS nh, sum(CAST(x AS HUGEINT)) AS sh,
+             sum(CAST(x AS HUGEINT) * x) AS ssh
+      FROM base GROUP BY h),
+    t AS (
+      SELECT nh, sh, ssh,
+             CAST(floor(CAST(nh AS DOUBLE)
+               * ((CAST(ssh AS DOUBLE) - CAST(sh AS DOUBLE)
+                   * CAST(sh AS DOUBLE) / CAST(nh AS DOUBLE))
+                  / (CAST(nh AS DOUBLE) - 1.0))) AS BIGINT) AS wv_q,
+             CAST(floor(CAST(nh AS DOUBLE)
+               * sqrt((CAST(ssh AS DOUBLE) - CAST(sh AS DOUBLE)
+                   * CAST(sh AS DOUBLE) / CAST(nh AS DOUBLE))
+                  / (CAST(nh AS DOUBLE) - 1.0)) * 1000000.0) AS BIGINT)
+               AS ws_u6
+      FROM per WHERE nh > 1),
+    a AS (
+      SELECT sum(wv_q) AS swv, sum(ws_u6) AS sws, sum(nh) AS n,
+             sum(sh) AS s, sum(ssh) AS ss, count(*) AS k
+      FROM t),
+    m AS (
+      SELECT swv, sws, n, k,
+             (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)
+               AS var_all
+      FROM a)
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(k AS BIGINT) AS n_strata,
+           CAST(round(CAST(swv AS DOUBLE) / CAST(n AS DOUBLE) / var_all,
+             6) AS DOUBLE) AS deff_prop,
+           CAST(round((CAST(sws AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE))
+             * (CAST(sws AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE))
+             / var_all, 6) AS DOUBLE) AS deff_neyman,
+           CAST(round(sqrt(var_all) / 100.0, 6) AS DOUBLE) AS sd_overall
+    FROM m
+    """,
+)
+def design_effect_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kish design effects of priority-stratified sampling for the
+    order-value mean (stats/descriptive.py design_effect_stratified;
+    Kish 1965, Cochran 1977) — how much proportional and Neyman
+    allocation beat SRS; the payoff readout beside
+    neyman_sample_orders.  Per-stratum integer moments, quantized
+    stratum terms, integer combine."""
+    from gofast_spark.stats.descriptive import design_effect_stratified
+
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_totalprice").isNotNull()
+        & F.col("o_orderpriority").isNotNull()
+    )
+    out = design_effect_stratified(o, "o_totalprice", "o_orderpriority")
+    return out.select(
+        "n", "n_strata",
+        F.round("deff_prop", 6).cast("double").alias("deff_prop"),
+        F.round("deff_neyman", 6).cast("double").alias("deff_neyman"),
+        F.round("sd_overall", 6).cast("double").alias("sd_overall"),
+    )

@@ -2334,3 +2334,40 @@ def cum_periodogram_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.round("d_stat", 6).cast("double").alias("d_stat"), "m"
     )
+
+
+@query(
+    "record_counts_daily",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL}),
+    u AS (
+      SELECT d, CAST(floor(v * 10000 + 0.5) AS BIGINT) AS x FROM daily),
+    fl AS (
+      SELECT CASE WHEN max(x) OVER w IS NULL THEN 1
+                  WHEN x > max(x) OVER w THEN 1 ELSE 0 END AS hi,
+             CASE WHEN min(x) OVER w IS NULL THEN 1
+                  WHEN x < min(x) OVER w THEN 1 ELSE 0 END AS lo,
+             row_number() OVER (ORDER BY d) AS rn
+      FROM u
+      WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING))
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(hi) AS BIGINT) AS n_record_high,
+           CAST(sum(lo) AS BIGINT) AS n_record_low,
+           CAST(round(CAST(sum(CAST(floor(1000000000.0 / rn) AS BIGINT))
+             AS DOUBLE) / 1000000000.0, 6) AS DOUBLE) AS expected
+    FROM fl
+    """,
+)
+def record_counts_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record statistics of the daily series (ts/engineering.py
+    record_counts; Foster & Stuart 1954): running-maximum/minimum
+    counts against the assumption-free H_n expectation — the cheapest
+    trend screen beside cox_stuart_daily_events."""
+    from gofast_spark.ts.engineering import record_counts
+
+    out = record_counts(_daily(spark, sf_dir), "v", "d")
+    return out.select(
+        "n", "n_record_high", "n_record_low",
+        F.round("expected", 6).cast("double").alias("expected"),
+    )

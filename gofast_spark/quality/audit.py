@@ -229,3 +229,103 @@ def last_digit_uniformity(
         chi2.alias("chi2"),
         F.lit(9).cast("bigint").alias("dof"),
     )
+
+
+def outlier_consensus(
+    df: DataFrame,
+    value_col: str,
+    *,
+    quantize: int = 1000,
+    z_cut: float = 3.0,
+) -> DataFrame:
+    """Consensus of the three classic univariate outlier detectors —
+    z-score (|x - mean| > 3 sd), Tukey IQR fences (1.5 IQR beyond the
+    quartiles), and the MAD rule (0.6745 |x - med| / MAD > 3.5,
+    Iglewicz & Hoaglin 1993) — the ensemble vote the reference's
+    quality auditors tabulate before trusting any single rule (each
+    detector has a known blind spot: the z-score masks under heavy
+    contamination, the fences over-flag skewed data, MAD collapses on
+    >50% ties).
+
+    Determinism: quartiles and the deviation median are LOWER order
+    statistics by integer rank (:func:`gofast_spark.stats.descriptive
+    .integer_rank_quantiles`); the IQR and MAD rules are evaluated in
+    PURE INTEGER inequalities (2x < 2Q1 - 3IQR; 6745 |x - med| >
+    35000 MAD), so only the z rule touches doubles (closed form over
+    integer moments).  Three passes over the quantized column
+    (moments+quartiles, deviation median, final vote count) — the
+    multi-statistic price, each pass a scan + tiny broadcast.
+    Returns one row ``(n, n_z, n_iqr, n_mad, n_consensus2,
+    n_consensus3)``."""
+    from gofast_spark.stats.descriptive import integer_rank_quantiles
+
+    x = F.floor(
+        F.col(value_col).cast("double") * F.lit(float(quantize)) + F.lit(0.5)
+    ).cast("bigint")
+    base = df.where(F.col(value_col).isNotNull()).select(x.alias("__x"))
+    mom = base.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("__x").cast("decimal(19,0)")).alias("__s"),
+        F.sum(F.col("__x").cast("decimal(19,0)") * F.col("__x")).alias(
+            "__ss"
+        ),
+    )
+    quarts = integer_rank_quantiles(base, 4)
+    qrow = quarts.groupBy("__n").agg(
+        F.max(F.when(F.col("__i") == 1, F.col("__q"))).alias("q1"),
+        F.max(F.when(F.col("__i") == 2, F.col("__q"))).alias("med"),
+        F.max(F.when(F.col("__i") == 3, F.col("__q"))).alias("q3"),
+    ).drop("__n")
+    dev = base.crossJoin(F.broadcast(qrow.select("med"))).select(
+        F.abs(F.col("__x") - F.col("med")).alias("__x")
+    )
+    madrow = (
+        integer_rank_quantiles(dev, 2)
+        .where(F.col("__i") == 1)
+        .select(F.col("__q").alias("mad"))
+    )
+    stats = (
+        mom.crossJoin(F.broadcast(qrow)).crossJoin(F.broadcast(madrow))
+    )
+    j = base.crossJoin(F.broadcast(stats))
+    n = F.col("__n").cast("double")
+    mean = F.col("__s").cast("double") / n
+    sd = F.sqrt(
+        (
+            F.col("__ss").cast("double")
+            - F.col("__s").cast("double") * F.col("__s").cast("double") / n
+        )
+        / (n - 1.0)
+    )
+    z_flag = (
+        F.abs(F.col("__x").cast("double") - mean) > F.lit(z_cut) * sd
+    ).cast("int")
+    iqr = F.col("q3") - F.col("q1")
+    iqr_flag = (
+        (F.col("__x") * 2 < F.col("q1") * 2 - iqr * 3)
+        | (F.col("__x") * 2 > F.col("q3") * 2 + iqr * 3)
+    ).cast("int")
+    mad_flag = F.when(
+        F.col("mad") > 0,
+        (
+            F.abs(F.col("__x") - F.col("med")) * 6745
+            > F.col("mad") * 35000
+        ).cast("int"),
+    ).otherwise(F.lit(0))
+    votes = z_flag + iqr_flag + mad_flag
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(z_flag).alias("n_z"),
+        F.sum(iqr_flag).alias("n_iqr"),
+        F.sum(mad_flag).alias("n_mad"),
+        F.sum((votes >= 2).cast("int")).alias("n_consensus2"),
+        F.sum((votes >= 3).cast("int")).alias("n_consensus3"),
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_z").cast("bigint").alias("n_z"),
+        F.col("n_iqr").cast("bigint").alias("n_iqr"),
+        F.col("n_mad").cast("bigint").alias("n_mad"),
+        F.col("n_consensus2").cast("bigint").alias("n_consensus2"),
+        F.col("n_consensus3").cast("bigint").alias("n_consensus3"),
+    )

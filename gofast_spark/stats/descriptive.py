@@ -666,3 +666,82 @@ def robust_quantile_moments(
         bowley.alias("bowley_skew"),
         moors.alias("moors_kurtosis"),
     )
+
+
+def design_effect_stratified(
+    df: DataFrame,
+    value_col: str,
+    stratum_col: str,
+    *,
+    quantize: int = 100,
+) -> DataFrame:
+    """Design effects of stratified sampling for the mean (Kish,
+    *Survey Sampling* 1965 §3.1; Cochran 1977 ch. 5) — how much a
+    proportional or Neyman-optimal stratified design beats simple
+    random sampling on this population:
+
+        deff_prop   = sum_h W_h S_h^2 / S^2
+        deff_neyman = (sum_h W_h S_h)^2 / S^2
+
+    with W_h = N_h/N and S the overall sd.  ONE groupBy collects
+    per-stratum integer moments; each stratum's W_h S_h^2 and W_h S_h
+    term is u6-quantized before the cross-stratum sum (the CMH
+    combine discipline).  deff <= 1 always for Neyman; the gap to 1
+    is the payoff :func:`gofast_spark.operators.sampling.
+    neyman_sample` captures.  Returns one row ``(n, n_strata,
+    deff_prop, deff_neyman, sd_overall)``."""
+    x = F.floor(
+        F.col(value_col).cast("double") * F.lit(float(quantize)) + F.lit(0.5)
+    ).cast("bigint")
+    base = df.where(
+        F.col(value_col).isNotNull() & F.col(stratum_col).isNotNull()
+    ).select(F.col(stratum_col).alias("__h"), x.alias("__x"))
+    per = base.groupBy("__h").agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.sum(F.col("__x").cast("decimal(19,0)")).alias("s_h"),
+        F.sum(F.col("__x").cast("decimal(19,0)") * F.col("__x")).alias(
+            "ss_h"
+        ),
+    )
+    nh = F.col("n_h").cast("double")
+    var_h = (
+        F.col("ss_h").cast("double")
+        - F.col("s_h").cast("double") * F.col("s_h").cast("double") / nh
+    ) / (nh - 1.0)
+    # the variance term lives on the squared-quantized scale (>= 1e6
+    # for any non-degenerate stratum), so INTEGER-unit flooring keeps
+    # its relative error under 1e-6 without the int64 overflow a *1e6
+    # rescale would hit on 1e17-sized n_h * var products; the sd term
+    # is linear-scale and safely carries u6
+    terms = per.where(F.col("n_h") > 1).select(
+        "n_h", "s_h", "ss_h",
+        F.floor(nh * var_h).cast("bigint").alias("wv_q"),
+        F.floor(nh * F.sqrt(var_h) * F.lit(1e6)).cast("bigint").alias(
+            "ws_u6"
+        ),
+    )
+    agg = terms.agg(
+        F.sum("wv_q").alias("swv"),
+        F.sum("ws_u6").alias("sws"),
+        F.sum("n_h").alias("n"),
+        F.sum("s_h").alias("s"),
+        F.sum("ss_h").alias("ss"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    n = F.col("n").cast("double")
+    var_all = (
+        F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double") / n
+    ) / (n - 1.0)
+    # the u6 stratum terms carry an extra n_h weight: divide by N to
+    # recover sum_h W_h * term
+    wv = F.col("swv").cast("double") / n
+    ws = F.col("sws").cast("double") / 1e6 / n
+    q = F.lit(float(quantize))
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("k").cast("bigint").alias("n_strata"),
+        (wv / var_all).alias("deff_prop"),
+        (ws * ws / var_all).alias("deff_neyman"),
+        (F.sqrt(var_all) / q).alias("sd_overall"),
+    )

@@ -1619,3 +1619,56 @@ def cum_periodogram_test(
     return d.select(
         stat.alias("d_stat"), F.col("m").cast("int").alias("m")
     )
+
+
+def record_counts(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    *,
+    quantize: int = 10000,
+) -> DataFrame:
+    """Record statistics of a series (Foster & Stuart, JRSS-B 1954;
+    Glick, Am. Math. Monthly 1978's "breaking records"): the number
+    of running maxima (upper records) and running minima (lower
+    records).  Under exchangeability both counts have expectation
+    H_n = sum 1/k, so a surplus of upper records is a trend signal
+    that needs NO distributional assumptions at all — the cheapest
+    trend screen beside Cox-Stuart.
+
+    Values quantize to integers (strict > on the integer grid is the
+    declared tie rule: ties never set records); the running extremes
+    are one ordered window over the ROLLUP-sized frame; H_n sums
+    u9-quantized reciprocals so the expectation is partition-order
+    -free.  Returns one row ``(n, n_record_high, n_record_low,
+    expected)``."""
+    x = F.floor(
+        F.col(value_col).cast("double") * F.lit(float(quantize)) + F.lit(0.5)
+    ).cast("bigint")
+    base = df.where(
+        F.col(value_col).isNotNull() & F.col(order_col).isNotNull()
+    ).select(F.col(order_col).alias("__t"), x.alias("__x"))
+    w = Window.orderBy("__t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    rn = F.row_number().over(Window.orderBy("__t"))
+    flags = base.select(
+        (F.col("__x") > F.max("__x").over(w)).cast("int").alias("__hi"),
+        (F.col("__x") < F.min("__x").over(w)).cast("int").alias("__lo"),
+        rn.alias("__rn"),
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n"),
+        # the first observation is a record by convention
+        (F.sum(F.coalesce(F.col("__hi"), F.lit(1)))).alias("n_hi"),
+        (F.sum(F.coalesce(F.col("__lo"), F.lit(1)))).alias("n_lo"),
+        F.sum(
+            F.floor(F.lit(1e9) / F.col("__rn")).cast("bigint")
+        ).alias("h_u9"),
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_hi").cast("bigint").alias("n_record_high"),
+        F.col("n_lo").cast("bigint").alias("n_record_low"),
+        (F.col("h_u9").cast("double") / 1e9).alias("expected"),
+    )

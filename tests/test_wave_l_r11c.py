@@ -529,3 +529,121 @@ class TestTokenizerFertility:
         }
         assert out["en"]["fertility"] == pytest.approx(1.0, abs=1e-12)
         assert out["xx"]["fertility"] >= 2.0
+
+
+class TestExpectedCalibrationError:
+    def test_perfectly_calibrated_near_zero(self, spark):
+        from gofast_spark.metrics import expected_calibration_error
+
+        rng = np.random.RandomState(79)
+        s = rng.rand(20000)
+        y = (rng.rand(20000) < s).astype(int)
+        df = spark.createDataFrame(
+            [(float(a), int(b)) for a, b in zip(s, y)],
+            "score double, label int",
+        )
+        out = expected_calibration_error(df, "score", "label").first()
+        assert out["ece"] < 0.03
+        assert out["n_bins"] == 10
+
+    def test_anti_calibrated_large(self, spark):
+        from gofast_spark.metrics import expected_calibration_error
+
+        rng = np.random.RandomState(83)
+        s = rng.rand(5000)
+        y = (rng.rand(5000) < (1 - s)).astype(int)
+        df = spark.createDataFrame(
+            [(float(a), int(b)) for a, b in zip(s, y)],
+            "score double, label int",
+        )
+        out = expected_calibration_error(df, "score", "label").first()
+        assert out["ece"] > 0.3
+        assert out["mce"] >= out["ece"]
+
+    def test_hand_computed_two_bins(self, spark):
+        from gofast_spark.metrics import expected_calibration_error
+
+        # bin0: scores 0.1 x4, 1 positive (acc .25, conf .1)
+        # bin1 (scores>=.5): scores 0.9 x4, all positive (acc 1, conf .9)
+        rows = [(0.1, 1), (0.1, 0), (0.1, 0), (0.1, 0)] + [
+            (0.9, 1)
+        ] * 4
+        df = spark.createDataFrame(rows, "score double, label int")
+        out = expected_calibration_error(df, "score", "label", bins=2).first()
+        # ece = (4/8)*.15 + (4/8)*.1 = 0.125
+        assert out["ece"] == pytest.approx(0.125, abs=1e-9)
+        assert out["mce"] == pytest.approx(0.15, abs=1e-9)
+
+
+class TestOutlierConsensus:
+    def test_gross_outlier_flagged_by_all(self, spark):
+        from gofast_spark.quality.audit import outlier_consensus
+
+        rng = np.random.RandomState(89)
+        vals = list(np.round(rng.normal(10, 1, 500), 3)) + [1000.0]
+        df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+        out = outlier_consensus(df, "v").first()
+        assert out["n"] == 501
+        assert out["n_consensus3"] >= 1
+        assert out["n_z"] >= 1 and out["n_iqr"] >= 1 and out["n_mad"] >= 1
+
+    def test_clean_normal_few_consensus(self, spark):
+        from gofast_spark.quality.audit import outlier_consensus
+
+        rng = np.random.RandomState(97)
+        vals = np.round(rng.normal(0, 1, 2000), 3)
+        df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+        out = outlier_consensus(df, "v").first()
+        # z>3 two-sided on N(0,1): ~0.27%; consensus should stay tiny
+        assert out["n_consensus2"] < 40
+
+
+class TestDesignEffect:
+    def test_homogeneous_strata_help(self, spark):
+        from gofast_spark.stats.descriptive import design_effect_stratified
+
+        rng = np.random.RandomState(101)
+        rows = []
+        for h, mu in (("a", 0.0), ("b", 50.0), ("c", 100.0)):
+            for v in rng.normal(mu, 1, 300):
+                rows.append((h, float(np.round(v, 2))))
+        df = spark.createDataFrame(rows, "h string, v double")
+        out = design_effect_stratified(df, "v", "h").first()
+        # between-strata spread dominates: stratification crushes var
+        assert out["deff_prop"] < 0.05
+        assert out["deff_neyman"] <= out["deff_prop"] + 1e-9
+        assert out["n_strata"] == 3
+
+    def test_useless_strata_deff_near_one(self, spark):
+        from gofast_spark.stats.descriptive import design_effect_stratified
+
+        rng = np.random.RandomState(103)
+        rows = [
+            (str(rng.randint(3)), float(np.round(v, 2)))
+            for v in rng.normal(10, 5, 900)
+        ]
+        df = spark.createDataFrame(rows, "h string, v double")
+        out = design_effect_stratified(df, "v", "h").first()
+        assert out["deff_prop"] == pytest.approx(1.0, abs=0.05)
+
+
+class TestRecordCounts:
+    def test_monotone_series_every_point_a_record(self, spark):
+        from gofast_spark.ts.engineering import record_counts
+
+        rows = [(i, float(i)) for i in range(25)]
+        df = spark.createDataFrame(rows, "t bigint, v double")
+        out = record_counts(df, "v", "t").first()
+        assert out["n_record_high"] == 25
+        assert out["n_record_low"] == 1
+        h25 = sum(1.0 / k for k in range(1, 26))
+        assert out["expected"] == pytest.approx(h25, abs=1e-6)
+
+    def test_ties_do_not_set_records(self, spark):
+        from gofast_spark.ts.engineering import record_counts
+
+        rows = [(0, 5.0), (1, 5.0), (2, 5.0)]
+        df = spark.createDataFrame(rows, "t bigint, v double")
+        out = record_counts(df, "v", "t").first()
+        assert out["n_record_high"] == 1
+        assert out["n_record_low"] == 1
