@@ -3426,3 +3426,52 @@ def tokenizer_fertility_by_lang(
         "lang", "n_docs", "ws_tokens", "bpe_tokens",
         F.round("fertility", 6).cast("double").alias("fertility"),
     )
+
+
+@query(
+    "chao1_vocabulary_documents",
+    oracle=f"""
+    WITH norm AS (
+      SELECT {_norm_sql('text')} AS t FROM documents),
+    w AS (
+      SELECT unnest(string_split(t, ' ')) AS w FROM norm
+      WHERE len(t) > 0),
+    c AS (SELECT w, count(*) AS c FROM w GROUP BY w),
+    a AS (
+      SELECT count(*) AS v,
+             sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS v1,
+             sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS v2,
+             sum(c) AS n
+      FROM c)
+    SELECT CAST(n AS BIGINT) AS n_tokens,
+           CAST(v AS BIGINT) AS n_types,
+           CAST(v1 AS BIGINT) AS singletons,
+           CAST(v2 AS BIGINT) AS doubletons,
+           CAST(round(CAST(v AS DOUBLE) + CAST(v1 AS DOUBLE)
+             * (CAST(v1 AS DOUBLE) - 1.0)
+             / (2.0 * (CAST(v2 AS DOUBLE) + 1.0)), 6) AS DOUBLE)
+             AS chao1,
+           CAST(round(CAST(v AS DOUBLE) + CAST(v1 AS DOUBLE)
+             * (CAST(v1 AS DOUBLE) - 1.0)
+             / (2.0 * (CAST(v2 AS DOUBLE) + 1.0))
+             - CAST(v AS DOUBLE), 6) AS DOUBLE) AS unseen_types_est
+    FROM a
+    """,
+)
+def chao1_vocabulary_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Chao1 total-vocabulary lower bound from singleton/doubleton
+    type counts (text/analysis.py chao1_vocabulary; Chao 1984) — the
+    vocabulary-saturation gauge beside good_turing_documents and
+    heaps_law_documents: one word groupBy, one exact closed form."""
+    from gofast_spark.text.analysis import chao1_vocabulary
+
+    out = chao1_vocabulary(_docs(spark, sf_dir), "text")
+    return out.select(
+        "n_tokens", "n_types", "singletons", "doubletons",
+        F.round("chao1", 6).cast("double").alias("chao1"),
+        F.round("unseen_types_est", 6).cast("double").alias(
+            "unseen_types_est"
+        ),
+    )

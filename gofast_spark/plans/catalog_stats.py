@@ -6882,3 +6882,96 @@ def design_effect_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("deff_neyman", 6).cast("double").alias("deff_neyman"),
         F.round("sd_overall", 6).cast("double").alias("sd_overall"),
     )
+
+
+@query(
+    "capture_recapture_users_events",
+    oracle="""
+    WITH per AS (
+      SELECT user_id,
+             max(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+               AS a,
+             max(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+               AS b
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY user_id),
+    g AS (
+      SELECT sum(a) AS n1, sum(b) AS n2, sum(a * b) AS m FROM per)
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(m AS BIGINT) AS m,
+           CAST(round((CAST(n1 AS DOUBLE) + 1.0)
+             * (CAST(n2 AS DOUBLE) + 1.0)
+             / (CAST(m AS DOUBLE) + 1.0) - 1.0, 6) AS DOUBLE) AS n_hat,
+           CAST(round(sqrt((CAST(n1 AS DOUBLE) + 1.0)
+             * (CAST(n2 AS DOUBLE) + 1.0)
+             * (CAST(n1 AS DOUBLE) - CAST(m AS DOUBLE))
+             * (CAST(n2 AS DOUBLE) - CAST(m AS DOUBLE))
+             / ((CAST(m AS DOUBLE) + 1.0) * (CAST(m AS DOUBLE) + 1.0)
+                * (CAST(m AS DOUBLE) + 2.0))), 6) AS DOUBLE) AS se
+    FROM g
+    """,
+)
+def capture_recapture_users_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Chapman capture-recapture estimate of the total user population
+    from the early/late event windows (stats/descriptive.py
+    capture_recapture; Chapman 1951) — the crawl/audience-coverage
+    estimator beside the KMV/HLL distinct sketches: one
+    groupBy(user) to presence flags, closed-form estimate + SE."""
+    from gofast_spark.stats.descriptive import capture_recapture
+
+    e = _t(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    out = capture_recapture(
+        e,
+        "user_id",
+        F.col("ts") < "2024-01-16",
+        F.col("ts") >= "2024-01-16",
+    )
+    return out.select(
+        "n1", "n2", "m",
+        F.round("n_hat", 6).cast("double").alias("n_hat"),
+        F.round("se", 6).cast("double").alias("se"),
+    )
+
+
+@query(
+    "atkinson_orders",
+    oracle="""
+    WITH pos AS (
+      SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+      WHERE o_totalprice > 0),
+    a AS (
+      SELECT count(*) AS n,
+             sum(CAST(floor(ln(v) * 1000000.0) AS HUGEINT)) AS sln,
+             sum(CAST(floor(v * 1000000.0 + 0.5) AS HUGEINT)) AS s
+      FROM pos)
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(round(1.0 - exp(CAST(sln AS DOUBLE) / 1000000.0
+               / CAST(n AS DOUBLE))
+             / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0), 6)
+             AS DOUBLE) AS atkinson_1,
+           CAST(round(exp(CAST(sln AS DOUBLE) / 1000000.0
+             / CAST(n AS DOUBLE)), 6) AS DOUBLE) AS geo_mean,
+           CAST(round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0,
+             6) AS DOUBLE) AS mean
+    FROM a
+    """,
+)
+def atkinson_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atkinson inequality index (epsilon=1) of order values
+    (stats/descriptive.py atkinson_index; Atkinson 1970) — the
+    welfare member of the Gini/Theil/Lorenz/HHI family: u6-quantized
+    log summands, exact micro-unit mean, one closed form."""
+    from gofast_spark.stats.descriptive import atkinson_index
+
+    o = _t(spark, sf_dir, "orders")
+    out = atkinson_index(o, "o_totalprice")
+    return out.select(
+        "n",
+        F.round("atkinson_1", 6).cast("double").alias("atkinson_1"),
+        F.round("geo_mean", 6).cast("double").alias("geo_mean"),
+        F.round("mean", 6).cast("double").alias("mean"),
+    )

@@ -2371,3 +2371,65 @@ def record_counts_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n", "n_record_high", "n_record_low",
         F.round("expected", 6).cast("double").alias("expected"),
     )
+
+
+import math as _math
+
+_BC_L1 = _math.floor(_math.log(0.3 / 0.2) * 1e6)
+_BC_L0 = _math.floor(_math.log(0.7 / 0.8) * 1e6)
+
+
+@query(
+    "bernoulli_cusum_daily",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS k,
+             count(*) AS n
+      FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+    inc AS (
+      SELECT d, k, n,
+             k * CAST({_BC_L1} AS BIGINT)
+               + (n - k) * CAST({_BC_L0} AS BIGINT) AS i
+      FROM daily),
+    pp AS (
+      SELECT d, k, n,
+             sum(i) OVER w AS p
+      FROM inc
+      WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)),
+    s AS (
+      SELECT d, k, n,
+             p - least(CAST(0 AS BIGINT), CAST(min(p) OVER w AS BIGINT))
+               AS sv
+      FROM pp
+      WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW))
+    SELECT d, CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+           CAST(sv / 1000000.0 AS DOUBLE) AS cusum,
+           CAST(sv > 5000000 AS INT) AS alarm
+    FROM s
+    """,
+)
+def bernoulli_cusum_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bernoulli CUSUM on the daily purchase share (ts/changepoint.py
+    bernoulli_cusum; Page 1954, Reynolds & Stoumbos 1999) —
+    u6-quantized LLR increments against p0=0.2 vs p1=0.3, h=5; the
+    conversion-rate companion of cusum_daily_events via the same
+    prefix-sum/running-min identity."""
+    from gofast_spark.ts.changepoint import bernoulli_cusum
+
+    e = _t(spark, sf_dir, "events").where(F.col("event_type").isNotNull())
+    daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.sum(
+            (F.col("event_type") == "purchase").cast("int")
+        ).alias("k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    out = bernoulli_cusum(daily, "d", "k", "n", p0=0.2, p1=0.3, h=5.0)
+    return out.select(
+        "d", "k", "n",
+        F.col("cusum").alias("cusum"),
+        "alarm",
+    )

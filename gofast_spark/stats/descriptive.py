@@ -745,3 +745,92 @@ def design_effect_stratified(
         (ws * ws / var_all).alias("deff_neyman"),
         (F.sqrt(var_all) / q).alias("sd_overall"),
     )
+
+
+def capture_recapture(
+    df: DataFrame,
+    id_col: str,
+    in_first: Column,
+    in_second: Column,
+) -> DataFrame:
+    """Chapman's bias-corrected Lincoln-Petersen capture-recapture
+    estimate of a population's total size from two overlapping
+    observation windows (Chapman 1951; Seber, *Estimation of Animal
+    Abundance* 1982):
+
+        N_hat = (n1 + 1)(n2 + 1)/(m + 1) - 1
+        SE    = sqrt((n1+1)(n2+1)(n1-m)(n2-m) / ((m+1)^2 (m+2)))
+
+    — the audience/crawl-coverage estimator: how many distinct
+    members exist in total given two partial sightings (the dedup
+    family's population-size counterpart).  ONE groupBy(id) collapses
+    to per-member presence flags; the three counts and both closed
+    forms follow from one aggregate of integers."""
+    per = (
+        df.where(F.col(id_col).isNotNull())
+        .groupBy(id_col)
+        .agg(
+            F.max(in_first.cast("int")).alias("__a"),
+            F.max(in_second.cast("int")).alias("__b"),
+        )
+    )
+    agg = per.agg(
+        F.sum("__a").alias("n1"),
+        F.sum("__b").alias("n2"),
+        F.sum(F.col("__a") * F.col("__b")).alias("m"),
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    m = F.col("m").cast("double")
+    n_hat = (n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0
+    se = F.sqrt(
+        (n1 + 1.0)
+        * (n2 + 1.0)
+        * (n1 - m)
+        * (n2 - m)
+        / ((m + 1.0) * (m + 1.0) * (m + 2.0))
+    )
+    return agg.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.col("m").cast("bigint").alias("m"),
+        n_hat.alias("n_hat"),
+        se.alias("se"),
+    )
+
+
+def atkinson_index(
+    df: DataFrame,
+    value_col: str,
+    *,
+    quantize: int = 1_000_000,
+) -> DataFrame:
+    """Atkinson inequality index at aversion epsilon = 1 (Atkinson,
+    JET 1970): A = 1 - geometric_mean / arithmetic_mean — the
+    welfare-weighted member of the Gini/Theil/Lorenz/HHI family
+    (A is the share of total income society would give up for
+    perfect equality under log utility).  Requires strictly positive
+    values; non-positive rows are excluded and counted.
+
+    One aggregate: ln x is u6-quantized per row so the log sum is
+    integer (commutes); the arithmetic mean rides exact micro-unit
+    decimals; A = 1 - exp(S_ln/1e6/n) / mean is one closed-form
+    double."""
+    v = F.col(value_col).cast("double")
+    pos = df.where(v > 0)
+    lnq = F.floor(F.log(v) * F.lit(1e6)).cast("bigint")
+    mu = F.floor(v * F.lit(float(quantize)) + F.lit(0.5)).cast("bigint")
+    agg = pos.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(lnq.cast("decimal(19,0)")).alias("sln"),
+        F.sum(mu.cast("decimal(19,0)")).alias("s"),
+    )
+    n = F.col("n").cast("double")
+    geo = F.exp(F.col("sln").cast("double") / 1e6 / n)
+    mean = F.col("s").cast("double") / n / F.lit(float(quantize))
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        (1.0 - geo / mean).alias("atkinson_1"),
+        geo.alias("geo_mean"),
+        mean.alias("mean"),
+    )

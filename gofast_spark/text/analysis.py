@@ -504,3 +504,43 @@ def tokenizer_fertility_by_group(
             / F.col("ws_tokens").cast("double")
         ).alias("fertility"),
     )
+
+
+def chao1_vocabulary(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Chao1 lower-bound estimate of the TOTAL vocabulary size from
+    the observed type counts (Chao, Scand. J. Statist. 1984; the
+    bias-corrected form):
+
+        chao1 = V + V1 (V1 - 1) / (2 (V2 + 1))
+
+    with V1/V2 the singleton/doubleton type counts — how many types
+    the corpus has INCLUDING the unseen ones, the coverage companion
+    of the Good-Turing unseen-mass estimate (a corpus whose chao1 far
+    exceeds V is nowhere near vocabulary saturation).  One word
+    groupBy, one aggregate, one exact integer-ratio closed form."""
+    norm = normalize_text(text_col)
+    words = (
+        df.where(F.length(norm) > 0)
+        .select(F.explode(F.split(norm, " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = words.agg(
+        F.count(F.lit(1)).alias("v"),
+        F.sum((F.col("c") == 1).cast("int")).alias("v1"),
+        F.sum((F.col("c") == 2).cast("int")).alias("v2"),
+        F.sum("c").alias("n"),
+    )
+    v1 = F.col("v1").cast("double")
+    v2 = F.col("v2").cast("double")
+    chao = F.col("v").cast("double") + v1 * (v1 - 1.0) / (
+        2.0 * (v2 + 1.0)
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.col("v").cast("bigint").alias("n_types"),
+        F.col("v1").cast("bigint").alias("singletons"),
+        F.col("v2").cast("bigint").alias("doubletons"),
+        chao.alias("chao1"),
+        (chao - F.col("v").cast("double")).alias("unseen_types_est"),
+    )

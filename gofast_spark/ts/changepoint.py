@@ -463,3 +463,67 @@ def cusum_grouped(
         cols.append(((F.col("__pp") - F.col("__mp")) > thr).alias("alarm_pos"))
         cols.append(((F.col("__pn") - F.col("__mn")) > thr).alias("alarm_neg"))
     return st.select(*cols)
+
+
+def bernoulli_cusum(
+    df: DataFrame,
+    order_col: str,
+    success_col: str,
+    trials_col: str,
+    *,
+    p0: float = 0.2,
+    p1: float = 0.3,
+    h: float = 5.0,
+) -> DataFrame:
+    """Bernoulli/binomial CUSUM monitor on a per-period success rate
+    (Page 1954; Reynolds & Stoumbos, JQT 1999) — the conversion-rate
+    drift alarm: each period contributes the log-likelihood-ratio
+    increment
+
+        llr_t = k_t ln(p1/p0) + (n_t - k_t) ln((1-p1)/(1-p0))
+
+    and the one-sided CUSUM s_t = max(0, s_{t-1} + llr_t) alarms when
+    s_t > h.  Both ln coefficients are u6-quantized CONSTANTS (same
+    Python-float literal both engines), so every increment is exact
+    integer and the recursion reduces to the prefix-sum/running-min
+    identity s_t = pp_t - min(0, min_{j<=t} pp_j) — one ordered
+    window over the ROLLUP-sized period frame, no iteration.
+    Returns one row per period ``(order, k, n, cusum, alarm)``."""
+    import math
+
+    l1_u6 = math.floor(math.log(p1 / p0) * 1e6)
+    l0_u6 = math.floor(math.log((1.0 - p1) / (1.0 - p0)) * 1e6)
+    inc = (
+        F.col(success_col).cast("bigint") * F.lit(l1_u6)
+        + (F.col(trials_col) - F.col(success_col)).cast("bigint")
+        * F.lit(l0_u6)
+    )
+    base = df.select(
+        F.col(order_col).alias("__o"),
+        F.col(success_col).cast("bigint").alias("__k"),
+        F.col(trials_col).cast("bigint").alias("__n"),
+        inc.alias("__inc"),
+    )
+    w = Window.orderBy("__o").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pp = F.sum("__inc").over(w)
+    run = base.select(
+        "__o", "__k", "__n", pp.alias("__pp")
+    ).select(
+        "__o",
+        "__k",
+        "__n",
+        (
+            F.col("__pp")
+            - F.least(F.lit(0).cast("bigint"), F.min("__pp").over(w))
+        ).alias("__s"),
+    )
+    hu = int(h * 1e6)
+    return run.select(
+        F.col("__o").alias(order_col),
+        F.col("__k").alias("k"),
+        F.col("__n").alias("n"),
+        (F.col("__s").cast("double") / 1e6).alias("cusum"),
+        (F.col("__s") > F.lit(hu)).cast("int").alias("alarm"),
+    )

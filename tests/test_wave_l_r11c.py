@@ -647,3 +647,115 @@ class TestRecordCounts:
         out = record_counts(df, "v", "t").first()
         assert out["n_record_high"] == 1
         assert out["n_record_low"] == 1
+
+
+class TestBernoulliCusum:
+    def test_in_control_stays_low_shift_alarms(self, spark):
+        from gofast_spark.ts.changepoint import bernoulli_cusum
+
+        rng = np.random.RandomState(107)
+        rows = []
+        for t in range(40):
+            n = 200
+            p = 0.2 if t < 20 else 0.35
+            k = int(rng.binomial(n, p))
+            rows.append((t, k, n))
+        df = spark.createDataFrame(rows, "t bigint, k bigint, n bigint")
+        out = bernoulli_cusum(df, "t", "k", "n").collect()
+        by_t = {r["t"]: r for r in out}
+        # in-control first half: no alarm
+        assert all(by_t[t]["alarm"] == 0 for t in range(15))
+        # sustained shift: alarm fires
+        assert any(by_t[t]["alarm"] == 1 for t in range(25, 40))
+
+    def test_matches_direct_recursion(self, spark):
+        from gofast_spark.ts.changepoint import bernoulli_cusum
+
+        import math
+
+        rows = [(0, 50, 200), (1, 70, 200), (2, 30, 200), (3, 80, 200)]
+        df = spark.createDataFrame(rows, "t bigint, k bigint, n bigint")
+        out = {r["t"]: r["cusum"] for r in bernoulli_cusum(
+            df, "t", "k", "n").collect()}
+        l1 = math.floor(math.log(0.3 / 0.2) * 1e6)
+        l0 = math.floor(math.log(0.7 / 0.8) * 1e6)
+        s = 0
+        for t, k, n in [(0, 50, 200), (1, 70, 200), (2, 30, 200), (3, 80, 200)]:
+            s = max(0, s + k * l1 + (n - k) * l0)
+            assert out[t] == pytest.approx(s / 1e6, abs=1e-12)
+
+
+class TestCaptureRecapture:
+    def test_chapman_textbook_values(self, spark):
+        from gofast_spark.stats.descriptive import capture_recapture
+
+        # 100 marked (ids 0-99), 80 second sample (ids 50-129): m=50
+        rows = [(i, 1, 1 if 50 <= i < 130 else 0) for i in range(100)] + [
+            (i, 0, 1) for i in range(100, 130)
+        ]
+        df = spark.createDataFrame(rows, "id bigint, a int, b int")
+        out = capture_recapture(
+            df, "id", F.col("a") == 1, F.col("b") == 1
+        ).first()
+        assert (out["n1"], out["n2"], out["m"]) == (100, 80, 50)
+        assert out["n_hat"] == pytest.approx(
+            101 * 81 / 51 - 1, rel=1e-12
+        )
+
+    def test_full_overlap_estimates_population(self, spark):
+        from gofast_spark.stats.descriptive import capture_recapture
+
+        rows = [(i, 1, 1) for i in range(200)]
+        df = spark.createDataFrame(rows, "id bigint, a int, b int")
+        out = capture_recapture(
+            df, "id", F.col("a") == 1, F.col("b") == 1
+        ).first()
+        assert out["n_hat"] == pytest.approx(200.0, abs=0.5)
+        assert out["se"] == pytest.approx(0.0, abs=1e-9)
+
+
+class TestAtkinson:
+    def test_equal_values_zero(self, spark):
+        from gofast_spark.stats.descriptive import atkinson_index
+
+        df = spark.createDataFrame([(10.0,)] * 50, "v double")
+        out = atkinson_index(df, "v").first()
+        assert out["atkinson_1"] == pytest.approx(0.0, abs=1e-6)
+
+    def test_unequal_matches_closed_form(self, spark):
+        from gofast_spark.stats.descriptive import atkinson_index
+
+        import math
+
+        vals = [1.0, 1.0, 4.0, 16.0]
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        out = atkinson_index(df, "v").first()
+        geo = math.exp(sum(math.log(v) for v in vals) / 4)
+        ref = 1 - geo / (sum(vals) / 4)
+        assert out["atkinson_1"] == pytest.approx(ref, abs=1e-5)
+        assert 0 < out["atkinson_1"] < 1
+
+
+class TestChao1:
+    def test_hand_computed(self, spark):
+        from gofast_spark.text.analysis import chao1_vocabulary
+
+        # counts: a=3, b=1, c=1, d=2 -> V=4, V1=2, V2=1
+        df = spark.createDataFrame(
+            [(1, "a a a b c d d")], "doc_id bigint, text string"
+        )
+        out = chao1_vocabulary(df, "text").first()
+        assert out["n_types"] == 4
+        assert out["singletons"] == 2 and out["doubletons"] == 1
+        # chao1 = 4 + 2*1/(2*2) = 4.5
+        assert out["chao1"] == pytest.approx(4.5, abs=1e-12)
+
+    def test_saturated_corpus_no_unseen(self, spark):
+        from gofast_spark.text.analysis import chao1_vocabulary
+
+        df = spark.createDataFrame(
+            [(1, "x x x y y y z z z")], "doc_id bigint, text string"
+        )
+        out = chao1_vocabulary(df, "text").first()
+        assert out["singletons"] == 0
+        assert out["unseen_types_est"] == 0.0
