@@ -945,58 +945,3 @@ def expected_calibration_error(
         F.col("__b").cast("int").alias("n_bins"),
     )
 
-
-def expected_calibration_error(
-    df: DataFrame,
-    score_col: str,
-    label_col: str,
-    *,
-    bins: int = 10,
-) -> DataFrame:
-    """Expected and maximum calibration error (Naeini, Cooper &
-    Hauskrecht, AAAI 2015) — the scalar summary of the
-    :func:`calibration_curve` reliability diagram:
-
-        ECE = sum_b (n_b/N) |acc_b - conf_b|
-        MCE = max_b |acc_b - conf_b|
-
-    In integer form: with y_b = positives and c_b = sum of
-    micro-unit scores in bin b, n_b |acc_b - conf_b| =
-    |1e6 y_b - c_b| / 1e6 exactly, so ECE = sum_b |1e6 y_b - c_b|
-    / (N 1e6) — every cross-bin sum is integer.  One projection +
-    one bins-sized aggregate."""
-    s = F.col(score_col).cast("double")
-    b = F.least(F.floor(s * bins).cast("int"), F.lit(bins - 1))
-    s_u6 = (s * F.lit(1e6) + F.lit(0.5)).cast("bigint")
-    per = (
-        df.where(s.isNotNull() & F.col(label_col).isNotNull())
-        .select(
-            b.alias("__b"),
-            s_u6.alias("__s"),
-            F.col(label_col).cast("int").alias("__y"),
-        )
-        .groupBy("__b")
-        .agg(
-            F.count(F.lit(1)).alias("n_b"),
-            F.sum("__y").alias("y_b"),
-            F.sum("__s").alias("c_b"),
-        )
-    )
-    gap = F.abs(F.lit(1_000_000).cast("decimal(19,0)") * F.col("y_b") - F.col("c_b"))
-    agg = per.agg(
-        F.sum(gap).alias("gap_sum"),
-        F.max(
-            gap.cast("double") / F.col("n_b").cast("double")
-        ).alias("mce_u6"),
-        F.sum("n_b").alias("n"),
-        F.count(F.lit(1)).alias("n_bins"),
-    )
-    return agg.select(
-        (
-            F.col("gap_sum").cast("double")
-            / (F.col("n").cast("double") * 1e6)
-        ).alias("ece"),
-        (F.col("mce_u6") / 1e6).alias("mce"),
-        F.col("n").cast("bigint").alias("n"),
-        F.col("n_bins").cast("bigint").alias("n_bins"),
-    )

@@ -859,53 +859,3 @@ def ece_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return expected_calibration_error(o, "score", "label", bins=10)
 
-
-@query(
-    "ece_orders",
-    oracle="""
-    WITH scored AS (
-      SELECT (CAST(o_custkey % 97 AS DOUBLE) / 97) AS s,
-             CAST(o_orderstatus = 'F' AS INT) AS y
-      FROM orders
-      WHERE o_custkey IS NOT NULL AND o_orderstatus IS NOT NULL),
-    b AS (
-      SELECT least(CAST(floor(s * 10) AS INT), 9) AS bin,
-             CAST(trunc(s * 1000000 + 0.5) AS BIGINT) AS su, y
-      FROM scored),
-    per AS (
-      SELECT bin, count(*) AS nb, sum(y) AS yb, sum(su) AS cb
-      FROM b GROUP BY bin),
-    a AS (
-      SELECT sum(abs(CAST(1000000 AS HUGEINT) * yb - cb)) AS gap,
-             max(CAST(abs(CAST(1000000 AS HUGEINT) * yb - cb) AS DOUBLE)
-                 / CAST(nb AS DOUBLE)) AS mce6,
-             sum(nb) AS n, count(*) AS k
-      FROM per)
-    SELECT CAST(round(CAST(gap AS DOUBLE)
-             / (CAST(n AS DOUBLE) * 1000000.0), 6) AS DOUBLE) AS ece,
-           CAST(round(mce6 / 1000000.0, 6) AS DOUBLE) AS mce,
-           CAST(n AS BIGINT) AS n,
-           CAST(k AS BIGINT) AS n_bins
-    FROM a
-    """,
-)
-def ece_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Expected/maximum calibration error of the synthetic score
-    calibration_curve_orders plots (metrics.py
-    expected_calibration_error; Naeini-Cooper-Hauskrecht 2015) —
-    integer |1e6 y_b - c_b| gaps, two divisions at the end."""
-    from gofast_spark.metrics import expected_calibration_error
-
-    o = _t(spark, sf_dir, "orders").where(
-        F.col("o_custkey").isNotNull() & F.col("o_orderstatus").isNotNull()
-    ).select(
-        ((F.col("o_custkey") % 97).cast("double") / 97).alias("score"),
-        (F.col("o_orderstatus") == "F").cast("int").alias("label"),
-    )
-    out = expected_calibration_error(o, "score", "label", bins=10)
-    return out.select(
-        F.round("ece", 6).cast("double").alias("ece"),
-        F.round("mce", 6).cast("double").alias("mce"),
-        "n",
-        "n_bins",
-    )
