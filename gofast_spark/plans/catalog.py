@@ -32,6 +32,11 @@ def query(name: str, oracle: str | None = None):
     """Register a catalog entry."""
 
     def deco(fn):
+        # a second registration under an existing name would silently
+        # SHADOW a (possibly driver-verified) entry via dict overwrite
+        # — the r11 ece_orders near-miss; fail loudly at import instead
+        if name in QUERIES:
+            raise ValueError(f"duplicate catalog entry name: {name!r}")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLE_SQL[name] = oracle

@@ -119,3 +119,18 @@ def test_never_green_entries_lead_the_window():
     assert names[50 : 50 + len(overflow)] == overflow, (
         f"stranded never-green entries not queued after window: {overflow}"
     )
+
+
+def test_duplicate_registration_raises():
+    """The query() decorator must refuse a name that is already
+    registered — a silent dict overwrite shadowed the driver-verified
+    ece_orders entry in r11 until a count audit caught it."""
+    import pytest
+
+    from gofast_spark.plans.catalog import query
+
+    with pytest.raises(ValueError, match="duplicate catalog entry"):
+
+        @query("flagship_revenue_by_region")
+        def _clash(spark, sf_dir):  # pragma: no cover
+            raise AssertionError
