@@ -3475,3 +3475,46 @@ def chao1_vocabulary_documents(
             "unseen_types_est"
         ),
     )
+
+
+@query(
+    "token_evenness_by_source",
+    oracle=f"""
+    WITH norm AS (
+      SELECT source, {_norm_sql('text')} AS t FROM documents
+      WHERE source IS NOT NULL),
+    w AS (
+      SELECT source, unnest(string_split(t, ' ')) AS w FROM norm
+      WHERE len(t) > 0),
+    c AS (SELECT source, w, count(*) AS c FROM w GROUP BY source, w),
+    a AS (
+      SELECT source, sum(c) AS n, count(*) AS v,
+             sum(CAST(floor(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+               * 1000000.0) AS HUGEINT)) AS t
+      FROM c GROUP BY source)
+    SELECT source,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(v AS BIGINT) AS n_types,
+           CAST(round(ln(CAST(n AS DOUBLE)) - CAST(t AS DOUBLE)
+             / 1000000.0 / CAST(n AS DOUBLE), 6) AS DOUBLE) AS shannon_h,
+           CASE WHEN v > 1 THEN CAST(round(
+             (ln(CAST(n AS DOUBLE)) - CAST(t AS DOUBLE) / 1000000.0
+              / CAST(n AS DOUBLE)) / ln(CAST(v AS DOUBLE)), 6) AS DOUBLE)
+           END AS evenness
+    FROM a
+    """,
+)
+def token_evenness_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Pielou evenness of the token distribution
+    (text/analysis.py token_evenness_by_group; Pielou 1966) — the
+    normalized head-heaviness monitor beside
+    lexical_richness_by_lang_documents."""
+    from gofast_spark.text.analysis import token_evenness_by_group
+
+    d = _docs(spark, sf_dir).where(F.col("source").isNotNull())
+    out = token_evenness_by_group(d, "text", "source")
+    return out.select(
+        "source", "n_tokens", "n_types",
+        F.round("shannon_h", 6).cast("double").alias("shannon_h"),
+        F.round("evenness", 6).cast("double").alias("evenness"),
+    )

@@ -2433,3 +2433,67 @@ def bernoulli_cusum_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cusum").alias("cusum"),
         "alarm",
     )
+
+
+@query(
+    "poisson_dispersion_by_type_events",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS g, CAST(ts AS DATE) AS d, count(*) AS c
+      FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+    a AS (
+      SELECT g, count(*) AS n,
+             sum(CAST(c AS HUGEINT)) AS s,
+             sum(CAST(c AS HUGEINT) * c) AS ss
+      FROM daily GROUP BY g)
+    SELECT g AS event_type,
+           CAST(n AS BIGINT) AS n_days,
+           CAST(round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6)
+             AS DOUBLE) AS mean_daily,
+           CASE WHEN s > 0 AND n > 1 THEN CAST(round(
+             ((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+               / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))
+             / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS DOUBLE)
+           END AS dispersion,
+           CASE WHEN s > 0 AND n > 1 THEN CAST(round(
+             ((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+               / CAST(n AS DOUBLE)) / (CAST(s AS DOUBLE)
+               / CAST(n AS DOUBLE))), 6) AS DOUBLE)
+           END AS chi2
+    FROM a
+    """,
+)
+def poisson_dispersion_by_type_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-type Poisson dispersion of DAILY event counts (Fisher's
+    variance/mean index per segment; the grouped companion of
+    poisson_dispersion_user_events): one daily groupBy + one type
+    aggregate, integer moments, closed-form index and chi-square."""
+    e = _t(spark, sf_dir, "events").where(F.col("event_type").isNotNull())
+    daily = e.groupBy(
+        F.col("event_type").alias("event_type"),
+        F.col("ts").cast("date").alias("d"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    agg = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("c").cast("decimal(19,0)")).alias("s"),
+        F.sum(F.col("c").cast("decimal(19,0)") * F.col("c")).alias("ss"),
+    )
+    n = F.col("n").cast("double")
+    s = F.col("s").cast("double")
+    ss = F.col("ss").cast("double")
+    var = (ss - s * s / n) / (n - 1.0)
+    mean = s / n
+    ok = (F.col("s") > 0) & (F.col("n") > 1)
+    return agg.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(mean, 6).cast("double").alias("mean_daily"),
+        F.round(F.when(ok, var / mean), 6).cast("double").alias(
+            "dispersion"
+        ),
+        F.round(F.when(ok, (ss - s * s / n) / mean), 6)
+        .cast("double")
+        .alias("chi2"),
+    )

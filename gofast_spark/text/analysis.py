@@ -544,3 +544,45 @@ def chao1_vocabulary(df: DataFrame, text_col: str = "text") -> DataFrame:
         chao.alias("chao1"),
         (chao - F.col("v").cast("double")).alias("unseen_types_est"),
     )
+
+
+def token_evenness_by_group(
+    df: DataFrame, text_col: str, group_col: str
+) -> DataFrame:
+    """Pielou's evenness J = H / ln V of the token distribution per
+    group (Pielou, J. Theor. Biol. 1966): how uniformly each slice
+    spreads its vocabulary, on [0, 1] — the normalized companion of
+    the per-group richness report (two corpora with equal TTR can
+    differ wildly in head-heaviness; J separates them).  One
+    (group, word) groupBy; H uses the u6-quantized c ln c summand
+    discipline; J is one division (NULL for single-type groups, per
+    the ANSI rule)."""
+    norm = normalize_text(text_col)
+    words = (
+        df.where((F.length(norm) > 0) & F.col(group_col).isNotNull())
+        .select(
+            F.col(group_col).alias("__g"),
+            F.explode(F.split(norm, " ")).alias("w"),
+        )
+        .groupBy("__g", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    clnc_u6 = F.floor(
+        F.col("c").cast("double") * F.log(F.col("c").cast("double"))
+        * F.lit(1e6)
+    ).cast("bigint")
+    agg = words.groupBy("__g").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("v"),
+        F.sum(clnc_u6.cast("decimal(19,0)")).alias("t"),
+    )
+    n = F.col("n").cast("double")
+    h = F.log(n) - F.col("t").cast("double") / 1e6 / n
+    j = F.when(F.col("v") > 1, h / F.log(F.col("v").cast("double")))
+    return agg.select(
+        F.col("__g").alias(group_col),
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.col("v").cast("bigint").alias("n_types"),
+        h.alias("shannon_h"),
+        j.alias("evenness"),
+    )

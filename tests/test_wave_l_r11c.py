@@ -759,3 +759,41 @@ class TestChao1:
         out = chao1_vocabulary(df, "text").first()
         assert out["singletons"] == 0
         assert out["unseen_types_est"] == 0.0
+
+
+class TestTokenEvenness:
+    def test_uniform_tokens_evenness_one(self, spark):
+        from gofast_spark.text.analysis import token_evenness_by_group
+
+        df = spark.createDataFrame(
+            [(1, "s1", "alpha beta gamma delta")],
+            "doc_id bigint, src string, text string",
+        )
+        out = token_evenness_by_group(df, "text", "src").first()
+        assert out["evenness"] == pytest.approx(1.0, abs=1e-4)
+
+    def test_head_heavy_lower_than_uniform(self, spark):
+        from gofast_spark.text.analysis import token_evenness_by_group
+
+        rows = [
+            (1, "flat", "a b c d e f g h"),
+            (2, "heavy", "x x x x x x y z"),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id bigint, src string, text string"
+        )
+        out = {
+            r["src"]: r
+            for r in token_evenness_by_group(df, "text", "src").collect()
+        }
+        assert out["heavy"]["evenness"] < out["flat"]["evenness"]
+
+    def test_single_type_group_null(self, spark):
+        from gofast_spark.text.analysis import token_evenness_by_group
+
+        df = spark.createDataFrame(
+            [(1, "mono", "same same same")],
+            "doc_id bigint, src string, text string",
+        )
+        out = token_evenness_by_group(df, "text", "src").first()
+        assert out["evenness"] is None
