@@ -763,7 +763,8 @@ def benford_profile_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     "observed_report_lineitem",
     oracle="""
     SELECT 'l_discount' AS "column", count(*) AS n_rows,
-           sum(CAST(l_discount IS NULL AS BIGINT)) AS n_nulls,
+           CAST(sum(CAST(l_discount IS NULL AS BIGINT))
+                AS BIGINT) AS n_nulls,
            CAST((1000000 * sum(CAST(l_discount IS NULL AS BIGINT)))
                 // count(*) AS BIGINT) AS null_ppm,
            CAST(floor(min(l_discount) * 1000000 + 0.5) AS BIGINT) AS min_u6,
@@ -771,7 +772,7 @@ def benford_profile_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem
     UNION ALL
     SELECT 'l_quantity', count(*),
-           sum(CAST(l_quantity IS NULL AS BIGINT)),
+           CAST(sum(CAST(l_quantity IS NULL AS BIGINT)) AS BIGINT),
            CAST((1000000 * sum(CAST(l_quantity IS NULL AS BIGINT)))
                 // count(*) AS BIGINT),
            CAST(floor(min(l_quantity) * 1000000 + 0.5) AS BIGINT),
@@ -813,7 +814,8 @@ def observed_report_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quality_report_relational_lineitem",
     oracle="""
     SELECT 'l_discount' AS "column", count(*) AS n_rows,
-           sum(CAST(l_discount IS NULL AS BIGINT)) AS n_nulls,
+           CAST(sum(CAST(l_discount IS NULL AS BIGINT))
+                AS BIGINT) AS n_nulls,
            CAST((1000000 * sum(CAST(l_discount IS NULL AS BIGINT)))
                 // count(*) AS BIGINT) AS null_ppm,
            CAST(floor(min(l_discount) * 1000000 + 0.5) AS BIGINT) AS min_u6,
@@ -821,7 +823,7 @@ def observed_report_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem
     UNION ALL
     SELECT 'l_quantity', count(*),
-           sum(CAST(l_quantity IS NULL AS BIGINT)),
+           CAST(sum(CAST(l_quantity IS NULL AS BIGINT)) AS BIGINT),
            CAST((1000000 * sum(CAST(l_quantity IS NULL AS BIGINT)))
                 // count(*) AS BIGINT),
            CAST(floor(min(l_quantity) * 1000000 + 0.5) AS BIGINT),
