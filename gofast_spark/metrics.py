@@ -944,4 +944,3 @@ def expected_calibration_error(
         F.col("__n").cast("bigint").alias("n"),
         F.col("__b").cast("int").alias("n_bins"),
     )
-

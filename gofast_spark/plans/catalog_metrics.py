@@ -858,4 +858,3 @@ def ece_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderstatus") == "F").cast("int").alias("label"),
     )
     return expected_calibration_error(o, "score", "label", bins=10)
-

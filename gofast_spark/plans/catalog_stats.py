@@ -6388,10 +6388,10 @@ def robust_moments_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
              count(*) AS k, sum(n_k) AS n
       FROM t)
     SELECT CAST(round(
-             (abs(CAST(sum_a AS DOUBLE) - CAST(sum_e AS DOUBLE) / 1000000.0)
-              - 0.5)
-             * (abs(CAST(sum_a AS DOUBLE) - CAST(sum_e AS DOUBLE) / 1000000.0)
-                - 0.5)
+             greatest(abs(CAST(sum_a AS DOUBLE)
+                          - CAST(sum_e AS DOUBLE) / 1000000.0) - 0.5, 0.0)
+             * greatest(abs(CAST(sum_a AS DOUBLE)
+                            - CAST(sum_e AS DOUBLE) / 1000000.0) - 0.5, 0.0)
              / (CAST(sum_v AS DOUBLE) / 1000000.0), 6) AS DOUBLE)
              AS cmh_stat,
            CASE WHEN sum_s > 0 THEN CAST(round(

@@ -548,7 +548,18 @@ def herfindahl_index(
     One member-level groupBy then one group-level aggregate; values
     are quantized to integer units so both sums are exact decimals,
     and HHI = sum v_i^2 / (sum v_i)^2 is a single double division —
-    share arithmetic never happens per-row."""
+    share arithmetic never happens per-row.
+
+    Magnitude bound: the squared member total __v^2 is exact only
+    while |__v| < ~1.3e19 micro-units (decimal(38,0) holds the
+    square of up to ~10^19) — at the default ``quantize=1e6`` that
+    is a member total of ~1.3e13 in raw units.  Beyond it the
+    product overflows to NULL; rather than silently dropping the
+    term (understating HHI), the aggregate counts overflowed
+    members and returns NULL hhi/n_effective for the group so the
+    failure is loud.  For larger magnitudes pass a smaller
+    ``quantize`` (shares are scale-invariant, so this only trades
+    quantization precision, not correctness)."""
     v = F.floor(
         F.col(value_col).cast("double") * F.lit(float(quantize)) + F.lit(0.5)
     ).cast("bigint")
@@ -558,15 +569,21 @@ def herfindahl_index(
         .groupBy(*gcols, F.col(member_col).alias("__m"))
         .agg(F.sum(v.cast("decimal(19,0)")).alias("__v"))
     )
+    sq = F.col("__v").cast("decimal(38,0)") * F.col("__v")
     agg = per.groupBy(*gcols).agg(
-        F.sum(F.col("__v").cast("decimal(38,0)") * F.col("__v")).alias(
-            "__sq"
-        ),
+        F.sum(sq).alias("__sq"),
+        # a NULL square can only mean decimal overflow (__v itself is
+        # never NULL after the isNotNull filter): count them so an
+        # out-of-bound member total nulls the index instead of being
+        # silently dropped from the sum (r11 ADVICE)
+        F.sum(F.when(sq.isNull(), 1).otherwise(0)).alias("__n_overflow"),
         F.sum("__v").alias("__s"),
         F.count(F.lit(1)).alias("n_members"),
     )
-    hhi = F.col("__sq").cast("double") / (
-        F.col("__s").cast("double") * F.col("__s").cast("double")
+    hhi = F.when(
+        F.col("__n_overflow") == 0,
+        F.col("__sq").cast("double")
+        / (F.col("__s").cast("double") * F.col("__s").cast("double")),
     )
     return agg.select(
         *gcols,
@@ -810,7 +827,8 @@ def atkinson_index(
     welfare-weighted member of the Gini/Theil/Lorenz/HHI family
     (A is the share of total income society would give up for
     perfect equality under log utility).  Requires strictly positive
-    values; non-positive rows are excluded and counted.
+    values; non-positive rows are excluded (``n`` reports the kept
+    positive-row count only).
 
     One aggregate: ln x is u6-quantized per row so the log sum is
     integer (commutes); the arithmetic mean rides exact micro-unit

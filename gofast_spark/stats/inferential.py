@@ -2555,10 +2555,17 @@ def cochran_mantel_haenszel(
         F.count(F.lit(1)).alias("k"),
         F.sum("n_k").alias("n"),
     )
-    dev = F.abs(
-        F.col("sum_a").cast("double")
-        - F.col("sum_e").cast("double") / 1e6
-    ) - F.lit(0.5)
+    # Continuity correction clamped at zero: when |sum_a - sum_e| < 0.5
+    # the corrected deviation is 0, not a squared negative that would
+    # inflate the statistic away from its null value (r11 ADVICE).
+    dev = F.greatest(
+        F.abs(
+            F.col("sum_a").cast("double")
+            - F.col("sum_e").cast("double") / 1e6
+        )
+        - F.lit(0.5),
+        F.lit(0.0),
+    )
     cmh = dev * dev / (F.col("sum_v").cast("double") / 1e6)
     or_mh = F.when(
         F.col("sum_s") > 0,

@@ -498,7 +498,15 @@ def bernoulli_cusum(
         + (F.col(trials_col) - F.col(success_col)).cast("bigint")
         * F.lit(l0_u6)
     )
-    base = df.select(
+    # NULL keys order differently across engines (Spark NULLS FIRST,
+    # DuckDB NULLS LAST) and a NULL increment would poison the prefix
+    # sum — drop incomplete periods up front (r11 ADVICE; catalog
+    # callers pre-aggregate, so this is a consistency guard).
+    base = df.where(
+        F.col(order_col).isNotNull()
+        & F.col(success_col).isNotNull()
+        & F.col(trials_col).isNotNull()
+    ).select(
         F.col(order_col).alias("__o"),
         F.col(success_col).cast("bigint").alias("__k"),
         F.col(trials_col).cast("bigint").alias("__n"),
