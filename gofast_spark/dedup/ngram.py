@@ -184,3 +184,129 @@ def ngram_containment_pairs(
     finally:
         if eager:
             sh.unpersist()
+
+
+def ngram_dedup_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    jaccard_threshold: float = 0.8,
+    containment_threshold: float = 0.8,
+    max_df: int | None = 64,
+    eager: bool = True,
+) -> DataFrame:
+    """One-row near-duplication health card: how duplicated IS this
+    corpus, by both resemblance measures at once — the go/no-go
+    readout a corpus build checks before and after its dedup stage.
+
+    Computes the shingle frame, the rare-shingle candidate set, the
+    per-candidate intersection, and the per-doc set sizes ONCE, then
+    derives exact Jaccard AND containment from the same ``(n_inter,
+    n_a, n_b)`` triple — half the join work of calling
+    :func:`ngram_jaccard_pairs` and :func:`ngram_containment_pairs`
+    separately, which matters when the shingle frame is the 100-TB
+    object.  Returns one row ``(n_docs, n_candidate_pairs,
+    n_jaccard_pairs, n_containment_pairs, n_docs_flagged)`` where
+    ``n_docs_flagged`` counts distinct documents in at least one
+    over-threshold pair (either measure)."""
+    sh = doc_shingles(df, id_col, text_col, k=k)
+    if eager:
+        sh = sh.persist()
+    try:
+        if max_df is not None:
+            rare = (
+                sh.groupBy("sh_hash")
+                .agg(F.count(F.lit(1)).alias("__df"))
+                .where(F.col("__df") <= max_df)
+                .select("sh_hash")
+            )
+            block = sh.join(rare, on="sh_hash", how="inner")
+        else:
+            block = sh
+        a = block.select(
+            F.col(id_col).alias("id_a"), F.col("sh_hash").alias("__h")
+        )
+        b = block.select(
+            F.col(id_col).alias("id_b"), F.col("sh_hash").alias("__h")
+        )
+        cand = (
+            a.join(b, on="__h", how="inner")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+        x = sh.select(F.col(id_col).alias("id_a"), "sh_hash")
+        y = sh.select(F.col(id_col).alias("id_b"), "sh_hash")
+        inter = (
+            cand.join(x, "id_a")
+            .join(y, ["id_b", "sh_hash"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+        meas = (
+            inter.join(
+                sizes.select(
+                    F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")
+                ),
+                "id_a",
+            )
+            .join(
+                sizes.select(
+                    F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")
+                ),
+                "id_b",
+            )
+            .select(
+                "id_a",
+                "id_b",
+                (
+                    F.col("n_inter").cast("double")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+                    .cast("double")
+                    >= F.lit(jaccard_threshold)
+                ).alias("__j"),
+                (
+                    F.col("n_inter").cast("double")
+                    / F.least("n_a", "n_b").cast("double")
+                    >= F.lit(containment_threshold)
+                ).alias("__c"),
+            )
+        )
+        if eager:
+            # the pair-measure frame feeds BOTH the count aggregate and
+            # the flagged-doc distinct — pin the tiny pair list so the
+            # candidate joins replay at most once (same storage contract
+            # as the pair functions)
+            meas = meas.localCheckpoint(eager=True)
+        counts = meas.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs"),
+            F.coalesce(F.sum(F.col("__j").cast("int")), F.lit(0))
+            .cast("bigint")
+            .alias("n_jaccard_pairs"),
+            F.coalesce(F.sum(F.col("__c").cast("int")), F.lit(0))
+            .cast("bigint")
+            .alias("n_containment_pairs"),
+        )
+        flagged = (
+            meas.where(F.col("__j") | F.col("__c"))
+            .select(F.explode(F.array("id_a", "id_b")).alias("__d"))
+            .agg(F.countDistinct("__d").cast("bigint").alias("n_docs_flagged"))
+        )
+        n_docs = df.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        return (
+            n_docs.crossJoin(F.broadcast(counts))
+            .crossJoin(F.broadcast(flagged))
+            .select(
+                "n_docs",
+                "n_candidate_pairs",
+                "n_jaccard_pairs",
+                "n_containment_pairs",
+                "n_docs_flagged",
+            )
+        )
+    finally:
+        if eager:
+            sh.unpersist()

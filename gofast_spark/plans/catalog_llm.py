@@ -3518,3 +3518,296 @@ def token_evenness_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("shannon_h", 6).cast("double").alias("shannon_h"),
         F.round("evenness", 6).cast("double").alias("evenness"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-12 composition wave: dataset cards, the shared-shingle dedup
+# health report, and the containment-dedup corpus build (r11 verdict
+# ask #7 — composition/infrastructure over new statistics).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dataset_card_documents",
+    oracle=f"""
+    WITH {_FILTER_KEEP_CTES},
+    cnorm AS (SELECT source, lang, {_norm_sql('text')} AS t FROM documents),
+    docs AS (
+      SELECT count(*) AS n_docs,
+             count(DISTINCT source) AS n_sources,
+             count(DISTINCT lang) AS n_langs,
+             sum(CASE WHEN len(t) > 0 THEN len(string_split(t, ' '))
+                 ELSE 0 END) AS n_tokens,
+             count(DISTINCT t) AS n_exact_unique
+      FROM cnorm),
+    w AS (SELECT unnest(string_split(t, ' ')) AS w FROM cnorm
+          WHERE len(t) > 0),
+    c AS (SELECT w, count(*) AS c FROM w GROUP BY w),
+    vocab AS (
+      SELECT count(*) AS n_types,
+             sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS hapax_types
+      FROM c),
+    lc AS (SELECT lang, count(*) AS n FROM documents
+           WHERE lang IS NOT NULL GROUP BY lang),
+    lt AS (SELECT sum(n) AS tot FROM lc),
+    ent AS (
+      SELECT sum(CAST(floor(-(n * 1.0 / tot) * ln(n * 1.0 / tot)
+                 * 1000000 + 0.5) AS BIGINT)) AS e
+      FROM lc, lt),
+    kr AS (SELECT count(*) AS n_kept FROM fkeep)
+    SELECT CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_sources AS BIGINT) AS n_sources,
+           CAST(n_langs AS BIGINT) AS n_langs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_types AS BIGINT) AS n_types,
+           CAST(hapax_types AS BIGINT) AS hapax_types,
+           CAST(n_exact_unique AS BIGINT) AS n_exact_unique,
+           CAST(n_tokens AS DOUBLE) / n_docs AS mean_tokens,
+           CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+           CAST(hapax_types AS DOUBLE) / CAST(n_types AS DOUBLE)
+             AS hapax_ratio,
+           (n_docs - n_exact_unique) / CAST(n_docs AS DOUBLE)
+             AS exact_dup_ratio,
+           CAST(e AS BIGINT) AS lang_entropy_u6,
+           CAST(n_kept AS BIGINT) AS n_kept,
+           CAST(n_kept AS DOUBLE) / n_docs AS keep_ratio
+    FROM docs, vocab, ent, kr
+    """,
+)
+def dataset_card_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row corpus DATASET CARD (the r11 verdict's named
+    composition entry): inventory, token mass, lexical richness,
+    exact-duplicate share, language-mix entropy (text/analysis.py
+    dataset_card) crossed with the C4/Gopher composite-filter keep
+    rate (text/corpus_filter.py) — the summary block a corpus release
+    publishes, composed from already-verified constituents in one
+    plan.  Every ratio is an exact integer division and the entropy
+    rides u6-quantized integer terms, so the card is engine-exact."""
+    from gofast_spark.text import corpus_filter
+    from gofast_spark.text.analysis import dataset_card
+
+    d = _docs(spark, sf_dir)
+    card = dataset_card(d, "text", "source", "lang")
+    kept = corpus_filter(d, "text").agg(
+        F.coalesce(F.sum(F.col("keep").cast("int")), F.lit(0))
+        .cast("bigint")
+        .alias("n_kept")
+    )
+    return card.crossJoin(F.broadcast(kept)).select(
+        "n_docs", "n_sources", "n_langs", "n_tokens", "n_types",
+        "hapax_types", "n_exact_unique", "mean_tokens", "ttr",
+        "hapax_ratio", "exact_dup_ratio", "lang_entropy_u6", "n_kept",
+        (F.col("n_kept").cast("double") / F.col("n_docs").cast("double"))
+        .alias("keep_ratio"),
+    )
+
+
+@query(
+    "dataset_card_by_source_documents",
+    oracle=f"""
+    WITH cnorm AS (
+      SELECT source AS g, {_norm_sql('text')} AS t FROM documents
+      WHERE source IS NOT NULL),
+    docs AS (
+      SELECT g, count(*) AS n_docs,
+             sum(CASE WHEN len(t) > 0 THEN len(string_split(t, ' '))
+                 ELSE 0 END) AS n_tokens,
+             count(DISTINCT t) AS n_exact_unique
+      FROM cnorm GROUP BY g),
+    wv AS (
+      SELECT g, w, count(*) AS c FROM (
+        SELECT g, unnest(string_split(t, ' ')) AS w FROM cnorm
+        WHERE len(t) > 0) GROUP BY g, w),
+    vocab AS (SELECT g, count(*) AS n_types FROM wv GROUP BY g)
+    SELECT d.g AS "group",
+           CAST(d.n_docs AS BIGINT) AS n_docs,
+           CAST(d.n_tokens AS BIGINT) AS n_tokens,
+           CAST(coalesce(v.n_types, 0) AS BIGINT) AS n_types,
+           CAST(d.n_exact_unique AS BIGINT) AS n_exact_unique,
+           CAST(d.n_tokens AS DOUBLE) / d.n_docs AS mean_tokens,
+           CASE WHEN d.n_tokens > 0
+                THEN coalesce(v.n_types, 0) / CAST(d.n_tokens AS DOUBLE)
+           END AS ttr,
+           (d.n_docs - d.n_exact_unique) / CAST(d.n_docs AS DOUBLE)
+             AS exact_dup_ratio
+    FROM docs d LEFT JOIN vocab v ON v.g = d.g
+    ORDER BY 1
+    """,
+)
+def dataset_card_by_source_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-SOURCE dataset card (text/analysis.py dataset_card_by_group)
+    — the per-partner-feed monitoring row an ingest pipeline reads:
+    document count, token mass, vocabulary size, TTR, and the
+    exact-duplicate share WITHIN each source.  One doc-level and one
+    word-level group aggregate joined on the group key; all ratios
+    exact integer divisions."""
+    from gofast_spark.text.analysis import dataset_card_by_group
+
+    return dataset_card_by_group(_docs(spark, sf_dir), "source", "text")
+
+
+@query(
+    "dedup_rate_report_documents",
+    oracle=f"""
+    WITH {_SHINGLE_CTES},
+    rare AS (SELECT h FROM shh GROUP BY h HAVING count(*) <= 64),
+    rsh AS (SELECT s.doc_id, s.h FROM shh s JOIN rare r ON s.h = r.h),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM rsh a JOIN rsh b ON a.h = b.h AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_inter
+      FROM cand c
+      JOIN shh x ON x.doc_id = c.id_a
+      JOIN shh y ON y.doc_id = c.id_b AND y.h = x.h
+      GROUP BY c.id_a, c.id_b),
+    meas AS (
+      SELECT i.id_a, i.id_b,
+             i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.8
+               AS j,
+             i.n_inter * 1.0 / least(sa.n_sh, sb.n_sh) >= 0.8 AS c
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.id_a
+      JOIN sizes sb ON sb.doc_id = i.id_b),
+    cnt AS (
+      SELECT count(*) AS n_candidate_pairs,
+             coalesce(sum(CASE WHEN j THEN 1 ELSE 0 END), 0)
+               AS n_jaccard_pairs,
+             coalesce(sum(CASE WHEN c THEN 1 ELSE 0 END), 0)
+               AS n_containment_pairs
+      FROM meas),
+    fl AS (
+      SELECT count(DISTINCT d) AS n_docs_flagged FROM (
+        SELECT unnest([id_a, id_b]) AS d FROM meas WHERE j OR c)),
+    ex AS (
+      SELECT count(*) AS n_docs,
+             count(DISTINCT {_norm_sql('text')}) AS n_exact_unique
+      FROM documents)
+    SELECT CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_exact_unique AS BIGINT) AS n_exact_unique,
+           CAST(n_candidate_pairs AS BIGINT) AS n_candidate_pairs,
+           CAST(n_jaccard_pairs AS BIGINT) AS n_jaccard_pairs,
+           CAST(n_containment_pairs AS BIGINT) AS n_containment_pairs,
+           CAST(n_docs_flagged AS BIGINT) AS n_docs_flagged
+    FROM ex, cnt, fl
+    """,
+)
+def dedup_rate_report_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One-row near-duplication HEALTH CARD (dedup/ngram.py
+    ngram_dedup_report): exact-duplicate count plus exact Jaccard AND
+    containment over-threshold pair counts from ONE shared shingle
+    frame / candidate set / intersection — half the join work of
+    running the two pair entries separately, which is the point at
+    100 TB.  The go/no-go readout a corpus build checks before and
+    after its dedup stage."""
+    from gofast_spark.dedup.ngram import ngram_dedup_report
+    from gofast_spark.text.analysis import normalize_text
+
+    d = _docs(spark, sf_dir)
+    rep = ngram_dedup_report(
+        d, "doc_id", "text",
+        k=3, jaccard_threshold=0.8, containment_threshold=0.8, max_df=64,
+    )
+    exact = d.agg(
+        F.countDistinct(normalize_text("text"))
+        .cast("bigint")
+        .alias("n_exact_unique")
+    )
+    return rep.crossJoin(F.broadcast(exact)).select(
+        "n_docs", "n_exact_unique", "n_candidate_pairs",
+        "n_jaccard_pairs", "n_containment_pairs", "n_docs_flagged",
+    )
+
+
+@query(
+    "corpus_build_containment_survivors",
+    oracle=f"""
+    WITH {_FILTER_KEEP_CTES},
+    {_SHINGLE_CTES.replace("FROM documents", "FROM kept_docs")},
+    rare AS (SELECT h FROM shh GROUP BY h HAVING count(*) <= 64),
+    rsh AS (SELECT s.doc_id, s.h FROM shh s JOIN rare r ON s.h = r.h),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM rsh a JOIN rsh b ON a.h = b.h AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_inter
+      FROM cand c
+      JOIN shh x ON x.doc_id = c.id_a
+      JOIN shh y ON y.doc_id = c.id_b AND y.h = x.h
+      GROUP BY c.id_a, c.id_b),
+    prs AS (
+      SELECT i.id_a, i.id_b, sa.n_sh AS na, sb.n_sh AS nb
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.id_a
+      JOIN sizes sb ON sb.doc_id = i.id_b
+      WHERE i.n_inter * 1.0 / least(sa.n_sh, sb.n_sh) >= 0.8),
+    drp AS (
+      SELECT DISTINCT CASE WHEN na < nb THEN id_a
+                           WHEN nb < na THEN id_b
+                           ELSE greatest(id_a, id_b) END AS doc_id
+      FROM prs),
+    surv AS (
+      SELECT k.doc_id FROM kept_docs k
+      LEFT JOIN drp ON drp.doc_id = k.doc_id
+      WHERE drp.doc_id IS NULL)
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN len(n.t) > 0
+                    THEN len(string_split(n.t, ' ')) ELSE 0 END)
+             AS BIGINT) AS tok_sum
+    FROM surv s
+    JOIN documents d ON d.doc_id = s.doc_id
+    JOIN norm n ON n.doc_id = s.doc_id
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+)
+def corpus_build_containment_survivors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Corpus build with CONTAINMENT dedup as the stage (the r11
+    verdict's named composition variant): C4/Gopher composite filter
+    -> exact n-gram containment pairs at 0.8 (dedup/ngram.py; Broder
+    1997's containment coefficient — catches the short-doc-embedded
+    -in-long case Jaccard dilutes) -> drop the SMALLER-shingle-set
+    member of each pair (the contained quote/wrapper; ties break to
+    the larger doc_id) -> per-source survivor counts and token mass.
+    Every stage is individually oracle-verified; this verifies their
+    composition."""
+    from gofast_spark.dedup.ngram import ngram_containment_pairs
+    from gofast_spark.text import corpus_filter
+    from gofast_spark.text.analysis import normalize_text
+
+    d = _docs(spark, sf_dir)
+    kept = corpus_filter(d, "text").where("keep").select(
+        "doc_id", "text", "source"
+    )
+    pairs = ngram_containment_pairs(
+        kept, "doc_id", "text", k=3, threshold=0.8, max_df=64
+    )
+    drop = pairs.select(
+        F.when(F.col("n_a") < F.col("n_b"), F.col("id_a"))
+        .when(F.col("n_b") < F.col("n_a"), F.col("id_b"))
+        .otherwise(F.greatest("id_a", "id_b"))
+        .alias("doc_id")
+    ).distinct()
+    surv = kept.join(drop, "doc_id", "left_anti")
+    norm = normalize_text("text")
+    return (
+        surv.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(
+                F.when(F.length(norm) > 0, F.size(F.split(norm, " ")))
+                .otherwise(F.lit(0))
+                .cast("bigint")
+            ).cast("bigint").alias("tok_sum"),
+        )
+        .orderBy("source")
+    )

@@ -1003,3 +1003,120 @@ def stream_ab_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         zz.alias("z"),
         (F.abs(zz) > F.lit(1.959963984540054)).alias("significant"),
     )
+
+
+@query(
+    "stream_psi_by_type_events",
+    oracle="""
+    WITH cnt AS (
+      SELECT event_type AS grp,
+             least(greatest(CAST(floor(CAST(value AS DOUBLE) / 50.0)
+                   AS INT), 0), 9) AS bin,
+             count(*) AS n
+      FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2),
+    spine AS (SELECT CAST(range AS INT) AS bin FROM range(10)),
+    grid AS (
+      SELECT g.grp, s.bin, coalesce(c.n, 0) AS n
+      FROM (SELECT DISTINCT grp FROM cnt) g
+      CROSS JOIN spine s
+      LEFT JOIN cnt c ON c.grp = g.grp AND c.bin = s.bin),
+    m AS (
+      SELECT grp, bin, n,
+             sum(n) OVER (PARTITION BY grp) AS n_g,
+             sum(n) OVER (PARTITION BY bin) - n AS rest_b,
+             sum(n) OVER () - sum(n) OVER (PARTITION BY grp) AS rest_t
+      FROM grid)
+    SELECT grp AS "group",
+           CAST(max(n_g) AS BIGINT) AS n_group,
+           CAST(max(rest_t) AS BIGINT) AS n_rest,
+           CAST(sum(CAST(floor(
+             ((n + 0.5) / (n_g + 5.0) - (rest_b + 0.5) / (rest_t + 5.0))
+             * ln(((n + 0.5) / (n_g + 5.0))
+                  / ((rest_b + 0.5) / (rest_t + 5.0)))
+             * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS psi_u6
+    FROM m GROUP BY grp ORDER BY grp
+    """,
+)
+def stream_psi_by_type_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP drift monitoring IN A STREAM (the r11 verdict's named
+    streaming twin of the per-source drift reports): the leave-one
+    -group-out PSI of quality/drift.py psi_by_group is counts-native —
+    its entire input is the (group, bin) counter grid — so the
+    streaming state is exactly that grid (one groups x bins
+    complete-mode aggregate, the stream_hist_sketch pattern), and the
+    drained counts fold through the SAME margin code path
+    (psi_by_group_from_counts) the batch entries use.
+    availableNow-equals-batch oracle."""
+    from gofast_spark.quality.drift import psi_by_group_from_counts
+    from gofast_spark.streaming import read_event_stream, run_available_now
+
+    bins = 10
+    stream = read_event_stream(spark, sf_dir, glob="events.parquet")
+    counts = (
+        stream.where(
+            F.col("value").isNotNull() & F.col("event_type").isNotNull()
+        )
+        .groupBy(
+            F.col("event_type").alias("grp"),
+            F.least(
+                F.greatest(
+                    F.floor(F.col("value").cast("double") / F.lit(50.0))
+                    .cast("int"),
+                    F.lit(0),
+                ),
+                F.lit(bins - 1),
+            ).alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # the margin fold references the drained frame three times (groups
+    # spine + left join + windows); localCheckpoint breaks the memory
+    # -sink lineage so the self-references resolve (and the grid is
+    # groups x bins tiny)
+    drained = run_available_now(counts, mode="complete").localCheckpoint(
+        eager=True
+    )
+    return psi_by_group_from_counts(drained, bins=bins, smooth=0.5)
+
+
+from gofast_spark.plans.catalog import ORACLE_SQL as _ORACLE_SQL2  # noqa: E402
+
+
+@query("stream_ks_by_type_events", oracle=_ORACLE_SQL2["ks_drift_by_type_events"])
+def stream_ks_by_type_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group binned-ECDF KS drift IN A STREAM: like
+    stream_psi_by_type_events, ks_by_group's input is the (group, bin)
+    counter grid, so the streaming state is that grid (100 bins x
+    groups counters, exactly maintainable, late-data-safe because
+    counts are order-independent) and the drained counts fold through
+    ks_by_group_from_counts — the identical margin/cumulative-window
+    path the batch ks_drift_by_type_events entry runs, hence the
+    byte-identical oracle."""
+    from gofast_spark.quality.drift import ks_by_group_from_counts
+    from gofast_spark.streaming import read_event_stream, run_available_now
+
+    bins = 100
+    stream = read_event_stream(spark, sf_dir, glob="events.parquet")
+    counts = (
+        stream.where(
+            F.col("value").isNotNull() & F.col("event_type").isNotNull()
+        )
+        .groupBy(
+            F.col("event_type").alias("grp"),
+            F.least(
+                F.greatest(
+                    F.floor(F.col("value").cast("double") / F.lit(5.0))
+                    .cast("int"),
+                    F.lit(0),
+                ),
+                F.lit(bins - 1),
+            ).alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    drained = run_available_now(counts, mode="complete").localCheckpoint(
+        eager=True
+    )
+    return ks_by_group_from_counts(drained, bins=bins)

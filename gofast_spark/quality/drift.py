@@ -120,9 +120,28 @@ def psi_by_group(
     if bins < 2 or not hi > lo:
         raise ValueError("need bins >= 2 and hi > lo")
     width = (hi - lo) / bins
-    s = float(smooth)
+    counts = _group_bin_counts(df, group_col, col, lo, width, bins)
+    return psi_by_group_from_counts(
+        counts, bins=bins, smooth=smooth, unit=unit
+    )
+
+
+def _group_bin_counts(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    lo: float,
+    width: float,
+    bins: int,
+) -> DataFrame:
+    """The shared ``(grp, bin, n)`` count frame behind the grouped
+    drift reports — exactly the state a STREAMING monitor maintains
+    (a groups x bins counter grid), which is why the margin folds
+    below take this frame rather than raw rows: the batch entries
+    bin-and-fold in one plan, the streaming twins drain the same
+    counts from a complete-mode aggregate and fold identically."""
     x = F.col(col).cast("double")
-    counts = (
+    return (
         df.where(x.isNotNull() & F.col(group_col).isNotNull())
         .groupBy(
             F.col(group_col).alias("grp"),
@@ -130,7 +149,19 @@ def psi_by_group(
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    spine = df.sparkSession.range(bins).select(
+
+
+def psi_by_group_from_counts(
+    counts: DataFrame,
+    *,
+    bins: int,
+    smooth: float = 0.5,
+    unit: int = 1_000_000,
+) -> DataFrame:
+    """Leave-one-group-out PSI margin fold over a ``(grp, bin, n)``
+    count frame (see :func:`psi_by_group` for semantics)."""
+    s = float(smooth)
+    spine = counts.sparkSession.range(bins).select(
         F.col("id").cast("int").alias("bin")
     )
     grid = (
@@ -141,8 +172,6 @@ def psi_by_group(
             "grp", "bin", F.coalesce(F.col("n"), F.lit(0)).alias("n")
         )
     )
-    from pyspark.sql import Window
-
     w_grp = Window.partitionBy("grp")
     w_bin = Window.partitionBy("bin")
     w_all = Window.partitionBy()
@@ -195,16 +224,19 @@ def ks_by_group(
     if bins < 2 or not hi > lo:
         raise ValueError("need bins >= 2 and hi > lo")
     width = (hi - lo) / bins
-    x = F.col(col).cast("double")
-    counts = (
-        df.where(x.isNotNull() & F.col(group_col).isNotNull())
-        .groupBy(
-            F.col(group_col).alias("grp"),
-            _bin(x, lo, width, bins).alias("bin"),
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    spine = df.sparkSession.range(bins).select(
+    counts = _group_bin_counts(df, group_col, col, lo, width, bins)
+    return ks_by_group_from_counts(counts, bins=bins, unit=unit)
+
+
+def ks_by_group_from_counts(
+    counts: DataFrame,
+    *,
+    bins: int,
+    unit: int = 1_000_000,
+) -> DataFrame:
+    """Group-vs-rest binned-ECDF KS margin fold over a ``(grp, bin,
+    n)`` count frame (see :func:`ks_by_group` for semantics)."""
+    spine = counts.sparkSession.range(bins).select(
         F.col("id").cast("int").alias("bin")
     )
     grid = (
@@ -215,8 +247,6 @@ def ks_by_group(
             "grp", "bin", F.coalesce(F.col("n"), F.lit(0)).alias("n")
         )
     )
-    from pyspark.sql import Window
-
     w_grp = Window.partitionBy("grp")
     w_bin = Window.partitionBy("bin")
     w_all = Window.partitionBy()

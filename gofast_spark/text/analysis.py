@@ -586,3 +586,154 @@ def token_evenness_by_group(
         h.alias("shannon_h"),
         j.alias("evenness"),
     )
+
+
+def dataset_card(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """The one-row corpus "dataset card": the summary block a corpus
+    release publishes up front (inventory, token mass, lexical
+    richness, exact-duplicate share, language mix), composing the
+    engine's corpus-analytics aggregates into ONE result — each
+    constituent is individually differential-verified elsewhere
+    (:func:`lexical_richness`, :func:`corpus_report`, the dedup
+    family); this composes their plans.
+
+    Three group-cardinality-sized aggregates over one logical corpus
+    scan each — a doc-level aggregate (counts, token mass, distinct
+    normalized texts), a vocab aggregate (types/hapax), and a
+    language-mix entropy — combined by crossJoin of 1-row frames (the
+    documented broadcast 1-row reduction pattern).  The entropy rides
+    u6-quantized per-language terms summed as integers (the
+    transcendental-sum discipline), so the card is engine-exact and
+    partition-order-free.  Returns one row ``(n_docs, n_sources,
+    n_langs, n_tokens, n_types, hapax_types, n_exact_unique,
+    mean_tokens, ttr, hapax_ratio, exact_dup_ratio,
+    lang_entropy_u6)``."""
+    norm = normalize_text(text_col)
+    docs = df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.col(source_col)).alias("n_sources"),
+        F.countDistinct(F.col(lang_col)).alias("n_langs"),
+        F.sum(
+            F.when(F.length(norm) > 0, F.size(F.split(norm, " ")))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+        ).alias("n_tokens"),
+        F.countDistinct(norm).alias("n_exact_unique"),
+    )
+    vocab = (
+        df.where(F.length(norm) > 0)
+        .select(F.explode(F.split(norm, " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum((F.col("c") == 1).cast("int"))
+            .cast("bigint")
+            .alias("hapax_types"),
+        )
+    )
+    lang_n = (
+        df.where(F.col(lang_col).isNotNull())
+        .groupBy(lang_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy()
+    p = F.col("n").cast("double") / F.sum("n").over(tot).cast("double")
+    ent = (
+        lang_n.select(
+            F.floor(-p * F.log(p) * F.lit(1e6) + F.lit(0.5))
+            .cast("bigint")
+            .alias("__t")
+        )
+        .agg(F.sum("__t").cast("bigint").alias("lang_entropy_u6"))
+    )
+    nd = F.col("n_docs").cast("double")
+    return (
+        docs.crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(ent))
+        .select(
+            "n_docs",
+            "n_sources",
+            "n_langs",
+            "n_tokens",
+            "n_types",
+            "hapax_types",
+            "n_exact_unique",
+            (F.col("n_tokens").cast("double") / nd).alias("mean_tokens"),
+            (
+                F.col("n_types").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("ttr"),
+            (
+                F.col("hapax_types").cast("double")
+                / F.col("n_types").cast("double")
+            ).alias("hapax_ratio"),
+            ((nd - F.col("n_exact_unique").cast("double")) / nd).alias(
+                "exact_dup_ratio"
+            ),
+            "lang_entropy_u6",
+        )
+    )
+
+
+def dataset_card_by_group(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group :func:`dataset_card` core (the per-SOURCE monitoring
+    card an ingest pipeline reads per partner feed): document count,
+    token mass, vocabulary size, type-token ratio, and the exact
+    -duplicate share WITHIN the group — one doc-level and one
+    word-level aggregate, both group-sized, joined on the group key
+    (broadcast-sized join at any corpus scale).  Returns one row per
+    group ``(group, n_docs, n_tokens, n_types, n_exact_unique,
+    mean_tokens, ttr, exact_dup_ratio)`` ordered by group."""
+    norm = normalize_text(text_col)
+    base = df.where(F.col(group_col).isNotNull())
+    docs = base.groupBy(F.col(group_col).alias("group")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.length(norm) > 0, F.size(F.split(norm, " ")))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+        ).alias("n_tokens"),
+        F.countDistinct(norm).alias("n_exact_unique"),
+    )
+    vocab = (
+        base.where(F.length(norm) > 0)
+        .select(
+            F.col(group_col).alias("group"),
+            F.explode(F.split(norm, " ")).alias("w"),
+        )
+        .groupBy("group", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("group")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_types"))
+    )
+    nd = F.col("n_docs").cast("double")
+    return (
+        docs.join(vocab, "group", "left")
+        .select(
+            "group",
+            "n_docs",
+            "n_tokens",
+            F.coalesce(F.col("n_types"), F.lit(0)).alias("n_types"),
+            "n_exact_unique",
+            (F.col("n_tokens").cast("double") / nd).alias("mean_tokens"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.coalesce(F.col("n_types"), F.lit(0)).cast("double")
+                / F.col("n_tokens").cast("double"),
+            ).alias("ttr"),
+            ((nd - F.col("n_exact_unique").cast("double")) / nd).alias(
+                "exact_dup_ratio"
+            ),
+        )
+        .orderBy("group")
+    )
