@@ -130,6 +130,12 @@ HEADLINE = [
     "cross_perplexity_documents",
     "fligner_killeen_events",
     "hhi_revenue_by_nation",
+    # round 12 composition wave: dataset cards, shared-shingle dedup
+    # health report, containment-dedup corpus build
+    "dataset_card_documents",
+    "dataset_card_by_source_documents",
+    "dedup_rate_report_documents",
+    "corpus_build_containment_survivors",
 ]
 
 

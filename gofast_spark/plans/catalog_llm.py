@@ -3811,3 +3811,75 @@ def corpus_build_containment_survivors(
         )
         .orderBy("source")
     )
+
+
+@query(
+    "shard_fill_report_documents",
+    oracle=f"""
+    WITH snorm AS (SELECT doc_id, {_norm_sql('text')} AS t FROM documents),
+    tok AS (SELECT doc_id,
+                   CAST(len(string_split(t, ' ')) AS BIGINT) AS n_tokens
+            FROM snorm),
+    c AS (SELECT doc_id, n_tokens,
+                 sum(n_tokens) OVER (ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) AS cum
+          FROM tok),
+    sh AS (SELECT CAST(floor((cum - n_tokens) / 2000.0) AS INT) AS shard,
+                  n_tokens
+           FROM c),
+    per AS (SELECT shard, count(*) AS n_docs, sum(n_tokens) AS tok
+            FROM sh GROUP BY shard)
+    SELECT CAST(count(*) AS BIGINT) AS n_shards,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS total_tokens,
+           CAST(min(tok) AS BIGINT) AS min_shard_tokens,
+           CAST(max(tok) AS BIGINT) AS max_shard_tokens,
+           sum(tok) / (count(*) * 2000.0) AS mean_fill_ratio,
+           CAST(sum(CASE WHEN tok > 2000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shards_over_budget
+    FROM per
+    """,
+)
+def shard_fill_report_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Shard-balance readout of the token-budget sharding
+    (operators/prefix.py token_budget_shards — the two-phase
+    distributed prefix sum): shard count, token mass, min/max shard
+    fill, mean fill ratio against the 2000-token budget, and how many
+    shards overshoot (budget binning never splits a doc, so a shard
+    can exceed budget by up to one doc) — the balance report a
+    packing job checks before shipping shards to trainers.  One
+    shard-sized groupBy over the already-verified shard assignment,
+    then a one-row fold."""
+    from gofast_spark.operators import token_budget_shards
+    from gofast_spark.text.analysis import normalize_text
+
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "doc_id",
+        F.size(F.split(normalize_text("text"), " "))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    out = token_budget_shards(
+        tok, "doc_id", "n_tokens", budget=2000, cumsum_col="cum_tokens"
+    )
+    per = out.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("tok"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shards"),
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("tok").cast("bigint").alias("total_tokens"),
+        F.min("tok").cast("bigint").alias("min_shard_tokens"),
+        F.max("tok").cast("bigint").alias("max_shard_tokens"),
+        (
+            F.sum("tok").cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(2000.0))
+        ).alias("mean_fill_ratio"),
+        F.sum((F.col("tok") > 2000).cast("int"))
+        .cast("bigint")
+        .alias("n_shards_over_budget"),
+    )

@@ -572,8 +572,23 @@ def wasserstein_by_group(
         g.alias("g"), v.alias("v")
     )
     cnt = d.groupBy("v", "g").agg(F.count(F.lit(1)).alias("c"))
-    vals = d.select("v").distinct()
-    groups = d.select("g").distinct()
+    return wasserstein_by_group_from_counts(
+        cnt, unit=unit, group_col=group_col
+    )
+
+
+def wasserstein_by_group_from_counts(
+    cnt: DataFrame,
+    *,
+    unit: int = 1_000_000_000,
+    group_col: str = "group",
+) -> DataFrame:
+    """Leave-one-group-out W1 fold over a ``(v, g, c)`` count frame —
+    exactly the state a streaming monitor maintains (per-(value,
+    group) counters; pre-bin unbounded value domains per the ks_test
+    contract).  See :func:`wasserstein_by_group` for semantics."""
+    vals = cnt.select("v").distinct()
+    groups = cnt.select("g").distinct()
     grid = vals.crossJoin(F.broadcast(groups))
     cell = grid.join(cnt, ["v", "g"], "left").select(
         "v", "g", F.coalesce(F.col("c"), F.lit(0)).alias("c")
