@@ -1826,8 +1826,16 @@ def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gofast_spark.text import corpus_filter
     from gofast_spark.text.analysis import normalize_text
 
-    d = _docs(spark, sf_dir)
-    kept = corpus_filter(d, "text").where("keep").select("doc_id", "text")
+    # tag-then-filter with eager pins (see
+    # corpus_build_containment_survivors for the measured rationale:
+    # an inlined `.where("keep")` re-derives the signal battery per
+    # conjunct, and the single-split toy scan defeats _docs'
+    # redistribution)
+    d = _docs(spark, sf_dir).localCheckpoint(eager=True)
+    tagged = corpus_filter(d, "text").select(
+        "doc_id", "text", "keep"
+    ).localCheckpoint(eager=True)
+    kept = tagged.where("keep").select("doc_id", "text")
     surv = dedup_near_duplicates(kept, "doc_id", "text", threshold=0.8)
     tok = surv.select(
         "doc_id",
@@ -3784,10 +3792,23 @@ def corpus_build_containment_survivors(
     from gofast_spark.text import corpus_filter
     from gofast_spark.text.analysis import normalize_text
 
-    d = _docs(spark, sf_dir)
-    kept = corpus_filter(d, "text").where("keep").select(
-        "doc_id", "text", "source"
-    )
+    # Two toy-scale plan pins (measured at sf0.1: 204 s -> ~8 s).
+    # 1. _docs' repartition is transparent to Catalyst, so any filter
+    #    collapses back onto the single-split scan (one core); an
+    #    eager checkpoint of the raw docs pins the redistribution.
+    # 2. `.where("keep")` inlines the ENTIRE rule chain into a Filter,
+    #    where each of the six conjuncts re-derives the full signal
+    #    battery (whole-stage CSE does not survive the collapsed
+    #    expression tree: measured 53 s as an inlined Filter vs 4.6 s
+    #    as a once-per-row projection).  Materializing the TAGGED
+    #    frame first makes the verdict a stored boolean — the same
+    #    tag-then-filter layout a production corpus build writes to
+    #    storage between stages.
+    d = _docs(spark, sf_dir).localCheckpoint(eager=True)
+    tagged = corpus_filter(d, "text").select(
+        "doc_id", "text", "source", "keep"
+    ).localCheckpoint(eager=True)
+    kept = tagged.where("keep").select("doc_id", "text", "source")
     pairs = ngram_containment_pairs(
         kept, "doc_id", "text", k=3, threshold=0.8, max_df=64
     )

@@ -55,6 +55,15 @@ def corpus_filter(
 
     ``rules`` overrides :data:`DEFAULT_RULES` per key; a key set to
     ``None`` disables that rule.
+
+    Consumption contract: materialize the tagged frame (write it, or
+    ``localCheckpoint`` at test scale) BEFORE ``.where('keep')``.
+    Catalyst collapses the signal projections into a downstream
+    Filter, where each rule conjunct re-derives the full battery
+    (whole-stage CSE does not survive the merged tree — measured 53 s
+    inlined vs 4.6 s as a once-per-row projection at sf0.1); the
+    tag-then-filter layout is also what a production corpus build
+    persists between stages for auditability.
     """
     cfg = dict(DEFAULT_RULES)
     if rules:
