@@ -1197,3 +1197,39 @@ def stream_wasserstein_by_type_events(
         eager=True
     )
     return wasserstein_by_group_from_counts(drained, group_col="group")
+
+
+@query("stream_corpus_report_documents", oracle=_ORACLE_SQL2["corpus_report_documents"])
+def stream_corpus_report_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The per-(source, lang) dataset-card frame maintained AS A
+    STREAM (the ingest-monitoring shape: partner feeds arrive
+    continuously, the card stays current): corpus_report's aggregate
+    is four integer counters per group (doc count, token sum, two
+    u6-quantized ratio sums — text/analysis.py corpus_report_moments),
+    so the streaming state is exactly that groups-sized counter grid
+    (complete-mode, commutative, late-data-safe), and the drained
+    moments fold through the SAME corpus_report_from_moments path the
+    batch entry delegates to — byte-identical oracle."""
+    from gofast_spark.streaming import (
+        read_document_stream,
+        run_available_now,
+    )
+    from gofast_spark.text.analysis import (
+        corpus_report_from_moments,
+        corpus_report_moments,
+    )
+
+    stream = read_document_stream(spark, sf_dir, glob="documents.parquet")
+    moments = corpus_report_moments(stream, "text", ("source", "lang"))
+    drained = run_available_now(moments, mode="complete")
+    out = corpus_report_from_moments(drained)
+    return out.select(
+        "source", "lang", "n_docs", "tok_sum",
+        F.col("mean_tokens").cast("double").alias("mean_tokens"),
+        F.col("mean_unique_ratio").cast("double").alias("mean_unique_ratio"),
+        F.col("mean_stopword_ratio").cast("double").alias(
+            "mean_stopword_ratio"
+        ),
+    )

@@ -150,6 +150,23 @@ def corpus_report(
     summation (the engine's exact-money policy), so the aggregate is
     bit-identical under any partition regrouping — a double sum across
     1000 executors would not be."""
+    return corpus_report_from_moments(
+        corpus_report_moments(df, text_col, group_cols)
+    )
+
+
+def corpus_report_moments(
+    df: DataFrame,
+    text_col: str,
+    group_cols: "Sequence[str]" = ("source", "lang"),
+) -> DataFrame:
+    """The integer moment frame behind :func:`corpus_report` — one row
+    per group with ``(n_docs, tok_sum, uniq_u6_sum, stop_u6_sum)``.
+    Every column is a COUNT or an integer SUM, so this frame is
+    exactly the state a streaming aggregation maintains (commutative,
+    late-data-safe, mergeable across micro-batches and executors);
+    the batch report and the streaming twin both fold it through
+    :func:`corpus_report_from_moments`."""
     s = text_stats(df, text_col)
 
     def u6(c):
@@ -158,22 +175,41 @@ def corpus_report(
         # one micro-unit on values like ...5.499999999996; same recipe
         # as plans.catalog._units6)
         return (c * F.lit(1e6) + F.lit(0.5)).cast("bigint")
-    # no final round(): the means are exact-integer divisions, so both
-    # engines produce the bit-identical double — a round() at a .5 tie
-    # (e.g. sum_u6/n landing on ...55e-7) splits between Spark's
-    # decimal-repr rounding and DuckDB's binary rounding
+
     return s.groupBy(*list(group_cols)).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("tok_sum"),
-        (F.sum("n_tokens") / F.count(F.lit(1))).alias("mean_tokens"),
-        (
-            F.sum(u6(F.col("n_unique_tokens") / F.col("n_tokens")))
-            / (F.count(F.lit(1)) * F.lit(1_000_000.0))
-        ).alias("mean_unique_ratio"),
-        (
-            F.sum(u6(F.col("stopword_ratio")))
-            / (F.count(F.lit(1)) * F.lit(1_000_000.0))
-        ).alias("mean_stopword_ratio"),
+        F.sum(u6(F.col("n_unique_tokens") / F.col("n_tokens"))).alias(
+            "uniq_u6_sum"
+        ),
+        F.sum(u6(F.col("stopword_ratio"))).alias("stop_u6_sum"),
+    )
+
+
+def corpus_report_from_moments(moments: DataFrame) -> DataFrame:
+    """Fold the :func:`corpus_report_moments` frame to the published
+    dataset-card columns.  No final round(): the means are exact
+    -integer divisions, so both engines produce the bit-identical
+    double — a round() at a .5 tie (e.g. sum_u6/n landing on
+    ...55e-7) splits between Spark's decimal-repr rounding and
+    DuckDB's binary rounding."""
+    keep = [
+        c
+        for c in moments.columns
+        if c not in ("n_docs", "tok_sum", "uniq_u6_sum", "stop_u6_sum")
+    ]
+    n = F.col("n_docs")
+    return moments.select(
+        *keep,
+        "n_docs",
+        "tok_sum",
+        (F.col("tok_sum") / n).alias("mean_tokens"),
+        (F.col("uniq_u6_sum") / (n * F.lit(1_000_000.0))).alias(
+            "mean_unique_ratio"
+        ),
+        (F.col("stop_u6_sum") / (n * F.lit(1_000_000.0))).alias(
+            "mean_stopword_ratio"
+        ),
     )
 
 
