@@ -786,24 +786,22 @@ def observed_report_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     tuple eagerly, gofast/dataops/quality.py:98-325; here the report is
     one relational aggregate + ``stack`` unpivot).
 
-    Driver-red history (hash-only, value-identical locally every
-    round).  r8/r9: returned a ``createDataFrame`` of harvested
-    observation literals — restructured r10 to return the COMPUTED
-    relational aggregate, with the observation-vs-aggregate equivalence
-    asserted in-entry (noop write + collect).  Still red in r10, which
-    falsified the LocalRelation theory; the one remaining unique
-    feature was the in-entry pyspark ``Observation`` + self-run actions
-    riding the entry's execution (r10 verdict, What's wrong #1).
-
-    r11 isolation experiment, per the verdict: this entry is now a
-    PURE plan — no Observation, no write, no collect; the zero-extra
-    -scan observation's equivalence to this relational truth is
-    certified by ``tests/test_hardening_r10.py
-    test_quality_relational_matches_observed`` instead of in-entry.  A
-    same-SQL twin (``quality_report_relational_lineitem``) is pinned
-    alongside: pure-old-name green ⇒ the Observation side effects were
-    the poison; old red + twin green ⇒ stale per-name driver state ⇒
-    park the old name with adjudication."""
+    Driver-red history, RESOLVED round 12.  Five rounds of hash-only
+    red (values identical locally every round) traced through three
+    falsified theories (LocalRelation literals r10, Observation side
+    effects r11, stale per-name driver state r11 — the same-SQL twin
+    below was the discriminating experiment) to the actual root
+    cause: the oracle's bare ``sum(CAST(x IS NULL AS BIGINT))`` made
+    DuckDB return HUGEINT, which surfaces through Arrow as
+    decimal128(38,0) against Spark's bigint — the only int-vs-decimal
+    skew among all oracles, masked locally by Python's
+    ``Decimal(0) == 0`` equality.  Both oracles now CAST the sum back
+    to BIGINT, and ``tests/test_type_parity.py`` sweeps the whole
+    catalog so the class can never pass the local gate again.  The
+    entry stays a PURE plan (no Observation/write/collect); the
+    zero-extra-scan observation's equivalence to this relational
+    truth is certified by ``tests/test_hardening_r10.py
+    test_quality_relational_matches_observed``."""
     from gofast_spark.quality.observe import quality_report_relational
 
     li = _t(spark, sf_dir, "lineitem").select("l_quantity", "l_discount")
@@ -834,11 +832,13 @@ def observed_report_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 def quality_report_relational_lineitem(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Same-SQL new-name twin of ``observed_report_lineitem`` (r10
-    verdict isolation experiment, What's wrong #1): byte-identical
-    Spark plan and oracle under a name the driver has never seen.  The
-    2x2 outcome against the old name discriminates Observation-side
-    -effect poisoning from stale per-name driver state."""
+    """Same-SQL new-name twin of ``observed_report_lineitem``,
+    retained from the r11 isolation experiment: byte-identical Spark
+    plan and oracle under a fresh name.  BOTH going red in r11 was
+    the result that eliminated the per-name-state and side-effect
+    theories and pointed at the shared oracle TEXT — where the
+    HUGEINT-vs-bigint type skew was then found (see the twin's
+    docstring; fixed round 12 with an outer CAST in both)."""
     from gofast_spark.quality.observe import quality_report_relational
 
     li = _t(spark, sf_dir, "lineitem").select("l_quantity", "l_discount")
