@@ -121,6 +121,94 @@ def test_never_green_entries_lead_the_window():
     )
 
 
+def _green_history(repo: str = REPO) -> dict[str, int]:
+    import re
+
+    last: dict[str, int] = {}
+    for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"CORRECTNESS_r(\d+)\.json$", f).group(1))
+        for k, v in json.load(open(f)).items():
+            if isinstance(v, dict) and v.get("hash_match") is True:
+                last[k] = max(last.get(k, 0), rnd)
+    return last
+
+
+def test_window_matches_derived_policy():
+    """r12 verdict ask #2: the rotation policy is a tested invariant.
+
+    The catalog ordering must equal the pure policy function applied to
+    (registration order, oracle set, parked list, green history) — i.e.
+    never-green entries lead in registration order, remaining window
+    slots go to the stalest driver-green entries by (last-green round
+    ASC, name ASC), never-green overflow queues contiguously after the
+    window, and parked rows-only entries sit at the very end.  Because
+    the ordering is DERIVED at import from the CORRECTNESS artifacts,
+    the old by-design start-of-round stale-window alarm can no longer
+    fire: a new CORRECTNESS file rotates the window when it lands."""
+    from gofast_spark.plans.catalog import (
+        _catalog_order,
+        _NO_ORACLE_PARKED,
+        _REGISTRATION_ORDER,
+        ORACLE_SQL,
+        QUERIES,
+    )
+
+    assert sorted(_REGISTRATION_ORDER) == sorted(QUERIES)
+    expected = _catalog_order(
+        list(_REGISTRATION_ORDER),
+        set(ORACLE_SQL),
+        _NO_ORACLE_PARKED,
+        _green_history(),
+    )
+    assert list(QUERIES) == expected
+
+
+def test_reverify_slots_are_stalest_greens():
+    """Any window slot not consumed by a never-green entry must hold the
+    stalest driver-green entries, ordered (last-green round ASC, name
+    ASC) — the zero-queue steady-state rotation: ~50 re-proofs per round
+    cycles all ~508 green entries every ~11 rounds."""
+    from gofast_spark.plans.catalog import _NO_ORACLE_PARKED, ORACLE_SQL, QUERIES
+
+    last = _green_history()
+    names = list(QUERIES)
+    window = names[:50]
+    fillers = [n for n in window if n in last]
+    eligible = sorted(
+        (
+            n
+            for n in names
+            if n in last and n in ORACLE_SQL and n not in _NO_ORACLE_PARKED
+        ),
+        key=lambda n: (last[n], n),
+    )
+    assert fillers == eligible[: len(fillers)]
+
+
+def test_zero_queue_policy_pure():
+    """Degenerate case the derived policy must handle before it happens
+    live: every checkable entry already green.  The window becomes pure
+    re-verification — the 50 stalest greens by (round, name) — and the
+    rest of the ordering queues by the same key so the driver's window
+    walks the whole catalog round-robin."""
+    from gofast_spark.plans.catalog import _catalog_order
+
+    names = [f"e{i:03d}" for i in range(120)]
+    oracle = set(names)
+    last = {n: 1 + (i % 3) for i, n in enumerate(names)}  # rounds 1..3
+    order = _catalog_order(names, oracle, [], last, window_size=50)
+    expected = sorted(names, key=lambda n: (last[n], n))
+    assert order == expected
+    # and with a parked entry + a never-green entry mixed in
+    last2 = dict(last)
+    del last2["e007"]  # never green -> must lead
+    order2 = _catalog_order(names, oracle, ["e005"], last2, window_size=50)
+    assert order2[0] == "e007"
+    assert order2[-1] == "e005"
+    rest = [n for n in names if n not in ("e005", "e007")]
+    assert order2[1:-1] == sorted(rest, key=lambda n: (last2[n], n))
+
+
 def test_duplicate_registration_raises():
     """The query() decorator must refuse a name that is already
     registered — a silent dict overwrite shadowed the driver-verified
