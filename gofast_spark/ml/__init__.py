@@ -19,6 +19,7 @@ from gofast_spark.ml.regression import (
 from gofast_spark.ml.dimensionality import (
     classical_mds,
     kernel_pca,
+    kernel_pca_power,
     lle_embedding,
     spectral_embedding,
 )
@@ -45,6 +46,7 @@ __all__ = [
     "fit_pca",
     "fit_kmeans",
     "kernel_pca",
+    "kernel_pca_power",
     "classical_mds",
     "spectral_embedding",
     "lle_embedding",

@@ -187,6 +187,94 @@ def classical_mds(
     return src.mapInPandas(project, schema=schema)
 
 
+def kernel_pca_power(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    *,
+    id_col: str,
+    k: int = 2,
+    gamma: float | None = None,
+    landmarks: int = 128,
+    iters: int = 24,
+    out_prefix: str = "kpca",
+) -> DataFrame:
+    """Deterministic, oracle-replayable Nystrom kernel PCA (kPCA,
+    gofast/analysis/dimensionality.py:443).
+
+    Same landmark + Nystrom scale design as :func:`kernel_pca`, with the
+    two nondeterministic stages replaced by engine-portable equivalents
+    so an independent SQL engine can replay the whole pipeline
+    bit-compatibly (to float noise; outputs are quantized):
+
+    - landmarks are the ``landmarks`` rows with the smallest ``id_col``
+      (ORDER BY + LIMIT in any engine) instead of the seeded-hash pick;
+    - the m x m centered-Gram eigenpairs come from a FIXED-count power
+      iteration with deflation, started from the normalized ramp
+      (1..m), instead of LAPACK eigh.  Running an identical iteration
+      count from an identical start makes the result a well-defined
+      function of the data — both engines track each other to ~1e-12
+      whether or not the iteration has converged, so round-4 outputs
+      hash-match.  (eigh's eigenvectors are only unique up to sign and
+      order, and its float path is LAPACK-specific.)
+
+    The centered Gram annihilates the all-ones direction, so the ramp
+    start (which is never orthogonal to the dominant remaining
+    eigenvector in practice) loses its 1-component after the first
+    multiply; no explicit sign convention is needed because both
+    replays inherit the sign of the same start vector.
+    """
+    import numpy as np
+
+    cols = list(feature_cols)
+    lm_rows = (
+        df.na.drop(subset=cols + [id_col])
+        .orderBy(F.col(id_col))
+        .limit(landmarks)
+        .select(*cols)
+        .collect()
+    )
+    L = np.array([[float(r[c]) for c in cols] for r in lm_rows])
+    m, d = L.shape
+    g = gamma if gamma is not None else 1.0 / d
+    K = _rbf(L, L, g)
+    rm = K.mean(axis=0)
+    mm = K.mean()
+    Kc = K - rm[:, None] - rm[None, :] + mm
+
+    def _power(A):
+        x = np.arange(1, m + 1, dtype=float)
+        x = x / np.sqrt((x * x).sum())
+        for _ in range(iters):
+            x = A @ x
+            x = x / np.sqrt((x * x).sum())
+        return x, float(x @ (A @ x))
+
+    vs, lams = [], []
+    A = Kc
+    for _ in range(k):
+        v, lam = _power(A)
+        vs.append(v)
+        lams.append(lam)
+        A = A - lam * np.outer(v, v)
+    proj = np.column_stack(
+        [v / np.sqrt(max(lam, 1e-12)) for v, lam in zip(vs, lams)]
+    )
+    src, schema = _projection_io(df, cols, out_prefix, k)
+
+    def project(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            X = pdf[cols].to_numpy(dtype=float)
+            Kx = _rbf(X, L, g)
+            Kxc = Kx - Kx.mean(axis=1, keepdims=True) - rm[None, :] + mm
+            Z = Kxc @ proj
+            out = pdf.copy()
+            for i in range(k):
+                out[f"{out_prefix}_{i}"] = Z[:, i]
+            yield out
+
+    return src.mapInPandas(project, schema=schema)
+
+
 def spectral_embedding(
     df: DataFrame,
     feature_cols: Sequence[str],

@@ -110,6 +110,7 @@ def linkage_matrix(
     method: str = "complete",
     sample: int = 2048,
     seed: int = 42,
+    order_by: Sequence[str] | None = None,
 ):
     """Agglomerative linkage over a bounded deterministic sample
     (reference gofast/utils/mathext.py:5222, scipy linkage semantics).
@@ -121,17 +122,32 @@ def linkage_matrix(
     broken by the smaller pair of cluster ids.  The sample is the
     ``sample`` rows with the smallest seeded hash — one
     TakeOrderedAndProject pass, no shuffle, reproducible.
+
+    ``order_by`` replaces the seeded-hash sample order with an explicit
+    natural-key ordering, making the LEAF NUMBERING itself replayable by
+    an independent SQL engine (``row_number() OVER (ORDER BY ...)``);
+    with integer coordinates every linkage height is the correctly
+    rounded sqrt of an integer, so the full merge sequence is
+    engine-exact — the basis of the linkage_matrix_nation oracle.
     """
     import numpy as np
 
     if method not in ("single", "complete", "average"):
         raise ValueError(f"unsupported method {method!r}")
-    cols = [F.col(c).cast("double") for c in columns]
+    extra = [c for c in (order_by or []) if c not in columns]
+    sel = df.select(
+        *[F.col(c).cast("double").alias(c) for c in columns],
+        *[F.col(c) for c in extra],
+    ).na.drop(subset=list(columns))
+    order = (
+        [F.col(c) for c in order_by]
+        if order_by
+        else [F.xxhash64(F.lit(seed), *[F.col(c) for c in columns])]
+    )
     rows = (
-        df.select(*cols)
-        .na.drop()
-        .orderBy(F.xxhash64(F.lit(seed), *columns))
+        sel.orderBy(*order)
         .limit(sample)
+        .select(*[F.col(c) for c in columns])
         .collect()
     )
     X = np.array([list(r) for r in rows], dtype=float)

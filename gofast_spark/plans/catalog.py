@@ -1220,18 +1220,17 @@ _DRIVER_VERIFIED = {
 #   dca_segment_status_orders — eigen-decomposition (detrended
 #     correspondence analysis); companion chi2/correspondence stats are
 #     oracle-backed; unit-tested in tests/test_dimensionality.py.
-#   kernel_pca_embeddings — Nystrom eigen-decomposition; companion
-#     kpca_landmark_identity (green r6) differentials the landmark
-#     Gram plumbing; unit-tested in tests/test_dimensionality.py.
-#   linkage_matrix_nation — agglomerative argmin-merge loop (genuinely
-#     iterative; no closed form); companion linkage_invariants_nation
-#     (green r6) oracle-checks the merge invariants; unit-tested
-#     against hand-computed merges in tests/test_optim.py.
+#
+# CONVERTED in r13 (r12 verdict ask #3), no longer parked:
+#   kernel_pca_embeddings — now oracle-backed via the deterministic
+#     fixed-iteration power-iteration variant (ml/dimensionality.py
+#     kernel_pca_power; oracle replays the full pipeline in SQL).
+#   linkage_matrix_nation — now oracle-backed via natural-key leaf
+#     ordering + a fully unrolled 24-step argmin-merge SQL replay
+#     (engine-exact: every height is the sqrt of an integer).
 _NO_ORACLE_PARKED = [
     "embedding_ivf_kmeans_topk",
     "dca_segment_status_orders",
-    "kernel_pca_embeddings",
-    "linkage_matrix_nation",
 ]
 
 # Registration order snapshot (pre-rotation), for tests that derive the

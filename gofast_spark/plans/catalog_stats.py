@@ -529,12 +529,109 @@ def rm_anova_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("kernel_pca_embeddings")
+def _kpca_power_oracle(m: int = 128, t: int = 24, g: float = 0.25) -> str:
+    """Full SQL replay of the deterministic Nystrom kernel-PCA pipeline
+    (ml/dimensionality.py kernel_pca_power): vec_id-ordered landmarks,
+    RBF Gram + double-centering, ``t`` unrolled power-iteration steps
+    from the normalized ramp start, rank-1 deflation for the second
+    component, then the out-of-sample projection of every row.  CTEs are
+    MATERIALIZED — each iteration references its predecessor twice
+    (matvec + norm), which inlining would expand exponentially."""
+
+    def it(k: int, gram: str, prev: str) -> str:
+        return f"""
+    mv{gram}_{k} AS MATERIALIZED (
+      SELECT g.i, sum(g.v * p.x) AS x
+      FROM {gram} g JOIN {prev} p ON g.j = p.i GROUP BY g.i),
+    {gram}_it{k} AS MATERIALIZED (
+      SELECT i, x / nrm AS x FROM mv{gram}_{k},
+           (SELECT sqrt(sum(x*x)) AS nrm FROM mv{gram}_{k}))"""
+
+    its1 = ",".join(
+        it(k, "kc", f"kc_it{k-1}" if k > 1 else "x0") for k in range(1, t + 1)
+    )
+    its2 = ",".join(
+        it(k, "kc2", f"kc2_it{k-1}" if k > 1 else "x0") for k in range(1, t + 1)
+    )
+    return f"""
+    WITH lmraw AS MATERIALIZED (
+      SELECT vec_id,
+             CAST(embedding[1] AS DOUBLE) AS e0,
+             CAST(embedding[2] AS DOUBLE) AS e1,
+             CAST(embedding[3] AS DOUBLE) AS e2,
+             CAST(embedding[4] AS DOUBLE) AS e3
+      FROM embeddings
+      WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+      ORDER BY vec_id LIMIT {m}),
+    lm AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i, * FROM lmraw),
+    gram AS MATERIALIZED (
+      SELECT a.i AS i, b.i AS j,
+             exp(-{g} * (pow(a.e0-b.e0,2) + pow(a.e1-b.e1,2)
+                         + pow(a.e2-b.e2,2) + pow(a.e3-b.e3,2))) AS kv
+      FROM lm a CROSS JOIN lm b),
+    rmean AS MATERIALIZED (SELECT i, avg(kv) AS rm FROM gram GROUP BY i),
+    gmean AS MATERIALIZED (SELECT avg(kv) AS mm FROM gram),
+    kc AS MATERIALIZED (
+      SELECT g.i, g.j, g.kv - ra.rm - rb.rm + gm.mm AS v
+      FROM gram g JOIN rmean ra ON g.i = ra.i
+      JOIN rmean rb ON g.j = rb.i CROSS JOIN gmean gm),
+    x0 AS MATERIALIZED (
+      SELECT i, (i+1) / nrm AS x FROM (SELECT i FROM lm),
+           (SELECT sqrt(sum((i+1.0)*(i+1.0))) AS nrm FROM lm)),
+    {its1},
+    v1 AS MATERIALIZED (SELECT i, x FROM kc_it{t}),
+    l1 AS MATERIALIZED (
+      SELECT sum(a.x * k.v * b.x) AS lam
+      FROM kc k JOIN v1 a ON k.i = a.i JOIN v1 b ON k.j = b.i),
+    kc2 AS MATERIALIZED (
+      SELECT k.i, k.j, k.v - l1.lam * a.x * b.x AS v
+      FROM kc k JOIN v1 a ON k.i = a.i JOIN v1 b ON k.j = b.i
+      CROSS JOIN l1),
+    {its2},
+    v2 AS MATERIALIZED (SELECT i, x FROM kc2_it{t}),
+    l2 AS MATERIALIZED (
+      SELECT sum(a.x * k.v * b.x) AS lam
+      FROM kc2 k JOIN v2 a ON k.i = a.i JOIN v2 b ON k.j = b.i),
+    allx AS MATERIALIZED (
+      SELECT vec_id,
+             CAST(embedding[1] AS DOUBLE) AS e0,
+             CAST(embedding[2] AS DOUBLE) AS e1,
+             CAST(embedding[3] AS DOUBLE) AS e2,
+             CAST(embedding[4] AS DOUBLE) AS e3
+      FROM embeddings
+      WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+    kx AS MATERIALIZED (
+      SELECT x.vec_id, l.i AS j,
+             exp(-{g} * (pow(x.e0-l.e0,2) + pow(x.e1-l.e1,2)
+                         + pow(x.e2-l.e2,2) + pow(x.e3-l.e3,2))) AS kv
+      FROM allx x CROSS JOIN lm l),
+    kxm AS MATERIALIZED (SELECT vec_id, avg(kv) AS xm FROM kx GROUP BY vec_id),
+    kxc AS MATERIALIZED (
+      SELECT k.vec_id, k.j, k.kv - m.xm - r.rm + gm.mm AS v
+      FROM kx k JOIN kxm m ON k.vec_id = m.vec_id
+      JOIN rmean r ON k.j = r.i CROSS JOIN gmean gm)
+    SELECT k.vec_id,
+           CAST(round(sum(k.v * a.x) / sqrt(l1.lam), 4) AS DOUBLE) AS kpca_0,
+           CAST(round(sum(k.v * b.x) / sqrt(l2.lam), 4) AS DOUBLE) AS kpca_1
+    FROM kxc k JOIN v1 a ON k.j = a.i JOIN v2 b ON k.j = b.i
+    CROSS JOIN l1 CROSS JOIN l2
+    GROUP BY k.vec_id, l1.lam, l2.lam
+    """
+
+
+@query("kernel_pca_embeddings", oracle=_kpca_power_oracle())
 def kernel_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nystrom kernel-PCA scores over the first four embedding dimensions
-    (kPCA, gofast/analysis/dimensionality.py:443).  Eigen-decomposition is
-    not SQL-expressible — rows-only check; deterministic landmark seed."""
-    from gofast_spark.ml import kernel_pca
+    (kPCA, gofast/analysis/dimensionality.py:443), ORACLE-BACKED since
+    r13 via the deterministic variant (r12 verdict ask #3): landmarks
+    are the 128 smallest vec_id rows and the centered-Gram eigenpairs
+    come from a fixed-24-step power iteration with deflation from the
+    normalized ramp start — a well-defined function of the data both
+    engines replay to ~1e-12, hash-exact after round-4 quantization.
+    The seeded-hash/eigh production path stays covered by the
+    kpca_landmark_identity companion (green r6)."""
+    from gofast_spark.ml import kernel_pca_power
 
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id",
@@ -543,15 +640,12 @@ def kernel_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(4)
         ],
     )
-    out = kernel_pca(
-        e.select("e0", "e1", "e2", "e3"),
-        ["e0", "e1", "e2", "e3"],
-        k=2,
-        landmarks=128,
-        seed=7,
+    out = kernel_pca_power(
+        e, ["e0", "e1", "e2", "e3"], id_col="vec_id", k=2,
+        landmarks=128, iters=24,
     )
     return out.select(
-        F.round("e0", 6).alias("e0"),
+        "vec_id",
         F.round("kpca_0", 4).alias("kpca_0"),
         F.round("kpca_1", 4).alias("kpca_1"),
     )
@@ -808,19 +902,81 @@ def gradient_descent_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("linkage_matrix_nation")
+def _linkage_oracle(m: int = 25) -> str:
+    """Full SQL replay of the complete-linkage merge loop over the
+    ``m`` nation points (ml/optim.py linkage_matrix): m-1 unrolled
+    argmin-merge iterations.  Every linkage height is the correctly
+    rounded sqrt of an integer (IEEE sqrt is exact), so distance
+    comparisons, the smaller-(a,b)-pair tie-break, and the max-based
+    complete-linkage updates are engine-exact — the merge sequence is
+    deterministic bit-for-bit, not merely to float noise.  Cluster-pair
+    distances are recomputed from the original point distances each
+    step (d(A,B) = max over member pairs), which is equivalent to the
+    Lance-Williams max update and keeps each CTE a 625-row join."""
+    its = []
+    for k in range(1, m):
+        prev = f"s{k-1}"
+        new_id = m + k - 1
+        its.append(f"""
+    m{k} AS MATERIALIZED (
+      SELECT ca, cb, d,
+             (SELECT count(*) FROM {prev} WHERE cl = q.ca OR cl = q.cb)
+               AS size
+      FROM (
+        SELECT least(x.cl, y.cl) AS ca, greatest(x.cl, y.cl) AS cb,
+               max(pd.d) AS d
+        FROM {prev} x JOIN {prev} y ON x.cl < y.cl
+        JOIN pd ON pd.pa = x.pid AND pd.pb = y.pid
+        GROUP BY 1, 2
+        ORDER BY 3, 1, 2 LIMIT 1) q),
+    s{k} AS MATERIALIZED (
+      SELECT s.pid,
+             CASE WHEN s.cl = m.ca OR s.cl = m.cb THEN {new_id}
+                  ELSE s.cl END AS cl
+      FROM {prev} s CROSS JOIN m{k} m)""")
+    finals = " UNION ALL ".join(
+        f"SELECT {k-1} AS step, CAST(ca AS INT) AS a, CAST(cb AS INT) AS b, "
+        f"CAST(round(d, 6) AS DOUBLE) AS dist, CAST(size AS INT) AS size "
+        f"FROM m{k}"
+        for k in range(1, m)
+    )
+    return f"""
+    WITH pts AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY n_nationkey) - 1 AS pid,
+             CAST(n_regionkey AS DOUBLE) AS x,
+             CAST(n_nationkey AS DOUBLE) AS y
+      FROM nation
+      WHERE n_regionkey IS NOT NULL AND n_nationkey IS NOT NULL),
+    pd AS MATERIALIZED (
+      SELECT a.pid AS pa, b.pid AS pb,
+             sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) AS d
+      FROM pts a JOIN pts b ON a.pid <> b.pid),
+    s0 AS MATERIALIZED (SELECT pid, pid AS cl FROM pts),
+    {','.join(its)}
+    SELECT * FROM ({finals}) ORDER BY step
+    """
+
+
+@query("linkage_matrix_nation", oracle=_linkage_oracle())
 def linkage_matrix_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Complete-linkage agglomerative merges over the 25 nation points
-    (linkage_matrix, gofast/utils/mathext.py:5222).  The argmin-merge
-    loop is genuinely iterative (no SQL-expressible closed form) —
-    rows-only check, deterministic by the smaller-id tie-break; exact
-    merge semantics are unit-tested against hand-computed examples in
+    (linkage_matrix, gofast/utils/mathext.py:5222), ORACLE-BACKED since
+    r13 (r12 verdict ask #3): leaves are numbered by the natural
+    n_nationkey order (order_by= replaces the engine-specific seeded
+    hash), every merge height is the exact sqrt of an integer, and the
+    DuckDB oracle replays all 24 argmin-merge iterations unrolled —
+    scipy id encoding (merge k creates cluster 25+k) and the
+    smaller-(a,b)-pair tie-break included.  Exact merge semantics are
+    also unit-tested against hand-computed examples in
     tests/test_optim.py."""
     from gofast_spark.ml import linkage_matrix
 
     n = _t(spark, sf_dir, "nation")
     merges = linkage_matrix(
-        n, ["n_regionkey", "n_nationkey"], method="complete"
+        n,
+        ["n_regionkey", "n_nationkey"],
+        method="complete",
+        order_by=["n_nationkey"],
     )
     rows = [
         (i, int(a), int(b), round(dist, 6), int(size))

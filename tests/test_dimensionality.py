@@ -38,6 +38,61 @@ def test_kernel_pca_separates_blobs(spark, blobs):
     assert _separation(joined, "kpca_0") > 3.0
 
 
+def test_kernel_pca_power_separates_blobs(spark, blobs):
+    """The deterministic (oracle-replayable) variant keeps kPCA's
+    qualitative behavior: blob separation on the leading component."""
+    from gofast_spark.ml import kernel_pca_power
+
+    # id order must interleave the blobs (smallest-id landmarks sample
+    # both) — fractional part of x is ~uniform for either blob
+    with_id = blobs.selectExpr(
+        "blob", "x", "y", "z",
+        "row_number() OVER (ORDER BY x - floor(x), y) AS rid",
+    )
+    out = kernel_pca_power(
+        with_id, ["x", "y", "z"], id_col="rid", k=2, landmarks=120, iters=24
+    )
+    assert out.count() == 300
+    joined = out.toPandas()
+    assert _separation(joined, "kpca_0") > 3.0
+
+
+def test_kernel_pca_power_matches_eigh_subspace(spark, blobs):
+    """With enough iterations the power-iteration eigenpairs agree with
+    LAPACK eigh on the same landmark Gram up to sign: the two top score
+    columns correlate |r| ~ 1 when the eigengap is healthy (well
+    -separated blobs => dominant component is the blob axis)."""
+    import numpy as np
+
+    from gofast_spark.ml import kernel_pca_power
+
+    with_id = blobs.selectExpr(
+        "blob", "x", "y", "z",
+        "row_number() OVER (ORDER BY x, y, z) AS rid",
+    )
+    out = kernel_pca_power(
+        with_id, ["x", "y", "z"], id_col="rid", k=1, landmarks=120, iters=200
+    ).toPandas().sort_values("rid")
+    # replay driver-side with numpy eigh on the identical landmarks
+    src = with_id.orderBy("rid").limit(120).toPandas().sort_values("rid")
+    L = src[["x", "y", "z"]].to_numpy(dtype=float)
+    g = 1.0 / 3
+    sq = ((L * L).sum(1)[:, None] + (L * L).sum(1)[None, :] - 2 * L @ L.T)
+    K = np.exp(-g * np.maximum(sq, 0))
+    rm, mm = K.mean(0), K.mean()
+    Kc = K - rm[:, None] - rm[None, :] + mm
+    lam, V = np.linalg.eigh(Kc)
+    v_eigh = V[:, np.argmax(lam)]
+    X = out.sort_values("rid")[["x", "y", "z"]].to_numpy(dtype=float)
+    sqx = ((X * X).sum(1)[:, None] + (L * L).sum(1)[None, :] - 2 * X @ L.T)
+    Kx = np.exp(-g * np.maximum(sqx, 0))
+    Kxc = Kx - Kx.mean(1, keepdims=True) - rm[None, :] + mm
+    z_eigh = Kxc @ (v_eigh / np.sqrt(lam.max()))
+    z_pow = out.sort_values("rid")["kpca_0"].to_numpy()
+    r = abs(np.corrcoef(z_eigh, z_pow)[0, 1])
+    assert r > 0.9999, r
+
+
 def test_classical_mds_preserves_structure(spark, blobs):
     from gofast_spark.ml import classical_mds
 

@@ -79,3 +79,29 @@ def test_linkage_scipy_encoding(spark):
     a, b, d, s = merges[-1]
     assert {a, b} == {4, 5} and s == 4
     assert d == pytest.approx(5.5)
+
+
+def test_linkage_order_by_controls_leaf_numbering(spark):
+    """order_by= pins leaf ids to the natural-key rank (the contract the
+    linkage_matrix_nation oracle replays with row_number()): point with
+    the smallest key becomes leaf 0 regardless of input row order."""
+    from gofast_spark.ml import linkage_matrix
+
+    df = spark.createDataFrame(
+        [(30, 10.0), (10, 0.0), (20, 1.0)], ["k", "x"]
+    )
+    merges = linkage_matrix(
+        df, ["x"], method="complete", order_by=["k"]
+    )
+    # leaves by k-order: 0 -> x=0.0, 1 -> x=1.0, 2 -> x=10.0;
+    # first merge is (0, 1) at d=1
+    a, b, d, s = merges[0]
+    assert (a, b, round(d, 6), s) == (0, 1, 1.0, 2)
+    # ... and with the reversed key order, x=10.0 is leaf 0 so the
+    # first merge pairs leaves 1 and 2
+    df2 = spark.createDataFrame(
+        [(1, 10.0), (2, 0.0), (3, 1.0)], ["k", "x"]
+    )
+    merges2 = linkage_matrix(df2, ["x"], method="complete", order_by=["k"])
+    a2, b2, d2, s2 = merges2[0]
+    assert (a2, b2, round(d2, 6), s2) == (1, 2, 1.0, 2)
