@@ -1821,20 +1821,35 @@ def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs, every stage already individually oracle-verified — this entry
     verifies their COMPOSITION (filtered corpus feeds the pair graph,
     survivors feed the prefix-sum packing)."""
+    return _minhash_build(spark, sf_dir, stage_sink=None)
+
+
+def _minhash_build(
+    spark: SparkSession, sf_dir: str, *, stage_sink: str | None = None
+) -> DataFrame:
+    """corpus_build_pipeline body with the stage boundary as a knob
+    (text/corpus_filter.py stage_boundary): the entry runs the toy
+    localCheckpoint layout; a production build passes a parquet
+    path/table prefix and gets the replayable persisted layout —
+    tests/test_corpus_build_plans.py exercises BOTH."""
     from gofast_spark.dedup import dedup_near_duplicates
     from gofast_spark.operators import pack_sequences
-    from gofast_spark.text import corpus_filter
+    from gofast_spark.text import corpus_filter, stage_boundary
     from gofast_spark.text.analysis import normalize_text
 
-    # tag-then-filter with eager pins (see
+    # tag-then-filter with stage pins (see
     # corpus_build_containment_survivors for the measured rationale:
     # an inlined `.where("keep")` re-derives the signal battery per
     # conjunct, and the single-split toy scan defeats _docs'
     # redistribution)
-    d = _docs(spark, sf_dir).localCheckpoint(eager=True)
-    tagged = corpus_filter(d, "text").select(
-        "doc_id", "text", "keep"
-    ).localCheckpoint(eager=True)
+    d = stage_boundary(
+        _docs(spark, sf_dir),
+        stage_sink=None if stage_sink is None else f"{stage_sink}_raw",
+    )
+    tagged = stage_boundary(
+        corpus_filter(d, "text").select("doc_id", "text", "keep"),
+        stage_sink=None if stage_sink is None else f"{stage_sink}_tagged",
+    )
     kept = tagged.where("keep").select("doc_id", "text")
     surv = dedup_near_duplicates(kept, "doc_id", "text", threshold=0.8)
     tok = surv.select(
@@ -3788,14 +3803,26 @@ def corpus_build_containment_survivors(
     the larger doc_id) -> per-source survivor counts and token mass.
     Every stage is individually oracle-verified; this verifies their
     composition."""
+    return _containment_build(spark, sf_dir, stage_sink=None)
+
+
+def _containment_build(
+    spark: SparkSession, sf_dir: str, *, stage_sink: str | None = None
+) -> DataFrame:
+    """corpus_build_containment_survivors body with the stage boundary
+    as a knob (text/corpus_filter.py stage_boundary; r12 verdict ask
+    #4): stage_sink=None is the toy localCheckpoint layout; a path or
+    table-name prefix persists each stage as parquet — replayable,
+    fault-tolerant, and the downstream keep-filter pushes into the
+    scan.  Both layouts are pinned by tests/test_corpus_build_plans.py."""
     from gofast_spark.dedup.ngram import ngram_containment_pairs
-    from gofast_spark.text import corpus_filter
+    from gofast_spark.text import corpus_filter, stage_boundary
     from gofast_spark.text.analysis import normalize_text
 
     # Two toy-scale plan pins (measured at sf0.1: 204 s -> ~8 s).
     # 1. _docs' repartition is transparent to Catalyst, so any filter
     #    collapses back onto the single-split scan (one core); an
-    #    eager checkpoint of the raw docs pins the redistribution.
+    #    eager stage boundary on the raw docs pins the redistribution.
     # 2. `.where("keep")` inlines the ENTIRE rule chain into a Filter,
     #    where each of the six conjuncts re-derives the full signal
     #    battery (whole-stage CSE does not survive the collapsed
@@ -3803,11 +3830,15 @@ def corpus_build_containment_survivors(
     #    as a once-per-row projection).  Materializing the TAGGED
     #    frame first makes the verdict a stored boolean — the same
     #    tag-then-filter layout a production corpus build writes to
-    #    storage between stages.
-    d = _docs(spark, sf_dir).localCheckpoint(eager=True)
-    tagged = corpus_filter(d, "text").select(
-        "doc_id", "text", "source", "keep"
-    ).localCheckpoint(eager=True)
+    #    storage between stages (stage_sink= makes that layout code).
+    d = stage_boundary(
+        _docs(spark, sf_dir),
+        stage_sink=None if stage_sink is None else f"{stage_sink}_raw",
+    )
+    tagged = stage_boundary(
+        corpus_filter(d, "text").select("doc_id", "text", "source", "keep"),
+        stage_sink=None if stage_sink is None else f"{stage_sink}_tagged",
+    )
     kept = tagged.where("keep").select("doc_id", "text", "source")
     pairs = ngram_containment_pairs(
         kept, "doc_id", "text", k=3, threshold=0.8, max_df=64

@@ -31,3 +31,55 @@ def test_keep_filter_is_stored_boolean(spark, sf_small, name):
         f"{name}: keep-filter re-inlined the signal battery into a "
         f"Filter node (tag-then-filter contract broken): {bad[0][:200]}"
     )
+
+
+@pytest.mark.parametrize(
+    "builder_name",
+    ["_minhash_build", "_containment_build"],
+)
+def test_stage_sink_layout_matches_and_pushes_down(
+    spark, sf_small, tmp_path, builder_name
+):
+    """r12 verdict ask #4: the production stage-boundary layout is
+    code, not prose.  With stage_sink= set, each stage persists as
+    parquet and is read back; the result is identical to the toy
+    localCheckpoint layout, the keep-predicate pushes into the parquet
+    scan (PushedFilters on `keep`), and the signal battery still never
+    re-inlines into a Filter."""
+    import gofast_spark.plans.catalog_llm as llm
+
+    builder = getattr(llm, builder_name)
+    toy = builder(spark, sf_small, stage_sink=None)
+    sink = str(tmp_path / f"stage_{builder_name}")
+    prod = builder(spark, sf_small, stage_sink=sink)
+    assert sorted(map(tuple, toy.collect())) == sorted(
+        map(tuple, prod.collect())
+    )
+    plan = prod._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "keep" in plan.split("PushedFilters", 1)[1][:500], (
+        "keep-filter did not push into the persisted tagged-stage scan"
+    )
+    bad = [
+        ln
+        for ln in plan.splitlines()
+        if "Filter" in ln and "regexp_replace" in ln
+    ]
+    assert not bad, f"signal battery re-inlined: {bad[0][:200]}"
+    # both stages landed on disk as parquet
+    import glob as _glob
+
+    assert _glob.glob(f"{sink}_raw/*.parquet")
+    assert _glob.glob(f"{sink}_tagged/*.parquet")
+
+
+def test_stage_boundary_table_sink(spark, sf_small):
+    """A bare (no separator) stage_sink becomes a warehouse table."""
+    from gofast_spark.text import stage_boundary
+
+    df = spark.range(5).selectExpr("id", "id % 2 = 0 AS keep")
+    out = stage_boundary(df, stage_sink="stage_boundary_test_tbl")
+    try:
+        assert sorted(r[0] for r in out.where("keep").collect()) == [0, 2, 4]
+        assert spark.catalog.tableExists("stage_boundary_test_tbl")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS stage_boundary_test_tbl")
