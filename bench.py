@@ -139,6 +139,28 @@ HEADLINE = [
 ]
 
 
+def _calibrate(spark, reps: int = 3) -> float:
+    """Fixed CPU-bound probe (r12 verdict ask #5): min-of-reps wall time
+    of a deterministic 8B-row xxhash64 fold across 32 splits — pure
+    whole-stage-codegen compute, no shuffle beyond the final 1-row agg,
+    no disk.  The probe measures HOST throughput, not engine changes:
+    r12 burned a round proving a 84.7->143.8 s headline swing was a
+    throttled container (three idle same-artifact runs spanned
+    103-181 s).  Round-over-round comparisons should use
+    value / calib_before_sec; a calib drift between rounds is host
+    noise, not a regression."""
+    from pyspark.sql import functions as F
+
+    runs = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        spark.range(0, 8_000_000_000, 1, 32).select(
+            F.expr("bit_xor(xxhash64(id))")  # xor-fold: no ANSI overflow
+        ).write.format("noop").mode("overwrite").save()
+        runs.append(time.perf_counter() - t0)
+    return round(min(runs), 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -156,6 +178,7 @@ def main() -> None:
     # swing severalfold on the shuffle-heavy queries (shuffle-file/GC
     # noise), so min-of-3 is the stable round-over-round signal.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    calib_before = _calibrate(spark)
     t0 = time.perf_counter()
     for name in names:
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -179,14 +202,25 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
+    calib_after = _calibrate(spark)
+    total = round(sum(timings.values()), 3)
     result = {
         "metric": "headline_queries_total",
-        "value": round(sum(timings.values()), 3),
+        "value": total,
         "unit": "sec",
         "queries": timings,
         "reps": reps,
         "cold_sec": cold_total,
         "sf": sf_val,
+        # host-load calibration (see _calibrate): compare rounds via
+        # value_per_calib, and distrust the whole run when before/after
+        # disagree badly (the host was throttled mid-run)
+        "calib_probe": "range8B_xxhash64_xor_32splits_min3",
+        "calib_before_sec": calib_before,
+        "calib_after_sec": calib_after,
+        "value_per_calib": round(total / calib_before, 3)
+        if calib_before
+        else None,
     }
     # Full detail (incl. per-rep spreads) to an artifact the driver/judge
     # can read even when stdout capture truncates; stdout carries ONE
