@@ -136,6 +136,12 @@ HEADLINE = [
     "dataset_card_by_source_documents",
     "dedup_rate_report_documents",
     "corpus_build_containment_survivors",
+    # round 13: flagship filter->dedup->shard->card chain, streaming
+    # dedup health-card twin, the two converted ex-parked entries
+    "corpus_flagship_card_documents",
+    "stream_dedup_rate_report_documents",
+    "kernel_pca_embeddings",
+    "linkage_matrix_nation",
 ]
 
 

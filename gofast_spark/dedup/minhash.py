@@ -84,9 +84,11 @@ def doc_shingle_sets(
     # the shingle projection is compute-heavy; a small source file (one
     # parquet part) would otherwise pin it to one core — spread it before
     # the projection
+    # (.rdd is illegal on a streaming frame — the micro-batch engine
+    # owns stream partitioning, so the spread only applies to batch)
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if not df.isStreaming and df.rdd.getNumPartitions() < target:
         df = df.repartition(target)
 
     # Build k-grams per row from the token array (transform over a

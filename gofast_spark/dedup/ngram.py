@@ -212,6 +212,34 @@ def ngram_dedup_report(
     ``n_docs_flagged`` counts distinct documents in at least one
     over-threshold pair (either measure)."""
     sh = doc_shingles(df, id_col, text_col, k=k)
+    n_docs = df.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    return ngram_dedup_report_from_shingles(
+        sh,
+        id_col,
+        n_docs,
+        jaccard_threshold=jaccard_threshold,
+        containment_threshold=containment_threshold,
+        max_df=max_df,
+        eager=eager,
+    )
+
+
+def ngram_dedup_report_from_shingles(
+    sh: DataFrame,
+    id_col: str,
+    n_docs: DataFrame,
+    *,
+    jaccard_threshold: float = 0.8,
+    containment_threshold: float = 0.8,
+    max_df: int | None = 64,
+    eager: bool = True,
+) -> DataFrame:
+    """The health-card core over a PRECOMPUTED distinct (id, sh_hash)
+    frame — the entry point for callers that maintain the shingle index
+    themselves (the streaming twin drains its incrementally-maintained
+    (doc, shingle) state grid here, so batch and stream fold through
+    ONE code path).  ``n_docs`` is a one-row bigint frame (the doc
+    count can't be derived from ``sh``: shingle-less docs vanish)."""
     if eager:
         sh = sh.persist()
     try:
@@ -295,7 +323,6 @@ def ngram_dedup_report(
             .select(F.explode(F.array("id_a", "id_b")).alias("__d"))
             .agg(F.countDistinct("__d").cast("bigint").alias("n_docs_flagged"))
         )
-        n_docs = df.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
         return (
             n_docs.crossJoin(F.broadcast(counts))
             .crossJoin(F.broadcast(flagged))
