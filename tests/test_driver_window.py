@@ -209,6 +209,59 @@ def test_zero_queue_policy_pure():
     assert order2[1:-1] == sorted(rest, key=lambda n: (last2[n], n))
 
 
+def test_catalog_order_properties():
+    """Property test over the pure ordering policy: for random
+    registration orders, oracle subsets, parked lists, and green
+    histories, the derived order must satisfy every invariant the
+    driver contract depends on — a permutation of the input, never
+    -green entries leading in registration order, window fillers =
+    stalest greens by (round, name), never-green overflow contiguous
+    after the window, parked entries last."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from gofast_spark.plans.catalog import _catalog_order
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.data())
+    def run(data):
+        n = data.draw(st.integers(min_value=0, max_value=120))
+        names = [f"e{i:03d}" for i in range(n)]
+        oracle = set(data.draw(st.lists(st.sampled_from(names or ["x"]))))
+        oracle &= set(names)
+        parked_pool = [m for m in names if m not in oracle] or []
+        parked = data.draw(
+            st.lists(st.sampled_from(parked_pool), unique=True)
+            if parked_pool
+            else st.just([])
+        )
+        greens = {
+            m: data.draw(st.integers(min_value=1, max_value=9))
+            for m in names
+            if data.draw(st.booleans())
+        }
+        w = data.draw(st.integers(min_value=1, max_value=60))
+        order = _catalog_order(names, oracle, parked, greens, window_size=w)
+        assert sorted(order) == sorted(names)  # permutation
+        parked_present = [m for m in parked if m in names]
+        if parked_present:
+            assert order[-len(parked_present):] == parked_present
+        checkable = [
+            m for m in names if m in oracle and m not in set(parked)
+        ]
+        never = [m for m in checkable if m not in greens]
+        reverify = sorted(
+            (m for m in checkable if m in greens),
+            key=lambda m: (greens[m], m),
+        )
+        expect_head = (never + reverify)[:w]
+        assert order[: len(expect_head)] == expect_head
+        overflow = [m for m in never if m not in expect_head]
+        assert order[len(expect_head) : len(expect_head) + len(overflow)] == overflow
+
+    run()
+
+
 def test_duplicate_registration_raises():
     """The query() decorator must refuse a name that is already
     registered — a silent dict overwrite shadowed the driver-verified
