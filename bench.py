@@ -184,11 +184,14 @@ def main() -> None:
     # swing severalfold on the shuffle-heavy queries (shuffle-file/GC
     # noise), so min-of-3 is the stable round-over-round signal.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
-    calib_before = _calibrate(spark)
     t0 = time.perf_counter()
     for name in names:
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
     cold_total = round(time.perf_counter() - t0, 3)
+    # calibrate AFTER the cold pass (so cold_sec keeps its r01-r12
+    # semantics — first-execution including JIT) but BEFORE the timed
+    # reps, which are what the probe normalizes
+    calib_before = _calibrate(spark)
 
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}

@@ -233,6 +233,11 @@ def kernel_pca_power(
         .select(*cols)
         .collect()
     )
+    if not lm_rows:
+        raise ValueError(
+            "kernel_pca_power: no landmark rows (every row has a null "
+            f"feature or null {id_col!r})"
+        )
     L = np.array([[float(r[c]) for c in cols] for r in lm_rows])
     m, d = L.shape
     g = gamma if gamma is not None else 1.0 / d

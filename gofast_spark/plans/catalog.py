@@ -931,16 +931,30 @@ def _driver_green_history(repo_root: str = _REPO_ROOT) -> dict[str, int]:
     import re as _re
 
     last: dict[str, int] = {}
-    for f in _glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")):
+    files = _glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))
+    if not files:
+        # Legitimate only outside the repo checkout (installed wheel,
+        # copied tree) — there the whole catalog is effectively
+        # never-green and the window is the registration-order head.
+        # Warn loudly so a missing-artifacts repo state can't silently
+        # reorder the driver window.
+        import warnings
+
+        warnings.warn(
+            f"no CORRECTNESS_r*.json under {repo_root}; driver window "
+            "falls back to registration order",
+            stacklevel=2,
+        )
+        return last
+    for f in files:
         m = _re.search(r"CORRECTNESS_r(\d+)\.json$", f)
         if m is None:
             continue
         rnd = int(m.group(1))
-        try:
-            with open(f) as fh:
-                d = _json.load(fh)
-        except (OSError, ValueError):
-            continue
+        # a corrupted artifact must fail loudly, not silently reclassify
+        # its greens as never-green (which would reorder the window)
+        with open(f) as fh:
+            d = _json.load(fh)
         for k, v in d.items():
             if isinstance(v, dict) and v.get("hash_match") is True:
                 last[k] = max(last.get(k, 0), rnd)

@@ -4034,6 +4034,10 @@ def corpus_flagship_card_documents(
     from gofast_spark.text.analysis import normalize_text
 
     tagged, surv = _containment_survivors(spark, sf_dir)
+    # surv feeds TWO sinks (shard/card chain + the inventory count);
+    # pin it so the containment pair join replays at most once — the
+    # same storage contract as the pair functions (dedup/ngram.py)
+    surv = surv.localCheckpoint(eager=True)
     counts = tagged.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.coalesce(F.sum(F.col("keep").cast("int")), F.lit(0))

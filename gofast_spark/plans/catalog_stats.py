@@ -561,7 +561,9 @@ def _kpca_power_oracle(m: int = 128, t: int = 24, g: float = 0.25) -> str:
              CAST(embedding[3] AS DOUBLE) AS e2,
              CAST(embedding[4] AS DOUBLE) AS e3
       FROM embeddings
-      WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+      WHERE vec_id IS NOT NULL
+        AND embedding[1] IS NOT NULL AND embedding[2] IS NOT NULL
+        AND embedding[3] IS NOT NULL AND embedding[4] IS NOT NULL
       ORDER BY vec_id LIMIT {m}),
     lm AS MATERIALIZED (
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i, * FROM lmraw),
@@ -600,7 +602,8 @@ def _kpca_power_oracle(m: int = 128, t: int = 24, g: float = 0.25) -> str:
              CAST(embedding[3] AS DOUBLE) AS e2,
              CAST(embedding[4] AS DOUBLE) AS e3
       FROM embeddings
-      WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+      WHERE embedding[1] IS NOT NULL AND embedding[2] IS NOT NULL
+        AND embedding[3] IS NOT NULL AND embedding[4] IS NOT NULL),
     kx AS MATERIALIZED (
       SELECT x.vec_id, l.i AS j,
              exp(-{g} * (pow(x.e0-l.e0,2) + pow(x.e1-l.e1,2)
@@ -612,8 +615,10 @@ def _kpca_power_oracle(m: int = 128, t: int = 24, g: float = 0.25) -> str:
       FROM kx k JOIN kxm m ON k.vec_id = m.vec_id
       JOIN rmean r ON k.j = r.i CROSS JOIN gmean gm)
     SELECT k.vec_id,
-           CAST(round(sum(k.v * a.x) / sqrt(l1.lam), 4) AS DOUBLE) AS kpca_0,
-           CAST(round(sum(k.v * b.x) / sqrt(l2.lam), 4) AS DOUBLE) AS kpca_1
+           CAST(round(sum(k.v * a.x) / sqrt(greatest(l1.lam, 1e-12)), 4)
+             AS DOUBLE) AS kpca_0,
+           CAST(round(sum(k.v * b.x) / sqrt(greatest(l2.lam, 1e-12)), 4)
+             AS DOUBLE) AS kpca_1
     FROM kxc k JOIN v1 a ON k.j = a.i JOIN v2 b ON k.j = b.i
     CROSS JOIN l1 CROSS JOIN l2
     GROUP BY k.vec_id, l1.lam, l2.lam

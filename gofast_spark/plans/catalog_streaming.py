@@ -1244,11 +1244,12 @@ def stream_dedup_rate_report_documents(
 ) -> DataFrame:
     """The near-duplication HEALTH CARD maintained AS A STREAM (r12
     verdict ask #7: the dedup-rate twin): a continuously-ingesting
-    corpus build keeps two counts-native state grids — the distinct
-    (doc_id, shingle_hash) presence grid (the incrementally-maintained
-    shingle INDEX a production build upserts into a table) and the
-    (normalized_text -> count) exact-dup grid.  Both are commutative
-    counter states (complete-mode, late-data-safe); the drained index
+    corpus build keeps two presence-native state grids — the distinct
+    (doc_id, shingle_hash) grid (the incrementally-maintained shingle
+    INDEX a production build upserts into a table) and the
+    (normalized_text, doc_id) exact-dup grid.  Both are keyed by doc_id,
+    so re-delivered rows MERGE instead of inflating counters
+    (at-least-once-safe, complete-mode); the drained index
     folds through the SAME ngram_dedup_report_from_shingles core the
     batch entry delegates to, so the availableNow replay must equal the
     batch answer byte-for-byte (shared oracle).  The pair joins run on
@@ -1274,20 +1275,23 @@ def stream_dedup_rate_report_documents(
         .select("doc_id", "sh_hash")
         .localCheckpoint(eager=True)
     )
-    # state grid 2: normalized-text counts — n_docs is the grid's count
-    # mass (null-text docs land in the null group), exact-unique its
-    # non-null row count
+    # state grid 2: (normalized_text, doc_id) PRESENCE — keyed by doc_id
+    # so a re-delivered document merges into its existing row instead of
+    # inflating a counter (at-least-once-safe, like grid 1; a count-mass
+    # n_docs would double-count replays).  n_docs = distinct doc_ids in
+    # the grid (null-text docs still present under the null group);
+    # n_exact_unique = distinct non-null texts.
     ex_state = (
-        stream.select(normalize_text("text").alias("__t"))
-        .groupBy("__t")
+        stream.select(normalize_text("text").alias("__t"), "doc_id")
+        .groupBy("__t", "doc_id")
         .agg(F.count(F.lit(1)).alias("__n"))
     )
     ex = run_available_now(ex_state, mode="complete").localCheckpoint(
         eager=True
     )
     stats = ex.agg(
-        F.sum("__n").cast("bigint").alias("n_docs"),
-        F.count(F.col("__t")).cast("bigint").alias("n_exact_unique"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.countDistinct("__t").cast("bigint").alias("n_exact_unique"),
     ).localCheckpoint(eager=True)
     rep = ngram_dedup_report_from_shingles(
         sh,

@@ -14,12 +14,12 @@ def test_flagship_card_internal_consistency(spark, sf_small):
     row = QUERIES["corpus_flagship_card_documents"](spark, sf_small).collect()[0]
     # inventory funnel: raw >= kept >= survivors > 0
     assert row.n_docs >= row.n_kept >= row.n_survivors > 0
-    # budget binning overshoots a shard by at most one doc, so the shard
-    # count is within one of ceil(total/budget)
-    import math
-
-    expect = math.ceil(row.total_tokens / 2000)
-    assert abs(row.n_shards - expect) <= 1
+    # start-offset binning: shard indices are floor(start/2000), so the
+    # count never exceeds floor(total/2000) + 1; a doc spanning >= 2
+    # budget windows SKIPS an index, so there is no tight lower bound —
+    # only positivity (asserting ceil-within-1 would be data-fragile:
+    # the filter admits docs up to 100k tokens)
+    assert 1 <= row.n_shards <= row.total_tokens // 2000 + 1
     assert row.max_shard_tokens <= 2000 + row.total_tokens  # sanity
     assert 0.0 < row.mean_fill_ratio <= 2.0
     assert row.n_shards_over_budget <= row.n_shards

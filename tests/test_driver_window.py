@@ -209,6 +209,26 @@ def test_zero_queue_policy_pure():
     assert order2[1:-1] == sorted(rest, key=lambda n: (last2[n], n))
 
 
+def test_green_history_fails_loudly(tmp_path):
+    """A corrupted CORRECTNESS artifact must raise (silently skipping it
+    would reclassify its greens as never-green and reorder the driver
+    window); an artifact-free directory warns and falls back to
+    registration order instead of crashing library imports."""
+    import warnings
+
+    import pytest
+
+    from gofast_spark.plans.catalog import _driver_green_history
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert _driver_green_history(str(tmp_path)) == {}
+        assert any("no CORRECTNESS" in str(x.message) for x in w)
+    (tmp_path / "CORRECTNESS_r01.json").write_text("{not json")
+    with pytest.raises(ValueError):
+        _driver_green_history(str(tmp_path))
+
+
 def test_catalog_order_properties():
     """Property test over the pure ordering policy: for random
     registration orders, oracle subsets, parked lists, and green
