@@ -225,7 +225,7 @@ def test_green_history_fails_loudly(tmp_path):
         assert _driver_green_history(str(tmp_path)) == {}
         assert any("no CORRECTNESS" in str(x.message) for x in w)
     (tmp_path / "CORRECTNESS_r01.json").write_text("{not json")
-    with pytest.raises(ValueError):
+    with pytest.raises(RuntimeError, match="CORRECTNESS_r01.json"):
         _driver_green_history(str(tmp_path))
 
 
