@@ -222,10 +222,19 @@ def kernel_pca_power(
     eigenvector in practice) loses its 1-component after the first
     multiply; no explicit sign convention is needed because both
     replays inherit the sign of the same start vector.
+
+    Input contract: ``id_col`` must be UNIQUE and NON-NULL per row for
+    SQL-replay parity — a relational replay keys every join and GROUP
+    BY on ``id_col``, where NULL never equals NULL and duplicate ids
+    collapse.  Rows with a null ``id_col`` (or null features) are
+    therefore dropped from BOTH the landmark pick and the projected
+    output, keeping this function's output row-set identical to any
+    id-keyed replay's.
     """
     import numpy as np
 
     cols = list(feature_cols)
+    df = df.na.drop(subset=[id_col])
     lm_rows = (
         df.na.drop(subset=cols + [id_col])
         .orderBy(F.col(id_col))

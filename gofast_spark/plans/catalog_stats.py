@@ -602,7 +602,8 @@ def _kpca_power_oracle(m: int = 128, t: int = 24, g: float = 0.25) -> str:
              CAST(embedding[3] AS DOUBLE) AS e2,
              CAST(embedding[4] AS DOUBLE) AS e3
       FROM embeddings
-      WHERE embedding[1] IS NOT NULL AND embedding[2] IS NOT NULL
+      WHERE vec_id IS NOT NULL
+        AND embedding[1] IS NOT NULL AND embedding[2] IS NOT NULL
         AND embedding[3] IS NOT NULL AND embedding[4] IS NOT NULL),
     kx AS MATERIALIZED (
       SELECT x.vec_id, l.i AS j,

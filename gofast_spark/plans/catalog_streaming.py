@@ -1289,8 +1289,25 @@ def stream_dedup_rate_report_documents(
     ex = run_available_now(ex_state, mode="complete").localCheckpoint(
         eager=True
     )
+    # n_docs counts DISTINCT doc_id groups INCLUDING the null group
+    # (countDistinct alone would silently drop null doc_ids, diverging
+    # from the batch twin's count(*) over raw documents even for a
+    # single null row).  Input contract shared with the batch entry and
+    # doc_shingle_sets: doc_id unique per document — re-deliveries of
+    # the SAME doc merge by design; two DIFFERENT docs sharing an id
+    # collapse here but count twice in the batch count(*).
     stats = ex.agg(
-        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        (
+            F.countDistinct("doc_id")
+            + F.coalesce(
+                F.max(
+                    F.when(F.col("doc_id").isNull(), F.lit(1)).otherwise(
+                        F.lit(0)
+                    )
+                ),
+                F.lit(0),
+            )
+        ).cast("bigint").alias("n_docs"),
         F.countDistinct("__t").cast("bigint").alias("n_exact_unique"),
     ).localCheckpoint(eager=True)
     rep = ngram_dedup_report_from_shingles(
