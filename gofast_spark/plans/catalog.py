@@ -1266,33 +1266,26 @@ _DRIVER_VERIFIED = {
     "zorder_write_morton_orders"
 }
 
-# PERMANENT ADJUDICATION (r8 verdict ask #9, settled r9): these four
-# entries have no SQL-expressible oracle — each is gated by the brief's
-# rows-only escape hatch for genuinely iterative/spectral algorithms —
-# and each carries (a) an oracle-backed, driver-green COMPANION entry
-# exercising the same plan shape and (b) unit tests against a pure
-# -Python reference.  They stay in the catalog (removing them would
-# delete working surface), parked permanently at the END of the
-# ordering so they never consume a driver-window slot:
-#   embedding_ivf_kmeans_topk — spherical-kmeans Lloyd iteration; the
-#     landmark IVF variant (embedding_ivf_topk, green r5) carries the
-#     full differential oracle for the shared cell-probe/re-rank plan;
-#     recall floor guarded in tests/test_ann_recall.py.
-#   dca_segment_status_orders — eigen-decomposition (detrended
-#     correspondence analysis); companion chi2/correspondence stats are
-#     oracle-backed; unit-tested in tests/test_dimensionality.py.
-#
-# CONVERTED in r13 (r12 verdict ask #3), no longer parked:
-#   kernel_pca_embeddings — now oracle-backed via the deterministic
-#     fixed-iteration power-iteration variant (ml/dimensionality.py
-#     kernel_pca_power; oracle replays the full pipeline in SQL).
-#   linkage_matrix_nation — now oracle-backed via natural-key leaf
-#     ordering + a fully unrolled 24-step argmin-merge SQL replay
-#     (engine-exact: every height is the sqrt of an integer).
-_NO_ORACLE_PARKED = [
-    "embedding_ivf_kmeans_topk",
-    "dca_segment_status_orders",
-]
+# Rows-only parking lot — EMPTY since r14: every catalog entry is now
+# oracle-backed.  History of the four entries that were parked here
+# (r8 adjudication) and how each was converted:
+#   kernel_pca_embeddings (r13) — deterministic fixed-iteration
+#     power-iteration Nystrom variant (ml/dimensionality.py
+#     kernel_pca_power); oracle replays the full pipeline in SQL.
+#   linkage_matrix_nation (r13) — natural-key leaf ordering + a fully
+#     unrolled 24-step argmin-merge SQL replay (engine-exact heights).
+#   embedding_ivf_kmeans_topk (r14) — the Lloyd coarse quantizer swapped
+#     for the bit-replayable integer micro-unit k-means
+#     (ml/kmeans_exact.py) with md5-seeded init; the oracle replays
+#     train/assign/probe/re-rank end to end (plans/catalog_llm.py).
+#   dca_segment_status_orders (r14) — the J x J Gram eigh swapped for
+#     fixed-iteration power iteration + deflation from the sorted-
+#     species ramp, and sketch detrend boundaries for an exact ntile
+#     (stats/ordination.py dca_analysis_power).
+# The list stays (empty) because _catalog_order's policy contract and
+# tests reference it; a future genuinely-nondeterministic entry would
+# re-enter here with a named adjudication.
+_NO_ORACLE_PARKED: list[str] = []
 
 # Registration order snapshot (pre-rotation), for tests that derive the
 # expected window independently.

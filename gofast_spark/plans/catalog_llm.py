@@ -520,9 +520,10 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash (zero Lloyd iterations), candidates from an equi-join on the 2
     probed cell ids, exact cosine re-rank inside — every step relational,
     so the DuckDB oracle rebuilds cells, probes, and ranks bit-for-bit.
-    The spherical-kmeans variant (better-centered cells, same plan
-    shape) is registered as embedding_ivf_kmeans_topk (rows-only) and
-    recall-guarded in tests/test_ann_recall.py."""
+    The trained-quantizer variant (better-centered cells, same plan
+    shape) is registered as embedding_ivf_kmeans_topk — oracle-backed
+    since r14 via the exact-kmeans quantizer — and recall-guarded in
+    tests/test_ann_recall.py."""
     from gofast_spark.sim import ivf_topk_portable
 
     e = _t(spark, sf_dir, "embeddings")
@@ -539,20 +540,102 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("embedding_ivf_kmeans_topk")
+_IVFKM_K, _IVFKM_ITER, _IVFKM_D = 8, 2, 64
+
+
+def _ivf_kmeans_oracle() -> str:
+    """Full relational replay of the exact-k-means IVF path
+    (sim/ivf.py ivf_topk_kmeans_exact + ml/kmeans_exact.py): micro-unit
+    quantization, md5-seeded init, 2 unrolled integer Lloyd iterations
+    over all 64 dims, nearest-cell assignment and 2-cell probes by
+    exact int64 distance (ties by cell id), then the exact cosine
+    re-rank inside the probed cells.  Same CTE pattern as catalog_ml's
+    _kmeans_oracle, widened to 64 dims and extended with the
+    assign/probe/re-rank tail."""
+    K, ITER, D = _IVFKM_K, _IVFKM_ITER, _IVFKM_D
+    xs = ", ".join(
+        f"CAST(floor(CAST(embedding[{i + 1}] AS DOUBLE) * 1000000 + 0.5)"
+        f" AS BIGINT) AS x{i}"
+        for i in range(D)
+    )
+    ctes = [f"""pts AS MATERIALIZED (
+      SELECT vec_id AS id, embedding,
+             CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+               AS BIGINT) AS hv,
+             {xs}
+      FROM embeddings WHERE vec_id IS NOT NULL),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY hv) - 1 AS cid,
+             {", ".join(f"x{i} AS k{i}" for i in range(D))}
+      FROM (SELECT * FROM pts ORDER BY hv LIMIT {K}))"""]
+    dist = " + ".join(
+        f"(p.x{i} - c.k{i}) * (p.x{i} - c.k{i})" for i in range(D)
+    )
+    for t in range(1, ITER + 1):
+        p = t - 1
+        ctes.append(f"""a{t} AS (
+      SELECT id, {", ".join(f"x{i}" for i in range(D))}, cid FROM (
+        SELECT p.id, {", ".join(f"p.x{i}" for i in range(D))}, c.cid,
+               row_number() OVER (PARTITION BY p.id
+                 ORDER BY {dist}, c.cid) AS rn
+        FROM pts p, c{p} c) WHERE rn = 1),
+    u{t} AS (
+      SELECT cid,
+             {", ".join(
+                 f"CAST(trunc(CAST(sum(x{i}) AS DOUBLE) / count(*))"
+                 f" AS BIGINT) AS k{i}" for i in range(D))}
+      FROM a{t} GROUP BY cid),
+    c{t} AS (
+      SELECT c{p}.cid,
+             {", ".join(
+                 f"coalesce(u{t}.k{i}, c{p}.k{i}) AS k{i}"
+                 for i in range(D))}
+      FROM c{p} LEFT JOIN u{t} USING (cid))""")
+    ctes.append(f"""cells AS MATERIALIZED (
+      SELECT id, embedding, cid AS cell FROM (
+        SELECT p.id, p.embedding, c.cid,
+               row_number() OVER (PARTITION BY p.id
+                 ORDER BY {dist}, c.cid) AS rn
+        FROM pts p, c{ITER} c) WHERE rn = 1),
+    qp AS MATERIALIZED (
+      SELECT id AS query_id, embedding AS qv, cid AS cell FROM (
+        SELECT p.id, p.embedding, c.cid,
+               row_number() OVER (PARTITION BY p.id
+                 ORDER BY {dist}, c.cid) AS rn
+        FROM pts p, c{ITER} c WHERE p.id < 5) WHERE rn <= 2),
+    pairs AS (
+      SELECT qp.query_id, c.id AS vec_id, c.cell,
+             {_IVF_COS.format(a='qp.qv', b='c.embedding')} AS cos_sim
+      FROM cells c JOIN qp ON c.cell = qp.cell AND c.id <> qp.query_id)""")
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT query_id, vec_id, CAST(cell AS INTEGER) AS cell,
+           CAST(round(cos_sim, 4) AS DOUBLE) AS cos_sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY round(cos_sim, 6) DESC, vec_id) AS INTEGER) AS rank
+    FROM pairs QUALIFY rank <= 5
+    """
+
+
+@query("embedding_ivf_kmeans_topk", oracle=_ivf_kmeans_oracle())
 def embedding_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-Flat ANN top-5: spherical-kmeans cells trained on a seeded
-    sample, candidates from an equi-join on the nprobe nearest cell ids,
-    exact cosine re-rank inside.  Lloyd iteration is not SQL-expressible
-    — rows-only check (deterministic seed; recall guarded vs brute force
-    in tests/test_ann_recall.py; the landmark variant above carries the
-    full differential oracle for the shared plan shape)."""
-    from gofast_spark.sim import ivf_topk
+    """IVF-Flat ANN top-5 with a TRAINED (k-means) coarse quantizer —
+    ORACLE-BACKED since r14 (r13 verdict ask #2, ex-parked): the Lloyd
+    stage is the engine-portable exact k-means of ml/kmeans_exact.py
+    (integer micro-units, md5-hash-seeded init, truncated-mean updates,
+    2 iterations over all 64 dims), so the entire path — train, assign,
+    probe, exact cosine re-rank — replays in SQL bit-for-bit.  Cells
+    are Euclidean (FAISS IndexIVFFlat convention); candidates come from
+    an equi-join on the 2 probed cell ids; the MLlib spherical-kmeans
+    production path stays recall-guarded in tests/test_ann_recall.py."""
+    from gofast_spark.sim import ivf_topk_kmeans_exact
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 5)
-    out = ivf_topk(
-        e, q, "vec_id", "embedding", nlist=8, nprobe=2, k=5, seed=3
+    out = ivf_topk_kmeans_exact(
+        e, q, "vec_id", "embedding",
+        dim=_IVFKM_D, nlist=_IVFKM_K, nprobe=2, k=5, iterations=_IVFKM_ITER,
     )
     return out.select(
         "query_id",
@@ -720,8 +803,9 @@ def video_frame_sample_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ivf_kmeans_fullprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full differential oracle for the kmeans-IVF path (VERDICT r5 #4,
-    for the parked embedding_ivf_kmeans_topk): with nprobe == nlist every
+    """Full differential oracle for the MLlib kmeans-IVF path (VERDICT
+    r5 #4; embedding_ivf_kmeans_topk itself carries its own full oracle
+    since r14 via the exact quantizer): with nprobe == nlist every
     cell is probed, so IVF candidate generation + exact re-rank MUST
     reproduce brute-force top-k exactly, whatever the Lloyd iterations
     produced — cell assignment washes out while the trained-centroid

@@ -405,19 +405,121 @@ def bootstrap_mean_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("replicate", F.round("stat", 2).alias("stat"))
 
 
-@query("dca_segment_status_orders")
+_DCA_SEGMENTS, _DCA_ITERS = 2, 24
+
+
+def _dca_power_oracle(segments: int = _DCA_SEGMENTS, t: int = _DCA_ITERS) -> str:
+    """Full SQL replay of the deterministic DCA pipeline
+    (stats/ordination.py dca_analysis_power): contingency cells, masses,
+    densified standardized residuals, species Gram, ``t`` unrolled
+    power-iteration steps with rank-1 deflation from the normalized
+    ramp over sorted species, per-site axis scores, and exact
+    ntile Hill detrending of axis 2.  Same MATERIALIZED-iteration
+    pattern as _kpca_power_oracle (each step reads its predecessor
+    twice)."""
+
+    def it(k: int, gram: str, prev: str) -> str:
+        return f"""
+    mv{gram}_{k} AS MATERIALIZED (
+      SELECT g.i, sum(g.v * p.x) AS x
+      FROM {gram} g JOIN {prev} p ON g.j = p.i GROUP BY g.i),
+    {gram}_it{k} AS MATERIALIZED (
+      SELECT i, x / nrm AS x FROM mv{gram}_{k},
+           (SELECT sqrt(sum(x*x)) AS nrm FROM mv{gram}_{k}))"""
+
+    its1 = ",".join(
+        it(k, "gm", f"gm_it{k-1}" if k > 1 else "x0") for k in range(1, t + 1)
+    )
+    its2 = ",".join(
+        it(k, "gm2", f"gm2_it{k-1}" if k > 1 else "x0")
+        for k in range(1, t + 1)
+    )
+    return f"""
+    WITH cells AS MATERIALIZED (
+      SELECT c_mktsegment AS site, o_orderstatus AS species,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2),
+    tot AS (SELECT sum(n) AS t FROM cells),
+    cm AS MATERIALIZED (SELECT species, sum(n) AS m FROM cells GROUP BY 1),
+    rm AS (SELECT site, sum(n) AS r FROM cells GROUP BY 1),
+    grid AS (
+      SELECT rm.site, rm.r, cm.species, cm.m, tot.t
+      FROM rm CROSS JOIN cm CROSS JOIN tot),
+    s AS MATERIALIZED (
+      SELECT g.site, g.species,
+             (COALESCE(c.n, 0) / g.t - (g.r / g.t) * (g.m / g.t))
+             / sqrt((g.r / g.t) * (g.m / g.t)) AS s
+      FROM grid g
+      LEFT JOIN cells c ON c.site = g.site AND c.species = g.species),
+    spidx AS MATERIALIZED (
+      SELECT species, row_number() OVER (ORDER BY species) - 1 AS j
+      FROM cm),
+    gm AS MATERIALIZED (
+      SELECT ia.j AS i, ib.j AS j, sum(a.s * b.s) AS v
+      FROM s a JOIN s b ON a.site = b.site
+      JOIN spidx ia ON a.species = ia.species
+      JOIN spidx ib ON b.species = ib.species
+      GROUP BY ia.j, ib.j),
+    x0 AS MATERIALIZED (
+      SELECT j AS i, (j + 1) / nrm AS x
+      FROM spidx, (SELECT sqrt(sum((j + 1.0) * (j + 1.0))) AS nrm
+                   FROM spidx)),
+    {its1},
+    v1 AS MATERIALIZED (SELECT i, x FROM gm_it{t}),
+    l1 AS MATERIALIZED (
+      SELECT sum(a.x * g.v * b.x) AS lam
+      FROM gm g JOIN v1 a ON g.i = a.i JOIN v1 b ON g.j = b.i),
+    gm2 AS MATERIALIZED (
+      SELECT g.i, g.j, g.v - l1.lam * a.x * b.x AS v
+      FROM gm g JOIN v1 a ON g.i = a.i JOIN v1 b ON g.j = b.i
+      CROSS JOIN l1),
+    {its2},
+    v2 AS MATERIALIZED (SELECT i, x FROM gm2_it{t}),
+    l2 AS MATERIALIZED (
+      SELECT sum(a.x * g.v * b.x) AS lam
+      FROM gm2 g JOIN v2 a ON g.i = a.i JOIN v2 b ON g.j = b.i),
+    axes AS MATERIALIZED (
+      SELECT s.site,
+             sum(s.s * a.x) / sqrt(greatest(l1.lam, 1e-12)) AS axis1,
+             sum(s.s * b.x) / sqrt(greatest(l2.lam, 1e-12)) AS axis2
+      FROM s JOIN spidx si ON s.species = si.species
+      JOIN v1 a ON si.j = a.i JOIN v2 b ON si.j = b.i
+      CROSS JOIN l1 CROSS JOIN l2
+      GROUP BY s.site, l1.lam, l2.lam),
+    seg AS (
+      SELECT site, axis1, axis2,
+             ntile({segments}) OVER (ORDER BY axis1, site) AS sg
+      FROM axes)
+    SELECT site AS c_mktsegment,
+           CAST(round(axis1, 6) AS DOUBLE) AS axis1,
+           CAST(round(axis2 - avg(axis2) OVER (PARTITION BY sg), 6)
+             AS DOUBLE) AS axis2
+    FROM seg
+    """
+
+
+@query("dca_segment_status_orders", oracle=_dca_power_oracle())
 def dca_segment_status_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Detrended correspondence analysis of the market-segment x
     order-status abundance table (dca_analysis,
-    gofast/stats/survival_reliability.py:112).  Eigen-decomposition is not
-    SQL-expressible — rows-only check (one row per segment)."""
-    from gofast_spark.stats import dca_analysis
+    gofast/stats/survival_reliability.py:112) — ORACLE-BACKED since r14
+    (r13 verdict ask #2, the last parked conversion): the J x J Gram
+    eigen-decomposition is a fixed-24-step power iteration with rank-1
+    deflation from the normalized ramp over sorted species, and Hill
+    detrending uses an exact ntile over (axis1, site) — every stage a
+    well-defined function of the data that the DuckDB oracle replays
+    end-to-end.  The sketch-boundary production variant
+    (stats/ordination.py dca_analysis) stays covered by
+    dca_residual_gram_orders for its distributed core."""
+    from gofast_spark.stats import dca_analysis_power
 
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     joined = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
-    out = dca_analysis(
-        joined, "c_mktsegment", "o_orderstatus", segments=4
+    out = dca_analysis_power(
+        joined, "c_mktsegment", "o_orderstatus",
+        segments=_DCA_SEGMENTS, iters=_DCA_ITERS,
     )
     return out.select(
         "c_mktsegment",

@@ -15,6 +15,7 @@ from gofast_spark.sim.projection import jl_project, jl_shortlist_topk, jl_sign_m
 from gofast_spark.sim.ivf import (
     assign_cells,
     ivf_topk,
+    ivf_topk_kmeans_exact,
     ivf_topk_portable,
     train_centroids,
 )
@@ -37,5 +38,6 @@ __all__ = [
     "pq_encode",
     "pq_topk",
     "ivf_topk",
+    "ivf_topk_kmeans_exact",
     "ivf_topk_portable",
 ]

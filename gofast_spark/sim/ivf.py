@@ -249,3 +249,106 @@ def ivf_topk_portable(
         .where(F.col("rank") <= k)
         .select("query_id", id_col, "cell", "cos_sim", "rank")
     )
+
+
+def ivf_topk_kmeans_exact(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    dim: int,
+    nlist: int = 8,
+    nprobe: int = 2,
+    k: int = 5,
+    iterations: int = 2,
+    query_id_col: str | None = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF-Flat top-k with an ENGINE-PORTABLE k-means coarse quantizer
+    (the oracle-backed successor of the rows-only MLlib-seeded variant,
+    r13 verdict ask #2): centroids come from
+    :func:`gofast_spark.ml.kmeans_exact.fit_kmeans_lloyd` — integer
+    micro-unit coordinates, md5-hash-seeded init, truncated-mean
+    updates — so training, cell assignment, probe selection, and the
+    exact cosine re-rank are ALL pure functions of the data that a SQL
+    engine replays bit-for-bit.  This is classical (Euclidean) IVF-Flat
+    a la FAISS ``IndexIVFFlat``: L2 cells, exact re-rank inside the
+    probed cells.
+
+    Plan shape per stage (identical to :func:`ivf_topk_portable`):
+    centroid frame is ``nlist`` rows, always broadcast; assignment and
+    probing are broadcast-nested-loop + per-id row_number (never a
+    corpus x corpus product); candidates come from the ``cell``
+    equi-join.  Distances in the quantizer are exact int64 — no float
+    reduction-order sensitivity; only the final cosine is float, and
+    ranking rounds it to 6 decimals with the corpus id as tie-break.
+    """
+    from gofast_spark.ml.kmeans_exact import _U, fit_kmeans_lloyd
+
+    qid = query_id_col or id_col
+    ecols = [
+        F.element_at(F.col(vec_col), i + 1).cast("double").alias(f"__e{i}")
+        for i in range(dim)
+    ]
+    cent = fit_kmeans_lloyd(
+        corpus.select(F.col(id_col), *ecols),
+        id_col,
+        [f"__e{i}" for i in range(dim)],
+        nlist,
+        iterations=iterations,
+    ).select(
+        F.col("cid").cast("int").alias("cell"),
+        *[F.col(f"c{i}_u6").alias(f"__k{i}") for i in range(dim)],
+    )
+
+    xq = [
+        F.floor(
+            F.element_at(F.col(vec_col), i + 1).cast("double") * _U
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias(f"__x{i}")
+        for i in range(dim)
+    ]
+    dist = None
+    for i in range(dim):
+        t = F.col(f"__x{i}") - F.col(f"__k{i}")
+        dist = t * t if dist is None else dist + t * t
+
+    def _nearest(df: DataFrame, keep: list[str], *, top: int) -> DataFrame:
+        w = Window.partitionBy(*keep).orderBy(
+            F.col("__d").asc(), F.col("cell").asc()
+        )
+        return (
+            df.crossJoin(F.broadcast(cent))
+            .withColumn("__d", dist)
+            .withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") <= top)
+            .select(*keep, F.col(vec_col), "cell")
+        )
+
+    pts = corpus.where(F.col(id_col).isNotNull()).select(
+        F.col(id_col), F.col(vec_col), *xq
+    )
+    cells = _nearest(pts, [id_col], top=1)
+    qpts = queries.where(F.col(qid).isNotNull()).select(
+        F.col(qid).alias("query_id"), F.col(vec_col), *xq
+    )
+    probes = _nearest(qpts, ["query_id"], top=nprobe).withColumnRenamed(
+        vec_col, "__qv"
+    )
+    pairs = cells.join(F.broadcast(probes), on="cell")
+    if exclude_self:
+        pairs = pairs.where(F.col(id_col) != F.col("query_id"))
+    pairs = pairs.withColumn(
+        "cos_sim", cosine_sim(F.col("__qv"), F.col(vec_col))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cos_sim"), 6).desc(), F.col(id_col).asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "cell", "cos_sim", "rank")
+    )

@@ -59,7 +59,11 @@ from gofast_spark.stats.evaluation import (
     residual_analysis,
 )
 from gofast_spark.stats.mixed import mixed_effects_model
-from gofast_spark.stats.ordination import ca_residuals, dca_analysis
+from gofast_spark.stats.ordination import (
+    ca_residuals,
+    dca_analysis,
+    dca_analysis_power,
+)
 from gofast_spark.stats.resampling import bootstrap, bootstrap_ci
 from gofast_spark.stats.inferential import (
     anova_test,
@@ -103,6 +107,7 @@ __all__ = [
     "bootstrap",
     "bootstrap_ci",
     "dca_analysis",
+    "dca_analysis_power",
     "ca_residuals",
     "mixed_effects_model",
     "jarque_bera",

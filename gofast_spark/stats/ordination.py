@@ -207,3 +207,140 @@ def dca_analysis(
     finally:
         for frame in persisted:
             frame.unpersist()
+
+
+def dca_analysis_power(
+    df: DataFrame,
+    site_col: str,
+    species_col: str,
+    *,
+    value_col: str | None = None,
+    segments: int = 2,
+    iters: int = 24,
+) -> DataFrame:
+    """Deterministic, oracle-replayable DCA (r13 verdict ask #2,
+    converting the last parked eigen-decomposition entry): same
+    relational core as :func:`dca_analysis` — contingency cells, masses,
+    densified standardized residuals, species Gram — with the two
+    nondeterministic stages replaced by engine-portable equivalents so
+    an independent SQL engine replays the WHOLE ordination:
+
+    - the J x J Gram eigenpairs come from a FIXED-count power iteration
+      with rank-1 deflation, started from the normalized ramp over the
+      species in SORTED species order (the ``kernel_pca_power``
+      convention; signs are inherited from the shared start vector, so
+      no largest-|loading| flip is needed).  The residual matrix
+      annihilates the sqrt(column-mass) direction, so the Gram's null
+      component of the ramp dies at the first multiply;
+    - Hill detrending segments come from an EXACT
+      ``ntile(segments) OVER (ORDER BY axis1, site)`` instead of a
+      quantile sketch.  That is a total order over sites — fine here
+      because the site dimension of this variant is bounded by contract
+      (ordination sites = a categorical key, e.g. market segments); the
+      sketch-based :func:`dca_analysis` remains the unbounded-site
+      scale path.
+
+    Returns (site, axis1, axis2) with axis2 detrended.
+    """
+    import numpy as np
+
+    val = (
+        F.sum(F.col(value_col).cast("double"))
+        if value_col
+        else F.count(F.lit(1)).cast("double")
+    )
+    cells = df.groupBy(
+        F.col(site_col).alias("site"), F.col(species_col).alias("species")
+    ).agg(val.alias("n"))
+    persisted = [cells.persist()]
+    try:
+        total = cells.agg(F.sum("n")).collect()[0][0]
+        col_mass = {
+            r["species"]: r["m"] / total
+            for r in cells.groupBy("species")
+            .agg(F.sum("n").alias("m"))
+            .collect()
+        }
+        row_mass = cells.groupBy("site").agg(
+            (F.sum("n") / total).alias("r_i")
+        )
+        spark = df.sparkSession
+        cmdf = spark.createDataFrame(
+            [(k, v) for k, v in col_mass.items()], ["species", "c_j"]
+        )
+        grid = row_mass.crossJoin(F.broadcast(cmdf))
+        s = grid.join(cells, on=["site", "species"], how="left").select(
+            "site",
+            "species",
+            (
+                (
+                    F.coalesce(F.col("n"), F.lit(0.0)) / F.lit(float(total))
+                    - F.col("r_i") * F.col("c_j")
+                )
+                / F.sqrt(F.col("r_i") * F.col("c_j"))
+            ).alias("s"),
+        )
+        persisted.append(s.persist())
+        s2 = s.select(
+            F.col("site"),
+            F.col("species").alias("species_b"),
+            F.col("s").alias("s_b"),
+        )
+        gram = (
+            s.join(s2, on="site")
+            .groupBy("species", "species_b")
+            .agg(F.sum(F.col("s") * F.col("s_b")).alias("g"))
+            .collect()
+        )
+        species = sorted(col_mass)
+        idx = {sp: i for i, sp in enumerate(species)}
+        J = len(species)
+        G = np.zeros((J, J))
+        for r in gram:
+            G[idx[r["species"]], idx[r["species_b"]]] = r["g"]
+
+        def _power(A):
+            x = np.arange(1, J + 1, dtype=float)
+            x = x / np.sqrt((x * x).sum())
+            for _ in range(iters):
+                x = A @ x
+                x = x / np.sqrt((x * x).sum())
+            return x, float(x @ (A @ x))
+
+        proj = []
+        A = G
+        for _ in range(2):
+            v, lam = _power(A)
+            A = A - lam * np.outer(v, v)
+            scale = 1.0 / np.sqrt(max(lam, 1e-12))
+            proj.append({species[j]: float(v[j] * scale) for j in range(J)})
+        pdf = spark.createDataFrame(
+            [(sp, proj[0][sp], proj[1][sp]) for sp in species],
+            ["species", "v1", "v2"],
+        )
+        scores = (
+            s.join(F.broadcast(pdf), on="species")
+            .groupBy("site")
+            .agg(
+                F.sum(F.col("s") * F.col("v1")).alias("axis1"),
+                F.sum(F.col("s") * F.col("v2")).alias("axis2"),
+            )
+        )
+        seg_w = Window.orderBy(F.col("axis1").asc(), F.col("site").asc())
+        seg_mean_w = Window.partitionBy("seg")
+        out = (
+            scores.withColumn("seg", F.ntile(segments).over(seg_w))
+            .withColumn(
+                "axis2_dt", F.col("axis2") - F.avg("axis2").over(seg_mean_w)
+            )
+            .select(
+                F.col("site").alias(site_col),
+                "axis1",
+                F.col("axis2_dt").alias("axis2"),
+            )
+        )
+        out = out.localCheckpoint(eager=True)
+        return out
+    finally:
+        for frame in persisted:
+            frame.unpersist()

@@ -191,3 +191,31 @@ def test_kernel_pca_oracle_quantization_margin(spark, sf_med):
     )
     # 1e-10 = two orders above the 1e-12 cross-engine noise floor
     assert min_margin > 1e-10, min_margin
+
+
+def test_dca_power_oracle_margins(spark, sf_med):
+    """Guard the hash-exactness of the dca_segment_status_orders oracle
+    (same standard as the kernel-PCA guard): raw axis scores must sit
+    far from a round-6 boundary relative to cross-engine float noise,
+    and the axis1 values feeding the ntile detrend ORDER BY must be
+    pairwise separated well above that noise so both engines segment
+    identically."""
+    from pyspark.sql import functions as F
+
+    from gofast_spark.stats import dca_analysis_power
+
+    o = spark.read.parquet(f"{sf_med}/orders.parquet")
+    c = spark.read.parquet(f"{sf_med}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+    out = dca_analysis_power(
+        joined, "c_mktsegment", "o_orderstatus", segments=2, iters=24
+    ).collect()
+    assert len(out) >= 2
+    vals = [v for r in out for v in (r["axis1"], r["axis2"])]
+    min_margin = min(abs(((abs(v) * 1e6) % 1.0) - 0.5) * 1e-6 for v in vals)
+    assert min_margin > 1e-10, min_margin
+    a1 = sorted(r["axis1"] for r in out)
+    min_gap = min(b - a for a, b in zip(a1, a1[1:]))
+    assert min_gap > 1e-9, min_gap
