@@ -9,6 +9,8 @@ from gofast_spark.streaming.ops import (
     write_stream_to_warehouse,
     read_document_stream,
     stream_merge_upsert,
+    stream_dedup_index_upsert,
+    dedup_health_card_from_tables,
     streaming_token_counts,
     run_available_now,
     sessionized_aggregate,
@@ -25,6 +27,8 @@ __all__ = [
     "stream_stream_interval_join",
     "write_stream_to_warehouse",
     "stream_merge_upsert",
+    "stream_dedup_index_upsert",
+    "dedup_health_card_from_tables",
     "windowed_aggregate",
     "sessionized_aggregate",
     "stream_dedup",

@@ -536,3 +536,119 @@ def stream_merge_upsert(
         q.stop()
         return None
     return writer.start()
+
+
+def stream_dedup_index_upsert(
+    sdf: DataFrame,
+    base_path: str,
+    *,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    available_now: bool = True,
+) -> tuple[str, str]:
+    """PRODUCTION layout of the streaming dedup health card's state
+    (r13 verdict ask #3 — the contract previously only documented in
+    plans/catalog_streaming.py's stream_dedup_rate_report docstring,
+    now executable): instead of holding the (doc, shingle) grid as
+    unbounded complete-mode state, each micro-batch UPSERTS into two
+    maintained warehouse tables via the CDC-apply MERGE sink
+    (:func:`stream_merge_upsert`):
+
+    - ``<base>_shingles``: the distinct (id, sh_hash) shingle INDEX,
+      keyed by (id, sh_hash) — a re-delivered document merges into its
+      existing rows instead of inflating them (at-least-once-safe);
+    - ``<base>_exact``: the (normalized_text, id) exact-dup presence
+      grid, keyed by (text_norm, id).
+
+    The nightly health-card job is then
+    :func:`dedup_health_card_from_tables` over the two TABLES — the
+    pair joins never run per micro-batch.  State is bounded by the
+    corpus (a real table, compactable/partitionable), not by the
+    streaming state store.  Returns ``(shingle_path, exact_path)``.
+    """
+    from gofast_spark.dedup.minhash import doc_shingles
+    from gofast_spark.text.analysis import normalize_text
+
+    shingle_path = f"{base_path}_shingles"
+    exact_path = f"{base_path}_exact"
+    # __ord is a constant: the upsert sink's per-batch key-dedup just
+    # needs ANY single row per key (presence semantics)
+    sh = doc_shingles(sdf, id_col, text_col, k=k).select(
+        F.col(id_col), F.col("sh_hash"), F.lit(1).alias("__ord")
+    )
+    stream_merge_upsert(
+        sh,
+        shingle_path,
+        [id_col, "sh_hash"],
+        checkpoint=f"{checkpoint}/shingles",
+        dedup_order_col="__ord",
+        available_now=available_now,
+    )
+    ex = sdf.select(
+        normalize_text(text_col).alias("__t"),
+        F.col(id_col),
+        F.lit(1).alias("__ord"),
+    )
+    stream_merge_upsert(
+        ex,
+        exact_path,
+        ["__t", id_col],
+        checkpoint=f"{checkpoint}/exact",
+        dedup_order_col="__ord",
+        available_now=available_now,
+    )
+    return shingle_path, exact_path
+
+
+def dedup_health_card_from_tables(
+    spark,
+    shingle_path: str,
+    exact_path: str,
+    *,
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.8,
+    containment_threshold: float = 0.8,
+    max_df: int | None = 64,
+) -> DataFrame:
+    """The nightly health-card job over the maintained index tables
+    written by :func:`stream_dedup_index_upsert` — identical output to
+    the batch entry and the complete-mode streaming twin (one shared
+    core, :func:`gofast_spark.dedup.ngram.ngram_dedup_report_from_shingles`).
+    Pair joins run against a real parquet table: filters and the
+    two-column (id, sh_hash) projection push into the scan, and the
+    PPJoin-style ``max_df`` blocking bounds the candidate join exactly
+    as in the batch plan."""
+    from gofast_spark.dedup.ngram import ngram_dedup_report_from_shingles
+
+    sh = spark.read.parquet(shingle_path).select(id_col, "sh_hash")
+    ex = spark.read.parquet(exact_path).select("__t", id_col)
+    stats = ex.agg(
+        (
+            F.countDistinct(id_col)
+            + F.coalesce(
+                F.max(
+                    F.when(F.col(id_col).isNull(), F.lit(1)).otherwise(
+                        F.lit(0)
+                    )
+                ),
+                F.lit(0),
+            )
+        ).cast("bigint").alias("n_docs"),
+        F.countDistinct("__t").cast("bigint").alias("n_exact_unique"),
+    ).localCheckpoint(eager=True)
+    rep = ngram_dedup_report_from_shingles(
+        sh,
+        id_col,
+        stats.select("n_docs"),
+        jaccard_threshold=jaccard_threshold,
+        containment_threshold=containment_threshold,
+        max_df=max_df,
+    )
+    return rep.crossJoin(
+        F.broadcast(stats.select("n_exact_unique"))
+    ).select(
+        "n_docs", "n_exact_unique", "n_candidate_pairs",
+        "n_jaccard_pairs", "n_containment_pairs", "n_docs_flagged",
+    )
