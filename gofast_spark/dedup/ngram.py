@@ -122,61 +122,8 @@ def ngram_containment_pairs(
     if eager:
         sh = sh.persist()
     try:
-        if max_df is not None:
-            rare = (
-                sh.groupBy("sh_hash")
-                .agg(F.count(F.lit(1)).alias("__df"))
-                .where(F.col("__df") <= max_df)
-                .select("sh_hash")
-            )
-            block = sh.join(rare, on="sh_hash", how="inner")
-        else:
-            block = sh
-        a = block.select(
-            F.col(id_col).alias("id_a"), F.col("sh_hash").alias("__h")
-        )
-        b = block.select(
-            F.col(id_col).alias("id_b"), F.col("sh_hash").alias("__h")
-        )
-        cand = (
-            a.join(b, on="__h", how="inner")
-            .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .distinct()
-        )
-        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-        x = sh.select(F.col(id_col).alias("id_a"), "sh_hash")
-        y = sh.select(F.col(id_col).alias("id_b"), "sh_hash")
-        inter = (
-            cand.join(x, "id_a")
-            .join(y, ["id_b", "sh_hash"])
-            .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).alias("n_inter"))
-        )
-        out = (
-            inter.join(
-                sizes.select(
-                    F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")
-                ),
-                "id_a",
-            )
-            .join(
-                sizes.select(
-                    F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")
-                ),
-                "id_b",
-            )
-            .select(
-                "id_a",
-                "id_b",
-                F.col("n_a").cast("bigint").alias("n_a"),
-                F.col("n_b").cast("bigint").alias("n_b"),
-                (
-                    F.col("n_inter").cast("double")
-                    / F.least("n_a", "n_b").cast("double")
-                ).alias("containment"),
-            )
-            .where(F.col("containment") >= threshold)
+        out = ngram_containment_pairs_from_shingles(
+            sh, id_col, threshold=threshold, max_df=max_df
         )
         if eager:
             return out.localCheckpoint(eager=True)
@@ -184,6 +131,77 @@ def ngram_containment_pairs(
     finally:
         if eager:
             sh.unpersist()
+
+
+def ngram_containment_pairs_from_shingles(
+    sh: DataFrame,
+    id_col: str,
+    *,
+    threshold: float = 0.9,
+    max_df: int | None = None,
+) -> DataFrame:
+    """:func:`ngram_containment_pairs` over a PRECOMPUTED distinct
+    (id, sh_hash) frame — the entry point for callers maintaining the
+    shingle index themselves (the streaming flagship twin drains its
+    kept-doc shingle state grid here), mirroring
+    :func:`ngram_dedup_report_from_shingles`.  Caller owns persistence
+    of ``sh`` (it is scanned three times: blocking, sizes, verify)."""
+    if max_df is not None:
+        rare = (
+            sh.groupBy("sh_hash")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") <= max_df)
+            .select("sh_hash")
+        )
+        block = sh.join(rare, on="sh_hash", how="inner")
+    else:
+        block = sh
+    a = block.select(
+        F.col(id_col).alias("id_a"), F.col("sh_hash").alias("__h")
+    )
+    b = block.select(
+        F.col(id_col).alias("id_b"), F.col("sh_hash").alias("__h")
+    )
+    cand = (
+        a.join(b, on="__h", how="inner")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    x = sh.select(F.col(id_col).alias("id_a"), "sh_hash")
+    y = sh.select(F.col(id_col).alias("id_b"), "sh_hash")
+    inter = (
+        cand.join(x, "id_a")
+        .join(y, ["id_b", "sh_hash"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(
+                F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")
+            ),
+            "id_a",
+        )
+        .join(
+            sizes.select(
+                F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            (
+                F.col("n_inter").cast("double")
+                / F.least("n_a", "n_b").cast("double")
+            ).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+    )
 
 
 def ngram_dedup_report(

@@ -20,6 +20,7 @@ from gofast_spark.ml.dimensionality import (
     classical_mds,
     kernel_pca,
     kernel_pca_power,
+    varimax_rotation,
     lle_embedding,
     spectral_embedding,
 )
@@ -47,6 +48,7 @@ __all__ = [
     "fit_kmeans",
     "kernel_pca",
     "kernel_pca_power",
+    "varimax_rotation",
     "classical_mds",
     "spectral_embedding",
     "lle_embedding",

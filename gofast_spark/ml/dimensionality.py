@@ -30,6 +30,7 @@ from collections.abc import Iterator, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _landmarks(df: DataFrame, cols: Sequence[str], m: int, seed: int):
@@ -449,3 +450,93 @@ def pca_2d(
         F.round(theta, 6).cast("double").alias("theta"),
         (l1 / (a + c)).alias("explained_ratio"),
     )
+
+
+def varimax_rotation(
+    df: DataFrame,
+    factor_cols: Sequence[str],
+    *,
+    sweeps: int = 10,
+) -> DataFrame:
+    """Varimax (orthogonal) rotation of a factor-loading frame
+    (varimax_rotation, gofast/analysis/factors.py:747; Kaiser,
+    Psychometrika 1958): rotate the factor axes to maximize the
+    variance of the squared loadings, making each variable load high
+    on one factor and low on the others.
+
+    Input: one row per VARIABLE, ``factor_cols`` holding its loadings;
+    every other column passes through (e.g. the variable name).  The
+    loading matrix is p x k — driver-scale BY DEFINITION (k factors
+    over p observed variables), so the interesting engineering is
+    keeping the k=2 case fully RELATIONAL:
+
+    - k == 2: the classic single-angle closed form — one aggregate
+      computes Kaiser's A/B/C/D sums, ``phi = atan2(D - 2AB/p,
+      C - (A^2-B^2)/p) / 4``, and the rotation is a broadcast
+      projection.  One pass over the loadings, no collect, exactly
+      replayable in SQL (the oracle-backed catalog entry uses this
+      path); a second application of the formula gives phi = 0 —
+      the fixed point — which the tests pin.
+    - k > 2: deterministic cyclic pairwise sweeps of the same 2-D
+      closed form on the driver (``sweeps`` fixed, pairs in index
+      order), the standard Kaiser procedure with the convergence test
+      replaced by a fixed iteration count for replayability.
+    """
+    cols = list(factor_cols)
+    k = len(cols)
+    if k < 2:
+        raise ValueError("varimax needs >= 2 factors")
+    if k == 2:
+        x, y = F.col(cols[0]), F.col(cols[1])
+        u = x * x - y * y
+        v = F.lit(2.0) * x * y
+        st = df.agg(
+            F.sum(u).alias("A"),
+            F.sum(v).alias("B"),
+            F.sum(u * u - v * v).alias("C"),
+            F.sum(F.lit(2.0) * u * v).alias("D"),
+            F.count(F.lit(1)).cast("double").alias("p"),
+        ).select(
+            (
+                F.atan2(
+                    F.col("D") - F.lit(2.0) * F.col("A") * F.col("B") / F.col("p"),
+                    F.col("C")
+                    - (F.col("A") * F.col("A") - F.col("B") * F.col("B"))
+                    / F.col("p"),
+                )
+                / F.lit(4.0)
+            ).alias("__phi")
+        )
+        others = [c for c in df.columns if c not in cols]
+        return df.crossJoin(F.broadcast(st)).select(
+            *others,
+            (x * F.cos("__phi") + y * F.sin("__phi")).alias(cols[0]),
+            (-x * F.sin("__phi") + y * F.cos("__phi")).alias(cols[1]),
+        )
+    import numpy as np
+
+    rows = df.select(*df.columns).collect()
+    others = [c for c in df.columns if c not in cols]
+    L = np.array([[float(r[c]) for c in cols] for r in rows])
+    p = float(len(rows))
+    for _ in range(sweeps):
+        for a in range(k - 1):
+            for b in range(a + 1, k):
+                x, y = L[:, a], L[:, b]
+                u = x * x - y * y
+                v = 2.0 * x * y
+                A, B = u.sum(), v.sum()
+                C, D = (u * u - v * v).sum(), (2.0 * u * v).sum()
+                phi = np.arctan2(D - 2 * A * B / p, C - (A * A - B * B) / p) / 4.0
+                c, s = np.cos(phi), np.sin(phi)
+                L[:, a], L[:, b] = x * c + y * s, -x * s + y * c
+    spark = df.sparkSession
+    data = [
+        tuple(r[c] for c in others) + tuple(float(z) for z in L[i])
+        for i, r in enumerate(rows)
+    ]
+    out_schema = T.StructType(
+        [df.schema[c] for c in others]
+        + [T.StructField(c, T.DoubleType(), True) for c in cols]
+    )
+    return spark.createDataFrame(data, out_schema)

@@ -15,7 +15,7 @@ real, tested part.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Iterator, Sequence
 from typing import TYPE_CHECKING
 
 from pyspark.sql import DataFrame
@@ -134,25 +134,31 @@ def blob_features(
     *,
     batch_hint: int | None = None,
     decoder: str = "stub",
+    passthrough: Sequence[str] = (),
 ) -> DataFrame:
     """Per-blob features via Arrow-batched ``mapInPandas``.
 
-    Output schema: (id, n_bytes, head_byte, width, height) — declared
-    up front, so downstream column pruning works.  width/height come
-    from the decoder selected by ``decoder`` (see
+    Output schema: (id, *passthrough, n_bytes, head_byte, width,
+    height) — declared up front, so downstream column pruning works.
+    width/height come from the decoder selected by ``decoder`` (see
     :func:`_resolve_decoder`; the default stub keeps outputs
-    deterministic in library-free environments).
+    deterministic in library-free environments).  ``passthrough``
+    names metadata columns (e.g. a ``source`` partition key) carried
+    through the Arrow batches untouched, so a downstream groupBy
+    doesn't need a features-to-metadata shuffle join.
     """
+    passthru = list(passthrough)
     schema = StructType(
         [
             df.schema[id_col],
+            *[df.schema[c] for c in passthru],
             StructField("n_bytes", LongType()),
             StructField("head_byte", IntegerType()),
             StructField("width", IntegerType()),
             StructField("height", IntegerType()),
         ]
     )
-    cols = [id_col, blob_col]
+    cols = [id_col, *passthru, blob_col]
     decode = _resolve_decoder(decoder)
 
     def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -161,15 +167,18 @@ def blob_features(
         for pdf in batches:
             payloads = pdf[blob_col]
             dims = [decode(p if p is not None else b"") for p in payloads]
-            yield pd.DataFrame(
+            out = {id_col: pdf[id_col]}
+            for c in passthru:
+                out[c] = pdf[c]
+            out.update(
                 {
-                    id_col: pdf[id_col],
                     "n_bytes": [len(p) if p is not None else 0 for p in payloads],
                     "head_byte": [p[0] if p else 0 for p in payloads],
                     "width": [d[0] for d in dims],
                     "height": [d[1] for d in dims],
                 }
             )
+            yield pd.DataFrame(out)
 
     return df.select(*cols).mapInPandas(extract, schema=schema)
 

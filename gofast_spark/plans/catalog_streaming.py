@@ -1328,3 +1328,124 @@ def stream_dedup_rate_report_documents(
         "n_docs", "n_exact_unique", "n_candidate_pairs",
         "n_jaccard_pairs", "n_containment_pairs", "n_docs_flagged",
     )
+
+
+@query(
+    "stream_corpus_flagship_card_documents",
+    oracle=_ORACLE_SQL2["corpus_flagship_card_documents"],
+)
+def stream_corpus_flagship_card_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The FLAGSHIP release card maintained AS A STREAM (r13 verdict
+    ask #4: the streaming twin of corpus_flagship_card_documents) — a
+    continuously-ingesting corpus build that keeps exactly two
+    presence-native state grids and defers the pair joins and sharding
+    to the drained index, sharing the batch entry's oracle
+    byte-for-byte:
+
+    - grid A, keyed by doc_id: (keep flag, survivor token count) — the
+      C4/Gopher verdict and the normalized token count are row-local
+      projections, so re-delivered docs MERGE (max of identical
+      values) instead of inflating the inventory;
+    - grid B, keyed by (doc_id, sh_hash): the 3-gram shingle index of
+      KEPT docs only (the dedup stage's input — filter pushed before
+      state, so rejected docs never enter the index).
+
+    The batch tail over the drained grids is the SAME verified chain:
+    containment pairs from the index
+    (dedup/ngram.py ngram_containment_pairs_from_shingles), drop the
+    smaller-set member, survivors anti-join, token-budget sharding via
+    the two-phase distributed prefix sum, one-row card.  At 100 TB the
+    grids are the upsert-maintained warehouse tables of
+    streaming/ops.py stream_dedup_index_upsert and this tail is the
+    nightly release-card job.  Input contract (shared with the dedup
+    twin): doc_id unique per document."""
+    from gofast_spark.dedup.minhash import doc_shingles
+    from gofast_spark.dedup.ngram import ngram_containment_pairs_from_shingles
+    from gofast_spark.operators import token_budget_shards
+    from gofast_spark.streaming import read_document_stream, run_available_now
+    from gofast_spark.text import corpus_filter
+    from gofast_spark.text.analysis import normalize_text
+
+    stream = read_document_stream(spark, sf_dir, glob="documents.parquet")
+    tagged = corpus_filter(stream, "text").select(
+        "doc_id",
+        "text",
+        "keep",
+        F.size(F.split(normalize_text("text"), " "))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    grid_a = tagged.groupBy("doc_id").agg(
+        F.max(F.col("keep").cast("int")).alias("keep"),
+        F.max("n_tokens").alias("n_tokens"),
+    )
+    a = run_available_now(grid_a, mode="complete").localCheckpoint(
+        eager=True
+    )
+    sh_state = (
+        doc_shingles(tagged.where("keep"), "doc_id", "text", k=3)
+        .groupBy("doc_id", "sh_hash")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    sh = (
+        run_available_now(sh_state, mode="complete")
+        .select("doc_id", "sh_hash")
+        .localCheckpoint(eager=True)
+    )
+    counts = a.agg(
+        (
+            F.countDistinct("doc_id")
+            + F.coalesce(
+                F.max(
+                    F.when(F.col("doc_id").isNull(), F.lit(1)).otherwise(
+                        F.lit(0)
+                    )
+                ),
+                F.lit(0),
+            )
+        ).cast("bigint").alias("n_docs"),
+        F.coalesce(F.sum("keep"), F.lit(0)).cast("bigint").alias("n_kept"),
+    )
+    pairs = ngram_containment_pairs_from_shingles(
+        sh, "doc_id", threshold=0.8, max_df=64
+    )
+    drop = pairs.select(
+        F.when(F.col("n_a") < F.col("n_b"), F.col("id_a"))
+        .when(F.col("n_b") < F.col("n_a"), F.col("id_b"))
+        .otherwise(F.greatest("id_a", "id_b"))
+        .alias("doc_id")
+    ).distinct()
+    surv = (
+        a.where(F.col("keep") == 1)
+        .select("doc_id", "n_tokens")
+        .join(drop, "doc_id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    sharded = token_budget_shards(surv, "doc_id", "n_tokens", budget=2000)
+    per = sharded.groupBy("shard").agg(F.sum("n_tokens").alias("tok"))
+    card = per.agg(
+        F.sum("tok").cast("bigint").alias("total_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_shards"),
+        F.max("tok").cast("bigint").alias("max_shard_tokens"),
+        F.sum((F.col("tok") > 2000).cast("int"))
+        .cast("bigint")
+        .alias("n_shards_over_budget"),
+        (
+            F.sum("tok").cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(2000.0))
+        ).alias("mean_fill_ratio"),
+    )
+    n_surv = surv.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_survivors")
+    )
+    return (
+        counts.crossJoin(F.broadcast(n_surv))
+        .crossJoin(F.broadcast(card))
+        .select(
+            "n_docs", "n_kept", "n_survivors", "total_tokens",
+            "n_shards", "max_shard_tokens", "n_shards_over_budget",
+            "mean_fill_ratio",
+        )
+    )

@@ -219,3 +219,70 @@ def test_dca_power_oracle_margins(spark, sf_med):
     a1 = sorted(r["axis1"] for r in out)
     min_gap = min(b - a for a, b in zip(a1, a1[1:]))
     assert min_gap > 1e-9, min_gap
+
+
+def _varimax_criterion(L):
+    import numpy as np
+
+    sq = np.asarray(L) ** 2
+    return float((sq.var(axis=0)).sum())
+
+
+def test_varimax_k2_improves_criterion_and_is_fixed_point(spark):
+    """Kaiser's varimax criterion (sum of per-factor variances of
+    squared loadings) must not decrease, and re-applying the rotation
+    to its own output must be the identity (phi == 0 at the optimum)."""
+    import numpy as np
+
+    from gofast_spark.ml import varimax_rotation
+
+    rng = np.random.default_rng(7)
+    raw = rng.normal(size=(6, 2)) @ np.array([[1.0, 0.6], [0.0, 0.8]])
+    df = spark.createDataFrame(
+        [(f"v{i}", float(a), float(b)) for i, (a, b) in enumerate(raw)],
+        ["variable", "f1", "f2"],
+    )
+    rot = varimax_rotation(df, ["f1", "f2"]).toPandas().sort_values("variable")
+    before = _varimax_criterion(raw)
+    after = _varimax_criterion(rot[["f1", "f2"]].to_numpy())
+    assert after >= before - 1e-12
+    # orthogonality: row norms preserved
+    assert np.allclose(
+        np.sort((raw ** 2).sum(axis=1)),
+        np.sort((rot[["f1", "f2"]].to_numpy() ** 2).sum(axis=1)),
+    )
+    # fixed point
+    df2 = spark.createDataFrame(rot, schema=df.schema)
+    rot2 = (
+        varimax_rotation(df2, ["f1", "f2"]).toPandas().sort_values("variable")
+    )
+    assert np.allclose(
+        rot[["f1", "f2"]].to_numpy(), rot2[["f1", "f2"]].to_numpy(), atol=1e-9
+    )
+
+
+def test_varimax_k3_sweeps_improve_criterion(spark):
+    import numpy as np
+
+    from gofast_spark.ml import varimax_rotation
+
+    rng = np.random.default_rng(11)
+    raw = rng.normal(size=(8, 3))
+    df = spark.createDataFrame(
+        [
+            (f"v{i}", *[float(x) for x in row])
+            for i, row in enumerate(raw)
+        ],
+        ["variable", "f1", "f2", "f3"],
+    )
+    rot = (
+        varimax_rotation(df, ["f1", "f2", "f3"], sweeps=10)
+        .toPandas()
+        .sort_values("variable")
+    )
+    after = _varimax_criterion(rot[["f1", "f2", "f3"]].to_numpy())
+    assert after >= _varimax_criterion(raw) - 1e-12
+    assert np.allclose(
+        np.sort((raw ** 2).sum(axis=1)),
+        np.sort((rot[["f1", "f2", "f3"]].to_numpy() ** 2).sum(axis=1)),
+    )
