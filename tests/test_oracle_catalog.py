@@ -1,20 +1,64 @@
 """Differential correctness: every catalog query with an oracle must match
-DuckDB at sf0.001 (fast) — the driver repeats this at sf0.01."""
+DuckDB at sf0.001 (fast) — the driver repeats this at sf0.01.
+
+Sweep artifact (r13 verdict ask #6): when ``SPARK_GRAFT_SWEEP_OUT`` names
+a file, the run persists one JSON object per entry —
+``{"<entry>": {"match": bool, "sf_dir": ..., "checked_at": ...}}`` — so a
+future judge can distinguish "stale driver green, fresh local green" from
+"stale everything" without re-running the sweep.  The round-close ritual
+sets it for the strict sf0.01 pass and commits the file next to
+``bench_result.json``.
+"""
 
 from __future__ import annotations
+
+import json
+import os
+import time
 
 import pytest
 
 from gofast_spark.plans.catalog import ORACLE_SQL, QUERIES
 from tests.oracle_util import compare
 
+_SWEEP_OUT = os.environ.get("SPARK_GRAFT_SWEEP_OUT")
+_RESULTS: dict[str, dict] = {}
+
+
+@pytest.fixture(scope="session", autouse=True)
+def _persist_sweep():
+    yield
+    if _SWEEP_OUT and _RESULTS:
+        with open(_SWEEP_OUT, "w") as fh:
+            json.dump(dict(sorted(_RESULTS.items())), fh, indent=1)
+
+
+def _record(name: str, match: bool, sf_dir: str, kind: str) -> None:
+    if _SWEEP_OUT:
+        _RESULTS[name] = {
+            "match": match,
+            "kind": kind,
+            "sf_dir": sf_dir,
+            "checked_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+
 
 @pytest.mark.parametrize("name", sorted(ORACLE_SQL))
 def test_oracle_match(spark, sf_small, name):
-    compare(spark, name, sf_small, QUERIES[name], ORACLE_SQL[name])
+    try:
+        compare(spark, name, sf_small, QUERIES[name], ORACLE_SQL[name])
+    except BaseException:
+        _record(name, False, sf_small, "oracle")
+        raise
+    _record(name, True, sf_small, "oracle")
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLE_SQL)))
 def test_rows_only(spark, sf_small, name):
-    df = QUERIES[name](spark, sf_small)
-    assert df.count() >= 0
+    try:
+        df = QUERIES[name](spark, sf_small)
+        assert df.count() >= 0
+    except BaseException:
+        _record(name, False, sf_small, "rows_only")
+        raise
+    _record(name, True, sf_small, "rows_only")
