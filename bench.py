@@ -142,6 +142,15 @@ HEADLINE = [
     "stream_dedup_rate_report_documents",
     "kernel_pca_embeddings",
     "linkage_matrix_nation",
+    # round 14: converted ex-parked entries (exact-kmeans IVF, power-
+    # iteration DCA), streaming flagship twin, persisted-stage build,
+    # multimodal media card, varimax
+    "embedding_ivf_kmeans_topk",
+    "dca_segment_status_orders",
+    "stream_corpus_flagship_card_documents",
+    "corpus_build_persisted_stage_survivors",
+    "multimodal_media_card_documents",
+    "varimax_loadings_lineitem",
 ]
 
 

@@ -291,15 +291,22 @@ def ivf_topk_kmeans_exact(
         F.element_at(F.col(vec_col), i + 1).cast("double").alias(f"__e{i}")
         for i in range(dim)
     ]
-    cent = fit_kmeans_lloyd(
-        corpus.select(F.col(id_col), *ecols),
-        id_col,
-        [f"__e{i}" for i in range(dim)],
-        nlist,
-        iterations=iterations,
-    ).select(
-        F.col("cid").cast("int").alias("cell"),
-        *[F.col(f"c{i}_u6").alias(f"__k{i}") for i in range(dim)],
+    cent = (
+        fit_kmeans_lloyd(
+            corpus.select(F.col(id_col), *ecols),
+            id_col,
+            [f"__e{i}" for i in range(dim)],
+            nlist,
+            iterations=iterations,
+        )
+        .select(
+            F.col("cid").cast("int").alias("cell"),
+            *[F.col(f"c{i}_u6").alias(f"__k{i}") for i in range(dim)],
+        )
+        # nlist rows; pin them so the unrolled Lloyd chain (whose plan
+        # alone codegens to MBs at dim=64) executes ONCE instead of
+        # replaying under both the assignment and the probe broadcast
+        .localCheckpoint(eager=True)
     )
 
     xq = [
