@@ -69,27 +69,83 @@ def ngram_jaccard_pairs(
             sh.unpersist()
 
 
-def _pairs_from_shingles(
-    sh: DataFrame, id_col: str, threshold: float, max_df: int | None
+
+def count_distinct_with_null_group(id_col: str):
+    """Aggregate expression: number of DISTINCT ``id_col`` groups
+    INCLUDING the null group — ``countDistinct`` alone silently drops
+    null ids, which diverges from a ``count(*)``-over-unique-rows twin
+    for even a single null row.  One definition shared by every dedup
+    health-card layout (r14 review: the three copies must never drift;
+    tests/test_dedup_index_layouts.py pins the layouts equal)."""
+    return (
+        F.countDistinct(id_col)
+        + F.coalesce(
+            F.max(
+                F.when(F.col(id_col).isNull(), F.lit(1)).otherwise(F.lit(0))
+            ),
+            F.lit(0),
+        )
+    ).cast("bigint")
+
+
+def _blocked_candidates(
+    sh: DataFrame, id_col: str, max_df: int | None
 ) -> DataFrame:
+    """PPJoin-style candidate generation shared by every from-shingles
+    entry point (r14 review: one copy, not three): pairs of ids sharing
+    at least one shingle, blocked to shingles with document frequency
+    <= ``max_df`` so a boilerplate shingle never fans out into a
+    quadratic candidate set.  Returns distinct (id_a, id_b), id_a <
+    id_b."""
     if max_df is not None:
-        rare_hashes = (
+        rare = (
             sh.groupBy("sh_hash")
             .agg(F.count(F.lit(1)).alias("__df"))
             .where(F.col("__df") <= max_df)
             .select("sh_hash")
         )
-        block = sh.join(rare_hashes, on="sh_hash", how="inner")
+        block = sh.join(rare, on="sh_hash", how="inner")
     else:
         block = sh
     a = block.select(F.col(id_col).alias("id_a"), F.col("sh_hash").alias("__h"))
     b = block.select(F.col(id_col).alias("id_b"), F.col("sh_hash").alias("__h"))
-    cand = (
+    return (
         a.join(b, on="__h", how="inner")
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def _measured_candidates(
+    sh: DataFrame, id_col: str, max_df: int | None
+) -> DataFrame:
+    """Blocked candidate pairs with the exact intersection verify and
+    both set sizes — (id_a, id_b, n_inter, n_a, n_b) — the shared core
+    of the containment pairs and the dedup health-card report."""
+    cand = _blocked_candidates(sh, id_col, max_df)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    x = sh.select(F.col(id_col).alias("id_a"), "sh_hash")
+    y = sh.select(F.col(id_col).alias("id_b"), "sh_hash")
+    inter = (
+        cand.join(x, "id_a")
+        .join(y, ["id_b", "sh_hash"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return inter.join(
+        sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")),
+        "id_a",
+    ).join(
+        sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")),
+        "id_b",
+    )
+
+
+def _pairs_from_shingles(
+    sh: DataFrame, id_col: str, threshold: float, max_df: int | None
+) -> DataFrame:
+    cand = _blocked_candidates(sh, id_col, max_df)
     return shingle_jaccard(sh, cand, id_col).where(
         F.col("jaccard") >= threshold
     )
@@ -146,50 +202,8 @@ def ngram_containment_pairs_from_shingles(
     kept-doc shingle state grid here), mirroring
     :func:`ngram_dedup_report_from_shingles`.  Caller owns persistence
     of ``sh`` (it is scanned three times: blocking, sizes, verify)."""
-    if max_df is not None:
-        rare = (
-            sh.groupBy("sh_hash")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .where(F.col("__df") <= max_df)
-            .select("sh_hash")
-        )
-        block = sh.join(rare, on="sh_hash", how="inner")
-    else:
-        block = sh
-    a = block.select(
-        F.col(id_col).alias("id_a"), F.col("sh_hash").alias("__h")
-    )
-    b = block.select(
-        F.col(id_col).alias("id_b"), F.col("sh_hash").alias("__h")
-    )
-    cand = (
-        a.join(b, on="__h", how="inner")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    x = sh.select(F.col(id_col).alias("id_a"), "sh_hash")
-    y = sh.select(F.col(id_col).alias("id_b"), "sh_hash")
-    inter = (
-        cand.join(x, "id_a")
-        .join(y, ["id_b", "sh_hash"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
     return (
-        inter.join(
-            sizes.select(
-                F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")
-            ),
-            "id_a",
-        )
-        .join(
-            sizes.select(
-                F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")
-            ),
-            "id_b",
-        )
+        _measured_candidates(sh, id_col, max_df)
         .select(
             "id_a",
             "id_b",
@@ -261,65 +275,20 @@ def ngram_dedup_report_from_shingles(
     if eager:
         sh = sh.persist()
     try:
-        if max_df is not None:
-            rare = (
-                sh.groupBy("sh_hash")
-                .agg(F.count(F.lit(1)).alias("__df"))
-                .where(F.col("__df") <= max_df)
-                .select("sh_hash")
-            )
-            block = sh.join(rare, on="sh_hash", how="inner")
-        else:
-            block = sh
-        a = block.select(
-            F.col(id_col).alias("id_a"), F.col("sh_hash").alias("__h")
-        )
-        b = block.select(
-            F.col(id_col).alias("id_b"), F.col("sh_hash").alias("__h")
-        )
-        cand = (
-            a.join(b, on="__h", how="inner")
-            .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .distinct()
-        )
-        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-        x = sh.select(F.col(id_col).alias("id_a"), "sh_hash")
-        y = sh.select(F.col(id_col).alias("id_b"), "sh_hash")
-        inter = (
-            cand.join(x, "id_a")
-            .join(y, ["id_b", "sh_hash"])
-            .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).alias("n_inter"))
-        )
-        meas = (
-            inter.join(
-                sizes.select(
-                    F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")
-                ),
-                "id_a",
-            )
-            .join(
-                sizes.select(
-                    F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")
-                ),
-                "id_b",
-            )
-            .select(
-                "id_a",
-                "id_b",
-                (
-                    F.col("n_inter").cast("double")
-                    / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
-                    .cast("double")
-                    >= F.lit(jaccard_threshold)
-                ).alias("__j"),
-                (
-                    F.col("n_inter").cast("double")
-                    / F.least("n_a", "n_b").cast("double")
-                    >= F.lit(containment_threshold)
-                ).alias("__c"),
-            )
+        meas = _measured_candidates(sh, id_col, max_df).select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+                .cast("double")
+                >= F.lit(jaccard_threshold)
+            ).alias("__j"),
+            (
+                F.col("n_inter").cast("double")
+                / F.least("n_a", "n_b").cast("double")
+                >= F.lit(containment_threshold)
+            ).alias("__c"),
         )
         if eager:
             # the pair-measure frame feeds BOTH the count aggregate and

@@ -517,6 +517,18 @@ def varimax_rotation(
 
     rows = df.select(*df.columns).collect()
     others = [c for c in df.columns if c not in cols]
+    bad = [
+        i for i, r in enumerate(rows) if any(r[c] is None for c in cols)
+    ]
+    if bad:
+        # the k=2 relational path NULL-propagates per engine semantics;
+        # the pairwise sweeps cannot (every rotation mixes all rows), so
+        # fail loudly instead of crashing in float() or poisoning every
+        # loading with NaN (r14 review)
+        raise ValueError(
+            f"varimax_rotation: null loading in row(s) {bad[:5]} — drop "
+            "or impute null loadings before rotating (k > 2 path)"
+        )
     L = np.array([[float(r[c]) for c in cols] for r in rows])
     p = float(len(rows))
     for _ in range(sweeps):

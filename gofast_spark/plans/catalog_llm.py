@@ -541,6 +541,7 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IVFKM_K, _IVFKM_ITER, _IVFKM_D = 8, 2, 64
+_IVFKM_NPROBE, _IVFKM_TOPK, _IVFKM_QCUT = 2, 5, 5
 
 
 def _ivf_kmeans_oracle() -> str:
@@ -553,6 +554,7 @@ def _ivf_kmeans_oracle() -> str:
     _kmeans_oracle, widened to 64 dims and extended with the
     assign/probe/re-rank tail."""
     K, ITER, D = _IVFKM_K, _IVFKM_ITER, _IVFKM_D
+    NPROBE, TOPK, QCUT = _IVFKM_NPROBE, _IVFKM_TOPK, _IVFKM_QCUT
     xs = ", ".join(
         f"CAST(floor(CAST(embedding[{i + 1}] AS DOUBLE) * 1000000 + 0.5)"
         f" AS BIGINT) AS x{i}"
@@ -602,7 +604,7 @@ def _ivf_kmeans_oracle() -> str:
         SELECT p.id, p.embedding, c.cid,
                row_number() OVER (PARTITION BY p.id
                  ORDER BY {dist}, c.cid) AS rn
-        FROM pts p, c{ITER} c WHERE p.id < 5) WHERE rn <= 2),
+        FROM pts p, c{ITER} c WHERE p.id < {QCUT}) WHERE rn <= {NPROBE}),
     pairs AS (
       SELECT qp.query_id, c.id AS vec_id, c.cell,
              {_IVF_COS.format(a='qp.qv', b='c.embedding')} AS cos_sim
@@ -614,7 +616,7 @@ def _ivf_kmeans_oracle() -> str:
            CAST(round(cos_sim, 4) AS DOUBLE) AS cos_sim,
            CAST(row_number() OVER (PARTITION BY query_id
                 ORDER BY round(cos_sim, 6) DESC, vec_id) AS INTEGER) AS rank
-    FROM pairs QUALIFY rank <= 5
+    FROM pairs QUALIFY rank <= {TOPK}
     """
 
 
@@ -632,10 +634,11 @@ def embedding_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gofast_spark.sim import ivf_topk_kmeans_exact
 
     e = _t(spark, sf_dir, "embeddings")
-    q = e.where(F.col("vec_id") < 5)
+    q = e.where(F.col("vec_id") < _IVFKM_QCUT)
     out = ivf_topk_kmeans_exact(
         e, q, "vec_id", "embedding",
-        dim=_IVFKM_D, nlist=_IVFKM_K, nprobe=2, k=5, iterations=_IVFKM_ITER,
+        dim=_IVFKM_D, nlist=_IVFKM_K, nprobe=_IVFKM_NPROBE, k=_IVFKM_TOPK,
+        iterations=_IVFKM_ITER,
     )
     return out.select(
         "query_id",
@@ -659,7 +662,7 @@ def embedding_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN length(text) = 0 THEN 0
                   ELSE list_sum(list_transform(range(1, least(length(text), 64) + 1),
                        i -> unicode(substr(text, i, 1)))) END AS s
-      FROM documents)
+      FROM documents WHERE text IS NOT NULL)
     SELECT doc_id,
            CAST(length(text) AS BIGINT) AS n_bytes,
            CAST(CASE WHEN length(text) = 0 THEN 0 ELSE unicode(substr(text, 1, 1)) END AS INTEGER) AS head_byte,
@@ -671,11 +674,18 @@ def embedding_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_blob_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column feature extraction through the Arrow mapInPandas
     plumbing (deterministic fake decode — ASCII payloads make it
-    SQL-verifiable, so even the stub is oracle-checked)."""
+    SQL-verifiable, so even the stub is oracle-checked).  Parity
+    contract (r14 review): NULL payloads are filtered on BOTH sides
+    (the stub decodes them to 0/64/64 while SQL NULL-propagates), and
+    the replay is exact only for single-byte (ASCII) text, where SQL
+    character length/codepoints equal the stub's byte view — true of
+    the testdata and asserted nowhere else."""
     from gofast_spark.multimodal import blob_features
 
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.col("text").cast("binary").alias("payload")
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", F.col("text").cast("binary").alias("payload"))
     )
     return blob_features(d, "doc_id", "payload")
 
@@ -688,7 +698,7 @@ def multimodal_blob_features(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN length(text) = 0 THEN 0
                   ELSE list_sum(list_transform(range(1, least(length(text), 64) + 1),
                        i -> unicode(substr(text, i, 1)))) END AS s
-      FROM documents),
+      FROM documents WHERE text IS NOT NULL),
     f AS (
       SELECT source,
              CAST(length(text) AS BIGINT) AS n_bytes,
@@ -720,11 +730,15 @@ def multimodal_media_card_documents(
     decodable count (>= 16-byte payloads), mean decoded dims, and the
     large-frame count (w*h > 128^2).  The stub decoder is
     deterministic ASCII arithmetic, so the whole composition is
-    oracle-checked like the rest of the catalog."""
+    oracle-checked like the rest of the catalog.  Same parity contract
+    as multimodal_blob_features: NULL payloads filtered on both sides,
+    replay exact for single-byte text."""
     from gofast_spark.multimodal import blob_features
 
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.col("text").cast("binary").alias("payload")
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "source", F.col("text").cast("binary").alias("payload"))
     )
     feats = blob_features(d, "doc_id", "payload", passthrough=["source"])
     return (

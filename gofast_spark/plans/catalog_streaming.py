@@ -1265,7 +1265,10 @@ def stream_dedup_rate_report_documents(
     health-card job over the maintained index, not a stream-stream
     join."""
     from gofast_spark.dedup.minhash import doc_shingles
-    from gofast_spark.dedup.ngram import ngram_dedup_report_from_shingles
+    from gofast_spark.dedup.ngram import (
+        count_distinct_with_null_group,
+        ngram_dedup_report_from_shingles,
+    )
     from gofast_spark.streaming import read_document_stream, run_available_now
     from gofast_spark.text.analysis import normalize_text
 
@@ -1301,17 +1304,7 @@ def stream_dedup_rate_report_documents(
     # collapse here but count twice in the batch count(*).
     # n_exact_unique = distinct non-null normalized texts.
     stats = docs.agg(
-        (
-            F.countDistinct("doc_id")
-            + F.coalesce(
-                F.max(
-                    F.when(F.col("doc_id").isNull(), F.lit(1)).otherwise(
-                        F.lit(0)
-                    )
-                ),
-                F.lit(0),
-            )
-        ).cast("bigint").alias("n_docs"),
+        count_distinct_with_null_group("doc_id").alias("n_docs"),
         F.countDistinct("__t").cast("bigint").alias("n_exact_unique"),
     ).localCheckpoint(eager=True)
     rep = ngram_dedup_report_from_shingles(
@@ -1369,7 +1362,10 @@ def stream_corpus_flagship_card_documents(
     this tail is the nightly release-card job.  Input contract (shared
     with the dedup twin): doc_id unique per document."""
     from gofast_spark.dedup.minhash import doc_shingles
-    from gofast_spark.dedup.ngram import ngram_containment_pairs_from_shingles
+    from gofast_spark.dedup.ngram import (
+        count_distinct_with_null_group,
+        ngram_containment_pairs_from_shingles,
+    )
     from gofast_spark.operators import token_budget_shards
     from gofast_spark.streaming import read_document_stream, run_available_now
     from gofast_spark.text import corpus_filter
@@ -1412,17 +1408,7 @@ def stream_corpus_flagship_card_documents(
         .localCheckpoint(eager=True)
     )
     counts = docs.agg(
-        (
-            F.countDistinct("doc_id")
-            + F.coalesce(
-                F.max(
-                    F.when(F.col("doc_id").isNull(), F.lit(1)).otherwise(
-                        F.lit(0)
-                    )
-                ),
-                F.lit(0),
-            )
-        ).cast("bigint").alias("n_docs"),
+        count_distinct_with_null_group("doc_id").alias("n_docs"),
         F.coalesce(F.sum("keep"), F.lit(0)).cast("bigint").alias("n_kept"),
     )
     pairs = ngram_containment_pairs_from_shingles(

@@ -547,7 +547,7 @@ def stream_dedup_index_upsert(
     text_col: str = "text",
     k: int = 3,
     available_now: bool = True,
-) -> tuple[str, str]:
+) -> tuple[str, str, list | None]:
     """PRODUCTION layout of the streaming dedup health card's state
     (r13 verdict ask #3 — the contract previously only documented in
     plans/catalog_streaming.py's stream_dedup_rate_report docstring,
@@ -566,7 +566,15 @@ def stream_dedup_index_upsert(
     :func:`dedup_health_card_from_tables` over the two TABLES — the
     pair joins never run per micro-batch.  State is bounded by the
     corpus (a real table, compactable/partitionable), not by the
-    streaming state store.  Returns ``(shingle_path, exact_path)``.
+    streaming state store.
+
+    Returns ``(shingle_path, exact_path, queries)``: with
+    ``available_now=True`` (the default, drain-and-terminate) both
+    upserts have completed and ``queries`` is ``None``; with
+    ``available_now=False`` the two live ``StreamingQuery`` handles are
+    returned as a list so the caller can await/monitor/stop them —
+    dropping them would leave two unowned continuous queries running
+    (r14 review).
     """
     from gofast_spark.dedup.minhash import doc_shingles
     from gofast_spark.text.analysis import normalize_text
@@ -578,7 +586,7 @@ def stream_dedup_index_upsert(
     sh = doc_shingles(sdf, id_col, text_col, k=k).select(
         F.col(id_col), F.col("sh_hash"), F.lit(1).alias("__ord")
     )
-    stream_merge_upsert(
+    q1 = stream_merge_upsert(
         sh,
         shingle_path,
         [id_col, "sh_hash"],
@@ -591,7 +599,7 @@ def stream_dedup_index_upsert(
         F.col(id_col),
         F.lit(1).alias("__ord"),
     )
-    stream_merge_upsert(
+    q2 = stream_merge_upsert(
         ex,
         exact_path,
         ["__t", id_col],
@@ -599,7 +607,8 @@ def stream_dedup_index_upsert(
         dedup_order_col="__ord",
         available_now=available_now,
     )
-    return shingle_path, exact_path
+    queries = None if available_now else [q1, q2]
+    return shingle_path, exact_path, queries
 
 
 def dedup_health_card_from_tables(
@@ -620,22 +629,15 @@ def dedup_health_card_from_tables(
     two-column (id, sh_hash) projection push into the scan, and the
     PPJoin-style ``max_df`` blocking bounds the candidate join exactly
     as in the batch plan."""
-    from gofast_spark.dedup.ngram import ngram_dedup_report_from_shingles
+    from gofast_spark.dedup.ngram import (
+        count_distinct_with_null_group,
+        ngram_dedup_report_from_shingles,
+    )
 
     sh = spark.read.parquet(shingle_path).select(id_col, "sh_hash")
     ex = spark.read.parquet(exact_path).select("__t", id_col)
     stats = ex.agg(
-        (
-            F.countDistinct(id_col)
-            + F.coalesce(
-                F.max(
-                    F.when(F.col(id_col).isNull(), F.lit(1)).otherwise(
-                        F.lit(0)
-                    )
-                ),
-                F.lit(0),
-            )
-        ).cast("bigint").alias("n_docs"),
+        count_distinct_with_null_group(id_col).alias("n_docs"),
         F.countDistinct("__t").cast("bigint").alias("n_exact_unique"),
     ).localCheckpoint(eager=True)
     rep = ngram_dedup_report_from_shingles(

@@ -16,8 +16,6 @@ SQL and differentially verified.
 
 from __future__ import annotations
 
-import re
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -59,8 +57,8 @@ def stage_boundary(df: DataFrame, *, stage_sink: str | None = None) -> DataFrame
     downstream stages scan a real columnar table, so their predicates
     (e.g. ``keep = true``) and projections push into the scan instead
     of filtering runtime blocks.  Values containing a path separator
-    (``/``) or a URI scheme prefix (``scheme://``, e.g. ``s3a://`` or
-    ``file://``) are treated as filesystem paths; everything else —
+    (``/`` — which every URI like ``s3a://...`` or ``file://...`` also
+    contains) are treated as filesystem paths; everything else —
     including dotted or catalog-qualified identifiers like
     ``cat.db.tbl`` — becomes a warehouse table via ``saveAsTable``.
     (A bare ``:`` no longer forces the path branch: catalog-qualified
@@ -70,7 +68,7 @@ def stage_boundary(df: DataFrame, *, stage_sink: str | None = None) -> DataFrame
     if stage_sink is None:
         return df.localCheckpoint(eager=True)
     spark = df.sparkSession
-    if "/" in stage_sink or re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", stage_sink):
+    if "/" in stage_sink:
         df.write.mode("overwrite").parquet(stage_sink)
         return spark.read.parquet(stage_sink)
     df.write.mode("overwrite").format("parquet").saveAsTable(stage_sink)

@@ -33,11 +33,12 @@ def _run_upsert_layout(spark, src_df, tmp_path, tag):
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    sh_path, ex_path = stream_dedup_index_upsert(
+    sh_path, ex_path, queries = stream_dedup_index_upsert(
         stream,
         str(tmp_path / f"idx_{tag}"),
         checkpoint=str(tmp_path / f"ckpt_{tag}"),
     )
+    assert queries is None  # availableNow drains synchronously
     return dedup_health_card_from_tables(spark, sh_path, ex_path)
 
 
