@@ -219,20 +219,27 @@ def descriptive_extras_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
       SELECT avg(c_acctbal) AS mu, stddev_samp(c_acctbal) AS sd FROM customer)
     SELECT c_custkey,
-           CAST(round((c_acctbal - mu) / sd, 4) AS DOUBLE) AS z
+           CAST(round((c_acctbal - mu) / sd, 4) + 0.0 AS DOUBLE) AS z
     FROM customer, s
     """,
 )
 def standard_scale_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample-std standardization (standard_scale,
     quality/scaling.py; reference scaler matrix
-    gofast/dataops/quality.py:2790)."""
+    gofast/dataops/quality.py:2790).  Both sides add +0.0 after the
+    rounding: a value rounding to exactly zero from below yields -0.0,
+    whose repr differs from 0.0 under the driver's full-precision
+    normalization — IEEE x + 0.0 collapses the signed zero on either
+    engine (caught by the r14 sf0.1 differential sweep)."""
     from gofast_spark.quality.scaling import standard_scale
 
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
     out = standard_scale(c, ["c_acctbal"], ddof=1, suffix="_z")
     return out.select(
-        "c_custkey", F.round("c_acctbal_z", 4).cast("double").alias("z")
+        "c_custkey",
+        (F.round("c_acctbal_z", 4) + F.lit(0.0))
+        .cast("double")
+        .alias("z"),
     )
 
 

@@ -34,9 +34,15 @@ _SURV = """
       FROM per_t),
     k AS (
       SELECT duration, n_events, n_risk,
-             exp(sum(ln(1.0 - n_events * 1.0 / n_risk)) OVER (
-               ORDER BY duration ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-               AS survival
+             CASE WHEN max(CAST(n_events = n_risk AS INT)) OVER (
+                    ORDER BY duration
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+                  THEN 0.0
+                  ELSE exp(sum(ln(CASE WHEN n_events < n_risk
+                                   THEN 1.0 - n_events * 1.0 / n_risk
+                                   ELSE 1.0 END)) OVER (
+               ORDER BY duration ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)) END AS survival
       FROM c)
     SELECT duration, CAST(n_risk AS BIGINT) AS n_risk,
            CAST(n_events AS BIGINT) AS n_events,
@@ -365,9 +371,15 @@ def midrank_binned_floor_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM per_t),
     k AS (
       SELECT duration, n_events,
-             exp(sum(ln(1.0 - n_events * 1.0 / n_risk)) OVER (
+             CASE WHEN max(CAST(n_events = n_risk AS INT)) OVER (
+                    ORDER BY duration
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+                  THEN 0.0
+                  ELSE exp(sum(ln(CASE WHEN n_events < n_risk
+                                   THEN 1.0 - n_events * 1.0 / n_risk
+                                   ELSE 1.0 END)) OVER (
                ORDER BY duration ROWS BETWEEN UNBOUNDED PRECEDING
-               AND CURRENT ROW)) AS survival
+               AND CURRENT ROW)) END AS survival
       FROM c),
     pts AS (
       SELECT ln(CAST(duration AS DOUBLE)) AS x,
@@ -792,9 +804,15 @@ def cox_ph_by_segment_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM per_t),
     k AS (
       SELECT duration, n_events,
-             exp(sum(ln(1.0 - n_events * 1.0 / n_risk)) OVER (
+             CASE WHEN max(CAST(n_events = n_risk AS INT)) OVER (
+                    ORDER BY duration
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+                  THEN 0.0
+                  ELSE exp(sum(ln(CASE WHEN n_events < n_risk
+                                   THEN 1.0 - n_events * 1.0 / n_risk
+                                   ELSE 1.0 END)) OVER (
                ORDER BY duration ROWS BETWEEN UNBOUNDED PRECEDING
-               AND CURRENT ROW)) AS survival
+               AND CURRENT ROW)) END AS survival
       FROM c),
     ke AS (
       SELECT CAST(duration AS DOUBLE) AS t, survival

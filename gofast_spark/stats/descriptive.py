@@ -738,8 +738,13 @@ def design_effect_stratified(
         ),
     )
     agg = terms.agg(
-        F.sum("wv_q").alias("swv"),
-        F.sum("ws_u6").alias("sws"),
+        # decimal(38,0) sums: the per-stratum integer terms are up to
+        # ~1e17-1e18 at 10x data scale, so an int64 sum overflows under
+        # ANSI while DuckDB's HUGEINT does not — widen to match (exact;
+        # only double-derived columns are output).  Caught by the r14
+        # sf0.1 differential sweep.
+        F.sum(F.col("wv_q").cast("decimal(38,0)")).alias("swv"),
+        F.sum(F.col("ws_u6").cast("decimal(38,0)")).alias("sws"),
         F.sum("n_h").alias("n"),
         F.sum("s_h").alias("s"),
         F.sum("ss_h").alias("ss"),

@@ -271,7 +271,13 @@ def hurst_rs(
         "m", "blk", "i", "yu",
         F.count(F.lit(1)).over(wb).alias("cnt"),
         F.sum("yu").over(wb).alias("sb"),
-        F.sum(F.col("yu") * F.col("yu")).over(wb).alias("qb"),
+        # decimal(38,0): yu^2 approaches int64 range at 10x data scale
+        # (yu is the 1e4-quantized value), so the int64 product/sum
+        # overflows under ANSI while DuckDB's HUGEINT does not — widen
+        # to match.  Caught by the r14 sf0.1 differential sweep.
+        F.sum(F.col("yu").cast("decimal(19,0)") * F.col("yu"))
+        .over(wb)
+        .alias("qb"),
         F.sum("yu").over(wcum).alias("cum"),
     ).where(F.col("cnt") == F.col("m"))
     # m * S_t = m * cum - (i + 1) * sum_block : exact integers
@@ -292,7 +298,7 @@ def hurst_rs(
     per_size = (
         per_blk.where(
             (F.col("qb") * F.col("m")
-             - F.col("sb") * F.col("sb")) > 0
+             - F.col("sb").cast("decimal(19,0)") * F.col("sb")) > 0
         )
         .select(
             "m", _q(ln_rs, float(lunit)).alias("lq")
