@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from gofast_spark.dedup.minhash import doc_shingles, shingle_jaccard
+from gofast_spark.dedup.minhash import doc_shingles
 
 
 def ngram_jaccard_pairs(
@@ -88,51 +88,69 @@ def count_distinct_with_null_group(id_col: str):
     ).cast("bigint")
 
 
-def _blocked_candidates(
-    sh: DataFrame, id_col: str, max_df: int | None
-) -> DataFrame:
-    """PPJoin-style candidate generation shared by every from-shingles
-    entry point (r14 review: one copy, not three): pairs of ids sharing
-    at least one shingle, blocked to shingles with document frequency
-    <= ``max_df`` so a boilerplate shingle never fans out into a
-    quadratic candidate set.  Returns distinct (id_a, id_b), id_a <
-    id_b."""
-    if max_df is not None:
-        rare = (
-            sh.groupBy("sh_hash")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .where(F.col("__df") <= max_df)
-            .select("sh_hash")
-        )
-        block = sh.join(rare, on="sh_hash", how="inner")
-    else:
-        block = sh
-    a = block.select(F.col(id_col).alias("id_a"), F.col("sh_hash").alias("__h"))
-    b = block.select(F.col(id_col).alias("id_b"), F.col("sh_hash").alias("__h"))
-    return (
-        a.join(b, on="__h", how="inner")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-
-
 def _measured_candidates(
     sh: DataFrame, id_col: str, max_df: int | None
 ) -> DataFrame:
     """Blocked candidate pairs with the exact intersection verify and
     both set sizes — (id_a, id_b, n_inter, n_a, n_b) — the shared core
-    of the containment pairs and the dedup health-card report."""
-    cand = _blocked_candidates(sh, id_col, max_df)
+    of the containment pairs and the dedup health-card report.
+
+    r15 optimization (guide §2.3/§2.4 — shuffle fewer bytes, remove
+    passes): the intersection count is read DIRECTLY off the PPJoin
+    block self-join — for candidate pairs, every shared sub-``max_df``
+    shingle is already a row of that join, so ``groupBy(pair).count``
+    replaces BOTH the ``distinct`` candidate exchange and the old
+    verify (re-joining every candidate against the FULL shingle frame:
+    ``Σ_pairs n_sh(doc)`` expansion — 59M rows at sf0.1 for 1.13M
+    candidates vs the 1.27M-row block join itself).  Shingles ABOVE
+    ``max_df`` are excluded from the block join but still count toward
+    the exact intersection, so a second, frequent-only leg adds their
+    contribution: it expands candidates only by their FREQUENT shingles
+    (boilerplate — a small, df-bounded fraction; empty whenever no
+    shingle exceeds ``max_df``), never by the whole set.  The split is
+    exact: rare/frequent partition the hash space, so
+    ``n_inter = n_rare_shared + n_freq_shared``."""
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    x = sh.select(F.col(id_col).alias("id_a"), "sh_hash")
-    y = sh.select(F.col(id_col).alias("id_b"), "sh_hash")
+    if max_df is not None:
+        dfc = sh.groupBy("sh_hash").agg(F.count(F.lit(1)).alias("__df"))
+        block = sh.join(
+            dfc.where(F.col("__df") <= max_df).select("sh_hash"),
+            on="sh_hash",
+            how="inner",
+        )
+    else:
+        block = sh
+    a = block.select(F.col(id_col).alias("id_a"), F.col("sh_hash").alias("__h"))
+    b = block.select(F.col(id_col).alias("id_b"), F.col("sh_hash").alias("__h"))
     inter = (
-        cand.join(x, "id_a")
-        .join(y, ["id_b", "sh_hash"])
+        a.join(b, on="__h", how="inner")
+        .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
+    if max_df is not None:
+        fsh = sh.join(
+            dfc.where(F.col("__df") > max_df).select("sh_hash"),
+            on="sh_hash",
+            how="inner",
+        )
+        fx = fsh.select(F.col(id_col).alias("id_a"), F.col("sh_hash").alias("__fh"))
+        fy = fsh.select(F.col(id_col).alias("id_b"), F.col("sh_hash").alias("__fh"))
+        finter = (
+            inter.select("id_a", "id_b")
+            .join(fx, "id_a")
+            .join(fy, ["id_b", "__fh"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("__n_freq"))
+        )
+        inter = inter.join(finter, ["id_a", "id_b"], "left").select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter")
+                + F.coalesce(F.col("__n_freq"), F.lit(0))
+            ).alias("n_inter"),
+        )
     return inter.join(
         sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")),
         "id_a",
@@ -145,10 +163,18 @@ def _measured_candidates(
 def _pairs_from_shingles(
     sh: DataFrame, id_col: str, threshold: float, max_df: int | None
 ) -> DataFrame:
-    cand = _blocked_candidates(sh, id_col, max_df)
-    return shingle_jaccard(sh, cand, id_col).where(
-        F.col("jaccard") >= threshold
-    )
+    # jaccard from the same (n_inter, n_a, n_b) triple the containment
+    # path reads — bigint/bigint division, identical values to the old
+    # shingle_jaccard verify at a fraction of its join volume
+    m = _measured_candidates(sh, id_col, max_df)
+    return m.select(
+        "id_a",
+        "id_b",
+        (
+            F.col("n_inter")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        ).alias("jaccard"),
+    ).where(F.col("jaccard") >= threshold)
 
 
 def ngram_containment_pairs(

@@ -1072,12 +1072,10 @@ def stream_psi_by_type_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     # the margin fold references the drained frame three times (groups
-    # spine + left join + windows); localCheckpoint breaks the memory
-    # -sink lineage so the self-references resolve (and the grid is
-    # groups x bins tiny)
-    drained = run_available_now(counts, mode="complete").localCheckpoint(
-        eager=True
-    )
+    # spine + left join + windows); the drain returns a checkpointed
+    # frame so the self-references resolve (and the grid is groups x
+    # bins tiny)
+    drained = run_available_now(counts, mode="complete")
     return psi_by_group_from_counts(drained, bins=bins, smooth=0.5)
 
 
@@ -1116,9 +1114,7 @@ def stream_ks_by_type_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    drained = run_available_now(counts, mode="complete").localCheckpoint(
-        eager=True
-    )
+    drained = run_available_now(counts, mode="complete")
     return ks_by_group_from_counts(drained, bins=bins)
 
 
@@ -1193,9 +1189,7 @@ def stream_wasserstein_by_type_events(
         )
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    drained = run_available_now(counts, mode="complete").localCheckpoint(
-        eager=True
-    )
+    drained = run_available_now(counts, mode="complete")
     return wasserstein_by_group_from_counts(drained, group_col="group")
 
 
@@ -1288,9 +1282,7 @@ def stream_dedup_rate_report_documents(
         .groupBy("doc_id", "sh_hash")
         .agg(F.max("__t").alias("__t"))
     )
-    state = run_available_now(grid, mode="complete").localCheckpoint(
-        eager=True
-    )
+    state = run_available_now(grid, mode="complete")
     docs = state.where(F.col("sh_hash").isNull()).select("doc_id", "__t")
     sh = state.where(F.col("sh_hash").isNotNull()).select(
         "doc_id", "sh_hash"
@@ -1394,9 +1386,7 @@ def stream_corpus_flagship_card_documents(
             F.max("n_tokens").alias("n_tokens"),
         )
     )
-    state = run_available_now(grid, mode="complete").localCheckpoint(
-        eager=True
-    )
+    state = run_available_now(grid, mode="complete")
     docs = state.where(F.col("sh_hash").isNull()).select(
         "doc_id", "keep", "n_tokens"
     )

@@ -161,10 +161,43 @@ def stream_dedup(
 def run_available_now(
     sdf: DataFrame, *, mode: str = "complete", name: str | None = None
 ) -> DataFrame:
-    """Drain the stream with the ``availableNow`` trigger into a memory
-    sink and return the materialized result as a batch DataFrame —
-    deterministic micro-batch replay for tests and the correctness gate."""
+    """Drain the stream with the ``availableNow`` trigger and return the
+    materialized result as a batch DataFrame — deterministic micro-batch
+    replay for tests and the correctness gate.
+
+    ``complete`` mode (the big-state drains: the (doc, shingle) index
+    grids are 100s of thousands of rows) captures the FINAL micro-batch
+    through ``foreachBatch`` + ``localCheckpoint``: the state stays on
+    the executors.  The previous memory-sink layout collected every grid
+    row to the driver and re-shipped the whole LocalTableScan to the
+    executors on EVERY downstream job — exactly the driver-as-data-plane
+    shape guide §5 forbids (measured at sf0.1: the flagship drain's
+    driver round-trip was ~10% of the query; the re-ship multiplied per
+    downstream join).  ``append``/``update`` keep the memory sink: their
+    result is the concatenation of per-batch emissions (small by
+    construction in this catalog), not a last-batch snapshot."""
     qname = name or f"q_{uuid.uuid4().hex[:12]}"
+    if mode == "complete":
+        holder: dict[str, DataFrame] = {}
+
+        def _capture(batch_df: DataFrame, _batch_id: int) -> None:
+            # complete mode re-emits the FULL state every batch; only the
+            # last snapshot matters.  Pin it executor-side; earlier
+            # snapshots are released by the ContextCleaner when replaced.
+            holder["df"] = batch_df.localCheckpoint(eager=True)
+
+        q = (
+            sdf.writeStream.foreachBatch(_capture)
+            .queryName(qname)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+        if "df" not in holder:  # source had no data: zero micro-batches
+            return sdf.sparkSession.createDataFrame([], sdf.schema)
+        return holder["df"]
     q = (
         sdf.writeStream.format("memory")
         .queryName(qname)
