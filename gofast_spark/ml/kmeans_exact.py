@@ -32,6 +32,107 @@ from gofast_spark.text.hashing import md5_hash64
 _U = 1_000_000
 
 
+def quantize_units(col) -> "F.Column":
+    """Integer micro-unit quantization of one coordinate —
+    ``floor(x*1e6 + 0.5)`` as bigint (sign-correct round-half-up), the
+    single definition shared by the wide and array entry points."""
+    return F.floor(col.cast("double") * _U + F.lit(0.5)).cast("bigint")
+
+
+def dist2_units(xs_col, ks_col) -> "F.Column":
+    """Exact squared L2 distance between two micro-unit bigint arrays —
+    ``aggregate(zip_with(xs, ks, (x,k) -> (x-k)²), 0, +)``.  Int64
+    arithmetic in index order: bit-identical to the unrolled 64-term
+    scalar sum it replaces, at O(1) expression-tree size (r15: the
+    d=64 scalar form cost ~3 s of driver-side expression construction
+    plus a MB-scale codegen unit PER QUERY BUILD; guide §1.2 step 2 —
+    per-task work includes the plan the driver must build)."""
+    return F.aggregate(
+        F.zip_with(xs_col, ks_col, lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def fit_kmeans_lloyd_arrays(
+    pts: DataFrame,
+    k: int,
+    *,
+    iterations: int = 2,
+) -> DataFrame:
+    """Array-native exact Lloyd core: ``pts`` must have columns
+    ``(__id, __hv, __xs)`` — unique id, portable md5 seed hash, and the
+    micro-unit bigint coordinate array (see :func:`quantize_units`).
+    Returns ``(cid, __ks, n_points)`` with ``__ks`` the centroid array.
+
+    Bit-identical to the historical wide-column implementation (same
+    init, same min_by tie-break, same truncated-integer means, same
+    empty-cluster fallback) — the array layout exists because a d-dim
+    scalar layout costs O(d) expression nodes per COLUMN REFERENCE: at
+    d=64 the driver spent more time BUILDING the plan than the cluster
+    spent running it (the distance expression alone was a 64-term tree
+    evaluated under every argmin).  Per iteration: one k-row broadcast
+    + zip_with argmin, a posexplode + (cid, dim)-keyed update, one
+    k-row join.  The posexplode update shuffles the SAME bytes as the
+    wide groupBy it replaces — both partially aggregate map-side to
+    k x d values per task — and measured FASTER than a d-wide
+    element_at aggregate at both d=4 and d=64 (the d-term aggregate
+    list reintroduces the O(d) expression tree this layout removes)."""
+    wseed = Window.orderBy("__hv")
+    cent = (
+        pts.orderBy("__hv")
+        .limit(k)
+        .withColumn("cid", F.row_number().over(wseed) - 1)
+        .select("cid", F.col("__xs").alias("__ks"))
+    )
+    dist = dist2_units(F.col("__xs"), F.col("__ks"))
+    for _ in range(iterations):
+        assigned = (
+            pts.crossJoin(F.broadcast(cent.select("cid", "__ks")))
+            .groupBy("__id", "__xs")
+            .agg(
+                F.min_by(
+                    "cid", F.struct(dist.alias("d"), F.col("cid"))
+                ).alias("cid")
+            )
+        )
+        # truncated-integer mean per (cid, dim): exact int64 sums, the
+        # same (sum -> double -> / count -> bigint) cast chain as the
+        # wide layout, then the per-dim means fold back into an array
+        # ordered by dim position
+        ex = assigned.select(
+            "cid", F.posexplode("__xs").alias("__p", "__v")
+        )
+        upd = (
+            ex.groupBy("cid", "__p")
+            .agg(
+                (F.sum("__v").cast("double") / F.count(F.lit(1)))
+                .cast("bigint")
+                .alias("__m"),
+                F.count(F.lit(1)).alias("__n"),
+            )
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__p", "__m"))),
+                    lambda s: s["__m"],
+                ).alias("__us"),
+                F.max("__n").alias("n_points"),
+            )
+        )
+        # empty clusters keep their previous centroid (n_points = 0)
+        cent = (
+            cent.select("cid", "__ks")
+            .join(F.broadcast(upd), "cid", "left")
+            .select(
+                "cid",
+                F.coalesce(F.col("__us"), F.col("__ks")).alias("__ks"),
+                F.coalesce(F.col("n_points"), F.lit(0)).alias("n_points"),
+            )
+        )
+    return cent
+
+
 def fit_kmeans_lloyd(
     df: DataFrame,
     id_col: str,
@@ -43,70 +144,25 @@ def fit_kmeans_lloyd(
     """Run ``iterations`` exact Lloyd steps; returns the final
     centroids ``(cid, c0_u6.., n_points)`` with coordinates in integer
     micro-units (divide by 1e6 to use) and the size of each cluster
-    after the LAST assignment."""
+    after the LAST assignment.  Thin wide-column wrapper over
+    :func:`fit_kmeans_lloyd_arrays` (r15: the array core keeps the
+    expression tree O(1) in dimensionality)."""
     dims = list(dim_cols)
     d = len(dims)
     if k < 2 or d < 1 or iterations < 1:
         raise ValueError("need k >= 2, >= 1 dim, iterations >= 1")
-    cols = [
-        F.floor(F.col(c).cast("double") * _U + F.lit(0.5))
-        .cast("bigint")
-        .alias(f"x{i}")
-        for i, c in enumerate(dims)
-    ]
     pts = df.select(
         F.col(id_col).alias("__id"),
         md5_hash64(F.col(id_col).cast("string")).alias("__hv"),
-        *cols,
+        F.array(*[quantize_units(F.col(c)) for c in dims]).alias("__xs"),
     ).where(F.col("__id").isNotNull())
-
-    wseed = Window.orderBy("__hv")
-    cent = (
-        pts.orderBy("__hv")
-        .limit(k)
-        .withColumn("cid", F.row_number().over(wseed) - 1)
-        .select("cid", *[F.col(f"x{i}").alias(f"c{i}") for i in range(d)])
-    )
-    dist = None
-    for i in range(d):
-        t = F.col(f"x{i}") - F.col(f"c{i}")
-        dist = t * t if dist is None else dist + t * t
-    for _ in range(iterations):
-        assigned = (
-            pts.crossJoin(
-                F.broadcast(cent.select("cid", *[f"c{i}" for i in range(d)]))
-            )
-            .groupBy("__id", *[f"x{i}" for i in range(d)])
-            .agg(
-                F.min_by(
-                    "cid", F.struct(dist.alias("d"), F.col("cid"))
-                ).alias("cid")
-            )
-        )
-        upd = assigned.groupBy("cid").agg(
-            *[
-                (F.sum(f"x{i}").cast("double") / F.count(F.lit(1)))
-                .cast("bigint")
-                .alias(f"u{i}")
-                for i in range(d)
-            ],
-            F.count(F.lit(1)).alias("n_points"),
-        )
-        # empty clusters keep their previous centroid (n_points = 0)
-        cent = (
-            cent.select("cid", *[f"c{i}" for i in range(d)])
-            .join(F.broadcast(upd), "cid", "left")
-            .select(
-                "cid",
-                *[
-                    F.coalesce(F.col(f"u{i}"), F.col(f"c{i}")).alias(f"c{i}")
-                    for i in range(d)
-                ],
-                F.coalesce(F.col("n_points"), F.lit(0)).alias("n_points"),
-            )
-        )
+    cent = fit_kmeans_lloyd_arrays(pts, k, iterations=iterations)
     return cent.select(
-        "cid", *[F.col(f"c{i}").alias(f"c{i}_u6") for i in range(d)],
+        "cid",
+        *[
+            F.element_at("__ks", i + 1).alias(f"c{i}_u6")
+            for i in range(d)
+        ],
         "n_points",
     )
 

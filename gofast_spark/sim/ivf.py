@@ -284,44 +284,33 @@ def ivf_topk_kmeans_exact(
     reduction-order sensitivity; only the final cosine is float, and
     ranking rounds it to 6 decimals with the corpus id as tie-break.
     """
-    from gofast_spark.ml.kmeans_exact import _U, fit_kmeans_lloyd
+    from gofast_spark.ml.kmeans_exact import (
+        dist2_units,
+        fit_kmeans_lloyd_arrays,
+        quantize_units,
+    )
+    from gofast_spark.text.hashing import md5_hash64
 
     qid = query_id_col or id_col
-    ecols = [
-        F.element_at(F.col(vec_col), i + 1).cast("double").alias(f"__e{i}")
-        for i in range(dim)
-    ]
+    # ONE ArrayType column of micro-unit coordinates end to end (r15:
+    # the former 64-scalar-column layout cost ~3 s of driver-side
+    # expression construction per query build plus MB-scale codegen;
+    # the array form is O(1) expression nodes — guide §1.2 step 2)
+    xs = F.transform(F.col(vec_col), lambda x: quantize_units(x))
+    fit_pts = corpus.select(
+        F.col(id_col).alias("__id"),
+        md5_hash64(F.col(id_col).cast("string")).alias("__hv"),
+        xs.alias("__xs"),
+    ).where(F.col("__id").isNotNull())
     cent = (
-        fit_kmeans_lloyd(
-            corpus.select(F.col(id_col), *ecols),
-            id_col,
-            [f"__e{i}" for i in range(dim)],
-            nlist,
-            iterations=iterations,
-        )
-        .select(
-            F.col("cid").cast("int").alias("cell"),
-            *[F.col(f"c{i}_u6").alias(f"__k{i}") for i in range(dim)],
-        )
-        # nlist rows; pin them so the unrolled Lloyd chain (whose plan
-        # alone codegens to MBs at dim=64) executes ONCE instead of
-        # replaying under both the assignment and the probe broadcast
+        fit_kmeans_lloyd_arrays(fit_pts, nlist, iterations=iterations)
+        .select(F.col("cid").cast("int").alias("cell"), "__ks")
+        # nlist rows; pin them so the Lloyd chain executes ONCE instead
+        # of replaying under both the assignment and the probe broadcast
         .localCheckpoint(eager=True)
     )
 
-    xq = [
-        F.floor(
-            F.element_at(F.col(vec_col), i + 1).cast("double") * _U
-            + F.lit(0.5)
-        )
-        .cast("bigint")
-        .alias(f"__x{i}")
-        for i in range(dim)
-    ]
-    dist = None
-    for i in range(dim):
-        t = F.col(f"__x{i}") - F.col(f"__k{i}")
-        dist = t * t if dist is None else dist + t * t
+    dist = dist2_units(F.col("__xs"), F.col("__ks"))
 
     def _nearest(df: DataFrame, keep: list[str], *, top: int) -> DataFrame:
         w = Window.partitionBy(*keep).orderBy(
@@ -336,11 +325,11 @@ def ivf_topk_kmeans_exact(
         )
 
     pts = corpus.where(F.col(id_col).isNotNull()).select(
-        F.col(id_col), F.col(vec_col), *xq
+        F.col(id_col), F.col(vec_col), xs.alias("__xs")
     )
     cells = _nearest(pts, [id_col], top=1)
     qpts = queries.where(F.col(qid).isNotNull()).select(
-        F.col(qid).alias("query_id"), F.col(vec_col), *xq
+        F.col(qid).alias("query_id"), F.col(vec_col), xs.alias("__xs")
     )
     probes = _nearest(qpts, ["query_id"], top=nprobe).withColumnRenamed(
         vec_col, "__qv"
