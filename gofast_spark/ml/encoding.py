@@ -56,8 +56,13 @@ def target_encode(
             / (F.col("__n") + F.lit(float(alpha)))
         ).alias(out),
     )
-    if broadcast_limit is not None and enc.count() <= broadcast_limit:
-        enc = F.broadcast(enc)
+    if broadcast_limit is not None:
+        # materialize the category-sized table before counting it — the
+        # bare count() re-executed the whole corpus aggregate, and the
+        # apply join would then run it a third time (guide §1.2)
+        enc = enc.localCheckpoint(eager=True)
+        if enc.count() <= broadcast_limit:
+            enc = F.broadcast(enc)
     return (
         df.join(enc, df[cat_col].eqNullSafe(enc["__cat"]), "left")
         .crossJoin(F.broadcast(prior))
@@ -101,8 +106,11 @@ def woe_encode(
             / ((F.col("__bad") + s) / (F.col("__b") + s * F.col("__k")))
         ).alias(out),
     )
-    if broadcast_limit is not None and enc.count() <= broadcast_limit:
-        enc = F.broadcast(enc)
+    if broadcast_limit is not None:
+        # same materialize-before-count as target_encode (guide §1.2)
+        enc = enc.localCheckpoint(eager=True)
+        if enc.count() <= broadcast_limit:
+            enc = F.broadcast(enc)
     return (
         df.join(enc, df[cat_col].eqNullSafe(enc["__cat"]), "left")
         .withColumn(out, F.coalesce(F.col(out), F.lit(0.0)))

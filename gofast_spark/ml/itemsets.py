@@ -158,6 +158,12 @@ def _basket_pairs(
         )
         .where(F.col(basket_col).isNotNull() & F.col(item_col).isNotNull())
         .distinct()
+        # the distinct (basket, item) frame feeds the support table, the
+        # prune join, and the basket count — and the broadcast-gate
+        # count() below otherwise re-executes the corpus distinct from
+        # scratch.  One materialization, four cheap consumers
+        # (guide §1.2: remove repeated passes).
+        .localCheckpoint(eager=True)
     )
     support = b.groupBy("it").agg(F.count(F.lit(1)).alias("n_it"))
     freq = support.where(F.col("n_it") >= min_support)

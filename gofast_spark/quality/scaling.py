@@ -124,6 +124,11 @@ def robust_scale_grouped(
             )
         )
     stats = df.groupBy(*group_cols).agg(*aggs)
+    if broadcast_limit is not None:
+        # materialize the group-sized stats before the gate count — a
+        # bare count() re-executes the exact-percentile aggregate over
+        # the corpus, and the apply join would run it again (guide §1.2)
+        stats = stats.localCheckpoint(eager=True)
     if broadcast_limit is None or stats.count() <= broadcast_limit:
         stats = F.broadcast(stats)
     out = df.join(stats, list(group_cols))

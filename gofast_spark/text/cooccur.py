@@ -52,23 +52,32 @@ def bigram_pmi(
             )
         ).alias("bg")
     ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-    pair_counts = pairs.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).alias("n_pair")
+    # Materialize both vocab-sized count tables ONCE (guide §1.2/§2.4:
+    # remove repeated passes): without the checkpoint, the broadcast
+    # -gate count() job, the totals aggregate, and the scoring join each
+    # re-ran the corpus explode + groupBy chain — 3 extra corpus scans
+    # for frames that are vocabulary-sized.
+    pair_counts = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .localCheckpoint(eager=True)
     )
 
     uni = (
         toks.select(F.explode("tk").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n_w"))
+        .localCheckpoint(eager=True)
     )
     if broadcast_limit is None or uni.count() <= broadcast_limit:
         uni = F.broadcast(uni)
 
-    # both totals in ONE corpus aggregate (sum of sizes == sum of the
-    # count tables, without recomputing either explode)
-    totals = toks.agg(
-        F.sum(F.size("tk")).alias("n_tokens"),
-        F.sum(F.size("tk") - 1).alias("m_pairs"),
+    # both totals from the materialized count tables: sum(n_w) over the
+    # unigram table == sum(size(tk)) and sum(n_pair) over the bigram
+    # table == sum(size(tk) - 1) — exact integer identities, no third
+    # corpus scan
+    totals = uni.agg(F.sum("n_w").alias("n_tokens")).crossJoin(
+        F.broadcast(pair_counts.agg(F.sum("n_pair").alias("m_pairs")))
     )
 
     scored = (
@@ -195,7 +204,15 @@ def llr_collocations(
             )
         ).alias("bg")
     ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-    pc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    # one corpus explode EVER: the bigram count table feeds the margins,
+    # the total, the gate count and the scoring join — materialize it
+    # once (guide §2.4; the gate's count() otherwise re-executes the
+    # whole explode chain and the main plan re-runs it per consumer)
+    pc = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .localCheckpoint(eager=True)
+    )
     first = pc.groupBy("w1").agg(F.sum("n_pair").alias("r1"))
     second = pc.groupBy("w2").agg(F.sum("n_pair").alias("c1"))
     total = pc.agg(F.sum("n_pair").alias("nn"))

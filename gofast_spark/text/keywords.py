@@ -55,16 +55,19 @@ def textrank_keywords(
             )
         ).alias("bg")
     ).select(F.col("bg.a").alias("a"), F.col("bg.b").alias("b"))
-    edges = (
+    # distinct the DIRECTED pairs first (one corpus scan + one shuffle
+    # of the vocab-pair-sized frame), then symmetrize and re-distinct
+    # the small frame — the old both-legs union scanned and tokenized
+    # the corpus twice for an identical edge set (guide §2.3: shuffle
+    # and scan the lightweight proxy, not the corpus)
+    d1 = (
         pairs.where(F.col("a") != F.col("b"))
         .select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .unionByName(
-            pairs.where(F.col("a") != F.col("b")).select(
-                F.col("b").alias("src"), F.col("a").alias("dst")
-            )
-        )
         .distinct()
     )
+    edges = d1.unionByName(
+        d1.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
     r = pagerank(
         edges, iterations=iterations, damping=damping, broadcast_ranks=True
     )
@@ -113,6 +116,12 @@ def rake_keywords(
             lambda s: F.length(s) > 0,
         ).alias("ps")
     ).select(F.explode("ps").alias("phrase"))
+    # The phrase frame feeds THREE consumers (word stats, the phrase
+    # -word join, the phrase-frequency count) plus the broadcast-gate
+    # count — and its lineage is the expensive stopword-alternation
+    # regexp pass over the corpus.  Materialize it once so the regex
+    # battery runs one time instead of four (guide §1.2/§2.4).
+    phrases = phrases.localCheckpoint(eager=True)
 
     words = phrases.select(
         "phrase",
