@@ -214,14 +214,18 @@ def connected_components_two_phase(
         .localCheckpoint(eager=True)
     )
     e = _symmetric_edges(pairs, id_a, id_b).localCheckpoint(eager=True)
+    # carry the edge count across rounds: re-counting the PREVIOUS
+    # (already checkpointed and counted) frame each round was one extra
+    # job per round, and the subtract only runs once counts stabilize
+    # (Python `and` short-circuits)
+    n_e = e.count()
     converged = False
     for _ in range(max_iter):
         e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        same = (
-            e2.count() == e.count()
-            and e2.subtract(e).count() == 0
-        )
+        n_e2 = e2.count()
+        same = n_e2 == n_e and e2.subtract(e).count() == 0
         e = e2
+        n_e = n_e2
         if same:
             converged = True
             break

@@ -112,14 +112,20 @@ def dbscan(
     degree = sym.groupBy("id").agg(F.count(F.lit(1)).alias("n_nb"))
     core = degree.where(F.col("n_nb") + 1 >= min_pts).select("id")
 
-    from gofast_spark.dedup.cluster import connected_components
+    from gofast_spark.dedup.cluster import connected_components_two_phase
 
     core_edges = (
         pairs.join(core.withColumnRenamed("id", "id_a"), "id_a")
         .join(core.withColumnRenamed("id", "id_b"), "id_b")
         .select("id_a", "id_b")
     )
-    comp = connected_components(core_edges)  # (id, cluster_id)
+    # large/small-star CC (same (id, min-member) contract as the hash-min
+    # variant, pinned by tests/test_cluster.py equivalence tests): grid
+    # clusters are chain-shaped, so min-propagation paid one round PER
+    # DIAMETER HOP (16 rounds on the sf0.1 graph, ~0.8 s/round of fixed
+    # job overhead); the star rounds converge in O(log^2 n) regardless
+    # of chain length — the asymptotic win at 100 TB, not a local tweak
+    comp = connected_components_two_phase(core_edges)  # (id, cluster_id)
     core_lab = core.join(comp, "id", "left").select(
         "id",
         # a core point with no core neighbor is its own cluster

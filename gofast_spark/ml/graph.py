@@ -408,6 +408,12 @@ def hits_scores(
             e.join(score, e[join_key] == score["node"])
             .groupBy(F.col(group_key).alias("__n"))
             .agg(F.sum(F.col("score").cast("decimal(38,0)")).alias("__raw"))
+            # the raw sums feed BOTH the broadcast max and the outer
+            # join below — without this the edges-join-scores aggregate
+            # executed twice per half-step (the broadcast job replays
+            # the lineage); one node-sized materialization halves the
+            # half-step
+            .localCheckpoint(eager=True)
         )
         mx = raw.agg(F.max("__raw").alias("__mx"))
         return (
