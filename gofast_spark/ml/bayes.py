@@ -151,14 +151,27 @@ def multinomial_nb_predictions(
     tr = train.where(F.length(norm) > 0).select(
         F.col(label_col).alias("cls"), F.split(norm, " ").alias("tk")
     )
-    tcc = tr.select("cls", F.explode("tk").alias("token")) \
+    # materialize the vocab-class count table ONCE: ct, vocab and the
+    # scoring join all consume it, and each broadcast materialization
+    # otherwise replays the train tokenize+explode chain (guide §1.2 —
+    # the count tables are vocabulary-sized, the lineage is corpus-sized)
+    tcc = (
+        tr.select("cls", F.explode("tk").alias("token"))
         .groupBy("cls", "token").agg(F.count(F.lit(1)).alias("n_ct"))
+        .localCheckpoint(eager=True)
+    )
     ct = tcc.groupBy("cls").agg(F.sum("n_ct").alias("n_c"))
     vocab = tcc.agg(F.countDistinct("token").alias("v"))
-    pri = (
+    # one normalize pass for the class-sized doc counts; n_train derives
+    # from the materialized table instead of a second corpus scan
+    cls_docs = (
         tr.groupBy("cls").agg(F.count(F.lit(1)).alias("n_docs"))
+        .localCheckpoint(eager=True)
+    )
+    pri = (
+        cls_docs
         .crossJoin(F.broadcast(
-            tr.agg(F.count(F.lit(1)).alias("n_train"))))
+            cls_docs.agg(F.sum("n_docs").alias("n_train"))))
         .select(
             "cls",
             F.floor(

@@ -66,15 +66,28 @@ def fit_boosted_stumps(
         df.where(x.isNotNull() & F.col(target_col).isNotNull())
         .select(b.alias("bin"), y_u.alias("y"))
     )
-    base = base_rows.agg(
-        (F.sum("y").cast("double") / F.count(F.lit(1)).cast("double"))
+    # ONE corpus fold: a stump assigns one leaf per bin, so the
+    # prediction is constant within a bin and every round's residual
+    # sum is recoverable from the bins-sized sufficient statistic
+    # (n, sum_y) exactly — sum(y - pred) == sum_y - n * pred in the
+    # same bigint arithmetic.  The previous row-level state re-scanned
+    # the corpus for EVERY round's histogram and broadcast
+    # materialization (each round's two broadcast jobs replayed the
+    # whole lineage); now rounds are 64-row algebra (guide §1.2: the
+    # distributed algorithm first — one pass is the floor here).
+    hist0 = (
+        base_rows.groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("sy"))
+        .localCheckpoint(eager=True)
+    )
+    base = hist0.agg(
+        (F.sum("sy").cast("double") / F.sum("n").cast("double"))
         .cast("bigint")
         .alias("base_u3")
     )
-    state = base_rows.crossJoin(F.broadcast(base)).select(
-        "bin", "y", F.col("base_u3").alias("pred")
+    state = hist0.crossJoin(F.broadcast(base)).select(
+        "bin", "n", "sy", F.col("base_u3").alias("pred")
     )
-    spark = df.sparkSession
     model = base.select(
         F.lit(0).alias("round"),
         F.lit(None).cast("double").alias("threshold"),
@@ -83,9 +96,10 @@ def fit_boosted_stumps(
     )
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
     for k in range(1, rounds + 1):
-        hist = state.groupBy("bin").agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("y") - F.col("pred")).alias("s"),
+        hist = state.select(
+            "bin",
+            "n",
+            (F.col("sy") - F.col("n") * F.col("pred")).alias("s"),
         )
         totals = hist.agg(F.sum("n").alias("__n"), F.sum("s").alias("__s"))
         cand = (
@@ -112,7 +126,8 @@ def fit_boosted_stumps(
         best = scored.agg(F.max_by(row, pick).alias("b")).select("b.*")
         state = state.crossJoin(F.broadcast(best)).select(
             "bin",
-            "y",
+            "n",
+            "sy",
             (
                 F.col("pred")
                 + F.when(
@@ -172,14 +187,28 @@ def fit_boosted_stumps_multi(
             ).alias(f"b{j}")
         )
     base_rows = df.where(cond).select(*bin_cols, y_u.alias("y"))
-    base = base_rows.agg(
-        (F.sum("y").cast("double") / F.count(F.lit(1)).cast("double"))
+    # ONE corpus fold onto the JOINT bin grid (same identity as
+    # fit_boosted_stumps: every round's prediction is constant per
+    # joint cell, so (n, sum_y) per cell is a sufficient statistic and
+    # sum(y - pred) == sum_y - n * pred exactly).  The grid is at most
+    # prod(bins_j) cells — ensemble-sized for the small feature counts
+    # this API takes — so rounds become cell-level algebra instead of
+    # per-round corpus scans.
+    joint_cols = [f"b{j}" for j in range(len(specs))]
+    hist0 = (
+        base_rows.groupBy(*joint_cols)
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("sy"))
+        .localCheckpoint(eager=True)
+    )
+    base = hist0.agg(
+        (F.sum("sy").cast("double") / F.sum("n").cast("double"))
         .cast("bigint")
         .alias("base_u3")
     )
-    state = base_rows.crossJoin(F.broadcast(base)).select(
-        *[f"b{j}" for j in range(len(specs))],
-        "y",
+    state = hist0.crossJoin(F.broadcast(base)).select(
+        *joint_cols,
+        "n",
+        "sy",
         F.col("base_u3").alias("pred"),
     )
     model = base.select(
@@ -195,8 +224,8 @@ def fit_boosted_stumps_multi(
         for j, (c, lo, hi, b) in enumerate(specs):
             width = (hi - lo) / b
             hist = state.groupBy(F.col(f"b{j}").alias("bin")).agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(F.col("y") - F.col("pred")).alias("s"),
+                F.sum("n").alias("n"),
+                F.sum(F.col("sy") - F.col("n") * F.col("pred")).alias("s"),
             )
             totals = hist.agg(
                 F.sum("n").alias("__n"), F.sum("s").alias("__s")
@@ -241,8 +270,9 @@ def fit_boosted_stumps_multi(
             c = (F.col("fidx") == j) & (F.col(f"b{j}") < F.col("split_bin"))
             goes_left = c if goes_left is None else (goes_left | c)
         state = state.crossJoin(F.broadcast(best)).select(
-            *[f"b{j}" for j in range(len(specs))],
-            "y",
+            *joint_cols,
+            "n",
+            "sy",
             (
                 F.col("pred")
                 + F.when(goes_left, F.col("left_u3")).otherwise(

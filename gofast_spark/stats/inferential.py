@@ -2248,7 +2248,14 @@ def fligner_killeen(
     centred = base.join(F.broadcast(med), "__g").select(
         "__g", F.abs(F.col("__x") - F.col("__med")).alias("__d")
     )
-    gd = centred.groupBy("__g", "__d").agg(F.count(F.lit(1)).alias("__c"))
+    # materialize the (group x distinct-d) grid once: dd/scores (whose
+    # broadcast replays the lineage) and per_g both consume it, and its
+    # lineage is the corpus centring pass
+    gd = (
+        centred.groupBy("__g", "__d")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=True)
+    )
     dd = gd.groupBy("__d").agg(F.sum("__c").alias("__cd"))
     w = Window.orderBy("__d").rowsBetween(Window.unboundedPreceding, -1)
     r2 = (

@@ -344,7 +344,11 @@ def cox_ph_binary(
         F.sum(g).alias("m1"),
         F.sum(ev * (F.lit(1) - g)).alias("d0"),
         F.sum(ev * g).alias("d1"),
-    )
+        # materialize the bins-sized rollup ONCE: every Newton
+        # iteration's broadcast state replays its lineage (the corpus
+        # groupBy) when materialized, so 4 iterations + the SE readout
+        # + sizes cost ~6 corpus scans without this (guide §1.2)
+    ).localCheckpoint(eager=True)
     w_prev = Window.orderBy("duration").rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -451,7 +455,9 @@ def cox_ph_binary_grouped(
         F.sum(g).alias("m1"),
         F.sum(ev * (F.lit(1) - g)).alias("d0"),
         F.sum(ev * g).alias("d1"),
-    )
+        # same materialize-once as cox_ph_binary: the (segments x bins)
+        # rollup feeds every per-iteration state materialization
+    ).localCheckpoint(eager=True)
     w_prev = Window.partitionBy("seg").orderBy("duration").rowsBetween(
         Window.unboundedPreceding, -1
     )
