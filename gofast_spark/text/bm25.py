@@ -108,7 +108,13 @@ def bm25_topk(
     else:
         stats = corpus_stats(postings, id_col)
 
-    hits = postings.where(F.col("term").isin(terms))
+    # materialize the query-term postings once: the dfreq broadcast and
+    # the scoring join below otherwise EACH re-run the full corpus
+    # explode + (doc, term) groupBy behind `postings` (guide §1.2); the
+    # filtered frame is bounded by docs-containing-query-terms
+    hits = postings.where(F.col("term").isin(terms)).localCheckpoint(
+        eager=True
+    )
     # df_t over the filtered postings: rows <= len(terms), broadcast back
     dfreq = hits.groupBy("term").agg(F.count("*").alias("df_t"))
     scored = (
@@ -156,7 +162,14 @@ def tfidf_topk_terms(
     from pyspark.sql import Window
 
     if postings is None:
-        postings = build_postings(df, id_col, text_col)
+        # the index feeds dfreq (join build side), the stats broadcast
+        # and the scoring join — materialize it once instead of running
+        # the tokenize + explode + groupBy chain for each consumer
+        # (guide §1.2); a caller-supplied postings frame is left as-is
+        # (the index-once-query-many contract)
+        postings = build_postings(df, id_col, text_col).localCheckpoint(
+            eager=True
+        )
     dfreq = postings.groupBy("term").agg(F.count("*").alias("df_t"))
     stats = corpus_stats(postings, id_col)
     scored = (

@@ -295,19 +295,33 @@ def ngram_novelty(
             ).alias("bg")
         )
 
-    train_set = bigrams(
-        base.where(F.col("id") % holdout_mod != 0)
-    ).distinct()
-    test_occ = bigrams(base.where(F.col("id") % holdout_mod == 0))
-    test_types = test_occ.distinct()
-    novel_types = test_types.join(train_set, "bg", "left_anti")
-    novel_occ = test_occ.join(train_set, "bg", "left_anti")
+    # one tokenize pass per split (guide §1.2): the five readouts below
+    # previously each re-executed their corpus lineage (train distinct
+    # 3x, test explode 3x).  The test side folds to a (type, n_occ)
+    # count table first — type/occurrence novelty then read off ONE
+    # anti-join of vocabulary-sized frames: count(novel types) and
+    # sum(their occurrence counts) are the same integers as the old
+    # per-occurrence anti-join by definition of the grouping.
+    train_set = (
+        bigrams(base.where(F.col("id") % holdout_mod != 0))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    test_cnt = (
+        bigrams(base.where(F.col("id") % holdout_mod == 0))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .localCheckpoint(eager=True)
+    )
+    novel_cnt = test_cnt.join(train_set, "bg", "left_anti").localCheckpoint(
+        eager=True
+    )
     spark = df.sparkSession
     n_train = train_set.count()
-    n_test = test_types.count()
-    n_novel = novel_types.count()
-    occ_test = test_occ.count()
-    occ_novel = novel_occ.count()
+    n_test = test_cnt.count()
+    n_novel = novel_cnt.count()
+    occ_test = test_cnt.agg(F.sum("__n")).collect()[0][0] or 0
+    occ_novel = novel_cnt.agg(F.sum("__n")).collect()[0][0] or 0
     return spark.createDataFrame(
         [(
             n_train, n_test, n_novel,
