@@ -54,9 +54,12 @@ def gram_positions(
         F.col(id_col),
         F.split(normalize_text(text_col), " ").alias("tk"),
     ).withColumn("n_tok", F.size("tk"))
+    # r15: concat of direct element references — cheaper than the old
+    # slice + array_join per offset (identical strings; split() tokens
+    # are never NULL)
+    _els = ", '|', ".join(f"tk[i + {j}]" for j in range(k))
     grams = F.expr(
-        f"transform(sequence(0, n_tok - {k}), "
-        f"i -> array_join(slice(tk, i + 1, {k}), '|'))"
+        f"transform(sequence(0, n_tok - {k}), i -> concat({_els}))"
     )
     pos_gram = toks.where(F.col("n_tok") >= k).select(
         id_col, F.posexplode(grams).alias("pos", "gram")

@@ -39,14 +39,15 @@ def normalize_text(col: Column | str) -> Column:
     """lower-case, strip non-alphanumerics to spaces, collapse whitespace.
 
     Reference: ``clean_text``/``normalize_text`` (gofast/utils/text.py:53,
-    188).  Kept to the exact recipe ``lower -> [^a-z0-9 ]+ -> ' ' ->
-    collapse -> trim`` so the DuckDB oracle can replicate it verbatim.
+    188).  The oracle recipe is ``lower -> [^a-z0-9 ]+ -> ' ' ->
+    collapse -> trim``; the engine fuses the two replace passes into ONE
+    ``[^a-z0-9]+ -> ' '`` pass (r15, guide §1.2 per-task work — every
+    maximal non-alphanumeric run becomes exactly one space either way,
+    so the strings are identical and the DuckDB oracle still replicates
+    the two-step recipe verbatim; measured 2x on the corpus scan).
     """
     c = F.col(col) if isinstance(col, str) else col
-    out = F.lower(c)
-    out = F.regexp_replace(out, "[^a-z0-9 ]", " ")
-    out = F.regexp_replace(out, " +", " ")
-    return F.trim(out)
+    return F.trim(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " "))
 
 
 def tokenize_text(col: Column | str) -> Column:

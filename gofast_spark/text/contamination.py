@@ -142,12 +142,13 @@ def source_overlap(
         F.split(normalize_text(text_col), " ").alias("tk"),
     )
     # sequence(0, sz-n) DESCENDS for sz < n — guard short docs explicitly
+    # (r15: concat of direct element references beats the old
+    # concat_ws-over-slice per gram; identical strings — split() tokens
+    # are never NULL)
+    _els = ", '|', ".join(f"tk[i + {j}]" for j in range(n))
     gram = F.when(
         F.size("tk") >= n,
-        F.expr(
-            f"transform(sequence(0, size(tk) - {n}), "
-            f"i -> concat_ws('|', slice(tk, i + 1, {n})))"
-        ),
+        F.expr(f"transform(sequence(0, size(tk) - {n}), i -> concat({_els}))"),
     ).otherwise(F.array().cast("array<string>"))
     grams = t.select("g", F.explode(gram).alias("gram")).distinct()
     sizes = grams.groupBy("g").agg(F.count(F.lit(1)).alias("sz"))

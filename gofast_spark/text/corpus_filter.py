@@ -19,12 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from gofast_spark.text.analysis import (
-    EN_STOPWORDS,
-    _stopword_hits,
-    normalize_text,
-)
-from gofast_spark.text.repetition import repetition_signals
+from gofast_spark.text.analysis import EN_STOPWORDS, _stopword_hits
+from gofast_spark.text.repetition import bound_signals
 
 # (rule name, default threshold) — applied in this order; the reason
 # column reports the FIRST failure so downstream audits see a stable
@@ -104,17 +100,21 @@ def corpus_filter(
     if rules:
         cfg.update(rules)
 
-    norm = normalize_text(text_col)
-    toks = F.split(norm, " ")
-    n_tok = F.size(toks)
-    uniq_ratio = F.size(F.array_distinct(toks)) / n_tok.cast("double")
-    stop_ratio = _stopword_hits(norm, EN_STOPWORDS) / n_tok.cast("double")
-
-    out = repetition_signals(df, text_col, out_prefix="__cf_")
-    out = (
-        out.withColumn("__cf_n_tokens", n_tok)
-        .withColumn("__cf_uniq", uniq_ratio)
-        .withColumn("__cf_stop", stop_ratio)
+    # every signal reads the SAME let-bound struct (text/repetition.py
+    # bound_signals): the normalized text, token array and gram arrays
+    # are built once per row instead of once per referencing signal
+    # (r15, guide §1.2 per-task work — measured ~35% off the battery)
+    out = bound_signals(
+        df,
+        text_col,
+        out_prefix="__cf_",
+        extra={
+            "n_tokens": lambda s: F.size(s["t"]),
+            "uniq": lambda s: F.size(F.array_distinct(s["t"]))
+            / F.size(s["t"]).cast("double"),
+            "stop": lambda s: _stopword_hits(s["nm"], EN_STOPWORDS)
+            / F.size(s["t"]).cast("double"),
+        },
     )
 
     checks: list[tuple[str, Column]] = []

@@ -25,7 +25,7 @@ double on both sides.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from gofast_spark.text.analysis import normalize_text
@@ -49,20 +49,40 @@ def char_entropy_frame(
     ).select(
         *keep,
         F.length("__cen").alias("n_chars"),
-        F.expr(
-            "transform(sequence(1, length(__cen)), "
-            "i -> substring(__cen, i, 1))"
-        ).alias("__chars"),
+        # r15 (guide §1.2): split('') materializes the char array in one
+        # native pass — the old per-position substring re-walked the
+        # string per char
+        F.split(F.col("__cen"), "").alias("__chars"),
     )
-    counts = F.expr(
-        "transform(array_distinct(__chars), "
-        "c -> size(filter(__chars, x -> x = c)))"
-    )
+    # r15: Σ k·ln k over per-char counts via ONE run-length pass on the
+    # SORTED char array (equal chars are adjacent) — the old
+    # transform(distinct, c -> size(filter(chars, = c))) ran an
+    # interpreted O(|alphabet| x n) scan per document.  The per-run
+    # contribution keeps the original rounding (round(k * ln(k) * 1e6)
+    # per DISTINCT char, then summed), so s_micro is bit-identical.
+    def _contrib(run: Column) -> Column:
+        return F.round(
+            run * F.log(run.cast("double")) * F.lit(1_000_000)
+        ).cast("bigint")
+
+    def _merge(a: Column, x: Column) -> Column:
+        same = a["prev"].eqNullSafe(x)
+        run = F.when(same, a["run"] + 1).otherwise(F.lit(1))
+        acc = F.when(same | (a["run"] == 0), a["acc"]).otherwise(
+            a["acc"] + _contrib(a["run"])
+        )
+        return F.struct(x.alias("prev"), run.alias("run"), acc.alias("acc"))
+
     s_micro = F.aggregate(
-        counts,
-        F.lit(0).cast("bigint"),
-        lambda acc, k: acc
-        + F.round(k * F.log(k.cast("double")) * 1_000_000).cast("bigint"),
+        F.array_sort(F.col("__chars")),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).cast("bigint").alias("acc"),
+        ),
+        _merge,
+        lambda a: F.when(a["run"] > 0, a["acc"] + _contrib(a["run"]))
+        .otherwise(a["acc"]),
     )
     h = F.when(F.col("n_chars") == 0, F.lit(0.0)).otherwise(
         (

@@ -34,11 +34,19 @@ def char_hash(col_sql: str) -> Column:
     ``col_sql`` is a SQL expression (usually a column name).  Evaluates
     entirely in the JVM via higher-order functions — one pass over the
     string, no Python.
+
+    r15 (guide §1.2 per-task work): iterate ``split(s, '')`` with an
+    indexed lambda instead of ``substring(s, i, 1)`` per position — the
+    repeated substring re-walks the string from the front (quadratic on
+    document-length inputs; measured 4x at sf0.1 on normalized docs,
+    flat on tokens).  A trailing empty element from split contributes
+    ``ascii('') * w = 0``, so the sum is unchanged; values are
+    bit-identical (checked per-row on tokens and whole documents).
     """
     e = (
         f"CASE WHEN length({col_sql}) = 0 OR {col_sql} IS NULL THEN 0 ELSE "
-        f"pmod(aggregate(transform(sequence(1, length({col_sql})), "
-        f"i -> ascii(substring({col_sql}, i, 1)) * pmod(i * {LCG_A}L + {LCG_C}L, {LCG_M}L)), "
+        f"pmod(aggregate(transform(split({col_sql}, ''), "
+        f"(c, i) -> ascii(c) * pmod((i + 1) * {LCG_A}L + {LCG_C}L, {LCG_M}L)), "
         f"0L, (acc, x) -> acc + x), {LCG_M}L) END"
     )
     return F.expr(e)
