@@ -45,7 +45,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from gofast_spark.sim.cosine import cosine_sim
+from gofast_spark.sim.cosine import cosine_sim, l2_norm
 
 
 def _landmark_cells(
@@ -96,16 +96,26 @@ def assign_semantic_cells(
         cells = _landmark_cells(df, id_col, vec_col, nlist=nlist)
     else:
         cells = _centroid_cells(df.sparkSession, centroids)
-    cs = cosine_sim(F.col(vec_col), F.col("__lv"))
+    # norms hoisted below the cross join: the row norm is computed once
+    # per row and the centroid norm once per cell — not once per
+    # (row, cell) pair (r15 — see sim.cosine.cosine_sim)
+    cells = cells.withColumn("__ln", l2_norm(F.col("__lv")))
+    cs = cosine_sim(
+        F.col(vec_col),
+        F.col("__lv"),
+        norm_a=F.col("__vn"),
+        norm_b=F.col("__ln"),
+    )
     w = Window.partitionBy(id_col).orderBy(
         F.round(cs, 6).desc(), F.col("cell").asc()
     )
     return (
-        df.crossJoin(F.broadcast(cells))
+        df.withColumn("__vn", l2_norm(F.col(vec_col)))
+        .crossJoin(F.broadcast(cells))
         .withColumn("cent_sim", cs)
         .withColumn("__r", F.row_number().over(w))
         .where(F.col("__r") == 1)
-        .drop("__lv", "__r")
+        .drop("__lv", "__ln", "__vn", "__r")
     )
 
 

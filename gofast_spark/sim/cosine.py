@@ -31,9 +31,23 @@ def l2_norm(vec: Column) -> Column:
     )
 
 
-def cosine_sim(a: Column, b: Column) -> Column:
-    """Cosine similarity of two array columns."""
-    return _dot(a, b) / (l2_norm(a) * l2_norm(b))
+def cosine_sim(
+    a: Column,
+    b: Column,
+    *,
+    norm_a: Column | None = None,
+    norm_b: Column | None = None,
+) -> Column:
+    """Cosine similarity of two array columns.
+
+    ``norm_a``/``norm_b`` accept PRECOMPUTED L2 norms (r15, guide §1.2
+    per-task work): inside a pair join the norm folds otherwise
+    re-evaluate per PAIR — hoisting them to per-row projections below
+    the join computes each exactly once per row.  Values are identical
+    (same operand order, same doubles)."""
+    na = norm_a if norm_a is not None else l2_norm(a)
+    nb = norm_b if norm_b is not None else l2_norm(b)
+    return _dot(a, b) / (na * nb)
 
 
 def cosine_topk(
@@ -60,14 +74,26 @@ def cosine_topk(
     by corpus id ascending.
     """
     qid = query_id_col or id_col
+    # norms hoisted below the join: once per query row / corpus row
+    # instead of once per PAIR (r15 — see cosine_sim)
     q = queries.select(
-        F.col(qid).alias("query_id"), F.col(vec_col).alias("__qv")
+        F.col(qid).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
     )
-    pairs = corpus.join(F.broadcast(q), how="cross")
+    pairs = corpus.withColumn("__cn", l2_norm(F.col(vec_col))).join(
+        F.broadcast(q), how="cross"
+    )
     if exclude_self:
         pairs = pairs.where(F.col(id_col) != F.col("query_id"))
     pairs = pairs.withColumn(
-        "cos_sim", cosine_sim(F.col("__qv"), F.col(vec_col))
+        "cos_sim",
+        cosine_sim(
+            F.col("__qv"),
+            F.col(vec_col),
+            norm_a=F.col("__qn"),
+            norm_b=F.col("__cn"),
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.round(F.col("cos_sim"), 6).desc(), F.col(id_col).asc()

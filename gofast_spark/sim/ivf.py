@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from gofast_spark.sim.cosine import cosine_sim
+from gofast_spark.sim.cosine import cosine_sim, l2_norm
 
 
 def _normalize_rows(x):
@@ -146,18 +146,29 @@ def ivf_topk(
             corpus, vec_col, nlist=nlist, seed=seed
         )
     qid = query_id_col or id_col
-    c = assign_cells(corpus, vec_col, centroids, out_col="cell")
+    # norms hoisted below the cell join: once per row, not per pair
+    # (r15 — see cosine_sim)
+    c = assign_cells(corpus, vec_col, centroids, out_col="cell").withColumn(
+        "__cn", l2_norm(F.col(vec_col))
+    )
     probe = _nearest_cells_udf(centroids, nprobe)
     q = queries.select(
         F.col(qid).alias("query_id"),
         F.col(vec_col).alias("__qv"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
         F.explode(probe(F.col(vec_col))).alias("cell"),
     )
     pairs = c.join(F.broadcast(q), on="cell")
     if exclude_self:
         pairs = pairs.where(F.col(id_col) != F.col("query_id"))
     pairs = pairs.withColumn(
-        "cos_sim", cosine_sim(F.col("__qv"), F.col(vec_col))
+        "cos_sim",
+        cosine_sim(
+            F.col("__qv"),
+            F.col(vec_col),
+            norm_a=F.col("__qn"),
+            norm_b=F.col("__cn"),
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.round(F.col("cos_sim"), 6).desc(), F.col(id_col).asc()
@@ -212,16 +223,27 @@ def ivf_topk_portable(
         .drop("__h")
     )
 
+    # norms hoisted below the joins: the row norm is computed once per
+    # row (then REUSED by the final re-rank), the landmark norm once per
+    # landmark — not once per (row, landmark) pair (r15 — see cosine_sim)
+    landmarks = landmarks.withColumn("__ln", l2_norm(F.col("__lv")))
+
     def _assign(df: DataFrame, vcol: str, keep, *, top: int) -> DataFrame:
-        cs = cosine_sim(F.col(vcol), F.col("__lv"))
+        cs = cosine_sim(
+            F.col(vcol),
+            F.col("__lv"),
+            norm_a=F.col("__vn"),
+            norm_b=F.col("__ln"),
+        )
         w = Window.partitionBy(*keep).orderBy(
             F.round(cs, 6).desc(), F.col("cell").asc()
         )
         return (
-            df.crossJoin(F.broadcast(landmarks))
+            df.withColumn("__vn", l2_norm(F.col(vcol)))
+            .crossJoin(F.broadcast(landmarks))
             .withColumn("__r", F.row_number().over(w))
             .where(F.col("__r") <= top)
-            .drop("__lid", "__lv", "__r")
+            .drop("__lid", "__lv", "__ln", "__r")
         )
 
     cells = _assign(corpus, vec_col, [id_col], top=1)
@@ -234,12 +256,23 @@ def ivf_topk_portable(
         top=nprobe,
     )
     pairs = cells.join(
-        F.broadcast(probes.select("query_id", "__qv", "cell")), on="cell"
+        F.broadcast(
+            probes.select(
+                "query_id", "__qv", F.col("__vn").alias("__qn"), "cell"
+            )
+        ),
+        on="cell",
     )
     if exclude_self:
         pairs = pairs.where(F.col(id_col) != F.col("query_id"))
     pairs = pairs.withColumn(
-        "cos_sim", cosine_sim(F.col("__qv"), F.col(vec_col))
+        "cos_sim",
+        cosine_sim(
+            F.col("__qv"),
+            F.col(vec_col),
+            norm_a=F.col("__qn"),
+            norm_b=F.col("__vn"),
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.round(F.col("cos_sim"), 6).desc(), F.col(id_col).asc()
@@ -334,11 +367,21 @@ def ivf_topk_kmeans_exact(
     probes = _nearest(qpts, ["query_id"], top=nprobe).withColumnRenamed(
         vec_col, "__qv"
     )
-    pairs = cells.join(F.broadcast(probes), on="cell")
+    # norms hoisted below the cell join (r15 — see cosine_sim)
+    pairs = cells.withColumn("__cn", l2_norm(F.col(vec_col))).join(
+        F.broadcast(probes.withColumn("__qn", l2_norm(F.col("__qv")))),
+        on="cell",
+    )
     if exclude_self:
         pairs = pairs.where(F.col(id_col) != F.col("query_id"))
     pairs = pairs.withColumn(
-        "cos_sim", cosine_sim(F.col("__qv"), F.col(vec_col))
+        "cos_sim",
+        cosine_sim(
+            F.col("__qv"),
+            F.col(vec_col),
+            norm_a=F.col("__qn"),
+            norm_b=F.col("__cn"),
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.round(F.col("cos_sim"), 6).desc(), F.col(id_col).asc()

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from gofast_spark.sim.cosine import cosine_sim
+from gofast_spark.sim.cosine import cosine_sim, l2_norm
 
 LSH_A = 1103515245
 LSH_C = 12345
@@ -103,11 +103,16 @@ def lsh_topk(
     Output: (query_id, id, bucket, cos_sim, rank).
     """
     qid = query_id_col or id_col
-    c = corpus.withColumn("bucket", hyperplane_bucket(F.col(vec_col), dim=dim, bits=bits))
+    # norms hoisted below the bucket join: once per row, not per pair
+    # (r15 — see cosine_sim)
+    c = corpus.withColumn(
+        "bucket", hyperplane_bucket(F.col(vec_col), dim=dim, bits=bits)
+    ).withColumn("__cn", l2_norm(F.col(vec_col)))
     if probes > 0:
         q = queries.select(
             F.col(qid).alias("query_id"),
             F.col(vec_col).alias("__qv"),
+            l2_norm(F.col(vec_col)).alias("__qn"),
             F.explode(
                 F.array_distinct(
                     _probe_buckets(F.col(vec_col), dim=dim, bits=bits, probes=probes)
@@ -118,12 +123,21 @@ def lsh_topk(
         q = queries.select(
             F.col(qid).alias("query_id"),
             F.col(vec_col).alias("__qv"),
+            l2_norm(F.col(vec_col)).alias("__qn"),
             hyperplane_bucket(F.col(vec_col), dim=dim, bits=bits).alias("bucket"),
         )
     pairs = c.join(F.broadcast(q), on="bucket")
     if exclude_self:
         pairs = pairs.where(F.col(id_col) != F.col("query_id"))
-    pairs = pairs.withColumn("cos_sim", cosine_sim(F.col("__qv"), F.col(vec_col)))
+    pairs = pairs.withColumn(
+        "cos_sim",
+        cosine_sim(
+            F.col("__qv"),
+            F.col(vec_col),
+            norm_a=F.col("__qn"),
+            norm_b=F.col("__cn"),
+        ),
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.round(F.col("cos_sim"), 6).desc(), F.col(id_col).asc()
     )
@@ -157,20 +171,37 @@ def cosine_near_dup_pairs(
 
     Output: (id_a, id_b, bucket, cos_sim).
     """
+    # per-row norm below the self-join: once per row, not per pair
+    # (r15 — see cosine_sim)
     b = corpus.select(
         F.col(id_col),
         F.col(vec_col),
         hyperplane_bucket(F.col(vec_col), dim=dim, bits=bits).alias("bucket"),
+        l2_norm(F.col(vec_col)).alias("__n"),
     )
     left = b.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "bucket"
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        "bucket",
+        F.col("__n").alias("__na"),
     )
     right = b.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "bucket"
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        "bucket",
+        F.col("__n").alias("__nb"),
     )
     pairs = left.join(right, on="bucket").where(F.col("id_a") < F.col("id_b"))
     return (
-        pairs.withColumn("cos_sim", cosine_sim(F.col("__va"), F.col("__vb")))
+        pairs.withColumn(
+            "cos_sim",
+            cosine_sim(
+                F.col("__va"),
+                F.col("__vb"),
+                norm_a=F.col("__na"),
+                norm_b=F.col("__nb"),
+            ),
+        )
         .where(F.round(F.col("cos_sim"), 6) >= threshold)
         .select("id_a", "id_b", "bucket", "cos_sim")
     )

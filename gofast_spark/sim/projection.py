@@ -131,9 +131,16 @@ def jl_shortlist_topk(
             F.col(vec_col).alias(f"__n_{v_alias}"),
             l2_norm(F.col(vec_col)).alias(f"__l2_{v_alias}"),
         ).withColumn("__unit", nv)
+        # carry the already-computed vector norm so the exact re-rank
+        # reuses it instead of re-folding per pair (r15 — see cosine_sim)
         return jl_project(
             normed, "__unit", in_dim=in_dim, out_dim=out_dim, seed=seed
-        ).select(out_id, v_alias, F.col("jl_vec").alias(p_alias))
+        ).select(
+            out_id,
+            v_alias,
+            F.col("jl_vec").alias(p_alias),
+            F.col(f"__l2_{v_alias}").alias(f"{p_alias}_l2"),
+        )
 
     pc = _proj(corpus, "vec_id", "__cv", "__cp")
     pq = _proj(queries, "query_id", "__qv", "__qp")
@@ -153,7 +160,12 @@ def jl_shortlist_topk(
         .withColumn("__r1", F.row_number().over(w1))
         .where(F.col("__r1") <= shortlist)
     )
-    cs = cosine_sim(F.col("__qv"), F.col("__cv"))
+    cs = cosine_sim(
+        F.col("__qv"),
+        F.col("__cv"),
+        norm_a=F.col("__qp_l2"),
+        norm_b=F.col("__cp_l2"),
+    )
     w2 = Window.partitionBy("query_id").orderBy(
         F.round(cs, 6).desc(), F.col("vec_id").asc()
     )
