@@ -44,12 +44,15 @@ def word_freq_table(df: DataFrame, text_col: str) -> DataFrame:
 
 
 # sequence(1, 0) DESCENDS in Spark, so single-symbol words need the
-# explicit empty-array guard
+# explicit empty-array guard.  r15: the symbol string is split ONCE per
+# row via the one-element-array let-binding (the old expression
+# re-split `sym` at every one of its five references — guide §1.2
+# per-task work); identical pair strings.
 _PAIRS = (
-    "IF(size(split(sym, ' ')) < 2, array(), "
-    "transform(sequence(1, size(split(sym, ' ')) - 1), "
-    "i -> concat(element_at(split(sym, ' '), i), ' ', "
-    "element_at(split(sym, ' '), i + 1))))"
+    "transform(array(split(sym, ' ')), "
+    "tk -> IF(size(tk) < 2, array(), "
+    "transform(sequence(1, size(tk) - 1), "
+    "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))))[0]"
 )
 
 # greedy left-to-right merge of the winning pair (columns pa/pb) inside

@@ -63,26 +63,39 @@ def mlm_token_mask(
         F.col(id_col),
         F.split(normalize_text(text_col), " ").alias("__tk"),
     )
-    flags = F.expr(
+    flags_sql = (
         f"transform(sequence(1, size(__tk)), i -> ({u}) < {float(mask_rate)})"
     )
-    step = base.select(id_col, "__tk", flags.alias("__fl"))
-    masked = F.expr(
-        f"transform(sequence(1, size(__tk)), "
-        f"i -> IF(element_at(__fl, i), '{mask_token}', element_at(__tk, i)))"
+    # r15 (guide §1.2): let-bind (tokens, flags) once per row — the old
+    # layout let CollapseProject inline the md5-per-position flag
+    # transform into all three consumers (masked_text, targets,
+    # n_masked), tripling the hash work.  Same binding idiom as
+    # text/repetition.bound_signals; identical outputs.
+    sig = F.expr(
+        f"""
+        transform(array(named_struct('tk', __tk, 'fl', {flags_sql})),
+          b -> named_struct(
+            'masked_text', array_join(
+              transform(sequence(1, size(b.tk)),
+                i -> IF(element_at(b.fl, i), '{mask_token}',
+                        element_at(b.tk, i))), ' '),
+            'targets', array_join(
+              filter(transform(sequence(1, size(b.tk)),
+                i -> IF(element_at(b.fl, i),
+                        concat(cast(i - 1 as string), ':',
+                               element_at(b.tk, i)),
+                        cast(null as string))), x -> x is not null), ' '),
+            'n_masked', size(filter(b.fl, x -> x))
+          ))[0]
+        """
     )
-    targets = F.expr(
-        "filter(transform(sequence(1, size(__tk)), "
-        "i -> IF(element_at(__fl, i), "
-        "concat(cast(i - 1 as string), ':', element_at(__tk, i)), "
-        "cast(null as string))), x -> x is not null)"
-    )
+    step = base.select(id_col, "__tk", sig.alias("__sig"))
     return step.select(
         id_col,
-        F.array_join(masked, " ").alias("masked_text"),
-        F.array_join(targets, " ").alias("targets"),
+        F.col("__sig")["masked_text"].alias("masked_text"),
+        F.col("__sig")["targets"].alias("targets"),
         F.size("__tk").alias("n_tokens"),
-        F.expr("size(filter(__fl, x -> x))").alias("n_masked"),
+        F.col("__sig")["n_masked"].alias("n_masked"),
     )
 
 

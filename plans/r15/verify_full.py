@@ -35,15 +35,34 @@ def main() -> None:
     oracles = mod.oracle_sql()
     t0 = time.time()
     fails = []
+    stamps = {}
     for i, (name, sql) in enumerate(sorted(oracles.items())):
+        ok = True
         try:
             compare(spark, name, "/root/testdata/sf0.01", queries[name], sql)
             print(f"[{i + 1}/{len(oracles)}] {name}: MATCH", flush=True)
         except Exception as e:  # noqa: BLE001
+            ok = False
             fails.append(name)
             print(f"[{i + 1}/{len(oracles)}] {name}: FAIL {str(e)[:300]}",
                   flush=True)
+        stamps[name] = {
+            "match": ok,
+            "kind": "oracle",
+            "sf_dir": "/root/testdata/sf0.01",
+            "checked_at": __import__("datetime").datetime.now(
+                __import__("datetime").timezone.utc
+            ).strftime("%Y-%m-%dT%H:%M:%SZ"),
+        }
     spark.stop()
+    # refresh the committed per-entry sweep artifact (same format as the
+    # r14 LOCAL_SWEEP.json) when asked
+    if "--stamp" in sys.argv:
+        import json
+
+        with open("/root/repo/LOCAL_SWEEP.json", "w") as f:
+            json.dump(stamps, f, indent=1, sort_keys=True)
+        print("LOCAL_SWEEP.json refreshed", flush=True)
     print(f"done in {time.time() - t0:.0f}s: {len(fails)} failures {fails}")
     sys.exit(1 if fails else 0)
 
