@@ -60,7 +60,7 @@ def ngram_jaccard_pairs(
     if eager:
         sh = sh.persist()
     try:
-        out = _pairs_from_shingles(sh, id_col, threshold, max_df)
+        out = _pairs_from_shingles(sh, id_col, threshold, max_df, eager=eager)
         if eager:
             return out.localCheckpoint(eager=True)
         return out
@@ -89,7 +89,7 @@ def count_distinct_with_null_group(id_col: str):
 
 
 def _measured_candidates(
-    sh: DataFrame, id_col: str, max_df: int | None
+    sh: DataFrame, id_col: str, max_df: int | None, *, eager: bool = True
 ) -> DataFrame:
     """Blocked candidate pairs with the exact intersection verify and
     both set sizes — (id_a, id_b, n_inter, n_a, n_b) — the shared core
@@ -109,7 +109,21 @@ def _measured_candidates(
     (boilerplate — a small, df-bounded fraction; empty whenever no
     shingle exceeds ``max_df``), never by the whole set.  The split is
     exact: rare/frequent partition the hash space, so
-    ``n_inter = n_rare_shared + n_freq_shared``."""
+    ``n_inter = n_rare_shared + n_freq_shared``.
+
+    r15 session-5 additions: the rare-leg pair table is referenced by
+    BOTH the frequent-leg expansion and the final assembly, and the
+    static plan duplicated its whole upstream (shingle scan + block
+    join + pair aggregate ran twice per materialization; cold first
+    pass 13.5 s vs 4.5 s at sf0.1).  Under ``eager`` it is now pinned
+    with ONE ``localCheckpoint`` — a narrow candidate-pairs-sized frame
+    (bounded by ``max_df * |shingles|``), the same storage contract the
+    callers already apply to the final pair list.  Negative result,
+    recorded so it is not re-tried: generating pairs via per-shingle
+    ``sort_array(collect_list)`` + combination explode (1 exchange
+    fewer than the self-join) measured SLOWER (1.71 vs 1.20 s warm at
+    sf0.1) — interpreted HOF struct building loses to the codegen'd
+    hash join."""
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     if max_df is not None:
         dfc = sh.groupBy("sh_hash").agg(F.count(F.lit(1)).alias("__df"))
@@ -128,6 +142,9 @@ def _measured_candidates(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
+    if eager and max_df is not None:
+        # referenced by the freq leg AND the final assembly — pin once
+        inter = inter.localCheckpoint(eager=True)
     if max_df is not None:
         fsh = sh.join(
             dfc.where(F.col("__df") > max_df).select("sh_hash"),
@@ -161,12 +178,17 @@ def _measured_candidates(
 
 
 def _pairs_from_shingles(
-    sh: DataFrame, id_col: str, threshold: float, max_df: int | None
+    sh: DataFrame,
+    id_col: str,
+    threshold: float,
+    max_df: int | None,
+    *,
+    eager: bool = True,
 ) -> DataFrame:
     # jaccard from the same (n_inter, n_a, n_b) triple the containment
     # path reads — bigint/bigint division, identical values to the old
     # shingle_jaccard verify at a fraction of its join volume
-    m = _measured_candidates(sh, id_col, max_df)
+    m = _measured_candidates(sh, id_col, max_df, eager=eager)
     return m.select(
         "id_a",
         "id_b",
@@ -205,7 +227,7 @@ def ngram_containment_pairs(
         sh = sh.persist()
     try:
         out = ngram_containment_pairs_from_shingles(
-            sh, id_col, threshold=threshold, max_df=max_df
+            sh, id_col, threshold=threshold, max_df=max_df, eager=eager
         )
         if eager:
             return out.localCheckpoint(eager=True)
@@ -221,6 +243,7 @@ def ngram_containment_pairs_from_shingles(
     *,
     threshold: float = 0.9,
     max_df: int | None = None,
+    eager: bool = True,
 ) -> DataFrame:
     """:func:`ngram_containment_pairs` over a PRECOMPUTED distinct
     (id, sh_hash) frame — the entry point for callers maintaining the
@@ -229,7 +252,7 @@ def ngram_containment_pairs_from_shingles(
     :func:`ngram_dedup_report_from_shingles`.  Caller owns persistence
     of ``sh`` (it is scanned three times: blocking, sizes, verify)."""
     return (
-        _measured_candidates(sh, id_col, max_df)
+        _measured_candidates(sh, id_col, max_df, eager=eager)
         .select(
             "id_a",
             "id_b",
@@ -301,7 +324,7 @@ def ngram_dedup_report_from_shingles(
     if eager:
         sh = sh.persist()
     try:
-        meas = _measured_candidates(sh, id_col, max_df).select(
+        meas = _measured_candidates(sh, id_col, max_df, eager=eager).select(
             "id_a",
             "id_b",
             (
