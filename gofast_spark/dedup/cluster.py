@@ -132,27 +132,18 @@ def connected_components(
     return labels.select(F.col("id"), F.col("lab").alias("cluster_id"))
 
 
-def _symmetric_edges(pairs: DataFrame, id_a: str, id_b: str) -> DataFrame:
-    a = F.col(id_a).alias("u")
-    b = F.col(id_b).alias("v")
-    return (
-        pairs.select(a, b)
-        .union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
-        .where(F.col("u") != F.col("v"))
-        .distinct()
-    )
-
-
 def _large_star(e: DataFrame) -> DataFrame:
     """Large-star round: every node links its LARGER neighbours to the
-    minimum of its neighbourhood (including itself).  The neighbourhood
-    view must be SYMMETRIC (the paper's map stage emits both
-    directions), so the round symmetrizes first — consuming the
-    directed small-star output as-is would empty the edge set."""
-    sym = (
-        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct()
-    )
+    minimum of its neighbourhood (including itself).
+
+    Input contract (r15: two redundant exchanges removed per round —
+    guide §2.4): ``e`` is DISTINCT and ORIENTED ``u > v``.  The
+    symmetric neighbourhood view the paper's map stage needs is then
+    ``e UNION reverse(e)`` with NO distinct — the two legs are disjoint
+    by orientation (one has ``u > v``, the other ``u < v``).  The
+    output is again distinct (one terminal exchange) and oriented:
+    every emitted row is ``(v_old, m)`` with ``m <= u_old < v_old``."""
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     mins = sym.groupBy("u").agg(
         F.least(F.min("v"), F.first("u")).alias("m")
     )
@@ -166,17 +157,18 @@ def _large_star(e: DataFrame) -> DataFrame:
 
 
 def _small_star(e: DataFrame) -> DataFrame:
-    """Small-star round: orient every edge larger -> smaller, then each
-    node links ALL its smaller neighbours (and itself) to the minimum."""
-    o = (
-        e.select(
-            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        )
-        .where(F.col("u") != F.col("v"))
-        .distinct()
-    )
-    mins = o.groupBy("u").agg(F.min("v").alias("m"))
-    j = o.join(mins, "u")
+    """Small-star round: each node links ALL its smaller neighbours
+    (and itself) to the minimum of them.
+
+    Input contract (r15, same as :func:`_large_star`): ``e`` distinct
+    and oriented ``u > v`` — exactly the large-star output — so the
+    paper's orient-larger-to-smaller map stage is the identity and its
+    exchange (greatest/least + distinct) is skipped outright.  Output
+    rows are ``(v_old, m)`` with ``m <= v_old`` and ``(u_old, m)`` with
+    ``m < u_old``, both filtered to ``u != v``: distinct + oriented
+    again."""
+    mins = e.groupBy("u").agg(F.min("v").alias("m"))
+    j = e.join(mins, "u")
     linked = (
         j.select(F.col("v").alias("u"), F.col("m").alias("v"))
         .union(j.select("u", F.col("m").alias("v")))
@@ -213,7 +205,19 @@ def connected_components_two_phase(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    e = _symmetric_edges(pairs, id_a, id_b).localCheckpoint(eager=True)
+    # initial edges ORIENTED u > v and distinct — half the rows of the
+    # old symmetric start, and the round functions' input contract:
+    # _large_star reconstructs the symmetric view with a dupe-free
+    # union, so the old per-round symmetrize-distinct exchange is gone
+    e = (
+        pairs.select(
+            F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
+            F.least(F.col(id_a), F.col(id_b)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     # carry the edge count across rounds: re-counting the PREVIOUS
     # (already checkpointed and counted) frame each round was one extra
     # job per round, and the subtract only runs once counts stabilize

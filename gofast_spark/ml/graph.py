@@ -403,22 +403,33 @@ def hits_scores(
         "node", F.lit(scale).cast("bigint").alias("score")
     ).localCheckpoint(eager=True)
 
+    from pyspark.sql import Window
+
     def half(score: DataFrame, join_key: str, group_key: str) -> DataFrame:
+        # r15: the L-inf max rides a whole-frame window over the
+        # node-sized joined frame instead of a separate agg +
+        # broadcast-crossJoin — `raw` then has ONE consumer, so its
+        # per-half-step localCheckpoint AND the broadcast-build job are
+        # both gone (guide §2.4; measured 84 -> ~40 jobs on the modgraph
+        # entry).  max() skips the NULL __raw of edge-less nodes, so the
+        # value is identical to the old agg over `raw`; the single-
+        # partition window exchange carries the same node-sized rows the
+        # old broadcast shipped to the driver.
         raw = (
             e.join(score, e[join_key] == score["node"])
             .groupBy(F.col(group_key).alias("__n"))
             .agg(F.sum(F.col("score").cast("decimal(38,0)")).alias("__raw"))
-            # the raw sums feed BOTH the broadcast max and the outer
-            # join below — without this the edges-join-scores aggregate
-            # executed twice per half-step (the broadcast job replays
-            # the lineage); one node-sized materialization halves the
-            # half-step
-            .localCheckpoint(eager=True)
         )
-        mx = raw.agg(F.max("__raw").alias("__mx"))
         return (
             nodes.join(raw, nodes["node"] == raw["__n"], "left")
-            .crossJoin(F.broadcast(mx))
+            .withColumn(
+                "__mx",
+                F.max("__raw").over(
+                    Window.rowsBetween(
+                        Window.unboundedPreceding, Window.unboundedFollowing
+                    )
+                ),
+            )
             .select(
                 "node",
                 F.coalesce(

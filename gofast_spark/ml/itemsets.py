@@ -306,21 +306,31 @@ def association_rules(
         .orderBy(F.col("n_pair").desc(), "item_a", "item_b")
         .limit(top_pairs)
     )
-    fwd = fp.select(
-        F.col("item_a").alias("antecedent"),
-        F.col("item_b").alias("consequent"),
-        "n_pair",
-        F.col("n_a").alias("n_ant"),
-        F.col("n_b").alias("n_cons"),
-    )
-    rev = fp.select(
-        F.col("item_b").alias("antecedent"),
-        F.col("item_a").alias("consequent"),
-        "n_pair",
-        F.col("n_b").alias("n_ant"),
-        F.col("n_a").alias("n_cons"),
-    )
-    rules = fwd.unionByName(rev).crossJoin(F.broadcast(n_baskets))
+    # both rule directions from ONE reference to fp: the old two-leg
+    # union duplicated the pair-aggregate + global-sort + limit subtree
+    # in the static plan (r15, guide §2.4 — same rewrite as
+    # ml/recommend.py item_similarity_topk); the final orderBy below
+    # fixes row order, so the emitted SET is identical
+    rules = fp.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("item_a").alias("antecedent"),
+                    F.col("item_b").alias("consequent"),
+                    F.col("n_pair").alias("n_pair"),
+                    F.col("n_a").alias("n_ant"),
+                    F.col("n_b").alias("n_cons"),
+                ),
+                F.struct(
+                    F.col("item_b").alias("antecedent"),
+                    F.col("item_a").alias("consequent"),
+                    F.col("n_pair").alias("n_pair"),
+                    F.col("n_b").alias("n_ant"),
+                    F.col("n_a").alias("n_cons"),
+                ),
+            )
+        ).alias("__r")
+    ).select("__r.*").crossJoin(F.broadcast(n_baskets))
     return (
         rules.select(
             "antecedent",

@@ -57,21 +57,31 @@ def item_similarity_topk(
         max_basket_size=max_basket_size,
     )
     pairs = pairs.withColumnRenamed("n_pair", "n_both")
+    # symmetrize by exploding each pair row into its two orientations
+    # instead of a two-leg union: the union referenced `pairs` twice,
+    # so the basket self-join's reduce-side aggregate ran once PER LEG
+    # (duplicated subtree in the static plan — r15, guide §2.4); the
+    # explode emits the identical rows from ONE reference
     sym = pairs.select(
-        F.col("item_a").alias("item"),
-        F.col("item_b").alias("neighbor"),
-        F.col("n_a").alias("n_item"),
-        F.col("n_b").alias("n_neighbor"),
-        "n_both",
-    ).unionByName(
-        pairs.select(
-            F.col("item_b").alias("item"),
-            F.col("item_a").alias("neighbor"),
-            F.col("n_b").alias("n_item"),
-            F.col("n_a").alias("n_neighbor"),
-            "n_both",
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("item_a").alias("item"),
+                    F.col("item_b").alias("neighbor"),
+                    F.col("n_a").alias("n_item"),
+                    F.col("n_b").alias("n_neighbor"),
+                    F.col("n_both").alias("n_both"),
+                ),
+                F.struct(
+                    F.col("item_b").alias("item"),
+                    F.col("item_a").alias("neighbor"),
+                    F.col("n_b").alias("n_item"),
+                    F.col("n_a").alias("n_neighbor"),
+                    F.col("n_both").alias("n_both"),
+                ),
+            )
+        ).alias("__s")
+    ).select("__s.*")
     cosine = F.col("n_both").cast("double") / F.sqrt(
         F.col("n_item").cast("double") * F.col("n_neighbor").cast("double")
     )
