@@ -45,6 +45,17 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+# per-process parquet schema memo: schema INFERENCE (footer read +
+# merge) costs ~145 ms of driver time per spark.read.parquet call vs
+# ~27 ms with an explicit schema (measured at sf0.1, r15) — paid again
+# by EVERY query invocation since entries build their plans fresh.
+# This memoizes metadata derived from the input file, never results;
+# each process re-infers on first touch, so testdata swaps stay safe.
+# The 100-TB analog is passing explicit schemas so repeated jobs skip
+# object-store footer sampling (guide §6/§7.3 driver-side planning).
+_SCHEMA_MEMO: dict = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a driver table.  The events parquet's ``ts`` physical encoding
     has varied across testdata generations; sources.events owns the
@@ -58,7 +69,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         df = read_events_batch(spark, os.path.join(sf_dir, "events.parquet"))
         return normalize_event_ts(df)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    sch = _SCHEMA_MEMO.get(path)
+    if sch is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_MEMO[path] = df.schema
+        return df
+    return spark.read.schema(sch).parquet(path)
 
 
 def _units6(c):

@@ -11,6 +11,8 @@ verifies the algorithms, not just row counts.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -25,10 +27,43 @@ from gofast_spark.text.hashing import char_hash_sql, md5_hash64_sql
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents table spread across the cluster: the text entries run
     token-array higher-order functions (interpreted, compute-heavy), and a
-    single small parquet part would pin them to one core."""
+    single small parquet part would pin them to one core.
+
+    r15: the narrow-scan guard used ``d.rdd.getNumPartitions()``, which
+    converts the plan to an RDD on the DRIVER — measured 288 ms per
+    call at sf0.1, paid by every documents entry on every invocation
+    (guide §7.3 driver-side work).  The split count is now estimated
+    from the on-disk byte size against ``maxPartitionBytes`` (local
+    paths; ~0.1 ms), falling back to the RDD probe for non-local URIs.
+    The guard only ever adds/skips a result-neutral repartition, so an
+    estimate is safe by construction."""
     d = _t(spark, sf_dir, "documents")
     target = spark.sparkContext.defaultParallelism
-    if d.rdd.getNumPartitions() < target:
+    path = os.path.join(sf_dir, "documents.parquet")
+    est = None
+    try:
+        if os.path.isfile(path):
+            nbytes = os.path.getsize(path)
+        elif os.path.isdir(path):
+            nbytes = sum(
+                e.stat().st_size
+                for e in os.scandir(path)
+                if e.is_file() and not e.name.startswith(("_", "."))
+            )
+        else:
+            nbytes = None
+        if nbytes is not None:
+            mpb = int(
+                spark.conf.get(
+                    "spark.sql.files.maxPartitionBytes", "134217728"
+                )
+            )
+            est = max(1, -(-nbytes // mpb))
+    except (OSError, ValueError):
+        est = None
+    if est is None:
+        est = d.rdd.getNumPartitions()
+    if est < target:
         d = d.repartition(target)
     return d
 

@@ -24,6 +24,16 @@ def _is_nanos_error(e: Exception) -> bool:
     return "NANOS" in msg or "Illegal Parquet type" in msg
 
 
+# per-process memo of the tolerant read's outcome per (path, glob):
+# (schema, nanos_conf_needed).  Schema INFERENCE costs ~145 ms of
+# driver time per call (footer sampling) vs ~27 ms with an explicit
+# schema (measured r15); the events table is read by every events
+# entry on every invocation.  The memo stores metadata derived from
+# the input footers — never data — and each process re-discovers it on
+# first touch, so testdata swaps stay safe.
+_EVENTS_MEMO: dict = {}
+
+
 def read_events_batch(
     spark: SparkSession, path: str, *, glob: str | None = None
 ) -> DataFrame:
@@ -32,20 +42,33 @@ def read_events_batch(
     legacy conf; if (and only if) the footer carries NANOS timestamps,
     set ``nanosAsLong`` and retry — the column then surfaces as long
     nanoseconds for :func:`normalize_event_ts` to convert.  Any other
-    read error propagates unchanged."""
+    read error propagates unchanged.  Repeat reads of the same path
+    replay the discovered (schema, conf) outcome without re-inferring."""
 
-    def _read() -> DataFrame:
+    def _read(schema=None) -> DataFrame:
         r = spark.read
         if glob:
             r = r.option("pathGlobFilter", glob)
+        if schema is not None:
+            r = r.schema(schema)
         return r.parquet(path)
 
+    memo = _EVENTS_MEMO.get((path, glob))
+    if memo is not None:
+        sch, nanos = memo
+        if nanos and spark.conf.get(NANOS_KEY, "false") != "true":
+            spark.conf.set(NANOS_KEY, "true")
+        return _read(sch)
     try:
-        return _read()
+        df = _read()
+        _EVENTS_MEMO[(path, glob)] = (df.schema, False)
+        return df
     except Exception as e:  # AnalysisException subclasses vary by version
         if _is_nanos_error(e) and spark.conf.get(NANOS_KEY, "false") != "true":
             spark.conf.set(NANOS_KEY, "true")
-            return _read()
+            df = _read()
+            _EVENTS_MEMO[(path, glob)] = (df.schema, True)
+            return df
         raise
 
 
