@@ -81,15 +81,15 @@ def doc_shingle_sets(
     join: signatures (array_min over a transform) and set sizes (size)
     are projections of this frame.
     """
-    # the shingle projection is compute-heavy; a small source file (one
-    # parquet part) would otherwise pin it to one core — spread it before
-    # the projection
-    # (.rdd is illegal on a streaming frame — the micro-batch engine
-    # owns stream partitioning, so the spread only applies to batch)
-    spark = df.sparkSession
-    target = spark.sparkContext.defaultParallelism
-    if not df.isStreaming and df.rdd.getNumPartitions() < target:
-        df = df.repartition(target)
+    # Input-partitioning contract (r15): the shingle projection is
+    # compute-heavy, so a single-part source would pin it to one core —
+    # the CALLER owns spreading such inputs (the catalog does it once
+    # in plans/catalog_llm._docs).  The old in-function guard probed
+    # ``df.rdd.getNumPartitions()`` per call, which converts the plan
+    # to an RDD on the driver — measured ~135 ms even on an
+    # already-spread input, re-paid by every dedup entry on every
+    # invocation (guide §7.3 driver-side work) while the probe never
+    # fired on catalog paths.
 
     # Build k-grams per row from the token array (transform over a
     # sequence of start offsets, concat of direct element references —

@@ -33,10 +33,11 @@ def simhash(
     formulation.  Tie (vote sum == 0) resolves to bit=1 on both engines
     (``>= 0``).
     """
-    spark = df.sparkSession
-    target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target)
+    # Input-partitioning contract (r15, same as dedup.minhash
+    # doc_shingle_sets): the caller owns spreading single-part inputs
+    # (plans/catalog_llm._docs does it for the catalog); the old
+    # per-call ``df.rdd.getNumPartitions()`` probe cost ~135 ms of
+    # driver-side plan-to-RDD conversion per invocation.
     toks = df.select(
         F.col(id_col), F.explode(tokenize_text(text_col)).alias("__tok")
     )

@@ -282,7 +282,7 @@ def minhash_signatures_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     (portable LCG char hash + integer (a*h+b) mod P)."""
     from gofast_spark.dedup import doc_shingles, minhash_signatures
 
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     sh = doc_shingles(d, "doc_id", "text", k=3)
     return minhash_signatures(sh, "doc_id", num_hashes=16)
 
@@ -323,7 +323,7 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidate generation is a bucketed band-key equi-join — no crossJoin."""
     from gofast_spark.dedup import near_dup_pairs
 
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     out = near_dup_pairs(d, "doc_id", "text", threshold=0.8)
     return out.select(
         "id_a", "id_b", F.round("jaccard", 4).cast("double").alias("jaccard")
@@ -362,7 +362,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     minhash_near_dup_pairs over the same shingle universe."""
     from gofast_spark.dedup import ngram_jaccard_pairs as pairs
 
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     out = pairs(d, "doc_id", "text", k=3, threshold=0.8, max_df=64)
     return out.select(
         "id_a", "id_b", F.round("jaccard", 4).cast("double").alias("jaccard")
@@ -388,7 +388,9 @@ def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash signatures (Charikar), integer-exact across engines."""
     from gofast_spark.dedup import simhash
 
-    d = _t(spark, sf_dir, "documents")
+    # _docs, not _t: simhash's explode runs on the input partitioning
+    # and the spread is the caller's job since r15 (see dedup/simhash.py)
+    d = _docs(spark, sf_dir)
     return simhash(d, "doc_id", "text", bits=16)
 
 
@@ -1650,7 +1652,7 @@ def incremental_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     growing training corpus (dedup/incremental.py)."""
     from gofast_spark.dedup.incremental import near_dup_pairs_between
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _docs(spark, sf_dir).select("doc_id", "text")
     new = d.where(F.col("doc_id") % 4 == 0)
     ref = d.where(F.col("doc_id") % 4 != 0)
     out = near_dup_pairs_between(new, ref, "doc_id", "text", threshold=0.8)
@@ -1677,7 +1679,7 @@ def incremental_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     id set)."""
     from gofast_spark.dedup.incremental import dedup_against
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _docs(spark, sf_dir).select("doc_id", "text")
     new = d.where(F.col("doc_id") % 4 == 0)
     ref = d.where(F.col("doc_id") % 4 != 0)
     return dedup_against(new, ref, "doc_id", "text", threshold=0.8).select(
@@ -3259,7 +3261,7 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking, one intersection verify."""
     from gofast_spark.dedup.ngram import ngram_containment_pairs as pairs
 
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     out = pairs(d, "doc_id", "text", k=3, threshold=0.8, max_df=64)
     return out.select(
         "id_a", "id_b", "n_a", "n_b",
