@@ -39,9 +39,22 @@ def edges_from_pairs(
         F.col(dst).cast("long").alias("dst"),
     ).where(F.col("src").isNotNull() & F.col("dst").isNotNull())
     if undirected:
-        e = e.unionByName(
-            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
+        # r16: emit both directions from ONE reference (guide §2.4) —
+        # the old two-leg union referenced `e` twice, so a pair-bearing
+        # JOIN upstream (pagerank's orders x lineitem) executed once per
+        # leg in the static plan (survey: 801 MB of parquet input for a
+        # ~230 MB edge build).  explode of the two orientations is the
+        # identical row multiset into the same distinct.
+        e = e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src"), F.col("dst")),
+                    F.struct(
+                        F.col("dst").alias("src"), F.col("src").alias("dst")
+                    ),
+                )
+            ).alias("__p")
+        ).select("__p.src", "__p.dst")
     return e.distinct()
 
 
@@ -244,10 +257,15 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         )
         .select("u", "v", "w")
     )
+    # r16: corner credits via ONE reference to `tri` — the old three-leg
+    # unionAll duplicated the whole triangle enumeration (both joins)
+    # once per leg in the static plan (guide §2.4; same fix as the r15
+    # item_similarity/association_rules symmetrization).  explode of the
+    # 3-corner array yields the identical row multiset.
     corners = (
-        tri.select(F.col("u").alias("node"))
-        .unionAll(tri.select(F.col("v").alias("node")))
-        .unionAll(tri.select(F.col("w").alias("node")))
+        tri.select(
+            F.explode(F.array("u", "v", "w")).alias("node")
+        )
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
@@ -325,7 +343,15 @@ def link_prediction(
         ).distinct()
     else:
         e = e.distinct()
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # r16: `e` feeds FOUR legs (degrees, both wedge legs, the adjacency
+    # anti-join) and `deg` three (AA weights, deg_u, deg_v) — left lazy,
+    # the static plan replayed the symmetrize-distinct subtree per leg
+    # (54 Exchanges on the modgraph entry).  Pin both once: edge-sized
+    # and node-sized frames, the triangle_count/checkpoint discipline.
+    e = e.localCheckpoint(eager=True)
+    deg = e.groupBy("src").agg(
+        F.count(F.lit(1)).alias("deg")
+    ).localCheckpoint(eager=True)
     # wedges u - w - v with u < v through middle w
     a = e.select(F.col("src").alias("w"), F.col("dst").alias("u"))
     b = e.select(F.col("src").alias("w"), F.col("dst").alias("v"))
@@ -403,33 +429,27 @@ def hits_scores(
         "node", F.lit(scale).cast("bigint").alias("score")
     ).localCheckpoint(eager=True)
 
-    from pyspark.sql import Window
-
     def half(score: DataFrame, join_key: str, group_key: str) -> DataFrame:
-        # r15: the L-inf max rides a whole-frame window over the
-        # node-sized joined frame instead of a separate agg +
-        # broadcast-crossJoin — `raw` then has ONE consumer, so its
-        # per-half-step localCheckpoint AND the broadcast-build job are
-        # both gone (guide §2.4; measured 84 -> ~40 jobs on the modgraph
-        # entry).  max() skips the NULL __raw of edge-less nodes, so the
-        # value is identical to the old agg over `raw`; the single-
-        # partition window exchange carries the same node-sized rows the
-        # old broadcast shipped to the driver.
+        # r16: the L-inf max is a 1-row aggregate broadcast back onto the
+        # joined frame.  The r15 whole-frame window (no partitionBy) was
+        # value-identical but funnelled the entire node-sized frame
+        # through ONE partition per half-step — a §2 anti-pattern at
+        # graph scale.  `raw` is referenced twice (max + outer join) but
+        # its lineage is one join+agg over two checkpointed frames, so
+        # replaying it inside the broadcast build is cheaper than either
+        # the per-half-step localCheckpoint the r14 form paid or the r15
+        # single-partition funnel.  max() over raw equals the window's
+        # max (it skipped the NULL __raw of edge-less left-join rows);
+        # an empty raw yields a single NULL __mx row either way.
         raw = (
             e.join(score, e[join_key] == score["node"])
             .groupBy(F.col(group_key).alias("__n"))
             .agg(F.sum(F.col("score").cast("decimal(38,0)")).alias("__raw"))
         )
+        mx = raw.agg(F.max("__raw").alias("__mx"))
         return (
             nodes.join(raw, nodes["node"] == raw["__n"], "left")
-            .withColumn(
-                "__mx",
-                F.max("__raw").over(
-                    Window.rowsBetween(
-                        Window.unboundedPreceding, Window.unboundedFollowing
-                    )
-                ),
-            )
+            .crossJoin(F.broadcast(mx))
             .select(
                 "node",
                 F.coalesce(

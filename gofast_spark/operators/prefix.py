@@ -47,8 +47,21 @@ def distributed_cumsum(
     the COMBINATION must be globally unique."""
     order = [order_col] if isinstance(order_col, str) else list(order_col)
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    part = df.repartitionByRange(n, *[F.col(c) for c in order]).withColumn(
-        "__pid", F.spark_partition_id()
+    # r16: `part` feeds BOTH the local-window leg and the per-partition
+    # totals leg.  Left lazy, the static plan gave each leg its OWN
+    # range exchange (plan-verified: two rangepartitioning nodes, the
+    # whole upstream scanned twice) — and, worse, each RangePartitioner
+    # samples with an RDD-id-derived seed, so on inputs large enough
+    # for partial sampling the two legs can pick DIFFERENT boundaries,
+    # making `__pid` disagree between the rows and the offsets — a
+    # latent wrong-cumsum hazard that small, fully-sampled inputs never
+    # trigger.  One eager localCheckpoint pins a single exchange and a
+    # single boundary set: exact by construction at any scale, and the
+    # upstream is scanned once instead of twice.
+    part = (
+        df.repartitionByRange(n, *[F.col(c) for c in order])
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     w_local = (
         Window.partitionBy("__pid")

@@ -46,18 +46,23 @@ def test_token_shards_boundary_starts_new_shard(spark):
 
 
 def test_cumsum_plan_uses_range_partitioning(spark):
-    """The scan must sort via the parallel range partitioner, never a
-    single-partition global sort of the data."""
+    """The data-leg running sum must run per range partition, never as
+    one global single-partition window over the rows.  r16: the range
+    exchange now executes inside the eager checkpoint that pins `part`
+    (one exchange, one boundary set, both legs read it), so the
+    returned plan reads the pinned RDD and windows by __pid; the only
+    unpartitioned window left is the n_partitions-row offsets frame."""
     df = spark.range(1000).select(
         F.col("id").alias("k"), F.lit(1).alias("v")
     )
-    plan = (
-        distributed_cumsum(df, "k", "v")
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
-    assert "rangepartitioning" in plan
+    out = distributed_cumsum(df, "k", "v")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # data-leg window is partitioned by the pinned range-partition id
+    assert "windowspecdefinition(__pid" in plan
+    # both legs read the checkpoint-pinned layout, not a re-derived
+    # range exchange each (the old dual-exchange shape)
+    assert "Scan ExistingRDD" in plan
+    assert "rangepartitioning" not in plan
 
 
 def test_hll_rollup_within_tolerance(spark):
