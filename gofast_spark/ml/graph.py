@@ -39,22 +39,20 @@ def edges_from_pairs(
         F.col(dst).cast("long").alias("dst"),
     ).where(F.col("src").isNotNull() & F.col("dst").isNotNull())
     if undirected:
-        # r16: emit both directions from ONE reference (guide §2.4) —
-        # the old two-leg union referenced `e` twice, so a pair-bearing
-        # JOIN upstream (pagerank's orders x lineitem) executed once per
-        # leg in the static plan (survey: 801 MB of parquet input for a
-        # ~230 MB edge build).  explode of the two orientations is the
-        # identical row multiset into the same distinct.
-        e = e.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col("src"), F.col("dst")),
-                    F.struct(
-                        F.col("dst").alias("src"), F.col("src").alias("dst")
-                    ),
-                )
-            ).alias("__p")
-        ).select("__p.src", "__p.dst")
+        # The two-leg union references `e` twice, so a pair-bearing JOIN
+        # upstream executes once per leg.  r16 negative result (recorded
+        # so it is not re-tried): emitting both orientations from ONE
+        # reference via explode(array(struct...)) halves the probe scans
+        # but measured SLOWER interleaved on both graph entries
+        # (pagerank 4.28 vs 3.38 s, LPA communities 3.88 vs 3.17 s
+        # min-of-3 at equal calib) — the per-row Generate/struct build
+        # loses to a second cheap broadcast probe, the same
+        # codegen-beats-HOF mechanism as the r15 collect_list and
+        # one-scan stream-grid reverts.  A 100-TB caller whose pair
+        # join is expensive should checkpoint `df` before calling.
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
     return e.distinct()
 
 
