@@ -28,9 +28,10 @@ Scale notes (the reason this shape was chosen):
   without it the plan doubles per round and Catalyst analysis time
   explodes by iteration ~10 (same driver-loop discipline as
   ``gofast_spark.ml.optim.gradient_descent``).
-- Convergence is detected with a count of label changes per round — one
-  extra action on a frame that is already materialized, no extra
-  shuffle (the old/new frames share the propagated partitioning).
+- Convergence is detected by summing per-vertex change flags as an
+  OBSERVED metric of the per-round checkpoint materialization — zero
+  extra actions, zero extra shuffles (r16; min-propagation is
+  monotone, so "changed" == "strictly decreased").
 
 Reference analog: none — the reference (earthai-tech/gofast) has only
 exact ``handle_duplicates`` (gofast/dataops/quality.py:4677); clustered
@@ -85,36 +86,50 @@ def connected_components(
         .withColumn("lab", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    from pyspark.sql import Observation
+
+    lab_type = labels.schema["lab"].dataType
     converged = False
     for _ in range(max_iter):
-        # min neighbour label per vertex: for each edge (src,dst), the
-        # current label of dst, min-combined map-side
-        nbr_min = (
-            edges.join(
-                labels.select(
-                    F.col("id").alias("dst"), F.col("lab").alias("nlab")
-                ),
-                "dst",
-            )
-            .groupBy(F.col("src").alias("id"))
-            .agg(F.min("nlab").alias("nlab"))
+        # r16 round shape (guide §2.4): ONE union + ONE min-groupBy per
+        # round instead of join + groupBy + join-back.  The old form
+        # aggregated neighbour mins per vertex and OUTER-JOINED them
+        # back onto the label frame — a second exchange of the
+        # node-sized frame per round.  min over ({own label} ∪
+        # {neighbour labels}) is the identical update; the own-label
+        # leg carries the previous label through max(__old) (exactly
+        # one leg-1 row per vertex, leg-2 rows carry NULL), so the
+        # change flag needs no join either.  The convergence sum rides
+        # the checkpoint materialization as an observed metric — zero
+        # extra jobs per round (min-propagation is monotone, so
+        # "changed" == "strictly decreased").
+        own = labels.select(
+            "id", F.col("lab"), F.col("lab").alias("__old")
         )
-        # fold the change flag into the update itself: `changed` then
-        # reads as ONE cheap aggregate over the just-materialized frame
-        # instead of an extra labels-vs-labels join + count per round
-        # (min-propagation is monotone, so "changed" == "strictly
-        # decreased").  least() skips NULLs, covering vertices with no
-        # labelled neighbour this round.
+        nbr = edges.join(
+            labels.select(
+                F.col("id").alias("dst"), F.col("lab").alias("nlab")
+            ),
+            "dst",
+        ).select(
+            F.col("src").alias("id"),
+            F.col("nlab").alias("lab"),
+            F.lit(None).cast(lab_type).alias("__old"),
+        )
+        obs = Observation()
         new_labels = (
-            labels.join(nbr_min, "id", "left")
+            own.unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("lab").alias("lab"), F.max("__old").alias("__old"))
             .select(
                 "id",
-                F.least(F.col("lab"), F.col("nlab")).alias("lab"),
-                (F.col("nlab") < F.col("lab")).cast("long").alias("__chg"),
+                "lab",
+                (F.col("lab") < F.col("__old")).cast("long").alias("__chg"),
             )
+            .observe(obs, F.coalesce(F.sum("__chg"), F.lit(0)).alias("chg"))
             .localCheckpoint(eager=True)
         )
-        changed = new_labels.agg(F.sum("__chg")).collect()[0][0] or 0
+        changed = obs.get["chg"]
         labels = new_labels.drop("__chg")
         if changed == 0:
             converged = True
@@ -209,6 +224,9 @@ def connected_components_two_phase(
     # old symmetric start, and the round functions' input contract:
     # _large_star reconstructs the symmetric view with a dupe-free
     # union, so the old per-round symmetrize-distinct exchange is gone
+    from pyspark.sql import Observation
+
+    obs0 = Observation()
     e = (
         pairs.select(
             F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
@@ -216,17 +234,24 @@ def connected_components_two_phase(
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
-    # carry the edge count across rounds: re-counting the PREVIOUS
-    # (already checkpointed and counted) frame each round was one extra
-    # job per round, and the subtract only runs once counts stabilize
-    # (Python `and` short-circuits)
-    n_e = e.count()
+    # carry the edge count across rounds as an OBSERVED metric of the
+    # checkpoint materialization itself (r16): the count used to be a
+    # separate 2-job action per round on the just-materialized frame;
+    # the subtract only runs once counts stabilize (Python `and`
+    # short-circuits)
+    n_e = obs0.get["n"]
     converged = False
     for _ in range(max_iter):
-        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        n_e2 = e2.count()
+        obs = Observation()
+        e2 = (
+            _small_star(_large_star(e))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        n_e2 = obs.get["n"]
         same = n_e2 == n_e and e2.subtract(e).count() == 0
         e = e2
         n_e = n_e2

@@ -411,8 +411,23 @@ def hits_scores(
     whose sums are EXACT (decimal-widened), and the renormalization
     divides by the exact max — so every iteration is bit-reproducible
     on any partitioning and the differential oracle unrolls the
-    identical chain in SQL.  Score frames are node-sized and
-    ``localCheckpoint``'d per round (the pagerank discipline)."""
+    identical chain in SQL.
+
+    r16 loop shape: the per-half-step state is the CHECKPOINTED raw-sum
+    frame ``(__n, __raw)`` (only nodes with >= 1 in-edge on that
+    orientation) and the rescaled score is a lazy PROJECTION of it —
+    ``crossJoin(broadcast(max))`` then ``floor(raw*scale/max + 0.5)``.
+    Nodes absent from the raw frame have score 0 and contribute 0 to
+    the next half-step's sums, so dropping their explicit rows is
+    value-identical (and the max is unaffected: the previous max-scorer
+    always contributes a positive sum, so the L-inf max is never taken
+    on a vanished zero-sum group).  Compared to the r14/r15 shapes this
+    removes the per-half-step node-frame OUTER JOIN and the checkpoint
+    of that joined frame (2*iterations node-sized joins + 2*iterations
+    checkpoints become 2*iterations aggregates), and the L-inf max is a
+    1-row broadcast — no unpartitioned window anywhere (the r15 window
+    funnelled the node-sized frame through one partition per
+    half-step)."""
     # edge and node frames feed every half-step: truncate their lineage
     # ONCE so the 2*iterations jobs don't each re-derive them
     e = edges.select("src", "dst").where(
@@ -423,53 +438,47 @@ def hits_scores(
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
     ).localCheckpoint(eager=True)
-    h = nodes.select(
-        "node", F.lit(scale).cast("bigint").alias("score")
-    ).localCheckpoint(eager=True)
 
-    def half(score: DataFrame, join_key: str, group_key: str) -> DataFrame:
-        # r16: the L-inf max is a 1-row aggregate broadcast back onto the
-        # joined frame.  The r15 whole-frame window (no partitionBy) was
-        # value-identical but funnelled the entire node-sized frame
-        # through ONE partition per half-step — a §2 anti-pattern at
-        # graph scale.  `raw` is referenced twice (max + outer join) but
-        # its lineage is one join+agg over two checkpointed frames, so
-        # replaying it inside the broadcast build is cheaper than either
-        # the per-half-step localCheckpoint the r14 form paid or the r15
-        # single-partition funnel.  max() over raw equals the window's
-        # max (it skipped the NULL __raw of edge-less left-join rows);
-        # an empty raw yields a single NULL __mx row either way.
-        raw = (
+    def rescaled(raw: DataFrame) -> DataFrame:
+        # (node, score) view of a checkpointed raw-sum frame: 1-row
+        # broadcast of the exact decimal max, same floor(+0.5) rescale
+        # expression as the unrolled oracle.  __raw is never NULL (sum
+        # over >= 1 row per group).
+        mx = raw.agg(F.max("__raw").alias("__mx"))
+        return raw.crossJoin(F.broadcast(mx)).select(
+            F.col("__n").alias("node"),
+            F.floor(
+                F.col("__raw").cast("double") * F.lit(float(scale))
+                / F.col("__mx").cast("double") + F.lit(0.5)
+            ).cast("bigint").alias("score"),
+        )
+
+    def half_raw(score: DataFrame, join_key: str, group_key: str) -> DataFrame:
+        return (
             e.join(score, e[join_key] == score["node"])
             .groupBy(F.col(group_key).alias("__n"))
             .agg(F.sum(F.col("score").cast("decimal(38,0)")).alias("__raw"))
-        )
-        mx = raw.agg(F.max("__raw").alias("__mx"))
-        return (
-            nodes.join(raw, nodes["node"] == raw["__n"], "left")
-            .crossJoin(F.broadcast(mx))
-            .select(
-                "node",
-                F.coalesce(
-                    F.floor(
-                        F.col("__raw").cast("double") * F.lit(float(scale))
-                        / F.col("__mx").cast("double") + F.lit(0.5)
-                    ).cast("bigint"),
-                    F.lit(0).cast("bigint"),
-                ).alias("score"),
-            )
+            .localCheckpoint(eager=True)
         )
 
-    a = None
+    score = nodes.select(
+        "node", F.lit(scale).cast("bigint").alias("score")
+    )
+    a_raw = None
     for _ in range(iterations):
-        a = half(h, "src", "dst").localCheckpoint(eager=True)
-        h = half(a, "dst", "src").localCheckpoint(eager=True)
+        a_raw = half_raw(score, "src", "dst")
+        h_raw = half_raw(rescaled(a_raw), "dst", "src")
+        score = rescaled(h_raw)
     return (
         nodes.join(
-            h.select(F.col("node").alias("__hn"), F.col("score").alias("__h")),
+            score.select(
+                F.col("node").alias("__hn"), F.col("score").alias("__h")
+            ),
             nodes["node"] == F.col("__hn"), "left")
         .join(
-            a.select(F.col("node").alias("__an"), F.col("score").alias("__a")),
+            rescaled(a_raw).select(
+                F.col("node").alias("__an"), F.col("score").alias("__a")
+            ),
             nodes["node"] == F.col("__an"), "left")
         .select(
             "node",
@@ -501,20 +510,33 @@ def kcore_members(
     Returns ``(node, degree)`` within the k-core."""
     if k < 1:
         raise ValueError("k must be >= 1")
+    from pyspark.sql import Observation
+
     e = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
     if symmetrize:
         e = e.union(e.select(F.col("dst").alias("src"),
                              F.col("src").alias("dst")))
-    cur = e.distinct().localCheckpoint(eager=True)
-    n_cur = cur.count()
+    # r16: the per-round edge count rides the checkpoint materialization
+    # as an observed metric instead of a separate 2-job action on the
+    # just-materialized frame
+    obs0 = Observation()
+    cur = (
+        e.distinct()
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    n_cur = obs0.get["n"]
     for _ in range(max_rounds):
         deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
         keep = deg.where(F.col("__deg") >= k).select("src")
+        obs = Observation()
         nxt = (
             cur.join(keep, "src", "leftsemi")
             .join(keep.select(F.col("src").alias("dst")), "dst", "leftsemi")
-        ).localCheckpoint(eager=True)
-        n_nxt = nxt.count()
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        n_nxt = obs.get["n"]
         if n_nxt == n_cur:
             break
         cur, n_cur = nxt, n_nxt
