@@ -53,6 +53,71 @@ def _make_coeffs(k: int) -> list[tuple[int, int]]:
 MINHASH_COEFFS: list[tuple[int, int]] = _make_coeffs(16)
 
 
+def spread_small_scan(df: DataFrame, *, assume_spread: bool = False) -> DataFrame:
+    """Library-safety guard for compute-heavy per-row projections
+    (VERDICT r15 #8): when ``df`` is a bare LOCAL file scan whose
+    estimated split count is below the session's parallelism, add a
+    round-robin repartition so the shingle/token projection does not
+    run on one core.  Result-neutral by construction (only ever
+    adds/skips a repartition).
+
+    No RDD probe: the estimate reads the scan's file sizes off the
+    driver (``df.inputFiles()``) and mirrors Spark's FilePartition
+    split math; inputs that already carry a repartition (the catalog's
+    ``plans/catalog_llm._docs`` spread), non-local URIs, streaming
+    frames, or derived plans are left untouched.  ``assume_spread=True``
+    skips the guard outright for callers that own the contract."""
+    if assume_spread:
+        return df
+    try:
+        if df.isStreaming:
+            return df
+        import os as _os
+        import urllib.parse as _up
+
+        files = df.inputFiles()
+        if not files:
+            return df
+        paths = []
+        for f in files:
+            u = _up.urlparse(f)
+            if u.scheme not in ("", "file"):
+                return df  # non-local: cannot estimate cheaply
+            paths.append(_up.unquote(u.path))
+        # a repartition above the scan means a caller already owns the
+        # spread — do not stack another exchange on top
+        plan = df._jdf.queryExecution().analyzed().toString()
+        if "Repartition" in plan:
+            return df
+        spark = df.sparkSession
+        target = spark.sparkContext.defaultParallelism
+        mpb = int(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        )
+        open_cost = int(
+            spark.conf.get("spark.sql.files.openCostInBytes", "4194304")
+        )
+        # conf.get validates non-None defaults against the key's
+        # requirement (a "0" default throws on minPartitionNum) — use
+        # None defaults and coalesce in Python
+        par = (
+            int(spark.conf.get("spark.sql.files.minPartitionNum", None) or 0)
+            or int(
+                spark.conf.get("spark.sql.leafNodeDefaultParallelism", None)
+                or 0
+            )
+            or target
+        )
+        total = sum(_os.path.getsize(p) + open_cost for p in paths)
+        max_split = min(mpb, max(open_cost, total // max(1, par)))
+        est = max(1, -(-total // max(1, max_split)))
+        if est < target:
+            return df.repartition(target)
+        return df
+    except Exception:  # noqa: BLE001 — guard must never break a read
+        return df
+
+
 def doc_shingle_sets(
     df: DataFrame,
     id_col: str,
@@ -80,16 +145,17 @@ def doc_shingle_sets(
     that keeps the whole MinHash pipeline shuffle-free until the band
     join: signatures (array_min over a transform) and set sizes (size)
     are projections of this frame.
+
+    Input-partitioning contract: the shingle projection is compute-heavy,
+    so a single-part source would pin it to one core.  Callers that
+    pre-spread small inputs (the catalog does it once in
+    ``plans/catalog_llm._docs``) are detected and left untouched;
+    otherwise :func:`spread_small_scan` adds a result-neutral
+    repartition when the input is a bare small local file scan (no RDD
+    probe — file-size estimate only).  Derived plans it cannot estimate
+    are passed through unchanged: pre-spread those yourself.
     """
-    # Input-partitioning contract (r15): the shingle projection is
-    # compute-heavy, so a single-part source would pin it to one core —
-    # the CALLER owns spreading such inputs (the catalog does it once
-    # in plans/catalog_llm._docs).  The old in-function guard probed
-    # ``df.rdd.getNumPartitions()`` per call, which converts the plan
-    # to an RDD on the driver — measured ~135 ms even on an
-    # already-spread input, re-paid by every dedup entry on every
-    # invocation (guide §7.3 driver-side work) while the probe never
-    # fired on catalog paths.
+    df = spread_small_scan(df)
 
     # Build k-grams per row from the token array (transform over a
     # sequence of start offsets, concat of direct element references —
@@ -140,6 +206,8 @@ def doc_shingles(
     honors the one-row-per-doc contract (see :func:`doc_shingle_sets`;
     multi-row ids need its ``merge_fragments=True`` first — fragments
     sharing a shingle would otherwise emit duplicate (id, hash) rows).
+    Partitioning contract as in :func:`doc_shingle_sets`: pre-spread
+    derived single-part inputs (bare small local scans are auto-spread).
     """
     sets_df = doc_shingle_sets(df, id_col, text_col, k=k)
     # explode_outer, NOT explode: plain explode makes Catalyst infer a
@@ -373,6 +441,9 @@ def near_dup_pairs(
     signature per fragment and fragment-level pairs.  Pass
     ``merge_fragments=True`` for such inputs: the fragment sets union
     per id through one groupBy (the only extra shuffle) before signing.
+    Partitioning contract as in :func:`doc_shingle_sets`: pre-spread
+    derived single-part inputs (bare small local scans are auto-spread,
+    no RDD probe).
 
     Plan shape (the whole point): the per-doc shingle-set frame keeps
     each doc's distinct shingles inside the doc's own row, so signatures
@@ -466,16 +537,25 @@ def near_dup_pairs(
         sig = minhash_signatures_from_sets(
             sets_df, id_col, num_hashes=num_hashes
         )
-        cand = lsh_candidate_pairs(
-            sig, id_col, num_hashes=num_hashes, rows_per_band=rows_per_band
-        ).localCheckpoint(eager=True)
-        # counting a checkpointed frame is metadata-cheap; gates whether
-        # the full set arrays may ride the broadcast build side — and the
-        # candidate-ID frame too: its rows are bounded by 2x pairs, so on
-        # a duplicate-heavy corpus it approaches corpus cardinality and
-        # must not be broadcast unconditionally either (ADVICE r5, same
-        # failure mode as the set frames)
-        small = cand.count() <= broadcast_candidate_limit
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        cand = (
+            lsh_candidate_pairs(
+                sig, id_col,
+                num_hashes=num_hashes, rows_per_band=rows_per_band,
+            )
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        # the pair count rides the checkpoint materialization as an
+        # observed metric (r16: was a separate count job); it gates
+        # whether the full set arrays may ride the broadcast build side
+        # — and the candidate-ID frame too: its rows are bounded by 2x
+        # pairs, so on a duplicate-heavy corpus it approaches corpus
+        # cardinality and must not be broadcast unconditionally either
+        # (ADVICE r5, same failure mode as the set frames)
+        small = obs.get["n"] <= broadcast_candidate_limit
         return _verify(
             sets_df, cand, bcast_ids=small, bcast_sets=small
         ).localCheckpoint(eager=True)

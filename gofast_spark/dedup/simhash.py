@@ -32,12 +32,17 @@ def simhash(
     multiplicity is kept (frequency-weighted votes), matching the standard
     formulation.  Tie (vote sum == 0) resolves to bit=1 on both engines
     (``>= 0``).
+
+    Input-partitioning contract (same as dedup.minhash
+    ``doc_shingle_sets``): pre-spread single-part inputs — the catalog
+    does it in ``plans/catalog_llm._docs``; bare small local file scans
+    are auto-spread by :func:`gofast_spark.dedup.minhash.spread_small_scan`
+    (file-size estimate, no RDD probe), and derived plans pass through
+    unchanged.
     """
-    # Input-partitioning contract (r15, same as dedup.minhash
-    # doc_shingle_sets): the caller owns spreading single-part inputs
-    # (plans/catalog_llm._docs does it for the catalog); the old
-    # per-call ``df.rdd.getNumPartitions()`` probe cost ~135 ms of
-    # driver-side plan-to-RDD conversion per invocation.
+    from gofast_spark.dedup.minhash import spread_small_scan
+
+    df = spread_small_scan(df)
     toks = df.select(
         F.col(id_col), F.explode(tokenize_text(text_col)).alias("__tok")
     )

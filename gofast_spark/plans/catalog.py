@@ -70,10 +70,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = read_events_batch(spark, os.path.join(sf_dir, "events.parquet"))
         return normalize_event_ts(df)
     path = os.path.join(sf_dir, f"{name}.parquet")
-    sch = _SCHEMA_MEMO.get(path)
+    # key on (path, local stamp): an in-process rewrite of the file
+    # invalidates the memo instead of silently serving a stale explicit
+    # schema (ADVICE r15 #2); the stamp is one os.stat per call
+    from gofast_spark.sources.events import local_input_stamp
+
+    key = (path, local_input_stamp(path))
+    sch = _SCHEMA_MEMO.get(key)
     if sch is None:
         df = spark.read.parquet(path)
-        _SCHEMA_MEMO[path] = df.schema
+        _SCHEMA_MEMO[key] = df.schema
         return df
     return spark.read.schema(sch).parquet(path)
 

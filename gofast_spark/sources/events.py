@@ -12,11 +12,40 @@ ordinary sessions free of legacy-conf state (VERDICT r5 #7, ADVICE r5 #1).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 NANOS_KEY = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def local_input_stamp(path: str):
+    """Cheap staleness stamp for a LOCAL parquet path: (mtime_ns, size)
+    of the file, or the sorted tuple of (name, mtime_ns, size) over a
+    directory's data files.  Used to key the per-process schema memos
+    (ADVICE r15: a path-only key serves a stale explicit schema if the
+    file is rewritten with a different schema within one process, and
+    parquet then silently yields NULLs for missing columns).  Returns
+    None for non-local/missing paths — callers fall back to path-only
+    keying there, where in-process rewrites are not a supported
+    pattern."""
+    try:
+        st = os.stat(path)
+        if os.path.isfile(path):
+            return (st.st_mtime_ns, st.st_size)
+        if os.path.isdir(path):
+            return tuple(
+                sorted(
+                    (e.name, e.stat().st_mtime_ns, e.stat().st_size)
+                    for e in os.scandir(path)
+                    if e.is_file() and not e.name.startswith(("_", "."))
+                )
+            )
+    except OSError:
+        pass
+    return None
 
 
 def _is_nanos_error(e: Exception) -> bool:
@@ -53,7 +82,10 @@ def read_events_batch(
             r = r.schema(schema)
         return r.parquet(path)
 
-    memo = _EVENTS_MEMO.get((path, glob))
+    # key on (path, glob, local stamp) so an in-process rewrite of the
+    # file invalidates the memo (ADVICE r15 #2)
+    key = (path, glob, local_input_stamp(path))
+    memo = _EVENTS_MEMO.get(key)
     if memo is not None:
         sch, nanos = memo
         if nanos and spark.conf.get(NANOS_KEY, "false") != "true":
@@ -61,13 +93,13 @@ def read_events_batch(
         return _read(sch)
     try:
         df = _read()
-        _EVENTS_MEMO[(path, glob)] = (df.schema, False)
+        _EVENTS_MEMO[key] = (df.schema, False)
         return df
     except Exception as e:  # AnalysisException subclasses vary by version
         if _is_nanos_error(e) and spark.conf.get(NANOS_KEY, "false") != "true":
             spark.conf.set(NANOS_KEY, "true")
             df = _read()
-            _EVENTS_MEMO[(path, glob)] = (df.schema, True)
+            _EVENTS_MEMO[key] = (df.schema, True)
             return df
         raise
 
