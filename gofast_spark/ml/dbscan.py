@@ -110,7 +110,14 @@ def dbscan(
         pairs.select(F.col("id_b").alias("id"), F.col("id_a").alias("nb"))
     )
     degree = sym.groupBy("id").agg(F.count(F.lit(1)).alias("n_nb"))
-    core = degree.where(F.col("n_nb") + 1 >= min_pts).select("id")
+    # r16: `core` feeds three legs (both core_edges prune joins and the
+    # core_lab assembly) — pin the node-sized frame so the degree
+    # aggregate over the symmetric pair view runs once, not per leg
+    core = (
+        degree.where(F.col("n_nb") + 1 >= min_pts)
+        .select("id")
+        .localCheckpoint(eager=True)
+    )
 
     from gofast_spark.dedup.cluster import connected_components_two_phase
 
@@ -126,11 +133,14 @@ def dbscan(
     # job overhead); the star rounds converge in O(log^2 n) regardless
     # of chain length — the asymptotic win at 100 TB, not a local tweak
     comp = connected_components_two_phase(core_edges)  # (id, cluster_id)
+    # r16: `core_lab` feeds three legs (border min-join, the border
+    # anti-join, the assigned union) — left lazy, each leg replayed the
+    # CC label/root assembly and the core join; pin the node-sized frame
     core_lab = core.join(comp, "id", "left").select(
         "id",
         # a core point with no core neighbor is its own cluster
         F.coalesce(F.col("cluster_id"), F.col("id")).alias("cluster"),
-    )
+    ).localCheckpoint(eager=True)
 
     border_lab = (
         sym.join(core_lab.withColumnRenamed("id", "nb"), "nb")

@@ -117,8 +117,18 @@ def cap_basket_size(
     sizes = pruned.groupBy(basket_col).agg(
         F.count(F.lit(1)).alias("__bk_n")
     )
-    oversized = sizes.where(F.col("__bk_n") > max_basket_size)
-    n_over = oversized.count()
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    # r16: count rides the materialization; when the cap binds, the
+    # anti-join below reads the pinned frame instead of re-running the
+    # size aggregate
+    oversized = (
+        sizes.where(F.col("__bk_n") > max_basket_size)
+        .observe(obs, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    n_over = obs.get["n"]
     if n_over == 0:
         return pruned, 0
     logger.warning(
@@ -165,10 +175,20 @@ def _basket_pairs(
         # (guide §1.2: remove repeated passes).
         .localCheckpoint(eager=True)
     )
+    from pyspark.sql import Observation
+
+    # r16: the gate count used to re-run the support aggregate (count +
+    # prune join = 2 passes over b); pin the frequent-vocab frame once
+    # with its count as an observed metric of the materialization
+    obs = Observation()
     support = b.groupBy("it").agg(F.count(F.lit(1)).alias("n_it"))
-    freq = support.where(F.col("n_it") >= min_support)
+    freq = (
+        support.where(F.col("n_it") >= min_support)
+        .observe(obs, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
     freq_small = (
-        broadcast_limit is not None and freq.count() <= broadcast_limit
+        broadcast_limit is not None and obs.get["n"] <= broadcast_limit
     )
     if freq_small:
         freq = F.broadcast(freq)

@@ -48,28 +48,37 @@ def funnel(
         F.col(type_col).alias("__ty"),
     ).where(F.col(ts_col).isNotNull())
 
-    # localCheckpoint(eager) each frontier before counting: step k's
-    # count action otherwise replays the whole join chain from the raw
-    # event stream (k(k+1)/2 scans for a k-step funnel) — the same
-    # lineage-truncation discipline as the pagerank / connected
-    # -components loops.  Each checkpointed frame is user-sized.
-    frontier = (
+    # localCheckpoint(eager) each frontier: step k's count otherwise
+    # replays the whole join chain from the raw event stream
+    # (k(k+1)/2 scans for a k-step funnel) — the same lineage-truncation
+    # discipline as the pagerank / connected-components loops.  Each
+    # checkpointed frame is user-sized, and the per-step count rides
+    # the materialization as an observed metric (r16: was a separate
+    # count job per step).
+    from pyspark.sql import Observation
+
+    def _ck_count(fr: DataFrame) -> tuple[DataFrame, int]:
+        obs = Observation()
+        fr = fr.observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint(
+            eager=True
+        )
+        return fr, obs.get["n"]
+
+    frontier, n0 = _ck_count(
         ev.where(F.col("__ty") == steps[0])
         .groupBy("__u")
         .agg(F.min("__ts").alias("__t"))
-        .localCheckpoint(eager=True)
     )
-    counts = [frontier.count()]
+    counts = [n0]
     for step in steps[1:]:
-        frontier = (
+        frontier, nk = _ck_count(
             ev.where(F.col("__ty") == step)
             .join(frontier, "__u")
             .where(F.col("__ts") >= F.col("__t"))
             .groupBy("__u")
             .agg(F.min("__ts").alias("__t"))
-            .localCheckpoint(eager=True)
         )
-        counts.append(frontier.count())
+        counts.append(nk)
 
     spark = df.sparkSession
     rows = []
@@ -199,6 +208,9 @@ def rfm_segments(
         # every other scalar normalizer in the repo
         ref_row = ev.agg(F.max(ts_col).cast("date").alias("__ref"))
         base = base.crossJoin(F.broadcast(ref_row))
+    from pyspark.sql import Observation
+
+    obs = Observation()
     base = base.select(
         "user",
         F.datediff(F.col("__ref"), F.col("__last"))
@@ -206,8 +218,9 @@ def rfm_segments(
         .alias("recency"),
         "frequency",
         "monetary",
-    ).localCheckpoint(eager=True)
-    n_users = base.count() if quantile_mode == "auto" else None
+    ).observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint(eager=True)
+    # count rides the materialization as an observed metric (r16)
+    n_users = obs.get["n"] if quantile_mode == "auto" else None
     qs = list(quantiles)
     cuts = base.agg(
         *[
@@ -281,19 +294,23 @@ def funnel_latencies(
         .agg(F.min("__s").alias("__t"))
         .localCheckpoint(eager=True)
     )
+    from pyspark.sql import Observation
+
     out = None
     for i, step in enumerate(steps[1:], start=1):
+        obs = Observation()
         nxt = (
             ev.where(F.col("__ty") == step)
             .join(frontier.select("__u", F.col("__t").alias("__prev")), "__u")
             .where(F.col("__s") >= F.col("__prev"))
             .groupBy("__u", "__prev")
             .agg(F.min("__s").alias("__t"))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        # the frame is already materialized, so the mode decision's
-        # count is a cheap scan of checkpointed partitions
-        n_conv = nxt.count() if median_mode == "auto" else None
+        # the mode decision's count rides the materialization as an
+        # observed metric (r16: was a separate count job per step)
+        n_conv = obs.get["n"] if median_mode == "auto" else None
         lat = nxt.agg(
             F.count(F.lit(1)).alias("n_users"),
             F.avg(F.col("__t") - F.col("__prev")).alias("avg_latency_sec"),
@@ -472,15 +489,25 @@ def funnel_windowed(
         F.col(type_col).alias("__ty"),
     ).where(F.col(ts_col).isNotNull())
 
-    frontier = (
+    # per-step counts ride the checkpoint materializations as observed
+    # metrics (r16), same as the unwindowed funnel above
+    from pyspark.sql import Observation
+
+    def _ck_count(fr: DataFrame) -> tuple[DataFrame, int]:
+        obs = Observation()
+        fr = fr.observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint(
+            eager=True
+        )
+        return fr, obs.get["n"]
+
+    frontier, n0 = _ck_count(
         ev.where(F.col("__ty") == steps[0])
         .groupBy("__u")
         .agg(F.min("__s").alias("__t"))
-        .localCheckpoint(eager=True)
     )
-    counts = [frontier.count()]
+    counts = [n0]
     for step in steps[1:]:
-        frontier = (
+        frontier, nk = _ck_count(
             ev.where(F.col("__ty") == step)
             .join(frontier, "__u")
             .where(
@@ -489,9 +516,8 @@ def funnel_windowed(
             )
             .groupBy("__u")
             .agg(F.min("__s").alias("__t"))
-            .localCheckpoint(eager=True)
         )
-        counts.append(frontier.count())
+        counts.append(nk)
 
     spark = df.sparkSession
     rows = []

@@ -125,11 +125,20 @@ def robust_scale_grouped(
         )
     stats = df.groupBy(*group_cols).agg(*aggs)
     if broadcast_limit is not None:
-        # materialize the group-sized stats before the gate count — a
-        # bare count() re-executes the exact-percentile aggregate over
-        # the corpus, and the apply join would run it again (guide §1.2)
-        stats = stats.localCheckpoint(eager=True)
-    if broadcast_limit is None or stats.count() <= broadcast_limit:
+        # materialize the group-sized stats before the gate — a bare
+        # count() would re-execute the exact-percentile aggregate over
+        # the corpus, and the apply join would run it again (guide
+        # §1.2).  r16: the gate count rides the checkpoint
+        # materialization as an observed metric (zero extra jobs).
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        stats = stats.observe(
+            obs, F.count(F.lit(1)).alias("n")
+        ).localCheckpoint(eager=True)
+        if obs.get["n"] <= broadcast_limit:
+            stats = F.broadcast(stats)
+    else:
         stats = F.broadcast(stats)
     out = df.join(stats, list(group_cols))
     for c in columns:

@@ -63,13 +63,18 @@ def bigram_pmi(
         .localCheckpoint(eager=True)
     )
 
+    from pyspark.sql import Observation
+
+    obs = Observation()
     uni = (
         toks.select(F.explode("tk").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n_w"))
+        .observe(obs, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
-    if broadcast_limit is None or uni.count() <= broadcast_limit:
+    # r16: the gate count rides the checkpoint as an observed metric
+    if broadcast_limit is None or obs.get["n"] <= broadcast_limit:
         uni = F.broadcast(uni)
 
     # both totals from the materialized count tables: sum(n_w) over the
@@ -213,12 +218,22 @@ def llr_collocations(
         .agg(F.count(F.lit(1)).alias("n_pair"))
         .localCheckpoint(eager=True)
     )
-    first = pc.groupBy("w1").agg(F.sum("n_pair").alias("r1"))
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    # r16: the gate count used to re-execute the w1-margin aggregate
+    # (count + join = 2 passes over pc); the margin is now pinned once
+    # with the count as an observed metric of its materialization
+    first = (
+        pc.groupBy("w1").agg(F.sum("n_pair").alias("r1"))
+        .observe(obs, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
     second = pc.groupBy("w2").agg(F.sum("n_pair").alias("c1"))
     total = pc.agg(F.sum("n_pair").alias("nn"))
     # same vocabulary-size broadcast gate as bigram_pmi: above the limit
     # the margin joins shuffle and AQE decides
-    if broadcast_limit is None or first.count() <= broadcast_limit:
+    if broadcast_limit is None or obs.get["n"] <= broadcast_limit:
         first, second = F.broadcast(first), F.broadcast(second)
 
     j = (
@@ -302,26 +317,44 @@ def ngram_novelty(
     # anti-join of vocabulary-sized frames: count(novel types) and
     # sum(their occurrence counts) are the same integers as the old
     # per-occurrence anti-join by definition of the grouping.
+    # r16: all five scalar readouts ride the three checkpoint
+    # materializations as observed metrics — zero separate driver
+    # actions (they were 5: three counts + two sum collects)
+    from pyspark.sql import Observation
+
+    obs_train, obs_test, obs_novel = Observation(), Observation(), Observation()
     train_set = (
         bigrams(base.where(F.col("id") % holdout_mod != 0))
         .distinct()
+        .observe(obs_train, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
     test_cnt = (
         bigrams(base.where(F.col("id") % holdout_mod == 0))
         .groupBy("bg")
         .agg(F.count(F.lit(1)).alias("__n"))
+        .observe(
+            obs_test,
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("__n"), F.lit(0)).alias("occ"),
+        )
         .localCheckpoint(eager=True)
     )
-    novel_cnt = test_cnt.join(train_set, "bg", "left_anti").localCheckpoint(
-        eager=True
+    novel_cnt = (
+        test_cnt.join(train_set, "bg", "left_anti")
+        .observe(
+            obs_novel,
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("__n"), F.lit(0)).alias("occ"),
+        )
+        .localCheckpoint(eager=True)
     )
     spark = df.sparkSession
-    n_train = train_set.count()
-    n_test = test_cnt.count()
-    n_novel = novel_cnt.count()
-    occ_test = test_cnt.agg(F.sum("__n")).collect()[0][0] or 0
-    occ_novel = novel_cnt.agg(F.sum("__n")).collect()[0][0] or 0
+    n_train = obs_train.get["n"]
+    n_test = obs_test.get["n"]
+    n_novel = obs_novel.get["n"]
+    occ_test = obs_test.get["occ"]
+    occ_novel = obs_novel.get["occ"]
     return spark.createDataFrame(
         [(
             n_train, n_test, n_novel,

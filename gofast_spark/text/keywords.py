@@ -140,7 +140,20 @@ def rake_keywords(
             * F.lit(1e6) + F.lit(0.5)
         ).cast("bigint").alias("score_u"),
     )
-    if broadcast_limit is None or stats.count() <= broadcast_limit:
+    # r16: the broadcast-gate count used to re-execute the vocab-sized
+    # aggregate (and the scoring join re-ran it a third time); the
+    # count now rides a checkpoint materialization as an observed
+    # metric — the aggregate runs ONCE
+    if broadcast_limit is not None:
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        stats = stats.observe(
+            obs, F.count(F.lit(1)).alias("n")
+        ).localCheckpoint(eager=True)
+        if obs.get["n"] <= broadcast_limit:
+            stats = F.broadcast(stats)
+    else:
         stats = F.broadcast(stats)
 
     pw = phrases.select(
