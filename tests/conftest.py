@@ -14,6 +14,24 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_SMALL = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
 SF_MED = os.environ.get("SPARK_GRAFT_SF_MED", "/root/testdata/sf0.01")
 
+# measured slow set (see tests/slow_tests.txt header): tagged `slow`
+# here and deselected by pytest.ini's default `-m` expression so the
+# default suite fits the driver's verify window; `pytest -m slow` runs
+# them, and the full-catalog oracle sweep covers their correctness
+# surface after every change
+_SLOW_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "slow_tests.txt")
+with open(_SLOW_FILE) as _f:
+    _SLOW_IDS = {
+        ln.strip() for ln in _f if ln.strip() and not ln.startswith("#")
+    }
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.nodeid in _SLOW_IDS:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(scope="session")
 def spark():
